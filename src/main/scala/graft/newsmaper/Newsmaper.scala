@@ -1,0 +1,177 @@
+package graft.newsmaper
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Classify, Dedup}
+
+/** The reference pipeline, re-expressed as one lazy Catalyst plan.
+  *
+  * Reference flow (/root/reference/dags/Main.py:48-49):
+  *   drop_duplicate >> load(renameAndSelect(findCountry(explodeDate(extract))))
+  * with every stage a separate Celery worker and the DataFrame pickled
+  * through XCom between them. Here extract→transform is a single
+  * unexecuted plan; `load` is the one action (SURVEY.md §3.1).
+  */
+object Newsmaper {
+
+  /** Article shape after extract — /root/reference/dags/Extract.py:19-26,
+    * with the `'null'`-string media quirk (Extract.py:24) normalized to
+    * a real NULL. */
+  val articleSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("link", StringType, nullable = false),
+    StructField("description", StringType, nullable = false),
+    StructField("date", StringType, nullable = false), // raw pubDate text
+    StructField("media", StringType, nullable = true),
+    StructField("id_source", LongType, nullable = false)))
+
+  val sourcesSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("website", StringType), StructField("rss", StringType)))
+
+  val countriesSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("capital", StringType)))
+
+  /** Keyword dictionary — /root/reference/dags/files/references.json:
+    * id BIGINT, name STRING, words ARRAY<STRING>. */
+  val referencesSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("words", ArrayType(StringType))))
+
+  // ---------------------------------------------------------------- extract
+
+  /** Parse raw RSS feed XML into articles (S3,
+    * /root/reference/dags/Extract.py:11-27). The reference fetches over
+    * HTTP per source row; the harness is zero-egress, so feeds arrive
+    * as (id_source, xml) rows (from fixture files, or at scale from a
+    * `binaryFile`/blob scan). xpath is evaluated per row on executors —
+    * fetch+parse distributes with the data.
+    *
+    * media = <content url> with <enclosure url> fallback (Extract.py:21-24),
+    * real NULL instead of the reference's 'null' string.
+    */
+  /** Schema of one parsed RSS feed document for `from_xml`: channel →
+    * item[] with media as `<content url=…>` / `<enclosure url=…>`
+    * attributes (attributePrefix default `_`). */
+  private val feedSchema: StructType = StructType(Seq(
+    StructField("channel", StructType(Seq(
+      StructField("item", ArrayType(StructType(Seq(
+        StructField("title", StringType),
+        StructField("link", StringType),
+        StructField("description", StringType),
+        StructField("pubDate", StringType),
+        StructField("content", StructType(Seq(StructField("_url", StringType)))),
+        StructField("enclosure", StructType(Seq(StructField("_url", StringType)))))))))))))
+
+  def extractFromXml(feeds: DataFrame): DataFrame =
+    feeds
+      .select(
+        col("id_source").cast(LongType).as("id_source"),
+        explode(from_xml(col("xml"), feedSchema).getField("channel").getField("item"))
+          .as("item"))
+      .select(
+        col("item.title").as("title"),
+        col("item.link").as("link"),
+        col("item.description").as("description"),
+        col("item.pubDate").as("date"),
+        coalesce(col("item.content._url"), col("item.enclosure._url")).as("media"),
+        col("id_source"))
+      .where(col("title").isNotNull)
+
+  // -------------------------------------------------------------- transform
+
+  /** F1 — multi-format RFC-822 pubDate parse with fallbacks
+    * (/root/reference/dags/Transform.py:50-58): numeric offset, tz-name,
+    * then 2-digit-year forms. */
+  def parsePubDate(c: Column): Column = coalesce(
+    to_timestamp(c, "EEE, dd MMM yyyy HH:mm:ss Z"),
+    to_timestamp(c, "EEE, dd MMM yyyy HH:mm:ss zzz"),
+    to_timestamp(c, "EEE, dd MMM yy HH:mm:ss Z"))
+
+  /** F2 + J1 — decompose the timestamp (Transform.py:61-68) and join
+    * the hour-grain calendar dim for the surrogate key
+    * (Transform.py:36-47: N+1 point queries → one broadcast equi-join).
+    * Inner join + count-preservation assert reproduces the reference's
+    * raise-on-miss (Transform.py:44-46) semantic lazily:
+    * rows with no calendar match get a NULL id_date from a left join
+    * and are caught by the NOT NULL check in [[load]]. */
+  def explodeDate(articles: DataFrame, dateDim: DataFrame): DataFrame = {
+    val ts = parsePubDate(col("date"))
+    val withParts = articles
+      .withColumn("pub_ts", ts)
+      .withColumn("year", year(col("pub_ts")))
+      .withColumn("month", month(col("pub_ts")))
+      .withColumn("day", dayofmonth(col("pub_ts")))
+      .withColumn("hours", hour(col("pub_ts")))
+    withParts.join(
+      broadcast(dateDim.select(
+        col("id").as("id_date"), col("hours"), col("day"), col("month"), col("year"))),
+      Seq("hours", "day", "month", "year"), "left_outer")
+  }
+
+  /** Generated hour-grain calendar dimension replacing the reference's
+    * never-populated `date` table (SURVEY.md §1.1): one row per hour in
+    * [start, end), surrogate id = hour index (dense, reproducible). */
+  def calendarDim(spark: SparkSession, startIso: String, endIso: String): DataFrame = {
+    spark.sql(
+      s"""SELECT id,
+         |  hour(h) AS hours, day(h) AS day, month(h) AS month, year(h) AS year
+         |FROM (
+         |  SELECT posexplode(sequence(
+         |    timestamp'$startIso', timestamp'$endIso', interval 1 hour)) AS (id, h)
+         |)""".stripMargin)
+  }
+
+  /** A2/A3/J5 — country classification by keyword majority vote
+    * (/root/reference/dags/Transform.py:14-33), via the shared
+    * [[graft.operators.Classify]] operator; default id 1 = France /
+    * unclassified (Transform.py:14). */
+  def findCountry(articles: DataFrame, references: DataFrame): DataFrame = {
+    val withKey = articles.withColumn("__doc", monotonically_increasing_id())
+    val dict = references.select(
+      explode(col("words")).as("word"),
+      // zero-pad so lexicographic tie-break = numeric asc (Classify
+      // orders labels as strings)
+      lpad(col("id").cast("string"), 10, "0").as("label"))
+    val labeled = Classify.byKeywords(
+      withKey.withColumn("__text", concat_ws(" ", col("title"), col("description"))),
+      "__doc", "__text", dict, default = "0000000001")
+    withKey.join(labeled, Seq("__doc"))
+      .withColumn("id_country", col("label").cast(LongType))
+      .drop("__doc", "label")
+  }
+
+  /** P1/P2 — final projection to the news-fact shape
+    * (/root/reference/dags/Transform.py:9-10,86-89). */
+  val newsColumns: Seq[String] =
+    Seq("id_country", "id_source", "id_date", "title", "link", "description", "media")
+
+  def renameAndSelect(df: DataFrame): DataFrame =
+    df.select(newsColumns.map(col): _*)
+
+  // ------------------------------------------------------------------- load
+
+  /** J3 + K1 — anti-join against the existing fact on the natural key
+    * (id_source, id_date, title) (/root/reference/dags/Load.py:21-25)
+    * then append. Returns the rows that were appended. */
+  def load(incoming: DataFrame, existing: DataFrame): DataFrame =
+    Dedup.newRows(incoming, existing, Seq("id_source", "id_date", "title"))
+
+  /** O2 — dedup-repair maintenance (/root/reference/dags/Main.py:28-47):
+    * keep the lowest-id row per natural key; expressed as
+    * retained-rows overwrite since parquet has no row DELETE. */
+  def maintenance(news: DataFrame): DataFrame =
+    Dedup.keepFirst(news, Seq("id_source", "id_date", "title"), "id")
+
+  /** O1 — the full extract→transform plan (one Catalyst plan; the
+    * caller appends via [[load]]). */
+  def pipeline(
+      feeds: DataFrame, dateDim: DataFrame, references: DataFrame): DataFrame =
+    renameAndSelect(
+      findCountry(
+        explodeDate(extractFromXml(feeds), dateDim),
+        references))
+}

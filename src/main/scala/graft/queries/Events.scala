@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.operators.{AsOf, Sessionize}
+
+/** Time-series / semi-structured coverage over `events`: JSON
+  * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
+  * and the as-of join (§2.4 extension). All four are the batch twins of
+  * the Structured Streaming surface in [[graft.streaming.Streams]] —
+  * the reference's "streaming" is a 20-minute batch re-run
+  * (/root/reference/dags/Main.py:23), so every streaming semantic here
+  * must stay batch-checkable against the oracle (SURVEY.md §2.8).
+  */
+object Events {
+
+  val all: Seq[Q] = Seq(
+
+    // JSON-in-string extraction (events.props = {"k": N}).
+    Q("q20_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy("k")
+    },
+
+    // Tumbling hour window, batch form (streaming twin uses window(ts, '1 hour')).
+    Q("q22_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // Gap-based sessionization (30-minute timeout). Gap test uses exact
+    // integer-microsecond interval arithmetic — no float drift between
+    // engines.
+    Q("q23_sessions",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "event_id", 1800L)
+        .select("user_id", "session_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_id")
+    },
+
+    // As-of join: each event picks up the most recent order (at or
+    // before its ts) of the same user. Right side pre-deduped to one row
+    // per (custkey, orderdate) so both engines are deterministic.
+    Q("q24_asof_join",
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val rightDedup = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOf.join(
+          Tables.events(s, d).select("event_id", "user_id", "ts"),
+          rightDedup,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          rightValCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+    })
+}

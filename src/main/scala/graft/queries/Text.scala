@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns
+import graft.operators.{Classify, Dedup, TextAnalysis}
+
+/** Text-analysis + dedup coverage over `documents` — the reference's
+  * Transform semantics (normalize/tokenize/keyword-vote,
+  * /root/reference/dags/Transform.py:14-33) generalized into the
+  * LLM-pipeline surface: classification, token stats, quality scoring,
+  * language ID, fingerprinting, exact dedup, MinHash-LSH, SimHash and
+  * n-gram Jaccard near-dup.
+  *
+  * Oracle-parity approach for the hash-based operators: every hash is
+  * md5 (identical bytes in Spark and DuckDB), MinHash minimizes over
+  * lexicographic hex ordering, and SimHash derives bits from md5-hex
+  * nibbles — so even the sketch operators hash-match the oracle
+  * exactly rather than settling for rows-only checks.
+  */
+object Text {
+
+  /** DuckDB twin of TextFns.normalize + tokens: used verbatim inside
+    * every oracle below. */
+  private val oTok =
+    """list_filter(regexp_split_to_array(trim(lower(translate(text, ',;''', '   '))), '\s+'), x -> length(x) > 0)"""
+
+  /** Topic dictionary over the synthetic corpus vocabulary. */
+  val topicDict: Seq[(String, String)] = Seq(
+    "join" -> "relational", "merge" -> "relational", "hash" -> "relational",
+    "table" -> "relational", "query" -> "relational",
+    "stream" -> "streaming", "window" -> "streaming", "batch" -> "streaming",
+    "scan" -> "storage", "column" -> "storage", "row" -> "storage",
+    "part" -> "storage",
+    "sort" -> "sorting", "order" -> "sorting", "key" -> "sorting",
+    "fast" -> "perf", "slow" -> "perf", "big" -> "perf", "small" -> "perf")
+
+  private def dictValues(d: Seq[(String, String)]): String =
+    d.map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+
+  /** Language stopword dictionary flattened to (word, lang). */
+  val langDict: Seq[(String, String)] =
+    TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      .flatMap { case (lang, ws) => ws.map(_ -> lang) }
+
+  val all: Seq[Q] = Seq(
+
+    // The flagship: keyword majority-vote classification (reference
+    // Transform.py:14-33 → explode + broadcast equi-join + argmax).
+    Q("q30_classify",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         |dict(word, label) AS (VALUES ${dictValues(topicDict)}),
+         |votes AS (
+         |  SELECT doc_id, label, count(*) AS cnt
+         |  FROM toks JOIN dict ON tok = word GROUP BY doc_id, label),
+         |top AS (
+         |  SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, label) AS rn
+         |  FROM votes)
+         |SELECT d.doc_id, coalesce(t.label, 'other') AS label
+         |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val dict = s.createDataFrame(topicDict).toDF("word", "label")
+      Classify.byKeywords(Tables.documents(s, d), "doc_id", "text", dict, "other")
+        .orderBy("doc_id")
+    },
+
+    // Token statistics: whitespace + BPE-ish regex token counting.
+    Q("q31_token_stats",
+      s"""WITH t AS (SELECT doc_id, text, $oTok AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_ish
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFns.tokens(TextFns.normalize(col("text")))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_ish"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring (length/punct/stopword ratios + composite score).
+    // Rounding is exact-integer half-up on both sides (see
+    // TextAnalysis.quality): round(double,4) ties are engine-dependent.
+    Q("q32_quality",
+      s"""WITH t AS (SELECT doc_id, text, $oTok AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(toks) AS BIGINT) AS nw,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sl,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS np,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS BIGINT) AS ns
+         |  FROM t)
+         |SELECT doc_id,
+         |  nc AS n_chars,
+         |  nw AS n_words,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE floor((sl * 20000 + nw) / (nw * 2)) / 10000.0 END AS mean_word_len,
+         |  CASE WHEN nc = 0 THEN 0.0 ELSE floor((np * 20000 + nc) / (nc * 2)) / 10000.0 END AS punct_ratio,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE floor((ns * 20000 + nw) / (nw * 2)) / 10000.0 END AS stopword_ratio,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE
+         |    floor(((nw * least(nw, 100) * 2
+         |            + CASE WHEN sl >= nw * 3 AND sl <= nw * 10 THEN nw * 150 ELSE 0 END
+         |            + least(ns * 3, nw) * 150) * 20000 + nw * 500) / (nw * 1000)) / 10000.0
+         |  END AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Language ID by stopword-overlap vote; 'und' when nothing matches.
+    Q("q33_lang_id",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         |dict(word, plang) AS (VALUES ${dictValues(langDict)}),
+         |votes AS (
+         |  SELECT doc_id, plang, count(*) AS cnt
+         |  FROM toks JOIN dict ON tok = word GROUP BY doc_id, plang),
+         |top AS (
+         |  SELECT doc_id, plang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, plang) AS rn
+         |  FROM votes)
+         |SELECT d.doc_id, coalesce(t.plang, 'und') AS pred_lang, d.lang
+         |FROM documents d LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val dict = s.createDataFrame(langDict).toDF("word", "label")
+      val docs = Tables.documents(s, d)
+      Classify.byKeywords(docs, "doc_id", "text", dict, "und")
+        .withColumnRenamed("label", "pred_lang")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprinting → exact dedup groups (md5 over normalized
+    // text; one shuffle on the 128-bit key).
+    Q("q34_fingerprint_dedup",
+      """SELECT md5(lower(translate(text, ',;''', '   '))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    // Top word bigrams — corpus n-gram statistics.
+    Q("q35_top_ngrams",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |n AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS ngram
+         |  FROM t)
+         |SELECT ngram, count(*) AS cnt FROM n GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", 2, 20)
+    },
+
+    // Anti-join dedup-vs-base (reference Load.is_in_base, Load.py:8-9):
+    // docs from other sources whose fingerprint already exists in src0.
+    Q("q40_antijoin_new_docs",
+      """WITH base AS (
+        |  SELECT DISTINCT md5(lower(translate(text, ',;''', '   '))) AS fp
+        |  FROM documents WHERE source = 'src0')
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM base b
+        |                  WHERE b.fp = md5(lower(translate(d.text, ',;''', '   '))))
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+      Dedup.newRows(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"), Seq("fp"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // MinHash + LSH banding near-dup candidates — oracle-exact because
+    // the minhash is md5-hex-lexicographic (portable across engines).
+    Q("q41_minhash_lsh", Text.minhashOracle) { (s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 5, numHashes = 12, bands = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index candidate
+    // join with a shingle-frequency cap).
+    Q("q42_ngram_jaccard", Text.jaccardOracle) { (s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.5, maxShingleFreq = 100)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash document fingerprints (32-bit, md5-derived bit votes).
+    Q("q43_simhash", Text.simhashOracle) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          Dedup.simhash(TextFns.tokens(TextFns.normalize(col("text"))), 32)
+            .as("simhash"))
+        .orderBy("doc_id")
+    })
+
+  // ---- generated oracle SQL for the sketch operators -----------------
+
+  /** DuckDB twin of Dedup.minhashLsh(5, 12, 4). */
+  lazy val minhashOracle: String = {
+    val sigs = (0 until 12).map(i =>
+      s"list_min(list_transform(sh, s -> md5(s || '#$i'))) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(length(t) - 4, 1)),
+       |      i -> substr(t, i, 5))) AS sh
+       |  FROM (SELECT doc_id, lower(translate(text, ',;''', '   ')) AS t FROM documents)
+       |  WHERE len(sh) > 0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common_bands
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.ngramJaccard(3, 0.5, 100). */
+  lazy val jaccardOracle: String =
+    s"""WITH t AS (SELECT doc_id AS id, $oTok AS toks FROM documents),
+       |sh AS (
+       |  SELECT id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |sized AS (SELECT id, CAST(len(sh) AS BIGINT) AS n FROM sh WHERE len(sh) > 0),
+       |inv AS (SELECT id, unnest(sh) AS s FROM sh),
+       |capped AS (
+       |  SELECT id, s FROM (
+       |    SELECT id, s, count(*) OVER (PARTITION BY s) AS f FROM inv)
+       |  WHERE f <= 100),
+       |pairs AS (
+       |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
+       |  FROM capped x JOIN capped y ON x.s = y.s
+       |  WHERE x.id < y.id GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.common, a.n AS n_a, b.n AS n_b,
+       |  CAST(p.common AS DOUBLE) / (a.n + b.n - p.common) AS jaccard
+       |FROM pairs p
+       |JOIN sized a ON p.id_a = a.id
+       |JOIN sized b ON p.id_b = b.id
+       |WHERE CAST(p.common AS DOUBLE) / (a.n + b.n - p.common) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of Dedup.simhash over 32 bits. */
+  lazy val simhashOracle: String = {
+    val bitTerms = (0 until 32).map { b =>
+      s"""CASE WHEN coalesce(list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN CAST(1 AS BIGINT) << $b ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" +\n    ")
+    s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(toks,
+       |      tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST($bitTerms AS BIGINT) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+}

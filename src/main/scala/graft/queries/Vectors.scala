@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** Embedding similarity search + multimodal-column coverage
+  * (north-star operators; no counterpart in the reference ETL).
+  *
+  * Cross-engine float policy: raw embedding floats pass through
+  * untouched; every *derived* score is either (a) computed over
+  * DECIMAL for order-independence (centroids) or (b) rounded to 4
+  * decimals with the row selection keyed on the rounded value plus an
+  * id tie-break, so a sub-1e-4 engine difference cannot change the
+  * selected rows (cosine top-k).
+  */
+object Vectors {
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: small query set broadcast against the
+    // corpus — the exact-search baseline (one map stage + k·|Q| rows
+    // into the final top-k shuffle).
+    Q("q50_cosine_topk",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, roundTo = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // k-NN label vote: predict a query vector's label from its top-5
+    // neighbors' labels (composition: top-k → join labels → argmax).
+    Q("q51_knn_label_vote",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS cnt FROM ranked
+        |  WHERE rank <= 5 GROUP BY query_id, label),
+        |best AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+        |  FROM votes)
+        |SELECT query_id, label AS pred_label FROM best WHERE rn = 1
+        |ORDER BY query_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, roundTo = 4)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("cnt"), asc("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"))
+        .orderBy("query_id")
+    },
+
+    // Per-label centroid cells (first 8 dims) — element-wise mean via
+    // posexplode + regroup; DECIMAL accumulation for order-independence.
+    Q("q52_label_centroids",
+      """SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mean_v
+        |FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings)
+        |WHERE dim <= 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("dim", (col("pos") + 1).cast("long"))
+        .where(col("dim") <= 8)
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("mean_v"))
+        .orderBy("label", "dim")
+    },
+
+    // LSH-bucketed ANN — the scale path (buckets bound the candidate
+    // set); approximate by construction → rows-only check.
+    Q.noOracle("q53_lsh_ann") { (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          dims = 64, planes = 8, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // Multimodal: binary payload column + metadata/feature extraction
+    // (decode stubbed — container has no codecs; plumbing is real).
+    Q("q60_media_features",
+      """SELECT doc_id AS media_id,
+        |  'application/x-demo-' || substr(md5(text), 1, 4) AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS UBIGINT) % 1024 + 64 AS INT) AS width,
+        |  CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS UBIGINT) % 1024 + 64 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
+    },
+
+    // mapPartitions-based batched decode (the real codec integration
+    // shape) — rows-only check: not expressible as pure SQL.
+    Q.noOracle("q61_media_decode_partitioned") { (s, d) =>
+      Multimodal.decodePartitioned(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
+    })
+}
