@@ -86,10 +86,18 @@ object Newsmaper {
   /** F1 — multi-format RFC-822 pubDate parse with fallbacks
     * (/root/reference/dags/Transform.py:50-58): numeric offset, tz-name,
     * then 2-digit-year forms. */
-  def parsePubDate(c: Column): Column = coalesce(
-    to_timestamp(c, "EEE, dd MMM yyyy HH:mm:ss Z"),
-    to_timestamp(c, "EEE, dd MMM yyyy HH:mm:ss zzz"),
-    to_timestamp(c, "EEE, dd MMM yy HH:mm:ss Z"))
+  def parsePubDate(c: Column): Column = {
+    // Spark 3+'s CORRECTED parser rejects day-of-week fields in parse
+    // patterns; RFC-822's "EEE, " prefix is redundant (the date fully
+    // determines the weekday), so strip it before parsing.
+    val t = regexp_replace(c, "^[A-Za-z]{3},\\s*", "")
+    // try_to_timestamp: NULL on mismatch (ANSI-safe), so the coalesce
+    // implements the reference's try/except fallback chain.
+    coalesce(
+      try_to_timestamp(t, lit("dd MMM yyyy HH:mm:ss Z")),
+      try_to_timestamp(t, lit("dd MMM yyyy HH:mm:ss zzz")),
+      try_to_timestamp(t, lit("dd MMM yy HH:mm:ss Z")))
+  }
 
   /** F2 + J1 — decompose the timestamp (Transform.py:61-68) and join
     * the hour-grain calendar dim for the surrogate key

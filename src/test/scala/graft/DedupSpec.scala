@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFns
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "s1", "t1"), (2L, "s1", "t1"), (3L, "s1", "t2"),
+    (4L, "s2", "t1"), (5L, "s2", "t1"), (6L, "s2", "t1")
+  ).toDF("id", "src", "title")
+
+  test("keepFirst keeps the lowest order-col row per key group (Main.py:35-36)") {
+    val out = Dedup.keepFirst(base, Seq("src", "title"), "id")
+    assert(rows(out.select("id")) === Set(Seq(1L), Seq(3L), Seq(4L)))
+  }
+
+  test("keepFirst is idempotent") {
+    val once = Dedup.keepFirst(base, Seq("src", "title"), "id")
+    val twice = Dedup.keepFirst(once, Seq("src", "title"), "id")
+    assert(rows(once) === rows(twice))
+  }
+
+  test("newRows is a left-anti join on the key columns (Load.py:8-9)") {
+    val incoming = Seq((10L, "s1", "t1"), (11L, "s3", "t9")).toDF("id", "src", "title")
+    val out = Dedup.newRows(incoming, base, Seq("src", "title"))
+    assert(rows(out.select("id")) === Set(Seq(11L)))
+  }
+
+  test("anti-join and semi-join partition the incoming set") {
+    val incoming = Seq((10L, "s1", "t1"), (11L, "s3", "t9"), (12L, "s2", "t1"))
+      .toDF("id", "src", "title")
+    val anti = Dedup.newRows(incoming, base, Seq("src", "title"))
+    val semi = incoming.join(
+      base.select("src", "title").distinct(), Seq("src", "title"), "left_semi")
+    assert(anti.count() + semi.count() === incoming.count())
+    assert(anti.select("id").intersect(semi.select("id")).count() === 0)
+  }
+
+  test("exact dedup groups normalization-equivalent texts, keeps min id") {
+    val docs = Seq((5L, "Hello, World"), (2L, "hello  world"), (9L, "other"))
+      .toDF("doc_id", "text")
+    // "Hello, World" normalizes to "hello  world" (comma → space)
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val m = out.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m === Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("minhashLsh: identical docs collide in all bands, disjoint docs in none") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 5, numHashes = 12, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 2L) -> 4L))
+  }
+
+  test("ngramJaccard: identical docs score 1.0; near docs score in (0,1)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g X")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(out((1L, 3L)) > 0 && out((1L, 3L)) < 1.0)
+    assert(out((1L, 3L)) === out((2L, 3L)))
+  }
+
+  test("simhash: equal token arrays hash equal; hamming distance grows with difference") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, "spark streams shuffle partitions broadcast"),
+      (2L, "spark streams shuffle partitions broadcast"),
+      (3L, "spark streams shuffle partitions join"),
+      (4L, "entirely unrelated words about gardening tulips")
+    ).toDF("id", "text")
+      .select(col("id"),
+        Dedup.simhash(TextFns.tokens(TextFns.normalize(col("text"))), 32).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+}

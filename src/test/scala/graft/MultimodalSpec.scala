@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq((1L, "hello world"), (2L, "binary payload test"))
+    .toDF("doc_id", "text")
+
+  test("mediaFromDocuments produces the opaque-binary media shape") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    assert(media.columns.toSeq === Seq("media_id", "mime", "payload"))
+    val r = media.orderBy("media_id").collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") === "hello world")
+    assert(r.getString(1).startsWith("application/x-demo-"))
+  }
+
+  test("extractFeatures (expression path) and decodePartitioned (mapPartitions path) agree on metadata") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val a = Multimodal.extractFeatures(media)
+      .select("media_id", "byte_len", "content_md5").orderBy("media_id")
+    val b = Multimodal.decodePartitioned(spark, media)
+      .select("media_id", "byte_len", "content_md5").orderBy("media_id")
+    assert(orderedRows(a) === orderedRows(b))
+  }
+
+  test("stub decode dimensions are deterministic and within the stub range") {
+    val out = Multimodal.decodePartitioned(
+      spark, Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w >= 64 && w < 64 + 1024)
+      assert(h >= 64 && h < 64 + 1024)
+    }
+    val again = Multimodal.decodePartitioned(
+      spark, Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+}

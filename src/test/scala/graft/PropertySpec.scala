@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFns
+import graft.operators.{Classify, Dedup}
+
+/** Property-based invariants (SURVEY.md §5 item 2). Inputs are generated
+  * with ScalaCheck generators at a fixed seed and run through Spark in
+  * one batch per property (a per-sample Spark job would be minutes). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf(',', ';', '\'', '.')
+  )).map(_.mkString)
+
+  test("tokens: no empty tokens, no whitespace, no normalized-away chars") {
+    val df = samples(textGen, 300).toDF("t")
+      .select(explode(TextFns.tokens(TextFns.normalize(col("t")))).as("tok"))
+    assert(df.where(length(col("tok")) === 0 ||
+      col("tok").rlike("[\\s,;']")).count() === 0)
+  }
+
+  test("fingerprint is invariant under the ,;'-to-space normalization") {
+    val df = samples(textGen, 300).toDF("t").select(
+      (TextFns.fingerprint(col("t")) ===
+        TextFns.fingerprint(translate(col("t"), ",;'", "   "))).as("eq"))
+    assert(df.where(!col("eq")).count() === 0)
+  }
+
+  test("keepFirst: output keys are distinct and output ⊆ input") {
+    val rows = samples(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 5L)), 400)
+      .zipWithIndex.map { case ((k, g), i) => (i.toLong, s"k$k", s"g$g") }
+    val df = rows.toDF("id", "a", "b")
+    val out = Dedup.keepFirst(df, Seq("a", "b"), "id")
+    assert(out.count() === out.select("a", "b").distinct().count())
+    assert(out.except(df).count() === 0)
+    // deterministic: re-running yields the same set
+    assert(this.rows(out) === this.rows(Dedup.keepFirst(df, Seq("a", "b"), "id")))
+  }
+
+  test("newRows ⊎ semi-join partitions incoming for random key sets") {
+    val gen = Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L))
+    val incoming = samples(gen, 200).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    val existing = samples(gen, 100).map { case (a, b) => (a, b) }.toDF("a", "b")
+    val anti = Dedup.newRows(incoming, existing, Seq("a", "b"))
+    val semi = incoming.join(existing.distinct(), Seq("a", "b"), "left_semi")
+    assert(anti.count() + semi.count() === incoming.count())
+  }
+
+  test("classification is total: one label per doc, default included") {
+    val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
+    val docs = samples(textGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t + (if (i % 7 == 0) " alpha" else "")) }
+      .toDF("doc_id", "text")
+    val out = Classify.byKeywords(docs, "doc_id", "text", dict, "other")
+    assert(out.count() === 200)
+    assert(out.where(col("label").isNull).count() === 0)
+  }
+}

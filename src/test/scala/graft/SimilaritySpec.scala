@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // four unit-ish vectors with known cosine structure: 1≈2, both ⊥ 3, 4 mixed
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.5f, 0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK excludes self, ranks by cosine desc, caps at k") {
+    val out = Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") === 1L), "vec_id", "embedding", k = 2)
+    val got = out.collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(got === Seq((2L, 1), (4L, 2))) // 2 closest to 1, then 4; 3 cut by k
+    assert(!got.map(_._1).contains(1L))
+  }
+
+  test("rounded ranking keys selection on rounded cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") === 1L), "vec_id", "embedding", k = 3, roundTo = 4)
+    assert(out.count() === 3)
+    val cos = out.where(col("neighbor_id") === 3L).collect()(0).getDouble(2)
+    assert(cos === 0.0)
+  }
+
+  test("lshTopK returns each query's bucket-mates ranked, never itself") {
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding", dims = 4, planes = 2, k = 3)
+      .collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // ranks within a query are 1..n dense
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("centroids computes per-label element-wise means") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)), ("b", Array(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroids(df, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") === Seq(2.0, 3.0))
+    assert(out("b") === Seq(10.0, 20.0))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality metrics on a known document") {
+    val docs = Seq((1L, "the cat sat on the mat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) === 23L) // n_chars
+    assert(r.getLong(2) === 6L)  // n_words
+    // mean word len = (3+3+3+2+3+4)/6 = 3.0 ("mat." keeps the dot)
+    assert(r.getDouble(3) === 3.0)
+    assert(r.getDouble(4) === 0.0435)  // 1 punct / 23 chars, half-up 4dp
+    assert(r.getDouble(5) === 0.3333)  // 2×"the" / 6
+    // score = min(6,100)/100·0.4 + 0.3 (3≤mwl≤10) + min(3·2/6,1)·0.3 = 0.624
+    assert(r.getDouble(6) === 0.624)
+  }
+
+  test("quality of empty text is all zeros (no div-by-zero)") {
+    val r = TextAnalysis.quality(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert((1 to 6).map(i => r.get(i)) === Seq(0L, 0L, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("languageId votes by stopword overlap with 'und' fallback") {
+    val docs = Seq(
+      (1L, "the cat and the dog of it"),
+      (2L, "le chat et la vie de la mer dans"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+    assert(rows(out) === Set(Seq(1L, "en"), Seq(2L, "fr"), Seq(3L, "und")))
+  }
+
+  test("topTokens and topNgrams rank by count then token") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "b c")).toDF("doc_id", "text")
+    val toks = TextAnalysis.topTokens(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(toks === Seq(("a", 3L), ("b", 3L)))
+    val grams = TextAnalysis.topNgrams(docs, "text", 2, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(grams === Seq(("b a", 2L))) // "b a" occurs twice in doc 1
+  }
+}
