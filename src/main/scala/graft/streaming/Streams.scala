@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "streaming" is a whole-pipeline re-run every 20
+  * minutes with `catchup=False` (/root/reference/dags/Main.py:23-24) —
+  * no watermarks, no late data, no incremental state. This package is
+  * the idiomatic upgrade (SURVEY.md §2.8): the same operators as the
+  * batch catalog, expressed over an unbounded source so a 100 TB/day
+  * feed is processed incrementally instead of rescanned.
+  *
+  * Every transform here takes a plain DataFrame, so it composes with
+  * BOTH `spark.readStream` (incremental) and `spark.read` (batch) —
+  * which is how the harness oracle checks the semantics (batch twins in
+  * [[graft.queries.Events]]) while StreamingSpec drives the incremental
+  * path through a MemoryStream.
+  */
+object Streams {
+
+  /** `events` table schema (ts already converted to TIMESTAMP; the
+    * parquet NANOS→LONG quirk is handled in [[graft.sources.Tables]]). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded file source over an events directory: new parquet files
+    * are discovered per micro-batch. `maxFilesPerTrigger` bounds batch
+    * size so executor memory is independent of backlog depth. */
+  def readEventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark: state
+    * for windows older than `watermark` is dropped, so state size is
+    * O(active windows), not O(stream length). Batch twin: q22. */
+  def tumblingAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window variant (overlapping windows; each event lands in
+    * windowDur/slide windows — state cost scales with the overlap). */
+  def slidingAgg(events: DataFrame, windowDur: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a gap timeout — the built-in incremental
+    * equivalent of [[graft.operators.Sessionize]]. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming dedup on the natural key, state bounded by the
+    * watermark — the incremental form of the reference's anti-join
+    * load dedup (/root/reference/dags/Load.py:21-25): instead of
+    * rescanning the whole `news` base every 20 minutes, each key is
+    * held in state only for the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ------------------------------------------------- custom state (typed)
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * arbitrary-state operator (KeyValueGroupedDataset surface) for
+    * session semantics `session_window` can't express (e.g. carrying
+    * per-session aggregates or emitting on custom close rules).
+    *
+    * Batch semantics (how the spec checks it): each key's full iterator
+    * arrives in one call, is sorted in-memory per group, and split on
+    * the gap — equivalent to [[graft.operators.Sessionize.sessions]].
+    * Streaming semantics: open sessions persist in GroupState and close
+    * via event-time timeout once the watermark passes the gap horizon.
+    */
+  def statefulSessions(events: Dataset[Event], gapSeconds: Long,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    // plain Boolean captured by the closure — never the Dataset itself
+    val streaming = events.isStreaming
+
+    // full-microsecond Timestamp⇄Long conversion (Timestamp.getTime is
+    // millis-truncated; the events table has µs-resolution timestamps)
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val sec = Math.floorDiv(us, 1000000L)
+      val micro = Math.floorMod(us, 1000000L)
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec, micro * 1000L))
+    }
+
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, toTs(s.startUs), toTs(s.endUs), s.n)
+
+    def flush(userId: Long, sorted: Seq[Long], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var open = state.getOption
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { us =>
+        open match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            open = Some(s.copy(endUs = us, n = s.n + 1))
+          case Some(s) =>
+            out += emit(userId, s)
+            open = Some(SessionState(us, us, 1))
+          case None =>
+            open = Some(SessionState(us, us, 1))
+        }
+      }
+      open.foreach { s =>
+        if (streaming) {
+          // keep the tail session open; event-time timeout closes it
+          // once the watermark passes endTs + gap
+          state.update(s)
+          state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+        } else {
+          // batch: no further input can extend it — close now
+          out += emit(userId, s)
+          if (state.exists) state.remove()
+        }
+      }
+      out.result().iterator
+    }
+
+    // EventTimeTimeout requires a watermark on the streaming input
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(userId, s))
+          } else {
+            flush(userId, it.map(e => toUs(e.ts)).toSeq.sorted, state)
+          }
+      }
+  }
+
+  /** End-to-end incremental pipeline: stream → windowed agg → parquet
+    * sink with checkpointing (exactly-once file sink). Returns the
+    * started query; caller manages lifecycle. */
+  def runWindowedPipeline(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingAgg(readEventStream(spark, srcDir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Sessionize
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming surface (SURVEY.md §2.8): incremental path via
+  * MemoryStream, and batch/stream semantic agreement for the stateful
+  * sessionizer against the SQL-window operator. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val sampleEvents = Seq(
+    Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+    Event(2L, ts("2025-01-01 10:10:00"), 1L, "click", 2.0),
+    // > 30 min gap → new session for user 1
+    Event(3L, ts("2025-01-01 11:00:00"), 1L, "view", 3.0),
+    Event(4L, ts("2025-01-01 10:05:00"), 2L, "click", 4.0),
+    Event(5L, ts("2025-01-01 12:00:00"), 2L, "view", 5.0))
+
+  test("statefulSessions (batch mode) agrees with the SQL-window Sessionize operator") {
+    val df = sampleEvents.toDF()
+    val stateful = Streams.statefulSessions(df.as[Event], gapSeconds = 1800L)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val sql = Sessionize.sessions(df, "user_id", "ts", "event_id", 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(rows(stateful) === rows(sql))
+    assert(stateful.count() === 4) // u1: 2 sessions, u2: 2 sessions
+  }
+
+  test("statefulSessions agrees with Sessionize on the real events table (sf0.001)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val stateful = Streams.statefulSessions(ev.as[Event], gapSeconds = 1800L)
+      .select("user_id", "session_start", "session_end", "n_events")
+    val sql = Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800L)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+    assert(rows(stateful) === rows(sql))
+  }
+
+  test("tumblingAgg over a MemoryStream emits finalized windows after the watermark passes") {
+    val input = MemoryStream[Event](spark)
+    val query = Streams.tumblingAgg(input.toDF(), windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(sampleEvents.filter(_.ts.getTime < ts("2025-01-01 11:30:00").getTime))
+      query.processAllAvailable()
+      // advance event time far enough that the 10:00 and 11:00 windows close
+      input.addData(Event(99L, ts("2025-01-01 14:00:00"), 3L, "click", 0.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .select("window_start", "event_type", "n", "total_value")
+      val got = rows(out)
+      assert(got.contains(Seq(ts("2025-01-01 10:00:00"), "click", 3L, 7.0)))
+      assert(got.contains(Seq(ts("2025-01-01 11:00:00"), "view", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("statefulSessions over a MemoryStream: gap split + watermark timeout close") {
+    val input = MemoryStream[Event](spark)
+    val query = Streams.statefulSessions(input.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(sampleEvents)
+      query.processAllAvailable()
+      // push the watermark past every open session's end + gap
+      input.addData(Event(100L, ts("2025-01-01 18:00:00"), 9L, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(101L, ts("2025-01-02 10:00:00"), 9L, "click", 0.0))
+      query.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .where(col("user_id").isin(1L, 2L))
+        .select("user_id", "session_start", "n_events")
+      val got = rows(out)
+      assert(got === Set(
+        Seq(1L, ts("2025-01-01 10:00:00"), 2L),
+        Seq(1L, ts("2025-01-01 11:00:00"), 1L),
+        Seq(2L, ts("2025-01-01 10:05:00"), 1L),
+        Seq(2L, ts("2025-01-01 12:00:00"), 1L)))
+    } finally query.stop()
+  }
+
+  test("dedupWithinWatermark drops key repeats inside the horizon") {
+    val input = MemoryStream[Event](spark)
+    val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(1L, ts("2025-01-01 10:01:00"), 1L, "click", 1.0), // dup key
+        Event(2L, ts("2025-01-01 10:02:00"), 1L, "view", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L))
+    } finally query.stop()
+  }
+}
