@@ -95,11 +95,16 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
 
-  /** Word n-gram frequency: top-k n-grams. */
+  /** Word n-gram frequency: top-k n-grams. Position-explode +
+    * slice/concat_ws (codegen) rather than a per-row `transform`
+    * (interpreted); top-k plans as TakeOrderedAndProject over the
+    * partial-aggregated counts. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(
-        TextFns.wordNgrams(TextFns.tokens(TextFns.normalize(col(textCol))), n))
-        .as("ngram"))
+    df.select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
+      .select(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("ngram"))
