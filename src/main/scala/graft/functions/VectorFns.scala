@@ -5,15 +5,26 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector column functions over ARRAY<FLOAT>/ARRAY<DOUBLE>.
   *
-  * Built from `zip_with`/`aggregate` higher-order functions so the dot
-  * product is evaluated inside Catalyst (no UDF serialization). All
-  * arithmetic is promoted to double before accumulation so Spark and
-  * the DuckDB oracle see identical IEEE sequences.
+  * [[dot]]/[[cosine]] delegate to the native codegen expressions in
+  * [[graft.plans]] (tight primitive loop inside WholeStageCodegen);
+  * the `zip_with`/`aggregate` higher-order forms are kept as
+  * [[dotHof]]/[[cosineHof]] — same left-to-right double accumulation,
+  * IEEE-identical results (pinned by ExpressionsSpec), but interpreted
+  * per element. All arithmetic is promoted to double before
+  * accumulation so Spark and the DuckDB oracle see identical IEEE
+  * sequences.
   */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ with left-to-right double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — native codegen loop. */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftExtensions.dot(a, b)
+
+  /** cosine(a, b) = a·b / (‖a‖‖b‖); NULL on zero norms — fused native
+    * loop (one pass for dot + both norms). */
+  def cosine(a: Column, b: Column): Column = graft.plans.GraftExtensions.cosine(a, b)
+
+  /** Σ aᵢ·bᵢ with left-to-right double accumulation (HOF form). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -22,10 +33,10 @@ object VectorFns {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a, b) = a·b / (‖a‖‖b‖); NULL-safe on zero norms. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
+  /** cosine via HOF composition; NULL-safe on zero norms. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val n = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
     when(n === 0.0, lit(null)).otherwise(d / n)
   }
 

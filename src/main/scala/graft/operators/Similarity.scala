@@ -62,10 +62,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       dims: Int, planes: Int, k: Int): DataFrame = {
     val sig = (0 until planes).map { p =>
-      val comps = (0 until dims).map(d => lit(planeComponent(p, d)))
-      val dot = (0 until dims)
-        .map(d => element_at(col(vecCol), d + 1).cast("double") * comps(d))
-        .reduce(_ + _)
+      // plane as one array literal + native dot — a flat 2·dims-node
+      // expression per plane instead of a dims-term add chain, which
+      // bloats generated code past JIT limits at high dims
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      val dot = VectorFns.dot(col(vecCol), plane)
       when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     val bucketed = df.select(
@@ -81,6 +82,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold, a < b. Exact all-pairs scoring — the
+    * O(N²) baseline, correct at any N but quadratic; at corpus scale
+    * swap the candidate generation for [[lshTopK]]'s sign-bucket join
+    * (same scorer, bucket-bounded pairs). The threshold is applied to
+    * the ROUNDED score so a sub-1e-4 float difference between engines
+    * cannot change the selected pair set. */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Per-label centroids: element-wise mean via posexplode + regroup.

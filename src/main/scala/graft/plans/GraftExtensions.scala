@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Shim
+
+/** Registration surface for the engine's native expressions.
+  *
+  * Two entry points:
+  *  - config-driven: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    makes `graft_dot`/`graft_cosine`/`graft_rolling_hash` available
+  *    to every SQL query of the session;
+  *  - [[GraftExtensions.register]]: imperative, idempotent, for
+  *    sessions built by an external harness.
+  *
+  * DataFrame code doesn't need either — the typed [[dot]]/[[cosine]]/
+  * [[rollingHash]] wrappers build the expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
+
+  /** Idempotent imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit = functions.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+
+  // typed Column builders (no registry needed)
+  def dot(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+  def rollingHash(c: Column): Column =
+    Shim.column(RollingHash(Shim.expression(c)))
+}

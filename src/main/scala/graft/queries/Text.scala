@@ -149,6 +149,23 @@ object Text {
         .orderBy("fp")
     },
 
+    // Rolling-hash (Rabin–Karp) document fingerprint — native codegen
+    // expression; exact integer arithmetic matches DuckDB's
+    // list_reduce fold bit-for-bit (ASCII corpus).
+    Q("q36_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |                     i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.GraftExtensions.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
     // Top word bigrams — corpus n-gram statistics.
     Q("q35_top_ngrams",
       s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),

@@ -109,6 +109,21 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Embedding-cosine near-dup pairs (exact all-pairs baseline, scored
+    // by the native codegen cosine; threshold on the rounded score).
+    Q("q54_cosine_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, roundTo = 4)
+        .orderBy("id_a", "id_b")
+    },
+
     // Multimodal: binary payload column + metadata/feature extraction
     // (decode stubbed — container has no codecs; plumbing is real).
     Q("q60_media_features",

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` surface: Column ⇄ catalyst
+  * Expression conversion for the engine's native expressions
+  * (graft.plans). Everything else of the engine lives in the `graft`
+  * namespace; only this 2-method shim needs to sit inside
+  * `org.apache.spark.sql` (same technique as every third-party
+  * expression library, since Spark 4 made the converters package-
+  * private). */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
