@@ -47,15 +47,17 @@ object Dedup {
     * the candidate join is |buckets|-bounded instead of O(N²) — the
     * property that makes near-dup feasible at 100 TB.
     *
-    * Signature entry i = min over shingles of md5(shingle || '#i'),
-    * minimized lexicographically over the hex — portable to the DuckDB
-    * oracle bit-for-bit (both engines order lowercase hex ASCII the
-    * same). Physically the shingles are EXPLODED and the minima taken
-    * by a hash aggregate rather than per-row `transform`/`array_min`:
-    * higher-order array functions are interpreted (outside
-    * whole-stage codegen), while explode + scalar md5 + partial min
-    * runs fully codegen'd and combines map-side, shuffling only one
-    * k-column signature row per document. ~5× faster at sf0.1.
+    * Signature entry i = min over shingles of the first 60 bits of
+    * md5(shingle || '#i') as a BIGINT — numeric order over the hex
+    * prefix equals lexicographic order over the hex, and the identical
+    * derivation exists in DuckDB ('0x'||substr(md5(…),1,15) cast), so
+    * the oracle matches bit-for-bit. Physically the shingles are
+    * EXPLODED and the minima taken by a hash aggregate rather than
+    * per-row `transform`/`array_min`: higher-order array functions are
+    * interpreted (outside whole-stage codegen), and a LONG min gets a
+    * fixed-width HashAggregate buffer (a STRING min would fall back to
+    * SortAggregate and sort the whole shingle stream) while the
+    * shuffle carries one 12×8-byte signature row per document.
     *
     * @return (id_a, id_b, n_common_bands) with id_a < id_b
     */
@@ -68,14 +70,15 @@ object Dedup {
     // higher-order array functions (those run interpreted) and no
     // distinct: min over a multiset equals min over its set, so
     // duplicate shingles can't change any signature entry.
-    val exploded = df
+    val exploded = graft.sources.Tables.widen(df)
       .select(col(idCol), TextFns.normalize(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (shingleN - 1), lit(1))))
           .as("__i"))
       .select(col(idCol), col("__t").substr(col("__i"), lit(shingleN)).as("__s"))
     val mins = (0 until numHashes)
-      .map(i => min(md5(concat(col("__s"), lit("#" + i)))).as(s"h$i"))
+      .map(i => min(conv(substring(md5(concat(col("__s"), lit("#" + i))), 1, 15), 16, 10)
+        .cast("long")).as(s"h$i"))
     val sigs = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band key = md5 of the concatenated signatures in the band
     val banded = sigs.select(
@@ -123,7 +126,7 @@ object Dedup {
     // `transform`+`array_distinct` alternative is interpreted and
     // re-executes on both sides of the pair self-join; distinct()'s
     // exchange is reused instead.
-    val inv = df
+    val inv = graft.sources.Tables.widen(df)
       .select(col(idCol).as("id"),
         TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= shingleN)

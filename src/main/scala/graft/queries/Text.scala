@@ -227,10 +227,13 @@ object Text {
 
   // ---- generated oracle SQL for the sketch operators -----------------
 
-  /** DuckDB twin of Dedup.minhashLsh(5, 12, 4). */
+  /** DuckDB twin of Dedup.minhashLsh(5, 12, 4): 60-bit md5-prefix
+    * minhash (numeric min ≡ lexicographic hex min; same derivation in
+    * both engines). */
   lazy val minhashOracle: String = {
     val sigs = (0 until 12).map(i =>
-      s"list_min(list_transform(sh, s -> md5(s || '#$i'))) AS h$i").mkString(",\n    ")
+      s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || '#$i'), 1, 15)) AS BIGINT))) AS h$i")
+      .mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
       val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"

@@ -17,6 +17,17 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Ensure at least default-parallelism partitions before a CPU-heavy
+    * derivation (shingling, hashing, scoring). A compact parquet scan
+    * (one small file = one split) would otherwise pin the whole
+    * pipeline up to its first exchange on a single core. No-op when
+    * the scan is already wide — at real scale inputs have thousands of
+    * splits and must NOT be shrunk to local core count. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
