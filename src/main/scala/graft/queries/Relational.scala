@@ -356,6 +356,120 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Cross join — small dim × small derived dim (absent in reference;
+    // §2.4 category fill-in). Both sides tiny → BroadcastNestedLoopJoin.
+    Q("q07_cross_join",
+      """SELECT r_name, o_orderstatus AS status
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, status""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+        .select(col("r_name"), col("o_orderstatus").as("status"))
+        .orderBy("r_name", "status")
+    },
+
+    // CUBE grouping sets — all 4 grouping combinations in one pass
+    // (partial aggregation expands grouping ids map-side; one shuffle).
+    Q("q25_cube",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum("o_totalprice").as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status")
+    },
+
+    // A3/A5 — deterministic argmax via lexicographic struct max: the
+    // reference's idxmax (Transform.py:27-29) as ONE hash aggregate —
+    // no window, no second shuffle; tie-break = highest orderkey.
+    Q("q26_argmax",
+      """SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(
+          col("o_custkey"),
+          col("m.o_orderkey").as("best_orderkey"),
+          col("m.o_totalprice").as("best_price"))
+        .orderBy("o_custkey")
+    },
+
+    // W — analytic battery: ntile / first_value / nth_value / lead over
+    // one totally-ordered window (single sort per partition, shared by
+    // all four functions — one Window exec, not four).
+    Q("q27_window_battery",
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_orderkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+        |  lead(o_orderkey) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Exact percentiles (linear interpolation — same (n-1)·q order
+    // statistic convention in Spark `percentile` and DuckDB
+    // `quantile_cont`).
+    Q("q28_percentiles",
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.50) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.50)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Pivot (wide aggregation) — explicit value list so the plan is one
+    // pass with no distinct-values pre-query; oracle = FILTER aggregates.
+    Q("q29_pivot",
+      """SELECT o_orderpriority AS priority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority").as("priority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("priority")
+    },
+
     // Approximate distinct — rows-only check (sketch internals differ
     // from DuckDB's by design; category coverage §2.5).
     Q.noOracle("q90_approx_distinct") { (s, d) =>
