@@ -138,15 +138,26 @@ object Newsmaper {
     * [[graft.operators.Classify]] operator; default id 1 = France /
     * unclassified (Transform.py:14). */
   def findCountry(articles: DataFrame, references: DataFrame): DataFrame = {
-    val withKey = articles.withColumn("__doc", monotonically_increasing_id())
+    // Deterministic classification key: a content hash, NOT
+    // monotonically_increasing_id — the latter is nondeterministic, so
+    // a task retry / AQE replan recomputing one branch of the self-join
+    // could assign different ids per branch and attach wrong labels.
+    // The hash covers every classification input (title, description),
+    // so duplicate articles collapse to one classified doc and fan back
+    // out with identical labels on the join.
+    val withKey = articles.withColumn(
+      "__doc", md5(concat_ws("", col("id_source"), col("title"),
+        col("link"), col("description"))))
     val dict = references.select(
       explode(col("words")).as("word"),
       // zero-pad so lexicographic tie-break = numeric asc (Classify
       // orders labels as strings)
       lpad(col("id").cast("string"), 10, "0").as("label"))
-    val labeled = Classify.byKeywords(
-      withKey.withColumn("__text", concat_ws(" ", col("title"), col("description"))),
-      "__doc", "__text", dict, default = "0000000001")
+    val docs = withKey
+      .select(col("__doc"), concat_ws(" ", col("title"), col("description")).as("__text"))
+      .distinct() // content hash ⇒ duplicates are true duplicates
+    val labeled = Classify.byKeywords(docs, "__doc", "__text", dict,
+      default = "0000000001")
     withKey.join(labeled, Seq("__doc"))
       .withColumn("id_country", col("label").cast(LongType))
       .drop("__doc", "label")
@@ -164,9 +175,21 @@ object Newsmaper {
 
   /** J3 + K1 — anti-join against the existing fact on the natural key
     * (id_source, id_date, title) (/root/reference/dags/Load.py:21-25)
-    * then append. Returns the rows that were appended. */
-  def load(incoming: DataFrame, existing: DataFrame): DataFrame =
-    Dedup.newRows(incoming, existing, Seq("id_source", "id_date", "title"))
+    * then append. Returns the rows that were appended.
+    *
+    * A NULL id_date (unparseable pubDate or calendar miss) fails the
+    * job, matching the reference's raise-on-miss
+    * (/root/reference/dags/Transform.py:44-46). Without this, NULL join
+    * keys never match in the anti-join and the row would be re-appended
+    * on every run. coalesce short-circuits, so the raise only fires on
+    * an actual NULL. */
+  def load(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val guarded = incoming.withColumn("id_date",
+      coalesce(col("id_date"),
+        raise_error(concat(lit("calendar miss (NULL id_date) for title="),
+          col("title"))).cast(LongType)))
+    Dedup.newRows(guarded, existing, Seq("id_source", "id_date", "title"))
+  }
 
   /** O2 — dedup-repair maintenance (/root/reference/dags/Main.py:28-47):
     * keep the lowest-id row per natural key; expressed as

@@ -97,9 +97,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_common_bands"))
   }
 
-  /** SimHash 64-bit fingerprint of a token array: per-token 60-bit hash
-    * from md5-hex (first 15 nibbles), bits voted across tokens.
-    * Portable to the oracle (same md5/conv arithmetic in DuckDB). */
+  /** SimHash fingerprint of a token array: per-token 32-bit hash from
+    * the first 8 md5-hex nibbles, bits voted across tokens (default 32
+    * fingerprint bits). Portable to the oracle (same md5/conv
+    * arithmetic in DuckDB). */
   def simhash(toks: Column, bits: Int = 32): Column = {
     val hashed = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val bitVotes = (0 until bits).map { b =>

@@ -24,6 +24,13 @@ import graft.functions.VectorFns
 object Similarity {
 
   /** Exact top-k by cosine for each row of `queries`.
+    *
+    * Self-exclusion is by id: `queries` is assumed to be drawn from the
+    * same id space as `corpus` (the usual "query by example" case); a
+    * row never matches the corpus row with its own id. If queries come
+    * from an unrelated table, remap ids first (e.g. negate them) or a
+    * coincidental id collision silently drops a valid neighbor.
+    *
     * @param roundTo if >= 0, round the score to that many decimals and
     *   rank on the rounded value (with id tie-break) — makes the
     *   selection robust to sub-ulp float differences across engines.

@@ -22,10 +22,21 @@ object Tables {
     * (one small file = one split) would otherwise pin the whole
     * pipeline up to its first exchange on a single core. No-op when
     * the scan is already wide — at real scale inputs have thousands of
-    * splits and must NOT be shrunk to local core count. */
+    * splits and must NOT be shrunk to local core count.
+    *
+    * Width is estimated from logical-plan statistics (file bytes), not
+    * `df.rdd.getNumPartitions`: converting to an RDD materializes the
+    * physical plan on the driver per call and bypasses AQE's view of
+    * the scan. A scan can only reach `target` splits when the input
+    * holds at least target × openCostInBytes bytes (Spark lower-bounds
+    * split size by the open cost), so below that we repartition. */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val openCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(target.toLong * openCost)) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")

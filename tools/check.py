@@ -30,13 +30,23 @@ def norm_cell(v):
     return ('x', str(v) if v is not None else None)
 
 def cmp_cell(a, b):
+    # NULL equals only NULL — checked before the float branch so a
+    # NULL-vs-float mismatch reports FAIL instead of raising TypeError.
+    if a is None or b is None:
+        return a is None and b is None
     ta, va = norm_cell(a)
     tb, vb = norm_cell(b)
     if ta == 'f' or tb == 'f':
+        # float vs non-numeric is a type mismatch, not a near-equality
+        if not all(isinstance(v, (int, float)) for v in (a, b)):
+            return False
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         return fa == fb or abs(fa - fb) <= 1e-12 * max(abs(fa), abs(fb), 1.0)
+    # strict type-tag compare: int 1 must not equal varchar '1'
+    if isinstance(a, (bool, int)) != isinstance(b, (bool, int)):
+        return False
     return (ta, va) == (tb, vb)
 
 def main(sf_dir, out_dir):
