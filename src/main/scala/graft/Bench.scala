@@ -19,17 +19,29 @@ object Bench {
     // codegen-compile and C2 JIT are one-time costs a long-running
     // cluster amortizes to zero, so they don't belong in a throughput
     // number.
+    // A query that throws must surface as "err", never as a (fast) time:
+    // timing the throw would let a broken query *improve* the total.
     SparkEntry.queries.values.foreach(fn => try fn(spark, sfDir).count()
-      catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${e.getMessage}") })
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> Left(e.getClass.getSimpleName)
+        }
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e))  => s"\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val errs = results.count(_._2.isLeft)
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errs > 0) sys.exit(1)
   }
 }

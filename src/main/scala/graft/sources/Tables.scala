@@ -33,8 +33,10 @@ object Tables {
   def widen(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val openCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
-      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    // sessionState.conf exposes the conf as a Long; `spark.conf.get`
+    // returns the display string with a byte-unit suffix ("4194304b")
+    // that .toLong cannot parse.
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < BigInt(target.toLong * openCost)) df.repartition(target) else df
   }
