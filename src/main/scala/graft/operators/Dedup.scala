@@ -40,17 +40,37 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
   }
 
+  /** Modulus for the minhash permutation family: smallest prime above
+    * 2^32, so `(a·h + b) mod P` with a 32-bit base hash and a < 2^30
+    * stays below 2^62 — no 64-bit overflow in Spark OR the DuckDB
+    * oracle (DuckDB raises on BIGINT overflow rather than wrapping). */
+  val minhashP: Long = 4294967311L
+
+  /** Fixed (a, b) coefficients of the linear permutation family. One
+    * md5 per shingle + k cheap permutations replaces k md5 digests per
+    * shingle — the standard universal-hashing minhash construction
+    * (Broder '97). `a` odd and < 2^30 (overflow bound above); the
+    * exact values are arbitrary but frozen: the DuckDB oracle twin is
+    * generated from this same list. */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (445154087L, 3892749121L), (268471291L, 1214936531L),
+    (907061141L, 2175895447L), (133291933L, 3513399037L),
+    (734295871L, 95097533L), (529419829L, 2821857313L),
+    (651372163L, 1716798407L), (387514111L, 4026422923L),
+    (812376047L, 600923039L), (172398851L, 3117588217L),
+    (993822353L, 2414864251L), (56493979L, 1898530759L))
+
   /** MinHash + LSH banding near-dup candidate pairs.
     *
-    * shingle(text, n) → k minhashes → b bands of r rows → band-key
-    * bucket join. Only documents sharing a band bucket are compared, so
-    * the candidate join is |buckets|-bounded instead of O(N²) — the
-    * property that makes near-dup feasible at 100 TB.
+    * shingle(text, n) → one 32-bit base hash per shingle (md5-hex
+    * prefix) → k signature entries via `(aᵢ·h + bᵢ) mod P` linear
+    * permutations → b bands of r rows → band-key bucket join. Only
+    * documents sharing a band bucket are compared, so the candidate
+    * join is |buckets|-bounded instead of O(N²) — the property that
+    * makes near-dup feasible at 100 TB.
     *
-    * Signature entry i = min over shingles of the first 60 bits of
-    * md5(shingle || '#i') as a BIGINT — numeric order over the hex
-    * prefix equals lexicographic order over the hex, and the identical
-    * derivation exists in DuckDB ('0x'||substr(md5(…),1,15) cast), so
+    * The identical integer derivation exists in DuckDB
+    * ('0x'||substr(md5(s),1,8) cast + the same coefficient list), so
     * the oracle matches bit-for-bit. Physically the shingles are
     * EXPLODED and the minima taken by a hash aggregate rather than
     * per-row `transform`/`array_min`: higher-order array functions are
@@ -59,27 +79,39 @@ object Dedup {
     * SortAggregate and sort the whole shingle stream) while the
     * shuffle carries one 12×8-byte signature row per document.
     *
+    * A band-key frequency cap (`maxBandFreq`) drops degenerate buckets
+    * (e.g. near-empty documents sharing a signature): one hot key would
+    * otherwise make the candidate join quadratic in that bucket. The
+    * count window partitions on the same (band, bkey) the self-join
+    * shuffles on, so the cap rides the exchange the join needs anyway.
+    *
     * @return (id_a, id_b, n_common_bands) with id_a < id_b
     */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
+      maxBandFreq: Int = 100): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= minhashCoeffs.size, s"at most ${minhashCoeffs.size} hashes")
     val rows = numHashes / bands
     // Positions exploded and shingles cut with scalar substr — no
     // higher-order array functions (those run interpreted) and no
     // distinct: min over a multiset equals min over its set, so
-    // duplicate shingles can't change any signature entry.
-    val exploded = graft.sources.Tables.widen(df)
+    // duplicate shingles can't change any signature entry. The md5 is
+    // computed ONCE per shingle; the k permutations are integer-only.
+    val based = graft.sources.Tables.widen(df)
       .select(col(idCol), TextFns.normalize(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         explode(sequence(lit(1), greatest(length(col("__t")) - (shingleN - 1), lit(1))))
           .as("__i"))
-      .select(col(idCol), col("__t").substr(col("__i"), lit(shingleN)).as("__s"))
-    val mins = (0 until numHashes)
-      .map(i => min(conv(substring(md5(concat(col("__s"), lit("#" + i))), 1, 15), 16, 10)
-        .cast("long")).as(s"h$i"))
-    val sigs = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        conv(substring(md5(col("__t").substr(col("__i"), lit(shingleN))), 1, 8), 16, 10)
+          .cast("long").as("__h"))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = minhashCoeffs(i)
+      min((col("__h") * a + b) % minhashP).as(s"h$i")
+    }
+    val sigs = based.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     // band key = md5 of the concatenated signatures in the band
     val banded = sigs.select(
       col(idCol),
@@ -89,8 +121,12 @@ object Dedup {
           md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
-    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    val capped = banded
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("f") <= maxBandFreq)
+      .drop("f")
+    val a = capped.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bkey"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

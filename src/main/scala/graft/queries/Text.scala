@@ -227,13 +227,15 @@ object Text {
 
   // ---- generated oracle SQL for the sketch operators -----------------
 
-  /** DuckDB twin of Dedup.minhashLsh(5, 12, 4): 60-bit md5-prefix
-    * minhash (numeric min ≡ lexicographic hex min; same derivation in
-    * both engines). */
+  /** DuckDB twin of Dedup.minhashLsh(5, 12, 4): one 32-bit md5-prefix
+    * base hash per shingle, 12 `(a·h + b) mod P` permutations from the
+    * SAME frozen coefficient list as the Spark side, plus the same
+    * band-key frequency cap. */
   lazy val minhashOracle: String = {
-    val sigs = (0 until 12).map(i =>
-      s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || '#$i'), 1, 15)) AS BIGINT))) AS h$i")
-      .mkString(",\n    ")
+    val p = Dedup.minhashP
+    val sigs = Dedup.minhashCoeffs.take(12).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p)) AS h$i"
+    }.mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
       val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
@@ -242,17 +244,22 @@ object Text {
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(length(t) - 4, 1)),
-       |      i -> substr(t, i, 5))) AS sh
+       |      i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))) AS hs
        |  FROM (SELECT doc_id, lower(translate(text, ',;''', '   ')) AS t FROM documents)
-       |  WHERE len(sh) > 0),
+       |  WHERE len(hs) > 0),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigs
        |  FROM sh),
        |banded AS (
-       |  $bandSelects)
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS f
+       |    FROM banded)
+       |  WHERE f <= 100)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common_bands
-       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
