@@ -61,27 +61,51 @@ object Similarity {
     (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(16, 14)) - 0.5
   }
 
-  /** Random-hyperplane LSH: bucket = sign pattern of `planes` dot
-    * products. Vectors in the same bucket are scored exactly; the
-    * planes are literals folded into codegen (no join for the planes).
+  /** Random-hyperplane LSH with OR-amplification: `bands` independent
+    * sign-pattern keys of `planesPerBand` hyperplanes each. A vector
+    * pair is a candidate if it collides in ANY band (union), which
+    * recovers the recall a single AND-only pattern of b·r planes throws
+    * away, while each band still bounds its candidate join by bucket.
+    * Hot buckets (skew) are dropped by `maxBucketFreq` — the count
+    * window partitions on the same (band, bucket) key the self-join
+    * shuffles on, so the cap rides the join's own exchange. Candidates
+    * are distinct-ed on the id pair before the exact rescore so a pair
+    * colliding in several bands is scored once.
+    *
+    * The planes are literals folded into codegen (no join for the
+    * planes).
     * @return (query_id, neighbor_id, cosine, rank) — approximate */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
-      dims: Int, planes: Int, k: Int): DataFrame = {
-    val sig = (0 until planes).map { p =>
-      // plane as one array literal + native dot — a flat 2·dims-node
-      // expression per plane instead of a dims-term add chain, which
-      // bloats generated code past JIT limits at high dims
-      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
-      val dot = VectorFns.dot(col(vecCol), plane)
-      when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      dims: Int, planesPerBand: Int, k: Int,
+      bands: Int = 4, maxBucketFreq: Int = 200): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val sig = (0 until planesPerBand).map { r =>
+        val p = b * planesPerBand + r
+        // plane as one array literal + native dot — a flat 2·dims-node
+        // expression per plane instead of a dims-term add chain, which
+        // bloats generated code past JIT limits at high dims
+        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+        val dot = VectorFns.dot(col(vecCol), plane)
+        when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      }
+      struct(lit(b).as("band"), concat(sig: _*).as("bucket"))
     }
-    val bucketed = df.select(
-      col(idCol), col(vecCol), concat(sig: _*).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = a.join(b, Seq("bucket"))
+    val bucketed = df
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("f") <= maxBucketFreq)
+      .drop("f")
+    val a = bucketed.select(col("band"), col("bucket"), col(idCol).as("query_id"))
+    val b = bucketed.select(col("band"), col("bucket"), col(idCol).as("neighbor_id"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
@@ -91,13 +115,61 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Scale path for [[cosinePairs]]: axis-sign SimHash banding for
+    * candidate generation + exact cosine rescore of candidates only.
+    *
+    * Band key b = the sign bits of components b·r … b·r+r−1 packed into
+    * an integer (`r = bitsPerBand`). Candidate pair = same key in ANY
+    * band (OR-amplification), bounded per bucket by `maxBandFreq`.
+    * Candidate generation therefore involves ZERO floating-point
+    * arithmetic — only `component >= 0` tests on stored values — so the
+    * DuckDB oracle twin reproduces the candidate set bit-exactly, and
+    * the rescore reuses the rounded-cosine policy of [[cosinePairs]].
+    *
+    * At 100 TB: the bucket joins move (band, key, id) triples — never
+    * the vectors; vectors are joined back only for the |candidates|
+    * rescore rows. Recall depends on the threshold: sign agreement per
+    * component is 1 − θ/π, so high-similarity pairs (θ small) collide
+    * with high probability while random pairs almost never do.
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold */
+  def bandedCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      maxBandFreq: Int = 200, roundTo: Int = 4): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { j =>
+        when(element_at(col(vecCol), b * bitsPerBand + j + 1) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bucketed = df
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("f") <= maxBandFreq)
+      .drop("f")
+    val a = bucketed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, a < b. Exact all-pairs scoring — the
-    * O(N²) baseline, correct at any N but quadratic; at corpus scale
-    * swap the candidate generation for [[lshTopK]]'s sign-bucket join
-    * (same scorer, bucket-bounded pairs). The threshold is applied to
-    * the ROUNDED score so a sub-1e-4 float difference between engines
-    * cannot change the selected pair set. */
+    * O(N²) SMALL-N BASELINE (exhaustive recall for validation); at
+    * corpus scale use [[bandedCosinePairs]] — same scorer and rounding
+    * policy, candidates bounded by sign-band buckets instead of N².
+    * The threshold is applied to the ROUNDED score so a sub-1e-4 float
+    * difference between engines cannot change the selected pair set. */
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, roundTo: Int = 4): DataFrame = {

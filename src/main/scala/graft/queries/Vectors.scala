@@ -101,11 +101,12 @@ object Vectors {
         .orderBy("label", "dim")
     },
 
-    // LSH-bucketed ANN — the scale path (buckets bound the candidate
-    // set); approximate by construction → rows-only check.
+    // LSH-bucketed ANN — the scale path (OR-amplified bands bound the
+    // candidate set, hot buckets capped); approximate by construction
+    // → rows-only check.
     Q.noOracle("q53_lsh_ann") { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          dims = 64, planes = 8, k = 5)
+          dims = 64, planesPerBand = 8, k = 5, bands = 4, maxBucketFreq = 200)
         .orderBy("query_id", "rank")
     },
 
@@ -121,6 +122,19 @@ object Vectors {
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4, roundTo = 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Scale path for near-dup: axis-sign SimHash band candidates +
+    // exact rescore. Candidate generation is integer-only (sign tests
+    // on stored components), so unlike classic float-LSH the candidate
+    // set is bit-reproducible in the oracle → full hash check. Finds
+    // the subset of q54's pairs that collide in ≥1 of 8 sign bands —
+    // at 100 TB this replaces q54's O(N²) all-pairs with bucket-bounded
+    // joins that shuffle only (band, key, id) triples.
+    Q("q55_banded_neardup", Vectors.bandedNeardupOracle) { (s, d) =>
+      Similarity.bandedCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, bands = 8, bitsPerBand = 8, maxBandFreq = 200, roundTo = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -146,4 +160,36 @@ object Vectors {
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
     })
+
+  /** DuckDB twin of Similarity.bandedCosinePairs(0.4, 8 bands × 8
+    * bits, cap 200): identical integer band keys from component signs,
+    * identical rounded-cosine rescore. */
+  lazy val bandedNeardupOracle: String = {
+    val bandSelects = (0 until 8).map { b =>
+      val key = (0 until 8).map { j =>
+        s"(CASE WHEN embedding[${b * 8 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH banded AS (
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT vec_id, band, bkey FROM (
+       |    SELECT vec_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS f
+       |    FROM banded)
+       |  WHERE f <= 200),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+       |FROM cand c
+       |JOIN embeddings a ON a.vec_id = c.id_a
+       |JOIN embeddings b ON b.vec_id = c.id_b
+       |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -31,13 +31,25 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK returns each query's bucket-mates ranked, never itself") {
-    val out = Similarity.lshTopK(emb, "vec_id", "embedding", dims = 4, planes = 2, k = 3)
+    val out = Similarity.lshTopK(emb, "vec_id", "embedding",
+        dims = 4, planesPerBand = 2, k = 3, bands = 2)
       .collect()
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
     // ranks within a query are 1..n dense
     out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length).toSeq)
     }
+  }
+
+  test("bandedCosinePairs finds high-cosine pairs and is a subset of all-pairs") {
+    val banded = Similarity.bandedCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.9, bands = 2, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // only (1,2) is above 0.9; all signs agree so every pair is a candidate
+    assert(banded.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    val allPairs = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(allPairs)) // banded candidates never invent pairs
   }
 
   test("centroids computes per-label element-wise means") {
