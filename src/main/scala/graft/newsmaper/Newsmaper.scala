@@ -144,7 +144,9 @@ object Newsmaper {
     // could assign different ids per branch and attach wrong labels.
     // The hash covers every classification input (title, description),
     // so duplicate articles collapse to one classified doc and fan back
-    // out with identical labels on the join.
+    // out with identical labels on the join. The concat separator is
+    // \u0001 (cannot appear in feed text), so field-boundary shifts
+    // like (id=1, title="2x") vs (id=12, title="x") cannot collide.
     val withKey = articles.withColumn(
       "__doc", md5(concat_ws("", col("id_source"), col("title"),
         col("link"), col("description"))))
@@ -191,11 +193,53 @@ object Newsmaper {
     Dedup.newRows(guarded, existing, Seq("id_source", "id_date", "title"))
   }
 
+  /** K1 — append sink (/root/reference/dags/Load.py:28
+    * `to_sql(if_exists='append')`): parquet append in the harness; the
+    * connector-faithful variant is `.format("jdbc")` with the same
+    * mode. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** [[load]] + K1 against an on-disk base: anti-join the incoming
+    * batch on the natural key vs what's already at `path`, append only
+    * the new rows, return how many were appended. Parquet file listing
+    * snapshots at read time, so the anti-join scan never sees the files
+    * the append writes. Calling this twice with the same batch appends
+    * zero the second time (`load ∘ load ≡ load`). */
+  def loadTo(incoming: DataFrame, path: String): Long = {
+    val spark = incoming.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+      else incoming.limit(0)
+    val fresh = load(incoming, existing)
+    append(fresh, path)
+    spark.read.parquet(path).count() - existing.count()
+  }
+
   /** O2 — dedup-repair maintenance (/root/reference/dags/Main.py:28-47):
     * keep the lowest-id row per natural key; expressed as
     * retained-rows overwrite since parquet has no row DELETE. */
   def maintenance(news: DataFrame): DataFrame =
     Dedup.keepFirst(news, Seq("id_source", "id_date", "title"), "id")
+
+  /** K3 — the reference's per-row DELETE repair
+    * (/root/reference/dags/Main.py:44-47) as a retained-rows overwrite:
+    * parquet has no row DELETE, so the kept set is written to a staging
+    * dir and swapped in (writing in place would race the scan that
+    * computes the kept set). On a lakehouse table this is MERGE/DELETE. */
+  def overwriteRetained(retained: DataFrame, path: String): Unit = {
+    val spark = retained.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = path + ".staging"
+    retained.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+      throw new java.io.IOException(s"rename $staging -> $path failed")
+  }
 
   /** O1 — the full extract→transform plan (one Catalyst plan; the
     * caller appends via [[load]]). */

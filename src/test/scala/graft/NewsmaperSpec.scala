@@ -43,11 +43,9 @@ class NewsmaperSpec extends SparkSpec {
       |  </item>
       |</channel></rss>""".stripMargin
 
-  // references.json shape: id, name, words (nested array)
-  private lazy val references = Seq(
-    (44L, "Ukraine", Seq("ukraine", "kiev", "guerre")),
-    (1L, "France", Seq("paris", "seine"))
-  ).toDF("id", "name", "words")
+  // the real references.json-shaped multiLine file (S5), not a Seq.toDF
+  private lazy val references = graft.newsmaper.Setup.readReferencesJson(
+    spark, getClass.getResource("/newsmaper/references.json").getPath)
 
   private lazy val feeds = Seq((1L, feedXml)).toDF("id_source", "xml")
 
