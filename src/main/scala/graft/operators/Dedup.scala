@@ -149,6 +149,49 @@ object Dedup {
     bitVotes.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** SimHash near-dup pairs: band the `bits`-bit fingerprints into
+    * `bands` byte-sized keys, candidate = same key in ANY band
+    * (pigeonhole: Hamming distance < `bands` guarantees ≥1 identical
+    * band), then filter candidates by exact Hamming distance
+    * (`bit_count(fp_a XOR fp_b)`). Pure integer arithmetic end-to-end,
+    * so the DuckDB oracle reproduces it bit-exactly.
+    *
+    * At scale this is the cheapest near-dup sieve: one fingerprint per
+    * document (no shingle explosion), band joins move (band, key, id)
+    * triples only, and the Hamming rescore reads two longs per
+    * candidate. `maxBandFreq` caps degenerate buckets exactly like
+    * [[minhashLsh]].
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxDist */
+  def simhashHammingPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxDist: Int = 3,
+      maxBandFreq: Int = 100): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val fps = graft.sources.Tables.widen(df).select(
+      col(idCol),
+      simhash(TextFns.tokens(TextFns.normalize(col(textCol))), bits).as("fp"))
+    val banded = fps.select(
+      col(idCol), col("fp"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("fp"), b * width).bitwiseAND((1L << width) - 1).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(idCol), col("fp"), col("bk.band"), col("bk.bkey"))
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("f") <= maxBandFreq)
+      .drop("f")
+    val a = banded.select(col("band"), col("bkey"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bkey"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard similarity pairs above a threshold.
     * Candidate generation by shared-shingle equi-join (inverted index),
     * then |A∩B| / (|A|+|B|−|A∩B|). The per-shingle join explodes on

@@ -223,6 +223,31 @@ object Text {
           Dedup.simhash(TextFns.tokens(TextFns.normalize(col("text"))), 32)
             .as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // SimHash Hamming near-dup pairs: byte-band the fingerprints,
+    // candidates = any shared band, exact bit_count(xor) rescore.
+    // Integer-only end-to-end → full hash check.
+    Q("q44_simhash_neardup", Text.simhashPairsOracle) { (s, d) =>
+      Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text",
+          bits = 32, bands = 4, maxDist = 3, maxBandFreq = 100)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Typed Aggregator UDAF (SURVEY §2.10): majority vote through the
+    // Dataset/udaf path — per-source dominant language.
+    Q("q56_majority_vote_udaf",
+      """SELECT source, lang AS top_lang FROM (
+        |  SELECT source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, lang) AS rn
+        |  FROM documents GROUP BY source, lang)
+        |WHERE rn = 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val vote = udaf(graft.functions.MajorityVote)
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(vote(col("lang")).as("top_lang"))
+        .orderBy("source")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------
@@ -289,21 +314,50 @@ object Text {
        |WHERE CAST(p.common AS DOUBLE) / (a.n + b.n - p.common) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB twin of Dedup.simhash over 32 bits. */
-  lazy val simhashOracle: String = {
+  /** Shared CTE chain computing the 32-bit SimHash fingerprint per
+    * document — DuckDB twin of Dedup.simhash; used by both the q43
+    * fingerprint dump and the q44 Hamming pairing. */
+  private lazy val simhashFpCtes: String = {
     val bitTerms = (0 until 32).map { b =>
       s"""CASE WHEN coalesce(list_sum(list_transform(hs,
          |  h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
          |  THEN CAST(1 AS BIGINT) << $b ELSE 0 END""".stripMargin.replaceAll("\n", " ")
     }.mkString(" +\n    ")
-    s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $oTok AS toks FROM documents),
        |h AS (
        |  SELECT doc_id,
        |    list_transform(toks,
        |      tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS hs
-       |  FROM t)
-       |SELECT doc_id,
-       |  CAST($bitTerms AS BIGINT) AS simhash
-       |FROM h ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST($bitTerms AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
   }
+
+  /** DuckDB twin of Dedup.simhash over 32 bits. */
+  lazy val simhashOracle: String =
+    s"""WITH $simhashFpCtes
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.simhashHammingPairs(32, 4 bands, ≤3, cap
+    * 100): identical byte-band keys and bit_count(xor) arithmetic. */
+  lazy val simhashPairsOracle: String =
+    s"""WITH $simhashFpCtes,
+       |banded AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+       |  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS bands(band)),
+       |capped AS (
+       |  SELECT doc_id, simhash, band, bkey FROM (
+       |    SELECT doc_id, simhash, band, bkey,
+       |      count(*) OVER (PARTITION BY band, bkey) AS f
+       |    FROM banded)
+       |  WHERE f <= 100),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 }

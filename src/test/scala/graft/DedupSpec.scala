@@ -86,4 +86,17 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) === m(2L))
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
+
+  test("simhashHammingPairs: identical docs pair at distance 0; unrelated docs don't pair") {
+    val docs = Seq(
+      (1L, "spark streams shuffle partitions broadcast"),
+      (2L, "spark streams shuffle partitions broadcast"),
+      (3L, "entirely unrelated words about gardening tulips")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashHammingPairs(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 0L)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
