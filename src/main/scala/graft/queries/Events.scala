@@ -23,12 +23,17 @@ object Events {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
-      // from_json with the fixed {"k": long} schema: parsed once into a
+      // from_json with a fixed {"k": string} schema: parsed once into a
       // codegen-friendly struct, vs get_json_object re-parsing the JSON
-      // string per access (measured ~2-3× cheaper at sf0.1).
+      // string per access (measured ~2-3× cheaper at sf0.1). k is read
+      // as STRING then cast, matching the oracle's lenient
+      // json_extract_string+CAST for non-integral k shapes ({"k":"5"}
+      // would be NULL under a LONG schema in PERMISSIVE mode but 5 in
+      // the oracle).
       Tables.events(s, d)
         .groupBy(from_json(col("props"), new org.apache.spark.sql.types.StructType()
-          .add("k", org.apache.spark.sql.types.LongType)).getField("k").as("k"))
+          .add("k", org.apache.spark.sql.types.StringType)).getField("k")
+          .cast("long").as("k"))
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))

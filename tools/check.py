@@ -8,6 +8,7 @@ matching SQL from oracle_sql.json in DuckDB against the sfDir tables,
 and compares: column names (sorted), row counts, and values (rows
 sorted by all columns; exact match, with float equality to 1e-12 rel).
 """
+import decimal
 import json
 import math
 import sys
@@ -21,12 +22,8 @@ def norm_cell(v):
         return ('t', str(v))
     if isinstance(v, bytes):
         return ('b', v.hex())
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return ('d', str(v))
-    except Exception:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return ('d', str(v))
     return ('x', str(v) if v is not None else None)
 
 def cmp_cell(a, b):
@@ -37,8 +34,13 @@ def cmp_cell(a, b):
     ta, va = norm_cell(a)
     tb, vb = norm_cell(b)
     if ta == 'f' or tb == 'f':
-        # float vs non-numeric is a type mismatch, not a near-equality
-        if not all(isinstance(v, (int, float)) for v in (a, b)):
+        # float vs non-numeric is a type mismatch, not a near-equality;
+        # Decimal IS numeric (a DECIMAL sum vs DOUBLE compares by value)
+        # while bool is not (True must not equal 1.0).
+        def _numeric(v):
+            return (isinstance(v, (int, float, decimal.Decimal))
+                    and not isinstance(v, bool))
+        if not all(_numeric(v) for v in (a, b)):
             return False
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
