@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q41_minhash_lsh,q42_ngram_jaccard).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,10 +28,10 @@ object Bench {
     // number.
     // A query that throws must surface as "err", never as a (fast) time:
     // timing the throw would let a broken query *improve* the total.
-    SparkEntry.queries.values.foreach(fn => try fn(spark, sfDir).count()
+    selected.values.foreach(fn => try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${e.getMessage}") })
     val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

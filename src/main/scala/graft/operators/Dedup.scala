@@ -149,6 +149,38 @@ object Dedup {
     bitVotes.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** SimHash fingerprints via explode + hash aggregate: one
+    * (id, token-hash) stream, `bits` fixed-width LONG sums, the
+    * fingerprint assembled in a projection after the aggregate. Same
+    * derivation as the column-level [[simhash]], but with two scale
+    * properties the higher-order-function form lacks: (a) the hot
+    * per-token path is codegen'd HashAggregate instead of interpreted
+    * `transform`/`aggregate` lambdas, and (b) the aggregate is an
+    * optimizer barrier, so downstream references to `fp` (band keys,
+    * self-join sides) CANNOT re-inline the per-token work —
+    * CollapseProject otherwise duplicates the whole md5 pipeline once
+    * per reference, which measured ~30× on the banded pairing below.
+    * @return (idCol, fp) — one row per input row; empty token lists
+    *   fingerprint to 0 like the column form */
+  def simhashFingerprints(
+      df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val toks = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        explode_outer(TextFns.tokens(TextFns.normalize(col(textCol)))).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__h"))
+    val votes = (0 until bits).map { b =>
+      sum(when(col("__h").isNull, 0L)
+        .when(shiftright(col("__h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits)
+      .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), fp.as("fp"))
+  }
+
   /** SimHash near-dup pairs: band the `bits`-bit fingerprints into
     * `bands` byte-sized keys, candidate = same key in ANY band
     * (pigeonhole: Hamming distance < `bands` guarantees ≥1 identical
@@ -168,9 +200,7 @@ object Dedup {
       maxBandFreq: Int = 100): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
-    val fps = graft.sources.Tables.widen(df).select(
-      col(idCol),
-      simhash(TextFns.tokens(TextFns.normalize(col(textCol))), bits).as("fp"))
+    val fps = simhashFingerprints(df, idCol, textCol, bits)
     val banded = fps.select(
       col(idCol), col("fp"),
       explode(array((0 until bands).map { b =>

@@ -215,13 +215,12 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash document fingerprints (32-bit, md5-derived bit votes).
+    // SimHash document fingerprints (32-bit, md5-derived bit votes)
+    // through the explode+HashAggregate path (codegen'd; the
+    // higher-order-function form is the per-array Column variant).
     Q("q43_simhash", Text.simhashOracle) { (s, d) =>
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          Dedup.simhash(TextFns.tokens(TextFns.normalize(col("text"))), 32)
-            .as("simhash"))
+      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text", 32)
+        .select(col("doc_id"), col("fp").as("simhash"))
         .orderBy("doc_id")
     },
 

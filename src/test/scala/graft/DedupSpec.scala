@@ -87,6 +87,22 @@ class DedupSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
   }
 
+  test("simhashFingerprints (explode+agg) equals the column-level simhash") {
+    val docs = Seq(
+      (1L, "spark streams shuffle partitions broadcast"),
+      (2L, "spark streams shuffle partitions join join join"),
+      (3L, ""),   // empty token list must fingerprint to 0, not vanish
+      (4L, "entirely unrelated words about gardening tulips")
+    ).toDF("doc_id", "text")
+    val viaAgg = Dedup.simhashFingerprints(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select(col("doc_id"),
+        Dedup.simhash(TextFns.tokens(TextFns.normalize(col("text"))), 32).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaCol)
+    assert(viaAgg(3L) === 0L)
+  }
+
   test("simhashHammingPairs: identical docs pair at distance 0; unrelated docs don't pair") {
     val docs = Seq(
       (1L, "spark streams shuffle partitions broadcast"),
