@@ -43,6 +43,27 @@ object Newsmaper {
 
   // ---------------------------------------------------------------- extract
 
+  /** S2 — the per-source feed fetch (/root/reference/dags/Extract.py:10
+    * `requests.get` over the collected sources dim). Distributed form:
+    * `mapPartitions` over the (id, rss) rows with a transport applied
+    * on the executors — fetch scales with the source count instead of
+    * looping on the driver. The transport is injected because the
+    * harness is zero-egress: production passes an HTTP client
+    * (one per partition, reused across its rows); tests pass a fixture
+    * lookup. Fetch failures surface as task failures (the reference
+    * lets `requests.get` raise, Extract.py:10).
+    * @return (id_source, xml) rows — the input shape of
+    *   [[extractFromXml]] */
+  def fetchFeeds(sources: DataFrame, transport: String => String): DataFrame = {
+    val spark = sources.sparkSession
+    import spark.implicits._
+    sources
+      .select(col("id").cast(LongType), col("rss").cast(StringType))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, url) => (id, transport(url)) })
+      .toDF("id_source", "xml")
+  }
+
   /** Parse raw RSS feed XML into articles (S3,
     * /root/reference/dags/Extract.py:11-27). The reference fetches over
     * HTTP per source row; the harness is zero-egress, so feeds arrive

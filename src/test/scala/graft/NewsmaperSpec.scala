@@ -52,6 +52,19 @@ class NewsmaperSpec extends SparkSpec {
   private lazy val dateDim =
     Newsmaper.calendarDim(spark, "2025-08-12 00:00:00", "2025-08-13 00:00:00")
 
+  test("fetchFeeds: injected transport runs per source row; chain into extract (S2)") {
+    val sources = graft.newsmaper.Setup.readSourcesCsv(
+      spark, getClass.getResource("/newsmaper/sources.csv").getPath)
+    val fixture = feedXml // serialized into the transport closure
+    val fetched = Newsmaper.fetchFeeds(sources, url => fixture)
+    assert(fetched.columns.toSeq === Seq("id_source", "xml"))
+    assert(fetched.count() === 3)
+    // full reference chain: sources dim -> fetch -> XML parse
+    val articles = Newsmaper.extractFromXml(fetched)
+    assert(articles.count() === 12) // 4 fixture items x 3 sources
+    assert(articles.select("id_source").distinct().count() === 3)
+  }
+
   test("extractFromXml parses items with media content/enclosure/NULL fallback") {
     val out = Newsmaper.extractFromXml(feeds).orderBy("link")
     assert(out.count() === 4)
