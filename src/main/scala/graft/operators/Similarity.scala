@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
@@ -179,6 +179,70 @@ object Similarity {
       .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Deterministic codebook for [[ivfTopK]]: per-label centroids over
+    * all dims with DECIMAL accumulation (order-independent sums, so the
+    * oracle twin reproduces the exact doubles). A trained k-means
+    * codebook plugs into the same (cell, centroid) shape; labels are
+    * the training-free deterministic stand-in.
+    * @return (cell, centroid ARRAY<DOUBLE>) */
+  def codebookFromLabels(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(20, 10))).cast("double") /
+        count(lit(1))).as("mean_v"))
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+      .select(col(labelCol).as("cell"), expr("transform(pairs, p -> p.mean_v)").as("centroid"))
+
+  /** IVF-style ANN: a bounded codebook of cell centroids partitions the
+    * corpus (each vector assigned to its max-cosine cell); each query
+    * probes only its `nprobe` nearest cells and scores exactly within
+    * them. The standard inverted-file trade: recall bounded by nprobe,
+    * cost bounded by |probed cells| instead of |corpus|.
+    *
+    * At 100 TB: the codebook broadcasts (it is bounded by construction,
+    * like any IVF codebook); assignment is one map over the corpus with
+    * a map-side-combinable `max_by` argmax — the shuffle carries ONE
+    * row per corpus vector (its cell), never the N×C scored pairs, and
+    * the scoring join shuffles on cell with the per-cell lists bounded
+    * by the cell sizes. `cell` must be numeric (the deterministic
+    * tie-break negates it).
+    * @param roundTo assignment and score use the rounded cosine with
+    *   id/cell tie-breaks, so sub-1e-4 float drift cannot change the
+    *   result set (same policy as [[bruteForceTopK]])
+    * @return (query_id, neighbor_id, cosine, rank) — approximate */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      roundTo: Int = 4): DataFrame = {
+    val cb = broadcast(codebook.select(col("cell"), col("centroid")))
+    def cellCos(v: Column) = round(VectorFns.cosine(v, col("centroid")), roundTo)
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .join(cb)
+      .select(col(idCol), col(vecCol), col("cell"), cellCos(col(vecCol)).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cell"), col(vecCol).as("v")),
+        struct(col("__cos"), negate(col("cell")))).as("m"))
+      .select(col("m.cell").as("cell"), col(idCol).as("neighbor_id"), col("m.v").as("cv"))
+    val wProbe = Window.partitionBy(col(idCol))
+      .orderBy(desc("__cos"), asc("cell"))
+    val probes = queries.select(col(idCol), col(vecCol))
+      .join(cb)
+      .select(col(idCol), col(vecCol), col("cell"), cellCos(col(vecCol)).as("__cos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nprobe)
+      .select(col("cell"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Per-label centroids: element-wise mean via posexplode + regroup.

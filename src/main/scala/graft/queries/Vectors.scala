@@ -138,6 +138,20 @@ object Vectors {
         .orderBy("id_a", "id_b")
     },
 
+    // IVF-style ANN: bounded codebook (label centroids as the
+    // deterministic stand-in for a trained one) partitions the corpus;
+    // queries probe nprobe cells. Assignment/scoring on the rounded
+    // cosine → fully deterministic → full hash check, unlike
+    // float-plane LSH (q53).
+    Q("q57_ivf_ann", Vectors.ivfOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb, emb.where(col("vec_id") < 8),
+          Similarity.codebookFromLabels(emb, "label", "embedding"),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // Multimodal: binary payload column + metadata/feature extraction
     // (decode stubbed — container has no codecs; plumbing is real).
     Q("q60_media_features",
@@ -160,6 +174,45 @@ object Vectors {
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
     })
+
+  /** DuckDB twin of Similarity.ivfTopK over the label codebook:
+    * identical DECIMAL-exact centroids, identical rounded-cosine
+    * assignment (max cos, tie → smallest cell) and scoring. */
+  lazy val ivfOracle: String =
+    """WITH centroids AS (
+      |  SELECT label AS cell, list(mean_v ORDER BY dim) AS centroid FROM (
+      |    SELECT label, dim,
+      |      CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mean_v
+      |    FROM (SELECT label, unnest(embedding) AS v,
+      |                 generate_subscripts(embedding, 1) AS dim FROM embeddings)
+      |    GROUP BY label, dim)
+      |  GROUP BY label),
+      |assigned AS (
+      |  SELECT cell, vec_id AS neighbor_id, embedding AS cv FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) DESC,
+      |                 c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT cell, vec_id AS query_id, embedding AS qv FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 4) DESC,
+      |                 c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN centroids c WHERE e.vec_id < 8)
+      |  WHERE rn <= 2),
+      |ranked AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[])), 4) AS cosine,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(a.cv AS DOUBLE[])), 4) DESC,
+      |               a.neighbor_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.neighbor_id)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB twin of Similarity.bandedCosinePairs(0.4, 8 bands × 8
     * bits, cap 200): identical integer band keys from component signs,

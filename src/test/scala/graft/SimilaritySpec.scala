@@ -52,6 +52,32 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.subsetOf(allPairs)) // banded candidates never invent pairs
   }
 
+  test("ivfTopK: probes bound the search; self excluded; ranks dense") {
+    // two labeled clusters around x-axis and z-axis
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.1f, 0.0f, 0.9f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.codebookFromLabels(labeled, "label", "embedding")
+    assert(cb.count() === 2)
+    val out = Similarity.ivfTopK(
+        labeled, labeled.where(col("vec_id") === 1L), cb,
+        "vec_id", "embedding", k = 3, nprobe = 1)
+      .collect()
+    assert(out.forall(_.getLong(0) == 1L))
+    assert(out.forall(r => r.getLong(1) != 1L))
+    // nprobe=1: only the x-cluster cell is probed → neighbor 2 only
+    assert(out.map(_.getLong(1)).toSet === Set(2L))
+    val out2 = Similarity.ivfTopK(
+        labeled, labeled.where(col("vec_id") === 1L), cb,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect()
+    assert(out2.map(_.getLong(1)).toSet === Set(2L, 3L, 4L)) // both cells probed
+    assert(out2.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("centroids computes per-label element-wise means") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)), ("b", Array(10.0f, 20.0f))
