@@ -99,6 +99,23 @@ object TextAnalysis {
     * slice/concat_ws (codegen) rather than a per-row `transform`
     * (interpreted); top-k plans as TakeOrderedAndProject over the
     * partial-aggregated counts. */
+  /** Corpus vocabulary with dense frequency-ranked ids — the
+    * token→id mapping a tokenizer-training / embedding pipeline
+    * consumes. Counting is a distributed map-side-combined aggregate;
+    * only the final rank runs as a single-partition window, which is
+    * bounded by the VOCABULARY size (≪ corpus size — the standard
+    * shape for vocab builds at any scale). Deterministic ordering:
+    * (count desc, token asc).
+    * @return (token, cnt, token_id) with token_id dense from 1 */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.sources.Tables.widen(df)
+      .select(explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("token"))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
+  }
+
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= n)

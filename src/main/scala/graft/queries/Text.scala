@@ -224,6 +224,19 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Corpus vocabulary: frequency-ranked dense token ids (the
+    // tokenizer-training input shape). Distributed count; only the
+    // vocab-sized final rank is single-partition.
+    Q("q37_vocabulary",
+      s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+         |SELECT token, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+         |FROM counts ORDER BY token_id""".stripMargin) { (s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "text")
+        .orderBy("token_id")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.
@@ -231,6 +244,17 @@ object Text {
       Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text",
           bits = 32, bands = 4, maxDist = 3, maxBandFreq = 100)
         .orderBy("id_a", "id_b")
+    },
+
+    // Near-dup clusters: connected components over the q44 pair graph
+    // (min-label propagation vs the oracle's recursive reachability —
+    // different algorithms, same well-defined fixpoint).
+    Q("q45_dedup_clusters", Text.clustersOracle) { (s, d) =>
+      Dedup.connectedComponents(
+          Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text",
+            bits = 32, bands = 4, maxDist = 3, maxBandFreq = 100))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // Typed Aggregator UDAF (SURVEY §2.10): majority vote through the
@@ -338,6 +362,23 @@ object Text {
   lazy val simhashOracle: String =
     s"""WITH $simhashFpCtes
        |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.connectedComponents over the q44 pairs:
+    * recursive reachability closure + min — the declarative fixpoint
+    * the iterative min-label propagation converges to. */
+  lazy val clustersOracle: String =
+    s"""WITH RECURSIVE
+       |pairs AS ($simhashPairsOracle),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.simhashHammingPairs(32, 4 bands, ≤3, cap
     * 100): identical byte-band keys and bit_count(xor) arithmetic. */

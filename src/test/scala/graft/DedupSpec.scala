@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg(3L) === 0L)
   }
 
+  test("connectedComponents: transitive chains collapse to min-id clusters") {
+    // 1-2, 2-3 chain and isolated 7-8 pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents: a 100-node chain converges (pointer jumping, not diameter-bound)") {
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain, maxIter = 12) // needs ~log2(100), not 100
+    assert(out.count() === 100)
+    assert(out.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("simhashHammingPairs: identical docs pair at distance 0; unrelated docs don't pair") {
     val docs = Seq(
       (1L, "spark streams shuffle partitions broadcast"),

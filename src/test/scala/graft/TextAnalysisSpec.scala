@@ -43,4 +43,11 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(grams === Seq(("b a", 2L))) // "b a" occurs twice in doc 1
   }
+
+  test("vocabulary assigns dense ids by (count desc, token asc)") {
+    val docs = Seq((1L, "b a a c b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(docs, "text").orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
 }
