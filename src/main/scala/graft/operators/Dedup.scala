@@ -265,15 +265,18 @@ object Dedup {
       // pointer jump: comp := comp(comp). Labels are node ids, so they
       // resolve against the same labeling; left join because a
       // component root's label (itself) is already final.
+      // the previous label rides along into the checkpoint so the
+      // convergence count runs on materialized data (2 jobs/round:
+      // checkpoint + count) instead of re-joining old vs new (3rd job)
       val next = merged
         .join(
           merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
           col("comp") === col("__jid"), "left")
         .select(col("id"), coalesce(col("__jcomp"), col("comp")).as("comp"))
+        .join(labels.withColumnRenamed("comp", "__old"), Seq("id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .where(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("comp") =!= col("__old")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     edges.unpersist()
