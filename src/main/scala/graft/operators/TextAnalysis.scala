@@ -116,6 +116,27 @@ object TextAnalysis {
         row_number().over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
   }
 
+  /** Deterministic hash-based dataset split — the train/valid/test
+    * assignment a training pipeline runs instead of RNG sampling:
+    * bucket = md5(id) mod 100, thresholds cut the buckets. Properties
+    * RNG sampling lacks: reproducible across runs/engines/partitionings,
+    * stable under corpus growth (a doc never changes split), and
+    * joinable (any table keyed by id lands in the same split). One
+    * map stage, no shuffle.
+    * @param cuts ascending (threshold, name): bucket < t → name; the
+    *   last name takes the remainder */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      cuts: Seq[(Int, String)] = Seq(80 -> "train", 90 -> "valid"),
+      rest: String = "test"): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = cuts.foldRight(lit(rest): Column) { case ((t, name), other) =>
+      when(bucket < t, lit(name)).otherwise(other)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= n)

@@ -237,6 +237,22 @@ object Text {
         .orderBy("token_id")
     },
 
+    // Deterministic hash split: reproducible train/valid/test
+    // assignment (md5 bucket, not RNG — stable across engines, runs,
+    // and corpus growth). Zero shuffle.
+    Q("q38_hash_split",
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.hashSplit(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.

@@ -50,4 +50,19 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
+
+  test("hashSplit: deterministic, total, and respects cut thresholds") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashSplit(docs, "doc_id")
+    val again = TextAnalysis.hashSplit(docs, "doc_id")
+    assert(rows(out) === rows(again)) // reproducible
+    val bydoc = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(bydoc.forall { case (_, b, s) =>
+      (b < 80 && s == "train") || (b >= 80 && b < 90 && s == "valid") || (b >= 90 && s == "test")
+    })
+    val splits = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === 200L)
+    assert(splits("train") > splits.getOrElse("valid", 0L)) // rough proportions hold
+  }
 }
