@@ -298,7 +298,11 @@ object Dedup {
     // with set semantics restored by distinct() — the per-row
     // `transform`+`array_distinct` alternative is interpreted and
     // re-executes on both sides of the pair self-join; distinct()'s
-    // exchange is reused instead.
+    // exchange is reused instead. The join key is the shingle's 60-bit
+    // md5 prefix, not the string: the inverted index then shuffles and
+    // compares fixed 16-byte (id, hash) rows instead of variable-length
+    // text. A 60-bit collision would count one phantom common shingle —
+    // the DuckDB twin hashes identically, so even that matches.
     val inv = graft.sources.Tables.widen(df)
       .select(col(idCol).as("id"),
         TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
@@ -306,7 +310,9 @@ object Dedup {
       .select(col("id"), col("__toks"),
         explode(sequence(lit(1), size(col("__toks")) - (shingleN - 1))).as("__i"))
       .select(col("id"),
-        concat_ws(" ", slice(col("__toks"), col("__i"), lit(shingleN))).as("s"))
+        conv(substring(md5(
+          concat_ws(" ", slice(col("__toks"), col("__i"), lit(shingleN)))), 1, 15), 16, 10)
+          .cast("long").as("s"))
       .distinct()
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // inverted-index frequency cap: ultra-common shingles generate

@@ -328,12 +328,13 @@ object Text {
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** DuckDB twin of Dedup.ngramJaccard(3, 0.5, 100). */
+  /** DuckDB twin of Dedup.ngramJaccard(3, 0.5, 100) — same 60-bit
+    * md5-prefix shingle hashing as the Spark side. */
   lazy val jaccardOracle: String =
     s"""WITH t AS (SELECT doc_id AS id, $oTok AS toks FROM documents),
        |sh AS (
        |  SELECT id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-       |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |           i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
        |  FROM t WHERE len(toks) >= 3),
        |sized AS (SELECT id, CAST(len(sh) AS BIGINT) AS n FROM sh WHERE len(sh) > 0),
        |inv AS (SELECT id, unnest(sh) AS s FROM sh),
