@@ -112,13 +112,17 @@ object Dedup {
       min((col("__h") * a + b) % minhashP).as(s"h$i")
     }
     val sigs = based.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-    // band key = md5 of the concatenated signatures in the band
+    // band key = 60-bit md5 prefix of the concatenated band signatures
+    // (a LONG join key, not the 32-char hex string — fixed-width
+    // shuffle rows and cheaper hash-join compares)
     val banded = sigs.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
         struct(
           lit(b).as("band"),
-          md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as("bkey"))
+          conv(substring(md5(
+            concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)), 1, 15), 16, 10)
+            .cast("long").as("bkey"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
     val capped = banded

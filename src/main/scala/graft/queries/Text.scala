@@ -302,7 +302,7 @@ object Text {
     }.mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
       val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
-      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cols)) AS bkey FROM sigs"
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""WITH sh AS (
        |  SELECT doc_id,
