@@ -271,7 +271,10 @@ object Dedup {
       // component root's label (itself) is already final.
       // the previous label rides along into the checkpoint so the
       // convergence count runs on materialized data (2 jobs/round:
-      // checkpoint + count) instead of re-joining old vs new (3rd job)
+      // checkpoint + count) instead of re-joining old vs new (3rd job).
+      // (A double jump per round was measured SLOWER — the un-
+      // checkpointed `merged` subtree re-evaluates once per reference,
+      // and four references cost more than the rounds saved.)
       val next = merged
         .join(
           merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
