@@ -292,25 +292,19 @@ object Dedup {
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 
-  /** Exact n-gram Jaccard similarity pairs above a threshold.
-    * Candidate generation by shared-shingle equi-join (inverted index),
-    * then |A∩B| / (|A|+|B|−|A∩B|). The per-shingle join explodes on
-    * very frequent shingles — at scale, pair it with a frequency cap
-    * (drop shingles appearing in > f docs) which we apply here too. */
-  def ngramJaccard(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Int = 100): DataFrame = {
-    // Shingle set built by position-explode + slice/concat_ws (codegen)
-    // with set semantics restored by distinct() — the per-row
-    // `transform`+`array_distinct` alternative is interpreted and
-    // re-executes on both sides of the pair self-join; distinct()'s
-    // exchange is reused instead. The join key is the shingle's 60-bit
-    // md5 prefix, not the string: the inverted index then shuffles and
-    // compares fixed 16-byte (id, hash) rows instead of variable-length
-    // text. A 60-bit collision would count one phantom common shingle —
-    // the DuckDB twin hashes identically, so even that matches.
-    val inv = graft.sources.Tables.widen(df)
+  /** Distinct word-shingle hash set per document as (id, s) rows.
+    * Shingles are built by position-explode + slice/concat_ws (codegen)
+    * with set semantics restored by distinct() — the per-row
+    * `transform`+`array_distinct` alternative is interpreted and
+    * re-executes once per downstream reference. The emitted key is the
+    * shingle's 60-bit md5 prefix, not the string: downstream
+    * inverted-index joins shuffle and compare fixed 16-byte (id, hash)
+    * rows instead of variable-length text. A 60-bit collision would
+    * count one phantom common shingle — the DuckDB twins hash
+    * identically, so even that matches. */
+  private def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    graft.sources.Tables.widen(df)
       .select(col(idCol).as("id"),
         TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= shingleN)
@@ -321,6 +315,44 @@ object Dedup {
           concat_ws(" ", slice(col("__toks"), col("__i"), lit(shingleN)))), 1, 15), 16, 10)
           .cast("long").as("s"))
       .distinct()
+
+  /** Train/eval contamination detection: corpus documents sharing at
+    * least `minCommon` distinct `shingleN`-gram shingles with any
+    * benchmark document — the overlap sweep run before training so eval
+    * examples leaking into the training set are caught, not measured.
+    * Same inverted-index machinery as [[ngramJaccard]] but ACROSS two
+    * corpora (no self-join): at scale the benchmark side is small and
+    * its inverted index broadcasts, making this one map-side join over
+    * the corpus shingle stream. The frequency cap drops shingles
+    * ubiquitous in the corpus (boilerplate) that carry no leak signal.
+    * @return (corpus_id, bench_id, common) with common ≥ minCommon */
+  def crossOverlap(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minCommon: Int = 5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val c = shingleHashes(corpus, idCol, textCol, shingleN)
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("f") <= maxShingleFreq)
+      .drop("f")
+      .withColumnRenamed("id", "corpus_id")
+    val b = shingleHashes(benchmark, idCol, textCol, shingleN)
+      .withColumnRenamed("id", "bench_id")
+    c.join(b, Seq("s"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs above a threshold.
+    * Candidate generation by shared-shingle equi-join (inverted index),
+    * then |A∩B| / (|A|+|B|−|A∩B|). The per-shingle join explodes on
+    * very frequent shingles — at scale, pair it with a frequency cap
+    * (drop shingles appearing in > f docs) which we apply here too. */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val inv = shingleHashes(df, idCol, textCol, shingleN)
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // inverted-index frequency cap: ultra-common shingles generate
     // O(f²) pairs and carry no near-dup signal. A count window keyed on

@@ -137,6 +137,36 @@ object TextAnalysis {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** PII patterns for [[redactPii]] — (regex, replacement tag). POSIX
+    * classes only, so the same patterns run verbatim in the DuckDB
+    * oracle. Deliberately compact; a production deployment extends the
+    * list (IBANs, national ids, ...) without touching the operator. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9 ()-]{7,}[0-9]" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** PII redaction — the scrub pass a training corpus gets before any
+    * model sees it: chained regexp_replace (codegen'd, one map stage,
+    * zero shuffle) plus a per-document count of redactions so the
+    * pipeline can quarantine PII-dense documents instead of just
+    * masking them.
+    * @return idCol, redacted text, n_redactions */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    // count = how many tags were inserted (tags cannot pre-exist in
+    // the corpus: the source regexes cannot produce "<EMAIL>"-shaped
+    // matches). The tags contain no regex metacharacters, so the
+    // deletion is a literal match in both engines.
+    val nRedactions = piiPatterns.map { case (_, tag) =>
+      (length(redacted) - length(regexp_replace(redacted, tag, ""))) / tag.length
+    }.reduce(_ + _)
+    df.select(col(idCol), redacted.as("redacted"),
+      nRedactions.cast("long").as("n_redactions"))
+  }
+
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= n)

@@ -253,6 +253,25 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // PII redaction: chained literal-safe regex scrub + per-doc
+    // redaction count (quarantine signal). One map stage, no shuffle.
+    Q("q39_pii_redact", Text.piiOracle) { (s, d) =>
+      TextAnalysis.redactPii(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Train/eval contamination: corpus docs sharing ≥5 trigram
+    // shingles with the src0 "benchmark" slice (inverted-index
+    // cross-join; benchmark side broadcastable at scale).
+    Q("q46_contamination", Text.contaminationOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossOverlap(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", shingleN = 3, minCommon = 5, maxShingleFreq = 100)
+        .orderBy("corpus_id", "bench_id")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.
@@ -353,6 +372,42 @@ object Text {
        |JOIN sized b ON p.id_b = b.id
        |WHERE CAST(p.common AS DOUBLE) / (a.n + b.n - p.common) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.redactPii — same pattern list (RE2
+    * and Java regex agree on these POSIX-class patterns), 'g' flag for
+    * Spark's replace-all default, literal replace() for tag counting. */
+  lazy val piiOracle: String = {
+    val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (c, (re, tag)) => s"regexp_replace($c, '$re', '$tag', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns.map { case (_, tag) =>
+      s"(length(red) - length(replace(red, '$tag', ''))) / ${tag.length}"
+    }.mkString(" + ")
+    s"""SELECT doc_id, red AS redacted,
+       |  CAST($counts AS BIGINT) AS n_redactions
+       |FROM (SELECT doc_id, $redacted AS red FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.crossOverlap(src≠src0 vs src0, 3-grams,
+    * ≥5 common, cap 100) — same 60-bit shingle hashing as q42. */
+  lazy val contaminationOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, $oTok AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |cinv AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'),
+       |ccapped AS (
+       |  SELECT corpus_id, s FROM (
+       |    SELECT corpus_id, s, count(*) OVER (PARTITION BY s) AS f FROM cinv)
+       |  WHERE f <= 100),
+       |binv AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh WHERE source = 'src0')
+       |SELECT c.corpus_id, b.bench_id, count(*) AS common
+       |FROM ccapped c JOIN binv b ON c.s = b.s
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY corpus_id, bench_id""".stripMargin
 
   /** Shared CTE chain computing the 32-bit SimHash fingerprint per
     * document — DuckDB twin of Dedup.simhash; used by both the q43

@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg(3L) === 0L)
   }
 
+  test("crossOverlap finds corpus docs sharing enough shingles with the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),  // copies bench 1
+      (11L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossOverlap(corpus, bench, "doc_id", "text",
+        shingleN = 3, minCommon = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 1L, 6L))) // 8 tokens -> 6 trigrams, all shared
+  }
+
   test("connectedComponents: transitive chains collapse to min-id clusters") {
     // 1-2, 2-3 chain and isolated 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")

@@ -38,9 +38,10 @@ object ExplainCheck {
       // Expected nested loops: q07 (intentional cross join), q54 (the
       // all-pairs small-N baseline), q50/q51 (brute-force top-k IS a
       // corpus × broadcast-query-set scoring pass — the nested loop
-      // over a bounded broadcast side is the intended physical op).
+      // over a bounded broadcast side is the intended physical op),
+      // q57 (corpus × broadcast codebook assignment, same rationale).
       val byDesign = Set("q07_cross_join", "q54_cosine_neardup",
-        "q50_cosine_topk", "q51_knn_label_vote")
+        "q50_cosine_topk", "q51_knn_label_vote", "q57_ivf_ann")
       val flag = if (bnlj > 0 && !byDesign(name)) " <-- NESTED LOOP" else ""
       println(s"== $name: exchanges=$exchanges reused=$reused nestedloop=$bnlj$flag")
       if (dump(name)) plan.linesIterator.filter(l =>

@@ -51,6 +51,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
 
+  test("redactPii masks emails/phones/IPs and counts insertions") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 (555) 123-4567 now"),
+      (2L, "server at 10.0.0.1 and admin@test.org"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === "contact me at <EMAIL> or <PHONE> now")
+    assert(out(1L)._2 === 2L)
+    assert(out(2L)._1 === "server at <IP> and <EMAIL>")
+    assert(out(2L)._2 === 2L)
+    assert(out(3L) === ("nothing sensitive here", 0L))
+  }
+
   test("hashSplit: deterministic, total, and respects cut thresholds") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
