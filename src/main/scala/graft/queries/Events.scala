@@ -54,6 +54,25 @@ object Events {
         .orderBy("hour_start", "event_type")
     },
 
+    // Sliding hour window with 15-minute slide — the batch twin of
+    // streaming slidingAgg: each event lands in dur/slide = 4
+    // overlapping windows. The oracle reconstructs Spark's
+    // epoch-aligned window grid by exploding 4 slide offsets per event.
+    Q("q47_sliding_window",
+      """SELECT ws AS window_start, event_type, count(*) AS n
+        |FROM (
+        |  SELECT e.event_type,
+        |    make_timestamp((CAST(floor(epoch(e.ts) / 900) AS BIGINT) * 900 - k.k * 900) * 1000000) AS ws
+        |  FROM events e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
     // Gap-based sessionization (30-minute timeout). Gap test uses exact
     // integer-microsecond interval arithmetic — no float drift between
     // engines.
