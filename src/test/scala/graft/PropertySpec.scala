@@ -54,6 +54,32 @@ class PropertySpec extends SparkSpec {
     assert(anti.count() + semi.count() === incoming.count())
   }
 
+  test("hashSplit is total and stable: every row gets exactly one split, same on rerun") {
+    val docs = samples(Gen.choose(0L, 100000L), 300).distinct.map(i => (i, s"d$i"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.hashSplit(docs, "doc_id")
+    assert(out.where(col("split").isNull).count() === 0)
+    assert(out.where(!col("split").isin("train", "valid", "test")).count() === 0)
+    assert(out.where(col("bucket") < 0 || col("bucket") > 99).count() === 0)
+    assert(rows(out) === rows(graft.operators.TextAnalysis.hashSplit(docs, "doc_id")))
+  }
+
+  test("minhash signatures are invariant under duplicate shingles (doc repetition)") {
+    // duplicating a document's text cannot change its minhash bands:
+    // min over a multiset equals min over its set
+    val docs = samples(textGen.suchThat(_.length > 10), 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val once = docs.toDF("doc_id", "text")
+    val doubled = docs.map { case (i, t) => (i, t + " " + t) }.toDF("doc_id", "text")
+    // identical docs always land in the same bands as themselves →
+    // pair (i, i+1000) for every doc duplicated under a shifted id
+    val both = once.union(docs.map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(both, "doc_id", "text")
+      .where(col("id_b") === col("id_a") + 1000L)
+    assert(pairs.count() === docs.length.toLong)
+    assert(pairs.where(col("n_common_bands") =!= 4).count() === 0)
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
