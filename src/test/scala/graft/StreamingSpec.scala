@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("runWindowedPipeline: file stream -> checkpointed parquet sink, emits finalized windows") {
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-stream-chk").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(src)
+    val q = Streams.runWindowedPipeline(spark, src, out, chk)
+    assert(q.awaitTermination(120000)) // AvailableNow terminates when caught up
+    val emitted = spark.read.parquet(out)
+    assert(emitted.count() > 0)
+    // Append mode emits only watermark-finalized windows -> emitted rows
+    // must be a subset of the batch computation with identical values
+    val batch = Streams.tumblingAgg(events) // watermark is a no-op in batch
+    assert(emitted.except(batch).count() === 0)
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
