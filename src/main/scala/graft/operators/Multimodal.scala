@@ -69,6 +69,68 @@ object Multimodal {
       (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("int") % 1024 + 64).as("width"),
       (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("int") % 1024 + 64).as("height"))
 
+  /** STUB resize: a real implementation re-encodes via the codec. The
+    * stub derives a deterministic payload of plausible size (scaled by
+    * target/source pixel ratio) so byte-accounting and downstream
+    * dedup-on-resized-hash are exercised. */
+  def stubResize(payload: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
+    // ??? <- real codec re-encode goes here
+    val ratio = (dstW.toLong * dstH).toDouble / (srcW.toLong * srcH)
+    val n = Math.max(16, (payload.length * ratio).toInt)
+    java.util.Arrays.copyOf(payload, n)
+  }
+
+  /** Batched partition-local resize — one codec context per partition,
+    * payloads streamed through it; the output keeps BINARY payloads
+    * partition-local (no shuffle touches media bytes).
+    * @return (media_id, mime, width, height, payload) at target dims */
+  def resizePartitioned(
+      media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.mapPartitions { rows =>
+      // per-partition codec context opens here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h) = stubDecode(payload)
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+          dstW, dstH, stubResize(payload, w, h, dstW, dstH))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video-shaped payloads: the stub derives a
+    * deterministic frame count from the payload, then every `everyNth`
+    * frame (up to `maxFrames`) is emitted as its own row — the
+    * one-row→N-rows explode shape a real extractor uses, with frame
+    * payloads cut partition-local from the source bytes.
+    * @return (media_id, frame_idx, frame_md5, frame_bytes) */
+  def frameSample(
+      media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_idx", IntegerType),
+      StructField("frame_md5", StringType), StructField("frame_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        // ??? <- real demuxer frame count; stub: one "frame" per 32 bytes
+        val nFrames = Math.max(1, payload.length / 32)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until nFrames by everyNth).take(maxFrames).map { i =>
+          val from = Math.min(i * 32, payload.length)
+          val until = Math.min(from + 32, payload.length)
+          val frame = java.util.Arrays.copyOfRange(payload, from, until)
+          Row(r.getAs[Long]("media_id"), i,
+            md.digest(frame).map("%02x".format(_)).mkString, frame.length.toLong)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched partition-local decode using the typed stub — the real
     * `mapPartitions` shape a codec integration uses (one codec context
     * per partition, rows streamed through it). */

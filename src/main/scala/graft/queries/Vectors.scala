@@ -173,6 +173,22 @@ object Vectors {
       Multimodal.decodePartitioned(s,
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
+    },
+
+    // Partition-local resize (stubbed codec, real byte plumbing).
+    Q.noOracle("q62_media_resize") { (s, d) =>
+      Multimodal.resizePartitioned(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
+          dstW = 256, dstH = 256)
+        .orderBy("media_id")
+    },
+
+    // Frame sampling: one media row explodes into ≤8 sampled frames.
+    Q.noOracle("q63_frame_sample") { (s, d) =>
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
+          everyNth = 10, maxFrames = 8)
+        .orderBy("media_id", "frame_idx")
     })
 
   /** DuckDB twin of Similarity.ivfTopK over the label codebook:

@@ -37,4 +37,27 @@ class MultimodalSpec extends SparkSpec {
       spark, Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
     assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
+
+  test("resizePartitioned keeps ids and emits target dimensions with plausible bytes") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((1L, "some document text that is long enough to matter"),
+          (2L, "x")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.resizePartitioned(media, 256, 256).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)), r.getAs[Array[Byte]]("payload").length)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out.values.forall(_._1 == (256, 256)))
+    assert(out.values.forall(_._2 >= 16)) // stub floor
+  }
+
+  test("frameSample explodes each media row into capped, deterministic frames") {
+    val media = Multimodal.mediaFromDocuments(
+      Seq((1L, "word " * 200), (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.frameSample(media, everyNth = 10, maxFrames = 8).collect()
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId(1L).length === 4) // 1000 bytes -> 31 frames -> idx 0,10,20,30
+    assert(byId(2L).length === 1) // tiny payload -> single frame
+    assert(byId(1L).map(_.getInt(1)).sorted.toSeq === Seq(0, 10, 20, 30))
+    val again = Multimodal.frameSample(media, everyNth = 10, maxFrames = 8).collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
 }
