@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Bucketing, Tables}
+
+/** Bucketed co-located join: both sides hash-bucketed on the join key
+  * into the same bucket count → the join plans with NO Exchange. */
+class BucketingSpec extends SparkSpec {
+
+  test("matching bucketed tables join without any shuffle exchange") {
+    val d = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bucketing.writeBucketed(Tables.orders(spark, d), "b_orders", "o_orderkey", 4)
+      Bucketing.writeBucketed(Tables.lineitem(spark, d), "b_lineitem", "l_orderkey", 4)
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about a broadcast hiding the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the aggregation on o_orderstatus (a different key) still
+      // shuffles; the JOIN subtree must not — both inputs arrive
+      // bucket-aligned from the scans
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join sides must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
