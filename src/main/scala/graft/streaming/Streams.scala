@@ -179,6 +179,35 @@ object Streams {
       }
   }
 
+  /** Dedup-append sink via foreachBatch — the incremental form of the
+    * reference's load (/root/reference/dags/Load.py:21-28): each
+    * micro-batch anti-joins on the natural key against the CURRENT
+    * on-disk base and appends only unseen rows. Combined with the
+    * checkpoint, a restarted query reprocessing a batch appends
+    * nothing (the base already holds those keys) — effectively-once
+    * without rescanning the base on a schedule like the reference
+    * does. State lives in the base table itself, so unlike
+    * `dropDuplicatesWithinWatermark` the key horizon is unbounded.
+    * @return the started query; caller manages lifecycle */
+  def dedupAppendSink(
+      incoming: DataFrame, keys: Seq[String], path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+          else batch.limit(0)
+        graft.operators.Dedup.newRows(batch, existing, keys)
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
   /** End-to-end incremental pipeline: stream → windowed agg → parquet
     * sink with checkpointing (exactly-once file sink). Returns the
     * started query; caller manages lifecycle. */

@@ -105,6 +105,27 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.except(batch).count() === 0)
   }
 
+  test("dedupAppendSink: overlapping micro-batches append each key once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-base").toString + "/news.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-chk").toString
+    val input = MemoryStream[Event](spark)
+    val query = Streams.dedupAppendSink(input.toDF(), Seq("event_id"), base, chk)
+    try {
+      input.addData(
+        Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+      query.processAllAvailable()
+      // second batch overlaps the first on event_id 2
+      input.addData(
+        Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0),
+        Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 3.0))
+      query.processAllAvailable()
+      val out = spark.read.parquet(base)
+      assert(out.count() === 3)
+      assert(out.select("event_id").distinct().count() === 3)
+    } finally query.stop()
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
