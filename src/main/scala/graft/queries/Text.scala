@@ -237,6 +237,14 @@ object Text {
         .orderBy("token_id")
     },
 
+    // Top unigram tokens — corpus token frequency head.
+    Q("q48_top_tokens",
+      s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM toks GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 25""".stripMargin) { (s, d) =>
+      TextAnalysis.topTokens(Tables.documents(s, d), "text", 25)
+    },
+
     // Deterministic hash split: reproducible train/valid/test
     // assignment (md5 bucket, not RNG — stable across engines, runs,
     // and corpus growth). Zero shuffle.
