@@ -95,10 +95,34 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
 
-  /** Word n-gram frequency: top-k n-grams. Position-explode +
-    * slice/concat_ws (codegen) rather than a per-row `transform`
-    * (interpreted); top-k plans as TakeOrderedAndProject over the
-    * partial-aggregated counts. */
+  /** Repetition ratio: the share of a document's n-grams taken by its
+    * single most-repeated n-gram — high values flag boilerplate, spam,
+    * and degenerate generations. Ratio uses the repo's exact
+    * integer half-up rounding (engine-portable, see [[quality]]).
+    * @return (idCol, max_ngram_cnt, n_ngrams, repetition_ratio) */
+  def repetitionRatio(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))).as("g"))
+    val stats = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("max_ngram_cnt"), sum(col("c")).as("n_ngrams"))
+      .withColumn("repetition_ratio",
+        floor((col("max_ngram_cnt") * 20000 + col("n_ngrams")) /
+          (col("n_ngrams") * 2)) / 10000.0)
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("max_ngram_cnt"), lit(0L)).as("max_ngram_cnt"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("repetition_ratio"), lit(0.0)).as("repetition_ratio"))
+  }
+
   /** Corpus vocabulary with dense frequency-ranked ids — the
     * token→id mapping a tokenizer-training / embedding pipeline
     * consumes. Counting is a distributed map-side-combined aggregate;
@@ -167,6 +191,10 @@ object TextAnalysis {
       nRedactions.cast("long").as("n_redactions"))
   }
 
+  /** Word n-gram frequency: top-k n-grams. Position-explode +
+    * slice/concat_ws (codegen) rather than a per-row `transform`
+    * (interpreted); top-k plans as TakeOrderedAndProject over the
+    * partial-aggregated counts. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     df.select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
       .where(size(col("__toks")) >= n)

@@ -237,6 +237,28 @@ object Text {
         .orderBy("token_id")
     },
 
+    // Repetition ratio: share of a doc's trigrams taken by its most
+    // repeated trigram — boilerplate/spam/degenerate-generation signal.
+    Q("q49_repetition",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_ngram_cnt,
+         |             CAST(sum(c) AS BIGINT) AS n_ngrams FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(s.max_ngram_cnt, 0) AS max_ngram_cnt,
+         |  coalesce(s.n_ngrams, 0) AS n_ngrams,
+         |  coalesce(floor((s.max_ngram_cnt * 20000 + s.n_ngrams) / (s.n_ngrams * 2)) / 10000.0, 0.0)
+         |    AS repetition_ratio
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
     // Top unigram tokens — corpus token frequency head.
     Q("q48_top_tokens",
       s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents)

@@ -66,6 +66,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ("nothing sensitive here", 0L))
   }
 
+  test("repetitionRatio flags repeated-trigram documents; short docs get 0") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 4 trigrams, all identical
+      (2L, "a fresh set of distinct words"),  // 4 trigrams, all unique
+      (3L, "too short")                       // < 3 tokens -> no ngrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((1L, 4L, 0.25)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("hashSplit: deterministic, total, and respects cut thresholds") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
