@@ -179,6 +179,15 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: join the unbounded stream with a
+    * static dimension — the incremental form of the reference's
+    * per-run dim lookups (/root/reference/dags/Transform.py:36-47).
+    * The static side is planned per micro-batch (so a refreshed dim
+    * table is picked up) and broadcast to the stream side; no stream
+    * state is kept. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** Dedup-append sink via foreachBatch — the incremental form of the
     * reference's load (/root/reference/dags/Load.py:21-28): each
     * micro-batch anti-joins on the natural key against the CURRENT

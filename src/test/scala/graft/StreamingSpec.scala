@@ -105,6 +105,22 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.except(batch).count() === 0)
   }
 
+  test("enrich joins the stream with a broadcast static dim per micro-batch") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event](spark)
+    val query = Streams.enrich(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(sampleEvents)
+      query.processAllAvailable()
+      val out = spark.table("enrich_out").select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out === Map(1L -> "gold", 2L -> "gold", 3L -> "gold",
+        4L -> "basic", 5L -> "basic"))
+    } finally query.stop()
+  }
+
   test("dedupAppendSink: overlapping micro-batches append each key once") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink-base").toString + "/news.parquet"
     val chk = java.nio.file.Files.createTempDirectory("graft-sink-chk").toString
