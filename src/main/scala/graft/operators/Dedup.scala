@@ -255,8 +255,11 @@ object Dedup {
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(self, min neighbor) — equivalent to having run one
+    // neighbor-propagation round, so the loop starts a round ahead
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
