@@ -123,6 +123,27 @@ object TextAnalysis {
         coalesce(col("repetition_ratio"), lit(0.0)).as("repetition_ratio"))
   }
 
+  /** Weighted corpus mixing: deterministically subsample each source
+    * at its own rate — how a training mix is composed ("keep 100% of
+    * wiki, 30% of crawl"). Reuses the md5-bucket mechanism of
+    * [[hashSplit]], so the kept set is reproducible, stable under
+    * corpus growth, and independent of partitioning; the weights
+    * table is broadcast. Sources absent from `weights` default to
+    * keep-everything (weight 100).
+    * @param weights (source, pct) rows, pct in [0,100]
+    * @return input rows whose md5(id) bucket < their source's pct */
+  def mixCorpus(
+      df: DataFrame, idCol: String, sourceCol: String,
+      weights: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val w = broadcast(weights.select(
+      col("source").as("__wsrc"), col("pct").as("__wpct")))
+    df.join(w, df(sourceCol) === col("__wsrc"), "left")
+      .where(bucket < coalesce(col("__wpct"), lit(100L)))
+      .drop("__wsrc", "__wpct")
+  }
+
   /** Corpus vocabulary with dense frequency-ranked ids — the
     * token→id mapping a tokenizer-training / embedding pipeline
     * consumes. Counting is a distributed map-side-combined aggregate;

@@ -259,6 +259,23 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Weighted corpus mixing: per-source deterministic sampling rates
+    // (the training-mix composition step). md5-bucket mechanism →
+    // reproducible and oracle-exact.
+    Q("q58_corpus_mix",
+      """WITH w(source, pct) AS (VALUES ('src0', 100), ('src1', 50), ('src2', 25))
+        |SELECT d.doc_id, d.source FROM documents d
+        |LEFT JOIN w ON d.source = w.source
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |      < coalesce(w.pct, 100)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val weights = Seq(("src0", 100L), ("src1", 50L), ("src2", 25L)).toDF("source", "pct")
+      TextAnalysis.mixCorpus(Tables.documents(s, d), "doc_id", "source", weights)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Top unigram tokens — corpus token frequency head.
     Q("q48_top_tokens",
       s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents)

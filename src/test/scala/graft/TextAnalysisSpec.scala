@@ -79,6 +79,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("mixCorpus samples each source at its weight; unknown sources kept fully") {
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}", s"d$i")).toDF("doc_id", "source", "text")
+    val weights = Seq(("s0", 100L), ("s1", 0L)).toDF("source", "pct")
+    val out = TextAnalysis.mixCorpus(docs, "doc_id", "source", weights)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") === 100L)          // weight 100 -> all kept
+    assert(!bySrc.contains("s1"))         // weight 0 -> none kept
+    assert(bySrc("s2") === 100L)          // absent from weights -> all kept
+    assert(rows(out) === rows(TextAnalysis.mixCorpus(docs, "doc_id", "source", weights)))
+  }
+
   test("hashSplit: deterministic, total, and respects cut thresholds") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
