@@ -169,7 +169,7 @@ object Newsmaper {
     // \u0001 (cannot appear in feed text), so field-boundary shifts
     // like (id=1, title="2x") vs (id=12, title="x") cannot collide.
     val withKey = articles.withColumn(
-      "__doc", md5(concat_ws("", col("id_source"), col("title"),
+      "__doc", md5(concat_ws("\u0001", col("id_source"), col("title"),
         col("link"), col("description"))))
     val dict = references.select(
       explode(col("words")).as("word"),
@@ -226,17 +226,27 @@ object Newsmaper {
     * the new rows, return how many were appended. Parquet file listing
     * snapshots at read time, so the anti-join scan never sees the files
     * the append writes. Calling this twice with the same batch appends
-    * zero the second time (`load ∘ load ≡ load`). */
+    * zero the second time (`load ∘ load ≡ load`). The batch is also
+    * deduplicated WITHIN itself on the natural key (the reference
+    * appends intra-batch duplicates, Load.py:21-28 — here "each key
+    * once" holds for the batch too; the kept row per duplicated key is
+    * arbitrary, like the reference's insert order). The appended count
+    * is taken by caching and counting the fresh set — O(batch), not a
+    * rescan of the whole base. */
   def loadTo(incoming: DataFrame, path: String): Long = {
     val spark = incoming.sparkSession
+    val keys = Seq("id_source", "id_date", "title")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val existing =
       if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
       else incoming.limit(0)
-    val fresh = load(incoming, existing)
-    append(fresh, path)
-    spark.read.parquet(path).count() - existing.count()
+    val fresh = load(incoming.dropDuplicates(keys), existing).persist()
+    try {
+      val appended = fresh.count()
+      append(fresh, path)
+      appended
+    } finally { fresh.unpersist(); () }
   }
 
   /** O2 — dedup-repair maintenance (/root/reference/dags/Main.py:28-47):
@@ -249,7 +259,14 @@ object Newsmaper {
     * (/root/reference/dags/Main.py:44-47) as a retained-rows overwrite:
     * parquet has no row DELETE, so the kept set is written to a staging
     * dir and swapped in (writing in place would race the scan that
-    * computes the kept set). On a lakehouse table this is MERGE/DELETE. */
+    * computes the kept set). On a lakehouse table this is MERGE/DELETE.
+    *
+    * The swap keeps the old table as `path + ".bak"` until the new one
+    * is live, so no crash point loses data: a crash between the two
+    * renames leaves `path` momentarily absent but both `.bak` (old) and
+    * `.staging` (new) intact — recovery is renaming either back. A
+    * filesystem with atomic dir-swap (or a lakehouse MERGE) closes even
+    * that visibility window. */
   def overwriteRetained(retained: DataFrame, path: String): Unit = {
     val spark = retained.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -257,9 +274,14 @@ object Newsmaper {
     retained.write.mode("overwrite").parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"backup rename $path -> $bak failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
       throw new java.io.IOException(s"rename $staging -> $path failed")
+    fs.delete(bak, true)
+    ()
   }
 
   /** O1 — the full extract→transform plan (one Catalyst plan; the

@@ -168,6 +168,10 @@ object Dedup {
     *   fingerprint to 0 like the column form */
   def simhashFingerprints(
       df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    // the base hash is the first 8 md5-hex nibbles = 32 bits; above that
+    // every token "votes -1" on the high bits and they silently come out
+    // 0, skewing fingerprints and Hamming distances
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
     val toks = graft.sources.Tables.widen(df)
       .select(col(idCol),
         explode_outer(TextFns.tokens(TextFns.normalize(col(textCol)))).as("__tok"))
@@ -203,6 +207,10 @@ object Dedup {
       bits: Int = 32, bands: Int = 4, maxDist: Int = 3,
       maxBandFreq: Int = 100): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    // pigeonhole only guarantees a shared band for hamming < bands;
+    // maxDist >= bands would silently lose recall
+    require(maxDist < bands, s"maxDist ($maxDist) must be < bands ($bands)")
     val width = bits / bands
     val fps = simhashFingerprints(df, idCol, textCol, bits)
     val banded = fps.select(
@@ -340,7 +348,10 @@ object Dedup {
       .withColumnRenamed("id", "corpus_id")
     val b = shingleHashes(benchmark, idCol, textCol, shingleN)
       .withColumnRenamed("id", "bench_id")
-    c.join(b, Seq("s"))
+    // the benchmark side is an eval set — bounded by definition — so its
+    // inverted index broadcasts and the join is map-side over the corpus
+    // shingle stream (no shuffle of the corpus side)
+    c.join(broadcast(b), Seq("s"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("common"))
       .where(col("common") >= minCommon)

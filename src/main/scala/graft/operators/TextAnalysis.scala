@@ -68,23 +68,24 @@ object TextAnalysis {
     * list matches. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
+    // tie-break: the struct sorts desc on (hits, -langIdx), and langIdx
+    // follows lang-name asc order, so -langIdx desc == lang asc — the
+    // SAME tie order as the explode+argmax form the query layer uses
+    // (hits desc, lang asc). The lang string rides in third position for
+    // output only; with distinct indices the sort never reaches it.
+    val scores = stopwords.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, words), i) =>
+        struct(
+          size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+          lit(-i).as("nlang"),
+          lit(lang).as("lang"))
     }
-    // argmax by (hits desc, lang asc): array_max on (hits, negated-lang)
-    // is awkward — sort the struct array and take the winner instead.
     val best = sort_array(array(scores: _*), asc = false).getItem(0)
     df.select(
       col(idCol),
       when(best.getField("hits") > 0, best.getField("lang"))
         .otherwise(lit("und")).as("pred_lang"))
   }
-  // NOTE: sort_array desc on struct(hits, lang) orders by hits desc then
-  // lang desc — for a deterministic *asc* lang tie-break the query layer
-  // uses the explode+argmax form (same as Classify). This fast
-  // array-local form is kept for the common no-tie case.
 
   /** Token frequency: top-k tokens with counts — the basic corpus
     * statistic (vocab head). */

@@ -197,6 +197,10 @@ object Streams {
     * without rescanning the base on a schedule like the reference
     * does. State lives in the base table itself, so unlike
     * `dropDuplicatesWithinWatermark` the key horizon is unbounded.
+    * Each micro-batch is also deduplicated WITHIN itself, so "each key
+    * appears once in the base" holds even when one batch carries the
+    * same natural key twice (the kept row per duplicated key is
+    * arbitrary, matching the at-least-once source contract).
     * @return the started query; caller manages lifecycle */
   def dedupAppendSink(
       incoming: DataFrame, keys: Seq[String], path: String,
@@ -211,7 +215,7 @@ object Streams {
         val existing =
           if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
           else batch.limit(0)
-        graft.operators.Dedup.newRows(batch, existing, keys)
+        graft.operators.Dedup.newRows(batch.dropDuplicates(keys), existing, keys)
           .write.mode("append").parquet(path)
         ()
       }

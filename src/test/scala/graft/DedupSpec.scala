@@ -144,4 +144,15 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === 0L)
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("simhash guards: bits capped at the 32-bit base hash; maxDist < bands (pigeonhole)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashFingerprints(docs, "doc_id", "text", bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      // hamming < bands is the recall guarantee; maxDist = bands would silently lose pairs
+      Dedup.simhashHammingPairs(docs, "doc_id", "text", bits = 32, bands = 4, maxDist = 4)
+    }
+  }
 }

@@ -62,6 +62,17 @@ class SetupSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 3)
   }
 
+  test("loadTo dedups within one batch: a key arriving twice appends once") {
+    val path = Files.createTempDirectory("graft-load-intra").toString + "/news.parquet"
+    val batch = Seq(
+      (44L, 1L, 12L, "t1", "l1", "d1", null.asInstanceOf[String]),
+      (45L, 1L, 12L, "t1", "l1b", "d1b", null.asInstanceOf[String]), // same natural key
+      (1L, 1L, 14L, "t2", "l2", "d2", null.asInstanceOf[String])
+    ).toDF("id_country", "id_source", "id_date", "title", "link", "description", "media")
+    assert(Newsmaper.loadTo(batch, path) === 2L) // 2 distinct keys, not 3 rows
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
   test("overwriteRetained swaps the repaired fact on disk (K3, Main.py:44-47)") {
     val path = Files.createTempDirectory("graft-repair").toString + "/news.parquet"
     Seq(

@@ -34,6 +34,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(out) === Set(Seq(1L, "en"), Seq(2L, "fr"), Seq(3L, "und")))
   }
 
+  test("languageId ties break by lang asc (same order as the explode+argmax form)") {
+    // "la" and "de" are in BOTH the fr and es stopword lists → 2-2 tie;
+    // lang asc picks "es". (The pre-fix sort_array form picked "fr".)
+    val docs = Seq((1L, "la de xyz")).toDF("doc_id", "text")
+    assert(rows(TextAnalysis.languageId(docs, "doc_id", "text")) === Set(Seq(1L, "es")))
+  }
+
   test("topTokens and topNgrams rank by count then token") {
     val docs = Seq((1L, "b a a c b a"), (2L, "b c")).toDF("doc_id", "text")
     val toks = TextAnalysis.topTokens(docs, "text", 2).collect()
