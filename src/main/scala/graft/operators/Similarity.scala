@@ -51,62 +51,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-0.5, 0.5). Deterministic so results are
-    * reproducible across runs and engines. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  /** Deterministic pseudo-random dimension pick for hyperplane `plane`:
+    * md5-derived index in [0, dims). Public because the DuckDB oracle
+    * twin is GENERATED from the same picks (graft.queries.Vectors) —
+    * freezing the selection here keeps both sides in lockstep. */
+  def planeDim(plane: Int, dims: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane$plane-dim$dim".getBytes("UTF-8"))
+      .digest(s"plane$plane".getBytes("UTF-8"))
       .take(7).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex, 16).toDouble / Math.pow(16, 14)) - 0.5
+    Math.floorMod(java.lang.Long.parseLong(hex, 16), dims.toLong).toInt
   }
 
-  /** Random-hyperplane LSH with OR-amplification: `bands` independent
-    * sign-pattern keys of `planesPerBand` hyperplanes each. A vector
-    * pair is a candidate if it collides in ANY band (union), which
-    * recovers the recall a single AND-only pattern of b·r planes throws
-    * away, while each band still bounds its candidate join by bucket.
-    * Hot buckets (skew) are dropped by `maxBucketFreq` — the count
-    * window partitions on the same (band, bucket) key the self-join
+  /** Sign-plane LSH ANN with OR-amplification: `bands` independent
+    * integer keys, each packing the sign bits of `planesPerBand`
+    * axis-aligned hyperplanes on md5-chosen dimensions ([[planeDim]]).
+    * A vector pair is a candidate if it collides in ANY band (union),
+    * which recovers the recall a single AND-only pattern of b·r planes
+    * throws away, while each band still bounds its candidate join by
+    * bucket. Hot buckets (skew) are dropped by `maxBucketFreq` — the
+    * count window partitions on the same (band, bkey) key the self-join
     * shuffles on, so the cap rides the join's own exchange. Candidates
     * are distinct-ed on the id pair before the exact rescore so a pair
     * colliding in several bands is scored once.
     *
-    * The planes are literals folded into codegen (no join for the
-    * planes).
+    * Axis-aligned planes (sign tests on stored components) instead of
+    * random float hyperplanes make candidate generation INTEGER-ONLY:
+    * zero float arithmetic before the rescore, so the candidate set —
+    * and with the rounded rescore, the whole result — is bit-exactly
+    * reproducible in the DuckDB oracle. Same scheme as
+    * [[bandedCosinePairs]] but with pseudo-random (not consecutive)
+    * dimension picks and per-query top-k output (ANN search, not pair
+    * mining). Classic Charikar random-projection LSH trades this
+    * reproducibility for rotation-invariance; for normalized embedding
+    * corpora the axis-sign family has equivalent collision behavior.
     * @return (query_id, neighbor_id, cosine, rank) — approximate */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       dims: Int, planesPerBand: Int, k: Int,
-      bands: Int = 4, maxBucketFreq: Int = 200): DataFrame = {
+      bands: Int = 4, maxBucketFreq: Int = 200, roundTo: Int = 4): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
-      val sig = (0 until planesPerBand).map { r =>
-        val p = b * planesPerBand + r
-        // plane as one array literal + native dot — a flat 2·dims-node
-        // expression per plane instead of a dims-term add chain, which
-        // bloats generated code past JIT limits at high dims
-        val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
-        val dot = VectorFns.dot(col(vecCol), plane)
-        when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
-      }
-      struct(lit(b).as("band"), concat(sig: _*).as("bucket"))
+      val key = (0 until planesPerBand).map { j =>
+        val d = planeDim(b * planesPerBand + j, dims)
+        when(element_at(col(vecCol), d + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
     }
     val bucketed = df
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bucket"))
-      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
       .where(col("f") <= maxBucketFreq)
       .drop("f")
-    val a = bucketed.select(col("band"), col("bucket"), col(idCol).as("query_id"))
-    val b = bucketed.select(col("band"), col("bucket"), col(idCol).as("neighbor_id"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    val a = bucketed.select(col("band"), col("bkey"), col(idCol).as("query_id"))
+    val b = bucketed.select(col("band"), col("bkey"), col(idCol).as("neighbor_id"))
+    val cand = a.join(b, Seq("band", "bkey"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val qv = df.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = cand.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
-      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     scored

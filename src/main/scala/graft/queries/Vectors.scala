@@ -102,9 +102,10 @@ object Vectors {
     },
 
     // LSH-bucketed ANN — the scale path (OR-amplified bands bound the
-    // candidate set, hot buckets capped); approximate by construction
-    // → rows-only check.
-    Q.noOracle("q53_lsh_ann") { (s, d) =>
+    // candidate set, hot buckets capped). Sign-plane keys are integer-
+    // only and the rescore is rounded, so the approximate result is
+    // still DETERMINISTIC → full hash check against the generated twin.
+    Q("q53_lsh_ann", Vectors.lshAnnOracle) { (s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
           dims = 64, planesPerBand = 8, k = 5, bands = 4, maxBucketFreq = 200)
         .orderBy("query_id", "rank")
@@ -184,12 +185,69 @@ object Vectors {
     },
 
     // Frame sampling: one media row explodes into ≤8 sampled frames.
-    Q.noOracle("q63_frame_sample") { (s, d) =>
+    // The stub's frame stats are pure functions of the payload bytes,
+    // so the oracle reproduces them exactly. The SQL twin slices TEXT
+    // (characters) where Spark slices the UTF-8 payload (bytes) —
+    // equivalent because the harness corpus is ASCII (verified: zero
+    // docs with octet_length <> length at any SF); the Spark side stays
+    // byte-true for non-ASCII production data.
+    Q("q63_frame_sample",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, text, len,
+        |    unnest(range(0, least(greatest(len // 32, 1), 71), 10)) AS fi
+        |  FROM m)
+        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(fi*32+1 AS BIGINT), 32)) AS frame_md5,
+        |  CAST(least(32, len - fi*32) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
       Multimodal.frameSample(
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
           everyNth = 10, maxFrames = 8)
         .orderBy("media_id", "frame_idx")
     })
+
+  /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
+    * planes, cap 200, k=5): band keys generated from the SAME
+    * [[Similarity.planeDim]] picks, identical rounded-cosine rescore
+    * with neighbor-id tie-break — bit-exact despite being an
+    * approximate index. */
+  lazy val lshAnnOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 8).map { j =>
+        val d = Similarity.planeDim(b * 8 + j, 64)
+        s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH banded AS (
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT vec_id, band, bkey FROM (
+       |    SELECT vec_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS f
+       |    FROM banded)
+       |  WHERE f <= 200),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                 CAST(n.embedding AS DOUBLE[])), 4) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB twin of Similarity.ivfTopK over the label codebook:
     * identical DECIMAL-exact centroids, identical rounded-cosine
