@@ -28,10 +28,18 @@ object Bench {
     // number.
     // A query that throws must surface as "err", never as a (fast) time:
     // timing the throw would let a broken query *improve* the total.
-    selected.values.foreach(fn => try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${e.getMessage}") })
-    val results: Map[String, Either[String, Double]] =
-      selected.map { case (name, fn) =>
+    val ordered = selected.toSeq.sortBy(_._1) // name order: run-to-run comparable
+    ordered.foreach { case (_, fn) => try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench-warmup] ${e.getMessage}") } }
+    val results: Seq[(String, Either[String, Double])] =
+      ordered.map { case (name, fn) =>
+        // Shared-JVM hygiene: collect the previous query's garbage
+        // OUTSIDE the timer so an allocation-heavy neighbor cannot tax
+        // this query with its GC debt. Round-3 bisection measured the
+        // pollution at 2-5x on several queries (q41 6.6s in-suite vs
+        // 1.5s isolated; q04/q09/q15/q16 2-3x) — see BENCH_NOTES.md.
+        // SPARK_GRAFT_ONLY=<name> remains the true-isolation knob.
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -46,7 +54,7 @@ object Bench {
       case (k, Left(e))  => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
-    val total = results.values.collect { case Right(v) => v }.sum
+    val total = results.collect { case (_, Right(v)) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (errs > 0) sys.exit(1)
