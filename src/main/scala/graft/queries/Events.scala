@@ -123,5 +123,29 @@ object Events {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("o_orderkey").as("last_orderkey"))
         .orderBy("event_id")
+    },
+
+    // Salted fact-to-dim join for a skewed-but-KEPT hot key (the
+    // complement of the frequency caps, which DROP hot keys — see
+    // operators/Skew.scala for when each applies). Salting is
+    // semantically transparent, so the oracle is the PLAIN join — the
+    // hash-match proves exactness; SkewSpec proves the balanced plan.
+    Q("q59_salted_join",
+      """WITH tot AS (
+        |  SELECT user_id, count(*) AS user_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, t.user_events, t.user_total
+        |FROM events e JOIN tot t USING (user_id)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val events = Tables.events(s, d)
+      val userTotals = events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("user_total"))
+      graft.operators.Skew.saltedJoin(
+          events.select("event_id", "user_id"), userTotals,
+          keys = Seq("user_id"), salts = 8, saltSource = col("event_id"))
+        .select("event_id", "user_id", "user_events", "user_total")
+        .orderBy("event_id")
     })
 }

@@ -23,4 +23,24 @@ object Bucketing {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Hive-style partitioned layout — the OTHER half of the 100 TB
+    * storage story next to bucketing: bucketing kills the join shuffle,
+    * partitioning kills the scan. A filter on a partition column prunes
+    * whole directories at PLANNING time, so a one-day query over a year
+    * of date-partitioned facts lists and reads ~1/365th of the files —
+    * the scan cost tracks the queried range, not the table size.
+    *
+    * Reference analog: the hour-grain calendar star schema
+    * (/root/reference/dags/sql/date.sql:1-6) keys the fact by id_date;
+    * partitioning by the date itself moves that selectivity from a join
+    * predicate into the file listing.
+    *
+    * Partition columns should be LOW cardinality (a date, not a
+    * timestamp): each value is a directory, and a high-cardinality
+    * partition key degenerates into millions of tiny files — the
+    * opposite of scan efficiency. Date + bucket-by-key is the standard
+    * composed layout. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

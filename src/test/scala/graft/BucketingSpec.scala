@@ -35,4 +35,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("date-partitioned layout: a partition filter reads N of M directories") {
+    val d = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    val events = Tables.events(spark, d)
+      .withColumn("event_date", to_date(col("ts")))
+    Bucketing.writePartitioned(events, path, "event_date")
+
+    val all = spark.read.parquet(path)
+    val dates = all.select("event_date").distinct().collect().map(_.getDate(0)).sorted
+    assert(dates.length > 1, "test data must span several dates for a pruning proof")
+
+    val oneDay = all.where(col("event_date") === lit(dates(0)))
+    // collect() executes THIS dataset's physical plan (count() would
+    // build a new one whose scan metrics we couldn't inspect)
+    assert(oneDay.collect().length > 0)
+    // pruning happens at planning: the scan node itself reports how many
+    // partition directories survived the partition filter
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"partition filter must reach the scan: ${scan.metadata}")
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 of ${dates.length} partition dirs read")
+  }
 }
