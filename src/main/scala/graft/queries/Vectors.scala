@@ -169,15 +169,25 @@ object Vectors {
     },
 
     // mapPartitions-based batched decode (the real codec integration
-    // shape) — rows-only check: not expressible as pure SQL.
-    Q.noOracle("q61_media_decode_partitioned") { (s, d) =>
+    // shape). The STUB decode is a pure function of the payload bytes
+    // (Java Arrays.hashCode), which the oracle reproduces exactly:
+    // list_reduce over the char codes simulates the 31·acc+b int-wrap
+    // fold (ASCII corpus ⇒ char codes == payload bytes), so even the
+    // mapPartitions path gets a full hash check. A real codec would
+    // genuinely be rows-only; the plumbing being checked — schema,
+    // batching, partition-local execution — is the part that survives
+    // the codec swap.
+    Q("q61_media_decode_partitioned", Vectors.mediaDecodeOracle) { (s, d) =>
       Multimodal.decodePartitioned(s,
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
     },
 
-    // Partition-local resize (stubbed codec, real byte plumbing).
-    Q.noOracle("q62_media_resize") { (s, d) =>
+    // Partition-local resize (stubbed codec, real byte plumbing). The
+    // stub's output payload is truncate-or-zero-pad of the source bytes
+    // at a deterministic length — expressible in SQL (BINARY column
+    // hash-compared by the driver), so this too is fully checked.
+    Q("q62_media_resize", Vectors.mediaResizeOracle) { (s, d) =>
       Multimodal.resizePartitioned(
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
           dstW = 256, dstH = 256)
@@ -208,6 +218,57 @@ object Vectors {
           everyNth = 10, maxFrames = 8)
         .orderBy("media_id", "frame_idx")
     })
+
+  /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
+    * `Multimodal.stubDecode` seeds from Java `Arrays.hashCode(bytes)` —
+    * the `h := 31·h + b` signed-int-wrap fold with seed 1 — then takes
+    * `64 + floorMod(h, 1024)` / `64 + floorMod(h >> 10, 1024)`. The SQL
+    * simulates the wrap in unsigned 2^32 space (list_reduce over char
+    * codes; ASCII corpus ⇒ codes == payload bytes), converts to signed,
+    * and uses floor-division for the arithmetic shift. */
+  private def stubDimsCte: String =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |    'application/x-demo-' || substr(md5(text), 1, 4) AS mime,
+      |    text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+      |      [CAST(ord(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT)
+      |       for i in generate_series(1, length(text))]),
+      |      (a, b) -> (31*a + b) % 4294967296) AS hu
+      |  FROM documents),
+      |sg AS (
+      |  SELECT *, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h
+      |  FROM m),
+      |dims AS (
+      |  SELECT *,
+      |    64 + ((h % 1024) + 1024) % 1024 AS sw,
+      |    64 + ((CAST(floor(h / 1024.0) AS BIGINT) % 1024) + 1024) % 1024 AS sh
+      |  FROM sg)""".stripMargin
+
+  /** DuckDB twin of Multimodal.decodePartitioned over the demo media
+    * table: metadata via md5/octet_length, pseudo-dims via the
+    * [[stubDimsCte]] hash fold. */
+  lazy val mediaDecodeOracle: String =
+    s"""WITH $stubDimsCte
+       |SELECT media_id, mime, len AS byte_len, md5(text) AS content_md5,
+       |  CAST(sw AS INT) AS width, CAST(sh AS INT) AS height
+       |FROM dims ORDER BY media_id""".stripMargin
+
+  /** DuckDB twin of Multimodal.resizePartitioned(256, 256): target
+    * byte length = max(16, trunc(len · (256·256 / (sw·sh)))) with the
+    * stub's truncate-or-zero-pad payload (zero pad = Java
+    * `Arrays.copyOf` semantics), BINARY-compared by the driver. */
+  lazy val mediaResizeOracle: String =
+    s"""WITH $stubDimsCte,
+       |n AS (
+       |  SELECT *, greatest(16, CAST(trunc(len *
+       |    (CAST(256*256 AS BIGINT) / CAST(sw * sh AS DOUBLE))) AS BIGINT)) AS nlen
+       |  FROM dims)
+       |SELECT media_id, mime, CAST(256 AS INT) AS width, CAST(256 AS INT) AS height,
+       |  CASE WHEN nlen <= len THEN encode(substr(text, 1, CAST(nlen AS BIGINT)))
+       |       ELSE encode(text) || unhex(repeat('00', CAST(nlen - len AS BIGINT)))
+       |  END AS payload
+       |FROM n ORDER BY media_id""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
     * planes, cap 200, k=5): band keys generated from the SAME
