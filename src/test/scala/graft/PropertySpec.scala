@@ -80,6 +80,21 @@ class PropertySpec extends SparkSpec {
     assert(pairs.where(col("n_common_bands") =!= 4).count() === 0)
   }
 
+  test("saltedJoin equals the plain join for random keys, rows, and salt counts") {
+    val gen = Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 1000L))
+    val facts = samples(gen, 300).zipWithIndex
+      .map { case ((k, v), i) => (i.toLong, k, v) }.toDF("row_id", "k", "v")
+    val dim = (0L to 20L).map(k => (k, s"p$k")).toDF("k", "payload")
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = graft.operators.Skew
+        .saltedJoin(facts, dim, Seq("k"), salts, saltSource = col("row_id"))
+        .select("row_id", "k", "v", "payload")
+      val plain = facts.join(dim, Seq("k")).select("row_id", "k", "v", "payload")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salts=$salts must not change the join result")
+    }
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
