@@ -285,7 +285,12 @@ object Dedup {
       // checkpoint + count) instead of re-joining old vs new (3rd job).
       // (A double jump per round was measured SLOWER — the un-
       // checkpointed `merged` subtree re-evaluates once per reference,
-      // and four references cost more than the rounds saved.)
+      // and four references cost more than the rounds saved. Persisting
+      // `merged` to dedupe the two references was ALSO measured slower —
+      // 12s vs 6.8s isolated at sf0.1: the self-join's two sides already
+      // share one ReusedExchange, and the cache's materialization +
+      // block-manager round-trips per iteration cost more than the
+      // subtree they save.)
       val next = merged
         .join(
           merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
