@@ -47,4 +47,35 @@ class SkewSpec extends SparkSpec {
       assert(saltsHit === 8L, s"hot key spread over $saltsHit of 8 salts")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE skew join splits the hot partition at runtime (the no-rewrite alternative)") {
+    // AQE's skew handling needs no query rewrite but only covers the
+    // sort-merge-join READ side; Skew.saltedJoin also balances the
+    // shuffle write and aggregations. Thresholds are lowered so the
+    // test-scale hot key (50k rows x ~60 bytes) crosses the skew bar.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val bigFacts = spark.range(0, 60000).toDF("row_id")
+        .withColumn("k", when(col("row_id") < 50000, 7L).otherwise(col("row_id") % 50))
+        .withColumn("pad", lpad(col("row_id").cast("string"), 48, "x"))
+      val joined = bigFacts.join(dim, Seq("k"))
+      // collect() finalizes THIS dataset's adaptive plan (count() would
+      // execute a different QueryExecution, leaving this one unfinalized)
+      assert(joined.collect().length === 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed SMJ side:\n${plan.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
