@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -181,6 +182,43 @@ object TextAnalysis {
       when(bucket < t, lit(name)).otherwise(other)
     }
     df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Sequence packing: assign each document a position in a
+    * fixed-token-budget training-sequence stream — the standard
+    * pretraining batch layout (documents concatenated shard-locally,
+    * the stream chopped every `budget` tokens; a document belongs to
+    * the sequence where it STARTS and may spill into the next, exactly
+    * like GPT-style packing).
+    *
+    * Sharding makes this scale: a GLOBAL running token count would be
+    * one totally-ordered window (single reducer — unusable at 100 TB),
+    * so documents are hashed into `shards` independent streams and the
+    * cumulative sum runs per shard — the same shard-local packing real
+    * pipelines use, embarrassingly parallel with one shuffle. Pick
+    * shards ≈ corpus tokens / (executor-memory-sized stream): each
+    * shard's window sorts only its own slice. The md5 shard hash is the
+    * same derivation as [[hashSplit]] — reproducible, growth-stable,
+    * and portable to the oracle.
+    *
+    * seq_id numbering is interleaved (`shard + k·shards`) so ids are
+    * globally unique without needing per-shard sequence counts.
+    * @return (idCol, n_tokens, shard, seq_id, tok_offset) — tok_offset is the
+    *   document's first-token position within its sequence */
+  def sequencePack(
+      df: DataFrame, idCol: String, textCol: String,
+      budget: Int = 1024, shards: Int = 8): DataFrame = {
+    require(budget >= 1 && shards >= 1, "budget and shards must be positive")
+    val nTok = size(TextFns.tokens(TextFns.normalize(col(textCol)))).cast("long")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), nTok.as("n_tokens"), shard.as("shard"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id",
+        col("shard") + floor(col("__start") / budget) * shards)
+      .withColumn("tok_offset", col("__start") % budget)
+      .drop("__start")
   }
 
   /** PII patterns for [[redactPii]] — (regex, replacement tag). POSIX

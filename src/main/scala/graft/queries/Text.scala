@@ -339,6 +339,28 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: shard-local token-budget packing into training
+    // sequences (a doc belongs to the sequence where it starts). The
+    // shard hash, token count, and running sum are all
+    // engine-portable → full hash check.
+    Q("q64_sequence_pack",
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($oTok) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS INT) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |    - n_tokens AS strt
+         |  FROM t)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(shard + (strt // 1024) * 8 AS BIGINT) AS seq_id,
+         |  CAST(strt % 1024 AS BIGINT) AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.sequencePack(Tables.documents(s, d), "doc_id", "text",
+          budget = 1024, shards = 8)
+        .orderBy("doc_id")
+    },
+
     // Typed Aggregator UDAF (SURVEY §2.10): majority vote through the
     // Dataset/udaf path — per-source dominant language.
     Q("q56_majority_vote_udaf",

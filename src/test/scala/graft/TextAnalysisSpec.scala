@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -39,6 +40,21 @@ class TextAnalysisSpec extends SparkSpec {
     // lang asc picks "es". (The pre-fix sort_array form picked "fr".)
     val docs = Seq((1L, "la de xyz")).toDF("doc_id", "text")
     assert(rows(TextAnalysis.languageId(docs, "doc_id", "text")) === Set(Seq(1L, "es")))
+  }
+
+  test("sequencePack: contiguous shard-local token stream chopped at the budget") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (9L, "j"))
+      .toDF("doc_id", "text")
+    // one shard → starts are the running sum in doc_id order: 0, 3, 5, 9
+    // budget 4 → seq = start/4: 0, 0, 1, 2; offset = start%4: 0, 3, 1, 1
+    val out = TextAnalysis.sequencePack(docs, "doc_id", "text", budget = 4, shards = 1)
+    assert(rows(out) === Set(
+      Seq(1L, 3L, 0, 0L, 0L), Seq(2L, 2L, 0, 0L, 3L),
+      Seq(3L, 4L, 0, 1L, 1L), Seq(9L, 1L, 0, 2L, 1L)))
+    // multi-shard: every doc keeps exactly one row, offsets stay in-budget
+    val sharded = TextAnalysis.sequencePack(docs, "doc_id", "text", budget = 4, shards = 3)
+    assert(sharded.count() === 4)
+    assert(sharded.where(col("tok_offset") < 0 || col("tok_offset") >= 4).count() === 0)
   }
 
   test("topTokens and topNgrams rank by count then token") {
