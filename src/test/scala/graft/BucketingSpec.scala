@@ -36,6 +36,42 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup-load vs a bucketed base shuffles only the batch, not the base") {
+    val d = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the base fact is huge at 100 TB — bucket it on the natural key
+      // once at write time and every nightly anti-join stops paying a
+      // full-base shuffle (the batch side still shuffles: it's O(batch))
+      Bucketing.writeBucketed(Tables.orders(spark, d), "b_base", "o_orderkey", 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Tables.orders(spark, d).limit(500)
+      val fresh = graft.operators.Dedup.newRows(
+        batch, spark.table("b_base"), Seq("o_orderkey"))
+      assert(fresh.collect().length === 0) // every batch key exists in the base
+      // AQE's toString appends the pre-adaptive "Initial Plan" — audit
+      // only the final one
+      val plan = fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(joinSubtree.contains("LeftAnti"), s"expected anti-join:\n$plan")
+      // the base-side branch — from its Sort down to the bucketed scan —
+      // must contain no Exchange: the join's partitioning requirement is
+      // met straight off the bucketed scan. The batch side shuffles
+      // (that's O(batch), fine).
+      val scanAt = joinSubtree.indexOf("Bucketed: true")
+      assert(scanAt >= 0, s"base must read as a bucketed scan:\n$plan")
+      val baseBranch = joinSubtree.substring(
+        joinSubtree.lastIndexOf("Sort", scanAt), scanAt)
+      assert(!baseBranch.contains("Exchange"),
+        s"base side must not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_base")
+    }
+  }
+
   test("date-partitioned layout: a partition filter reads N of M directories") {
     val d = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
