@@ -95,6 +95,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequencePack: total, in-budget offsets, shard-stream starts are gap-free") {
+    val docs = samples(textGen, 250).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val budget = 16
+    val out = graft.operators.TextAnalysis
+      .sequencePack(docs, "doc_id", "text", budget = budget, shards = 4)
+    assert(out.count() === 250) // total: one row per doc
+    assert(out.where(col("tok_offset") < 0 || col("tok_offset") >= budget).count() === 0)
+    // within each shard (doc_id order), every doc starts exactly where
+    // the previous doc's tokens ended: global position seq*budget/shards
+    // arithmetic reconstructs the running sum
+    val rows = out.orderBy("shard", "doc_id").collect()
+      .map(r => (r.getInt(2), (r.getLong(3) - r.getInt(2)) / 4 * budget + r.getLong(4), r.getLong(1)))
+    rows.groupBy(_._1).values.foreach { shardRows =>
+      shardRows.sliding(2).foreach {
+        case Array((_, start1, n1), (_, start2, _)) =>
+          assert(start2 === start1 + n1, "packing must be contiguous")
+        case _ => ()
+      }
+    }
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
