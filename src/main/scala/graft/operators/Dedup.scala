@@ -258,10 +258,17 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 40): DataFrame = {
+    // repartition by dst AFTER the distinct: the cached partitioning is
+    // what every round's edges⋈labels join requires (hashpartitioning on
+    // dst), so the per-round exchange on the edge side disappears —
+    // InMemoryTableScan preserves outputPartitioning across rounds.
+    // (distinct alone leaves hashpartitioning(src, dst), which the join
+    // cannot reuse.)
     val edges = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     // seed with min(self, min neighbor) — equivalent to having run one
     // neighbor-propagation round, so the loop starts a round ahead
