@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Degenerate-input sweep: every family of operators must survive
+  * (a) an EMPTY input table and (b) NULL text values without throwing —
+  * at 100 TB a partition with zero rows or a scattering of NULL
+  * documents is a certainty, and an operator that NPEs on one poisons
+  * the whole job. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def nullDocs: DataFrame =
+    Seq((1L, null.asInstanceOf[String]), (2L, "real text here"), (3L, ""))
+      .toDF("doc_id", "text")
+
+  test("text/dedup operators run on an empty table (0 rows out, no throw)") {
+    assert(TextAnalysis.quality(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.languageId(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.repetitionRatio(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.redactPii(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.hashSplit(emptyDocs, "doc_id").count() === 0)
+    assert(TextAnalysis.sequencePack(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashLsh(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashFingerprints(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhashHammingPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.ngramJaccard(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.crossOverlap(emptyDocs, emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+  }
+
+  test("similarity operators run on an empty embedding table") {
+    val emptyEmb = Seq.empty[(Long, Array[Float], String)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, "vec_id", "embedding", 5)
+      .count() === 0)
+    assert(Similarity.cosinePairs(emptyEmb, "vec_id", "embedding", 0.5).count() === 0)
+    assert(Similarity.bandedCosinePairs(emptyEmb, "vec_id", "embedding", 0.5,
+      bands = 2, bitsPerBand = 2).count() === 0)
+  }
+
+  test("text operators tolerate NULL and empty text (no throw, ids preserved)") {
+    // NULL text must not crash; the NULL/empty rows degrade gracefully
+    assert(TextAnalysis.quality(nullDocs, "doc_id", "text").count() === 3)
+    assert(TextAnalysis.languageId(nullDocs, "doc_id", "text").count() === 3)
+    assert(TextAnalysis.hashSplit(nullDocs, "doc_id").count() === 3)
+    assert(TextAnalysis.sequencePack(nullDocs, "doc_id", "text").count() === 3)
+    // SimHash: NULL and empty text both fingerprint to 0, so contentless
+    // docs pair with each other at distance 0 — "all empty docs are
+    // duplicates", the behavior an empty-doc sweep wants; at scale a
+    // large contentless cohort exceeds maxBandFreq and is capped out
+    val pairs = Dedup.simhashHammingPairs(nullDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 3L)))
+    // shingle-based generators need >= n tokens: no candidates at all
+    assert(Dedup.ngramJaccard(nullDocs, "doc_id", "text").count() === 0)
+    // exact dedup: NULL text hashes to a NULL fingerprint group
+    assert(Dedup.exact(nullDocs, "doc_id", "text").count() >= 2)
+  }
+
+  test("newRows against an empty base keeps the whole batch") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    assert(Dedup.newRows(batch, batch.limit(0), Seq("k")).count() === 2)
+  }
+}
