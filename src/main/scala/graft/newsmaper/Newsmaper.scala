@@ -168,9 +168,13 @@ object Newsmaper {
     // out with identical labels on the join. The concat separator is
     // \u0001 (cannot appear in feed text), so field-boundary shifts
     // like (id=1, title="2x") vs (id=12, title="x") cannot collide.
+    // Each field is coalesced to "" because concat_ws SKIPS nulls
+    // (no empty slot): without it, (title=NULL, link="x") and
+    // (title="x", link=NULL) would produce the same key.
     val withKey = articles.withColumn(
-      "__doc", md5(concat_ws("\u0001", col("id_source"), col("title"),
-        col("link"), col("description"))))
+      "__doc", md5(concat_ws("\u0001",
+        Seq(col("id_source"), col("title"), col("link"), col("description"))
+          .map(c => coalesce(c.cast("string"), lit(""))): _*)))
     val dict = references.select(
       explode(col("words")).as("word"),
       // zero-pad so lexicographic tie-break = numeric asc (Classify
@@ -190,6 +194,12 @@ object Newsmaper {
     * (/root/reference/dags/Transform.py:9-10,86-89). */
   val newsColumns: Seq[String] =
     Seq("id_country", "id_source", "id_date", "title", "link", "description", "media")
+
+  /** The fact's natural key (/root/reference/dags/Load.py:21-25) — the
+    * ONE definition [[load]], [[loadTo]] and [[maintenance]] all share:
+    * a key change edited in one place but not another would silently
+    * dedup on a different key than the anti-join. */
+  val naturalKey: Seq[String] = Seq("id_source", "id_date", "title")
 
   def renameAndSelect(df: DataFrame): DataFrame =
     df.select(newsColumns.map(col): _*)
@@ -211,7 +221,7 @@ object Newsmaper {
       coalesce(col("id_date"),
         raise_error(concat(lit("calendar miss (NULL id_date) for title="),
           col("title"))).cast(LongType)))
-    Dedup.newRows(guarded, existing, Seq("id_source", "id_date", "title"))
+    Dedup.newRows(guarded, existing, naturalKey)
   }
 
   /** K1 — append sink (/root/reference/dags/Load.py:28
@@ -235,13 +245,12 @@ object Newsmaper {
     * rescan of the whole base. */
   def loadTo(incoming: DataFrame, path: String): Long = {
     val spark = incoming.sparkSession
-    val keys = Seq("id_source", "id_date", "title")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val existing =
       if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
       else incoming.limit(0)
-    val fresh = load(incoming.dropDuplicates(keys), existing).persist()
+    val fresh = load(incoming.dropDuplicates(naturalKey), existing).persist()
     try {
       val appended = fresh.count()
       append(fresh, path)
@@ -253,7 +262,7 @@ object Newsmaper {
     * keep the lowest-id row per natural key; expressed as
     * retained-rows overwrite since parquet has no row DELETE. */
   def maintenance(news: DataFrame): DataFrame =
-    Dedup.keepFirst(news, Seq("id_source", "id_date", "title"), "id")
+    Dedup.keepFirst(news, naturalKey, "id")
 
   /** K3 — the reference's per-row DELETE repair
     * (/root/reference/dags/Main.py:44-47) as a retained-rows overwrite:

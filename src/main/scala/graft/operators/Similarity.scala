@@ -52,15 +52,33 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random dimension pick for hyperplane `plane`:
-    * md5-derived index in [0, dims). Public because the DuckDB oracle
-    * twin is GENERATED from the same picks (graft.queries.Vectors) —
-    * freezing the selection here keeps both sides in lockstep. */
-  def planeDim(plane: Int, dims: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane$plane".getBytes("UTF-8"))
-      .take(7).map("%02x".format(_)).mkString
-    Math.floorMod(java.lang.Long.parseLong(hex, 16), dims.toLong).toInt
+    * md5-derived index in [0, dims), probed (`plane-0`, `plane-1`, …)
+    * until the dim is unused within `taken` — duplicate dims inside one
+    * band would make two key bits identical, silently halving that
+    * band's discrimination (measured: the unprobed derivation gave
+    * q53's band 1 only 7 distinct sign tests of 8). Public because the
+    * DuckDB oracle twin is GENERATED from the same picks
+    * (graft.queries.Vectors) — freezing the selection here keeps both
+    * sides in lockstep. */
+  def planeDim(plane: Int, dims: Int, taken: Set[Int] = Set.empty): Int = {
+    require(taken.size < dims, "more planes per band than dimensions")
+    Iterator.from(0).map { salt =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane$plane-$salt".getBytes("UTF-8"))
+        .take(7).map("%02x".format(_)).mkString
+      Math.floorMod(java.lang.Long.parseLong(hex, 16), dims.toLong).toInt
+    }.find(!taken(_)).get
   }
+
+  /** The per-band dimension picks for sign-plane LSH: `planesPerBand`
+    * DISTINCT dims per band via [[planeDim]] probing. Both lshTopK and
+    * its generated oracle derive from this one list. */
+  def bandPlaneDims(bands: Int, planesPerBand: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until bands).map { b =>
+      (0 until planesPerBand).foldLeft(Seq.empty[Int]) { (acc, j) =>
+        acc :+ planeDim(b * planesPerBand + j, dims, acc.toSet)
+      }
+    }
 
   /** Sign-plane LSH ANN with OR-amplification: `bands` independent
     * integer keys, each packing the sign bits of `planesPerBand`
@@ -89,9 +107,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       dims: Int, planesPerBand: Int, k: Int,
       bands: Int = 4, maxBucketFreq: Int = 200, roundTo: Int = 4): DataFrame = {
+    val planeDims = bandPlaneDims(bands, planesPerBand, dims)
     val bandKeys = (0 until bands).map { b =>
       val key = (0 until planesPerBand).map { j =>
-        val d = planeDim(b * planesPerBand + j, dims)
+        val d = planeDims(b)(j)
         when(element_at(col(vecCol), d + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))

@@ -55,6 +55,8 @@ object Skew {
       facts: DataFrame, dim: DataFrame, keys: Seq[String],
       salts: Int, saltSource: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
     val sf = facts.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("__salt",

@@ -276,9 +276,10 @@ object Vectors {
     * with neighbor-id tie-break — bit-exact despite being an
     * approximate index. */
   lazy val lshAnnOracle: String = {
+    val planeDims = Similarity.bandPlaneDims(4, 8, 64)
     val bandSelects = (0 until 4).map { b =>
       val key = (0 until 8).map { j =>
-        val d = Similarity.planeDim(b * 8 + j, 64)
+        val d = planeDims(b)(j)
         s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"

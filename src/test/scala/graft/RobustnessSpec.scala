@@ -50,7 +50,12 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.quality(nullDocs, "doc_id", "text").count() === 3)
     assert(TextAnalysis.languageId(nullDocs, "doc_id", "text").count() === 3)
     assert(TextAnalysis.hashSplit(nullDocs, "doc_id").count() === 3)
-    assert(TextAnalysis.sequencePack(nullDocs, "doc_id", "text").count() === 3)
+    // NULL text packs as a 0-token doc — it still gets a stream position
+    // (NULL n_tokens would poison the running sum of its whole shard)
+    val packed = TextAnalysis.sequencePack(nullDocs, "doc_id", "text")
+    assert(packed.count() === 3)
+    assert(packed.where(col("n_tokens").isNull || col("seq_id").isNull ||
+      col("tok_offset").isNull).count() === 0)
     // SimHash: NULL and empty text both fingerprint to 0, so contentless
     // docs pair with each other at distance 0 — "all empty docs are
     // duplicates", the behavior an empty-doc sweep wants; at scale a

@@ -15,7 +15,6 @@ class SkewSpec extends SparkSpec {
     .++((901L to 1000L).map(i => (i, i % 50)))
     .toDF("row_id", "k")
   private lazy val dim = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "payload")
-    .union(Seq((7L, "v7-hot")).toDF("k", "payload").limit(0)) // shape only
 
   test("saltedJoin result is exactly the plain join") {
     val plain = facts.join(dim, Seq("k")).select("row_id", "k", "payload")
