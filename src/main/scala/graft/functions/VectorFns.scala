@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * per element. All arithmetic is promoted to double before
   * accumulation so Spark and the DuckDB oracle see identical IEEE
   * sequences.
+  *
+  * Why `round(cosine, 4)` is oracle-safe here while
+  * [[graft.operators.TextAnalysis.quality]] forbids float rounding:
+  * the danger case is rounding two DIFFERENT doubles (each engine
+  * computing its own product) that straddle a boundary. Both sides of
+  * the vector catalog accumulate the SAME doubles in the SAME order,
+  * so the input to round() is bitwise identical, and both engines
+  * round identical doubles identically (half-away-from-zero). The
+  * quality metrics cannot guarantee the identical-input premise (their
+  * ratios come from independently derived integer pairs), hence the
+  * integer half-up rational rounding there.
   */
 object VectorFns {
 
