@@ -46,9 +46,16 @@ object AsOf {
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select(l.columns.map(col): _*)
+    // __rv as the final sort key: right rows DUPLICATED on (key, ts)
+    // would otherwise resolve by physical row order (nondeterministic
+    // across runs/partitionings) — with it, ties deterministically
+    // attach the LARGEST value struct (lexicographic by rightValCols
+    // order). Left rows all carry NULL __rv, so their relative order
+    // within a tie group is irrelevant (each sees the same last
+    // non-null __rv at or before it).
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(rAligned)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))

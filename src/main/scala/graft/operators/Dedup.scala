@@ -142,6 +142,7 @@ object Dedup {
     * fingerprint bits). Portable to the oracle (same md5/conv
     * arithmetic in DuckDB). */
   def simhash(toks: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
     val hashed = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val bitVotes = (0 until bits).map { b =>
       // vote_b = Σ tokens (bit set ? +1 : -1); bit set in result iff > 0
@@ -353,11 +354,22 @@ object Dedup {
       corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minCommon: Int = 5,
       maxShingleFreq: Int = 100): DataFrame = {
-    val c = shingleHashes(corpus, idCol, textCol, shingleN)
-      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .where(col("f") <= maxShingleFreq)
-      .drop("f")
+    val c0 = shingleHashes(corpus, idCol, textCol, shingleN)
       .withColumnRenamed("id", "corpus_id")
+    // Boilerplate cap WITHOUT shuffling the corpus stream: a count
+    // window partitioned on s would hash-sort the whole corpus shingle
+    // stream (the one shuffle this operator exists to avoid — unlike
+    // ngramJaccard there is no s-keyed join exchange to ride). Instead
+    // the hot-shingle list is computed by a map-side-combined aggregate
+    // (shuffles only (s, partial count) pairs, bounded by distinct
+    // shingles per partition) and is tiny by construction (≤ |stream| /
+    // maxShingleFreq entries), so it broadcasts into a map-only
+    // anti-join. The shingle stream is derived twice — recompute is a
+    // map stage and beats materializing it at corpus scale.
+    val hot = c0.groupBy(col("s")).agg(count(lit(1)).as("f"))
+      .where(col("f") > maxShingleFreq)
+      .select(col("s"))
+    val c = c0.join(broadcast(hot), Seq("s"), "left_anti")
     val b = shingleHashes(benchmark, idCol, textCol, shingleN)
       .withColumnRenamed("id", "bench_id")
     // the benchmark side is an eval set — bounded by definition — so its
@@ -379,7 +391,6 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Int = 100): DataFrame = {
     val inv = shingleHashes(df, idCol, textCol, shingleN)
-    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // inverted-index frequency cap: ultra-common shingles generate
     // O(f²) pairs and carry no near-dup signal. A count window keyed on
     // the shingle does the cap in the SAME exchange the pair self-join
@@ -391,6 +402,13 @@ object Dedup {
       .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
       .where(col("f") <= maxShingleFreq)
       .drop("f")
+    // Set sizes measured over the CAPPED universe, same as the
+    // intersection: mixing a capped numerator with uncapped denominators
+    // would bias every boilerplate-heavy pair downward (two identical
+    // docs whose shingles are 60% capped would score 0.25, not 1.0).
+    // Jaccard here is therefore "similarity over informative shingles" —
+    // consistent on both sides of the ratio.
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val pairs = capped.as("x")
       .join(capped.as("y"), col("x.s") === col("y.s"))
       .where(col("x.id") < col("y.id"))

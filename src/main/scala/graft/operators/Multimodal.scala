@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Media row schema: id + mime + opaque payload. */
+  /** Media row schema: id + mime + opaque payload. mime is nullable
+    * for the same reason payload is: a payloadless row (NULL source
+    * text) has no bytes to sniff a type from. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
-    StructField("mime", StringType, nullable = false),
+    StructField("mime", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
   /** Schema of the decoded-feature struct. */
@@ -46,13 +48,18 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"))
 
   /** STUB decode: a real implementation calls the codec here. The stub
-    * derives deterministic pseudo-dimensions from the payload hash so
-    * downstream operators (resize planning, aspect-ratio filters,
-    * near-dup on content hash) are exercised end-to-end. */
+    * derives deterministic pseudo-dimensions from the payload's md5 —
+    * the SAME derivation as the column-level [[extractFeatures]]
+    * (first 4 hex nibbles → width, next 4 → height), so the two decode
+    * paths agree on every row: a pipeline that plans resizes from
+    * extracted metadata and executes them partition-locally sees one
+    * set of dimensions, not two. */
   def stubDecode(payload: Array[Byte]): (Int, Int) = {
     // ??? <- real codec call goes here (e.g. ImageIO/ffmpeg via JNI)
-    val h = java.util.Arrays.hashCode(payload)
-    (64 + Math.floorMod(h, 1024), 64 + Math.floorMod(h >> 10, 1024))
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val w = ((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 1024 + 64
+    val h = ((d(2) & 0xff) << 8 | (d(3) & 0xff)) % 1024 + 64
+    (w, h)
   }
 
   /** Extract features per media row. Metadata (length, md5) is computed
@@ -95,9 +102,14 @@ object Multimodal {
       // per-partition codec context opens here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h) = stubDecode(payload)
+        // NULL payload (schema allows it) resizes to NULL, not an NPE —
+        // one poisoned row must not kill the partition's task
+        val resized = if (payload == null) null else {
+          val (w, h) = stubDecode(payload)
+          stubResize(payload, w, h, dstW, dstH)
+        }
         Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-          dstW, dstH, stubResize(payload, w, h, dstW, dstH))
+          dstW, dstH, resized)
       }
     }(enc)
   }
@@ -115,9 +127,10 @@ object Multimodal {
       StructField("frame_md5", StringType), StructField("frame_bytes", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
+      rows.filter(_.getAs[Array[Byte]]("payload") != null).flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         // ??? <- real demuxer frame count; stub: one "frame" per 32 bytes
+        // (NULL payloads yield zero frames — no content, no explode)
         val nFrames = Math.max(1, payload.length / 32)
         val md = java.security.MessageDigest.getInstance("MD5")
         (0 until nFrames by everyNth).take(maxFrames).map { i =>
@@ -133,19 +146,26 @@ object Multimodal {
 
   /** Batched partition-local decode using the typed stub — the real
     * `mapPartitions` shape a codec integration uses (one codec context
-    * per partition, rows streamed through it). */
-  def decodePartitioned(spark: SparkSession, media: DataFrame): DataFrame = {
+    * per partition, rows streamed through it). NULL payloads decode to
+    * NULL features, mirroring [[extractFeatures]] (whose md5/length
+    * built-ins are NULL-propagating) instead of NPE-ing the task. */
+  def decodePartitioned(media: DataFrame): DataFrame = {
     val out = StructType(mediaSchema.fields.filterNot(_.name == "payload") ++ featureSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(out)
     media.mapPartitions { rows =>
       // per-partition "codec context" would be opened here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h) = stubDecode(payload)
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(payload).map("%02x".format(_)).mkString
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-          payload.length.toLong, md, w, h)
+        if (payload == null)
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+            null, null, null, null)
+        else {
+          val (w, h) = stubDecode(payload)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(payload).map("%02x".format(_)).mkString
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
+            payload.length.toLong, md, w, h)
+        }
       }
     }(enc)
   }

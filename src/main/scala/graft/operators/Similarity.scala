@@ -167,7 +167,14 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
+    // Vectors shorter than bands·bitsPerBand cannot be sign-keyed:
+    // under ANSI (Spark 4 default) element_at past the end THROWS, and
+    // with ANSI off the missing dims would silently read as negative
+    // signs, collapsing band keys. Excluding them is explicit: a short
+    // vector generates no candidates through this index (use a config
+    // with bands·bitsPerBand ≤ dims to cover the whole corpus).
     val bucketed = df
+      .where(size(col(vecCol)) >= bands * bitsPerBand)
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
       .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))

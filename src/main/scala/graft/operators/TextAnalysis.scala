@@ -137,7 +137,14 @@ object TextAnalysis {
   def mixCorpus(
       df: DataFrame, idCol: String, sourceCol: String,
       weights: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+    // ':mix'-salted bucket, NOT the raw hashSplit bucket: sharing the
+    // hash would correlate the two decisions perfectly — a source mixed
+    // at pct ≤ 80 would contribute ONLY train-split rows (hashSplit
+    // sends buckets < 80 to train), starving valid/test of every
+    // downsampled source. The salt makes mixing independent of
+    // splitting while staying deterministic and growth-stable.
+    val bucket = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":mix"))), 1, 8), 16, 10)
       .cast("long") % 100
     val w = broadcast(weights.select(
       col("source").as("__wsrc"), col("pct").as("__wpct")))
@@ -242,15 +249,18 @@ object TextAnalysis {
     * masking them.
     * @return idCol, redacted text, n_redactions */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col(textCol)) {
+    // stages(i) = text BEFORE pattern i applies (patterns chain, so
+    // pattern i must count against the text the i-1 earlier replacements
+    // produced, or an email inside a phone-shaped span double-counts)
+    val stages = piiPatterns.scanLeft(col(textCol)) {
       case (c, (re, tag)) => regexp_replace(c, re, tag)
     }
-    // count = how many tags were inserted (tags cannot pre-exist in
-    // the corpus: the source regexes cannot produce "<EMAIL>"-shaped
-    // matches). The tags contain no regex metacharacters, so the
-    // deletion is a literal match in both engines.
-    val nRedactions = piiPatterns.map { case (_, tag) =>
-      (length(redacted) - length(regexp_replace(redacted, tag, ""))) / tag.length
+    val redacted = stages.last
+    // count = ACTUAL matches per stage, not tag occurrences in the
+    // output: a literal "<EMAIL>" pre-existing in a template/docs corpus
+    // must not inflate the redaction count a quarantine rule acts on.
+    val nRedactions = piiPatterns.zip(stages.init).map {
+      case ((re, _), pre) => regexp_count(pre, lit(re))
     }.reduce(_ + _)
     df.select(col(idCol), redacted.as("redacted"),
       nRedactions.cast("long").as("n_redactions"))

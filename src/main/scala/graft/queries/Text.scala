@@ -266,7 +266,7 @@ object Text {
       """WITH w(source, pct) AS (VALUES ('src0', 100), ('src1', 50), ('src2', 25))
         |SELECT d.doc_id, d.source FROM documents d
         |LEFT JOIN w ON d.source = w.source
-        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 100
         |      < coalesce(w.pct, 100)
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
@@ -424,12 +424,12 @@ object Text {
        |  SELECT id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
        |           i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
        |  FROM t WHERE len(toks) >= 3),
-       |sized AS (SELECT id, CAST(len(sh) AS BIGINT) AS n FROM sh WHERE len(sh) > 0),
        |inv AS (SELECT id, unnest(sh) AS s FROM sh),
        |capped AS (
        |  SELECT id, s FROM (
        |    SELECT id, s, count(*) OVER (PARTITION BY s) AS f FROM inv)
        |  WHERE f <= 100),
+       |sized AS (SELECT id, count(*) AS n FROM capped GROUP BY id),
        |pairs AS (
        |  SELECT x.id AS id_a, y.id AS id_b, count(*) AS common
        |  FROM capped x JOIN capped y ON x.s = y.s
@@ -444,17 +444,21 @@ object Text {
 
   /** DuckDB twin of TextAnalysis.redactPii — same pattern list (RE2
     * and Java regex agree on these POSIX-class patterns), 'g' flag for
-    * Spark's replace-all default, literal replace() for tag counting. */
+    * Spark's replace-all default; counts are per-stage ACTUAL match
+    * counts (len(regexp_extract_all)) on the same intermediate strings
+    * the Spark side counts, so pre-existing literal tags in the corpus
+    * cannot inflate either side. */
   lazy val piiOracle: String = {
-    val redacted = TextAnalysis.piiPatterns.foldLeft("text") {
+    val stages = TextAnalysis.piiPatterns.scanLeft("text") {
       case (c, (re, tag)) => s"regexp_replace($c, '$re', '$tag', 'g')"
     }
-    val counts = TextAnalysis.piiPatterns.map { case (_, tag) =>
-      s"(length(red) - length(replace(red, '$tag', ''))) / ${tag.length}"
+    val redacted = stages.last
+    val counts = TextAnalysis.piiPatterns.zip(stages.init).map {
+      case ((re, _), pre) => s"len(regexp_extract_all($pre, '$re'))"
     }.mkString(" + ")
-    s"""SELECT doc_id, red AS redacted,
+    s"""SELECT doc_id, $redacted AS redacted,
        |  CAST($counts AS BIGINT) AS n_redactions
-       |FROM (SELECT doc_id, $redacted AS red FROM documents)
+       |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -178,7 +178,7 @@ object Vectors {
     // batching, partition-local execution — is the part that survives
     // the codec swap.
     Q("q61_media_decode_partitioned", Vectors.mediaDecodeOracle) { (s, d) =>
-      Multimodal.decodePartitioned(s,
+      Multimodal.decodePartitioned(
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
     },
@@ -220,30 +220,19 @@ object Vectors {
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
-    * `Multimodal.stubDecode` seeds from Java `Arrays.hashCode(bytes)` —
-    * the `h := 31·h + b` signed-int-wrap fold with seed 1 — then takes
-    * `64 + floorMod(h, 1024)` / `64 + floorMod(h >> 10, 1024)`. The SQL
-    * simulates the wrap in unsigned 2^32 space (list_reduce over char
-    * codes; ASCII corpus ⇒ codes == payload bytes), converts to signed,
-    * and uses floor-division for the arithmetic shift. */
+    * `Multimodal.stubDecode` derives them from the payload's md5 —
+    * first 4 hex nibbles → width, next 4 → height, the SAME derivation
+    * as `extractFeatures`/q60, so one CTE serves decode, resize, and
+    * feature extraction. (md5 of the UTF-8 payload equals md5 of the
+    * text string — the corpus is ASCII, verified at every SF.) */
   private def stubDimsCte: String =
-    """m AS (
+    """dims AS (
       |  SELECT doc_id AS media_id,
       |    'application/x-demo-' || substr(md5(text), 1, 4) AS mime,
       |    text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
-      |    list_reduce(list_prepend(CAST(1 AS BIGINT),
-      |      [CAST(ord(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT)
-      |       for i in generate_series(1, length(text))]),
-      |      (a, b) -> (31*a + b) % 4294967296) AS hu
-      |  FROM documents),
-      |sg AS (
-      |  SELECT *, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h
-      |  FROM m),
-      |dims AS (
-      |  SELECT *,
-      |    64 + ((h % 1024) + 1024) % 1024 AS sw,
-      |    64 + ((CAST(floor(h / 1024.0) AS BIGINT) % 1024) + 1024) % 1024 AS sh
-      |  FROM sg)""".stripMargin
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64 AS sw,
+      |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS sh
+      |  FROM documents)""".stripMargin
 
   /** DuckDB twin of Multimodal.decodePartitioned over the demo media
     * table: metadata via md5/octet_length, pseudo-dims via the

@@ -18,23 +18,27 @@ class MultimodalSpec extends SparkSpec {
 
   test("extractFeatures (expression path) and decodePartitioned (mapPartitions path) agree on metadata") {
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    // width/height included: both paths must share ONE dimension
+    // derivation (md5-based), not diverge per API
     val a = Multimodal.extractFeatures(media)
-      .select("media_id", "byte_len", "content_md5").orderBy("media_id")
-    val b = Multimodal.decodePartitioned(spark, media)
-      .select("media_id", "byte_len", "content_md5").orderBy("media_id")
+      .select("media_id", "byte_len", "content_md5", "width", "height")
+      .orderBy("media_id")
+    val b = Multimodal.decodePartitioned(media)
+      .select("media_id", "byte_len", "content_md5", "width", "height")
+      .orderBy("media_id")
     assert(orderedRows(a) === orderedRows(b))
   }
 
   test("stub decode dimensions are deterministic and within the stub range") {
     val out = Multimodal.decodePartitioned(
-      spark, Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
+      Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
     out.foreach { r =>
       val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
       assert(w >= 64 && w < 64 + 1024)
       assert(h >= 64 && h < 64 + 1024)
     }
     val again = Multimodal.decodePartitioned(
-      spark, Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
+      Multimodal.mediaFromDocuments(docs, "doc_id", "text")).collect()
     assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
 

@@ -69,6 +69,22 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.exact(nullDocs, "doc_id", "text").count() >= 2)
   }
 
+  test("multimodal paths tolerate NULL payloads (schema allows them)") {
+    val media = Multimodal.mediaFromDocuments(nullDocs, "doc_id", "text")
+    // doc 1 has NULL text -> NULL payload; none of the three decode
+    // paths may NPE the task on it
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val decoded = Multimodal.decodePartitioned(media).orderBy("media_id").collect()
+    assert(feats.length === 3 && decoded.length === 3)
+    assert(feats(0).isNullAt(3) && decoded(0).isNullAt(3)) // content_md5 NULL
+    val resized = Multimodal.resizePartitioned(media, 64, 64).collect()
+    assert(resized.length === 3)
+    assert(resized.exists(_.getAs[Array[Byte]]("payload") == null))
+    // NULL payload yields zero frames; real payloads still sample
+    val frames = Multimodal.frameSample(media).collect()
+    assert(frames.nonEmpty && !frames.exists(_.getLong(0) == 1L))
+  }
+
   test("newRows against an empty base keeps the whole batch") {
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
     assert(Dedup.newRows(batch, batch.limit(0), Seq("k")).count() === 2)
