@@ -1,7 +1,6 @@
 package graft.newsmaper
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.{Classify, Dedup}
@@ -143,7 +142,12 @@ object Newsmaper {
 
   /** Generated hour-grain calendar dimension replacing the reference's
     * never-populated `date` table (SURVEY.md §1.1): one row per hour in
-    * [start, end), surrogate id = hour index (dense, reproducible). */
+    * [start, end), surrogate id = hour index (dense, reproducible).
+    * sequence() is end-INCLUSIVE, so the endpoint is filtered out —
+    * adjacent ranges seeded back-to-back (the composition the
+    * half-open contract invites) must not emit the boundary hour twice
+    * with two different surrogate ids (the equi-join in [[explodeDate]]
+    * would fan matching articles out into permanent duplicate facts). */
   def calendarDim(spark: SparkSession, startIso: String, endIso: String): DataFrame = {
     spark.sql(
       s"""SELECT id,
@@ -151,7 +155,8 @@ object Newsmaper {
          |FROM (
          |  SELECT posexplode(sequence(
          |    timestamp'$startIso', timestamp'$endIso', interval 1 hour)) AS (id, h)
-         |)""".stripMargin)
+         |)
+         |WHERE h < timestamp'$endIso'""".stripMargin)
   }
 
   /** A2/A3/J5 — country classification by keyword majority vote
@@ -178,13 +183,15 @@ object Newsmaper {
     val dict = references.select(
       explode(col("words")).as("word"),
       // zero-pad so lexicographic tie-break = numeric asc (Classify
-      // orders labels as strings)
-      lpad(col("id").cast("string"), 10, "0").as("label"))
+      // orders labels as strings); 19 digits covers the full positive
+      // Long range — lpad TRUNCATES longer inputs, which would corrupt
+      // both the id round-trip and the tie order
+      lpad(col("id").cast("string"), 19, "0").as("label"))
     val docs = withKey
       .select(col("__doc"), concat_ws(" ", col("title"), col("description")).as("__text"))
       .distinct() // content hash ⇒ duplicates are true duplicates
     val labeled = Classify.byKeywords(docs, "__doc", "__text", dict,
-      default = "0000000001")
+      default = "0" * 18 + "1") // id 1 (France) in the same 19-digit pad
     withKey.join(labeled, Seq("__doc"))
       .withColumn("id_country", col("label").cast(LongType))
       .drop("__doc", "label")
@@ -216,13 +223,15 @@ object Newsmaper {
     * keys never match in the anti-join and the row would be re-appended
     * on every run. coalesce short-circuits, so the raise only fires on
     * an actual NULL. */
-  def load(incoming: DataFrame, existing: DataFrame): DataFrame = {
-    val guarded = incoming.withColumn("id_date",
+  /** The raise-on-miss date guard shared by [[load]] and [[loadTo]]. */
+  private def guardDates(incoming: DataFrame): DataFrame =
+    incoming.withColumn("id_date",
       coalesce(col("id_date"),
         raise_error(concat(lit("calendar miss (NULL id_date) for title="),
           col("title"))).cast(LongType)))
-    Dedup.newRows(guarded, existing, naturalKey)
-  }
+
+  def load(incoming: DataFrame, existing: DataFrame): DataFrame =
+    Dedup.newRows(guardDates(incoming), existing, naturalKey)
 
   /** K1 — append sink (/root/reference/dags/Load.py:28
     * `to_sql(if_exists='append')`): parquet append in the harness; the
@@ -244,13 +253,9 @@ object Newsmaper {
     * is taken by caching and counting the fresh set — O(batch), not a
     * rescan of the whole base. */
   def loadTo(incoming: DataFrame, path: String): Long = {
-    val spark = incoming.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
-      else incoming.limit(0)
-    val fresh = load(incoming.dropDuplicates(naturalKey), existing).persist()
+    // read-or-empty + intra-batch dedup + anti-join live in ONE place
+    // (Dedup.newRowsVsBase), shared with the streaming dedupAppendSink
+    val fresh = Dedup.newRowsVsBase(guardDates(incoming), path, naturalKey).persist()
     try {
       val appended = fresh.count()
       append(fresh, path)

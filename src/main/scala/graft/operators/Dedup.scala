@@ -30,6 +30,24 @@ object Dedup {
   def newRows(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** The dedup-append read side shared by the batch sink
+    * ([[graft.newsmaper.Newsmaper.loadTo]]) and the streaming sink
+    * ([[graft.streaming.Streams.dedupAppendSink]]): dedup the batch
+    * WITHIN itself on `keys`, then anti-join against whatever is on
+    * disk at `path` (an empty base when the path doesn't exist yet).
+    * One definition so the effectively-once semantics — intra-batch
+    * dedup rule, empty-base schema fallback, listing-snapshot read —
+    * cannot drift between the two sinks. */
+  def newRowsVsBase(batch: DataFrame, path: String, keys: Seq[String]): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+      else batch.limit(0)
+    newRows(batch.dropDuplicates(keys), existing, keys)
+  }
+
   /** Exact content dedup: group by md5 of normalized text, keep the
     * smallest id. One shuffle on a 128-bit key — at 100 TB this is the
     * canonical first dedup pass (hash is tiny vs the document bytes,

@@ -27,16 +27,33 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Arity-checked builder: wrong-arity SQL calls get the standard
+    * "invalid number of arguments" analysis error naming the function,
+    * not a raw IndexOutOfBoundsException from args(1). */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> n.toString,
+            "actualNum" -> args.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(args)
+    }
+
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+      arity("graft_dot", 2)(args => DotProduct(args.head, args(1)))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+      arity("graft_cosine", 2)(args => CosineSimilarity(args.head, args(1)))),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      arity("graft_rolling_hash", 1)(args => RollingHash(args.head))))
 
   /** Idempotent imperative registration into an existing session. */
   def register(spark: SparkSession): Unit = functions.foreach { case (id, info, builder) =>

@@ -48,7 +48,11 @@ trait VectorBinaryExpression extends BinaryExpression {
 }
 
 /** dot(a, b) = Σ aᵢ·bᵢ. NULL when lengths differ (defensive — a length
-  * mismatch is a data error, not a zero). */
+  * mismatch is a data error, not a zero) or when any element is NULL —
+  * UnsafeArrayData would silently read a null slot as 0.0, and the
+  * `zip_with`/`aggregate` twin ([[graft.functions.VectorFns.dotHof]])
+  * propagates NULL, so both implementations must surface corrupt
+  * embeddings the same way. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_dot"
 
@@ -58,7 +62,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += elemAt(left, x, i) * elemAt(right, y, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += elemAt(left, x, i) * elemAt(right, y, i); i += 1
+    }
     dot
   }
 
@@ -66,16 +73,19 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("nullElem")
       s"""
          |int ${i}n = $x.numElements();
          |if (${i}n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < ${i}n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |    $dot += ${genElem(left, x, i)} * ${genElem(right, y, i)};
          |  }
-         |  ${ev.value} = $dot;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })
@@ -84,8 +94,10 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = a·b / (‖a‖‖b‖); NULL on zero norms or length
-  * mismatch. Single fused loop — one pass computes dot and both norms. */
+/** cosine(a, b) = a·b / (‖a‖‖b‖); NULL on zero norms, length
+  * mismatch, or any NULL element (same policy and rationale as
+  * [[DotProduct]]). Single fused loop — one pass computes dot and both
+  * norms. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "graft_cosine"
 
@@ -98,6 +110,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = elemAt(left, x, i)
       val yi = elemAt(right, y, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -116,19 +129,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("nullElem")
       s"""
          |int ${i}n = $x.numElements();
          |if (${i}n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < ${i}n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |    double $xi = ${genElem(left, x, i)};
          |    double $yi = ${genElem(right, y, i)};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |  if ($bad || $denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
          |}
        """.stripMargin
     })

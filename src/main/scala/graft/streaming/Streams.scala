@@ -43,13 +43,21 @@ object Streams {
 
   /** Tumbling-window counts/sums per event type with a watermark: state
     * for windows older than `watermark` is dropped, so state size is
-    * O(active windows), not O(stream length). Batch twin: q22. */
+    * O(active windows), not O(stream length). Batch twin: q22.
+    *
+    * The sum accumulates as DECIMAL(18,2), not raw double: incremental
+    * state-merge order (partial per micro-batch) differs from the batch
+    * twin's one-pass order, and double addition is non-associative —
+    * DECIMAL makes the stream result bit-equal to the batch twin
+    * regardless of how files split into micro-batches (same policy as
+    * the q22 oracle). */
   def tumblingAgg(events: DataFrame, windowDur: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -139,7 +147,13 @@ object Streams {
       sorted.foreach { us =>
         open match {
           case Some(s) if us - s.endUs <= gapUs =>
-            open = Some(s.copy(endUs = us, n = s.n + 1))
+            // min/max, not assignment: a LATE event (>= watermark but
+            // older than the open session's end) arriving in a later
+            // micro-batch must extend the bounds, never move the end
+            // backwards — endUs = us would emit end < start and
+            // wrongly split the next on-time event into a new session
+            open = Some(SessionState(
+              math.min(s.startUs, us), math.max(s.endUs, us), s.n + 1))
           case Some(s) =>
             out += emit(userId, s)
             open = Some(SessionState(us, us, 1))
@@ -184,9 +198,33 @@ object Streams {
     * per-run dim lookups (/root/reference/dags/Transform.py:36-47).
     * The static side is planned per micro-batch (so a refreshed dim
     * table is picked up) and broadcast to the stream side; no stream
-    * state is kept. */
-  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
-    stream.join(broadcast(dim), keys)
+    * state is kept.
+    *
+    * Miss semantics are EXPLICIT because the batch path fails loudly on
+    * a dim miss (Transform.py:44-46 raise → [[graft.newsmaper.Newsmaper.load]]'s
+    * raise_error) and a streaming inner join would silently drop the
+    * row instead:
+    *  - "drop" — inner join; a stale dim silently loses events
+    *  - "keep" — left join; missed rows carry NULL dim columns for a
+    *    downstream quarantine
+    *  - "fail" — left join + raise_error; the batch-faithful semantic
+    *    (the query stops, the checkpoint replays the batch after the
+    *    dim is fixed — no data loss) */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      onMiss: String = "drop"): DataFrame = {
+    require(Set("drop", "keep", "fail")(onMiss), s"onMiss must be drop|keep|fail, got $onMiss")
+    onMiss match {
+      case "drop" => stream.join(broadcast(dim), keys)
+      case "keep" => stream.join(broadcast(dim), keys, "left_outer")
+      case "fail" =>
+        val probe = dim.columns.filterNot(keys.contains).headOption.getOrElse(
+          throw new IllegalArgumentException("dim needs a non-key column to probe misses"))
+        stream.join(broadcast(dim), keys, "left_outer")
+          .withColumn(probe, coalesce(col(probe),
+            raise_error(concat(lit("enrich miss for keys "),
+              concat_ws(",", keys.map(col): _*))).cast(dim.schema(probe).dataType)))
+    }
+  }
 
   /** Dedup-append sink via foreachBatch — the incremental form of the
     * reference's load (/root/reference/dags/Load.py:21-28): each
@@ -209,13 +247,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
-          else batch.limit(0)
-        graft.operators.Dedup.newRows(batch.dropDuplicates(keys), existing, keys)
+        graft.operators.Dedup.newRowsVsBase(batch, path, keys)
           .write.mode("append").parquet(path)
         ()
       }

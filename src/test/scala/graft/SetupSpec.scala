@@ -35,8 +35,9 @@ class SetupSpec extends SparkSpec {
       dir, "2025-08-12 00:00:00", "2025-08-12 06:00:00")
     assert(spark.read.parquet(s"$dir/sources.parquet").count() === 3)
     assert(spark.read.parquet(s"$dir/references.parquet").count() === 2)
-    // sequence() is end-inclusive: 00..06 → 7 hour rows
-    assert(spark.read.parquet(s"$dir/date.parquet").count() === 7)
+    // [start, end): 00,01,..,05 — the 06:00 endpoint belongs to the
+    // NEXT range, so adjacent seeds can't emit a boundary hour twice
+    assert(spark.read.parquet(s"$dir/date.parquet").count() === 6)
   }
 
   test("createCountries: DDL + VALUES seed, idempotent (K4/K5)") {
