@@ -209,7 +209,10 @@ object Streams {
     *    downstream quarantine
     *  - "fail" — left join + raise_error; the batch-faithful semantic
     *    (the query stops, the checkpoint replays the batch after the
-    *    dim is fixed — no data loss) */
+    *    dim is fixed — no data loss). The guard rides the first non-key
+    *    dim column, so it fires in any plan that reads dim columns
+    *    (i.e. every real enrichment consumer); a plan that prunes ALL
+    *    dim columns skips it — same laziness as the batch load guard. */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
       onMiss: String = "drop"): DataFrame = {
     require(Set("drop", "keep", "fail")(onMiss), s"onMiss must be drop|keep|fail, got $onMiss")

@@ -53,6 +53,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(r2.head.isNullAt(0) && r2.head.isNullAt(1))
   }
 
+  test("NULL array elements make dot/cosine NULL, same as the HOF twins") {
+    // UnsafeArrayData would read a null slot as 0.0; the native
+    // expressions must surface the corrupt embedding like dotHof does
+    val df = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot(col("a"), col("b")),
+      VectorFns.cosine(col("a"), col("b")),
+      VectorFns.dotHof(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("wrong-arity SQL call raises an AnalysisException naming the function") {
+    GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0F))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
   test("mixed float/double array inputs are accepted") {
     val out = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0)))
       .toDF("f", "d")

@@ -121,6 +121,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("statefulSessions: a late in-watermark event extends the session, never shrinks it") {
+    val input = MemoryStream[Event](spark)
+    val query = Streams.statefulSessions(input.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens (10:00, 10:20); watermark still far behind
+      input.addData(
+        Event(1L, ts("2025-01-01 10:00:00"), 7L, "click", 0.0),
+        Event(2L, ts("2025-01-01 10:20:00"), 7L, "click", 0.0))
+      query.processAllAvailable()
+      // batch 2: a LATE 9:55 event (within watermark), then 10:30 —
+      // 10 min after the true end, so SAME session (pre-fix, the end
+      // moved back to 9:55 and 10:30 wrongly started a new one)
+      input.addData(
+        Event(3L, ts("2025-01-01 09:55:00"), 7L, "click", 0.0),
+        Event(4L, ts("2025-01-01 10:30:00"), 7L, "click", 0.0))
+      query.processAllAvailable()
+      input.addData(Event(99L, ts("2025-01-02 10:00:00"), 7L, "click", 0.0))
+      query.processAllAvailable() // push watermark → close the session
+      val got = rows(spark.table("late_sessions_out")
+        .where(col("session_start") < ts("2025-01-01 12:00:00"))
+        .select("user_id", "session_start", "session_end", "n_events"))
+      assert(got === Set(
+        Seq(7L, ts("2025-01-01 09:55:00"), ts("2025-01-01 10:30:00"), 4L)))
+    } finally query.stop()
+  }
+
+  test("enrich onMiss: keep carries NULLs; fail raises on a dim miss") {
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+    val events = sampleEvents.toDF() // users 1 and 2; 2 is missing from dim
+    val kept = Streams.enrich(events, dim, Seq("user_id"), onMiss = "keep")
+    assert(kept.count() === events.count())
+    assert(kept.where(col("tier").isNull).count() > 0)
+    assert(Streams.enrich(events, dim, Seq("user_id")).count() < events.count())
+    intercept[Exception] {
+      // collect(), not count(): the guard rides the probe column, so a
+      // plan that prunes it (count) never evaluates the raise_error —
+      // the documented lazy-guard semantics
+      Streams.enrich(events, dim, Seq("user_id"), onMiss = "fail").collect()
+    }
+  }
+
   test("dedupAppendSink: overlapping micro-batches append each key once") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink-base").toString + "/news.parquet"
     val chk = java.nio.file.Files.createTempDirectory("graft-sink-chk").toString
