@@ -7,20 +7,25 @@ object Bench {
     // Optional comma-separated query filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=q41_minhash_lsh,q42_ngram_jaccard).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      // fail fast: a typo'd name would otherwise bench zero queries and
+      // exit 0 with a plausible-looking empty result line
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in catalog: ${unknown.mkString(", ")}")
+    }
     def selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session(cpus)
+    // Execute via the noop sink, NOT .count(): under count() Catalyst
+    // prunes projections, sorts, and aggregate expressions from the
+    // executed plan (verified: a select(md5(..)).orderBy(..) counts as
+    // a bare key scan), so the timer would miss the very work the query
+    // exists to measure — and a projection that throws would bench "ok".
+    // The noop sink materializes every output column of the full plan.
+    def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // One untimed warm-up iteration of the full catalog, then the timed
     // iteration — standard steady-state methodology: janino
     // codegen-compile and C2 JIT are one-time costs a long-running
@@ -29,13 +34,13 @@ object Bench {
     // A query that throws must surface as "err", never as a (fast) time:
     // timing the throw would let a broken query *improve* the total.
     val ordered = selected.toSeq.sortBy(_._1) // name order: run-to-run comparable
-    ordered.foreach { case (_, fn) => try fn(spark, sfDir).count()
+    ordered.foreach { case (_, fn) => try execute(fn)
       catch { case e: Throwable => System.err.println(s"[bench-warmup] ${e.getMessage}") } }
     // Two timed passes, per-query MIN: the harness VM's scheduler noise
     // measured up to 6x on driver-round-trip-heavy queries (q45 6.8s vs
     // 43s on identical code — BENCH_NOTES.md); min-of-2 is the standard
     // noise floor and still a fully executed end-to-end run.
-    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+    def timeOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Either[String, Double] = {
       // Shared-JVM hygiene: collect the previous query's garbage
       // OUTSIDE the timer so an allocation-heavy neighbor cannot tax
@@ -46,7 +51,7 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        execute(fn)
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -13,7 +13,15 @@ import graft.queries.{Events, Q, Relational, Text, Vectors}
   */
 object SparkEntry {
 
-  val catalog: Seq[Q] = Relational.all ++ Events.all ++ Text.all ++ Vectors.all
+  val catalog: Seq[Q] = {
+    val all = Relational.all ++ Events.all ++ Text.all ++ Vectors.all
+    // .toMap below keeps the LAST entry per name — a name collision
+    // across the four catalog files would silently drop a query from
+    // both verification and bench; fail loudly instead
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names in catalog: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Keyword majority-vote classification — the reference's semantic

@@ -115,7 +115,10 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
+    // short-vector exclusion, same rationale as [[bandedCosinePairs]]:
+    // ANSI element_at past the end throws; non-ANSI would collapse keys
     val bucketed = df
+      .where(size(col(vecCol)) >= dims)
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
       .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))

@@ -271,7 +271,7 @@ object Vectors {
         val d = planeDims(b)(j)
         s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
+      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings WHERE len(embedding) >= 64"
     }.mkString("\n  UNION ALL ")
     s"""WITH banded AS (
        |  $bandSelects),
@@ -343,11 +343,15 @@ object Vectors {
     * bits, cap 200): identical integer band keys from component signs,
     * identical rounded-cosine rescore. */
   lazy val bandedNeardupOracle: String = {
+    // len guard mirrors the Spark side's short-vector exclusion
+    // (Similarity.bandedCosinePairs): DuckDB's out-of-range embedding[i]
+    // is NULL → CASE ELSE 0, which would band-key a short vector Spark
+    // never scores
     val bandSelects = (0 until 8).map { b =>
       val key = (0 until 8).map { j =>
         s"(CASE WHEN embedding[${b * 8 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings"
+      s"SELECT vec_id, $b AS band, $key AS bkey FROM embeddings WHERE len(embedding) >= 64"
     }.mkString("\n  UNION ALL ")
     s"""WITH banded AS (
        |  $bandSelects),
