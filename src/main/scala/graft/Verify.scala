@@ -8,7 +8,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Harness.session(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Builder-side iteration knob (same contract as Bench): run only the
+    // named queries. The driver never sets it, so the driver always dumps
+    // the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in catalog: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // delete any previous run's output FIRST: a query that throws must
       // leave a missing directory the compare flags, never a stale
       // (previously-correct) parquet that silently masks the regression

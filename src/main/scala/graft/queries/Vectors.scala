@@ -185,12 +185,20 @@ object Vectors {
 
     // Partition-local resize (stubbed codec, real byte plumbing). The
     // stub's output payload is truncate-or-zero-pad of the source bytes
-    // at a deterministic length — expressible in SQL (BINARY column
-    // hash-compared by the driver), so this too is fully checked.
+    // at a deterministic length. The operator returns real BINARY
+    // payloads; the *catalog query* projects driver-comparable columns
+    // (md5-over-hex + byte length, q61's passing pattern) because the
+    // driver's pandas compare cannot sort raw bytearray cells. DuckDB
+    // 1.0 has no md5(BLOB), so both sides hash the uppercase hex
+    // encoding, which Spark and DuckDB render identically.
     Q("q62_media_resize", Vectors.mediaResizeOracle) { (s, d) =>
+      import org.apache.spark.sql.functions.{md5, hex, length, col}
       Multimodal.resizePartitioned(
           Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
           dstW = 256, dstH = 256)
+        .select(col("media_id"), col("mime"), col("width"), col("height"),
+          md5(hex(col("payload"))).as("payload_md5"),
+          length(col("payload")).cast("long").as("byte_len"))
         .orderBy("media_id")
     },
 
@@ -246,18 +254,26 @@ object Vectors {
   /** DuckDB twin of Multimodal.resizePartitioned(256, 256): target
     * byte length = max(16, trunc(len · (256·256 / (sw·sh)))) with the
     * stub's truncate-or-zero-pad payload (zero pad = Java
-    * `Arrays.copyOf` semantics), BINARY-compared by the driver. */
+    * `Arrays.copyOf` semantics). The payload is compared as
+    * md5(hex(bytes)) + octet_length — raw BLOB cells crash the
+    * driver's pandas sort, and DuckDB 1.0 lacks md5(BLOB); hex() is
+    * uppercase in both engines, so the derivation is bit-exact. */
   lazy val mediaResizeOracle: String =
     s"""WITH $stubDimsCte,
        |n AS (
        |  SELECT *, greatest(16, CAST(trunc(len *
        |    (CAST(256*256 AS BIGINT) / CAST(sw * sh AS DOUBLE))) AS BIGINT)) AS nlen
-       |  FROM dims)
+       |  FROM dims),
+       |r AS (
+       |  SELECT media_id, mime, nlen,
+       |    CASE WHEN nlen <= len THEN encode(substr(text, 1, CAST(nlen AS BIGINT)))
+       |         ELSE encode(text) || unhex(repeat('00', CAST(nlen - len AS BIGINT)))
+       |    END AS payload
+       |  FROM n)
        |SELECT media_id, mime, CAST(256 AS INT) AS width, CAST(256 AS INT) AS height,
-       |  CASE WHEN nlen <= len THEN encode(substr(text, 1, CAST(nlen AS BIGINT)))
-       |       ELSE encode(text) || unhex(repeat('00', CAST(nlen - len AS BIGINT)))
-       |  END AS payload
-       |FROM n ORDER BY media_id""".stripMargin
+       |  md5(hex(payload)) AS payload_md5,
+       |  CAST(octet_length(payload) AS BIGINT) AS byte_len
+       |FROM r ORDER BY media_id""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
     * planes, cap 200, k=5): band keys generated from the SAME

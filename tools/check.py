@@ -51,12 +51,15 @@ def cmp_cell(a, b):
         return False
     return (ta, va) == (tb, vb)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
               'lineitem', 'events', 'documents', 'embeddings']:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
+    if only:  # comma-separated names, pairs with Verify's SPARK_GRAFT_ONLY
+        keep = set(only.split(','))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -105,4 +108,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == '__main__':
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
