@@ -10,9 +10,10 @@ import graft.functions.TextFns
   * text handling (normalize/tokenize at
   * /root/reference/dags/Transform.py:15-17).
   *
-  * Everything is built-in-function composition (zero UDFs): each metric
-  * is one codegen'd projection over the document bytes, so the whole
-  * scorer runs in a single map stage at any scale.
+  * Everything is built-in-function composition (zero UDFs), and the
+  * hot per-token paths run as codegen'd explode + HashAggregate rather
+  * than interpreted array HOFs — shuffles move per-doc counters, never
+  * tokens or document bytes.
   */
 object TextAnalysis {
 
@@ -37,12 +38,56 @@ object TextAnalysis {
     * scale-safe choice: bit-identical regardless of partitioning. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    // Per-token metrics via explode + HashAggregate, not array HOFs:
+    // the single-projection form computed `toks = tokens(normalize(t))`
+    // and then referenced it from ~6 derived expressions — and
+    // CollapseProject re-inlines the whole split/normalize chain into
+    // EACH reference (the measured-30× mechanism documented at
+    // Dedup.simhashFingerprints), with the summed-length and stopword
+    // counts running as interpreted `aggregate`/`filter` lambdas.
+    //
+    // The doc-level metrics (n_chars, punct count) ride INSIDE the
+    // exploded array on a marker row, not as sibling projection columns:
+    // a column computed beside a Generate is re-evaluated per GENERATED
+    // row, not per input row (measured: carrying the punct-regexp as a
+    // projection column or first()-aggregate costs 2.1s at sf0.1 vs
+    // 0.49s with the marker row — the same re-inlining trap, one
+    // operator further down). Values materialized in the array data are
+    // computed exactly once per document.
+    //
+    // One codegen'd projection builds [marker ++ token structs], the
+    // per-token sums are a codegen'd HashAggregate (map-side partial
+    // combine: the shuffle moves one (id, 5 longs) row per doc, never
+    // tokens), and the aggregate is an optimizer barrier so the final
+    // ratio projection cannot re-inline the tokenizer. The marker also
+    // keeps token-less docs (empty or NULL text): every doc emits ≥1
+    // row, aggregating to nw=sl=ns=0 rather than dropping out. Like
+    // simhashFingerprints, output is one row per distinct id — ids are
+    // expected unique.
     val toks = TextFns.tokens(TextFns.normalize(t))
-    val nw = size(toks).cast("long")
-    val sl = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
-    val nc = length(t).cast("long")
-    val np = (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long")
-    val ns = size(filter(toks, x => x.isin(stopwords("en").map(lit): _*))).cast("long")
+    val marker = struct(
+      lit(null).cast("string").as("tok"),
+      length(t).cast("long").as("nc"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long").as("np"))
+    val tokRows = transform(
+      coalesce(toks, array().cast("array<string>")),
+      tok => struct(tok.as("tok"),
+        lit(null).cast("long").as("nc"), lit(null).cast("long").as("np")))
+    val exploded = df
+      .select(col(idCol), explode(concat(array(marker), tokRows)).as("__e"))
+      .select(col(idCol), col("__e.tok").as("__tok"),
+        col("__e.nc").as("__enc"), col("__e.np").as("__enp"))
+    val agg = exploded
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__enc")).as("__nc"),
+        max(col("__enp")).as("__np"),
+        sum(when(col("__tok").isNotNull, 1L).otherwise(0L)).as("__nw"),
+        coalesce(sum(length(col("__tok")).cast("long")), lit(0L)).as("__sl"),
+        sum(when(col("__tok").isin(stopwords("en").map(lit): _*), 1L)
+          .otherwise(0L)).as("__ns"))
+    val nw = col("__nw"); val sl = col("__sl"); val nc = col("__nc")
+    val np = col("__np"); val ns = col("__ns")
     // round(num/den, 4) half-up, exact: numerators stay < 2^53 so the
     // single double division is correctly rounded and floor is exact.
     def r4(num: Column, den: Column): Column =
@@ -54,7 +99,7 @@ object TextAnalysis {
     val scoreNum = nw * least(nw, lit(100L)) * 2 +
       when(wordShaped, nw * 150).otherwise(lit(0L)) +
       least(ns * 3, nw) * 150
-    df.select(
+    agg.select(
       col(idCol),
       nc.as("n_chars"),
       nw.as("n_words"),
