@@ -58,23 +58,43 @@ object Bench {
         Left(e.getClass.getSimpleName)
       }
     }
-    val results: Seq[(String, Either[String, Double])] =
+    // Adaptive pass count: 2 passes minimum; while the spread is
+    // MATERIAL (max/min > 2x AND the absolute gap > 0.5s — a 0.02s vs
+    // 0.05s jitter never earns a re-run) keep re-running up to 5
+    // passes. Round-4 post-mortem: min-of-2 recorded q42 at 10.8s when
+    // the quiet-box number was 2.5s, because BOTH passes landed in the
+    // same harness-VM scheduler stall; more chances to land outside the
+    // stall is the only in-process defense. Every pass is emitted in
+    // the JSON ("passes") so the artifact documents its own noise
+    // floor instead of asking the reader to trust the min.
+    val maxPasses = 5
+    val results: Seq[(String, Either[String, Seq[Double]])] =
       ordered.map { case (name, fn) =>
-        val a = timeOne(name, fn)
-        val b = if (a.isLeft) a else timeOne(name, fn)
-        name -> ((a, b) match {
-          case (Right(x), Right(y)) => Right(math.min(x, y))
-          case (l @ Left(_), _)     => l
-          case (_, l)               => l
-        })
+        var acc: Either[String, Vector[Double]] = Right(Vector.empty)
+        def needMore(ts: Vector[Double]): Boolean =
+          ts.size < 2 || (ts.size < maxPasses &&
+            ts.max / ts.min > 2.0 && ts.max - ts.min > 0.5)
+        while (acc.exists(needMore)) {
+          acc = (acc, timeOne(name, fn)) match {
+            case (Right(ts), Right(t)) => Right(ts :+ t)
+            case (Right(_), Left(e))   => Left(e)
+            case (l, _)                => l
+          }
+        }
+        name -> acc
       }
+    def fmt(v: Double): String = (math.rint(v * 1e6) / 1e6).toString
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
-      case (k, Left(e))  => s"\"" + k + "\":\"err:" + e + "\""
+      case (k, Right(ts)) => s"\"" + k + "\":" + fmt(ts.min)
+      case (k, Left(e))   => s"\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val passes = results.map {
+      case (k, Right(ts)) => s"\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+      case (k, Left(e))   => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
     if (errs > 0) sys.exit(1)
   }

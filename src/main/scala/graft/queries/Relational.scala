@@ -470,14 +470,40 @@ object Relational {
         .orderBy("priority")
     },
 
-    // Approximate distinct — rows-only check (sketch internals differ
-    // from DuckDB's by design; category coverage §2.5).
-    Q.noOracle("q90_approx_distinct") { (s, d) =>
+    // Approximate distinct. The raw HLL++ estimates cannot hash-match
+    // DuckDB (different sketch by design), so the checked output is
+    // (a) exact count(DISTINCT) twin columns the oracle verifies
+    // value-for-value, and (b) within-bound booleans asserting the
+    // sketch's estimate landed inside 3× its configured rsd (0.05 →
+    // 15%) of the exact count — deterministic for fixed data because
+    // HLL++ is deterministic, and the oracle pins them TRUE. The
+    // sketch genuinely executes: the booleans derive from it, so it
+    // cannot be pruned, and a degraded sketch flips a FALSE and fails
+    // the hash compare. (Category coverage §2.5: at 100 TB the sketch
+    // is the point — a fixed-width accumulator where exact distinct
+    // needs an Expand + full shuffle of the key space; the exact twins
+    // here are the sf-scale validation harness for it.)
+    Q("q90_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_bound,
+        |  TRUE AS orders_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val bound = 3 * 0.05 // 3 sigma at approx_count_distinct's default rsd
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"))
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_parts"))
+            <= col("exact_parts") * bound).as("parts_within_bound"),
+          (abs(col("__ao") - col("exact_orders"))
+            <= col("exact_orders") * bound).as("orders_within_bound"))
         .orderBy(col("l_returnflag"))
     })
 }
