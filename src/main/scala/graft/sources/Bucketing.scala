@@ -43,4 +43,18 @@ object Bucketing {
     * composed layout. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** The composed layout a real 100 TB fact actually uses: Hive-style
+    * date partitions (scan prunes to the queried range at planning
+    * time) AND hash buckets on the join key within each partition
+    * (joins against same-bucketed tables need no exchange). One scan
+    * gets both: a one-day query joining a keyed dimension reads 1/Nth
+    * of the directories and shuffles nothing. */
+  def writePartitionedBucketed(df: DataFrame, table: String,
+      partitionCol: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

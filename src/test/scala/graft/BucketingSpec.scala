@@ -72,6 +72,61 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("composed layout: date partitions AND buckets prune and join shuffle-free in ONE query") {
+    val d = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      // both asserted properties (partition pruning, bucket-aligned
+      // join) are PLANNING-time facts; AQE only wraps the plan in stage
+      // nodes that hide the scan from collectLeaves, so turn it off for
+      // a directly inspectable plan
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the fact: date-partitioned (scan prunes to the queried day) and
+      // bucketed on the join key (the join needs no exchange) — both
+      // properties must hold on the SAME scan of the SAME query
+      val events = Tables.events(spark, d)
+        .withColumn("event_date", to_date(col("ts")))
+      Bucketing.writePartitionedBucketed(events, "pb_events", "event_date", "user_id", 4)
+      // the dimension: bucketed on the same key, same bucket count
+      val users = events.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_seen"))
+      Bucketing.writeBucketed(users, "pb_users", "user_id", 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val dates = spark.table("pb_events").select("event_date")
+        .distinct().collect().map(_.getDate(0)).sorted
+      assert(dates.length > 1, "test data must span several dates for a pruning proof")
+      val oneDay = spark.table("pb_events")
+        .where(col("event_date") === lit(dates(0)))
+        .join(spark.table("pb_users"), Seq("user_id"))
+        .select(col("user_id"), col("event_id"), col("first_seen"))
+      assert(oneDay.collect().length > 0)
+
+      val exec = oneDay.queryExecution.executedPlan
+      val plan = exec.toString.split("== Initial Plan ==")(0)
+      // (a) partition pruning reached the fact scan: 1 of N date dirs
+      val factScan = exec.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("PartitionFilters").exists(_.contains("event_date")) => s
+      }.getOrElse(fail(s"no partition-filtered scan in plan:\n$plan"))
+      assert(factScan.metrics("numPartitions").value === 1,
+        s"expected 1 of ${dates.length} partition dirs read")
+      assert(factScan.metadata("Bucketed") === "true",
+        s"fact scan must also be bucketed: ${factScan.metadata}")
+      // (b) the join subtree has NO exchange on either side: both scans
+      // arrive bucket-aligned on user_id
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange"),
+        s"composed-layout join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS pb_events")
+      spark.sql("DROP TABLE IF EXISTS pb_users")
+    }
+  }
+
   test("date-partitioned layout: a partition filter reads N of M directories") {
     val d = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
