@@ -451,6 +451,36 @@ object Dedup {
       .where(col("common") >= minCommon)
   }
 
+  /** Shared-passage pairs — the exact-substring-duplication signature
+    * (the operator behind suffix-array substring dedup à la "Deduplicating
+    * Training Data Makes Language Models Better": two documents that
+    * share ANY identical run of `windowTokens` consecutive tokens are
+    * flagged, with the count of shared windows as the evidence).
+    *
+    * Same capped-inverted-index machinery as [[ngramJaccard]], reusing
+    * [[shingleHashes]] with the window length as the shingle size: the
+    * frequency cap (boilerplate passages — headers, licenses — appear
+    * in thousands of docs and carry no duplication signal) rides the
+    * SAME exchange the pair self-join needs, so the window stream is
+    * shuffled once. Shuffled rows are fixed-width (window-hash, id)
+    * longs, never text. `windowTokens` sets the duplication granularity:
+    * 50 in the paper for verbatim-passage dedup; smaller here because
+    * the synthetic docs are short. */
+  def sharedPassagePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, maxWindowFreq: Int = 50): DataFrame = {
+    val wins = shingleHashes(df, idCol, textCol, windowTokens)
+    val capped = wins
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .where(col("f") <= maxWindowFreq)
+      .drop("f")
+    capped.as("x")
+      .join(capped.as("y"), col("x.s") === col("y.s"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs above a threshold.
     * Candidate generation by shared-shingle equi-join (inverted index),
     * then |A∩B| / (|A|+|B|−|A∩B|). The per-shingle join explodes on

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFns
+
+/** Term-weighting and ranked retrieval over a document corpus — the
+  * search/scoring half an LLM-data pipeline uses for quality-aware
+  * corpus selection and query-driven subset extraction (the reference
+  * stops at keyword voting, /root/reference/dags/Transform.py:14-33;
+  * TF-IDF and BM25 are its natural corpus-scale generalization).
+  *
+  * Cross-engine float policy (the repo-wide contract): scores avoid
+  * order-dependent double summation — TF-IDF is a per-(doc,term)
+  * scalar (no sum at all) and BM25's per-document sum accumulates in
+  * DECIMAL, so results are bit-stable under any partitioning and
+  * hash-match the DuckDB oracle. `ln` is evaluated on identical IEEE
+  * inputs in both engines (integer-derived ratios), and Java
+  * `Math.log` was measured bit-identical to DuckDB/libm `ln` across
+  * the input range — no rounding needed.
+  */
+object Retrieval {
+
+  /** TF-IDF term weighting: the top-`k` terms per document by
+    * `tf · ln(N/df)`.
+    *
+    * Plan shape (sized for 100 TB):
+    *  1. explode → partial-aggregated `groupBy(id, term)` — the only
+    *     corpus-sized shuffle moves one (id, term, count) row per
+    *     distinct term per doc, never raw tokens;
+    *  2. document frequency as `count over (partition by term)` — a
+    *     window on the EXISTING aggregate output, not a join: no
+    *     second scan, no vocabulary-sized build side to broadcast
+    *     (at corpus scale the vocabulary is NOT broadcastable; hot
+    *     terms skew the term partitioning and are AQE-split);
+    *  3. corpus size N is a one-row aggregate cross-broadcast in;
+    *  4. per-doc top-k via ranked window (tie-break: term asc).
+    *
+    * No float summation anywhere: `tf`, `df`, `N` are exact longs and
+    * the score is one mul + one div + one ln on integer-derived
+    * doubles — bit-stable regardless of partitioning. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol),
+        explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = withDf
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          graft.plans.GraftExtensions.ln(
+            col("__n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  /** BM25 ranked retrieval: top-`k` documents for a bounded query-term
+    * set, scored with Okapi BM25 (the `+1` idf variant, so every
+    * matching term contributes positively).
+    *
+    * Plan shape (sized for 100 TB):
+    *  - the query-term filter runs BEFORE the first shuffle (explode →
+    *    codegen'd `isin` WHERE, no interpreted HOF): only (doc, term)
+    *    hits for the bounded term set ever leave the map stage;
+    *  - per-term document frequencies are a second aggregate over that
+    *    same tiny stream — its exchange is shared with the scoring
+    *    branch via ReusedExchange — and broadcast back (≤ |Q| rows);
+    *  - document length needs no explode: `size(tokens)` is a map-only
+    *    projection of the corpus, joined to the hits on id; corpus
+    *    scalars (N, total token count) are one broadcast row computed
+    *    from exact longs, so `avgdl = tl/n` is a single deterministic
+    *    double division;
+    *  - the per-document sum over matched terms accumulates in
+    *    DECIMAL(27,12): double addition is order-dependent in the last
+    *    ulps, DECIMAL addition is not — the score is identical under
+    *    any partitioning (and to the oracle);
+    *  - final top-k is TakeOrderedAndProject (score desc, id asc), not
+    *    a global sort.
+    *
+    * The expression tree mirrors the oracle SQL operation-for-operation
+    * (same association order), keeping every double op bit-identical
+    * across engines. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
+    val hits = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .where(col("term").isin(queryTerms.map(lit): _*))
+    val qtf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dls = docs.select(col(idCol),
+      coalesce(size(toks), lit(0)).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tl"))
+    val avgdl = col("__tl").cast("double") / col("__n").cast("double")
+    val idf = graft.plans.GraftExtensions.ln(
+      (col("__n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5) + 1.0)
+    val tfD = col("tf").cast("double")
+    val denom = tfD + (lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val contrib = (idf * (tfD * lit(k1 + 1.0))) / denom
+    qtf
+      .join(broadcast(dfs), "term")
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), contrib.as("__c"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(
+        sum(col("__c").cast(DecimalType(27, 12))).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -279,6 +279,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Int8 scalar quantization of a float vector: per-vector max-abs
+    * scale, `qᵢ = floor(xᵢ·(127/maxabs) + 0.5)` stored as TINYINT —
+    * the 4×-smaller index representation an ANN system holds in memory
+    * at corpus scale (float32 → int8). Every step is deterministic
+    * IEEE arithmetic on exactly-representable values (float→double
+    * casts are exact, the scale division and mul are correctly
+    * rounded, floor is exact), so quantized codes are bit-identical
+    * across engines and partitionings. An all-zero (or empty) vector
+    * quantizes to all zeros. Quantization is a write-time, once-per-
+    * corpus map stage — the HOF `transform` here is off the query hot
+    * path by construction. */
+  def quantizeInt8(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val m = array_max(transform(d, x => abs(x)))
+    when(coalesce(m, lit(0.0)) === 0.0,
+      transform(d, _ => lit(0).cast("byte")))
+      .otherwise(transform(d,
+        x => floor((x * (lit(127.0) / m)) + 0.5).cast("byte")))
+  }
+
+  /** Exact top-k over the QUANTIZED codes: integer dot products and an
+    * integer-derived cosine — the scoring path of an int8 ANN index.
+    * Same broadcast-query shape as [[bruteForceTopK]], but every
+    * arithmetic step before the final division is EXACT: int8 products
+    * and their sums stay ≤ dims·127² ≪ 2⁵³, so `qdot` and both
+    * squared norms are exact integers in any summation order, and the
+    * cosine is one correctly-rounded sqrt/mul/div chain on identical
+    * inputs in both engines — no accumulation-order caveat at all,
+    * which is precisely why int8 scoring reproduces bit-identically
+    * across engines while float32 scoring needs the rounding policy.
+    * @return (query_id, neighbor_id, qdot, qcos, rank) */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    def dequant(c: Column) = transform(c, x => x.cast("double"))
+    val q = queries.select(col(idCol).as("query_id"),
+      dequant(quantizeInt8(col(vecCol))).as("qq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      dequant(quantizeInt8(col(vecCol))).as("qc"))
+    val qdot = VectorFns.dot(col("qq"), col("qc"))
+    val na2 = VectorFns.dot(col("qq"), col("qq"))
+    val nb2 = VectorFns.dot(col("qc"), col("qc"))
+    // explicit dot/(sqrt·sqrt) instead of the fused cosine: the oracle
+    // mirrors this exact operation sequence on the same exact-integer
+    // inputs, so the pre-round doubles are bitwise identical
+    val qcos = when(na2 * nb2 === 0.0, lit(0.0))
+      .otherwise(qdot / (sqrt(na2) * sqrt(nb2)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("qcos"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", qdot.cast("long"))
+      .withColumn("qcos", round(qcos, roundTo))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        col("qcos"), col("rank"))
+  }
+
   /** Per-label centroids: element-wise mean via posexplode + regroup.
     * Shuffles (label, pos) pairs — dims × |labels| cells, independent of
     * corpus size after the partial aggregation. */

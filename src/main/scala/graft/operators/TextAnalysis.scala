@@ -198,6 +198,40 @@ object TextAnalysis {
       .drop("__wsrc", "__wpct")
   }
 
+  /** Stratified rebalancing: deterministically downsample every
+    * stratum (class/language/source) to ≈ the size of the smallest one
+    * — the class-balancing step before training on skewed data. Unlike
+    * [[mixCorpus]] the keep-rates are DERIVED from the data: one
+    * map-side-combined count per stratum and a one-row min, both
+    * broadcast back, so the corpus itself never shuffles — selection
+    * is a map-only filter. The ':bal'-salted md5 bucket keeps the
+    * decision independent of [[hashSplit]]/[[mixCorpus]] (sharing the
+    * hash would correlate the selections) while staying reproducible
+    * across runs, engines, and partitionings, and stable under corpus
+    * growth within a stratum's existing rows.
+    *
+    * Rates are exact-integer permyriad: `rate = (min·10⁴) div cnt`
+    * (integral `div`, no float division), so the kept fraction is
+    * bit-identical in the DuckDB oracle. The result size per stratum
+    * is ≈ min (hash-binomial, not exact-n — the price of a map-only,
+    * join-free selection; an exact-n variant would need a per-stratum
+    * rank window, one more shuffle).
+    * @return input rows that survive the rebalance */
+  def rebalanceStrata(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__cnt"))
+    val target = counts.agg(min(col("__cnt")).as("__min"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col("__stratum"),
+        expr("__min * 10000 div __cnt").as("__rate"))
+    val bucket = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":bal"))), 1, 8), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(rates), df(stratumCol) === col("__stratum"))
+      .where(bucket < col("__rate"))
+      .drop("__stratum", "__rate")
+  }
+
   /** Corpus vocabulary with dense frequency-ranked ids — the
     * token→id mapping a tokenizer-training / embedding pipeline
     * consumes. Counting is a distributed map-side-combined aggregate;

@@ -53,7 +53,10 @@ object GraftExtensions {
       arity("graft_cosine", 2)(args => CosineSimilarity(args.head, args(1)))),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      arity("graft_rolling_hash", 1)(args => RollingHash(args.head))))
+      arity("graft_rolling_hash", 1)(args => RollingHash(args.head))),
+    (FunctionIdentifier("graft_ln"),
+      new ExpressionInfo(classOf[LibmLn].getName, "graft_ln"),
+      arity("graft_ln", 1)(args => LibmLn(args.head))))
 
   /** Idempotent imperative registration into an existing session. */
   def register(spark: SparkSession): Unit = functions.foreach { case (id, info, builder) =>
@@ -67,4 +70,6 @@ object GraftExtensions {
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
   def rollingHash(c: Column): Column =
     Shim.column(RollingHash(Shim.expression(c)))
+  def ln(c: Column): Column =
+    Shim.column(LibmLn(Shim.expression(c)))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.operators.{Classify, Dedup, TextAnalysis}
+import graft.operators.{Classify, Dedup, Retrieval, TextAnalysis}
 
 /** Text-analysis + dedup coverage over `documents` — the reference's
   * Transform semantics (normalize/tokenize/keyword-vote,
@@ -357,6 +357,151 @@ object Text {
          |  CAST(strt % 1024 AS BIGINT) AS tok_offset
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.sequencePack(Tables.documents(s, d), "doc_id", "text",
+          budget = 1024, shards = 8)
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF term weighting: top terms per document. Window-based df
+    // (no vocabulary join — at corpus scale the vocabulary is not
+    // broadcastable), one-row N broadcast, no float summation anywhere
+    // so the ln-derived score hash-matches bit-exactly.
+    Q("q65_tfidf",
+      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |wd AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |  CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+         |  FROM wd, n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |                     ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df, tfidf, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      Retrieval.tfidf(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
+    },
+
+    // BM25 ranked retrieval for a bounded query-term set. The term
+    // filter runs before the first shuffle; per-doc score accumulates
+    // in DECIMAL (order-independent); expression tree mirrors the
+    // oracle op-for-op so every double is bit-identical.
+    Q("q66_bm25",
+      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
+         |hits AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('join','stream','window','sort','dup')),
+         |qtf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+         |dls AS (SELECT doc_id, CAST(coalesce(len($oTok), 0) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tl FROM dls),
+         |sc AS (SELECT q.doc_id, d.dl,
+         |   (ln((CAST(st.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |       / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(q.tf AS DOUBLE) * (1.2 + 1.0)))
+         |   / (CAST(q.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75)
+         |      + 0.75 * (CAST(d.dl AS DOUBLE)
+         |                / (CAST(st.tl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
+         |  FROM qtf q JOIN dfs f USING (term) JOIN dls d USING (doc_id), st)
+         |SELECT doc_id, dl, CAST(sum(CAST(c AS DECIMAL(27,12))) AS DOUBLE) AS score,
+         |  count(*) AS n_terms
+         |FROM sc GROUP BY doc_id, dl
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "stream", "window", "sort", "dup"), k = 10)
+    },
+
+    // Shared-passage pairs: the exact-substring-duplication signature
+    // (docs sharing any identical 8-token run) via the capped inverted
+    // index — cap rides the self-join's own exchange.
+    Q("q67_shared_passage",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |w AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 7),
+         |      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT))) AS s
+         |  FROM t WHERE len(toks) >= 8),
+         |c AS (SELECT *, count(*) OVER (PARTITION BY s) AS f FROM w),
+         |kk AS (SELECT doc_id, s FROM c WHERE f <= 50)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+         |FROM kk a JOIN kk b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Dedup.sharedPassagePairs(Tables.documents(s, d), "doc_id", "text",
+          windowTokens = 8, maxWindowFreq = 50)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Stratified rebalance: every language downsampled to ≈ the
+    // smallest one, with data-derived exact-integer rates and a
+    // ':bal'-salted deterministic hash — map-only selection.
+    Q("q68_stratified_rebalance",
+      """WITH c AS (SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |r AS (SELECT stratum, (m.mn * 10000) // cnt AS rate FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.stratum
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':bal'), 1, 8)) AS BIGINT) % 10000 < r.rate
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.rebalanceStrata(Tables.documents(s, d), "doc_id", "lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // The full LLM-corpus preprocessing pipeline as ONE Catalyst plan:
+    // quality filter → language filter → exact dedup (keep-first) →
+    // hash split → train-shard sequence packing. Every stage is an
+    // existing oracle-checked operator; this entry proves they COMPOSE
+    // (the library's real usage mode) and that the composition remains
+    // hash-checkable end-to-end.
+    Q("q70_corpus_pipeline",
+      s"""WITH t0 AS (SELECT doc_id, text, $oTok AS toks FROM documents),
+         |qm AS (SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS nw,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sl,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS BIGINT) AS ns
+         |  FROM t0),
+         |q AS (SELECT doc_id, text FROM qm WHERE
+         |    CASE WHEN nw = 0 THEN 0.0 ELSE
+         |      floor(((nw * least(nw, 100) * 2
+         |              + CASE WHEN sl >= nw * 3 AND sl <= nw * 10 THEN nw * 150 ELSE 0 END
+         |              + least(ns * 3, nw) * 150) * 20000 + nw * 500) / (nw * 1000)) / 10000.0
+         |    END >= 0.5),
+         |ltoks AS (SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         |dict(word, plang) AS (VALUES ${dictValues(langDict)}),
+         |votes AS (SELECT doc_id, plang, count(*) AS cnt
+         |  FROM ltoks JOIN dict ON tok = word GROUP BY doc_id, plang),
+         |top AS (SELECT doc_id, plang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, plang) AS rn
+         |  FROM votes),
+         |lang AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+         |  WHERE coalesce(t.plang, 'und') = 'en'),
+         |kept AS (SELECT q.doc_id, q.text FROM q JOIN lang USING (doc_id)),
+         |fp AS (SELECT doc_id, text,
+         |    row_number() OVER (PARTITION BY md5(lower(translate(text, ',;''', '   ')))
+         |                       ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |dd AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+         |tr AS (SELECT doc_id, text FROM dd
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80),
+         |pk AS (SELECT doc_id, CAST(len($oTok) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS INT) AS shard
+         |  FROM tr),
+         |cc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |    - n_tokens AS strt FROM pk)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(shard + (strt // 1024) * 8 AS BIGINT) AS seq_id,
+         |  CAST(strt % 1024 AS BIGINT) AS tok_offset
+         |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val qual = TextAnalysis.quality(docs, "doc_id", "text")
+        .where(col("quality_score") >= 0.5).select("doc_id")
+      val eng = Classify.byKeywords(docs, "doc_id", "text",
+          s.createDataFrame(langDict).toDF("word", "label"), "und")
+        .where(col("label") === "en").select("doc_id")
+      val kept = docs.join(qual, "doc_id").join(eng, "doc_id")
+      val deduped = Dedup.keepFirst(
+        kept.withColumn("__fp", TextFns.fingerprint(col("text"))),
+        Seq("__fp"), "doc_id")
+      val train = TextAnalysis.hashSplit(deduped, "doc_id")
+        .where(col("split") === "train")
+      TextAnalysis.sequencePack(train, "doc_id", "text",
           budget = 1024, shards = 8)
         .orderBy("doc_id")
     },

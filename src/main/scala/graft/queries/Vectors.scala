@@ -153,6 +153,38 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Int8 scalar quantization + quantized top-k: the 4×-smaller index
+    // representation an ANN system scores at scale. All arithmetic
+    // before the final sqrt/div is exact-integer, so the whole result
+    // hash-matches bit-exactly (no accumulation-order caveat).
+    Q("q69_quantized_topk",
+      """WITH qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN coalesce(mx, 0.0) = 0.0 THEN list_transform(dv, x -> 0.0)
+        |         ELSE list_transform(dv, x -> floor((x * (127.0 / mx)) + 0.5)) END AS qv
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |        FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.qq, c.qv) AS qd,
+        |    list_dot_product(q.qq, q.qq) AS na2,
+        |    list_dot_product(c.qv, c.qv) AS nb2
+        |  FROM q JOIN qz c ON c.vec_id <> q.query_id),
+        |s2 AS (SELECT query_id, neighbor_id, CAST(qd AS BIGINT) AS qdot,
+        |    round(CASE WHEN na2 * nb2 = 0.0 THEN 0.0
+        |               ELSE qd / (sqrt(na2) * sqrt(nb2)) END, 4) AS qcos
+        |  FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY qcos DESC, neighbor_id) AS rank FROM s2)
+        |SELECT query_id, neighbor_id, qdot, qcos, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(
+          emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Multimodal: binary payload column + metadata/feature extraction
     // (decode stubbed — container has no codecs; plumbing is real).
     Q("q60_media_features",

@@ -145,6 +145,30 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sharedPassagePairs: docs sharing an 8-token run pair; the cap drops boilerplate windows") {
+    val run = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"intro words $run closing remarks"),
+      (2L, s"different opening $run other tail content"),
+      (3L, "no shared passage here at all just unique tokens galore today"),
+      // 4,5,6 all share a DIFFERENT 8-token run -> window freq 3
+      (4L, s"alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, s"alpha beta gamma delta epsilon zeta eta theta x"),
+      (6L, s"alpha beta gamma delta epsilon zeta eta theta y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedPassagePairs(docs, "doc_id", "text",
+        windowTokens = 8, maxWindowFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), "docs sharing the 8-token run must pair")
+    assert(out((1L, 2L)) === 1L)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the (4,5,6)-shared window appears in 3 docs > cap 2 — dropped,
+    // UNLESS a pair also shares an uncapped window (5,6 share
+    // 'beta..theta x'? no — x vs y: no other 8-run in common)
+    assert(!out.contains((4L, 5L)) && !out.contains((4L, 6L)) && !out.contains((5L, 6L)),
+      s"capped window must not generate pairs: $out")
+  }
+
   test("simhash guards: bits capped at the 32-bit base hash; maxDist < bands (pigeonhole)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -103,6 +103,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getLong(2) === 97L)
   }
 
+  test("graft_ln is platform libm (Math.log), with libm edge semantics") {
+    import graft.plans.GraftExtensions
+    val r = spark.range(1).select(
+      GraftExtensions.ln(lit(3.0)).as("l3"),
+      GraftExtensions.ln(lit(0.0)).as("l0"),
+      GraftExtensions.ln(lit(-1.0)).as("ln1"),
+      GraftExtensions.ln(lit(null).cast("double")).as("lnull")).collect().head
+    // the whole point of the expression: Math.log, not StrictMath.log
+    // (Spark's builtin `log` gives 1.0986122886681096 here — fdlibm)
+    assert(r.getDouble(0) === java.lang.Math.log(3.0))
+    assert(r.getDouble(1).isNegInfinity)
+    assert(r.getDouble(2).isNaN)
+    assert(r.isNullAt(3))
+  }
+
   test("codegen and interpreted paths agree (force both via filter on computed col)") {
     // collect() on a local relation exercises interpreted eval; the
     // embeddings-table test above runs through WholeStageCodegen. Here

@@ -78,6 +78,42 @@ class SimilaritySpec extends SparkSpec {
     assert(out2.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("quantizeInt8: max-abs scaling, exact half-up codes, zero-vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    // scale = 127/2 = 63.5: 1.0→floor(64.0)=64, -2.0→floor(-126.5)=-127,
+    // 0.5→floor(32.25)=32
+    assert(out(1L) === Seq[Byte](64, -127, 32))
+    assert(out(2L) === Seq[Byte](0, 0, 0))
+  }
+
+  test("quantizedTopK: identical vectors score qcos 1.0 at rank 1; qdot is the exact integer dot") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -1.0f)),
+      (10L, Array(1.0f, 2.0f, -1.0f)),   // same direction as query 1
+      (11L, Array(-1.0f, -2.0f, 1.0f)),  // exactly opposite
+      (12L, Array(2.0f, -1.0f, 0.0f))    // orthogonal-ish
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(df, df.where(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // codes for (1,2,-1): scale 63.5 → (64, 127, -63); the opposite
+    // vector codes to (-63, -127, 64) — floor(x+0.5) is NOT
+    // antisymmetric, so its dot is -24193, not -24194
+    val d = 64L * 64 + 127L * 127 + 63L * 63
+    val dOpp = -(64L * 63 + 127L * 127 + 63L * 64)
+    assert(byId(10L) === ((10L, d, 1.0, 1)))
+    assert(byId(11L)._2 === dOpp)
+    assert(byId(11L)._3 === -1.0) // -24193/24194 rounds to -1.0 at 4dp
+    assert(out.map(_._4).sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("centroids computes per-label element-wise means") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)), ("b", Array(10.0f, 20.0f))

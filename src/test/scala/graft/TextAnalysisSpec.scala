@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -112,6 +112,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!bySrc.contains("s1"))         // weight 0 -> none kept
     assert(bySrc("s2") === 100L)          // absent from weights -> all kept
     assert(rows(out) === rows(TextAnalysis.mixCorpus(docs, "doc_id", "source", weights)))
+  }
+
+  test("rebalanceStrata: minority stratum kept whole, majority cut to its derived rate, deterministic") {
+    val docs = ((1L to 400L).map(i => (i, "big")) ++ (401L to 440L).map(i => (i, "small")))
+      .toDF("doc_id", "stratum")
+    val out = TextAnalysis.rebalanceStrata(docs, "doc_id", "stratum")
+    val again = TextAnalysis.rebalanceStrata(docs, "doc_id", "stratum")
+    assert(rows(out) === rows(again)) // reproducible
+    val by = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // min stratum rate = (40*10000) div 40 = 10000 -> every bucket < 10000 kept
+    assert(by("small") === 40L)
+    // majority rate = (40*10000) div 400 = 1000 permyriad; the kept set
+    // is exactly the rows whose ':bal'-salted bucket < 1000
+    val expectBig = docs.where(col("stratum") === "big")
+      .where(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":bal"))), 1, 8), 16, 10)
+        .cast("long") % 10000 < 1000)
+      .count()
+    assert(by("big") === expectBig)
+    assert(by("big") < 100L, s"400-row stratum should land near 40, got ${by("big")}")
   }
 
   test("hashSplit: deterministic, total, and respects cut thresholds") {
