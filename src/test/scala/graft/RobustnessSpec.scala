@@ -33,6 +33,12 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.crossOverlap(emptyDocs, emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+    assert(Dedup.sharedPassagePairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Retrieval.tfidf(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Retrieval.bm25(emptyDocs, "doc_id", "text", Seq("x"), 5).count() === 0)
+    assert(TextAnalysis.rebalanceStrata(
+      Seq.empty[(Long, String)].toDF("doc_id", "stratum"),
+      "doc_id", "stratum").count() === 0)
   }
 
   test("similarity operators run on an empty embedding table") {
@@ -43,6 +49,8 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.cosinePairs(emptyEmb, "vec_id", "embedding", 0.5).count() === 0)
     assert(Similarity.bandedCosinePairs(emptyEmb, "vec_id", "embedding", 0.5,
       bands = 2, bitsPerBand = 2).count() === 0)
+    assert(Similarity.quantizedTopK(emptyEmb, emptyEmb, "vec_id", "embedding", 5)
+      .count() === 0)
   }
 
   test("text operators tolerate NULL and empty text (no throw, ids preserved)") {
@@ -67,6 +75,12 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(nullDocs, "doc_id", "text").count() === 0)
     // exact dedup: NULL text hashes to a NULL fingerprint group
     assert(Dedup.exact(nullDocs, "doc_id", "text").count() >= 2)
+    // retrieval: NULL/empty docs simply contribute no terms (tf side)
+    // and a 0 dl (stats side) — no throw, real doc still scored
+    assert(Retrieval.tfidf(nullDocs, "doc_id", "text", 3).count() === 3)
+    assert(Retrieval.bm25(nullDocs, "doc_id", "text", Seq("real"), 5)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(Dedup.sharedPassagePairs(nullDocs, "doc_id", "text").count() === 0)
   }
 
   test("multimodal paths tolerate NULL payloads (schema allows them)") {
