@@ -95,11 +95,25 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
+    // the explicit isNotNull matches the predicate the dls inner join
+    // infers onto the scoring branch — without it the two consumers of
+    // this stream see different pushed scan filters and the shared
+    // (id, term) exchange cannot canonicalize to one subtree
     val hits = docs
+      .where(col(idCol).isNotNull)
       .select(col(idCol), explode(toks).as("term"))
       .where(col("term").isin(queryTerms.map(lit): _*))
     val qtf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfs = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // `tf >= 1` is a tautology (tf counts >= 1 row per group), but
+    // Catalyst cannot prove it, so the predicate keeps `tf` REQUIRED
+    // in this branch — without it column pruning rewrites this copy of
+    // the (id, term) aggregate into a bare DISTINCT (`count(tf)` is no
+    // help: the optimizer normalizes count-of-non-nullable back to
+    // count(1) first). With both consumers structurally identical, the
+    // (id, term) exchange is planned ONCE and this branch picks it up
+    // as a ReusedExchange: one explode of the corpus, not two.
+    val dfs = qtf.where(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dls = docs.select(col(idCol),
       coalesce(size(toks), lit(0)).cast("long").as("dl"))
     val stats = dls.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tl"))

@@ -12,10 +12,14 @@ import graft.ExplainCheck.{PlanStats, audit, byDesignBnlj, readExpectations}
   *    query can ship at 100 TB);
   *  - the exchange count must not exceed the recorded expectation (a
   *    new Exchange means a shuffle crept into a plan that used to
-  *    reuse or avoid one — e.g. a lost ReusedExchange).
+  *    reuse or avoid one);
+  *  - the ReusedExchange count must not drop below the recorded
+  *    expectation (losing a reuse silently doubles a scan/explode —
+  *    the q66 failure mode: two canonically-different copies of the
+  *    same (id, term) aggregate each exploding the corpus).
   *
-  * Fewer exchanges than recorded passes (improvements land freely) —
-  * rerun `-write` to tighten the file.
+  * Fewer exchanges / more reuse than recorded passes (improvements
+  * land freely) — rerun `-write` to tighten the file.
   */
 class PlanAuditSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
@@ -42,6 +46,9 @@ class PlanAuditSpec extends SparkSpec {
         assert(s.exchanges <= e.exchanges,
           s"$name exchange-count regression: ${s.exchanges} > recorded ${e.exchanges} " +
             "(a shuffle crept in; if intentional, rerun ExplainCheck -write)")
+        assert(s.reused >= e.reused,
+          s"$name lost a ReusedExchange: ${s.reused} < recorded ${e.reused} " +
+            "(a shared subtree stopped canonicalizing; a scan/explode now runs twice)")
       }
     }
   }
