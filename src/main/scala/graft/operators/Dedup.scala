@@ -386,6 +386,41 @@ object Dedup {
     }
   }
 
+  /** End-to-end near-duplicate REMOVAL: the cleaned corpus, which is
+    * what a training pipeline actually consumes (the pair/cluster
+    * operators are its building blocks and diagnostics). Composes
+    * [[minhashLsh]] → [[connectedComponents]] → keep the minimum-id
+    * member of every near-dup cluster, drop the rest.
+    *
+    * Scale shape: document payloads never enter the LSH/cluster
+    * machinery — candidate generation and clustering move only (id,
+    * hash)/(id, label) rows, and the full-width corpus appears exactly
+    * twice, both times scanned: once feeding the shingle explode, once
+    * as the left side of the final anti-join. The dropped-id set is NOT
+    * broadcast by construction: on a dup-heavy crawl it approaches
+    * corpus size, so the anti-join hash-partitions both sides on id
+    * (AQE demotes it to broadcast when it measures small).
+    *
+    * Keep-min-id is the same deterministic survivor rule as
+    * [[keepFirst]] — re-running on the same corpus keeps the same
+    * documents, and the survivor is independent of partitioning.
+    *
+    * @param minCommonBands require at least this many shared LSH bands
+    *        before two docs are considered near-dup linked (1 = any
+    *        band collision, the standard OR-amplified LSH rule)
+    * @return the surviving rows of `df`, schema unchanged */
+  def nearDedupCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
+      maxBandFreq: Int = 100, minCommonBands: Int = 1): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, shingleN, numHashes, bands, maxBandFreq)
+      .where(col("n_common_bands") >= minCommonBands)
+    val dropped = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word-shingle hash set per document as (id, s) rows.
     * Shingles are built by position-explode + slice/concat_ws (codegen)
     * with set semantics restored by distinct() — the per-row

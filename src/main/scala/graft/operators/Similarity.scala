@@ -337,6 +337,67 @@ object Similarity {
         col("qcos"), col("rank"))
   }
 
+  /** Lloyd's k-means over an embedding column: `iters` fixed rounds of
+    * assign-then-update from a deterministic seed (the k smallest ids'
+    * vectors) — the semantic-clustering primitive behind
+    * cluster-balanced sampling and semantic dedup.
+    *
+    * Scale shape — NO corpus-sized shuffle anywhere:
+    *  - centroids are MODEL STATE, not data: k·dims doubles, collected
+    *    to the driver between rounds and re-inlined as literal arrays
+    *    (the spark.ml KMeans pattern — `collect()` on a k·dims
+    *    aggregate is parameter sync, not a driver-side data loop);
+    *  - assignment is map-only: the k cosines are UNROLLED into one
+    *    codegen'd projection (array of (score, -cid) structs →
+    *    array_max), no join, no HOF lambda, no shuffle;
+    *  - the update shuffles only (cid, dim) partial sums — k·dims rows
+    *    after map-side combine, independent of corpus size.
+    *
+    * Cross-engine determinism: scores are round(cosine, `roundTo`)
+    * with ties to the smallest centroid id (max over (s, -cid));
+    * centroid means accumulate in DECIMAL(20,10) (order-independent)
+    * and divide once in double — both sides of the oracle compute
+    * bit-identical centroids, so even the ROUND-2 assignment
+    * hash-matches. A cluster that loses all members simply drops out
+    * (standard dead-centroid behavior, mirrored by the oracle).
+    *
+    * @return (id, cluster_id, cosine) — final-round assignment */
+  def kmeans(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundTo: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      val scored = array(cents.sortBy(_._1).map { case (cid, cv) =>
+        struct(
+          round(VectorFns.cosine(col("__v"), array(cv.map(lit): _*)), roundTo)
+            .as("s"),
+          lit(-cid).as("nc"))
+      }: _*)
+      e.withColumn("__best", array_max(scored))
+        .select(col("__id"), col("__v"),
+          (-col("__best.nc")).as("cluster_id"), col("__best.s").as("cosine"))
+    }
+    def update(assigned: DataFrame): Seq[(Long, Seq[Double])] =
+      assigned
+        .select(col("cluster_id"), posexplode(col("__v")).as(Seq("__pos", "__val")))
+        .groupBy(col("cluster_id"), col("__pos"))
+        .agg((sum(col("__val").cast(org.apache.spark.sql.types.DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("__mv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }.toSeq
+    var cents: Seq[(Long, Seq[Double])] = e.orderBy(col("__id")).limit(k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    var assigned = assign(cents)
+    for (_ <- 1 until iters) assigned = assign(update(assigned))
+    assigned.select(col("__id").as(idCol), col("cluster_id"), col("cosine"))
+  }
+
   /** Per-label centroids: element-wise mean via posexplode + regroup.
     * Shuffles (label, pos) pairs — dims × |labels| cells, independent of
     * corpus size after the partial aggregation. */

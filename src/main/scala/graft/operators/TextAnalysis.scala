@@ -86,27 +86,161 @@ object TextAnalysis {
         coalesce(sum(length(col("__tok")).cast("long")), lit(0L)).as("__sl"),
         sum(when(col("__tok").isin(stopwords("en").map(lit): _*), 1L)
           .otherwise(0L)).as("__ns"))
+    qualityProjection(agg, idCol)
+  }
+
+  /** round(num/den, 4) half-up, exact: numerators stay < 2^53 so the
+    * single double division is correctly rounded and floor is exact. */
+  private def r4(num: Column, den: Column): Column =
+    when(den === lit(0L), lit(0.0))
+      .otherwise(floor((num * 20000 + den) / (den * 2)).cast("double") / 10000.0)
+
+  /** The quality ratio/score projection over an aggregate carrying
+    * (__nc, __np, __nw, __sl, __ns) — shared by [[quality]] and
+    * [[corpusGate]] so the two can never drift. `extra` columns ride
+    * along unchanged (the gate appends its language label). */
+  private def qualityProjection(
+      agg: DataFrame, idCol: String, extra: Column*): DataFrame = {
     val nw = col("__nw"); val sl = col("__sl"); val nc = col("__nc")
     val np = col("__np"); val ns = col("__ns")
-    // round(num/den, 4) half-up, exact: numerators stay < 2^53 so the
-    // single double division is correctly rounded and floor is exact.
-    def r4(num: Column, den: Column): Column =
-      when(den === lit(0L), lit(0.0))
-        .otherwise(floor((num * 20000 + den) / (den * 2)).cast("double") / 10000.0)
     // composite = min(nw,100)/100·0.4 + [3 ≤ sl/nw ≤ 10]·0.3
     //           + min(3·ns/nw, 1)·0.3  — as one rational N / (500·nw):
     val wordShaped = sl >= nw * 3 && sl <= nw * 10
     val scoreNum = nw * least(nw, lit(100L)) * 2 +
       when(wordShaped, nw * 150).otherwise(lit(0L)) +
       least(ns * 3, nw) * 150
-    agg.select(
+    agg.select(Seq(
       col(idCol),
       nc.as("n_chars"),
       nw.as("n_words"),
       r4(sl, nw).as("mean_word_len"),
       r4(np, nc).as("punct_ratio"),
       r4(ns, nw).as("stopword_ratio"),
-      r4(scoreNum, nw * 500).as("quality_score"))
+      r4(scoreNum, nw * 500).as("quality_score")) ++ extra: _*)
+  }
+
+  /** Quality metrics AND keyword-vote label in ONE token pass — the
+    * fused corpus gate a preprocessing pipeline runs before anything
+    * else. Running [[quality]] and [[Classify.byKeywords]] separately
+    * scans and explodes the corpus twice; at 100 TB the text scan +
+    * split IS the cost, so the gate pays it once.
+    *
+    * Fusion shape:
+    *  - one explode of the marker+token array (identical to
+    *    [[quality]]'s — token-less docs still emit the marker row);
+    *  - a broadcast LEFT join against the dictionary. One word may
+    *    carry several labels (the fr/es stopword lists share 'de',
+    *    'la', 'un'), which duplicates that token's row per label —
+    *    correct for voting, but it would double-count the token in the
+    *    quality sums. The dictionary therefore pre-marks ONE canonical
+    *    row per word (min label — computed on the broadcast side,
+    *    dictionary-sized) and the quality sums count a token only on
+    *    its canonical (or unmatched) row. Integer-exact: no fractional
+    *    de-duplication weights;
+    *  - aggregate per (id, label): map-side combine collapses to at
+    *    most |languages|+1 rows per doc BEFORE the shuffle — the wire
+    *    moves per-doc counters, never tokens;
+    *  - aggregate per id: sum the quality counters across label
+    *    groups; the label argmax is min(struct(-cnt, label)) — highest
+    *    count, ties to the smallest label, byKeywords' exact order —
+    *    with no-vote docs defaulting.
+    *
+    * Output: [[quality]]'s columns plus `label`. Hash-equivalent to
+    * quality ⋈ byKeywords by construction (q70's oracle is the proof).
+    */
+  def corpusGate(
+      df: DataFrame, idCol: String, textCol: String,
+      dict: DataFrame, // columns: word STRING, label STRING
+      default: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFns.tokens(TextFns.normalize(t))
+    val marker = struct(
+      lit(null).cast("string").as("tok"),
+      length(t).cast("long").as("nc"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long").as("np"))
+    val tokRows = transform(
+      coalesce(toks, array().cast("array<string>")),
+      tok => struct(tok.as("tok"),
+        lit(null).cast("long").as("nc"), lit(null).cast("long").as("np")))
+    val exploded = df
+      .select(col(idCol), explode(concat(array(marker), tokRows)).as("__e"))
+      .select(col(idCol), col("__e.tok").as("__tok"),
+        col("__e.nc").as("__enc"), col("__e.np").as("__enp"))
+    val canonical = dict.select(col("word"), col("label"),
+      (col("label") === min(col("label")).over(Window.partitionBy(col("word"))))
+        .as("__canon"))
+    val joined = exploded.join(broadcast(canonical),
+      exploded("__tok") === canonical("word"), "left")
+    // countMe: this row represents the token once (its canonical dict
+    // row, or the unmatched/marker row) — quality sums gate on it
+    val countMe = coalesce(col("__canon"), lit(true))
+    val perLabel = joined
+      .groupBy(col(idCol), col("label"))
+      .agg(
+        max(col("__enc")).as("__pnc"),
+        max(col("__enp")).as("__pnp"),
+        sum(when(col("__tok").isNotNull && countMe, 1L).otherwise(0L)).as("__pnw"),
+        sum(when(countMe, length(col("__tok"))).cast("long")).as("__psl"),
+        sum(when(countMe && col("__tok").isin(stopwords("en").map(lit): _*), 1L)
+          .otherwise(0L)).as("__pns"),
+        count(lit(1)).as("__pcnt"))
+    val agg = perLabel
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__pnc")).as("__nc"),
+        max(col("__pnp")).as("__np"),
+        sum(col("__pnw")).as("__nw"),
+        coalesce(sum(col("__psl")), lit(0L)).as("__sl"),
+        sum(col("__pns")).as("__ns"),
+        min(when(col("label").isNotNull,
+          struct((-col("__pcnt")).as("neg"), col("label").as("lbl")))).as("__best"))
+    qualityProjection(agg, idCol,
+      coalesce(col("__best").getField("lbl"), lit(default)).as("label"))
+  }
+
+  /** Overlapping fixed-size token chunks — the passage-extraction step
+    * a retrieval/embedding pipeline runs before encoding (windows of
+    * `chunkTokens` tokens every `strideTokens`, so consecutive chunks
+    * overlap by `chunkTokens - strideTokens`).
+    *
+    * Chunk starts are 0, stride, 2·stride, … with the last start
+    * chosen so every token is covered exactly once past the overlap:
+    * k runs to ceil(max(n − chunk, 0) / stride), the final chunk may
+    * be short, token-less docs emit nothing. All arithmetic is
+    * integer (ceil as (x + stride − 1) div stride), so the chunk grid
+    * is engine-portable.
+    *
+    * Scale shape: one scan, one Generate — the token array is
+    * materialized once per doc and CARRIED through the explode (array
+    * data, not a sibling projection that CollapseProject would
+    * re-inline per generated row), each output row slicing the carried
+    * array. Map-only: no shuffle at all; chunk rows inherit the scan's
+    * partitioning.
+    *
+    * @return (id, chunk_id, start_tok [1-based], n_tok, chunk_text) */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      "strideTokens must be in [1, chunkTokens]")
+    val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
+    val n = size(col("__toks")).cast("long")
+    val lastK = (greatest(n - chunkTokens, lit(0L)) + (strideTokens - 1))
+      .divide(strideTokens).cast("long")
+    val start = (col("__k") * strideTokens + 1).cast("long")
+    graft.sources.Tables.widen(df)
+      .select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), lastK)).as("__k"))
+      .select(
+        col(idCol),
+        col("__k").as("chunk_id"),
+        start.as("start_tok"),
+        least(lit(chunkTokens.toLong), n - col("__k") * strideTokens).as("n_tok"),
+        concat_ws(" ",
+          slice(col("__toks"), start.cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 
   /** Stopword-overlap language ID: count token hits per language list,

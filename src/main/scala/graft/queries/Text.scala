@@ -116,6 +116,65 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // The fused corpus gate: q32's quality metrics AND a keyword-vote
+    // language label from ONE explode (separate quality + classify
+    // passes scan the corpus twice; the fused aggregate ships per-doc
+    // counters over the wire). Oracle = quality CTE ⋈ vote-argmax CTE.
+    Q("q72_corpus_gate",
+      s"""WITH t AS (SELECT doc_id, text, $oTok AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(toks) AS BIGINT) AS nw,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sl,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS np,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS BIGINT) AS ns
+         |  FROM t),
+         |ltoks AS (SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         |dict(word, plang) AS (VALUES ${dictValues(langDict)}),
+         |votes AS (SELECT doc_id, plang, count(*) AS cnt
+         |  FROM ltoks JOIN dict ON tok = word GROUP BY doc_id, plang),
+         |top AS (SELECT doc_id, plang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, plang) AS rn
+         |  FROM votes)
+         |SELECT m.doc_id,
+         |  nc AS n_chars,
+         |  nw AS n_words,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE floor((sl * 20000 + nw) / (nw * 2)) / 10000.0 END AS mean_word_len,
+         |  CASE WHEN nc = 0 THEN 0.0 ELSE floor((np * 20000 + nc) / (nc * 2)) / 10000.0 END AS punct_ratio,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE floor((ns * 20000 + nw) / (nw * 2)) / 10000.0 END AS stopword_ratio,
+         |  CASE WHEN nw = 0 THEN 0.0 ELSE
+         |    floor(((nw * least(nw, 100) * 2
+         |            + CASE WHEN sl >= nw * 3 AND sl <= nw * 10 THEN nw * 150 ELSE 0 END
+         |            + least(ns * 3, nw) * 150) * 20000 + nw * 500) / (nw * 1000)) / 10000.0
+         |  END AS quality_score,
+         |  coalesce(t2.plang, 'und') AS label
+         |FROM m LEFT JOIN (SELECT doc_id, plang FROM top WHERE rn = 1) t2
+         |  ON m.doc_id = t2.doc_id
+         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.corpusGate(Tables.documents(s, d), "doc_id", "text",
+          s.createDataFrame(langDict).toDF("word", "label"), "und")
+        .orderBy("doc_id")
+    },
+
+    // Overlapping token chunks (6-token windows every 3): the passage
+    // grid an embedding pipeline encodes. Map-only — no shuffle; the
+    // integer chunk arithmetic makes the grid oracle-portable.
+    Q("q73_chunk_docs",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |k AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, (greatest(len(toks) - 6, 0) + 2) // 3)) AS k
+         |  FROM t WHERE len(toks) >= 1)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(k * 3 + 1 AS BIGINT) AS start_tok,
+         |  CAST(least(6, len(toks) - k * 3) AS BIGINT) AS n_tok,
+         |  array_to_string(list_slice(toks, k * 3 + 1, k * 3 + 6), ' ') AS chunk_text
+         |FROM k ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 6, strideTokens = 3)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Language ID by stopword-overlap vote; 'und' when nothing matches.
     Q("q33_lang_id",
       s"""WITH toks AS (
@@ -204,6 +263,17 @@ object Text {
       Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
           shingleN = 5, numHashes = 12, bands = 4)
         .orderBy("id_a", "id_b")
+    },
+
+    // End-to-end near-dup REMOVAL: LSH pairs → connected components →
+    // keep the min-id member per cluster. The cleaned-corpus
+    // deliverable the pair/cluster queries feed; payloads never enter
+    // the candidate machinery (anti-join at the end).
+    Q("q71_neardedup_corpus", Text.nearDedupOracle) { (s, d) =>
+      Dedup.nearDedupCorpus(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 5, numHashes = 12, bands = 4, maxBandFreq = 100)
+        .select("doc_id", "source", "lang", "text")
+        .orderBy("doc_id")
     },
 
     // Exact n-gram Jaccard near-dup pairs (inverted-index candidate
@@ -490,12 +560,14 @@ object Text {
          |  CAST(strt % 1024 AS BIGINT) AS tok_offset
          |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val qual = TextAnalysis.quality(docs, "doc_id", "text")
-        .where(col("quality_score") >= 0.5).select("doc_id")
-      val eng = Classify.byKeywords(docs, "doc_id", "text",
+      // quality + language in ONE token pass (corpusGate) — the fused
+      // form of the quality ⋈ byKeywords pair this query originally
+      // composed; the unchanged oracle is the fusion-correctness proof
+      val gate = TextAnalysis.corpusGate(docs, "doc_id", "text",
           s.createDataFrame(langDict).toDF("word", "label"), "und")
-        .where(col("label") === "en").select("doc_id")
-      val kept = docs.join(qual, "doc_id").join(eng, "doc_id")
+        .where(col("quality_score") >= 0.5 && col("label") === "en")
+        .select("doc_id")
+      val kept = docs.join(gate, "doc_id")
       val deduped = Dedup.keepFirst(
         kept.withColumn("__fp", TextFns.fingerprint(col("text"))),
         Seq("__fp"), "doc_id")
@@ -528,7 +600,10 @@ object Text {
     * base hash per shingle, 12 `(a·h + b) mod P` permutations from the
     * SAME frozen coefficient list as the Spark side, plus the same
     * band-key frequency cap. */
-  lazy val minhashOracle: String = {
+  /** The CTE chain shared by [[minhashOracle]] and
+    * [[nearDedupOracle]]: shingle hashes → 12 permutation minima → 4
+    * band keys → frequency-capped (band, bkey) postings. */
+  private lazy val minhashPairCtes: String = {
     val p = Dedup.minhashP
     val sigs = Dedup.minhashCoeffs.take(12).zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $p)) AS h$i"
@@ -537,7 +612,7 @@ object Text {
       val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(length(t) - 4, 1)),
@@ -554,12 +629,42 @@ object Text {
        |  SELECT doc_id, band, bkey FROM (
        |    SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS f
        |    FROM banded)
-       |  WHERE f <= 100)
+       |  WHERE f <= 100)""".stripMargin
+  }
+
+  lazy val minhashOracle: String =
+    s"""WITH $minhashPairCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common_bands
        |FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** DuckDB twin of Dedup.nearDedupCorpus(5, 12, 4, cap 100, ≥1 band):
+    * the q41 candidate pairs closed into components by recursive
+    * reachability, every non-minimum member dropped, survivors
+    * returned. NOT EXISTS (not NOT IN) so a NULL doc_id survives —
+    * matching Spark left_anti's never-matching NULL key. */
+  lazy val nearDedupOracle: String =
+    s"""WITH RECURSIVE
+       |$minhashPairCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+       |dropped AS (
+       |  SELECT id FROM reach GROUP BY id HAVING id <> min(comp))
+       |SELECT d.doc_id, d.source, d.lang, d.text FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.ngramJaccard(3, 0.5, 100) — same 60-bit
     * md5-prefix shingle hashing as the Spark side. */

@@ -101,6 +101,38 @@ object Vectors {
         .orderBy("label", "dim")
     },
 
+    // k-means (2 Lloyd rounds, k=8, seeded from the 8 smallest ids):
+    // centroids are collected model state re-inlined as literals, so
+    // assignment is map-only unrolled codegen and the update shuffles
+    // only (cid, dim) sums. DECIMAL centroid means make even the
+    // round-2 assignment bit-identical to the oracle's unrolled CTEs.
+    Q("q74_kmeans",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |  FROM e CROSS JOIN c0 c),
+        |b1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rn FROM a1),
+        |as1 AS (SELECT vec_id, v, cid FROM b1 WHERE rn = 1),
+        |u1 AS (SELECT cid, dim,
+        |    CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+        |        FROM as1)
+        |  GROUP BY cid, dim),
+        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+        |a2 AS (SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |  FROM e CROSS JOIN c1 c),
+        |b2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rn FROM a2)
+        |SELECT vec_id, cid AS cluster_id, s AS cosine
+        |FROM b2 WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN — the scale path (OR-amplified bands bound the
     // candidate set, hot buckets capped). Sign-plane keys are integer-
     // only and the rescore is rounded, so the approximate result is

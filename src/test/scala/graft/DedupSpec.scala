@@ -117,6 +117,35 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 1L, 6L))) // 8 tokens -> 6 trigrams, all shared
   }
 
+  test("nearDedupCorpus keeps the min-id member per near-dup cluster, schema unchanged") {
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, near),                       // cluster {1,2,5}: identical text
+      (2L, near),
+      (5L, near),
+      (3L, "completely unrelated words about gardening tulips and soil"),
+      (4L, "")                          // no shingles: never a candidate, must survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDedupCorpus(docs, "doc_id", "text",
+      shingleN = 5, numHashes = 12, bands = 4)
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(5L),
+      s"cluster {1,2,5} must keep exactly its minimum id; kept=$kept")
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("nearDedupCorpus is idempotent: a cleaned corpus survives unchanged") {
+    val near = "spark shuffles partitions across executors with broadcast joins"
+    val docs = Seq(
+      (1L, near), (2L, near),
+      (3L, "other text entirely different from the duplicated pair here")
+    ).toDF("doc_id", "text")
+    val once = Dedup.nearDedupCorpus(docs, "doc_id", "text")
+    val twice = Dedup.nearDedupCorpus(once, "doc_id", "text")
+    assert(rows(once) === rows(twice))
+  }
+
   test("connectedComponents: transitive chains collapse to min-id clusters") {
     // 1-2, 2-3 chain and isolated 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")

@@ -39,6 +39,11 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.rebalanceStrata(
       Seq.empty[(Long, String)].toDF("doc_id", "stratum"),
       "doc_id", "stratum").count() === 0)
+    assert(TextAnalysis.chunkDocuments(emptyDocs, "doc_id", "text", 6, 3)
+      .count() === 0)
+    assert(TextAnalysis.corpusGate(emptyDocs, "doc_id", "text",
+      Seq(("the", "en")).toDF("word", "label"), "und").count() === 0)
+    assert(Dedup.nearDedupCorpus(emptyDocs, "doc_id", "text").count() === 0)
   }
 
   test("similarity operators run on an empty embedding table") {
@@ -81,6 +86,25 @@ class RobustnessSpec extends SparkSpec {
     assert(Retrieval.bm25(nullDocs, "doc_id", "text", Seq("real"), 5)
       .select("doc_id").as[Long].collect().toSeq === Seq(2L))
     assert(Dedup.sharedPassagePairs(nullDocs, "doc_id", "text").count() === 0)
+    // chunking: NULL/empty docs emit no chunks; the real doc still chunks
+    val chunks = TextAnalysis.chunkDocuments(nullDocs, "doc_id", "text", 2, 1)
+    assert(chunks.select("doc_id").distinct().as[Long].collect().toSeq === Seq(2L))
+    // fused gate: every doc keeps a row (marker path), NULL text scores 0
+    val gate = TextAnalysis.corpusGate(nullDocs, "doc_id", "text",
+      Seq(("real", "en")).toDF("word", "label"), "und")
+    assert(gate.count() === 3)
+    assert(gate.where(col("doc_id") === 2L).select("label")
+      .as[String].collect().toSeq === Seq("en"))
+    // near-dedup: contentless docs generate no shingles, all survive
+    assert(Dedup.nearDedupCorpus(nullDocs, "doc_id", "text").count() === 3)
+  }
+
+  test("kmeans survives k larger than the corpus (degenerate seed set)") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(tiny, "vec_id", "embedding", k = 5, iters = 2)
+    assert(out.count() === 2) // every vector assigned; extra seeds never exist
   }
 
   test("multimodal paths tolerate NULL payloads (schema allows them)") {

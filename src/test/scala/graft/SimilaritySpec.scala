@@ -14,6 +14,27 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.5f, 0.5f, 0.5f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("kmeans: two well-separated groups converge to two clusters, ids to their seed") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // seed of cluster A
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // seed of cluster B
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near A
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f)),   // near B
+      (5L, Array(0.8f, 0.0f, 0.1f, 0.0f))    // near A
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(3L) === 1L && out(5L) === 1L)
+    assert(out(2L) === 2L && out(4L) === 2L)
+  }
+
+  test("kmeans is deterministic across runs and assigns every vector") {
+    val a = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 3)
+    val b = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iters = 3)
+    assert(rows(a) === rows(b))
+    assert(a.count() === emb.count())
+  }
+
   test("bruteForceTopK excludes self, ranks by cosine desc, caps at k") {
     val out = Similarity.bruteForceTopK(
       emb, emb.where(col("vec_id") === 1L), "vec_id", "embedding", k = 2)

@@ -19,6 +19,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(6) === 0.624)
   }
 
+  test("corpusGate equals quality ⋈ byKeywords, including shared dict words") {
+    // 'de' votes for BOTH fr and es (list overlap) — the fused join
+    // duplicates that token's row per label; the canonical-row gate
+    // must still count it once in the quality sums
+    val docs = Seq(
+      (1L, "the cat sat on the mat."),
+      (2L, "de la de un o."),        // overlap-heavy: every word in fr AND es
+      (3L, ""),                      // token-less: marker row path
+      (4L, "zz qq xx")               // no dict hits: default label
+    ).toDF("doc_id", "text")
+    val dict = graft.queries.Text.langDict.toDF("word", "label")
+    val gate = TextAnalysis.corpusGate(docs, "doc_id", "text", dict, "und")
+    val expectQ = TextAnalysis.quality(docs, "doc_id", "text")
+    val expectL = graft.operators.Classify.byKeywords(docs, "doc_id", "text", dict, "und")
+    val expected = expectQ.join(expectL, "doc_id")
+    assert(gate.columns.toSeq === expected.columns.toSeq)
+    assert(rows(gate) === rows(expected))
+  }
+
+  test("chunkDocuments: overlap grid covers every token; short tail; empty docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 10 tokens, chunk 4 stride 3 → starts 1,4,7
+      (2L, "x y"),                  // shorter than one chunk → single short chunk
+      (3L, "")                      // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 1L, 4L, "a b c d"),
+      (1L, 1L, 4L, 4L, "d e f g"),
+      (1L, 2L, 7L, 4L, "g h i j"),
+      (2L, 0L, 1L, 2L, "x y")))
+    // coverage invariant: the last chunk reaches the final token
+    val last = out.filter(_._1 == 1L).map(t => t._3 + t._4 - 1).max
+    assert(last === 10L)
+  }
+
   test("quality of empty text is all zeros (no div-by-zero)") {
     val r = TextAnalysis.quality(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
       .collect()(0)
