@@ -125,6 +125,35 @@ object Events {
         .orderBy("event_id")
     },
 
+    // Stream-stream interval join, batch twin: each click pairs with
+    // the same user's views in the preceding 30 minutes. The SAME
+    // operator runs incrementally over two watermarked streams
+    // (StreamingSpec) — in batch the watermark node is eliminated and
+    // Catalyst plans a sort-merge join on user_id with the time range
+    // as a join predicate.
+    Q("q75_interval_join",
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+        |  AND v.view_ts <= c.click_ts
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      graft.streaming.Streams.intervalJoin(clicks, views, Seq("user_id"),
+          "click_ts", "view_ts", within = "30 minutes", watermark = "1 hour")
+        .select("user_id", "click_id", "click_ts", "view_id", "view_ts")
+        .orderBy("click_id", "view_id")
+    },
+
     // Salted fact-to-dim join for a skewed-but-KEPT hot key (the
     // complement of the frequency caps, which DROP hot keys — see
     // operators/Skew.scala for when each applies). Salting is

@@ -229,6 +229,49 @@ object Streams {
     }
   }
 
+  /** Watermarked stream-STREAM interval join: pair each left event
+    * with the right-side events of the same key whose event time falls
+    * in `[left.ts − within, left.ts]` — the attribution shape
+    * (click ⋈ recent impressions, span ⋈ preceding trace events).
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * two event times against each other, so the state store retains
+    * each side only for `watermark + within` — bounded state, the
+    * requirement for an unbounded 100 TB/day pair of feeds. Without
+    * the time bound Spark rightly refuses the join (state would be
+    * infinite).
+    *
+    * Works unchanged on BATCH frames (the watermark node is eliminated
+    * in batch planning), where Catalyst executes it as a sort-merge
+    * join on the key with the range as a join predicate — which is how
+    * the catalog's batch twin hash-checks the semantics against the
+    * DuckDB oracle while StreamingSpec drives the incremental path.
+    *
+    * Column contract: key columns must share names across the sides;
+    * all other columns (including the two ts columns) must be
+    * disjoint. Output = key columns once, then both sides' payloads.
+    *
+    * @param within right.ts may trail left.ts by at most this interval
+    *               (e.g. "30 minutes") */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, within: String,
+      watermark: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equality key")
+    val overlap = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across sides, clash: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = keys.foldLeft(right.withWatermark(rightTsCol, watermark)) {
+      (d, k) => d.withColumnRenamed(k, s"__r_$k")
+    }
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $within") &&
+      col(rightTsCol) <= col(leftTsCol)
+    l.join(r, cond, "inner").drop(keys.map(k => s"__r_$k"): _*)
+  }
+
   /** Dedup-append sink via foreachBatch — the incremental form of the
     * reference's load (/root/reference/dags/Load.py:21-28): each
     * micro-batch anti-joins on the natural key against the CURRENT

@@ -89,6 +89,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin: stream-stream pairing within the time bound, incremental across batches") {
+    val clicks = MemoryStream[(Long, Timestamp, Long)](spark)
+    val views = MemoryStream[(Long, Timestamp, Long)](spark)
+    val l = clicks.toDF().toDF("user_id", "click_ts", "click_id")
+    val r = views.toDF().toDF("user_id", "view_ts", "view_id")
+    val query = Streams.intervalJoin(l, r, Seq("user_id"),
+        "click_ts", "view_ts", within = "30 minutes", watermark = "10 minutes")
+      .select("user_id", "click_id", "view_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // view arrives in one batch, its matching click in a LATER batch:
+      // stream-stream state must hold the view until the click shows up
+      views.addData((1L, ts("2025-01-01 10:00:00"), 100L))
+      query.processAllAvailable()
+      clicks.addData((1L, ts("2025-01-01 10:20:00"), 200L))
+      views.addData(
+        (1L, ts("2025-01-01 09:40:00"), 101L),   // 40 min before click: out of bound
+        (2L, ts("2025-01-01 10:10:00"), 102L))   // other user: no match
+      clicks.addData((2L, ts("2025-01-01 10:15:00"), 201L))
+      query.processAllAvailable()
+      val got = rows(spark.table("ij_out"))
+      assert(got === Set(
+        Seq(1L, 200L, 100L),    // cross-batch match within 30 min
+        Seq(2L, 201L, 102L)))   // same-batch match
+    } finally query.stop()
+  }
+
+  test("intervalJoin rejects clashing non-key column names") {
+    val a = Seq((1L, ts("2025-01-01 10:00:00"), 1.0)).toDF("user_id", "t1", "v")
+    val b = Seq((1L, ts("2025-01-01 10:00:00"), 2.0)).toDF("user_id", "t2", "v")
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(a, b, Seq("user_id"), "t1", "t2", "5 minutes", "1 hour")
+    }
+    assert(e.getMessage.contains("clash"))
+  }
+
   test("runWindowedPipeline: file stream -> checkpointed parquet sink, emits finalized windows") {
     val src = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
