@@ -117,6 +117,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: chunks tile the token stream — cover every token, step by stride") {
+    val docs = samples(textGen, 250).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (chunk, stride) = (5, 2)
+    val out = graft.operators.TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", chunk, stride)
+    val nTokens = docs
+      .select(col("doc_id"), size(TextFns.tokens(TextFns.normalize(col("text")))).as("n"))
+      .where(col("n") >= 1).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet === nTokens.keySet) // exactly the token-bearing docs chunk
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTokens(id).toLong
+      // starts step by exactly the stride from 1
+      assert(chunks.map(_._3).toSeq === chunks.indices.map(k => 1L + k * stride))
+      // every chunk stays within the doc and the last one reaches its end
+      chunks.foreach { case (_, _, s, len) => assert(s + len - 1 <= n && len >= 1) }
+      assert(chunks.map(c => c._3 + c._4 - 1).max === n, s"doc $id: tail uncovered")
+    }
+  }
+
+  test("corpusGate ≡ quality ⋈ byKeywords on random corpora (fusion is exact)") {
+    val docs = samples(textGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val dict = graft.queries.Text.langDict.toDF("word", "label")
+    val fused = graft.operators.TextAnalysis
+      .corpusGate(docs, "doc_id", "text", dict, "und")
+    val separate = graft.operators.TextAnalysis.quality(docs, "doc_id", "text")
+      .join(Classify.byKeywords(docs, "doc_id", "text", dict, "und"), "doc_id")
+    assert(this.rows(fused) === this.rows(separate))
+  }
+
+  test("nearDedupCorpus: survivors ⊆ input, one survivor per duplicated text group") {
+    // force heavy duplication: sample from a SMALL pool of texts long
+    // enough to shingle (5-char shingles need >= 5 chars)
+    val pool = samples(textGen.suchThat(_.length >= 20), 12)
+    val docs = samples(Gen.oneOf(pool), 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.Dedup.nearDedupCorpus(docs, "doc_id", "text")
+    assert(out.except(docs).count() === 0) // survivors ⊆ input
+    // identical texts are guaranteed LSH collisions: at most one survives
+    val dupGroups = out.groupBy(col("text")).count().where(col("count") > 1)
+      .join(docs.groupBy(col("text")).count().where(col("count") > 1)
+        .select(col("text")), Seq("text"), "left_semi")
+    assert(dupGroups.count() === 0, "two identical docs both survived")
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
