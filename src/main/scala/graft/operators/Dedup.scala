@@ -421,6 +421,26 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination as a corpus transform: drop every
+    * corpus document sharing >= `minCommon` shingles with ANY benchmark
+    * document and return the survivors — [[crossOverlap]] (the audit
+    * view) composed into the removal step a training pipeline actually
+    * executes before a run.
+    *
+    * Scale shape inherited from crossOverlap: the benchmark inverted
+    * index broadcasts (an eval set is bounded by definition), the
+    * corpus shingle stream never shuffles, and the final anti-join
+    * moves only the contaminated-id set. */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minCommon: Int = 5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val hits = crossOverlap(corpus, benchmark, idCol, textCol,
+        shingleN, minCommon, maxShingleFreq)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word-shingle hash set per document as (id, s) rows.
     * Shingles are built by position-explode + slice/concat_ws (codegen)
     * with set semantics restored by distinct() — the per-row

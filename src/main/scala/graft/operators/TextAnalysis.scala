@@ -243,6 +243,70 @@ object TextAnalysis {
           slice(col("__toks"), start.cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** Statistical quality score from a corpus-trained unigram language
+    * model: per-document negative log-likelihood under the corpus's
+    * own token distribution — the KenLM-style perplexity filter
+    * reduced to its order-0 form (high NLL = tokens the corpus finds
+    * surprising = gibberish/noise candidates; token-less docs emit no
+    * row).
+    *
+    * Two passes over the token stream are inherent (train the
+    * statistics, then score against them) — the standard shape for any
+    * score-by-corpus-statistics operator. The vocabulary is NOT
+    * broadcast: at corpus scale it does not fit, so scoring joins
+    * token-to-vocab on the token key (AQE's skew split handles the
+    * stopword heads), and the per-doc aggregate ships one counter row
+    * per doc.
+    *
+    * Cross-engine exactness: each token's log-probability is floored
+    * to integer MICRO-NATS — `floor(ln(cnt/total)·1e6)` — before
+    * summation. `ln` is the libm-exact [[graft.plans.GraftExtensions.ln]]
+    * on an exact-integer-derived double, so the doubles are
+    * bit-identical across engines, the floor is exact, and the sums
+    * are integer — order-independent under any partitioning, no
+    * rounded-double-in-a-sum hazard.
+    *
+    * @return (id, n_tokens, nll_micro, mean_nll) */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("__tok"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__tot"))
+    toks.join(vocab, "__tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(graft.plans.GraftExtensions.ln(
+          col("__cnt").cast("double") / col("__tot").cast("double")) * 1e6)
+          .cast("long").as("__micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("__micro"))).as("nll_micro"))
+      .withColumn("mean_nll",
+        col("nll_micro").cast("double") /
+          (col("n_tokens") * 1000000L).cast("double"))
+  }
+
+  /** Per-group quota cap: keep the `n` smallest `orderCol` rows of
+    * every `groupCol` group — the per-domain document cap a
+    * crawl-curation pipeline applies so no single domain dominates the
+    * corpus. Deterministic survivor rule (order asc, same as
+    * [[graft.operators.Dedup.keepFirst]]).
+    *
+    * One shuffle on the group key; within a group the window sorts
+    * that group's slice. A pathologically hot group concentrates its
+    * sort on one task — AQE's skew handling splits the EXCHANGE but
+    * not a window partition, so for adversarial skew compose with the
+    * frequency-cap/salting tools in [[graft.operators.Skew]]. */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, orderCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.withColumn("__rn",
+        row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col(orderCol))))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Stopword-overlap language ID: count token hits per language list,
     * argmax with deterministic tie-break, 'und' (undetermined) when no
     * list matches. */

@@ -389,6 +389,71 @@ object Text {
         .orderBy("corpus_id", "bench_id")
     },
 
+    // Decontamination as the corpus transform (q46 is the audit view):
+    // the non-benchmark corpus minus every doc sharing >= 5 shingles
+    // with the src0 benchmark slice.
+    Q("q76_decontaminate",
+      s"""WITH t AS (SELECT doc_id, source, $oTok AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15)) AS BIGINT))) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |cinv AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'),
+         |ccapped AS (
+         |  SELECT corpus_id, s FROM (
+         |    SELECT corpus_id, s, count(*) OVER (PARTITION BY s) AS f FROM cinv)
+         |  WHERE f <= 100),
+         |binv AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh WHERE source = 'src0'),
+         |hits AS (
+         |  SELECT DISTINCT corpus_id FROM (
+         |    SELECT c.corpus_id, b.bench_id FROM ccapped c JOIN binv b ON c.s = b.s
+         |    GROUP BY 1, 2 HAVING count(*) >= 5))
+         |SELECT d.doc_id, d.source, d.lang, d.text FROM documents d
+         |WHERE d.source <> 'src0'
+         |  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.corpus_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", shingleN = 3, minCommon = 5, maxShingleFreq = 100)
+        .select("doc_id", "source", "lang", "text")
+        .orderBy("doc_id")
+    },
+
+    // Unigram-LM quality score: per-doc NLL under the corpus's own
+    // token distribution, in exact integer micro-nats (libm-exact ln
+    // on integer-derived doubles, floored before summation) — the
+    // order-0 perplexity filter.
+    Q("q77_unigram_nll",
+      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |t AS (SELECT sum(cnt) AS tot FROM v),
+         |sc AS (SELECT doc_id,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1000000) AS BIGINT) AS micro
+         |  FROM toks JOIN v USING (tok), t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(-sum(micro) AS BIGINT) AS nll_micro,
+         |  CAST(-sum(micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Per-source quota cap: every source keeps its 15 lowest-id docs —
+    // the per-domain cap that stops one crawl domain from dominating.
+    Q("q78_source_cap",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.capPerGroup(Tables.documents(s, d), "source", "doc_id", 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.

@@ -146,6 +146,20 @@ class DedupSpec extends SparkSpec {
     assert(rows(once) === rows(twice))
   }
 
+  test("decontaminate drops only the benchmark-overlapping corpus docs") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),  // copies bench
+      (11L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text",
+      shingleN = 3, minCommon = 5)
+    assert(out.columns.toSeq === corpus.columns.toSeq)
+    assert(rows(out.select("doc_id")) === Set(Seq(11L)))
+  }
+
   test("connectedComponents: transitive chains collapse to min-id clusters") {
     // 1-2, 2-3 chain and isolated 7-8 pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")

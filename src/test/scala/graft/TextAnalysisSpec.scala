@@ -57,6 +57,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(last === 10L)
   }
 
+  test("unigramNll: repeated common tokens score lower NLL than rare ones") {
+    val docs = Seq(
+      (1L, "common common common common"),   // all high-frequency
+      (2L, "common rare"),                   // half rare
+      (3L, "")                               // no tokens: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 4L && out(2L)._1 === 2L)
+    // doc 1 is all 5/6-probability tokens; doc 2 carries a 1/6 token
+    assert(out(1L)._2 < out(2L)._2)
+    // micro-nat floor: ln(5/6)*1e6 ≈ -182322; doc1 mean = 182322/1e6
+    assert(math.abs(out(1L)._2 - 0.182322) < 1e-6)
+  }
+
+  test("capPerGroup keeps exactly the n smallest order values per group") {
+    val df = (1L to 20L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val out = TextAnalysis.capPerGroup(df, "grp", "id", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ===
+      Map("g0" -> Seq(2L, 4L, 6L), "g1" -> Seq(1L, 3L, 5L)))
+  }
+
   test("quality of empty text is all zeros (no div-by-zero)") {
     val r = TextAnalysis.quality(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
       .collect()(0)
