@@ -447,6 +447,35 @@ object TextAnalysis {
         row_number().over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
   }
 
+  /** Tokenizer ENCODE step: materialize each document's token-id
+    * stream against a vocabulary — the bridge between [[vocabulary]]
+    * (train the token→id map) and [[sequencePack]] (lay out the id
+    * stream for training). Output grain is (id, pos, token, token_id),
+    * the exploded form every engine can exchange and compare (id
+    * ARRAYS as an output column would be opaque to columnar scans and
+    * driver compares alike).
+    *
+    * Out-of-vocabulary tokens encode as `unkId` (left join +
+    * coalesce) — a corpus-trained vocab has none, but an EXTERNAL
+    * vocab (the production case: tokenize shard N against the frozen
+    * run vocabulary) must not silently drop tokens.
+    *
+    * The vocab joins on the token key — NOT broadcast: a corpus-scale
+    * vocabulary doesn't fit an executor; AQE's skew split covers the
+    * stopword-head keys. */
+  def encodeTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, // columns: token STRING, token_id LONG
+      unkId: Long = -1L): DataFrame = {
+    graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        posexplode(TextFns.tokens(TextFns.normalize(col(textCol))))
+          .as(Seq("__p", "token")))
+      .join(vocab.select(col("token"), col("token_id")), Seq("token"), "left")
+      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
+        col("token"), coalesce(col("token_id"), lit(unkId)).as("token_id"))
+  }
+
   /** Deterministic hash-based dataset split — the train/valid/test
     * assignment a training pipeline runs instead of RNG sampling:
     * bucket = md5(id) mod 100, thresholds cut the buckets. Properties

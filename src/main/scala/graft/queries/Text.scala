@@ -454,6 +454,29 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Tokenizer encode: each doc's (pos, token, token_id) stream
+    // against the q37 corpus vocabulary — the materialization step
+    // between vocab training and sequence packing. Vocab joined on the
+    // token key (not broadcast — corpus-scale vocabularies don't fit).
+    Q("q79_encode_tokens",
+      s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |v AS (SELECT token, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS token_id
+         |  FROM counts),
+         |enc AS (SELECT doc_id, unnest($oTok) AS token,
+         |    generate_subscripts($oTok, 1) AS pos
+         |  FROM documents)
+         |SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, e.token,
+         |  coalesce(v.token_id, -1) AS token_id
+         |FROM enc e LEFT JOIN v USING (token)
+         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.encodeTokens(docs, "doc_id", "text",
+          TextAnalysis.vocabulary(docs, "text"))
+        .orderBy("doc_id", "pos")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.

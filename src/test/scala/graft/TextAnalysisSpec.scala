@@ -73,6 +73,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - 0.182322) < 1e-6)
   }
 
+  test("encodeTokens: positions are 1-based and dense, OOV encodes as unkId") {
+    val docs = Seq((1L, "b a b"), (2L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("b", 1L)).toDF("token", "token_id") // 'a' is OOV
+    val out = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab, unkId = -1L)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "b", 1L), (1L, 2L, "a", -1L), (1L, 3L, "b", 1L)))
+  }
+
+  test("encodeTokens round-trips through the corpus-trained vocabulary (no OOV)") {
+    val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.encodeTokens(docs, "doc_id", "text",
+      TextAnalysis.vocabulary(docs, "text"))
+    assert(out.where(col("token_id") === -1L).count() === 0)
+    // decode: joining ids back to the vocab reproduces the tokens
+    val decoded = out.join(
+        TextAnalysis.vocabulary(docs, "text").select(col("token_id"),
+          col("token").as("decoded")), "token_id")
+      .where(col("token") =!= col("decoded"))
+    assert(decoded.count() === 0)
+  }
+
   test("capPerGroup keeps exactly the n smallest order values per group") {
     val df = (1L to 20L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
     val out = TextAnalysis.capPerGroup(df, "grp", "id", 3)
