@@ -44,6 +44,11 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.corpusGate(emptyDocs, "doc_id", "text",
       Seq(("the", "en")).toDF("word", "label"), "und").count() === 0)
     assert(Dedup.nearDedupCorpus(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.decontaminate(emptyDocs, emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.unigramNll(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.capPerGroup(emptyDocs, "text", "doc_id", 3).count() === 0)
+    assert(TextAnalysis.encodeTokens(emptyDocs, "doc_id", "text",
+      Seq(("x", 1L)).toDF("token", "token_id")).count() === 0)
   }
 
   test("similarity operators run on an empty embedding table") {
@@ -97,6 +102,15 @@ class RobustnessSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("en"))
     // near-dedup: contentless docs generate no shingles, all survive
     assert(Dedup.nearDedupCorpus(nullDocs, "doc_id", "text").count() === 3)
+    // NLL: only the token-bearing doc scores; NULL/empty emit no row
+    assert(TextAnalysis.unigramNll(nullDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // encode: NULL/empty docs emit no positions, real doc fully encoded
+    val enc = TextAnalysis.encodeTokens(nullDocs, "doc_id", "text",
+      Seq(("real", 1L)).toDF("token", "token_id"))
+    assert(enc.select("doc_id").distinct().as[Long].collect().toSeq === Seq(2L))
+    // decontaminate vs an empty benchmark keeps everything
+    assert(Dedup.decontaminate(nullDocs, emptyDocs, "doc_id", "text").count() === 3)
   }
 
   test("kmeans survives k larger than the corpus (degenerate seed set)") {
