@@ -137,4 +137,43 @@ object Retrieval {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of N ranked candidate lists (hybrid
+    * retrieval: lexical BM25 + semantic ANN is the canonical pair):
+    * `rrf(id) = Σ_list 1 / (c + rank_list(id))`, absent-from-list
+    * terms contributing 0.
+    *
+    * Scale shape: the inputs are top-k lists — already tiny by
+    * construction (each retriever bounded its own output) — so the
+    * full-outer joins and the final TakeOrderedAndProject touch O(k·N)
+    * rows regardless of corpus size; all the heavy lifting happened
+    * inside the retrievers.
+    *
+    * Float parity: each term is one division by an integer-derived
+    * double and the terms are added in FIXED list order (an expression
+    * chain, not a sum aggregate), so the fused score is bit-identical
+    * across engines and partitionings. Ties (e.g. two ids with the
+    * same single-list rank) break by id.
+    *
+    * @param lists (tag, df) where df has `idCol` and `rankCol`
+    *   (1-based); output carries `rank_<tag>` per list. */
+  def rrfFuse(
+      lists: Seq[(String, DataFrame)], idCol: String, rankCol: String,
+      k: Int, c: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two lists")
+    require(lists.map(_._1).distinct.size == lists.size, "duplicate list tags")
+    val renamed = lists.map { case (tag, df) =>
+      df.select(col(idCol), col(rankCol).as(s"rank_$tag"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = lists.map { case (tag, _) =>
+      coalesce(
+        lit(1.0) / (lit(c.toDouble) + col(s"rank_$tag").cast("double")),
+        lit(0.0))
+    }.reduce(_ + _)
+    joined
+      .withColumn("rrf", score)
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(k)
+  }
 }

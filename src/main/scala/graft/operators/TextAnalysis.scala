@@ -497,6 +497,32 @@ object TextAnalysis {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic importance sampling: keep each row with probability
+    * `min(1, weight)` using the repo's salted md5-uniform in place of
+    * an RNG — reproducible across runs/engines, stable under corpus
+    * growth (a row's keep/drop never changes), and independent of the
+    * other hash-derived assignments (`hashSplit`, `rebalanceStrata`)
+    * via the salt. The standard quality-weighted corpus selection:
+    * weight = f(quality score) upweights good documents without the
+    * hard cutoff of a threshold filter. One map stage, no shuffle,
+    * filter eligible for scan pushdown when the weight is
+    * column-derived.
+    *
+    * Float parity: `u` is an exact 32-bit-integer / 2^32 double and
+    * the weight is one deterministic division — the `u < p` selection
+    * is bit-identical across engines (same policy as
+    * `rebalanceStrata`'s integer-rate compare). */
+  def importanceSample(
+      df: DataFrame, idCol: String, weight: Column,
+      salt: String = "smp"): DataFrame = {
+    val u = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    df.withColumn("p", least(lit(1.0), weight))
+      .withColumn("u", u)
+      .where(col("u") < col("p"))
+  }
+
   /** Sequence packing: assign each document a position in a
     * fixed-token-budget training-sequence stream — the standard
     * pretraining batch layout (documents concatenated shard-locally,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, Funnel, Sessionize}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -176,5 +176,60 @@ object Events {
           keys = Seq("user_id"), salts = 8, saltSource = col("event_id"))
         .select("event_id", "user_id", "user_events", "user_total")
         .orderBy("event_id")
+    },
+
+    // Multi-step funnel (view → click → purchase): earliest qualifying
+    // time per step per user, step i valid only strictly after a
+    // qualifying step i-1. ONE shuffle total: all step windows and the
+    // final per-user aggregate share the user_id exchange (the
+    // join-per-step formulation would shuffle the fact table 3×). The
+    // oracle mirrors the exact row-frame semantics.
+    Q("q80_funnel",
+      """WITH q0 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN ts END AS s0
+        |  FROM events),
+        |q1 AS (
+        |  SELECT *, CASE WHEN event_type = 'click'
+        |      AND min(s0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |    THEN ts END AS s1
+        |  FROM q0),
+        |q2 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase'
+        |      AND min(s1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+        |    THEN ts END AS s2
+        |  FROM q1)
+        |SELECT user_id,
+        |  min(s0) AS ts_step1, min(s1) AS ts_step2, min(s2) AS ts_step3,
+        |  (CASE WHEN min(s0) IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN min(s1) IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN min(s2) IS NOT NULL THEN 1 ELSE 0 END) AS steps_reached
+        |FROM q2 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Funnel.funnel(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
+    // Time-decayed engagement score per user: value · 2^-min(age_days,14)
+    // summed per key. Integer math end-to-end (cents × exact power-of-2
+    // weight), so the sum is exact and order-independent; ONE double
+    // division at the end. Newest event date broadcast in as the
+    // reference point (the bm25-stats pattern).
+    Q("q83_time_decay",
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      * CAST(power(2, 14 - least(date_diff('day', CAST(ts AS DATE), ref.r), 14)) AS BIGINT)
+        |      AS contrib
+        |  FROM events, ref)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(contrib) AS DOUBLE) / 1638400.0 AS decayed_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Funnel.timeDecayScore(Tables.events(s, d), "user_id", "ts", "value",
+          maxAgeDays = 14)
+        .orderBy("user_id")
     })
 }

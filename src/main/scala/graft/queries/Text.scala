@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.operators.{Classify, Dedup, Retrieval, TextAnalysis}
+import graft.operators.{Classify, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Text-analysis + dedup coverage over `documents` — the reference's
   * Transform semantics (normalize/tokenize/keyword-vote,
@@ -599,6 +599,80 @@ object Text {
       TextAnalysis.rebalanceStrata(Tables.documents(s, d), "doc_id", "lang")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Deterministic importance sampling: keep-probability proportional
+    // to document length (the quality-weighted selection pattern),
+    // decided by a ':smp'-salted md5-uniform — reproducible, engine-
+    // identical, zero shuffle, and decorrelated from the hash split
+    // and the rebalance sample by the salt.
+    Q("q81_importance_sample",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS p,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':smp'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, p, u FROM s WHERE u < p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.importanceSample(Tables.documents(s, d), "doc_id",
+          col("n_chars").cast("double") / lit(400.0))
+        .select("doc_id", "p", "u")
+        .orderBy("doc_id")
+    },
+
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
+    // around a query embedding (semantic) by reciprocal-rank fusion.
+    // The fusion stage touches only the two top-k lists — all corpus-
+    // scale work stays inside the bounded retrievers; the fused score
+    // is a fixed-order chain of integer-derived divisions, so it
+    // hash-matches bit-exactly.
+    Q("q82_hybrid_rrf",
+      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
+         |hits AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('join','stream','window','sort','dup')),
+         |qtf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+         |dls AS (SELECT doc_id, CAST(coalesce(len($oTok), 0) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tl FROM dls),
+         |sc AS (SELECT q.doc_id, d.dl,
+         |   (ln((CAST(st.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |       / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(q.tf AS DOUBLE) * (1.2 + 1.0)))
+         |   / (CAST(q.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75)
+         |      + 0.75 * (CAST(d.dl AS DOUBLE)
+         |                / (CAST(st.tl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
+         |  FROM qtf q JOIN dfs f USING (term) JOIN dls d USING (doc_id), st),
+         |bm AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(27,12))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id, dl ORDER BY score DESC, doc_id LIMIT 20),
+         |lexr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |  FROM bm),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT c.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(qv.v AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+         |  FROM embeddings c, qv WHERE c.vec_id <> 0),
+         |semr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_sem
+         |  FROM scored ORDER BY cosine DESC, doc_id LIMIT 20),
+         |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.rank_lex, r.rank_sem,
+         |    coalesce(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(r.rank_sem AS DOUBLE)), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+         |SELECT doc_id, rank_lex, rank_sem, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+          queryTerms = Seq("join", "stream", "window", "sort", "dup"), k = 20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") === 0), "vec_id", "embedding",
+          k = 20, roundTo = 4)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank", k = 10)
+        .orderBy(desc("rrf"), col("doc_id"))
     },
 
     // The full LLM-corpus preprocessing pipeline as ONE Catalyst plan:

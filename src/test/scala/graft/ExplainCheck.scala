@@ -36,7 +36,12 @@ object ExplainCheck {
     // min-stratum target / total token count): a cross join against a
     // single aggregated row is the standard way to attach a global
     // scalar without a shuffle — cost |corpus|×1, not a cartesian risk
-    "q65_tfidf", "q66_bm25", "q68_stratified_rebalance", "q77_unigram_nll")
+    "q65_tfidf", "q66_bm25", "q68_stratified_rebalance", "q77_unigram_nll",
+    // hybrid retrieval embeds bm25 (one-row stats cross join) and the
+    // q50 brute-force scorer (corpus × broadcast single query vector)
+    "q82_hybrid_rrf",
+    // one-row broadcast reference date (newest event) for the decay age
+    "q83_time_decay")
 
   val expectationPath = "src/test/resources/plan-expectations.txt"
 

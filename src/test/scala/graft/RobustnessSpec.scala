@@ -113,6 +113,29 @@ class RobustnessSpec extends SparkSpec {
     assert(Dedup.decontaminate(nullDocs, emptyDocs, "doc_id", "text").count() === 3)
   }
 
+  test("funnel/decay/sample/rrf operators survive empty and degenerate input") {
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Funnel.funnel(emptyEv, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click")).count() === 0)
+    // empty input: the broadcast reference date is NULL but no group
+    // exists to evaluate it — zero rows, no throw
+    assert(Funnel.timeDecayScore(emptyEv, "user_id", "ts", "value").count() === 0)
+    // a user with NONE of the step types: row present, zero steps
+    val noSteps = Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "error", 1.0)).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = Funnel.funnel(noSteps, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click")).collect().head
+    assert(r.getAs[Long]("steps_reached") === 0L)
+    assert(TextAnalysis.importanceSample(emptyDocs, "doc_id", lit(0.5)).count() === 0)
+    // weight 0 keeps nothing; weight >= 1 keeps everything
+    assert(TextAnalysis.importanceSample(nullDocs, "doc_id", lit(0.0)).count() === 0)
+    assert(TextAnalysis.importanceSample(nullDocs, "doc_id", lit(5.0)).count() === 3)
+    val emptyRank = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Retrieval.rrfFuse(Seq("a" -> emptyRank, "b" -> emptyRank),
+      "doc_id", "rank", k = 5).count() === 0)
+  }
+
   test("kmeans survives k larger than the corpus (degenerate seed set)") {
     val tiny = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
