@@ -286,6 +286,67 @@ object TextAnalysis {
           (col("n_tokens") * 1000000L).cast("double"))
   }
 
+  /** Interpolated bigram-LM NLL — the stronger fluency score above
+    * [[unigramNll]]: every token TRANSITION (positions 2..n) is scored
+    * with `p = λ·p_bigram + (1−λ)·p_unigram` where
+    * `p_bigram = count(prev,cur) / count(prev as context)` and
+    * `p_unigram` is the corpus-wide token frequency (so `p > 0` always —
+    * the unigram side covers every observed token and no extra
+    * smoothing mass is needed). Repetitive/templated text scores low
+    * NLL; incoherent token soup scores high — the standard
+    * perplexity-style corpus-quality filter, one model order up.
+    *
+    * Scale + parity shape (same contract as unigramNll):
+    *  - bigrams are extracted MAP-SIDE from each token array (indexed
+    *    `transform`, no self-join on position); the corpus-sized
+    *    streams that shuffle afterwards are fixed-width (id, prev, cur)
+    *    rows;
+    *  - count tables aggregate with map-side partials; the one-row
+    *    grand total broadcasts in;
+    *  - per-transition score = two integer-derived divisions, two
+    *    multiplications by the λ literals and one fixed-order add, then
+    *    the libm-exact `graft_ln`, floored to integer MICRO-nats —
+    *    per-doc sums are integer, order-independent, engine-identical.
+    *
+    * Docs with < 2 tokens have no transitions and emit no row (the
+    * `unigramNll` convention for token-free docs).
+    * @return (id, n_transitions, nll_micro, mean_nll) */
+  def bigramNll(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
+    val t = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        TextFns.tokens(TextFns.normalize(col(textCol))).as("__t"))
+    val uni = t.select(explode(col("__t")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__uc"))
+    val total = uni.agg(sum(col("__uc")).as("__tot"))
+    val bi = t.where(size(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> " +
+          "struct(x AS prev, __t[i + 1] AS cur))")).as("__b"))
+      .select(col(idCol), col("__b.prev").as("__prev"), col("__b.cur").as("__cur"))
+    val cb = bi.groupBy(col("__prev"), col("__cur")).agg(count(lit(1)).as("__cb"))
+    val cu = bi.groupBy(col("__prev")).agg(count(lit(1)).as("__cu"))
+    bi
+      .join(cb, Seq("__prev", "__cur"))
+      .join(cu, Seq("__prev"))
+      .join(uni, bi("__cur") === uni("__tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(graft.plans.GraftExtensions.ln(
+          lit(lambda) * (col("__cb").cast("double") / col("__cu").cast("double"))
+            + lit(1.0 - lambda) *
+              (col("__uc").cast("double") / col("__tot").cast("double"))) * 1e6)
+          .cast("long").as("__micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        (-sum(col("__micro"))).as("nll_micro"))
+      .withColumn("mean_nll",
+        col("nll_micro").cast("double") /
+          (col("n_transitions") * 1000000L).cast("double"))
+  }
+
   /** Per-group quota cap: keep the `n` smallest `orderCol` rows of
     * every `groupCol` group — the per-domain document cap a
     * crawl-curation pipeline applies so no single domain dominates the

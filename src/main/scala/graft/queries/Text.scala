@@ -441,6 +441,36 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Interpolated bigram-LM NLL: q77 one model order up. Bigrams are
+    // extracted map-side (indexed transform, no positional self-join);
+    // the interpolated probability is two integer-derived divisions +
+    // a fixed-order add, ln'd via the libm-exact graft_ln and floored
+    // to integer micro-nats — per-doc sums stay integer, so the score
+    // is order-independent and hash-matches the oracle exactly.
+    Q("q84_bigram_nll",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |uni AS (SELECT tok, count(*) AS uc
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         |tt AS (SELECT sum(uc) AS tot FROM uni),
+         |bi AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+         |cu AS (SELECT prev, count(*) AS cu FROM bi GROUP BY prev),
+         |sc AS (SELECT b.doc_id,
+         |    CAST(floor(ln(0.75 * (CAST(f.cb AS DOUBLE) / CAST(x.cu AS DOUBLE))
+         |      + 0.25 * (CAST(u.uc AS DOUBLE) / CAST(tt.tot AS DOUBLE))) * 1000000) AS BIGINT) AS micro
+         |  FROM bi b JOIN cb f ON b.prev = f.prev AND b.cur = f.cur
+         |  JOIN cu x ON b.prev = x.prev
+         |  JOIN uni u ON b.cur = u.tok, tt)
+         |SELECT doc_id, count(*) AS n_transitions,
+         |  CAST(-sum(micro) AS BIGINT) AS nll_micro,
+         |  CAST(-sum(micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mean_nll
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Per-source quota cap: every source keeps its 15 lowest-id docs —
     // the per-domain cap that stops one crawl domain from dominating.
     Q("q78_source_cap",

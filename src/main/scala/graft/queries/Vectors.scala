@@ -133,6 +133,50 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // Diversity-aware corpus selection: cluster the embedding space
+    // (q74's k-means) and keep the 25 nearest-to-centroid vectors per
+    // cluster — per-cluster quotas preserve coverage of every region
+    // instead of letting one dense mode dominate the sample. The cap
+    // is one ranked window over the assignment output (the capPerGroup
+    // shape); everything upstream is the already-proven k-means.
+    Q("q85_diversity_sample",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |  FROM e CROSS JOIN c0 c),
+        |b1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rn FROM a1),
+        |as1 AS (SELECT vec_id, v, cid FROM b1 WHERE rn = 1),
+        |u1 AS (SELECT cid, dim,
+        |    CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mv
+        |  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+        |        FROM as1)
+        |  GROUP BY cid, dim),
+        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+        |a2 AS (SELECT e.vec_id, c.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+        |  FROM e CROSS JOIN c1 c),
+        |b2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY s DESC, cid) AS rn FROM a2),
+        |asg AS (SELECT vec_id, cid AS cluster_id, s AS cosine
+        |  FROM b2 WHERE rn = 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM asg)
+        |SELECT cluster_id, vec_id, cosine, rank FROM rk
+        |WHERE rank <= 25 ORDER BY cluster_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val asg = Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)
+      asg
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(desc("cosine"), col("vec_id"))).cast("long"))
+        .where(col("rank") <= 25)
+        .select(col("cluster_id"), col("vec_id"), col("cosine"), col("rank"))
+        .orderBy("cluster_id", "rank")
+    },
+
     // LSH-bucketed ANN — the scale path (OR-amplified bands bound the
     // candidate set, hot buckets capped). Sign-plane keys are integer-
     // only and the rescore is rounded, so the approximate result is

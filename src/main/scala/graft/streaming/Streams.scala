@@ -107,6 +107,8 @@ object Streams {
   case class SessionState(startUs: Long, endUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
+  case class FunnelState(stepUs: Seq[Long])
+  case class FunnelOut(user_id: Long, step_us: Seq[Long], steps_reached: Int)
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
     * arbitrary-state operator (KeyValueGroupedDataset surface) for
@@ -190,6 +192,60 @@ object Streams {
           } else {
             flush(userId, it.map(e => toUs(e.ts)).toSeq.sorted, state)
           }
+      }
+  }
+
+  /** Multi-step funnel via flatMapGroupsWithState — the streaming twin
+    * of [[graft.operators.Funnel.funnel]] (whose batch form is q80's
+    * oracle-checked catalog entry).
+    *
+    * Batch semantics: each key's events arrive as ONE (ts, event_id)-
+    * sorted fold, and the first-qualifying-event rule equals the window
+    * formulation's min-over-qualifying — FunnelSpec asserts equality
+    * against [[graft.operators.Funnel.funnel]] on the same input.
+    *
+    * Streaming semantics (Update mode): state is the per-step earliest
+    * qualifying event-time — one fixed-width Seq[Long] per user,
+    * O(steps) not O(events). Each micro-batch folds its sorted slice
+    * into the state and emits the refined snapshot. Qualification
+    * compares EVENT time (`state(i-1) <= ts`), so a late-arriving event
+    * is still ordered correctly against already-reached steps; the one
+    * deviation from batch is that an event processed in an EARLIER
+    * micro-batch is not re-qualified retroactively when a late
+    * predecessor lands (that would need the full per-user event history
+    * in state — unbounded, unlike the gap-bounded session state). For
+    * in-order delivery the incremental result equals the batch result
+    * exactly. */
+  def statefulFunnel(
+      events: Dataset[Event], steps: Seq[String]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, s"duplicate step types: $steps")
+    val UNSET = Long.MinValue
+    val stepIdx = steps.zipWithIndex.toMap
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId, it, state) =>
+          val cur = state.getOption.map(_.stepUs.toArray)
+            .getOrElse(Array.fill(steps.size)(UNSET))
+          it.toSeq
+            .filter(e => stepIdx.contains(e.event_type))
+            .sortBy(e => (toUs(e.ts), e.event_id))
+            .foreach { e =>
+              val i = stepIdx(e.event_type)
+              val us = toUs(e.ts)
+              val qualifies = i == 0 || (cur(i - 1) != UNSET && cur(i - 1) <= us)
+              if (qualifies && (cur(i) == UNSET || us < cur(i))) cur(i) = us
+            }
+          state.update(FunnelState(cur.toSeq))
+          val prefix = cur.takeWhile(_ != UNSET).toSeq
+          Iterator(FunnelOut(userId, prefix, prefix.size))
       }
   }
 

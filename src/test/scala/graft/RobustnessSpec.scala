@@ -134,6 +134,14 @@ class RobustnessSpec extends SparkSpec {
     val emptyRank = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
     assert(Retrieval.rrfFuse(Seq("a" -> emptyRank, "b" -> emptyRank),
       "doc_id", "rank", k = 5).count() === 0)
+    // bigram NLL: empty corpus and contentless docs degrade to no rows
+    assert(TextAnalysis.bigramNll(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.bigramNll(nullDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // streaming funnel in batch mode over empty input: no rows, no throw
+    import graft.streaming.Streams
+    assert(Streams.statefulFunnel(
+      Seq.empty[Streams.Event].toDS(), Seq("view", "click")).count() === 0)
   }
 
   test("kmeans survives k larger than the corpus (degenerate seed set)") {

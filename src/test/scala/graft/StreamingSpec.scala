@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.operators.Sessionize
+import graft.operators.{Funnel, Sessionize}
 import graft.sources.Tables
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
@@ -43,6 +43,66 @@ class StreamingSpec extends SparkSpec {
     val sql = Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800L)
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
     assert(rows(stateful) === rows(sql))
+  }
+
+  test("statefulFunnel (batch mode) agrees with the window-formulation Funnel operator") {
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val stateful = Streams.statefulFunnel(ev.as[Event], steps)
+      .collect().map(o => o.user_id -> o.step_us.toSeq).toMap
+    val batch = Funnel.funnel(ev, "user_id", "ts", "event_id", "event_type", steps)
+      .select(col("user_id"),
+        unix_micros(col("ts_step1")), unix_micros(col("ts_step2")),
+        unix_micros(col("ts_step3")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Seq(1, 2, 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+      .toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("statefulFunnel over a MemoryStream refines snapshots across micro-batches") {
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[Event](spark)
+    val query = Streams.statefulFunnel(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def latest(user: Long): Option[Int] = {
+        // Update-mode memory sink accumulates snapshots; within one
+        // user the steps_reached sequence is monotone, so max = latest
+        val r = spark.table("funnel_out").where(col("user_id") === user)
+          .agg(max(col("steps_reached"))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      }
+      // user 7 views; user 8 clicks first (never qualifies without a view)
+      input.addData(
+        Event(1L, ts("2025-01-01 10:00:00"), 7L, "view", 1.0),
+        Event(2L, ts("2025-01-01 10:00:00"), 8L, "click", 1.0))
+      query.processAllAvailable()
+      assert(latest(7L) === Some(1))
+      assert(latest(8L) === Some(0))
+      // next batch completes user 7's funnel; user 8's purchase still
+      // blocked (click was never qualified)
+      input.addData(
+        Event(3L, ts("2025-01-01 10:05:00"), 7L, "click", 1.0),
+        Event(4L, ts("2025-01-01 10:10:00"), 7L, "purchase", 1.0),
+        Event(5L, ts("2025-01-01 10:10:00"), 8L, "purchase", 1.0))
+      query.processAllAvailable()
+      assert(latest(7L) === Some(3))
+      assert(latest(8L) === Some(0))
+      // late view for user 8: sets step 1, but the already-processed
+      // click is NOT re-qualified retroactively (documented deviation)
+      input.addData(Event(6L, ts("2025-01-01 09:00:00"), 8L, "view", 1.0))
+      query.processAllAvailable()
+      assert(latest(8L) === Some(1))
+      // ...while a FRESH click after the late view qualifies normally
+      input.addData(Event(7L, ts("2025-01-01 11:00:00"), 8L, "click", 1.0))
+      query.processAllAvailable()
+      assert(latest(8L) === Some(2))
+    } finally query.stop()
   }
 
   test("tumblingAgg over a MemoryStream emits finalized windows after the watermark passes") {

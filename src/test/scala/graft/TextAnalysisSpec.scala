@@ -73,6 +73,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - 0.182322) < 1e-6)
   }
 
+  test("bigramNll: exact interpolated micro-nat score on a hand corpus") {
+    // one doc "a b a b": cb(a,b)=2, cb(b,a)=1, cu(a)=2, cu(b)=1,
+    // uni(a)=uni(b)=2, tot=4 → every transition p = 0.75·p_bi + 0.25·0.5
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramNll(docs, "doc_id", "text").collect().head
+    assert(r.getLong(1) === 3L) // n_transitions
+    val pAB = 0.75 * (2.0 / 2.0) + 0.25 * (2.0 / 4.0) // a→b, twice
+    val pBA = 0.75 * (1.0 / 1.0) + 0.25 * (2.0 / 4.0) // b→a, once
+    val expected = -(2 * math.floor(math.log(pAB) * 1e6).toLong
+      + math.floor(math.log(pBA) * 1e6).toLong)
+    assert(r.getLong(2) === expected)
+  }
+
+  test("bigramNll: templated text scores lower than token soup; short docs emit no row") {
+    val docs = Seq(
+      (1L, "x y x y x y x y"),   // one repeated transition pattern
+      (2L, "q w e r t u i o"),   // all-distinct transitions
+      (3L, "solo"), (4L, "")     // < 2 tokens: no transitions, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 7L && out(2L)._1 === 7L)
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
   test("encodeTokens: positions are 1-based and dense, OOV encodes as unkId") {
     val docs = Seq((1L, "b a b"), (2L, "")).toDF("doc_id", "text")
     val vocab = Seq(("b", 1L)).toDF("token", "token_id") // 'a' is OOV
