@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global / per-group ranking WITHOUT a single-reducer window.
+  *
+  * The naive total order — `row_number().over(Window.orderBy(...))` —
+  * moves the whole input to ONE task (WindowExec with no partition
+  * spec); at 100 TB that is the plan bug, not a slow plan. This
+  * operator computes the identical rank in two balanced passes keyed
+  * by the SCORE VALUE itself:
+  *
+  *  1. local rank within each (group, score) cell — a fine-grained
+  *     window whose partition count is the number of distinct
+  *     (group, score) pairs, so no reducer owns more than one cell;
+  *  2. offsets: rows strictly ahead of each cell, from the
+  *     per-(group, score) counts (map-side combined) running-summed
+  *     over the DISTINCT-SCORE table and broadcast back.
+  *
+  * rank = offset + local rank ≡ `row_number() OVER (PARTITION BY group
+  * ORDER BY score [DESC], tie)` — exact, deterministic, hash-checkable.
+  *
+  * Requirements, by design:
+  *  - `scoreCol` must be domain-bounded (discrete or quantized —
+  *    lengths, integer quality scores, bucketed floats): the offsets
+  *    table is |distinct (group, score)| rows and its running sum runs
+  *    per group on that small table. Curriculum/quality scores always
+  *    are; quantize (`round`, `cast int`) first if not. For a truly
+  *    continuous key the alternative is `repartitionByRange` +
+  *    per-partition offsets, but that couples correctness to
+  *    partition-id stability across AQE replans — the score-bucket
+  *    form has no such coupling.
+  *  - `tieCol` must be unique per (group, score) cell (an id): ranks
+  *    are then a permutation of 1..n within each group.
+  *
+  * Scale shape: ONE full shuffle of the input (the cell-keyed window);
+  * the counts pass map-side combines BEFORE its exchange, so its
+  * shuffle moves |distinct cells| partial counts, not the corpus —
+  * deliberately NOT a reused copy of the window's full-row exchange
+  * (both shapes asserted in RankingSpec). A single score value
+  * dominating a group makes one big cell — the cap/salt territory of
+  * [[Skew]], not a ranking concern.
+  */
+object Ranking {
+
+  /** `row_number() OVER (PARTITION BY groupCols ORDER BY score
+    * [DESC], tieCol)` as balanced two-phase ranking (see object doc).
+    *
+    * @param ascending false ranks the LARGEST score 1 (curriculum
+    *                  "hardest/longest first" order) */
+  def rankByScore(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      tieCol: String, rankName: String, ascending: Boolean = false): DataFrame = {
+    require(!df.columns.contains("__lrank") && !df.columns.contains("__off"),
+      "input must not already carry __lrank/__off columns")
+    require(!(groupCols :+ scoreCol :+ tieCol).contains(rankName),
+      s"rank column '$rankName' collides with an input column")
+    val g = groupCols.map(col)
+    val cell = g :+ col(scoreCol)
+    // pass 1: local rank inside each (group, score) cell
+    val local = df.withColumn("__lrank",
+      row_number().over(Window.partitionBy(cell: _*).orderBy(col(tieCol)))
+        .cast("long"))
+    // pass 2: offsets — strictly-better row counts per cell; the
+    // running sum runs on the distinct-(group, score) table only
+    val sOrd = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val ow = Window.partitionBy(g: _*).orderBy(sOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(ow), lit(0L)))
+      .select(cell :+ col("__off"): _*)
+    local.join(broadcast(offsets), groupCols :+ scoreCol)
+      .withColumn(rankName, col("__off") + col("__lrank"))
+      .drop("__lrank", "__off")
+  }
+
+  /** Keep the top `frac` of each group by score — the per-language /
+    * per-source quality gate of a training-data pipeline, in the same
+    * balanced shape (no per-group single-reducer window; a group's
+    * whole population never meets one task).
+    *
+    * Keeps `rank <= ceil(frac * n_group)` with the largest scores
+    * first and `tieCol` breaking ties, so the kept set is exact and
+    * deterministic — not a threshold filter that over- or under-keeps
+    * when ties straddle the cut. */
+  def quantileGate(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      tieCol: String, frac: Double, rankName: String = "rank"): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val ranked = rankByScore(df, groupCols, scoreCol, tieCol, rankName)
+    val totals =
+      if (groupCols.isEmpty) df.groupBy().agg(count(lit(1)).as("__n"))
+      else df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val gated =
+      if (groupCols.isEmpty) ranked.crossJoin(broadcast(totals))
+      else ranked.join(broadcast(totals), groupCols)
+    gated.where(col(rankName) <= ceil(lit(frac) * col("__n"))).drop("__n")
+  }
+}

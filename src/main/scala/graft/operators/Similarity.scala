@@ -391,8 +391,13 @@ object Similarity {
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }.toSeq
-    var cents: Seq[(Long, Seq[Double])] = e.orderBy(col("__id")).limit(k)
+    val cents: Seq[(Long, Seq[Double])] = e.orderBy(col("__id")).limit(k)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    // empty corpus -> no seeds: a zero-arm `array()` of centroid structs
+    // would not even analyze, so return the (empty) result shape directly
+    if (cents.isEmpty)
+      return e.select(col("__id").as(idCol), lit(0L).as("cluster_id"),
+        lit(0.0).as("cosine"))
     var assigned = assign(cents)
     for (_ <- 1 until iters) assigned = assign(update(assigned))
     assigned.select(col("__id").as(idCol), col("cluster_id"), col("cosine"))
@@ -408,4 +413,43 @@ object Similarity {
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pairs"))
       .select(col(labelCol), expr("transform(pairs, p -> p.mean)").as("centroid"))
+
+  /** Semantic dedup, SemDeDup-shaped (cluster, then prune near-dups
+    * INSIDE each cluster only): [[kmeans]] assigns every vector to a
+    * cluster, exact cosine runs only between same-cluster pairs, and a
+    * vector is dropped iff a same-cluster vector with a SMALLER id
+    * scores `>= threshold` against it — keep-first, like the exact
+    * dedup family, so the survivor set is deterministic.
+    *
+    * Why this scales where all-pairs ([[cosinePairs]]) cannot: the
+    * candidate join is keyed on `cluster_id`, so the comparison count
+    * is Σ|cluster|², not N². The operative knob is `k` — grow it with
+    * the corpus (k ∝ N keeps mean cluster size constant, so total work
+    * stays ~N · mean-cluster-size). A runaway cluster (a dense mode
+    * swallowing the corpus) is the hot-key case: raise `k`, or cap the
+    * cluster like the LSH buckets cap theirs. Vectors shuffle once per
+    * join side, keyed by cluster.
+    *
+    * @return survivors only: (id, cluster_id, cosine-to-centroid) */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double, roundTo: Int = 4): DataFrame = {
+    val asg = kmeans(emb, idCol, vecCol, k, iters, roundTo)
+    val e = emb.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val withVec = asg.join(e, Seq(idCol))
+    val a = withVec.select(col(idCol).as("__id_a"), col("cluster_id"),
+      col("__v").as("__va"))
+    val b = withVec.select(col(idCol).as("__id_b"), col("cluster_id"),
+      col("__v").as("__vb"))
+    // a vector with an earlier (smaller-id) near-dup in its cluster dies
+    val shadowed = a.join(b, Seq("cluster_id"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(round(VectorFns.cosine(col("__va"), col("__vb")), roundTo)
+        >= lit(threshold))
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    withVec.join(shadowed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"), col("cosine"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.operators.{Classify, Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Classify, Dedup, Ranking, Retrieval, Similarity, TextAnalysis}
 
 /** Text-analysis + dedup coverage over `documents` — the reference's
   * Transform semantics (normalize/tokenize/keyword-vote,
@@ -482,6 +482,42 @@ object Text {
       TextAnalysis.capPerGroup(Tables.documents(s, d), "source", "doc_id", 15)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // Curriculum ordering: exact GLOBAL rank over the corpus by
+    // (length desc, id) WITHOUT the single-reducer global window —
+    // score-bucketed two-phase ranking (Ranking.rankByScore): local
+    // rank inside each length cell + broadcast strictly-longer offsets.
+    Q("q87_curriculum_order",
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |FROM documents ORDER BY rank""".stripMargin) { (s, d) =>
+      Ranking.rankByScore(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          groupCols = Seq.empty, scoreCol = "n_chars", tieCol = "doc_id",
+          rankName = "rank")
+        .select("doc_id", "lang", "n_chars", "rank")
+        .orderBy("rank")
+    },
+
+    // Per-language quantile gate: keep the longest half of every
+    // language, exactly (rank <= ceil(0.5·n_lang), id tie-break) —
+    // same balanced two-phase shape, so no language's population ever
+    // meets a single reducer the way PARTITION BY lang would force.
+    Q("q88_quantile_gate",
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rank FROM r
+        |WHERE rank <= ceil(0.5 * n) ORDER BY lang, rank""".stripMargin) { (s, d) =>
+      Ranking.quantileGate(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          groupCols = Seq("lang"), scoreCol = "n_chars", tieCol = "doc_id",
+          frac = 0.5)
+        .select("doc_id", "lang", "n_chars", "rank")
+        .orderBy("lang", "rank")
     },
 
     // Tokenizer encode: each doc's (pos, token, token_id) stream

@@ -17,6 +17,34 @@ import graft.operators.{Multimodal, Similarity}
   */
 object Vectors {
 
+  /** DuckDB twin of `Similarity.kmeans(k = 8, iters = 2)` — unrolled
+    * Lloyd rounds ending in `asg(vec_id, cluster_id, cosine)`. Shared
+    * by q74 (the assignment itself), q85 (diversity sampling over it)
+    * and q86 (semantic dedup inside its clusters); defined before
+    * `all` because the catalog Seq interpolates it at object init. */
+  private val kmeansCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |a1 AS (SELECT e.vec_id, e.v, c.cid,
+      |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+      |  FROM e CROSS JOIN c0 c),
+      |b1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY s DESC, cid) AS rn FROM a1),
+      |as1 AS (SELECT vec_id, v, cid FROM b1 WHERE rn = 1),
+      |u1 AS (SELECT cid, dim,
+      |    CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mv
+      |  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+      |        FROM as1)
+      |  GROUP BY cid, dim),
+      |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM u1 GROUP BY cid),
+      |a2 AS (SELECT e.vec_id, c.cid,
+      |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
+      |  FROM e CROSS JOIN c1 c),
+      |b2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY s DESC, cid) AS rn FROM a2),
+      |asg AS (SELECT vec_id, cid AS cluster_id, s AS cosine
+      |  FROM b2 WHERE rn = 1)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: small query set broadcast against the
@@ -105,29 +133,12 @@ object Vectors {
     // centroids are collected model state re-inlined as literals, so
     // assignment is map-only unrolled codegen and the update shuffles
     // only (cid, dim) sums. DECIMAL centroid means make even the
-    // round-2 assignment bit-identical to the oracle's unrolled CTEs.
+    // round-2 assignment bit-identical to the oracle's unrolled CTEs
+    // (Vectors.kmeansCte, shared with q85/q86).
     Q("q74_kmeans",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cid,
-        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
-        |  FROM e CROSS JOIN c0 c),
-        |b1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY s DESC, cid) AS rn FROM a1),
-        |as1 AS (SELECT vec_id, v, cid FROM b1 WHERE rn = 1),
-        |u1 AS (SELECT cid, dim,
-        |    CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mv
-        |  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
-        |        FROM as1)
-        |  GROUP BY cid, dim),
-        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-        |a2 AS (SELECT e.vec_id, c.cid,
-        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
-        |  FROM e CROSS JOIN c1 c),
-        |b2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY s DESC, cid) AS rn FROM a2)
-        |SELECT vec_id, cid AS cluster_id, s AS cosine
-        |FROM b2 WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      s"""$kmeansCte
+        |SELECT vec_id, cluster_id, cosine
+        |FROM asg ORDER BY vec_id""".stripMargin) { (s, d) =>
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8, iters = 2)
         .orderBy("vec_id")
@@ -140,27 +151,7 @@ object Vectors {
     // is one ranked window over the assignment output (the capPerGroup
     // shape); everything upstream is the already-proven k-means.
     Q("q85_diversity_sample",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (SELECT e.vec_id, e.v, c.cid,
-        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
-        |  FROM e CROSS JOIN c0 c),
-        |b1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY s DESC, cid) AS rn FROM a1),
-        |as1 AS (SELECT vec_id, v, cid FROM b1 WHERE rn = 1),
-        |u1 AS (SELECT cid, dim,
-        |    CAST(sum(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mv
-        |  FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
-        |        FROM as1)
-        |  GROUP BY cid, dim),
-        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM u1 GROUP BY cid),
-        |a2 AS (SELECT e.vec_id, c.cid,
-        |    round(list_cosine_similarity(e.v, c.cv), 4) AS s
-        |  FROM e CROSS JOIN c1 c),
-        |b2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY s DESC, cid) AS rn FROM a2),
-        |asg AS (SELECT vec_id, cid AS cluster_id, s AS cosine
-        |  FROM b2 WHERE rn = 1),
+      s"""$kmeansCte,
         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
         |    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM asg)
         |SELECT cluster_id, vec_id, cosine, rank FROM rk
@@ -175,6 +166,27 @@ object Vectors {
         .where(col("rank") <= 25)
         .select(col("cluster_id"), col("vec_id"), col("cosine"), col("rank"))
         .orderBy("cluster_id", "rank")
+    },
+
+    // Semantic dedup (SemDeDup-shaped): exact cosine runs ONLY between
+    // same-cluster pairs of the q74 assignment, and a vector dies iff
+    // a smaller-id cluster-mate scores >= 0.4 against it (keep-first).
+    // The cluster key bounds the candidate join — Σ|cluster|², not N²;
+    // k grows with the corpus to hold cluster size constant.
+    Q("q86_semdedup",
+      s"""$kmeansCte,
+        |wv AS (SELECT asg.vec_id, asg.cluster_id, asg.cosine, e.v
+        |  FROM asg JOIN e USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id AS vid
+        |  FROM wv a JOIN wv b
+        |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4)
+        |SELECT w.vec_id, w.cluster_id, w.cosine FROM wv w
+        |WHERE w.vec_id NOT IN (SELECT vid FROM dup)
+        |ORDER BY w.vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.4)
+        .orderBy("vec_id")
     },
 
     // LSH-bucketed ANN — the scale path (OR-amplified bands bound the

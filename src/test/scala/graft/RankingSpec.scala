@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ranking
+
+/** Score-bucketed two-phase ranking: exact equivalence to the
+  * single-reducer `row_number()` it replaces, plus the plan proofs —
+  * the big side shuffles on the (group, score) CELL key (never a bare
+  * low-cardinality group, never a single partition), and the window /
+  * counts passes share one exchange. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // heavy ties: 7 score values over 300 rows, two groups
+  private lazy val docs = (1L to 300L)
+    .map(i => (i, if (i % 2 == 0) "a" else "b", i % 7))
+    .toDF("id", "g", "score")
+
+  test("global rankByScore ≡ row_number() OVER (ORDER BY score DESC, id)") {
+    val naive = docs.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), col("id"))).cast("long"))
+    val ours = Ranking.rankByScore(docs, Seq.empty, "score", "id", "rank")
+    assert(rows(ours.select("id", "rank")) === rows(naive.select("id", "rank")))
+  }
+
+  test("ascending global rank ranks the smallest score 1") {
+    val ours = Ranking.rankByScore(docs, Seq.empty, "score", "id", "rank",
+      ascending = true)
+    val first = ours.where(col("rank") === 1).select("score", "id")
+      .as[(Long, Long)].head()
+    assert(first === ((0L, 7L))) // smallest score, then smallest id
+  }
+
+  test("grouped rankByScore ≡ row_number() OVER (PARTITION BY g ORDER BY score DESC, id)") {
+    val naive = docs.withColumn("rank",
+      row_number().over(Window.partitionBy("g").orderBy(desc("score"), col("id")))
+        .cast("long"))
+    val ours = Ranking.rankByScore(docs, Seq("g"), "score", "id", "rank")
+    assert(rows(ours.select("id", "rank")) === rows(naive.select("id", "rank")))
+  }
+
+  test("quantileGate keeps exactly ceil(frac·n) per group, largest scores first") {
+    val kept = Ranking.quantileGate(docs, Seq("g"), "score", "id", frac = 0.3)
+    val perGroup = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    // both groups have 150 rows -> ceil(45) = 45 kept each
+    assert(perGroup === Map("a" -> 45L, "b" -> 45L))
+    // the kept set is the rank-prefix: max kept rank == kept count
+    val maxRank = kept.groupBy("g").agg(max("rank").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(maxRank === Map("a" -> 45L, "b" -> 45L))
+    // nothing dropped outranks anything kept: the worst kept score is
+    // still >= the best dropped score (equality = ties straddling the
+    // cut, resolved deterministically by the id tie-break)
+    val minKept = kept.agg(min("score")).as[Long].head()
+    val dropped = docs.join(kept.select("id"), Seq("id"), "left_anti")
+    val maxDropped = dropped.agg(max("score")).as[Long].head()
+    assert(minKept >= maxDropped)
+  }
+
+  test("plan: big side hashes on the score cell; counts combine map-side") {
+    val ours = Ranking.rankByScore(docs, Seq("g"), "score", "id", "rank")
+    val plan = ExplainCheck.finalPlanLines(ours)
+    // the local-rank window keys on (g, score) — the fine-grained cell,
+    // not the 2-value group and not a single partition
+    assert(plan.exists(l => l.contains("hashpartitioning") &&
+      l.contains("g#") && l.contains("score#")),
+      s"expected a hashpartitioning(g, score) exchange in:\n${plan.mkString("\n")}")
+    // the offsets pass partially aggregates BEFORE its exchange, so the
+    // second shuffle moves |distinct cells| counts, not the corpus
+    assert(plan.exists(_.contains("partial_count")),
+      s"counts pass lost its map-side combine:\n${plan.mkString("\n")}")
+    // the offsets side reaches the probe as a broadcast, not a shuffle
+    // of the big side
+    assert(plan.exists(_.contains("BroadcastHashJoin")),
+      s"offsets join stopped broadcasting:\n${plan.mkString("\n")}")
+  }
+}

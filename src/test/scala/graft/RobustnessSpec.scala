@@ -61,6 +61,30 @@ class RobustnessSpec extends SparkSpec {
       bands = 2, bitsPerBand = 2).count() === 0)
     assert(Similarity.quantizedTopK(emptyEmb, emptyEmb, "vec_id", "embedding", 5)
       .count() === 0)
+    // kmeans has no seeds to collect on an empty corpus — must yield an
+    // empty assignment (not an analysis error), and semanticDedup with it
+    assert(Similarity.kmeans(emptyEmb, "vec_id", "embedding", k = 4, iters = 2)
+      .count() === 0)
+    assert(Similarity.semanticDedup(emptyEmb, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.9).count() === 0)
+  }
+
+  test("ranking operators survive empty, single-row, and all-tied input") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "score")
+    assert(Ranking.rankByScore(empty, Seq.empty, "score", "id", "rank").count() === 0)
+    assert(Ranking.rankByScore(empty, Seq("g"), "score", "id", "rank").count() === 0)
+    assert(Ranking.quantileGate(empty, Seq.empty, "score", "id", 0.5).count() === 0)
+    assert(Ranking.quantileGate(empty, Seq("g"), "score", "id", 0.5).count() === 0)
+    val one = Seq((7L, "a", 3L)).toDF("id", "g", "score")
+    assert(Ranking.rankByScore(one, Seq.empty, "score", "id", "rank")
+      .select("rank").as[Long].head() === 1L)
+    assert(Ranking.quantileGate(one, Seq("g"), "score", "id", 0.5).count() === 1)
+    // every row the same score: one cell holds the whole input; ranks
+    // still a permutation by the tie-break
+    val tied = (1L to 20L).map(i => (i, "a", 5L)).toDF("id", "g", "score")
+    val ranks = Ranking.rankByScore(tied, Seq.empty, "score", "id", "rank")
+      .select("rank").as[Long].collect().sorted.toSeq
+    assert(ranks === (1L to 20L))
   }
 
   test("text operators tolerate NULL and empty text (no throw, ids preserved)") {

@@ -144,4 +144,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out("a") === Seq(2.0, 3.0))
     assert(out("b") === Seq(10.0, 20.0))
   }
+
+  test("semanticDedup keeps the smallest id of each within-cluster near-dup set") {
+    // two well-separated clusters, each holding one near-identical pair
+    // (the larger id of each pair must die) plus one distinct member
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // cluster A, kept
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // ≈1 -> shadowed by 1
+      (3L, Array(0.7f, 0.0f, 0.7f, 0.0f)),   // cluster A-ish but far: kept
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // cluster B, kept
+      (5L, Array(0.0f, 0.98f, 0.02f, 0.0f)), // ≈4 -> shadowed by 4
+      (6L, Array(0.0f, 0.7f, 0.0f, 0.7f))    // cluster B-ish but far: kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.95)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L, 4L, 6L))
+    // survivor property: no surviving pair in the same cluster clears
+    // the threshold (else the larger id would have been shadowed)
+    val asg = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .join(vecs, Seq("vec_id"))
+    val a = asg.select(col("vec_id").as("ia"), col("cluster_id"), col("embedding").as("va"))
+    val b = asg.select(col("vec_id").as("ib"), col("cluster_id"), col("embedding").as("vb"))
+    val survivorPairs = a.join(b, Seq("cluster_id")).where(col("ia") < col("ib"))
+      .where(col("ia").isin(survivors.toSeq: _*) && col("ib").isin(survivors.toSeq: _*))
+      .withColumn("cos", round(graft.functions.VectorFns.cosine(
+        col("va").cast("array<double>"), col("vb").cast("array<double>")), 4))
+    assert(survivorPairs.where(col("cos") >= 0.95).count() === 0)
+  }
 }
