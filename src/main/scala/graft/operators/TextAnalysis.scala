@@ -659,6 +659,77 @@ object TextAnalysis {
       nRedactions.cast("long").as("n_redactions"))
   }
 
+  /** Corpus-level boilerplate removal (the C4/RefinedWeb line-dedup
+    * rule, with fixed `segTokens`-token segments standing in for lines
+    * in this newline-free corpus): any segment occurring in at least
+    * `minDocFreq` DISTINCT documents is boilerplate (navigation bars,
+    * cookie banners, license headers) and is stripped from every
+    * document; the survivors are reassembled in original order.
+    *
+    * Plan shape, in scale order of cost:
+    *  1. segment stream (id, k, seg, h) — one map stage (explode +
+    *     slice/concat_ws, codegen; h = 60-bit md5 prefix);
+    *  2. document frequency over fixed-width (h, id) rows —
+    *     distinct + partial-aggregated count; segment TEXT never
+    *     enters these exchanges;
+    *  3. hot-set broadcast anti-join — the q46-contamination pattern
+    *     (Dedup.scala hot-shingle list): boilerplate is by definition
+    *     few DISTINCT values repeated many times, so the hot list is
+    *     ≤ |segments|/minDocFreq 8-byte hashes and Zipf-concentrated
+    *     far below that; if a corpus ever breaks the bound, swap the
+    *     broadcast for a shuffle anti-join on h (the stream is still
+    *     fixed-width — only step 4 ever moves text);
+    *  4. order-preserving reassembly — the one unavoidable text
+    *     shuffle (groupBy doc, collect (k, seg), array_sort on the
+    *     unique-per-doc k, join back to the per-doc segment count on
+    *     the same doc-id key).
+    *
+    * Both engines compute the hot set from the SAME 60-bit hash, so
+    * even a prefix collision (one phantom boilerplate segment) matches
+    * bit-for-bit across the oracle.
+    * @return idCol, n_seg, n_kept, clean_text ('' when everything was
+    *         boilerplate or the document was empty/NULL) */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (at 1 every segment is boilerplate), got $minDocFreq")
+    val base = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
+    // size() is -1 for a NULL array (non-ANSI default): fold NULL text
+    // into the 0-segment branch rather than letting -1 reach the
+    // segment arithmetic
+    val n = size(col("__toks"))
+    val segs = base
+      .where(n >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), (n - 1).divide(segTokens).cast("int"))).as("__k"))
+      .select(col(idCol), col("__k").cast("long").as("__k"),
+        concat_ws(" ", slice(col("__toks"),
+          col("__k") * segTokens + 1, lit(segTokens))).as("__seg"))
+      .withColumn("__h",
+        conv(substring(md5(col("__seg")), 1, 15), 16, 10).cast("long"))
+    val hot = segs.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val re = segs.join(broadcast(hot), Seq("__h"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__k"), col("__seg")))),
+            s => s.getField("__seg")), " ").as("clean_text"))
+    base.select(col(idCol),
+        when(n <= 0, lit(0L))
+          .otherwise(((n - 1).divide(segTokens).cast("long")) + 1L).as("n_seg"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Word n-gram frequency: top-k n-grams. Position-explode +
     * slice/concat_ws (codegen) rather than a per-row `transform`
     * (interpreted); top-k plans as TakeOrderedAndProject over the

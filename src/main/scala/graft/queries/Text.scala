@@ -175,6 +175,36 @@ object Text {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Boilerplate strip (C4-style line dedup over 8-token segments):
+    // segments occurring in ≥2 distinct docs vanish from every doc,
+    // survivors reassembled in order. Both sides hot-set on the SAME
+    // 60-bit md5 prefix, so the hash-match holds even under prefix
+    // collision; DuckDB's string_agg(... ORDER BY k) is the oracle
+    // twin of the array_sort-by-position regroup.
+    Q("q89_boilerplate_strip",
+      s"""WITH t AS (SELECT doc_id, $oTok AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // 8)) AS k
+         |      FROM t WHERE len(toks) >= 1),
+         |hs AS (SELECT doc_id, k,
+         |    array_to_string(list_slice(toks, k * 8 + 1, k * 8 + 8), ' ') AS seg,
+         |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, k * 8 + 1, k * 8 + 8), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM s),
+         |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM hs GROUP BY 1)
+         |        WHERE df >= 2),
+         |kept AS (SELECT doc_id, k, seg FROM hs WHERE h NOT IN (SELECT h FROM hot)),
+         |re AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY k) AS clean_text FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE (len(toks) - 1) // 8 + 1 END AS BIGINT) AS n_seg,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 8, minDocFreq = 2)
+        .orderBy("doc_id")
+    },
+
     // Language ID by stopword-overlap vote; 'und' when nothing matches.
     Q("q33_lang_id",
       s"""WITH toks AS (

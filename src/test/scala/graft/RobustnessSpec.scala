@@ -43,6 +43,7 @@ class RobustnessSpec extends SparkSpec {
       .count() === 0)
     assert(TextAnalysis.corpusGate(emptyDocs, "doc_id", "text",
       Seq(("the", "en")).toDF("word", "label"), "und").count() === 0)
+    assert(TextAnalysis.stripBoilerplate(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.nearDedupCorpus(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.decontaminate(emptyDocs, emptyDocs, "doc_id", "text").count() === 0)
     assert(TextAnalysis.unigramNll(emptyDocs, "doc_id", "text").count() === 0)
@@ -135,6 +136,14 @@ class RobustnessSpec extends SparkSpec {
     assert(enc.select("doc_id").distinct().as[Long].collect().toSeq === Seq(2L))
     // decontaminate vs an empty benchmark keeps everything
     assert(Dedup.decontaminate(nullDocs, emptyDocs, "doc_id", "text").count() === 3)
+    // boilerplate strip: NULL/empty docs keep their row as 0-segment
+    // docs; the real doc's segments are unique → untouched
+    val stripped = TextAnalysis.stripBoilerplate(nullDocs, "doc_id", "text")
+    assert(stripped.count() === 3)
+    assert(stripped.where(col("doc_id") === 2L).select("clean_text")
+      .as[String].collect().toSeq === Seq("real text here"))
+    assert(stripped.where(col("doc_id") =!= 2L)
+      .where(col("n_seg") =!= 0L || col("clean_text") =!= "").count() === 0)
   }
 
   test("funnel/decay/sample/rrf operators survive empty and degenerate input") {

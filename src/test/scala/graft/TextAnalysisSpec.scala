@@ -153,6 +153,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(TextAnalysis.languageId(docs, "doc_id", "text")) === Set(Seq(1L, "es")))
   }
 
+  test("stripBoilerplate: cross-doc segments vanish, survivors keep order, emptied docs stay") {
+    // seg=2, minDocFreq=2. "nav bar" opens docs 1 and 2 → boilerplate.
+    // Doc 1's unique middle+tail survive IN ORDER; doc 3 is entirely
+    // the shared segment → emptied but present; doc 4 repeats "nav
+    // bar" twice in ONE doc — distinct-doc counting must not let a
+    // within-doc repeat alone reach the threshold, but the cross-doc
+    // hit still strips both copies; doc 5 is empty text.
+    val docs = Seq(
+      (1L, "nav bar unique one tail bit"),
+      (2L, "nav bar other body"),
+      (3L, "nav bar"),
+      (4L, "nav bar nav bar solo pair"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+        segTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, "unique one tail bit"),
+      (2L, 2L, 1L, "other body"),
+      (3L, 1L, 0L, ""),
+      (4L, 3L, 1L, "solo pair"),
+      (5L, 0L, 0L, "")))
+  }
+
+  test("stripBoilerplate: within-doc repeats alone never cross the distinct-doc threshold") {
+    val docs = Seq(
+      (1L, "ad block ad block ad block"),
+      (2L, "clean text here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+        segTokens = 2, minDocFreq = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    // "ad block" appears 3× but only in ONE doc → kept everywhere
+    assert(out.toSeq === Seq(
+      (1L, 3L, "ad block ad block ad block"),
+      (2L, 2L, "clean text here")))
+  }
+
   test("sequencePack: contiguous shard-local token stream chopped at the budget") {
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (9L, "j"))
       .toDF("doc_id", "text")
