@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Funnel, Sessionize}
+import graft.operators.{AsOf, Funnel, Graph, Sessionize}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -15,7 +15,57 @@ import graft.operators.{AsOf, Funnel, Sessionize}
   */
 object Events {
 
+  /** q91 oracle: integer PageRank unrolled to `iters` chained CTEs.
+    * A recursive CTE would be the compact form, but aggregate
+    * functions inside a recursive term are restricted across SQL
+    * dialects — the unrolled chain is plain ANSI and runs anywhere.
+    * Every quantity is BIGINT micro-rank units (`//` = the operator's
+    * `div`; inputs are non-negative so floor = truncate), making the
+    * chain bit-identical to the Spark side. */
+  private def pageRankOracle(iters: Int): String = {
+    val chain = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT e.dst AS p,
+         |  CAST((SELECT (15 * init) // 100 FROM c)
+         |    + (85 * sum(CASE WHEN e.w = 1 THEN pr${k - 1}.r // e.outdeg ELSE 0 END)) // 100
+         |    AS BIGINT) AS r
+         |  FROM pr${k - 1} JOIN e2 e ON pr${k - 1}.p = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |           page AS dst FROM ev)
+       |  WHERE src IS NOT NULL),
+       |nodes AS (SELECT DISTINCT src AS p FROM edges UNION SELECT DISTINCT dst AS p FROM edges),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |e2 AS (
+       |  SELECT e.src, e.dst, d.outdeg, 1 AS w FROM edges e JOIN deg d ON e.src = d.src
+       |  UNION ALL SELECT p, p, NULL, 0 FROM nodes),
+       |c AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+       |pr0 AS (SELECT p, CAST((SELECT init FROM c) AS BIGINT) AS r FROM nodes),
+       |$chain
+       |SELECT p, r AS rank FROM pr$iters ORDER BY p""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Click-graph PageRank (10 integer-exact iterations) over page
+    // transitions: the crawl-importance prior a web-scale corpus
+    // weights sources by. Edges = consecutive events per user; ranks
+    // in 10^-12 units so both engines run identical 64-bit integer
+    // arithmetic (float PageRank can never hash-match cross-engine).
+    Q("q91_pagerank", pageRankOracle(10)) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
+      Graph.pageRank(edges, iterations = 10).orderBy("p")
+    },
 
     // JSON-in-string extraction (events.props = {"k": N}).
     Q("q20_json_extract",

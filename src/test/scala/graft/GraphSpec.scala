@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+
+  test("clickEdges: consecutive events per key in (ts, tie) order; first event drops") {
+    val ev = Seq(
+      // user 1 visits 10 → 20 → 30; the tie at 00:01 breaks on event_id
+      (1L, ts(0), 100L, 10L),
+      (1L, ts(1), 102L, 30L),
+      (1L, ts(1), 101L, 20L),
+      // user 2 has a single event → no edge
+      (2L, ts(0), 200L, 99L)
+    ).toDF("user_id", "ts", "event_id", "page")
+    val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq === Seq((10L, 20L), (20L, 30L)))
+  }
+
+  test("pageRank: hand-computed integer ranks on a star graph, mass accounting") {
+    // 2→1, 3→1, 4→1, 1→2; N=4, init=2.5e11, base=(15·init)//100
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(
+      1L -> 675000000000L,  // base + 85%·(3·init)
+      2L -> 250000000000L,  // base + 85%·init
+      3L -> 37500000000L,   // no inbound → base only
+      4L -> 37500000000L))
+    val r2 = Graph.pageRank(edges, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(
+      1L -> 313750000000L,  // base + 85%·(r2+r3+r4 of iter 1)
+      2L -> 611250000000L,  // base + 85%·(r1 of iter 1)
+      3L -> 37500000000L,
+      4L -> 37500000000L))
+  }
+
+  test("pageRank: deterministic under repartitioning (integer sums are order-free)") {
+    val edges = (0L until 200L).map(i => (i % 23L, (i * 7L) % 19L)).toDF("src", "dst")
+    val a = Graph.pageRank(edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(edges.repartition(13), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("pageRank: empty edges yield an empty result, not a throw") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, iterations = 3).count() === 0)
+    assert(Graph.clickEdges(
+      Seq.empty[(Long, Timestamp, Long, Long)].toDF("user_id", "ts", "event_id", "page"),
+      "user_id", "ts", "event_id", "page").count() === 0)
+  }
+
+  test("pageRank: arity guards") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 5, dampPct = 101))
+  }
+}
