@@ -296,7 +296,12 @@ object Dedup {
     // is what the width formula already did. Measured at sf0.1: 4.5s →
     // 2.7s for the loop. Full-width edge sets keep session AQE (skew
     // splitting matters when a giant component concentrates one label).
-    // Conf is session-scoped, so it is restored in the finally.
+    // Conf is session-scoped, so it is restored in the finally — which
+    // also means the narrowed width is visible to any OTHER query
+    // planned on this session while the loop runs: run concurrent
+    // workloads on their own `spark.newSession()` (separate conf, same
+    // shared cache/cluster), the standard isolation for session-conf
+    // tuning.
     val m = edgesWide.count()
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
     val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -306,6 +311,10 @@ object Dedup {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     }
+    // unpersisted in the finally — a mid-loop job failure must not
+    // strand the repartitioned copy in the block manager for the
+    // session lifetime
+    var edgesCache: Option[DataFrame] = None
     try {
     // repartition by dst AFTER the distinct: the cached partitioning is
     // what every round's edges⋈labels join requires (hashpartitioning on
@@ -316,6 +325,7 @@ object Dedup {
     val edges = edgesWide
       .repartition(col("dst"))
       .persist()
+    edgesCache = Some(edges)
     // seed with min(self, min neighbor) — equivalent to having run one
     // neighbor-propagation round, so the loop starts a round ahead
     var labels = edges.groupBy(col("src"))
@@ -333,14 +343,21 @@ object Dedup {
     // false "equal"). The first `skipChecks` rounds skip the probe
     // entirely: a fresh label graph is guaranteed still-moving, so the
     // probe job is pure driver overhead there (judge round-4 note).
-    val skipChecks = 2
-    var prevSum: Option[java.math.BigDecimal] = None
-    var converged = false
-    var i = 0
+    // Convergence needs two consecutive equal sums, so with the probe
+    // starting at round skipChecks the earliest detectable round is
+    // skipChecks+2 — for maxIter <= 3 the 2-round skip would make
+    // "converged" unreachable and EVERY call throw. Small-iteration
+    // callers instead pay one upfront probe (seeding prevSum from the
+    // seed labels) and probe every round.
+    val skipChecks = if (maxIter <= 3) 0 else 2
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty graph
     }
+    var prevSum: Option[java.math.BigDecimal] =
+      if (maxIter <= 3) Some(labelSum(labels)) else None
+    var converged = false
+    var i = 0
     while (!converged && i < maxIter) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -372,7 +389,6 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(s"connectedComponents: not converged after $maxIter rounds")
     labels.select(col("id"), col("comp").as("cluster_id"))
@@ -381,6 +397,7 @@ object Dedup {
         spark.conf.set("spark.sql.shuffle.partitions", origParts)
         spark.conf.set("spark.sql.adaptive.enabled", origAqe)
       }
+      edgesCache.foreach(_.unpersist())
       edgesWide.unpersist()
       ()
     }

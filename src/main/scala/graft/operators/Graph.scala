@@ -89,7 +89,9 @@ object Graph {
     // a fixed-iteration loop over fixed-width rows is pure scheduling
     // overhead at small widths, while a 100 TB edge set keeps full
     // session width AND session AQE (skew split matters when a hub
-    // page concentrates in-links). Session-scoped conf → finally.
+    // page concentrates in-links). Session-scoped conf → restored in
+    // the finally; concurrent workloads on the same session would see
+    // the narrowed width — isolate them on `spark.newSession()`.
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
     val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val p = math.max(1L, math.min(origParts.toLong, (m + 63999) / 64000)).toInt

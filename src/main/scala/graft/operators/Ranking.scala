@@ -52,7 +52,16 @@ object Ranking {
     *                  "hardest/longest first" order) */
   def rankByScore(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
-      tieCol: String, rankName: String, ascending: Boolean = false): DataFrame = {
+      tieCol: String, rankName: String, ascending: Boolean = false): DataFrame =
+    rankWithCells(df, groupCols, scoreCol, tieCol, rankName, ascending)._1
+
+  /** rankByScore plus the per-(group, score) cell-count table it
+    * builds anyway — [[quantileGate]] derives group totals from the
+    * |distinct cells|-row table instead of re-scanning the corpus. */
+  private def rankWithCells(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      tieCol: String, rankName: String,
+      ascending: Boolean): (DataFrame, DataFrame) = {
     require(!df.columns.contains("__lrank") && !df.columns.contains("__off"),
       "input must not already carry __lrank/__off columns")
     require(!(groupCols :+ scoreCol :+ tieCol).contains(rankName),
@@ -68,12 +77,22 @@ object Ranking {
     val sOrd = if (ascending) col(scoreCol).asc else col(scoreCol).desc
     val ow = Window.partitionBy(g: _*).orderBy(sOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))
+    val cells = df.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))
+    val offsets = cells
       .withColumn("__off", coalesce(sum(col("__cnt")).over(ow), lit(0L)))
       .select(cell :+ col("__off"): _*)
-    local.join(broadcast(offsets), groupCols :+ scoreCol)
-      .withColumn(rankName, col("__off") + col("__lrank"))
-      .drop("__lrank", "__off")
+    // null-SAFE equi-join: groupBy above treats NULL group/score
+    // values as ordinary cells (their own partition; desc orders them
+    // NULLS LAST, matching the documented row_number semantics in both
+    // engines), so the join back must too — a plain `===` would
+    // silently drop every NULL-keyed row from the output
+    val o = offsets.columns.foldLeft(offsets)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val keys = groupCols :+ scoreCol
+    val cond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    val joined = local.join(broadcast(o), cond)
+      .withColumn(rankName, col("__o___off") + col("__lrank"))
+      .drop("__lrank" +: o.columns.toSeq: _*)
+    (joined, cells)
   }
 
   /** Keep the top `frac` of each group by score — the per-language /
@@ -89,13 +108,26 @@ object Ranking {
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, frac: Double, rankName: String = "rank"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
-    val ranked = rankByScore(df, groupCols, scoreCol, tieCol, rankName)
+    val (ranked, cells) = rankWithCells(df, groupCols, scoreCol, tieCol,
+      rankName, ascending = false)
+    // group totals from the |distinct cells| table, NOT a third scan of
+    // the corpus — the cells aggregate is the same subtree the offsets
+    // pass shuffles, so its exchange is planned once and reused
     val totals =
-      if (groupCols.isEmpty) df.groupBy().agg(count(lit(1)).as("__n"))
-      else df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      if (groupCols.isEmpty) cells.groupBy().agg(sum(col("__cnt")).as("__n"))
+      else {
+        val t = cells.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__n"))
+        t.columns.foldLeft(t)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+      }
     val gated =
       if (groupCols.isEmpty) ranked.crossJoin(broadcast(totals))
-      else ranked.join(broadcast(totals), groupCols)
-    gated.where(col(rankName) <= ceil(lit(frac) * col("__n"))).drop("__n")
+      else {
+        // null-safe: a NULL group is a real group and keeps its quota
+        val cond = groupCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+        ranked.join(broadcast(totals), cond)
+          .withColumnRenamed("__t___n", "__n")
+      }
+    gated.where(col(rankName) <= ceil(lit(frac) * col("__n")))
+      .drop("__n" +: totals.columns.toSeq: _*)
   }
 }

@@ -437,7 +437,13 @@ object Similarity {
     val asg = kmeans(emb, idCol, vecCol, k, iters, roundTo)
     val e = emb.select(col(idCol).cast("long").as(idCol),
       col(vecCol).cast("array<double>").as("__v"))
-    val withVec = asg.join(e, Seq(idCol))
+    // lazy localCheckpoint: withVec is referenced THREE times (both
+    // pair-join sides + the final anti-join left), and each plan-level
+    // reference would re-run the embedding scan + assignment + id-join
+    // — checkpointing collapses them to one RDD computed once (the
+    // connectedComponents lineage discipline; storage is freed when
+    // the result's RDD is collected by the ContextCleaner)
+    val withVec = asg.join(e, Seq(idCol)).localCheckpoint(false)
     val a = withVec.select(col(idCol).as("__id_a"), col("cluster_id"),
       col("__v").as("__va"))
     val b = withVec.select(col(idCol).as("__id_b"), col("cluster_id"),

@@ -64,20 +64,7 @@ object TextAnalysis {
     // row, aggregating to nw=sl=ns=0 rather than dropping out. Like
     // simhashFingerprints, output is one row per distinct id — ids are
     // expected unique.
-    val toks = TextFns.tokens(TextFns.normalize(t))
-    val marker = struct(
-      lit(null).cast("string").as("tok"),
-      length(t).cast("long").as("nc"),
-      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long").as("np"))
-    val tokRows = transform(
-      coalesce(toks, array().cast("array<string>")),
-      tok => struct(tok.as("tok"),
-        lit(null).cast("long").as("nc"), lit(null).cast("long").as("np")))
-    val exploded = df
-      .select(col(idCol), explode(concat(array(marker), tokRows)).as("__e"))
-      .select(col(idCol), col("__e.tok").as("__tok"),
-        col("__e.nc").as("__enc"), col("__e.np").as("__enp"))
-    val agg = exploded
+    val agg = markerExplode(df, idCol, textCol)
       .groupBy(col(idCol))
       .agg(
         max(col("__enc")).as("__nc"),
@@ -87,6 +74,30 @@ object TextAnalysis {
         sum(when(col("__tok").isin(stopwords("en").map(lit): _*), 1L)
           .otherwise(0L)).as("__ns"))
     qualityProjection(agg, idCol)
+  }
+
+  /** The shared [marker ++ token structs] explode feeding [[quality]]
+    * and [[corpusGate]] — ONE definition so the marker-row semantics
+    * (doc metrics ride the array data, computed once per doc;
+    * token-less docs keep their marker row) can never drift between
+    * the plain and fused gates.
+    * @return (idCol, __tok, __enc, __enp) rows: one NULL-token marker
+    *         carrying n_chars/punct-count, then one row per token */
+  private def markerExplode(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFns.tokens(TextFns.normalize(t))
+    val marker = struct(
+      lit(null).cast("string").as("tok"),
+      length(t).cast("long").as("nc"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long").as("np"))
+    val tokRows = transform(
+      coalesce(toks, array().cast("array<string>")),
+      tok => struct(tok.as("tok"),
+        lit(null).cast("long").as("nc"), lit(null).cast("long").as("np")))
+    df.select(col(idCol), explode(concat(array(marker), tokRows)).as("__e"))
+      .select(col(idCol), col("__e.tok").as("__tok"),
+        col("__e.nc").as("__enc"), col("__e.np").as("__enp"))
   }
 
   /** round(num/den, 4) half-up, exact: numerators stay < 2^53 so the
@@ -152,20 +163,7 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       dict: DataFrame, // columns: word STRING, label STRING
       default: String): DataFrame = {
-    val t = col(textCol)
-    val toks = TextFns.tokens(TextFns.normalize(t))
-    val marker = struct(
-      lit(null).cast("string").as("tok"),
-      length(t).cast("long").as("nc"),
-      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long").as("np"))
-    val tokRows = transform(
-      coalesce(toks, array().cast("array<string>")),
-      tok => struct(tok.as("tok"),
-        lit(null).cast("long").as("nc"), lit(null).cast("long").as("np")))
-    val exploded = df
-      .select(col(idCol), explode(concat(array(marker), tokRows)).as("__e"))
-      .select(col(idCol), col("__e.tok").as("__tok"),
-        col("__e.nc").as("__enc"), col("__e.np").as("__enp"))
+    val exploded = markerExplode(df, idCol, textCol)
     val canonical = dict.select(col("word"), col("label"),
       (col("label") === min(col("label")).over(Window.partitionBy(col("word"))))
         .as("__canon"))
@@ -226,8 +224,11 @@ object TextAnalysis {
       "strideTokens must be in [1, chunkTokens]")
     val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
     val n = size(col("__toks")).cast("long")
-    val lastK = (greatest(n - chunkTokens, lit(0L)) + (strideTokens - 1))
-      .divide(strideTokens).cast("long")
+    // integral `div`, not Column.divide: divide is IEEE double
+    // division (exact only below 2^53) — div keeps the grid arithmetic
+    // genuinely integer at any magnitude, as the oracle's `//` is
+    val lastK = expr(s"(greatest(cast(size(__toks) AS BIGINT) - $chunkTokens, 0)"
+      + s" + ${strideTokens - 1}) div $strideTokens")
     val start = (col("__k") * strideTokens + 1).cast("long")
     graft.sources.Tables.widen(df)
       .select(col(idCol), toks.as("__toks"))
@@ -486,7 +487,12 @@ object TextAnalysis {
     val bucket = conv(substring(md5(
       concat(col(idCol).cast("string"), lit(":bal"))), 1, 8), 16, 10)
       .cast("long") % 10000
-    df.join(broadcast(rates), df(stratumCol) === col("__stratum"))
+    // null-SAFE join: groupBy above counts a NULL stratum as its own
+    // stratum (it can even be the min that sets the target), so the
+    // join back must keep its rows too — `===` would silently drop
+    // every NULL-stratum row while still letting the group shrink all
+    // real strata
+    df.join(broadcast(rates), df(stratumCol) <=> col("__stratum"))
       .where(bucket < col("__rate"))
       .drop("__stratum", "__rate")
   }
@@ -576,6 +582,11 @@ object TextAnalysis {
   def importanceSample(
       df: DataFrame, idCol: String, weight: Column,
       salt: String = "smp"): DataFrame = {
+    // p and u are part of the OUTPUT contract (callers read the kept
+    // probability), so a pre-existing column would be silently
+    // overwritten — refuse instead, like rankByScore's __lrank guard
+    require(!df.columns.contains("p") && !df.columns.contains("u"),
+      "input must not already carry p/u columns (importanceSample emits them)")
     val u = conv(
       substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
       16, 10).cast("long").cast("double") / lit(4294967296.0)
@@ -702,10 +713,13 @@ object TextAnalysis {
     // into the 0-segment branch rather than letting -1 reach the
     // segment arithmetic
     val n = size(col("__toks"))
+    // integral `div` (the oracle's `//`), not Column.divide — see
+    // chunkDocuments
     val segs = base
       .where(n >= 1)
       .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), (n - 1).divide(segTokens).cast("int"))).as("__k"))
+        explode(sequence(lit(0),
+          expr(s"(size(__toks) - 1) div $segTokens"))).as("__k"))
       .select(col(idCol), col("__k").cast("long").as("__k"),
         concat_ws(" ", slice(col("__toks"),
           col("__k") * segTokens + 1, lit(segTokens))).as("__seg"))
@@ -723,7 +737,9 @@ object TextAnalysis {
             s => s.getField("__seg")), " ").as("clean_text"))
     base.select(col(idCol),
         when(n <= 0, lit(0L))
-          .otherwise(((n - 1).divide(segTokens).cast("long")) + 1L).as("n_seg"))
+          .otherwise(
+            expr(s"cast((size(__toks) - 1) div $segTokens AS BIGINT)") + 1L)
+          .as("n_seg"))
       .join(re, Seq(idCol), "left")
       .select(col(idCol), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -168,6 +168,19 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents: small maxIter converges on an already-settled graph (no false throw)") {
+    // The seed labeling (min of self and neighbors) already solves a
+    // single pair, so with the pre-loop probe seed even maxIter = 1
+    // must detect convergence — the skip-2-rounds probe schedule alone
+    // made every maxIter <= 3 call throw "not converged".
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    for (it <- Seq(1, 2, 3)) {
+      val out = Dedup.connectedComponents(pair, maxIter = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L), s"maxIter=$it")
+    }
+  }
+
   test("connectedComponents: a 100-node chain converges (pointer jumping, not diameter-bound)") {
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(chain, maxIter = 12) // needs ~log2(100), not 100

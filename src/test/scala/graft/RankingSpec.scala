@@ -58,6 +58,26 @@ class RankingSpec extends SparkSpec {
     assert(minKept >= maxDropped)
   }
 
+  test("NULL score and NULL group rows are ranked, not silently dropped") {
+    val withNulls = Seq(
+      (1L, "en", java.lang.Long.valueOf(30L)),
+      (2L, "en", null.asInstanceOf[java.lang.Long]),   // NULL score
+      (3L, null.asInstanceOf[String], java.lang.Long.valueOf(10L)), // NULL group
+      (4L, "en", java.lang.Long.valueOf(20L))
+    ).toDF("id", "g", "score")
+    val ranked = Ranking.rankByScore(withNulls, Seq("g"), "score", "id", "rank")
+    assert(ranked.count() === 4) // the old `===` join lost rows 2 and 3
+    val en = ranked.where($"g" === "en").orderBy("rank")
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    // desc = NULLS LAST: the NULL-score row ranks after every real score
+    assert(en === Seq((1L, 1L), (4L, 2L), (2L, 3L)))
+    // the NULL group is its own group with its own rank sequence
+    assert(ranked.where($"g".isNull).select("rank").as[Long].collect().toSeq === Seq(1L))
+    // quantileGate keeps its quota inside the NULL group too
+    val gated = Ranking.quantileGate(withNulls, Seq("g"), "score", "id", 1.0)
+    assert(gated.count() === 4)
+  }
+
   test("plan: big side hashes on the score cell; counts combine map-side") {
     val ours = Ranking.rankByScore(docs, Seq("g"), "score", "id", "rank")
     val plan = ExplainCheck.finalPlanLines(ours)

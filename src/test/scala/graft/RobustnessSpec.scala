@@ -136,6 +136,17 @@ class RobustnessSpec extends SparkSpec {
     assert(enc.select("doc_id").distinct().as[Long].collect().toSeq === Seq(2L))
     // decontaminate vs an empty benchmark keeps everything
     assert(Dedup.decontaminate(nullDocs, emptyDocs, "doc_id", "text").count() === 3)
+    // stratified rebalance: a NULL stratum is a real stratum — its
+    // rows survive at their derived rate instead of silently vanishing
+    val nullStrata = Seq((1L, "en"), (2L, "en"), (3L, "en"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "stratum")
+    val rebal = TextAnalysis.rebalanceStrata(nullStrata, "doc_id", "stratum")
+    assert(rebal.where(col("stratum").isNull).count() === 1)
+    // importanceSample refuses a p/u collision instead of overwriting
+    intercept[IllegalArgumentException] {
+      TextAnalysis.importanceSample(
+        Seq((1L, 0.5)).toDF("doc_id", "p"), "doc_id", lit(0.5))
+    }
     // boilerplate strip: NULL/empty docs keep their row as 0-segment
     // docs; the real doc's segments are unique → untouched
     val stripped = TextAnalysis.stripBoilerplate(nullDocs, "doc_id", "text")
