@@ -746,6 +746,57 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact n-gram heavy hitters at BOUNDED state: every n-gram whose
+    * frequency exceeds `num/denom` of the total n-gram count, with its
+    * exact count — via the two-pass sketch-then-recount pattern:
+    *
+    *  1. candidate pass: one scan through a [[graft.functions.MisraGries]]
+    *     sketch with k = denom/num + 1 counters (k ≥ denom/num − 1
+    *     guarantees every qualifying n-gram is a candidate); Spark's
+    *     partial/final aggregation runs the sketch per partition and
+    *     merges — state is O(k) EVERYWHERE, vs the plain
+    *     `groupBy(ngram)` whose shuffle carries the full n-gram
+    *     vocabulary (unbounded: 5-gram vocabularies exceed the corpus
+    *     at web scale — this op exists because [[topNgrams]] does not
+    *     scale past token-level vocabularies);
+    *  2. exact pass: re-count ONLY candidate-matching rows (broadcast
+    *     semi-join of ≤ k candidates), then threshold with exact
+    *     integer arithmetic (cnt·denom > num·N).
+    *
+    * The ≤ k-entry candidate row is collected at the driver — the
+    * [[Similarity.kmeans]] centroid precedent: a bounded sketch, not
+    * data. The sketch's candidate set varies with merge order; the
+    * recount + threshold make the RESULT exact and deterministic.
+    * @return (ngram, cnt) rows with cnt·denom > num·N */
+  def heavyNgrams(
+      df: DataFrame, textCol: String, n: Int,
+      num: Int, denom: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(num >= 1 && num < denom,
+      s"threshold must satisfy 1 <= num < denom, got $num/$denom")
+    val k = denom / num + 1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stream = graft.sources.Tables.widen(df)
+      .select(TextFns.tokens(TextFns.normalize(col(textCol))).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("__i"))
+      .select(concat_ws(" ", slice(col("__toks"), col("__i"), lit(n))).as("ngram"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val row = stream.agg(mg(col("ngram")).as("__cands"),
+      count(lit(1)).as("__total")).head()
+    val cands = row.getSeq[String](0)
+    val total = row.getLong(1)
+    if (cands.isEmpty)
+      stream.groupBy(col("ngram")).agg(count(lit(1)).as("cnt")).limit(0)
+    else
+      stream.join(broadcast(cands.map(Tuple1(_)).toDF("ngram")),
+          Seq("ngram"), "left_semi")
+        .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * denom > lit(num) * lit(total))
+  }
+
   /** Word n-gram frequency: top-k n-grams. Position-explode +
     * slice/concat_ws (codegen) rather than a per-row `transform`
     * (interpreted); top-k plans as TakeOrderedAndProject over the

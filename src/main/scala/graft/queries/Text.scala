@@ -175,6 +175,22 @@ object Text {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Heavy hitters at bounded state: Misra-Gries candidate sketch
+    // (101 counters, guarantees recall above the 1/100 threshold) +
+    // exact recount of candidates only. The oracle is the PLAIN exact
+    // GROUP BY ... HAVING — the sketch changes the path, never the
+    // answer, which is exactly the property the hash check proves.
+    Q("q92_heavy_hitters",
+      s"""WITH g AS (SELECT unnest($oTok) AS ngram FROM documents),
+         |c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1)
+         |SELECT ngram, cnt FROM c
+         |WHERE cnt * 100 > (SELECT count(*) FROM g)
+         |ORDER BY ngram""".stripMargin) { (s, d) =>
+      TextAnalysis.heavyNgrams(Tables.documents(s, d), "text",
+          n = 1, num = 1, denom = 100)
+        .orderBy("ngram")
+    },
+
     // Boilerplate strip (C4-style line dedup over 8-token segments):
     // segments occurring in ≥2 distinct docs vanish from every doc,
     // survivors reassembled in order. Both sides hot-set on the SAME
