@@ -284,33 +284,12 @@ object Dedup {
       .union(pairs.select(col(idBCol).cast("long").as("src"), col(idACol).cast("long").as("dst")))
       .distinct()
       .persist()
-    // Size the LOOP's shuffle width to the edge count, not the session
-    // default: each round is a handful of micro-stages over (long,
-    // long) rows, and at small edge counts the loop is pure scheduling
-    // latency — 32-wide exchanges × ~6 rounds is hundreds of near-empty
-    // tasks. ~64k edges per partition keeps a 100 TB edge set at full
-    // session width while a small one collapses to a few tasks. In the
-    // same latency-bound regime AQE is also disabled for the loop: its
-    // per-stage replanning adds driver round-trips to every one of the
-    // ~4 jobs per round, and its job there (coalescing tiny partitions)
-    // is what the width formula already did. Measured at sf0.1: 4.5s →
-    // 2.7s for the loop. Full-width edge sets keep session AQE (skew
-    // splitting matters when a giant component concentrates one label).
-    // Conf is session-scoped, so it is restored in the finally — which
-    // also means the narrowed width is visible to any OTHER query
-    // planned on this session while the loop runs: run concurrent
-    // workloads on their own `spark.newSession()` (separate conf, same
-    // shared cache/cluster), the standard isolation for session-conf
-    // tuning.
+    // Loop shuffle-width hygiene is the shared [[IterativeConf]]
+    // policy (measured here at sf0.1: 4.5s → 2.7s for the loop); the
+    // repartitioned edge cache is built INSIDE the narrowed region so
+    // its partitioning matches the loop's exchanges.
     val m = edgesWide.count()
-    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val p = math.max(1L, math.min(origParts.toLong, (m + 63999) / 64000)).toInt
-    val latencyBound = p < origParts.toInt
-    if (latencyBound) {
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
+    IterativeConf.withLoopShuffleWidth(spark, m) {
     // unpersisted in the finally — a mid-loop job failure must not
     // strand the repartitioned copy in the block manager for the
     // session lifetime
@@ -393,13 +372,10 @@ object Dedup {
       throw new IllegalStateException(s"connectedComponents: not converged after $maxIter rounds")
     labels.select(col("id"), col("comp").as("cluster_id"))
     } finally {
-      if (latencyBound) {
-        spark.conf.set("spark.sql.shuffle.partitions", origParts)
-        spark.conf.set("spark.sql.adaptive.enabled", origAqe)
-      }
       edgesCache.foreach(_.unpersist())
       edgesWide.unpersist()
       ()
+    }
     }
   }
 

@@ -25,15 +25,18 @@ object Graph {
 
   /** (src, dst) click-transition edges: for each key, consecutive
     * events in (ts, tie) total order yield an edge prev-page → page.
-    * One shuffle on the key; the lag window and the NULL-drop of each
-    * key's first event both ride it. */
+    * One shuffle on the key; the lag window and the NULL drops both
+    * ride it. A NULL page (missing/unparseable page field) is not a
+    * node: edges into or out of it are dropped — keeping it would put
+    * a NULL key in the rank table, where engines disagree on NULL
+    * ordering and equality semantics. */
   def clickEdges(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       pageCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     df.select(col(keyCol), col(tsCol), col(tieCol), col(pageCol).as("dst"))
       .withColumn("src", lag(col("dst"), 1).over(w))
-      .where(col("src").isNotNull)
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long"), col("dst").cast("long"))
   }
 
@@ -71,61 +74,53 @@ object Graph {
     val scale = 1000000000000L
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val nodes = e.select(col("src").as("p"))
-      .unionByName(e.select(col("dst").as("p"))).distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // out-degree rides the cached edge rows: the per-iteration join
-    // touches ONE build side, not two
-    val linked = e.join(deg, Seq("src")).withColumn("w", lit(1))
-    val loops = nodes.select(col("p").as("src"), col("p").as("dst"),
-      lit(null).cast("long").as("outdeg"), lit(0).as("w"))
-    val e2 = linked.unionByName(loops)
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val m = e2.count()
-    // The connectedComponents loop hygiene (Dedup.scala): size the
-    // loop's shuffle width to the edge count and drop AQE's per-stage
-    // replanning when the rounds are latency-bound, not data-bound —
-    // a fixed-iteration loop over fixed-width rows is pure scheduling
-    // overhead at small widths, while a 100 TB edge set keeps full
-    // session width AND session AQE (skew split matters when a hub
-    // page concentrates in-links). Session-scoped conf → restored in
-    // the finally; concurrent workloads on the same session would see
-    // the narrowed width — isolate them on `spark.newSession()`.
-    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val p = math.max(1L, math.min(origParts.toLong, (m + 63999) / 64000)).toInt
-    val latencyBound = p < origParts.toInt
-    if (latencyBound) {
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
     try {
-      val n = nodes.count()
-      // empty edge set: no nodes, empty result (0-row partitions at
-      // 100 TB must not throw) — skip the iteration entirely
-      val init = if (n == 0) scale else scale / n
-      val base = ((100L - dampPct) * init) / 100L
-      var ranks = nodes.select(col("p"), lit(init).as("r")).localCheckpoint(true)
-      for (i <- 1 to iterations if n > 0) {
-        ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
-          .groupBy(col("dst").as("p"))
-          .agg((lit(base) +
-            (lit(dampPct) * sum(when(col("w") === 1, expr("r div outdeg"))
-              .otherwise(0L))).divide(100L).cast("long")).as("r"))
-        // lineage truncation every 3rd round, not every round: an eager
-        // localCheckpoint is a whole extra job, and a 3-iteration plan
-        // (join+agg ×3) is still flat — measured 4.1s → 3.6s at sf0.1
-        if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+      // Loop shuffle-width hygiene is the shared [[IterativeConf]]
+      // policy (measured here: 5.5s → 4.1s isolated at sf0.1). The e2
+      // cache is built INSIDE the narrowed region so its partitioning
+      // matches the width the loop's per-round exchanges plan with —
+      // a cache built at session width would force either a re-exchange
+      // of the edge side every round or full-width rank shuffles.
+      val m = e.count()
+      IterativeConf.withLoopShuffleWidth(spark, m) {
+        var e2Cache: Option[DataFrame] = None
+        try {
+          val nodes = e.select(col("src").as("p"))
+            .unionByName(e.select(col("dst").as("p"))).distinct()
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          // out-degree rides the cached edge rows: the per-iteration
+          // join touches ONE build side, not two
+          val linked = e.join(deg, Seq("src")).withColumn("w", lit(1))
+          val loops = nodes.select(col("p").as("src"), col("p").as("dst"),
+            lit(null).cast("long").as("outdeg"), lit(0).as("w"))
+          val e2 = linked.unionByName(loops)
+            .repartition(col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          e2Cache = Some(e2)
+          val n = nodes.count()
+          // empty edge set: no nodes, empty result (0-row partitions
+          // at 100 TB must not throw) — skip the iteration entirely
+          val init = if (n == 0) scale else scale / n
+          val base = ((100L - dampPct) * init) / 100L
+          var ranks = nodes.select(col("p"), lit(init).as("r")).localCheckpoint(true)
+          for (i <- 1 to iterations if n > 0) {
+            ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
+              .groupBy(col("dst").as("p"))
+              // one SQL expression, all integral ops (div, not IEEE
+              // divide): BIGINT end to end, no 2^53 caveat
+              .agg(expr(s"$base + (($dampPct * " +
+                "sum(CASE WHEN w = 1 THEN r div outdeg ELSE 0 END)) div 100)")
+                .as("r"))
+            // lineage truncation every 3rd round, not every round: an
+            // eager localCheckpoint is a whole extra job, and a
+            // 3-iteration plan (join+agg ×3) is still flat — measured
+            // 4.1s → 3.6s at sf0.1
+            if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+          }
+          ranks.select(col("p"), col("r").as("rank"))
+        } finally { e2Cache.foreach(_.unpersist()); () }
       }
-      ranks.select(col("p"), col("r").as("rank"))
-    } finally {
-      if (latencyBound) {
-        spark.conf.set("spark.sql.shuffle.partitions", origParts)
-        spark.conf.set("spark.sql.adaptive.enabled", origAqe)
-      }
-      e2.unpersist()
-      ()
-    }
+    } finally { e.unpersist(); () }
   }
 }

@@ -38,7 +38,7 @@ object Events {
        |  SELECT src, dst FROM (
        |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
        |           page AS dst FROM ev)
-       |  WHERE src IS NOT NULL),
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
        |nodes AS (SELECT DISTINCT src AS p FROM edges UNION SELECT DISTINCT dst AS p FROM edges),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
        |e2 AS (

@@ -705,7 +705,7 @@ object Text {
       """WITH c AS (SELECT lang AS stratum, count(*) AS cnt FROM documents GROUP BY lang),
         |m AS (SELECT min(cnt) AS mn FROM c),
         |r AS (SELECT stratum, (m.mn * 10000) // cnt AS rate FROM c, m)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.stratum
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.stratum
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':bal'), 1, 8)) AS BIGINT) % 10000 < r.rate
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.rebalanceStrata(Tables.documents(s, d), "doc_id", "lang")

@@ -24,6 +24,18 @@ class GraphSpec extends SparkSpec {
     assert(edges.toSeq === Seq((10L, 20L), (20L, 30L)))
   }
 
+  test("clickEdges: a NULL page is not a node — edges in and out of it drop") {
+    val ev = Seq(
+      (1L, ts(0), 100L, java.lang.Long.valueOf(10L)),
+      (1L, ts(1), 101L, null.asInstanceOf[java.lang.Long]), // unparseable page
+      (1L, ts(2), 102L, java.lang.Long.valueOf(20L))
+    ).toDF("user_id", "ts", "event_id", "page")
+    val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (10,NULL) and (NULL,20) both drop; no NULL node reaches pageRank
+    assert(edges.toSeq === Seq.empty)
+  }
+
   test("pageRank: hand-computed integer ranks on a star graph, mass accounting") {
     // 2→1, 3→1, 4→1, 1→2; N=4, init=2.5e11, base=(15·init)//100
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
