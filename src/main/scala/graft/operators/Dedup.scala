@@ -310,7 +310,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence rides the min-label monotone invariant: every step
     // (neighbor min, pointer jump) can only DECREASE a node's label, so
     // the exact label sum strictly decreases while anything changes and
@@ -354,12 +354,25 @@ object Dedup {
       // share one ReusedExchange, and the cache's materialization +
       // block-manager round-trips per iteration cost more than the
       // subtree they save.)
+      // LAZY checkpoint (the pageRank cadence lesson, round-5 verdict
+      // item 6, adapted): an eager localCheckpoint is a whole extra
+      // job per round, and here the convergence probe's scan-aggregate
+      // is already an action — so let the probe BE the materializing
+      // action. Each round now schedules one job (probe+materialize)
+      // instead of two (checkpoint, then probe), lineage still
+      // truncates at every round boundary once materialized, and the
+      // probe cadence stays per-round so convergence is detected at
+      // the earliest possible round (a sparse i%3 probe would fuse
+      // jobs further but execute up to 2 extra converged rounds; at
+      // sf0.1 the per-round join work outweighs the saved scheduling).
+      // The skipChecks rounds schedule no job at all — their
+      // materialization folds into the first probe's job.
       val next = merged
         .join(
           merged.select(col("id").as("__jid"), col("comp").as("__jcomp")),
           col("comp") === col("__jid"), "left")
         .select(col("id"), coalesce(col("__jcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (i >= skipChecks) {
         val s = labelSum(next)
         if (prevSum.exists(_.compareTo(s) == 0)) converged = true

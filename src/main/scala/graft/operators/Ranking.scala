@@ -74,7 +74,11 @@ object Ranking {
         .cast("long"))
     // pass 2: offsets — strictly-better row counts per cell; the
     // running sum runs on the distinct-(group, score) table only
-    val sOrd = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    // asc_nulls_last, not plain asc: Spark's asc default is NULLS
+    // FIRST while DuckDB's is NULLS LAST, so an ascending rank over a
+    // column with NULL scores would otherwise disagree cross-engine.
+    // (desc is NULLS LAST in both engines already.)
+    val sOrd = if (ascending) col(scoreCol).asc_nulls_last else col(scoreCol).desc
     val ow = Window.partitionBy(g: _*).orderBy(sOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cells = df.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))

@@ -203,10 +203,24 @@ object Similarity {
     * corpus scale use [[bandedCosinePairs]] — same scorer and rounding
     * policy, candidates bounded by sign-band buckets instead of N².
     * The threshold is applied to the ROUNDED score so a sub-1e-4 float
-    * difference between engines cannot change the selected pair set. */
+    * difference between engines cannot change the selected pair set.
+    *
+    * `maxRows` is a hard input-size guard: the quadratic baseline is a
+    * recall oracle, never a production path, and must not be invokable
+    * unbounded on a full-size corpus (100k rows already means 5·10⁹
+    * candidate pairs). The probe reads at most `maxRows + 1` rows, a
+    * negligible pre-pass next to the N² join it protects. Callers that
+    * genuinely need near-dup pairs at corpus scale use
+    * [[bandedCosinePairs]] or [[semanticDedup]]. */
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, roundTo: Int = 4): DataFrame = {
+      threshold: Double, roundTo: Int = 4,
+      maxRows: Int = 100000): DataFrame = {
+    val n = df.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"cosinePairs is the O(N²) recall-oracle baseline and refuses inputs over " +
+        s"$maxRows rows (got >= $n); use bandedCosinePairs/semanticDedup — same " +
+        "scorer and rounding policy — as the scale path")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -44,7 +44,7 @@ object Events {
        |e2 AS (
        |  SELECT e.src, e.dst, d.outdeg, 1 AS w FROM edges e JOIN deg d ON e.src = d.src
        |  UNION ALL SELECT p, p, NULL, 0 FROM nodes),
-       |c AS (SELECT 1000000000000 // count(*) AS init FROM nodes),
+       |c AS (SELECT 1000000000000 // nullif(count(*), 0) AS init FROM nodes),
        |pr0 AS (SELECT p, CAST((SELECT init FROM c) AS BIGINT) AS r FROM nodes),
        |$chain
        |SELECT p, r AS rank FROM pr$iters ORDER BY p""".stripMargin

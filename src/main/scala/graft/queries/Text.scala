@@ -211,7 +211,7 @@ object Text {
          |re AS (SELECT doc_id, count(*) AS n_kept,
          |    string_agg(seg, ' ' ORDER BY k) AS clean_text FROM kept GROUP BY doc_id)
          |SELECT t.doc_id,
-         |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE (len(toks) - 1) // 8 + 1 END AS BIGINT) AS n_seg,
+         |  CAST(CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0 ELSE (len(toks) - 1) // 8 + 1 END AS BIGINT) AS n_seg,
          |  coalesce(n_kept, 0) AS n_kept,
          |  coalesce(clean_text, '') AS clean_text
          |FROM t LEFT JOIN re ON t.doc_id = re.doc_id

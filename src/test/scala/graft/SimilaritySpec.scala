@@ -73,6 +73,19 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.subsetOf(allPairs)) // banded candidates never invent pairs
   }
 
+  test("cosinePairs refuses inputs over the maxRows guard (recall-oracle only)") {
+    val big = spark.range(5).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f), lit(0.0f)))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(big, "vec_id", "embedding",
+        threshold = 0.5, maxRows = 4)
+    }
+    assert(err.getMessage.contains("bandedCosinePairs"))
+    // at exactly the cap it still runs: the guard bounds, it doesn't shrink
+    assert(Similarity.cosinePairs(big.limit(4), "vec_id", "embedding",
+      threshold = 0.5, maxRows = 4).count() === 6L)
+  }
+
   test("ivfTopK: probes bound the search; self excluded; ranks dense") {
     // two labeled clusters around x-axis and z-axis
     val labeled = Seq(
