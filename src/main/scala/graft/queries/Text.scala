@@ -22,7 +22,7 @@ object Text {
 
   /** DuckDB twin of TextFns.normalize + tokens: used verbatim inside
     * every oracle below. */
-  private val oTok =
+  private[queries] val oTok =
     """list_filter(regexp_split_to_array(trim(lower(translate(text, ',;''', '   '))), '\s+'), x -> length(x) > 0)"""
 
   /** Topic dictionary over the synthetic corpus vocabulary. */

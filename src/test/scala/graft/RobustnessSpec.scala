@@ -216,4 +216,31 @@ class RobustnessSpec extends SparkSpec {
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
     assert(Dedup.newRows(batch, batch.limit(0), Seq("k")).count() === 2)
   }
+
+  test("newsmaper transform chain survives empty input and NULL description/media") {
+    import graft.newsmaper.Newsmaper
+    val dim = Newsmaper.calendarDim(spark, "2025-03-01 00:00:00", "2025-03-02 00:00:00")
+    val refs = Seq((2L, "relational", Seq("join", "table")))
+      .toDF("id", "name", "words")
+    def chain(arts: DataFrame): DataFrame =
+      Newsmaper.renameAndSelect(
+        Newsmaper.findCountry(Newsmaper.explodeDate(arts, dim), refs))
+    val cols = Seq("title", "link", "description", "date", "media", "id_source")
+    val empty = Seq.empty[(String, String, String, String, String, Long)].toDF(cols: _*)
+    assert(chain(empty).count() === 0)
+    // NULL description and media must flow through classification (the
+    // reference's 'null'-string media quirk arrives as real NULL) and
+    // the key hash must not conflate them with empty strings
+    val arts = Seq(
+      ("join the table", "l1", null.asInstanceOf[String],
+        "Sat, 01 Mar 2025 10:00:00 GMT", null.asInstanceOf[String], 1L),
+      ("no keywords at all", "l2", "plain words",
+        "01 Mar 25 11:00:00 +0000", "m", 2L)).toDF(cols: _*)
+    val out = chain(arts).collect()
+    assert(out.length === 2)
+    val byLink = out.map(r => r.getAs[String]("link") -> r).toMap
+    assert(byLink("l1").getAs[Long]("id_country") === 2L) // keyword vote
+    assert(byLink("l2").getAs[Long]("id_country") === 1L) // default
+    assert(byLink("l1").isNullAt(byLink("l1").fieldIndex("media")))
+  }
 }
