@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+/** Pure-JVM image codec for the multimodal operators: a deterministic
+  * 24-bit BMP writer (exact bytes — header layout and row padding are
+  * fixed by the format, so payload length is arithmetically known to
+  * the oracle), `javax.imageio` as the real decoder, a nearest-neighbor
+  * resampler, and a length-prefixed frame-container demuxer.
+  *
+  * Why BMP: it is the one raster format that is (a) decodable by the
+  * stock JDK with no native deps, (b) losslessly round-trippable (no
+  * compressor whose output bytes are implementation-defined), and
+  * (c) simple enough that the fixture generator can emit it directly —
+  * which is what lets the DuckDB oracle hash-check REAL decoded pixel
+  * sums: the generator derives every pixel from (seed, x, y)
+  * arithmetic, ImageIO genuinely decodes the bytes, and the oracle
+  * recomputes the same sums without ever touching an image.
+  *
+  * The reference carries media only as a URL string column
+  * (/root/reference/dags/Extract.py:21-24); this file is part of the §8
+  * LLM-pipeline extension surface.
+  */
+object ImageCodec {
+
+  /** BMP row stride: 3 bytes/pixel padded up to a 4-byte boundary. */
+  def rowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Total file size of a [[bmp]] payload — 54-byte header + rows.
+    * The oracle twin computes this same expression in SQL. */
+  def bmpSize(width: Int, height: Int): Int = 54 + height * rowSize(width)
+
+  /** Deterministic 24-bit BMP: pixel (x, y) (top-down coordinates) has
+    * all three channels equal to `(seed + x + y) % 256`. Gray ramps
+    * compress nothing away (BI_RGB is uncompressed) and make the
+    * decoded pixel sum a closed-form function of (w, h, seed). */
+  def bmp(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val stride = rowSize(width)
+    val size = bmpSize(width, height)
+    val b = new Array[Byte](size)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, size); le32(10, 54); le32(14, 40)
+    le32(18, width); le32(22, height) // positive height = bottom-up rows
+    b(26) = 1; b(28) = 24
+    le32(34, height * stride)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val v = ((seed + x + y) % 256).toByte
+        val o = rowOff + 3 * x
+        b(o) = v; b(o + 1) = v; b(o + 2) = v // B, G, R
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  // ImageIO defaults to a temp-FILE-backed ImageInputStream cache,
+  // which puts a disk write+read inside every decode and serializes
+  // codec-bound partitions on /tmp I/O; payloads here are already
+  // in-memory byte arrays, so cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real decode via the stock-JDK codec. None when the payload is not
+    * a readable image (callers fall back to the stub path). */
+  def decode(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Sum of (r + g + b) over every decoded pixel — the cheap
+    * whole-image checksum the oracle reproduces arithmetically. */
+  def pixelSum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Nearest-neighbor resample: dst (x, y) takes src
+    * (x·srcW/dstW, y·srcH/dstH) with integer floor division — the one
+    * resampling rule simple enough for the SQL oracle to replicate
+    * exactly (bilinear weights would reintroduce float rounding). */
+  def resizeNearest(src: BufferedImage, dstW: Int, dstH: Int): BufferedImage = {
+    require(dstW > 0 && dstH > 0, s"bad target dims ${dstW}x$dstH")
+    val dst = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * src.getHeight / dstH
+      var x = 0
+      while (x < dstW) {
+        dst.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, sy))
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** Re-encode a decoded image with the deterministic writer. Uses the
+    * blue channel as the gray value (generator images are gray, so the
+    * channels agree; for arbitrary inputs this is a documented
+    * grayscale projection, not a lossy surprise). */
+  def encodeBmp(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val stride = rowSize(w)
+    val b = new Array[Byte](bmpSize(w, h))
+    // header via a 1x1 template then overwrite dims/sizes
+    val header = bmp(1, 1, 0)
+    System.arraycopy(header, 0, b, 0, 54)
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    le32(2, b.length); le32(18, w); le32(22, h); le32(34, h * stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = rowOff + 3 * x
+        b(o) = (rgb & 0xff).toByte
+        b(o + 1) = ((rgb >> 8) & 0xff).toByte
+        b(o + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** True when the payload starts with the BMP magic and carries at
+    * least a full header — the cheap sniff deciding real-vs-stub. */
+  def looksLikeBmp(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 54 &&
+      payload(0) == 'B' && payload(1) == 'M'
+
+  /** Demux a back-to-back BMP frame container: each frame declares its
+    * own byte length in the header's file-size field, so the walk is a
+    * real length-prefixed parse (the shape an MP4/AVI demuxer has),
+    * not a fixed-stride split. Returns None when the payload is not a
+    * clean container (callers fall back to the stub chunker). */
+  def splitFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (!looksLikeBmp(payload)) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 0
+    while (off < payload.length) {
+      if (off + 54 > payload.length ||
+          payload(off) != 'B' || payload(off + 1) != 'M') return None
+      val size = (payload(off + 2) & 0xff) | ((payload(off + 3) & 0xff) << 8) |
+        ((payload(off + 4) & 0xff) << 16) | ((payload(off + 5) & 0xff) << 24)
+      if (size < 54 || off + size > payload.length) return None
+      out += java.util.Arrays.copyOfRange(payload, off, off + size)
+      off += size
+    }
+    Some(out.result())
+  }
+
+  /** md5 hex of a UTF-8 string — the JVM twin of SQL `md5(text)`, used
+    * by the fixture generators so their dimension/seed derivations
+    * match the oracle's byte-for-byte. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

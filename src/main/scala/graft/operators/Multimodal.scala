@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `BINARY` columns with typed metadata, processed in batched
   * per-partition passes.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic stub ([[stubDecode]]) — the Spark-side
-  * contract (schema, batching, partition-local processing, metadata
-  * extraction) is real and tested. In production the stub body is
-  * replaced by a JNI/codec call with the same signature; nothing else
-  * changes.
+  * The decode is REAL for raster images: [[ImageCodec]] wires the
+  * stock-JDK `javax.imageio` reader (BMP/PNG — no native deps) into the
+  * `mapPartitions` batch shape, and the generated fixtures are genuine
+  * BMP bytes whose decoded dimensions and pixel sums the DuckDB oracle
+  * recomputes arithmetically. Payloads in formats the JDK cannot read
+  * fall back to the clearly-marked deterministic stubs ([[stubDecode]]
+  * / [[stubResize]] / the 32-byte frame chunker) so one exotic file
+  * cannot kill a partition's task; in production the fallback is where
+  * an ffmpeg/JNI codec plugs in, with nothing else changing.
   *
   * Scale notes: payload bytes never shuffle — metadata is extracted in
   * a map stage, and any join/dedup downstream operates on the extracted
@@ -30,12 +33,14 @@ object Multimodal {
     StructField("mime", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
-  /** Schema of the decoded-feature struct. */
+  /** Schema of the decoded-feature struct. pixel_sum is the decoded
+    * whole-image checksum — NULL on the stub path (no real pixels). */
   val featureSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType),
     StructField("content_md5", StringType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("pixel_sum", LongType)))
 
   /** Build a media table from the documents table by treating the text
     * bytes as an opaque payload — gives the harness a deterministic
@@ -47,15 +52,74 @@ object Multimodal {
         substring(md5(col(textCol)), 1, 4)).as("mime"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode: a real implementation calls the codec here. The stub
-    * derives deterministic pseudo-dimensions from the payload's md5 —
-    * the SAME derivation as the column-level [[extractFeatures]]
-    * (first 4 hex nibbles → width, next 4 → height), so the two decode
-    * paths agree on every row: a pipeline that plans resizes from
-    * extracted metadata and executes them partition-locally sees one
-    * set of dimensions, not two. */
+  /** Deterministic REAL-image media table: one genuine 24-bit BMP per
+    * document, dimensions/seed derived from `md5(text)` hex nibbles
+    * ([[ImageCodec.md5Hex]] — identical digest to SQL `md5`), so the
+    * oracle knows every image's ground truth without decoding anything.
+    * Small dims (8–71 px) keep the generated corpus a few KB per row.
+    * Generated in `mapPartitions` like a real blob-store fetch would
+    * be; NULL text → NULL payload+mime (nothing to fetch).
+    *
+    * The (id, text) rows are repartitioned to full parallelism BEFORE
+    * payload generation: codec/fetch stages are per-row CPU-bound, so
+    * their parallelism must not inherit the scan's byte-based splits
+    * (a small parquet file is one split — which would serialize every
+    * decode downstream). The shuffle moves only pre-payload text rows;
+    * payload bytes still never shuffle. */
+  def imagesFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Row(id, null, null)
+          else {
+            val hex = ImageCodec.md5Hex(r.getString(1))
+            val w = (Integer.parseInt(hex.substring(0, 4), 16) % 64) + 8
+            val h = (Integer.parseInt(hex.substring(4, 8), 16) % 64) + 8
+            val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
+            Row(id, "image/bmp", ImageCodec.bmp(w, h, seed))
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic "video" media table: a back-to-back BMP frame
+    * container (2–7 frames, fixed per-doc dims, frame f's pixel ramp
+    * offset by f), the length-prefixed layout [[ImageCodec.splitFrames]]
+    * genuinely demuxes. Same md5-nibble ground-truth scheme (and
+    * pre-generation repartition) as [[imagesFromDocuments]]. */
+  def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Row(id, null, null)
+          else {
+            val hex = ImageCodec.md5Hex(r.getString(1))
+            val fw = (Integer.parseInt(hex.substring(0, 4), 16) % 24) + 8
+            val fh = (Integer.parseInt(hex.substring(4, 8), 16) % 24) + 8
+            val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
+            val nFrames = (Integer.parseInt(hex.substring(12, 16), 16) % 6) + 2
+            val payload = (0 until nFrames)
+              .map(f => ImageCodec.bmp(fw, fh, seed + f))
+              .reduce(_ ++ _)
+            Row(id, "video/x-bmp-frames", payload)
+          }
+        }
+      }(enc)
+  }
+
+  /** FALLBACK decode for payloads the JDK codec cannot read (the real
+    * path is [[ImageCodec.decode]]): deterministic pseudo-dimensions
+    * from the payload's md5 — the SAME derivation as the column-level
+    * [[extractFeatures]] (first 4 hex nibbles → width, next 4 →
+    * height), so the two metadata paths agree on every row: a pipeline
+    * that plans resizes from extracted metadata and executes them
+    * partition-locally sees one set of dimensions, not two. In
+    * production this body is the ffmpeg/JNI hook for non-JDK formats. */
   def stubDecode(payload: Array[Byte]): (Int, Int) = {
-    // ??? <- real codec call goes here (e.g. ImageIO/ffmpeg via JNI)
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val w = ((d(0) & 0xff) << 8 | (d(1) & 0xff)) % 1024 + 64
     val h = ((d(2) & 0xff) << 8 | (d(3) & 0xff)) % 1024 + 64
@@ -76,12 +140,12 @@ object Multimodal {
       (conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("int") % 1024 + 64).as("width"),
       (conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("int") % 1024 + 64).as("height"))
 
-  /** STUB resize: a real implementation re-encodes via the codec. The
-    * stub derives a deterministic payload of plausible size (scaled by
-    * target/source pixel ratio) so byte-accounting and downstream
-    * dedup-on-resized-hash are exercised. */
+  /** FALLBACK resize for non-decodable payloads (the real path decodes,
+    * resamples and re-encodes via [[ImageCodec]]): a deterministic
+    * payload of plausible size (scaled by target/source pixel ratio) so
+    * byte-accounting and downstream dedup-on-resized-hash still work on
+    * formats awaiting a production codec hook. */
   def stubResize(payload: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
-    // ??? <- real codec re-encode goes here
     val ratio = (dstW.toLong * dstH).toDouble / (srcW.toLong * srcH)
     val n = Math.max(16, (payload.length * ratio).toInt)
     java.util.Arrays.copyOf(payload, n)
@@ -89,82 +153,144 @@ object Multimodal {
 
   /** Batched partition-local resize — one codec context per partition,
     * payloads streamed through it; the output keeps BINARY payloads
-    * partition-local (no shuffle touches media bytes).
-    * @return (media_id, mime, width, height, payload) at target dims */
+    * partition-local (no shuffle touches media bytes). Decodable images
+    * take the REAL path: `javax.imageio` decode → nearest-neighbor
+    * resample ([[ImageCodec.resizeNearest]] — the one rule an SQL
+    * oracle can replicate exactly) → deterministic BMP re-encode, with
+    * `pixel_sum` of the resized image as the decoded-work checksum.
+    * Non-decodable payloads fall back to [[stubResize]] (NULL
+    * pixel_sum); NULL payloads resize to NULL rather than NPE-ing the
+    * task — one poisoned row must not kill the partition.
+    * @return (media_id, mime, width, height, payload, pixel_sum) */
   def resizePartitioned(
       media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType), StructField("mime", StringType),
       StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("payload", BinaryType)))
+      StructField("payload", BinaryType), StructField("pixel_sum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    media.mapPartitions { rows =>
+    // normalize column order, then read positionally: chained object
+    // operators hand rows across WITHOUT a ser/de boundary, so a
+    // schema-less GenericRow from an upstream mapPartitions would make
+    // name-based access throw
+    normalized(media).mapPartitions { rows =>
       // per-partition codec context opens here
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        // NULL payload (schema allows it) resizes to NULL, not an NPE —
-        // one poisoned row must not kill the partition's task
-        val resized = if (payload == null) null else {
-          val (w, h) = stubDecode(payload)
-          stubResize(payload, w, h, dstW, dstH)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        var resized: Array[Byte] = null
+        var psum: Any = null
+        if (payload != null) ImageCodec.decode(payload) match {
+          case Some(img) =>
+            val dst = ImageCodec.resizeNearest(img, dstW, dstH)
+            resized = ImageCodec.encodeBmp(dst)
+            psum = ImageCodec.pixelSum(dst)
+          case None =>
+            val (w, h) = stubDecode(payload)
+            resized = stubResize(payload, w, h, dstW, dstH)
         }
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-          dstW, dstH, resized)
+        Row(r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+          dstW, dstH, resized, psum)
       }
     }(enc)
   }
 
-  /** Frame sampling for video-shaped payloads: the stub derives a
-    * deterministic frame count from the payload, then every `everyNth`
-    * frame (up to `maxFrames`) is emitted as its own row — the
-    * one-row→N-rows explode shape a real extractor uses, with frame
-    * payloads cut partition-local from the source bytes.
-    * @return (media_id, frame_idx, frame_md5, frame_bytes) */
+  /** Spread pre-payload rows across every core before CPU-bound codec
+    * work — see the parallelism note on [[imagesFromDocuments]]. A
+    * round-robin repartition (no key: the rows have no skew to manage,
+    * and hash-partitioning by id would just burn CPU on hashing). */
+  private def codecParallel(preMedia: DataFrame): DataFrame =
+    preMedia.repartition(preMedia.sparkSession.sparkContext.defaultParallelism)
+
+  /** Column-order normalization shared by the partitioned operators —
+    * see the schema-less-row note in [[resizePartitioned]]. */
+  private def normalized(media: DataFrame): DataFrame =
+    media.select(col("media_id").cast("long"), col("mime").cast("string"),
+      col("payload"))
+
+  /** Frame sampling for video-shaped payloads: every `everyNth` frame
+    * (up to `maxFrames`) is emitted as its own row — the one-row→N-rows
+    * explode shape a real extractor uses, with frame payloads cut
+    * partition-local from the source bytes.
+    *
+    * BMP frame containers take the REAL path: a length-prefixed demux
+    * walk ([[ImageCodec.splitFrames]]) followed by a genuine decode of
+    * each sampled frame (width/height/pixel_sum columns). Payloads that
+    * are not a clean container fall back to the fixed-stride 32-byte
+    * chunker with NULL decode columns — the production hook for real
+    * video formats. NULL payloads yield zero frames (no content, no
+    * explode).
+    * @return (media_id, frame_idx, width, height, frame_md5,
+    *         pixel_sum, frame_bytes) */
   def frameSample(
       media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
+    require(everyNth >= 1 && maxFrames >= 1, "sampling knobs must be positive")
     val out = StructType(Seq(
       StructField("media_id", LongType), StructField("frame_idx", IntegerType),
-      StructField("frame_md5", StringType), StructField("frame_bytes", LongType)))
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("frame_md5", StringType), StructField("pixel_sum", LongType),
+      StructField("frame_bytes", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
-    media.mapPartitions { rows =>
-      rows.filter(_.getAs[Array[Byte]]("payload") != null).flatMap { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        // ??? <- real demuxer frame count; stub: one "frame" per 32 bytes
-        // (NULL payloads yield zero frames — no content, no explode)
-        val nFrames = Math.max(1, payload.length / 32)
+    normalized(media).mapPartitions { rows =>
+      rows.filter(!_.isNullAt(2)).flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](2)
         val md = java.security.MessageDigest.getInstance("MD5")
-        (0 until nFrames by everyNth).take(maxFrames).map { i =>
-          val from = Math.min(i * 32, payload.length)
-          val until = Math.min(from + 32, payload.length)
-          val frame = java.util.Arrays.copyOfRange(payload, from, until)
-          Row(r.getAs[Long]("media_id"), i,
-            md.digest(frame).map("%02x".format(_)).mkString, frame.length.toLong)
+        def hex(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+        ImageCodec.splitFrames(payload) match {
+          case Some(frames) =>
+            (0 until frames.length by everyNth).take(maxFrames).map { i =>
+              val f = frames(i)
+              var w: Any = null; var h: Any = null; var ps: Any = null
+              ImageCodec.decode(f).foreach { img =>
+                w = img.getWidth; h = img.getHeight; ps = ImageCodec.pixelSum(img)
+              }
+              Row(id, i, w, h, hex(f), ps, f.length.toLong)
+            }
+          case None =>
+            // fallback chunker: one "frame" per 32 bytes
+            val nFrames = Math.max(1, payload.length / 32)
+            (0 until nFrames by everyNth).take(maxFrames).map { i =>
+              val from = Math.min(i * 32, payload.length)
+              val until = Math.min(from + 32, payload.length)
+              val frame = java.util.Arrays.copyOfRange(payload, from, until)
+              Row(id, i, null, null, hex(frame), null, frame.length.toLong)
+            }
         }
       }
     }(enc)
   }
 
-  /** Batched partition-local decode using the typed stub — the real
-    * `mapPartitions` shape a codec integration uses (one codec context
-    * per partition, rows streamed through it). NULL payloads decode to
-    * NULL features, mirroring [[extractFeatures]] (whose md5/length
-    * built-ins are NULL-propagating) instead of NPE-ing the task. */
+  /** Batched partition-local decode — the `mapPartitions` shape a codec
+    * integration uses (one codec context per partition, rows streamed
+    * through it). Decodable images go through the REAL `javax.imageio`
+    * reader: width/height are the image's actual dimensions and
+    * pixel_sum is the decoded checksum; other formats fall back to
+    * [[stubDecode]]'s md5 pseudo-dims with NULL pixel_sum. NULL
+    * payloads decode to NULL features, mirroring [[extractFeatures]]
+    * (whose md5/length built-ins are NULL-propagating) instead of
+    * NPE-ing the task. */
   def decodePartitioned(media: DataFrame): DataFrame = {
     val out = StructType(mediaSchema.fields.filterNot(_.name == "payload") ++ featureSchema.fields)
     val enc = org.apache.spark.sql.Encoders.row(out)
-    media.mapPartitions { rows =>
-      // per-partition "codec context" would be opened here
+    normalized(media).mapPartitions { rows =>
+      // per-partition codec context opens here
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (payload == null)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-            null, null, null, null)
+          Row(id, mime, null, null, null, null, null)
         else {
-          val (w, h) = stubDecode(payload)
           val md = java.security.MessageDigest.getInstance("MD5")
             .digest(payload).map("%02x".format(_)).mkString
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("mime"),
-            payload.length.toLong, md, w, h)
+          var w: Any = null; var h: Any = null; var ps: Any = null
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              w = img.getWidth; h = img.getHeight; ps = ImageCodec.pixelSum(img)
+            case None =>
+              val (sw, sh) = stubDecode(payload); w = sw; h = sh
+          }
+          Row(id, mime, payload.length.toLong, md, w, h, ps)
         }
       }
     }(enc)

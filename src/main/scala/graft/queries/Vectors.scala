@@ -288,62 +288,55 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // mapPartitions-based batched decode (the real codec integration
-    // shape). The STUB decode is a pure function of the payload bytes
-    // (Java Arrays.hashCode), which the oracle reproduces exactly:
-    // list_reduce over the char codes simulates the 31·acc+b int-wrap
-    // fold (ASCII corpus ⇒ char codes == payload bytes), so even the
-    // mapPartitions path gets a full hash check. A real codec would
-    // genuinely be rows-only; the plumbing being checked — schema,
-    // batching, partition-local execution — is the part that survives
-    // the codec swap.
+    // mapPartitions-based batched decode over REAL images: the fixture
+    // writes a genuine 24-bit BMP per document (dims/seed derived from
+    // md5(text) nibbles), javax.imageio decodes it, and the result
+    // columns are the image's ACTUAL width/height plus the decoded
+    // pixel-sum checksum. The oracle never decodes — it recomputes the
+    // ground-truth dims, the exact BMP byte length (54-byte header +
+    // 4-byte-padded rows), and the pixel sum arithmetically — so a
+    // codec that returned wrong dimensions or wrong pixel bytes breaks
+    // the hash. content_md5 of the payload is real too but not
+    // SQL-derivable (the oracle can't construct BMP bytes), so the
+    // catalog projection keeps the arithmetic-checkable columns.
     Q("q61_media_decode_partitioned", Vectors.mediaDecodeOracle) { (s, d) =>
       Multimodal.decodePartitioned(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+          Multimodal.imagesFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .select(col("media_id"), col("mime"), col("byte_len"),
+          col("width"), col("height"), col("pixel_sum"))
         .orderBy("media_id")
     },
 
-    // Partition-local resize (stubbed codec, real byte plumbing). The
-    // stub's output payload is truncate-or-zero-pad of the source bytes
-    // at a deterministic length. The operator returns real BINARY
-    // payloads; the *catalog query* projects driver-comparable columns
-    // (md5-over-hex + byte length, q61's passing pattern) because the
-    // driver's pandas compare cannot sort raw bytearray cells. DuckDB
-    // 1.0 has no md5(BLOB), so both sides hash the uppercase hex
-    // encoding, which Spark and DuckDB render identically.
+    // Partition-local REAL resize: decode via javax.imageio →
+    // nearest-neighbor resample to 48x48 (dst pixel (x,y) = src
+    // (x*w/48, y*h/48), integer floor — the one resampling rule an SQL
+    // oracle replicates exactly) → deterministic BMP re-encode. The
+    // oracle checks the resized pixel sum and the re-encoded byte
+    // length; both are pure arithmetic over the generator's
+    // ground-truth ramp, so the decode, the resample arithmetic AND
+    // the re-encode framing are all under the hash.
     Q("q62_media_resize", Vectors.mediaResizeOracle) { (s, d) =>
-      import org.apache.spark.sql.functions.{md5, hex, length, col}
       Multimodal.resizePartitioned(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
-          dstW = 256, dstH = 256)
+          Multimodal.imagesFromDocuments(Tables.documents(s, d), "doc_id", "text"),
+          dstW = 48, dstH = 48)
         .select(col("media_id"), col("mime"), col("width"), col("height"),
-          md5(hex(col("payload"))).as("payload_md5"),
-          length(col("payload")).cast("long").as("byte_len"))
+          length(col("payload")).cast("long").as("byte_len"), col("pixel_sum"))
         .orderBy("media_id")
     },
 
-    // Frame sampling: one media row explodes into ≤8 sampled frames.
-    // The stub's frame stats are pure functions of the payload bytes,
-    // so the oracle reproduces them exactly. The SQL twin slices TEXT
-    // (characters) where Spark slices the UTF-8 payload (bytes) —
-    // equivalent because the harness corpus is ASCII (verified: zero
-    // docs with octet_length <> length at any SF); the Spark side stays
-    // byte-true for non-ASCII production data.
-    Q("q63_frame_sample",
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS len
-        |  FROM documents),
-        |f AS (
-        |  SELECT media_id, text, len,
-        |    unnest(range(0, least(greatest(len // 32, 1), 71), 10)) AS fi
-        |  FROM m)
-        |SELECT media_id, CAST(fi AS INT) AS frame_idx,
-        |  md5(substr(text, CAST(fi*32+1 AS BIGINT), 32)) AS frame_md5,
-        |  CAST(least(32, len - fi*32) AS BIGINT) AS frame_bytes
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+    // Frame sampling over a REAL length-prefixed container: the fixture
+    // concatenates 2-7 BMP frames back-to-back; the demuxer walks the
+    // per-frame size fields (the parse shape an MP4/AVI demuxer has),
+    // samples every 2nd frame up to 3, and genuinely decodes each
+    // sampled frame. Dims, per-frame byte length and per-frame pixel
+    // sums (frame f's ramp is offset by f) are recomputed
+    // arithmetically by the oracle.
+    Q("q63_frame_sample", Vectors.frameSampleOracle) { (s, d) =>
       Multimodal.frameSample(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d), "doc_id", "text"),
-          everyNth = 10, maxFrames = 8)
+          Multimodal.videosFromDocuments(Tables.documents(s, d), "doc_id", "text"),
+          everyNth = 2, maxFrames = 3)
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("pixel_sum"), col("frame_bytes"))
         .orderBy("media_id", "frame_idx")
     })
 
@@ -353,47 +346,81 @@ object Vectors {
     * as `extractFeatures`/q60, so one CTE serves decode, resize, and
     * feature extraction. (md5 of the UTF-8 payload equals md5 of the
     * text string — the corpus is ASCII, verified at every SF.) */
-  private def stubDimsCte: String =
+  /** Shared oracle prelude: the image fixture's ground truth. The
+    * generator (`Multimodal.imagesFromDocuments`) derives dims/seed
+    * from md5(text) hex nibbles with the exact same arithmetic, and
+    * pixel (x, y) of the emitted BMP is `(seed + x + y) % 256` on all
+    * three channels — so decoded dimensions, exact BMP byte length
+    * (54-byte header + rows padded to 4 bytes) and whole-image pixel
+    * sums are all closed-form here, no image decode needed. */
+  private def imageDimsCte: String =
     """dims AS (
       |  SELECT doc_id AS media_id,
-      |    'application/x-demo-' || substr(md5(text), 1, 4) AS mime,
-      |    text, CAST(octet_length(encode(text)) AS BIGINT) AS len,
-      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64 AS sw,
-      |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS sh
-      |  FROM documents)""".stripMargin
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 64 + 8 AS w,
+      |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 64 + 8 AS h,
+      |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS s
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
 
-  /** DuckDB twin of Multimodal.decodePartitioned over the demo media
-    * table: metadata via md5/octet_length, pseudo-dims via the
-    * [[stubDimsCte]] hash fold. */
+  /** DuckDB twin of q61: real-decode metadata recomputed
+    * arithmetically — dims from the md5 nibbles, byte_len from the BMP
+    * layout, pixel_sum by enumerating the (x, y) grid (≤71×71 per doc,
+    * a few million cheap rows at the verify SF). */
   lazy val mediaDecodeOracle: String =
-    s"""WITH $stubDimsCte
-       |SELECT media_id, mime, len AS byte_len, md5(text) AS content_md5,
-       |  CAST(sw AS INT) AS width, CAST(sh AS INT) AS height
-       |FROM dims ORDER BY media_id""".stripMargin
+    s"""WITH $imageDimsCte,
+       |xs AS (SELECT media_id, h, s, unnest(generate_series(0, w - 1)) AS x FROM dims),
+       |xy AS (SELECT media_id, s, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+       |ps AS (SELECT media_id, CAST(sum(3 * ((s + x + y) % 256)) AS BIGINT) AS pixel_sum
+       |       FROM xy GROUP BY media_id)
+       |SELECT d.media_id, 'image/bmp' AS mime,
+       |  CAST(54 + d.h * (((3 * d.w + 3) // 4) * 4) AS BIGINT) AS byte_len,
+       |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height, ps.pixel_sum
+       |FROM dims d JOIN ps ON d.media_id = ps.media_id
+       |ORDER BY d.media_id""".stripMargin
 
-  /** DuckDB twin of Multimodal.resizePartitioned(256, 256): target
-    * byte length = max(16, trunc(len · (256·256 / (sw·sh)))) with the
-    * stub's truncate-or-zero-pad payload (zero pad = Java
-    * `Arrays.copyOf` semantics). The payload is compared as
-    * md5(hex(bytes)) + octet_length — raw BLOB cells crash the
-    * driver's pandas sort, and DuckDB 1.0 lacks md5(BLOB); hex() is
-    * uppercase in both engines, so the derivation is bit-exact. */
+  /** DuckDB twin of q62 (real resize to 48×48): dst pixel (x, y) reads
+    * src (x·w/48, y·h/48) with integer floor, so the resized pixel sum
+    * enumerates the 48×48 dst grid; the re-encoded byte length is the
+    * constant BMP size of a 48×48 image. */
   lazy val mediaResizeOracle: String =
-    s"""WITH $stubDimsCte,
-       |n AS (
-       |  SELECT *, greatest(16, CAST(trunc(len *
-       |    (CAST(256*256 AS BIGINT) / CAST(sw * sh AS DOUBLE))) AS BIGINT)) AS nlen
-       |  FROM dims),
-       |r AS (
-       |  SELECT media_id, mime, nlen,
-       |    CASE WHEN nlen <= len THEN encode(substr(text, 1, CAST(nlen AS BIGINT)))
-       |         ELSE encode(text) || unhex(repeat('00', CAST(nlen - len AS BIGINT)))
-       |    END AS payload
-       |  FROM n)
-       |SELECT media_id, mime, CAST(256 AS INT) AS width, CAST(256 AS INT) AS height,
-       |  md5(hex(payload)) AS payload_md5,
-       |  CAST(octet_length(payload) AS BIGINT) AS byte_len
-       |FROM r ORDER BY media_id""".stripMargin
+    s"""WITH $imageDimsCte,
+       |xs AS (SELECT media_id, w, h, s, unnest(generate_series(0, 47)) AS x FROM dims),
+       |xy AS (SELECT media_id, s, (x * w) // 48 AS sx, (y * h) // 48 AS sy
+       |       FROM (SELECT media_id, w, h, s, x, unnest(generate_series(0, 47)) AS y
+       |             FROM xs)),
+       |ps AS (SELECT media_id, CAST(sum(3 * ((s + sx + sy) % 256)) AS BIGINT) AS pixel_sum
+       |       FROM xy GROUP BY media_id)
+       |SELECT d.media_id, 'image/bmp' AS mime,
+       |  CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,
+       |  CAST(54 + 48 * (((3 * 48 + 3) // 4) * 4) AS BIGINT) AS byte_len,
+       |  ps.pixel_sum
+       |FROM dims d JOIN ps ON d.media_id = ps.media_id
+       |ORDER BY d.media_id""".stripMargin
+
+  /** DuckDB twin of q63 (real demux + per-frame decode): the container
+    * holds nf ∈ [2, 7] frames of fixed per-doc dims; sampling every 2nd
+    * frame capped at 3 keeps fi < least(nf, 6) (stride 2 divides the
+    * cap bound evenly, so the cap is a plain filter). Frame f's ramp is
+    * offset by f. */
+  lazy val frameSampleOracle: String =
+    """WITH vdims AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 24 + 8 AS w,
+      |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 24 + 8 AS h,
+      |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS s,
+      |    CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) % 6 + 2 AS nf
+      |  FROM documents WHERE text IS NOT NULL),
+      |fr AS (SELECT media_id, w, h, s, unnest(generate_series(0, least(nf, 6) - 1, 2)) AS fi
+      |       FROM vdims),
+      |xs AS (SELECT media_id, h, s, fi, unnest(generate_series(0, w - 1)) AS x FROM fr),
+      |xy AS (SELECT media_id, s, fi, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      |ps AS (SELECT media_id, fi,
+      |         CAST(sum(3 * ((s + fi + x + y) % 256)) AS BIGINT) AS pixel_sum
+      |       FROM xy GROUP BY media_id, fi)
+      |SELECT f.media_id, CAST(f.fi AS INT) AS frame_idx,
+      |  CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height, ps.pixel_sum,
+      |  CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT) AS frame_bytes
+      |FROM fr f JOIN ps ON f.media_id = ps.media_id AND f.fi = ps.fi
+      |ORDER BY f.media_id, f.fi""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
     * planes, cap 200, k=5): band keys generated from the SAME

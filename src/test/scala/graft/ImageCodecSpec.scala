@@ -1,0 +1,76 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.operators.{ImageCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real-codec layer behind q61–q63: the deterministic BMP writer
+  * must be a genuine image (the stock-JDK reader decodes it to exactly
+  * the pixels the closed-form oracle predicts), the resampler must
+  * follow the floor-division rule the SQL twin replicates, and the
+  * frame demuxer must be a real length-prefixed parse. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  /** Closed-form pixel sum of the generator ramp — the same expression
+    * the DuckDB oracle evaluates. */
+  private def rampSum(w: Int, h: Int, seed: Int): Long = {
+    var s = 0L
+    for (y <- 0 until h; x <- 0 until w) s += 3L * ((seed + x + y) % 256)
+    s
+  }
+
+  test("bmp bytes are a real image: ImageIO decodes exact dims and the closed-form pixel sum") {
+    for ((w, h, seed) <- Seq((8, 8, 0), (13, 57, 200), (71, 9, 255), (64, 64, 17))) {
+      val bytes = ImageCodec.bmp(w, h, seed)
+      assert(bytes.length === ImageCodec.bmpSize(w, h))
+      val img = ImageCodec.decode(bytes).getOrElse(fail(s"ImageIO rejected ${w}x$h"))
+      assert(img.getWidth === w && img.getHeight === h)
+      assert(ImageCodec.pixelSum(img) === rampSum(w, h, seed))
+    }
+  }
+
+  test("decode is format-agnostic: a JDK-written PNG decodes on the real path too") {
+    val src = ImageCodec.decode(ImageCodec.bmp(20, 11, 42)).get
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", out)
+    val png = ImageCodec.decode(out.toByteArray).getOrElse(fail("PNG not decoded"))
+    assert(png.getWidth === 20 && png.getHeight === 11)
+    assert(ImageCodec.pixelSum(png) === rampSum(20, 11, 42))
+    assert(!ImageCodec.looksLikeBmp(out.toByteArray)) // sniff stays honest
+  }
+
+  test("decode returns None on garbage instead of throwing") {
+    assert(ImageCodec.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("resizeNearest follows the integer floor-division sampling rule") {
+    val src = ImageCodec.decode(ImageCodec.bmp(30, 20, 5)).get
+    val dst = ImageCodec.resizeNearest(src, 7, 13)
+    assert(dst.getWidth === 7 && dst.getHeight === 13)
+    var expected = 0L
+    for (y <- 0 until 13; x <- 0 until 7)
+      expected += 3L * ((5 + (x * 30 / 7) + (y * 20 / 13)) % 256)
+    assert(ImageCodec.pixelSum(dst) === expected)
+  }
+
+  test("encodeBmp round-trips the generator image byte-for-byte") {
+    val orig = ImageCodec.bmp(23, 17, 99)
+    val re = ImageCodec.encodeBmp(ImageCodec.decode(orig).get)
+    assert(java.util.Arrays.equals(orig, re))
+  }
+
+  test("splitFrames demuxes a length-prefixed container and rejects corrupt payloads") {
+    val frames = Seq(ImageCodec.bmp(9, 8, 1), ImageCodec.bmp(9, 8, 2), ImageCodec.bmp(9, 8, 3))
+    val container = frames.reduce(_ ++ _)
+    val out = ImageCodec.splitFrames(container).getOrElse(fail("demux failed"))
+    assert(out.length === 3)
+    out.zip(frames).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    // trailing garbage breaks the walk -> None (stub chunker takes over)
+    assert(ImageCodec.splitFrames(container ++ Array[Byte](1, 2, 3)).isEmpty)
+    // a truncated final frame is detected by its declared size field
+    assert(ImageCodec.splitFrames(container.dropRight(10)).isEmpty)
+    assert(ImageCodec.splitFrames("plain text".getBytes("UTF-8")).isEmpty)
+  }
+}

@@ -53,6 +53,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.forall(_._2 >= 16)) // stub floor
   }
 
+  test("real path: imagesFromDocuments emits genuine BMPs that decodePartitioned reads via ImageIO") {
+    val media = Multimodal.imagesFromDocuments(docs, "doc_id", "text")
+    val out = Multimodal.decodePartitioned(media).orderBy("media_id").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w >= 8 && w < 72 && h >= 8 && h < 72) // generator range, REAL decoded dims
+      assert(!r.isNullAt(r.fieldIndex("pixel_sum"))) // real decode happened
+      assert(r.getAs[Long]("byte_len") ===
+        graft.operators.ImageCodec.bmpSize(w, h).toLong)
+    }
+  }
+
+  test("real path: resizePartitioned decodes, resamples and re-encodes a readable image") {
+    val media = Multimodal.imagesFromDocuments(docs, "doc_id", "text")
+    val out = Multimodal.resizePartitioned(media, 48, 48).orderBy("media_id").collect()
+    out.foreach { r =>
+      assert((r.getInt(2), r.getInt(3)) === ((48, 48)))
+      // the re-encoded payload is itself a decodable 48x48 BMP whose
+      // pixel sum matches the reported checksum — the resize is real
+      val img = graft.operators.ImageCodec.decode(r.getAs[Array[Byte]]("payload")).get
+      assert(img.getWidth === 48 && img.getHeight === 48)
+      assert(graft.operators.ImageCodec.pixelSum(img) === r.getAs[Long]("pixel_sum"))
+    }
+  }
+
+  test("real path: frameSample demuxes the BMP container and decodes sampled frames") {
+    val media = Multimodal.videosFromDocuments(docs, "doc_id", "text")
+    val out = Multimodal.frameSample(media, everyNth = 2, maxFrames = 3)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) % 2 === 0) // sampled every 2nd frame
+      assert(!r.isNullAt(r.fieldIndex("pixel_sum"))) // genuinely decoded
+      assert(r.getAs[Long]("frame_bytes") ===
+        graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong)
+    }
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+  }
+
+  test("fallback path: non-image payloads keep stub metadata with NULL pixel_sum") {
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text") // text bytes, not BMP
+    val decoded = Multimodal.decodePartitioned(media).collect()
+    decoded.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("pixel_sum")))
+      assert(r.getAs[Int]("width") >= 64) // stub range, not the image range
+    }
+    val frames = Multimodal.frameSample(media, everyNth = 10, maxFrames = 8).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(r => assert(r.isNullAt(r.fieldIndex("pixel_sum"))))
+  }
+
   test("frameSample explodes each media row into capped, deterministic frames") {
     val media = Multimodal.mediaFromDocuments(
       Seq((1L, "word " * 200), (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
