@@ -40,8 +40,10 @@ import org.apache.spark.sql.functions._
   * shuffle moves |distinct cells| partial counts, not the corpus —
   * deliberately NOT a reused copy of the window's full-row exchange
   * (both shapes asserted in RankingSpec). A single score value
-  * dominating a group makes one big cell — the cap/salt territory of
-  * [[Skew]], not a ranking concern.
+  * dominating a group makes one big cell — `tieBucketWidth` splits it
+  * with a monotone-in-tie bucket, keeping ranks bit-identical while
+  * bounding every window partition (RankingSkewSpec; [[Skew]]'s hash
+  * salting is the wrong tool here because it scrambles tie order).
   */
 object Ranking {
 
@@ -49,11 +51,23 @@ object Ranking {
     * [DESC], tieCol)` as balanced two-phase ranking (see object doc).
     *
     * @param ascending false ranks the LARGEST score 1 (curriculum
-    *                  "hardest/longest first" order) */
+    *                  "hardest/longest first" order)
+    * @param tieBucketWidth skew guard for a DOMINANT (group, score)
+    *        cell (one score carrying most of a group): sub-divide every
+    *        cell by `floor(tie / width)` so no window partition holds
+    *        more than ~width ties. The bucket is MONOTONE in the tie —
+    *        unlike a hash salt, which would scramble tie order — so the
+    *        ranks are bit-identical to the unbucketed ones (proven in
+    *        RankingSkewSpec) and the offsets table grows only by
+    *        |tie-range|/width rows per hot cell. Requires a non-NULL
+    *        numeric tie; pick width ≈ target task rows (e.g. 100k at
+    *        cluster scale). None = original per-cell windows. */
   def rankByScore(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
-      tieCol: String, rankName: String, ascending: Boolean = false): DataFrame =
-    rankWithCells(df, groupCols, scoreCol, tieCol, rankName, ascending)._1
+      tieCol: String, rankName: String, ascending: Boolean = false,
+      tieBucketWidth: Option[Long] = None): DataFrame =
+    rankWithCells(df, groupCols, scoreCol, tieCol, rankName, ascending,
+      tieBucketWidth)._1
 
   /** rankByScore plus the per-(group, score) cell-count table it
     * builds anyway — [[quantileGate]] derives group totals from the
@@ -61,27 +75,38 @@ object Ranking {
   private def rankWithCells(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, rankName: String,
-      ascending: Boolean): (DataFrame, DataFrame) = {
+      ascending: Boolean,
+      tieBucketWidth: Option[Long] = None): (DataFrame, DataFrame) = {
     require(!df.columns.contains("__lrank") && !df.columns.contains("__off"),
       "input must not already carry __lrank/__off columns")
     require(!(groupCols :+ scoreCol :+ tieCol).contains(rankName),
       s"rank column '$rankName' collides with an input column")
+    tieBucketWidth.foreach(w => require(w >= 1, s"tieBucketWidth must be >= 1, got $w"))
     val g = groupCols.map(col)
-    val cell = g :+ col(scoreCol)
-    // pass 1: local rank inside each (group, score) cell
-    val local = df.withColumn("__lrank",
+    // skew guard: a monotone-in-tie bucket extends the cell key, so a
+    // dominant (group, score) cell splits across many window partitions
+    // while the overall (score [desc], bucket asc, tie asc) order stays
+    // exactly (score [desc], tie asc) — a hash salt would break this
+    // integer `div`, not floor(x / double): double division is lossy
+    // past 2^53 and ranks must be exact for any 64-bit id tie
+    val bucket = tieBucketWidth.map(w => expr(s"CAST(`$tieCol` AS BIGINT) div ${w}L"))
+    val withB = bucket.fold(df)(b => df.withColumn("__tb", b))
+    val cell = (g :+ col(scoreCol)) ++ bucket.map(_ => col("__tb")).toSeq
+    // pass 1: local rank inside each (group, score[, bucket]) cell
+    val local = withB.withColumn("__lrank",
       row_number().over(Window.partitionBy(cell: _*).orderBy(col(tieCol)))
         .cast("long"))
     // pass 2: offsets — strictly-better row counts per cell; the
-    // running sum runs on the distinct-(group, score) table only
+    // running sum runs on the distinct-cell table only
     // asc_nulls_last, not plain asc: Spark's asc default is NULLS
     // FIRST while DuckDB's is NULLS LAST, so an ascending rank over a
     // column with NULL scores would otherwise disagree cross-engine.
     // (desc is NULLS LAST in both engines already.)
     val sOrd = if (ascending) col(scoreCol).asc_nulls_last else col(scoreCol).desc
-    val ow = Window.partitionBy(g: _*).orderBy(sOrd)
+    val oOrd = sOrd +: bucket.map(_ => col("__tb").asc).toSeq
+    val ow = Window.partitionBy(g: _*).orderBy(oOrd: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cells = df.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))
+    val cells = withB.groupBy(cell: _*).agg(count(lit(1)).as("__cnt"))
     val offsets = cells
       .withColumn("__off", coalesce(sum(col("__cnt")).over(ow), lit(0L)))
       .select(cell :+ col("__off"): _*)
@@ -91,11 +116,11 @@ object Ranking {
     // engines), so the join back must too — a plain `===` would
     // silently drop every NULL-keyed row from the output
     val o = offsets.columns.foldLeft(offsets)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
-    val keys = groupCols :+ scoreCol
+    val keys = (groupCols :+ scoreCol) ++ bucket.map(_ => "__tb").toSeq
     val cond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
     val joined = local.join(broadcast(o), cond)
       .withColumn(rankName, col("__o___off") + col("__lrank"))
-      .drop("__lrank" +: o.columns.toSeq: _*)
+      .drop("__lrank" +: "__tb" +: o.columns.toSeq: _*)
     (joined, cells)
   }
 
