@@ -111,6 +111,65 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic audio media table: one genuine 16-bit PCM mono WAV
+    * per document (64–2111 samples, rate ∈ {8, 12, 16, 20} kHz, all
+    * derived from md5(text) nibbles like [[imagesFromDocuments]]), so
+    * the oracle knows every file's sample values in closed form. */
+  def audioFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Row(id, null, null)
+          else {
+            val hex = ImageCodec.md5Hex(r.getString(1))
+            val n = (Integer.parseInt(hex.substring(0, 4), 16) % 2048) + 64
+            val rate = 8000 + (Integer.parseInt(hex.substring(4, 8), 16) % 4) * 4000
+            val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
+            Row(id, "audio/wav", AudioCodec.wav(n, rate, seed))
+          }
+        }
+      }(enc)
+  }
+
+  /** Batched partition-local audio decode — same `mapPartitions` codec
+    * shape as [[decodePartitioned]]. Readable PCM goes through the
+    * REAL `javax.sound.sampled` reader: sample_rate/n_samples are the
+    * stream's actual header+payload values, duration_ms is integer
+    * `n·1000 div rate`, and peak_abs / energy are computed from the
+    * decoded samples (integer-exact, so the oracle recomputes them).
+    * Non-audio payloads yield NULL decode columns (the ffmpeg hook
+    * spot); NULL payloads decode to NULL features.
+    * @return (media_id, mime, byte_len, sample_rate, n_samples,
+    *         duration_ms, peak_abs, energy) */
+  def decodeAudioPartitioned(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("byte_len", LongType), StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType), StructField("duration_ms", LongType),
+      StructField("peak_abs", LongType), StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    normalized(media).mapPartitions { rows =>
+      // per-partition codec context opens here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        if (payload == null) Row(id, mime, null, null, null, null, null, null)
+        else AudioCodec.decode(payload) match {
+          case Some(d) =>
+            val n = d.samples.length.toLong
+            Row(id, mime, payload.length.toLong, d.sampleRate, n,
+              n * 1000L / d.sampleRate, AudioCodec.peakAbs(d.samples),
+              AudioCodec.energy(d.samples))
+          case None =>
+            Row(id, mime, payload.length.toLong, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** FALLBACK decode for payloads the JDK codec cannot read (the real
     * path is [[ImageCodec.decode]]): deterministic pseudo-dimensions
     * from the payload's md5 — the SAME derivation as the column-level

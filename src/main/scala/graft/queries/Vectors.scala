@@ -338,6 +338,19 @@ object Vectors {
         .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
           col("pixel_sum"), col("frame_bytes"))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // Audio decode over REAL 16-bit PCM WAVs: the fixture writes a
+    // genuine RIFF stream per document (sample count / rate / seed from
+    // md5(text) nibbles, sample i = ((seed+1)·40503·(i+1)) % 65536 -
+    // 32768), the stock-JDK javax.sound reader genuinely parses and
+    // decodes it, and peak/energy are integer-exact over the decoded
+    // samples — all recomputed arithmetically by the oracle, which
+    // never touches a WAV byte.
+    Q("q94_audio_decode", Vectors.audioDecodeOracle) { (s, d) =>
+      Multimodal.decodeAudioPartitioned(
+          Multimodal.audioFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("media_id")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
@@ -421,6 +434,35 @@ object Vectors {
       |  CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT) AS frame_bytes
       |FROM fr f JOIN ps ON f.media_id = ps.media_id AND f.fi = ps.fi
       |ORDER BY f.media_id, f.fi""".stripMargin
+
+  /** DuckDB twin of q94 (real WAV decode): the generator's ground
+    * truth in closed form — sample count / rate / seed from the md5
+    * nibbles, every decoded sample re-derived by the same positive-
+    * BIGINT arithmetic (max intermediate ≈ 2.2e10, energy ≤ 2.3e12 —
+    * no overflow in either engine), byte_len from the fixed RIFF
+    * layout (44-byte header + 2 bytes/sample). energy is CAST back to
+    * BIGINT because DuckDB widens sum(BIGINT) to HUGEINT. */
+  lazy val audioDecodeOracle: String =
+    """WITH adims AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 2048 + 64 AS n,
+      |    8000 + (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4) * 4000 AS rate,
+      |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS s
+      |  FROM documents WHERE text IS NOT NULL),
+      |samp AS (
+      |  SELECT media_id, ((s + 1) * 40503 * (i + 1)) % 65536 - 32768 AS v
+      |  FROM (SELECT media_id, n, s, unnest(generate_series(0, n - 1)) AS i FROM adims)),
+      |ag AS (
+      |  SELECT media_id, CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |    CAST(sum(v * v) AS BIGINT) AS energy
+      |  FROM samp GROUP BY media_id)
+      |SELECT d.media_id, 'audio/wav' AS mime,
+      |  CAST(44 + 2 * d.n AS BIGINT) AS byte_len,
+      |  CAST(d.rate AS INT) AS sample_rate, CAST(d.n AS BIGINT) AS n_samples,
+      |  CAST(d.n * 1000 // d.rate AS BIGINT) AS duration_ms,
+      |  ag.peak_abs, ag.energy
+      |FROM adims d JOIN ag ON d.media_id = ag.media_id
+      |ORDER BY d.media_id""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
     * planes, cap 200, k=5): band keys generated from the SAME

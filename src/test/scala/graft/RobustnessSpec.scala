@@ -210,6 +210,13 @@ class RobustnessSpec extends SparkSpec {
     // NULL payload yields zero frames; real payloads still sample
     val frames = Multimodal.frameSample(media).collect()
     assert(frames.nonEmpty && !frames.exists(_.getLong(0) == 1L))
+    // audio: NULL text -> NULL payload -> NULL features; text bytes
+    // are not a WAV -> byte_len present, decode columns NULL
+    val audio = Multimodal.decodeAudioPartitioned(media).orderBy("media_id").collect()
+    assert(audio.length === 3)
+    assert(audio(0).isNullAt(audio(0).fieldIndex("byte_len")))
+    assert(audio.drop(1).forall(r =>
+      !r.isNullAt(r.fieldIndex("byte_len")) && r.isNullAt(r.fieldIndex("energy"))))
   }
 
   test("newRows against an empty base keeps the whole batch") {
