@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.functions.TextFns
-import graft.operators.{Classify, Dedup}
+import graft.operators.{AudioCodec, Classify, Dedup, ImageCodec, Ranking}
 
 /** Property-based invariants (SURVEY.md §5 item 2). Inputs are generated
   * with ScalaCheck generators at a fixed seed and run through Spark in
@@ -226,5 +226,44 @@ class PropertySpec extends SparkSpec {
     val brute = stream.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * 50 > lit(total))
     assert(this.rows(sketched) === this.rows(brute))
+  }
+
+  test("ImageCodec: random (w, h, seed) BMPs decode to the closed-form pixel sum; re-encode is identity") {
+    // JVM-local property (no Spark job): the codec is the per-row kernel
+    val dims = Gen.zip(Gen.choose(1, 80), Gen.choose(1, 80), Gen.choose(0, 255))
+    samples(dims, 60).foreach { case (w, h, seed) =>
+      val bytes = ImageCodec.bmp(w, h, seed)
+      val img = ImageCodec.decode(bytes).getOrElse(fail(s"reject ${w}x$h seed=$seed"))
+      assert(img.getWidth === w && img.getHeight === h)
+      var expect = 0L
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { expect += 3L * ((seed + x + y) % 256); x += 1 }; y += 1 }
+      assert(ImageCodec.pixelSum(img) === expect)
+      assert(java.util.Arrays.equals(ImageCodec.encodeBmp(img), bytes))
+    }
+  }
+
+  test("AudioCodec: random (n, rate, seed) WAVs decode to exactly the generator samples") {
+    val params = Gen.zip(Gen.choose(1, 3000), Gen.oneOf(8000, 11025, 16000, 44100),
+      Gen.choose(0, 255))
+    samples(params, 40).foreach { case (n, rate, seed) =>
+      val d = AudioCodec.decode(AudioCodec.wav(n, rate, seed))
+        .getOrElse(fail(s"reject $n@$rate seed=$seed"))
+      assert(d.sampleRate === rate && d.samples.length === n)
+      var i = 0
+      while (i < n) { assert(d.samples(i) === AudioCodec.sample(seed, i)); i += 1 }
+    }
+  }
+
+  test("rankByScore: any tieBucketWidth yields the identical ranking on random skewed data") {
+    val rowGen = Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("a", "b", "c"),
+      Gen.frequency(6 -> Gen.const(9L), 4 -> Gen.choose(0L, 5L)))
+    val data = samples(rowGen, 400).distinctBy(_._1).toDF("id", "g", "score")
+    val plain = Ranking.rankByScore(data, Seq("g"), "score", "id", "rank")
+    samples(Gen.choose(1L, 200L), 6).foreach { w =>
+      val bucketed = Ranking.rankByScore(data, Seq("g"), "score", "id", "rank",
+        tieBucketWidth = Some(w))
+      assert(this.rows(bucketed) === this.rows(plain), s"width=$w diverged")
+    }
   }
 }
