@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,13 +61,20 @@ object Ranking {
     *        RankingSkewSpec) and the offsets table grows only by
     *        |tie-range|/width rows per hot cell. Requires a non-NULL
     *        numeric tie; pick width ≈ target task rows (e.g. 100k at
-    *        cluster scale). None = original per-cell windows. */
+    *        cluster scale). None = original per-cell windows.
+    * @param tieBucket same guard for non-numeric ties: any expression
+    *        MONOTONE NON-DECREASING in the tie ordering (a string
+    *        tie's character prefix, a timestamp's day). Correctness
+    *        depends on the caller honoring monotonicity — a
+    *        non-monotone bucket silently mis-ranks. Wins over
+    *        tieBucketWidth when both are set. */
   def rankByScore(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, rankName: String, ascending: Boolean = false,
-      tieBucketWidth: Option[Long] = None): DataFrame =
+      tieBucketWidth: Option[Long] = None,
+      tieBucket: Option[Column] = None): DataFrame =
     rankWithCells(df, groupCols, scoreCol, tieCol, rankName, ascending,
-      tieBucketWidth)._1
+      tieBucketWidth, tieBucket)._1
 
   /** rankByScore plus the per-(group, score) cell-count table it
     * builds anyway — [[quantileGate]] derives group totals from the
@@ -76,7 +83,8 @@ object Ranking {
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, rankName: String,
       ascending: Boolean,
-      tieBucketWidth: Option[Long] = None): (DataFrame, DataFrame) = {
+      tieBucketWidth: Option[Long] = None,
+      tieBucket: Option[Column] = None): (DataFrame, DataFrame) = {
     require(!df.columns.contains("__lrank") && !df.columns.contains("__off"),
       "input must not already carry __lrank/__off columns")
     require(!(groupCols :+ scoreCol :+ tieCol).contains(rankName),
@@ -89,7 +97,8 @@ object Ranking {
     // exactly (score [desc], tie asc) — a hash salt would break this
     // integer `div`, not floor(x / double): double division is lossy
     // past 2^53 and ranks must be exact for any 64-bit id tie
-    val bucket = tieBucketWidth.map(w => expr(s"CAST(`$tieCol` AS BIGINT) div ${w}L"))
+    val bucket = tieBucket.orElse(
+      tieBucketWidth.map(w => expr(s"CAST(`$tieCol` AS BIGINT) div ${w}L")))
     val withB = bucket.fold(df)(b => df.withColumn("__tb", b))
     val cell = (g :+ col(scoreCol)) ++ bucket.map(_ => col("__tb")).toSeq
     // pass 1: local rank inside each (group, score[, bucket]) cell

@@ -499,19 +499,25 @@ object TextAnalysis {
 
   /** Corpus vocabulary with dense frequency-ranked ids — the
     * token→id mapping a tokenizer-training / embedding pipeline
-    * consumes. Counting is a distributed map-side-combined aggregate;
-    * only the final rank runs as a single-partition window, which is
-    * bounded by the VOCABULARY size (≪ corpus size — the standard
-    * shape for vocab builds at any scale). Deterministic ordering:
-    * (count desc, token asc).
+    * consumes. Counting is a distributed map-side-combined aggregate.
+    *
+    * The rank itself is [[Ranking.rankByScore]], NOT a global
+    * `row_number()` window: the window form funnels the whole vocab
+    * through ONE reducer, and a junk-inflated 100 TB vocab is 10⁸+
+    * rows. The balanced rank cells on (cnt, token-prefix) — the
+    * 2-char prefix is monotone in the token's lexicographic order, so
+    * it splits the dominant cnt=1 long-tail cell across ~10³ window
+    * partitions while producing the bit-identical (count desc, token
+    * asc) ranking. Deterministic, oracle = plain row_number SQL.
     * @return (token, cnt, token_id) with token_id dense from 1 */
   def vocabulary(df: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.sources.Tables.widen(df)
       .select(explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("token"))
-    toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(desc("cnt"), asc("token"))).cast("long"))
+    Ranking.rankByScore(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt")),
+      groupCols = Seq.empty, scoreCol = "cnt", tieCol = "token",
+      rankName = "token_id",
+      tieBucket = Some(substring(col("token"), 1, 2)))
   }
 
   /** Tokenizer ENCODE step: materialize each document's token-id

@@ -18,8 +18,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainCheck {
 
-  /** Physical-plan shape counters for one executed query. */
-  final case class PlanStats(exchanges: Int, reused: Int, bnlj: Int)
+  /** Physical-plan shape counters for one executed query.
+    * `singleParts` counts `Exchange SinglePartition` nodes — the
+    * single-reducer funnels. Some are benign (a global aggregate's
+    * final pass receives one fixed-width partial row per map task; a
+    * broadcast build of a one-row stats table), so the gate is
+    * no-regression against the recorded count rather than zero: what
+    * must never happen silently is a NEW full-data single-reducer
+    * step (the `Window.orderBy`-without-partition failure mode that
+    * Ranking exists to avoid). */
+  final case class PlanStats(exchanges: Int, reused: Int, bnlj: Int, singleParts: Int)
 
   /** Queries where a BroadcastNestedLoopJoin is the intended physical
     * op: q07 (intentional cross join), q54 (the all-pairs small-N
@@ -67,18 +75,20 @@ object ExplainCheck {
     PlanStats(
       exchanges = plan.count(_.contains("Exchange")),
       reused = plan.count(_.contains("ReusedExchange")),
-      bnlj = plan.count(_.contains("BroadcastNestedLoop")))
+      bnlj = plan.count(_.contains("BroadcastNestedLoop")),
+      singleParts = plan.count(_.contains("Exchange SinglePartition")))
   }
 
-  /** Parse the expectation file: `name exchanges reused bnlj` per line. */
+  /** Parse the expectation file: `name exchanges reused bnlj single`
+    * per line. */
   def readExpectations(): Map[String, PlanStats] = {
     val p = java.nio.file.Paths.get(expectationPath)
     if (!java.nio.file.Files.exists(p)) Map.empty
     else java.nio.file.Files.readAllLines(p).toArray(Array.empty[String])
       .iterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
-        val Array(n, e, r, b) = l.split("\\s+")
-        n -> PlanStats(e.toInt, r.toInt, b.toInt)
+        val Array(n, e, r, b, sp) = l.split("\\s+")
+        n -> PlanStats(e.toInt, r.toInt, b.toInt, sp.toInt)
       }.toMap
   }
 
@@ -103,13 +113,15 @@ object ExplainCheck {
     val out = new StringBuilder
     out ++= "# Generated by `Test/runMain graft.ExplainCheck -write` (default\n"
     out ++= "# broadcast+AQE config, sf0.001). PlanAuditSpec fails any query\n"
-    out ++= "# whose exchange count regresses or that grows a non-whitelisted\n"
-    out ++= "# BroadcastNestedLoopJoin. Columns: name exchanges reused bnlj\n"
+    out ++= "# whose exchange / single-partition-exchange count regresses or\n"
+    out ++= "# that grows a non-whitelisted BroadcastNestedLoopJoin.\n"
+    out ++= "# Columns: name exchanges reused bnlj singlePartition\n"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val s = audit(spark, d, fn)
       val flag = if (s.bnlj > 0 && !byDesignBnlj(name)) " <-- NESTED LOOP" else ""
-      println(s"== $name: exchanges=${s.exchanges} reused=${s.reused} nestedloop=${s.bnlj}$flag")
-      out ++= s"$name ${s.exchanges} ${s.reused} ${s.bnlj}\n"
+      println(s"== $name: exchanges=${s.exchanges} reused=${s.reused} " +
+        s"nestedloop=${s.bnlj} single=${s.singleParts}$flag")
+      out ++= s"$name ${s.exchanges} ${s.reused} ${s.bnlj} ${s.singleParts}\n"
       if (dump(name)) {
         finalPlanLines(fn(spark, d)).filter(l =>
           l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate") ||

@@ -16,7 +16,11 @@ import graft.ExplainCheck.{PlanStats, audit, byDesignBnlj, readExpectations}
   *  - the ReusedExchange count must not drop below the recorded
   *    expectation (losing a reuse silently doubles a scan/explode —
   *    the q66 failure mode: two canonically-different copies of the
-  *    same (id, term) aggregate each exploding the corpus).
+  *    same (id, term) aggregate each exploding the corpus);
+  *  - the `Exchange SinglePartition` count must not exceed the
+  *    recorded expectation (a new single-reducer funnel — benign only
+  *    for fixed-width global-aggregate finals, which the recorded
+  *    counts already include).
   *
   * Fewer exchanges / more reuse than recorded passes (improvements
   * land freely) — rerun `-write` to tighten the file.
@@ -49,6 +53,11 @@ class PlanAuditSpec extends SparkSpec {
         assert(s.reused >= e.reused,
           s"$name lost a ReusedExchange: ${s.reused} < recorded ${e.reused} " +
             "(a shared subtree stopped canonicalizing; a scan/explode now runs twice)")
+        assert(s.singleParts <= e.singleParts,
+          s"$name grew an Exchange SinglePartition: ${s.singleParts} > recorded " +
+            s"${e.singleParts} (a new single-reducer funnel — the one shuffle shape " +
+            "that cannot scale out; if it is a fixed-width global aggregate, " +
+            "rerun ExplainCheck -write)")
       }
     }
   }

@@ -51,6 +51,23 @@ class RankingSkewSpec extends SparkSpec {
     assert(guarded <= width) // every sub-cell fits the target task size
   }
 
+  test("string ties: a character-prefix tieBucket (monotone) keeps ranks bit-identical") {
+    // vocabulary's shape: huge tie cells (cnt=1 long tail), string tie
+    val vocabish = (1L to 500L)
+      .map(i => (f"tok$i%04d", if (i <= 450) 1L else i % 9 + 2))
+      .toDF("token", "cnt")
+    val naive = vocabish.withColumn("token_id",
+      row_number().over(Window.orderBy(desc("cnt"), col("token"))).cast("long"))
+    val bucketed = Ranking.rankByScore(vocabish, Seq.empty, "cnt", "token", "token_id",
+      tieBucket = Some(substring(col("token"), 1, 6)))
+    assert(rows(bucketed.select("token", "token_id")) ===
+      rows(naive.select("token", "token_id")))
+    // and the prefix genuinely splits the dominant cell
+    val maxCell = vocabish.groupBy(col("cnt"), substring(col("token"), 1, 6))
+      .count().agg(max("count")).as[Long].head()
+    assert(maxCell < 450L)
+  }
+
   test("width 1 degenerates safely (every row its own cell) and bad widths are rejected") {
     val one = Ranking.rankByScore(skewed, Seq("g"), "score", "id", "rank",
       tieBucketWidth = Some(1L))
