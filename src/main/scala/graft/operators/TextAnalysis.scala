@@ -570,6 +570,41 @@ object TextAnalysis {
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic global corpus shuffle into training shards — the
+    * "shuffle the corpus" step between curation and sequence packing
+    * (a training run must not see documents in source/crawl order, and
+    * the order must be reproducible for restarts and ablations).
+    *
+    * Each doc gets a salted md5-uniform position key; shard =
+    * key mod nShards, pos = rank of the key within the shard. Reading
+    * shards in (shard, pos) order replays one fixed global permutation
+    * of the corpus — reproducible across runs, engines and
+    * partitionings (no RNG, no partition-id dependence), stable per
+    * doc under re-sharding of the WRITE (the key doesn't change), and
+    * independent of the other hash-derived assignments via the salt.
+    *
+    * Scale shape: one shuffle keyed by shard; the per-shard rank
+    * windows over ~N/nShards NARROW rows (id + two longs — callers
+    * join payloads back by id downstream, so document bytes never
+    * enter the sort). Size nShards so a shard's keys fit a task
+    * (nShards ≈ corpus/10⁶ at 100 TB).
+    * @return (idCol, shard, pos) — pos is 1-based and gap-free per shard */
+  def shuffleShards(
+      df: DataFrame, idCol: String, nShards: Int, salt: String = "shuf"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.select(col(idCol), key.as("__k"))
+      .withColumn("shard", pmod(col("__k"), lit(nShards.toLong)).cast("int"))
+      // tie-break on id: md5-prefix collisions are ~N²/2⁶⁰ unlikely but
+      // the permutation must be total regardless
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol)))
+        .cast("long"))
+      .drop("__k")
+  }
+
   /** Deterministic importance sampling: keep each row with probability
     * `min(1, weight)` using the repo's salted md5-uniform in place of
     * an RNG — reproducible across runs/engines, stable under corpus

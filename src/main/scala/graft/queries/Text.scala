@@ -866,6 +866,24 @@ object Text {
         .groupBy(col("source"))
         .agg(vote(col("lang")).as("top_lang"))
         .orderBy("source")
+    },
+
+    // Deterministic global corpus shuffle into training shards: salted
+    // md5-uniform position key, shard = key mod n, pos = per-shard key
+    // rank. Reading (shard, pos) order replays one fixed permutation —
+    // the reproducible shuffle step between curation and packing. The
+    // key is non-negative (15 hex nibbles < 2^60) so Spark pmod and
+    // DuckDB % agree.
+    Q("q95_corpus_shuffle",
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin) { (s, d) =>
+      TextAnalysis.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8)
+        .orderBy("shard", "pos")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------

@@ -228,6 +228,23 @@ class PropertySpec extends SparkSpec {
     assert(this.rows(sketched) === this.rows(brute))
   }
 
+  test("shuffleShards is a total deterministic permutation: gap-free per-shard positions, stable rerun") {
+    val ids = samples(Gen.choose(1L, 100000L), 500).distinct
+    val df = ids.toDF("doc_id")
+    val out = graft.operators.TextAnalysis.shuffleShards(df, "doc_id", nShards = 7)
+    val collected = out.collect()
+    assert(collected.length === ids.length) // total: every doc placed once
+    // per shard: positions are exactly 1..count (gap-free permutation)
+    collected.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    val again = graft.operators.TextAnalysis.shuffleShards(df, "doc_id", nShards = 7)
+    assert(this.rows(out) === this.rows(again)) // deterministic
+    // a different salt yields a different permutation (independence knob)
+    val salted = graft.operators.TextAnalysis.shuffleShards(df, "doc_id", 7, salt = "other")
+    assert(this.rows(out) !== this.rows(salted))
+  }
+
   test("ImageCodec: random (w, h, seed) BMPs decode to the closed-form pixel sum; re-encode is identity") {
     // JVM-local property (no Spark job): the codec is the per-row kernel
     val dims = Gen.zip(Gen.choose(1, 80), Gen.choose(1, 80), Gen.choose(0, 255))

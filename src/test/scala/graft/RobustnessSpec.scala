@@ -24,6 +24,7 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAnalysis.repetitionRatio(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextAnalysis.redactPii(emptyDocs, "doc_id", "text").count() === 0)
     assert(TextAnalysis.hashSplit(emptyDocs, "doc_id").count() === 0)
+    assert(TextAnalysis.shuffleShards(emptyDocs, "doc_id", 8).count() === 0)
     assert(TextAnalysis.sequencePack(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.minhashLsh(emptyDocs, "doc_id", "text").count() === 0)
