@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.Shim
 import graft.functions.TextFns
 
 /** Deduplication operators: exact, keep-first, anti-join-vs-base,
@@ -582,5 +583,73 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Serialized Bloom filter over `keyCol` of `base` — the reusable
+    * half of [[newRowsBloomed]]. Built DISTRIBUTED by Spark's own
+    * `BloomFilterAggregate` (the runtime-filter sketch: partial
+    * per-partition filters OR-merged up the aggregate tree), so the
+    * base table streams through map-side buffers and only fixed-size
+    * sketches move; the driver receives one `numBits/8`-byte blob.
+    *
+    * Keys are pre-hashed with `xxhash64` on BOTH the build and probe
+    * sides — the same pairing Spark's `InjectRuntimeFilter` plants, so
+    * insert and probe can never disagree on the encoding. Returns null
+    * when `base` has no rows (Spark's aggregate yields null for an
+    * empty sketch); [[newRowsBloomed]] treats that as "nothing to
+    * collide with". */
+  def keyBloom(
+      base: DataFrame, keyCol: String,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(Shim.expression(col(keyCol)))),
+      Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()
+    base.select(Shim.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Exact dedup-vs-base through a Bloom prefilter — the 100 TB shape
+    * of [[newRows]] for incremental loading, where a batch arrives
+    * against a huge immutable base and a plain anti-join would shuffle
+    * BOTH tables on the key.
+    *
+    * Three map-only stages replace that shuffle:
+    *   1. probe `bloom` (built once per base via [[keyBloom]], reused
+    *      across every subsequent batch) with a codegen'd
+    *      `BloomFilterMightContain` literal — no false negatives, so
+    *      the survivors of the NOT-might-contain test are already
+    *      final; only the might-contain `candidates` (true overlap +
+    *      fpp·batch false positives) need an exact check;
+    *   2. the exact check probes `base` with the broadcast candidate
+    *      key set (left-semi; the base scans, nothing shuffles) —
+    *      false positives die here, which is what keeps the operator
+    *      EXACT: the sketch only prunes, it never decides;
+    *   3. the batch anti-joins the broadcast confirmed-hit keys.
+    * The base is never shuffled, the batch is never shuffled; the only
+    * exchanges are broadcasts of candidate keys, sized by the true
+    * overlap (tiny in an incremental load) plus the fpp tail.
+    *
+    * NULL-key batch rows survive exactly as in [[newRows]]: a NULL key
+    * equals nothing, so neither the semi probe nor the final anti-join
+    * can match it. Generalizes the reference's `is_in_base` incremental
+    * load (/root/reference/dags/Load.py:8-9) to a base too large to
+    * shuffle per batch. */
+  def newRowsBloomed(
+      batch: DataFrame, base: DataFrame, keyCol: String,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    if (bloom == null) return batch
+    val might = Shim.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(Shim.expression(col(keyCol))))))
+    val candidates = batch.where(might)
+    val hitKeys = base
+      .join(broadcast(candidates.select(keyCol).distinct()), Seq(keyCol), "left_semi")
+      .select(keyCol).distinct()
+    batch.join(broadcast(hitKeys), Seq(keyCol), "left_anti")
   }
 }

@@ -303,6 +303,31 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Same contract as q40, different physical plan: the incremental-
+    // load scale path. A Bloom sketch over the base fingerprints
+    // (built distributed, reusable across batches) prunes the batch
+    // map-only; only the might-contain candidates get the exact check,
+    // as broadcast probes — neither table shuffles on the key. The
+    // oracle is the plain anti-join: the sketch must be invisible in
+    // the answer.
+    Q("q96_bloom_dedup",
+      """WITH base AS (
+        |  SELECT DISTINCT md5(lower(translate(text, ',;''', '   '))) AS fp
+        |  FROM documents WHERE source = 'src0')
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM base b
+        |                  WHERE b.fp = md5(lower(translate(d.text, ',;''', '   '))))
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("fp", TextFns.fingerprint(col("text")))
+      val base = docs.where(col("source") === "src0")
+      val bloom = Dedup.keyBloom(base, "fp", expectedItems = 1L << 16)
+      Dedup.newRowsBloomed(docs.where(col("source") =!= "src0"), base, "fp", bloom)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH banding near-dup candidates — oracle-exact because
     // the minhash is md5-hex-lexicographic (portable across engines).
     Q("q41_minhash_lsh", Text.minhashOracle) { (s, d) =>
