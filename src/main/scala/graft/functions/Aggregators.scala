@@ -87,3 +87,59 @@ final class MisraGries(k: Int)
   def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
 }
+
+/** Per-group top-k at BOUNDED state: a mergeable typed Aggregator
+  * whose buffer is the k best (score, id) pairs seen so far, kept
+  * sorted best-first under the repo's standard total order (score
+  * desc, id asc — deterministic, and the order a DuckDB
+  * `row_number() OVER (... ORDER BY score DESC, id)` twin agrees
+  * with).
+  *
+  * This is the scale path for "top k rows per group": the idiomatic
+  * window form (`row_number` + filter) shuffles EVERY row to its
+  * group's reducer and sorts there — O(N) shuffle volume and a hot
+  * reducer under group skew. Here Spark's partial/final aggregation
+  * runs the buffer map-side, so the shuffle carries at most
+  * groups × k fixed-width pairs per partition and the reducer merges
+  * O(k) buffers — group skew costs nothing because a hot group still
+  * ships ≤ k pairs per map task. Exact, not approximate: insertion
+  * keeps the true k best of a partition, and sorted-merge of two
+  * true-top-k buffers is the true top-k of their union.
+  *
+  * With a salted-hash score this same buffer is a deterministic
+  * uniform k-sample per group (the q81 keep-rule at fixed size).
+  * Inputs must be non-null; callers filter NULL scores/ids first
+  * ([[graft.operators.Ranking.groupedTopK]] does). */
+final class TopK(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  def zero: Seq[(Long, Long)] = Vector.empty
+
+  def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.size == k && !beats(a, b.last)) b
+    else {
+      val (keep, rest) = b.span(beats(_, a))
+      ((keep :+ a) ++ rest).take(k)
+    }
+
+  def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    // merge of two sorted runs, truncated at k — O(k), allocation-light
+    val out = Vector.newBuilder[(Long, Long)]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < x.size || j < y.size)) {
+      val takeX = j >= y.size || (i < x.size && beats(x(i), y(j)))
+      if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
+
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+}

@@ -168,4 +168,39 @@ object Ranking {
     gated.where(col(rankName) <= ceil(lit(frac) * col("__n")))
       .drop("__n" +: totals.columns.toSeq: _*)
   }
+
+  /** Top k rows per group at BOUNDED state, exact. The idiomatic
+    * `row_number().over(Window.partitionBy(group).orderBy(...))` +
+    * `rank <= k` shuffles every row to its group's reducer and sorts
+    * the whole group there — O(N) shuffle volume, a hot reducer under
+    * group skew, and a full sort for an answer of size groups × k.
+    * Here a [[graft.functions.TopK]] typed Aggregator holds only the
+    * k best (score, id) pairs; partial aggregation runs it map-side,
+    * so the shuffle moves ≤ groups × k fixed-width pairs per map task
+    * and no sort happens anywhere. Small-k per-group leaderboards
+    * (k ≪ group size) are exactly the shape that wins at 100 TB.
+    *
+    * Emits one row per kept (group, rank): groupCols ++ (rankName,
+    * idName, scoreName), rank 1-based under (score desc, id asc) —
+    * `row_number()` semantics, so the DuckDB twin is the window form.
+    * Carries ONLY the id + score through the aggregate; re-join wide
+    * payloads on the id afterwards (groups × k rows — broadcastable).
+    * NULL scores/ids are filtered first (a NULL never ranks; matches
+    * the oracle, where desc NULLS LAST puts them past any finite k
+    * only when the group has ≥ k non-null rows — filtering makes the
+    * semantics unconditional). */
+  def groupedTopK(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, k: Int, rankName: String = "rk",
+      idName: String = "id", scoreName: String = "score"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tk = udaf(new graft.functions.TopK(k))
+    val g = groupCols.map(col)
+    df.where(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(tk(col(scoreCol).cast("long"), col(idCol).cast("long")).as("__top"))
+      .select((g :+ posexplode(col("__top"))): _*)
+      .select((g ++ Seq((col("pos") + 1).cast("long").as(rankName),
+        col("col._2").as(idName), col("col._1").as(scoreName))): _*)
+  }
 }

@@ -591,6 +591,26 @@ object Text {
         .orderBy("lang", "rank")
     },
 
+    // Per-group leaderboard — top 3 docs per (lang, source) by length
+    // — at BOUNDED state: a mergeable top-k typed Aggregator
+    // (functions.TopK) keeps k pairs per buffer map-side, so the
+    // shuffle carries groups × k fixed-width pairs instead of every
+    // row, and nothing sorts. The oracle is the window form the
+    // aggregator replaces: row_number() PARTITION BY + filter.
+    Q("q97_grouped_topk",
+      """SELECT lang, source, rk, doc_id, score FROM (
+        |  SELECT lang, source, doc_id, n_chars AS score,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, source, rk""".stripMargin) { (s, d) =>
+      Ranking.groupedTopK(Tables.documents(s, d),
+          groupCols = Seq("lang", "source"), scoreCol = "n_chars",
+          idCol = "doc_id", k = 3, idName = "doc_id")
+        .select("lang", "source", "rk", "doc_id", "score")
+        .orderBy("lang", "source", "rk")
+    },
+
     // Tokenizer encode: each doc's (pos, token, token_id) stream
     // against the q37 corpus vocabulary — the materialization step
     // between vocab training and sequence packing. Vocab joined on the
