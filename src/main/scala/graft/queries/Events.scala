@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Funnel, Graph, Sessionize}
+import graft.operators.{AsOf, Funnel, Graph, Incremental, Sessionize}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -281,5 +281,28 @@ object Events {
       Funnel.timeDecayScore(Tables.events(s, d), "user_id", "ts", "value",
           maxAgeDays = 14)
         .orderBy("user_id")
+    },
+
+    // Incremental aggregate maintenance: the stored per-event_type
+    // stat table (count/sum/min/max over 80% of the facts) folded
+    // with a 20%-of-facts batch through Incremental.mergeBatch — the
+    // O(batch) refresh that never rescans history. The oracle is the
+    // full recompute over ALL facts: merging partials must be
+    // indistinguishable from starting over (decomposability made
+    // bit-exact by the DECIMAL running sum).
+    Q("q98_incremental_agg",
+      """SELECT event_type, count(value) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / nullif(count(value), 0) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val history = ev.where(pmod(col("event_id"), lit(10)) < 8)
+      val batch = ev.where(pmod(col("event_id"), lit(10)) >= 8)
+      val stored = Incremental.partials(history, Seq("event_type"), "value")
+      Incremental.finalize(
+          Incremental.mergeBatch(stored, batch, Seq("event_type"), "value"))
+        .orderBy("event_type")
     })
 }
