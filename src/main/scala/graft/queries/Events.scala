@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Funnel, Graph, Incremental, Sessionize}
+import graft.operators.{AsOf, Cdc, Funnel, Graph, Incremental, Sessionize}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -304,5 +304,51 @@ object Events {
       Incremental.finalize(
           Incremental.mergeBatch(stored, batch, Seq("event_type"), "value"))
         .orderBy("event_type")
+    },
+
+    // CDC snapshot maintenance: a per-(user, event_type) state
+    // snapshot built from 80% of the facts, folded with the last 20%
+    // as a versioned change batch (every 7th event retracts its key)
+    // through Cdc.applyChanges — last writer per key wins, winning
+    // deletes remove the key, untouched base rows pass through, and
+    // the base never shuffles (broadcast key-set anti-join). The
+    // oracle rebuilds the same MERGE independently with window
+    // keep-last + NOT EXISTS.
+    Q("q99_cdc_apply",
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, ts, value FROM events),
+        |base AS (
+        |  SELECT user_id, event_type, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY event_id DESC) AS rn
+        |    FROM ev WHERE event_id % 10 < 8) WHERE rn = 1),
+        |latest AS (
+        |  SELECT user_id, event_type, event_id, ts, value, is_delete FROM (
+        |    SELECT *, (event_id % 7 = 0) AS is_delete,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM ev WHERE event_id % 10 >= 8) WHERE rn = 1)
+        |SELECT user_id, event_type, event_id, ts, value FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                  WHERE l.user_id = b.user_id
+        |                    AND l.event_type = b.event_type)
+        |UNION ALL
+        |SELECT user_id, event_type, event_id, ts, value FROM latest
+        |WHERE NOT is_delete
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+      val hist = ev.where(pmod(col("event_id"), lit(10)) < 8)
+      val base = hist
+        .groupBy("user_id", "event_type")
+        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+          col("event_id")).as("__s"))
+        .select(col("user_id"), col("event_type"), col("__s.event_id"),
+          col("__s.ts"), col("__s.value"))
+      val changes = ev.where(pmod(col("event_id"), lit(10)) >= 8)
+        .withColumn("is_delete", pmod(col("event_id"), lit(7)) === 0)
+      Cdc.applyChanges(base, changes, Seq("user_id", "event_type"),
+          versionCol = "event_id", deleteCol = "is_delete")
+        .orderBy("user_id", "event_type")
     })
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+
+/** CDC snapshot maintenance ([[Cdc.applyChanges]]): MERGE semantics
+  * (last writer per key wins, winning delete removes the key,
+  * untouched rows pass through), composition across batches, and the
+  * no-base-shuffle plan shape.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10L, 1.0),
+    (2L, "a", 11L, 2.0),
+    (3L, "b", 12L, 3.0)
+  ).toDF("k", "t", "ver", "v")
+
+  private def chg(rows: (Long, String, Long, Double, Boolean)*) =
+    rows.toDF("k", "t", "ver", "v", "del")
+
+  test("upsert replaces, insert appends, delete removes, rest untouched") {
+    val out = Cdc.applyChanges(base,
+      chg((2L, "a", 20L, 9.0, false),   // update key (2,a)
+          (4L, "b", 21L, 4.0, false),   // brand-new key
+          (3L, "b", 22L, 0.0, true)),   // retract key (3,b)
+      Seq("k", "t"), "ver", "del")
+    assert(out.columns.toSeq === base.columns.toSeq)
+    assert(rows(out) === Set(
+      Seq(1L, "a", 10L, 1.0),
+      Seq(2L, "a", 20L, 9.0),
+      Seq(4L, "b", 21L, 4.0)))
+  }
+
+  test("last change per key wins, including delete-then-reinsert") {
+    val out = Cdc.applyChanges(base,
+      chg((2L, "a", 20L, 8.0, false),
+          (2L, "a", 23L, 9.5, false),   // later update supersedes
+          (1L, "a", 21L, 0.0, true),
+          (1L, "a", 24L, 7.0, false)),  // reinsert after delete
+      Seq("k", "t"), "ver", "del")
+    assert(rows(out) === Set(
+      Seq(1L, "a", 24L, 7.0),
+      Seq(2L, "a", 23L, 9.5),
+      Seq(3L, "b", 12L, 3.0)))
+  }
+
+  test("delete of an absent key is a no-op; empty batch is identity") {
+    val out = Cdc.applyChanges(base,
+      chg((9L, "z", 30L, 0.0, true)), Seq("k", "t"), "ver", "del")
+    assert(rows(out) === rows(base))
+    val idOut = Cdc.applyChanges(base, chg().where(lit(false)),
+      Seq("k", "t"), "ver", "del")
+    assert(rows(idOut) === rows(base))
+  }
+
+  test("two sequential applies equal one apply of the concatenated log") {
+    val b1 = chg((2L, "a", 20L, 5.0, false), (4L, "a", 21L, 6.0, false))
+    val b2 = chg((4L, "a", 22L, 0.0, true), (5L, "b", 23L, 7.0, false))
+    val twoStep = Cdc.applyChanges(
+      Cdc.applyChanges(base, b1, Seq("k", "t"), "ver", "del"),
+      b2, Seq("k", "t"), "ver", "del")
+    val oneShot = Cdc.applyChanges(base, b1.unionByName(b2),
+      Seq("k", "t"), "ver", "del")
+    assert(rows(twoStep) === rows(oneShot))
+    assert(twoStep.schema === oneShot.schema)
+  }
+
+  test("plan: base side never shuffles — batch aggregates, key set broadcasts") {
+    val bigBase = spark.range(0, 10000)
+      .select(col("id").as("k"), lit("a").as("t"), col("id").as("ver"),
+        (col("id") * 0.5).as("v"))
+    val out = Cdc.applyChanges(bigBase,
+      chg((7L, "a", 99999L, 1.5, false)), Seq("k", "t"), "ver", "del")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.toLowerCase.contains("leftanti"), plan.take(2000))
+    // the only shuffle exchanges belong to the batch's HashAggregate
+    // reduction — the base reaches the anti-join unexchanged
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"base must not shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("max_by") || plan.contains("MaxBy"), plan.take(2000))
+  }
+
+  test("guards: missing version / clashing delete column rejected") {
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base.drop("ver"),
+        chg((1L, "a", 1L, 0.0, false)), Seq("k", "t"), "ver", "del")
+    }
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base.withColumn("del", lit(false)),
+        chg((1L, "a", 1L, 0.0, false)), Seq("k", "t"), "ver", "del")
+    }
+  }
+}
