@@ -84,4 +84,49 @@ object Incremental {
       .withColumn("avg_v",
         when(col("cnt") === 0, lit(null).cast("double"))
           .otherwise(col("sum_v") / col("cnt")))
+
+  // ---- exact incremental count(DISTINCT key) -----------------------
+  //
+  // count(DISTINCT) is NOT decomposable over the four-stat table above
+  // — two batches may share keys, so their distinct counts don't add.
+  // The classic incremental-view-maintenance answer is a SUPPORTING
+  // multiset: one (group, key, dup_cnt) row per distinct pair. That
+  // state is O(distinct pairs), not O(1) per group — the price of
+  // exactness (the HLL sketch in q90 is the bounded-state alternative
+  // when the pair space outgrows the cluster) — but it shuffles on
+  // (group, key) so it parallelizes like any aggregate, refresh never
+  // rescans facts, and dup_cnt keeps the state closed under
+  // RETRACTION: deleting one of two sightings of a key must not drop
+  // it from the distinct set, and a pair retracted to zero leaves the
+  // state entirely (state shrinks back as data is deleted).
+
+  /** Per-(group, key) sighting counts of a batch. `weight` = -1 turns
+    * a delete batch into retractions. NULL keys are ignored, matching
+    * `count(DISTINCT)`. */
+  def distinctPartials(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      weight: Int = 1): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg((count(lit(1)) * weight).as("dup_cnt"))
+
+  /** Fold batch partials into the stored multiset. Pairs summing to
+    * zero are dropped — full retraction frees their state. Output is
+    * again a valid multiset (closed under [[mergeDistinct]]). */
+  def mergeDistinct(stored: DataFrame, batch: DataFrame,
+      groupCols: Seq[String], keyCol: String): DataFrame = {
+    require(stored.columns.contains("dup_cnt") && batch.columns.contains("dup_cnt"),
+      "both sides must be distinct-multiset tables (dup_cnt)")
+    stored.unionByName(batch)
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(sum(col("dup_cnt")).as("dup_cnt"))
+      .where(col("dup_cnt") =!= 0)
+  }
+
+  /** Read-time view: the exact distinct count per group — live pairs
+    * are unique per (group, key), so this is a plain count. */
+  def finalizeDistinct(state: DataFrame, groupCols: Seq[String],
+      outCol: String): DataFrame =
+    state.where(col("dup_cnt") > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(outCol))
 }

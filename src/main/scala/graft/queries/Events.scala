@@ -350,5 +350,26 @@ object Events {
       Cdc.applyChanges(base, changes, Seq("user_id", "event_type"),
           versionCol = "event_id", deleteCol = "is_delete")
         .orderBy("user_id", "event_type")
+    },
+
+    // Exact incremental count(DISTINCT): distinct users per event_type
+    // maintained through the (group, key, dup_cnt) supporting multiset
+    // — count(DISTINCT) is not decomposable over scalar stats, so the
+    // stored state is one row per live pair, folded with each batch's
+    // partials and never rescanning history. The oracle recomputes
+    // count(DISTINCT) over ALL facts: the fold must be
+    // indistinguishable from starting over.
+    Q("q100_incremental_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stored = Incremental.distinctPartials(
+        ev.where(pmod(col("event_id"), lit(10)) < 8), Seq("event_type"), "user_id")
+      val batch = Incremental.distinctPartials(
+        ev.where(pmod(col("event_id"), lit(10)) >= 8), Seq("event_type"), "user_id")
+      Incremental.finalizeDistinct(
+          Incremental.mergeDistinct(stored, batch, Seq("event_type"), "user_id"),
+          Seq("event_type"), "n_users")
+        .orderBy("event_type")
     })
 }

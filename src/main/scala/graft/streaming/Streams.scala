@@ -355,6 +355,68 @@ object Streams {
       }
       .start()
 
+  /** One stat-refresh round, factored out of [[statRefreshSink]] so
+    * idempotence is directly testable: fold `batch`'s partials into
+    * the stat table at `statPath` UNLESS `batchId` was already
+    * applied. The applied-batch marker (`_applied_<id>`) is written
+    * into the STAGING dir before the swap, so the fold and its marker
+    * become visible in the same rename — a replayed micro-batch after
+    * a crash sees its own marker and skips, which is what upgrades
+    * foreachBatch's at-least-once contract to effectively-once for a
+    * NON-idempotent fold (the dedup-append sink above doesn't need
+    * this because an anti-join replay appends nothing; a stat fold
+    * replay would double-count).
+    * @return true if the batch was applied, false if skipped */
+  def applyStatBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
+      valueCol: String, statPath: String): Boolean = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(statPath), conf)
+    val dst = new org.apache.hadoop.fs.Path(statPath)
+    val exists = fs.exists(dst)
+    if (exists && fs.exists(new org.apache.hadoop.fs.Path(dst, s"_applied_$batchId")))
+      return false
+    val partials = graft.operators.Incremental.partials(batch, groupCols, valueCol)
+    val merged =
+      if (exists)
+        graft.operators.Incremental.merge(
+          spark.read.parquet(statPath), partials, groupCols)
+      else partials
+    val staging = new org.apache.hadoop.fs.Path(statPath + ".staging")
+    // the staged write reads the LIVE table while writing the staging
+    // dir — no in-place race; then the K3 rename dance (crash between
+    // renames leaves .bak + .staging intact, same recovery contract as
+    // Newsmaper.overwriteRetained)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_$batchId")).close()
+    val bak = new org.apache.hadoop.fs.Path(statPath + ".bak")
+    fs.delete(bak, true)
+    if (exists && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"backup rename $statPath -> $bak failed")
+    if (!fs.rename(staging, dst))
+      throw new java.io.IOException(s"rename $staging -> $statPath failed")
+    fs.delete(bak, true)
+    true
+  }
+
+  /** Streaming incremental aggregate maintenance — the §2.8 twin of
+    * [[graft.operators.Incremental]] (q98): each micro-batch folds
+    * into the stored per-group stat table at O(batch) cost; the fact
+    * history is never re-read. The stat table is |groups| fixed-width
+    * rows, so the per-batch staged swap is cheap at any fact scale.
+    * @return the started query; caller manages lifecycle */
+  def statRefreshSink(incoming: DataFrame, groupCols: Seq[String],
+      valueCol: String, statPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStatBatch(batch, batchId, groupCols, valueCol, statPath)
+        ()
+      }
+      .start()
+
   /** End-to-end incremental pipeline: stream → windowed agg → parquet
     * sink with checkpointing (exactly-once file sink). Returns the
     * started query; caller manages lifecycle. */

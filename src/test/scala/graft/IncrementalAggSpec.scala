@@ -70,6 +70,50 @@ class IncrementalAggSpec extends SparkSpec {
     assert(byG === Map("old" -> 1L, "new" -> 1L))
   }
 
+  test("incremental distinct: fold equals recompute at any split") {
+    val scratch = Incremental.finalizeDistinct(
+      Incremental.distinctPartials(all, Seq("g"), "v"), Seq("g"), "nd")
+    for (cut <- Seq(1, 450, 899)) {
+      val folded = Incremental.finalizeDistinct(
+        Incremental.mergeDistinct(
+          Incremental.distinctPartials(all.where(col("id") <= cut), Seq("g"), "v"),
+          Incremental.distinctPartials(all.where(col("id") > cut), Seq("g"), "v"),
+          Seq("g"), "v"),
+        Seq("g"), "nd")
+      assert(rows(folded) === rows(scratch), s"cut=$cut")
+    }
+  }
+
+  test("incremental distinct: retraction keeps shared keys, frees fully-retracted pairs") {
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 2.0),
+      (4L, "b", 5.0)
+    ).toDF("id", "g", "v")
+    val state = Incremental.distinctPartials(df, Seq("g"), "v")
+    // delete ONE of the two (a, 1.0) sightings and the only (b, 5.0)
+    val deletes = Seq((1L, "a", 1.0), (4L, "b", 5.0)).toDF("id", "g", "v")
+    val after = Incremental.mergeDistinct(state,
+      Incremental.distinctPartials(deletes, Seq("g"), "v", weight = -1),
+      Seq("g"), "v")
+    // (a, 1.0) survives (dup_cnt 2-1=1); (b, 5.0) is gone — including
+    // from the STATE, not just the count
+    assert(after.where(col("g") === "b").count() === 0)
+    val nd = Incremental.finalizeDistinct(after, Seq("g"), "nd")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nd === Map("a" -> 2L))
+  }
+
+  test("incremental distinct: NULL keys ignored like count(DISTINCT)") {
+    val df = Seq(
+      (1L, "a", java.lang.Double.valueOf(1.0)),
+      (2L, "a", null.asInstanceOf[java.lang.Double])
+    ).toDF("id", "g", "v")
+    val nd = Incremental.finalizeDistinct(
+      Incremental.distinctPartials(df, Seq("g"), "v"), Seq("g"), "nd")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nd === Map("a" -> 1L))
+  }
+
   test("refresh shuffles stat rows, not history: stored parquet scan is narrow") {
     val dir = java.nio.file.Files.createTempDirectory("incragg").toString
     Incremental.partials(all, Seq("g"), "v").write.parquet(s"$dir/stats")

@@ -282,6 +282,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("statRefreshSink: micro-batch folds equal the batch recompute; replay is a no-op") {
+    val statPath = java.nio.file.Files.createTempDirectory("graft-stat").toString + "/stats.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-stat-chk").toString
+    val input = MemoryStream[Event](spark)
+    val query = Streams.statRefreshSink(input.toDF(), Seq("event_type"), "value",
+      statPath, chk)
+    val allEvents = scala.collection.mutable.ArrayBuffer[Event]()
+    try {
+      val b1 = Seq(
+        Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.5),
+        Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+      val b2 = Seq(
+        Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0),
+        Event(4L, ts("2025-01-01 10:03:00"), 2L, "scroll", 0.5))
+      for (b <- Seq(b1, b2)) {
+        input.addData(b: _*); allEvents ++= b
+        query.processAllAvailable()
+        // the maintained stat table == a from-scratch recompute over
+        // everything streamed so far, after every micro-batch
+        val expect = graft.operators.Incremental.partials(
+          allEvents.toSeq.toDF(), Seq("event_type"), "value")
+        assert(rows(spark.read.parquet(statPath)) === rows(expect))
+      }
+    } finally query.stop()
+    // crash-replay: re-applying an already-applied batchId must skip —
+    // this is what makes the NON-idempotent fold effectively-once
+    val replay = Seq(Event(9L, ts("2025-01-01 11:00:00"), 9L, "click", 99.0)).toDF()
+    val before = rows(spark.read.parquet(statPath))
+    assert(!Streams.applyStatBatch(replay, 1L, Seq("event_type"), "value", statPath))
+    assert(rows(spark.read.parquet(statPath)) === before)
+    // ...while a NEW batchId applies normally
+    assert(Streams.applyStatBatch(replay, 2L, Seq("event_type"), "value", statPath))
+    assert(rows(spark.read.parquet(statPath)) !== before)
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
