@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC snapshot maintenance — apply a change batch (upserts +
@@ -61,5 +62,34 @@ object Cdc {
     val touched = broadcast(latest.select(keyCols.map(col): _*))
     base.join(touched, keyCols, "left_anti")
       .unionByName(latest.where(!col(deleteCol)).drop(deleteCol))
+  }
+
+  /** SCD Type-2 historization of a CDC log: every non-delete change
+    * becomes a validity interval `[valid_from, valid_to)` in version
+    * units — `valid_from` its own version, `valid_to` the KEY'S next
+    * change (NULL while the state is still live). A delete closes its
+    * predecessor's interval (its version becomes that row's
+    * `valid_to`) and emits no row of its own, so `is_current` is
+    * simply `valid_to IS NULL` — a deleted key has no current row.
+    *
+    * This is the time-travel complement of [[applyChanges]]: apply
+    * keeps only each key's final state, history keeps every state
+    * with its lifespan, and `history(...).where(is_current)` equals
+    * applying the full log to an empty base (spec-proven). One
+    * shuffle on the key + a per-key sort by version — the standard
+    * historization cost; at 100 TB the log partitions by key like any
+    * window, and incremental historization of a NEW batch needs only
+    * the affected keys' open intervals (an [[applyChanges]]-style
+    * broadcast anti-join on the stored history's current rows). */
+  def history(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+      deleteCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "SCD2 history needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(!col(deleteCol))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(deleteCol)
   }
 }

@@ -371,5 +371,31 @@ object Events {
           Incremental.mergeDistinct(stored, batch, Seq("event_type"), "user_id"),
           Seq("event_type"), "n_users")
         .orderBy("event_type")
+    },
+
+    // SCD2 historization of the full CDC log (q99's change stream,
+    // unsplit): every surviving change carries its validity interval
+    // in version units; deletes close their predecessor's interval
+    // and vanish. The oracle rebuilds the same lead()-window over the
+    // undeleted-filtered-after log independently.
+    Q("q101_scd2_history",
+      """WITH chg AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    (event_id % 7 = 0) AS is_delete FROM events),
+        |w AS (
+        |  SELECT *, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_type, event_id, value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM w WHERE NOT is_delete
+        |ORDER BY user_id, event_type, event_id""".stripMargin) { (s, d) =>
+      val log = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "value")
+        .withColumn("is_delete", pmod(col("event_id"), lit(7)) === 0)
+      Cdc.history(log, Seq("user_id", "event_type"),
+          versionCol = "event_id", deleteCol = "is_delete")
+        .orderBy("user_id", "event_type", "event_id")
     })
 }

@@ -85,6 +85,33 @@ class CdcSpec extends SparkSpec {
     assert(plan.contains("max_by") || plan.contains("MaxBy"), plan.take(2000))
   }
 
+  test("history: intervals chain per key, deletes close and vanish") {
+    val log = chg(
+      (1L, "a", 10L, 1.0, false),
+      (1L, "a", 20L, 2.0, false),
+      (1L, "a", 30L, 0.0, true),   // delete closes version 20
+      (2L, "a", 15L, 5.0, false))  // still live
+    val h = Cdc.history(log, Seq("k", "t"), "ver", "del")
+      .select("k", "t", "ver", "v", "valid_from", "valid_to", "is_current")
+    assert(rows(h) === Set(
+      Seq(1L, "a", 10L, 1.0, 10L, 20L, false),
+      Seq(1L, "a", 20L, 2.0, 20L, 30L, false),
+      Seq(2L, "a", 15L, 5.0, 15L, null, true)))
+  }
+
+  test("history current rows equal applying the full log to an empty base") {
+    val log = chg(
+      (1L, "a", 10L, 1.0, false), (1L, "a", 20L, 2.0, false),
+      (2L, "a", 11L, 3.0, false), (2L, "a", 21L, 0.0, true),
+      (3L, "b", 12L, 4.0, false), (3L, "b", 22L, 0.0, true),
+      (3L, "b", 25L, 6.0, false))
+    val current = Cdc.history(log, Seq("k", "t"), "ver", "del")
+      .where(col("is_current")).select("k", "t", "ver", "v")
+    val applied = Cdc.applyChanges(base.where(lit(false)), log,
+      Seq("k", "t"), "ver", "del")
+    assert(rows(current) === rows(applied))
+  }
+
   test("guards: missing version / clashing delete column rejected") {
     intercept[IllegalArgumentException] {
       Cdc.applyChanges(base.drop("ver"),
