@@ -368,33 +368,52 @@ object Streams {
     * replay would double-count).
     * @return true if the batch was applied, false if skipped */
   def applyStatBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
-      valueCol: String, statPath: String): Boolean = {
-    val spark = batch.sparkSession
+      valueCol: String, statPath: String): Boolean =
+    foldWithMarker(batch.sparkSession, statPath, batchId) { stored =>
+      val partials = graft.operators.Incremental.partials(batch, groupCols, valueCol)
+      stored.map(graft.operators.Incremental.merge(_, partials, groupCols))
+        .getOrElse(partials)
+    }
+
+  /** Same contract for the q99 CDC merge: fold a versioned
+    * upsert+delete batch into the stored snapshot, skipping already-
+    * applied batchIds. `changes` = snapshot schema + `deleteCol`; a
+    * first batch against a missing snapshot applies to an empty base
+    * (pure upserts survive). */
+  def applyCdcBatch(changes: DataFrame, batchId: Long, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, snapshotPath: String): Boolean =
+    foldWithMarker(changes.sparkSession, snapshotPath, batchId) { stored =>
+      val base = stored.getOrElse(changes.drop(deleteCol).where(lit(false)))
+      graft.operators.Cdc.applyChanges(base, changes, keyCols, versionCol, deleteCol)
+    }
+
+  /** Shared effectively-once fold: compute the table's next contents
+    * from its current ones (None when the table doesn't exist yet)
+    * and swap the result in, with the applied-batch marker staged
+    * alongside the data so both appear in the same rename. The swap
+    * itself is the K3 dance — crash between renames leaves `.bak` +
+    * `.staging` intact, same recovery contract as
+    * `Newsmaper.overwriteRetained`. The staged write reads the LIVE
+    * table while writing the staging dir, so there is no in-place
+    * race. */
+  private def foldWithMarker(spark: SparkSession, path: String, batchId: Long)(
+      next: Option[DataFrame] => DataFrame): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(statPath), conf)
-    val dst = new org.apache.hadoop.fs.Path(statPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
     val exists = fs.exists(dst)
     if (exists && fs.exists(new org.apache.hadoop.fs.Path(dst, s"_applied_$batchId")))
       return false
-    val partials = graft.operators.Incremental.partials(batch, groupCols, valueCol)
-    val merged =
-      if (exists)
-        graft.operators.Incremental.merge(
-          spark.read.parquet(statPath), partials, groupCols)
-      else partials
-    val staging = new org.apache.hadoop.fs.Path(statPath + ".staging")
-    // the staged write reads the LIVE table while writing the staging
-    // dir — no in-place race; then the K3 rename dance (crash between
-    // renames leaves .bak + .staging intact, same recovery contract as
-    // Newsmaper.overwriteRetained)
+    val merged = next(if (exists) Some(spark.read.parquet(path)) else None)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_$batchId")).close()
-    val bak = new org.apache.hadoop.fs.Path(statPath + ".bak")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     fs.delete(bak, true)
     if (exists && !fs.rename(dst, bak))
-      throw new java.io.IOException(s"backup rename $statPath -> $bak failed")
+      throw new java.io.IOException(s"backup rename $path -> $bak failed")
     if (!fs.rename(staging, dst))
-      throw new java.io.IOException(s"rename $staging -> $statPath failed")
+      throw new java.io.IOException(s"rename $staging -> $path failed")
     fs.delete(bak, true)
     true
   }
@@ -413,6 +432,24 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyStatBatch(batch, batchId, groupCols, valueCol, statPath)
+        ()
+      }
+      .start()
+
+  /** Streaming CDC apply — the §2.8 twin of the q99 snapshot merge:
+    * each micro-batch of versioned upserts+deletes folds into the
+    * stored snapshot (base never shuffles — the q99 broadcast
+    * anti-join shape runs per batch), effectively-once via the same
+    * applied-batch marker as [[statRefreshSink]].
+    * @return the started query; caller manages lifecycle */
+  def cdcApplySink(incoming: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, snapshotPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, batchId, keyCols, versionCol, deleteCol, snapshotPath)
         ()
       }
       .start()

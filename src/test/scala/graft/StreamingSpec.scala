@@ -317,6 +317,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(statPath)) !== before)
   }
 
+  test("cdcApplySink: streamed upserts+deletes maintain the snapshot, replay is a no-op") {
+    val snap = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/snapshot.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-cdc-chk").toString
+    val input = MemoryStream[Event](spark)
+    // delete convention for the test stream: negative value retracts the user
+    val incoming = input.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("is_delete", col("value") < 0)
+    val query = Streams.cdcApplySink(incoming, Seq("user_id"),
+      versionCol = "event_id", deleteCol = "is_delete",
+      snapshotPath = snap, checkpointDir = chk)
+    try {
+      input.addData(
+        Event(10L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(11L, ts("2025-01-01 10:01:00"), 2L, "view", 2.0))
+      query.processAllAvailable()
+      assert(rows(spark.read.parquet(snap).select("user_id", "event_id", "value")) ===
+        Set(Seq(1L, 10L, 1.0), Seq(2L, 11L, 2.0)))
+      // update user 1, retract user 2, insert user 3
+      input.addData(
+        Event(12L, ts("2025-01-01 10:02:00"), 1L, "click", 5.0),
+        Event(13L, ts("2025-01-01 10:03:00"), 2L, "gone", -1.0),
+        Event(14L, ts("2025-01-01 10:04:00"), 3L, "view", 7.0))
+      query.processAllAvailable()
+      assert(rows(spark.read.parquet(snap).select("user_id", "event_id", "value")) ===
+        Set(Seq(1L, 12L, 5.0), Seq(3L, 14L, 7.0)))
+    } finally query.stop()
+    // replaying an applied batchId must skip; a fresh one applies
+    val replay = Seq((9L, 99L, "click", 9.0, false))
+      .toDF("user_id", "event_id", "event_type", "value", "is_delete")
+    val before = rows(spark.read.parquet(snap))
+    assert(!Streams.applyCdcBatch(replay, 1L, Seq("user_id"), "event_id",
+      "is_delete", snap))
+    assert(rows(spark.read.parquet(snap)) === before)
+    assert(Streams.applyCdcBatch(replay, 2L, Seq("user_id"), "event_id",
+      "is_delete", snap))
+    assert(spark.read.parquet(snap).where(col("user_id") === 9L).count() === 1)
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
