@@ -636,6 +636,38 @@ object TextAnalysis {
       .where(col("u") < col("p"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (A-ES): each row draws a deterministic pseudo-uniform u from its
+    * id (same md5 derivation as [[importanceSample]], +0.5 so u is
+    * strictly inside (0,1)) and scores `ln(u)/w`; the k LARGEST
+    * scores are the exact weighted sample. Unlike Bernoulli
+    * [[importanceSample]] (each row kept independently, output size
+    * random), this returns EXACTLY k rows with inclusion probability
+    * proportional to weight — the corpus-mixing primitive when the
+    * token budget is fixed.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local top-k
+    * (O(k) state, the reservoir property that makes A-ES
+    * single-pass) and only p·k candidate rows converge. `ln` is the
+    * libm-exact [[graft.plans.LibmLn]] so the score hash-matches the
+    * DuckDB twin bit-for-bit. Non-positive weights are excluded
+    * (undefined under A-ES), ties break on the id. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = "aes"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(!df.columns.contains("w") && !df.columns.contains("aes_key"),
+      "input must not already carry w/aes_key columns (weightedSample emits them)")
+    val u = (conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("w", weight.cast("double"))
+      .where(col("w") > 0)
+      .withColumn("aes_key", graft.plans.GraftExtensions.ln(u) / col("w"))
+      .orderBy(col("aes_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sequence packing: assign each document a position in a
     * fixed-token-budget training-sequence stream — the standard
     * pretraining batch layout (documents concatenated shard-locally,

@@ -929,6 +929,26 @@ object Text {
         |FROM k ORDER BY shard, pos""".stripMargin) { (s, d) =>
       TextAnalysis.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8)
         .orderBy("shard", "pos")
+    },
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-ES): exactly k docs, inclusion odds proportional to length —
+    // the fixed-token-budget corpus-mixing primitive, vs q81's
+    // Bernoulli keep (random output size). Score = ln(u)/w with the
+    // libm-exact graft_ln, so the DOUBLE sort key hash-matches the
+    // oracle bit-for-bit; TakeOrderedAndProject keeps O(k) state per
+    // partition (the single-pass reservoir property).
+    Q("q102_weighted_sample",
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':aes'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      + 0.5) / 4294967296.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, ln(u) / w AS aes_key FROM s
+        |ORDER BY aes_key DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      TextAnalysis.weightedSample(Tables.documents(s, d), "doc_id",
+          col("n_chars"), k = 100)
+        .select("doc_id", "w", "aes_key")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------

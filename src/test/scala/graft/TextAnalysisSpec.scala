@@ -300,4 +300,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(splits.values.sum === 200L)
     assert(splits("train") > splits.getOrElse("valid", 0L)) // rough proportions hold
   }
+
+  test("weightedSample: exactly k, deterministic, dominant weight always included") {
+    val docs = (1L to 500L).map(i =>
+      (i, if (i == 137L) 1.0e9 else 1.0)).toDF("doc_id", "len")
+    val out = TextAnalysis.weightedSample(docs, "doc_id", col("len"), k = 20)
+    assert(out.count() === 20)
+    assert(rows(out) === rows(
+      TextAnalysis.weightedSample(docs, "doc_id", col("len"), k = 20)))
+    // A-ES key is ln(u)/w: the 1e9-weight doc's key is ~0 while unit
+    // weights land around ln(u) ≈ -1, so the dominant doc must be in
+    // any top-20 — the weighting property as a hard assertion
+    assert(out.where(col("doc_id") === 137L).count() === 1)
+    // ...and a different salt draws a different unit-weight cohort
+    val other = TextAnalysis.weightedSample(docs, "doc_id", col("len"), 20, salt = "b")
+    assert(rows(out.select("doc_id")) !== rows(other.select("doc_id")))
+    // bounded-state shape: partition-local top-k, no global sort (the
+    // limit must be real — k < input rows — or EliminateLimits folds it)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("weightedSample: non-positive weights excluded; k must be positive") {
+    val docs = Seq((1L, 5.0), (2L, 0.0), (3L, -2.0), (4L, 1.0))
+      .toDF("doc_id", "len")
+    val out = TextAnalysis.weightedSample(docs, "doc_id", col("len"), k = 10)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.weightedSample(docs, "doc_id", col("len"), k = 0)
+    }
+  }
 }
