@@ -111,6 +111,24 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
       maxBandFreq: Int = 100): DataFrame = {
+    val capped = capBands(
+      bandedSignatures(df, idCol, textCol, shingleN, numHashes, bands), maxBandFreq)
+    val a = capped.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = capped.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common_bands"))
+  }
+
+  /** The LSH band index of a corpus: one (id, band, bkey) row per
+    * document per band — the STORED side of incremental near-dedup.
+    * Factored from [[minhashLsh]] (identical derivation); at scale
+    * this table is computed once per corpus, written bucketed on
+    * (band, bkey), and probed by every arriving batch. */
+  def bandedSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes <= minhashCoeffs.size, s"at most ${minhashCoeffs.size} hashes")
     val rows = numHashes / bands
@@ -135,7 +153,7 @@ object Dedup {
     // band key = 60-bit md5 prefix of the concatenated band signatures
     // (a LONG join key, not the 32-char hex string — fixed-width
     // shuffle rows and cheaper hash-join compares)
-    val banded = sigs.select(
+    sigs.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
         struct(
@@ -145,15 +163,48 @@ object Dedup {
             .cast("long").as("bkey"))
       }: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
-    val capped = banded
+  }
+
+  /** Hot-bucket guard: drop (band, bkey) buckets with more than
+    * `maxBandFreq` members. The count window partitions on the same
+    * (band, bkey) the candidate join shuffles on, so the cap rides
+    * the exchange the join needs anyway. */
+  private def capBands(banded: DataFrame, maxBandFreq: Int): DataFrame =
+    banded
       .withColumn("f", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
       .where(col("f") <= maxBandFreq)
       .drop("f")
-    val a = capped.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val b = capped.select(col("band"), col("bkey"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bkey"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+
+  /** Incremental near-dedup: candidate pairs between an arriving
+    * BATCH and an existing BASE corpus — the MinHash/LSH analogue of
+    * the exact [[newRowsBloomed]] path. Both sides band through
+    * [[bandedSignatures]] and only cross (batch × base) bucket
+    * matches are compared: the base is NEVER self-joined (its
+    * internal near-dups are q41/q71's job, done once), and at scale
+    * the base's band index is stored bucketed on (band, bkey) so a
+    * probe shuffles ONLY the batch's bands — O(batch) per refresh,
+    * like every operator in the incremental family.
+    *
+    * The frequency cap applies PER SIDE (each side bounds its own
+    * bucket population): the stored index must be cappable at build
+    * time, before any batch exists, so a joint bucket is bounded by
+    * capᵇᵃˢᵉ·capᵇᵃᵗᶜʰ rather than one shared cap — the honest
+    * incremental semantics, mirrored exactly in the oracle.
+    *
+    * @return (id_new, id_base, n_common_bands), one row per
+    *   batch-document × base-document sharing ≥ 1 band bucket */
+  def nearDupsVsBase(
+      batch: DataFrame, base: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
+      maxBandFreq: Int = 100): DataFrame = {
+    val idx = capBands(
+      bandedSignatures(base, idCol, textCol, shingleN, numHashes, bands), maxBandFreq)
+      .select(col("band"), col("bkey"), col(idCol).as("id_base"))
+    val probe = capBands(
+      bandedSignatures(batch, idCol, textCol, shingleN, numHashes, bands), maxBandFreq)
+      .select(col("band"), col("bkey"), col(idCol).as("id_new"))
+    probe.join(idx, Seq("band", "bkey"))
+      .groupBy(col("id_new"), col("id_base"))
       .agg(count(lit(1)).as("n_common_bands"))
   }
 

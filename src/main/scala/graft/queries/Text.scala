@@ -949,6 +949,20 @@ object Text {
       TextAnalysis.weightedSample(Tables.documents(s, d), "doc_id",
           col("n_chars"), k = 100)
         .select("doc_id", "w", "aes_key")
+    },
+
+    // Incremental near-dedup: an arriving 20% batch probed against
+    // the 80% base's LSH band index — cross pairs only, base never
+    // self-joined, per-side hot-bucket caps (the stored index is
+    // capped at build time, before any batch exists). The MinHash/LSH
+    // analogue of q96's exact Bloom path.
+    Q("q103_neardup_vs_base", Text.incrementalNearDupOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.nearDupsVsBase(
+          docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+          docs.where(pmod(col("doc_id"), lit(10)) < 8),
+          "doc_id", "text", shingleN = 5, numHashes = 12, bands = 4)
+        .orderBy("id_new", "id_base")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------
@@ -995,6 +1009,48 @@ object Text {
        |FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
        |WHERE a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+
+  /** The q41 CTE chain restricted to one side of a corpus split —
+    * suffixed so base and batch pipelines coexist in one WITH, each
+    * capped WITHIN ITS OWN SIDE (the per-side cap semantics of
+    * `Dedup.nearDupsVsBase`). */
+  private def minhashSideCtes(sfx: String, where: String): String = {
+    val p = Dedup.minhashP
+    val sigs = Dedup.minhashCoeffs.take(12).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p)) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS bkey FROM sigs_$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""sh_$sfx AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(length(t) - 4, 1)),
+       |      i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))) AS hs
+       |  FROM (SELECT doc_id, lower(translate(text, ',;''', '   ')) AS t
+       |        FROM documents WHERE $where)
+       |  WHERE len(hs) > 0),
+       |sigs_$sfx AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM sh_$sfx),
+       |banded_$sfx AS (
+       |  $bandSelects),
+       |capped_$sfx AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS f
+       |    FROM banded_$sfx)
+       |  WHERE f <= 100)""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.nearDupsVsBase over the 80/20 split. */
+  lazy val incrementalNearDupOracle: String =
+    s"""WITH ${minhashSideCtes("base", "doc_id % 10 < 8")},
+       |${minhashSideCtes("new", "doc_id % 10 >= 8")}
+       |SELECT n.doc_id AS id_new, b.doc_id AS id_base, count(*) AS n_common_bands
+       |FROM capped_new n JOIN capped_base b ON n.band = b.band AND n.bkey = b.bkey
+       |GROUP BY 1, 2 ORDER BY id_new, id_base""".stripMargin
 
   /** DuckDB twin of Dedup.nearDedupCorpus(5, 12, 4, cap 100, ≥1 band):
     * the q41 candidate pairs closed into components by recursive

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSpec {
     assert(out === Map((1L, 2L) -> 4L))
   }
 
+  test("nearDupsVsBase: cross pairs only — base-internal dups never reported") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // base-internal dup
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of base 1 and 2
+      (11L, "mmmm nnnn oooo pppp qqqq completely fresh")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupsVsBase(batch, base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch doc 10 hits BOTH identical base docs in all 4 bands; the
+    // base-internal (1,2) pair and the fresh batch doc appear nowhere
+    assert(out === Map((10L, 1L) -> 4L, (10L, 2L) -> 4L))
+    // consistency with the one-table pipeline: the cross pairs are a
+    // subset of minhashLsh over the union (per-side caps not binding
+    // at this size)
+    val union = Dedup.minhashLsh(base.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet.map { case (n, b) => (math.min(n, b), math.max(n, b)) }
+      .subsetOf(union))
+  }
+
   test("ngramJaccard: identical docs score 1.0; near docs score in (0,1)") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
