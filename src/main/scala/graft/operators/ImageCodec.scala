@@ -173,6 +173,49 @@ object ImageCodec {
     Some(out.result())
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image, as a
+    * 2·dim-hex-char string (dim=8 → the classic 64-bit hash, 16 hex
+    * chars). The image is sampled on a dim×dim grid with the same
+    * nearest-neighbor rule as [[resizeNearest]]; each cell's
+    * luminance is the integer r+g+b; a cell's bit is set when its
+    * luminance is ≥ the grid mean — compared as
+    * `lum · dim² >= Σ lums`, exact integer arithmetic with no
+    * division, so the bit pattern is reproducible by a SQL oracle.
+    * Byte y packs row y's bits LSB-first (x=0 → bit 0); the hex
+    * string concatenates bytes y=0..dim-1 — a string avoids BIGINT
+    * sign trouble at bit 63 and compares/groups just as cheaply. */
+  def aHashHex(img: BufferedImage, dim: Int = 8): String = {
+    require(dim > 0 && dim <= 16, s"hash grid must be 1..16, got $dim")
+    val lums = new Array[Int](dim * dim)
+    var total = 0L
+    var y = 0
+    while (y < dim) {
+      val sy = y * img.getHeight / dim
+      var x = 0
+      while (x < dim) {
+        val rgb = img.getRGB(x * img.getWidth / dim, sy)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        lums(y * dim + x) = lum
+        total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(2 * dim)
+    y = 0
+    while (y < dim) {
+      var b = 0
+      var x = 0
+      while (x < dim) {
+        if (lums(y * dim + x).toLong * (dim * dim) >= total) b |= 1 << x
+        x += 1
+      }
+      sb.append(f"$b%02x")
+      y += 1
+    }
+    sb.toString
+  }
+
   /** md5 hex of a UTF-8 string — the JVM twin of SQL `md5(text)`, used
     * by the fixture generators so their dimension/seed derivations
     * match the oracle's byte-for-byte. */

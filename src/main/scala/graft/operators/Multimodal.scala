@@ -354,4 +354,32 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Perceptual near-dup hashing over REAL decoded pixels: each image
+    * gets the dim×dim average-hash ([[ImageCodec.aHashHex]] — the
+    * classic aHash, robust to resizing since the grid samples
+    * relative positions). The hash is integer-exact arithmetic over
+    * the decoded pixels, so the DuckDB twin recomputes it from the
+    * generator's ground-truth ramp without touching an image — the
+    * same contract as q61/q62. Undecodable or NULL payloads yield a
+    * NULL hash (they can't be perceptually compared).
+    * @return (media_id, mime, ahash) */
+  def aHashPartitioned(media: DataFrame, dim: Int = 8): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("ahash", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    normalized(media).mapPartitions { rows =>
+      // per-partition codec context opens here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val hash =
+          if (payload == null) null
+          else ImageCodec.decode(payload).map(ImageCodec.aHashHex(_, dim)).orNull
+        Row(id, mime, hash)
+      }
+    }(enc)
+  }
 }

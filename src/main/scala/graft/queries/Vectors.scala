@@ -351,6 +351,23 @@ object Vectors {
       Multimodal.decodeAudioPartitioned(
           Multimodal.audioFromDocuments(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("media_id")
+    },
+
+    // Image near-dup by perceptual average-hash over REAL decoded
+    // pixels: 8×8 nearest-neighbor grid, integer luminance vs grid
+    // mean (no division — lum·64 ≥ Σ), 16-hex-char hash, dup groups
+    // keyed by hash. The oracle recomputes the same bits from the
+    // generator's ramp arithmetic — decode, sampling rule, threshold
+    // and byte packing are all under the hash. Undecodable media
+    // carries no hash and joins no group.
+    Q("q104_image_ahash_dedup", Vectors.imageAHashOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Multimodal.aHashPartitioned(
+          Multimodal.imagesFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .where(col("ahash").isNotNull)
+        .withColumn("dup_group",
+          min(col("media_id")).over(Window.partitionBy(col("ahash"))))
+        .orderBy("media_id")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
@@ -389,6 +406,32 @@ object Vectors {
        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height, ps.pixel_sum
        |FROM dims d JOIN ps ON d.media_id = ps.media_id
        |ORDER BY d.media_id""".stripMargin
+
+  /** DuckDB twin of q104: the 8×8 average-hash recomputed from the
+    * ramp ground truth. Sampling follows the q62 nearest-neighbor
+    * rule ((x·w)//8, (y·h)//8); luminance is the integer r+g+b =
+    * 3·((s + sx + sy) % 256); a bit is set when lum·64 ≥ the grid
+    * total (exact integer compare, no division); byte y packs row
+    * y's bits LSB-first and the hash is the y-ordered hex concat —
+    * identical to `ImageCodec.aHashHex`. */
+  lazy val imageAHashOracle: String =
+    s"""WITH $imageDimsCte,
+       |gx AS (SELECT media_id, w, h, s, unnest(generate_series(0, 7)) AS x FROM dims),
+       |samp AS (SELECT media_id, x, y,
+       |    3 * ((s + (x * w) // 8 + (y * h) // 8) % 256) AS lum
+       |  FROM (SELECT media_id, w, h, s, x, unnest(generate_series(0, 7)) AS y FROM gx)),
+       |tot AS (SELECT media_id, sum(lum) AS total FROM samp GROUP BY media_id),
+       |bytes AS (
+       |  SELECT sp.media_id, sp.y,
+       |    sum(CASE WHEN sp.lum * 64 >= t.total THEN 1 << sp.x ELSE 0 END) AS b
+       |  FROM samp sp JOIN tot t ON sp.media_id = t.media_id
+       |  GROUP BY sp.media_id, sp.y),
+       |hashes AS (
+       |  SELECT media_id, string_agg(printf('%02x', CAST(b AS INT)), '' ORDER BY y) AS ahash
+       |  FROM bytes GROUP BY media_id)
+       |SELECT media_id, 'image/bmp' AS mime, ahash,
+       |  min(media_id) OVER (PARTITION BY ahash) AS dup_group
+       |FROM hashes ORDER BY media_id""".stripMargin
 
   /** DuckDB twin of q62 (real resize to 48×48): dst pixel (x, y) reads
     * src (x·w/48, y·h/48) with integer floor, so the resized pixel sum

@@ -61,6 +61,38 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(orig, re))
   }
 
+  test("aHashHex matches the closed-form bit derivation and is resize-invariant") {
+    val w = 30; val h = 20; val seed = 5
+    val img = ImageCodec.decode(ImageCodec.bmp(w, h, seed)).get
+    val hash = ImageCodec.aHashHex(img)
+    assert(hash.length === 16 && hash.matches("[0-9a-f]{16}"))
+    // the oracle's arithmetic, in miniature
+    val lums = for (y <- 0 until 8; x <- 0 until 8)
+      yield 3 * ((seed + (x * w / 8) + (y * h / 8)) % 256)
+    val total = lums.sum.toLong
+    val expected = (0 until 8).map { y =>
+      val b = (0 until 8).map { x =>
+        if (lums(y * 8 + x) * 64L >= total) 1 << x else 0
+      }.sum
+      f"$b%02x"
+    }.mkString
+    assert(hash === expected)
+    // perceptual property: a nearest-neighbor upscale keeps the hash
+    // when the grid re-samples the same source pixels (2x exact case)
+    val doubled = ImageCodec.resizeNearest(img, 2 * w, 2 * h)
+    assert(ImageCodec.aHashHex(doubled) === hash)
+    // a uniformly brighter image hashes the SAME — aHash thresholds
+    // against the image's own mean, so a constant shift (no mod-256
+    // wrap at seed+97 for these dims) is invisible. The perceptual
+    // property, asserted positively:
+    val brighter = ImageCodec.decode(ImageCodec.bmp(w, h, seed + 97)).get
+    assert(ImageCodec.aHashHex(brighter) === hash)
+    // ...while a WRAPPING seed folds the ramp into a dark band — a
+    // structurally different pattern, different hash
+    val wrapped = ImageCodec.decode(ImageCodec.bmp(w, h, 250)).get
+    assert(ImageCodec.aHashHex(wrapped) !== hash)
+  }
+
   test("splitFrames demuxes a length-prefixed container and rejects corrupt payloads") {
     val frames = Seq(ImageCodec.bmp(9, 8, 1), ImageCodec.bmp(9, 8, 2), ImageCodec.bmp(9, 8, 3))
     val container = frames.reduce(_ ++ _)
