@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.TextFns
-import graft.operators.{Classify, Dedup, Ranking, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Classify, Dedup, Incremental, Ranking, Retrieval, Similarity, TextAnalysis}
 
 /** Text-analysis + dedup coverage over `documents` — the reference's
   * Transform semantics (normalize/tokenize/keyword-vote,
@@ -963,6 +963,50 @@ object Text {
           docs.where(pmod(col("doc_id"), lit(10)) < 8),
           "doc_id", "text", shingleN = 5, numHashes = 12, bands = 4)
         .orderBy("id_new", "id_base")
+    },
+
+    // Incremental retrieval-index maintenance: per-term document
+    // frequencies (the stored half of every TF-IDF/BM25 index) are
+    // exactly the q100 (term, doc) pair-multiset — df is a per-term
+    // COUNT DISTINCT over docs — so the index folds batches with the
+    // SAME IVM primitives: base pairs + batch pairs merge, df and the
+    // doc count N derive at read time, idf = the q66 BM25 formula in
+    // the oracle's exact association order (libm-exact ln). A doc
+    // deletion is a weight = -1 fold of its own token stream. The
+    // oracle recomputes df/idf over ALL docs from scratch.
+    Q("q105_incremental_df",
+      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
+         |pres AS (SELECT DISTINCT doc_id, term FROM toks),
+         |dfs AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT term, df,
+         |  ln((CAST(n.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |     / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf
+         |FROM dfs, n ORDER BY term""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def toks(side: org.apache.spark.sql.DataFrame) = side.select(col("doc_id"),
+        explode(TextFns.tokens(TextFns.normalize(col("text")))).as("term"))
+      val hist = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val stored = Incremental.distinctPartials(toks(hist), Seq("term"), "doc_id")
+      val dfT = Incremental.finalizeDistinct(
+        Incremental.mergeDistinct(stored,
+          Incremental.distinctPartials(toks(batch), Seq("term"), "doc_id"),
+          Seq("term"), "doc_id"),
+        Seq("term"), "df")
+      // N is a 1-row stored stat in production (folds as cnt + cnt,
+      // the q98 machinery); here both sides come from one scan, so a
+      // direct count keeps the plan at ONE one-row broadcast scalar
+      // join — the q65/q66 whitelisted shape — instead of an extra
+      // agg×agg nested-loop
+      val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+      dfT.crossJoin(n)
+        .withColumn("idf",
+          graft.plans.GraftExtensions.ln(
+            (col("__n").cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .select("term", "df", "idf")
+        .orderBy("term")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------

@@ -45,7 +45,7 @@ object ExplainCheck {
     // single aggregated row is the standard way to attach a global
     // scalar without a shuffle — cost |corpus|×1, not a cartesian risk
     "q65_tfidf", "q66_bm25", "q68_stratified_rebalance", "q77_unigram_nll",
-    "q84_bigram_nll",
+    "q84_bigram_nll", "q105_incremental_df",
     // hybrid retrieval embeds bm25 (one-row stats cross join) and the
     // q50 brute-force scorer (corpus × broadcast single query vector)
     "q82_hybrid_rrf",
