@@ -60,8 +60,13 @@ object Cdc {
     // broadcast the batch's key set: the base-side anti-join stays a
     // map-only probe — no base shuffle, ever
     val touched = broadcast(latest.select(keyCols.map(col): _*))
+    // NULL delete flag = NOT a delete: without the coalesce, a
+    // NULL-flag winner would remove its key from the base (the
+    // anti-join sees the key) yet fail the !delete filter and never
+    // union back — a silent delete
     base.join(touched, keyCols, "left_anti")
-      .unionByName(latest.where(!col(deleteCol)).drop(deleteCol))
+      .unionByName(
+        latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
   }
 
   /** SCD Type-2 historization of a CDC log: every non-delete change
@@ -88,7 +93,9 @@ object Cdc {
     changes
       .withColumn("valid_from", col(versionCol))
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
-      .where(!col(deleteCol))
+      // same NULL-flag discipline as applyChanges: a NULL delete flag
+      // is an upsert, not a silent end of the key's history
+      .where(!coalesce(col(deleteCol), lit(false)))
       .withColumn("is_current", col("valid_to").isNull)
       .drop(deleteCol)
   }

@@ -185,7 +185,10 @@ object ImageCodec {
     * string concatenates bytes y=0..dim-1 — a string avoids BIGINT
     * sign trouble at bit 63 and compares/groups just as cheaply. */
   def aHashHex(img: BufferedImage, dim: Int = 8): String = {
-    require(dim > 0 && dim <= 16, s"hash grid must be 1..16, got $dim")
+    // dim capped at 8: each row packs into ONE %02x byte — wider rows
+    // would emit variable-width hex tokens whose concatenation is
+    // ambiguous (0x123·0x04 vs 0x12·0x304 collide)
+    require(dim > 0 && dim <= 8, s"hash grid must be 1..8, got $dim")
     val lums = new Array[Int](dim * dim)
     var total = 0L
     var y = 0

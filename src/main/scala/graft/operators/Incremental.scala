@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.DecimalType
   * against the stored table's groups. Non-decomposable reads (avg)
   * derive at read time from the stored stats ([[finalize]]).
   *
-  * Exactness: the running sum is DECIMAL(18,2) (the catalog's standard
-  * oracle-parity discipline) so it is associative and
-  * order-independent — merging batches in any order, or merging vs
-  * recomputing from scratch, is bit-identical (property-proven in
-  * IncrementalAggSpec). The stat schema is closed under [[merge]]
-  * (same names, same types out as in), so refresh composes
-  * indefinitely: partials → merge → merge → … never widens a type.
+  * Exactness: values quantize at DECIMAL(18,2) (the catalog's
+  * standard oracle-parity discipline) and the running sum is carried
+  * at DECIMAL(38,2), so it is associative and order-independent —
+  * merging batches in any order, or merging vs recomputing from
+  * scratch, is bit-identical (property-proven in IncrementalAggSpec).
+  * The stat schema is closed under [[merge]] (same names, same types
+  * out as in), so refresh composes indefinitely: partials → merge →
+  * merge → … never widens a type, and the 38-digit accumulator can't
+  * silently overflow to NULL before ~10^36.
   *
   * NULL discipline matches SQL aggregates: `cnt` counts non-NULL
   * values only; an all-NULL (or value-less) group carries NULL
@@ -35,16 +37,19 @@ object Incremental {
   private val statNames = Seq("cnt", "sum_v", "min_v", "max_v")
 
   /** One stat row per group over raw facts: (groupCols..., cnt BIGINT,
-    * sum_v DECIMAL(18,2), min_v, max_v). This is both the bootstrap
+    * sum_v DECIMAL(38,2), min_v, max_v). This is both the bootstrap
     * of the stored table and the per-batch reduction inside
-    * [[mergeBatch]]. */
+    * [[mergeBatch]]. Values quantize at (18,2); the RUNNING sum is
+    * carried at (38,2) — Spark's max precision, where `sum` no longer
+    * widens (p+10 caps at 38), so the schema is CLOSED under
+    * [[merge]] AND the accumulator cannot hit the silent
+    * overflow→NULL a narrow running type would (a (18,2) running sum
+    * nulls out past 10^16 with ANSI off; (38,2) needs 10^36). */
   def partials(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(
       count(col(valueCol)).as("cnt"),
-      // cast back to (18,2): Spark widens a decimal sum to (28,2), and
-      // the stat schema must be CLOSED so refresh composes forever
       sum(col(valueCol).cast(DecimalType(18, 2)))
-        .cast(DecimalType(18, 2)).as("sum_v"),
+        .cast(DecimalType(38, 2)).as("sum_v"),
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"))
 
@@ -63,7 +68,7 @@ object Incremental {
       // spec'd invariant, and the branch never fires: every group in
       // the union has at least one non-null cnt
       coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
-      sum(col("sum_v")).cast(DecimalType(18, 2)).as("sum_v"),
+      sum(col("sum_v")).cast(DecimalType(38, 2)).as("sum_v"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"))
   }

@@ -390,25 +390,57 @@ object Streams {
   /** Shared effectively-once fold: compute the table's next contents
     * from its current ones (None when the table doesn't exist yet)
     * and swap the result in, with the applied-batch marker staged
-    * alongside the data so both appear in the same rename. The swap
-    * itself is the K3 dance — crash between renames leaves `.bak` +
-    * `.staging` intact, same recovery contract as
-    * `Newsmaper.overwriteRetained`. The staged write reads the LIVE
-    * table while writing the staging dir, so there is no in-place
-    * race. */
+    * alongside the data so both appear in the same rename.
+    *
+    * Unlike the K3 `Newsmaper.overwriteRetained` (whose crash window
+    * is documented as MANUAL recovery), this fold is replayed
+    * AUTOMATICALLY by the streaming checkpoint, so it must self-heal:
+    * on entry, a missing live dir means a swap was interrupted — if
+    * the staging dir carries a marker it is complete (data is written
+    * before the marker, the marker before any rename), so the swap
+    * finishes forward; otherwise the backup rolls back. Only then is
+    * the replayed batch folded or skipped.
+    *
+    * Skip uses a HIGH-WATER MARK, not marker presence: each swap
+    * keeps only its own marker (the staging dir is written fresh),
+    * but foreachBatch batchIds are monotone, so any replay satisfies
+    * `batchId <= max applied id`. A bootstrap table not created by
+    * this fold has no marker and accepts any first batch. */
   private def foldWithMarker(spark: SparkSession, path: String, batchId: Long)(
       next: Option[DataFrame] => DataFrame): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val exists = fs.exists(dst)
-    if (exists && fs.exists(new org.apache.hadoop.fs.Path(dst, s"_applied_$batchId")))
-      return false
-    val merged = next(if (exists) Some(spark.read.parquet(path)) else None)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    def markerId(dir: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("_applied_"))
+        .map(_.stripPrefix("_applied_").toLong)
+        .maxOption
+    if (!fs.exists(dst)) {
+      if (markerId(staging).nonEmpty) {
+        // interrupted between the two renames with a COMPLETE staging
+        // (its marker is the last thing written) — finish forward
+        if (!fs.rename(staging, dst))
+          throw new java.io.IOException(s"recovery rename $staging -> $path failed")
+        fs.delete(bak, true)
+      } else if (fs.exists(bak)) {
+        // staging incomplete — roll back to the previous table
+        if (!fs.rename(bak, dst))
+          throw new java.io.IOException(s"recovery rename $bak -> $path failed")
+        fs.delete(staging, true)
+      }
+    }
+    val exists = fs.exists(dst)
+    if (markerId(dst).exists(batchId <= _)) return false
+    val merged = next(if (exists) Some(spark.read.parquet(path)) else None)
+    // clear any stale incomplete staging BEFORE the (lazy) merged plan
+    // executes — it reads the live dir, never staging
+    fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
     fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_$batchId")).close()
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     fs.delete(bak, true)
     if (exists && !fs.rename(dst, bak))
       throw new java.io.IOException(s"backup rename $path -> $bak failed")

@@ -112,6 +112,24 @@ class CdcSpec extends SparkSpec {
     assert(rows(current) === rows(applied))
   }
 
+  test("NULL delete flag is an upsert, not a silent delete") {
+    val out = Cdc.applyChanges(base,
+      Seq((2L, "a", 20L, 9.0, null.asInstanceOf[java.lang.Boolean]))
+        .toDF("k", "t", "ver", "v", "del"),
+      Seq("k", "t"), "ver", "del")
+    // without the coalesce, key (2,a) would vanish: removed by the
+    // anti-join, dropped by the !delete filter
+    assert(rows(out) === Set(
+      Seq(1L, "a", 10L, 1.0),
+      Seq(2L, "a", 20L, 9.0),
+      Seq(3L, "b", 12L, 3.0)))
+    val h = Cdc.history(
+      Seq((1L, "a", 10L, 1.0, null.asInstanceOf[java.lang.Boolean]))
+        .toDF("k", "t", "ver", "v", "del"),
+      Seq("k", "t"), "ver", "del")
+    assert(h.count() === 1 && h.where(col("is_current")).count() === 1)
+  }
+
   test("guards: missing version / clashing delete column rejected") {
     intercept[IllegalArgumentException] {
       Cdc.applyChanges(base.drop("ver"),

@@ -123,7 +123,7 @@ class IncrementalAggSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     // the stored side enters the union as stat rows — no value/id
     // columns are ever read from it
-    assert(plan.contains("ReadSchema: struct<g:string,cnt:bigint,sum_v:decimal(18,2)"),
+    assert(plan.contains("ReadSchema: struct<g:string,cnt:bigint,sum_v:decimal(38,2)"),
       plan.take(3000))
   }
 }

@@ -307,14 +307,61 @@ class StreamingSpec extends SparkSpec {
       }
     } finally query.stop()
     // crash-replay: re-applying an already-applied batchId must skip —
-    // this is what makes the NON-idempotent fold effectively-once
+    // this is what makes the NON-idempotent fold effectively-once.
+    // The skip is a HIGH-WATER MARK: batchId 0's marker did not
+    // survive batch 1's swap, yet replaying it must still skip
     val replay = Seq(Event(9L, ts("2025-01-01 11:00:00"), 9L, "click", 99.0)).toDF()
     val before = rows(spark.read.parquet(statPath))
+    assert(!Streams.applyStatBatch(replay, 0L, Seq("event_type"), "value", statPath))
     assert(!Streams.applyStatBatch(replay, 1L, Seq("event_type"), "value", statPath))
     assert(rows(spark.read.parquet(statPath)) === before)
     // ...while a NEW batchId applies normally
     assert(Streams.applyStatBatch(replay, 2L, Seq("event_type"), "value", statPath))
     assert(rows(spark.read.parquet(statPath)) !== before)
+  }
+
+  test("statRefreshSink: crash between the swap renames self-heals on replay") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val statPath = dir + "/stats.parquet"
+    val b1 = Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF()
+    val b2 = Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0)).toDF()
+    assert(Streams.applyStatBatch(b1, 0L, Seq("event_type"), "value", statPath))
+    assert(Streams.applyStatBatch(b2, 1L, Seq("event_type"), "value", statPath))
+    val healthy = rows(spark.read.parquet(statPath))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
+    // simulate the worst crash window of batch 2's swap: live dir
+    // already renamed to .bak, COMPLETE staging (data + marker) not
+    // yet renamed in — the live table is GONE
+    val mergedB3 = graft.operators.Incremental.merge(
+      spark.read.parquet(statPath),
+      graft.operators.Incremental.partials(
+        Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
+        Seq("event_type"), "value"),
+      Seq("event_type"))
+    val after = rows(mergedB3)
+    mergedB3.write.mode("overwrite").parquet(statPath + ".staging")
+    fs.create(new Path(statPath + ".staging", "_applied_2")).close()
+    assert(fs.rename(new Path(statPath), new Path(statPath + ".bak")))
+    // the checkpoint replays batch 2: recovery must finish the swap
+    // forward (complete staging wins) and then SKIP the re-fold — the
+    // history in .bak is never deleted while the live dir is missing
+    assert(!Streams.applyStatBatch(
+      Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
+      2L, Seq("event_type"), "value", statPath))
+    assert(rows(spark.read.parquet(statPath)) === after)
+    // and the other window: INCOMPLETE staging (no marker) rolls back
+    assert(fs.rename(new Path(statPath), new Path(statPath + ".bak")))
+    fs.delete(new Path(statPath + ".staging"), true)
+    fs.mkdirs(new Path(statPath + ".staging")) // half-written, no marker
+    assert(Streams.applyStatBatch(
+      Seq(Event(4L, ts("2025-01-01 10:03:00"), 2L, "view", 8.0)).toDF(),
+      3L, Seq("event_type"), "value", statPath))
+    // rolled back to the pre-crash table, then batch 3 applied on top
+    assert(spark.read.parquet(statPath).agg(sum(col("cnt"))).collect()
+      .head.getLong(0) === 4L)
+    assert(healthy.nonEmpty) // silence unused warning paranoia
   }
 
   test("cdcApplySink: streamed upserts+deletes maintain the snapshot, replay is a no-op") {
