@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Exact global / per-group ranking WITHOUT a single-reducer window.
   *
@@ -188,12 +189,25 @@ object Ranking {
     * NULL scores/ids are filtered first (a NULL never ranks; matches
     * the oracle, where desc NULLS LAST puts them past any finite k
     * only when the group has ≥ k non-null rows — filtering makes the
-    * semantics unconditional). */
+    * semantics unconditional).
+    *
+    * `scoreCol` and `idCol` MUST be integral (byte/short/int/long):
+    * the bounded-state aggregator compares longs, and a silent cast
+    * would truncate fractional scores (1.9 → 1) or NULL-out strings —
+    * rejected here rather than diverging from row_number() quietly.
+    * Fractional scores → pre-scale to a fixed-point long upstream. */
   def groupedTopK(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       idCol: String, k: Int, rankName: String = "rk",
       idName: String = "id", scoreName: String = "score"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    for (c <- Seq(scoreCol, idCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"groupedTopK requires an integral $c (byte/short/int/long), got " +
+          s"${dt.simpleString}: casting would silently truncate or NULL — " +
+          "pre-scale fractional scores to fixed-point long upstream")
+    }
     val tk = udaf(new graft.functions.TopK(k))
     val g = groupCols.map(col)
     df.where(col(scoreCol).isNotNull && col(idCol).isNotNull)

@@ -51,6 +51,23 @@ class GroupedTopKSpec extends SparkSpec {
     assert(rows(out) === Set(Seq("a", 1L, 1L, 10L)))
   }
 
+  test("non-integral score/id columns are rejected, not silently cast") {
+    val frac = Seq(("a", 1L, 1.9), ("a", 2L, 1.1)).toDF("g", "id", "score")
+    val e1 = intercept[IllegalArgumentException] {
+      Ranking.groupedTopK(frac, Seq("g"), "score", "id", 1)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val strs = Seq(("a", "x", 3L)).toDF("g", "id", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      Ranking.groupedTopK(strs, Seq("g"), "score", "id", 1)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+    // int (not just long) stays accepted — widening is lossless
+    val ints = Seq(("a", 1, 7), ("a", 2, 9)).toDF("g", "id", "score")
+    val out = Ranking.groupedTopK(ints, Seq("g"), "score", "id", 1)
+    assert(rows(out) === Set(Seq("a", 1L, 2L, 9L)))
+  }
+
   test("plan: map-side partial aggregate, no Window, no full-input sort") {
     val out = Ranking.groupedTopK(docs, Seq("g"), "score", "id", 3)
     val plan = out.queryExecution.executedPlan.toString
