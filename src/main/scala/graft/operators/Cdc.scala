@@ -43,9 +43,24 @@ object Cdc {
 
   /** One CDC apply round. `changes` = base schema + `deleteCol`
     * (boolean). `versionCol` must be a base column and totally order
-    * each key's changes. */
+    * each key's changes.
+    *
+    * "Last writer per key wins" is scoped to ONE batch: versions are
+    * compared within `changes`, and by default the batch's winner
+    * replaces the stored row unconditionally — CROSS-batch ordering is
+    * the caller's contract (the streaming fold satisfies it by
+    * applying batches in checkpoint order). A late or out-of-order
+    * batch whose newest change is OLDER than the stored row would
+    * overwrite or delete newer base state; pass
+    * `guardVersions = true` to reject such stale winners (the key's
+    * stored row survives untouched). The guard costs one extra
+    * map-only pass over the base — the broadcast semi-probe that
+    * collects the touched keys' stored versions (≤ batch-size rows),
+    * the same "find touched rows first" pass a lakehouse MERGE runs —
+    * so the base still never shuffles. */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      versionCol: String, deleteCol: String): DataFrame = {
+      versionCol: String, deleteCol: String,
+      guardVersions: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "CDC apply needs at least one key column")
     require(base.columns.contains(versionCol) && !base.columns.contains(deleteCol),
       s"base must carry $versionCol and must not carry $deleteCol")
@@ -53,10 +68,26 @@ object Cdc {
     // per-key last change: max_by(struct(payload...), version) is a
     // partial-aggregatable HashAggregate — the batch combines map-side
     // and shuffles only one struct per (partition, key)
-    val latest = changes
+    val latestUnguarded = changes
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(struct((payload :+ deleteCol).map(col): _*), col(versionCol)).as("__last"))
       .select(keyCols.map(col) ++ (payload :+ deleteCol).map(c => col(s"__last.$c")): _*)
+    val latest =
+      if (!guardVersions) latestUnguarded
+      else {
+        // stored versions of only the touched keys: broadcast
+        // semi-probe of the base (map-only, no base shuffle), result
+        // bounded by the batch's key count so it broadcasts too
+        val touchedKeys = broadcast(latestUnguarded.select(keyCols.map(col): _*))
+        val baseVersions = broadcast(
+          base.join(touchedKeys, keyCols, "left_semi")
+            .select(keyCols.map(col) :+ col(versionCol).as("__base_v"): _*))
+        // a batch winner must be strictly newer than the stored row to
+        // touch it; absent keys (inserts) always win
+        latestUnguarded.join(baseVersions, keyCols, "left")
+          .where(col("__base_v").isNull || col(versionCol) > col("__base_v"))
+          .drop("__base_v")
+      }
     // broadcast the batch's key set: the base-side anti-join stays a
     // map-only probe — no base shuffle, ever
     val touched = broadcast(latest.select(keyCols.map(col): _*))

@@ -368,8 +368,9 @@ object Streams {
     * replay would double-count).
     * @return true if the batch was applied, false if skipped */
   def applyStatBatch(batch: DataFrame, batchId: Long, groupCols: Seq[String],
-      valueCol: String, statPath: String): Boolean =
-    foldWithMarker(batch.sparkSession, statPath, batchId) { stored =>
+      valueCol: String, statPath: String,
+      lineage: String = "manual"): Boolean =
+    foldWithMarker(batch.sparkSession, statPath, batchId, lineage) { stored =>
       val partials = graft.operators.Incremental.partials(batch, groupCols, valueCol)
       stored.map(graft.operators.Incremental.merge(_, partials, groupCols))
         .getOrElse(partials)
@@ -381,8 +382,9 @@ object Streams {
     * first batch against a missing snapshot applies to an empty base
     * (pure upserts survive). */
   def applyCdcBatch(changes: DataFrame, batchId: Long, keyCols: Seq[String],
-      versionCol: String, deleteCol: String, snapshotPath: String): Boolean =
-    foldWithMarker(changes.sparkSession, snapshotPath, batchId) { stored =>
+      versionCol: String, deleteCol: String, snapshotPath: String,
+      lineage: String = "manual"): Boolean =
+    foldWithMarker(changes.sparkSession, snapshotPath, batchId, lineage) { stored =>
       val base = stored.getOrElse(changes.drop(deleteCol).where(lit(false)))
       graft.operators.Cdc.applyChanges(base, changes, keyCols, versionCol, deleteCol)
     }
@@ -403,22 +405,53 @@ object Streams {
     *
     * Skip uses a HIGH-WATER MARK, not marker presence: each swap
     * keeps only its own marker (the staging dir is written fresh),
-    * but foreachBatch batchIds are monotone, so any replay satisfies
-    * `batchId <= max applied id`. A bootstrap table not created by
-    * this fold has no marker and accepts any first batch. */
-  private def foldWithMarker(spark: SparkSession, path: String, batchId: Long)(
+    * but foreachBatch batchIds are monotone WITHIN one checkpoint
+    * lineage, so any replay satisfies `batchId <= max applied id`.
+    * Markers carry the lineage (`_applied_<batchId>_<lineage>`) and
+    * the high-water mark only counts markers of the CURRENT lineage:
+    * if the user deletes the checkpoint (batchIds restart at 0) the
+    * sink mints a new lineage and the old mark cannot silently
+    * swallow the new stream's batches — the table bootstraps instead.
+    * A bootstrap table not created by this fold has no marker and
+    * accepts any first batch.
+    *
+    * DURABILITY CONTRACT: crash safety rests on ATOMIC DIRECTORY
+    * RENAME, which HDFS and local filesystems provide; object stores
+    * (S3A and friends) emulate rename as copy+delete, so the
+    * finish-forward / roll-back invariants do NOT hold there — use a
+    * real table format on object stores. One writer per `path` is
+    * assumed (Spark enforces one query per checkpoint; two queries
+    * must not share a statPath/snapshotPath). */
+  private def foldWithMarker(spark: SparkSession, path: String, batchId: Long,
+      lineage: String = "manual")(
       next: Option[DataFrame] => DataFrame): Boolean = {
+    require(lineage.nonEmpty && lineage.forall(c => c.isLetterOrDigit || c == '-'),
+      s"lineage must be [A-Za-z0-9-]+, got '$lineage'")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
     val dst = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // `_applied_<batchId>_<lineage>`; parsed defensively — a foreign
+    // `_applied_*` file must be ignored, never throw. A pre-lineage
+    // marker (`_applied_<id>`) parses with lineage "" and so never
+    // matches a live lineage: such a table re-bootstraps once.
+    def parseMarker(name: String): Option[(Long, String)] =
+      if (!name.startsWith("_applied_")) None
+      else name.stripPrefix("_applied_").split("_", 2) match {
+        case Array(id, lin) => id.toLongOption.map((_, lin))
+        case Array(id)      => id.toLongOption.map((_, ""))
+        case _              => None
+      }
+    def markers(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).iterator
+        .flatMap(f => parseMarker(f.getPath.getName)).toSeq
+    // recovery accepts ANY lineage's marker: data is written before
+    // the marker regardless of who wrote it, so a marked staging is
+    // complete and finishing forward is always safe
     def markerId(dir: org.apache.hadoop.fs.Path): Option[Long] =
-      if (!fs.exists(dir)) None
-      else fs.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(_.startsWith("_applied_"))
-        .map(_.stripPrefix("_applied_").toLong)
-        .maxOption
+      markers(dir).map(_._1).maxOption
     if (!fs.exists(dst)) {
       if (markerId(staging).nonEmpty) {
         // interrupted between the two renames with a COMPLETE staging
@@ -434,13 +467,16 @@ object Streams {
       }
     }
     val exists = fs.exists(dst)
-    if (markerId(dst).exists(batchId <= _)) return false
+    // skip only on THIS lineage's high-water mark (see scaladoc)
+    if (markers(dst).collect { case (id, `lineage`) => id }
+        .maxOption.exists(batchId <= _)) return false
     val merged = next(if (exists) Some(spark.read.parquet(path)) else None)
     // clear any stale incomplete staging BEFORE the (lazy) merged plan
     // executes — it reads the live dir, never staging
     fs.delete(staging, true)
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_$batchId")).close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      staging, s"_applied_${batchId}_$lineage")).close()
     fs.delete(bak, true)
     if (exists && !fs.rename(dst, bak))
       throw new java.io.IOException(s"backup rename $path -> $bak failed")
