@@ -24,10 +24,16 @@ object Sessionize {
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    // exact integer-microsecond gap test — no float drift vs the oracle
-    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    // exact integer-microsecond gap test — no float drift vs the oracle.
+    // unix_micros only accepts TIMESTAMP (ltz); parquet written without
+    // isAdjustedToUTC arrives as TIMESTAMP_NTZ, so cast first. With the
+    // session timezone pinned to UTC (Harness) the cast is a pure
+    // reinterpretation — identical integers to DuckDB's epoch_us on
+    // naive timestamps — and for already-ltz input it is a no-op.
+    val tsUs = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    val prevUs = lag(tsUs, 1).over(w)
     val newSession = when(
-      prevUs.isNull.or(unix_micros(col(tsCol)) - prevUs > gapSeconds * 1000000L),
+      prevUs.isNull.or(tsUs - prevUs > gapSeconds * 1000000L),
       1L).otherwise(0L)
     df.withColumn("__new", newSession)
       .withColumn("session_id",
