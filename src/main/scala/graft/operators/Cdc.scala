@@ -75,6 +75,8 @@ object Cdc {
     val latest =
       if (!guardVersions) latestUnguarded
       else {
+        require(!base.columns.contains("__base_v") && !changes.columns.contains("__base_v"),
+          "guardVersions reserves the column name __base_v; rename the conflicting column")
         // stored versions of only the touched keys: broadcast
         // semi-probe of the base (map-only, no base shuffle), result
         // bounded by the batch's key count so it broadcasts too
@@ -83,7 +85,11 @@ object Cdc {
           base.join(touchedKeys, keyCols, "left_semi")
             .select(keyCols.map(col) :+ col(versionCol).as("__base_v"): _*))
         // a batch winner must be strictly newer than the stored row to
-        // touch it; absent keys (inserts) always win
+        // touch it; absent keys (inserts) always win. isNull tests the
+        // joined VALUE, so a key whose STORED version is NULL also
+        // passes — a NULL-versioned base row is always overwritable
+        // (it predates versioning; nothing can compare older than it),
+        // spec-proven in CdcSpec
         latestUnguarded.join(baseVersions, keyCols, "left")
           .where(col("__base_v").isNull || col(versionCol) > col("__base_v"))
           .drop("__base_v")

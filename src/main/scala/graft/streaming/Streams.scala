@@ -410,10 +410,16 @@ object Streams {
     * Markers carry the lineage (`_applied_<batchId>_<lineage>`) and
     * the high-water mark only counts markers of the CURRENT lineage:
     * if the user deletes the checkpoint (batchIds restart at 0) the
-    * sink mints a new lineage and the old mark cannot silently
-    * swallow the new stream's batches — the table bootstraps instead.
-    * A bootstrap table not created by this fold has no marker and
-    * accepts any first batch.
+    * sinks derive a NEW lineage from the recreated checkpoint's query
+    * id ([[checkpointLineage]]) so the old mark cannot silently
+    * swallow the new stream's batches — and because the old lineage's
+    * batches are already folded into the stored table, the first
+    * apply of a new lineage REBUILDS the table from scratch rather
+    * than double-counting on top (so the result equals the new
+    * stream's batches alone: sources must replay from the beginning
+    * for the rebuilt table to cover full history). A bootstrap table
+    * not created by this fold has no marker and accepts any first
+    * batch against its existing contents.
     *
     * DURABILITY CONTRACT: crash safety rests on ATOMIC DIRECTORY
     * RENAME, which HDFS and local filesystems provide; object stores
@@ -434,13 +440,18 @@ object Streams {
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     // `_applied_<batchId>_<lineage>`; parsed defensively — a foreign
     // `_applied_*` file must be ignored, never throw. A pre-lineage
-    // marker (`_applied_<id>`) parses with lineage "" and so never
-    // matches a live lineage: such a table re-bootstraps once.
+    // marker (`_applied_<id>`) belongs to the "manual" default
+    // lineage: tables written before markers carried a lineage were
+    // all written under the default, so mapping the bare form to
+    // "manual" preserves their replay-skip high-water mark across the
+    // upgrade (parsing it as a distinct lineage would let a crash-
+    // replayed batch re-apply on top of stored state — a silent
+    // one-time double count for the stat fold).
     def parseMarker(name: String): Option[(Long, String)] =
       if (!name.startsWith("_applied_")) None
       else name.stripPrefix("_applied_").split("_", 2) match {
         case Array(id, lin) => id.toLongOption.map((_, lin))
-        case Array(id)      => id.toLongOption.map((_, ""))
+        case Array(id)      => id.toLongOption.map((_, "manual"))
         case _              => None
       }
     def markers(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
@@ -468,9 +479,21 @@ object Streams {
     }
     val exists = fs.exists(dst)
     // skip only on THIS lineage's high-water mark (see scaladoc)
-    if (markers(dst).collect { case (id, `lineage`) => id }
+    val dstMarkers = markers(dst)
+    if (dstMarkers.collect { case (id, `lineage`) => id }
         .maxOption.exists(batchId <= _)) return false
-    val merged = next(if (exists) Some(spark.read.parquet(path)) else None)
+    // LINEAGE CHANGE = BOOTSTRAP: the table carries markers, but none
+    // from this lineage — a new checkpoint is replaying the source
+    // from its own offset zero, so folding its batches INTO the
+    // already-populated table would double-count everything the old
+    // lineage applied. Treat the stored state as gone and rebuild
+    // from this lineage's batches alone (the scaladoc contract). A
+    // table with NO markers was not written by this fold; it is a
+    // caller-provided bootstrap base and accepts any first batch.
+    val foreignOnly = dstMarkers.nonEmpty &&
+      !dstMarkers.exists(_._2 == lineage)
+    val merged = next(
+      if (exists && !foreignOnly) Some(spark.read.parquet(path)) else None)
     // clear any stale incomplete staging BEFORE the (lazy) merged plan
     // executes — it reads the live dir, never staging
     fs.delete(staging, true)
@@ -486,23 +509,52 @@ object Streams {
     true
   }
 
+  /** The marker lineage that identifies one checkpoint's batchId
+    * sequence: the streaming query id Spark persists in
+    * `<checkpointDir>/metadata` at first start. It SURVIVES restarts
+    * from the same checkpoint (batchIds keep climbing — replay
+    * skipping must keep working) but is re-minted when the checkpoint
+    * dir is deleted (batchIds restart at 0 — the old high-water mark
+    * must NOT swallow the new stream's batches). Read lazily on the
+    * first micro-batch, by which point StreamExecution has written
+    * the file; deliberately NOT per-`start()`, which would defeat
+    * replay skipping. */
+  private[graft] def checkpointLineage(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id in checkpoint metadata at $p: $txt"))
+  }
+
   /** Streaming incremental aggregate maintenance — the §2.8 twin of
     * [[graft.operators.Incremental]] (q98): each micro-batch folds
     * into the stored per-group stat table at O(batch) cost; the fact
     * history is never re-read. The stat table is |groups| fixed-width
     * rows, so the per-batch staged swap is cheap at any fact scale.
+    * Effectively-once across restarts AND across checkpoint
+    * recreation: markers carry the checkpoint's query id as lineage
+    * (see [[checkpointLineage]]), so a deleted checkpoint bootstraps
+    * the stat table from the new stream instead of double-counting.
     * @return the started query; caller manages lifecycle */
   def statRefreshSink(incoming: DataFrame, groupCols: Seq[String],
       valueCol: String, statPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val lineage =
+      checkpointLineage(incoming.sparkSession, checkpointDir)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyStatBatch(batch, batchId, groupCols, valueCol, statPath)
+        applyStatBatch(batch, batchId, groupCols, valueCol, statPath, lineage)
         ()
       }
       .start()
+  }
 
   /** Streaming CDC apply — the §2.8 twin of the q99 snapshot merge:
     * each micro-batch of versioned upserts+deletes folds into the
@@ -512,15 +564,19 @@ object Streams {
     * @return the started query; caller manages lifecycle */
   def cdcApplySink(incoming: DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String, snapshotPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val lineage =
+      checkpointLineage(incoming.sparkSession, checkpointDir)
     incoming.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCdcBatch(batch, batchId, keyCols, versionCol, deleteCol, snapshotPath)
+        applyCdcBatch(batch, batchId, keyCols, versionCol, deleteCol,
+          snapshotPath, lineage)
         ()
       }
       .start()
+  }
 
   /** End-to-end incremental pipeline: stream → windowed agg → parquet
     * sink with checkpointing (exactly-once file sink). Returns the

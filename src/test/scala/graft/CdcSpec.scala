@@ -140,4 +140,35 @@ class CdcSpec extends SparkSpec {
         chg((1L, "a", 1L, 0.0, false)), Seq("k", "t"), "ver", "del")
     }
   }
+
+  test("guardVersions: stale winner rejected, NULL stored version always overwritable") {
+    // stale: batch winner (ver 5) older than stored ver 11 — stored row survives
+    val stale = Cdc.applyChanges(base,
+      chg((2L, "a", 5L, 99.0, false)),
+      Seq("k", "t"), "ver", "del", guardVersions = true)
+    assert(rows(stale) === rows(base))
+    // a NULL-versioned base row predates versioning: the joined
+    // __base_v value is NULL, so the isNull arm passes and ANY change
+    // to that key wins (update and delete alike) — the change row is
+    // NOT silently dropped
+    val nullVerBase = Seq(
+      (1L, "a", null.asInstanceOf[java.lang.Long], 1.0),
+      (2L, "a", java.lang.Long.valueOf(11L), 2.0)
+    ).toDF("k", "t", "ver", "v")
+    val out = Cdc.applyChanges(nullVerBase,
+      chg((1L, "a", 1L, 7.0, false)),
+      Seq("k", "t"), "ver", "del", guardVersions = true)
+    assert(rows(out) === Set(Seq(1L, "a", 1L, 7.0), Seq(2L, "a", 11L, 2.0)))
+    val deleted = Cdc.applyChanges(nullVerBase,
+      chg((1L, "a", 1L, 0.0, true)),
+      Seq("k", "t"), "ver", "del", guardVersions = true)
+    assert(rows(deleted) === Set(Seq(2L, "a", 11L, 2.0)))
+    // the guard reserves __base_v; a colliding payload column is
+    // rejected instead of silently mis-joined
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(base.withColumn("__base_v", lit(0L)),
+        chg((1L, "a", 1L, 0.0, false)).withColumn("__base_v", lit(0L)),
+        Seq("k", "t"), "ver", "del", guardVersions = true)
+    }
+  }
 }

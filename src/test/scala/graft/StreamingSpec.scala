@@ -36,8 +36,13 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("statefulSessions agrees with Sessionize on the real events table (sf0.001)") {
+    // the typed Event boundary declares timestamp-ltz; parquet written
+    // without isAdjustedToUTC reads as NTZ, so normalize once up front
+    // (UTC session tz => pure reinterpretation) or the two sides
+    // return different timestamp kinds
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
     val stateful = Streams.statefulSessions(ev.as[Event], gapSeconds = 1800L)
       .select("user_id", "session_start", "session_end", "n_events")
     val sql = Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800L)
@@ -48,7 +53,8 @@ class StreamingSpec extends SparkSpec {
   test("statefulFunnel (batch mode) agrees with the window-formulation Funnel operator") {
     val steps = Seq("view", "click", "purchase")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
     val stateful = Streams.statefulFunnel(ev.as[Event], steps)
       .collect().map(o => o.user_id -> o.step_us.toSeq).toMap
     val batch = Funnel.funnel(ev, "user_id", "ts", "event_id", "event_type", steps)
@@ -310,13 +316,17 @@ class StreamingSpec extends SparkSpec {
     // this is what makes the NON-idempotent fold effectively-once.
     // The skip is a HIGH-WATER MARK: batchId 0's marker did not
     // survive batch 1's swap, yet replaying it must still skip
+    // replays must run under the SINK'S lineage (derived from the
+    // checkpoint's query id) — a different lineage is a new stream,
+    // which bootstraps rather than skips
+    val lin = Streams.checkpointLineage(spark, chk)
     val replay = Seq(Event(9L, ts("2025-01-01 11:00:00"), 9L, "click", 99.0)).toDF()
     val before = rows(spark.read.parquet(statPath))
-    assert(!Streams.applyStatBatch(replay, 0L, Seq("event_type"), "value", statPath))
-    assert(!Streams.applyStatBatch(replay, 1L, Seq("event_type"), "value", statPath))
+    assert(!Streams.applyStatBatch(replay, 0L, Seq("event_type"), "value", statPath, lin))
+    assert(!Streams.applyStatBatch(replay, 1L, Seq("event_type"), "value", statPath, lin))
     assert(rows(spark.read.parquet(statPath)) === before)
     // ...while a NEW batchId applies normally
-    assert(Streams.applyStatBatch(replay, 2L, Seq("event_type"), "value", statPath))
+    assert(Streams.applyStatBatch(replay, 2L, Seq("event_type"), "value", statPath, lin))
     assert(rows(spark.read.parquet(statPath)) !== before)
   }
 
@@ -391,16 +401,66 @@ class StreamingSpec extends SparkSpec {
       assert(rows(spark.read.parquet(snap).select("user_id", "event_id", "value")) ===
         Set(Seq(1L, 12L, 5.0), Seq(3L, 14L, 7.0)))
     } finally query.stop()
-    // replaying an applied batchId must skip; a fresh one applies
+    // replaying an applied batchId must skip; a fresh one applies —
+    // both under the sink's checkpoint-derived lineage
+    val lin = Streams.checkpointLineage(spark, chk)
     val replay = Seq((9L, 99L, "click", 9.0, false))
       .toDF("user_id", "event_id", "event_type", "value", "is_delete")
     val before = rows(spark.read.parquet(snap))
     assert(!Streams.applyCdcBatch(replay, 1L, Seq("user_id"), "event_id",
-      "is_delete", snap))
+      "is_delete", snap, lin))
     assert(rows(spark.read.parquet(snap)) === before)
     assert(Streams.applyCdcBatch(replay, 2L, Seq("user_id"), "event_id",
-      "is_delete", snap))
+      "is_delete", snap, lin))
     assert(spark.read.parquet(snap).where(col("user_id") === 9L).count() === 1)
+  }
+
+  test("checkpoint recreation mints a new lineage: the stat table rebuilds, not double-counts") {
+    val statPath = java.nio.file.Files.createTempDirectory("graft-lin").toString + "/stats.parquet"
+    val chk1 = java.nio.file.Files.createTempDirectory("graft-lin-chk1").toString
+    val events = Seq(
+      Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.5),
+      Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+    val input1 = MemoryStream[Event](spark)
+    val q1 = Streams.statRefreshSink(input1.toDF(), Seq("event_type"), "value",
+      statPath, chk1)
+    try { input1.addData(events: _*); q1.processAllAvailable() } finally q1.stop()
+    val expect = rows(graft.operators.Incremental.partials(
+      events.toDF(), Seq("event_type"), "value"))
+    assert(rows(spark.read.parquet(statPath)) === expect)
+    // the user deletes the checkpoint; a NEW stream replays the same
+    // source from its own batch 0. Pre-fix, batchId 0 <= the old
+    // high-water mark silently swallowed the batch (stale table) —
+    // and without the lineage-scoped mark every replayed batch would
+    // fold ON TOP of stored state, double-counting history. Post-fix
+    // the sink derives a fresh lineage from the recreated checkpoint
+    // and the first apply REBUILDS the table from the new stream.
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-lin-chk2").toString
+    val input2 = MemoryStream[Event](spark)
+    val q2 = Streams.statRefreshSink(input2.toDF(), Seq("event_type"), "value",
+      statPath, chk2)
+    try { input2.addData(events: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(Streams.checkpointLineage(spark, chk1) !==
+      Streams.checkpointLineage(spark, chk2))
+    // identical replayed source => identical table; a double-count
+    // would have doubled cnt/sums
+    assert(rows(spark.read.parquet(statPath)) === expect)
+  }
+
+  test("pre-lineage bare markers keep their replay-skip under the default lineage") {
+    import org.apache.hadoop.fs.Path
+    val statPath = java.nio.file.Files.createTempDirectory("graft-bare").toString + "/stats.parquet"
+    val b1 = Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF()
+    assert(Streams.applyStatBatch(b1, 5L, Seq("event_type"), "value", statPath))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
+    // downgrade the marker to the pre-lineage form a round-5 table has
+    assert(fs.rename(new Path(statPath, "_applied_5_manual"), new Path(statPath, "_applied_5")))
+    val before = rows(spark.read.parquet(statPath))
+    // an at-upgrade crash replay of batchId 5 must SKIP (it maps to
+    // the default lineage), not re-fold on top of stored state
+    assert(!Streams.applyStatBatch(b1, 5L, Seq("event_type"), "value", statPath))
+    assert(rows(spark.read.parquet(statPath)) === before)
   }
 
   test("dedupWithinWatermark drops key repeats inside the horizon") {
