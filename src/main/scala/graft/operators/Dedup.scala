@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -325,11 +327,29 @@ object Dedup {
     * rounds). Convergence is a count, not a collect. Throws if not
     * converged within `maxIter` (covers 2^maxIter-node paths) rather
     * than returning a partially-propagated (wrong) labeling.
+    * ADAPTIVE EXECUTION: the candidate-pair graph of a dedup run is
+    * orders of magnitude smaller than the corpus (only ids that
+    * collided in some band appear, as fixed-width id pairs), and the
+    * edge count is already measured before the loop starts. When it
+    * fits comfortably on the driver (`localEdgeLimit`, default 2M
+    * edges = ~32 MB of long pairs) the component labeling is finished
+    * there with one exact union-find pass over a single collect — the
+    * same bounded model-state-sync shape as the k-means centroid
+    * collect — instead of paying ~log(n) driver-scheduled rounds of
+    * fixed job overhead on a graph a laptop could fold. The iterative
+    * distributed path below remains the scale path (a billion-edge
+    * crawl graph never collects) and both paths produce IDENTICAL
+    * labels (min member id per component; equivalence is
+    * property-checked in DedupSpec).
+    *
     * @param pairs candidate pairs (idACol, idBCol), undirected
+    * @param localEdgeLimit finish on the driver when the deduped
+    *        directed edge count is at or below this; 0 forces the
+    *        distributed loop (specs use it to pin that path)
     * @return (id, cluster_id) for every id appearing in `pairs` */
   def connectedComponents(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, localEdgeLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     val edgesWide = pairs
       .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
@@ -341,6 +361,10 @@ object Dedup {
     // repartitioned edge cache is built INSIDE the narrowed region so
     // its partitioning matches the loop's exchanges.
     val m = edgesWide.count()
+    if (m <= localEdgeLimit) {
+      try return localComponents(spark, edgesWide)
+      finally edgesWide.unpersist()
+    }
     IterativeConf.withLoopShuffleWidth(spark, m) {
     // unpersisted in the finally — a mid-loop job failure must not
     // strand the repartitioned copy in the block manager for the
@@ -442,6 +466,43 @@ object Dedup {
       ()
     }
     }
+  }
+
+  /** Driver-side exact union-find over a pre-counted small edge set —
+    * the [[connectedComponents]] fast path. Union-by-min-root keeps
+    * every tree rooted at its component's minimum id (attaching the
+    * larger root under the smaller preserves the invariant
+    * inductively), so `find` IS the cluster label; path halving keeps
+    * finds amortized near-constant. Output is canonical (independent
+    * of edge order), matching the distributed loop bit-for-bit. */
+  private def localComponents(
+      spark: SparkSession, edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    // one collect job (bounded by localEdgeLimit at the call site) —
+    // toLocalIterator would schedule a job per partition instead
+    for (r <- edges.collect()) {
+      val s = r.getLong(0); val d = r.getLong(1)
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs < rd) parent.put(rd, rs)
+      else if (rd < rs) parent.put(rs, rd)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.asScala.foreach(id => out += ((id, find(id))))
+    import spark.implicits._
+    out.toSeq.toDF("id", "cluster_id")
   }
 
   /** End-to-end near-duplicate REMOVAL: the cleaned corpus, which is

@@ -197,9 +197,11 @@ class DedupSpec extends SparkSpec {
     // single pair, so with the pre-loop probe seed even maxIter = 1
     // must detect convergence — the skip-2-rounds probe schedule alone
     // made every maxIter <= 3 call throw "not converged".
+    // localEdgeLimit = 0 pins the distributed loop, whose probe
+    // schedule is the thing under test.
     val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
     for (it <- Seq(1, 2, 3)) {
-      val out = Dedup.connectedComponents(pair, maxIter = it)
+      val out = Dedup.connectedComponents(pair, maxIter = it, localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(out === Map(1L -> 1L, 2L -> 1L), s"maxIter=$it")
     }
@@ -207,9 +209,32 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: a 100-node chain converges (pointer jumping, not diameter-bound)") {
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(chain, maxIter = 12) // needs ~log2(100), not 100
+    // distributed path pinned: the chain's pathological diameter is
+    // exactly what pointer jumping must beat
+    val out = Dedup.connectedComponents(chain, maxIter = 12, localEdgeLimit = 0L)
     assert(out.count() === 100)
     assert(out.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("connectedComponents: driver fast path and distributed loop label identically") {
+    // adversarial mix: long chain (deep union-find trees + many CC
+    // rounds), star, triangle with a cross link, isolates-by-absence,
+    // reversed and duplicated edges
+    val edges = (1L until 60L).map(i => (i + 1, i)) ++ // reversed chain
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),    // star
+          (200L, 201L), (201L, 202L), (202L, 200L),    // triangle
+          (202L, 103L),                                // cross link
+          (1L, 2L), (2L, 1L))                          // dup + both directions
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    // spot semantics: star+triangle fused through the cross link,
+    // labeled by the min member across BOTH
+    assert(local(202L) === 100L && local(100L) === 100L)
+    assert(local(60L) === 1L)
   }
 
   test("simhashHammingPairs: identical docs pair at distance 0; unrelated docs don't pair") {
