@@ -198,14 +198,37 @@ object Dedup {
   def nearDupsVsBase(
       batch: DataFrame, base: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
-      maxBandFreq: Int = 100): DataFrame = {
-    val idx = capBands(
+      maxBandFreq: Int = 100): DataFrame =
+    nearDupsVsIndex(batch,
+      bandIndex(base, idCol, textCol, shingleN, numHashes, bands, maxBandFreq),
+      idCol, textCol, shingleN, numHashes, bands, maxBandFreq)
+
+  /** The base corpus's capped band postings — the STORED half of
+    * incremental near-dedup: (band, bkey, id_base), built once per
+    * base, capped at build time (before any batch exists). At scale
+    * write it `Bucketing.writeBucketed(_, table, Seq("band", "bkey"),
+    * n)`: the probe join's partitioning requirement is then met
+    * straight off the scan and a batch probe shuffles ONLY the
+    * batch's bands (plan-gated in BucketingSpec). */
+  def bandIndex(
+      base: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
+      maxBandFreq: Int = 100): DataFrame =
+    capBands(
       bandedSignatures(base, idCol, textCol, shingleN, numHashes, bands), maxBandFreq)
       .select(col("band"), col("bkey"), col(idCol).as("id_base"))
+
+  /** Probe a batch against a stored [[bandIndex]] (read from its
+    * bucketed table at scale — this side of the join never reshuffles
+    * it). Same output contract as [[nearDupsVsBase]]. */
+  def nearDupsVsIndex(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4,
+      maxBandFreq: Int = 100): DataFrame = {
     val probe = capBands(
       bandedSignatures(batch, idCol, textCol, shingleN, numHashes, bands), maxBandFreq)
       .select(col("band"), col("bkey"), col(idCol).as("id_new"))
-    probe.join(idx, Seq("band", "bkey"))
+    probe.join(index, Seq("band", "bkey"))
       .groupBy(col("id_new"), col("id_base"))
       .agg(count(lit(1)).as("n_common_bands"))
   }

@@ -127,6 +127,29 @@ object Incremental {
       .where(col("dup_cnt") =!= 0)
   }
 
+  /** STORED-TABLE form of [[mergeDistinct]]: fold batch partials into
+    * a persisted multiset via a full-outer join on (group, key)
+    * instead of union+re-aggregate. Same result (proven in
+    * BucketingSpec), different plan: the union form re-shuffles BOTH
+    * sides into the aggregate, while the join form lets a stored side
+    * bucketed on (group..., key) meet the join's partitioning
+    * requirement straight off its scan — so a refresh of a 100 TB
+    * index shuffles only the batch's partials (plan-gated in
+    * BucketingSpec). Keys present on one side pass through; pairs
+    * summing to zero drop (full retraction frees their state). */
+  def mergeDistinctStored(stored: DataFrame, batch: DataFrame,
+      groupCols: Seq[String], keyCol: String): DataFrame = {
+    require(stored.columns.contains("dup_cnt") && batch.columns.contains("dup_cnt"),
+      "both sides must be distinct-multiset tables (dup_cnt)")
+    val keys = groupCols :+ keyCol
+    stored.withColumnRenamed("dup_cnt", "__s_cnt")
+      .join(batch.withColumnRenamed("dup_cnt", "__b_cnt"), keys, "full_outer")
+      .select(keys.map(col) :+
+        (coalesce(col("__s_cnt"), lit(0L)) + coalesce(col("__b_cnt"), lit(0L)))
+          .as("dup_cnt"): _*)
+      .where(col("dup_cnt") =!= 0)
+  }
+
   /** Read-time view: the exact distinct count per group — live pairs
     * are unique per (group, key), so this is a plain count. */
   def finalizeDistinct(state: DataFrame, groupCols: Seq[String],

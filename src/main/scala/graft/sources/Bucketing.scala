@@ -19,10 +19,19 @@ object Bucketing {
   /** Write `df` as a managed parquet table bucketed (and in-file
     * sorted) on `bucketCol`. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), buckets)
+
+  /** Composite-key form: bucket (and in-file sort) on all of
+    * `bucketCols` — the layout for joins on a multi-column key, e.g.
+    * an LSH band index probed on (band, bkey). Key order must match
+    * the join's. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Hive-style partitioned layout — the OTHER half of the 100 TB
     * storage story next to bucketing: bucketing kills the join shuffle,

@@ -127,6 +127,81 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q103 shape: a stored LSH band index bucketed on (band, bkey) probes shuffle-free") {
+    val d = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = Tables.documents(spark, d)
+      val base = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      // the stored half: built once per base, capped at BUILD time,
+      // bucketed on the probe join's composite key
+      graft.sources.Bucketing.writeBucketed(
+        graft.operators.Dedup.bandIndex(base, "doc_id", "text"),
+        "b_bandidx", Seq("band", "bkey"), 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probed = graft.operators.Dedup.nearDupsVsIndex(
+        batch, spark.table("b_bandidx"), "doc_id", "text")
+      // identical results to the inline two-sided form q103 verifies
+      assert(rows(probed) === rows(graft.operators.Dedup.nearDupsVsBase(
+        batch, base, "doc_id", "text")))
+      val plan = probed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      val scanAt = joinSubtree.indexOf("Bucketed: true")
+      assert(scanAt >= 0, s"index must read as a bucketed scan:\n$plan")
+      // the index branch — its Sort down to the bucketed scan — must
+      // contain no Exchange: the probe join's (band, bkey) requirement
+      // is met straight off the stored layout, so a batch probe
+      // shuffles ONLY the batch's bands
+      val idxBranch = joinSubtree.substring(
+        joinSubtree.lastIndexOf("Sort", scanAt), scanAt)
+      assert(!idxBranch.contains("Exchange"),
+        s"stored band index must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_bandidx")
+    }
+  }
+
+  test("q105 shape: a stored df multiset bucketed on (term, doc_id) folds a batch shuffle-free") {
+    val d = "/root/testdata/sf0.001"
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = Tables.documents(spark, d)
+      def toks(side: org.apache.spark.sql.DataFrame) = side.select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(
+          graft.functions.TextFns.normalize(col("text")))).as("term"))
+      val hist = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val stored = graft.operators.Incremental.distinctPartials(
+        toks(hist), Seq("term"), "doc_id")
+      val batchPart = graft.operators.Incremental.distinctPartials(
+        toks(batch), Seq("term"), "doc_id")
+      graft.sources.Bucketing.writeBucketed(
+        stored, "b_dfidx", Seq("term", "doc_id"), 4)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val folded = graft.operators.Incremental.mergeDistinctStored(
+        spark.table("b_dfidx"), batchPart, Seq("term"), "doc_id")
+      // join-form fold == union-form fold (the q105-verified semantics)
+      assert(rows(folded) === rows(graft.operators.Incremental.mergeDistinct(
+        stored, batchPart, Seq("term"), "doc_id")))
+      val plan = folded.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(joinSubtree.contains("FullOuter"), s"expected full-outer fold:\n$plan")
+      val scanAt = joinSubtree.indexOf("Bucketed: true")
+      assert(scanAt >= 0, s"stored multiset must read as a bucketed scan:\n$plan")
+      val storedBranch = joinSubtree.substring(
+        joinSubtree.lastIndexOf("Sort", scanAt), scanAt)
+      assert(!storedBranch.contains("Exchange"),
+        s"stored df index must not shuffle on refresh:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_dfidx")
+    }
+  }
+
   test("date-partitioned layout: a partition filter reads N of M directories") {
     val d = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
