@@ -278,9 +278,12 @@ object Newsmaper {
     * The swap keeps the old table as `path + ".bak"` until the new one
     * is live, so no crash point loses data: a crash between the two
     * renames leaves `path` momentarily absent but both `.bak` (old) and
-    * `.staging` (new) intact — recovery is renaming either back. A
-    * filesystem with atomic dir-swap (or a lakehouse MERGE) closes even
-    * that visibility window. */
+    * `.staging` (new) intact — recovery is renaming either back. This
+    * form is for consumers that need a STABLE literal parquet path;
+    * when readers can resolve through a table root instead, use
+    * [[maintainCommitted]] / [[graft.sources.Lake.commitOverwrite]],
+    * whose manifest commit has NO reader-visible gap at any crash
+    * point (crash-swept in LakeSpec). */
   def overwriteRetained(retained: DataFrame, path: String): Unit = {
     val spark = retained.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -297,6 +300,18 @@ object Newsmaper {
     fs.delete(bak, true)
     ()
   }
+
+  /** K3 on a manifest-committed table root: the dedup repair
+    * ([[maintenance]]) folded through [[graft.sources.Lake]]'s
+    * marker-file commit — the window-free form of
+    * `overwriteRetained(maintenance(read), path)`. Readers resolving
+    * through `Lake.readCommitted(root)` see the old table up to the
+    * atomic marker creation and the repaired one after; no crash
+    * point leaves the root unreadable. Returns the committed
+    * version. */
+  def maintainCommitted(spark: org.apache.spark.sql.SparkSession, root: String): Long =
+    graft.sources.Lake.commitOverwrite(
+      maintenance(graft.sources.Lake.readCommitted(spark, root)), root)
 
   /** O1 — the full extract→transform plan (one Catalyst plan; the
     * caller appends via [[load]]). */

@@ -11,6 +11,93 @@ class LakeSpec extends SparkSpec {
   private def tmpTable(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
 
+  test("manifest commit: versions sequence, readers resolve the live one, retention prunes") {
+    val root = tmpTable("graft-lake-commit")
+    assert(Lake.currentVersion(spark, root).isEmpty)
+    intercept[java.util.NoSuchElementException] { Lake.resolve(spark, root) }
+    assert(Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root) === 0L)
+    assert(Lake.commitOverwrite(Seq((2L, "b")).toDF("k", "t"), root) === 1L)
+    assert(Lake.commitOverwrite(Seq((3L, "c")).toDF("k", "t"), root) === 2L)
+    assert(Lake.currentVersion(spark, root) === Some(2L))
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(3L, "c")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    // default retain=1: v1 survives for in-flight readers, v0 pruned
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v2")))
+  }
+
+  test("manifest commit crash sweep: every crash point leaves a readable current table") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-crash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val v0 = Set(Seq(1L, "a"), Seq(2L, "b"))
+    Lake.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root)
+
+    // crash point 1: writer died mid-write of v1 — half a dir, no
+    // marker. Readers must stay on v0; the next commit self-repairs.
+    fs.mkdirs(new Path(root, "v1"))
+    fs.create(new Path(root, "v1/part-00000.parquet.tmp")).close()
+    assert(rows(Lake.readCommitted(spark, root)) === v0)
+
+    // crash point 2: v1 data complete, crash BEFORE the marker —
+    // still invisible to readers
+    Seq((9L, "z")).toDF("k", "t").write.mode("overwrite")
+      .parquet(new Path(root, "v1").toString)
+    assert(Lake.currentVersion(spark, root) === Some(0L))
+    assert(rows(Lake.readCommitted(spark, root)) === v0)
+
+    // the recovering writer re-commits version 1 (overwriting the
+    // orphan) and readers flip atomically
+    assert(Lake.commitOverwrite(Seq((3L, "c")).toDF("k", "t"), root) === 1L)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(3L, "c")))
+
+    // crash point 3: marker created, crash before prune — both
+    // versions committed, readers take the max
+    Seq((4L, "d")).toDF("k", "t").write.mode("overwrite")
+      .parquet(new Path(root, "v2").toString)
+    fs.create(new Path(root, "_commit_2")).close()
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(4L, "d")))
+
+    // crash point 4: prune died between marker delete and data
+    // delete — an unmarked data dir is ignored, not resurrected
+    fs.delete(new Path(root, "_commit_1"), false)
+    assert(Lake.currentVersion(spark, root) === Some(2L))
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(4L, "d")))
+
+    // defensive: a marker whose data dir was lost entirely degrades
+    // to the previous committed version instead of throwing
+    fs.create(new Path(root, "_commit_9")).close()
+    assert(Lake.currentVersion(spark, root) === Some(2L))
+    fs.delete(new Path(root, "_commit_9"), false)
+
+    // and the table keeps working after the whole sweep
+    assert(Lake.commitOverwrite(Seq((5L, "e")).toDF("k", "t"), root) === 3L)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(5L, "e")))
+  }
+
+  test("maintainCommitted: the K3 dedup repair through the manifest, no reader gap") {
+    val root = tmpTable("graft-lake-k3")
+    // natural-key duplicates with distinct ids — the Main.py:28-47
+    // repair keeps the lowest id per key
+    val dirty = Seq(
+      (1L, 10L, 100L, "t1"),
+      (2L, 10L, 100L, "t1"),
+      (3L, 11L, 101L, "t2")
+    ).toDF("id", "id_source", "id_date", "title")
+    Lake.commitOverwrite(dirty, root)
+    val v = graft.newsmaper.Newsmaper.maintainCommitted(spark, root)
+    assert(v === 1L)
+    assert(Lake.readCommitted(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // idempotent: a second repair commits an identical table
+    graft.newsmaper.Newsmaper.maintainCommitted(spark, root)
+    assert(Lake.readCommitted(spark, root).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
