@@ -173,6 +173,85 @@ object ImageCodec {
     Some(out.result())
   }
 
+  /** "GIF87a"/"GIF89a" magic sniff — the standard-container sibling
+    * of [[looksLikeBmp]]. */
+  def looksLikeGif(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 6 &&
+      payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') &&
+      payload(5) == 'a'
+
+  /** One grayscale ramp frame as an INDEXED image over an exact
+    * 256-level gray palette: pixel (x, y) = gray (seed + x + y) % 256,
+    * the same ramp as [[bmp]]. Indexed-with-full-gray-palette matters:
+    * GIF is palette-based, so handing the writer a pre-indexed image
+    * whose palette already holds every level it needs makes the
+    * encode LOSSLESS — no quantization — and the decoded pixel sum
+    * stays the same closed-form function of (w, h, seed) the oracle
+    * computes for the BMP path. */
+  private def rampIndexed(width: Int, height: Int, seed: Int): BufferedImage = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, (seed + x + y) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** A real multi-frame ANIMATED GIF via the stock-JDK gif writer's
+    * sequence API: `nFrames` full-size ramp frames, frame f's ramp
+    * offset by f — the standard-format counterpart of the bespoke
+    * length-prefixed BMP container. */
+  def animatedGif(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 1,
+      s"bad gif spec ${width}x$height x$nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(rampIndexed(width, height, seed + f), null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Demux+decode every frame of an animated GIF through the stock-JDK
+    * reader (`getNumImages(true)` walks the container's image blocks —
+    * a genuine standard-format demux). Frames here are written
+    * full-size with no disposal deltas, so `read(i)` IS frame i;
+    * None on a non-GIF or unreadable payload (callers fall back). */
+  def gifFrames(payload: Array[Byte]): Option[Seq[BufferedImage]] = {
+    if (!looksLikeGif(payload)) return None
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      Some((0 until n).map(reader.read(_)))
+    } catch { case _: java.io.IOException => None }
+    finally reader.dispose()
+  }
+
   /** Perceptual average-hash (aHash) of a decoded image, as a
     * 2·dim-hex-char string (dim=8 → the classic 64-bit hash, 16 hex
     * chars). The image is sampled on a dim×dim grid with the same

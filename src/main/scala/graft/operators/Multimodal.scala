@@ -84,11 +84,15 @@ object Multimodal {
       }(enc)
   }
 
-  /** Deterministic "video" media table: a back-to-back BMP frame
-    * container (2–7 frames, fixed per-doc dims, frame f's pixel ramp
-    * offset by f), the length-prefixed layout [[ImageCodec.splitFrames]]
-    * genuinely demuxes. Same md5-nibble ground-truth scheme (and
-    * pre-generation repartition) as [[imagesFromDocuments]]. */
+  /** Deterministic "video" media table in TWO real container formats:
+    * every 4th document is a standard multi-frame ANIMATED GIF
+    * (written and demuxed by the stock-JDK codec), the rest a
+    * back-to-back BMP frame container the length-prefixed
+    * [[ImageCodec.splitFrames]] walk demuxes. Both carry the same 2–7
+    * ramp frames (fixed per-doc dims, frame f's ramp offset by f), so
+    * the decoded pixel sums share one closed form. Same md5-nibble
+    * ground-truth scheme (and pre-generation repartition) as
+    * [[imagesFromDocuments]]. */
   def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
@@ -102,10 +106,14 @@ object Multimodal {
             val fh = (Integer.parseInt(hex.substring(4, 8), 16) % 24) + 8
             val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
             val nFrames = (Integer.parseInt(hex.substring(12, 16), 16) % 6) + 2
-            val payload = (0 until nFrames)
-              .map(f => ImageCodec.bmp(fw, fh, seed + f))
-              .reduce(_ ++ _)
-            Row(id, "video/x-bmp-frames", payload)
+            if (id % 4 == 0)
+              Row(id, "image/gif", ImageCodec.animatedGif(fw, fh, seed, nFrames))
+            else {
+              val payload = (0 until nFrames)
+                .map(f => ImageCodec.bmp(fw, fh, seed + f))
+                .reduce(_ ++ _)
+              Row(id, "video/x-bmp-frames", payload)
+            }
           }
         }
       }(enc)
@@ -271,13 +279,18 @@ object Multimodal {
     * explode shape a real extractor uses, with frame payloads cut
     * partition-local from the source bytes.
     *
-    * BMP frame containers take the REAL path: a length-prefixed demux
-    * walk ([[ImageCodec.splitFrames]]) followed by a genuine decode of
-    * each sampled frame (width/height/pixel_sum columns). Payloads that
-    * are not a clean container fall back to the fixed-stride 32-byte
-    * chunker with NULL decode columns — the production hook for real
-    * video formats. NULL payloads yield zero frames (no content, no
-    * explode).
+    * TWO real demux paths: animated GIFs go through the stock-JDK
+    * reader's image-block walk ([[ImageCodec.gifFrames]] — a standard
+    * format, demuxed and decoded for real), and BMP frame containers
+    * through the length-prefixed walk ([[ImageCodec.splitFrames]]),
+    * each followed by a genuine decode of the sampled frames
+    * (width/height/pixel_sum columns). GIF frames are logical entities
+    * inside one LZW stream, not byte-delimited sub-payloads, so their
+    * frame_md5/frame_bytes are NULL — per-frame bytes only exist for
+    * containers that delimit them. Payloads that are neither fall back
+    * to the fixed-stride 32-byte chunker with NULL decode columns —
+    * the production hook for other video formats. NULL payloads yield
+    * zero frames (no content, no explode).
     * @return (media_id, frame_idx, width, height, frame_md5,
     *         pixel_sum, frame_bytes) */
   def frameSample(
@@ -295,7 +308,14 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](2)
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
-        ImageCodec.splitFrames(payload) match {
+        ImageCodec.gifFrames(payload) match {
+          case Some(gf) =>
+            (0 until gf.length by everyNth).take(maxFrames).map { i =>
+              val img = gf(i)
+              Row(id, i, img.getWidth, img.getHeight, null,
+                ImageCodec.pixelSum(img), null)
+            }
+          case None => ImageCodec.splitFrames(payload) match {
           case Some(frames) =>
             (0 until frames.length by everyNth).take(maxFrames).map { i =>
               val f = frames(i)
@@ -314,6 +334,7 @@ object Multimodal {
               val frame = java.util.Arrays.copyOfRange(payload, from, until)
               Row(id, i, null, null, hex(frame), null, frame.length.toLong)
             }
+        }
         }
       }
     }(enc)

