@@ -301,6 +301,30 @@ object Newsmaper {
     ()
   }
 
+  /** K1 on a manifest-committed table root: [[loadTo]]'s
+    * insert-if-absent semantics (intra-batch dedup on the natural key,
+    * anti-join vs the live snapshot, append only the fresh rows) with
+    * the append committed as a NEW SNAPSHOT —
+    * [[graft.sources.Lake.commitAppend]] writes O(batch) data, never
+    * rewrites the base, and readers flip atomically. A zero-fresh
+    * batch commits nothing (no snapshot churn); `load ∘ load ≡ load`
+    * holds like the path form. Returns the appended row count. */
+  def loadToCommitted(incoming: DataFrame, root: String): Long = {
+    val spark = incoming.sparkSession
+    val guarded = guardDates(incoming)
+    val existing =
+      if (graft.sources.Lake.currentVersion(spark, root).isDefined)
+        graft.sources.Lake.readCommitted(spark, root)
+      else guarded.limit(0)
+    val fresh = Dedup.newRows(guarded.dropDuplicates(naturalKey), existing, naturalKey)
+      .persist()
+    try {
+      val appended = fresh.count()
+      if (appended > 0) graft.sources.Lake.commitAppend(fresh, root)
+      appended
+    } finally { fresh.unpersist(); () }
+  }
+
   /** K3 on a manifest-committed table root: the dedup repair
     * ([[maintenance]]) folded through [[graft.sources.Lake]]'s
     * marker-file commit — the window-free form of

@@ -37,49 +37,99 @@ object Lake {
   //   3. crash after marker, before prune -> readers see N+1; the
   //      stale version is pruned by the NEXT commit
   //
-  // This is HDFSMetadataLog's protocol (public Spark) minus the
-  // contents: the marker needs no body because data dirs are
-  // versioned by name. One writer per root (the same single-writer
-  // contract as every sink here); `retain` keeps that many SUPERSEDED
-  // versions so an in-flight reader of the previous version survives
-  // a concurrent commit — the same reader-retention lever as any
-  // lakehouse VACUUM horizon.
+  // This is HDFSMetadataLog's protocol (public Spark), with the
+  // marker BODY carrying the snapshot: the newline-separated list of
+  // data dirs that compose version N. An OVERWRITE commit lists only
+  // its own new dir; an APPEND commit lists the previous snapshot's
+  // dirs plus its new one — so at 100 TB an append writes O(batch)
+  // data and never rewrites the table, while readers still flip
+  // between immutable snapshots atomically. Content-bearing markers
+  // are committed by writing `_commit_<N>.tmp` and RENAMING it into
+  // place — single-file rename is the atomic primitive on HDFS and
+  // POSIX, so no reader ever sees a half-written manifest. (An empty
+  // marker body is read as `[v<N>]` for back-compat with the
+  // body-less overwrite-only protocol.) One writer per root (the same
+  // single-writer contract as every sink here); `retain` keeps that
+  // many SUPERSEDED snapshots so an in-flight reader of the previous
+  // version survives a concurrent commit — the same reader-retention
+  // lever as any lakehouse VACUUM horizon — and pruning deletes only
+  // data dirs no retained snapshot references.
 
   private def fsFor(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version at `root`, if any. Markers without a
-    * data dir are ignored defensively (cannot arise from the protocol
-    * — the marker is created strictly after the data job completes —
-    * but a half-vacuumed root must degrade, not throw). */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Seq[Long] =
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_commit_") && !n.endsWith(".tmp") =>
+        n.stripPrefix("_commit_").toLongOption }
+      .flatten.toSeq.sorted
+
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] = {
+    val in = fs.open(new Path(r, s"_commit_$v"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val dirs = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    if (dirs.isEmpty) Seq(s"v$v") else dirs // body-less back-compat
+  }
+
+  /** Highest committed version at `root` whose snapshot is fully
+    * present, if any. Manifests referencing lost data dirs are
+    * ignored defensively (cannot arise from the protocol — the
+    * manifest is renamed in strictly after the data job completes and
+    * pruning never touches referenced dirs — but a half-vacuumed root
+    * must degrade, not throw). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    if (!fs.exists(r)) None
-    else fs.listStatus(r).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit_") =>
-        n.stripPrefix("_commit_").toLongOption }
-      .flatten
-      .filter(v => fs.exists(new Path(r, s"v$v")))
+    committedVersions(fs, r)
+      .filter(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
       .maxOption
   }
 
-  /** Path of the live data dir — what readers scan. */
-  def resolve(spark: SparkSession, root: String): String =
+  /** Data-dir paths of the live snapshot — what readers scan. */
+  def resolve(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
     currentVersion(spark, root)
-      .map(v => new Path(root, s"v$v").toString)
+      .map(v => manifestDirs(fs, r, v).map(d => new Path(r, d).toString))
       .getOrElse(throw new java.util.NoSuchElementException(
         s"no committed table at $root"))
+  }
 
-  /** The live table contents. */
+  /** The live table contents (union of the snapshot's data dirs). */
   def readCommitted(spark: SparkSession, root: String) =
-    spark.read.parquet(resolve(spark, root))
+    spark.read.parquet(resolve(spark, root): _*)
+
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      version: Long, dirs: Seq[String], retain: Int): Unit = {
+    val tmp = new Path(r, s"_commit_$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
+      throw new java.io.IOException(s"manifest rename failed for version $version")
+    // prune snapshots beyond the retention horizon: markers first,
+    // then any data dir no RETAINED snapshot references (a crash
+    // mid-prune never leaves a committed manifest pointing at deleted
+    // data — referenced dirs are only deleted after every manifest
+    // referencing them is gone)
+    val all = committedVersions(fs, r)
+    val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
+    if (stale.nonEmpty) {
+      val referenced = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
+      val staleDirs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet -- referenced
+      stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
+      staleDirs.foreach(d => fs.delete(new Path(r, d), true))
+    }
+  }
 
   /** Replace the table at `root` with `df`, committing via one atomic
-    * marker-file creation — no reader-visible gap at any crash point
-    * (see protocol above). Returns the committed version. */
+    * manifest rename — no reader-visible gap at any crash point (see
+    * protocol above). Returns the committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
@@ -90,20 +140,27 @@ object Lake {
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    fs.create(new Path(r, s"_commit_$next")).close() // THE commit point
-    // prune superseded versions beyond the retention horizon, marker
-    // first (so a crash mid-prune never leaves a committed marker
-    // pointing at deleted data)
-    val stale = fs.listStatus(r).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit_") =>
-        n.stripPrefix("_commit_").toLongOption }
-      .flatten.toSeq.sorted
-      .dropRight(1 + retain)
-    stale.foreach { v =>
-      fs.delete(new Path(r, s"_commit_$v"), false)
-      fs.delete(new Path(r, s"v$v"), true)
-    }
+    commitManifest(fs, r, next, Seq(s"v$next"), retain)
+    next
+  }
+
+  /** Append `df` to the table at `root` WITHOUT rewriting it: the new
+    * snapshot = the previous snapshot's dirs + one new O(batch) dir.
+    * This is the lake form of the K1 append sink — at 100 TB the
+    * nightly load writes only its batch, and readers still swap
+    * snapshots atomically. First commit on an empty root bootstraps
+    * the table. Returns the committed version. */
+  def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
+      retain: Int = 1): Long = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
+    df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain)
     next
   }
 

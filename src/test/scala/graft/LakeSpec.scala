@@ -98,6 +98,69 @@ class LakeSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("commitAppend: snapshots accumulate O(batch) dirs; prune never touches referenced data") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-append")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root) === 0L) // bootstrap
+    assert(Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 0) === 1L)
+    assert(Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 0) === 2L)
+    // the base was never rewritten: every batch's dir is alive because
+    // the RETAINED snapshot references it, even though the old
+    // manifests themselves are pruned (retain = 0)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    assert(Lake.resolve(spark, root).length === 3)
+    assert(!fs.exists(new Path(root, "_commit_0")))
+    assert(fs.exists(new Path(root, "v0")) && fs.exists(new Path(root, "v1")))
+    // an overwrite collapses the snapshot; with retain = 0 the now-
+    // unreferenced batch dirs are vacuumed
+    assert(Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root, retain = 0) === 3L)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
+    Seq("v0", "v1", "v2").foreach(d =>
+      assert(!fs.exists(new Path(root, d)), s"$d should be vacuumed"))
+  }
+
+  test("commitAppend crash point: a half-written .tmp manifest is invisible and recoverable") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root)
+    // writer died after writing v1 and a partial manifest tmp — the
+    // rename (the commit point) never happened
+    Seq((2L, "b")).toDF("k", "t").write.parquet(new Path(root, "v1").toString)
+    val out = fs.create(new Path(root, "_commit_1.tmp"), true)
+    out.write("v0\nv".getBytes("UTF-8")); out.close()
+    assert(Lake.currentVersion(spark, root) === Some(0L))
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+    // recovery: the next append re-commits version 1 over the orphans
+    assert(Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root) === 1L)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(3L, "c")))
+  }
+
+  test("loadToCommitted: insert-if-absent through snapshot appends, idempotent") {
+    val root = tmpTable("graft-lake-load")
+    val b1 = Seq(
+      (1L, 10L, 100L, "t1"),
+      (2L, 10L, 100L, "t1"), // intra-batch dup on the natural key
+      (3L, 11L, 101L, "t2")
+    ).toDF("id", "id_source", "id_date", "title")
+    assert(graft.newsmaper.Newsmaper.loadToCommitted(b1, root) === 2L)
+    // replay appends nothing and commits no new snapshot
+    val vBefore = Lake.currentVersion(spark, root)
+    assert(graft.newsmaper.Newsmaper.loadToCommitted(b1, root) === 0L)
+    assert(Lake.currentVersion(spark, root) === vBefore)
+    // a mixed batch appends only its genuinely new keys
+    val b2 = Seq(
+      (4L, 10L, 100L, "t1"), // key already loaded
+      (5L, 12L, 102L, "t3")
+    ).toDF("id", "id_source", "id_date", "title")
+    assert(graft.newsmaper.Newsmaper.loadToCommitted(b2, root) === 1L)
+    assert(Lake.readCommitted(spark, root).count() === 3L)
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
