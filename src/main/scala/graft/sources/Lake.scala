@@ -105,6 +105,14 @@ object Lake {
   def readCommitted(spark: SparkSession, root: String) =
     spark.read.parquet(resolve(spark, root): _*)
 
+  /** Commit `dirs` as snapshot `version` of `root`. Package-private:
+    * the streaming fold pre-writes its own version dir (so its
+    * applied-batch marker rides INSIDE the dir and commits atomically
+    * with the data) and then calls this. */
+  private[graft] def commitVersion(spark: SparkSession, root: String,
+      version: Long, dirs: Seq[String], retain: Int): Unit =
+    commitManifest(fsFor(spark, root), new Path(root), version, dirs, retain)
+
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       version: Long, dirs: Seq[String], retain: Int): Unit = {
     val tmp = new Path(r, s"_commit_$version.tmp")

@@ -390,21 +390,25 @@ object Streams {
     }
 
   /** Shared effectively-once fold: compute the table's next contents
-    * from its current ones (None when the table doesn't exist yet)
-    * and swap the result in, with the applied-batch marker staged
-    * alongside the data so both appear in the same rename.
+    * from its current ones (None when nothing is stored yet) and
+    * commit the result as a new [[graft.sources.Lake]] snapshot, with
+    * the applied-batch marker written INSIDE the new version dir so
+    * data and marker become visible in the same atomic manifest
+    * rename. `path` is a manifest-committed table ROOT — read it with
+    * `Lake.readCommitted(spark, path)`.
     *
-    * Unlike the K3 `Newsmaper.overwriteRetained` (whose crash window
-    * is documented as MANUAL recovery), this fold is replayed
-    * AUTOMATICALLY by the streaming checkpoint, so it must self-heal:
-    * on entry, a missing live dir means a swap was interrupted — if
-    * the staging dir carries a marker it is complete (data is written
-    * before the marker, the marker before any rename), so the swap
-    * finishes forward; otherwise the backup rolls back. Only then is
-    * the replayed batch folded or skipped.
+    * Unlike the K3 `Newsmaper.overwriteRetained` (a directory-rename
+    * swap with a documented momentary gap), this fold is replayed
+    * AUTOMATICALLY by the streaming checkpoint AND may be read
+    * concurrently, so it rides the manifest protocol end to end: a
+    * crash mid data write or before the manifest rename leaves an
+    * orphan version dir the replay overwrites (readers stay on the
+    * old snapshot); a crash after the rename is a completed fold the
+    * replay skips via its marker. There is NO crash point at which
+    * the table is missing or partial — no recovery dance needed.
     *
-    * Skip uses a HIGH-WATER MARK, not marker presence: each swap
-    * keeps only its own marker (the staging dir is written fresh),
+    * Skip uses a HIGH-WATER MARK, not marker presence: each snapshot
+    * carries only its own marker (the version dir is written fresh),
     * but foreachBatch batchIds are monotone WITHIN one checkpoint
     * lineage, so any replay satisfies `batchId <= max applied id`.
     * Markers carry the lineage (`_applied_<batchId>_<lineage>`) and
@@ -417,17 +421,24 @@ object Streams {
     * apply of a new lineage REBUILDS the table from scratch rather
     * than double-counting on top (so the result equals the new
     * stream's batches alone: sources must replay from the beginning
-    * for the rebuilt table to cover full history). A bootstrap table
-    * not created by this fold has no marker and accepts any first
-    * batch against its existing contents.
+    * for the rebuilt table to cover full history).
     *
-    * DURABILITY CONTRACT: crash safety rests on ATOMIC DIRECTORY
-    * RENAME, which HDFS and local filesystems provide; object stores
-    * (S3A and friends) emulate rename as copy+delete, so the
-    * finish-forward / roll-back invariants do NOT hold there — use a
-    * real table format on object stores. One writer per `path` is
-    * assumed (Spark enforces one query per checkpoint; two queries
-    * must not share a statPath/snapshotPath). */
+    * BOOTSTRAP AND MIGRATION: a plain parquet dir at `path` (no
+    * manifest) is folded in place as the stored state — that covers
+    * both a caller-provided bootstrap base (no markers: accepts any
+    * first batch against its contents) and a table written by the
+    * pre-manifest rename-based fold (its top-level `_applied_*`
+    * markers keep their replay-skip; bare pre-lineage markers belong
+    * to the "manual" default — parsing them as a distinct lineage
+    * would let a crash-replayed batch double-count). After the first
+    * manifest commit the superseded top-level files are swept.
+    *
+    * DURABILITY CONTRACT: the commit point is a SINGLE-FILE rename,
+    * atomic on HDFS and POSIX filesystems; object stores (S3A and
+    * friends) emulate rename as copy+delete, so use a real table
+    * format there. One writer per `path` is assumed (Spark enforces
+    * one query per checkpoint; two queries must not share a
+    * statPath/snapshotPath). */
   private def foldWithMarker(spark: SparkSession, path: String, batchId: Long,
       lineage: String = "manual")(
       next: Option[DataFrame] => DataFrame): Boolean = {
@@ -435,18 +446,9 @@ object Streams {
       s"lineage must be [A-Za-z0-9-]+, got '$lineage'")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    val root = new org.apache.hadoop.fs.Path(path)
     // `_applied_<batchId>_<lineage>`; parsed defensively — a foreign
-    // `_applied_*` file must be ignored, never throw. A pre-lineage
-    // marker (`_applied_<id>`) belongs to the "manual" default
-    // lineage: tables written before markers carried a lineage were
-    // all written under the default, so mapping the bare form to
-    // "manual" preserves their replay-skip high-water mark across the
-    // upgrade (parsing it as a distinct lineage would let a crash-
-    // replayed batch re-apply on top of stored state — a silent
-    // one-time double count for the stat fold).
+    // `_applied_*` file must be ignored, never throw.
     def parseMarker(name: String): Option[(Long, String)] =
       if (!name.startsWith("_applied_")) None
       else name.stripPrefix("_applied_").split("_", 2) match {
@@ -454,33 +456,30 @@ object Streams {
         case Array(id)      => id.toLongOption.map((_, "manual"))
         case _              => None
       }
-    def markers(dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).iterator
-        .flatMap(f => parseMarker(f.getPath.getName)).toSeq
-    // recovery accepts ANY lineage's marker: data is written before
-    // the marker regardless of who wrote it, so a marked staging is
-    // complete and finishing forward is always safe
-    def markerId(dir: org.apache.hadoop.fs.Path): Option[Long] =
-      markers(dir).map(_._1).maxOption
-    if (!fs.exists(dst)) {
-      if (markerId(staging).nonEmpty) {
-        // interrupted between the two renames with a COMPLETE staging
-        // (its marker is the last thing written) — finish forward
-        if (!fs.rename(staging, dst))
-          throw new java.io.IOException(s"recovery rename $staging -> $path failed")
-        fs.delete(bak, true)
-      } else if (fs.exists(bak)) {
-        // staging incomplete — roll back to the previous table
-        if (!fs.rename(bak, dst))
-          throw new java.io.IOException(s"recovery rename $bak -> $path failed")
-        fs.delete(staging, true)
-      }
+    def markersIn(dirs: Seq[org.apache.hadoop.fs.Path]): Seq[(Long, String)] =
+      dirs.filter(fs.exists).flatMap(d => fs.listStatus(d).iterator
+        .flatMap(f => parseMarker(f.getPath.getName)).toSeq)
+    val manifestV = graft.sources.Lake.currentVersion(spark, path)
+    // pre-manifest layout: top-level parquet files (+ markers) at the
+    // root. Read via the EXPLICIT file list — a crashed first
+    // migration may have left an orphan v0 subdir that a recursive
+    // directory read would double-count.
+    val legacyFiles: Seq[String] =
+      if (manifestV.isDefined || !fs.exists(root)) Nil
+      else fs.listStatus(root).iterator
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(_.getPath.toString).toSeq
+    val storedMarkers: Seq[(Long, String)] = manifestV match {
+      case Some(_) => markersIn(
+        graft.sources.Lake.resolve(spark, path)
+          .map(new org.apache.hadoop.fs.Path(_)))
+      case None => markersIn(Seq(root))
     }
-    val exists = fs.exists(dst)
     // skip only on THIS lineage's high-water mark (see scaladoc)
-    val dstMarkers = markers(dst)
-    if (dstMarkers.collect { case (id, `lineage`) => id }
+    if (storedMarkers.collect { case (id, `lineage`) => id }
         .maxOption.exists(batchId <= _)) return false
     // LINEAGE CHANGE = BOOTSTRAP: the table carries markers, but none
     // from this lineage — a new checkpoint is replaying the source
@@ -490,22 +489,30 @@ object Streams {
     // from this lineage's batches alone (the scaladoc contract). A
     // table with NO markers was not written by this fold; it is a
     // caller-provided bootstrap base and accepts any first batch.
-    val foreignOnly = dstMarkers.nonEmpty &&
-      !dstMarkers.exists(_._2 == lineage)
-    val merged = next(
-      if (exists && !foreignOnly) Some(spark.read.parquet(path)) else None)
-    // clear any stale incomplete staging BEFORE the (lazy) merged plan
-    // executes — it reads the live dir, never staging
-    fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
+    val foreignOnly = storedMarkers.nonEmpty &&
+      !storedMarkers.exists(_._2 == lineage)
+    val stored: Option[DataFrame] =
+      if (foreignOnly) None
+      else if (manifestV.isDefined)
+        Some(graft.sources.Lake.readCommitted(spark, path))
+      else if (legacyFiles.nonEmpty)
+        Some(spark.read.parquet(legacyFiles: _*))
+      else None
+    val merged = next(stored)
+    val nextV = manifestV.map(_ + 1).getOrElse(0L)
+    val vdir = new org.apache.hadoop.fs.Path(root, s"v$nextV")
+    // the (lazy) merged plan reads the LIVE snapshot or legacy files,
+    // never the fresh version dir — no self-overwrite hazard
+    merged.write.mode("overwrite").parquet(vdir.toString)
     fs.create(new org.apache.hadoop.fs.Path(
-      staging, s"_applied_${batchId}_$lineage")).close()
-    fs.delete(bak, true)
-    if (exists && !fs.rename(dst, bak))
-      throw new java.io.IOException(s"backup rename $path -> $bak failed")
-    if (!fs.rename(staging, dst))
-      throw new java.io.IOException(s"rename $staging -> $path failed")
-    fs.delete(bak, true)
+      vdir, s"_applied_${batchId}_$lineage")).close()
+    graft.sources.Lake.commitVersion(spark, path, nextV, Seq(s"v$nextV"), retain = 1)
+    // sweep superseded pre-manifest files (and their markers) once the
+    // manifest owns the table; idempotent, usually a no-op
+    if (legacyFiles.nonEmpty)
+      fs.listStatus(root).iterator
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_commit_"))
+        .foreach(f => fs.delete(f.getPath, false))
     true
   }
 

@@ -309,7 +309,7 @@ class StreamingSpec extends SparkSpec {
         // everything streamed so far, after every micro-batch
         val expect = graft.operators.Incremental.partials(
           allEvents.toSeq.toDF(), Seq("event_type"), "value")
-        assert(rows(spark.read.parquet(statPath)) === rows(expect))
+        assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === rows(expect))
       }
     } finally query.stop()
     // crash-replay: re-applying an already-applied batchId must skip —
@@ -321,16 +321,16 @@ class StreamingSpec extends SparkSpec {
     // which bootstraps rather than skips
     val lin = Streams.checkpointLineage(spark, chk)
     val replay = Seq(Event(9L, ts("2025-01-01 11:00:00"), 9L, "click", 99.0)).toDF()
-    val before = rows(spark.read.parquet(statPath))
+    val before = rows(graft.sources.Lake.readCommitted(spark, statPath))
     assert(!Streams.applyStatBatch(replay, 0L, Seq("event_type"), "value", statPath, lin))
     assert(!Streams.applyStatBatch(replay, 1L, Seq("event_type"), "value", statPath, lin))
-    assert(rows(spark.read.parquet(statPath)) === before)
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === before)
     // ...while a NEW batchId applies normally
     assert(Streams.applyStatBatch(replay, 2L, Seq("event_type"), "value", statPath, lin))
-    assert(rows(spark.read.parquet(statPath)) !== before)
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) !== before)
   }
 
-  test("statRefreshSink: crash between the swap renames self-heals on replay") {
+  test("statRefreshSink: crash at every manifest protocol point leaves the table readable") {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val statPath = dir + "/stats.parquet"
@@ -338,40 +338,42 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0)).toDF()
     assert(Streams.applyStatBatch(b1, 0L, Seq("event_type"), "value", statPath))
     assert(Streams.applyStatBatch(b2, 1L, Seq("event_type"), "value", statPath))
-    val healthy = rows(spark.read.parquet(statPath))
+    val healthy = rows(graft.sources.Lake.readCommitted(spark, statPath))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
-    // simulate the worst crash window of batch 2's swap: live dir
-    // already renamed to .bak, COMPLETE staging (data + marker) not
-    // yet renamed in — the live table is GONE
-    val mergedB3 = graft.operators.Incremental.merge(
-      spark.read.parquet(statPath),
-      graft.operators.Incremental.partials(
-        Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
-        Seq("event_type"), "value"),
-      Seq("event_type"))
-    val after = rows(mergedB3)
-    mergedB3.write.mode("overwrite").parquet(statPath + ".staging")
-    fs.create(new Path(statPath + ".staging", "_applied_2")).close()
-    assert(fs.rename(new Path(statPath), new Path(statPath + ".bak")))
-    // the checkpoint replays batch 2: recovery must finish the swap
-    // forward (complete staging wins) and then SKIP the re-fold — the
-    // history in .bak is never deleted while the live dir is missing
-    assert(!Streams.applyStatBatch(
-      Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
-      2L, Seq("event_type"), "value", statPath))
-    assert(rows(spark.read.parquet(statPath)) === after)
-    // and the other window: INCOMPLETE staging (no marker) rolls back
-    assert(fs.rename(new Path(statPath), new Path(statPath + ".bak")))
-    fs.delete(new Path(statPath + ".staging"), true)
-    fs.mkdirs(new Path(statPath + ".staging")) // half-written, no marker
+    val b3 = Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF()
+    val after = rows(graft.operators.Incremental.merge(
+      graft.sources.Lake.readCommitted(spark, statPath),
+      graft.operators.Incremental.partials(b3, Seq("event_type"), "value"),
+      Seq("event_type")))
+    // crash window A: batch 2's version dir fully written, marker
+    // included, but the manifest rename never happened — readers stay
+    // on the old snapshot, and the replay RE-FOLDS (the orphan dir is
+    // overwritten; deterministic next() makes the redo identical)
+    graft.operators.Incremental.merge(
+        graft.sources.Lake.readCommitted(spark, statPath),
+        graft.operators.Incremental.partials(b3, Seq("event_type"), "value"),
+        Seq("event_type"))
+      .write.mode("overwrite").parquet(statPath + "/v2")
+    fs.create(new Path(statPath + "/v2", "_applied_2_manual")).close()
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === healthy)
+    assert(Streams.applyStatBatch(b3, 2L, Seq("event_type"), "value", statPath))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === after)
+    // ...and the replay of the now-committed batch skips
+    assert(!Streams.applyStatBatch(b3, 2L, Seq("event_type"), "value", statPath))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === after)
+    // crash window B: half-written version dir, no marker, no
+    // manifest — invisible to readers, replay folds on top normally
+    fs.mkdirs(new Path(statPath + "/v3"))
+    fs.create(new Path(statPath + "/v3/part-00000.parquet.tmp")).close()
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === after)
     assert(Streams.applyStatBatch(
       Seq(Event(4L, ts("2025-01-01 10:03:00"), 2L, "view", 8.0)).toDF(),
       3L, Seq("event_type"), "value", statPath))
-    // rolled back to the pre-crash table, then batch 3 applied on top
-    assert(spark.read.parquet(statPath).agg(sum(col("cnt"))).collect()
+    assert(graft.sources.Lake.readCommitted(spark, statPath).agg(sum(col("cnt"))).collect()
       .head.getLong(0) === 4L)
-    assert(healthy.nonEmpty) // silence unused warning paranoia
+    // at NO point in this sweep was the table root missing or partial
+    // (every readCommitted above succeeded)
   }
 
   test("cdcApplySink: streamed upserts+deletes maintain the snapshot, replay is a no-op") {
@@ -390,7 +392,7 @@ class StreamingSpec extends SparkSpec {
         Event(10L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
         Event(11L, ts("2025-01-01 10:01:00"), 2L, "view", 2.0))
       query.processAllAvailable()
-      assert(rows(spark.read.parquet(snap).select("user_id", "event_id", "value")) ===
+      assert(rows(graft.sources.Lake.readCommitted(spark, snap).select("user_id", "event_id", "value")) ===
         Set(Seq(1L, 10L, 1.0), Seq(2L, 11L, 2.0)))
       // update user 1, retract user 2, insert user 3
       input.addData(
@@ -398,7 +400,7 @@ class StreamingSpec extends SparkSpec {
         Event(13L, ts("2025-01-01 10:03:00"), 2L, "gone", -1.0),
         Event(14L, ts("2025-01-01 10:04:00"), 3L, "view", 7.0))
       query.processAllAvailable()
-      assert(rows(spark.read.parquet(snap).select("user_id", "event_id", "value")) ===
+      assert(rows(graft.sources.Lake.readCommitted(spark, snap).select("user_id", "event_id", "value")) ===
         Set(Seq(1L, 12L, 5.0), Seq(3L, 14L, 7.0)))
     } finally query.stop()
     // replaying an applied batchId must skip; a fresh one applies —
@@ -406,13 +408,13 @@ class StreamingSpec extends SparkSpec {
     val lin = Streams.checkpointLineage(spark, chk)
     val replay = Seq((9L, 99L, "click", 9.0, false))
       .toDF("user_id", "event_id", "event_type", "value", "is_delete")
-    val before = rows(spark.read.parquet(snap))
+    val before = rows(graft.sources.Lake.readCommitted(spark, snap))
     assert(!Streams.applyCdcBatch(replay, 1L, Seq("user_id"), "event_id",
       "is_delete", snap, lin))
-    assert(rows(spark.read.parquet(snap)) === before)
+    assert(rows(graft.sources.Lake.readCommitted(spark, snap)) === before)
     assert(Streams.applyCdcBatch(replay, 2L, Seq("user_id"), "event_id",
       "is_delete", snap, lin))
-    assert(spark.read.parquet(snap).where(col("user_id") === 9L).count() === 1)
+    assert(graft.sources.Lake.readCommitted(spark, snap).where(col("user_id") === 9L).count() === 1)
   }
 
   test("checkpoint recreation mints a new lineage: the stat table rebuilds, not double-counts") {
@@ -427,7 +429,7 @@ class StreamingSpec extends SparkSpec {
     try { input1.addData(events: _*); q1.processAllAvailable() } finally q1.stop()
     val expect = rows(graft.operators.Incremental.partials(
       events.toDF(), Seq("event_type"), "value"))
-    assert(rows(spark.read.parquet(statPath)) === expect)
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === expect)
     // the user deletes the checkpoint; a NEW stream replays the same
     // source from its own batch 0. Pre-fix, batchId 0 <= the old
     // high-water mark silently swallowed the batch (stale table) —
@@ -444,23 +446,39 @@ class StreamingSpec extends SparkSpec {
       Streams.checkpointLineage(spark, chk2))
     // identical replayed source => identical table; a double-count
     // would have doubled cnt/sums
-    assert(rows(spark.read.parquet(statPath)) === expect)
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === expect)
   }
 
-  test("pre-lineage bare markers keep their replay-skip under the default lineage") {
+  test("legacy pre-manifest tables: bare markers keep replay-skip, contents migrate in place") {
     import org.apache.hadoop.fs.Path
     val statPath = java.nio.file.Files.createTempDirectory("graft-bare").toString + "/stats.parquet"
-    val b1 = Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF()
-    assert(Streams.applyStatBatch(b1, 5L, Seq("event_type"), "value", statPath))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
-    // downgrade the marker to the pre-lineage form a round-5 table has
-    assert(fs.rename(new Path(statPath, "_applied_5_manual"), new Path(statPath, "_applied_5")))
+    // a table as the pre-manifest rename-based fold left it: parquet
+    // files at the top level plus a bare pre-lineage marker
+    graft.operators.Incremental.partials(
+        Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
+        Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(statPath)
+    fs.rename(new Path(statPath, "_SUCCESS"), new Path(statPath, "_applied_5"))
     val before = rows(spark.read.parquet(statPath))
-    // an at-upgrade crash replay of batchId 5 must SKIP (it maps to
-    // the default lineage), not re-fold on top of stored state
-    assert(!Streams.applyStatBatch(b1, 5L, Seq("event_type"), "value", statPath))
+    // an at-upgrade crash replay of batchId 5 must SKIP (the bare
+    // marker maps to the default lineage), not re-fold on top
+    assert(!Streams.applyStatBatch(
+      Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
+      5L, Seq("event_type"), "value", statPath))
     assert(rows(spark.read.parquet(statPath)) === before)
+    // a NEW batch folds against the legacy contents and migrates the
+    // table to the manifest layout, sweeping the superseded files
+    assert(Streams.applyStatBatch(
+      Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "click", 3.0)).toDF(),
+      6L, Seq("event_type"), "value", statPath))
+    val migrated = graft.sources.Lake.readCommitted(spark, statPath)
+    assert(migrated.where(col("event_type") === "click")
+      .select("cnt").collect().head.getLong(0) === 2L)
+    // legacy top-level parquet files are gone; the manifest owns the root
+    assert(!fs.listStatus(new Path(statPath)).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")))
   }
 
   test("dedupWithinWatermark drops key repeats inside the horizon") {
