@@ -355,6 +355,38 @@ object Streams {
       }
       .start()
 
+  /** [[dedupAppendSink]] against a manifest-committed table ROOT
+    * ([[graft.sources.Lake]]): each micro-batch's unseen rows commit
+    * as a new snapshot via [[graft.sources.Lake.commitAppend]] —
+    * O(batch) data written, base never rewritten, and readers never
+    * see a partially-appended batch (the plain sink's parquet append
+    * exposes part-files as they land; here the batch flips in with
+    * one atomic manifest rename). Effectively-once needs no marker:
+    * the anti-join against the live snapshot makes a replayed batch
+    * commit nothing. Read the table with `Lake.readCommitted`.
+    * @return the started query; caller manages lifecycle */
+  def dedupAppendSinkCommitted(
+      incoming: DataFrame, keys: Seq[String], root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (graft.sources.Lake.currentVersion(spark, root).isDefined)
+            graft.sources.Lake.readCommitted(spark, root)
+          else batch.limit(0)
+        val fresh = graft.operators.Dedup
+          .newRows(batch.dropDuplicates(keys), existing, keys)
+          .persist()
+        try {
+          if (fresh.count() > 0) graft.sources.Lake.commitAppend(fresh, root)
+          ()
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+
   /** One stat-refresh round, factored out of [[statRefreshSink]] so
     * idempotence is directly testable: fold `batch`'s partials into
     * the stat table at `statPath` UNLESS `batchId` was already

@@ -288,6 +288,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupAppendSinkCommitted: snapshot appends, overlap-safe, zero-fresh commits nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sinkc-base").toString + "/news"
+    val chk = java.nio.file.Files.createTempDirectory("graft-sinkc-chk").toString
+    val input = MemoryStream[Event](spark)
+    val query = Streams.dedupAppendSinkCommitted(input.toDF(), Seq("event_id"), root, chk)
+    try {
+      input.addData(
+        Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+      query.processAllAvailable()
+      assert(graft.sources.Lake.readCommitted(spark, root).count() === 2)
+      // overlapping batch: only the genuinely new key lands
+      input.addData(
+        Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0),
+        Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 3.0))
+      query.processAllAvailable()
+      val afterOverlap = graft.sources.Lake.currentVersion(spark, root)
+      assert(graft.sources.Lake.readCommitted(spark, root).count() === 3)
+      // a fully-duplicate batch appends nothing AND commits no
+      // snapshot — no churn under replay
+      input.addData(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 3.0))
+      query.processAllAvailable()
+      assert(graft.sources.Lake.currentVersion(spark, root) === afterOverlap)
+      assert(graft.sources.Lake.readCommitted(spark, root)
+        .select("event_id").distinct().count() === 3)
+    } finally query.stop()
+  }
+
   test("statRefreshSink: micro-batch folds equal the batch recompute; replay is a no-op") {
     val statPath = java.nio.file.Files.createTempDirectory("graft-stat").toString + "/stats.parquet"
     val chk = java.nio.file.Files.createTempDirectory("graft-stat-chk").toString
