@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Cdc, Funnel, Graph, Incremental, Sessionize}
+import graft.operators.{AsOf, Cdc, Funnel, Graph, Incremental, Sessionize, Timeseries}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -148,6 +148,46 @@ object Events {
       Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "event_id", 1800L)
         .select("user_id", "session_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_id")
+    },
+
+    // Dense hourly resample: every user × hour in the user's own
+    // activity span, absent hours filled with 0 — the zeros a sparse
+    // groupBy never emits and every rate/plot/window model needs. The
+    // grid is bounded by Σ per-user span hours (each key explodes
+    // only its own [lo, hi]); the span table reduces the COUNTS, not
+    // the raw events.
+    Q("q106_gapfill_hours",
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_start, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(hour_start) AS lo, max(hour_start) AS hi
+        |      FROM c GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        |      FROM s)
+        |SELECT g.user_id, g.hour_start, coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hour_start = c.hour_start
+        |ORDER BY g.user_id, g.hour_start""".stripMargin) { (s, d) =>
+      Timeseries.gapFillHourly(Tables.events(s, d), "user_id", "ts")
+        .orderBy("user_id", "hour_start")
+    },
+
+    // Retention triangle: users cohorted by first-seen date, activity
+    // bucketed into whole weeks since, distinct actives per cell —
+    // the standard product-analytics matrix. Integer floor-division
+    // week bucketing keeps both engines bit-identical.
+    Q("q107_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, f.cohort_date,
+        |    CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) // 7 AS INT) AS week_n
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_date, week_n, count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Timeseries.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_date", "week_n")
     },
 
     // As-of join: each event picks up the most recent order (at or
