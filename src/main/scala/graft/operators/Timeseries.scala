@@ -35,7 +35,11 @@ object Timeseries {
     * quadratic, nothing global.
     * @return (keyCol, hour_start, n) ordered by (keyCol, hour_start) */
   def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    // a NULL-timestamped event has no place on the grid; excluding it
+    // here (not downstream) keeps every later stage total — a key
+    // with ONLY null timestamps has no span and vanishes entirely
     val counts = events
+      .where(col(tsCol).isNotNull)
       .select(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_start"))
       .groupBy(col(keyCol), col("hour_start"))
       .agg(count(lit(1)).as("n"))
@@ -63,7 +67,11 @@ object Timeseries {
     * identically (non-negative by construction).
     * @return (cohort_date, week_n, n_users) ordered by both keys */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val ev = events.select(col(keyCol), to_date(col(tsCol)).as("__dt"))
+    // same NULL-timestamp exclusion as the grid: an undatable event is
+    // neither a cohort anchor nor activity (otherwise it would emit a
+    // phantom NULL-week cell for an otherwise-valid cohort)
+    val ev = events.where(col(tsCol).isNotNull)
+      .select(col(keyCol), to_date(col(tsCol)).as("__dt"))
     val first = ev.groupBy(col(keyCol)).agg(min(col("__dt")).as("cohort_date"))
     ev.join(first, Seq(keyCol))
       .select(col(keyCol), col("cohort_date"),

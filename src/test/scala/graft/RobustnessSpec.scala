@@ -220,6 +220,28 @@ class RobustnessSpec extends SparkSpec {
       !r.isNullAt(r.fieldIndex("byte_len")) && r.isNullAt(r.fieldIndex("energy"))))
   }
 
+  test("timeseries reshapes survive empty input and NULL timestamps") {
+    import java.sql.Timestamp
+    val emptyEv = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
+    assert(graft.operators.Timeseries.gapFillHourly(emptyEv, "user_id", "ts").count() === 0)
+    assert(graft.operators.Timeseries.cohortRetention(emptyEv, "user_id", "ts").count() === 0)
+    // a key whose every timestamp is NULL has no span — it vanishes
+    // from the grid instead of exploding a null sequence; a key with a
+    // mix anchors its span on the non-null hours only
+    val nullTs = Seq(
+      (1L, null.asInstanceOf[Timestamp]),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, null.asInstanceOf[Timestamp])
+    ).toDF("user_id", "ts")
+    val grid = graft.operators.Timeseries.gapFillHourly(nullTs, "user_id", "ts")
+    assert(grid.select("user_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(grid.count() === 1)
+    // ...and no phantom NULL-week cell for the valid cohort
+    val cohorts = graft.operators.Timeseries.cohortRetention(nullTs, "user_id", "ts")
+    assert(cohorts.collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSeq === Seq(("2024-01-01", 0, 1L)))
+  }
+
   test("newRows against an empty base keeps the whole batch") {
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
     assert(Dedup.newRows(batch, batch.limit(0), Seq("k")).count() === 2)
