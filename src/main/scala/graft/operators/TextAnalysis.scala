@@ -458,6 +458,63 @@ object TextAnalysis {
       .drop("__wsrc", "__wpct")
   }
 
+  /** Token-budget corpus mixing — the EXACT-budget complement of
+    * [[mixCorpus]]'s rate-based sampling: each source contributes
+    * documents in a deterministic salted-hash priority order until its
+    * cumulative token count reaches `budgetTokens`, so the mix lands
+    * within one document of the budget regardless of corpus size
+    * (rates only hit a budget in expectation). The priority is the
+    * ':budget'-salted md5 permutation (independent of
+    * [[hashSplit]]/[[mixCorpus]] decisions, stable under corpus
+    * growth: new documents insert into the order without reshuffling
+    * survivors' priorities).
+    *
+    * The cumulative sum is the [[Ranking.rankByScore]] skew shape in
+    * prefix-sum form: a per-source window would serialize a dominant
+    * source through one reducer, so rows bucket by their priority's
+    * TOP BITS (bucket order consistent with priority order by
+    * construction), the running sum runs inside each (source, bucket)
+    * partition, and per-bucket offsets come from a sources × 64-row
+    * totals table (broadcast back). Exactly equal to the naive
+    * per-source running sum — the oracle computes that form.
+    * @return (idCol, sourceCol, n_tokens, cum_tokens) — kept rows
+    *         with their running totals, cum_tokens <= budgetTokens */
+  def tokenBudgetMix(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(!df.columns.exists(Seq("__pri", "__b", "__off", "__bt").contains),
+      "input must not already carry __pri/__b/__off/__bt columns")
+    val base = df.select(
+      col(idCol), col(sourceCol),
+      coalesce(size(TextFns.tokens(TextFns.normalize(col(textCol)))), lit(0))
+        .cast("long").as("n_tokens"),
+      conv(substring(md5(
+        concat(col(idCol).cast("string"), lit(":budget"))), 1, 8), 16, 10)
+        .cast("long").as("__pri"))
+    // 64 ordered buckets from the priority's top bits: pri_a < pri_b
+    // implies bucket_a <= bucket_b, so bucket-then-priority order IS
+    // priority order and the two-phase sum telescopes exactly
+    val withB = base.withColumn("__b", shiftright(col("__pri"), 26))
+    val offs = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off",
+        coalesce(
+          sum(col("__bt")).over(
+            Window.partitionBy(col(sourceCol)).orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(sourceCol), col("__b"), col("__off"))
+    val w = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__pri"), col(idCol))
+    withB.join(broadcast(offs), Seq(sourceCol, "__b"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          + col("__off"))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Stratified rebalancing: deterministically downsample every
     * stratum (class/language/source) to ≈ the size of the smallest one
     * — the class-balancing step before training on skewed data. Unlike

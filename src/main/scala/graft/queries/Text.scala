@@ -417,6 +417,30 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Token-budget mix: each source contributes documents in salted-
+    // hash priority order until 800 cumulative tokens — the exact-
+    // budget complement of q58's rate-based mix. The Spark side runs
+    // the skew-safe two-phase prefix sum (priority-bucketed windows +
+    // broadcast offsets); the oracle runs the naive per-source running
+    // sum they telescope to.
+    Q("q108_token_budget_mix",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(coalesce(len($oTok), 0) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8)) AS BIGINT) AS pri
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.tokenBudgetMix(Tables.documents(s, d),
+          "doc_id", "source", "text", budgetTokens = 800L)
+        .orderBy("doc_id")
+    },
+
     // Top unigram tokens — corpus token frequency head.
     Q("q48_top_tokens",
       s"""WITH toks AS (SELECT unnest($oTok) AS token FROM documents)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
+import org.apache.spark.sql.functions.{coalesce, col, concat, conv, lit, max, md5, size, substring, sum}
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -264,6 +264,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!bySrc.contains("s1"))         // weight 0 -> none kept
     assert(bySrc("s2") === 100L)          // absent from weights -> all kept
     assert(rows(out) === rows(TextAnalysis.mixCorpus(docs, "doc_id", "source", weights)))
+  }
+
+  test("tokenBudgetMix: two-phase prefix sum equals the naive per-source running sum") {
+    // enough docs that the 64 priority buckets are populated unevenly
+    val docs = (1L to 400L).map(i => (i, s"s${i % 3}", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenBudgetMix(docs, "doc_id", "source", "text", 100L)
+    // naive reference: one window per source (fine at test scale)
+    val pri = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":budget"))), 1, 8), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(pri, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        coalesce(size(graft.functions.TextFns.tokens(
+          graft.functions.TextFns.normalize(col("text")))), lit(0)).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= 100L)
+    assert(rows(out) === rows(naive))
+    // every source lands within one document of the budget: the next
+    // prioritized doc would overflow it
+    val maxCum = out.groupBy("source").agg(max("cum_tokens").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    maxCum.values.foreach(m => assert(m <= 100L))
+    assert(maxCum.nonEmpty)
+    // NULL text counts zero tokens and cannot block the budget walk
+    val withNull = docs.union(Seq((999L, "s0", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text"))
+    val outNull = TextAnalysis.tokenBudgetMix(withNull, "doc_id", "source", "text", 100L)
+    assert(outNull.where(col("doc_id") === 999L).count() <= 1)
+    assert(outNull.count() >= out.count())
   }
 
   test("rebalanceStrata: minority stratum kept whole, majority cut to its derived rate, deterministic") {
