@@ -161,6 +161,27 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readCommitted(spark, root).count() === 3L)
   }
 
+  test("loadToCommitted and the path-form loadTo agree batch for batch") {
+    val root = tmpTable("graft-lake-parity")
+    val path = tmpTable("graft-lake-parity-path") + "/news.parquet"
+    val batches = Seq(
+      Seq((1L, 10L, 100L, "t1"), (2L, 10L, 100L, "t1"), (3L, 11L, 101L, "t2")),
+      Seq((4L, 10L, 100L, "t1"), (5L, 12L, 102L, "t3")),
+      Seq((6L, 12L, 102L, "t3"), (7L, 13L, 103L, "t4"), (8L, 13L, 103L, "t4")))
+    for (b <- batches) {
+      val df = b.toDF("id", "id_source", "id_date", "title")
+      val nCommitted = graft.newsmaper.Newsmaper.loadToCommitted(df, root)
+      val nPath = graft.newsmaper.Newsmaper.loadTo(df, path)
+      assert(nCommitted === nPath)
+      // same surviving natural keys after every batch (the kept row
+      // per intra-batch duplicate is arbitrary on both paths, so
+      // compare the deduped key sets, not row identities)
+      assert(
+        rows(Lake.readCommitted(spark, root).select("id_source", "id_date", "title")) ===
+        rows(spark.read.parquet(path).select("id_source", "id_date", "title")))
+    }
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
