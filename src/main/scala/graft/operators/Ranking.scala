@@ -143,6 +143,89 @@ object Ranking {
     * first and `tieCol` breaking ties, so the kept set is exact and
     * deterministic — not a threshold filter that over- or under-keeps
     * when ties straddle the cut. */
+  /** Exact global order statistics (percentile values) WITHOUT a
+    * global sort: the two-phase histogram selection a 100 TB quality
+    * threshold needs. [[rankByScore]]'s cell machinery assumes coarse
+    * scores (few distinct cells); near-unique DOUBLE scores would
+    * degrade its offsets table to corpus size, so this takes the
+    * classic selection route instead:
+    *
+    *  1. one aggregate for (count, min, max);
+    *  2. bucket counts over `buckets` equal-width value ranges — a
+    *     map-side-combinable groupBy whose result (≤ `buckets` rows)
+    *     collects to the driver: a BOUNDED model-state sync, the
+    *     k-means-centroid shape, never O(corpus);
+    *  3. each target rank resolves to its bucket + within-bucket
+    *     offset from the prefix counts; only the TARGET buckets'
+    *     rows (≈ n/buckets each) are re-read, ranked inside their
+    *     bucket by (value, tie), and the offset element selected.
+    *
+    * The selected element is the exact rank-r order statistic under
+    * the total order (value, tie): bucketing is monotone in value, so
+    * prefix counts + within-bucket rank compose to the global rank —
+    * float bucket-boundary rounding can move rows between adjacent
+    * buckets but never reorder them, and the ORACLE need not know the
+    * buckets exist (it checks the order statistic directly).
+    *
+    * Ranks use integer percent arithmetic (`r = ceil(pct·n / 100)` as
+    * `(pct·n + 99) div 100`) — a float `ceil(q·n)` can flip on
+    * representation error at exactly-divisible boundaries.
+    *
+    * @param percents integer percentiles in (0, 100]
+    * @param tieCol unique per row — makes every rank deterministic
+    * @return (pct, rank, value) one row per requested percentile;
+    *         empty input yields no rows. NULL values are excluded
+    *         (SQL percentile convention); NaN is the caller's problem
+    *         (NaN ordering is not portable across engines). */
+  def exactQuantiles(
+      df: DataFrame, valueCol: String, tieCol: String,
+      percents: Seq[Int], buckets: Int = 8192): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1, 100], got $percents")
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"), col(tieCol).as("__tie"))
+    val stats = vals.agg(
+      count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+      .collect().head
+    val n = stats.getLong(0)
+    if (n == 0L) return Seq.empty[(Int, Long, Double)].toDF("pct", "rank", "value")
+    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+    val targets = percents.distinct.sorted.map(p => (p, (p.toLong * n + 99L) / 100L))
+    // degenerate range: every value equal — every rank selects it
+    if (lo == hi)
+      return targets.map { case (p, r) => (p, r, lo) }.toDF("pct", "rank", "value")
+    val width = (hi - lo) / buckets
+    val bucketOf = least(
+      floor((col("__v") - lit(lo)) / lit(width)).cast("long"), lit(buckets - 1L))
+    // phase 2: ≤ `buckets` fixed-width rows to the driver
+    val counts = vals.groupBy(bucketOf.as("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefix = (0L until buckets.toLong).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b, 0L)
+    } // prefix(b) = rows in buckets < b
+    val plan = targets.map { case (p, r) =>
+      // bucket b spans global ranks prefix(b)+1 .. prefix(b+1); the
+      // last prefix entry below r identifies it (prefix nondecreasing,
+      // linear scan over <= buckets entries is driver-trivial)
+      val b = prefix.lastIndexWhere(_ < r)
+      (p, r, b.toLong, r - prefix(b)) // within-bucket rank
+    }
+    // phase 3: rank only the target buckets' rows inside their bucket
+    val wanted = broadcast(plan.toDF("pct", "rank", "__wb", "__lrank"))
+    vals.withColumn("__b", bucketOf)
+      .join(broadcast(plan.map(_._3).distinct.toDF("__b")), Seq("__b"), "left_semi")
+      .withColumn("__r",
+        row_number().over(
+          Window.partitionBy(col("__b")).orderBy(col("__v"), col("__tie")))
+          .cast("long"))
+      .join(wanted,
+        col("__b") === col("__wb") && col("__r") === col("__lrank"))
+      .select(col("pct"), col("rank"), col("__v").as("value"))
+  }
+
   def quantileGate(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       tieCol: String, frac: Double, rankName: String = "rank"): DataFrame = {

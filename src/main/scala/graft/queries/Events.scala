@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
-import graft.operators.{AsOf, Cdc, Funnel, Graph, Incremental, Sessionize, Timeseries}
+import graft.operators.{AsOf, Cdc, Funnel, Graph, Incremental, Ranking, Sessionize, Timeseries}
 
 /** Time-series / semi-structured coverage over `events`: JSON
   * extraction (§2.7 gap fill), tumbling windows, gap sessionization,
@@ -188,6 +188,26 @@ object Events {
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Timeseries.cohortRetention(Tables.events(s, d), "user_id", "ts")
         .orderBy("cohort_date", "week_n")
+    },
+
+    // Exact global percentiles of the event value WITHOUT a global
+    // sort: two-phase histogram selection (bounded bucket-count sync,
+    // only target buckets re-ranked) — the scale path q28's per-group
+    // percentile() cannot take when the "group" is the whole corpus.
+    // The oracle checks the ORDER STATISTIC directly (rank =
+    // integer-exact ceil(pct*n/100) under (value, event_id)), so the
+    // histogram is invisible to the comparison.
+    Q("q109_exact_quantiles",
+      """WITH n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+        |t(pct) AS (VALUES (50), (90), (99)),
+        |r AS (SELECT pct, (pct * n.n + 99) // 100 AS rank FROM t, n),
+        |o AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rank
+        |      FROM events WHERE value IS NOT NULL)
+        |SELECT r.pct, r.rank, o.value
+        |FROM r JOIN o USING (rank) ORDER BY r.pct""".stripMargin) { (s, d) =>
+      Ranking.exactQuantiles(Tables.events(s, d), "value", "event_id",
+          percents = Seq(50, 90, 99))
+        .orderBy("pct")
     },
 
     // As-of join: each event picks up the most recent order (at or

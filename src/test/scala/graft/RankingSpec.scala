@@ -78,6 +78,35 @@ class RankingSpec extends SparkSpec {
     assert(gated.count() === 4)
   }
 
+  test("exactQuantiles ≡ the order statistic of the full sort, ties and duplicates included") {
+    // deterministic values with heavy duplication (v repeats ~8x) so
+    // within-bucket tie-breaks and bucket boundaries both exercise
+    val data = (1L to 997L).map(i => (i, ((i * 7919L) % 127L).toDouble / 3.0))
+      .toDF("id", "v")
+    val pcts = Seq(1, 25, 50, 90, 99, 100)
+    val got = Ranking.exactQuantiles(data, "v", "id", pcts, buckets = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val sorted = data.orderBy(col("v"), col("id")).select("v")
+      .collect().map(_.getDouble(0))
+    val n = sorted.length.toLong
+    val expect = pcts.map { p =>
+      val r = (p.toLong * n + 99L) / 100L
+      (p, r, sorted((r - 1).toInt))
+    }
+    assert(got.toSeq === expect)
+    // all-equal input: every percentile selects the single value
+    val flat = (1L to 10L).map((_, 5.0)).toDF("id", "v")
+    val flatQ = Ranking.exactQuantiles(flat, "v", "id", Seq(50, 100))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(flatQ === Set((50, 5L, 5.0), (100, 10L, 5.0)))
+    // empty and NULL-only inputs yield no rows
+    assert(Ranking.exactQuantiles(
+      Seq.empty[(Long, Double)].toDF("id", "v"), "v", "id", Seq(50)).count() === 0)
+    assert(Ranking.exactQuantiles(
+      Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("id", "v"),
+      "v", "id", Seq(50)).count() === 0)
+  }
+
   test("plan: big side hashes on the score cell; counts combine map-side") {
     val ours = Ranking.rankByScore(docs, Seq("g"), "score", "id", "rank")
     val plan = ExplainCheck.finalPlanLines(ours)
