@@ -312,9 +312,26 @@ object Newsmaper {
   def loadToCommitted(incoming: DataFrame, root: String): Long = {
     val spark = incoming.sparkSession
     val guarded = guardDates(incoming)
+    val hasManifest = graft.sources.Lake.currentVersion(spark, root).isDefined
+    if (!hasManifest) {
+      // a plain-parquet table at `root` (a loadTo target) must not be
+      // silently treated as empty: its keys would re-append and its
+      // rows become invisible to readCommitted. Fail with the
+      // migration path instead.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val legacy = fs.exists(rp) && fs.listStatus(rp).exists { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(!legacy,
+        s"$root holds a plain parquet table (no manifest); migrate it first — " +
+          "Lake.commitOverwrite(spark.read.parquet(root), root) after moving the " +
+          "files aside — or keep using loadTo for this path")
+    }
     val existing =
-      if (graft.sources.Lake.currentVersion(spark, root).isDefined)
-        graft.sources.Lake.readCommitted(spark, root)
+      if (hasManifest) graft.sources.Lake.readCommitted(spark, root)
       else guarded.limit(0)
     val fresh = Dedup.newRows(guarded.dropDuplicates(naturalKey), existing, naturalKey)
       .persist()

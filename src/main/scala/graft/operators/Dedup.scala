@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -384,7 +382,9 @@ object Dedup {
     // repartitioned edge cache is built INSIDE the narrowed region so
     // its partitioning matches the loop's exchanges.
     val m = edgesWide.count()
-    if (m <= localEdgeLimit) {
+    // strict sentinel: localEdgeLimit = 0 pins the distributed loop
+    // even for an empty edge set (specs rely on it)
+    if (localEdgeLimit > 0 && m <= localEdgeLimit) {
       try return localComponents(spark, edgesWide)
       finally edgesWide.unpersist()
     }
@@ -497,33 +497,59 @@ object Dedup {
     * larger root under the smaller preserves the invariant
     * inductively), so `find` IS the cluster label; path halving keeps
     * finds amortized near-constant. Output is canonical (independent
-    * of edge order), matching the distributed loop bit-for-bit. */
+    * of edge order), matching the distributed loop bit-for-bit.
+    *
+    * Steady state is PRIMITIVE arrays (an open-addressing long→index
+    * table + int parent links — no boxed Long per node): ~24 bytes ×
+    * nodes, ~100 MB at the default 2M-edge / 4M-node ceiling. The
+    * collect of the edge Rows and the construction of the result
+    * relation are additionally transient object overhead of the same
+    * order — callers sizing `localEdgeLimit` should budget a few
+    * hundred MB of driver heap at the default, not the raw 16 bytes ×
+    * edges. */
   private def localComponents(
       spark: SparkSession, edges: DataFrame): DataFrame = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
+    // one collect job (bounded by localEdgeLimit at the call site) —
+    // toLocalIterator would schedule a job per partition instead
+    val rows = edges.collect()
+    val maxNodes = 2 * rows.length + 1
+    var cap = 16
+    while (cap < maxNodes * 2) cap <<= 1 // load factor <= 0.5
+    val slotKey = new Array[Long](cap)
+    val slotUsed = new Array[Boolean](cap)
+    val slotIdx = new Array[Int](cap)
+    val nodeId = new Array[Long](maxNodes)
+    val parent = new Array[Int](maxNodes)
+    var nNodes = 0
+    def indexOf(k: Long): Int = {
+      var h = (java.lang.Long.hashCode(k) * 0x9e3779b9) & (cap - 1)
+      while (slotUsed(h) && slotKey(h) != k) h = (h + 1) & (cap - 1)
+      if (!slotUsed(h)) {
+        slotUsed(h) = true; slotKey(h) = k; slotIdx(h) = nNodes
+        nodeId(nNodes) = k; parent(nNodes) = nNodes; nNodes += 1
+      }
+      slotIdx(h)
+    }
+    def find(x0: Int): Int = {
       var x = x0
-      var p = parent.get(x)
-      while (p != x) {
-        val gp = parent.get(p)
-        parent.put(x, gp) // path halving
-        x = gp
-        p = parent.get(x)
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
       }
       x
     }
-    // one collect job (bounded by localEdgeLimit at the call site) —
-    // toLocalIterator would schedule a job per partition instead
-    for (r <- edges.collect()) {
-      val s = r.getLong(0); val d = r.getLong(1)
-      if (!parent.containsKey(s)) parent.put(s, s)
-      if (!parent.containsKey(d)) parent.put(d, d)
-      val rs = find(s); val rd = find(d)
-      if (rs < rd) parent.put(rd, rs)
-      else if (rd < rs) parent.put(rs, rd)
+    var i = 0
+    while (i < rows.length) {
+      val rs = find(indexOf(rows(i).getLong(0)))
+      val rd = find(indexOf(rows(i).getLong(1)))
+      // min-ID root, which need not be the min INDEX: compare node ids
+      if (nodeId(rs) < nodeId(rd)) parent(rd) = rs
+      else if (nodeId(rd) < nodeId(rs)) parent(rs) = rd
+      i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-    parent.keySet.asScala.foreach(id => out += ((id, find(id))))
+    val out = new Array[(Long, Long)](nNodes)
+    i = 0
+    while (i < nNodes) { out(i) = (nodeId(i), nodeId(find(i))); i += 1 }
     import spark.implicits._
     out.toSeq.toDF("id", "cluster_id")
   }

@@ -242,14 +242,22 @@ object ImageCodec {
   def gifFrames(payload: Array[Byte]): Option[Seq[BufferedImage]] = {
     if (!looksLikeGif(payload)) return None
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(payload))
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new ByteArrayInputStream(payload))
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       Some((0 until n).map(reader.read(_)))
-    } catch { case _: java.io.IOException => None }
-    finally reader.dispose()
+    } catch {
+      // NonFatal, not just IOException: the JDK GIF decoder throws
+      // unchecked exceptions (AIOOBE and friends) on payloads that
+      // pass the 6-byte sniff but are truncated or corrupt — those
+      // must degrade to the caller's fallback, not kill the task
+      case scala.util.control.NonFatal(_) => None
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Perceptual average-hash (aHash) of a decoded image, as a

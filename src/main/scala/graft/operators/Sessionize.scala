@@ -26,10 +26,22 @@ object Sessionize {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     // exact integer-microsecond gap test — no float drift vs the oracle.
     // unix_micros only accepts TIMESTAMP (ltz); parquet written without
-    // isAdjustedToUTC arrives as TIMESTAMP_NTZ, so cast first. With the
-    // session timezone pinned to UTC (Harness) the cast is a pure
-    // reinterpretation — identical integers to DuckDB's epoch_us on
-    // naive timestamps — and for already-ltz input it is a no-op.
+    // isAdjustedToUTC arrives as TIMESTAMP_NTZ, so cast first. Under a
+    // UTC session timezone the cast is a pure reinterpretation —
+    // identical integers to DuckDB's epoch_us on naive timestamps —
+    // and for already-ltz input it is a no-op. Under a NON-UTC zone
+    // the NTZ cast is no longer linear (DST transitions skip/repeat an
+    // hour, silently distorting gap arithmetic), so refuse rather than
+    // mis-sessionize.
+    val isNtz = df.schema.find(_.name == tsCol)
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (isNtz) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"sessionize over a TIMESTAMP_NTZ column requires spark.sql.session.timeZone=UTC " +
+          s"(got '$tz'): the NTZ->TIMESTAMP cast is only gap-preserving in a zone " +
+          "without DST transitions")
+    }
     val tsUs = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
     val prevUs = lag(tsUs, 1).over(w)
     val newSession = when(

@@ -33,7 +33,8 @@ object Timeseries {
     * only row-amplifying step and its output is exactly the result
     * size, so the operator's cost is the answer's size — nothing
     * quadratic, nothing global.
-    * @return (keyCol, hour_start, n) ordered by (keyCol, hour_start) */
+    * @return (keyCol, hour_start, n); row order is unspecified —
+    *         callers sort if they need one */
   def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     // a NULL-timestamped event has no place on the grid; excluding it
     // here (not downstream) keeps every later stage total — a key
@@ -65,7 +66,8 @@ object Timeseries {
     * the standard two-level expand, no hot reducer. week_n uses
     * integer floor division over datediff, so both engines bucket
     * identically (non-negative by construction).
-    * @return (cohort_date, week_n, n_users) ordered by both keys */
+    * @return (cohort_date, week_n, n_users); row order is unspecified
+    *         — callers sort if they need one */
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     // same NULL-timestamp exclusion as the grid: an undatable event is
     // neither a cohort anchor nor activity (otherwise it would emit a

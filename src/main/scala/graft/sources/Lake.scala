@@ -82,13 +82,15 @@ object Lake {
     * ignored defensively (cannot arise from the protocol — the
     * manifest is renamed in strictly after the data job completes and
     * pruning never touches referenced dirs — but a half-vacuumed root
-    * must degrade, not throw). */
+    * must degrade, not throw). Validation walks DOWN from the highest
+    * manifest and stops at the first fully-present snapshot, so the
+    * normal-path cost is one manifest read + the live snapshot's dir
+    * checks — not O(all versions) metadata RPCs per resolve. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    committedVersions(fs, r)
-      .filter(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
-      .maxOption
+    committedVersions(fs, r).reverseIterator
+      .find(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
   }
 
   /** Data-dir paths of the live snapshot — what readers scan. */
@@ -120,19 +122,29 @@ object Lake {
     try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
-    // prune snapshots beyond the retention horizon: markers first,
-    // then any data dir no RETAINED snapshot references (a crash
-    // mid-prune never leaves a committed manifest pointing at deleted
-    // data — referenced dirs are only deleted after every manifest
-    // referencing them is gone)
+    // prune snapshots beyond the retention horizon: markers first
+    // (a crash mid-prune never leaves a committed manifest pointing
+    // at deleted data — dirs go only after every manifest referencing
+    // them), then sweep EVERY committed-range data dir no surviving
+    // manifest references. Sweeping by reference, not by stale list,
+    // also reclaims orphans from a PAST crash between a prune's
+    // marker and dir deletions — they are referenced by no manifest
+    // and could never be resurrected. A writer-in-progress dir is
+    // never swept: its version exceeds every committed one.
     val all = committedVersions(fs, r)
     val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
-    if (stale.nonEmpty) {
-      val referenced = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
-      val staleDirs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet -- referenced
-      stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
-      staleDirs.foreach(d => fs.delete(new Path(r, d), true))
-    }
+    stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
+    val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
+    val maxV = all.lastOption.getOrElse(version)
+    fs.listStatus(r).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .foreach { n =>
+        if (n.startsWith("v") && !keptRefs.contains(n))
+          n.stripPrefix("v").toLongOption.foreach { v =>
+            if (v <= maxV) fs.delete(new Path(r, n), true)
+          }
+      }
   }
 
   /** Replace the table at `root` with `df`, committing via one atomic
@@ -144,7 +156,10 @@ object Lake {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+    // allocate past EVERY committed marker, not just the live one: a
+    // defensively-ignored manifest (data dirs lost) still owns its
+    // number, and renaming a new manifest onto it would fail forever
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
@@ -165,7 +180,9 @@ object Lake {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root)
-    val next = cur.map(_ + 1).getOrElse(0L)
+    // number allocation vs committedVersions (see commitOverwrite);
+    // the snapshot to extend is the LIVE one
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
     commitManifest(fs, r, next, prevDirs :+ s"v$next", retain)

@@ -460,10 +460,13 @@ object Streams {
     * both a caller-provided bootstrap base (no markers: accepts any
     * first batch against its contents) and a table written by the
     * pre-manifest rename-based fold (its top-level `_applied_*`
-    * markers keep their replay-skip; bare pre-lineage markers belong
-    * to the "manual" default — parsing them as a distinct lineage
-    * would let a crash-replayed batch double-count). After the first
-    * manifest commit the superseded top-level files are swept.
+    * markers keep their replay-skip). Bare pre-lineage markers parse
+    * as "manual", which matches EVERY lineage: the table may belong
+    * to a still-surviving checkpoint whose sink only now derives a
+    * query-id lineage, and treating its markers as foreign would
+    * bootstrap away all folded history on the first post-upgrade
+    * batch. After the first manifest commit the superseded top-level
+    * files are swept.
     *
     * DURABILITY CONTRACT: the commit point is a SINGLE-FILE rename,
     * atomic on HDFS and POSIX filesystems; object stores (S3A and
@@ -510,8 +513,21 @@ object Streams {
           .map(new org.apache.hadoop.fs.Path(_)))
       case None => markersIn(Seq(root))
     }
+    // Pre-lineage "manual" markers match EVERY lineage: a table
+    // written before markers carried lineages may belong to a STILL-
+    // SURVIVING checkpoint whose sink only now derives a query-id
+    // lineage — treating its markers as foreign would bootstrap away
+    // all folded history on the first post-upgrade batch. The wildcard
+    // keeps replay-skip and fold-on-top across the upgrade; the
+    // lineage-change bootstrap stays exact for tables written after
+    // markers carried lineages (the recreated-checkpoint case the
+    // bootstrap exists for). Residual legacy ambiguity — checkpoint
+    // DELETED while a pre-lineage table survives — resolves to the
+    // data-preserving side (skip, table goes stale) rather than a
+    // silent wipe.
+    def ownMarker(lin: String): Boolean = lin == lineage || lin == "manual"
     // skip only on THIS lineage's high-water mark (see scaladoc)
-    if (storedMarkers.collect { case (id, `lineage`) => id }
+    if (storedMarkers.collect { case (id, lin) if ownMarker(lin) => id }
         .maxOption.exists(batchId <= _)) return false
     // LINEAGE CHANGE = BOOTSTRAP: the table carries markers, but none
     // from this lineage — a new checkpoint is replaying the source
@@ -522,7 +538,7 @@ object Streams {
     // table with NO markers was not written by this fold; it is a
     // caller-provided bootstrap base and accepts any first batch.
     val foreignOnly = storedMarkers.nonEmpty &&
-      !storedMarkers.exists(_._2 == lineage)
+      !storedMarkers.exists(m => ownMarker(m._2))
     val stored: Option[DataFrame] =
       if (foreignOnly) None
       else if (manifestV.isDefined)

@@ -131,5 +131,10 @@ class ImageCodecSpec extends AnyFunSuite {
     // non-gif payloads are rejected by the sniff, not decoded
     assert(ImageCodec.gifFrames(ImageCodec.bmp(4, 4, 0)).isEmpty)
     assert(ImageCodec.gifFrames("GIF8 not really".getBytes("UTF-8")).isEmpty)
+    // a payload that PASSES the sniff but is truncated mid-stream must
+    // degrade to None (the JDK decoder throws unchecked exceptions on
+    // corrupt input), not propagate and kill the task
+    assert(ImageCodec.gifFrames(payload.take(payload.length / 3)).isEmpty)
+    assert(ImageCodec.gifFrames(payload.take(16)).isEmpty)
   }
 }

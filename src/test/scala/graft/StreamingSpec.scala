@@ -496,11 +496,22 @@ class StreamingSpec extends SparkSpec {
       Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
       5L, Seq("event_type"), "value", statPath))
     assert(rows(spark.read.parquet(statPath)) === before)
-    // a NEW batch folds against the legacy contents and migrates the
-    // table to the manifest layout, sweeping the superseded files
+    // the SINK-UPGRADE path: the surviving checkpoint's sink now
+    // derives a query-id lineage. Bare markers are wildcards, so the
+    // replay still skips under the NEW lineage...
+    assert(!Streams.applyStatBatch(
+      Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
+      5L, Seq("event_type"), "value", statPath,
+      lineage = "0f0f0f0f-cafe-cafe-cafe-0123456789ab"))
+    assert(rows(spark.read.parquet(statPath)) === before)
+    // ...and the next batch FOLDS ON TOP of the legacy contents (a
+    // foreign-lineage bootstrap here would wipe all folded history),
+    // migrating the table to the manifest layout and sweeping the
+    // superseded files
     assert(Streams.applyStatBatch(
       Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "click", 3.0)).toDF(),
-      6L, Seq("event_type"), "value", statPath))
+      6L, Seq("event_type"), "value", statPath,
+      lineage = "0f0f0f0f-cafe-cafe-cafe-0123456789ab"))
     val migrated = graft.sources.Lake.readCommitted(spark, statPath)
     assert(migrated.where(col("event_type") === "click")
       .select("cnt").collect().head.getLong(0) === 2L)
