@@ -166,6 +166,53 @@ class PropertySpec extends SparkSpec {
     assert(dupGroups.count() === 0, "two identical docs both survived")
   }
 
+  test("lake protocol model check: random commit/crash sequences keep readers on the model") {
+    import graft.sources.Lake
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-model")
+      .resolve("t").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val rnd = new scala.util.Random(20260813L)
+    var model = Set.empty[Seq[Any]] // what a reader must see
+    var nextRow = 0L
+    def batch(k: Int): org.apache.spark.sql.DataFrame = {
+      val rows = (0 until k).map { _ => nextRow += 1; (nextRow, s"r$nextRow") }
+      rows.toDF("k", "t")
+    }
+    for (step <- 1 to 40) {
+      rnd.nextInt(4) match {
+        case 0 => // overwrite commit
+          val b = batch(1 + rnd.nextInt(3))
+          model = rows(b)
+          Lake.commitOverwrite(b, root, retain = rnd.nextInt(2))
+        case 1 => // append commit
+          val b = batch(1 + rnd.nextInt(3))
+          model = model ++ rows(b)
+          Lake.commitAppend(b, root, retain = rnd.nextInt(2))
+        case 2 => // crashed writer: orphan data dir, no manifest
+          val v = Lake.currentVersion(spark, root).map(_ + 1 + rnd.nextInt(2)).getOrElse(0L)
+          batch(2).write.mode("overwrite").parquet(s"$root/v$v")
+        case 3 => // crashed writer: partial .tmp manifest
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(root, s"_commit_${step + 100}.tmp"), true)
+          out.write("v0\nv".getBytes("UTF-8")); out.close()
+      }
+      // the reader's view must equal the model after EVERY step —
+      // crashes are invisible, commits are atomic
+      if (model.nonEmpty) assert(rows(Lake.readCommitted(spark, root)) === model,
+        s"diverged at step $step")
+      else assert(Lake.currentVersion(spark, root).isEmpty ||
+        rows(Lake.readCommitted(spark, root)) === model)
+    }
+    // the root never accumulates unbounded garbage: versioned dirs are
+    // bounded by live snapshot refs + retention + at most the orphans
+    // injected since the last commit
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(f => f.isDirectory && f.getPath.getName.startsWith("v"))
+    val live = Lake.resolve(spark, root).length
+    assert(dirs <= live + 2 * 40, s"unbounded dir growth: $dirs dirs for $live live")
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
