@@ -185,45 +185,61 @@ object Ranking {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
+    // persist for the duration of the three phases: they are three
+    // INDEPENDENT jobs, and a non-deterministic input (or a lake table
+    // whose snapshot flips between jobs) would make n/prefix counts
+    // and the phase-3 ranking disagree — wrong or missing percentile
+    // rows. The pin also makes phases 2–3 scan cached rows instead of
+    // re-reading the source.
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("__v"), col(tieCol).as("__tie"))
-    val stats = vals.agg(
-      count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
-      .collect().head
-    val n = stats.getLong(0)
-    if (n == 0L) return Seq.empty[(Int, Long, Double)].toDF("pct", "rank", "value")
-    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
-    val targets = percents.distinct.sorted.map(p => (p, (p.toLong * n + 99L) / 100L))
-    // degenerate range: every value equal — every rank selects it
-    if (lo == hi)
-      return targets.map { case (p, r) => (p, r, lo) }.toDF("pct", "rank", "value")
-    val width = (hi - lo) / buckets
-    val bucketOf = least(
-      floor((col("__v") - lit(lo)) / lit(width)).cast("long"), lit(buckets - 1L))
-    // phase 2: ≤ `buckets` fixed-width rows to the driver
-    val counts = vals.groupBy(bucketOf.as("__b")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val prefix = (0L until buckets.toLong).scanLeft(0L) {
-      case (acc, b) => acc + counts.getOrElse(b, 0L)
-    } // prefix(b) = rows in buckets < b
-    val plan = targets.map { case (p, r) =>
-      // bucket b spans global ranks prefix(b)+1 .. prefix(b+1); the
-      // last prefix entry below r identifies it (prefix nondecreasing,
-      // linear scan over <= buckets entries is driver-trivial)
-      val b = prefix.lastIndexWhere(_ < r)
-      (p, r, b.toLong, r - prefix(b)) // within-bucket rank
-    }
-    // phase 3: rank only the target buckets' rows inside their bucket
-    val wanted = broadcast(plan.toDF("pct", "rank", "__wb", "__lrank"))
-    vals.withColumn("__b", bucketOf)
-      .join(broadcast(plan.map(_._3).distinct.toDF("__b")), Seq("__b"), "left_semi")
-      .withColumn("__r",
-        row_number().over(
-          Window.partitionBy(col("__b")).orderBy(col("__v"), col("__tie")))
-          .cast("long"))
-      .join(wanted,
-        col("__b") === col("__wb") && col("__r") === col("__lrank"))
-      .select(col("pct"), col("rank"), col("__v").as("value"))
+      .persist()
+    try {
+      val stats = vals.agg(
+        count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+        .collect().head
+      val n = stats.getLong(0)
+      if (n == 0L) return Seq.empty[(Int, Long, Double)].toDF("pct", "rank", "value")
+      val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+      val targets = percents.distinct.sorted.map(p => (p, (p.toLong * n + 99L) / 100L))
+      // degenerate range: every value equal — every rank selects it
+      if (lo == hi)
+        return targets.map { case (p, r) => (p, r, lo) }.toDF("pct", "rank", "value")
+      val width = (hi - lo) / buckets
+      val bucketOf = least(
+        floor((col("__v") - lit(lo)) / lit(width)).cast("long"), lit(buckets - 1L))
+      // phase 2: ≤ `buckets` fixed-width rows to the driver
+      val counts = vals.groupBy(bucketOf.as("__b")).agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prefix = (0L until buckets.toLong).scanLeft(0L) {
+        case (acc, b) => acc + counts.getOrElse(b, 0L)
+      } // prefix(b) = rows in buckets < b
+      val plan = targets.map { case (p, r) =>
+        // bucket b spans global ranks prefix(b)+1 .. prefix(b+1); the
+        // last prefix entry below r identifies it (prefix nondecreasing,
+        // linear scan over <= buckets entries is driver-trivial)
+        val b = prefix.lastIndexWhere(_ < r)
+        (p, r, b.toLong, r - prefix(b)) // within-bucket rank
+      }
+      // phase 3: rank only the target buckets' rows inside their
+      // bucket; materialized eagerly (≤ |percents| rows) so the result
+      // survives the unpersist below — a lazy plan would re-read the
+      // (possibly changed) source after the pin is gone
+      val wanted = broadcast(plan.toDF("pct", "rank", "__wb", "__lrank"))
+      val selected = vals.withColumn("__b", bucketOf)
+        .join(broadcast(plan.map(_._3).distinct.toDF("__b")), Seq("__b"), "left_semi")
+        .withColumn("__r",
+          row_number().over(
+            Window.partitionBy(col("__b")).orderBy(col("__v"), col("__tie")))
+            .cast("long"))
+        .join(wanted,
+          col("__b") === col("__wb") && col("__r") === col("__lrank"))
+        .select(col("pct"), col("rank"), col("__v").as("value"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      selected.toDF("pct", "rank", "value")
+    } finally { vals.unpersist(); () }
   }
 
   def quantileGate(

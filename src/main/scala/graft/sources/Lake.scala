@@ -107,6 +107,16 @@ object Lake {
   def readCommitted(spark: SparkSession, root: String) =
     spark.read.parquet(resolve(spark, root): _*)
 
+  /** Next safe version number: past EVERY committed marker, including
+    * defensively-ignored ones whose data dirs are lost — such a
+    * manifest still owns its number, and renaming a new manifest onto
+    * an existing file fails on HDFS on every retry (a permanently
+    * wedged writer). Same allocation rule as [[commitOverwrite]] /
+    * [[commitAppend]]; package-private for the streaming fold. */
+  private[graft] def nextVersion(spark: SparkSession, root: String): Long =
+    committedVersions(fsFor(spark, root), new Path(root))
+      .maxOption.map(_ + 1).getOrElse(0L)
+
   /** Commit `dirs` as snapshot `version` of `root`. Package-private:
     * the streaming fold pre-writes its own version dir (so its
     * applied-batch marker rides INSIDE the dir and commits atomically

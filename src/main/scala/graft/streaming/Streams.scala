@@ -364,6 +364,14 @@ object Streams {
     * one atomic manifest rename). Effectively-once needs no marker:
     * the anti-join against the live snapshot makes a replayed batch
     * commit nothing. Read the table with `Lake.readCommitted`.
+    *
+    * A plain-parquet table at `root` (a [[dedupAppendSink]] target
+    * being migrated) is REFUSED, not treated as empty — the same
+    * guard as `Newsmaper.loadToCommitted`: silently ignoring it would
+    * re-append its keys into v0 and hide its rows from
+    * `readCommitted`. The check runs in each micro-batch before the
+    * manifest exists (cheap: one listStatus) and fails the query with
+    * the migration instructions.
     * @return the started query; caller manages lifecycle */
   def dedupAppendSinkCommitted(
       incoming: DataFrame, keys: Seq[String], root: String,
@@ -373,8 +381,22 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val hasManifest = graft.sources.Lake.currentVersion(spark, root).isDefined
+        if (!hasManifest) {
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+          val rp = new org.apache.hadoop.fs.Path(root)
+          val legacy = fs.exists(rp) && fs.listStatus(rp).exists { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          require(!legacy,
+            s"$root holds a plain parquet table (no manifest); migrate it first — " +
+              "Lake.commitOverwrite(spark.read.parquet(root), root) after moving the " +
+              "files aside — or keep using dedupAppendSink for this path")
+        }
         val existing =
-          if (graft.sources.Lake.currentVersion(spark, root).isDefined)
+          if (hasManifest)
             graft.sources.Lake.readCommitted(spark, root)
           else batch.limit(0)
         val fresh = graft.operators.Dedup
@@ -539,6 +561,19 @@ object Streams {
     // caller-provided bootstrap base and accepts any first batch.
     val foreignOnly = storedMarkers.nonEmpty &&
       !storedMarkers.exists(m => ownMarker(m._2))
+    // The silent bootstrap is reserved for the recreated-checkpoint
+    // path it was designed for (a DERIVED query-id lineage replaying
+    // the source from zero). A direct applyStatBatch/applyCdcBatch
+    // call defaults to lineage "manual"; pointing one at a table whose
+    // markers all carry query-id lineages means the table belongs to a
+    // checkpointed sink — rebuilding would silently discard ALL its
+    // accumulated state and commit just this one batch. Refuse loudly.
+    if (foreignOnly && lineage == "manual")
+      throw new IllegalStateException(
+        s"$path is maintained by a checkpointed sink (stored markers carry " +
+          s"query-id lineages ${storedMarkers.map(_._2).distinct.mkString(", ")}); " +
+          "a manual fold would discard its stored state and rebuild from this one " +
+          "batch. Use the owning sink, or pass its lineage explicitly to fold on top.")
     val stored: Option[DataFrame] =
       if (foreignOnly) None
       else if (manifestV.isDefined)
@@ -547,7 +582,12 @@ object Streams {
         Some(spark.read.parquet(legacyFiles: _*))
       else None
     val merged = next(stored)
-    val nextV = manifestV.map(_ + 1).getOrElse(0L)
+    // allocate past EVERY committed marker (Lake.nextVersion), not
+    // just the live snapshot: a defectively-ignored manifest whose
+    // data dirs are lost still owns its number, and commitManifest's
+    // rename onto the existing marker would fail on every replay — a
+    // permanently wedged sink. Matches commitOverwrite's allocation.
+    val nextV = graft.sources.Lake.nextVersion(spark, path)
     val vdir = new org.apache.hadoop.fs.Path(root, s"v$nextV")
     // the (lazy) merged plan reads the LIVE snapshot or legacy files,
     // never the fresh version dir — no self-overwrite hazard

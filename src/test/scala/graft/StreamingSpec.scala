@@ -520,6 +520,87 @@ class StreamingSpec extends SparkSpec {
       f.isFile && f.getPath.getName.endsWith(".parquet")))
   }
 
+  test("dedupAppendSinkCommitted refuses a legacy plain-parquet table at root") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sink-legacy").toString + "/news.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-legacy-chk").toString
+    // a dedupAppendSink target being migrated: plain parquet, no manifest
+    Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF()
+      .write.mode("overwrite").parquet(root)
+    val legacyRows = rows(spark.read.parquet(root))
+    val input = MemoryStream[Event](spark)
+    val query = Streams.dedupAppendSinkCommitted(input.toDF(), Seq("event_id"), root, chk)
+    try {
+      input.addData(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 9.9))
+      // the guard fails the first micro-batch with migration
+      // instructions, instead of re-appending key 1 into v0 and
+      // hiding the legacy rows from readCommitted
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("plain parquet table")))
+    } finally query.stop()
+    // the legacy table is untouched — no partial v0, no lost rows
+    assert(rows(spark.read.parquet(root)) === legacyRows)
+    assert(graft.sources.Lake.currentVersion(spark, root).isEmpty)
+  }
+
+  test("a manual fold against a checkpointed sink's table refuses instead of wiping it") {
+    val statPath = java.nio.file.Files.createTempDirectory("graft-manual").toString + "/stats.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-manual-chk").toString
+    val events = Seq(
+      Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.5),
+      Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+    val input = MemoryStream[Event](spark)
+    val q = Streams.statRefreshSink(input.toDF(), Seq("event_type"), "value", statPath, chk)
+    try { input.addData(events: _*); q.processAllAvailable() } finally q.stop()
+    val before = rows(graft.sources.Lake.readCommitted(spark, statPath))
+    // the table's markers all carry the sink's query-id lineage; a
+    // direct applyStatBatch (default lineage "manual") would have
+    // bootstrapped — discarding ALL stored state and committing just
+    // this one batch. It must throw instead.
+    val stray = Seq(Event(9L, ts("2025-01-01 11:00:00"), 9L, "click", 99.0)).toDF()
+    val e = intercept[IllegalStateException] {
+      Streams.applyStatBatch(stray, 0L, Seq("event_type"), "value", statPath)
+    }
+    assert(e.getMessage.contains("checkpointed sink"))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === before)
+    // the owning sink's lineage still folds on top normally
+    val lin = Streams.checkpointLineage(spark, chk)
+    assert(Streams.applyStatBatch(stray, 99L, Seq("event_type"), "value", statPath, lin))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) !== before)
+  }
+
+  test("fold version allocation skips past defensively-ignored manifests (no wedged sink)") {
+    import org.apache.hadoop.fs.Path
+    val statPath = java.nio.file.Files.createTempDirectory("graft-wedge").toString + "/stats.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
+    assert(Streams.applyStatBatch(
+      Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
+      0L, Seq("event_type"), "value", statPath))
+    assert(Streams.applyStatBatch(
+      Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0)).toDF(),
+      1L, Seq("event_type"), "value", statPath))
+    // half-vacuumed root: the HIGHEST manifest's data dirs are lost,
+    // so reads resolve the older snapshot — but _commit_1 still owns
+    // its number. Pre-fix, the next fold allocated currentVersion+1 =
+    // 1 and renamed onto the existing marker — fatal on HDFS on every
+    // replay (a permanently wedged sink).
+    fs.delete(new Path(statPath + "/v1"), true)
+    assert(graft.sources.Lake.currentVersion(spark, statPath) === Some(0L))
+    assert(Streams.applyStatBatch(
+      Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
+      2L, Seq("event_type"), "value", statPath))
+    // the fold allocated PAST the dead marker: version 2, not 1
+    assert(graft.sources.Lake.currentVersion(spark, statPath) === Some(2L))
+    assert(fs.exists(new Path(statPath, "_commit_2")))
+    // and the fold applied on top of the RESOLVED (v0) snapshot
+    assert(graft.sources.Lake.readCommitted(spark, statPath)
+      .agg(sum(col("cnt"))).collect().head.getLong(0) === 2L)
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
