@@ -234,6 +234,69 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** TIFF magic sniff: little-endian "II*\0" or big-endian "MM\0*". */
+  def looksLikeTiff(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 4 &&
+      ((payload(0) == 'I' && payload(1) == 'I' &&
+        payload(2) == 42 && payload(3) == 0) ||
+       (payload(0) == 'M' && payload(1) == 'M' &&
+        payload(2) == 0 && payload(3) == 42))
+
+  /** A real MULTI-PAGE TIFF via the stock-JDK tiff writer (bundled
+    * since JDK 9): `nFrames` ramp pages, page f's ramp offset by f —
+    * the third standard container next to [[animatedGif]] and the
+    * length-prefixed BMP walk. Pages are the same indexed-over-exact-
+    * gray-palette images as the GIF path: palette round-trips are
+    * lossless (and dodge the TYPE_BYTE_GRAY gray→sRGB conversion that
+    * would corrupt `getRGB`), so the decoded pixel sum keeps the one
+    * closed form all three containers share. */
+  def multiPageTiff(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 1,
+      s"bad tiff spec ${width}x$height x$nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(rampIndexed(width, height, seed + f), null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Demux+decode every page of a multi-page TIFF through the
+    * stock-JDK reader — `getNumImages(true)` walks the IFD chain, the
+    * TIFF sibling of [[gifFrames]]'s image-block walk. None on a
+    * non-TIFF or corrupt payload (same NonFatal degradation: a
+    * payload passing the 4-byte sniff but truncated must fall back,
+    * not kill the task). */
+  def tiffFrames(payload: Array[Byte]): Option[Seq[BufferedImage]] = {
+    if (!looksLikeTiff(payload)) return None
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      Some((0 until n).map(reader.read(_)))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** Demux+decode every frame of an animated GIF through the stock-JDK
     * reader (`getNumImages(true)` walks the container's image blocks —
     * a genuine standard-format demux). Frames here are written

@@ -84,15 +84,15 @@ object Multimodal {
       }(enc)
   }
 
-  /** Deterministic "video" media table in TWO real container formats:
-    * every 4th document is a standard multi-frame ANIMATED GIF
-    * (written and demuxed by the stock-JDK codec), the rest a
-    * back-to-back BMP frame container the length-prefixed
-    * [[ImageCodec.splitFrames]] walk demuxes. Both carry the same 2–7
-    * ramp frames (fixed per-doc dims, frame f's ramp offset by f), so
-    * the decoded pixel sums share one closed form. Same md5-nibble
-    * ground-truth scheme (and pre-generation repartition) as
-    * [[imagesFromDocuments]]. */
+  /** Deterministic "video" media table in THREE real container
+    * formats: docs with id % 4 = 0 are standard multi-frame ANIMATED
+    * GIFs, id % 4 = 2 MULTI-PAGE TIFFs (both written and demuxed by
+    * the stock-JDK codecs), the rest back-to-back BMP frame
+    * containers the length-prefixed [[ImageCodec.splitFrames]] walk
+    * demuxes. All three carry the same 2–7 ramp frames (fixed per-doc
+    * dims, frame f's ramp offset by f), so the decoded pixel sums
+    * share one closed form. Same md5-nibble ground-truth scheme (and
+    * pre-generation repartition) as [[imagesFromDocuments]]. */
   def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
@@ -108,6 +108,8 @@ object Multimodal {
             val nFrames = (Integer.parseInt(hex.substring(12, 16), 16) % 6) + 2
             if (id % 4 == 0)
               Row(id, "image/gif", ImageCodec.animatedGif(fw, fh, seed, nFrames))
+            else if (id % 4 == 2)
+              Row(id, "image/tiff", ImageCodec.multiPageTiff(fw, fh, seed, nFrames))
             else {
               val payload = (0 until nFrames)
                 .map(f => ImageCodec.bmp(fw, fh, seed + f))
@@ -279,18 +281,21 @@ object Multimodal {
     * explode shape a real extractor uses, with frame payloads cut
     * partition-local from the source bytes.
     *
-    * TWO real demux paths: animated GIFs go through the stock-JDK
-    * reader's image-block walk ([[ImageCodec.gifFrames]] — a standard
-    * format, demuxed and decoded for real), and BMP frame containers
-    * through the length-prefixed walk ([[ImageCodec.splitFrames]]),
-    * each followed by a genuine decode of the sampled frames
-    * (width/height/pixel_sum columns). GIF frames are logical entities
-    * inside one LZW stream, not byte-delimited sub-payloads, so their
-    * frame_md5/frame_bytes are NULL — per-frame bytes only exist for
-    * containers that delimit them. Payloads that are neither fall back
-    * to the fixed-stride 32-byte chunker with NULL decode columns —
-    * the production hook for other video formats. NULL payloads yield
-    * zero frames (no content, no explode).
+    * THREE real demux paths: animated GIFs go through the stock-JDK
+    * reader's image-block walk ([[ImageCodec.gifFrames]]), multi-page
+    * TIFFs through the IFD-chain walk ([[ImageCodec.tiffFrames]] —
+    * both standard formats, demuxed and decoded for real), and BMP
+    * frame containers through the length-prefixed walk
+    * ([[ImageCodec.splitFrames]]), each followed by a genuine decode
+    * of the sampled frames (width/height/pixel_sum columns). GIF and
+    * TIFF frames are logical entities inside one encoded stream (LZW
+    * blocks / IFD-linked strips), not byte-delimited sub-payloads, so
+    * their frame_md5/frame_bytes are NULL — per-frame bytes only
+    * exist for containers that delimit them. Payloads that are none
+    * of the three fall back to the fixed-stride 32-byte chunker with
+    * NULL decode columns — the production hook for genuinely non-JDK
+    * video codecs (MP4 and friends). NULL payloads yield zero frames
+    * (no content, no explode).
     * @return (media_id, frame_idx, width, height, frame_md5,
     *         pixel_sum, frame_bytes) */
   def frameSample(
@@ -308,7 +313,9 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](2)
         val md = java.security.MessageDigest.getInstance("MD5")
         def hex(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
-        ImageCodec.gifFrames(payload) match {
+        // GIF image-block walk, then TIFF IFD walk — the two stock-JDK
+        // standard containers share one decoded-frames emission
+        ImageCodec.gifFrames(payload).orElse(ImageCodec.tiffFrames(payload)) match {
           case Some(gf) =>
             (0 until gf.length by everyNth).take(maxFrames).map { i =>
               val img = gf(i)

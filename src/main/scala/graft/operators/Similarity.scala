@@ -245,6 +245,35 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
       .select(col(labelCol).as("cell"), expr("transform(pairs, p -> p.mean_v)").as("centroid"))
 
+  /** Persist an IVF codebook as a manifest-committed table — the
+    * STORED half of an incremental ANN index (the q103 band-index /
+    * q105 df-multiset pattern applied to vector search). q57 builds
+    * its codebook inline per query; storing it lets every arriving
+    * batch probe the SAME index: the corpus assignment and the probe
+    * both broadcast the stored centroids, so adding a batch costs one
+    * read of a k-row table, never a re-train. A centroid refresh
+    * (periodic k-means over the grown corpus) is a `commitOverwrite`
+    * readers flip to atomically; `retain` keeps superseded codebooks
+    * readable so an in-flight batch finishes against the index it
+    * started with, and [[loadCodebookAt]] pins a batch to a version
+    * explicitly — reproducible ANN results across index refreshes.
+    * @return the committed version */
+  def storeCodebook(codebook: DataFrame, root: String, retain: Int = 1): Long =
+    graft.sources.Lake.commitOverwrite(
+      codebook.select(col("cell"), col("centroid")), root, retain)
+
+  /** The live stored codebook (see [[storeCodebook]]). */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    graft.sources.Lake.readCommitted(spark, root)
+
+  /** A PINNED codebook version — time travel over the index: a batch
+    * re-run against the same version reproduces its results exactly
+    * even after later refreshes (within the store's retention
+    * horizon). */
+  def loadCodebookAt(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Long): DataFrame =
+    graft.sources.Lake.readCommittedAt(spark, root, version)
+
   /** IVF-style ANN: a bounded codebook of cell centroids partitions the
     * corpus (each vector assigned to its max-cosine cell); each query
     * probes only its `nprobe` nearest cells and scores exactly within

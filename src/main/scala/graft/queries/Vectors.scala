@@ -241,6 +241,27 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Stored-codebook IVF (incremental ANN): the codebook persists as
+    // a manifest-committed table and the probe reads it back — the
+    // q103/q105 stored-index pattern for vector search, so arriving
+    // batches share ONE index instead of re-deriving it per query.
+    // The oracle is the inline-codebook q57 SQL: centroids round-trip
+    // parquet bit-exactly, so stored and inline probes must agree to
+    // the hash. BucketingSpec gates the plan: the stored side is one
+    // broadcast of a k-row table, zero added exchanges vs inline.
+    Q("q110_stored_ivf_ann", Vectors.ivfOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_codebook_" + Integer.toHexString(d.hashCode)).toString
+      Similarity.storeCodebook(
+        Similarity.codebookFromLabels(emb, "label", "embedding"), root)
+      Similarity.ivfTopK(
+          emb, emb.where(col("vec_id") < 8),
+          Similarity.loadCodebook(s, root),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    },
+
     // Int8 scalar quantization + quantized top-k: the 4×-smaller index
     // representation an ANN system scores at scale. All arithmetic
     // before the final sqrt/div is exact-integer, so the whole result
@@ -324,16 +345,19 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // Frame sampling over TWO real containers: every 4th doc is a
-    // standard multi-frame ANIMATED GIF demuxed+decoded by the stock
-    // JDK reader (lossless by construction — indexed frames over an
-    // exact gray palette), the rest a length-prefixed BMP container
-    // whose demuxer walks the per-frame size fields (the parse shape
-    // an MP4/AVI demuxer has); both sample every 2nd frame up to 3 and
+    // Frame sampling over THREE real containers: docs with id%4=0 are
+    // standard multi-frame ANIMATED GIFs (stock-JDK image-block walk),
+    // id%4=2 MULTI-PAGE TIFFs (stock-JDK IFD-chain walk) — both
+    // lossless by construction (indexed frames over an exact gray
+    // palette) — and the rest length-prefixed BMP containers whose
+    // demuxer walks the per-frame size fields (the parse shape an
+    // MP4/AVI demuxer has); all sample every 2nd frame up to 3 and
     // genuinely decode each sampled frame. Dims and per-frame pixel
     // sums (frame f's ramp is offset by f) share one closed form the
     // oracle recomputes arithmetically; per-frame byte length exists
-    // only where the container byte-delimits frames (NULL for GIF).
+    // only where the container byte-delimits frames (NULL for
+    // GIF/TIFF). The stride chunker remains only for genuinely
+    // non-JDK codecs.
     Q("q63_frame_sample", Vectors.frameSampleOracle) { (s, d) =>
       Multimodal.frameSample(
           Multimodal.videosFromDocuments(Tables.documents(s, d), "doc_id", "text"),
@@ -459,10 +483,11 @@ object Vectors {
     * holds nf ∈ [2, 7] frames of fixed per-doc dims; sampling every 2nd
     * frame capped at 3 keeps fi < least(nf, 6) (stride 2 divides the
     * cap bound evenly, so the cap is a plain filter). Frame f's ramp is
-    * offset by f — ONE closed form for both containers; frame_bytes is
-    * the BMP layout size where frames are byte-delimited and NULL for
-    * the GIF docs (media_id % 4 = 0), whose frames live inside one
-    * LZW stream. */
+    * offset by f — ONE closed form for all three containers;
+    * frame_bytes is the BMP layout size where frames are
+    * byte-delimited and NULL for the GIF (media_id % 4 = 0) and TIFF
+    * (media_id % 4 = 2) docs, whose frames live inside one encoded
+    * stream. */
   lazy val frameSampleOracle: String =
     """WITH vdims AS (
       |  SELECT doc_id AS media_id,
@@ -480,7 +505,7 @@ object Vectors {
       |       FROM xy GROUP BY media_id, fi)
       |SELECT f.media_id, CAST(f.fi AS INT) AS frame_idx,
       |  CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height, ps.pixel_sum,
-      |  CASE WHEN f.media_id % 4 = 0 THEN NULL
+      |  CASE WHEN f.media_id % 4 IN (0, 2) THEN NULL
       |       ELSE CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
       |  END AS frame_bytes
       |FROM fr f JOIN ps ON f.media_id = ps.media_id AND f.fi = ps.fi

@@ -68,14 +68,37 @@ object Lake {
         n.stripPrefix("_commit_").toLongOption }
       .flatten.toSeq.sorted
 
-  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+  // Manifest body = newline-separated data-dir names, plus optional
+  // `#`-prefixed metadata lines. `#schema=<DataType json>` records the
+  // committed table schema: appends MERGE it (add-nullable-column
+  // evolution) and readers pass it to the scan explicitly — which both
+  // makes mixed-schema snapshots read correctly (files missing a
+  // column yield NULLs) and skips footer-based schema inference
+  // entirely (at 100 TB, one manifest read instead of a
+  // list-and-read-footers job). Manifests written before this line
+  // existed read as before (inferred schema).
+  private val SchemaPrefix = "#schema="
+
+  private def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] = {
     val in = fs.open(new Path(r, s"_commit_$v"))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val dirs = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] = {
+    val dirs = manifestBody(fs, r, v).filterNot(_.startsWith("#"))
     if (dirs.isEmpty) Seq(s"v$v") else dirs // body-less back-compat
   }
+
+  private def manifestSchema(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestBody(fs, r, v).find(_.startsWith(SchemaPrefix))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Highest committed version at `root` whose snapshot is fully
     * present, if any. Manifests referencing lost data dirs are
@@ -103,9 +126,58 @@ object Lake {
         s"no committed table at $root"))
   }
 
-  /** The live table contents (union of the snapshot's data dirs). */
+  /** Committed versions whose snapshots are fully present — the
+    * TIME-TRAVEL horizon, oldest first. Its breadth is the `retain`
+    * lever: each commit keeps `retain` superseded snapshots readable,
+    * so `retain = 7` on a daily overwrite gives a week of history. */
+  def readableVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    committedVersions(fs, r)
+      .filter(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
+  }
+
+  /** TIME TRAVEL: the table contents as of snapshot `version` —
+    * exactly what `readCommitted` returned while that version was
+    * live, byte-identical, because snapshots are immutable: a commit
+    * only ever ADDS a version dir, and pruning deletes strictly
+    * outside the retention horizon. Versions carry their OWN schema
+    * (see [[SchemaPrefix]]), so a snapshot from before a schema
+    * evolution reads back with its original columns.
+    *
+    * Fails fast with the readable horizon when `version` was pruned
+    * (or never committed) — the fix is a larger `retain` at commit
+    * time, the same reader-retention lever as any lakehouse VACUUM
+    * horizon. */
+  def readCommittedAt(spark: SparkSession, root: String,
+      version: Long): org.apache.spark.sql.DataFrame = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    def horizon = readableVersions(spark, root).mkString("[", ", ", "]")
+    if (!fs.exists(new Path(r, s"_commit_$version")))
+      throw new java.util.NoSuchElementException(
+        s"version $version is not committed at $root (readable: $horizon) — " +
+          "pruned past the retention horizon? Commit with a larger `retain` " +
+          "to keep more history readable")
+    val dirs = manifestDirs(fs, r, version)
+    val missing = dirs.filterNot(d => fs.exists(new Path(r, d)))
+    if (missing.nonEmpty)
+      throw new java.util.NoSuchElementException(
+        s"version $version at $root references lost data dirs " +
+          s"${missing.mkString(", ")} (readable: $horizon)")
+    val paths = dirs.map(d => new Path(r, d).toString)
+    manifestSchema(fs, r, version) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** The live table contents (union of the snapshot's data dirs),
+    * under the snapshot's committed schema when the manifest carries
+    * one (schema-evolved appends read merged; no footer inference). */
   def readCommitted(spark: SparkSession, root: String) =
-    spark.read.parquet(resolve(spark, root): _*)
+    readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root")))
 
   /** Next safe version number: past EVERY committed marker, including
     * defensively-ignored ones whose data dirs are lost — such a
@@ -117,19 +189,52 @@ object Lake {
     committedVersions(fsFor(spark, root), new Path(root))
       .maxOption.map(_ + 1).getOrElse(0L)
 
+  /** Merge a committed table schema with an incoming batch's: the
+    * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one.
+    * New columns append (nullable — old files lack them and read
+    * NULL); a column the batch omits stays (nullable — the new files
+    * read NULL for it); a column changing TYPE is refused loudly —
+    * silent coercion corrupts every prior snapshot's reading of the
+    * shared files. */
+  private[graft] def mergeSchemas(
+      base: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    val kept = base.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          require(g.dataType == f.dataType,
+            s"schema evolution supports adding nullable columns only; " +
+              s"'${f.name}' changes type ${f.dataType.simpleString} -> " +
+              s"${g.dataType.simpleString}. Rewrite the table " +
+              "(commitOverwrite) to change a column's type.")
+          f.copy(nullable = f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = incoming.fields.filterNot(f => baseNames(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
   /** Commit `dirs` as snapshot `version` of `root`. Package-private:
     * the streaming fold pre-writes its own version dir (so its
     * applied-batch marker rides INSIDE the dir and commits atomically
     * with the data) and then calls this. */
   private[graft] def commitVersion(spark: SparkSession, root: String,
-      version: Long, dirs: Seq[String], retain: Int): Unit =
-    commitManifest(fsFor(spark, root), new Path(root), version, dirs, retain)
+      version: Long, dirs: Seq[String], retain: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+    commitManifest(fsFor(spark, root), new Path(root), version, dirs, retain,
+      schema)
 
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      version: Long, dirs: Seq[String], retain: Int): Unit = {
+      version: Long, dirs: Seq[String], retain: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val tmp = new Path(r, s"_commit_$version.tmp")
     val out = fs.create(tmp, true)
-    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val body = dirs ++ schema.map(s => SchemaPrefix + s.json)
+    try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
     // prune snapshots beyond the retention horizon: markers first
@@ -173,7 +278,7 @@ object Lake {
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, Seq(s"v$next"), retain)
+    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema))
     next
   }
 
@@ -194,8 +299,16 @@ object Lake {
     // the snapshot to extend is the LIVE one
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
+    // the committed schema evolves by MERGE (add-nullable-column; type
+    // changes refused — see mergeSchemas). A legacy manifest without a
+    // schema line infers its schema once here, so its first post-
+    // upgrade append migrates the table to carried-schema reads.
+    val prevSchema = cur.flatMap(v => manifestSchema(fs, r, v))
+      .orElse(cur.map(v => spark.read.parquet(
+        manifestDirs(fs, r, v).map(d => new Path(r, d).toString): _*).schema))
+    val schema = prevSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain)
+    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema))
     next
   }
 

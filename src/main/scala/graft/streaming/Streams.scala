@@ -594,7 +594,8 @@ object Streams {
     merged.write.mode("overwrite").parquet(vdir.toString)
     fs.create(new org.apache.hadoop.fs.Path(
       vdir, s"_applied_${batchId}_$lineage")).close()
-    graft.sources.Lake.commitVersion(spark, path, nextV, Seq(s"v$nextV"), retain = 1)
+    graft.sources.Lake.commitVersion(spark, path, nextV, Seq(s"v$nextV"),
+      retain = 1, schema = Some(merged.schema))
     // sweep superseded pre-manifest files (and their markers) once the
     // manifest owns the table; idempotent, usually a no-op
     if (legacyFiles.nonEmpty)

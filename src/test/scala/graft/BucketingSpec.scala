@@ -227,4 +227,39 @@ class BucketingSpec extends SparkSpec {
     assert(scan.metrics("numPartitions").value === 1,
       s"expected 1 of ${dates.length} partition dirs read")
   }
+
+  test("q110 shape: a stored IVF codebook probes with zero added exchanges vs inline") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-cbidx")
+      .resolve("codebook").toString
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.where(col("vec_id") < 8)
+    val inlineCb = graft.operators.Similarity.codebookFromLabels(
+      emb, "label", "embedding")
+    graft.operators.Similarity.storeCodebook(inlineCb, root)
+    def probe(cb: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.ivfTopK(
+        emb, queries, cb, "vec_id", "embedding", k = 5, nprobe = 2)
+    val stored = probe(graft.operators.Similarity.loadCodebook(spark, root))
+    val inline = probe(inlineCb)
+    // identical results: centroids round-trip parquet bit-exactly
+    assert(rows(stored) === rows(inline))
+    // the stored side must add NOTHING to the plan's exchange census:
+    // the codebook is bounded by construction, so it enters as
+    // broadcast on both paths — storing it converts per-query
+    // derivation into one k-row table read, not a new shuffle
+    def census(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      ("(?m)^\\s*[+:]?-?\\s*Exchange hashpartitioning".r.findAllIn(plan).size,
+        "BroadcastExchange".r.findAllIn(plan).size)
+    }
+    assert(census(stored) === census(inline),
+      s"stored codebook changed the exchange census: ${census(stored)} vs ${census(inline)}")
+    // a refresh is an atomic flip; the superseded codebook version
+    // stays readable for pinned/in-flight batches (retention horizon)
+    val v2 = graft.operators.Similarity.storeCodebook(inlineCb, root)
+    assert(rows(probe(graft.operators.Similarity.loadCodebookAt(spark, root, v2 - 1)))
+      === rows(inline))
+  }
 }

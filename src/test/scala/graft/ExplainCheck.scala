@@ -36,6 +36,10 @@ object ExplainCheck {
     * codebook assignment, same rationale). */
   val byDesignBnlj: Set[String] = Set("q07_cross_join", "q54_cosine_neardup",
     "q50_cosine_topk", "q51_knn_label_vote", "q57_ivf_ann",
+    // the stored-codebook probe: same bounded corpus×codebook /
+    // query×codebook broadcast shape as q57 (the codebook is k rows
+    // by construction — never a cartesian risk)
+    "q110_stored_ivf_ann",
     // broadcast-query scoring over quantized codes: same bounded
     // |corpus|×|Q| shape as q50 (the BNLJ side is the broadcast
     // query set, never corpus×corpus)

@@ -137,4 +137,35 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.gifFrames(payload.take(payload.length / 3)).isEmpty)
     assert(ImageCodec.gifFrames(payload.take(16)).isEmpty)
   }
+
+  test("multiPageTiff round-trips losslessly: JDK IFD walk recovers every ramp page exactly") {
+    val (w, h, seed, n) = (13, 9, 200, 4) // seed+f+x+y crosses the % 256 wrap
+    val payload = ImageCodec.multiPageTiff(w, h, seed, n)
+    assert(ImageCodec.looksLikeTiff(payload))
+    assert(!ImageCodec.looksLikeGif(payload) && !ImageCodec.looksLikeBmp(payload))
+    val frames = ImageCodec.tiffFrames(payload).getOrElse(fail("tiff demux failed"))
+    assert(frames.length === n)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth === w && img.getHeight === h)
+      // exact per-pixel equality with the generator ramp — indexed
+      // gray palette, same losslessness argument as the GIF path (and
+      // the reason TYPE_BYTE_GRAY is NOT used: its gray→sRGB
+      // conversion in getRGB would corrupt the closed form)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (seed + f + x + y) % 256
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === v, s"f=$f ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === v)
+        assert((rgb & 0xff) === v)
+      }
+      assert(ImageCodec.pixelSum(img) ===
+        (for (y <- 0 until h; x <- 0 until w) yield 3L * ((seed + f + x + y) % 256)).sum)
+    }
+    // non-tiff payloads are rejected by the 4-byte sniff
+    assert(ImageCodec.tiffFrames(ImageCodec.bmp(4, 4, 0)).isEmpty)
+    assert(ImageCodec.tiffFrames("II not a tiff".getBytes("UTF-8")).isEmpty)
+    // sniff-passing but truncated payloads degrade to None (fallback
+    // chunker takes over), never a task-killing throw
+    assert(ImageCodec.tiffFrames(payload.take(16)).isEmpty)
+  }
 }

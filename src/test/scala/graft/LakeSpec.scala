@@ -182,6 +182,76 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("time travel: every retained snapshot reads back bit-exact; prune respects the horizon") {
+    val root = tmpTable("graft-lake-tt")
+    // three appends under retain=2 — all three snapshots stay readable
+    assert(Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 2) === 0L)
+    assert(Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 2) === 1L)
+    assert(Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 2) === 2L)
+    assert(Lake.readableVersions(spark, root) === Seq(0L, 1L, 2L))
+    // each version = exactly what readCommitted returned while it was live
+    assert(rows(Lake.readCommittedAt(spark, root, 0L)) === Set(Seq(1L, "a")))
+    assert(rows(Lake.readCommittedAt(spark, root, 1L)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    assert(rows(Lake.readCommittedAt(spark, root, 2L)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // the live read is the max version's
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      rows(Lake.readCommittedAt(spark, root, 2L)))
+    // a commit with retain=1 narrows the horizon: v0's manifest goes,
+    // v0's DATA survives (v2/v3 still reference the dir), and a read
+    // of the pruned version fails fast naming the readable horizon
+    assert(Lake.commitAppend(Seq((4L, "d")).toDF("k", "t"), root, retain = 1) === 3L)
+    assert(Lake.readableVersions(spark, root) === Seq(2L, 3L))
+    val e = intercept[java.util.NoSuchElementException] {
+      Lake.readCommittedAt(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("retention horizon"))
+    assert(rows(Lake.readCommittedAt(spark, root, 2L)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // an overwrite starts a fresh snapshot; the retained PREVIOUS
+    // snapshot still time-travels (the in-flight-reader guarantee)
+    assert(Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root, retain = 1) === 4L)
+    assert(rows(Lake.readCommittedAt(spark, root, 3L)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
+  }
+
+  test("schema evolution: appends add nullable columns; old versions read their own schema") {
+    val root = tmpTable("graft-lake-evolve")
+    assert(Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 3) === 0L)
+    // append a batch with one ADDED column: readers of the live table
+    // see the merged schema, pre-evolution rows read NULL for it
+    assert(Lake.commitAppend(
+      Seq((2L, "b", 7.5)).toDF("k", "t", "score"), root, retain = 3) === 1L)
+    val live = Lake.readCommitted(spark, root)
+    assert(live.columns.toSeq === Seq("k", "t", "score"))
+    assert(rows(live) === Set(Seq(1L, "a", null), Seq(2L, "b", 7.5)))
+    // time-travel interplay: the pre-evolution snapshot reads back
+    // UNCHANGED — its own schema, no phantom column
+    val v0 = Lake.readCommittedAt(spark, root, 0L)
+    assert(v0.columns.toSeq === Seq("k", "t"))
+    assert(rows(v0) === Set(Seq(1L, "a")))
+    // a later batch OMITTING the evolved column still appends; its
+    // rows read NULL for it (columns never silently vanish)
+    assert(Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 3) === 2L)
+    val after = Lake.readCommitted(spark, root)
+    assert(after.columns.toSeq === Seq("k", "t", "score"))
+    assert(rows(after) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7.5), Seq(3L, "c", null)))
+    // a TYPE change is refused loudly — silent coercion would corrupt
+    // every snapshot sharing the files
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((4L, "d", "not-a-double")).toDF("k", "t", "score"), root)
+    }
+    assert(e.getMessage.contains("changes type"))
+    // the failed commit left an orphan dir at most — the table still
+    // reads, and the next good commit self-repairs the version number
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 7.5), Seq(3L, "c", null)))
+    assert(Lake.commitAppend(Seq((5L, "e", 1.0)).toDF("k", "t", "score"), root) === 3L)
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")

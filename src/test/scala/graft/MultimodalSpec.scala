@@ -79,10 +79,12 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real path: frameSample demuxes BOTH containers (GIF + BMP) and decodes sampled frames") {
-    // ids spanning both formats: 4 and 8 take the GIF path (id % 4 == 0)
-    val vdocs = Seq((1L, "hello world"), (2L, "binary payload test"),
-      (4L, "gif doc"), (8L, "another gif doc")).toDF("doc_id", "text")
+  test("real path: frameSample demuxes all THREE containers (GIF + TIFF + BMP)") {
+    // ids spanning the formats: 4, 8 → GIF (id%4=0); 2, 6 → TIFF
+    // (id%4=2); 1, 3 → the length-prefixed BMP container
+    val vdocs = Seq((1L, "hello world"), (2L, "tiff doc"), (3L, "bmp doc"),
+      (4L, "gif doc"), (6L, "another tiff doc"), (8L, "another gif doc"))
+      .toDF("doc_id", "text")
     val media = Multimodal.videosFromDocuments(vdocs, "doc_id", "text")
     val out = Multimodal.frameSample(media, everyNth = 2, maxFrames = 3)
       .orderBy("media_id", "frame_idx").collect()
@@ -90,20 +92,33 @@ class MultimodalSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getInt(1) % 2 === 0) // sampled every 2nd frame
       assert(!r.isNullAt(r.fieldIndex("pixel_sum"))) // genuinely decoded
-      if (r.getLong(0) % 4 == 0)
-        // GIF frames are logical (one LZW stream) — no per-frame bytes
+      if (r.getLong(0) % 4 == 0 || r.getLong(0) % 4 == 2)
+        // GIF/TIFF frames are logical (one encoded stream) — no
+        // per-frame bytes
         assert(r.isNullAt(r.fieldIndex("frame_bytes")))
       else
         assert(r.getAs[Long]("frame_bytes") ===
           graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong)
     }
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
-    // both container formats are present and the two demux paths
-    // produce the SAME closed-form pixel sums: a GIF doc and a BMP doc
-    // with equal (w, h, seed, frame) decode to equal sums
-    val gifRows = out.filter(_.getLong(0) % 4 == 0)
-    val bmpRows = out.filter(_.getLong(0) % 4 != 0)
-    assert(gifRows.nonEmpty && bmpRows.nonEmpty)
+    // all three container formats are present; each demux path decodes
+    // to the SAME closed-form pixel sum family (ramp offset by frame)
+    assert(out.exists(_.getLong(0) % 4 == 0)) // GIF
+    assert(out.exists(_.getLong(0) % 4 == 2)) // TIFF
+    assert(out.exists(r => r.getLong(0) % 4 != 0 && r.getLong(0) % 4 != 2)) // BMP
+    // cross-check one TIFF doc's sums against the generator's closed
+    // form, straight from the md5-nibble ground truth
+    val hex = graft.operators.ImageCodec.md5Hex("tiff doc")
+    val fw = (Integer.parseInt(hex.substring(0, 4), 16) % 24) + 8
+    val fh = (Integer.parseInt(hex.substring(4, 8), 16) % 24) + 8
+    val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
+    out.filter(_.getLong(0) == 2L).foreach { r =>
+      val f = r.getInt(1)
+      assert(r.getInt(2) === fw && r.getInt(3) === fh)
+      assert(r.getAs[Long]("pixel_sum") ===
+        (for (y <- 0 until fh; x <- 0 until fw)
+          yield 3L * ((seed + f + x + y) % 256)).sum)
+    }
   }
 
   test("fallback path: non-image payloads keep stub metadata with NULL pixel_sum") {
