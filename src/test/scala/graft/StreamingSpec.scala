@@ -520,6 +520,71 @@ class StreamingSpec extends SparkSpec {
       f.isFile && f.getPath.getName.endsWith(".parquet")))
   }
 
+  test("statRefreshSink E2E: a RECREATED checkpoint at the same path rebuilds, never double-counts") {
+    val statPath = java.nio.file.Files.createTempDirectory("graft-e2e").toString + "/stats.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-e2e-chk").toString
+    val events = Seq(
+      Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.5),
+      Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0),
+      Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0))
+    val expect = rows(graft.operators.Incremental.partials(
+      events.toDF(), Seq("event_type"), "value"))
+    val input1 = MemoryStream[Event](spark)
+    val q1 = Streams.statRefreshSink(input1.toDF(), Seq("event_type"), "value",
+      statPath, chk)
+    try { input1.addData(events: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === expect)
+    // the user deletes the checkpoint DIRECTORY ITSELF and restarts at
+    // the SAME path — Spark mints a new query id, batchIds restart at
+    // 0, and the source replays from the beginning. The fold must
+    // detect the lineage change and REBUILD the table from the new
+    // stream (equality with a fresh recompute), not fold the replayed
+    // batches on top of the already-folded state (double-count) nor
+    // swallow them under the old high-water mark (stale table).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(chk), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(chk), true)
+    val input2 = MemoryStream[Event](spark)
+    val q2 = Streams.statRefreshSink(input2.toDF(), Seq("event_type"), "value",
+      statPath, chk)
+    try { input2.addData(events: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === expect)
+  }
+
+  test("statRefreshSink E2E: restart over a pre-lineage-marker table folds on top, keeps data") {
+    import org.apache.hadoop.fs.Path
+    val statPath = java.nio.file.Files.createTempDirectory("graft-e2e-up").toString + "/stats.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-e2e-up-chk").toString
+    val b1 = Seq(
+      Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.5),
+      Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0))
+    val b2 = Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0))
+    val input = MemoryStream[Event](spark)
+    val q1 = Streams.statRefreshSink(input.toDF(), Seq("event_type"), "value",
+      statPath, chk)
+    try { input.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    // simulate a table written BEFORE markers carried lineages: strip
+    // the lineage suffix off the stored marker (bare `_applied_<id>`)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statPath), spark.sparkContext.hadoopConfiguration)
+    val vdir = new Path(graft.sources.Lake.resolve(spark, statPath).head)
+    fs.listStatus(vdir).map(_.getPath).filter(_.getName.startsWith("_applied_"))
+      .foreach { p =>
+        val bare = "_applied_" + p.getName.stripPrefix("_applied_").split("_")(0)
+        assert(fs.rename(p, new Path(vdir, bare)))
+      }
+    // restart from the SURVIVING checkpoint (batchIds continue at 1):
+    // bare markers wildcard-match the derived lineage, so the sink
+    // folds the new batch ON TOP of the pre-lineage contents — an
+    // upgrade must never bootstrap away existing data
+    val q2 = Streams.statRefreshSink(input.toDF(), Seq("event_type"), "value",
+      statPath, chk)
+    try { input.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) ===
+      rows(graft.operators.Incremental.partials(
+        (b1 ++ b2).toDF(), Seq("event_type"), "value")))
+  }
+
   test("dedupAppendSinkCommitted refuses a legacy plain-parquet table at root") {
     val root = java.nio.file.Files.createTempDirectory("graft-sink-legacy").toString + "/news.parquet"
     val chk = java.nio.file.Files.createTempDirectory("graft-sink-legacy-chk").toString
