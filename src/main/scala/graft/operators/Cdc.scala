@@ -61,6 +61,29 @@ object Cdc {
   def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String,
       guardVersions: Boolean = false): DataFrame = {
+    val latest = lastChanges(base, changes, keyCols, versionCol, deleteCol,
+      guardVersions)
+    // broadcast the batch's key set: the base-side anti-join stays a
+    // map-only probe — no base shuffle, ever
+    val touched = broadcast(latest.select(keyCols.map(col): _*))
+    // NULL delete flag = NOT a delete: without the coalesce, a
+    // NULL-flag winner would remove its key from the base (the
+    // anti-join sees the key) yet fail the !delete filter and never
+    // union back — a silent delete
+    base.join(touched, keyCols, "left_anti")
+      .unionByName(
+        latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
+  }
+
+  /** The batch's effective per-key winners (key cols + payload +
+    * `deleteCol`) after the optional stale-version guard — the
+    * "which rows does this MERGE touch" half of [[applyChanges]],
+    * factored out so the copy-on-write committed-table merge
+    * ([[graft.sources.Lake.mergeCommitted]]) can probe which files
+    * hold touched keys before deciding what to rewrite. */
+  private[graft] def lastChanges(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], versionCol: String, deleteCol: String,
+      guardVersions: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "CDC apply needs at least one key column")
     require(base.columns.contains(versionCol) && !base.columns.contains(deleteCol),
       s"base must carry $versionCol and must not carry $deleteCol")
@@ -94,16 +117,7 @@ object Cdc {
           .where(col("__base_v").isNull || col(versionCol) > col("__base_v"))
           .drop("__base_v")
       }
-    // broadcast the batch's key set: the base-side anti-join stays a
-    // map-only probe — no base shuffle, ever
-    val touched = broadcast(latest.select(keyCols.map(col): _*))
-    // NULL delete flag = NOT a delete: without the coalesce, a
-    // NULL-flag winner would remove its key from the base (the
-    // anti-join sees the key) yet fail the !delete filter and never
-    // union back — a silent delete
-    base.join(touched, keyCols, "left_anti")
-      .unionByName(
-        latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
+    latest
   }
 
   /** SCD Type-2 historization of a CDC log: every non-delete change

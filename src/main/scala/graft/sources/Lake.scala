@@ -312,6 +312,105 @@ object Lake {
     next
   }
 
+  /** Per-row MERGE INTO a committed table — the copy-on-write form of
+    * [[graft.operators.Cdc.applyChanges]] (q99's oracle-checked
+    * semantics), closing the reference's row-level DELETE/update gap
+    * (/root/reference/dags/Main.py:44-47) at lake scale. Instead of
+    * rewriting the whole table, the merge PROBES which snapshot dirs
+    * actually hold touched keys (one map-only broadcast semi-join
+    * over the base with `input_file_name` — the "find touched files"
+    * pass every lakehouse MERGE runs) and rewrites ONLY those:
+    *
+    *   new snapshot = untouched dirs, REUSED BY REFERENCE
+    *               + one new dir holding (touched dirs' surviving
+    *                 rows) ∪ (the batch's winning upserts)
+    *
+    * At 100 TB under hourly append commits, a CDC batch touching
+    * recent keys rewrites O(touched dirs), not the table; a
+    * pure-insert batch touches nothing and degenerates to the
+    * O(batch) append shape. Commit is the same one atomic manifest
+    * rename — readers never see a half-merged table, retention keeps
+    * the pre-merge snapshot for in-flight readers/time travel, and a
+    * crash before the rename leaves only an orphan dir the retry
+    * overwrites.
+    *
+    * `changes` = base schema + `deleteCol`; `guardVersions` as in
+    * [[graft.operators.Cdc.applyChanges]]. Returns the committed
+    * version (unchanged when the batch has no effective winners). */
+  def mergeCommitted(spark: SparkSession, root: String,
+      changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String,
+      guardVersions: Boolean = false, retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions._
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
+    val snapDirs = manifestDirs(fs, r, cur)
+    val base = readCommittedAt(spark, root, cur)
+    val latest = graft.operators.Cdc.lastChanges(
+      base, changes, keyCols, versionCol, deleteCol, guardVersions).persist()
+    try {
+      if (latest.isEmpty) return cur
+      val touchedKeys = broadcast(latest.select(keyCols.map(col): _*))
+      // one map-only probe: which files (→ dirs) hold touched keys.
+      // The collected set is bounded by the snapshot's FILE count
+      // (metadata-scale), never row count.
+      val touchedDirNames: Set[String] = base
+        .withColumn("__file", input_file_name())
+        .join(touchedKeys, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(row => new Path(row.getString(0)).getParent.getName)
+        .toSet
+      val untouched = snapDirs.filterNot(touchedDirNames)
+      val touchedDirs = snapDirs.filter(touchedDirNames)
+      val carried = manifestSchema(fs, r, cur)
+      val touchedBase =
+        if (touchedDirs.isEmpty) base.limit(0)
+        else {
+          val paths = touchedDirs.map(d => new Path(r, d).toString)
+          carried match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None    => spark.read.parquet(paths: _*)
+          }
+        }
+      // the applyChanges fold, scoped to the touched dirs' rows
+      val rewritten = touchedBase
+        .join(touchedKeys, keyCols, "left_anti")
+        .unionByName(
+          latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
+      val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+      rewritten.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+      commitManifest(fs, r, next, untouched :+ s"v$next", retain,
+        carried.orElse(Some(rewritten.schema)))
+      next
+    } finally { latest.unpersist(); () }
+  }
+
+  /** [[compact]] for a manifest-committed table: collapse the live
+    * snapshot (append commits accumulate one dir per batch — the
+    * small-files pathology in manifest form: readers pay listing +
+    * open cost per dir) into ONE dir of size-targeted files,
+    * committed through the same atomic rename. Row multiset and
+    * carried schema unchanged; concurrent readers keep the pre-
+    * compaction snapshot until retention passes. Converges like
+    * [[compact]]: sizing uses current on-disk bytes. Returns the
+    * committed version. */
+  def compactCommitted(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = fsFor(spark, root)
+    val total = resolve(spark, root)
+      .flatMap(d => fs.listStatus(new Path(d)).toSeq)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    require(total > 0, s"no parquet data in the live snapshot at $root")
+    val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    commitOverwrite(readCommitted(spark, root).repartition(n), root, retain)
+  }
+
   /** Number of parquet data files currently under `path`. */
   def dataFileCount(spark: SparkSession, path: String): Int =
     listDataFiles(spark, path).length

@@ -252,6 +252,80 @@ class LakeSpec extends SparkSpec {
     assert(Lake.readCommitted(spark, root).count() === 4L)
   }
 
+  test("mergeCommitted: copy-on-write MERGE rewrites only the touched dirs") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-merge")
+    // three append commits → three dirs; keys 2,3 live in v1
+    assert(Lake.commitAppend(Seq((1L, 10L, "a")).toDF("k", "ver", "t"), root, retain = 2) === 0L)
+    assert(Lake.commitAppend(Seq((2L, 11L, "b"), (3L, 12L, "c")).toDF("k", "ver", "t"), root, retain = 2) === 1L)
+    assert(Lake.commitAppend(Seq((4L, 13L, "d")).toDF("k", "ver", "t"), root, retain = 2) === 2L)
+    val base = Lake.readCommitted(spark, root)
+    // update k=2, delete k=3 (both in v1), insert k=9
+    val changes = Seq(
+      (2L, 20L, "B", false), (3L, 21L, "x", true), (9L, 22L, "new", false)
+    ).toDF("k", "ver", "t", "is_del")
+    val expect = rows(graft.operators.Cdc.applyChanges(
+      base, changes, Seq("k"), "ver", "is_del"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val v0Before = fs.listStatus(new Path(root, "v0"))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    val v = Lake.mergeCommitted(spark, root, changes, Seq("k"), "ver", "is_del")
+    assert(v === 3L)
+    // MERGE semantics == the q99-verified applyChanges fold
+    assert(rows(Lake.readCommitted(spark, root)) === expect)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10L, "a"), Seq(2L, 20L, "B"), Seq(4L, 13L, "d"), Seq(9L, 22L, "new")))
+    // copy-on-write: untouched dirs v0/v2 are REUSED BY REFERENCE in
+    // the new snapshot (byte-identical files), touched v1 is not
+    val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(live.contains("v0") && live.contains("v2") && live.contains("v3"))
+    assert(!live.contains("v1"))
+    assert(fs.listStatus(new Path(root, "v0"))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet === v0Before)
+    // time travel still serves the pre-merge snapshot
+    assert(rows(Lake.readCommittedAt(spark, root, 2L)) === rows(base))
+    // a pure-insert batch touches no dirs → O(batch) append shape:
+    // every live dir is reused, one new dir holds only the insert
+    val v2 = Lake.mergeCommitted(spark, root,
+      Seq((7L, 30L, "ins", false)).toDF("k", "ver", "t", "is_del"),
+      Seq("k"), "ver", "is_del")
+    assert(v2 === 4L)
+    val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(Set("v0", "v2", "v3", "v4").subsetOf(live2))
+    assert(Lake.readCommitted(spark, root).count() === 5L)
+    // an all-stale guarded batch has no effective winners → no commit
+    val v3 = Lake.mergeCommitted(spark, root,
+      Seq((2L, 5L, "stale", false)).toDF("k", "ver", "t", "is_del"),
+      Seq("k"), "ver", "is_del", guardVersions = true)
+    assert(v3 === 4L)
+    assert(Lake.readCommitted(spark, root)
+      .where(col("k") === 2L).select("t").collect().head.getString(0) === "B")
+  }
+
+  test("compactCommitted collapses an append-fragmented snapshot, rows and schema unchanged") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-compactc")
+    (0 until 6).foreach { b =>
+      Lake.commitAppend(
+        (1L to 50L).map(i => (b * 100L + i, s"row $b/$i")).toDF("k", "t"), root)
+      ()
+    }
+    assert(Lake.resolve(spark, root).length === 6)
+    val before = rows(Lake.readCommitted(spark, root))
+    val schemaBefore = Lake.readCommitted(spark, root).schema
+    val v = Lake.compactCommitted(spark, root)
+    assert(v === 6L)
+    // one dir now serves the whole snapshot; contents byte-identical
+    assert(Lake.resolve(spark, root).length === 1)
+    assert(rows(Lake.readCommitted(spark, root)) === before)
+    assert(Lake.readCommitted(spark, root).schema === schemaBefore)
+    // converges: a second run plans the same single-dir layout
+    val v2 = Lake.compactCommitted(spark, root)
+    assert(v2 === 7L && Lake.resolve(spark, root).length === 1)
+    assert(rows(Lake.readCommitted(spark, root)) === before)
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
