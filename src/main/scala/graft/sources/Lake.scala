@@ -366,6 +366,14 @@ object Lake {
         .toSet
       val untouched = snapDirs.filterNot(touchedDirNames)
       val touchedDirs = snapDirs.filter(touchedDirNames)
+      // no stored rows touched and nothing to insert → the table is
+      // unchanged; skip the commit entirely. This is what makes a
+      // crash-REPLAYED guarded batch version-stable: its upserts are
+      // stale (guard-rejected) and its deletes find their keys
+      // already gone (a delete of an absent key reaches here).
+      if (touchedDirs.isEmpty &&
+          latest.where(!coalesce(col(deleteCol), lit(false))).isEmpty)
+        return cur
       val carried = manifestSchema(fs, r, cur)
       val touchedBase =
         if (touchedDirs.isEmpty) base.limit(0)

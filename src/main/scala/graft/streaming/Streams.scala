@@ -652,11 +652,61 @@ object Streams {
       .start()
   }
 
+  /** Streaming COPY-ON-WRITE CDC merge into a manifest-committed
+    * table — the at-scale sibling of [[cdcApplySink]]: where the
+    * marker-based fold rewrites the WHOLE snapshot every micro-batch
+    * (O(table) writes — fine for a stat table, wrong for a 100 TB
+    * fact), this sink runs [[graft.sources.Lake.mergeCommitted]] per
+    * batch, rewriting only the dirs that hold touched keys (O(touched
+    * dirs) + O(batch) per commit; a pure-insert batch writes only
+    * itself).
+    *
+    * Effectively-once needs NO applied-batch marker here: the merge
+    * always runs `guardVersions = true`, and version-guarded CDC
+    * apply is IDEMPOTENT under replay — a replayed upsert is stale
+    * against the row it already wrote (rejected), a replayed delete
+    * finds its key absent and deletes nothing, so a crash-replayed
+    * micro-batch commits no effective winners and the table version
+    * doesn't even churn. The same monotone-version contract as
+    * [[applyCdcBatch]] (checkpoint order), enforced rather than
+    * assumed. A first batch against an empty root bootstraps the
+    * table with its own winning upserts.
+    * @return the started query; caller manages lifecycle */
+  def cdcMergeSinkCommitted(incoming: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (graft.sources.Lake.currentVersion(spark, root).isEmpty) {
+          // bootstrap: the batch's own per-key winners, upserts only.
+          // An empty winner set commits nothing (no empty v0 whose
+          // schema could conflict with a later real bootstrap).
+          val empty = batch.drop(deleteCol).where(lit(false))
+          val winners = graft.operators.Cdc.applyChanges(
+            empty, batch, keyCols, versionCol, deleteCol)
+          if (!winners.isEmpty) {
+            graft.sources.Lake.commitOverwrite(winners, root)
+            ()
+          }
+        } else {
+          graft.sources.Lake.mergeCommitted(spark, root, batch, keyCols,
+            versionCol, deleteCol, guardVersions = true)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming CDC apply — the §2.8 twin of the q99 snapshot merge:
     * each micro-batch of versioned upserts+deletes folds into the
     * stored snapshot (base never shuffles — the q99 broadcast
     * anti-join shape runs per batch), effectively-once via the same
-    * applied-batch marker as [[statRefreshSink]].
+    * applied-batch marker as [[statRefreshSink]]. For a LARGE
+    * committed fact table prefer [[cdcMergeSinkCommitted]], which
+    * writes O(touched dirs) per batch instead of rewriting the
+    * snapshot.
     * @return the started query; caller manages lifecycle */
   def cdcApplySink(incoming: DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String, snapshotPath: String,

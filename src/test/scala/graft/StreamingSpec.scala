@@ -666,6 +666,61 @@ class StreamingSpec extends SparkSpec {
       .agg(sum(col("cnt"))).collect().head.getLong(0) === 2L)
   }
 
+  test("cdcMergeSinkCommitted: copy-on-write merges per micro-batch; replay is version-stable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cow").toString + "/snapshot"
+    val chk = java.nio.file.Files.createTempDirectory("graft-cow-chk").toString
+    val input = MemoryStream[Event](spark)
+    val incoming = input.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("is_delete", col("value") < 0)
+    val query = Streams.cdcMergeSinkCommitted(incoming, Seq("user_id"),
+      versionCol = "event_id", deleteCol = "is_delete",
+      root = root, checkpointDir = chk)
+    try {
+      // bootstrap batch
+      input.addData(
+        Event(10L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(11L, ts("2025-01-01 10:01:00"), 2L, "view", 2.0))
+      query.processAllAvailable()
+      assert(rows(graft.sources.Lake.readCommitted(spark, root)
+        .select("user_id", "event_id", "value")) ===
+        Set(Seq(1L, 10L, 1.0), Seq(2L, 11L, 2.0)))
+      // update user 1, retract user 2, insert user 3
+      input.addData(
+        Event(12L, ts("2025-01-01 10:02:00"), 1L, "click", 5.0),
+        Event(13L, ts("2025-01-01 10:03:00"), 2L, "gone", -1.0),
+        Event(14L, ts("2025-01-01 10:04:00"), 3L, "view", 7.0))
+      query.processAllAvailable()
+      assert(rows(graft.sources.Lake.readCommitted(spark, root)
+        .select("user_id", "event_id", "value")) ===
+        Set(Seq(1L, 12L, 5.0), Seq(3L, 14L, 7.0)))
+    } finally query.stop()
+    val vAfter = graft.sources.Lake.currentVersion(spark, root)
+    val before = rows(graft.sources.Lake.readCommitted(spark, root))
+    // crash-replay of batch 2, directly through the merge: every
+    // upsert is stale against the row it already wrote, the delete's
+    // key is already gone — version-guarded CDC apply is IDEMPOTENT,
+    // so the replay commits nothing and the version doesn't churn
+    // (effectively-once with NO applied-batch marker)
+    val replay = Seq(
+      (1L, 12L, "click", 5.0, false),
+      (2L, 13L, "gone", -1.0, true),
+      (3L, 14L, "view", 7.0, false)
+    ).toDF("user_id", "event_id", "event_type", "value", "is_delete")
+    graft.sources.Lake.mergeCommitted(spark, root, replay, Seq("user_id"),
+      "event_id", "is_delete", guardVersions = true)
+    assert(graft.sources.Lake.currentVersion(spark, root) === vAfter)
+    assert(rows(graft.sources.Lake.readCommitted(spark, root)) === before)
+    // and a genuinely new change still applies on top
+    graft.sources.Lake.mergeCommitted(spark, root,
+      Seq((3L, 15L, "view", 8.0, false))
+        .toDF("user_id", "event_id", "event_type", "value", "is_delete"),
+      Seq("user_id"), "event_id", "is_delete", guardVersions = true)
+    assert(rows(graft.sources.Lake.readCommitted(spark, root)
+      .select("user_id", "event_id", "value")) ===
+      Set(Seq(1L, 12L, 5.0), Seq(3L, 15L, 8.0)))
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
