@@ -213,6 +213,68 @@ class PropertySpec extends SparkSpec {
     assert(dirs <= live + 2 * 40, s"unbounded dir growth: $dirs dirs for $live live")
   }
 
+  test("merge/compact model check: random op sequences keep readers on the CDC model") {
+    import graft.sources.Lake
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-model")
+      .resolve("t").toString
+    val rnd = new scala.util.Random(20260814L)
+    // key → (version, payload): the per-key-last-writer-wins model a
+    // reader of the committed table must always see
+    var model = Map.empty[Long, (Long, String)]
+    var nextKey = 0L
+    var nextVer = 0L
+    def freshRows(k: Int): Seq[(Long, Long, String)] =
+      (0 until k).map { _ =>
+        nextKey += 1; nextVer += 1; (nextKey, nextVer, s"r$nextKey") }
+    def modelRows: Set[Seq[Any]] =
+      model.map { case (k, (v, t)) => Seq[Any](k, v, t) }.toSet
+    for (step <- 1 to 30) {
+      val op = if (model.isEmpty) 0 else rnd.nextInt(5)
+      op match {
+        case 0 => // append fresh keys
+          val b = freshRows(1 + rnd.nextInt(3))
+          b.foreach { case (k, v, t) => model += k -> (v, t) }
+          Lake.commitAppend(b.toDF("k", "ver", "t"), root, retain = rnd.nextInt(2))
+          ()
+        case 1 => // MERGE: update + delete existing keys, insert new
+          val existing = rnd.shuffle(model.keys.toSeq)
+          val updates = existing.take(rnd.nextInt(3)).map { k =>
+            nextVer += 1; (k, nextVer, s"u$k-$nextVer", false) }
+          val deletes = existing.drop(updates.size).take(rnd.nextInt(2)).map { k =>
+            nextVer += 1; (k, nextVer, "x", true) }
+          val inserts = freshRows(rnd.nextInt(2)).map { case (k, v, t) => (k, v, t, false) }
+          val batch = updates ++ deletes ++ inserts
+          if (batch.nonEmpty) {
+            updates.foreach { case (k, v, t, _) => model += k -> (v, t) }
+            deletes.foreach { case (k, _, _, _) => model -= k }
+            inserts.foreach { case (k, v, t, _) => model += k -> (v, t) }
+            Lake.mergeCommitted(spark, root,
+              batch.toDF("k", "ver", "t", "is_del"), Seq("k"), "ver", "is_del",
+              guardVersions = rnd.nextBoolean())
+            ()
+          }
+        case 2 => // STALE guarded merge: all changes older than stored → no-op
+          val victims = rnd.shuffle(model.toSeq).take(1 + rnd.nextInt(2))
+          val stale = victims.map { case (k, (v, _)) => (k, v - 1, "stale", rnd.nextBoolean()) }
+          Lake.mergeCommitted(spark, root,
+            stale.toDF("k", "ver", "t", "is_del"), Seq("k"), "ver", "is_del",
+            guardVersions = true)
+          ()
+        case 3 => // compaction: layout-only, model unchanged
+          Lake.compactCommitted(spark, root)
+          ()
+        case 4 => // crashed writer: orphan data dir past the live version
+          val v = Lake.currentVersion(spark, root).map(_ + 1 + rnd.nextInt(2)).getOrElse(0L)
+          freshRows(2).toDF("k", "ver", "t")
+            .write.mode("overwrite").parquet(s"$root/v$v")
+          // the orphan's rows never entered the model: nextKey moved,
+          // but a reader must not see them
+      }
+      assert(rows(Lake.readCommitted(spark, root)) === modelRows,
+        s"diverged at step $step (op $op)")
+    }
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
