@@ -927,6 +927,57 @@ object TextAnalysis {
         .where(col("cnt") * denom > lit(num) * lit(total))
   }
 
+  /** SEGMENT-LEVEL exact dedup — the sub-document granularity the
+    * C4/RefinedWeb pipelines dedup at: identical segments are removed
+    * corpus-wide (keep-first by (doc_id, seg_idx)) and each document
+    * is reassembled from its surviving segments, so boilerplate
+    * repeated ACROSS documents disappears while unique prose stays.
+    * Document-level dedup (q34) can't touch this: two documents
+    * sharing one boilerplate paragraph are not duplicates of each
+    * other.
+    *
+    * The segmenter here is fixed `segTokens`-token windows over the
+    * normalized token stream (the corpus carries no newlines); a
+    * production corpus would segment on paragraph breaks — the dedup
+    * and reassembly are segmenter-agnostic.
+    *
+    * Scale shape: the keep-first decision is ONE map-side-combinable
+    * `min(struct(doc_id, seg_idx))` per distinct segment (no window
+    * over the corpus); the winner join is 1:1 per segment occurrence
+    * and reuses the groupBy's hash partitioning on `seg`; reassembly
+    * shuffles each kept segment once, keyed by doc. A doc whose every
+    * segment lost emits `n_kept = 0` with NULL deduped text (both
+    * engines agree — string_agg over an empty filter is NULL).
+    *
+    * @return (doc_id, n_segments, n_kept, text_deduped) */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
+    val segs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFns.tokens(TextFns.normalize(col(textCol))).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(__tk) / ${segTokens}.0) as int) - 1), " +
+          s"i -> array_join(slice(__tk, i * $segTokens + 1, $segTokens), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val winners = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
+      .select(col("seg"), col("__w.doc_id").as("__wd"), col("__w.seg_idx").as("__wi"))
+    val kept = segs.join(winners, Seq("seg"))
+      .where(col("doc_id") === col("__wd") && col("seg_idx") === col("__wi"))
+    val keptPerDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),
+          " ").as("text_deduped"))
+    segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"))
+      .join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text_deduped"))
+  }
+
   /** Word n-gram frequency: top-k n-grams. Position-explode +
     * slice/concat_ws (codegen) rather than a per-row `transform`
     * (interpreted); top-k plans as TakeOrderedAndProject over the

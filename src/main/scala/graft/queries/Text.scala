@@ -1031,6 +1031,37 @@ object Text {
               / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
         .select("term", "df", "idf")
         .orderBy("term")
+    },
+
+    // Segment-level exact dedup (the C4/RefinedWeb sub-document
+    // granularity): identical 8-token segments are removed
+    // corpus-wide (keep-first by doc_id, seg_idx) and each doc
+    // reassembles from its survivors — boilerplate shared ACROSS
+    // documents disappears where doc-level dedup (q34) sees two
+    // distinct docs. Keep-first is one map-side-combinable
+    // min(struct) per distinct segment, never a corpus window; a doc
+    // losing every segment keeps its row with n_kept = 0 and NULL
+    // deduped text in both engines.
+    Q("q111_segment_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $oTok AS tk FROM documents WHERE text IS NOT NULL),
+         |segs AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS seg
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(generate_series(0, CAST(ceil(len(tk) / 8.0) AS INT) - 1)) AS i
+         |        FROM toks WHERE len(tk) > 0)),
+         |rk AS (SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segs)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |  string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1) AS text_deduped
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.segmentDedup(Tables.documents(s, d), "doc_id", "text",
+          segTokens = 8)
+        .orderBy("doc_id")
     })
 
   // ---- generated oracle SQL for the sketch operators -----------------

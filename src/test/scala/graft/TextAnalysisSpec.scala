@@ -361,4 +361,36 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.weightedSample(docs, "doc_id", col("len"), k = 0)
     }
   }
+
+  test("segmentDedup: keep-first across docs, within-doc repeats dropped, all-lost doc survives") {
+    // segTokens = 2 → segments are 2-token windows. Doc 1 owns
+    // "a b" and "c d"; doc 2 repeats "a b" (cross-doc dup) plus its
+    // own "e f"; doc 3 is entirely doc 1's content (loses everything);
+    // doc 4 repeats a segment WITHIN itself; doc 5 is NULL text.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d a b"),
+      (4L, "g h g h"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d")))        // first owner keeps all
+    assert(out(2L) === ((2L, 1L, "e f")))            // cross-doc dup removed
+    assert(out(3L) === ((2L, 0L, null)))             // lost everything, row kept
+    assert(out(4L) === ((2L, 1L, "g h")))            // within-doc repeat dropped
+    assert(!out.contains(5L))                        // NULL text excluded
+    // partial tail segment: 3 tokens → segments "x y" + "z"
+    val tail = TextAnalysis.segmentDedup(
+      Seq((9L, "x y z")).toDF("doc_id", "text"), "doc_id", "text", segTokens = 2)
+      .collect().head
+    assert(tail.getLong(1) === 2L && tail.getString(3) === "x y z")
+    // deterministic on rerun
+    val again = TextAnalysis.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .collect().map(_.toSeq).toSet
+    assert(again === TextAnalysis.segmentDedup(docs, "doc_id", "text", segTokens = 2)
+      .collect().map(_.toSeq).toSet)
+  }
 }
