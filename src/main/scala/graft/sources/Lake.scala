@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * size-targeted files through the same crash-safe staged swap the
   * dedup repair uses (write staging → keep `.bak` until live —
   * no crash point loses the table).
+  *
+  * The manifest-committed tables below additionally provide: TIME
+  * TRAVEL ([[readCommittedAt]] — retention is the read horizon),
+  * SCHEMA EVOLUTION (manifests carry the committed schema; appends
+  * merge add-nullable-column changes), per-row copy-on-write MERGE
+  * INTO ([[mergeCommitted]] — only dirs holding touched keys
+  * rewrite), and committed-table compaction ([[compactCommitted]]).
   */
 object Lake {
 
@@ -188,6 +195,20 @@ object Lake {
   private[graft] def nextVersion(spark: SparkSession, root: String): Long =
     committedVersions(fsFor(spark, root), new Path(root))
       .maxOption.map(_ + 1).getOrElse(0L)
+
+  /** Re-create the `_applied_*` effectively-once markers found in
+    * `fromDirs` inside `toDir` — maintenance ops (merge/compaction)
+    * that REPLACE version dirs must carry the streaming folds'
+    * replay-skip state forward, or a compacted stat table would
+    * silently re-open to double-folds on the next checkpoint replay.
+    * Markers are empty files; names are the state. */
+  private def preserveMarkers(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      fromDirs: Seq[String], toDir: String): Unit =
+    fromDirs.map(d => new Path(r, d)).filter(fs.exists)
+      .flatMap(d => fs.listStatus(d).toSeq)
+      .map(_.getPath.getName).distinct
+      .filter(_.startsWith("_applied_"))
+      .foreach(n => fs.create(new Path(new Path(r, toDir), n)).close())
 
   /** Merge a committed table schema with an incoming batch's: the
     * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one.
@@ -391,6 +412,9 @@ object Lake {
           latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
       val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
       rewritten.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+      // replaced dirs may hold streaming-fold replay markers — carry
+      // them into the replacement before the commit makes it live
+      preserveMarkers(fs, r, touchedDirs, s"v$next")
       commitManifest(fs, r, next, untouched :+ s"v$next", retain,
         carried.orElse(Some(rewritten.schema)))
       next
@@ -409,14 +433,26 @@ object Lake {
   def compactCommitted(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(retain >= 0, s"retain must be >= 0, got $retain")
     val fs = fsFor(spark, root)
-    val total = resolve(spark, root)
-      .flatMap(d => fs.listStatus(new Path(d)).toSeq)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val liveDirs = manifestDirs(fs, r, cur)
+    val total = liveDirs
+      .flatMap(d => fs.listStatus(new Path(r, d)).toSeq)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     require(total > 0, s"no parquet data in the live snapshot at $root")
     val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    commitOverwrite(readCommitted(spark, root).repartition(n), root, retain)
+    val df = readCommittedAt(spark, root, cur).repartition(n)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    // the collapsed snapshot replaces EVERY live dir — carry their
+    // streaming-fold replay markers forward (see preserveMarkers)
+    preserveMarkers(fs, r, liveDirs, s"v$next")
+    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema))
+    next
   }
 
   /** Number of parquet data files currently under `path`. */

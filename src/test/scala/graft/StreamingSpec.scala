@@ -721,6 +721,31 @@ class StreamingSpec extends SparkSpec {
       Set(Seq(1L, 12L, 5.0), Seq(3L, 15L, 8.0)))
   }
 
+  test("lake maintenance on a fold table preserves the effectively-once markers") {
+    val statPath = java.nio.file.Files.createTempDirectory("graft-compact-fold").toString + "/stats.parquet"
+    assert(Streams.applyStatBatch(
+      Seq(Event(1L, ts("2025-01-01 10:00:00"), 1L, "click", 1.0)).toDF(),
+      0L, Seq("event_type"), "value", statPath))
+    assert(Streams.applyStatBatch(
+      Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0)).toDF(),
+      1L, Seq("event_type"), "value", statPath))
+    val before = rows(graft.sources.Lake.readCommitted(spark, statPath))
+    // compaction replaces the fold's version dir — the replay marker
+    // must ride along, or the table silently re-opens to double-folds
+    graft.sources.Lake.compactCommitted(spark, statPath)
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === before)
+    // crash-replay of the already-applied batch still SKIPS...
+    assert(!Streams.applyStatBatch(
+      Seq(Event(2L, ts("2025-01-01 10:01:00"), 1L, "view", 2.0)).toDF(),
+      1L, Seq("event_type"), "value", statPath))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === before)
+    // ...and a genuinely new batch folds on top
+    assert(Streams.applyStatBatch(
+      Seq(Event(3L, ts("2025-01-01 10:02:00"), 2L, "click", 4.0)).toDF(),
+      2L, Seq("event_type"), "value", statPath))
+    assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) !== before)
+  }
+
   test("dedupWithinWatermark drops key repeats inside the horizon") {
     val input = MemoryStream[Event](spark)
     val query = Streams.dedupWithinWatermark(input.toDF(), Seq("event_id"), "2 hours")
