@@ -326,6 +326,37 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)) === before)
   }
 
+  test("evolution x merge x time travel: a merge on an evolved table keeps every story straight") {
+    val root = tmpTable("graft-lake-combo")
+    // v0: original schema; v1: append evolves the schema (+score)
+    assert(Lake.commitAppend(Seq((1L, 10L, "a")).toDF("k", "ver", "t"), root, retain = 3) === 0L)
+    assert(Lake.commitAppend(
+      Seq((2L, 11L, "b", 0.5)).toDF("k", "ver", "t", "score"), root, retain = 3) === 1L)
+    // v2: MERGE on the evolved table — changes carry the full evolved
+    // schema; the update touches k=1, whose pre-evolution dir rewrites
+    // under the carried schema (NULL score backfill happens BEFORE the
+    // fold, so the winner's non-NULL score lands cleanly)
+    val changes = Seq(
+      (1L, 20L, "A", 0.9, false), (3L, 21L, "c", 0.1, false)
+    ).toDF("k", "ver", "t", "score", "is_del")
+    assert(Lake.mergeCommitted(spark, root, changes, Seq("k"), "ver", "is_del",
+      retain = 3) === 2L)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 20L, "A", 0.9), Seq(2L, 11L, "b", 0.5), Seq(3L, 21L, "c", 0.1)))
+    // time travel: pre-merge sees the evolved-but-unmerged table,
+    // pre-evolution sees the original two-column schema
+    assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
+      Set(Seq(1L, 10L, "a", null), Seq(2L, 11L, "b", 0.5)))
+    val v0 = Lake.readCommittedAt(spark, root, 0L)
+    assert(v0.columns.toSeq === Seq("k", "ver", "t"))
+    assert(rows(v0) === Set(Seq(1L, 10L, "a")))
+    // compaction preserves the evolved schema and all rows
+    Lake.compactCommitted(spark, root, retain = 3)
+    assert(Lake.readCommitted(spark, root).columns.toSeq === Seq("k", "ver", "t", "score"))
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 20L, "A", 0.9), Seq(2L, 11L, "b", 0.5), Seq(3L, 21L, "c", 0.1)))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")

@@ -275,6 +275,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup equals the brute-force keep-first model on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c", "d") // tiny vocab → frequent segment collisions
+    for (trial <- 1 to 5) {
+      val segTokens = 1 + rnd.nextInt(3)
+      val docs = (0L until (5 + rnd.nextInt(10))).map { id =>
+        id -> (0 until (1 + rnd.nextInt(12)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // brute-force model: segments in (doc_id, seg_idx) order, first
+      // occurrence of each distinct segment text wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val model = docs.map { case (id, text) =>
+        val segs = text.split(" ").grouped(segTokens).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(s => seen.add(s))
+        (id, segs.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) null else kept.mkString(" "))
+      }.toSet
+      val out = graft.operators.TextAnalysis.segmentDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", segTokens)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      assert(out === model, s"trial $trial segTokens=$segTokens")
+    }
+  }
+
   test("classification is total: one label per doc, default included") {
     val dict = Seq("alpha" -> "x", "beta" -> "y").toDF("word", "label")
     val docs = samples(textGen, 200).zipWithIndex
