@@ -337,7 +337,10 @@ object Newsmaper {
       .persist()
     try {
       val appended = fresh.count()
-      if (appended > 0) graft.sources.Lake.commitAppend(fresh, root)
+      // the count is already paid — carry it so the committed table
+      // answers count(*) from the manifest alone
+      if (appended > 0)
+        graft.sources.Lake.commitAppend(fresh, root, rowCount = Some(appended))
       appended
     } finally { fresh.unpersist(); () }
   }

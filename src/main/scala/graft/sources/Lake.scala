@@ -107,6 +107,21 @@ object Lake {
         .fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // `#rows=<n>` — the snapshot's exact row count, carried when the
+  // writer knows it (a load counts its fresh rows anyway; an append
+  // adds the batch to the previous snapshot's count; compaction is
+  // row-preserving). Metadata-only `count(*)`: on a 100 TB table the
+  // count answers from ONE manifest read instead of a full scan.
+  // Absent when a writer could not know it cheaply (e.g. a merge with
+  // deletes) — honesty over a counting job; the chain resumes at the
+  // next counted commit.
+  private val RowsPrefix = "#rows="
+
+  private def manifestRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Option[Long] =
+    manifestBody(fs, r, v).find(_.startsWith(RowsPrefix))
+      .flatMap(_.stripPrefix(RowsPrefix).toLongOption)
+
   /** Highest committed version at `root` whose snapshot is fully
     * present, if any. Manifests referencing lost data dirs are
     * ignored defensively (cannot arise from the protocol — the
@@ -186,6 +201,21 @@ object Lake {
     readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root")))
 
+  /** Metadata-only exact `count(*)` of the live snapshot: one
+    * manifest read, no scan — at 100 TB the difference between free
+    * and a full-table job. None when the writer chain could not carry
+    * the count (fall back to `readCommitted(...).count()`). */
+  def countCommitted(spark: SparkSession, root: String): Option[Long] =
+    currentVersion(spark, root)
+      .flatMap(v => manifestRows(fsFor(spark, root), new Path(root), v))
+
+  /** [[countCommitted]] for a time-travel version. */
+  def countCommittedAt(spark: SparkSession, root: String, version: Long): Option[Long] = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(new Path(root), s"_commit_$version"))) None
+    else manifestRows(fs, new Path(root), version)
+  }
+
   /** Next safe version number: past EVERY committed marker, including
     * defensively-ignored ones whose data dirs are lost — such a
     * manifest still owns its number, and renaming a new manifest onto
@@ -251,10 +281,12 @@ object Lake {
 
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       version: Long, dirs: Seq[String], retain: Int,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      rows: Option[Long] = None): Unit = {
     val tmp = new Path(r, s"_commit_$version.tmp")
     val out = fs.create(tmp, true)
-    val body = dirs ++ schema.map(s => SchemaPrefix + s.json)
+    val body = dirs ++ schema.map(s => SchemaPrefix + s.json) ++
+      rows.map(n => RowsPrefix + n)
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
@@ -287,7 +319,7 @@ object Lake {
     * manifest rename — no reader-visible gap at any crash point (see
     * protocol above). Returns the committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1): Long = {
+      retain: Int = 1, rowCount: Option[Long] = None): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -299,7 +331,7 @@ object Lake {
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema))
+    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount)
     next
   }
 
@@ -310,7 +342,7 @@ object Lake {
     * snapshots atomically. First commit on an empty root bootstraps
     * the table. Returns the committed version. */
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1): Long = {
+      retain: Int = 1, rowCount: Option[Long] = None): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -328,8 +360,17 @@ object Lake {
       .orElse(cur.map(v => spark.read.parquet(
         manifestDirs(fs, r, v).map(d => new Path(r, d).toString): _*).schema))
     val schema = prevSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+    // the appended snapshot's count = previous + batch, when the
+    // caller supplied the batch count AND the chain carried one
+    // (bootstrap: the batch count alone)
+    val rows = rowCount.flatMap { n =>
+      cur match {
+        case Some(v) => manifestRows(fs, r, v).map(_ + n)
+        case None    => Some(n)
+      }
+    }
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema))
+    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows)
     next
   }
 
@@ -451,7 +492,9 @@ object Lake {
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
     preserveMarkers(fs, r, liveDirs, s"v$next")
-    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema))
+    // compaction is row-preserving: the previous count carries over
+    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
+      manifestRows(fs, r, cur))
     next
   }
 

@@ -403,7 +403,9 @@ object Streams {
           .newRows(batch.dropDuplicates(keys), existing, keys)
           .persist()
         try {
-          if (fresh.count() > 0) graft.sources.Lake.commitAppend(fresh, root)
+          val n = fresh.count()
+          if (n > 0)
+            graft.sources.Lake.commitAppend(fresh, root, rowCount = Some(n))
           ()
         } finally { fresh.unpersist(); () }
       }

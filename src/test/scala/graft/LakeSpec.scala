@@ -357,6 +357,38 @@ class LakeSpec extends SparkSpec {
       Set(Seq(1L, 20L, "A", 0.9), Seq(2L, 11L, "b", 0.5), Seq(3L, 21L, "c", 0.1)))
   }
 
+  test("countCommitted: metadata-only count tracks loads, survives compaction, honest on merge") {
+    val root = tmpTable("graft-lake-count")
+    val b1 = Seq((1L, 10L, 100L, "t1"), (2L, 11L, 101L, "t2"))
+      .toDF("id", "id_source", "id_date", "title")
+    assert(graft.newsmaper.Newsmaper.loadToCommitted(b1, root) === 2L)
+    // count(*) answers from the manifest alone — no scan
+    assert(Lake.countCommitted(spark, root) === Some(2L))
+    val b2 = Seq((3L, 12L, 102L, "t3")).toDF("id", "id_source", "id_date", "title")
+    assert(graft.newsmaper.Newsmaper.loadToCommitted(b2, root) === 1L)
+    assert(Lake.countCommitted(spark, root) === Some(3L))
+    assert(Lake.countCommitted(spark, root) ===
+      Some(Lake.readCommitted(spark, root).count()))
+    // time travel: the old snapshot keeps its own count
+    val vs = Lake.readableVersions(spark, root)
+    assert(Lake.countCommittedAt(spark, root, vs.head) === Some(2L))
+    // compaction is row-preserving: the count carries over
+    Lake.compactCommitted(spark, root)
+    assert(Lake.countCommitted(spark, root) === Some(3L))
+    // a merge (deletes possible) cannot know its count cheaply —
+    // honesty over a counting job: None, fall back to a scan
+    Lake.mergeCommitted(spark, root,
+      Seq((2L, 99L, 101L, "gone", true))
+        .toDF("id", "id_source", "id_date", "title", "is_del"),
+      Seq("id"), "id_source", "is_del")
+    assert(Lake.countCommitted(spark, root) === None)
+    assert(Lake.readCommitted(spark, root).count() === 2L)
+    // the chain resumes at the next counted commit
+    val df = Lake.readCommitted(spark, root)
+    Lake.commitOverwrite(df, root, rowCount = Some(df.count()))
+    assert(Lake.countCommitted(spark, root) === Some(2L))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
