@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, NewsmaperE2E, Q, Relational, Text, Vectors}
+import graft.queries.{Events, Lakehouse, NewsmaperE2E, Q, Relational, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{Events, NewsmaperE2E, Q, Relational, Text, Vectors}
 object SparkEntry {
 
   val catalog: Seq[Q] = {
-    val all = Relational.all ++ Events.all ++ Text.all ++ Vectors.all ++ NewsmaperE2E.all
+    val all = Relational.all ++ Events.all ++ Text.all ++ Vectors.all ++
+      NewsmaperE2E.all ++ Lakehouse.all
     // .toMap below keeps the LAST entry per name — a name collision
     // across the four catalog files would silently drop a query from
     // both verification and bench; fail loudly instead

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.sources.{Lake, Tables}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-layer queries: operators whose subject is the committed
+  * TABLE FORMAT itself (manifest snapshots, stats, change feeds), not
+  * the rows. Each builds a deterministic committed table from the
+  * harness parquet under a scratch root, exercises the lake read path,
+  * and oracles against plain SQL over the SAME base parquet — so the
+  * commit/stat/feed machinery is under the hash, not just spec'd.
+  *
+  * The reference's lake story is a plain parquet dir per table
+  * (/root/reference/dags/Load.py:6-9, Main.py:28-47); these queries
+  * are the at-scale completion of that story (SURVEY.md §8).
+  */
+object Lakehouse {
+
+  /** Deterministic scratch root per (query, sf-dir); wiped before each
+    * build so replays commit the identical version chain. */
+  private def scratchRoot(tag: String, sfDir: String): String = {
+    val f = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_${tag}_" + Integer.toHexString(sfDir.hashCode))
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    if (f.exists) rm(f)
+    f.toString
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Manifest-stats data skipping: the documents table committed as
+    // four key-ranged append batches (statsCols=doc_id), then a range
+    // predicate read through readCommittedWhere — the pruner drops
+    // every dir whose [min,max] excludes the range BEFORE the scan
+    // plans (LakeSpec asserts the dir-level skipping; here the WHOLE
+    // path — commit, stats lines, prune, carried-schema read, residual
+    // filter — is under the oracle hash). At 100 TB on a key- or
+    // time-ordered ingest this is the difference between scanning the
+    // table and scanning the two dirs that can match.
+    Q("q112_lake_skipping",
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 219
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_skip", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      // four contiguous key ranges — the layout an ordered ingest
+      // produces; bounds derive from the data so every SF splits 4-way
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("doc_id"))
+        ()
+      }
+      Lake.readCommittedWhere(s, root, col("doc_id").between(100L, 219L))
+        .orderBy("doc_id")
+    },
+
+    // Manifest change feed: a committed orders table (v0) takes one
+    // CDC merge batch — updates (+1000 price, version bump), deletes,
+    // inserts — and changesBetween(v0, v1) must recover EXACTLY that
+    // batch's net effect from the snapshot dir-sets alone: the merge
+    // rewrote whole touched dirs, so the feed's job is separating
+    // real changes from carried-over rewrites (null-safe column
+    // compare) without reading the untouched dirs. The oracle
+    // recomputes the three change classes independently from base
+    // parquet. At 100 TB this is the incremental-consumer primitive:
+    // downstreams fold O(changed dirs) instead of re-scanning.
+    Q("q113_lake_changefeed",
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |           FROM orders),
+        |ins AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |          CAST(1 AS BIGINT) AS ver, 'insert' AS change_type
+        |        FROM o WHERE o_orderkey % 11 = 3),
+        |upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |          o_orderstatus, CAST(1 AS BIGINT) AS ver,
+        |          'update_postimage' AS change_type
+        |        FROM o WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |          AND o_orderkey % 11 <> 3),
+        |del AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |          CAST(0 AS BIGINT) AS ver, 'delete' AS change_type
+        |        FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |          AND o_orderkey % 11 <> 3)
+        |SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_cdc", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val key = col("o_orderkey")
+      // v0: everything except the %11==3 keys (they arrive as inserts),
+      // spread over four ranged dirs so the merge touches a subset
+      val base = orders.where(pmod(key, lit(11)) =!= 3).withColumn("ver", lit(0L))
+      val maxId = orders.agg(max(key)).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          base.where(key >= b * step && key < (b + 1) * step), root, retain = 3,
+          statsCols = Seq("o_orderkey"))
+        ()
+      }
+      // v1 = one CDC merge: disjoint update/delete sets + fresh inserts
+      val ups = orders
+        .where(pmod(key, lit(5)) === 0 && pmod(key, lit(7)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val dels = orders
+        .where(pmod(key, lit(7)) === 0 && pmod(key, lit(5)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+      val ins = orders.where(pmod(key, lit(11)) === 3)
+      val changes = ups.withColumn("is_del", lit(false))
+        .unionByName(dels.withColumn("is_del", lit(true)))
+        .unionByName(ins.withColumn("is_del", lit(false)))
+        .withColumn("ver", lit(1L))
+      val v1 = Lake.mergeCommitted(s, root, changes, Seq("o_orderkey"),
+        "ver", "is_del", retain = 3)
+      Lake.changesBetween(s, root, v1 - 1, v1, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    })
+}

@@ -107,6 +107,338 @@ object Lake {
         .fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // ---- per-dir column statistics (data skipping) -------------------
+  //
+  // `#statscols=<c1,c2>` names the table's STAT COLUMNS (established by
+  // the first commit passing `statsCols`, inherited by every later
+  // commit), and one `#stats_<dir>=<json>` line per data dir carries
+  // that dir's min/max per stat column. This is Delta/Iceberg-style
+  // file-level data skipping at snapshot-dir granularity: a predicate
+  // read ([[readCommittedWhere]]) drops every dir whose range provably
+  // excludes the filter BEFORE the scan plans, so a time- or
+  // key-ordered 100 TB table answers a range query from the dirs that
+  // can match — manifest-read cost, zero data I/O for skipped dirs.
+  // Stats are an OPTIMIZATION ONLY: the full predicate is still
+  // applied to the surviving dirs, a dir without stats is always kept,
+  // and a conjunct the pruner doesn't understand is ignored — so
+  // correctness never depends on the stats being present or complete.
+  //
+  // Values normalize to two comparable kinds: NUMBERS (integrals,
+  // float/double, decimal, and date/timestamp via their Catalyst
+  // internal day/micros form) compared as BigDecimal, and STRINGS
+  // compared in UTF8String binary order — the same order parquet
+  // footers and Spark's min/max use, so driver-side pruning agrees
+  // with executor-side semantics on non-ASCII data. NaN/Infinity
+  // refuse normalization and simply drop that column's stats for the
+  // dir (conservative, never wrong).
+  private val StatsColsPrefix = "#statscols="
+  private val StatsPrefix = "#stats_"
+
+  private[graft] sealed trait NormVal
+  private[graft] final case class NumV(v: BigDecimal) extends NormVal
+  private[graft] final case class StrV(v: org.apache.spark.unsafe.types.UTF8String)
+    extends NormVal
+
+  private def cmpNorm(a: NormVal, b: NormVal): Option[Int] = (a, b) match {
+    case (NumV(x), NumV(y)) => Some(x.compare(y))
+    case (StrV(x), StrV(y)) => Some(x.compareTo(y))
+    case _                  => None
+  }
+
+  /** Catalyst-INTERNAL literal value -> normalized, by declared type.
+    * `functions.lit` converts external values eagerly, so dates arrive
+    * as Int days and timestamps as Long micros already. */
+  private def normLit(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[NormVal] = {
+    import org.apache.spark.sql.types._
+    if (value == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
+        Some(NumV(BigDecimal(value.toString)))
+      case FloatType | DoubleType =>
+        scala.util.Try(BigDecimal(value.toString)).toOption.map(NumV)
+      case _: DecimalType => value match {
+        case d: Decimal => Some(NumV(BigDecimal(d.toJavaBigDecimal)))
+        case other => scala.util.Try(BigDecimal(other.toString)).toOption.map(NumV)
+      }
+      case StringType => value match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(StrV(u))
+        case s: String =>
+          Some(StrV(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** EXTERNAL value (from a collected stats row) -> normalized. */
+  private def normExternal(value: Any): Option[NormVal] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    value match {
+      case null => None
+      case d: java.lang.Double =>
+        scala.util.Try(BigDecimal(d.toString)).toOption.map(NumV)
+      case f: java.lang.Float =>
+        scala.util.Try(BigDecimal(f.toString)).toOption.map(NumV)
+      case bd: java.math.BigDecimal => Some(NumV(BigDecimal(bd)))
+      case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+                _: java.lang.Byte) => Some(NumV(BigDecimal(n.toString)))
+      case s: String =>
+        Some(StrV(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      case d: java.sql.Date => Some(NumV(BigDecimal(DateTimeUtils.fromJavaDate(d))))
+      case t: java.sql.Timestamp =>
+        Some(NumV(BigDecimal(DateTimeUtils.fromJavaTimestamp(t))))
+      case d: java.time.LocalDate =>
+        Some(NumV(BigDecimal(DateTimeUtils.localDateToDays(d))))
+      case i: java.time.Instant => Some(NumV(BigDecimal(DateTimeUtils.instantToMicros(i))))
+      case l: java.time.LocalDateTime =>
+        Some(NumV(BigDecimal(DateTimeUtils.localDateTimeToMicros(l))))
+      case _ => None
+    }
+  }
+
+  private def statsJson(m: Map[String, (NormVal, NormVal)]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      val arr = om.createArrayNode()
+      val node = om.createObjectNode()
+      (lo, hi) match {
+        case (NumV(a), NumV(b)) =>
+          arr.add(a.toString); arr.add(b.toString)
+          node.set[com.fasterxml.jackson.databind.JsonNode]("n", arr)
+        case (StrV(a), StrV(b)) =>
+          arr.add(a.toString); arr.add(b.toString)
+          node.set[com.fasterxml.jackson.databind.JsonNode]("s", arr)
+        case _ => node // mixed kinds cannot arise from one column; drop
+      }
+      if (!node.isEmpty)
+        root.set[com.fasterxml.jackson.databind.JsonNode](c, node)
+      ()
+    }
+    om.writeValueAsString(root)
+  }
+
+  private def parseStatsJson(json: String): Map[String, (NormVal, NormVal)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = scala.util.Try(om.readTree(json)).getOrElse(return Map.empty)
+    val it = root.properties().iterator()
+    val out = Map.newBuilder[String, (NormVal, NormVal)]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (v.has("n") && v.get("n").size == 2)
+        scala.util.Try((
+          NumV(BigDecimal(v.get("n").get(0).asText)),
+          NumV(BigDecimal(v.get("n").get(1).asText))
+        )).foreach(out += e.getKey -> _)
+      else if (v.has("s") && v.get("s").size == 2)
+        out += e.getKey -> ((
+          StrV(org.apache.spark.unsafe.types.UTF8String.fromString(v.get("s").get(0).asText)),
+          StrV(org.apache.spark.unsafe.types.UTF8String.fromString(v.get("s").get(1).asText))))
+    }
+    out.result()
+  }
+
+  /** Raw `#stats_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private def manifestStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(StatsPrefix) && l.indexOf('=') > StatsPrefix.length =>
+        val i = l.indexOf('=')
+        l.substring(StatsPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  private def manifestStatsCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(StatsColsPrefix))
+      .map(_.stripPrefix(StatsColsPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** The table's established stat columns: `statsCols` when the caller
+    * names them on this commit, else inherited from the last committed
+    * manifest. Simple column names only — the list rides a
+    * comma-separated manifest line. */
+  private def effectiveStatsCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      statsCols: Seq[String]): Seq[String] = {
+    statsCols.foreach(c => require(!c.exists("=,\n#".contains(_)),
+      s"stat column name '$c' may not contain '=', ',', '#', or newline"))
+    if (statsCols.nonEmpty) statsCols
+    else committedVersions(fs, r).lastOption
+      .map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil)
+  }
+
+  /** min/max stats of the freshly-written dir on `cols`, as the
+    * manifest JSON. Cost is O(this dir): the read enables parquet
+    * MIN/MAX aggregate pushdown, so on supported types it answers from
+    * the footers the write just produced — metadata, not a re-scan.
+    * Columns absent from the dir's schema, all-NULL, or with
+    * un-normalizable extremes (NaN/Infinity) drop out (kept dirs are
+    * the safe default). */
+  private def dirStatsJson(spark: SparkSession, dirPath: String,
+      cols: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.functions.{max, min}
+    if (cols.isEmpty) return None
+    val key = "spark.sql.parquet.aggregatePushDown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(dirPath)
+      val present = cols.filter(df.columns.contains)
+      if (present.isEmpty) return Some("{}")
+      val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
+      val row = df.agg(aggs.head, aggs.drop(1): _*).collect().head
+      val m = present.zipWithIndex.flatMap { case (c, i) =>
+        for {
+          lo <- normExternal(row.get(2 * i))
+          hi <- normExternal(row.get(2 * i + 1))
+          if cmpNorm(lo, hi).isDefined
+        } yield c -> ((lo, hi))
+      }.toMap
+      Some(statsJson(m))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  // -- predicate -> prunable conjuncts --------------------------------
+
+  private sealed trait POp
+  private case object PEq extends POp
+  private case object PLt extends POp
+  private case object PLe extends POp
+  private case object PGt extends POp
+  private case object PGe extends POp
+  private final case class Pred(col: String, op: POp, values: Seq[NormVal])
+
+  private def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+    case _ => None
+  }
+
+  /** The conjuncts of `e` this pruner understands: comparisons and IN
+    * between a bare column and literals. Anything else (OR trees,
+    * casts, function calls, IS NULL, subqueries) contributes no
+    * conjunct — pruning quietly weakens, never strengthens. */
+  private def extractPreds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Pred] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit1(x: Expression): Option[NormVal] = x match {
+      case Literal(v, dt) => normLit(v, dt)
+      case _ => None
+    }
+    def cmp(a: Expression, b: Expression, op: POp, flip: POp): Seq[Pred] =
+      (attrName(a), lit1(b), attrName(b), lit1(a)) match {
+        case (Some(c), Some(v), _, _) => Seq(Pred(c, op, Seq(v)))
+        case (_, _, Some(c), Some(v)) => Seq(Pred(c, flip, Seq(v)))
+        case _ => Nil
+      }
+    def inPred(a: Expression, vs: Seq[Expression]): Seq[Pred] =
+      (attrName(a), vs.map(lit1)) match {
+        case (Some(c), lits) if lits.nonEmpty && lits.forall(_.isDefined) =>
+          Seq(Pred(c, PEq, lits.flatten))
+        case _ => Nil
+      }
+    e match {
+      case And(a, b) => extractPreds(a) ++ extractPreds(b)
+      case EqualTo(a, b)            => cmp(a, b, PEq, PEq)
+      case EqualNullSafe(a, b)      => cmp(a, b, PEq, PEq)
+      case LessThan(a, b)           => cmp(a, b, PLt, PGt)
+      case LessThanOrEqual(a, b)    => cmp(a, b, PLe, PGe)
+      case GreaterThan(a, b)        => cmp(a, b, PGt, PLt)
+      case GreaterThanOrEqual(a, b) => cmp(a, b, PGe, PLe)
+      case In(a, vs) if vs.nonEmpty => inPred(a, vs)
+      // sql-api Columns build operators as UNRESOLVED FUNCTION CALLS
+      // ("=", "and", "in", …) — the shape the classic converter emits
+      // for a `col("k") === 250` tree before analysis
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 =>
+        (f.nameParts.head.toLowerCase, f.arguments) match {
+          case ("and", Seq(a, b))         => extractPreds(a) ++ extractPreds(b)
+          case ("=" | "==" | "<=>", Seq(a, b)) => cmp(a, b, PEq, PEq)
+          case ("<", Seq(a, b))           => cmp(a, b, PLt, PGt)
+          case ("<=", Seq(a, b))          => cmp(a, b, PLe, PGe)
+          case (">", Seq(a, b))           => cmp(a, b, PGt, PLt)
+          case (">=", Seq(a, b))          => cmp(a, b, PGe, PLe)
+          case ("in", a +: vs)            => inPred(a, vs)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Can `p` provably select NOTHING from a dir whose stat range for
+    * `p.col` is [lo, hi]? NULL rows never satisfy a comparison, so a
+    * range over the non-NULL values is sufficient evidence. */
+  private def predExcludes(lo: NormVal, hi: NormVal, p: Pred): Boolean = p.op match {
+    case PEq => p.values.forall(v =>
+      (for (a <- cmpNorm(v, lo); b <- cmpNorm(v, hi)) yield a < 0 || b > 0)
+        .getOrElse(false))
+    case PLt => cmpNorm(lo, p.values.head).exists(_ >= 0)
+    case PLe => cmpNorm(lo, p.values.head).exists(_ > 0)
+    case PGt => cmpNorm(hi, p.values.head).exists(_ <= 0)
+    case PGe => cmpNorm(hi, p.values.head).exists(_ < 0)
+  }
+
+  /** (kept, skipped) dirs of the live snapshot under `predicate` —
+    * the pruning decision [[readCommittedWhere]] acts on, exposed for
+    * the spec to assert skipping actually happens. */
+  private[graft] def pruneDirs(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val dirs = manifestDirs(fs, r, cur)
+    val stats = manifestStatsRaw(fs, r, cur)
+    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    if (preds.isEmpty) (dirs, Nil)
+    else dirs.partition { d =>
+      stats.get(d).map(parseStatsJson) match {
+        case Some(st) => !preds.exists(p =>
+          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) })
+        case None => true // unstat'd dir: always kept
+      }
+    }
+  }
+
+  /** Predicate read with manifest-stats data skipping: scans only the
+    * live snapshot's dirs whose min/max ranges can satisfy
+    * `predicate`, then applies the FULL predicate to what it reads —
+    * dirs without stats are kept and non-understood conjuncts are
+    * ignored, so the result always equals
+    * `readCommitted(...).where(predicate)`; only the I/O shrinks. On a
+    * key- or time-ordered append table a selective range read goes
+    * from O(table) to O(matching dirs) with one manifest read of
+    * planning cost. */
+  def readCommittedWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val (kept, _) = pruneDirs(spark, root, predicate)
+    val schemaOpt = manifestSchema(fs, r, cur)
+    val base =
+      if (kept.isEmpty) {
+        val s = schemaOpt.getOrElse(spark.read.parquet(
+          manifestDirs(fs, r, cur).map(d => new Path(r, d).toString): _*).schema)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+      } else {
+        val paths = kept.map(d => new Path(r, d).toString)
+        schemaOpt match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+      }
+    base.where(predicate)
+  }
+
   // `#rows=<n>` — the snapshot's exact row count, carried when the
   // writer knows it (a load counts its fresh rows anyway; an append
   // adds the batch to the previous snapshot's count; compaction is
@@ -201,6 +533,119 @@ object Lake {
     readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root")))
 
+  /** CHANGE FEED: the exact NET row-level changes that turn snapshot
+    * `fromVersion` into snapshot `toVersion` — each output row is a
+    * `toVersion`-schema row plus `change_type` ∈ `insert` /
+    * `update_postimage` (the new image) / `delete` (the old image).
+    * This is what an incremental downstream (a stat fold, a stored
+    * index, a replica) consumes instead of re-reading the table;
+    * composing `Cdc.applyChanges` over the feed replays one committed
+    * table into another.
+    *
+    * Derivation rides the manifest protocol instead of write-time
+    * change files: version dirs are IMMUTABLE, so every changed row
+    * lives in a dir the two snapshots do NOT share. The diff reads
+    * only `dirs(from) Δ dirs(to)` — O(touched dirs), never O(table),
+    * for append chains (removed side empty: pure inserts, no join at
+    * all), merges (the touched-dir rewrites), and compactions
+    * (row-preserving: every carried row pairs up equal and drops
+    * out). An OVERWRITE in the range degenerates to a full two-sided
+    * diff — still exact, priced honestly at O(both snapshots).
+    *
+    * Contract (same as [[mergeCommitted]] / `Cdc.applyChanges`):
+    * `keyCols` identify a row uniquely within each snapshot. Rows
+    * pair by key; paired rows compare null-safely column by column
+    * under the `toVersion` schema (evolution only ADDS nullable
+    * columns, so old dirs read under it with NULL backfill; a column
+    * an overwrite dropped is invisible to the diff by construction).
+    * MapType columns are refused — Spark cannot compare maps; feed
+    * tables carry exploded pairs instead. */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    // both endpoints must be readable — reuse the time-travel
+    // resolution (fails fast naming the horizon when pruned)
+    val to = readCommittedAt(spark, root, toVersion)
+    val toSchema = to.schema
+    keyCols.foreach(k => require(toSchema.fieldNames.contains(k),
+      s"key column '$k' not in the version-$toVersion schema " +
+        toSchema.fieldNames.mkString("[", ", ", "]")))
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    toSchema.fields.foreach(f => require(!hasMap(f.dataType),
+      s"changesBetween cannot compare MapType column '${f.name}' — " +
+        "store exploded (key, value) pairs instead"))
+    if (fromVersion == toVersion)
+      return to.limit(0).withColumn("change_type", lit(""))
+    readCommittedAt(spark, root, fromVersion) // horizon check only
+    val fromDirs = manifestDirs(fs, r, fromVersion).toSet
+    val toDirs = manifestDirs(fs, r, toVersion).toSet
+    val removed = (fromDirs -- toDirs).toSeq.sorted
+    val added = (toDirs -- fromDirs).toSeq.sorted
+    def readDirs(dirs: Seq[String]) =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), toSchema)
+      else spark.read.schema(toSchema) // shared superset schema (see contract)
+        .parquet(dirs.map(d => new Path(r, d).toString): _*)
+    val newSide = readDirs(added)
+    if (removed.isEmpty) // append-only fast path: every added row is an insert
+      return newSide.withColumn("change_type", lit("insert"))
+    val oldSide = readDirs(removed)
+    val valueCols = toSchema.fieldNames.filterNot(keyCols.contains).toSeq
+    val o = oldSide.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(toSchema.fieldNames.map(col).toSeq: _*).as("__old"))
+    val n = newSide.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(toSchema.fieldNames.map(col).toSeq: _*).as("__new"))
+    val sameRow = valueCols
+      .map(c => col("__old").getField(c) <=> col("__new").getField(c))
+      .foldLeft(lit(true))(_ && _)
+    // one key-shuffle over the CHANGED dirs only; carried-over rows
+    // (a merge rewrites whole touched dirs, a compaction rewrites the
+    // snapshot) pair up equal and drop out here
+    val joined = o.join(n, Seq("__k"), "full_outer")
+    val img = when(col("__new").isNotNull, col("__new")).otherwise(col("__old"))
+    joined.select(
+        img.as("__row"),
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(!sameRow, "update_postimage")
+          .as("change_type"))
+      .where(col("change_type").isNotNull)
+      .select(toSchema.fieldNames.map(f => col("__row").getField(f).as(f)).toSeq :+
+        col("change_type"): _*)
+  }
+
+  /** Cursor pull for incremental consumers: the changes committed
+    * after `lastSeen` (None = never read → the full live snapshot as
+    * inserts), with the version the cursor should advance to. None
+    * when there is nothing new. Poll + fold + persist the returned
+    * version = an incremental reader of a committed table, the batch
+    * dual of the streaming sinks (`Streams.statRefreshSink`). */
+  def changesSince(spark: SparkSession, root: String, lastSeen: Option[Long],
+      keyCols: Seq[String]): Option[(org.apache.spark.sql.DataFrame, Long)] = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    lastSeen match {
+      case None => Some((readCommitted(spark, root)
+        .withColumn("change_type", lit("insert")), cur))
+      case Some(v) if v >= cur => None
+      case Some(v) => Some((changesBetween(spark, root, v, cur, keyCols), cur))
+    }
+  }
+
   /** Metadata-only exact `count(*)` of the live snapshot: one
     * manifest read, no scan — at 100 TB the difference between free
     * and a full-table job. None when the writer chain could not carry
@@ -282,11 +727,31 @@ object Lake {
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       version: Long, dirs: Seq[String], retain: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      rows: Option[Long] = None): Unit = {
+      rows: Option[Long] = None,
+      newStats: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Unit = {
+    // stats carry: a dir REUSED from the previous snapshot keeps its
+    // stats line verbatim (immutable dir, immutable range); only dirs
+    // this commit wrote get fresh lines. Resolved BEFORE the rename
+    // makes this version the latest.
+    val prevV = committedVersions(fs, r).lastOption
+    val prevStats = prevV
+      .map(v => manifestStatsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val statsLines = dirs.flatMap(d =>
+      newStats.get(d).orElse(prevStats.get(d)).map(j => StatsPrefix + d + "=" + j))
+    // the stat-column line itself inherits too, so a commit path that
+    // computes no stats (e.g. the streaming fold's commitVersion)
+    // doesn't sever the chain — its new dir is merely unstat'd
+    val effCols =
+      if (statsCols.nonEmpty) statsCols
+      else prevV.map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil)
     val tmp = new Path(r, s"_commit_$version.tmp")
     val out = fs.create(tmp, true)
     val body = dirs ++ schema.map(s => SchemaPrefix + s.json) ++
-      rows.map(n => RowsPrefix + n)
+      rows.map(n => RowsPrefix + n) ++
+      (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))
+       else Nil) ++
+      statsLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
@@ -319,7 +784,8 @@ object Lake {
     * manifest rename — no reader-visible gap at any crash point (see
     * protocol above). Returns the committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1, rowCount: Option[Long] = None): Long = {
+      retain: Int = 1, rowCount: Option[Long] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -328,10 +794,14 @@ object Lake {
     // defensively-ignored manifest (data dirs lost) still owns its
     // number, and renaming a new manifest onto it would fail forever
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val effStats = effectiveStatsCols(fs, r, statsCols)
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount)
+    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+      .map(s"v$next" -> _).toMap
+    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount,
+      stats, effStats)
     next
   }
 
@@ -342,7 +812,8 @@ object Lake {
     * snapshots atomically. First commit on an empty root bootstraps
     * the table. Returns the committed version. */
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1, rowCount: Option[Long] = None): Long = {
+      retain: Int = 1, rowCount: Option[Long] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -369,8 +840,13 @@ object Lake {
         case None    => Some(n)
       }
     }
+    val effStats = effectiveStatsCols(fs, r, statsCols)
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows)
+    // O(batch): stats only for the new dir; reused dirs' lines carry
+    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+      .map(s"v$next" -> _).toMap
+    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows,
+      stats, effStats)
     next
   }
 
@@ -452,12 +928,15 @@ object Lake {
         .unionByName(
           latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
       val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+      val effStats = effectiveStatsCols(fs, r, Nil)
       rewritten.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
       preserveMarkers(fs, r, touchedDirs, s"v$next")
+      val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+        .map(s"v$next" -> _).toMap
       commitManifest(fs, r, next, untouched :+ s"v$next", retain,
-        carried.orElse(Some(rewritten.schema)))
+        carried.orElse(Some(rewritten.schema)), None, stats, effStats)
       next
     } finally { latest.unpersist(); () }
   }
@@ -488,13 +967,18 @@ object Lake {
     val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val df = readCommittedAt(spark, root, cur).repartition(n)
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val effStats = effectiveStatsCols(fs, r, Nil)
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
     preserveMarkers(fs, r, liveDirs, s"v$next")
-    // compaction is row-preserving: the previous count carries over
+    // compaction is row-preserving: the previous count carries over;
+    // the collapsed dir gets fresh whole-table stats (footer-pushdown
+    // read of what was just written)
+    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+      .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
-      manifestRows(fs, r, cur))
+      manifestRows(fs, r, cur), stats, effStats)
     next
   }
 

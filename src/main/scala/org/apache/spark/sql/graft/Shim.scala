@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column -> FULLY-CONVERTED catalyst tree. [[expression]] returns a
+    * lazy `ColumnNodeExpression` wrapper whose children are still
+    * sql-api ColumnNodes — fine for embedding in a plan, useless for
+    * pattern-matching. This runs the classic converter eagerly, so
+    * callers (the Lake stats pruner) see real `EqualTo`/`Literal`/
+    * `UnresolvedAttribute` nodes. */
+  def catalystTree(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

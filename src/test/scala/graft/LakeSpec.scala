@@ -389,6 +389,189 @@ class LakeSpec extends SparkSpec {
     assert(Lake.countCommitted(spark, root) === Some(2L))
   }
 
+  test("data skipping: ranged appends prune dirs on predicate reads, results never change") {
+    val root = tmpTable("graft-lake-skip")
+    // four appends with disjoint key ranges — the layout a time- or
+    // key-ordered 100 TB ingest produces naturally
+    (0 until 4).foreach { b =>
+      Lake.commitAppend(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"s${b}_$i")).toDF("k", "t"),
+        root, retain = 0, statsCols = Seq("k", "t"))
+      ()
+    }
+    assert(Lake.resolve(spark, root).length === 4)
+    // a point predicate keeps exactly the one dir whose range holds it
+    val (kept1, skipped1) = Lake.pruneDirs(spark, root, col("k") === 250L)
+    assert(kept1.length === 1 && skipped1.length === 3)
+    // a range predicate spanning two dirs keeps exactly those two
+    val (kept2, skipped2) = Lake.pruneDirs(spark, root, col("k").between(150L, 250L))
+    assert(kept2.length === 2 && skipped2.length === 2)
+    // string stats prune too (UTF8String binary order)
+    val (kept3, _) = Lake.pruneDirs(spark, root, col("t") === "s2_222")
+    assert(kept3.length === 1)
+    // IN over two dirs' ranges keeps those two
+    val (kept4, _) = Lake.pruneDirs(spark, root, col("k").isin(5L, 305L))
+    assert(kept4.length === 2)
+    // results are ALWAYS readCommitted + where, pruned or not
+    for (p <- Seq(col("k") === 250L, col("k").between(150L, 250L),
+        col("t") === "s2_222", col("k").isin(5L, 305L),
+        col("k") < 0L, col("k") >= 399L,
+        col("k") === 250L || col("k") === 10L, // OR: not prunable, still correct
+        length(col("t")) > 5)) { // non-understood conjunct: ignored
+      assert(rows(Lake.readCommittedWhere(spark, root, p)) ===
+        rows(Lake.readCommitted(spark, root).where(p)), s"predicate $p")
+    }
+    // a predicate excluding every dir returns an EMPTY frame with the
+    // table's schema — no dir is scanned at all
+    val none = Lake.readCommittedWhere(spark, root, col("k") === -5L)
+    assert(none.columns.toSeq === Seq("k", "t") && none.count() === 0L)
+    assert(Lake.pruneDirs(spark, root, col("k") === -5L)._1.isEmpty)
+    // an OR tree prunes nothing (conservative), never wrongly
+    assert(Lake.pruneDirs(spark, root,
+      col("k") === 250L || col("k") === 10L)._1.length === 4)
+  }
+
+  test("data skipping: stat columns inherit through append, merge, and compaction") {
+    val root = tmpTable("graft-lake-skip-chain")
+    // establish stat columns on the bootstrap commit only
+    Lake.commitOverwrite(
+      (0L until 100L).map(i => (i, 10L, s"a$i")).toDF("k", "ver", "t"),
+      root, retain = 2, statsCols = Seq("k"))
+    // plain appends inherit: their new dirs are stat'd without re-naming
+    Lake.commitAppend(
+      (100L until 200L).map(i => (i, 10L, s"b$i")).toDF("k", "ver", "t"),
+      root, retain = 2)
+    val (kept, skipped) = Lake.pruneDirs(spark, root, col("k") === 150L)
+    assert(kept.length === 1 && skipped.length === 1)
+    // a MERGE rewrites the touched dir and re-stats it; pruning stays
+    // exact afterwards
+    Lake.mergeCommitted(spark, root,
+      Seq((150L, 20L, "B", false)).toDF("k", "ver", "t", "is_del"),
+      Seq("k"), "ver", "is_del", retain = 2)
+    val (keptM, _) = Lake.pruneDirs(spark, root, col("k") === 150L)
+    assert(keptM.length === 1)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 150L)) ===
+      Set(Seq(150L, 20L, "B")))
+    // compaction collapses to one dir with whole-table stats — a miss
+    // outside the global range prunes everything
+    Lake.compactCommitted(spark, root, retain = 2)
+    assert(Lake.resolve(spark, root).length === 1)
+    assert(Lake.pruneDirs(spark, root, col("k") === 9999L)._1.isEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") <= 1L)) ===
+      Set(Seq(0L, 10L, "a0"), Seq(1L, 10L, "a1")))
+    // the streaming-fold commit path (commitVersion, no stats) keeps
+    // the chain: its dir is merely unstat'd — always kept — and the
+    // NEXT append still stats its own dir
+    graft.sources.Lake.commitVersion(spark, root,
+      Lake.currentVersion(spark, root).get + 1,
+      Lake.resolve(spark, root).map(p => new org.apache.hadoop.fs.Path(p).getName),
+      retain = 2)
+    Lake.commitAppend(
+      (200L until 300L).map(i => (i, 10L, s"c$i")).toDF("k", "ver", "t"),
+      root, retain = 2)
+    val (keptC, skippedC) = Lake.pruneDirs(spark, root, col("k") === 250L)
+    assert(skippedC.length === 1) // the compacted dir (0..199) is skippable
+    assert(keptC.nonEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 250L)) ===
+      Set(Seq(250L, 10L, "c250")))
+  }
+
+  test("data skipping: evolution interplay — a dir missing the stat column is kept") {
+    val root = tmpTable("graft-lake-skip-evolve")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 3,
+      statsCols = Seq("k", "score"))
+    // score doesn't exist yet: dir stats carry k only; a score
+    // predicate must keep the dir (NULL-backfilled rows don't match a
+    // comparison, but the pruner can't know that without stats — and
+    // rows with real scores arrive only later)
+    Lake.commitAppend(Seq((2L, "b", 7.5)).toDF("k", "t", "score"), root, retain = 3)
+    for (p <- Seq(col("score") > 5.0, col("score") < 5.0, col("k") === 1L)) {
+      assert(rows(Lake.readCommittedWhere(spark, root, p)) ===
+        rows(Lake.readCommitted(spark, root).where(p)), s"predicate $p")
+    }
+    // the evolved dir IS prunable on score
+    val (kept, skipped) = Lake.pruneDirs(spark, root, col("score") > 10.0)
+    assert(skipped.length === 1 && kept.length === 1) // v1 skipped, v0 kept (no score stats)
+  }
+
+  test("change feed: append, merge, compaction, and overwrite steps all diff exactly") {
+    val root = tmpTable("graft-lake-feed")
+    def feed(from: Long, to: Long) =
+      Lake.changesBetween(spark, root, from, to, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // v0: bootstrap; v1: append → pure inserts, no join
+    Lake.commitAppend(Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "ver", "t"),
+      root, retain = 10)
+    Lake.commitAppend(Seq((3L, 10L, "c")).toDF("k", "ver", "t"), root, retain = 10)
+    assert(feed(0L, 1L) === Set((3L, 10L, "c", "insert")))
+    // v2: merge — update k=2, delete k=1, insert k=9. The touched dir
+    // rewrite carries k=2's neighbor rows; the feed must NOT emit them
+    Lake.mergeCommitted(spark, root,
+      Seq((2L, 20L, "B", false), (1L, 20L, "x", true), (9L, 20L, "new", false))
+        .toDF("k", "ver", "t", "is_del"),
+      Seq("k"), "ver", "is_del", retain = 10)
+    assert(feed(1L, 2L) === Set(
+      (2L, 20L, "B", "update_postimage"),
+      (1L, 10L, "a", "delete"), // the OLD image
+      (9L, 20L, "new", "insert")))
+    // v3: compaction is row-preserving → EMPTY feed (every carried row
+    // pairs up equal and drops out)
+    Lake.compactCommitted(spark, root, retain = 10)
+    assert(feed(2L, 3L) === Set.empty)
+    // multi-version net effect: v0 -> v3 squashes the chain
+    assert(feed(0L, 3L) === Set(
+      (3L, 10L, "c", "insert"), (9L, 20L, "new", "insert"),
+      (2L, 20L, "B", "update_postimage"), (1L, 10L, "a", "delete")))
+    // an overwrite degenerates to the full two-sided diff — still exact
+    Lake.commitOverwrite(Seq((2L, 30L, "B2"), (7L, 30L, "g")).toDF("k", "ver", "t"),
+      root, retain = 10)
+    assert(feed(3L, 4L) === Set(
+      (2L, 30L, "B2", "update_postimage"), (7L, 30L, "g", "insert"),
+      (3L, 10L, "c", "delete"), (9L, 20L, "new", "delete")))
+    // feed(v, v) is empty with the schema + change_type
+    val same = Lake.changesBetween(spark, root, 4L, 4L, Seq("k"))
+    assert(same.columns.toSeq === Seq("k", "ver", "t", "change_type"))
+    assert(same.count() === 0L)
+    // replaying the squashed feed onto the FROM snapshot rebuilds the
+    // TO snapshot exactly — the feed and the CDC apply compose
+    val replayed = graft.operators.Cdc.applyChanges(
+      Lake.readCommittedAt(spark, root, 0L),
+      Lake.changesBetween(spark, root, 0L, 4L, Seq("k"))
+        .withColumn("is_del", col("change_type") === "delete")
+        .drop("change_type"),
+      Seq("k"), "ver", "is_del")
+    assert(rows(replayed) === rows(Lake.readCommittedAt(spark, root, 4L)))
+  }
+
+  test("change feed: evolution interplay and the cursor pull") {
+    val root = tmpTable("graft-lake-feed-evolve")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 10)
+    // schema evolves; the feed is expressed in the TO schema — the
+    // appended row is an insert with its new column, old rows unseen
+    Lake.commitAppend(Seq((2L, "b", 7.5)).toDF("k", "t", "score"), root, retain = 10)
+    val f01 = Lake.changesBetween(spark, root, 0L, 1L, Seq("k"))
+    assert(f01.columns.toSeq === Seq("k", "t", "score", "change_type"))
+    assert(rows(f01) === Set(Seq(2L, "b", 7.5, "insert")))
+    // cursor pull: None bootstraps with the live snapshot as inserts;
+    // a caught-up cursor returns None; a behind cursor gets the delta
+    val Some((boot, v1)) = Lake.changesSince(spark, root, None, Seq("k"))
+    assert(v1 === 1L)
+    assert(rows(boot) === Set(Seq(1L, "a", null, "insert"), Seq(2L, "b", 7.5, "insert")))
+    assert(Lake.changesSince(spark, root, Some(1L), Seq("k")).isEmpty)
+    Lake.commitAppend(Seq((3L, "c", 0.5)).toDF("k", "t", "score"), root, retain = 10)
+    val Some((delta, v2)) = Lake.changesSince(spark, root, Some(1L), Seq("k"))
+    assert(v2 === 2L)
+    assert(rows(delta) === Set(Seq(3L, "c", 0.5, "insert")))
+    // a MapType column is refused loudly (maps are not comparable)
+    val mroot = tmpTable("graft-lake-feed-map")
+    Lake.commitOverwrite(Seq((1L, Map("a" -> 1L))).toDF("k", "m"), mroot, retain = 3)
+    Lake.commitOverwrite(Seq((2L, Map("b" -> 2L))).toDF("k", "m"), mroot, retain = 3)
+    val e = intercept[IllegalArgumentException] {
+      Lake.changesBetween(spark, mroot, 0L, 1L, Seq("k"))
+    }
+    assert(e.getMessage.contains("MapType"))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
