@@ -120,5 +120,30 @@ object Lakehouse {
         "ver", "is_del", retain = 3)
       Lake.changesBetween(s, root, v1 - 1, v1, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    },
+
+    // Z-order clustering + file-level skipping: lineitem committed,
+    // clustered on (l_partkey, l_suppkey) — 16-bit rank scaling, bit
+    // interleave, range-partitioned files, per-file min/max in the
+    // manifest — then a two-column range read through the file
+    // pruner. The whole chain (rewrite, stats pass, prune, residual
+    // filter) is under the oracle hash; LakeSpec asserts the skipping
+    // ratio itself. This is the OPTIMIZE-ZORDER answer to "my 100 TB
+    // fact table is filtered on two dimensions": either column's
+    // range predicate drops most files before the scan plans.
+    Q("q114_lake_zorder",
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 49 AND l_suppkey BETWEEN 2 AND 5
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_z", d)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      Lake.commitOverwrite(li, root, retain = 1)
+      Lake.clusterCommitted(s, root, Seq("l_partkey", "l_suppkey"),
+        targetBytes = 128L * 1024)
+      Lake.readCommittedWhere(s, root,
+          col("l_partkey").between(10L, 49L) && col("l_suppkey").between(2L, 5L))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     })
 }

@@ -245,10 +245,78 @@ object Lake {
   private def manifestStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Map[String, String] =
     manifestBody(fs, r, v).collect {
-      case l if l.startsWith(StatsPrefix) && l.indexOf('=') > StatsPrefix.length =>
+      case l if l.startsWith(StatsPrefix) && !l.startsWith(FileStatsPrefix) &&
+          l.indexOf('=') > StatsPrefix.length =>
         val i = l.indexOf('=')
         l.substring(StatsPrefix.length, i) -> l.substring(i + 1)
     }.toMap
+
+  // `#fstats_<dir>/<file>=<json>` — FILE-level ranges inside a dir,
+  // written by commits that can pay one column-pruned pass over their
+  // fresh dir (notably [[clusterCommitted]], whose whole point is
+  // tight per-file ranges). File skipping composes under dir skipping
+  // in [[readCommittedWhere]]: surviving dirs with file stats read an
+  // explicit pruned file list. A file on disk absent from the lines
+  // is always kept (only zero-row files can be absent from a full
+  // stats pass, but a reader must not have to trust that).
+  private val FileStatsPrefix = "#fstats_"
+
+  /** file-stats lines of a manifest: dir -> (file -> json). */
+  private def manifestFileStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, Map[String, String]] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(FileStatsPrefix) && l.indexOf('=') > FileStatsPrefix.length =>
+        val i = l.indexOf('=')
+        val dirFile = l.substring(FileStatsPrefix.length, i)
+        dirFile -> l.substring(i + 1)
+    }.groupBy { case (df, _) => df.takeWhile(_ != '/') }
+      .map { case (dir, entries) =>
+        dir -> entries.collect {
+          case (df, j) if df.startsWith(dir + "/") =>
+            df.stripPrefix(dir + "/") -> j
+        }.toMap
+      }
+
+  /** Per-FILE min/max of a freshly-written dir on `cols`, plus the
+    * dir-level merge — ONE column-pruned pass over the dir
+    * (`groupBy(input_file_name)`), O(this dir) like the write that
+    * produced it. Returns (dirJson, fileName -> json). */
+  private def fileStatsJson(spark: SparkSession, dirPath: String,
+      cols: Seq[String]): Option[(String, Map[String, String])] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (cols.isEmpty) return None
+    val df = spark.read.parquet(dirPath)
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return Some(("{}", Map.empty))
+    val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val perFile = rows.map { row =>
+      val name = new Path(row.getString(0)).getName
+      val m = present.zipWithIndex.flatMap { case (c, i) =>
+        for {
+          lo <- normExternal(row.get(1 + 2 * i))
+          hi <- normExternal(row.get(2 + 2 * i))
+          if cmpNorm(lo, hi).isDefined
+        } yield c -> ((lo, hi))
+      }.toMap
+      name -> m
+    }.toMap
+    // dir range = merge of file ranges (min of lows, max of highs)
+    val dirStats = perFile.values.flatten
+      .groupBy(_._1)
+      .collect { case (c, vs) if vs.size == perFile.size =>
+        // only when EVERY rowful file carries the col's stats: a file
+        // whose extreme refused normalization (NaN/∞) or was all-NULL
+        // may still hold rows a predicate matches (NaN sorts greatest
+        // in Spark), so a dir range built without it could prune
+        // wrongly — drop the col at dir level, file level stays exact
+        val los = vs.map(_._2._1); val his = vs.map(_._2._2)
+        c -> ((los.reduce((a, b) => if (cmpNorm(a, b).exists(_ <= 0)) a else b),
+               his.reduce((a, b) => if (cmpNorm(a, b).exists(_ >= 0)) a else b)))
+      }.toMap
+    Some((statsJson(dirStats), perFile.map { case (f, m) => f -> statsJson(m) }))
+  }
 
   private def manifestStatsCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
@@ -407,34 +475,77 @@ object Lake {
     }
   }
 
+  /** The scan set for a predicate read of the live snapshot:
+    * (paths to read — dirs, or explicit files where file stats pruned
+    * inside a kept dir; skipped dirs; skipped files). Exposed for the
+    * spec to assert skipping actually happens. */
+  private[graft] def resolveWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column):
+      (Seq[String], Seq[String], Seq[String]) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val (keptDirs, skippedDirs) = pruneDirs(spark, root, predicate)
+    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+      else manifestFileStatsRaw(fs, r, cur)
+    val paths = Seq.newBuilder[String]
+    val skippedFiles = Seq.newBuilder[String]
+    keptDirs.foreach { d =>
+      fstats.get(d) match {
+        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
+          // file-level prune inside the kept dir: the actual listing
+          // is authoritative — a file the manifest doesn't know is
+          // always kept (never trust stats lines for absence)
+          val dirPath = new Path(r, d)
+          val (keep, skip) = fs.listStatus(dirPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+            .partition { p =>
+              byFile.get(p.getName).map(parseStatsJson) match {
+                case Some(st) => !preds.exists(pr =>
+                  st.get(pr.col).exists { case (lo, hi) => predExcludes(lo, hi, pr) })
+                case None => true
+              }
+            }
+          if (skip.isEmpty) paths += dirPath.toString
+          else {
+            paths ++= keep.map(_.toString)
+            skippedFiles ++= skip.map(p => d + "/" + p.getName)
+          }
+        case _ => paths += new Path(r, d).toString
+      }
+    }
+    (paths.result(), skippedDirs, skippedFiles.result())
+  }
+
   /** Predicate read with manifest-stats data skipping: scans only the
-    * live snapshot's dirs whose min/max ranges can satisfy
-    * `predicate`, then applies the FULL predicate to what it reads —
-    * dirs without stats are kept and non-understood conjuncts are
-    * ignored, so the result always equals
-    * `readCommitted(...).where(predicate)`; only the I/O shrinks. On a
-    * key- or time-ordered append table a selective range read goes
-    * from O(table) to O(matching dirs) with one manifest read of
-    * planning cost. */
+    * live snapshot's dirs — and, inside dirs carrying file-level
+    * stats (see [[clusterCommitted]]), only the FILES — whose min/max
+    * ranges can satisfy `predicate`, then applies the FULL predicate
+    * to what it reads. Dirs/files without stats are kept and
+    * non-understood conjuncts are ignored, so the result always
+    * equals `readCommitted(...).where(predicate)`; only the I/O
+    * shrinks. On a key- or time-ordered append table a selective
+    * range read goes from O(table) to O(matching dirs/files) with one
+    * manifest read of planning cost. */
   def readCommittedWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val (kept, _) = pruneDirs(spark, root, predicate)
+    val (paths, _, _) = resolveWhere(spark, root, predicate)
     val schemaOpt = manifestSchema(fs, r, cur)
     val base =
-      if (kept.isEmpty) {
+      if (paths.isEmpty) {
         val s = schemaOpt.getOrElse(spark.read.parquet(
           manifestDirs(fs, r, cur).map(d => new Path(r, d).toString): _*).schema)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      } else {
-        val paths = kept.map(d => new Path(r, d).toString)
-        schemaOpt match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None    => spark.read.parquet(paths: _*)
-        }
+      } else schemaOpt match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None    => spark.read.parquet(paths: _*)
       }
     base.where(predicate)
   }
@@ -729,7 +840,8 @@ object Lake {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rows: Option[Long] = None,
       newStats: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      newFileStats: Map[String, Map[String, String]] = Map.empty): Unit = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
     // this commit wrote get fresh lines. Resolved BEFORE the rename
@@ -739,6 +851,13 @@ object Lake {
       .map(v => manifestStatsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
     val statsLines = dirs.flatMap(d =>
       newStats.get(d).orElse(prevStats.get(d)).map(j => StatsPrefix + d + "=" + j))
+    val prevFileStats = prevV
+      .map(v => manifestFileStatsRaw(fs, r, v))
+      .getOrElse(Map.empty[String, Map[String, String]])
+    val fileStatsLines = dirs.flatMap(d =>
+      newFileStats.get(d).orElse(prevFileStats.get(d)).toSeq
+        .flatMap(_.toSeq.sortBy(_._1)
+          .map { case (f, j) => FileStatsPrefix + d + "/" + f + "=" + j }))
     // the stat-column line itself inherits too, so a commit path that
     // computes no stats (e.g. the streaming fold's commitVersion)
     // doesn't sever the chain — its new dir is merely unstat'd
@@ -751,7 +870,7 @@ object Lake {
       rows.map(n => RowsPrefix + n) ++
       (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))
        else Nil) ++
-      statsLines
+      statsLines ++ fileStatsLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
@@ -979,6 +1098,101 @@ object Lake {
       .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
       manifestRows(fs, r, cur), stats, effStats)
+    next
+  }
+
+  /** CLUSTER the live snapshot for data skipping: rewrite it into one
+    * dir of `ceil(bytes/targetBytes)` size-targeted files laid out so
+    * that every file covers a TIGHT range of `cols`, then commit with
+    * per-file min/max stats — after which [[readCommittedWhere]]
+    * prunes at file granularity. This is the lakehouse
+    * OPTIMIZE-ZORDER step: compaction alone round-robins rows (no
+    * locality, stats ranges all overlap, nothing prunes); clustering
+    * is what makes the stats BITE.
+    *
+    * Layout: 2–4 numeric columns get a true Z-ORDER — each value
+    * scales to a 16-bit rank in its [min,max] span and the bits
+    * interleave into one long, so range locality is shared across ALL
+    * the columns instead of only the leading one (a query on either
+    * column alone, or both, prunes; integer arithmetic, pure Column
+    * ops, whole-stage codegen). One column, or any non-numeric mix,
+    * falls back to lexicographic multi-column range layout (leading-
+    * column pruning — exactly what ORDER BY gives, honestly less for
+    * trailing columns). Like all maintenance commits: row multiset
+    * and schema unchanged, same atomic manifest rename, retention
+    * keeps the pre-cluster snapshot, markers carried. The cluster
+    * columns join the table's established stat columns so later
+    * appends stat them too. Returns the committed version. */
+  def clusterCommitted(spark: SparkSession, root: String, cols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "cluster columns must be non-empty")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val liveDirs = manifestDirs(fs, r, cur)
+    val total = liveDirs
+      .flatMap(d => fs.listStatus(new Path(r, d)).toSeq)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    require(total > 0, s"no parquet data in the live snapshot at $root")
+    val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = readCommittedAt(spark, root, cur)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"cluster column '$c' not in the table schema"))
+    def isNumeric(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val zOrderable = cols.lengthCompare(2) >= 0 && cols.lengthCompare(4) <= 0 &&
+      cols.forall(c => isNumeric(df.schema(c).dataType))
+    val clustered =
+      if (!zOrderable)
+        df.repartitionByRange(n, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      else {
+        // per-column spans for the 16-bit rank scaling — one tiny agg
+        val mm = df.agg(
+          cols.flatMap(c => Seq(min(col(c)).cast("double"),
+            max(col(c)).cast("double"))).head,
+          cols.flatMap(c => Seq(min(col(c)).cast("double"),
+            max(col(c)).cast("double"))).drop(1): _*).collect().head
+        val k = cols.length
+        val buckets = cols.zipWithIndex.map { case (c, j) =>
+          val (lo, hi) = (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+          if (lo >= hi || lo.isNaN || hi.isNaN || hi.isInfinite || lo.isInfinite)
+            lit(0L)
+          else least(greatest(
+            floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+              .cast("long"), lit(0L)), lit(65535L))
+        }.map(coalesce(_, lit(0L))) // NULLs cluster low
+        // interleave: bit i of column j lands at position i*k + j
+        val z = (0 until 16).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), i * k + j)
+        }).reduce(_ bitwiseOR _)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(n, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+      }
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols).distinct
+    clustered.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    preserveMarkers(fs, r, liveDirs, s"v$next")
+    // ONE column-pruned pass over the fresh dir yields per-file AND
+    // dir ranges — the whole point of the rewrite
+    val (dirJson, fileJsons) =
+      fileStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+        .getOrElse(("{}", Map.empty[String, String]))
+    commitManifest(fs, r, next, Seq(s"v$next"), retain,
+      Some(clustered.schema), manifestRows(fs, r, cur),
+      Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons))
     next
   }
 

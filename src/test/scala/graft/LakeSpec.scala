@@ -572,6 +572,70 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("MapType"))
   }
 
+  test("clusterCommitted: z-order rewrite makes file-level skipping bite on BOTH columns") {
+    val root = tmpTable("graft-lake-zorder")
+    // a 64x64 grid committed in row-major appends: y-locality is
+    // nonexistent on disk, so a y-range predicate prunes nothing
+    (0 until 4).foreach { b =>
+      val rows = for (x <- b * 16 until (b + 1) * 16; y <- 0 until 64)
+        yield (x.toLong, y.toLong, s"p$x/$y")
+      Lake.commitAppend(rows.toDF("x", "y", "t"), root, retain = 0,
+        rowCount = Some(rows.size.toLong), statsCols = Seq("x", "y"))
+      ()
+    }
+    val before = rows(Lake.readCommitted(spark, root))
+    // tiny target → many files, so the z-layout has something to show
+    val v = Lake.clusterCommitted(spark, root, Seq("x", "y"), targetBytes = 8 * 1024)
+    assert(Lake.resolve(spark, root).length === 1)
+    // row multiset and schema unchanged — layout-only
+    assert(rows(Lake.readCommitted(spark, root)) === before)
+    assert(Lake.countCommitted(spark, root) === Some(4096L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(nFiles > 4, s"need a multi-file layout to demonstrate skipping, got $nFiles")
+    // a predicate on EITHER dimension now skips files — the z-curve
+    // shares locality across both, where lexicographic gives only x
+    for (p <- Seq(col("x").between(0L, 7L), col("y").between(0L, 7L),
+        col("x").between(0L, 7L) && col("y").between(0L, 7L))) {
+      val (_, _, skippedFiles) = Lake.resolveWhere(spark, root, p)
+      assert(skippedFiles.nonEmpty, s"no files skipped for $p over $nFiles files")
+      assert(rows(Lake.readCommittedWhere(spark, root, p)) ===
+        rows(Lake.readCommitted(spark, root).where(p)), s"predicate $p")
+    }
+    // the corner query prunes hardest: an eighth of each axis is
+    // 1/64 of the grid — the scan set must shrink well below half
+    val (keptPaths, _, skipped) = Lake.resolveWhere(spark, root,
+      col("x").between(0L, 7L) && col("y").between(0L, 7L))
+    assert(skipped.size > nFiles / 2,
+      s"z-order corner query skipped only ${skipped.size} of $nFiles files")
+    assert(keptPaths.size < nFiles - nFiles / 2)
+    // file stats survive an unrelated append (carried by dir), and
+    // the appended dir still prunes at dir level
+    Lake.commitAppend(Seq((1000L, 1000L, "far")).toDF("x", "y", "t"), root, retain = 1)
+    val p2 = col("x").between(0L, 7L) && col("y").between(0L, 7L)
+    val (_, skippedDirs2, skippedFiles2) = Lake.resolveWhere(spark, root, p2)
+    assert(skippedDirs2.nonEmpty) // the far-away append dir
+    assert(skippedFiles2.size === skipped.size) // carried file stats still prune
+    assert(rows(Lake.readCommittedWhere(spark, root, p2)) ===
+      rows(Lake.readCommitted(spark, root).where(p2)))
+  }
+
+  test("clusterCommitted: string columns fall back to lexicographic layout, still exact") {
+    val root = tmpTable("graft-lake-lexcluster")
+    val data = (0 until 1000).map(i => (f"k$i%04d", i.toLong, s"v$i"))
+    Lake.commitOverwrite(data.toDF("k", "n", "t"), root, retain = 1,
+      statsCols = Seq("k"))
+    Lake.clusterCommitted(spark, root, Seq("k", "n"), targetBytes = 8 * 1024)
+    assert(rows(Lake.readCommitted(spark, root)) === rows(data.toDF("k", "n", "t")))
+    val p = col("k") < "k0100"
+    val (_, _, skippedFiles) = Lake.resolveWhere(spark, root, p)
+    assert(skippedFiles.nonEmpty, "leading-column range should prune files")
+    assert(rows(Lake.readCommittedWhere(spark, root, p)) ===
+      rows(Lake.readCommitted(spark, root).where(p)))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
