@@ -90,6 +90,81 @@ object Incremental {
         when(col("cnt") === 0, lit(null).cast("double"))
           .otherwise(col("sum_v") / col("cnt")))
 
+  // ---- retractable stats off a lake change feed --------------------
+  //
+  // The four-stat table above is APPEND-ONLY incremental: min/max are
+  // not retractable (removing the current extreme needs the runner-up,
+  // i.e. full state). A consumer of Lake.changesBetween — which emits
+  // deletes and BOTH update images — maintains the retractable subset
+  // (count, sum, and avg derived from them) exactly: inserts and
+  // update postimages add, deletes and update preimages subtract, and
+  // a group retracted to nothing leaves the state. Same DECIMAL
+  // discipline as partials/merge, so feed-maintained stats are
+  // bit-identical to a from-scratch recompute of the target snapshot
+  // (spec-proven; q115 puts the whole composition under the oracle).
+
+  private val retractNames = Seq("rows_n", "cnt", "sum_v")
+
+  /** Signed (rows_n, cnt, sum_v) stats of one change-feed batch
+    * (`change_type` column as [[graft.sources.Lake.changesBetween]]
+    * emits it). `rows_n` counts ROWS (group liveness survives all-NULL
+    * values — a group lives exactly while the snapshot holds a row of
+    * it); `cnt` counts non-NULL VALUES (the SQL aggregate). One pass,
+    * map-side combinable. */
+  def feedPartials(feed: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val w = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("change_type").isin("delete", "update_preimage"), -1L)
+    val v = col(valueCol)
+    feed.select((groupCols.map(col) :+
+        w.as("__w") :+ v.cast(DecimalType(18, 2)).as("__v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(col("__w")), lit(0L)).as("rows_n"),
+        coalesce(sum(when(col("__v").isNotNull, col("__w"))), lit(0L)).as("cnt"),
+        sum(col("__v") * col("__w")).cast(DecimalType(38, 2)).as("sum_v"))
+  }
+
+  /** Fold a feed batch into the stored retractable stat table; groups
+    * whose ROW count retracts to zero drop (state shrinks as data is
+    * deleted — the same closure discipline as [[mergeDistinct]]). */
+  def applyFeed(stored: DataFrame, feed: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(retractNames.forall(stored.columns.contains),
+      s"stored side must carry retractable stat columns $retractNames")
+    stored.unionByName(feedPartials(feed, groupCols, valueCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(col("rows_n")), lit(0L)).as("rows_n"),
+        coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+        sum(col("sum_v")).cast(DecimalType(38, 2)).as("sum_v"))
+      .where(col("rows_n") =!= 0)
+  }
+
+  /** Bootstrap of the retractable table from a full snapshot. */
+  def retractablePartials(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("rows_n"),
+      count(col(valueCol)).as("cnt"),
+      sum(col(valueCol).cast(DecimalType(18, 2)))
+        .cast(DecimalType(38, 2)).as("sum_v"))
+
+  /** Read-time view of the retractable table: DOUBLE sum + derived
+    * avg, same contract as [[finalize]]. A live group with only NULL
+    * values reads cnt=0, NULL sum and avg — exactly what a recompute
+    * over the snapshot would say. */
+  def finalizeRetractable(stats: DataFrame): DataFrame =
+    stats.drop("rows_n")
+      // cnt=0 ⇒ no values ⇒ SQL says NULL sum, not the 0.00 the
+      // retraction arithmetic leaves behind
+      .withColumn("sum_v",
+        when(col("cnt") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_v").cast("double")))
+      .withColumn("avg_v",
+        when(col("cnt") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_v") / col("cnt")))
+
   // ---- exact incremental count(DISTINCT key) -----------------------
   //
   // count(DISTINCT) is NOT decomposable over the four-stat table above

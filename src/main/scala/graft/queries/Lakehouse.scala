@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Incremental
 import graft.sources.{Lake, Tables}
 import org.apache.spark.sql.functions._
 
@@ -67,10 +68,12 @@ object Lakehouse {
     // batch's net effect from the snapshot dir-sets alone: the merge
     // rewrote whole touched dirs, so the feed's job is separating
     // real changes from carried-over rewrites (null-safe column
-    // compare) without reading the untouched dirs. The oracle
-    // recomputes the three change classes independently from base
-    // parquet. At 100 TB this is the incremental-consumer primitive:
-    // downstreams fold O(changed dirs) instead of re-scanning.
+    // compare) without reading the untouched dirs. Updates carry BOTH
+    // images (Delta-CDF convention — what makes the feed retractable
+    // for q115's maintained stats). The oracle recomputes the change
+    // classes independently from base parquet. At 100 TB this is the
+    // incremental-consumer primitive: downstreams fold O(changed
+    // dirs) instead of re-scanning.
     Q("q113_lake_changefeed",
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |           FROM orders),
@@ -82,12 +85,17 @@ object Lakehouse {
         |          'update_postimage' AS change_type
         |        FROM o WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
         |          AND o_orderkey % 11 <> 3),
+        |updpre AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |          CAST(0 AS BIGINT) AS ver, 'update_preimage' AS change_type
+        |        FROM o WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |          AND o_orderkey % 11 <> 3),
         |del AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
         |          CAST(0 AS BIGINT) AS ver, 'delete' AS change_type
         |        FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
         |          AND o_orderkey % 11 <> 3)
-        |SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
-        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+        |SELECT * FROM ins UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM updpre UNION ALL SELECT * FROM del
+        |ORDER BY o_orderkey, change_type""".stripMargin) { (s, d) =>
       val root = scratchRoot("lake_cdc", d)
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -119,7 +127,64 @@ object Lakehouse {
       val v1 = Lake.mergeCommitted(s, root, changes, Seq("o_orderkey"),
         "ver", "is_del", retain = 3)
       Lake.changesBetween(s, root, v1 - 1, v1, Seq("o_orderkey"))
-        .orderBy("o_orderkey")
+        .orderBy("o_orderkey", "change_type")
+    },
+
+    // Feed-maintained materialized view: per-status (count, sum, avg)
+    // of order prices bootstrapped from the v0 snapshot, then folded
+    // forward with ONLY the v0→v1 change feed — inserts and update
+    // postimages add, deletes and update preimages subtract, DECIMAL
+    // discipline end to end. The oracle recomputes the same stats
+    // from scratch over the POST-merge table: maintaining through the
+    // feed must be indistinguishable from starting over. This is the
+    // lakehouse completion of q98's O(batch) refresh — the batch here
+    // is not an append the caller hands over but the EXACT diff the
+    // table format itself derives, so any downstream stat table
+    // follows a 100 TB fact table at O(changed dirs) per commit.
+    Q("q115_lake_feed_mv",
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |              AND o_orderkey % 11 <> 3
+        |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        |  FROM o
+        |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |             AND o_orderkey % 11 <> 3))
+        |SELECT o_orderstatus, count(price) AS cnt,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |    / nullif(count(price), 0) AS avg_v
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_mv", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val key = col("o_orderkey")
+      val base = orders.where(pmod(key, lit(11)) =!= 3).withColumn("ver", lit(0L))
+      val v0 = Lake.commitOverwrite(base, root, retain = 3)
+      // bootstrap the MV from the v0 snapshot
+      val mv0 = Incremental.retractablePartials(
+        Lake.readCommittedAt(s, root, v0), Seq("o_orderstatus"), "o_totalprice")
+      // the q113 merge batch
+      val ups = orders
+        .where(pmod(key, lit(5)) === 0 && pmod(key, lit(7)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val dels = orders
+        .where(pmod(key, lit(7)) === 0 && pmod(key, lit(5)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+      val ins = orders.where(pmod(key, lit(11)) === 3)
+      val changes = ups.withColumn("is_del", lit(false))
+        .unionByName(dels.withColumn("is_del", lit(true)))
+        .unionByName(ins.withColumn("is_del", lit(false)))
+        .withColumn("ver", lit(1L))
+      val v1 = Lake.mergeCommitted(s, root, changes, Seq("o_orderkey"),
+        "ver", "is_del", retain = 3)
+      // fold ONLY the feed — the 100 TB table is never re-read
+      val feed = Lake.changesBetween(s, root, v0, v1, Seq("o_orderkey"))
+      Incremental.finalizeRetractable(
+          Incremental.applyFeed(mv0, feed, Seq("o_orderstatus"), "o_totalprice"))
+        .orderBy("o_orderstatus")
     },
 
     // Z-order clustering + file-level skipping: lineitem committed,

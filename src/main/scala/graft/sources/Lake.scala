@@ -646,12 +646,17 @@ object Lake {
 
   /** CHANGE FEED: the exact NET row-level changes that turn snapshot
     * `fromVersion` into snapshot `toVersion` — each output row is a
-    * `toVersion`-schema row plus `change_type` ∈ `insert` /
-    * `update_postimage` (the new image) / `delete` (the old image).
-    * This is what an incremental downstream (a stat fold, a stored
-    * index, a replica) consumes instead of re-reading the table;
-    * composing `Cdc.applyChanges` over the feed replays one committed
-    * table into another.
+    * `toVersion`-schema row plus `change_type` ∈ `insert` / `delete`
+    * (the old image) / `update_preimage` + `update_postimage` (BOTH
+    * images of a changed row, the Delta-CDF convention: retractable
+    * consumers subtract the preimage and add the postimage, so a sum
+    * or count maintained off the feed stays exact — see
+    * [[graft.operators.Incremental.applyFeed]]; replication-style
+    * consumers filter preimages out). This is what an incremental
+    * downstream (a stat fold, a stored index, a replica) consumes
+    * instead of re-reading the table; composing `Cdc.applyChanges`
+    * over the postimage feed replays one committed table into
+    * another.
     *
     * Derivation rides the manifest protocol instead of write-time
     * change files: version dirs are IMMUTABLE, so every changed row
@@ -726,16 +731,21 @@ object Lake {
     // (a merge rewrites whole touched dirs, a compaction rewrites the
     // snapshot) pair up equal and drop out here
     val joined = o.join(n, Seq("__k"), "full_outer")
-    val img = when(col("__new").isNotNull, col("__new")).otherwise(col("__old"))
-    joined.select(
-        img.as("__row"),
-        when(col("__old").isNull, "insert")
-          .when(col("__new").isNull, "delete")
-          .when(!sameRow, "update_postimage")
-          .as("change_type"))
-      .where(col("change_type").isNotNull)
-      .select(toSchema.fieldNames.map(f => col("__row").getField(f).as(f)).toSeq :+
-        col("change_type"): _*)
+    def tagged(img: org.apache.spark.sql.Column, t: String) =
+      struct(img.as("r"), lit(t).as("t"))
+    val changes = when(col("__old").isNull, array(tagged(col("__new"), "insert")))
+      .when(col("__new").isNull, array(tagged(col("__old"), "delete")))
+      .when(!sameRow, array(tagged(col("__old"), "update_preimage"),
+        tagged(col("__new"), "update_postimage")))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r", toSchema),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType))))))
+    joined.select(explode(changes).as("__c"))
+      .select(toSchema.fieldNames.map(f =>
+        col("__c.r").getField(f).as(f)).toSeq :+
+        col("__c.t").as("change_type"): _*)
   }
 
   /** Cursor pull for incremental consumers: the changes committed

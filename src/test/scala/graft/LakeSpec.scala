@@ -511,6 +511,7 @@ class LakeSpec extends SparkSpec {
         .toDF("k", "ver", "t", "is_del"),
       Seq("k"), "ver", "is_del", retain = 10)
     assert(feed(1L, 2L) === Set(
+      (2L, 10L, "b", "update_preimage"), // both images, Delta-CDF style
       (2L, 20L, "B", "update_postimage"),
       (1L, 10L, "a", "delete"), // the OLD image
       (9L, 20L, "new", "insert")))
@@ -521,26 +522,41 @@ class LakeSpec extends SparkSpec {
     // multi-version net effect: v0 -> v3 squashes the chain
     assert(feed(0L, 3L) === Set(
       (3L, 10L, "c", "insert"), (9L, 20L, "new", "insert"),
-      (2L, 20L, "B", "update_postimage"), (1L, 10L, "a", "delete")))
+      (2L, 10L, "b", "update_preimage"), (2L, 20L, "B", "update_postimage"),
+      (1L, 10L, "a", "delete")))
     // an overwrite degenerates to the full two-sided diff — still exact
     Lake.commitOverwrite(Seq((2L, 30L, "B2"), (7L, 30L, "g")).toDF("k", "ver", "t"),
       root, retain = 10)
     assert(feed(3L, 4L) === Set(
-      (2L, 30L, "B2", "update_postimage"), (7L, 30L, "g", "insert"),
+      (2L, 20L, "B", "update_preimage"), (2L, 30L, "B2", "update_postimage"),
+      (7L, 30L, "g", "insert"),
       (3L, 10L, "c", "delete"), (9L, 20L, "new", "delete")))
     // feed(v, v) is empty with the schema + change_type
     val same = Lake.changesBetween(spark, root, 4L, 4L, Seq("k"))
     assert(same.columns.toSeq === Seq("k", "ver", "t", "change_type"))
     assert(same.count() === 0L)
-    // replaying the squashed feed onto the FROM snapshot rebuilds the
-    // TO snapshot exactly — the feed and the CDC apply compose
+    // replaying the squashed POSTIMAGE feed onto the FROM snapshot
+    // rebuilds the TO snapshot exactly — the feed and the CDC apply
+    // compose (preimages are the retraction channel, not replay input)
     val replayed = graft.operators.Cdc.applyChanges(
       Lake.readCommittedAt(spark, root, 0L),
       Lake.changesBetween(spark, root, 0L, 4L, Seq("k"))
+        .where(col("change_type") =!= "update_preimage")
         .withColumn("is_del", col("change_type") === "delete")
         .drop("change_type"),
       Seq("k"), "ver", "is_del")
     assert(rows(replayed) === rows(Lake.readCommittedAt(spark, root, 4L)))
+    // and the RETRACTABLE consumer: per-t' stats maintained off the
+    // feed equal a from-scratch recompute of the target snapshot
+    val mv0 = graft.operators.Incremental.retractablePartials(
+      Lake.readCommittedAt(spark, root, 0L), Seq("t"), "ver")
+    val maintained = graft.operators.Incremental.finalizeRetractable(
+      graft.operators.Incremental.applyFeed(mv0,
+        Lake.changesBetween(spark, root, 0L, 4L, Seq("k")), Seq("t"), "ver"))
+    val recomputed = graft.operators.Incremental.finalizeRetractable(
+      graft.operators.Incremental.retractablePartials(
+        Lake.readCommittedAt(spark, root, 4L), Seq("t"), "ver"))
+    assert(rows(maintained) === rows(recomputed))
   }
 
   test("change feed: evolution interplay and the cursor pull") {
