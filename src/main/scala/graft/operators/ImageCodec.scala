@@ -297,6 +297,135 @@ object ImageCodec {
     }
   }
 
+  /** 'RIFF....AVI ' magic sniff — the fourth container family. */
+  def looksLikeAvi(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+      payload(10) == 'I' && payload(11) == ' '
+
+  private def le32At(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** A real uncompressed-DIB AVI ("Full Frames" video, fccHandler
+    * 'DIB '): RIFF('AVI ') with the mandatory hdrl (avih + one strl of
+    * strh/strf) and a movi LIST of one '00db' chunk per frame — each
+    * chunk the exact bottom-up BGR pixel array [[bmp]] would store
+    * after its 54-byte header, so frames stay byte-delimited (like
+    * the BMP container, unlike GIF/TIFF) AND the decode is lossless
+    * (a JPEG-compressed AVI would break the closed-form pixel-sum
+    * oracle). Word-aligned chunks per the RIFF spec. */
+  def aviDib(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 1,
+      s"bad avi spec ${width}x$height x$nFrames")
+    val stride = rowSize(width)
+    val frameBytes = height * stride // even: stride is 4-aligned
+    val frames = (0 until nFrames).map { f =>
+      java.util.Arrays.copyOfRange(bmp(width, height, seed + f), 54,
+        54 + frameBytes)
+    }
+    val strh = new Array[Byte](56)
+    "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+    "DIB ".getBytes("US-ASCII").copyToArray(strh, 4)
+    putLe32(strh, 20, 1)          // dwScale
+    putLe32(strh, 24, 10)         // dwRate: 10 fps
+    putLe32(strh, 32, nFrames)    // dwLength
+    putLe32(strh, 36, frameBytes) // dwSuggestedBufferSize
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    putLe32(strf, 0, 40); putLe32(strf, 4, width); putLe32(strf, 8, height)
+    strf(12) = 1 // planes
+    strf(14) = 24 // bit count
+    putLe32(strf, 20, frameBytes) // biSizeImage (biCompression = 0 = BI_RGB)
+    val avih = new Array[Byte](56)
+    putLe32(avih, 0, 100000)     // usec/frame
+    putLe32(avih, 16, nFrames)   // total frames
+    putLe32(avih, 24, 1)         // streams
+    putLe32(avih, 28, frameBytes)
+    putLe32(avih, 32, width); putLe32(avih, 36, height)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + body.length + (body.length & 1))
+      id.getBytes("US-ASCII").copyToArray(out, 0)
+      putLe32(out, 4, body.length)
+      body.copyToArray(out, 8)
+      out
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(chunk("00db", _)).reduce(_ ++ _))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** Demux a DIB AVI: RIFF walk to the first video stream's
+    * BITMAPINFOHEADER (dims; must be the uncompressed 24-bit DIB this
+    * path decodes losslessly) and the movi LIST's '00db'/'00dc'
+    * frame chunks. Returns (width, height, raw DIB chunks) — the
+    * chunks are byte-delimited frames (their length is the
+    * closed-form h×stride), decoded via [[dibFrameToImage]]. None for
+    * non-AVI, compressed-codec AVI (MJPEG etc. — the genuine non-JDK
+    * fallback), or any structural damage (NonFatal walk). */
+  def aviDibFrames(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (!looksLikeAvi(payload)) return None
+    try {
+      var w = 0; var h = 0; var bpp = 0; var comp = -1
+      val frames = Seq.newBuilder[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = fourcc(payload, off)
+          val size = le32At(payload, off + 4)
+          if (size < 0 || off + 8 + size > until) return // truncated: stop
+          if (id == "LIST" && size >= 4) {
+            val kind = fourcc(payload, off + 8)
+            if (kind == "hdrl" || kind == "strl" || kind == "movi" || kind == "rec ")
+              walk(off + 12, off + 8 + size)
+          } else if (id == "strf" && comp == -1 && size >= 40) {
+            w = le32At(payload, off + 8 + 4)
+            h = le32At(payload, off + 8 + 8)
+            bpp = (payload(off + 8 + 14) & 0xff) | ((payload(off + 8 + 15) & 0xff) << 8)
+            comp = le32At(payload, off + 8 + 16)
+          } else if ((id == "00db" || id == "00dc") && size > 0) {
+            frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + size)
+          }
+          off += 8 + size + (size & 1) // RIFF word alignment
+        }
+      }
+      walk(12, payload.length)
+      val fs = frames.result()
+      if (w <= 0 || h <= 0 || bpp != 24 || comp != 0 || fs.isEmpty) None
+      else Some((w, h, fs))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Decode one raw DIB frame chunk by reconstructing the 54-byte BMP
+    * header in front of it and handing the result to the REAL
+    * stock-JDK BMP reader — the pixel array is byte-identical either
+    * way, so this is a genuine decode, not arithmetic on trust. */
+  def dibFrameToImage(width: Int, height: Int,
+      dib: Array[Byte]): Option[BufferedImage] = {
+    val out = new Array[Byte](54 + dib.length)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length)
+    putLe32(out, 10, 54); putLe32(out, 14, 40)
+    putLe32(out, 18, width); putLe32(out, 22, height)
+    out(26) = 1; out(28) = 24
+    putLe32(out, 34, dib.length)
+    dib.copyToArray(out, 54)
+    decode(out)
+  }
+
   /** Demux+decode every frame of an animated GIF through the stock-JDK
     * reader (`getNumImages(true)` walks the container's image blocks —
     * a genuine standard-format demux). Frames here are written

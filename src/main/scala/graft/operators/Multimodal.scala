@@ -84,15 +84,17 @@ object Multimodal {
       }(enc)
   }
 
-  /** Deterministic "video" media table in THREE real container
+  /** Deterministic "video" media table in FOUR real container
     * formats: docs with id % 4 = 0 are standard multi-frame ANIMATED
     * GIFs, id % 4 = 2 MULTI-PAGE TIFFs (both written and demuxed by
-    * the stock-JDK codecs), the rest back-to-back BMP frame
-    * containers the length-prefixed [[ImageCodec.splitFrames]] walk
-    * demuxes. All three carry the same 2–7 ramp frames (fixed per-doc
-    * dims, frame f's ramp offset by f), so the decoded pixel sums
-    * share one closed form. Same md5-nibble ground-truth scheme (and
-    * pre-generation repartition) as [[imagesFromDocuments]]. */
+    * the stock-JDK codecs), id % 4 = 3 uncompressed-DIB AVIs (RIFF
+    * video container, [[ImageCodec.aviDib]]), the rest back-to-back
+    * BMP frame containers the length-prefixed
+    * [[ImageCodec.splitFrames]] walk demuxes. All four carry the same
+    * 2–7 ramp frames (fixed per-doc dims, frame f's ramp offset by
+    * f), so the decoded pixel sums share one closed form. Same
+    * md5-nibble ground-truth scheme (and pre-generation repartition)
+    * as [[imagesFromDocuments]]. */
   def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     codecParallel(docs.select(col(idCol).cast("long"), col(textCol).cast("string")))
@@ -110,6 +112,8 @@ object Multimodal {
               Row(id, "image/gif", ImageCodec.animatedGif(fw, fh, seed, nFrames))
             else if (id % 4 == 2)
               Row(id, "image/tiff", ImageCodec.multiPageTiff(fw, fh, seed, nFrames))
+            else if (id % 4 == 3)
+              Row(id, "video/x-msvideo", ImageCodec.aviDib(fw, fh, seed, nFrames))
             else {
               val payload = (0 until nFrames)
                 .map(f => ImageCodec.bmp(fw, fh, seed + f))
@@ -281,21 +285,27 @@ object Multimodal {
     * explode shape a real extractor uses, with frame payloads cut
     * partition-local from the source bytes.
     *
-    * THREE real demux paths: animated GIFs go through the stock-JDK
+    * FOUR real demux paths: animated GIFs go through the stock-JDK
     * reader's image-block walk ([[ImageCodec.gifFrames]]), multi-page
     * TIFFs through the IFD-chain walk ([[ImageCodec.tiffFrames]] —
-    * both standard formats, demuxed and decoded for real), and BMP
-    * frame containers through the length-prefixed walk
-    * ([[ImageCodec.splitFrames]]), each followed by a genuine decode
-    * of the sampled frames (width/height/pixel_sum columns). GIF and
-    * TIFF frames are logical entities inside one encoded stream (LZW
-    * blocks / IFD-linked strips), not byte-delimited sub-payloads, so
-    * their frame_md5/frame_bytes are NULL — per-frame bytes only
-    * exist for containers that delimit them. Payloads that are none
-    * of the three fall back to the fixed-stride 32-byte chunker with
-    * NULL decode columns — the production hook for genuinely non-JDK
-    * video codecs (MP4 and friends). NULL payloads yield zero frames
-    * (no content, no explode).
+    * both standard formats, demuxed and decoded for real),
+    * uncompressed-DIB AVIs through the RIFF chunk walk
+    * ([[ImageCodec.aviDibFrames]] — a genuine video container whose
+    * '00db' frame chunks decode losslessly through the
+    * reconstructed-header BMP reader), and BMP frame containers
+    * through the length-prefixed walk ([[ImageCodec.splitFrames]]),
+    * each followed by a genuine decode of the sampled frames
+    * (width/height/pixel_sum columns). GIF and TIFF frames are
+    * logical entities inside one encoded stream (LZW blocks /
+    * IFD-linked strips), not byte-delimited sub-payloads, so their
+    * frame_md5/frame_bytes are NULL — per-frame bytes only exist for
+    * containers that delimit them (AVI chunks and the BMP walk).
+    * Payloads that are none of the four — including AVIs carrying a
+    * COMPRESSED codec (MJPEG, and lossy codecs would break the exact
+    * oracle anyway) — fall back to the fixed-stride 32-byte chunker
+    * with NULL decode columns: the production hook for genuinely
+    * non-JDK video codecs (MP4 and friends). NULL payloads yield zero
+    * frames (no content, no explode).
     * @return (media_id, frame_idx, width, height, frame_md5,
     *         pixel_sum, frame_bytes) */
   def frameSample(
@@ -322,6 +332,19 @@ object Multimodal {
               Row(id, i, img.getWidth, img.getHeight, null,
                 ImageCodec.pixelSum(img), null)
             }
+          case None => ImageCodec.aviDibFrames(payload) match {
+          // RIFF walk: uncompressed-DIB AVI frames are byte-delimited
+          // chunks (md5 + length exist) AND decode for real through
+          // the reconstructed-header BMP reader; compressed-codec AVIs
+          // return None here and take the stride chunker below — the
+          // genuine non-JDK fallback
+          case Some((w, h, chunks)) =>
+            (0 until chunks.length by everyNth).take(maxFrames).map { i =>
+              val f = chunks(i)
+              val ps: Any = ImageCodec.dibFrameToImage(w, h, f)
+                .map(ImageCodec.pixelSum).orNull
+              Row(id, i, w, h, hex(f), ps, f.length.toLong)
+            }
           case None => ImageCodec.splitFrames(payload) match {
           case Some(frames) =>
             (0 until frames.length by everyNth).take(maxFrames).map { i =>
@@ -341,6 +364,7 @@ object Multimodal {
               val frame = java.util.Arrays.copyOfRange(payload, from, until)
               Row(id, i, null, null, hex(frame), null, frame.length.toLong)
             }
+        }
         }
         }
       }

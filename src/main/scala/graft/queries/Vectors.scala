@@ -483,11 +483,12 @@ object Vectors {
     * holds nf ∈ [2, 7] frames of fixed per-doc dims; sampling every 2nd
     * frame capped at 3 keeps fi < least(nf, 6) (stride 2 divides the
     * cap bound evenly, so the cap is a plain filter). Frame f's ramp is
-    * offset by f — ONE closed form for all three containers;
-    * frame_bytes is the BMP layout size where frames are
-    * byte-delimited and NULL for the GIF (media_id % 4 = 0) and TIFF
-    * (media_id % 4 = 2) docs, whose frames live inside one encoded
-    * stream. */
+    * offset by f — ONE closed form for all four containers;
+    * frame_bytes exists where frames are byte-delimited: the full BMP
+    * layout for the BMP container, the header-less DIB pixel array
+    * (h × padded row) for the AVI's '00db' chunks (media_id % 4 = 3),
+    * and NULL for the GIF (media_id % 4 = 0) and TIFF (media_id % 4 =
+    * 2) docs, whose frames live inside one encoded stream. */
   lazy val frameSampleOracle: String =
     """WITH vdims AS (
       |  SELECT doc_id AS media_id,
@@ -506,6 +507,8 @@ object Vectors {
       |SELECT f.media_id, CAST(f.fi AS INT) AS frame_idx,
       |  CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height, ps.pixel_sum,
       |  CASE WHEN f.media_id % 4 IN (0, 2) THEN NULL
+      |       WHEN f.media_id % 4 = 3
+      |         THEN CAST(f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
       |       ELSE CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
       |  END AS frame_bytes
       |FROM fr f JOIN ps ON f.media_id = ps.media_id AND f.fi = ps.fi

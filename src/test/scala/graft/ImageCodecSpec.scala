@@ -168,4 +168,43 @@ class ImageCodecSpec extends AnyFunSuite {
     // chunker takes over), never a task-killing throw
     assert(ImageCodec.tiffFrames(payload.take(16)).isEmpty)
   }
+
+  test("aviDib round-trips losslessly: RIFF walk recovers every DIB frame exactly") {
+    val (w, h, seed, n) = (13, 9, 200, 4) // odd width exercises row padding
+    val payload = ImageCodec.aviDib(w, h, seed, n)
+    assert(ImageCodec.looksLikeAvi(payload))
+    assert(!ImageCodec.looksLikeGif(payload) && !ImageCodec.looksLikeBmp(payload) &&
+      !ImageCodec.looksLikeTiff(payload))
+    val (pw, ph, chunks) =
+      ImageCodec.aviDibFrames(payload).getOrElse(fail("avi demux failed"))
+    assert(pw === w && ph === h && chunks.length === n)
+    chunks.zipWithIndex.foreach { case (dib, f) =>
+      // chunk length is the closed-form DIB size (padded rows, no header)
+      assert(dib.length === ImageCodec.bmpSize(w, h) - 54)
+      // the reconstructed-header decode is the REAL JDK BMP reader,
+      // and every pixel matches the generator ramp exactly
+      val img = ImageCodec.dibFrameToImage(w, h, dib)
+        .getOrElse(fail(s"frame $f decode failed"))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (seed + f + x + y) % 256
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === v, s"f=$f ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === v)
+        assert((rgb & 0xff) === v)
+      }
+      assert(ImageCodec.pixelSum(img) ===
+        (for (y <- 0 until h; x <- 0 until w) yield 3L * ((seed + f + x + y) % 256)).sum)
+    }
+    // non-avi payloads are rejected by the 12-byte sniff
+    assert(ImageCodec.aviDibFrames(ImageCodec.bmp(4, 4, 0)).isEmpty)
+    assert(ImageCodec.aviDibFrames("RIFFxxxxWAVE".getBytes("UTF-8")).isEmpty)
+    // sniff-passing but truncated payloads degrade to None: a cut
+    // inside the movi LIST loses trailing frames but must not throw,
+    // and a cut before strf yields no dims → None
+    assert(ImageCodec.aviDibFrames(payload.take(20)).isEmpty)
+    val cutMidMovi = payload.take(payload.length - 7)
+    val recovered = ImageCodec.aviDibFrames(cutMidMovi)
+    assert(recovered.forall(_._3.length < n)) // fewer frames or None, never a throw
+  }
 }
