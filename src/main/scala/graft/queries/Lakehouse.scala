@@ -187,6 +187,67 @@ object Lakehouse {
         .orderBy("o_orderstatus")
     },
 
+    // Predicate DELETE (copy-on-write): documents committed as four
+    // key-ranged append dirs, then DELETE WHERE doc_id∈[100,219] AND
+    // lang='en' — the stats pruner reuses every dir whose key range
+    // excludes [100,219] by reference and rewrites only the straddling
+    // dirs with the full filter (LakeSpec additionally proves the
+    // metadata-only whole-dir drop on exact-range deletes). The oracle
+    // is the surviving multiset from plain SQL, with explicit
+    // NULL-keeps-row DELETE semantics. At 100 TB this is the
+    // retention-expiry primitive: DELETE WHERE ts < cutoff on a
+    // time-ordered table is manifest surgery, zero data I/O.
+    Q("q116_lake_delete",
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |WHERE NOT coalesce(doc_id BETWEEN 100 AND 219 AND lang = 'en', FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_del", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("doc_id"))
+        ()
+      }
+      Lake.deleteWhere(s, root,
+        col("doc_id").between(100L, 219L) && col("lang") === "en")
+      Lake.readCommitted(s, root).orderBy("doc_id")
+    },
+
+    // Predicate UPDATE (copy-on-write): orders committed as four
+    // key-ranged dirs, then UPDATE SET o_totalprice += 1000 WHERE
+    // o_orderkey∈[100,999] AND o_orderstatus='F' — dirs whose key
+    // range excludes [100,999] are reused by reference; only the
+    // overlapping dirs rewrite with the CASE WHEN fold. Row count is
+    // invariant so the metadata count(*) chain carries (LakeSpec).
+    Q("q117_lake_update",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN 100 AND 999 AND o_orderstatus = 'F'
+        |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_upd", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val maxId = orders.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          orders.where(col("o_orderkey") >= b * step &&
+            col("o_orderkey") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("o_orderkey"))
+        ()
+      }
+      Lake.updateWhere(s, root,
+        col("o_orderkey").between(100L, 999L) && col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      Lake.readCommitted(s, root)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // Z-order clustering + file-level skipping: lineitem committed,
     // clustered on (l_partkey, l_suppkey) — 16-bit rank scaling, bit
     // interleave, range-partitioned files, per-file min/max in the

@@ -394,26 +394,43 @@ object Lake {
     * casts, function calls, IS NULL, subqueries) contributes no
     * conjunct — pruning quietly weakens, never strengthens. */
   private def extractPreds(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Pred] = {
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Pred] =
+    extractPredsExact(e)._1
+
+  /** [[extractPreds]] plus an EXACTNESS bit: true iff `e` is PRECISELY
+    * the conjunction of the returned preds (every node understood).
+    * Pruning only needs the conjuncts (an ignored conjunct can only
+    * narrow the match, so "provably selects nothing" stays safe), but
+    * [[deleteWhere]]'s metadata-only whole-dir drop needs the reverse
+    * proof — "provably selects EVERYTHING" — which an ignored conjunct
+    * would break: the real predicate could match fewer rows than the
+    * understood part, and dropping the dir would delete too much. */
+  private def extractPredsExact(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[Pred], Boolean) = {
     import org.apache.spark.sql.catalyst.expressions._
     def lit1(x: Expression): Option[NormVal] = x match {
       case Literal(v, dt) => normLit(v, dt)
       case _ => None
     }
-    def cmp(a: Expression, b: Expression, op: POp, flip: POp): Seq[Pred] =
+    def cmp(a: Expression, b: Expression, op: POp, flip: POp): (Seq[Pred], Boolean) =
       (attrName(a), lit1(b), attrName(b), lit1(a)) match {
-        case (Some(c), Some(v), _, _) => Seq(Pred(c, op, Seq(v)))
-        case (_, _, Some(c), Some(v)) => Seq(Pred(c, flip, Seq(v)))
-        case _ => Nil
+        case (Some(c), Some(v), _, _) => (Seq(Pred(c, op, Seq(v))), true)
+        case (_, _, Some(c), Some(v)) => (Seq(Pred(c, flip, Seq(v))), true)
+        case _ => (Nil, false)
       }
-    def inPred(a: Expression, vs: Seq[Expression]): Seq[Pred] =
+    def inPred(a: Expression, vs: Seq[Expression]): (Seq[Pred], Boolean) =
       (attrName(a), vs.map(lit1)) match {
         case (Some(c), lits) if lits.nonEmpty && lits.forall(_.isDefined) =>
-          Seq(Pred(c, PEq, lits.flatten))
-        case _ => Nil
+          (Seq(Pred(c, PEq, lits.flatten)), true)
+        case _ => (Nil, false)
       }
+    def both(a: Expression, b: Expression): (Seq[Pred], Boolean) = {
+      val (pa, xa) = extractPredsExact(a)
+      val (pb, xb) = extractPredsExact(b)
+      (pa ++ pb, xa && xb)
+    }
     e match {
-      case And(a, b) => extractPreds(a) ++ extractPreds(b)
+      case And(a, b) => both(a, b)
       case EqualTo(a, b)            => cmp(a, b, PEq, PEq)
       case EqualNullSafe(a, b)      => cmp(a, b, PEq, PEq)
       case LessThan(a, b)           => cmp(a, b, PLt, PGt)
@@ -427,16 +444,16 @@ object Lake {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.lengthCompare(1) == 0 =>
         (f.nameParts.head.toLowerCase, f.arguments) match {
-          case ("and", Seq(a, b))         => extractPreds(a) ++ extractPreds(b)
+          case ("and", Seq(a, b))         => both(a, b)
           case ("=" | "==" | "<=>", Seq(a, b)) => cmp(a, b, PEq, PEq)
           case ("<", Seq(a, b))           => cmp(a, b, PLt, PGt)
           case ("<=", Seq(a, b))          => cmp(a, b, PLe, PGe)
           case (">", Seq(a, b))           => cmp(a, b, PGt, PLt)
           case (">=", Seq(a, b))          => cmp(a, b, PGe, PLe)
           case ("in", a +: vs)            => inPred(a, vs)
-          case _ => Nil
+          case _ => (Nil, false)
         }
-      case _ => Nil
+      case _ => (Nil, false)
     }
   }
 
@@ -451,6 +468,21 @@ object Lake {
     case PLe => cmpNorm(lo, p.values.head).exists(_ > 0)
     case PGt => cmpNorm(hi, p.values.head).exists(_ <= 0)
     case PGe => cmpNorm(hi, p.values.head).exists(_ < 0)
+  }
+
+  /** Can `p` provably select EVERY row of a dir whose NON-NULL value
+    * range for `p.col` is [lo, hi]? Caller must separately prove the
+    * column holds no NULLs in the dir (a NULL never satisfies a
+    * comparison, so a dir with NULL rows is never all-match) — see
+    * [[deleteWhere]]'s non-nullable-schema gate. */
+  private def predIncludesAll(lo: NormVal, hi: NormVal, p: Pred): Boolean = p.op match {
+    // every non-null value equals lo (=hi) and that value is in the set
+    case PEq => cmpNorm(lo, hi).contains(0) &&
+      p.values.exists(v => cmpNorm(v, lo).contains(0))
+    case PLt => cmpNorm(hi, p.values.head).exists(_ < 0)
+    case PLe => cmpNorm(hi, p.values.head).exists(_ <= 0)
+    case PGt => cmpNorm(lo, p.values.head).exists(_ > 0)
+    case PGe => cmpNorm(lo, p.values.head).exists(_ >= 0)
   }
 
   /** (kept, skipped) dirs of the live snapshot under `predicate` —
@@ -1068,6 +1100,175 @@ object Lake {
         carried.orElse(Some(rewritten.schema)), None, stats, effStats)
       next
     } finally { latest.unpersist(); () }
+  }
+
+  /** Predicate DELETE on a committed table — `DELETE FROM t WHERE p`
+    * as a copy-on-write commit, the set-based dual of the key-based
+    * [[mergeCommitted]] (together they close the reference's row-level
+    * DELETE gap, /root/reference/dags/Main.py:44-47, at lake scale).
+    * Deletes rows where `predicate` is TRUE; NULL evaluates keep
+    * (standard SQL DELETE semantics). Snapshot dirs classify
+    * three ways off the manifest stats ALONE — no data is read to
+    * decide:
+    *
+    *   - NO row can match ([[predExcludes]] on some conjunct)
+    *     -> dir reused by reference, zero I/O;
+    *   - EVERY row provably matches -> dir simply OMITTED from the
+    *     new snapshot: a METADATA-ONLY partition drop. Needs the full
+    *     proof chain: the predicate tree fully understood
+    *     ([[extractPredsExact]]), every conjunct's range test
+    *     ([[predIncludesAll]]), and the committed schema marking each
+    *     predicate column non-nullable (min/max ranges ignore NULLs,
+    *     and a NULL row must SURVIVE a delete — so a possibly-NULL
+    *     column forfeits the drop and rewrites instead);
+    *   - anything else -> rewritten with the full `!p` filter into one
+    *     new dir.
+    *
+    * At 100 TB on a time-ordered append table, `DELETE WHERE ts <
+    * retention_cutoff` is pure manifest surgery — the common
+    * retention-expiry delete costs zero data I/O. Commit is the same
+    * atomic manifest rename; retention keeps the pre-delete snapshot
+    * for in-flight readers/time travel; the change feed derives the
+    * deletes from the dir diff as usual. Streaming-fold replay markers
+    * in replaced/dropped dirs are carried forward. Row count is not
+    * carried (the drop path never counts what it drops); the
+    * metadata-count chain resumes at the next counted commit. Returns
+    * the committed version (unchanged when nothing can match). */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val snapDirs = manifestDirs(fs, r, cur)
+    val stats = manifestStatsRaw(fs, r, cur)
+    val carried = manifestSchema(fs, r, cur)
+    val (preds, exact) = extractPredsExact(
+      org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    // the NULL gate for the metadata-only drop: every predicate column
+    // declared non-nullable by the COMMITTED schema (a dir could
+    // otherwise hide NULL rows the ranges don't see)
+    val nonNullCols: Set[String] = carried
+      .map(_.fields.collect { case f if !f.nullable => f.name }.toSet)
+      .getOrElse(Set.empty)
+    val allMatchProvable = exact && preds.nonEmpty &&
+      preds.forall(p => nonNullCols.contains(p.col))
+    sealed trait C; case object Keep extends C; case object Drop extends C
+    case object Rewrite extends C
+    def classify(d: String): C = stats.get(d).map(parseStatsJson) match {
+      case Some(st) if preds.exists(p =>
+          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }) =>
+        Keep
+      case Some(st) if allMatchProvable && preds.forall(p =>
+          st.get(p.col).exists { case (lo, hi) => predIncludesAll(lo, hi, p) }) =>
+        Drop
+      case _ => Rewrite // unstat'd or straddling: read, filter, rewrite
+    }
+    val byClass = snapDirs.groupBy(classify)
+    val kept = byClass.getOrElse(Keep, Nil)
+    val dropped = byClass.getOrElse(Drop, Nil)
+    val rewrite = byClass.getOrElse(Rewrite, Nil)
+    if (dropped.isEmpty && rewrite.isEmpty) return cur // nothing can match
+    val effStats = effectiveStatsCols(fs, r, Nil)
+    // a dropped dir may hold streaming-fold replay markers: they must
+    // survive the delete or a checkpoint replay double-folds. A
+    // rewrite dir gives them a home; a pure-drop commit writes an
+    // empty carrier dir only when markers actually exist.
+    def hasMarkers(dirs: Seq[String]): Boolean =
+      dirs.map(d => new Path(r, d)).filter(fs.exists)
+        .exists(d => fs.listStatus(d).exists(_.getPath.getName.startsWith("_applied_")))
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val newDir =
+      if (rewrite.nonEmpty) {
+        val paths = rewrite.map(d => new Path(r, d).toString)
+        val base = carried match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+        val surviving = base.where(!coalesce(predicate, lit(false)))
+        surviving.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+        preserveMarkers(fs, r, rewrite ++ dropped, s"v$next")
+        Some(s"v$next")
+      } else if (hasMarkers(dropped) || kept.isEmpty) {
+        // empty carrier dir: markers need a home, and a zero-dir
+        // manifest is unrepresentable (an empty dirs body reads as the
+        // body-less back-compat form [v<version>]) — deleting the
+        // whole table still commits one readable empty snapshot
+        val schema = carried.getOrElse(spark.read.parquet(
+          dropped.map(d => new Path(r, d).toString): _*).schema)
+        spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+        preserveMarkers(fs, r, dropped, s"v$next")
+        Some(s"v$next")
+      } else None // the metadata-only partition drop: no job at all
+    val freshStats = newDir.flatMap(d =>
+      dirStatsJson(spark, new Path(r, d).toString, effStats).map(d -> _)).toMap
+    commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
+      carried, None, freshStats, effStats)
+    next
+  }
+
+  /** Predicate UPDATE on a committed table — `UPDATE t SET c = expr
+    * WHERE p` as a copy-on-write commit. Dirs whose stats prove no row
+    * matches are reused by reference; the rest rewrite with
+    * `CASE WHEN p THEN expr ELSE c END` per assigned column (NULL
+    * predicate keeps the row unchanged, standard SQL). Assignments
+    * cast to the column's committed type, so the table schema is
+    * invariant; caller contract: an assignment to a column the schema
+    * marks non-nullable must not yield NULL (carried-schema reads
+    * would lie). Row cardinality is preserved, so the
+    * metadata `count(*)` chain carries through. Returns the committed
+    * version (unchanged when nothing can match). */
+  def updateWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column], retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val snapDirs = manifestDirs(fs, r, cur)
+    val stats = manifestStatsRaw(fs, r, cur)
+    val carried = manifestSchema(fs, r, cur)
+    val schema = carried.getOrElse(spark.read.parquet(
+      snapDirs.map(d => new Path(r, d).toString): _*).schema)
+    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"SET column '$c' is not in the table schema " +
+        schema.fieldNames.mkString("[", ", ", "]")))
+    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    val (kept, touched) = snapDirs.partition { d =>
+      stats.get(d).map(parseStatsJson) match {
+        case Some(st) => preds.exists(p =>
+          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) })
+        case None => false // unstat'd dir: may hold matches, rewrite
+      }
+    }
+    if (touched.isEmpty) return cur
+    val paths = touched.map(d => new Path(r, d).toString)
+    val base = carried match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+    val hit = coalesce(predicate, lit(false))
+    val updated = set.foldLeft(base) { case (df, (c, expr)) =>
+      val field = schema(c)
+      df.withColumn(c, when(hit, expr.cast(field.dataType)).otherwise(col(c)))
+    }
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val effStats = effectiveStatsCols(fs, r, Nil)
+    updated.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    preserveMarkers(fs, r, touched, s"v$next")
+    val freshStats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+      .map(s"v$next" -> _).toMap
+    // updates are row-preserving: the metadata count carries over
+    commitManifest(fs, r, next, kept :+ s"v$next", retain,
+      carried, manifestRows(fs, r, cur), freshStats, effStats)
+    next
   }
 
   /** [[compact]] for a manifest-committed table: collapse the live

@@ -652,6 +652,137 @@ class LakeSpec extends SparkSpec {
       rows(Lake.readCommitted(spark, root).where(p)))
   }
 
+  test("deleteWhere: reuse / metadata-only drop / rewrite, decided from stats alone") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-delw")
+    // four ranged appends; k is non-nullable (product encoder) so the
+    // whole-dir drop proof can fire
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        root, retain = 4, statsCols = Seq("k"))
+      ()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def fileSig(d: String) = fs.listStatus(new Path(root, d))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    val sigs = (0 to 3).map(b => fileSig(s"v$b"))
+
+    // 1. delete an exact dir range: [0,10) — v0 provably all-match →
+    //    dropped METADATA-ONLY (no new data dir), v1..v3 reused by ref
+    val preV = Lake.currentVersion(spark, root).get
+    val v = Lake.deleteWhere(spark, root, col("k") < 10L, retain = 4)
+    assert(v === preV + 1)
+    val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(live === Set("v1", "v2", "v3")) // no new dir was written
+    (1 to 3).foreach(b => assert(fileSig(s"v$b") === sigs(b))) // byte-identical
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      (10L until 40L).map(Seq(_)).toSet)
+    // the change feed derives the drop as plain deletes
+    val feed = Lake.changesBetween(spark, root, preV, v, Seq("k"))
+    assert(feed.where(col("change_type") =!= "delete").isEmpty)
+    assert(rows(feed.select("k")) === (0L until 10L).map(Seq(_)).toSet)
+
+    // 2. straddling range: [15,24] touches v1+v2 → those rewrite into
+    //    one new dir, v3 reused; NULL-keeping filter semantics
+    val v2 = Lake.deleteWhere(spark, root, col("k").between(15L, 24L), retain = 4)
+    val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(live2.contains("v3") && !live2.contains("v1") && !live2.contains("v2"))
+    assert(fileSig("v3") === sigs(3))
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      ((10L to 14L) ++ (25L to 39L)).map(Seq(_)).toSet)
+
+    // 3. nothing can match → version unchanged, no commit at all
+    assert(Lake.deleteWhere(spark, root, col("k") > 1000L) === v2)
+
+    // 4. time travel still serves every pre-delete snapshot
+    assert(rows(Lake.readCommittedAt(spark, root, preV).select("k")) ===
+      (0L until 40L).map(Seq(_)).toSet)
+
+    // 5. delete everything → one readable EMPTY snapshot (a zero-dir
+    //    manifest is unrepresentable; the carrier dir covers it)
+    val v3 = Lake.deleteWhere(spark, root, col("k") >= 0L, retain = 4)
+    assert(Lake.currentVersion(spark, root) === Some(v3))
+    assert(Lake.readCommitted(spark, root).isEmpty)
+  }
+
+  test("deleteWhere: a nullable predicate column forfeits the drop and NULL rows survive") {
+    val root = tmpTable("graft-lake-delnull")
+    // Option[Long] → nullable column; one NULL row inside the range
+    val df = Seq(Some(1L) -> "a", Some(2L) -> "b", (None: Option[Long]) -> "n",
+      Some(11L) -> "c").toDF("k", "t")
+    Lake.commitOverwrite(df, root, retain = 2, statsCols = Seq("k"))
+    val v = Lake.deleteWhere(spark, root, col("k") < 10L, retain = 2)
+    assert(v === 1L)
+    // DELETE WHERE k<10: NULL k evaluates NULL → row is KEPT
+    assert(rows(Lake.readCommitted(spark, root).select("t")) ===
+      Set(Seq("n"), Seq("c")))
+  }
+
+  test("deleteWhere: an un-understood conjunct blocks the drop but the result stays exact") {
+    val root = tmpTable("graft-lake-delfn")
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        root, retain = 4, statsCols = Seq("k"))
+      ()
+    }
+    // k<10 is the whole of v0, but the extra endswith conjunct narrows
+    // the match — the drop must NOT fire; the rewrite keeps k=3
+    val v = Lake.deleteWhere(spark, root,
+      col("k") < 10L && !col("t").endsWith("3"), retain = 4)
+    assert(v === 4L)
+    assert(rows(Lake.readCommitted(spark, root).where(col("k") < 10L).select("k")) ===
+      Set(Seq(3L)))
+    assert(Lake.readCommitted(spark, root).count() === 31L)
+  }
+
+  test("updateWhere: untouched dirs reused, values updated in place, count carried") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-updw")
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, k * 100L, s"r$k"))
+          .toDF("k", "amt", "t"),
+        root, retain = 4, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def fileSig(d: String) = fs.listStatus(new Path(root, d))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    val sig3 = fileSig("v3")
+    val preV = Lake.currentVersion(spark, root).get
+    // touch [5,24]: v0..v2 rewrite, v3 reused by reference
+    val v = Lake.updateWhere(spark, root, col("k").between(5L, 24L),
+      Map("amt" -> (col("amt") + 1L), "t" -> upper(col("t"))), retain = 4)
+    assert(v === preV + 1)
+    val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(live.contains("v3") && !live.contains("v0"))
+    assert(fileSig("v3") === sig3)
+    val back = Lake.readCommitted(spark, root)
+    assert(back.count() === 40L)
+    // updated rows transformed, others (including the reused dir) intact
+    assert(rows(back.where(col("k") === 7L)) === Set(Seq(7L, 701L, "R7")))
+    assert(rows(back.where(col("k") === 3L)) === Set(Seq(3L, 300L, "r3")))
+    assert(rows(back.where(col("k") === 30L)) === Set(Seq(30L, 3000L, "r30")))
+    // row-preserving: the metadata-only count chain carries through
+    assert(Lake.countCommitted(spark, root) === Some(40L))
+    // change feed: both images for every touched row, nothing else
+    val feed = Lake.changesBetween(spark, root, preV, v, Seq("k"))
+    assert(feed.where(col("change_type") === "insert").isEmpty)
+    assert(feed.where(col("change_type") === "delete").isEmpty)
+    assert(feed.where(col("change_type") === "update_postimage").count() === 20L)
+    // no-op predicate → version unchanged
+    assert(Lake.updateWhere(spark, root, col("k") > 1000L,
+      Map("amt" -> lit(0L))) === v)
+    // unknown SET column refused
+    intercept[IllegalArgumentException] {
+      Lake.updateWhere(spark, root, col("k") === 1L, Map("nope" -> lit(1L)))
+    }
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
