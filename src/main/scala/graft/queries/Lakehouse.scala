@@ -248,6 +248,31 @@ object Lakehouse {
         .orderBy("o_orderkey")
     },
 
+    // Bloom-filter point-lookup skipping: documents committed as four
+    // HASH-interleaved dirs (doc_id % 4) so every dir spans the full
+    // key range — min/max stats prune NOTHING — with a per-dir Bloom
+    // filter on doc_id in the manifest. The IN-list lookup reads only
+    // the dirs whose filters might hold the keys (LakeSpec asserts the
+    // skip set; here the whole commit→probe→read chain is under the
+    // oracle hash). At 100 TB this is find-by-id on an unclustered
+    // table: manifest-read planning cost, data I/O only where the key
+    // can live — the skipping mode range stats structurally cannot
+    // provide on hash-distributed keys.
+    Q("q118_lake_pointlookup",
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents WHERE doc_id IN (37, 102, 251)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_bloom", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(docs.where(pmod(col("doc_id"), lit(4)) === b),
+          root, retain = 0, bloomCols = Seq("doc_id"))
+        ()
+      }
+      Lake.readCommittedWhere(s, root, col("doc_id").isin(37L, 102L, 251L))
+        .orderBy("doc_id")
+    },
+
     // Z-order clustering + file-level skipping: lineitem committed,
     // clustered on (l_partkey, l_suppkey) — 16-bit rank scaling, bit
     // interleave, range-partitioned files, per-file min/max in the

@@ -318,6 +318,122 @@ object Lake {
     Some((statsJson(dirStats), perFile.map { case (f, m) => f -> statsJson(m) }))
   }
 
+  // ---- per-dir Bloom filters (point-lookup skipping) ---------------
+  //
+  // `#bloomcols=<c1,c2>` names the table's BLOOM COLUMNS (established
+  // like stat columns, inherited by later commits), and one
+  // `#bloom_<dir>=<json>` line per data dir carries a base64 Bloom
+  // filter per column (Spark's public `org.apache.spark.util.sketch
+  // .BloomFilter` — integral and string columns). Min/max ranges
+  // cannot prune an EQUALITY lookup on a hash- or round-robin-
+  // distributed key (every dir spans the full range); a Bloom filter
+  // answers "definitely not in this dir" with zero false negatives,
+  // so `readCommittedWhere(col("id") === x)` on a 100 TB table scans
+  // only the dirs that might hold x. Like range stats, blooms are an
+  // optimization only: an over-full filter degrades to higher
+  // false-positive rate (more dirs kept), never to a wrong result,
+  // and an absent filter always keeps the dir. Sizing is capped at
+  // ~100k expected items (≈15 KB of bits at 2% FPP) per (dir, col) so
+  // manifests stay planning-readable; beyond the cap the FPP rises
+  // gracefully.
+  private val BloomColsPrefix = "#bloomcols="
+  private val BloomPrefix = "#bloom_"
+  private val BloomMaxItems = 100000L
+  private val BloomFpp = 0.02
+
+  private def manifestBloomCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(BloomColsPrefix))
+      .map(_.stripPrefix(BloomColsPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  private def effectiveBloomCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      bloomCols: Seq[String]): Seq[String] = {
+    bloomCols.foreach(c => require(!c.exists("=,\n#".contains(_)),
+      s"bloom column name '$c' may not contain '=', ',', '#', or newline"))
+    if (bloomCols.nonEmpty) bloomCols
+    else committedVersions(fs, r).lastOption
+      .map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
+  }
+
+  /** Raw `#bloom_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private def manifestBloomsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(BloomPrefix) && l.indexOf('=') > BloomPrefix.length =>
+        val i = l.indexOf('=')
+        l.substring(BloomPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Bloom filters of one dir's manifest line, deserialized. */
+  private def parseBloomJson(json: String):
+      Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = scala.util.Try(om.readTree(json)).getOrElse(return Map.empty)
+    val it = root.properties().iterator()
+    val out = Map.newBuilder[String, org.apache.spark.util.sketch.BloomFilter]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.has("b"))
+        scala.util.Try(org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(e.getValue.get("b").asText))))
+          .foreach(out += e.getKey -> _)
+    }
+    out.result()
+  }
+
+  /** Bloom filters of a freshly-written dir on `cols`, as manifest
+    * JSON — one scan per column (cols is almost always one key).
+    * Integral/string columns only (the sketch's put/probe domain);
+    * others drop out. O(this dir), like the write that produced it. */
+  private def dirBloomJson(spark: SparkSession, dirPath: String,
+      cols: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (cols.isEmpty) return None
+    val df = spark.read.parquet(dirPath)
+    val present = cols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      })))
+    if (present.isEmpty) return Some("{}")
+    val n = df.count()
+    if (n == 0) return Some("{}")
+    val expected = math.max(1L, math.min(n, BloomMaxItems))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    present.foreach { c =>
+      scala.util.Try {
+        val bf = df.stat.bloomFilter(c, expected, BloomFpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      }.foreach { b64 =>
+        val node = om.createObjectNode()
+        node.put("b", b64)
+        root.set[com.fasterxml.jackson.databind.JsonNode](c, node)
+        ()
+      }
+    }
+    Some(om.writeValueAsString(root))
+  }
+
+  /** Probe: can the dir's Bloom filter for `p.col` prove an equality
+    * predicate matches nothing? True = provably absent (skip safe);
+    * anything un-probeable keeps the dir. */
+  private def bloomExcludes(
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
+      p: Pred): Boolean =
+    p.op == PEq && blooms.get(p.col).exists { bf =>
+      p.values.forall {
+        case NumV(v) =>
+          v.isWhole && v.isValidLong && !bf.mightContainLong(v.toLongExact)
+        case StrV(s) => !bf.mightContainString(s.toString)
+      }
+    }
+
   private def manifestStatsCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
     manifestBody(fs, r, v).find(_.startsWith(StatsColsPrefix))
@@ -496,14 +612,18 @@ object Lake {
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val dirs = manifestDirs(fs, r, cur)
     val stats = manifestStatsRaw(fs, r, cur)
+    val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
     if (preds.isEmpty) (dirs, Nil)
     else dirs.partition { d =>
-      stats.get(d).map(parseStatsJson) match {
-        case Some(st) => !preds.exists(p =>
-          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) })
-        case None => true // unstat'd dir: always kept
-      }
+      val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
+        preds.exists(p =>
+          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
+      // ranges prune range predicates; blooms prune equality lookups
+      // the ranges can't (hash-distributed keys overlap on every dir)
+      lazy val bloomExcluded = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
+        preds.exists(p => bloomExcludes(bfs, p)))
+      !rangeExcluded && !bloomExcluded
     }
   }
 
@@ -883,7 +1003,9 @@ object Lake {
       rows: Option[Long] = None,
       newStats: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
-      newFileStats: Map[String, Map[String, String]] = Map.empty): Unit = {
+      newFileStats: Map[String, Map[String, String]] = Map.empty,
+      newBlooms: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Unit = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
     // this commit wrote get fresh lines. Resolved BEFORE the rename
@@ -906,13 +1028,25 @@ object Lake {
     val effCols =
       if (statsCols.nonEmpty) statsCols
       else prevV.map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil)
+    // bloom lines carry exactly like stats lines: reused dirs keep
+    // their serialized filters verbatim (immutable dir, immutable
+    // membership), only dirs this commit wrote get fresh ones
+    val prevBlooms = prevV
+      .map(v => manifestBloomsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val bloomLines = dirs.flatMap(d =>
+      newBlooms.get(d).orElse(prevBlooms.get(d)).map(j => BloomPrefix + d + "=" + j))
+    val effBloom =
+      if (bloomCols.nonEmpty) bloomCols
+      else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
     val tmp = new Path(r, s"_commit_$version.tmp")
     val out = fs.create(tmp, true)
     val body = dirs ++ schema.map(s => SchemaPrefix + s.json) ++
       rows.map(n => RowsPrefix + n) ++
       (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))
        else Nil) ++
-      statsLines ++ fileStatsLines
+      (if (effBloom.nonEmpty) Seq(BloomColsPrefix + effBloom.mkString(","))
+       else Nil) ++
+      statsLines ++ fileStatsLines ++ bloomLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
@@ -946,7 +1080,7 @@ object Lake {
     * protocol above). Returns the committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -956,13 +1090,16 @@ object Lake {
     // number, and renaming a new manifest onto it would fail forever
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, statsCols)
+    val effBloom = effectiveBloomCols(fs, r, bloomCols)
     // data first, completely; an interrupted write leaves an orphan
     // dir the next commit of the same version overwrites
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
     val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
       .map(s"v$next" -> _).toMap
+    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+      .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount,
-      stats, effStats)
+      stats, effStats, newBlooms = blooms, bloomCols = effBloom)
     next
   }
 
@@ -974,7 +1111,7 @@ object Lake {
     * the table. Returns the committed version. */
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -1002,12 +1139,15 @@ object Lake {
       }
     }
     val effStats = effectiveStatsCols(fs, r, statsCols)
+    val effBloom = effectiveBloomCols(fs, r, bloomCols)
     df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
     // O(batch): stats only for the new dir; reused dirs' lines carry
     val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
       .map(s"v$next" -> _).toMap
+    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+      .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows,
-      stats, effStats)
+      stats, effStats, newBlooms = blooms, bloomCols = effBloom)
     next
   }
 
@@ -1096,8 +1236,12 @@ object Lake {
       preserveMarkers(fs, r, touchedDirs, s"v$next")
       val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
         .map(s"v$next" -> _).toMap
+      val effBloom = effectiveBloomCols(fs, r, Nil)
+      val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+        .map(s"v$next" -> _).toMap
       commitManifest(fs, r, next, untouched :+ s"v$next", retain,
-        carried.orElse(Some(rewritten.schema)), None, stats, effStats)
+        carried.orElse(Some(rewritten.schema)), None, stats, effStats,
+        newBlooms = blooms, bloomCols = effBloom)
       next
     } finally { latest.unpersist(); () }
   }
@@ -1155,16 +1299,24 @@ object Lake {
       .getOrElse(Set.empty)
     val allMatchProvable = exact && preds.nonEmpty &&
       preds.forall(p => nonNullCols.contains(p.col))
+    val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     sealed trait C; case object Keep extends C; case object Drop extends C
     case object Rewrite extends C
-    def classify(d: String): C = stats.get(d).map(parseStatsJson) match {
-      case Some(st) if preds.exists(p =>
-          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }) =>
-        Keep
-      case Some(st) if allMatchProvable && preds.forall(p =>
-          st.get(p.col).exists { case (lo, hi) => predIncludesAll(lo, hi, p) }) =>
-        Drop
-      case _ => Rewrite // unstat'd or straddling: read, filter, rewrite
+    def classify(d: String): C = {
+      // a bloom proving an equality conjunct absent is as good as a
+      // range exclusion: no row can match, the dir survives untouched
+      lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
+        preds.exists(p => bloomExcludes(bfs, p)))
+      stats.get(d).map(parseStatsJson) match {
+        case Some(st) if preds.exists(p =>
+            st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }) =>
+          Keep
+        case Some(st) if allMatchProvable && preds.forall(p =>
+            st.get(p.col).exists { case (lo, hi) => predIncludesAll(lo, hi, p) }) =>
+          Drop
+        case _ if bloomKeep => Keep
+        case _ => Rewrite // unstat'd or straddling: read, filter, rewrite
+      }
     }
     val byClass = snapDirs.groupBy(classify)
     val kept = byClass.getOrElse(Keep, Nil)
@@ -1206,8 +1358,12 @@ object Lake {
       } else None // the metadata-only partition drop: no job at all
     val freshStats = newDir.flatMap(d =>
       dirStatsJson(spark, new Path(r, d).toString, effStats).map(d -> _)).toMap
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    val freshBlooms = newDir.flatMap(d =>
+      dirBloomJson(spark, new Path(r, d).toString, effBloom).map(d -> _)).toMap
     commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
-      carried, None, freshStats, effStats)
+      carried, None, freshStats, effStats,
+      newBlooms = freshBlooms, bloomCols = effBloom)
     next
   }
 
@@ -1241,12 +1397,14 @@ object Lake {
       s"SET column '$c' is not in the table schema " +
         schema.fieldNames.mkString("[", ", ", "]")))
     val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val (kept, touched) = snapDirs.partition { d =>
-      stats.get(d).map(parseStatsJson) match {
-        case Some(st) => preds.exists(p =>
-          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) })
-        case None => false // unstat'd dir: may hold matches, rewrite
-      }
+      val rangeKeep = stats.get(d).map(parseStatsJson).exists(st =>
+        preds.exists(p =>
+          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
+      lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
+        preds.exists(p => bloomExcludes(bfs, p)))
+      rangeKeep || bloomKeep
     }
     if (touched.isEmpty) return cur
     val paths = touched.map(d => new Path(r, d).toString)
@@ -1265,9 +1423,13 @@ object Lake {
     preserveMarkers(fs, r, touched, s"v$next")
     val freshStats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
       .map(s"v$next" -> _).toMap
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    val freshBlooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+      .map(s"v$next" -> _).toMap
     // updates are row-preserving: the metadata count carries over
     commitManifest(fs, r, next, kept :+ s"v$next", retain,
-      carried, manifestRows(fs, r, cur), freshStats, effStats)
+      carried, manifestRows(fs, r, cur), freshStats, effStats,
+      newBlooms = freshBlooms, bloomCols = effBloom)
     next
   }
 
@@ -1307,8 +1469,12 @@ object Lake {
     // read of what was just written)
     val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
       .map(s"v$next" -> _).toMap
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+      .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
-      manifestRows(fs, r, cur), stats, effStats)
+      manifestRows(fs, r, cur), stats, effStats,
+      newBlooms = blooms, bloomCols = effBloom)
     next
   }
 
@@ -1401,9 +1567,13 @@ object Lake {
     val (dirJson, fileJsons) =
       fileStatsJson(spark, new Path(r, s"v$next").toString, effStats)
         .getOrElse(("{}", Map.empty[String, String]))
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
+      .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain,
       Some(clustered.schema), manifestRows(fs, r, cur),
-      Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons))
+      Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons),
+      newBlooms = blooms, bloomCols = effBloom)
     next
   }
 

@@ -783,6 +783,77 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("bloom skipping: equality lookups prune dirs min/max ranges cannot") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-bloom")
+    // hash-interleaved appends: every dir spans the FULL key range
+    // (k%4), so range stats prune nothing; the per-dir bloom must
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (0L until 400L).filter(_ % 4 == b).map(k => (k, s"n$k")).toDF("k", "t"),
+        root, retain = 0, statsCols = Seq("k"), bloomCols = Seq("k", "t"))
+      ()
+    }
+    // k=37 lives only in dir v1 (37%4==1); ranges keep all four
+    val (keptR, _) = Lake.pruneDirs(spark, root, col("k") === 37L)
+    assert(keptR.map(p => new Path(p).getName) === Seq("v1"))
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 37L)) ===
+      Set(Seq(37L, "n37")))
+    // string-column bloom probes too
+    val (keptS, _) = Lake.pruneDirs(spark, root, col("t") === "n38")
+    assert(keptS.map(p => new Path(p).getName) === Seq("v2"))
+    // IN-list keeps exactly the union of matching dirs
+    val (keptIn, skippedIn) = Lake.pruneDirs(spark, root,
+      col("k").isin(37L, 102L))
+    assert(keptIn.map(p => new Path(p).getName).toSet === Set("v1", "v2"))
+    assert(skippedIn.size === 2)
+    // a definitely-absent key skips every dir, result still exact-empty
+    val (keptNone, _) = Lake.pruneDirs(spark, root, col("k") === 9999L)
+    assert(keptNone.isEmpty)
+    assert(Lake.readCommittedWhere(spark, root, col("k") === 9999L).isEmpty)
+    // range predicates ignore blooms (op gate): all dirs kept
+    val (keptRange, _) = Lake.pruneDirs(spark, root, col("k") < 10L)
+    assert(keptRange.size === 4)
+    // blooms ride maintenance: compaction refreshes the collapsed
+    // dir's filter and lookups keep pruning (now 1-of-1 dirs)
+    Lake.compactCommitted(spark, root, targetBytes = 1L << 20)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 37L)) ===
+      Set(Seq(37L, "n37")))
+    assert(Lake.pruneDirs(spark, root, col("k") === 9999L)._1.isEmpty)
+  }
+
+  test("bloom skipping: deleteWhere and updateWhere reuse bloom-absent dirs by reference") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-bloomdel")
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (0L until 400L).filter(_ % 4 == b).map(k => (k, k * 10L)).toDF("k", "amt"),
+        root, retain = 4, bloomCols = Seq("k"))
+      ()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def fileSig(d: String) = fs.listStatus(new Path(root, d))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+    val sigs = (0 to 3).map(b => fileSig(s"v$b"))
+    // delete k=37: only v1 can hold it — v0/v2/v3 reused by reference
+    Lake.deleteWhere(spark, root, col("k") === 37L, retain = 4)
+    val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(!live.contains("v1"))
+    Seq(0, 2, 3).foreach(b => assert(fileSig(s"v$b") === sigs(b)))
+    assert(Lake.readCommitted(spark, root).where(col("k") === 37L).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 399L)
+    // update k=102: only v2 can hold it
+    val sig0 = fileSig("v0"); val sig3b = fileSig("v3")
+    Lake.updateWhere(spark, root, col("k") === 102L,
+      Map("amt" -> lit(-1L)), retain = 4)
+    val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
+    assert(!live2.contains("v2"))
+    assert(fileSig("v0") === sig0 && fileSig("v3") === sig3b)
+    assert(rows(Lake.readCommitted(spark, root).where(col("k") === 102L)) ===
+      Set(Seq(102L, -1L)))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
