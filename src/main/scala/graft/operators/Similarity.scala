@@ -380,6 +380,97 @@ object Similarity {
         col("qcos"), col("rank"))
   }
 
+  /** PRODUCT-QUANTIZATION codebooks: split the `dims`-dim space into
+    * `m` contiguous subspaces and give each its own bounded codebook.
+    * Cells derive from the SAME per-(label, dim) means as
+    * [[codebookFromLabels]] (sliced per subspace), so the construction
+    * is fully deterministic and oracle-expressible — the role k-means
+    * would play in a production PQ trainer, played here by the label
+    * structure (the established codebook policy of q57/q110).
+    * @return (sub, cell, centroid[dims/m]) — m·|labels| rows, bounded
+    *   model state that broadcasts like any IVF codebook */
+  def pqCodebooks(df: DataFrame, labelCol: String, vecCol: String,
+      m: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subLen = dims / m
+    codebookFromLabels(df, labelCol, vecCol)
+      .select(col("cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.cast("long").as("sub"),
+            slice(col("centroid"), s * subLen + 1, lit(subLen)).as("centroid"))))
+          .as("e"))
+      .select(col("e.sub").as("sub"), col("cell"), col("e.centroid").as("centroid"))
+  }
+
+  /** PQ ENCODE: each vector compresses to `m` small cell codes — the
+    * memory representation that makes billion-scale ANN fit in RAM
+    * (m bytes-ish per vector instead of dims·4). Per subspace the code
+    * is the L2-argmin cell, computed as argmax of the equivalent
+    * `x·c − ‖c‖²/2` form (the per-vector ‖x‖² constant drops out of
+    * the argmin), rounded with cell-ascending tie-break so the
+    * selection is engine-stable. One broadcast of the bounded codebook;
+    * the argmax is map-side-combinable — the shuffle carries one row
+    * per (vector, subspace), never the scored pairs.
+    * @return (idCol, sub, code) */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, subLen: Int, roundTo: Int = 4): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(codebooks))
+      .select(col(idCol), col("sub"), col("cell"),
+        round(
+          VectorFns.dot(
+            slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)),
+            col("centroid")) -
+            lit(0.5) * VectorFns.dot(col("centroid"), col("centroid")),
+          roundTo).as("__e"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("cell"), struct(col("__e"), negate(col("cell")))).as("code"))
+
+  /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION: queries never touch
+    * the raw corpus vectors — each query precomputes, per (subspace,
+    * cell), the partial dot with that cell's centroid plus the
+    * centroid's squared norm (the classic ADC lookup table), and a
+    * corpus vector scores as the sum of its codes' table entries:
+    * cos ≈ Σ partials / (‖q‖ · √Σ ‖c‖²), the cosine of the query with
+    * the RECONSTRUCTED vector. At 100 TB the scoring scan reads the
+    * m-codes table (bytes per vector), not the embeddings — that I/O
+    * asymmetry is the whole point of PQ. The LUT (|queries|·m·|cells|
+    * rows) broadcasts; partial aggregation combines the m table hits
+    * map-side, so the one shuffle carries (query, neighbor) partial
+    * sums. Partials sum in DECIMAL (order-independent) with the final
+    * rounded division in double, same oracle discipline as the rest of
+    * the vector catalog.
+    * @return (query_id, neighbor_id, cosine, rank) — approximate */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, subLen: Int,
+      roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 10)
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol, subLen, roundTo)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val lut = queries.select(col(idCol), col(vecCol))
+      .join(broadcast(codebooks))
+      .select(col(idCol).as("query_id"), col("sub").as("lsub"), col("cell"),
+        round(VectorFns.dot(
+          slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)),
+          col("centroid")), roundTo).cast(dec).as("__p"),
+        round(VectorFns.dot(col("centroid"), col("centroid")), roundTo)
+          .cast(dec).as("__c2"),
+        VectorFns.l2Norm(col(vecCol)).as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    codes.join(broadcast(lut),
+        codes("sub") === col("lsub") && codes("code") === col("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__p")).as("__sp"), sum(col("__c2")).as("__sc2"),
+        first(col("__qn")).as("__qn"))
+      .withColumn("cosine", round(col("__sp").cast("double") /
+        (col("__qn") * sqrt(col("__sc2").cast("double"))), roundTo))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Lloyd's k-means over an embedding column: `iters` fixed rounds of
     * assign-then-update from a deterministic seed (the k smallest ids'
     * vectors) — the semantic-clustering primitive behind

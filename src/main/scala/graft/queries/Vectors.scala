@@ -262,6 +262,22 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Product quantization + ADC top-k: each 64-dim vector compresses
+    // to 8 subspace cell codes; queries score corpus CODES through a
+    // broadcast lookup table (cos of the reconstructed vector) and
+    // never reread the embeddings — the memory/IO shape billion-scale
+    // ANN actually ships. Subspace codebooks derive from the label
+    // means (the q57 deterministic-codebook policy), encode is rounded
+    // L2-argmin with cell tie-break, ADC partials sum in DECIMAL — the
+    // whole pipeline hash-checks against the SQL twin.
+    Q("q119_pq_ann", Vectors.pqOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(emb, "label", "embedding", m = 8, dims = 64)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), cb,
+          "vec_id", "embedding", k = 5, subLen = 8)
+        .orderBy("query_id", "rank")
+    },
+
     // Int8 scalar quantization + quantized top-k: the 4×-smaller index
     // representation an ANN system scores at scale. All arithmetic
     // before the final sqrt/div is exact-integer, so the whole result
@@ -587,6 +603,56 @@ object Vectors {
   /** DuckDB twin of Similarity.ivfTopK over the label codebook:
     * identical DECIMAL-exact centroids, identical rounded-cosine
     * assignment (max cos, tie → smallest cell) and scoring. */
+  /** SQL twin of q119: per-(label, dim) DECIMAL means sliced into 8
+    * subspaces, rounded L2-argmin encode (x·c − ‖c‖²/2 form, cell
+    * tie-break), ADC scoring with DECIMAL partial sums — every step
+    * mirrors the Spark program so the hash matches. */
+  lazy val pqOracle: String =
+    """WITH cb AS (
+      |  SELECT CAST(floor((dim-1)/8) AS BIGINT) AS sub, label AS cell,
+      |         list(mean_v ORDER BY dim) AS centroid FROM (
+      |    SELECT label, dim,
+      |      CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mean_v
+      |    FROM (SELECT label, unnest(embedding) AS v,
+      |                 generate_subscripts(embedding, 1) AS dim FROM embeddings)
+      |    GROUP BY label, dim)
+      |  GROUP BY 1, 2),
+      |codes AS (
+      |  SELECT id, sub, cell AS code FROM (
+      |    SELECT e.vec_id AS id, c.sub, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+      |        round(list_dot_product(
+      |            CAST(e.embedding[(CAST(c.sub AS INT)*8+1):(CAST(c.sub AS INT)*8+8)] AS DOUBLE[]),
+      |            c.centroid)
+      |          - 0.5 * list_dot_product(c.centroid, c.centroid), 4) DESC,
+      |        c.cell) AS rn
+      |    FROM embeddings e CROSS JOIN cb c)
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS query_id, c.sub, c.cell,
+      |    round(list_dot_product(
+      |        CAST(q.embedding[(CAST(c.sub AS INT)*8+1):(CAST(c.sub AS INT)*8+8)] AS DOUBLE[]),
+      |        c.centroid), 4) AS partial,
+      |    round(list_dot_product(c.centroid, c.centroid), 4) AS cnorm2,
+      |    sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                          CAST(q.embedding AS DOUBLE[]))) AS qnorm
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 8),
+      |scored AS (
+      |  SELECT l.query_id, s.id AS neighbor_id,
+      |    round(CAST(sum(CAST(l.partial AS DECIMAL(20,10))) AS DOUBLE)
+      |      / (any_value(l.qnorm)
+      |         * sqrt(CAST(sum(CAST(l.cnorm2 AS DECIMAL(20,10))) AS DOUBLE))), 4) AS cosine
+      |  FROM codes s JOIN lut l ON l.sub = s.sub AND l.cell = s.code
+      |  WHERE l.query_id <> s.id
+      |  GROUP BY l.query_id, s.id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   lazy val ivfOracle: String =
     """WITH centroids AS (
       |  SELECT label AS cell, list(mean_v ORDER BY dim) AS centroid FROM (

@@ -40,6 +40,10 @@ object ExplainCheck {
     // query×codebook broadcast shape as q57 (the codebook is k rows
     // by construction — never a cartesian risk)
     "q110_stored_ivf_ann",
+    // PQ encode/LUT: the two BNLJs are corpus×codebook and
+    // query×codebook broadcasts of an m·|labels|-row codebook —
+    // bounded model state, the q57 shape per subspace
+    "q119_pq_ann",
     // broadcast-query scoring over quantized codes: same bounded
     // |corpus|×|Q| shape as q50 (the BNLJ side is the broadcast
     // query set, never corpus×corpus)

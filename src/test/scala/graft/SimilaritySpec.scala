@@ -148,6 +148,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._4).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("pqCodebooks/pqEncode: subspace slicing is exact, centroid-aligned vectors code to their own cell") {
+    // two labels in 4 dims, m=2 subspaces of 2; vectors sit exactly ON
+    // their label mean, so every subspace code must be the own label
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0L),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0L),
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f), 1L),
+      (4L, Array(0.0f, 1.0f, 1.0f, 0.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(df, "label", "embedding", m = 2, dims = 4)
+    // 2 labels × 2 subspaces, each centroid of length 2
+    assert(cb.count() === 4L)
+    assert(cb.select(size(col("centroid"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(2))
+    val codes = Similarity.pqEncode(df, cb, "vec_id", "embedding", subLen = 2)
+    assert(codes.count() === 8L) // m codes per vector
+    val byId = codes.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(1L, 2L).foreach(id =>
+      Seq(0L, 1L).foreach(sub => assert(byId((id, sub)) === 0L)))
+    Seq(3L, 4L).foreach(id =>
+      Seq(0L, 1L).foreach(sub => assert(byId((id, sub)) === 1L)))
+    // dims must divide into m
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(df, "label", "embedding", m = 3, dims = 4)
+    }
+  }
+
+  test("pqTopK: ADC ranks same-label vectors first; self excluded; ranks dense") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f), 0L),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.9f), 0L),
+      (3L, Array(0.0f, 1.0f, 1.0f, 0.0f), 1L),
+      (4L, Array(0.1f, 0.9f, 1.0f, 0.1f), 1L),
+      (5L, Array(0.0f, 0.9f, 1.0f, 0.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(df, "label", "embedding", m = 2, dims = 4)
+    val out = Similarity.pqTopK(df, df.where(col("vec_id") === 1L), cb,
+      "vec_id", "embedding", k = 4, subLen = 2).collect()
+    assert(out.forall(_.getLong(1) != 1L)) // never itself
+    assert(out.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3, 4))
+    // ADC scores the reconstruction: the same-label neighbor outranks
+    // every cross-label one
+    val rankOf = out.map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(rankOf(2L) === 1)
+    assert(Seq(3L, 4L, 5L).forall(id => rankOf(id) > 1))
+  }
+
   test("centroids computes per-label element-wise means") {
     val df = Seq(
       ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)), ("b", Array(10.0f, 20.0f))
