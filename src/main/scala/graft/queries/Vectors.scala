@@ -278,6 +278,26 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Stored-codebook PQ (incremental compressed ANN): the subspace
+    // codebooks persist as a manifest-committed table (the q110
+    // stored-index pattern), so arriving batches ENCODE against the
+    // same frozen index — the production PQ lifecycle, where codes are
+    // only comparable if every batch used the same codebooks. The
+    // oracle is the inline q119 SQL: double centroids round-trip
+    // parquet bit-exactly, so stored and inline must agree to the hash.
+    Q("q120_stored_pq_ann", Vectors.pqOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pq_codebook_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.Lake.commitOverwrite(
+        Similarity.pqCodebooks(emb, "label", "embedding", m = 8, dims = 64)
+          .select(col("sub"), col("cell"), col("centroid")), root)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8),
+          graft.sources.Lake.readCommitted(s, root),
+          "vec_id", "embedding", k = 5, subLen = 8)
+        .orderBy("query_id", "rank")
+    },
+
     // Int8 scalar quantization + quantized top-k: the 4×-smaller index
     // representation an ANN system scores at scale. All arithmetic
     // before the final sqrt/div is exact-integer, so the whole result

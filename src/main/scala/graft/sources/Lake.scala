@@ -1050,29 +1050,61 @@ object Lake {
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
       throw new java.io.IOException(s"manifest rename failed for version $version")
-    // prune snapshots beyond the retention horizon: markers first
-    // (a crash mid-prune never leaves a committed manifest pointing
-    // at deleted data — dirs go only after every manifest referencing
-    // them), then sweep EVERY committed-range data dir no surviving
-    // manifest references. Sweeping by reference, not by stale list,
-    // also reclaims orphans from a PAST crash between a prune's
-    // marker and dir deletions — they are referenced by no manifest
-    // and could never be resurrected. A writer-in-progress dir is
-    // never swept: its version exceeds every committed one.
+    pruneRetention(fs, r, retain)
+    ()
+  }
+
+  /** The retention prune every commit runs: keep the live snapshot
+    * plus the newest `retain` superseded ones — markers first (a
+    * crash mid-prune never leaves a committed manifest pointing at
+    * deleted data — dirs go only after every manifest referencing
+    * them), then sweep EVERY committed-range data dir no surviving
+    * manifest references. Sweeping by reference, not by stale list,
+    * also reclaims orphans from a PAST crash between a prune's
+    * marker and dir deletions — they are referenced by no manifest
+    * and could never be resurrected. A writer-in-progress dir is
+    * never swept: its version exceeds every committed one.
+    * @return (pruned manifest versions, swept dir names) */
+  private def pruneRetention(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      retain: Int): (Seq[Long], Seq[String]) = {
     val all = committedVersions(fs, r)
+    if (all.isEmpty) return (Nil, Nil)
     val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
     stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
     val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
-    val maxV = all.lastOption.getOrElse(version)
+    val maxV = all.last
+    val swept = Seq.newBuilder[String]
     fs.listStatus(r).iterator
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .foreach { n =>
         if (n.startsWith("v") && !keptRefs.contains(n))
           n.stripPrefix("v").toLongOption.foreach { v =>
-            if (v <= maxV) fs.delete(new Path(r, n), true)
+            if (v <= maxV) { fs.delete(new Path(r, n), true); swept += n }
           }
       }
+    (stale, swept.result())
+  }
+
+  /** VACUUM: enforce a retention horizon on a committed table WITHOUT
+    * a data commit — every commit already prunes with its own
+    * `retain`, but a table that stopped being WRITTEN never gets
+    * another chance to reclaim its history; this is that chance (the
+    * lakehouse VACUUM command). Keeps the live snapshot plus the
+    * newest `retain` superseded readable versions; narrows the
+    * [[readCommittedAt]] time-travel horizon accordingly (readers of
+    * pruned versions fail fast naming the remaining horizon). Also
+    * reclaims orphan dirs from past crashed writers below the live
+    * version; an in-progress writer dir (above it) is never touched.
+    * @return (pruned manifest versions, swept data dir names) */
+  def vacuumCommitted(spark: SparkSession, root: String,
+      retain: Int = 1): (Seq[Long], Seq[String]) = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    if (committedVersions(fs, r).isEmpty)
+      throw new java.util.NoSuchElementException(s"no committed table at $root")
+    pruneRetention(fs, r, retain)
   }
 
   /** Replace the table at `root` with `df`, committing via one atomic

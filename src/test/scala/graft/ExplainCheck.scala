@@ -43,7 +43,7 @@ object ExplainCheck {
     // PQ encode/LUT: the two BNLJs are corpus×codebook and
     // query×codebook broadcasts of an m·|labels|-row codebook —
     // bounded model state, the q57 shape per subspace
-    "q119_pq_ann",
+    "q119_pq_ann", "q120_stored_pq_ann",
     // broadcast-query scoring over quantized codes: same bounded
     // |corpus|×|Q| shape as q50 (the BNLJ side is the broadcast
     // query set, never corpus×corpus)

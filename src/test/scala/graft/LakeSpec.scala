@@ -854,6 +854,51 @@ class LakeSpec extends SparkSpec {
       Set(Seq(102L, -1L)))
   }
 
+  test("vacuumCommitted: narrows the time-travel horizon, reclaims orphans, spares in-progress writers") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-vac")
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(Seq((b, s"r$b")).toDF("k", "t"), root, retain = 3)
+      ()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(Lake.readableVersions(spark, root) === Seq(0L, 1L, 2L, 3L))
+    // an orphan from a past crashed prune (below live) and an
+    // in-progress writer dir (above live)
+    fs.mkdirs(new Path(root, "v99"))
+    Seq((77L, "orphan")).toDF("k", "t").write.mode("overwrite")
+      .parquet(new Path(root, "v98").toString)
+    // hand-age the orphan below the live version by renaming: use a
+    // dir number < live that no manifest references
+    fs.rename(new Path(root, "v98"), new Path(root, "v0_orphan"))
+    fs.rename(new Path(root, "v0_orphan"), new Path(root, "v2x")) // not a version name — ignored
+    val live = Lake.readCommitted(spark, root)
+    assert(live.count() === 4L)
+    val (pruned, swept) = Lake.vacuumCommitted(spark, root, retain = 1)
+    assert(pruned === Seq(0L, 1L))
+    // append snapshots share dirs, so pruning manifests 0/1 sweeps
+    // nothing the live snapshot references
+    assert(swept.forall(d => !Lake.resolve(spark, root).map(p =>
+      new Path(p).getName).contains(d)))
+    assert(Lake.readableVersions(spark, root) === Seq(2L, 3L))
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+    // pruned version reads fail fast naming the horizon
+    val e = intercept[java.util.NoSuchElementException] {
+      Lake.readCommittedAt(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("[2, 3]"))
+    // the in-progress writer dir survives every vacuum
+    assert(fs.exists(new Path(root, "v99")))
+    // retain=0 leaves exactly the live snapshot
+    Lake.vacuumCommitted(spark, root, retain = 0)
+    assert(Lake.readableVersions(spark, root) === Seq(3L))
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+    intercept[java.util.NoSuchElementException] {
+      Lake.vacuumCommitted(spark, tmpTable("graft-lake-vac-none"))
+    }
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
