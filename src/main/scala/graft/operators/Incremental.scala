@@ -141,6 +141,50 @@ object Incremental {
       .where(col("rows_n") =!= 0)
   }
 
+  /** Bootstrap a COARSER retractable table from a finer one — partials
+    * re-aggregate by summation (count/sum are decomposable), so MV2's
+    * bootstrap reads |MV1 groups| rows, never the base facts. */
+  def rollupPartials(mv: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(retractNames.forall(mv.columns.contains),
+      s"input must carry retractable stat columns $retractNames")
+    mv.groupBy(groupCols.map(col): _*).agg(
+      coalesce(sum(col("rows_n")), lit(0L)).as("rows_n"),
+      coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+      sum(col("sum_v")).cast(DecimalType(38, 2)).as("sum_v"))
+  }
+
+  /** Second hop of an MV CHAIN (base → MV1 → MV2): fold the change
+    * feed OF AN MV TABLE — rows that are themselves (rows_n, cnt,
+    * sum_v) partials — into a coarser-grouped retractable table.
+    * insert/update_postimage add the row's partials, delete/
+    * update_preimage subtract them, so MV2 follows MV1 at O(MV1
+    * changes) exactly as MV1 follows the base facts: at 100 TB a
+    * commit's cost propagates down the chain as O(changed groups) per
+    * hop, and no hop ever re-reads its upstream in full. Same closure
+    * discipline: a coarse group whose row count retracts to zero
+    * leaves the state. */
+  def applyPartialFeed(stored: DataFrame, feed: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    require(retractNames.forall(stored.columns.contains),
+      s"stored side must carry retractable stat columns $retractNames")
+    require(retractNames.forall(feed.columns.contains),
+      s"feed rows must carry retractable stat columns $retractNames " +
+        "(a change feed of an MV table)")
+    val w = when(col("change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("change_type").isin("delete", "update_preimage"), -1L)
+    val deltas = feed.select((groupCols.map(col) :+
+        (col("rows_n") * w).as("rows_n") :+
+        (col("cnt") * w).as("cnt") :+
+        (col("sum_v") * w).cast(DecimalType(38, 2)).as("sum_v")): _*)
+    stored.unionByName(deltas)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        coalesce(sum(col("rows_n")), lit(0L)).as("rows_n"),
+        coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+        sum(col("sum_v")).cast(DecimalType(38, 2)).as("sum_v"))
+      .where(col("rows_n") =!= 0)
+  }
+
   /** Bootstrap of the retractable table from a full snapshot. */
   def retractablePartials(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame =

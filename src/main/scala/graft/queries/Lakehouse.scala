@@ -273,6 +273,77 @@ object Lakehouse {
         .orderBy("doc_id")
     },
 
+    // Two-hop incremental MV CHAIN: base fact table → MV1 (fine
+    // groups: status × priority) → MV2 (coarse rollup: priority), each
+    // hop a committed table maintained off its UPSTREAM's change feed.
+    // One CDC merge on the base propagates down the chain as O(changed
+    // groups) per hop — MV1 folds the base feed (q115's mechanism),
+    // MV2 folds MV1's feed of partials (applyPartialFeed), and neither
+    // hop ever re-reads its upstream in full. The oracle recomputes
+    // MV2 from scratch over the post-merge table: a whole maintained
+    // CHAIN must be indistinguishable from starting over. This is the
+    // lakehouse DAG story at 100 TB: derived tables follow a fact
+    // table at feed cost, transitively.
+    Q("q121_lake_mv_chain",
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |              AND o_orderkey % 11 <> 3
+        |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        |  FROM o
+        |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |             AND o_orderkey % 11 <> 3))
+        |SELECT o_orderpriority, count(price) AS cnt,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |    / nullif(count(price), 0) AS avg_v
+        |FROM final GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val base = scratchRoot("lake_mvc_base", d)
+      val mv1Root = scratchRoot("lake_mvc_mv1", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      val key = col("o_orderkey")
+      val v0rows = orders.where(pmod(key, lit(11)) =!= 3).withColumn("ver", lit(0L))
+      val v0 = Lake.commitOverwrite(v0rows, base, retain = 3)
+      val g1 = Seq("o_orderstatus", "o_orderpriority")
+      // bootstrap both MVs; MV1 committed so it has its OWN feed
+      val mv1v0 = Lake.commitOverwrite(
+        Incremental.retractablePartials(
+          Lake.readCommittedAt(s, base, v0), g1, "o_totalprice"),
+        mv1Root, retain = 3)
+      val mv2_0 = Incremental.rollupPartials(
+        Lake.readCommittedAt(s, mv1Root, mv1v0), Seq("o_orderpriority"))
+      // the q113 merge batch hits the base
+      val ups = orders
+        .where(pmod(key, lit(5)) === 0 && pmod(key, lit(7)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val dels = orders
+        .where(pmod(key, lit(7)) === 0 && pmod(key, lit(5)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+      val ins = orders.where(pmod(key, lit(11)) === 3)
+      val changes = ups.withColumn("is_del", lit(false))
+        .unionByName(dels.withColumn("is_del", lit(true)))
+        .unionByName(ins.withColumn("is_del", lit(false)))
+        .withColumn("ver", lit(1L))
+      val v1 = Lake.mergeCommitted(s, base, changes, Seq("o_orderkey"),
+        "ver", "is_del", retain = 3)
+      // hop 1: MV1 folds the BASE feed, commits its refreshed state
+      val feed1 = Lake.changesBetween(s, base, v0, v1, Seq("o_orderkey"))
+      val mv1v1 = Lake.commitOverwrite(
+        Incremental.applyFeed(
+          Lake.readCommittedAt(s, mv1Root, mv1v0), feed1, g1, "o_totalprice"),
+        mv1Root, retain = 3)
+      // hop 2: MV2 folds MV1's OWN feed of partials — the base table
+      // is never touched again
+      val feed2 = Lake.changesBetween(s, mv1Root, mv1v0, mv1v1, g1)
+      Incremental.finalizeRetractable(
+          Incremental.applyPartialFeed(mv2_0, feed2, Seq("o_orderpriority")))
+        .orderBy("o_orderpriority")
+    },
+
     // Z-order clustering + file-level skipping: lineitem committed,
     // clustered on (l_partkey, l_suppkey) — 16-bit rank scaling, bit
     // interleave, range-partitioned files, per-file min/max in the

@@ -114,6 +114,50 @@ class IncrementalAggSpec extends SparkSpec {
     assert(nd === Map("a" -> 1L))
   }
 
+  test("MV chain: rollup bootstrap + partial-feed fold equals the coarse recompute") {
+    import graft.operators.Incremental
+    // base rows over (fine = (g, h), coarse = g); values with NULLs
+    val base = Seq(
+      ("a", 1L, Some(10.0)), ("a", 1L, Some(20.0)), ("a", 2L, None),
+      ("b", 1L, Some(5.0)), ("b", 2L, Some(7.0)), ("c", 1L, Some(1.0))
+    ).toDF("g", "h", "v")
+    val fine = Seq("g", "h")
+    val mv1 = Incremental.retractablePartials(base, fine, "v")
+    val mv2 = Incremental.rollupPartials(mv1, Seq("g"))
+    // bootstrap correctness: rollup == direct coarse partials
+    assert(rows(mv2) === rows(Incremental.retractablePartials(base, Seq("g"), "v")))
+    // a batch that updates (a,1), deletes ALL of c, inserts (d,9):
+    // expressed as MV1's own change feed (both images for the update)
+    val pre = mv1.where(col("g") === "a" && col("h") === 1L)
+      .withColumn("change_type", lit("update_preimage"))
+    val post = Incremental.retractablePartials(
+        Seq(("a", 1L, Some(10.0)), ("a", 1L, Some(99.0))).toDF("g", "h", "v"),
+        fine, "v")
+      .withColumn("change_type", lit("update_postimage"))
+    val del = mv1.where(col("g") === "c")
+      .withColumn("change_type", lit("delete"))
+    val ins = Incremental.retractablePartials(
+        Seq(("d", 1L, Some(9.0))).toDF("g", "h", "v"), fine, "v")
+      .withColumn("change_type", lit("insert"))
+    val feed = pre.unionByName(post).unionByName(del).unionByName(ins)
+    val folded = Incremental.applyPartialFeed(mv2, feed, Seq("g"))
+    // the equivalent post-change base, recomputed coarse from scratch
+    val newBase = Seq(
+      ("a", 1L, Some(10.0)), ("a", 1L, Some(99.0)), ("a", 2L, None),
+      ("b", 1L, Some(5.0)), ("b", 2L, Some(7.0)), ("d", 1L, Some(9.0))
+    ).toDF("g", "h", "v")
+    assert(rows(Incremental.finalizeRetractable(folded)) ===
+      rows(Incremental.finalizeRetractable(
+        Incremental.retractablePartials(newBase, Seq("g"), "v"))))
+    // the fully-retracted coarse group left the state entirely
+    assert(folded.where(col("g") === "c").isEmpty)
+    // guards: a non-partial feed is refused
+    intercept[IllegalArgumentException] {
+      Incremental.applyPartialFeed(mv2,
+        base.withColumn("change_type", lit("insert")), Seq("g"))
+    }
+  }
+
   test("refresh shuffles stat rows, not history: stored parquet scan is narrow") {
     val dir = java.nio.file.Files.createTempDirectory("incragg").toString
     Incremental.partials(all, Seq("g"), "v").write.parquet(s"$dir/stats")
