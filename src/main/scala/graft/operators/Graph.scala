@@ -123,4 +123,53 @@ object Graph {
       }
     } finally { e.unpersist(); () }
   }
+
+  /** Per-node TRIANGLE COUNTS over the undirected simple graph induced
+    * by (src, dst) edges — the local-clustering signal (spam rings,
+    * community density) a link-graph quality prior uses next to
+    * PageRank. Direction and multiplicity are dropped; self-loops are
+    * not triangles.
+    *
+    * Scale shape is the standard DEGREE-ORDERING compact-forward
+    * algorithm: orient every edge from the (degree, id)-smaller
+    * endpoint to the larger, so each triangle is found EXACTLY ONCE at
+    * its lowest-ranked vertex, and the wedge self-join fans out from
+    * out-degrees bounded by O(√m) — total wedge work O(m^1.5)
+    * regardless of skew (a celebrity node of degree 10⁶ contributes
+    * wedges only through its low-degree neighbors, not deg² pairs).
+    * Every step is an equi-join key shuffle; nothing is cartesian and
+    * no adjacency list needs to fit in memory.
+    * @return (p, triangles) — nodes in ≥1 triangle */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical simple undirected edge set
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("p"))
+      .unionAll(e.select(col("b").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    // orient low rank → high rank, rank = (deg, id)
+    val withDeg = e
+      .join(deg.select(col("p").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("p").as("b"), col("deg").as("db")), Seq("b"))
+    val directed = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the lowest-ranked vertex; id order canonicalizes the pair
+    val wedges = directed.select(col("u"), col("v").as("x"))
+      .join(directed.select(col("u"), col("v").as("y")), Seq("u"))
+      .where(col("x") < col("y"))
+    // close the wedge against the canonical edge set
+    val tri = wedges.join(e,
+      wedges("x") === e("a") && wedges("y") === e("b"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(col("u").as("p"))
+      .unionAll(tri.select(col("x").as("p")))
+      .unionAll(tri.select(col("y").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -67,6 +67,39 @@ object Events {
       Graph.pageRank(edges, iterations = 10).orderBy("p")
     },
 
+    // Per-node triangle counts over the same click graph: the
+    // local-clustering quality prior next to q91's PageRank. Spark
+    // runs the degree-ordered compact-forward algorithm (each triangle
+    // found once at its lowest-ranked vertex, wedge work O(m^1.5)
+    // under any skew); the oracle lists triangles by the simpler
+    // id-ordered 3-join — same triangle set, so per-node counts hash.
+    Q("q122_triangle_counts",
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |raw AS (SELECT src, dst FROM (
+        |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |           page AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM raw WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (SELECT x AS p FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT p, count(*) AS triangles FROM corners
+        |GROUP BY p ORDER BY p""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      Graph.triangleCounts(
+          Graph.clickEdges(ev, "user_id", "ts", "event_id", "page"))
+        .orderBy("p")
+    },
+
     // JSON-in-string extraction (events.props = {"k": N}).
     Q("q20_json_extract",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

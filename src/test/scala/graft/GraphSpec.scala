@@ -78,4 +78,22 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges, iterations = 5, dampPct = 101))
   }
+
+  test("triangleCounts: K4 counts, direction/multiplicity/loops ignored, pendants absent") {
+    // K4 on {1,2,3,4} with messy input: reversed duplicates, a
+    // multi-edge, a self-loop, and a pendant node 5
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (3L, 4L), (4L, 4L), (4L, 5L)
+    ).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: each vertex lies in C(3,2)=3 triangles; the pendant in none
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle total: Σ per-node / 3 = 4 triangles in K4
+    assert(out.values.sum === 12L)
+    // a triangle-free graph (path) yields an empty result
+    assert(Graph.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")).isEmpty)
+  }
 }
