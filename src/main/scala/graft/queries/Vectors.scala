@@ -381,19 +381,19 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // Frame sampling over THREE real containers: docs with id%4=0 are
+    // Frame sampling over FOUR real containers: docs with id%4=0 are
     // standard multi-frame ANIMATED GIFs (stock-JDK image-block walk),
     // id%4=2 MULTI-PAGE TIFFs (stock-JDK IFD-chain walk) — both
     // lossless by construction (indexed frames over an exact gray
-    // palette) — and the rest length-prefixed BMP containers whose
-    // demuxer walks the per-frame size fields (the parse shape an
-    // MP4/AVI demuxer has); all sample every 2nd frame up to 3 and
-    // genuinely decode each sampled frame. Dims and per-frame pixel
-    // sums (frame f's ramp is offset by f) share one closed form the
-    // oracle recomputes arithmetically; per-frame byte length exists
-    // only where the container byte-delimits frames (NULL for
-    // GIF/TIFF). The stride chunker remains only for genuinely
-    // non-JDK codecs.
+    // palette) — id%4=3 uncompressed-DIB AVIs (RIFF chunk walk to the
+    // movi LIST, per-'00db' frame decode), and the rest
+    // length-prefixed BMP containers whose demuxer walks the per-frame
+    // size fields; all sample every 2nd frame up to 3 and genuinely
+    // decode each sampled frame. Dims and per-frame pixel sums (frame
+    // f's ramp is offset by f) share one closed form the oracle
+    // recomputes arithmetically; per-frame byte length exists only
+    // where the container byte-delimits frames (NULL for GIF/TIFF).
+    // The stride chunker remains only for genuinely non-JDK codecs.
     Q("q63_frame_sample", Vectors.frameSampleOracle) { (s, d) =>
       Multimodal.frameSample(
           Multimodal.videosFromDocuments(Tables.documents(s, d), "doc_id", "text"),
