@@ -100,4 +100,30 @@ object AudioCodec {
     while (i < samples.length) { val v = samples(i).toLong; s += v * v; i += 1 }
     s
   }
+
+  /** Acoustic fingerprint: the energy-delta SIGN profile over `frames`
+    * equal time slices — the shape every landmark fingerprinter
+    * (Haitsma–Kalker, Shazam's band deltas) reduces to, collapsed to
+    * one band so the bits are integer-exact and the SQL twin can
+    * recompute them. Sample i lands in slice `i·frames div n`; bit
+    * f−1 is set iff slice f's Σv² strictly exceeds slice f−1's. Two
+    * captures of the same signal (same samples) always collide; the
+    * sign quantization makes the value robust to uniform gain in a
+    * real float pipeline. Integer-exact: e ≤ 2^30·n fits a Long. */
+  def bandFingerprint(samples: Array[Int], frames: Int): Long = {
+    require(frames >= 2 && frames <= 63, s"frames must be in [2, 63], got $frames")
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Long](frames)
+    var i = 0
+    while (i < n) {
+      val f = (i.toLong * frames / n).toInt
+      val v = samples(i).toLong
+      e(f) += v * v
+      i += 1
+    }
+    var fp = 0L; var f = 1
+    while (f < frames) { if (e(f) > e(f - 1)) fp |= 1L << (f - 1); f += 1 }
+    fp
+  }
 }

@@ -184,6 +184,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Partition-local acoustic fingerprinting: the REAL javax.sound
+    * decode (same codec shape as [[decodeAudioPartitioned]]) followed
+    * by [[AudioCodec.bandFingerprint]] over the decoded samples — the
+    * map-only half of audio near-dup. Grouping by the fingerprint is
+    * the caller's shuffle (a q104-style `min over (partition by fp)`
+    * window), so at 100 TB only (media_id, fp) pairs move, never
+    * payloads. Unreadable/NULL payloads carry a NULL fingerprint and
+    * join no dup group.
+    * @return (media_id, mime, sample_rate, n_samples, fingerprint) */
+  def fingerprintAudioPartitioned(media: DataFrame, frames: Int = 32): DataFrame = {
+    require(frames >= 2 && frames <= 63, s"frames must be in [2, 63], got $frames")
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("mime", StringType),
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("fingerprint", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    normalized(media).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = if (r.isNullAt(1)) null else r.getString(1)
+        val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        if (payload == null) Row(id, mime, null, null, null)
+        else AudioCodec.decode(payload) match {
+          case Some(d) =>
+            Row(id, mime, d.sampleRate, d.samples.length.toLong,
+              AudioCodec.bandFingerprint(d.samples, frames))
+          case None => Row(id, mime, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** FALLBACK decode for payloads the JDK codec cannot read (the real
     * path is [[ImageCodec.decode]]): deterministic pseudo-dimensions
     * from the payload's md5 — the SAME derivation as the column-level

@@ -431,6 +431,27 @@ object Vectors {
         .withColumn("dup_group",
           min(col("media_id")).over(Window.partitionBy(col("ahash"))))
         .orderBy("media_id")
+    },
+
+    // Audio near-dup by acoustic fingerprint over REAL decoded
+    // samples: 32 equal time slices, one bit per energy-delta sign
+    // (the Haitsma–Kalker/landmark shape collapsed to one band so the
+    // bits are integer-exact), dup groups keyed by the packed
+    // fingerprint — the q104 pattern for the audio modality. The
+    // oracle recomputes every bit from the WAV generator's sample
+    // arithmetic; decode, slicing rule, strict-> threshold and bit
+    // packing are all under the hash. Undecodable audio carries no
+    // fingerprint and joins no group.
+    Q("q123_audio_fingerprint", Vectors.audioFingerprintOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Multimodal.fingerprintAudioPartitioned(
+          Multimodal.audioFromDocuments(Tables.documents(s, d), "doc_id", "text"))
+        .where(col("fingerprint").isNotNull)
+        .withColumn("dup_group",
+          min(col("media_id")).over(Window.partitionBy(col("fingerprint"))))
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("fingerprint"), col("dup_group"))
+        .orderBy("media_id")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
@@ -577,6 +598,40 @@ object Vectors {
       |  CAST(d.n * 1000 // d.rate AS BIGINT) AS duration_ms,
       |  ag.peak_abs, ag.energy
       |FROM adims d JOIN ag ON d.media_id = ag.media_id
+      |ORDER BY d.media_id""".stripMargin
+
+  /** DuckDB twin of q123: the WAV generator's samples re-derived
+    * arithmetically (same CTE as [[audioDecodeOracle]]), sliced into
+    * 32 equal frames by the integer rule `i·32 div n`, per-frame Σv²
+    * compared to its predecessor (strict >), bits packed LSB-first —
+    * the exact [[graft.operators.AudioCodec.bandFingerprint]]
+    * arithmetic, so the fingerprint and its dup groups hash. */
+  lazy val audioFingerprintOracle: String =
+    """WITH adims AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 2048 + 64 AS n,
+      |    8000 + (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4) * 4000 AS rate,
+      |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS s
+      |  FROM documents WHERE text IS NOT NULL),
+      |samp AS (
+      |  SELECT media_id, i, n, ((s + 1) * 40503 * (i + 1)) % 65536 - 32768 AS v
+      |  FROM (SELECT media_id, n, s, unnest(generate_series(0, n - 1)) AS i FROM adims)),
+      |fe AS (
+      |  SELECT media_id, (i * 32) // n AS f, CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM samp GROUP BY media_id, (i * 32) // n),
+      |bits AS (
+      |  SELECT media_id, f,
+      |    CASE WHEN e > lag(e) OVER (PARTITION BY media_id ORDER BY f)
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM fe),
+      |fp AS (
+      |  SELECT media_id,
+      |    CAST(sum(b * (CAST(1 AS BIGINT) << CAST(f - 1 AS INT))) AS BIGINT) AS fingerprint
+      |  FROM bits WHERE f > 0 GROUP BY media_id)
+      |SELECT d.media_id, CAST(d.rate AS INT) AS sample_rate,
+      |  CAST(d.n AS BIGINT) AS n_samples, fp.fingerprint,
+      |  min(d.media_id) OVER (PARTITION BY fp.fingerprint) AS dup_group
+      |FROM adims d JOIN fp ON d.media_id = fp.media_id
       |ORDER BY d.media_id""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign

@@ -55,4 +55,40 @@ class AudioCodecSpec extends SparkSpec {
       assert(r.getAs[Long]("energy") > 0L)
     }
   }
+
+  test("bandFingerprint: hand-checked bits, slice rule, identical-signal collision") {
+    // 4 samples into 4 slices: energies (1, 4, 9, 4) -> deltas (+, +, -)
+    // -> bits 011 (LSB = slice-1 transition) = 3
+    assert(AudioCodec.bandFingerprint(Array(1, 2, 3, 2), frames = 4) === 3L)
+    // slice rule i*frames div n: 6 samples, 3 slices -> pairs (1,2|3,4|5,6)
+    // energies (5, 25, 61): rising twice -> bits 11 = 3
+    assert(AudioCodec.bandFingerprint(Array(1, 2, 3, 4, 5, 6), frames = 3) === 3L)
+    // strict >: a flat signal has no rising transition
+    assert(AudioCodec.bandFingerprint(Array.fill(64)(7), frames = 8) === 0L)
+    // identical signals always collide; sign bit never set (frames <= 63)
+    val d = AudioCodec.decode(AudioCodec.wav(777, 16000, 99)).get
+    val fp = AudioCodec.bandFingerprint(d.samples, frames = 32)
+    assert(fp === AudioCodec.bandFingerprint(d.samples.clone(), frames = 32))
+    assert(fp >= 0L)
+    assert(AudioCodec.bandFingerprint(Array.empty[Int], frames = 8) === 0L)
+    intercept[IllegalArgumentException](AudioCodec.bandFingerprint(Array(1), frames = 1))
+    intercept[IllegalArgumentException](AudioCodec.bandFingerprint(Array(1), frames = 64))
+  }
+
+  test("fingerprintAudioPartitioned: dup groups collide exactly on equal signals") {
+    // same text -> same (n, rate, seed) triple -> identical WAV bytes
+    val docs = Seq((1L, "dup text"), (2L, "dup text"), (3L, "other text"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fps = Multimodal.fingerprintAudioPartitioned(
+      Multimodal.audioFromDocuments(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(fps(1L).isDefined && fps(1L) === fps(2L)) // identical signal collides
+    assert(fps(4L).isEmpty)                          // NULL payload -> no fingerprint
+    // decode path is REAL: a corrupt payload yields NULL, not a crash
+    val junk = Seq((9L, "image/bmp", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "mime", "payload")
+    val j = Multimodal.fingerprintAudioPartitioned(junk).collect()
+    assert(j.length === 1 && j.head.isNullAt(4))
+  }
 }
