@@ -418,4 +418,39 @@ class PropertySpec extends SparkSpec {
       assert(this.rows(bucketed) === this.rows(plain), s"width=$w diverged")
     }
   }
+
+  test("triangleCounts equals the brute-force triple enumeration on random multigraphs") {
+    // random edge lists over <=14 nodes WITH self-loops, duplicates and
+    // reversed pairs — the operator must see through all three
+    val edgeGen = Gen.zip(Gen.choose(0L, 13L), Gen.choose(0L, 13L))
+    (0 until 6).foreach { trial =>
+      val edges = samples(edgeGen, 40 + 10 * trial)
+      val canon = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        ia <- nodes.indices; ib <- ia + 1 until nodes.length; ic <- ib + 1 until nodes.length
+        a = nodes(ia); b = nodes(ib); c = nodes(ic)
+        if canon((a, b)) && canon((b, c)) && canon((a, c))
+      } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+      val out = graft.operators.Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === brute.toMap, s"trial $trial over ${edges.length} edges")
+    }
+  }
+
+  test("bandFingerprint is gain-invariant and matches across slice-preserving rewrites") {
+    val params = Gen.zip(Gen.choose(32, 2048), Gen.choose(0, 255))
+    samples(params, 30).foreach { case (n, seed) =>
+      val s = Array.tabulate(n)(AudioCodec.sample(seed, _))
+      val fp = AudioCodec.bandFingerprint(s, 32)
+      // uniform gain scales every slice energy by c^2 — sign profile intact
+      assert(AudioCodec.bandFingerprint(s.map(_ * 2), 32) === fp, s"gain 2x n=$n")
+      assert(AudioCodec.bandFingerprint(s.map(_ * -3), 32) === fp, s"gain -3x n=$n")
+      // encode -> decode round trip preserves the fingerprint (real codec path)
+      val rt = AudioCodec.decode(AudioCodec.wav(n, 16000, seed)).get.samples
+      assert(AudioCodec.bandFingerprint(rt, 32) === fp, s"roundtrip n=$n")
+    }
+  }
 }
