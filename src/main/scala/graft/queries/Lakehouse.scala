@@ -1,7 +1,9 @@
 package graft.queries
 
+import graft.functions.TextFns
 import graft.operators.Incremental
 import graft.sources.{Lake, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lakehouse-layer queries: operators whose subject is the committed
@@ -367,5 +369,68 @@ object Lakehouse {
       Lake.readCommittedWhere(s, root,
           col("l_partkey").between(10L, 49L) && col("l_suppkey").between(2L, 5L))
         .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    },
+
+    // The COMPLETE incremental ingestion loop on the lakehouse — the
+    // composition every training-data pipeline runs per arriving
+    // batch: raw batches land as manifest commits, the CHANGE FEED
+    // (changesSince cursor, O(batch) — never a rescan of raw) drives
+    // quality-gate → exact-dedup-vs-curated → append into the curated
+    // committed table, and the answer is the curated snapshot. Batch
+    // boundaries matter: a batch-2 duplicate of a batch-1 doc loses
+    // to the curated row even when its doc_id is smaller, so the
+    // oracle ranks per fingerprint by (batch_no, doc_id) — the exact
+    // arrival-order semantics. At 100 TB the anti-join ships only the
+    // batch and the curated FP column (key-only); the Bloom-prefiltered
+    // q96 contract is the drop-in once the curated side outgrows a
+    // shuffle, and `bloomCols=Seq("fp")` on the curated commits feeds
+    // the q118 point-lookup skipping for free.
+    Q("q124_lake_ingest_pipeline",
+      s"""WITH g AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS batch_no
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND len(${Text.oTok}) >= 5),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    md5(lower(translate(text, ',;''', '   '))) AS fp, batch_no,
+         |    row_number() OVER (
+         |      PARTITION BY md5(lower(translate(text, ',;''', '   ')))
+         |      ORDER BY batch_no, doc_id) AS rn
+         |  FROM g)
+         |SELECT doc_id, source, fp FROM k WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = scratchRoot("lake_ingest_raw", d)
+      val curated = scratchRoot("lake_ingest_cur", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val batches = Seq(
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 2),
+        docs.where(pmod(col("doc_id"), lit(3)) === 2))
+      var cursor: Option[Long] = None
+      batches.foreach { b =>
+        Lake.commitAppend(b, raw, retain = 3)
+        val (feed, v) = Lake.changesSince(s, raw, cursor, Seq("doc_id")).get
+        cursor = Some(v)
+        val inserts = feed.where(col("change_type") === "insert").drop("change_type")
+        val gated = inserts.where(
+          size(TextFns.tokens(TextFns.normalize(col("text")))) >= 5)
+        val keyed = gated.select(col("doc_id"), col("source"),
+          TextFns.fingerprint(col("text")).as("fp"))
+        // within-batch keep-first per fingerprint, then curated blocks
+        val batchKept = keyed
+          .withColumn("__rn",
+            row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .where(col("__rn") === 1).drop("__rn")
+        val survivors = Lake.currentVersion(s, curated) match {
+          case Some(_) => batchKept.join(
+            Lake.readCommitted(s, curated).select("fp"), Seq("fp"), "left_anti")
+          case None => batchKept
+        }
+        Lake.commitAppend(survivors.select("doc_id", "source", "fp"),
+          curated, retain = 3, bloomCols = Seq("fp"))
+        ()
+      }
+      Lake.readCommitted(s, curated)
+        .select("doc_id", "source", "fp").orderBy("doc_id")
     })
 }

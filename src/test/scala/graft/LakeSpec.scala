@@ -899,6 +899,25 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("ingest pipeline (q124): arrival order beats doc_id across batch boundaries") {
+    // fabricate an sf dir: batch split is doc_id % 3 (== 2 -> batch 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-sf").toString
+    val six = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (10L, "s1", six),                        // batch 1 — curated first
+      (2L, "s2", six),                         // batch 2 dup, SMALLER id — must lose
+      (4L, "s1", "short one two"),             // batch 1, gated out (< 5 tokens)
+      (5L, "s2", "five whole tokens right here"), // batch 2, unique — kept
+      (7L, "s1", null.asInstanceOf[String]),   // NULL text — dropped
+      (3L, "s1", "one two three four five six seven"), // batch-1 within-batch dup pair:
+      (6L, "s1", "one two three four five six seven")  // 3 kept (keep-first), 6 dropped
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q124_lake_ingest_pipeline")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(10L, 5L, 3L))
+  }
+
   test("compact merges a fragmented table without changing its rows") {
     val path = tmpTable("lake")
     val data = (1L to 5000L).map(i => (i, s"row $i")).toDF("id", "payload")
