@@ -62,4 +62,37 @@ object AsOf {
       .where(col("__side") === 1)
       .select(lCols.map(col) ++ rightValCols.map(c => col(s"__match.`$c`").as(c)): _*)
   }
+
+  /** Temporal (point-in-time) join: attach to each fact the SCD2
+    * history version VALID AT the fact's time — `valid_from <= t <
+    * valid_to`, open intervals unbounded. The warehouse question "what
+    * did this dimension row look like when the fact happened", against
+    * [[graft.operators.Cdc.history]] output.
+    *
+    * SCD2 intervals are disjoint per key, so the containing interval
+    * is exactly the one with the greatest `valid_from <= t` — which is
+    * [[join]]'s union-merge as-of attach (one key shuffle, no pair
+    * blowup, vs the O(n·m) range theta-join a direct BETWEEN would
+    * plan). A fact landing in a DELETE gap (its latest version closed
+    * before t) gets NULLs, same as a fact before the key's first
+    * version: the attached interval is checked for liveness, not
+    * assumed.
+    *
+    * @param histValCols history payload columns to attach (must not
+    *        collide with fact column names)
+    * @return fact columns + histValCols + validFrom (all NULL when no
+    *         version is valid at the fact's time) */
+  def temporalJoin(
+      facts: DataFrame, history: DataFrame,
+      factKey: String, histKey: String, factTime: String,
+      histValCols: Seq[String],
+      validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    val attached = join(facts, history, factKey, histKey, factTime, validFrom,
+      histValCols ++ Seq(validFrom, validTo))
+    val live = col(validFrom).isNotNull &&
+      (col(validTo).isNull || col(factTime) < col(validTo))
+    (histValCols :+ validFrom)
+      .foldLeft(attached)((df, c) => df.withColumn(c, when(live, col(c))))
+      .drop(validTo)
+  }
 }

@@ -490,5 +490,43 @@ object Events {
       Cdc.history(log, Seq("user_id", "event_type"),
           versionCol = "event_id", deleteCol = "is_delete")
         .orderBy("user_id", "event_type", "event_id")
+    },
+
+    // Temporal (point-in-time) join: each purchase fact attaches the
+    // signup-dimension version VALID AT its event_id — the q101 SCD2
+    // history (same delete convention) probed by containment. Spark
+    // resolves the containing interval via the as-of union-merge (one
+    // key shuffle, disjoint intervals ⇒ greatest valid_from <= t, then
+    // a liveness check so DELETE gaps yield NULL); the oracle states
+    // the contract directly as the interval-containment LEFT JOIN.
+    Q("q125_temporal_join",
+      """WITH log AS (
+        |  SELECT user_id, event_id, value, (event_id % 7 = 0) AS is_delete
+        |  FROM events WHERE event_type = 'signup'),
+        |h AS (
+        |  SELECT user_id, value, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+        |    is_delete
+        |  FROM log),
+        |hh AS (SELECT * FROM h WHERE NOT is_delete),
+        |f AS (SELECT event_id, user_id, value AS amount
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.amount,
+        |  hh.value AS dim_value, hh.valid_from
+        |FROM f LEFT JOIN hh ON f.user_id = hh.user_id
+        |  AND hh.valid_from <= f.event_id
+        |  AND (hh.valid_to IS NULL OR f.event_id < hh.valid_to)
+        |ORDER BY f.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val log = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("value").as("dim_value"))
+        .withColumn("is_delete", pmod(col("event_id"), lit(7)) === 0)
+      val history = Cdc.history(log, Seq("user_id"),
+        versionCol = "event_id", deleteCol = "is_delete")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value").as("amount"))
+      AsOf.temporalJoin(facts, history, "user_id", "user_id", "event_id",
+          histValCols = Seq("dim_value"))
+        .orderBy("event_id")
     })
 }
