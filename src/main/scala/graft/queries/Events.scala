@@ -492,6 +492,40 @@ object Events {
         .orderBy("user_id", "event_type", "event_id")
     },
 
+    // INCREMENTAL SCD2 historization: the stored q101 history table
+    // folded forward with only the NEW half of the change log — open
+    // intervals close at each affected key's first new version, the
+    // batch historizes internally, untouched keys carry through. The
+    // oracle is q101's full-log replay: incremental ≡ replay is the
+    // correctness claim, and the stored side never re-sorts (one key
+    // semi/anti pair + the batch's own window).
+    Q("q126_incremental_scd2",
+      """WITH chg AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    (event_id % 7 = 0) AS is_delete FROM events),
+        |w AS (
+        |  SELECT *, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY event_id) AS valid_to
+        |  FROM chg)
+        |SELECT user_id, event_type, event_id, value, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM w WHERE NOT is_delete
+        |ORDER BY user_id, event_type, event_id""".stripMargin) { (s, d) =>
+      val log = Tables.events(s, d)
+        .select("user_id", "event_type", "event_id", "value")
+        .withColumn("is_delete", pmod(col("event_id"), lit(7)) === 0)
+      // deterministic split point (one-row scalar, not a hot collect)
+      val cut = log.agg(max(col("event_id"))).head.getLong(0) / 2
+      val stored = Cdc.history(log.where(col("event_id") <= cut),
+        Seq("user_id", "event_type"), versionCol = "event_id",
+        deleteCol = "is_delete")
+      Cdc.applyHistoryBatch(stored, log.where(col("event_id") > cut),
+          Seq("user_id", "event_type"), versionCol = "event_id",
+          deleteCol = "is_delete")
+        .orderBy("user_id", "event_type", "event_id")
+    },
+
     // Temporal (point-in-time) join: each purchase fact attaches the
     // signup-dimension version VALID AT its event_id — the q101 SCD2
     // history (same delete convention) probed by containment. Spark

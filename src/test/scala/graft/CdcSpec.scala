@@ -171,4 +171,32 @@ class CdcSpec extends SparkSpec {
         Seq("k", "t"), "ver", "del", guardVersions = true)
     }
   }
+
+  test("applyHistoryBatch ≡ full-log replay across every batch-boundary shape") {
+    // key 1: spans both batches (open interval closes at v=10)
+    // key 2: batch-1 history ends in a DELETE, batch 2 re-creates it
+    // key 3: batch 1 only (untouched carry-through)
+    // key 4: batch 2 only (fresh key)
+    // key 5: batch 1 is a delete-with-no-predecessor (empty stored rows)
+    val log = Seq(
+      (1L, 1L, 10.0, false), (1L, 3L, 11.0, false), (1L, 10L, 12.0, false),
+      (2L, 2L, 20.0, false), (2L, 4L, 0.0, true), (2L, 11L, 21.0, false),
+      (3L, 5L, 30.0, false),
+      (4L, 12L, 40.0, false),
+      (5L, 6L, 0.0, true), (5L, 13L, 50.0, false)
+    ).toDF("k", "v", "x", "is_delete")
+    val cut = 9L
+    val full = Cdc.history(log, Seq("k"), "v", "is_delete")
+    val inc = Cdc.applyHistoryBatch(
+      Cdc.history(log.where(col("v") <= cut), Seq("k"), "v", "is_delete"),
+      log.where(col("v") > cut), Seq("k"), "v", "is_delete")
+    assert(rows(inc) === rows(full))
+    // and the fold is associative over a second batch boundary
+    val inc2 = Cdc.applyHistoryBatch(
+      Cdc.applyHistoryBatch(
+        Cdc.history(log.where(col("v") <= 5L), Seq("k"), "v", "is_delete"),
+        log.where(col("v") > 5L && col("v") <= cut), Seq("k"), "v", "is_delete"),
+      log.where(col("v") > cut), Seq("k"), "v", "is_delete")
+    assert(rows(inc2) === rows(full))
+  }
 }
