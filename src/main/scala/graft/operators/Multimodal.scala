@@ -338,8 +338,13 @@ object Multimodal {
     * with NULL decode columns: the production hook for genuinely
     * non-JDK video codecs (MP4 and friends). NULL payloads yield zero
     * frames (no content, no explode).
+    *
+    * Decoded frames also carry their perceptual average-hash
+    * (`frame_ahash`, [[ImageCodec.aHashHex]] — q104's image hash at
+    * frame granularity), so video-level fingerprinting (q127) is a
+    * plain aggregation over this output instead of a second demux.
     * @return (media_id, frame_idx, width, height, frame_md5,
-    *         pixel_sum, frame_bytes) */
+    *         pixel_sum, frame_bytes, frame_ahash) */
   def frameSample(
       media: DataFrame, everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
     require(everyNth >= 1 && maxFrames >= 1, "sampling knobs must be positive")
@@ -347,7 +352,7 @@ object Multimodal {
       StructField("media_id", LongType), StructField("frame_idx", IntegerType),
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("frame_md5", StringType), StructField("pixel_sum", LongType),
-      StructField("frame_bytes", LongType)))
+      StructField("frame_bytes", LongType), StructField("frame_ahash", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(out)
     normalized(media).mapPartitions { rows =>
       rows.filter(!_.isNullAt(2)).flatMap { r =>
@@ -362,7 +367,7 @@ object Multimodal {
             (0 until gf.length by everyNth).take(maxFrames).map { i =>
               val img = gf(i)
               Row(id, i, img.getWidth, img.getHeight, null,
-                ImageCodec.pixelSum(img), null)
+                ImageCodec.pixelSum(img), null, ImageCodec.aHashHex(img))
             }
           case None => ImageCodec.aviDibFrames(payload) match {
           // RIFF walk: uncompressed-DIB AVI frames are byte-delimited
@@ -373,19 +378,22 @@ object Multimodal {
           case Some((w, h, chunks)) =>
             (0 until chunks.length by everyNth).take(maxFrames).map { i =>
               val f = chunks(i)
-              val ps: Any = ImageCodec.dibFrameToImage(w, h, f)
-                .map(ImageCodec.pixelSum).orNull
-              Row(id, i, w, h, hex(f), ps, f.length.toLong)
+              val img = ImageCodec.dibFrameToImage(w, h, f)
+              val ps: Any = img.map(ImageCodec.pixelSum).orNull
+              val ah: Any = img.map(ImageCodec.aHashHex(_)).orNull
+              Row(id, i, w, h, hex(f), ps, f.length.toLong, ah)
             }
           case None => ImageCodec.splitFrames(payload) match {
           case Some(frames) =>
             (0 until frames.length by everyNth).take(maxFrames).map { i =>
               val f = frames(i)
               var w: Any = null; var h: Any = null; var ps: Any = null
+              var ah: Any = null
               ImageCodec.decode(f).foreach { img =>
                 w = img.getWidth; h = img.getHeight; ps = ImageCodec.pixelSum(img)
+                ah = ImageCodec.aHashHex(img)
               }
-              Row(id, i, w, h, hex(f), ps, f.length.toLong)
+              Row(id, i, w, h, hex(f), ps, f.length.toLong, ah)
             }
           case None =>
             // fallback chunker: one "frame" per 32 bytes
@@ -394,7 +402,7 @@ object Multimodal {
               val from = Math.min(i * 32, payload.length)
               val until = Math.min(from + 32, payload.length)
               val frame = java.util.Arrays.copyOfRange(payload, from, until)
-              Row(id, i, null, null, hex(frame), null, frame.length.toLong)
+              Row(id, i, null, null, hex(frame), null, frame.length.toLong, null)
             }
         }
         }

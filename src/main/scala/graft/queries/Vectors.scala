@@ -452,6 +452,32 @@ object Vectors {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("fingerprint"), col("dup_group"))
         .orderBy("media_id")
+    },
+
+    // Video near-dup: per-frame perceptual aHash (q104's image hash at
+    // frame granularity, computed during the one demux pass) rolled up
+    // into a video fingerprint — md5 over the frame-ordered hash
+    // string — with dup groups keyed by it. Completes the modality ×
+    // dedup matrix: image (q104), audio (q123), video (here). All four
+    // real containers are under the hash; frame order is pinned by an
+    // array_sort on (frame_idx, hash), never collect_list order. The
+    // oracle re-derives every frame's aHash bits from the generator's
+    // ramp arithmetic (frame f's ramp is offset by f).
+    Q("q127_video_fingerprint", Vectors.videoFingerprintOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.frameSample(
+        Multimodal.videosFromDocuments(Tables.documents(s, d), "doc_id", "text"),
+        everyNth = 1, maxFrames = 8)
+      frames.where(col("frame_ahash").isNotNull)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          md5(concat_ws("",
+            transform(
+              array_sort(collect_list(struct(col("frame_idx"), col("frame_ahash")))),
+              x => x.getField("frame_ahash")))).as("fingerprint"))
+        .withColumn("dup_group",
+          min(col("media_id")).over(Window.partitionBy(col("fingerprint"))))
+        .orderBy("media_id")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
@@ -633,6 +659,44 @@ object Vectors {
       |  min(d.media_id) OVER (PARTITION BY fp.fingerprint) AS dup_group
       |FROM adims d JOIN fp ON d.media_id = fp.media_id
       |ORDER BY d.media_id""".stripMargin
+
+  /** DuckDB twin of q127: the video generator's per-frame ramps
+    * (pixel (x, y) of frame f = (s + f + x + y) % 256, gray) pushed
+    * through q104's aHash arithmetic per frame — 8×8 nearest-neighbor
+    * grid, lum·64 vs frame total, LSB-first row bytes — then the frame
+    * hashes concatenated in frame order under one md5. Same bits for
+    * all four containers (lossless by construction), so the Spark
+    * decode → hash → roll-up chain must agree to the digest. */
+  lazy val videoFingerprintOracle: String =
+    """WITH vdims AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 24 + 8 AS w,
+      |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 24 + 8 AS h,
+      |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS s,
+      |    CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) % 6 + 2 AS nf
+      |  FROM documents WHERE text IS NOT NULL),
+      |fr AS (SELECT media_id, w, h, s, unnest(generate_series(0, nf - 1)) AS f FROM vdims),
+      |gx AS (SELECT media_id, w, h, s, f, unnest(generate_series(0, 7)) AS x FROM fr),
+      |samp AS (SELECT media_id, f, x, y,
+      |    3 * ((s + f + (x * w) // 8 + (y * h) // 8) % 256) AS lum
+      |  FROM (SELECT media_id, w, h, s, f, x, unnest(generate_series(0, 7)) AS y FROM gx)),
+      |tot AS (SELECT media_id, f, sum(lum) AS total FROM samp GROUP BY media_id, f),
+      |bytes AS (
+      |  SELECT sp.media_id, sp.f, sp.y,
+      |    sum(CASE WHEN sp.lum * 64 >= t.total THEN 1 << sp.x ELSE 0 END) AS b
+      |  FROM samp sp JOIN tot t ON sp.media_id = t.media_id AND sp.f = t.f
+      |  GROUP BY sp.media_id, sp.f, sp.y),
+      |fhash AS (
+      |  SELECT media_id, f,
+      |    string_agg(printf('%02x', CAST(b AS INT)), '' ORDER BY y) AS ahash
+      |  FROM bytes GROUP BY media_id, f),
+      |vfp AS (
+      |  SELECT media_id, count(*) AS n_frames,
+      |    md5(string_agg(ahash, '' ORDER BY f)) AS fingerprint
+      |  FROM fhash GROUP BY media_id)
+      |SELECT media_id, n_frames, fingerprint,
+      |  min(media_id) OVER (PARTITION BY fingerprint) AS dup_group
+      |FROM vfp ORDER BY media_id""".stripMargin
 
   /** DuckDB twin of Similarity.lshTopK(dims=64, 4 bands × 8 sign
     * planes, cap 200, k=5): band keys generated from the SAME
