@@ -445,6 +445,24 @@ object Streams {
       graft.operators.Cdc.applyChanges(base, changes, keyCols, versionCol, deleteCol)
     }
 
+  /** Same contract for SCD2 historization (q126's incremental fold):
+    * each batch of versioned changes extends the stored history table
+    * — affected keys' open intervals close, the batch historizes over
+    * its own window, the stored side never re-sorts. A first batch
+    * against a missing table historizes itself from scratch. The
+    * [[graft.operators.Cdc.applyHistoryBatch]] monotone-version
+    * contract is exactly what checkpoint order delivers.
+    * @return true if the batch was applied, false if skipped */
+  def applyScd2Batch(changes: DataFrame, batchId: Long, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, historyPath: String,
+      lineage: String = "manual"): Boolean =
+    foldWithMarker(changes.sparkSession, historyPath, batchId, lineage) {
+      case Some(stored) => graft.operators.Cdc.applyHistoryBatch(
+        stored, changes, keyCols, versionCol, deleteCol)
+      case None => graft.operators.Cdc.history(
+        changes, keyCols, versionCol, deleteCol)
+    }
+
   /** Shared effectively-once fold: compute the table's next contents
     * from its current ones (None when nothing is stored yet) and
     * commit the result as a new [[graft.sources.Lake]] snapshot, with
@@ -721,6 +739,31 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyCdcBatch(batch, batchId, keyCols, versionCol, deleteCol,
           snapshotPath, lineage)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming SCD2 historization — the §2.8 twin of q126: each
+    * micro-batch of versioned changes extends the stored history
+    * table at O(batch + affected keys) cost (the q126 fold per
+    * batch), effectively-once via the same applied-batch marker and
+    * checkpoint-derived lineage as [[statRefreshSink]]. Completes the
+    * streaming maintenance trio: current-state snapshot
+    * ([[cdcApplySink]]), aggregates ([[statRefreshSink]]), and full
+    * history (here) all follow one CDC stream.
+    * @return the started query; caller manages lifecycle */
+  def scd2Sink(incoming: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: String, historyPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    lazy val lineage =
+      checkpointLineage(incoming.sparkSession, checkpointDir)
+    incoming.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2Batch(batch, batchId, keyCols, versionCol, deleteCol,
+          historyPath, lineage)
         ()
       }
       .start()

@@ -445,6 +445,54 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.Lake.readCommitted(spark, snap).where(col("user_id") === 9L).count() === 1)
   }
 
+  test("scd2Sink: streamed changes maintain full history == replay; skip is effective") {
+    val hist = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/history.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-scd2-chk").toString
+    val input = MemoryStream[Event](spark)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("is_delete", col("value") < 0)
+    val query = Streams.scd2Sink(shape(input.toDF()), Seq("user_id"),
+      versionCol = "event_id", deleteCol = "is_delete",
+      historyPath = hist, checkpointDir = chk)
+    val allEvents = scala.collection.mutable.ArrayBuffer[Event]()
+    try {
+      val b1 = Seq(
+        Event(10L, ts("2025-01-01 10:00:00"), 1L, "a", 1.0),
+        Event(11L, ts("2025-01-01 10:01:00"), 2L, "a", 2.0),
+        Event(12L, ts("2025-01-01 10:02:00"), 1L, "a", 3.0))
+      val b2 = Seq( // update 1, DELETE 2, fresh key 3
+        Event(13L, ts("2025-01-01 10:03:00"), 1L, "a", 4.0),
+        Event(14L, ts("2025-01-01 10:04:00"), 2L, "a", -1.0),
+        Event(15L, ts("2025-01-01 10:05:00"), 3L, "a", 7.0))
+      for (b <- Seq(b1, b2)) {
+        input.addData(b: _*); allEvents ++= b
+        query.processAllAvailable()
+        // the maintained history == full-log replay after every batch
+        val expect = graft.operators.Cdc.history(
+          shape(allEvents.toSeq.toDF()), Seq("user_id"), "event_id", "is_delete")
+        assert(rows(graft.sources.Lake.readCommitted(spark, hist)) === rows(expect))
+      }
+    } finally query.stop()
+    // the delete closed key 2's interval and left no current row
+    val stored = graft.sources.Lake.readCommitted(spark, hist)
+    assert(stored.where(col("user_id") === 2L && col("is_current")).count() === 0)
+    assert(rows(stored.where(col("user_id") === 2L)
+      .select("valid_from", "valid_to")) === Set(Seq(11L, 14L)))
+    // replay skip under the sink's lineage; a fresh batchId applies
+    val lin = Streams.checkpointLineage(spark, chk)
+    val replay = Seq((9L, 99L, 9.0, false))
+      .toDF("user_id", "event_id", "value", "is_delete")
+    val before = rows(graft.sources.Lake.readCommitted(spark, hist))
+    assert(!Streams.applyScd2Batch(replay, 1L, Seq("user_id"), "event_id",
+      "is_delete", hist, lin))
+    assert(rows(graft.sources.Lake.readCommitted(spark, hist)) === before)
+    assert(Streams.applyScd2Batch(replay, 2L, Seq("user_id"), "event_id",
+      "is_delete", hist, lin))
+    assert(graft.sources.Lake.readCommitted(spark, hist)
+      .where(col("user_id") === 9L && col("is_current")).count() === 1)
+  }
+
   test("checkpoint recreation mints a new lineage: the stat table rebuilds, not double-counts") {
     val statPath = java.nio.file.Files.createTempDirectory("graft-lin").toString + "/stats.parquet"
     val chk1 = java.nio.file.Files.createTempDirectory("graft-lin-chk1").toString
