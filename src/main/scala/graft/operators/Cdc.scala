@@ -168,7 +168,10 @@ object Cdc {
     * batch version must exceed the stored versions of its key — a CDC
     * log consumed in offset order satisfies this by construction. A
     * violating batch would need rows spliced between stored intervals,
-    * which no incremental fold can do without re-reading the log;
+    * which no incremental fold can do without re-reading the log; the
+    * fold therefore REFUSES it with a row-local `raise_error` (free —
+    * no extra job or shuffle, evaluated on the rows the close pass
+    * already touches) instead of committing a silently-wrong history;
     * replay [[history]] over the full log to repair.
     *
     * @param stored prior [[history]] output (same key/version schema)
@@ -185,7 +188,16 @@ object Cdc {
       .agg(min(col(versionCol)).as("__vmin"))
     val closed = stored.join(firstNew, keyCols)
       .withColumn("valid_to",
-        when(col("is_current"), col("__vmin")).otherwise(col("valid_to")))
+        // monotone-version guard first: a stored version at or past the
+        // batch's first version cannot be folded incrementally
+        when(col("valid_from") >= col("__vmin"),
+          raise_error(format_string(
+            "applyHistoryBatch: stored version %s of an affected key is not " +
+              "older than the batch's first version %s — the incremental fold " +
+              "needs monotone versions; replay Cdc.history over the full log",
+            col("valid_from"), col("__vmin"))))
+          .otherwise(when(col("is_current"), col("__vmin"))
+            .otherwise(col("valid_to"))))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__vmin")
     untouched

@@ -198,5 +198,14 @@ class CdcSpec extends SparkSpec {
         log.where(col("v") > 5L && col("v") <= cut), Seq("k"), "v", "is_delete"),
       log.where(col("v") > cut), Seq("k"), "v", "is_delete")
     assert(rows(inc2) === rows(full))
+    // a batch violating the monotone-version contract (here: replaying
+    // already-folded changes) is refused, not silently mis-spliced
+    val bad = intercept[Exception] {
+      Cdc.applyHistoryBatch(
+        Cdc.history(log.where(col("v") <= cut), Seq("k"), "v", "is_delete"),
+        log.where(col("v") <= cut), Seq("k"), "v", "is_delete").collect()
+    }
+    assert(bad.getMessage.contains("monotone") ||
+      Option(bad.getCause).exists(_.getMessage.contains("monotone")))
   }
 }
