@@ -172,4 +172,56 @@ object Graph {
       .unionAll(tri.select(col("y").as("p")))
       .groupBy("p").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Synchronous LABEL-PROPAGATION community detection over the
+    * undirected simple graph induced by (src, dst) — the
+    * domain-clustering signal next to [[pageRank]] (importance) and
+    * [[triangleCounts]] (density). Every node starts as its own label;
+    * each round it adopts the most frequent label among its neighbors,
+    * ties broken to the SMALLEST label — fully deterministic, so a
+    * fixed round count is oracle-exact (the float-free analog of the
+    * q91 discipline; classic async LPA is run-order-dependent and
+    * could never hash).
+    *
+    * Scale shape follows [[pageRank]]: the symmetric adjacency is
+    * cached pre-partitioned on the join key once; each round shuffles
+    * only the fixed-width (node, label) table through one join and a
+    * two-level count/argmax aggregate (both partial-aggregatable), and
+    * lineage truncates every third round.
+    * @return (p, label) — label = smallest-id convention per community */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val m = e.count()
+    IterativeConf.withLoopShuffleWidth(spark, m) {
+      var symCache: Option[DataFrame] = None
+      try {
+        val sym = e.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+          .repartition(col("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        symCache = Some(sym)
+        var labels = sym.select(col("u").as("p")).distinct()
+          .select(col("p"), col("p").as("label"))
+          .localCheckpoint(true)
+        for (i <- 1 to iterations if m > 0) {
+          labels = sym.join(labels.withColumnRenamed("p", "v"), Seq("v"))
+            .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("u").as("p"))
+            // argmax cnt, tie -> smallest label: lexicographic struct
+            // max over (cnt, -label), all integral
+            .agg(max(struct(col("cnt"), (lit(0L) - col("label")).as("negl"))).as("m"))
+            .select(col("p"), (lit(0L) - col("m.negl")).as("label"))
+          if (i % 3 == 0 || i == iterations) labels = labels.localCheckpoint(true)
+        }
+        labels
+      } finally { symCache.foreach(_.unpersist()); () }
+    }
+  }
 }

@@ -50,6 +50,35 @@ object Events {
        |SELECT p, r AS rank FROM pr$iters ORDER BY p""".stripMargin
   }
 
+  /** q128 oracle: synchronous label propagation unrolled to `iters`
+    * chained (count, argmax) CTE pairs — same unrolling rationale as
+    * [[pageRankOracle]]. Tie-break is (cnt DESC, label ASC), the exact
+    * lexicographic struct-max the operator computes. */
+  private def lpaOracle(iters: Int): String = {
+    val chain = (1 to iters).map { k =>
+      s"""c$k AS (SELECT s.u, l.label, count(*) AS cnt
+         |  FROM sym s JOIN l${k - 1} l ON l.p = s.v GROUP BY s.u, l.label),
+         |l$k AS (SELECT u AS p, label FROM (
+         |    SELECT u, label,
+         |      row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |raw AS (SELECT src, dst FROM (
+       |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |           page AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM raw WHERE src <> dst),
+       |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+       |l0 AS (SELECT DISTINCT u AS p, u AS label FROM sym),
+       |$chain
+       |SELECT p, label FROM l$iters ORDER BY p""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Click-graph PageRank (10 integer-exact iterations) over page
@@ -97,6 +126,23 @@ object Events {
           .getField("k").cast("long").as("page"))
       Graph.triangleCounts(
           Graph.clickEdges(ev, "user_id", "ts", "event_id", "page"))
+        .orderBy("p")
+    },
+
+    // Label-propagation communities over the click graph (3 sync
+    // rounds, ties to the smallest label): the domain-clustering
+    // signal completing the graph tier — importance (q91), density
+    // (q122), membership (here). Deterministic by construction, so the
+    // unrolled-CTE oracle hashes exactly like q91's.
+    Q("q128_label_propagation", Events.lpaOracle(3)) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      Graph.labelPropagation(
+          Graph.clickEdges(ev, "user_id", "ts", "event_id", "page"),
+          iterations = 3)
         .orderBy("p")
     },
 

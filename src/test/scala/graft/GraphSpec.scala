@@ -96,4 +96,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(
       Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")).isEmpty)
   }
+
+  test("labelPropagation: hand-computed rounds, component isolation, messy input") {
+    def run(edges: Seq[(Long, Long)], iters: Int) =
+      Graph.labelPropagation(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // triangle round by round: r1 votes (1→2, 2→1, 3→1), r2 pulls
+    // everyone to 1, r3 stays — converged to the min label
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(run(tri, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(run(tri, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // disjoint components never exchange labels; direction,
+    // multiplicity and self-loops are ignored
+    val two = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 10L))
+    assert(run(two, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // empty graph: empty result, no throw
+    assert(Graph.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 3).isEmpty)
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(two.toDF("src", "dst"), 0))
+  }
 }
