@@ -711,6 +711,7 @@ object Lake {
   // deletes) — honesty over a counting job; the chain resumes at the
   // next counted commit.
   private val RowsPrefix = "#rows="
+  private val OpPrefix = "#op="
 
   private def manifestRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[Long] =
@@ -752,6 +753,44 @@ object Lake {
     val r = new Path(root)
     committedVersions(fs, r)
       .filter(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
+  }
+
+  private def manifestOp(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Option[String] =
+    manifestBody(fs, r, v).find(_.startsWith(OpPrefix))
+      .map(_.stripPrefix(OpPrefix))
+
+  /** DESCRIBE HISTORY: one row per readable version with the operation
+    * that committed it (`#op=` manifest line: overwrite / append /
+    * merge / delete / update / compact / zorder / fold), its snapshot
+    * dir count, and the metadata row count where the writer carried
+    * one. Pure manifest metadata — no data file is opened, so the
+    * audit trail of a 100 TB table answers from a handful of KB-sized
+    * reads (bounded by the retention horizon, which also bounds the
+    * driver-side row list). Pre-op manifests (older tables) report a
+    * NULL op; the history's reach is the same as [[readCommittedAt]]'s.
+    * @return (version, op, n_dirs, row_count) ordered by version */
+  def describeHistory(spark: SparkSession, root: String):
+      org.apache.spark.sql.DataFrame = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val out = readableVersions(spark, root).map { v =>
+      org.apache.spark.sql.Row(v, manifestOp(fs, r, v).orNull,
+        manifestDirs(fs, r, v).size,
+        manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 
   /** TIME TRAVEL: the table contents as of snapshot `version` —
@@ -995,7 +1034,7 @@ object Lake {
       version: Long, dirs: Seq[String], retain: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     commitManifest(fsFor(spark, root), new Path(root), version, dirs, retain,
-      schema)
+      schema, op = "fold")
 
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       version: Long, dirs: Seq[String], retain: Int,
@@ -1005,7 +1044,8 @@ object Lake {
       statsCols: Seq[String] = Nil,
       newFileStats: Map[String, Map[String, String]] = Map.empty,
       newBlooms: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      op: String = "commit"): Unit = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
     // this commit wrote get fresh lines. Resolved BEFORE the rename
@@ -1040,7 +1080,8 @@ object Lake {
       else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
     val tmp = new Path(r, s"_commit_$version.tmp")
     val out = fs.create(tmp, true)
-    val body = dirs ++ schema.map(s => SchemaPrefix + s.json) ++
+    val body = dirs ++ Seq(OpPrefix + op) ++
+      schema.map(s => SchemaPrefix + s.json) ++
       rows.map(n => RowsPrefix + n) ++
       (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))
        else Nil) ++
@@ -1131,7 +1172,8 @@ object Lake {
     val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
       .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount,
-      stats, effStats, newBlooms = blooms, bloomCols = effBloom)
+      stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+      op = "overwrite")
     next
   }
 
@@ -1179,7 +1221,8 @@ object Lake {
     val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
       .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows,
-      stats, effStats, newBlooms = blooms, bloomCols = effBloom)
+      stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+      op = "append")
     next
   }
 
@@ -1273,7 +1316,7 @@ object Lake {
         .map(s"v$next" -> _).toMap
       commitManifest(fs, r, next, untouched :+ s"v$next", retain,
         carried.orElse(Some(rewritten.schema)), None, stats, effStats,
-        newBlooms = blooms, bloomCols = effBloom)
+        newBlooms = blooms, bloomCols = effBloom, op = "merge")
       next
     } finally { latest.unpersist(); () }
   }
@@ -1395,7 +1438,7 @@ object Lake {
       dirBloomJson(spark, new Path(r, d).toString, effBloom).map(d -> _)).toMap
     commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
       carried, None, freshStats, effStats,
-      newBlooms = freshBlooms, bloomCols = effBloom)
+      newBlooms = freshBlooms, bloomCols = effBloom, op = "delete")
     next
   }
 
@@ -1461,7 +1504,7 @@ object Lake {
     // updates are row-preserving: the metadata count carries over
     commitManifest(fs, r, next, kept :+ s"v$next", retain,
       carried, manifestRows(fs, r, cur), freshStats, effStats,
-      newBlooms = freshBlooms, bloomCols = effBloom)
+      newBlooms = freshBlooms, bloomCols = effBloom, op = "update")
     next
   }
 
@@ -1506,7 +1549,7 @@ object Lake {
       .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
       manifestRows(fs, r, cur), stats, effStats,
-      newBlooms = blooms, bloomCols = effBloom)
+      newBlooms = blooms, bloomCols = effBloom, op = "compact")
     next
   }
 
@@ -1605,7 +1648,7 @@ object Lake {
     commitManifest(fs, r, next, Seq(s"v$next"), retain,
       Some(clustered.schema), manifestRows(fs, r, cur),
       Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons),
-      newBlooms = blooms, bloomCols = effBloom)
+      newBlooms = blooms, bloomCols = effBloom, op = "zorder")
     next
   }
 

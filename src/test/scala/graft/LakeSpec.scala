@@ -899,6 +899,41 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("describeHistory: every op records its provenance line, metadata-only") {
+    val root = tmpTable("graft-lake-hist")
+    Lake.commitOverwrite(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), root,
+      retain = 10, rowCount = Some(3L))
+    Lake.commitAppend(Seq((4L, 40.0)).toDF("k", "v"), root,
+      retain = 10, rowCount = Some(1L))
+    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 10)
+    Lake.updateWhere(spark, root, col("k") === 3L,
+      Map("v" -> (col("v") + 1.0)), retain = 10)
+    Lake.compactCommitted(spark, root, targetBytes = 1L << 20, retain = 10)
+    val h = Lake.describeHistory(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h === Map(0L -> "overwrite", 1L -> "append", 2L -> "delete",
+      3L -> "update", 4L -> "compact"))
+    // row counts ride where the writer carried one (counted commits;
+    // the append SUMS onto the chain, the row-preserving update and
+    // compact carry it, the count-destroying delete drops it honestly)
+    val rc = Lake.describeHistory(spark, root).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(rc(0L) === Some(3L) && rc(1L) === Some(4L) && rc(2L) === None)
+    // a pre-op manifest (hand-written, dirs only) reports NULL op
+    val legacy = tmpTable("graft-lake-hist-legacy")
+    Lake.commitOverwrite(Seq((1L, 1.0)).toDF("k", "v"), legacy)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(legacy), spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(legacy, "_commit_0")
+    val body = scala.io.Source.fromInputStream(fs.open(m), "UTF-8").mkString
+    val stripped = body.split("\n").filterNot(_.startsWith("#op=")).mkString("\n")
+    val out = fs.create(m, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(Lake.describeHistory(spark, legacy).collect().map(_.isNullAt(1)).toSeq
+      === Seq(true))
+  }
+
   test("ingest pipeline (q124): arrival order beats doc_id across batch boundaries") {
     // fabricate an sf dir: batch split is doc_id % 3 (== 2 -> batch 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-sf").toString
