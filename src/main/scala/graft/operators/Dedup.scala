@@ -165,6 +165,33 @@ object Dedup {
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
   }
 
+  /** Fold a committed-corpus CHANGE FEED ([[graft.sources.Lake
+    * .changesBetween]] output) into the stored band-postings index:
+    * deletes and update preimages retract the document's rows by one
+    * key anti-join, inserts and update postimages band through
+    * [[bandedSignatures]] — O(index-scan + batch), the stored side
+    * never re-bands. The maintained index is the UNCAPPED postings
+    * table on purpose: a frequency cap cannot be maintained under
+    * deletes (a bucket dropping back under the cap would have to
+    * resurrect members the capped table already forgot), so the cap
+    * stays a READ-time guard (`capBands` rides the probe's own
+    * (band, bkey) exchange, exactly like [[nearDupsVsIndex]]). Rows
+    * with a NULL `textCol` carry no shingles and are not indexed —
+    * the same semantics the SQL side's `len(hs) > 0` filter encodes.
+    * Maintained ≡ re-banding the live snapshot (oracle-hashed, q129). */
+  def applyBandFeed(index: DataFrame, feed: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val ct = col("change_type")
+    val removed = feed.where(ct === "delete" || ct === "update_preimage")
+      .select(col(idCol)).distinct()
+    val added = feed.where((ct === "insert" || ct === "update_postimage") &&
+      col(textCol).isNotNull)
+    index.join(removed, Seq(idCol), "left_anti")
+      .unionByName(
+        bandedSignatures(added, idCol, textCol, shingleN, numHashes, bands))
+  }
+
   /** Hot-bucket guard: drop (band, bkey) buckets with more than
     * `maxBandFreq` members. The count window partitions on the same
     * (band, bkey) the candidate join shuffles on, so the cap rides

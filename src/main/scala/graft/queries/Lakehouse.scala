@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.Incremental
+import graft.operators.{Dedup, Incremental}
 import graft.sources.{Lake, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +31,40 @@ object Lakehouse {
     }
     if (f.exists) rm(f)
     f.toString
+  }
+
+  /** q129 oracle: the UNCAPPED band postings of the live snapshot,
+    * re-derived from scratch — the same shingle/minhash/band-key
+    * arithmetic as `Dedup.bandedSignatures` (q41/q103's SQL twin,
+    * minus the read-time cap). `doc_id % 10 <> 3` is the final doc
+    * set after the scenario's merge (base < 8, batch >= 8, deletes
+    * = 3); NULL-text docs carry no shingles and are not indexed. */
+  private def lshIndexOracle: String = {
+    val p = graft.operators.Dedup.minhashP
+    val sigs = graft.operators.Dedup.minhashCoeffs.take(12).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $p)) AS h$i"
+      }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(length(t) - 4, 1)),
+       |      i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))) AS hs
+       |  FROM (SELECT doc_id, lower(translate(text, ',;''', '   ')) AS t
+       |        FROM documents WHERE doc_id % 10 <> 3 AND text IS NOT NULL)
+       |  WHERE len(hs) > 0),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM sh),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT doc_id, band, bkey FROM banded
+       |ORDER BY doc_id, band, bkey""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -432,5 +466,47 @@ object Lakehouse {
       }
       Lake.readCommitted(s, curated)
         .select("doc_id", "source", "fp").orderBy("doc_id")
+    },
+
+    // Feed-maintained LSH band index: the near-dup index (q103's
+    // stored half) follows its committed corpus through the CHANGE
+    // FEED — inserts band, deletes retract by key, the stored side
+    // never re-bands — and the maintained index equals a from-scratch
+    // re-band of the live snapshot (the oracle). The cap q103 applies
+    // stays a READ-time guard by design: it cannot be maintained
+    // under deletes (a bucket dropping back under the cap would need
+    // members the capped table forgot), which is why the stored
+    // postings are uncapped. Per batch this is O(batch) banding plus
+    // one key anti-join — the dedup-tier member of the q105/q115/q126
+    // incremental-maintenance family.
+    Q("q129_feed_maintained_lsh", lshIndexOracle) { (s, d) =>
+      val docsRoot = scratchRoot("lake_lsh_docs", d)
+      val idxRoot = scratchRoot("lake_lsh_idx", d)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val key = col("doc_id")
+      val v0 = Lake.commitOverwrite(
+        docs.where(pmod(key, lit(10)) < 8).withColumn("ver", lit(0L)),
+        docsRoot, retain = 3)
+      Lake.commitOverwrite(
+        Dedup.bandedSignatures(
+          Lake.readCommittedAt(s, docsRoot, v0).where(col("text").isNotNull),
+          "doc_id", "text"),
+        idxRoot, retain = 3)
+      val changes = docs.where(pmod(key, lit(10)) >= 8)
+        .withColumn("is_del", lit(false))
+        .unionByName(docs.where(pmod(key, lit(10)) === 3)
+          .withColumn("is_del", lit(true)))
+        .withColumn("ver", lit(1L))
+      val v1 = Lake.mergeCommitted(s, docsRoot, changes, Seq("doc_id"),
+        "ver", "is_del", retain = 3)
+      Lake.commitOverwrite(
+        Dedup.applyBandFeed(
+          Lake.readCommitted(s, idxRoot),
+          Lake.changesBetween(s, docsRoot, v0, v1, Seq("doc_id")),
+          "doc_id", "text"),
+        idxRoot, retain = 3)
+      Lake.readCommitted(s, idxRoot)
+        .select(col("doc_id"), col("band"), col("bkey"))
+        .orderBy("doc_id", "band", "bkey")
     })
 }

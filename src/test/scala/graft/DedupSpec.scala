@@ -284,4 +284,31 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashHammingPairs(docs, "doc_id", "text", bits = 32, bands = 4, maxDist = 4)
     }
   }
+
+  test("applyBandFeed ≡ re-banding the post-feed corpus (insert/delete/update/NULL)") {
+    val before = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "stale document to be deleted")).toDF("doc_id", "text")
+    val index = Dedup.bandedSignatures(before, "doc_id", "text")
+    // feed: delete 3, update 2 (pre+post images), insert 4 and a
+    // NULL-text 5 (must not be indexed)
+    val feed = Seq(
+      (3L, "stale document to be deleted", "delete"),
+      (2L, "the quick brown fox jumps over the dog", "update_preimage"),
+      (2L, "an entirely rewritten second document", "update_postimage"),
+      (4L, "fresh arrival with brand new text", "insert"),
+      (5L, null.asInstanceOf[String], "insert")
+    ).toDF("doc_id", "text", "change_type")
+    val after = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "an entirely rewritten second document"),
+      (4L, "fresh arrival with brand new text")).toDF("doc_id", "text")
+    val maintained = Dedup.applyBandFeed(index, feed, "doc_id", "text")
+    assert(rows(maintained) === rows(Dedup.bandedSignatures(after, "doc_id", "text")))
+    // idempotence of the retract side: an empty feed is identity
+    val empty = feed.where(lit(false))
+    assert(rows(Dedup.applyBandFeed(maintained, empty, "doc_id", "text"))
+      === rows(maintained))
+  }
 }
