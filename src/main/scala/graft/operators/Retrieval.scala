@@ -92,7 +92,8 @@ object Retrieval {
     * across engines. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      dfSource: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val toks = TextFns.tokens(TextFns.normalize(col(textCol)))
     // the explicit isNotNull matches the predicate the dls inner join
@@ -112,8 +113,19 @@ object Retrieval {
     // count(1) first). With both consumers structurally identical, the
     // (id, term) exchange is planned ONCE and this branch picks it up
     // as a ReusedExchange: one explode of the corpus, not two.
-    val dfs = qtf.where(col("tf") >= 1)
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df can be SERVED from the incrementally-maintained index (the
+    // q105 fold — a (term, df) table): exact same numbers as the
+    // inline recompute over the full corpus (spec: q105/q130), so the
+    // scores are bit-identical while the explode→distinct df pass
+    // disappears from the query plan. Default stays inline: the
+    // ReusedExchange pairing below only exists on that path.
+    val dfs = dfSource match {
+      case Some(src) => src
+        .where(col("term").isin(queryTerms.map(lit): _*))
+        .select(col("term"), col("df").cast("long").as("df"))
+      case None => qtf.where(col("tf") >= 1)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
     val dls = docs.select(col(idCol),
       coalesce(size(toks), lit(0)).cast("long").as("dl"))
     val stats = dls.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tl"))

@@ -808,42 +808,47 @@ object Text {
     // is a fixed-order chain of integer-derived divisions, so it
     // hash-matches bit-exactly.
     Q("q82_hybrid_rrf",
-      s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
-         |hits AS (SELECT doc_id, term FROM toks
-         |  WHERE term IN ('join','stream','window','sort','dup')),
-         |qtf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
-         |dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
-         |dls AS (SELECT doc_id, CAST(coalesce(len($oTok), 0) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n, sum(dl) AS tl FROM dls),
-         |sc AS (SELECT q.doc_id, d.dl,
-         |   (ln((CAST(st.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-         |       / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
-         |    * (CAST(q.tf AS DOUBLE) * (1.2 + 1.0)))
-         |   / (CAST(q.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75)
-         |      + 0.75 * (CAST(d.dl AS DOUBLE)
-         |                / (CAST(st.tl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
-         |  FROM qtf q JOIN dfs f USING (term) JOIN dls d USING (doc_id), st),
-         |bm AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(27,12))) AS DOUBLE) AS score
-         |  FROM sc GROUP BY doc_id, dl ORDER BY score DESC, doc_id LIMIT 20),
-         |lexr AS (SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
-         |  FROM bm),
-         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
-         |scored AS (SELECT c.vec_id AS doc_id,
-         |    round(list_cosine_similarity(CAST(qv.v AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
-         |  FROM embeddings c, qv WHERE c.vec_id <> 0),
-         |semr AS (SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_sem
-         |  FROM scored ORDER BY cosine DESC, doc_id LIMIT 20),
-         |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.rank_lex, r.rank_sem,
-         |    coalesce(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
-         |    + coalesce(1.0 / (60.0 + CAST(r.rank_sem AS DOUBLE)), 0.0) AS rrf
-         |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
-         |SELECT doc_id, rank_lex, rank_sem, rrf FROM f
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      Text.hybridRrfOracle) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val lex = Retrieval.bm25(Tables.documents(s, d), "doc_id", "text",
           queryTerms = Seq("join", "stream", "window", "sort", "dup"), k = 20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") === 0), "vec_id", "embedding",
+          k = 20, roundTo = 4)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank", k = 10)
+        .orderBy(desc("rrf"), col("doc_id"))
+    },
+
+    // q82 SERVED FROM THE STORED INDEX: the identical hybrid query —
+    // same oracle string, so the equivalence is under the hash — with
+    // the BM25 half reading per-term df from the incrementally
+    // maintained q105 fold (80% base + 20% batch merged through the
+    // IVM pair multiset) instead of recomputing df from the corpus.
+    // The production retrieval shape: indexes refresh at O(batch) off
+    // the feed, queries serve from them, and serving from the index
+    // changes NOTHING in the answer.
+    Q("q130_stored_df_hybrid", Text.hybridRrfOracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def toks(side: org.apache.spark.sql.DataFrame) = side.select(col("doc_id"),
+        explode(TextFns.tokens(TextFns.normalize(col("text")))).as("term"))
+      val stored = Incremental.distinctPartials(
+        toks(docs.where(pmod(col("doc_id"), lit(10)) < 8)), Seq("term"), "doc_id")
+      val dfT = Incremental.finalizeDistinct(
+        Incremental.mergeDistinct(stored,
+          Incremental.distinctPartials(
+            toks(docs.where(pmod(col("doc_id"), lit(10)) >= 8)),
+            Seq("term"), "doc_id"),
+          Seq("term"), "doc_id"),
+        Seq("term"), "df")
+      val lex = Retrieval.bm25(docs, "doc_id", "text",
+          queryTerms = Seq("join", "stream", "window", "sort", "dup"), k = 20,
+          dfSource = Some(dfT))
         .withColumn("rank", row_number()
           .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("rank"))
@@ -1113,6 +1118,46 @@ object Text {
     * suffixed so base and batch pipelines coexist in one WITH, each
     * capped WITHIN ITS OWN SIDE (the per-side cap semantics of
     * `Dedup.nearDupsVsBase`). */
+  /** DuckDB twin of q82 AND q130: BM25 over five query terms fused
+    * with brute-force cosine by reciprocal rank. q130 must produce
+    * the IDENTICAL result while serving df from the incrementally
+    * maintained index — sharing one oracle string IS the equivalence
+    * claim. */
+  private[queries] lazy val hybridRrfOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($oTok) AS term FROM documents),
+         |hits AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN ('join','stream','window','sort','dup')),
+         |qtf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+         |dfs AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+         |dls AS (SELECT doc_id, CAST(coalesce(len($oTok), 0) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n, sum(dl) AS tl FROM dls),
+         |sc AS (SELECT q.doc_id, d.dl,
+         |   (ln((CAST(st.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+         |       / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(q.tf AS DOUBLE) * (1.2 + 1.0)))
+         |   / (CAST(q.tf AS DOUBLE) + (1.2 * ((1.0 - 0.75)
+         |      + 0.75 * (CAST(d.dl AS DOUBLE)
+         |                / (CAST(st.tl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS c
+         |  FROM qtf q JOIN dfs f USING (term) JOIN dls d USING (doc_id), st),
+         |bm AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(27,12))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY doc_id, dl ORDER BY score DESC, doc_id LIMIT 20),
+         |lexr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+         |  FROM bm),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT c.vec_id AS doc_id,
+         |    round(list_cosine_similarity(CAST(qv.v AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+         |  FROM embeddings c, qv WHERE c.vec_id <> 0),
+         |semr AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_sem
+         |  FROM scored ORDER BY cosine DESC, doc_id LIMIT 20),
+         |f AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, l.rank_lex, r.rank_sem,
+         |    coalesce(1.0 / (60.0 + CAST(l.rank_lex AS DOUBLE)), 0.0)
+         |    + coalesce(1.0 / (60.0 + CAST(r.rank_sem AS DOUBLE)), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+         |SELECT doc_id, rank_lex, rank_sem, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   private def minhashSideCtes(sfx: String, where: String): String = {
     val p = Dedup.minhashP
     val sigs = Dedup.minhashCoeffs.take(12).zipWithIndex.map { case ((a, b), i) =>

@@ -55,8 +55,10 @@ object ExplainCheck {
     "q65_tfidf", "q66_bm25", "q68_stratified_rebalance", "q77_unigram_nll",
     "q84_bigram_nll", "q105_incremental_df",
     // hybrid retrieval embeds bm25 (one-row stats cross join) and the
-    // q50 brute-force scorer (corpus × broadcast single query vector)
-    "q82_hybrid_rrf",
+    // q50 brute-force scorer (corpus × broadcast single query vector);
+    // the stored-df variant keeps both shapes (df served from the
+    // index removes the df aggregate, not the scalar joins)
+    "q82_hybrid_rrf", "q130_stored_df_hybrid",
     // one-row broadcast reference date (newest event) for the decay age
     "q83_time_decay")
 
