@@ -440,6 +440,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("applyHistoryBatch ≡ full-log replay on random logs at random cut points") {
+    import graft.operators.Cdc
+    val rowGen = Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 60L),
+      Gen.choose(0L, 99L), Gen.prob(0.25))
+    (0 until 4).foreach { trial =>
+      val log = samples(rowGen, 120 + 30 * trial)
+        .distinctBy(r => (r._1, r._2)) // unique version per key
+        .map { case (k, v, x, d) => (k, v, x, d) }
+        .toDF("k", "v", "x", "is_delete")
+      val full = Cdc.history(log, Seq("k"), "v", "is_delete")
+      samples(Gen.choose(5L, 55L), 3).foreach { cut =>
+        val inc = Cdc.applyHistoryBatch(
+          Cdc.history(log.where(col("v") <= cut), Seq("k"), "v", "is_delete"),
+          log.where(col("v") > cut), Seq("k"), "v", "is_delete")
+        assert(rows(inc) === rows(full), s"trial $trial cut $cut diverged")
+      }
+    }
+  }
+
+  test("temporalJoin ≡ interval-containment LEFT JOIN on random histories and facts") {
+    import graft.operators.{AsOf, Cdc}
+    val logGen = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 40L),
+      Gen.choose(0L, 99L), Gen.prob(0.3))
+    val factGen = Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 45L))
+    (0 until 4).foreach { trial =>
+      val log = samples(logGen, 60 + 20 * trial)
+        .distinctBy(r => (r._1, r._2)).toDF("k", "v", "x", "is_delete")
+      val hist = Cdc.history(log, Seq("k"), "v", "is_delete")
+      val facts = samples(factGen, 80).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong + 1000 * trial, k, t) }
+        .toDF("fid", "k", "t")
+      val viaAsOf = AsOf.temporalJoin(facts, hist, "k", "k", "t", Seq("x"))
+        .select("fid", "x", "valid_from")
+      val h = hist.select(col("k").as("hk"), col("x").as("bx"),
+        col("valid_from").as("bvf"), col("valid_to"))
+      val brute = facts.join(h,
+          col("k") === col("hk") && col("bvf") <= col("t") &&
+            (col("valid_to").isNull || col("t") < col("valid_to")), "left")
+        .select(col("fid"), col("bx").as("x"), col("bvf").as("valid_from"))
+      assert(rows(viaAsOf) === rows(brute), s"trial $trial diverged")
+    }
+  }
+
   test("bandFingerprint is gain-invariant and matches across slice-preserving rewrites") {
     val params = Gen.zip(Gen.choose(32, 2048), Gen.choose(0, 255))
     samples(params, 30).foreach { case (n, seed) =>
