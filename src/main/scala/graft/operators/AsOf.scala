@@ -87,6 +87,14 @@ object AsOf {
       factKey: String, histKey: String, factTime: String,
       histValCols: Seq[String],
       validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    require(histValCols.nonEmpty, "histValCols must be non-empty")
+    require(!histValCols.contains(validFrom) && !histValCols.contains(validTo),
+      s"histValCols must not repeat the interval columns ($validFrom/$validTo) — " +
+        "they are attached automatically")
+    require(!facts.columns.contains(validFrom) && !facts.columns.contains(validTo),
+      s"fact columns collide with the attached interval columns ($validFrom/$validTo)")
+    Seq(validFrom, validTo).foreach(c => require(history.columns.contains(c),
+      s"history side is missing interval column '$c' — pass Cdc.history output"))
     val attached = join(facts, history, factKey, histKey, factTime, validFrom,
       histValCols ++ Seq(validFrom, validTo))
     val live = col(validFrom).isNotNull &&

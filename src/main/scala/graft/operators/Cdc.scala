@@ -180,6 +180,10 @@ object Cdc {
   def applyHistoryBatch(stored: DataFrame, batch: DataFrame,
       keyCols: Seq[String], versionCol: String, deleteCol: String): DataFrame = {
     require(keyCols.nonEmpty, "SCD2 history needs at least one key column")
+    Seq("valid_from", "valid_to", "is_current").foreach(c =>
+      require(stored.columns.contains(c),
+        s"stored side is missing history column '$c' — pass Cdc.history output, " +
+          "not a raw change log"))
     val affected = batch.select(keyCols.map(col): _*).distinct()
     val untouched = stored.join(affected, keyCols, "left_anti")
     // each affected key's first new version closes its open interval
