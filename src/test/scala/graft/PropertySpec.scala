@@ -440,6 +440,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation equals the brute-force synchronous model on random graphs") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
+    (0 until 5).foreach { trial =>
+      val edges = samples(edgeGen, 30 + 8 * trial)
+      val canon = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = canon.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+      val iters = 1 + trial % 4
+      var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        labels = adj.map { case (n, nbrs) =>
+          val votes = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+          // argmax count, tie -> smallest label (the operator's rule)
+          n -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      val out = graft.operators.Graph
+        .labelPropagation(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === labels, s"trial $trial iters $iters diverged")
+    }
+  }
+
   test("applyHistoryBatch ≡ full-log replay on random logs at random cut points") {
     import graft.operators.Cdc
     val rowGen = Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 60L),
