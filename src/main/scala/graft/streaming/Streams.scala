@@ -312,8 +312,16 @@ object Streams {
   def intervalJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String, within: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one equality key")
+    // outer variants are legal for stream-stream joins precisely
+    // because both sides carry a watermark AND the condition bounds
+    // the time range: Spark can prove when an unmatched row will never
+    // match and emit it with NULLs at watermark passage — without
+    // both, an outer row could never be finalized
+    val allowed = Set("inner", "left_outer", "right_outer", "full_outer")
+    require(allowed(joinType),
+      s"joinType must be one of ${allowed.mkString(", ")}, got '$joinType'")
     val overlap = (left.columns.toSet -- keys)
       .intersect(right.columns.toSet -- keys)
     require(overlap.isEmpty,
@@ -325,7 +333,13 @@ object Streams {
     val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
       col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $within") &&
       col(rightTsCol) <= col(leftTsCol)
-    l.join(r, cond, "inner").drop(keys.map(k => s"__r_$k"): _*)
+    // on outer sides the key columns come back NULL for unmatched
+    // rows of the OTHER side — coalesce each key pair so the caller
+    // sees ONE key column populated from whichever side has the row
+    val joined = l.join(r, cond, joinType)
+    keys.foldLeft(joined) { (d, k) =>
+      d.withColumn(k, coalesce(col(k), col(s"__r_$k")))
+    }.drop(keys.map(k => s"__r_$k"): _*)
   }
 
   /** Dedup-append sink via foreachBatch — the incremental form of the

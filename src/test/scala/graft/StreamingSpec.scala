@@ -183,6 +183,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin left_outer: unmatched clicks finalize with NULLs at watermark passage") {
+    val clicks = MemoryStream[(Long, Timestamp, Long)](spark)
+    val views = MemoryStream[(Long, Timestamp, Long)](spark)
+    val l = clicks.toDF().toDF("user_id", "click_ts", "click_id")
+    val r = views.toDF().toDF("user_id", "view_ts", "view_id")
+    val query = Streams.intervalJoin(l, r, Seq("user_id"),
+        "click_ts", "view_ts", within = "30 minutes", watermark = "10 minutes",
+        joinType = "left_outer")
+      .select("user_id", "click_id", "view_id")
+      .writeStream.format("memory").queryName("ij_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (1L, ts("2025-01-01 10:20:00"), 200L),  // will match
+        (3L, ts("2025-01-01 10:05:00"), 300L))  // never matches
+      views.addData((1L, ts("2025-01-01 10:00:00"), 100L))
+      query.processAllAvailable()
+      // advance both watermarks far past the join bound so user 3's
+      // unmatched click can be proven final and emitted with NULL
+      clicks.addData((9L, ts("2025-01-01 12:00:00"), 900L))
+      views.addData((8L, ts("2025-01-01 12:00:00"), 800L))
+      query.processAllAvailable()
+      val got = rows(spark.table("ij_outer_out"))
+      assert(got.contains(Seq(1L, 200L, 100L)))   // matched pair
+      assert(got.contains(Seq(3L, 300L, null)))   // outer row, NULL view
+      assert(!got.exists(r => r.head == 8L))      // right side never emits alone
+    } finally query.stop()
+    // guard: a bogus join type is rejected before any plan is built
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(l, r, Seq("user_id"),
+        "click_ts", "view_ts", "30 minutes", "10 minutes", joinType = "cross")
+    }
+    assert(e.getMessage.contains("joinType"))
+  }
+
   test("intervalJoin rejects clashing non-key column names") {
     val a = Seq((1L, ts("2025-01-01 10:00:00"), 1.0)).toDF("user_id", "t1", "v")
     val b = Seq((1L, ts("2025-01-01 10:00:00"), 2.0)).toDF("user_id", "t2", "v")
