@@ -440,6 +440,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("applyBandFeed ≡ re-banding the post-feed corpus on random docs and random ops") {
+    import graft.operators.Dedup
+    val txt = Gen.listOfN(30, Gen.frequency(8 -> Gen.alphaLowerChar,
+      2 -> Gen.const(' '))).map(_.mkString)
+    (0 until 3).foreach { trial =>
+      val baseDocs = samples(Gen.zip(Gen.choose(0L, 40L), txt), 40)
+        .distinctBy(_._1)
+      val opSeq = samples(Gen.oneOf("keep", "delete", "update"),
+        baseDocs.length + trial).drop(trial) // vary assignment per trial
+      val ops = baseDocs.zip(opSeq).map { case ((id, t), o) => (id, t, o) }
+      val inserts = samples(Gen.zip(Gen.choose(100L, 140L), txt), 15).distinctBy(_._1)
+      val feedRows =
+        ops.collect { case (id, t, "delete") => (id, t, "delete") } ++
+        ops.collect { case (id, t, "update") => Seq(
+          (id, t, "update_preimage"),
+          (id, t + " rewritten tail", "update_postimage")) }.flatten ++
+        inserts.map { case (id, t) => (id, t, "insert") }
+      val finalDocs =
+        ops.collect { case (id, t, "keep") => (id, t) } ++
+        ops.collect { case (id, t, "update") => (id, t + " rewritten tail") } ++
+        inserts
+      val maintained = Dedup.applyBandFeed(
+        Dedup.bandedSignatures(baseDocs.toDF("doc_id", "text"), "doc_id", "text"),
+        feedRows.toDF("doc_id", "text", "change_type"), "doc_id", "text")
+      val reband = Dedup.bandedSignatures(
+        finalDocs.toDF("doc_id", "text"), "doc_id", "text")
+      assert(rows(maintained) === rows(reband), s"trial $trial diverged")
+    }
+  }
+
   test("labelPropagation equals the brute-force synchronous model on random graphs") {
     val edgeGen = Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))
     (0 until 5).foreach { trial =>

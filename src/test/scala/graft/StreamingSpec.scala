@@ -634,6 +634,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows(graft.sources.Lake.readCommitted(spark, statPath)) === expect)
   }
 
+  test("scd2Sink E2E: a RECREATED checkpoint rebuilds the history, never double-splices") {
+    val hist = java.nio.file.Files.createTempDirectory("graft-scd2-e2e").toString + "/history.parquet"
+    val chk = java.nio.file.Files.createTempDirectory("graft-scd2-e2e-chk").toString
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("is_delete", col("value") < 0)
+    val events = Seq(
+      Event(10L, ts("2025-01-01 10:00:00"), 1L, "a", 1.0),
+      Event(11L, ts("2025-01-01 10:01:00"), 1L, "a", 2.0),
+      Event(12L, ts("2025-01-01 10:02:00"), 2L, "a", -1.0))
+    val expect = rows(graft.operators.Cdc.history(
+      shape(events.toDF()), Seq("user_id"), "event_id", "is_delete"))
+    val input1 = MemoryStream[Event](spark)
+    val q1 = Streams.scd2Sink(shape(input1.toDF()), Seq("user_id"),
+      "event_id", "is_delete", hist, chk)
+    try { input1.addData(events: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(rows(graft.sources.Lake.readCommitted(spark, hist)) === expect)
+    // checkpoint deleted, source replays from the beginning under a
+    // new query id: the replayed versions are NOT after the stored
+    // ones, so folding on top would either double-splice or trip the
+    // monotone guard — the lineage change must trigger a REBUILD from
+    // the new stream instead, landing on the identical history
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(chk), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(chk), true)
+    val input2 = MemoryStream[Event](spark)
+    val q2 = Streams.scd2Sink(shape(input2.toDF()), Seq("user_id"),
+      "event_id", "is_delete", hist, chk)
+    try { input2.addData(events: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(rows(graft.sources.Lake.readCommitted(spark, hist)) === expect)
+  }
+
   test("statRefreshSink E2E: restart over a pre-lineage-marker table folds on top, keeps data") {
     import org.apache.hadoop.fs.Path
     val statPath = java.nio.file.Files.createTempDirectory("graft-e2e-up").toString + "/stats.parquet"
