@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFns
 import graft.sources.Tables
 import graft.operators.{Multimodal, Similarity}
 
@@ -478,6 +479,38 @@ object Vectors {
         .withColumn("dup_group",
           min(col("media_id")).over(Window.partitionBy(col("fingerprint"))))
         .orderBy("media_id")
+    },
+
+    // TRAINING-RECORD ASSEMBLY across all four modalities: one wide
+    // row per document joining the text token count with the REAL
+    // decoded image dims/pixel-sum, audio duration/energy, and video
+    // frame count — the last step of a multimodal pipeline, where the
+    // per-modality feature tables (each produced by a partition-local
+    // codec pass) meet on the document key. Three codec passes + three
+    // equi-joins on doc_id; at 100 TB each feature table is the
+    // already-materialized output of its own stage, so the assembly
+    // is pure co-partitioned joins of fixed-width rows. Every joined
+    // value is under the hash (closed-form fixture arithmetic).
+    Q("q131_multimodal_record", Vectors.multimodalRecordOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val txt = docs.where(col("text").isNotNull).select(col("doc_id"),
+        size(TextFns.tokens(TextFns.normalize(col("text")))).cast("long").as("n_tokens"))
+      val img = Multimodal.decodePartitioned(
+          Multimodal.imagesFromDocuments(docs, "doc_id", "text"))
+        .select(col("media_id").as("doc_id"), col("width").as("img_w"),
+          col("height").as("img_h"), col("pixel_sum").as("img_pixel_sum"))
+      val aud = Multimodal.decodeAudioPartitioned(
+          Multimodal.audioFromDocuments(docs, "doc_id", "text"))
+        .select(col("media_id").as("doc_id"), col("duration_ms").as("audio_ms"),
+          col("energy").as("audio_energy"))
+      val vid = Multimodal.frameSample(
+          Multimodal.videosFromDocuments(docs, "doc_id", "text"),
+          everyNth = 1, maxFrames = 8)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .select(col("media_id").as("doc_id"), col("n_frames"))
+      txt.join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
+        .orderBy("doc_id")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
@@ -659,6 +692,46 @@ object Vectors {
       |  min(d.media_id) OVER (PARTITION BY fp.fingerprint) AS dup_group
       |FROM adims d JOIN fp ON d.media_id = fp.media_id
       |ORDER BY d.media_id""".stripMargin
+
+
+  /** DuckDB twin of q131: each modality's closed-form fixture
+    * arithmetic (image ramp dims/pixel-sum, WAV sample energy, video
+    * frame count) joined on the doc key with the token count. */
+  lazy val multimodalRecordOracle: String =
+    s"""WITH $imageDimsCte,
+       |xs AS (SELECT media_id, h, s, unnest(generate_series(0, w - 1)) AS x FROM dims),
+       |xy AS (SELECT media_id, s, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+       |ps AS (SELECT media_id, CAST(sum(3 * ((s + x + y) % 256)) AS BIGINT) AS img_pixel_sum
+       |       FROM xy GROUP BY media_id),
+       |adims AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 2048 + 64 AS n,
+       |    8000 + (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 4) * 4000 AS rate,
+       |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 256 AS sd
+       |  FROM documents WHERE text IS NOT NULL),
+       |samp AS (
+       |  SELECT media_id, ((sd + 1) * 40503 * (i + 1)) % 65536 - 32768 AS v
+       |  FROM (SELECT media_id, n, sd, unnest(generate_series(0, n - 1)) AS i FROM adims)),
+       |ae AS (SELECT media_id, CAST(sum(v * v) AS BIGINT) AS audio_energy
+       |       FROM samp GROUP BY media_id),
+       |vdims AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) % 6 + 2 AS nf
+       |  FROM documents WHERE text IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(${Text.oTok}) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT t.doc_id, t.n_tokens,
+       |  CAST(d.w AS INT) AS img_w, CAST(d.h AS INT) AS img_h, ps.img_pixel_sum,
+       |  CAST(a.n * 1000 // a.rate AS BIGINT) AS audio_ms, ae.audio_energy,
+       |  CAST(v.nf AS BIGINT) AS n_frames
+       |FROM toks t
+       |JOIN dims d ON d.media_id = t.doc_id
+       |JOIN ps ON ps.media_id = t.doc_id
+       |JOIN adims a ON a.media_id = t.doc_id
+       |JOIN ae ON ae.media_id = t.doc_id
+       |JOIN vdims v ON v.media_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** DuckDB twin of q127: the video generator's per-frame ramps
     * (pixel (x, y) of frame f = (s + f + x + y) % 256, gray) pushed
