@@ -508,5 +508,34 @@ object Lakehouse {
       Lake.readCommitted(s, idxRoot)
         .select(col("doc_id"), col("band"), col("bkey"))
         .orderBy("doc_id", "band", "bkey")
+    },
+
+    // SQL-native lake reads: the documents table committed as four
+    // key-ranged appends (the q112 layout), REGISTERED AS A VIEW, and
+    // queried through spark.sql — the LakeFileIndex hands Catalyst's
+    // planning-time data filters to the manifest pruner, so the range
+    // predicate skips dirs through the standard scan path (LakeSqlSpec
+    // asserts the file counts; here the whole path — commit, register,
+    // SQL parse, prune, vectorized scan, aggregate — is under the
+    // oracle hash). At 100 TB this is ad-hoc SQL over the lake paying
+    // one manifest read of planning cost instead of a table listing.
+    Q("q132_lake_sql",
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 339
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_sql", d)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("doc_id"))
+        ()
+      }
+      Lake.registerSql(s, "lake_sql_docs", root)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+              |FROM lake_sql_docs WHERE doc_id BETWEEN 100 AND 339
+              |GROUP BY lang ORDER BY lang""".stripMargin)
     })
 }

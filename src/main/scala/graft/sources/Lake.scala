@@ -606,14 +606,19 @@ object Lake {
     * the spec to assert skipping actually happens. */
   private[graft] def pruneDirs(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val dirs = manifestDirs(fs, r, cur)
-    val stats = manifestStatsRaw(fs, r, cur)
-    val bloomsRaw = manifestBloomsRaw(fs, r, cur)
-    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    pruneDirsAt(spark, root, cur,
+      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
+  }
+
+  private[sources] def pruneDirsAt(spark: SparkSession, root: String,
+      version: Long, preds: Seq[Pred]): (Seq[String], Seq[String]) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val dirs = manifestDirs(fs, r, version)
+    val stats = manifestStatsRaw(fs, r, version)
+    val bloomsRaw = manifestBloomsRaw(fs, r, version)
     if (preds.isEmpty) (dirs, Nil)
     else dirs.partition { d =>
       val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
@@ -631,6 +636,23 @@ object Lake {
     * (paths to read — dirs, or explicit files where file stats pruned
     * inside a kept dir; skipped dirs; skipped files). Exposed for the
     * spec to assert skipping actually happens. */
+  /** Partition a kept dir's parquet files by its manifest file-level
+    * stats: (kept, skipped). The actual listing is authoritative — a
+    * file the manifest doesn't know is always kept (never trust stats
+    * lines for absence). */
+  private def splitDirFiles(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      d: String, byFile: Map[String, String], preds: Seq[Pred]):
+      (Seq[org.apache.hadoop.fs.FileStatus], Seq[org.apache.hadoop.fs.FileStatus]) =
+    fs.listStatus(new Path(r, d)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .partition { f =>
+        byFile.get(f.getPath.getName).map(parseStatsJson) match {
+          case Some(st) => !preds.exists(pr =>
+            st.get(pr.col).exists { case (lo, hi) => predExcludes(lo, hi, pr) })
+          case None => true
+        }
+      }
+
   private[graft] def resolveWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column):
       (Seq[String], Seq[String], Seq[String]) = {
@@ -638,8 +660,8 @@ object Lake {
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val (keptDirs, skippedDirs) = pruneDirs(spark, root, predicate)
     val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    val (keptDirs, skippedDirs) = pruneDirsAt(spark, root, cur, preds)
     val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
       else manifestFileStatsRaw(fs, r, cur)
     val paths = Seq.newBuilder[String]
@@ -647,29 +669,43 @@ object Lake {
     keptDirs.foreach { d =>
       fstats.get(d) match {
         case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
-          // file-level prune inside the kept dir: the actual listing
-          // is authoritative — a file the manifest doesn't know is
-          // always kept (never trust stats lines for absence)
-          val dirPath = new Path(r, d)
-          val (keep, skip) = fs.listStatus(dirPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath)
-            .partition { p =>
-              byFile.get(p.getName).map(parseStatsJson) match {
-                case Some(st) => !preds.exists(pr =>
-                  st.get(pr.col).exists { case (lo, hi) => predExcludes(lo, hi, pr) })
-                case None => true
-              }
-            }
-          if (skip.isEmpty) paths += dirPath.toString
+          val (keep, skip) = splitDirFiles(fs, r, d, byFile, preds)
+          if (skip.isEmpty) paths += new Path(r, d).toString
           else {
-            paths ++= keep.map(_.toString)
-            skippedFiles ++= skip.map(p => d + "/" + p.getName)
+            paths ++= keep.map(_.getPath.toString)
+            skippedFiles ++= skip.map(f => d + "/" + f.getPath.getName)
           }
         case _ => paths += new Path(r, d).toString
       }
     }
     (paths.result(), skippedDirs, skippedFiles.result())
+  }
+
+  /** The pruned FILE set of snapshot `version` for catalyst predicate
+    * conjuncts `filters` — the [[LakeFileIndex]] core. Dir-level
+    * range/bloom pruning then file-level range pruning, identical
+    * rules to [[resolveWhere]], but version-pinned and returning the
+    * concrete `FileStatus`es Spark's scan planning consumes. With no
+    * understood conjunct it degrades to the full snapshot listing. */
+  private[sources] def scanFilesAt(spark: SparkSession, root: String,
+      version: Long,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val preds = filters.flatMap(extractPreds)
+    val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
+    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+      else manifestFileStatsRaw(fs, r, version)
+    keptDirs.flatMap { d =>
+      fstats.get(d) match {
+        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
+          splitDirFiles(fs, r, d, byFile, preds)._1
+        case _ =>
+          fs.listStatus(new Path(r, d)).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+    }
   }
 
   /** Predicate read with manifest-stats data skipping: scans only the
@@ -834,6 +870,61 @@ object Lake {
   def readCommitted(spark: SparkSession, root: String) =
     readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root")))
+
+  /** SQL-NATIVE read of a committed table: a DataFrame whose scan is
+    * planned through a [[LakeFileIndex]], so data skipping fires on
+    * whatever predicate the QUERY eventually applies — `spark.sql`
+    * over a registered view, a joined-in filter, a `.where` added
+    * three operators later — not just one passed up front the way
+    * [[readCommittedWhere]] requires. Catalyst collects the scan's
+    * data filters during planning and hands them to the index, which
+    * prunes dirs (range + bloom) and files (clustered `#fstats_`)
+    * with the SAME rules; Spark then applies the full predicate to
+    * what is read, so the result never depends on pruning — only the
+    * I/O shrinks. The relation keeps Spark's vectorized parquet
+    * reader and whole-stage codegen, parquet footer pushdown
+    * included; `sizeInBytes` reports the snapshot's true byte size so
+    * a small lake table auto-broadcasts in joins.
+    *
+    * The handle is SNAPSHOT-PINNED at construction (explicit
+    * `version` = time travel): every job over it — and every re-use
+    * of a registered view — reads the same immutable snapshot even
+    * across concurrent commits, the multi-job consistency a
+    * live-resolving read cannot give. Re-call for the latest commit.
+    * Schema is the snapshot's committed schema (old dirs read with
+    * NULL backfill, same as [[readCommittedAt]]). */
+  def sqlTable(spark: SparkSession, root: String,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root")))
+    def horizon = readableVersions(spark, root).mkString("[", ", ", "]")
+    if (!fs.exists(new Path(r, s"_commit_$v")))
+      throw new java.util.NoSuchElementException(
+        s"version $v is not committed at $root (readable: $horizon)")
+    val dirs = manifestDirs(fs, r, v)
+    val missing = dirs.filterNot(d => fs.exists(new Path(r, d)))
+    if (missing.nonEmpty)
+      throw new java.util.NoSuchElementException(
+        s"version $v at $root references lost data dirs " +
+          s"${missing.mkString(", ")} (readable: $horizon)")
+    // asNullable: files written before an overwrite-with-required
+    // column may lack it; reading is always nullable, matching what
+    // `spark.read.schema(...)` does on the readCommitted path
+    val schema = org.apache.spark.sql.graft.Shim.asNullable(
+      manifestSchema(fs, r, v).getOrElse(
+        spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*).schema))
+    LakeFileIndex.relation(spark, root, v, schema)
+  }
+
+  /** [[sqlTable]] registered as a temp view: `spark.sql("… FROM
+    * name …")` plans through the manifest with data skipping. The
+    * view holds the registration-time snapshot (consistent reads);
+    * re-register to follow new commits. */
+  def registerSql(spark: SparkSession, name: String, root: String,
+      version: Option[Long] = None): Unit =
+    sqlTable(spark, root, version).createOrReplaceTempView(name)
 
   /** CHANGE FEED: the exact NET row-level changes that turn snapshot
     * `fromVersion` into snapshot `toVersion` — each output row is a

@@ -23,4 +23,21 @@ object Shim {
     * `UnresolvedAttribute` nodes. */
   def catalystTree(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Deep nullable relaxation (`StructType.asNullable` is
+    * `private[spark]`) — `Lake.sqlTable` must expose the same
+    * everything-nullable reading schema `spark.read.schema(...)`
+    * produces, or the two read paths disagree on metadata. */
+  def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = s.asNullable
+
+  /** LogicalPlan -> DataFrame (`Dataset.ofRows` went `private[sql]`
+    * with the Spark 4 classic split). Used by `Lake.sqlTable` to
+    * surface the [[org.apache.spark.sql.execution.datasources
+    * .HadoopFsRelation]] it assembles over a lake snapshot. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

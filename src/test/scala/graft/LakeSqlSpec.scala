@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** SQL-native lake reads: `Lake.sqlTable` plans through a
+  * `LakeFileIndex`, so data skipping fires on whatever predicate the
+  * QUERY applies — through `spark.sql` over a registered view, not an
+  * up-front argument — while the scan stays Spark's own vectorized
+  * parquet path. */
+class LakeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** Files the executed plan's parquet scan actually selected (AFTER
+    * the index pruned): collect leaves post-execution. The queries
+    * here are scan+filter only — no exchange, so no AQE re-wrap. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  /** Four key-ranged appends of k=0..39, stats on k — the ordered-
+    * ingest layout every skipping test uses. Returns the root. */
+  private def rangedTable(bloom: Boolean = false): String = {
+    val root = tmpTable("graft-lakesql")
+    (0 until 4).foreach { b =>
+      val df = ((b * 10) until ((b + 1) * 10)).map(k => (k.toLong, s"t$k"))
+        .toDF("k", "t")
+      Lake.commitAppend(df, root, retain = 8, statsCols = Seq("k"),
+        bloomCols = if (bloom) Seq("k") else Nil)
+    }
+    root
+  }
+
+  test("sqlTable equals readCommitted, including schema evolution NULL backfill") {
+    val root = tmpTable("graft-lakesql-evo")
+    Lake.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root, retain = 8)
+    // evolved append: adds a nullable column; old dir reads NULL
+    Lake.commitAppend(Seq((3L, "c", 30L)).toDF("k", "t", "extra"), root, retain = 8)
+    val viaSql = Lake.sqlTable(spark, root)
+    assert(viaSql.schema === Lake.readCommitted(spark, root).schema)
+    assert(rows(viaSql) === rows(Lake.readCommitted(spark, root)))
+    assert(rows(viaSql) === Set(Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", 30L)))
+  }
+
+  test("spark.sql WHERE over a registered view skips files the manifest excludes") {
+    val root = rangedTable()
+    Lake.registerSql(spark, "lakesql_ranged", root)
+    val total = scannedFiles(spark.sql("SELECT * FROM lakesql_ranged"))
+    val q = spark.sql("SELECT k, t FROM lakesql_ranged WHERE k BETWEEN 12 AND 17")
+    // correctness first: pruning must be invisible in the answer
+    assert(rows(q) === (12L to 17L).map(k => Seq(k, s"t$k")).toSet)
+    // then the I/O: only the dir covering [10,19] can match
+    val pruned = scannedFiles(
+      spark.sql("SELECT k, t FROM lakesql_ranged WHERE k BETWEEN 12 AND 17"))
+    assert(pruned < total, s"expected < $total files scanned, got $pruned")
+  }
+
+  test("a .where added later in the DataFrame chain prunes the same way") {
+    val root = rangedTable()
+    val base = Lake.sqlTable(spark, root)
+    val total = scannedFiles(base.select("k", "t"))
+    val chained = base.select("k", "t").where(col("k") < 10L)
+    assert(rows(chained) === (0L until 10L).map(k => Seq(k, s"t$k")).toSet)
+    assert(scannedFiles(base.select("k", "t").where(col("k") < 10L)) < total)
+  }
+
+  test("bloom pruning fires on SQL equality point lookups") {
+    val root = rangedTable(bloom = true)
+    Lake.registerSql(spark, "lakesql_bloom", root)
+    val total = scannedFiles(spark.sql("SELECT * FROM lakesql_bloom"))
+    val q = "SELECT k, t FROM lakesql_bloom WHERE k = 23"
+    assert(rows(spark.sql(q)) === Set(Seq(23L, "t23")))
+    assert(scannedFiles(spark.sql(q)) < total)
+  }
+
+  test("provably-empty predicate reads zero files but keeps schema and residual filter") {
+    val root = rangedTable()
+    val q = Lake.sqlTable(spark, root).where(col("k") > 1000L)
+    assert(q.schema.fieldNames.toSeq === Seq("k", "t"))
+    assert(q.collect().isEmpty)
+    assert(scannedFiles(Lake.sqlTable(spark, root).where(col("k") > 1000L)) === 0L)
+  }
+
+  test("handles are snapshot-pinned: a registered view survives a concurrent commit") {
+    val root = tmpTable("graft-lakesql-pin")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.registerSql(spark, "lakesql_pinned", root)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    // the view keeps its registration-time snapshot...
+    assert(rows(spark.sql("SELECT * FROM lakesql_pinned")) === Set(Seq(1L, "a")))
+    // ...a fresh handle follows the live table...
+    assert(rows(Lake.sqlTable(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    // ...and an explicit version is SQL time travel
+    assert(rows(Lake.sqlTable(spark, root, version = Some(0L))) === Set(Seq(1L, "a")))
+    intercept[java.util.NoSuchElementException] {
+      Lake.sqlTable(spark, root, version = Some(99L))
+    }
+  }
+
+  test("sizeInBytes feeds the optimizer: a small lake dim auto-broadcasts") {
+    val root = tmpTable("graft-lakesql-bc")
+    Lake.commitOverwrite(
+      (0L until 20L).map(k => (k, s"n$k")).toDF("k", "name"), root, retain = 8)
+    Lake.registerSql(spark, "lakesql_dim", root)
+    spark.range(0, 1000).toDF("k").createOrReplaceTempView("lakesql_fact")
+    val j = spark.sql(
+      """SELECT f.k, d.name FROM lakesql_fact f
+        |JOIN lakesql_dim d ON f.k = d.k""".stripMargin)
+    assert(j.count() === 20L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the lake dim to broadcast, plan:\n$plan")
+  }
+
+  test("parquet footer pushdown still rides along under the lake index") {
+    val root = rangedTable()
+    val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo"))),
+      "expected EqualTo pushed to the parquet reader")
+  }
+}
