@@ -871,6 +871,22 @@ object Lake {
     readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root")))
 
+  // narrow manifest accessors for the in-package streaming source
+  // ([[LakeStreamSource]]): dir NAMES, committed schema, and the raw
+  // marker sequence of one snapshot, without widening the manifest
+  // internals themselves
+  private[sources] def snapshotDirNames(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    manifestDirs(fsFor(spark, root), new Path(root), version)
+
+  private[sources] def snapshotSchema(spark: SparkSession, root: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestSchema(fsFor(spark, root), new Path(root), version)
+
+  private[sources] def committedVersionList(spark: SparkSession,
+      root: String): Seq[Long] =
+    committedVersions(fsFor(spark, root), new Path(root))
+
   /** SQL-NATIVE read of a committed table: a DataFrame whose scan is
     * planned through a [[LakeFileIndex]], so data skipping fires on
     * whatever predicate the QUERY eventually applies — `spark.sql`
@@ -895,6 +911,15 @@ object Lake {
     * NULL backfill, same as [[readCommittedAt]]). */
   def sqlTable(spark: SparkSession, root: String,
       version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (v, schema) = resolveSnapshot(spark, root, version)
+    LakeFileIndex.relation(spark, root, v, schema)
+  }
+
+  /** Validate-and-resolve one snapshot for index-planned reads: the
+    * pinned (version, fully-nullable reading schema) pair behind
+    * [[sqlTable]] and the `graft-lake` batch format. */
+  private[sources] def resolveSnapshot(spark: SparkSession, root: String,
+      version: Option[Long]): (Long, org.apache.spark.sql.types.StructType) = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
@@ -915,7 +940,7 @@ object Lake {
     val schema = org.apache.spark.sql.graft.Shim.asNullable(
       manifestSchema(fs, r, v).getOrElse(
         spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*).schema))
-    LakeFileIndex.relation(spark, root, v, schema)
+    (v, schema)
   }
 
   /** [[sqlTable]] registered as a temp view: `spark.sql("… FROM

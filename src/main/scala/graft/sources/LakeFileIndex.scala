@@ -66,15 +66,21 @@ final class LakeFileIndex(
 }
 
 object LakeFileIndex {
-  /** The [[HadoopFsRelation]] assembly for [[Lake.sqlTable]]: pinned
-    * index + committed schema + stock parquet format, surfaced as a
-    * DataFrame through the one `private[sql]` bridge ([[
-    * org.apache.spark.sql.graft.Shim.ofRows]]). */
-  private[sources] def relation(spark: SparkSession, root: String,
-      version: Long, schema: StructType): DataFrame = {
+  /** The [[HadoopFsRelation]] assembly for [[Lake.sqlTable]] and the
+    * `graft-lake` batch format: pinned index + committed schema +
+    * stock parquet format. */
+  private[sources] def hadoopRelation(spark: SparkSession, root: String,
+      version: Long, schema: StructType): HadoopFsRelation = {
     val index = new LakeFileIndex(spark, root, version, schema)
-    val rel = HadoopFsRelation(index, new StructType(), schema, None,
+    HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    org.apache.spark.sql.graft.Shim.ofRows(spark, LogicalRelation(rel))
   }
+
+  /** [[hadoopRelation]] surfaced as a DataFrame through the one
+    * `private[sql]` bridge ([[org.apache.spark.sql.graft.Shim
+    * .ofRows]]). */
+  private[sources] def relation(spark: SparkSession, root: String,
+      version: Long, schema: StructType): DataFrame =
+    org.apache.spark.sql.graft.Shim.ofRows(spark,
+      LogicalRelation(hadoopRelation(spark, root, version, schema)))
 }

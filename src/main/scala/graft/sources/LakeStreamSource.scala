@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a manifest-committed [[Lake]]
+  * table: `spark.readStream.format("graft-lake").option("root", …)`
+  * turns every commit into a micro-batch, which closes the loop the
+  * engine's sinks opened — a lake table maintained by one pipeline
+  * (`loadToCommitted`, `dedupAppendSinkCommitted`, `cdcApplySink`)
+  * now FEEDS the next pipeline's fold with no hand-rolled cursor.
+  *
+  * Offsets ARE lake versions (`LongOffset(version)`), so the
+  * streaming checkpoint and the table's commit protocol share one
+  * notion of progress: `getBatch(from, to]` reads exactly the data
+  * dirs that appeared in that version range, version dirs are
+  * immutable, and a replayed batch is therefore bit-identical —
+  * effectively-once composition with the engine's marker-protected
+  * sinks for free. The reference's closest analogue is the Airflow
+  * task chain re-running the whole extract per cycle
+  * (/root/reference/dags/Main.py:20-26); at 100 TB the difference is
+  * O(new dirs) per trigger versus O(table).
+  *
+  * Contract: the source follows APPEND commits (append/load/stream
+  * sinks — dirs only ever added). A commit that REMOVES dirs
+  * (overwrite, merge, compaction, delete/update) is refused with the
+  * alternatives named — `ignoreDeletes=true` to skip rewritten-dir
+  * history (emits only genuinely new dirs, Delta's
+  * `ignoreChanges`-style escape hatch, duplicates possible), or the
+  * exact change feed ([[Lake.changesBetween]]) when row-level
+  * retractions matter. Retention: append chains keep every dir
+  * referenced by the live snapshot, so a lagging stream never loses
+  * data; only rewrite-style commits prune dirs, and those require the
+  * escape hatch anyway.
+  *
+  * Schema is pinned at stream start (the live manifest's, fully
+  * nullable): later evolved columns are invisible until the stream
+  * restarts, old dirs read with NULL backfill — deterministic under
+  * replay, same rule as every reader here.
+  */
+final class LakeStreamSource(
+    sqlContext: SQLContext, root: String,
+    override val schema: StructType,
+    startAfter: Option[Long], ignoreDeletes: Boolean) extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  private def toVersion(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    Lake.currentVersion(spark, root)
+      .filter(v => startAfter.forall(v > _))
+      .map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = toVersion(end)
+    val fromV = start.map(toVersion).orElse(startAfter)
+    val versions = Lake.committedVersionList(spark, root)
+      .filter(v => v <= endV && fromV.forall(v > _))
+    // the snapshot the range extends: the greatest committed version
+    // at or below the start offset (None = table birth, empty dirs)
+    var prev: Set[String] = fromV
+      .flatMap(f => Lake.committedVersionList(spark, root).filter(_ <= f).maxOption)
+      .map(v => Lake.snapshotDirNames(spark, root, v).toSet)
+      .getOrElse(Set.empty)
+    val fresh = Seq.newBuilder[String]
+    versions.foreach { v =>
+      val cur = Lake.snapshotDirNames(spark, root, v).toSet
+      val removed = prev -- cur
+      if (removed.nonEmpty && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"streaming source on $root: version $v removes dirs " +
+            s"${removed.toSeq.sorted.mkString(", ")} (overwrite/merge/compact). " +
+            "The version-offset source follows append commits only; set " +
+            "option(\"ignoreDeletes\", \"true\") to stream just the added dirs, " +
+            "or consume Lake.changesBetween for exact row-level changes")
+      fresh ++= (cur -- prev).toSeq.sorted
+      prev = cur
+    }
+    val dirs = fresh.result().distinct
+    // MicroBatchExecution asserts the returned frame is a STREAMING
+    // one; re-tag the batch relation the way FileStreamSource does
+    val plan =
+      if (dirs.isEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+          Nil, isStreaming = true)
+      else
+        spark.read.schema(schema)
+          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+          .queryExecution.analyzed.transform {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.copy(isStreaming = true)
+          }
+    org.apache.spark.sql.graft.Shim.ofRows(spark, plan)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"LakeStreamSource[$root]"
+}
+
+/** `format("graft-lake")` registration, batch AND streaming:
+  * `spark.read` gets the index-planned snapshot read ([[Lake
+  * .sqlTable]] semantics — option `version` = time travel), and
+  * `spark.readStream` gets [[LakeStreamSource]]. Options: `root`
+  * (required, the committed table), `version` (batch), and for
+  * streams `startingVersion` = `"latest"` (only commits after stream
+  * start) or a version number N (changes from N on; default: the
+  * full snapshot as the first batch) plus `ignoreDeletes`. */
+final class GraftLakeProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val root = rootOf(parameters)
+    val version = parameters.get("version").map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"version must be a committed version number, got $v")))
+    val (v, schema) = Lake.resolveSnapshot(sqlContext.sparkSession, root, version)
+    LakeFileIndex.hadoopRelation(sqlContext.sparkSession, root, v, schema)
+  }
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("root", throw new IllegalArgumentException(
+      "graft-lake source requires option(\"root\", <committed table root>)"))
+
+  private def liveSchema(sqlContext: SQLContext, root: String): StructType = {
+    val spark = sqlContext.sparkSession
+    val v = Lake.currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root — the streaming source needs an " +
+          "existing table for its schema; commit version 0 first"))
+    org.apache.spark.sql.graft.Shim.asNullable(
+      Lake.snapshotSchema(spark, root, v).getOrElse(
+        Lake.readCommittedAt(spark, root, v).schema))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(liveSchema(sqlContext, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val startAfter = parameters.get("startingVersion").map {
+      case "latest" => Lake.currentVersion(sqlContext.sparkSession, root)
+        .getOrElse(-1L)
+      case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be \"latest\" or a version number, got $n")) - 1L
+    }
+    val ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean)
+    new LakeStreamSource(sqlContext, root,
+      schema.getOrElse(liveSchema(sqlContext, root)), startAfter, ignoreDeletes)
+  }
+}

@@ -122,6 +122,24 @@ class LakeSqlSpec extends SparkSpec {
       s"expected the lake dim to broadcast, plan:\n$plan")
   }
 
+  test("spark.read.format(graft-lake) is the same index-planned read, version = time travel") {
+    val root = rangedTable()
+    def load() = spark.read.format("graft-lake").option("root", root).load()
+    assert(rows(load()) === rows(Lake.sqlTable(spark, root)))
+    // skipping fires through the format path too (fresh datasets per
+    // measurement: a re-collected plan reports stale driver metrics)
+    val total = scannedFiles(load())
+    assert(scannedFiles(load().where(col("k") >= 30L)) < total)
+    // time travel: version 0 holds only the first ranged append
+    val v0 = spark.read.format("graft-lake").option("root", root)
+      .option("version", "0").load()
+    assert(rows(v0) === (0L until 10L).map(k => Seq(k, s"t$k")).toSet)
+    intercept[java.util.NoSuchElementException] {
+      spark.read.format("graft-lake").option("root", root)
+        .option("version", "99").load()
+    }
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
