@@ -871,6 +871,20 @@ object Lake {
     readCommittedAt(spark, root, currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root")))
 
+  /** Newest batch id the given checkpoint lineage committed through
+    * [[LakeStreamSink]], read from `#op=stream-append …` manifest
+    * lines newest-first (marker files outlive their data dirs until
+    * retention prunes them — the skip horizon IS the retain lever). */
+  private[sources] def lastStreamBatch(spark: SparkSession, root: String,
+      lineage: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val Parsed = """stream-append lineage=(\S+) batch=(\d+)""".r
+    committedVersions(fs, r).reverseIterator
+      .flatMap(v => manifestOp(fs, r, v))
+      .collectFirst { case Parsed(l, b) if l == lineage => b.toLong }
+  }
+
   // narrow manifest accessors for the in-package streaming source
   // ([[LakeStreamSource]]): dir NAMES, committed schema, and the raw
   // marker sequence of one snapshot, without widening the manifest
@@ -1301,8 +1315,10 @@ object Lake {
     * the table. Returns the committed version. */
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      op: String = "append"): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(!op.contains("\n"), "op must be a single manifest line")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
@@ -1338,7 +1354,7 @@ object Lake {
       .map(s"v$next" -> _).toMap
     commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows,
       stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-      op = "append")
+      op = op)
     next
   }
 

@@ -108,6 +108,62 @@ final class LakeStreamSource(
   override def toString: String = s"LakeStreamSource[$root]"
 }
 
+/** Structured Streaming SINK into a manifest-committed table:
+  * `writeStream.format("graft-lake").option("root", …)` appends each
+  * micro-batch as one O(batch) snapshot commit. EFFECTIVELY-ONCE by
+  * riding the manifest: the commit's `#op=` line records (checkpoint
+  * lineage = the persisted streaming query id, batch id) in the same
+  * atomic marker rename as the data, so a replayed batch — crash
+  * after commit, before the checkpoint advanced — sees its own
+  * lineage already at that id and commits nothing. A RECREATED
+  * checkpoint gets a new query id, so its restarted batch numbering
+  * cannot be swallowed by the old lineage's high-water mark (an
+  * append sink can't rebuild; for replace-on-new-lineage semantics
+  * use the fold sinks in [[graft.streaming.Streams]]).
+  *
+  * Caveat, documented not hidden: the skip horizon is the marker
+  * retention — `retain` non-stream commits (maintenance) after a
+  * batch prune its `#op=` line, so run compaction with `retain` at
+  * least the commits-per-trigger-gap, same contract as any
+  * lakehouse txn-retention knob. Empty batches commit nothing. */
+final class LakeStreamSink(root: String, retain: Int,
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.Dataset[
+      org.apache.spark.sql.Row]): Unit = {
+    val spark = data.sparkSession
+    // the engine-set per-query local property; persisted in the
+    // checkpoint, so it IS the lineage across restarts
+    val lineage = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("manual")
+    if (Lake.lastStreamBatch(spark, root, lineage).exists(_ >= batchId)) return
+    // the incoming frame is the incremental execution — re-analyzing
+    // it as a batch plan is refused ("streaming sources must be
+    // executed with writeStream"). Rebuild over its planned rdd, the
+    // same move Spark's own ForeachBatchSink makes; cached so the
+    // emptiness probe and the commit share one execution and the
+    // rows never visit the driver
+    // .copy(): the incremental iterator REUSES its UnsafeRow buffer;
+    // caching the references would alias every cached row to the last
+    val rdd = data.queryExecution.toRdd.map(_.copy())
+    rdd.persist()
+    try {
+      if (!rdd.isEmpty()) {
+        val batch = org.apache.spark.sql.graft.Shim.ofRows(spark,
+          org.apache.spark.sql.graft.Shim.batchPlanOf(rdd, data))
+        Lake.commitAppend(batch, root,
+          retain = retain, statsCols = statsCols, bloomCols = bloomCols,
+          op = s"stream-append lineage=$lineage batch=$batchId")
+        ()
+      }
+    } finally { rdd.unpersist(); () }
+  }
+
+  override def toString: String = s"LakeStreamSink[$root]"
+}
+
 /** `format("graft-lake")` registration, batch AND streaming:
   * `spark.read` gets the index-planned snapshot read ([[Lake
   * .sqlTable]] semantics — option `version` = time travel), and
@@ -117,7 +173,10 @@ final class LakeStreamSource(
   * start) or a version number N (changes from N on; default: the
   * full snapshot as the first batch) plus `ignoreDeletes`. */
 final class GraftLakeProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -129,6 +188,59 @@ final class GraftLakeProvider extends StreamSourceProvider
         s"version must be a committed version number, got $v")))
     val (v, schema) = Lake.resolveSnapshot(sqlContext.sparkSession, root, version)
     LakeFileIndex.hadoopRelation(sqlContext.sparkSession, root, v, schema)
+  }
+
+  private def layoutOpts(parameters: Map[String, String]):
+      (Int, Seq[String], Seq[String]) = (
+    parameters.get("retain").map(_.toInt).getOrElse(1),
+    parameters.get("statsCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+    parameters.get("bloomCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+
+  /** `df.write.format("graft-lake").mode(…)` — batch writes as
+    * manifest commits: Append extends the snapshot O(batch),
+    * Overwrite replaces it, ErrorIfExists/Ignore follow their
+    * SaveMode contracts against table EXISTENCE. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]):
+      org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val (retain, statsCols, bloomCols) = layoutOpts(parameters)
+    val exists = Lake.currentVersion(spark, root).isDefined
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append =>
+        Lake.commitAppend(data, root, retain, None, statsCols, bloomCols)
+      case Overwrite =>
+        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"committed table already exists at $root (SaveMode.ErrorIfExists)")
+      case ErrorIfExists =>
+        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+      case Ignore if exists => // SaveMode contract: leave it untouched
+      case Ignore =>
+        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+    }
+    val (v, schema) = Lake.resolveSnapshot(spark, root, None)
+    LakeFileIndex.hadoopRelation(spark, root, v, schema)
+  }
+
+  /** `writeStream.format("graft-lake")` — see [[LakeStreamSink]]. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-lake sink is append-only (micro-batches become snapshot " +
+        s"appends); got $outputMode — aggregating streams fold through " +
+        "Streams.statRefreshSink/cdcApplySink instead")
+    require(partitionColumns.isEmpty,
+      "graft-lake tables lay out by manifest (stats/bloom/z-order), not " +
+        "hive partitions; partitionBy is not supported")
+    val (retain, statsCols, bloomCols) = layoutOpts(parameters)
+    new LakeStreamSink(rootOf(parameters), retain, statsCols, bloomCols)
   }
 
   private def rootOf(parameters: Map[String, String]): String =

@@ -35,6 +35,18 @@ object Shim {
     * with the Spark 4 classic split). Used by `Lake.sqlTable` to
     * surface the [[org.apache.spark.sql.execution.datasources
     * .HadoopFsRelation]] it assembles over a lake snapshot. */
+  /** The ForeachBatchSink move: wrap an already-planned incremental
+    * execution's rdd as a BATCH logical plan, so a streaming sink can
+    * hand its micro-batch to batch writers without re-analysis
+    * (`LogicalRDD.fromDataset` is `private[sql]`). */
+  def batchPlanOf(rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      origin: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd,
+      origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+      isStreaming = false)
+
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =

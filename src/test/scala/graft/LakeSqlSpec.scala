@@ -140,6 +140,28 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("df.write.format(graft-lake) commits by SaveMode contract") {
+    val root = tmpTable("graft-lakesql-write")
+    def write(df: org.apache.spark.sql.DataFrame,
+        mode: String): Unit =
+      df.write.format("graft-lake").option("root", root).mode(mode).save()
+
+    write(Seq((1L, "a")).toDF("k", "t"), "errorifexists")
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+    intercept[IllegalStateException] {
+      write(Seq((9L, "x")).toDF("k", "t"), "errorifexists")
+    }
+    write(Seq((2L, "b")).toDF("k", "t"), "append")
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    write(Seq((9L, "x")).toDF("k", "t"), "ignore") // exists: untouched
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+    write(Seq((3L, "c")).toDF("k", "t"), "overwrite")
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(3L, "c")))
+    // and the write's returned relation reads back through the index
+    assert(rows(spark.read.format("graft-lake").option("root", root).load())
+      === Set(Seq(3L, "c")))
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)

@@ -124,6 +124,62 @@ class LakeStreamSpec extends SparkSpec {
     assert(sink.map(_.take(2)).toSet === Set(Seq(2L, "b")))
   }
 
+  test("writeStream sink: micro-batches append; checkpoint restart appends only new data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpTable("graft-lksink")
+    val ckpt = tmpDir("graft-lksink-ckpt")
+    val src = MemoryStream[(Long, String)]
+    src.addData((1L, "a"), (2L, "b"))
+
+    def runOnce(): Unit = {
+      val q = src.toDF().toDF("k", "t").writeStream.format("graft-lake")
+        .option("root", root).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+
+    src.addData((3L, "c"))
+    runOnce()
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+
+    // the commit provenance names the stream, lineage and batch
+    val ops = Lake.describeHistory(spark, root).select("op")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.forall(_.startsWith("stream-append lineage=")))
+  }
+
+  test("sink replay skips within a lineage; a new lineage is never swallowed") {
+    import graft.sources.LakeStreamSink
+    val root = tmpTable("graft-lksink-replay")
+    val sc = spark.sparkContext
+    val sink = new LakeStreamSink(root, retain = 8, Nil, Nil)
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", "lin-a")
+      sink.addBatch(0, Seq((1L, "a")).toDF("k", "t"))
+      // crash-replay of the SAME batch: commits nothing
+      sink.addBatch(0, Seq((1L, "a")).toDF("k", "t"))
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+      sink.addBatch(1, Seq((2L, "b")).toDF("k", "t"))
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
+
+      // a RECREATED checkpoint restarts batch ids under a new query
+      // id — the old lineage's high-water mark must not swallow it
+      sc.setLocalProperty("sql.streaming.queryId", "lin-b")
+      sink.addBatch(0, Seq((3L, "c")).toDF("k", "t"))
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+
+      // empty batches commit nothing (no version churn per idle trigger)
+      val before = Lake.currentVersion(spark, root)
+      sink.addBatch(1, Seq.empty[(Long, String)].toDF("k", "t"))
+      assert(Lake.currentVersion(spark, root) === before)
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("composition: lake source feeds a downstream fold exactly once") {
     val root = tmpTable("graft-lkstream-fold")
     val ckpt = tmpDir("graft-lkstream-fold-ckpt")
