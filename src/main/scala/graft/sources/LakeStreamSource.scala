@@ -63,12 +63,25 @@ final class LakeStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toVersion(end)
     val fromV = start.map(toVersion).orElse(startAfter)
-    val versions = Lake.committedVersionList(spark, root)
-      .filter(v => v <= endV && fromV.forall(v > _))
+    val all = Lake.committedVersionList(spark, root)
+    // a real start version whose MARKER retention pruned cannot anchor
+    // the batch boundary: resolving to an older snapshot would re-emit
+    // every dir committed since it — silent duplicates. Refuse, the
+    // Delta rule. (-1 is the explicit from-birth sentinel.)
+    fromV.filter(_ >= 0).foreach { f =>
+      if (!all.contains(f))
+        throw new IllegalStateException(
+          s"streaming source on $root: start version $f (checkpoint offset " +
+            "or startingVersion) is no longer committed — its marker was " +
+            "pruned past retention, so the batch boundary cannot be " +
+            "reconstructed without duplicating data. Restart with a fresh " +
+            "checkpoint, or commit with a larger `retain`")
+    }
+    val versions = all.filter(v => v <= endV && fromV.forall(v > _))
     // the snapshot the range extends: the greatest committed version
     // at or below the start offset (None = table birth, empty dirs)
     var prev: Set[String] = fromV
-      .flatMap(f => Lake.committedVersionList(spark, root).filter(_ <= f).maxOption)
+      .flatMap(f => all.filter(_ <= f).maxOption)
       .map(v => Lake.snapshotDirNames(spark, root, v).toSet)
       .getOrElse(Set.empty)
     val fresh = Seq.newBuilder[String]
@@ -267,11 +280,35 @@ final class GraftLakeProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val startAfter = parameters.get("startingVersion").map {
-      case "latest" => Lake.currentVersion(sqlContext.sparkSession, root)
-        .getOrElse(-1L)
-      case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"startingVersion must be \"latest\" or a version number, got $n")) - 1L
+    // createSource runs on EVERY (re)start; "latest" must mean latest
+    // at FIRST start or a stop-before-first-batch restart silently
+    // skips the gap. The resolution is persisted in the source's own
+    // checkpoint dir (atomic tmp+rename, same primitive as the lake):
+    // restarts read it back, a fresh checkpoint re-resolves.
+    val startAfter = parameters.get("startingVersion").map { sv =>
+      val resolved = sv match {
+        case "latest" => Lake.currentVersion(sqlContext.sparkSession, root)
+          .getOrElse(-1L)
+        case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be \"latest\" or a version number, got $n")) - 1L
+      }
+      val p = new Path(metadataPath, "graft-lake-start")
+      val fs = p.getFileSystem(
+        sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.trim.toLong
+      } else {
+        fs.mkdirs(p.getParent)
+        val tmp = new Path(metadataPath, "graft-lake-start.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(resolved.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p) && !fs.exists(p))
+          throw new java.io.IOException(s"cannot persist start version at $p")
+        resolved
+      }
     }
     val ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean)
     new LakeStreamSource(sqlContext, root,

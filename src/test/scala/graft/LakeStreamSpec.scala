@@ -83,6 +83,48 @@ class LakeStreamSpec extends SparkSpec {
     assert(rows(spark.table("lkstream_from1")) === Set(Seq(2L, "b")))
   }
 
+  test("startingVersion=latest is pinned at FIRST start, not re-resolved per restart") {
+    val root = tmpTable("graft-lkstream-pin-latest")
+    val ckpt = tmpDir("graft-lkstream-pin-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+
+    // first start at latest: nothing emitted, NO offset checkpointed
+    drainOnce(readLake(root, Map("startingVersion" -> "latest")), ckpt, sink)
+    assert(sink.isEmpty)
+
+    // table advances while the stream is down
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8) // v1
+
+    // restart: "latest" must still mean v0 (the first start), so v1's
+    // rows arrive — a per-restart re-resolution would skip them
+    drainOnce(readLake(root, Map("startingVersion" -> "latest")), ckpt, sink)
+    assert(sink.toSet === Set(Seq(2L, "b")))
+  }
+
+  test("a start version pruned past marker retention is refused, not duplicated") {
+    val root = tmpTable("graft-lkstream-pruned")
+    val ckpt = tmpDir("graft-lkstream-pruned-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    drainOnce(readLake(root), ckpt, sink) // checkpoint offset = 0
+
+    // retain=0 commits prune _commit_0 while the stream is down
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 0)
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_commit_0")))
+
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(readLake(root), ckpt, sink)
+    }
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("pruned past retention"))))
+  }
+
   test("a dir-removing commit is refused; ignoreDeletes streams only added dirs") {
     val root = tmpTable("graft-lkstream-rm")
     val ckpt = tmpDir("graft-lkstream-rm-ckpt")
@@ -132,24 +174,29 @@ class LakeStreamSpec extends SparkSpec {
     val src = MemoryStream[(Long, String)]
     src.addData((1L, "a"), (2L, "b"))
 
-    def runOnce(): Unit = {
+    def runOnce(): java.util.UUID = {
       val q = src.toDF().toDF("k", "t").writeStream.format("graft-lake")
         .option("root", root).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      q.id
     }
-    runOnce()
+    val id1 = runOnce()
     assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a"), Seq(2L, "b")))
 
     src.addData((3L, "c"))
-    runOnce()
+    val id2 = runOnce()
+    // the query id is persisted in the checkpoint — both runs share it
+    assert(id1 === id2)
     assert(rows(Lake.readCommitted(spark, root)) ===
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
 
-    // the commit provenance names the stream, lineage and batch
+    // the commit provenance names the stream: the REAL persisted query
+    // id (a "manual" fallback here would break the recreated-
+    // checkpoint protection), plus the batch id
     val ops = Lake.describeHistory(spark, root).select("op")
       .collect().map(_.getString(0)).toSeq
-    assert(ops.forall(_.startsWith("stream-append lineage=")))
+    assert(ops.forall(_.startsWith(s"stream-append lineage=$id1 batch=")), ops)
   }
 
   test("sink replay skips within a lineage; a new lineage is never swallowed") {
