@@ -537,5 +537,49 @@ object Lakehouse {
       s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
               |FROM lake_sql_docs WHERE doc_id BETWEEN 100 AND 339
               |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
+    // The graft-lake format's full loop under the oracle hash: the
+    // documents table lands in a raw committed table by batch writes
+    // (df.write.format), then an incremental ETL — readStream from the
+    // raw table, token gate + count, writeStream back into a curated
+    // table — runs once per ingest half. The SECOND stream run
+    // processes ONLY the delta (version offsets; its checkpoint
+    // carries lineage for the effectively-once sink commits), yet the
+    // curated table must equal the one-shot batch transform the SQL
+    // twin computes. At 100 TB this is the standing shape of every
+    // derived table: O(new dirs) per trigger, never O(table).
+    Q("q133_lake_stream_etl",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len(${Text.oTok}) AS n_toks
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, lang, n_toks FROM t WHERE n_toks >= 5
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = scratchRoot("lake_setl_raw", d)
+      val out = scratchRoot("lake_setl_out", d)
+      val ckpt = scratchRoot("lake_setl_ckpt", d)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      def run(): Unit = {
+        val q = s.readStream.format("graft-lake").option("root", raw).load()
+          .where(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(TextFns.normalize(col("text"))))
+              .cast("long").as("n_toks"))
+          .where(col("n_toks") >= 5)
+          .writeStream.format("graft-lake").option("root", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      Seq(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      ).foreach { half =>
+        half.write.format("graft-lake").option("root", raw)
+          .option("retain", "3").mode("append").save()
+        run()
+      }
+      Lake.readCommitted(s, out)
+        .select("doc_id", "lang", "n_toks").orderBy("doc_id")
     })
 }

@@ -45,7 +45,9 @@ import org.apache.spark.sql.types.StructType
 final class LakeStreamSource(
     sqlContext: SQLContext, root: String,
     override val schema: StructType,
-    startAfter: Option[Long], ignoreDeletes: Boolean) extends Source {
+    startAfter: Option[Long], ignoreDeletes: Boolean) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
 
@@ -55,10 +57,43 @@ final class LakeStreamSource(
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] =
+  /** Newest version visible to THIS source (start option applied). */
+  private def visibleNow: Option[Long] =
     Lake.currentVersion(spark, root)
       .filter(v => startAfter.forall(v > _))
-      .map(LongOffset(_))
+
+  override def getOffset: Option[Offset] = visibleNow.map(LongOffset(_))
+
+  // ---- Trigger.AvailableNow (the FileStreamSource shape): freeze
+  // "available" at prepare time so the run drains exactly the commits
+  // that existed when it started, then terminates — no single-batch
+  // fallback, no risk of stopping at a stale uncommitted batch ------
+  private var prepared = false
+  private var availableAtPrepare: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    prepared = true
+    availableAtPrepare = visibleNow
+  }
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val eff =
+      if (prepared) for (a <- availableAtPrepare; v <- visibleNow)
+        yield math.min(a, v)
+      else visibleNow
+    eff.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    visibleNow.map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toVersion(end)
