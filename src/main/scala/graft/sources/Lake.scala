@@ -901,6 +901,10 @@ object Lake {
       root: String): Seq[Long] =
     committedVersions(fsFor(spark, root), new Path(root))
 
+  private[sources] def snapshotOp(spark: SparkSession, root: String,
+      version: Long): Option[String] =
+    manifestOp(fsFor(spark, root), new Path(root), version)
+
   /** SQL-NATIVE read of a committed table: a DataFrame whose scan is
     * planned through a [[LakeFileIndex]], so data skipping fires on
     * whatever predicate the QUERY eventually applies — `spark.sql`

@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.StructType
 final class LakeStreamSource(
     sqlContext: SQLContext, root: String,
     override val schema: StructType,
-    startAfter: Option[Long], ignoreDeletes: Boolean) extends Source
+    startAfter: Option[Long], ignoreDeletes: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -88,7 +89,19 @@ final class LakeStreamSource(
       if (prepared) for (a <- availableAtPrepare; v <- visibleNow)
         yield math.min(a, v)
       else visibleNow
-    eff.map(LongOffset(_)).orNull
+    // maxVersionsPerTrigger: bound each micro-batch to N commits past
+    // the start offset — the backfill throttle (a stream catching up
+    // on months of commits drains them in bounded batches instead of
+    // one giant read); AvailableNow then takes several batches to the
+    // prepared offset and terminates
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) =>
+        val from = Option(start).map(o => o.json.trim.toLong)
+          .orElse(startAfter).getOrElse(-1L)
+        eff.map(v => math.min(v, from + n))
+      case None => eff
+    }
+    capped.map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset():
@@ -122,15 +135,23 @@ final class LakeStreamSource(
     val fresh = Seq.newBuilder[String]
     versions.foreach { v =>
       val cur = Lake.snapshotDirNames(spark, root, v).toSet
-      val removed = prev -- cur
-      if (removed.nonEmpty && !ignoreDeletes)
-        throw new IllegalStateException(
-          s"streaming source on $root: version $v removes dirs " +
-            s"${removed.toSeq.sorted.mkString(", ")} (overwrite/merge/compact). " +
-            "The version-offset source follows append commits only; set " +
-            "option(\"ignoreDeletes\", \"true\") to stream just the added dirs, " +
-            "or consume Lake.changesBetween for exact row-level changes")
-      fresh ++= (cur -- prev).toSeq.sorted
+      // row-PRESERVING maintenance (compaction, z-order) rewrites
+      // layout, not contents: its added dirs carry exactly the rows
+      // already streamed, so the step contributes NOTHING — the
+      // source composes with table maintenance instead of refusing it
+      val layoutOnly = Lake.snapshotOp(spark, root, v)
+        .exists(op => op == "compact" || op == "zorder")
+      if (!layoutOnly) {
+        val removed = prev -- cur
+        if (removed.nonEmpty && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"streaming source on $root: version $v removes dirs " +
+              s"${removed.toSeq.sorted.mkString(", ")} (overwrite/merge/delete). " +
+              "The version-offset source follows append commits only; set " +
+              "option(\"ignoreDeletes\", \"true\") to stream just the added dirs, " +
+              "or consume Lake.changesBetween for exact row-level changes")
+        fresh ++= (cur -- prev).toSeq.sorted
+      }
       prev = cur
     }
     val dirs = fresh.result().distinct
@@ -346,7 +367,14 @@ final class GraftLakeProvider extends StreamSourceProvider
       }
     }
     val ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { n =>
+      val v = n.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerTrigger must be a positive number, got $n"))
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
     new LakeStreamSource(sqlContext, root,
-      schema.getOrElse(liveSchema(sqlContext, root)), startAfter, ignoreDeletes)
+      schema.getOrElse(liveSchema(sqlContext, root)), startAfter, ignoreDeletes,
+      maxVersions)
   }
 }

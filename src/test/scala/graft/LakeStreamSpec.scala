@@ -150,6 +150,48 @@ class LakeStreamSpec extends SparkSpec {
     assert(sink.toSet === Set(Seq(9L, "z")))
   }
 
+  test("row-preserving maintenance (compact/zorder) streams nothing — no refusal, no duplicates") {
+    val root = tmpTable("graft-lkstream-compact")
+    val ckpt = tmpDir("graft-lkstream-compact-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    drainOnce(readLake(root), ckpt, sink)
+    assert(sink.size === 2)
+
+    // compaction collapses the fragmented snapshot (removes + adds
+    // dirs, rows identical), then a real append lands on top
+    Lake.compactCommitted(spark, root, retain = 8)
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8)
+
+    sink.clear()
+    drainOnce(readLake(root), ckpt, sink)
+    assert(sink.toSet === Set(Seq(3L, "c")))
+  }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded batches, AvailableNow to the end") {
+    val root = tmpTable("graft-lkstream-throttle")
+    val ckpt = tmpDir("graft-lkstream-throttle-ckpt")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until 6).foreach { i =>
+      Lake.commitAppend(Seq((i.toLong, s"t$i")).toDF("k", "t"), root, retain = 8)
+      ()
+    }
+    val q = readLake(root, Map("startingVersion" -> "0",
+        "maxVersionsPerTrigger" -> "2"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // six single-row commits at 2 versions/trigger = three 2-row batches
+    assert(batchSizes.toSeq === Seq(2L, 2L, 2L))
+  }
+
   test("schema pinned at start: an evolved append streams under the start schema") {
     val root = tmpTable("graft-lkstream-evo")
     val ckpt = tmpDir("graft-lkstream-evo-ckpt")
