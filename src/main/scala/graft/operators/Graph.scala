@@ -189,6 +189,63 @@ object Graph {
     * two-level count/argmax aggregate (both partial-aggregatable), and
     * lineage truncates every third round.
     * @return (p, label) — label = smallest-id convention per community */
+  /** Multi-source BFS over directed (src, dst) edges: the minimum hop
+    * count from ANY seed to each reachable node, capped at `maxDepth`
+    * — the crawl-frontier / link-distance-from-trusted-set signal
+    * next to [[pageRank]]'s importance prior.
+    *
+    * FRONTIER formulation, not whole-table relaxation: each round
+    * joins only the nodes discovered LAST round against the edge
+    * table (cached pre-partitioned on `src` once, so the per-round
+    * shuffle is the frontier, never the edges or the accumulated
+    * distances), anti-joins the known set, and stops on the first
+    * empty frontier — a diameter-6 graph costs 6 rounds regardless of
+    * `maxDepth`. Hop counts are integers; the result is bit-identical
+    * under any partitioning and to the oracle's recursive CTE. The
+    * empty-frontier probe is one boolean job on a checkpointed
+    * frontier (the [[Dedup.connectedComponents]] convergence-probe
+    * precedent). Seeds themselves report distance 0, present in the
+    * graph or not.
+    * @return (p, dist) for every node within `maxDepth` hops */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 64,
+      s"maxDepth must be in [0, 64], got $maxDepth")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val m = e.count()
+    IterativeConf.withLoopShuffleWidth(spark, m) {
+      var adjCache: Option[DataFrame] = None
+      try {
+        val adj = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        adjCache = Some(adj)
+        var dist = seeds.select(col("p").cast("long")).distinct()
+          .select(col("p"), lit(0L).as("dist")).localCheckpoint(true)
+        var frontier = dist.select("p").localCheckpoint(true)
+        var depth = 0L
+        var done = frontier.isEmpty || m == 0
+        while (depth < maxDepth && !done) {
+          depth += 1
+          val next = adj
+            .join(frontier.withColumnRenamed("p", "src"), Seq("src"))
+            .select(col("dst").as("p")).distinct()
+            .join(dist, Seq("p"), "left_anti")
+            .localCheckpoint(true)
+          done = next.isEmpty
+          if (!done) {
+            dist = dist
+              .unionByName(next.select(col("p"), lit(depth).as("dist")))
+              .localCheckpoint(true)
+            frontier = next
+          }
+        }
+        dist
+      } finally { adjCache.foreach(_.unpersist()); () }
+    }
+  }
+
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")

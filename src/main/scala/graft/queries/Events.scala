@@ -146,6 +146,46 @@ object Events {
         .orderBy("p")
     },
 
+    // Multi-source BFS distance over the click graph: min hops from a
+    // deterministic trusted seed set (page % 10 = 0) to every node
+    // within 6 hops — the link-distance quality prior (TrustRank-style
+    // distance-from-seeds) next to q91's importance and q128's
+    // communities. Spark runs the FRONTIER loop (per round: frontier ⋈
+    // pre-partitioned edges, anti-join known, stop on empty — the
+    // per-round shuffle is the frontier, never edges or distances);
+    // the oracle enumerates (node, depth) pairs with a recursive
+    // UNION-dedup CTE and takes min(depth). Integer hop counts —
+    // bit-identical under any partitioning.
+    Q("q134_bfs_distances",
+      """WITH RECURSIVE ev AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |raw AS (SELECT src, dst FROM (
+        |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |           page AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |e AS (SELECT DISTINCT src, dst FROM raw),
+        |nodes AS (SELECT src AS p FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT p FROM nodes WHERE p % 10 = 0),
+        |walk(p, d) AS (
+        |  SELECT p, CAST(0 AS BIGINT) AS d FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.p
+        |  WHERE w.d < 6)
+        |SELECT p, min(d) AS dist FROM walk GROUP BY p
+        |ORDER BY p""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
+      val nodes = edges.select(col("src").as("p"))
+        .unionByName(edges.select(col("dst").as("p"))).distinct()
+      val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
+      Graph.bfsDistances(edges, seeds, maxDepth = 6).orderBy("p")
+    },
+
     // JSON-in-string extraction (events.props = {"k": N}).
     Q("q20_json_extract",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

@@ -118,4 +118,33 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.labelPropagation(two.toDF("src", "dst"), 0))
   }
+
+  test("bfsDistances: hand-computed hops, direction respected, depth cap, isolated seed") {
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        maxDepth: Int): Map[Long, Long] =
+      Graph.bfsDistances(edges.toDF("src", "dst"),
+          seeds.toDF("p"), maxDepth)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // chain 1→2→3→4 plus a shortcut 1→3: BFS takes the shortcut
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    assert(run(chain, Seq(1L), 6) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // DIRECTED: from 4 nothing is reachable
+    assert(run(chain, Seq(4L), 6) === Map(4L -> 0L))
+    // depth cap truncates the walk
+    assert(run(chain, Seq(1L), 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    assert(run(chain, Seq(1L), 0) === Map(1L -> 0L))
+    // multi-source takes the MIN over seeds; cycles terminate
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cyc, Seq(1L, 3L), 6) === Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+    // a seed absent from the graph still reports distance 0
+    assert(run(chain, Seq(99L), 6) === Map(99L -> 0L))
+    // empty seeds / empty edges: empty and seed-only results
+    assert(Graph.bfsDistances(chain.toDF("src", "dst"),
+      Seq.empty[Long].toDF("p"), 6).isEmpty)
+    assert(run(Seq.empty, Seq(7L), 6) === Map(7L -> 0L))
+    intercept[IllegalArgumentException](
+      Graph.bfsDistances(chain.toDF("src", "dst"), Seq(1L).toDF("p"), 65))
+  }
 }
