@@ -269,6 +269,41 @@ class LakeStreamSpec extends SparkSpec {
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
+  test("randomized protocol: appends, compactions and drains in any interleaving stream each row exactly once") {
+    // seeded — failures reproduce; the drain uses the SAME checkpoint
+    // throughout, so every random prefix exercises restart-resume
+    val rnd = new scala.util.Random(20260814L)
+    val root = tmpTable("graft-lkstream-rand")
+    val ckpt = tmpDir("graft-lkstream-rand-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val committed = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var nextK = 0L
+    // seed commit so the source can resolve a schema at first drain
+    Lake.commitAppend(Seq((nextK, s"t$nextK")).toDF("k", "t"), root, retain = 16)
+    committed += ((nextK, s"t$nextK")); nextK += 1
+    (1 to 30).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append 1-3 rows
+          val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+            val r = (nextK, s"t$nextK"); nextK += 1; r
+          }
+          Lake.commitAppend(rows.toDF("k", "t"), root, retain = 16)
+          committed ++= rows.map { case (k, t) => (k, t) }
+        case 2 => // layout-only maintenance: must stream NOTHING
+          Lake.compactCommitted(spark, root, retain = 16)
+          ()
+        case 3 => // drain through the shared checkpoint
+          drainOnce(readLake(root), ckpt, sink)
+      }
+    }
+    drainOnce(readLake(root), ckpt, sink)
+    // exactly once: multiset equality (duplicates would survive a Set)
+    val streamed = sink.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = committed.groupBy(identity).view.mapValues(_.size).toMap
+    assert(streamed === expected)
+  }
+
   test("composition: lake source feeds a downstream fold exactly once") {
     val root = tmpTable("graft-lkstream-fold")
     val ckpt = tmpDir("graft-lkstream-fold-ckpt")
