@@ -297,6 +297,187 @@ object ImageCodec {
     }
   }
 
+  // ---- ISO-BMFF (MP4/MOV family): big-endian box walk --------------
+
+  /** 'ftyp' at offset 4 — the ISO base-media sniff. */
+  def looksLikeMp4(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(4) == 'f' && payload(5) == 't' &&
+      payload(6) == 'y' && payload(7) == 'p'
+
+  private def be32At(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+    b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def be16At(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def box(kind: String, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + body.length)
+    putBe32(out, 0, out.length)
+    kind.getBytes("US-ASCII").copyToArray(out, 4)
+    body.copyToArray(out, 8)
+    out
+  }
+
+  /** A real ISO-BMFF video file carrying uncompressed 'DIB '
+    * samples: ftyp('isom') + moov(trak/mdia/minf/stbl with a proper
+    * VisualSampleEntry, stts/stsc/stsz/stco) + mdat of one sample per
+    * frame — each sample the exact bottom-up BGR pixel array the
+    * [[aviDib]] chunks carry, so MP4 decode goes through the SAME
+    * reconstructed-header stock-JDK BMP path and stays lossless for
+    * the closed-form pixel-sum oracle. The stco offset is absolute;
+    * moov is built once with a placeholder to learn its length, then
+    * rebuilt with the real mdat payload offset (moov length does not
+    * depend on the offset value). */
+  def mp4Dib(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 1,
+      s"bad mp4 spec ${width}x$height x$nFrames")
+    val stride = rowSize(width)
+    val frameBytes = height * stride
+    val frames = (0 until nFrames).map { f =>
+      java.util.Arrays.copyOfRange(bmp(width, height, seed + f), 54,
+        54 + frameBytes)
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+        "isom".getBytes("US-ASCII"))
+    def fullBody(n: Int): Array[Byte] = new Array[Byte](4 + n) // ver+flags
+    def moovFor(mdatPayloadOff: Int): Array[Byte] = {
+      // VisualSampleEntry('DIB '), ISO 14496-12 layout: 16B sample-
+      // entry header, 16B pre_defined/reserved, w/h at +32/+34,
+      // resolutions, frame_count=1, 32B compressorname, depth at +82
+      val entry = new Array[Byte](86)
+      putBe32(entry, 0, 86)
+      "DIB ".getBytes("US-ASCII").copyToArray(entry, 4)
+      entry(15) = 1 // data_reference_index
+      entry(32) = (width >> 8).toByte; entry(33) = width.toByte
+      entry(34) = (height >> 8).toByte; entry(35) = height.toByte
+      putBe32(entry, 36, 0x00480000); putBe32(entry, 40, 0x00480000)
+      entry(49) = 1 // frame_count
+      entry(82) = 0; entry(83) = 24 // depth
+      entry(84) = 0xff.toByte; entry(85) = 0xff.toByte // pre_defined -1
+      val stsdB = fullBody(4 + 86)
+      putBe32(stsdB, 4, 1); entry.copyToArray(stsdB, 8)
+      val sttsB = fullBody(4 + 8)
+      putBe32(sttsB, 4, 1); putBe32(sttsB, 8, nFrames); putBe32(sttsB, 12, 1)
+      val stscB = fullBody(4 + 12)
+      putBe32(stscB, 4, 1); putBe32(stscB, 8, 1)
+      putBe32(stscB, 12, nFrames); putBe32(stscB, 16, 1)
+      val stszB = fullBody(8 + 4 * nFrames)
+      putBe32(stszB, 8, nFrames)
+      frames.indices.foreach(i => putBe32(stszB, 12 + 4 * i, frames(i).length))
+      val stcoB = fullBody(4 + 4)
+      putBe32(stcoB, 4, 1); putBe32(stcoB, 8, mdatPayloadOff)
+      val stbl = box("stbl",
+        box("stsd", stsdB) ++ box("stts", sttsB) ++ box("stsc", stscB) ++
+          box("stsz", stszB) ++ box("stco", stcoB))
+      val hdlrB = fullBody(4 + 4 + 12 + 1)
+      "vide".getBytes("US-ASCII").copyToArray(hdlrB, 8)
+      val mdhdB = fullBody(4 + 4 + 4 + 4 + 2 + 2)
+      putBe32(mdhdB, 12, 10)      // timescale
+      putBe32(mdhdB, 16, nFrames) // duration
+      val mdia = box("mdia",
+        box("mdhd", mdhdB) ++ box("hdlr", hdlrB) ++ box("minf", stbl))
+      box("moov", box("trak", mdia))
+    }
+    val moovLen = moovFor(0).length
+    val moov = moovFor(ftyp.length + moovLen + 8)
+    ftyp ++ moov ++ box("mdat", frames.reduce(_ ++ _))
+  }
+
+  /** Demux an ISO-BMFF video: box-walk moov→trak→mdia→minf→stbl,
+    * read the first VisualSampleEntry (fourcc, dims) and the sample
+    * tables, and slice every sample's bytes out of the file by
+    * stsc/stsz/stco reconstruction — a REAL container demux needing
+    * no codec. Returns (width, height, sample fourcc, samples):
+    * 'DIB ' samples additionally decode via [[dibFrameToImage]];
+    * compressed fourccs (avc1, hev1, …) still get real per-frame
+    * boundaries, sizes and digests — only pixel decode needs the
+    * out-of-JDK codec. None on a non-BMFF payload or any structural
+    * damage (NonFatal walk), including 64-bit largesize boxes this
+    * small-fixture path does not need. */
+  def mp4Frames(payload: Array[Byte]):
+      Option[(Int, Int, String, Seq[Array[Byte]])] = {
+    if (!looksLikeMp4(payload)) return None
+    try {
+      var w = 0; var h = 0; var fcc: String = null
+      var stsz: Array[Int] = null
+      var stco: Array[Int] = null
+      var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val size = be32At(payload, off)
+          if (size < 8 || off + size > until) return // largesize/damage
+          val kind = fourcc(payload, off + 4)
+          kind match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(off + 8, off + size)
+            case "stsd" if fcc == null && size >= 16 + 86 =>
+              val e = off + 16 // first sample entry
+              fcc = fourcc(payload, e + 4)
+              w = be16At(payload, e + 32)
+              h = be16At(payload, e + 34)
+            case "stsz" if stsz == null && size >= 20 =>
+              val fixed = be32At(payload, off + 12)
+              val n = be32At(payload, off + 16)
+              if (n < 0 || n > (until - off) / 4 + 1) return
+              stsz =
+                if (fixed != 0) Array.fill(n)(fixed)
+                else Array.tabulate(n)(i => be32At(payload, off + 20 + 4 * i))
+            case "stco" if stco == null && size >= 16 =>
+              val n = be32At(payload, off + 12)
+              if (n < 0 || n > (until - off) / 4 + 1) return
+              stco = Array.tabulate(n)(i => be32At(payload, off + 16 + 4 * i))
+            case "stsc" if stsc == null && size >= 16 =>
+              val n = be32At(payload, off + 12)
+              if (n < 0 || n > (until - off) / 12 + 1) return
+              stsc = Array.tabulate(n)(i =>
+                (be32At(payload, off + 16 + 12 * i),
+                  be32At(payload, off + 20 + 12 * i)))
+            case _ => // ftyp/mdat/free/…: skip
+          }
+          off += size
+        }
+      }
+      walk(0, payload.length)
+      if (fcc == null || w <= 0 || h <= 0 ||
+          stsz == null || stco == null || stsc == null ||
+          stsz.isEmpty || stco.isEmpty || stsc.isEmpty) return None
+      // samples per chunk: the stsc run covering chunk index ci
+      def perChunk(ci: Int): Int = {
+        var r = stsc.head._2
+        stsc.foreach { case (first, n) => if (first <= ci + 1) r = n }
+        r
+      }
+      val out = Seq.newBuilder[Array[Byte]]
+      var si = 0
+      var ci = 0
+      while (si < stsz.length && ci < stco.length) {
+        var pos = stco(ci)
+        var inChunk = 0
+        val cap = perChunk(ci)
+        while (si < stsz.length && inChunk < cap) {
+          val sz = stsz(si)
+          if (sz < 0 || pos < 0 || pos.toLong + sz > payload.length) return None
+          out += java.util.Arrays.copyOfRange(payload, pos, pos + sz)
+          pos += sz; si += 1; inChunk += 1
+        }
+        ci += 1
+      }
+      if (si != stsz.length) return None // chunks didn't cover all samples
+      Some((w, h, fcc, out.result()))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** 'RIFF....AVI ' magic sniff — the fourth container family. */
   def looksLikeAvi(payload: Array[Byte]): Boolean =
     payload != null && payload.length >= 12 &&

@@ -108,12 +108,14 @@ object Multimodal {
             val fh = (Integer.parseInt(hex.substring(4, 8), 16) % 24) + 8
             val seed = Integer.parseInt(hex.substring(8, 12), 16) % 256
             val nFrames = (Integer.parseInt(hex.substring(12, 16), 16) % 6) + 2
-            if (id % 4 == 0)
+            if (id % 5 == 0)
               Row(id, "image/gif", ImageCodec.animatedGif(fw, fh, seed, nFrames))
-            else if (id % 4 == 2)
+            else if (id % 5 == 2)
               Row(id, "image/tiff", ImageCodec.multiPageTiff(fw, fh, seed, nFrames))
-            else if (id % 4 == 3)
+            else if (id % 5 == 3)
               Row(id, "video/x-msvideo", ImageCodec.aviDib(fw, fh, seed, nFrames))
+            else if (id % 5 == 4)
+              Row(id, "video/mp4", ImageCodec.mp4Dib(fw, fh, seed, nFrames))
             else {
               val payload = (0 until nFrames)
                 .map(f => ImageCodec.bmp(fw, fh, seed + f))
@@ -383,6 +385,23 @@ object Multimodal {
               val ah: Any = img.map(ImageCodec.aHashHex(_)).orNull
               Row(id, i, w, h, hex(f), ps, f.length.toLong, ah)
             }
+          case None => ImageCodec.mp4Frames(payload) match {
+          // ISO-BMFF box walk: sample boundaries/sizes/dims come from
+          // the CONTAINER (stsd/stsz/stco/stsc — no codec involved),
+          // so they are real for every mp4; 'DIB ' samples decode for
+          // real through the reconstructed-header BMP reader, while a
+          // compressed fourcc (avc1, …) keeps the genuine per-frame
+          // structure and NULLs only the pixel columns — that decode
+          // step is where an out-of-JDK codec plugs in
+          case Some((w, h, fcc, samples)) =>
+            (0 until samples.length by everyNth).take(maxFrames).map { i =>
+              val f = samples(i)
+              val img =
+                if (fcc == "DIB ") ImageCodec.dibFrameToImage(w, h, f) else None
+              val ps: Any = img.map(ImageCodec.pixelSum).orNull
+              val ah: Any = img.map(ImageCodec.aHashHex(_)).orNull
+              Row(id, i, w, h, hex(f), ps, f.length.toLong, ah)
+            }
           case None => ImageCodec.splitFrames(payload) match {
           case Some(frames) =>
             (0 until frames.length by everyNth).take(maxFrames).map { i =>
@@ -404,6 +423,7 @@ object Multimodal {
               val frame = java.util.Arrays.copyOfRange(payload, from, until)
               Row(id, i, null, null, hex(frame), null, frame.length.toLong, null)
             }
+        }
         }
         }
         }

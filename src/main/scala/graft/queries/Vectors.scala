@@ -382,12 +382,16 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // Frame sampling over FOUR real containers: docs with id%4=0 are
+    // Frame sampling over FIVE real containers: docs with id%5=0 are
     // standard multi-frame ANIMATED GIFs (stock-JDK image-block walk),
-    // id%4=2 MULTI-PAGE TIFFs (stock-JDK IFD-chain walk) — both
+    // id%5=2 MULTI-PAGE TIFFs (stock-JDK IFD-chain walk) — both
     // lossless by construction (indexed frames over an exact gray
-    // palette) — id%4=3 uncompressed-DIB AVIs (RIFF chunk walk to the
-    // movi LIST, per-'00db' frame decode), and the rest
+    // palette) — id%5=3 uncompressed-DIB AVIs (RIFF chunk walk to the
+    // movi LIST, per-'00db' frame decode), id%5=4 ISO-BMFF MP4s
+    // carrying 'DIB ' samples (big-endian box walk to the stbl,
+    // stsc/stsz/stco sample reconstruction — the container gives real
+    // frame boundaries with NO codec; a compressed-fourcc mp4 keeps
+    // that structure and NULLs only the pixel columns), and the rest
     // length-prefixed BMP containers whose demuxer walks the per-frame
     // size fields; all sample every 2nd frame up to 3 and genuinely
     // decode each sampled frame. Dims and per-frame pixel sums (frame
@@ -599,12 +603,13 @@ object Vectors {
     * holds nf ∈ [2, 7] frames of fixed per-doc dims; sampling every 2nd
     * frame capped at 3 keeps fi < least(nf, 6) (stride 2 divides the
     * cap bound evenly, so the cap is a plain filter). Frame f's ramp is
-    * offset by f — ONE closed form for all four containers;
+    * offset by f — ONE closed form for all five containers;
     * frame_bytes exists where frames are byte-delimited: the full BMP
     * layout for the BMP container, the header-less DIB pixel array
-    * (h × padded row) for the AVI's '00db' chunks (media_id % 4 = 3),
-    * and NULL for the GIF (media_id % 4 = 0) and TIFF (media_id % 4 =
-    * 2) docs, whose frames live inside one encoded stream. */
+    * (h × padded row) for both the AVI's '00db' chunks (media_id % 5
+    * = 3) and the MP4's 'DIB ' samples (media_id % 5 = 4), and NULL
+    * for the GIF (media_id % 5 = 0) and TIFF (media_id % 5 = 2) docs,
+    * whose frames live inside one encoded stream. */
   lazy val frameSampleOracle: String =
     """WITH vdims AS (
       |  SELECT doc_id AS media_id,
@@ -622,8 +627,8 @@ object Vectors {
       |       FROM xy GROUP BY media_id, fi)
       |SELECT f.media_id, CAST(f.fi AS INT) AS frame_idx,
       |  CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height, ps.pixel_sum,
-      |  CASE WHEN f.media_id % 4 IN (0, 2) THEN NULL
-      |       WHEN f.media_id % 4 = 3
+      |  CASE WHEN f.media_id % 5 IN (0, 2) THEN NULL
+      |       WHEN f.media_id % 5 IN (3, 4)
       |         THEN CAST(f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
       |       ELSE CAST(54 + f.h * (((3 * f.w + 3) // 4) * 4) AS BIGINT)
       |  END AS frame_bytes

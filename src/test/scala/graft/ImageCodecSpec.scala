@@ -207,4 +207,43 @@ class ImageCodecSpec extends AnyFunSuite {
     val recovered = ImageCodec.aviDibFrames(cutMidMovi)
     assert(recovered.forall(_._3.length < n)) // fewer frames or None, never a throw
   }
+
+  test("mp4Dib round-trips losslessly: box walk + stbl reconstruction recover every sample") {
+    val (w, h, seed, n) = (13, 9, 77, 4) // odd width exercises row padding
+    val payload = ImageCodec.mp4Dib(w, h, seed, n)
+    assert(ImageCodec.looksLikeMp4(payload))
+    assert(!ImageCodec.looksLikeAvi(payload) && !ImageCodec.looksLikeGif(payload) &&
+      !ImageCodec.looksLikeBmp(payload) && !ImageCodec.looksLikeTiff(payload))
+    val (pw, ph, fcc, samples) =
+      ImageCodec.mp4Frames(payload).getOrElse(fail("mp4 demux failed"))
+    assert(pw === w && ph === h && fcc === "DIB " && samples.length === n)
+    samples.zipWithIndex.foreach { case (dib, f) =>
+      assert(dib.length === ImageCodec.bmpSize(w, h) - 54)
+      val img = ImageCodec.dibFrameToImage(w, h, dib)
+        .getOrElse(fail(s"sample $f decode failed"))
+      assert(ImageCodec.pixelSum(img) ===
+        (for (y <- 0 until h; x <- 0 until w)
+          yield 3L * ((seed + f + x + y) % 256)).sum)
+    }
+    // non-BMFF payloads fail the ftyp sniff
+    assert(ImageCodec.mp4Frames(ImageCodec.bmp(4, 4, 0)).isEmpty)
+    assert(ImageCodec.mp4Frames(ImageCodec.aviDib(4, 4, 0, 2)).isEmpty)
+    // sniff-passing but truncated payloads degrade to None, never throw
+    assert(ImageCodec.mp4Frames(payload.take(20)).isEmpty)
+    assert(ImageCodec.mp4Frames(payload.take(payload.length - 7)).isEmpty)
+  }
+
+  test("mp4 with a compressed fourcc keeps real frame structure, loses only pixel decode") {
+    // patch the sample-entry fourcc to avc1: the container demux (sizes,
+    // boundaries, dims) must survive — that structure needs NO codec
+    val payload = ImageCodec.mp4Dib(10, 6, 50, 3)
+    val dibAt = payload.indexOfSlice("DIB ".getBytes("US-ASCII"))
+    assert(dibAt > 0)
+    val patched = payload.clone()
+    "avc1".getBytes("US-ASCII").copyToArray(patched, dibAt)
+    val (pw, ph, fcc, samples) =
+      ImageCodec.mp4Frames(patched).getOrElse(fail("patched demux failed"))
+    assert(pw === 10 && ph === 6 && fcc === "avc1" && samples.length === 3)
+    assert(samples.forall(_.length === ImageCodec.bmpSize(10, 6) - 54))
+  }
 }

@@ -79,13 +79,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real path: frameSample demuxes all FOUR containers (GIF + TIFF + AVI + BMP)") {
-    // ids spanning the formats: 4, 8 → GIF (id%4=0); 2, 6 → TIFF
-    // (id%4=2); 3, 7 → uncompressed-DIB AVI (id%4=3); 1, 5 → the
-    // length-prefixed BMP container
+  test("real path: frameSample demuxes all FIVE containers (GIF + TIFF + AVI + MP4 + BMP)") {
+    // ids spanning the formats: 5, 10 → GIF (id%5=0); 2, 7 → TIFF
+    // (id%5=2); 3, 8 → uncompressed-DIB AVI (id%5=3); 4, 9 → ISO-BMFF
+    // MP4 with 'DIB ' samples (id%5=4); 1, 6 → the length-prefixed
+    // BMP container
     val vdocs = Seq((1L, "hello world"), (2L, "tiff doc"), (3L, "avi doc"),
-      (4L, "gif doc"), (5L, "bmp doc"), (6L, "another tiff doc"),
-      (7L, "another avi doc"), (8L, "another gif doc"))
+      (4L, "mp4 doc"), (5L, "gif doc"), (6L, "bmp doc"),
+      (7L, "another tiff doc"), (8L, "another avi doc"),
+      (9L, "another mp4 doc"), (10L, "another gif doc"))
       .toDF("doc_id", "text")
     val media = Multimodal.videosFromDocuments(vdocs, "doc_id", "text")
     val out = Multimodal.frameSample(media, everyNth = 2, maxFrames = 3)
@@ -94,12 +96,13 @@ class MultimodalSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getInt(1) % 2 === 0) // sampled every 2nd frame
       assert(!r.isNullAt(r.fieldIndex("pixel_sum"))) // genuinely decoded
-      if (r.getLong(0) % 4 == 0 || r.getLong(0) % 4 == 2)
+      if (r.getLong(0) % 5 == 0 || r.getLong(0) % 5 == 2)
         // GIF/TIFF frames are logical (one encoded stream) — no
         // per-frame bytes
         assert(r.isNullAt(r.fieldIndex("frame_bytes")))
-      else if (r.getLong(0) % 4 == 3)
-        // AVI '00db' chunks are the header-less DIB pixel array
+      else if (r.getLong(0) % 5 == 3 || r.getLong(0) % 5 == 4)
+        // AVI '00db' chunks and MP4 'DIB ' samples are the
+        // header-less DIB pixel array
         assert(r.getAs[Long]("frame_bytes") ===
           graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong - 54L)
       else
@@ -107,12 +110,13 @@ class MultimodalSpec extends SparkSpec {
           graft.operators.ImageCodec.bmpSize(r.getInt(2), r.getInt(3)).toLong)
     }
     assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
-    // all four container formats are present; each demux path decodes
+    // all five container formats are present; each demux path decodes
     // to the SAME closed-form pixel sum family (ramp offset by frame)
-    assert(out.exists(_.getLong(0) % 4 == 0)) // GIF
-    assert(out.exists(_.getLong(0) % 4 == 2)) // TIFF
-    assert(out.exists(_.getLong(0) % 4 == 3)) // AVI
-    assert(out.exists(_.getLong(0) % 4 == 1)) // BMP container
+    assert(out.exists(_.getLong(0) % 5 == 0)) // GIF
+    assert(out.exists(_.getLong(0) % 5 == 2)) // TIFF
+    assert(out.exists(_.getLong(0) % 5 == 3)) // AVI
+    assert(out.exists(_.getLong(0) % 5 == 4)) // MP4
+    assert(out.exists(_.getLong(0) % 5 == 1)) // BMP container
     // cross-check one TIFF doc's sums against the generator's closed
     // form, straight from the md5-nibble ground truth
     val hex = graft.operators.ImageCodec.md5Hex("tiff doc")
