@@ -173,22 +173,6 @@ object Graph {
       .groupBy("p").agg(count(lit(1)).as("triangles"))
   }
 
-  /** Synchronous LABEL-PROPAGATION community detection over the
-    * undirected simple graph induced by (src, dst) — the
-    * domain-clustering signal next to [[pageRank]] (importance) and
-    * [[triangleCounts]] (density). Every node starts as its own label;
-    * each round it adopts the most frequent label among its neighbors,
-    * ties broken to the SMALLEST label — fully deterministic, so a
-    * fixed round count is oracle-exact (the float-free analog of the
-    * q91 discipline; classic async LPA is run-order-dependent and
-    * could never hash).
-    *
-    * Scale shape follows [[pageRank]]: the symmetric adjacency is
-    * cached pre-partitioned on the join key once; each round shuffles
-    * only the fixed-width (node, label) table through one join and a
-    * two-level count/argmax aggregate (both partial-aggregatable), and
-    * lineage truncates every third round.
-    * @return (p, label) — label = smallest-id convention per community */
   /** Multi-source BFS over directed (src, dst) edges: the minimum hop
     * count from ANY seed to each reachable node, capped at `maxDepth`
     * — the crawl-frontier / link-distance-from-trusted-set signal
@@ -221,7 +205,8 @@ object Graph {
       try {
         val adj = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         adjCache = Some(adj)
-        var dist = seeds.select(col("p").cast("long")).distinct()
+        var dist = seeds.select(col("p").cast("long"))
+          .where(col("p").isNotNull).distinct()
           .select(col("p"), lit(0L).as("dist")).localCheckpoint(true)
         var frontier = dist.select("p").localCheckpoint(true)
         var depth = 0L
@@ -246,6 +231,22 @@ object Graph {
     }
   }
 
+  /** Synchronous LABEL-PROPAGATION community detection over the
+    * undirected simple graph induced by (src, dst) — the
+    * domain-clustering signal next to [[pageRank]] (importance) and
+    * [[triangleCounts]] (density). Every node starts as its own label;
+    * each round it adopts the most frequent label among its neighbors,
+    * ties broken to the SMALLEST label — fully deterministic, so a
+    * fixed round count is oracle-exact (the float-free analog of the
+    * q91 discipline; classic async LPA is run-order-dependent and
+    * could never hash).
+    *
+    * Scale shape follows [[pageRank]]: the symmetric adjacency is
+    * cached pre-partitioned on the join key once; each round shuffles
+    * only the fixed-width (node, label) table through one join and a
+    * two-level count/argmax aggregate (both partial-aggregatable), and
+    * lineage truncates every third round.
+    * @return (p, label) — label = smallest-id convention per community */
   def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")

@@ -305,7 +305,7 @@ object ImageCodec {
       payload(4) == 'f' && payload(5) == 't' &&
       payload(6) == 'y' && payload(7) == 'p'
 
-  private def be32At(b: Array[Byte], off: Int): Int =
+  private[graft] def be32At(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
@@ -336,8 +336,10 @@ object ImageCodec {
     * rebuilt with the real mdat payload offset (moov length does not
     * depend on the offset value). */
   def mp4Dib(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
-    require(width > 0 && height > 0 && nFrames >= 1,
-      s"bad mp4 spec ${width}x$height x$nFrames")
+    // upper bound: VisualSampleEntry stores dims in 16-bit fields —
+    // a larger value would silently truncate into a corrupt fixture
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      nFrames >= 1, s"bad mp4 spec ${width}x$height x$nFrames")
     val stride = rowSize(width)
     val frameBytes = height * stride
     val frames = (0 until nFrames).map { f =>
@@ -406,50 +408,70 @@ object ImageCodec {
       Option[(Int, Int, String, Seq[Array[Byte]])] = {
     if (!looksLikeMp4(payload)) return None
     try {
-      var w = 0; var h = 0; var fcc: String = null
-      var stsz: Array[Int] = null
-      var stco: Array[Int] = null
-      var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
-      def walk(from: Int, until: Int): Unit = {
+      // sample tables are collected PER TRAK — a multi-track file
+      // (audio trak before video, the common layout) must never mix
+      // one trak's stsz/stco with another's stsd dims. The accepted
+      // trak is the first whose mdia/hdlr declares 'vide' and whose
+      // stbl is complete.
+      final class Trak {
+        var handler: String = null
+        var w = 0; var h = 0; var fcc: String = null
+        var stsz: Array[Int] = null
+        var stco: Array[Int] = null
+        var stsc: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+        def complete: Boolean = handler == "vide" && fcc != null &&
+          w > 0 && h > 0 && stsz != null && stco != null && stsc != null &&
+          stsz.nonEmpty && stco.nonEmpty && stsc.nonEmpty
+      }
+      val traks = Seq.newBuilder[Trak]
+      def walk(from: Int, until: Int, cur: Trak): Unit = {
         var off = from
         while (off + 8 <= until) {
           val size = be32At(payload, off)
           if (size < 8 || off + size > until) return // largesize/damage
           val kind = fourcc(payload, off + 4)
           kind match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              walk(off + 8, off + size)
-            case "stsd" if fcc == null && size >= 16 + 86 =>
+            case "moov" =>
+              walk(off + 8, off + size, cur)
+            case "trak" =>
+              val t = new Trak
+              traks += t
+              walk(off + 8, off + size, t)
+            case "mdia" | "minf" | "stbl" if cur != null =>
+              walk(off + 8, off + size, cur)
+            case "hdlr" if cur != null && cur.handler == null && size >= 20 =>
+              cur.handler = fourcc(payload, off + 16)
+            case "stsd" if cur != null && cur.fcc == null && size >= 16 + 86 =>
               val e = off + 16 // first sample entry
-              fcc = fourcc(payload, e + 4)
-              w = be16At(payload, e + 32)
-              h = be16At(payload, e + 34)
-            case "stsz" if stsz == null && size >= 20 =>
+              cur.fcc = fourcc(payload, e + 4)
+              cur.w = be16At(payload, e + 32)
+              cur.h = be16At(payload, e + 34)
+            case "stsz" if cur != null && cur.stsz == null && size >= 20 =>
               val fixed = be32At(payload, off + 12)
               val n = be32At(payload, off + 16)
               if (n < 0 || n > (until - off) / 4 + 1) return
-              stsz =
+              cur.stsz =
                 if (fixed != 0) Array.fill(n)(fixed)
                 else Array.tabulate(n)(i => be32At(payload, off + 20 + 4 * i))
-            case "stco" if stco == null && size >= 16 =>
+            case "stco" if cur != null && cur.stco == null && size >= 16 =>
               val n = be32At(payload, off + 12)
               if (n < 0 || n > (until - off) / 4 + 1) return
-              stco = Array.tabulate(n)(i => be32At(payload, off + 16 + 4 * i))
-            case "stsc" if stsc == null && size >= 16 =>
+              cur.stco = Array.tabulate(n)(i => be32At(payload, off + 16 + 4 * i))
+            case "stsc" if cur != null && cur.stsc == null && size >= 16 =>
               val n = be32At(payload, off + 12)
               if (n < 0 || n > (until - off) / 12 + 1) return
-              stsc = Array.tabulate(n)(i =>
+              cur.stsc = Array.tabulate(n)(i =>
                 (be32At(payload, off + 16 + 12 * i),
                   be32At(payload, off + 20 + 12 * i)))
-            case _ => // ftyp/mdat/free/…: skip
+            case _ => // ftyp/mdat/free/tkhd/mdhd/…: skip
           }
           off += size
         }
       }
-      walk(0, payload.length)
-      if (fcc == null || w <= 0 || h <= 0 ||
-          stsz == null || stco == null || stsc == null ||
-          stsz.isEmpty || stco.isEmpty || stsc.isEmpty) return None
+      walk(0, payload.length, null)
+      val video = traks.result().find(_.complete).getOrElse(return None)
+      val w = video.w; val h = video.h; val fcc = video.fcc
+      val stsz = video.stsz; val stco = video.stco; val stsc = video.stsc
       // samples per chunk: the stsc run covering chunk index ci
       def perChunk(ci: Int): Int = {
         var r = stsc.head._2

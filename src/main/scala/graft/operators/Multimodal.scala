@@ -84,13 +84,14 @@ object Multimodal {
       }(enc)
   }
 
-  /** Deterministic "video" media table in FOUR real container
-    * formats: docs with id % 4 = 0 are standard multi-frame ANIMATED
-    * GIFs, id % 4 = 2 MULTI-PAGE TIFFs (both written and demuxed by
-    * the stock-JDK codecs), id % 4 = 3 uncompressed-DIB AVIs (RIFF
-    * video container, [[ImageCodec.aviDib]]), the rest back-to-back
-    * BMP frame containers the length-prefixed
-    * [[ImageCodec.splitFrames]] walk demuxes. All four carry the same
+  /** Deterministic "video" media table in FIVE real container
+    * formats: docs with id % 5 = 0 are standard multi-frame ANIMATED
+    * GIFs, id % 5 = 2 MULTI-PAGE TIFFs (both written and demuxed by
+    * the stock-JDK codecs), id % 5 = 3 uncompressed-DIB AVIs (RIFF
+    * video container, [[ImageCodec.aviDib]]), id % 5 = 4 ISO-BMFF
+    * MP4s carrying 'DIB ' samples ([[ImageCodec.mp4Dib]]), the rest
+    * back-to-back BMP frame containers the length-prefixed
+    * [[ImageCodec.splitFrames]] walk demuxes. All five carry the same
     * 2–7 ramp frames (fixed per-doc dims, frame f's ramp offset by
     * f), so the decoded pixel sums share one closed form. Same
     * md5-nibble ground-truth scheme (and pre-generation repartition)
@@ -319,27 +320,31 @@ object Multimodal {
     * explode shape a real extractor uses, with frame payloads cut
     * partition-local from the source bytes.
     *
-    * FOUR real demux paths: animated GIFs go through the stock-JDK
+    * FIVE real demux paths: animated GIFs go through the stock-JDK
     * reader's image-block walk ([[ImageCodec.gifFrames]]), multi-page
     * TIFFs through the IFD-chain walk ([[ImageCodec.tiffFrames]] —
     * both standard formats, demuxed and decoded for real),
     * uncompressed-DIB AVIs through the RIFF chunk walk
     * ([[ImageCodec.aviDibFrames]] — a genuine video container whose
     * '00db' frame chunks decode losslessly through the
-    * reconstructed-header BMP reader), and BMP frame containers
-    * through the length-prefixed walk ([[ImageCodec.splitFrames]]),
-    * each followed by a genuine decode of the sampled frames
-    * (width/height/pixel_sum columns). GIF and TIFF frames are
-    * logical entities inside one encoded stream (LZW blocks /
-    * IFD-linked strips), not byte-delimited sub-payloads, so their
-    * frame_md5/frame_bytes are NULL — per-frame bytes only exist for
-    * containers that delimit them (AVI chunks and the BMP walk).
-    * Payloads that are none of the four — including AVIs carrying a
-    * COMPRESSED codec (MJPEG, and lossy codecs would break the exact
-    * oracle anyway) — fall back to the fixed-stride 32-byte chunker
-    * with NULL decode columns: the production hook for genuinely
-    * non-JDK video codecs (MP4 and friends). NULL payloads yield zero
-    * frames (no content, no explode).
+    * reconstructed-header BMP reader), ISO-BMFF MP4s through the
+    * big-endian box walk ([[ImageCodec.mp4Frames]] — stsc/stsz/stco
+    * sample reconstruction gives real frame boundaries with NO codec;
+    * 'DIB ' samples decode like the AVI chunks, compressed fourccs
+    * keep the structure and NULL only the pixel columns), and BMP
+    * frame containers through the length-prefixed walk
+    * ([[ImageCodec.splitFrames]]), each followed by a genuine decode
+    * of the sampled frames (width/height/pixel_sum columns). GIF and
+    * TIFF frames are logical entities inside one encoded stream (LZW
+    * blocks / IFD-linked strips), not byte-delimited sub-payloads, so
+    * their frame_md5/frame_bytes are NULL — per-frame bytes only
+    * exist for containers that delimit them (AVI chunks, MP4 samples
+    * and the BMP walk). Payloads that are none of the five —
+    * including AVIs carrying a COMPRESSED codec (MJPEG, and lossy
+    * codecs would break the exact oracle anyway) — fall back to the
+    * fixed-stride 32-byte chunker with NULL decode columns: the
+    * production hook for containers with no walkable structure. NULL
+    * payloads yield zero frames (no content, no explode).
     *
     * Decoded frames also carry their perceptual average-hash
     * (`frame_ahash`, [[ImageCodec.aHashHex]] — q104's image hash at

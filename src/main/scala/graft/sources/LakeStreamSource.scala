@@ -203,10 +203,18 @@ final class LakeStreamSink(root: String, retain: Int,
       org.apache.spark.sql.Row]): Unit = {
     val spark = data.sparkSession
     // the engine-set per-query local property; persisted in the
-    // checkpoint, so it IS the lineage across restarts
+    // checkpoint, so it IS the lineage across restarts. REFUSED when
+    // absent: a shared fallback lineage would let two independent
+    // manual writers silently swallow each other's batch ids — the
+    // exact failure the lineage exists to prevent (same refusal
+    // stance as the fold sinks' manual-lineage guard).
     val lineage = Option(
       spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .getOrElse("manual")
+      .getOrElse(throw new IllegalStateException(
+        s"LakeStreamSink on $root: no streaming query id on this thread — " +
+          "addBatch is meant to run inside a writeStream query. For a " +
+          "direct call, set the local property sql.streaming.queryId to a " +
+          "unique writer id first"))
     if (Lake.lastStreamBatch(spark, root, lineage).exists(_ >= batchId)) return
     // the incoming frame is the incremental execution — re-analyzing
     // it as a batch plan is refused ("streaming sources must be

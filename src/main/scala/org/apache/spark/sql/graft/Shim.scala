@@ -31,10 +31,6 @@ object Shim {
   def asNullable(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = s.asNullable
 
-  /** LogicalPlan -> DataFrame (`Dataset.ofRows` went `private[sql]`
-    * with the Spark 4 classic split). Used by `Lake.sqlTable` to
-    * surface the [[org.apache.spark.sql.execution.datasources
-    * .HadoopFsRelation]] it assembles over a lake snapshot. */
   /** The ForeachBatchSink move: wrap an already-planned incremental
     * execution's rdd as a BATCH logical plan, so a streaming sink can
     * hand its micro-batch to batch writers without re-analysis
@@ -47,6 +43,10 @@ object Shim {
       origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
       isStreaming = false)
 
+  /** LogicalPlan -> DataFrame (`Dataset.ofRows` went `private[sql]`
+    * with the Spark 4 classic split). Used by `Lake.sqlTable` to
+    * surface the [[org.apache.spark.sql.execution.datasources
+    * .HadoopFsRelation]] it assembles over a lake snapshot. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =

@@ -233,6 +233,58 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.mp4Frames(payload.take(payload.length - 7)).isEmpty)
   }
 
+  test("mp4 demux is per-trak: a preceding non-video trak never pollutes the video tables") {
+    // splice a fake 'soun' trak (own hdlr + stsd/stsz/stco/stsc with
+    // DIFFERENT counts) in front of the real video trak inside moov;
+    // a global-collection parser would take the audio sample tables
+    // with the video dims — the per-trak walk must ignore it wholesale
+    val base = ImageCodec.mp4Dib(11, 7, 30, 3)
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(kind: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ kind.getBytes("US-ASCII") ++ body
+    val hdlr = bx("hdlr", new Array[Byte](8) ++ "soun".getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    // one 5-byte "audio sample": wrong counts AND a wrong stco offset
+    val stbl = bx("stbl",
+      bx("stsd", be32(0) ++ be32(1) ++ (be32(86) ++ "mp4a".getBytes("US-ASCII") ++ new Array[Byte](78))) ++
+        bx("stsz", be32(0) ++ be32(5) ++ be32(1)) ++
+        bx("stco", be32(0) ++ be32(1) ++ be32(0)) ++
+        bx("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1)))
+    val soundTrak = bx("trak", bx("mdia", hdlr ++ bx("minf", stbl)))
+    // rebuild: new file = ftyp ++ moov[soundTrak ++ original children]
+    // ++ mdat; inserting inside moov shifts mdat, so the VIDEO trak's
+    // stco offset is patched by the growth
+    val ftypLen = 20
+    val moovLen = ImageCodec.be32At(base, ftypLen)
+    val moovBody = java.util.Arrays.copyOfRange(base, ftypLen + 8, ftypLen + moovLen)
+    val mdat = java.util.Arrays.copyOfRange(base, ftypLen + moovLen, base.length)
+    val newMoov = bx("moov", soundTrak ++ moovBody)
+    val grown = newMoov.length - moovLen
+    val patched = java.util.Arrays.copyOfRange(base, 0, ftypLen) ++ newMoov ++ mdat
+    // patch the LAST stco (the video trak's — the audio one precedes it)
+    var stcoOff = -1
+    var i = 0
+    while (i + 4 <= patched.length) {
+      if (patched(i) == 's' && patched(i + 1) == 't' && patched(i + 2) == 'c' &&
+        patched(i + 3) == 'o') stcoOff = i
+      i += 1
+    }
+    assert(stcoOff > 0)
+    val old = ImageCodec.be32At(patched, stcoOff + 12)
+    be32(old + grown).copyToArray(patched, stcoOff + 12)
+    val (w, h, fcc, samples) =
+      ImageCodec.mp4Frames(patched).getOrElse(fail("multi-trak demux failed"))
+    assert(w === 11 && h === 7 && fcc === "DIB " && samples.length === 3)
+    samples.zipWithIndex.foreach { case (dib, f) =>
+      val img = ImageCodec.dibFrameToImage(w, h, dib).getOrElse(fail(s"frame $f"))
+      assert(ImageCodec.pixelSum(img) ===
+        (for (y <- 0 until 7; x <- 0 until 11)
+          yield 3L * ((30 + f + x + y) % 256)).sum)
+    }
+  }
+
   test("mp4 with a compressed fourcc keeps real frame structure, loses only pixel decode") {
     // patch the sample-entry fourcc to avc1: the container demux (sizes,
     // boundaries, dims) must survive — that structure needs NO codec

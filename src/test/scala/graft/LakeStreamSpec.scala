@@ -266,6 +266,14 @@ class LakeStreamSpec extends SparkSpec {
       val before = Lake.currentVersion(spark, root)
       sink.addBatch(1, Seq.empty[(Long, String)].toDF("k", "t"))
       assert(Lake.currentVersion(spark, root) === before)
+
+      // no query id on the thread → refused: a shared fallback
+      // lineage would let independent writers swallow each other
+      sc.setLocalProperty("sql.streaming.queryId", null)
+      val err = intercept[IllegalStateException] {
+        sink.addBatch(2, Seq((4L, "d")).toDF("k", "t"))
+      }
+      assert(err.getMessage.contains("sql.streaming.queryId"))
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
