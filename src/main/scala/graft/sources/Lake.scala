@@ -905,6 +905,67 @@ object Lake {
       version: Long): Option[String] =
     manifestOp(fsFor(spark, root), new Path(root), version)
 
+  /** ZERO-COPY SHALLOW CLONE: commit a NEW table at `dstRoot` whose
+    * v0 manifest references snapshot `version` of `srcRoot` BY
+    * ABSOLUTE PATH — no data moves, the clone of a 100 TB table costs
+    * one manifest write. Version dirs are immutable, so the clone is
+    * a consistent frozen snapshot: later source commits are invisible
+    * to it, and clone appends write their own local dirs next to the
+    * referenced ones (every reader resolves mixed absolute/relative
+    * dir entries through the same `Path(root, dir)` rule). Dir-level
+    * stats and bloom lines carry under the absolute names, so data
+    * skipping keeps working on the clone; FILE-level `#fstats_` lines
+    * are dropped (their key grammar is root-relative) — strictly
+    * conservative, unknown files are always kept. The clone's
+    * retention only ever sweeps dirs under ITS root, never the
+    * source's.
+    *
+    * OWNERSHIP HAZARD (Delta's shallow-clone contract, stated not
+    * hidden): the source still owns the referenced dirs — a source
+    * retention prune or vacuum that drops the cloned snapshot's dirs
+    * breaks the clone (readers then refuse, naming the lost dirs).
+    * Clone from a snapshot the source retains, or deep-copy first.
+    * @return the clone's committed version (always 0) */
+  def cloneCommitted(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None, retain: Int = 1): Long = {
+    require(!srcRoot.contains("=") && !srcRoot.contains("\n"),
+      s"srcRoot must not contain '=' or newlines (manifest line grammar): $srcRoot")
+    val fs = fsFor(spark, srcRoot)
+    val sr = new Path(srcRoot)
+    val v = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $srcRoot")))
+    def horizon = readableVersions(spark, srcRoot).mkString("[", ", ", "]")
+    if (!fs.exists(new Path(sr, s"_commit_$v")))
+      throw new java.util.NoSuchElementException(
+        s"version $v is not committed at $srcRoot (readable: $horizon)")
+    val dirs = manifestDirs(fs, sr, v)
+    val missing = dirs.filterNot(d => fs.exists(new Path(sr, d)))
+    if (missing.nonEmpty)
+      throw new java.util.NoSuchElementException(
+        s"version $v at $srcRoot references lost data dirs " +
+          s"${missing.mkString(", ")} (readable: $horizon)")
+    if (currentVersion(spark, dstRoot).isDefined)
+      throw new IllegalStateException(
+        s"committed table already exists at $dstRoot — clone bootstraps a " +
+          "NEW table; pick an empty root")
+    val abs = dirs.map(d => new Path(sr, d).toString)
+    val toAbs = dirs.zip(abs).toMap
+    val srcStats = manifestStatsRaw(fs, sr, v)
+    val srcBlooms = manifestBloomsRaw(fs, sr, v)
+    val dfs = fsFor(spark, dstRoot)
+    val dr = new Path(dstRoot)
+    dfs.mkdirs(dr)
+    commitManifest(dfs, dr, 0L, abs, retain,
+      schema = manifestSchema(fs, sr, v),
+      rows = manifestRows(fs, sr, v),
+      newStats = srcStats.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+      statsCols = manifestStatsCols(fs, sr, v),
+      newBlooms = srcBlooms.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+      bloomCols = manifestBloomCols(fs, sr, v),
+      op = s"clone $srcRoot@v$v")
+    0L
+  }
+
   /** SQL-NATIVE read of a committed table: a DataFrame whose scan is
     * planned through a [[LakeFileIndex]], so data skipping fires on
     * whatever predicate the QUERY eventually applies — `spark.sql`

@@ -988,4 +988,68 @@ class LakeSpec extends SparkSpec {
       Lake.compact(spark, "/tmp/nowhere-at-all", targetBytes = 0)
     }
   }
+
+  test("shallow clone: zero data copy, two-way isolation, skipping carries, hazard surfaces") {
+    import org.apache.hadoop.fs.Path
+    val src = tmpTable("graft-lake-clone-src")
+    (0 until 4).foreach { b =>
+      Lake.commitAppend(
+        ((b * 10) until ((b + 1) * 10)).map(k => (k.toLong, s"t$k")).toDF("k", "t"),
+        src, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val dst = tmpTable("graft-lake-clone-dst")
+    assert(Lake.cloneCommitted(spark, src, dst) === 0L)
+
+    // identical contents, and ZERO data dirs copied under the clone
+    assert(rows(Lake.readCommitted(spark, dst)) === rows(Lake.readCommitted(spark, src)))
+    val dfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+    assert(!dfs.listStatus(new Path(dst)).exists(_.isDirectory))
+    // metadata-only count and the provenance line carried
+    assert(Lake.countCommitted(spark, dst) === Some(40L))
+    assert(Lake.describeHistory(spark, dst).select("op")
+      .collect().head.getString(0).startsWith(s"clone $src@v"))
+
+    // dir-level skipping works through the absolute references
+    val (kept, skippedDirs, _) = Lake.resolveWhere(spark, dst, col("k") < 10L)
+    assert(skippedDirs.size === 3 && kept.size === 1)
+    assert(rows(Lake.readCommittedWhere(spark, dst, col("k") < 10L)) ===
+      (0L until 10L).map(k => Seq(k, s"t$k")).toSet)
+
+    // two-way isolation: source appends are invisible to the clone...
+    Lake.commitAppend(Seq((100L, "x")).toDF("k", "t"), src, retain = 8)
+    assert(Lake.readCommitted(spark, dst).count() === 40L)
+    // ...and clone appends (local dirs mixing with absolute ones)
+    // are invisible to the source
+    Lake.commitAppend(Seq((200L, "y")).toDF("k", "t"), dst, retain = 8)
+    assert(rows(Lake.readCommitted(spark, dst)).contains(Seq(200L, "y")))
+    assert(Lake.readCommitted(spark, dst).count() === 41L)
+    assert(Lake.readCommitted(spark, src).count() === 41L) // 40 + its own append
+    assert(!rows(Lake.readCommitted(spark, src)).contains(Seq(200L, "y")))
+
+    // clone retention never sweeps the source's dirs
+    (0 until 3).foreach { i =>
+      Lake.commitAppend(Seq((300L + i, "z")).toDF("k", "t"), dst, retain = 0)
+      ()
+    }
+    assert(Lake.readCommitted(spark, dst).count() === 44L)
+    assert(Lake.readCommitted(spark, src).count() === 41L)
+
+    // an occupied destination is refused
+    intercept[IllegalStateException] { Lake.cloneCommitted(spark, src, dst) }
+
+    // the ownership hazard surfaces as a refusal, not silent data:
+    // clone an overwrite-maintained table, then let the SOURCE prune
+    // the cloned snapshot's dirs past retention
+    val src2 = tmpTable("graft-lake-clone-src2")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), src2, retain = 8)
+    val dst2 = tmpTable("graft-lake-clone-dst2")
+    Lake.cloneCommitted(spark, src2, dst2)
+    Lake.commitOverwrite(Seq((2L, "b")).toDF("k", "t"), src2, retain = 0)
+    Lake.commitOverwrite(Seq((3L, "c")).toDF("k", "t"), src2, retain = 0)
+    intercept[java.util.NoSuchElementException] {
+      Lake.readCommitted(spark, dst2).collect()
+    }
+  }
 }
