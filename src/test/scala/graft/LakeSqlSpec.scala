@@ -162,6 +162,28 @@ class LakeSqlSpec extends SparkSpec {
       === Set(Seq(3L, "c")))
   }
 
+  test("CREATE TABLE USING graft-lake: catalog tables resolve the LIVE snapshot per query") {
+    val root = tmpTable("graft-lakesql-cat")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_cat")
+    spark.sql(
+      s"CREATE TABLE lakesql_cat USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      assert(rows(spark.sql("SELECT * FROM lakesql_cat")) === Set(Seq(1L, "a")))
+      // Spark caches the resolved relation, so the table stays on its
+      // snapshot until the standard lever — REFRESH TABLE — which
+      // re-invokes the provider and pins the new live version
+      Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+      assert(rows(spark.sql("SELECT * FROM lakesql_cat")) === Set(Seq(1L, "a")))
+      spark.sql("REFRESH TABLE lakesql_cat")
+      assert(rows(spark.sql("SELECT * FROM lakesql_cat")) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_cat")
+      ()
+    }
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
