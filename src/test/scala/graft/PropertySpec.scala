@@ -537,6 +537,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mp4Dib round-trips for random (w, h, seed, frames); truncation never throws") {
+    val params = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40),
+      Gen.choose(0, 255), Gen.choose(1, 7))
+    samples(params, 40).foreach { case (w, h, seed, n) =>
+      val payload = ImageCodec.mp4Dib(w, h, seed, n)
+      val (pw, ph, fcc, frames) = ImageCodec.mp4Frames(payload)
+        .getOrElse(fail(s"demux failed ${w}x$h seed=$seed n=$n"))
+      assert(pw === w && ph === h && fcc === "DIB " && frames.length === n)
+      frames.zipWithIndex.foreach { case (dib, f) =>
+        val img = ImageCodec.dibFrameToImage(w, h, dib)
+          .getOrElse(fail(s"decode failed ${w}x$h f=$f"))
+        assert(ImageCodec.pixelSum(img) ===
+          (for (y <- 0 until h; x <- 0 until w)
+            yield 3L * ((seed + f + x + y) % 256)).sum)
+      }
+      // every truncation point degrades to None or fewer VALID frames,
+      // never a throw — the NonFatal walk contract under fuzzing
+      Seq(payload.length / 4, payload.length / 2, payload.length - 3)
+        .filter(_ > 8).foreach { cut =>
+          val r = ImageCodec.mp4Frames(payload.take(cut))
+          assert(r.forall(_._4.length <= n))
+        }
+    }
+  }
+
   test("bandFingerprint is gain-invariant and matches across slice-preserving rewrites") {
     val params = Gen.zip(Gen.choose(32, 2048), Gen.choose(0, 255))
     samples(params, 30).foreach { case (n, seed) =>
