@@ -104,4 +104,37 @@ object Funnel {
         (sum(cents * weight).cast("double") /
           lit(100.0 * (1L << maxAgeDays))).as("decayed_value"))
   }
+
+  /** Top-k most-frequent k-step event PATHS: every window of `len`
+    * consecutive steps per key, counted corpus-wide — the exploratory
+    * twin of [[funnel]] (which checks ONE given pattern, this
+    * ENUMERATES what users actually do; the Sankey/flow-analysis
+    * feed). NULL steps break a window (a path must be `len` real
+    * steps in a row).
+    *
+    * Shape: the `len-1` leads ride ONE window shuffle on the key
+    * (same partitioning for all of them — one Exchange, one sort),
+    * the count is a partial-aggregatable group-by on the path string,
+    * and the top-k lands as TakeOrderedAndProject (per-partition
+    * heads + driver merge of k rows, never a global sort). Ties break
+    * to the lexicographically smallest path so the result is
+    * deterministic and oracle-exact.
+    * @return (path, n) — `sep`-joined steps, top k by (n DESC, path) */
+  def topPaths(
+      events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      stepCol: String, len: Int = 3, k: Int = 20,
+      sep: String = " -> "): DataFrame = {
+    require(len >= 2 && len <= 8, s"path length must be in [2, 8], got $len")
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val steps = col(stepCol).cast("string").as("s0") +:
+      (1 until len).map(i => lead(col(stepCol).cast("string"), i).over(w).as(s"s$i"))
+    val windows = events.select(steps: _*)
+    windows
+      .where((0 until len).map(i => col(s"s$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(sep, (0 until len).map(i => col(s"s$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
 }

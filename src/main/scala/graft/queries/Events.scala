@@ -186,6 +186,35 @@ object Events {
       Graph.bfsDistances(edges, seeds, maxDepth = 6).orderBy("p")
     },
 
+    // Top-20 three-step click paths: the exploratory twin of q80's
+    // funnel — instead of checking one given pattern, enumerate every
+    // window of 3 consecutive pages per user and count them
+    // corpus-wide (the Sankey/flow-analysis feed). One window shuffle
+    // carries both leads, the count is map-side-combinable, and the
+    // top-k is TakeOrderedAndProject — no global sort. Ties break to
+    // the smallest path string, so the cut is deterministic.
+    Q("q135_click_paths",
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |w AS (SELECT CAST(page AS VARCHAR) AS s0,
+        |    lead(CAST(page AS VARCHAR), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+        |    lead(CAST(page AS VARCHAR), 2) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+        |  FROM ev),
+        |p AS (SELECT s0 || ' -> ' || s1 || ' -> ' || s2 AS path FROM w
+        |      WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL)
+        |SELECT path, count(*) AS n FROM p GROUP BY path
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      Funnel.topPaths(ev, "user_id", "ts", "event_id", "page", len = 3, k = 20)
+    },
+
     // JSON-in-string extraction (events.props = {"k": N}).
     Q("q20_json_extract",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,

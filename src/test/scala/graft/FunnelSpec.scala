@@ -142,4 +142,33 @@ class FunnelSpec extends SparkSpec {
       "doc_id", "rank", k = 1).collect().head.getAs[Long]("doc_id")
     assert(first === 20L)
   }
+
+  test("topPaths: per-key windows, NULL breaks, keys never mix, deterministic ties") {
+    // user 1: a b c d  → paths "a->b->c", "b->c->d"
+    // user 2: a b c    → "a->b->c" (so it counts 2)
+    // user 3: a NULL c d e → NULL breaks: only "c->d->e"
+    val ev = Seq(
+      (1L, ts(1), 1L, Some("a")), (1L, ts(2), 2L, Some("b")),
+      (1L, ts(3), 3L, Some("c")), (1L, ts(4), 4L, Some("d")),
+      (2L, ts(1), 5L, Some("a")), (2L, ts(2), 6L, Some("b")),
+      (2L, ts(3), 7L, Some("c")),
+      (3L, ts(1), 8L, Some("a")), (3L, ts(2), 9L, None),
+      (3L, ts(3), 10L, Some("c")), (3L, ts(4), 11L, Some("d")),
+      (3L, ts(5), 12L, Some("e"))
+    ).toDF("k", "t", "tie", "step")
+    val out = Funnel.topPaths(ev, "k", "t", "tie", "step", len = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head === ("a -> b -> c", 2L))
+    // remaining singletons tie on n=1 → lexicographic path order
+    assert(out.toSeq.drop(1) ===
+      Seq("b -> c -> d" -> 1L, "c -> d -> e" -> 1L))
+    // k caps the result; a user's last len-1 events start no path, and
+    // two users' streams never concatenate (user 2 ends at c, user 3
+    // starts at a — no "b -> c -> a" path exists)
+    assert(Funnel.topPaths(ev, "k", "t", "tie", "step", len = 3, k = 1)
+      .count() === 1L)
+    assert(!out.map(_._1).contains("b -> c -> a"))
+    intercept[IllegalArgumentException](
+      Funnel.topPaths(ev, "k", "t", "tie", "step", len = 1))
+  }
 }
