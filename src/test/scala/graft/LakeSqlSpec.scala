@@ -178,8 +178,14 @@ class LakeSqlSpec extends SparkSpec {
       spark.sql("REFRESH TABLE lakesql_cat")
       assert(rows(spark.sql("SELECT * FROM lakesql_cat")) ===
         Set(Seq(1L, "a"), Seq(2L, "b")))
+      // the version option works through DDL too: SQL time travel
+      spark.sql("DROP TABLE IF EXISTS lakesql_cat_v0")
+      spark.sql(s"CREATE TABLE lakesql_cat_v0 USING `graft-lake` " +
+        s"OPTIONS (root '$root', version '0')")
+      assert(rows(spark.sql("SELECT * FROM lakesql_cat_v0")) === Set(Seq(1L, "a")))
     } finally {
       spark.sql("DROP TABLE IF EXISTS lakesql_cat")
+      spark.sql("DROP TABLE IF EXISTS lakesql_cat_v0")
       ()
     }
   }
