@@ -114,8 +114,9 @@ object Bench {
     // carries every per-query min AND every raw pass, so any run is
     // rankable and noise-auditable from the repo alone, independent of
     // the capture window. Best-effort: a read-only cwd must not fail
-    // the bench.
-    try {
+    // the bench. SUBSET runs (SPARK_GRAFT_ONLY) skip the write — an
+    // isolation bisect must not clobber the full-catalog artifact.
+    try if (only.isEmpty) {
       val w = new java.io.PrintWriter("BENCH_LATEST.json", "UTF-8")
       try {
         w.println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
