@@ -173,6 +173,73 @@ object Graph {
       .groupBy("p").agg(count(lit(1)).as("triangles"))
   }
 
+  /** PERSONALIZED PageRank: rank mass restarts onto the SEED set
+    * instead of uniformly — TrustRank proper, the weighted complement
+    * of [[bfsDistances]]'s hop counts (how much seed trust flows to a
+    * page, not merely how far it sits). Same integer-exact machinery
+    * as [[pageRank]]: micro-rank units, integer div per contribution,
+    * bit-identical to the oracle's unrolled CTE under any
+    * partitioning. The restart base rides the self-loop rows as a
+    * per-node `sb` column (seedBase on a seed's loop, 0 elsewhere), so
+    * the per-round aggregate stays ONE pass with no extra join —
+    * r(p) ← sb(p) + d·Σ_{q→p} r(q)/outdeg(q). Nodes unreachable from
+    * the seeds legitimately hold rank 0 and stay in the result
+    * (deterministic shape). Node set = graph nodes ∪ seeds, so an
+    * isolated seed keeps its restart mass.
+    * @return (p, rank) — rank in micro-units of SCALE, Σ ≈ SCALE */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iterations: Int,
+      dampPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampPct >= 0 && dampPct <= 100,
+      s"dampPct must be in [0, 100], got $dampPct")
+    val scale = 1000000000000L
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = e.count()
+      IterativeConf.withLoopShuffleWidth(spark, m) {
+        var e2Cache: Option[DataFrame] = None
+        try {
+          val s = seeds.select(col("p").cast("long"))
+            .where(col("p").isNotNull).distinct()
+          val nodes = e.select(col("src").as("p"))
+            .unionByName(e.select(col("dst").as("p")))
+            .unionByName(s).distinct()
+          val nSeeds = s.count()
+          val seedInit = if (nSeeds == 0) 0L else scale / nSeeds
+          val seedBase = ((100L - dampPct) * seedInit) / 100L
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          val linked = e.join(deg, Seq("src"))
+            .withColumn("w", lit(1)).withColumn("sb", lit(0L))
+          val flagged = nodes.join(s.withColumn("__s", lit(1)), Seq("p"), "left")
+          val loops = flagged.select(col("p").as("src"), col("p").as("dst"),
+            lit(null).cast("long").as("outdeg"), lit(0).as("w"),
+            when(col("__s").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("sb"))
+          val e2 = linked.unionByName(loops)
+            .repartition(col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          e2Cache = Some(e2)
+          var ranks = flagged.select(col("p"),
+            when(col("__s").isNotNull, lit(seedInit)).otherwise(lit(0L)).as("r"))
+            .localCheckpoint(true)
+          for (i <- 1 to iterations if m > 0 || nSeeds > 0) {
+            ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
+              .groupBy(col("dst").as("p"))
+              .agg(expr(s"sum(sb) + (($dampPct * " +
+                "sum(CASE WHEN w = 1 THEN r div outdeg ELSE 0 END)) div 100)")
+                .as("r"))
+            if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+          }
+          ranks.select(col("p"), col("r").as("rank"))
+        } finally { e2Cache.foreach(_.unpersist()); () }
+      }
+    } finally { e.unpersist(); () }
+  }
+
   /** Multi-source BFS over directed (src, dst) edges: the minimum hop
     * count from ANY seed to each reachable node, capped at `maxDepth`
     * — the crawl-frontier / link-distance-from-trusted-set signal

@@ -50,6 +50,45 @@ object Events {
        |SELECT p, r AS rank FROM pr$iters ORDER BY p""".stripMargin
   }
 
+  /** q136 oracle: [[pageRankOracle]] with the restart mass placed on
+    * the SEED self-loop rows only (sb column) — r(p) = sb(p) +
+    * d·Σ contrib, seeds start with SCALE/|seeds| and everyone else 0.
+    * Same integer arithmetic, same unrolling. */
+  private def pprOracle(iters: Int): String = {
+    val chain = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT e.dst AS p,
+         |  CAST(sum(e.sb)
+         |    + (85 * sum(CASE WHEN e.w = 1 THEN pr${k - 1}.r // e.outdeg ELSE 0 END)) // 100
+         |    AS BIGINT) AS r
+         |  FROM pr${k - 1} JOIN e2 e ON pr${k - 1}.p = e.src GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+       |           page AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS (SELECT DISTINCT src AS p FROM edges UNION SELECT DISTINCT dst AS p FROM edges),
+       |c AS (SELECT 1000000000000 // nullif(count(*), 0) AS sinit
+       |      FROM nodes WHERE p % 10 = 0),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |e2 AS (
+       |  SELECT e.src, e.dst, d.outdeg, 1 AS w, CAST(0 AS BIGINT) AS sb
+       |  FROM edges e JOIN deg d ON e.src = d.src
+       |  UNION ALL SELECT n.p, n.p, NULL, 0,
+       |    CAST(CASE WHEN n.p % 10 = 0 THEN (15 * (SELECT sinit FROM c)) // 100
+       |         ELSE 0 END AS BIGINT)
+       |  FROM nodes n),
+       |pr0 AS (SELECT p,
+       |  CAST(CASE WHEN p % 10 = 0 THEN (SELECT sinit FROM c) ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |$chain
+       |SELECT p, r AS rank FROM pr$iters ORDER BY p""".stripMargin
+  }
+
   /** q128 oracle: synchronous label propagation unrolled to `iters`
     * chained (count, argmax) CTE pairs — same unrolling rationale as
     * [[pageRankOracle]]. Tie-break is (cnt DESC, label ASC), the exact
@@ -184,6 +223,25 @@ object Events {
         .unionByName(edges.select(col("dst").as("p"))).distinct()
       val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
       Graph.bfsDistances(edges, seeds, maxDepth = 6).orderBy("p")
+    },
+
+    // Personalized PageRank from the trusted seed set (page % 10 = 0):
+    // TrustRank proper — how much seed trust FLOWS to each page, the
+    // weighted complement of q134's hop distances. Restart mass lands
+    // only on seeds (carried on their self-loop rows, so the round
+    // stays ONE join + one aggregate); integer micro-rank units make
+    // 10 iterations bit-identical to the unrolled-CTE oracle.
+    Q("q136_personalized_pagerank", Events.pprOracle(10)) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.StringType))
+          .getField("k").cast("long").as("page"))
+      val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
+      val nodes = edges.select(col("src").as("p"))
+        .unionByName(edges.select(col("dst").as("p"))).distinct()
+      val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
+      Graph.personalizedPageRank(edges, seeds, iterations = 10).orderBy("p")
     },
 
     // Top-20 three-step click paths: the exploratory twin of q80's

@@ -119,6 +119,35 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(two.toDF("src", "dst"), 0))
   }
 
+  test("personalizedPageRank: hand-computed restart flow, zero for unreached, isolated seed") {
+    val S = 1000000000000L
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        iters: Int): Map[Long, Long] =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+          seeds.toDF("p"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // 1 -> 2 with seed {1}: after one round seed holds its base
+    // 0.15·S and node 2 receives 0.85·S; the next round decays the
+    // received mass to 0.85·0.15·S (node 2 keeps no base)
+    val out1 = run(Seq((1L, 2L)), Seq(1L), 1)
+    assert(out1(1L) === (15L * S / 100))
+    assert(out1(2L) === (85L * S / 100))
+    val out2 = run(Seq((1L, 2L)), Seq(1L), 2)
+    assert(out2(1L) === (15L * S / 100))
+    assert(out2(2L) === 85L * (15L * S / 100) / 100)
+    // a node with no path from the seeds holds rank 0 (3 -> 4 is a
+    // separate component); an isolated seed keeps its restart base
+    val out3 = run(Seq((1L, 2L), (3L, 4L)), Seq(1L, 99L), 2)
+    assert(out3(3L) === 0L && out3(4L) === 0L)
+    assert(out3(99L) === (15L * (S / 2) / 100))
+    // two seeds split the restart mass
+    assert(out3(1L) === (15L * (S / 2) / 100))
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(Seq((1L, 2L)).toDF("src", "dst"),
+        Seq(1L).toDF("p"), 0))
+  }
+
   test("bfsDistances: hand-computed hops, direction respected, depth cap, isolated seed") {
     def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
         maxDepth: Int): Map[Long, Long] =
