@@ -204,8 +204,12 @@ object Graph {
       IterativeConf.withLoopShuffleWidth(spark, m) {
         var e2Cache: Option[DataFrame] = None
         try {
+          // the caller's seed plan is arbitrary (often derived from
+          // these very edges) and is consumed three times below —
+          // materialize the small id list ONCE, or every use replays
+          // the caller's full lineage
           val s = seeds.select(col("p").cast("long"))
-            .where(col("p").isNotNull).distinct()
+            .where(col("p").isNotNull).distinct().localCheckpoint(true)
           val nodes = e.select(col("src").as("p"))
             .unionByName(e.select(col("dst").as("p")))
             .unionByName(s).distinct()
@@ -215,7 +219,10 @@ object Graph {
           val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
           val linked = e.join(deg, Seq("src"))
             .withColumn("w", lit(1)).withColumn("sb", lit(0L))
+          // (node, seed?) rows: consumed by both the self-loop build
+          // and the initial ranks — fixed-width, checkpoint once
           val flagged = nodes.join(s.withColumn("__s", lit(1)), Seq("p"), "left")
+            .localCheckpoint(true)
           val loops = flagged.select(col("p").as("src"), col("p").as("dst"),
             lit(null).cast("long").as("outdeg"), lit(0).as("w"),
             when(col("__s").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("sb"))

@@ -218,11 +218,16 @@ object Events {
         from_json(col("props"), new org.apache.spark.sql.types.StructType()
           .add("k", org.apache.spark.sql.types.StringType))
           .getField("k").cast("long").as("page"))
+      // same persist rationale as q136: the seed derivation must not
+      // replay the events window the operator already caches
       val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
-      val nodes = edges.select(col("src").as("p"))
-        .unionByName(edges.select(col("dst").as("p"))).distinct()
-      val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
-      Graph.bfsDistances(edges, seeds, maxDepth = 6).orderBy("p")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nodes = edges.select(col("src").as("p"))
+          .unionByName(edges.select(col("dst").as("p"))).distinct()
+        val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
+        Graph.bfsDistances(edges, seeds, maxDepth = 6).orderBy("p")
+      } finally { edges.unpersist(); () }
     },
 
     // Personalized PageRank from the trusted seed set (page % 10 = 0):
@@ -237,11 +242,17 @@ object Events {
         from_json(col("props"), new org.apache.spark.sql.types.StructType()
           .add("k", org.apache.spark.sql.types.StringType))
           .getField("k").cast("long").as("page"))
+      // edges feed BOTH the operator and the seed derivation; persist
+      // here or the seed plan replays the events window from scratch
+      // (the operator materializes eagerly, so unpersist is safe)
       val edges = Graph.clickEdges(ev, "user_id", "ts", "event_id", "page")
-      val nodes = edges.select(col("src").as("p"))
-        .unionByName(edges.select(col("dst").as("p"))).distinct()
-      val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
-      Graph.personalizedPageRank(edges, seeds, iterations = 10).orderBy("p")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nodes = edges.select(col("src").as("p"))
+          .unionByName(edges.select(col("dst").as("p"))).distinct()
+        val seeds = nodes.where(pmod(col("p"), lit(10L)) === 0L)
+        Graph.personalizedPageRank(edges, seeds, iterations = 10).orderBy("p")
+      } finally { edges.unpersist(); () }
     },
 
     // Top-20 three-step click paths: the exploratory twin of q80's
