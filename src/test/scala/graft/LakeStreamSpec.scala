@@ -312,6 +312,50 @@ class LakeStreamSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("provider option validation: every bad knob is refused with its reason") {
+    val root = tmpTable("graft-lkstream-opts")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    // missing root
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-lake").load()
+    }
+    // bad startingVersion / maxVersionsPerTrigger surface at start()
+    def startWith(opts: (String, String)*): Throwable = {
+      val q = opts.foldLeft(
+        spark.readStream.format("graft-lake").option("root", root)
+      ) { case (r, (k, v)) => r.option(k, v) }.load()
+        .writeStream.format("memory").queryName("lkstream_opts")
+        .trigger(Trigger.AvailableNow()).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(startWith("startingVersion" -> "nope"))
+      .exists(c => Option(c.getMessage).exists(_.contains("startingVersion"))))
+    assert(causes(startWith("maxVersionsPerTrigger" -> "0"))
+      .exists(c => Option(c.getMessage).exists(_.contains("maxVersionsPerTrigger"))))
+    // sink: aggregate output modes and partitionBy are refused up front
+    val counts = readLake(root).groupBy("t").count()
+    val e1 = intercept[Exception] {
+      counts.writeStream.format("graft-lake").option("root", root)
+        .outputMode("complete")
+        .option("checkpointLocation", tmpDir("graft-lkstream-opts-c"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(causes(e1).exists(c =>
+      Option(c.getMessage).exists(_.contains("append-only"))))
+    val e2 = intercept[Exception] {
+      readLake(root).writeStream.format("graft-lake").option("root", root)
+        .partitionBy("t")
+        .option("checkpointLocation", tmpDir("graft-lkstream-opts-p"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(causes(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("partitionBy"))))
+  }
+
   test("composition: lake source feeds a downstream fold exactly once") {
     val root = tmpTable("graft-lkstream-fold")
     val ckpt = tmpDir("graft-lkstream-fold-ckpt")
