@@ -743,7 +743,7 @@ object Vectors {
     * through q104's aHash arithmetic per frame — 8×8 nearest-neighbor
     * grid, lum·64 vs frame total, LSB-first row bytes — then the frame
     * hashes concatenated in frame order under one md5. Same bits for
-    * all four containers (lossless by construction), so the Spark
+    * all five containers (lossless by construction), so the Spark
     * decode → hash → roll-up chain must agree to the digest. */
   lazy val videoFingerprintOracle: String =
     """WITH vdims AS (
