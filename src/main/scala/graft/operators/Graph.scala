@@ -88,40 +88,58 @@ object Graph {
         try {
           val nodes = e.select(col("src").as("p"))
             .unionByName(e.select(col("dst").as("p"))).distinct()
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-          // out-degree rides the cached edge rows: the per-iteration
-          // join touches ONE build side, not two
-          val linked = e.join(deg, Seq("src")).withColumn("w", lit(1))
-          val loops = nodes.select(col("p").as("src"), col("p").as("dst"),
-            lit(null).cast("long").as("outdeg"), lit(0).as("w"))
-          val e2 = linked.unionByName(loops)
-            .repartition(col("src"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          e2Cache = Some(e2)
           val n = nodes.count()
           // empty edge set: no nodes, empty result (0-row partitions
           // at 100 TB must not throw) — skip the iteration entirely
           val init = if (n == 0) scale else scale / n
           val base = ((100L - dampPct) * init) / 100L
-          var ranks = nodes.select(col("p"), lit(init).as("r")).localCheckpoint(true)
-          for (i <- 1 to iterations if n > 0) {
-            ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
-              .groupBy(col("dst").as("p"))
-              // one SQL expression, all integral ops (div, not IEEE
-              // divide): BIGINT end to end, no 2^53 caveat
-              .agg(expr(s"$base + (($dampPct * " +
-                "sum(CASE WHEN w = 1 THEN r div outdeg ELSE 0 END)) div 100)")
-                .as("r"))
-            // lineage truncation every 3rd round, not every round: an
-            // eager localCheckpoint is a whole extra job, and a
-            // 3-iteration plan (join+agg ×3) is still flat — measured
-            // 4.1s → 3.6s at sf0.1
-            if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
-          }
-          ranks.select(col("p"), col("r").as("rank"))
+          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          // out-degree rides the cached edge rows: the per-iteration
+          // join touches ONE build side, not two; the uniform restart
+          // base rides every node's single self-loop row (`sb`), the
+          // exact shape [[personalizedPageRank]] uses for seed bases
+          val linked = e.join(deg, Seq("src"))
+            .withColumn("w", lit(1)).withColumn("sb", lit(0L))
+          val loops = nodes.select(col("p").as("src"), col("p").as("dst"),
+            lit(null).cast("long").as("outdeg"), lit(0).as("w"),
+            lit(base).as("sb"))
+          val e2 = linked.unionByName(loops)
+            .repartition(col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          e2Cache = Some(e2)
+          val ranks0 = nodes.select(col("p"), lit(init).as("r"))
+          if (n == 0) ranks0.select(col("p"), col("r").as("rank"))
+          else dampedRankLoop(e2, ranks0, iterations, dampPct)
         } finally { e2Cache.foreach(_.unpersist()); () }
       }
     } finally { e.unpersist(); () }
+  }
+
+  /** The shared damped-rank round loop over an e2 table of (src, dst,
+    * outdeg, w, sb) rows: real edges carry w=1/sb=0; each node's ONE
+    * self-loop row carries w=0 and that node's restart base in `sb`,
+    * so a single partial-aggregatable pass computes
+    * r(p) ← sb(p) + d·Σ_{q→p} r(q) div outdeg(q). Bit-exactness-
+    * critical and shared by BOTH public entry points ([[pageRank]] =
+    * uniform base on every loop row, [[personalizedPageRank]] = seed
+    * bases only), so the integer aggregate and the measured
+    * lineage-truncation cadence (every 3rd round — an eager
+    * localCheckpoint is a whole extra job; 4.1s → 3.6s at sf0.1)
+    * cannot drift apart. */
+  private def dampedRankLoop(e2: DataFrame, ranks0: DataFrame,
+      iterations: Int, dampPct: Int): DataFrame = {
+    var ranks = ranks0.localCheckpoint(true)
+    for (i <- 1 to iterations) {
+      ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
+        .groupBy(col("dst").as("p"))
+        // one SQL expression, all integral ops (div, not IEEE
+        // divide): BIGINT end to end, no 2^53 caveat
+        .agg(expr(s"sum(sb) + (($dampPct * " +
+          "sum(CASE WHEN w = 1 THEN r div outdeg ELSE 0 END)) div 100)")
+          .as("r"))
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("p"), col("r").as("rank"))
   }
 
   /** Per-node TRIANGLE COUNTS over the undirected simple graph induced
@@ -230,18 +248,11 @@ object Graph {
             .repartition(col("src"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           e2Cache = Some(e2)
-          var ranks = flagged.select(col("p"),
+          val ranks0 = flagged.select(col("p"),
             when(col("__s").isNotNull, lit(seedInit)).otherwise(lit(0L)).as("r"))
-            .localCheckpoint(true)
-          for (i <- 1 to iterations if m > 0 || nSeeds > 0) {
-            ranks = e2.join(ranks.withColumnRenamed("p", "src"), Seq("src"))
-              .groupBy(col("dst").as("p"))
-              .agg(expr(s"sum(sb) + (($dampPct * " +
-                "sum(CASE WHEN w = 1 THEN r div outdeg ELSE 0 END)) div 100)")
-                .as("r"))
-            if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint(true)
-          }
-          ranks.select(col("p"), col("r").as("rank"))
+          if (m == 0 && nSeeds == 0)
+            ranks0.select(col("p"), col("r").as("rank"))
+          else dampedRankLoop(e2, ranks0, iterations, dampPct)
         } finally { e2Cache.foreach(_.unpersist()); () }
       }
     } finally { e.unpersist(); () }

@@ -928,6 +928,7 @@ object Lake {
     * @return the clone's committed version (always 0) */
   def cloneCommitted(spark: SparkSession, srcRoot: String, dstRoot: String,
       version: Option[Long] = None, retain: Int = 1): Long = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
     require(!srcRoot.contains("=") && !srcRoot.contains("\n"),
       s"srcRoot must not contain '=' or newlines (manifest line grammar): $srcRoot")
     val fs = fsFor(spark, srcRoot)
@@ -948,11 +949,21 @@ object Lake {
       throw new IllegalStateException(
         s"committed table already exists at $dstRoot — clone bootstraps a " +
           "NEW table; pick an empty root")
-    val abs = dirs.map(d => new Path(sr, d).toString)
+    val dfs = fsFor(spark, dstRoot)
+    // by-reference sharing only works within ONE filesystem: a
+    // scheme-less absolute path written into the clone manifest would
+    // resolve against the DESTINATION's filesystem and read nothing
+    if (fs.getUri != dfs.getUri)
+      throw new IllegalArgumentException(
+        s"shallow clone references data by path — source (${fs.getUri}) and " +
+          s"destination (${dfs.getUri}) must share a filesystem; deep-copy " +
+          "across filesystems instead (readCommittedAt + commitOverwrite)")
+    // makeQualified: a relative srcRoot must not re-resolve under the
+    // clone root at read time
+    val abs = dirs.map(d => fs.makeQualified(new Path(sr, d)).toString)
     val toAbs = dirs.zip(abs).toMap
     val srcStats = manifestStatsRaw(fs, sr, v)
     val srcBlooms = manifestBloomsRaw(fs, sr, v)
-    val dfs = fsFor(spark, dstRoot)
     val dr = new Path(dstRoot)
     dfs.mkdirs(dr)
     commitManifest(dfs, dr, 0L, abs, retain,
