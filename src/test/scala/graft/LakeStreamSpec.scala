@@ -356,6 +356,43 @@ class LakeStreamSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("partitionBy"))))
   }
 
+  test("randomized E2E: lake -> stream transform -> lake stays exactly the batch transform") {
+    // seeded random interleaving of ingest commits and ETL drains; the
+    // invariant after every drain is the q133 contract — the derived
+    // table equals the one-shot batch transform of everything ingested
+    val rnd = new scala.util.Random(20260814L)
+    val raw = tmpTable("graft-lkstream-e2e-raw")
+    val out = tmpTable("graft-lkstream-e2e-out")
+    val ckpt = tmpDir("graft-lkstream-e2e-ckpt")
+    var nextK = 0L
+    def ingest(n: Int): Unit = {
+      val rows = (0 until n).map { _ =>
+        val r = (nextK, if (nextK % 3 == 0) 100L + nextK else nextK)
+        nextK += 1; r
+      }
+      Lake.commitAppend(rows.toDF("k", "v"), raw, retain = 16)
+      ()
+    }
+    def drain(): Unit = {
+      val q = readLake(raw)
+        .where(col("v") >= 100L)
+        .select(col("k"), (col("v") * 2L).as("v2"))
+        .writeStream.format("graft-lake").option("root", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    ingest(3) // the source needs an existing table for its schema
+    (1 to 24).foreach { _ =>
+      if (rnd.nextBoolean()) ingest(1 + rnd.nextInt(3)) else drain()
+    }
+    drain()
+    val expected = Lake.readCommitted(spark, raw)
+      .where(col("v") >= 100L)
+      .select(col("k"), (col("v") * 2L).as("v2"))
+    assert(rows(Lake.readCommitted(spark, out)) === rows(expected))
+  }
+
   test("composition: lake source feeds a downstream fold exactly once") {
     val root = tmpTable("graft-lkstream-fold")
     val ckpt = tmpDir("graft-lkstream-fold-ckpt")
