@@ -335,7 +335,8 @@ object ImageCodec {
     * moov is built once with a placeholder to learn its length, then
     * rebuilt with the real mdat payload offset (moov length does not
     * depend on the offset value). */
-  def mp4Dib(width: Int, height: Int, seed: Int, nFrames: Int): Array[Byte] = {
+  def mp4Dib(width: Int, height: Int, seed: Int, nFrames: Int,
+      fixedStsz: Boolean = false): Array[Byte] = {
     // upper bound: VisualSampleEntry stores dims in 16-bit fields —
     // a larger value would silently truncate into a corrupt fixture
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
@@ -371,9 +372,19 @@ object ImageCodec {
       val stscB = fullBody(4 + 12)
       putBe32(stscB, 4, 1); putBe32(stscB, 8, 1)
       putBe32(stscB, 12, nFrames); putBe32(stscB, 16, 1)
-      val stszB = fullBody(8 + 4 * nFrames)
-      putBe32(stszB, 8, nFrames)
-      frames.indices.foreach(i => putBe32(stszB, 12 + 4 * i, frames(i).length))
+      // constant-size samples: real muxers emit the 12-byte fixed
+      // form (sample_size != 0, NO per-sample table) — fixedStsz
+      // exercises that branch of the demuxer
+      val stszB =
+        if (fixedStsz) {
+          val b = fullBody(8)
+          putBe32(b, 4, frameBytes); putBe32(b, 8, nFrames); b
+        } else {
+          val b = fullBody(8 + 4 * nFrames)
+          putBe32(b, 8, nFrames)
+          frames.indices.foreach(i => putBe32(b, 12 + 4 * i, frames(i).length))
+          b
+        }
       val stcoB = fullBody(4 + 4)
       putBe32(stcoB, 4, 1); putBe32(stcoB, 8, mdatPayloadOff)
       val stbl = box("stbl",
@@ -402,8 +413,10 @@ object ImageCodec {
     * compressed fourccs (avc1, hev1, …) still get real per-frame
     * boundaries, sizes and digests — only pixel decode needs the
     * out-of-JDK codec. None on a non-BMFF payload or any structural
-    * damage (NonFatal walk), including 64-bit largesize boxes this
-    * small-fixture path does not need. */
+    * damage (NonFatal walk). Stated generality limits: 64-bit
+    * `largesize` boxes and 64-bit `co64` chunk offsets are not
+    * handled (32-bit `stco` only) — files over 4 GiB demux as None,
+    * the honest refusal for this in-memory single-payload path. */
   def mp4Frames(payload: Array[Byte]):
       Option[(Int, Int, String, Seq[Array[Byte]])] = {
     if (!looksLikeMp4(payload)) return None
@@ -449,7 +462,15 @@ object ImageCodec {
             case "stsz" if cur != null && cur.stsz == null && size >= 20 =>
               val fixed = be32At(payload, off + 12)
               val n = be32At(payload, off + 16)
-              if (n < 0 || n > (until - off) / 4 + 1) return
+              // table-capacity bound only applies when a per-sample
+              // table EXISTS (fixed == 0); a constant-sample-size trak
+              // has a tiny stsz box regardless of n — bound that case
+              // against the file extent instead (n fixed-size samples
+              // cannot outweigh the whole payload)
+              if (n < 0) return
+              if (fixed == 0 && n > (until - off) / 4 + 1) return
+              if (fixed != 0 &&
+                  (fixed < 0 || n.toLong * fixed > payload.length)) return
               cur.stsz =
                 if (fixed != 0) Array.fill(n)(fixed)
                 else Array.tabulate(n)(i => be32At(payload, off + 20 + 4 * i))

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Lakehouse {
 
-  /** Deterministic scratch root per (query, sf-dir); wiped before each
-    * build so replays commit the identical version chain. */
+  /** Deterministic scratch root per (query, sf-dir) within one JVM;
+    * wiped before each build so replays commit the identical version
+    * chain. Unique across JVMs via [[Q.runId]] so concurrent Verify
+    * invocations (or a crashed prior run mid-write) never share paths. */
   private def scratchRoot(tag: String, sfDir: String): String = {
     val f = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_${tag}_" + Integer.toHexString(sfDir.hashCode))
+      s"graft_${tag}_" + Integer.toHexString(sfDir.hashCode) + "_" + Q.runId)
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(rm)
       p.delete(); ()
@@ -520,7 +522,8 @@ object Lakehouse {
     // oracle hash). At 100 TB this is ad-hoc SQL over the lake paying
     // one manifest read of planning cost instead of a table listing.
     Q("q132_lake_sql",
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id BETWEEN 100 AND 339
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val root = scratchRoot("lake_sql", d)

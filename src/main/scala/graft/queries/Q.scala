@@ -24,4 +24,11 @@ object Q {
     Q(name, run, Some(oracle))
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** One suffix per JVM so two concurrent Verify/Bench invocations (or
+    * a crashed prior run's leftovers) never share a scratch table path:
+    * queries that materialize committed side tables key their tmpdir
+    * roots by (tag, sfDir, THIS) instead of just tag+sfDir. */
+  val runId: String = java.lang.Long.toHexString(
+    (ProcessHandle.current().pid() << 20) ^ System.nanoTime())
 }

@@ -253,7 +253,8 @@ object Vectors {
     Q("q110_stored_ivf_ann", Vectors.ivfOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_codebook_" + Integer.toHexString(d.hashCode)).toString
+        "graft_ivf_codebook_" + Integer.toHexString(d.hashCode) +
+          "_" + Q.runId).toString
       Similarity.storeCodebook(
         Similarity.codebookFromLabels(emb, "label", "embedding"), root)
       Similarity.ivfTopK(
@@ -289,7 +290,8 @@ object Vectors {
     Q("q120_stored_pq_ann", Vectors.pqOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_pq_codebook_" + Integer.toHexString(d.hashCode)).toString
+        "graft_pq_codebook_" + Integer.toHexString(d.hashCode) +
+          "_" + Q.runId).toString
       graft.sources.Lake.commitOverwrite(
         Similarity.pqCodebooks(emb, "label", "embedding", m = 8, dims = 64)
           .select(col("sub"), col("cell"), col("centroid")), root)

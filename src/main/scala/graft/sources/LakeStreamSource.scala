@@ -34,8 +34,12 @@ import org.apache.spark.sql.types.StructType
   * exact change feed ([[Lake.changesBetween]]) when row-level
   * retractions matter. Retention: append chains keep every dir
   * referenced by the live snapshot, so a lagging stream never loses
-  * data; only rewrite-style commits prune dirs, and those require the
-  * escape hatch anyway.
+  * data — EXCEPT across layout-only maintenance (compact/z-order),
+  * which this source skips as row-preserving but which un-references
+  * the pre-rewrite dirs: a stream lagging across one races retention
+  * for those dirs, and `getBatch` refuses with the retention fix named
+  * if they were swept (run maintenance with `retain` covering the
+  * slowest consumer's lag, the standard lakehouse contract).
   *
   * Schema is pinned at stream start (the live manifest's, fully
   * nullable): later evolved columns are invisible until the stream
@@ -98,7 +102,24 @@ final class LakeStreamSource(
       case Some(n) =>
         val from = Option(start).map(o => o.json.trim.toLong)
           .orElse(startAfter).getOrElse(-1L)
-        eff.map(v => math.min(v, from + n))
+        // from+n is a version NUMBER, not necessarily a committed
+        // version: on a table whose early markers were retention-pruned
+        // (exactly the backlog case this throttle targets) checkpointing
+        // an uncommitted offset wedges the stream permanently on the
+        // start-version guard in getBatch. Anchor the cap at a
+        // reconstructible boundary: the largest committed version
+        // <= from+n, else the SMALLEST committed version > from (the
+        // minimal step the surviving markers can express), else eff.
+        eff.map { v =>
+          if (v <= from + n) v
+          else {
+            val committed =
+              Lake.committedVersionList(spark, root).filter(_ > from)
+            committed.filter(_ <= from + n).maxOption
+              .orElse(committed.minOption)
+              .getOrElse(v)
+          }
+        }
       case None => eff
     }
     capped.map(LongOffset(_)).orNull
@@ -155,6 +176,24 @@ final class LakeStreamSource(
       prev = cur
     }
     val dirs = fresh.result().distinct
+    // a stream lagging across a compaction: the compaction itself is
+    // layout-only (skipped above), but once the live snapshot no longer
+    // references the PRE-compaction dirs, retention may sweep them
+    // before this lagging batch reads them. A raw path-not-found from
+    // the parquet scan would hide the cause — check first and name the
+    // retention fix, same style as the start-version guard.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val swept = dirs.filterNot { d =>
+      val p = new Path(root, d); p.getFileSystem(hconf).exists(p)
+    }
+    if (swept.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming source on $root: data dirs ${swept.sorted.mkString(", ")} " +
+          s"named by versions (${fromV.getOrElse(-1L)}, $endV] no longer " +
+          "exist — a layout rewrite (compact/z-order) superseded them and " +
+          "retention swept them before this lagging stream read them. " +
+          "Restart with a fresh checkpoint to read the current snapshot, " +
+          "or run maintenance commits with a larger `retain`")
     // MicroBatchExecution asserts the returned frame is a STREAMING
     // one; re-tag the batch relation the way FileStreamSource does
     val plan =

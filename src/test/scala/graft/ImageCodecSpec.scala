@@ -233,6 +233,32 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.mp4Frames(payload.take(payload.length - 7)).isEmpty)
   }
 
+  test("fixed-size stsz (no per-sample table) demuxes every sample — the tiny box is not 'damage'") {
+    // 13 constant-size samples: the fixed-form stsz box is 20 bytes
+    // regardless of n, smaller than a 13-entry table could fit — a
+    // table-capacity sanity bound applied to the fixed form would
+    // reject this valid file
+    val (w, h, seed, n) = (4, 1, 7, 13)
+    val fixed = ImageCodec.mp4Dib(w, h, seed, n, fixedStsz = true)
+    val tabled = ImageCodec.mp4Dib(w, h, seed, n)
+    val (fw, fh, ffcc, fSamples) =
+      ImageCodec.mp4Frames(fixed).getOrElse(fail("fixed-stsz demux failed"))
+    val (_, _, _, tSamples) =
+      ImageCodec.mp4Frames(tabled).getOrElse(fail("tabled demux failed"))
+    assert(fw === w && fh === h && ffcc === "DIB " && fSamples.length === n)
+    // both stsz forms slice identical sample bytes
+    fSamples.zip(tSamples).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // a fixed size whose n*size overruns the file IS damage → None
+    val p = fixed.clone()
+    val stszAt = (0 until p.length - 4)
+      .find(i => p(i) == 's' && p(i + 1) == 't' && p(i + 2) == 's' &&
+        p(i + 3) == 'z').get
+    p(stszAt + 8) = 0x7f // sample_size high byte → n*size >> file length
+    assert(ImageCodec.mp4Frames(p).isEmpty)
+  }
+
   test("mp4 demux is per-trak: a preceding non-video trak never pollutes the video tables") {
     // splice a fake 'soun' trak (own hdlr + stsd/stsz/stco/stsc with
     // DIFFERENT counts) in front of the real video trak inside moov;

@@ -192,6 +192,56 @@ class LakeStreamSpec extends SparkSpec {
     assert(batchSizes.toSeq === Seq(2L, 2L, 2L))
   }
 
+  test("maxVersionsPerTrigger on pruned history anchors at a committed version, not a wedged offset") {
+    val root = tmpTable("graft-lkstream-clamp")
+    val ckpt = tmpDir("graft-lkstream-clamp-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    // retain=0 commits prune the early markers — the exact backlog
+    // case the throttle targets (long history, narrow retention)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 0) // v1
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 0) // v2
+    // fresh stream from birth, 1 version/trigger: -1+1 = 0 is NOT a
+    // committed version anymore — an unclamped cap would checkpoint
+    // offset 0 and the next batch would wedge on the start-version
+    // guard; the clamp anchors at the smallest surviving committed
+    // version instead, and the drain completes
+    drainOnce(readLake(root, Map("maxVersionsPerTrigger" -> "1")), ckpt, sink)
+    assert(sink.toSet === Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // the checkpointed offset is reconstructible: a restart is clean
+    sink.clear()
+    drainOnce(readLake(root, Map("maxVersionsPerTrigger" -> "1")), ckpt, sink)
+    assert(sink.isEmpty)
+  }
+
+  test("a lagging stream whose unread pre-compaction dir was swept gets the retention refusal") {
+    val root = tmpTable("graft-lkstream-swept")
+    val ckpt = tmpDir("graft-lkstream-swept-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    drainOnce(readLake(root), ckpt, sink) // checkpoint offset = 0
+    // while the stream lags: an append it has not read, then a
+    // compaction that un-references that dir
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8) // v1
+    Lake.compactCommitted(spark, root, retain = 8)                     // v2
+    // the dir the lagging range names is swept out-of-band (a
+    // concurrent writer's prune racing this reader, or an
+    // object-store lifecycle rule) while its manifest survives
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root, "v1"), true))
+
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(readLake(root), ckpt, sink)
+    }
+    // a curated refusal naming the retention fix, not a raw parquet
+    // path-not-found from the scan
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("retention swept"))))
+  }
+
   test("schema pinned at start: an evolved append streams under the start schema") {
     val root = tmpTable("graft-lkstream-evo")
     val ckpt = tmpDir("graft-lkstream-evo-ckpt")
