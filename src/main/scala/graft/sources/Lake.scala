@@ -55,8 +55,25 @@ object Lake {
   // place — single-file rename is the atomic primitive on HDFS and
   // POSIX, so no reader ever sees a half-written manifest. (An empty
   // marker body is read as `[v<N>]` for back-compat with the
-  // body-less overwrite-only protocol.) One writer per root (the same
-  // single-writer contract as every sink here); `retain` keeps that
+  // body-less overwrite-only protocol.)
+  //
+  // CONCURRENT WRITERS (optimistic concurrency, the Delta/Iceberg
+  // shape): append and overwrite stage their batch ONCE under a
+  // writer-unique `z<nonce>` dir that no other writer ever contests,
+  // then claim a version by publishing the manifest put-if-absent
+  // ([[publishIfAbsent]]). A loser re-reads the log: an APPEND
+  // rebases on the new live snapshot and retries as long as every
+  // intervening commit was itself append-shaped (no dirs removed) —
+  // two interleaved appenders both commit, serialized, no lost dirs;
+  // across a dir-removing commit (overwrite/merge/delete/compact) it
+  // refuses with `ConcurrentModificationException` (the world the
+  // caller derived the batch against is gone — re-derive and retry).
+  // An OVERWRITE loser always gets that refusal. MAINTENANCE commits
+  // (merge/delete/update/compact/cluster) and streaming folds keep
+  // version-named dirs and a one-maintenance-writer-at-a-time
+  // contract — they too lose the manifest race loudly, never
+  // silently — matching Delta's OPTIMIZE conflict rules. `retain`
+  // keeps that
   // many SUPERSEDED snapshots so an in-flight reader of the previous
   // version survives a concurrent commit — the same reader-retention
   // lever as any lakehouse VACUUM horizon — and pruning deletes only
@@ -65,6 +82,58 @@ object Lake {
   private def fsFor(spark: SparkSession, root: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  /** Writer-unique staged data dir name. Staged dirs are fully
+    * written BEFORE any commit attempt and are never contested — the
+    * version slot is claimed by the manifest publish alone. The `z`
+    * prefix keeps them outside the `v<version>` sweep grammar (an
+    * in-flight writer's dir must never be swept by a concurrent
+    * commit's retention prune — it has no version yet) while staying
+    * visible to readers (no `_`/`.` prefix, which Hadoop listings
+    * treat as hidden). Once committed they are swept by reference
+    * like any dir; crash-ABANDONED ones are invisible to
+    * reference-based sweeping and are reclaimed by
+    * [[vacuumCommitted]]'s staleness horizon. */
+  private def stagedDirName(): String =
+    "z" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** Atomically publish the fully-written `tmp` as `dest` IFF `dest`
+    * does not exist — the put-if-absent primitive optimistic
+    * concurrency rests on. HDFS `rename` is atomic and refuses an
+    * existing destination; POSIX `rename(2)` silently OVERWRITES, so
+    * on local filesystems the claim is a hard link (`link(2)`:
+    * atomic, EEXIST on a taken slot). Either way the loser's tmp is
+    * cleaned up and `false` returned; a reader never observes a
+    * partially-written destination. */
+  private def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, dest: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        // carry the ChecksumFileSystem sidecar so the published
+        // manifest keeps crc verification (missing crc would merely
+        // skip it, but keeping it costs one more link)
+        val crc = java.nio.file.Paths.get(
+          new Path(tmp.getParent, "." + tmp.getName + ".crc").toUri.getPath)
+        if (java.nio.file.Files.exists(crc)) {
+          val dcrc = java.nio.file.Paths.get(
+            new Path(dest.getParent, "." + dest.getName + ".crc").toUri.getPath)
+          try java.nio.file.Files.createLink(dcrc, crc)
+          catch { case _: java.nio.file.FileAlreadyExistsException => }
+        }
+        fs.delete(tmp, false); true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    case _ =>
+      if (fs.rename(tmp, dest)) true
+      else if (fs.exists(dest)) { fs.delete(tmp, false); false }
+      else throw new java.io.IOException(s"manifest rename $tmp -> $dest failed")
+  }
 
   private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
       r: Path): Seq[Long] =
@@ -889,7 +958,7 @@ object Lake {
   // ([[LakeStreamSource]]): dir NAMES, committed schema, and the raw
   // marker sequence of one snapshot, without widening the manifest
   // internals themselves
-  private[sources] def snapshotDirNames(spark: SparkSession, root: String,
+  private[graft] def snapshotDirNames(spark: SparkSession, root: String,
       version: Long): Seq[String] =
     manifestDirs(fsFor(spark, root), new Path(root), version)
 
@@ -966,14 +1035,18 @@ object Lake {
     val srcBlooms = manifestBloomsRaw(fs, sr, v)
     val dr = new Path(dstRoot)
     dfs.mkdirs(dr)
-    commitManifest(dfs, dr, 0L, abs, retain,
-      schema = manifestSchema(fs, sr, v),
-      rows = manifestRows(fs, sr, v),
-      newStats = srcStats.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
-      statsCols = manifestStatsCols(fs, sr, v),
-      newBlooms = srcBlooms.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
-      bloomCols = manifestBloomCols(fs, sr, v),
-      op = s"clone $srcRoot@v$v")
+    if (!commitManifest(dfs, dr, 0L, abs, retain,
+        schema = manifestSchema(fs, sr, v),
+        rows = manifestRows(fs, sr, v),
+        newStats = srcStats.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+        statsCols = manifestStatsCols(fs, sr, v),
+        newBlooms = srcBlooms.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+        bloomCols = manifestBloomCols(fs, sr, v),
+        op = s"clone $srcRoot@v$v"))
+      throw new IllegalStateException(
+        s"committed table already exists at $dstRoot — a concurrent writer " +
+          "bootstrapped it during the clone; clone bootstraps a NEW table, " +
+          "pick an empty root")
     0L
   }
 
@@ -1239,9 +1312,28 @@ object Lake {
   private[graft] def commitVersion(spark: SparkSession, root: String,
       version: Long, dirs: Seq[String], retain: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
-    commitManifest(fsFor(spark, root), new Path(root), version, dirs, retain,
-      schema, op = "fold")
+    if (!commitManifest(fsFor(spark, root), new Path(root), version, dirs,
+        retain, schema, op = "fold"))
+      throw new java.util.ConcurrentModificationException(
+        s"fold commit of version $version at $root lost the slot to a " +
+          "concurrent writer — fold tables have ONE streaming writer " +
+          "(checkpoint lineage); a contested version means two writers " +
+          "share this root")
 
+  /** TEST SEAM: runs between a manifest's build and its put-if-absent
+    * publish — exactly the window a concurrent writer's commit can
+    * occupy. Production value is a no-op; LakeSpec installs a
+    * SELF-RESETTING closure (it must reset itself first, or the
+    * concurrent commit it performs recurses forever) to exercise the
+    * optimistic-concurrency loser paths deterministically. */
+  private[graft] var beforePublish: () => Unit = () => ()
+
+  /** Build and publish the version-`version` manifest put-if-absent.
+    * Returns true when this writer won the version slot (retention
+    * then pruned), false when a concurrent writer committed `version`
+    * first — the caller decides whether to rebase-and-retry (append),
+    * refuse (overwrite/maintenance), or treat it as a protocol
+    * violation (single-writer folds). */
   private def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       version: Long, dirs: Seq[String], retain: Int,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -1251,7 +1343,7 @@ object Lake {
       newFileStats: Map[String, Map[String, String]] = Map.empty,
       newBlooms: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Nil,
-      op: String = "commit"): Unit = {
+      op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
     // this commit wrote get fresh lines. Resolved BEFORE the rename
@@ -1284,7 +1376,13 @@ object Lake {
     val effBloom =
       if (bloomCols.nonEmpty) bloomCols
       else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
-    val tmp = new Path(r, s"_commit_$version.tmp")
+    // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
+    // racing writers interleave create/write/publish on one file and
+    // publish each other's bodies — the nonce makes every writer's
+    // pre-publish state private (the `.tmp` suffix keeps it out of
+    // committedVersions and readable-version listings)
+    val tmp = new Path(r, s"_commit_$version." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     val body = dirs ++ Seq(OpPrefix + op) ++
       schema.map(s => SchemaPrefix + s.json) ++
@@ -1295,10 +1393,16 @@ object Lake {
        else Nil) ++
       statsLines ++ fileStatsLines ++ bloomLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(r, s"_commit_$version"))) // THE commit point
-      throw new java.io.IOException(s"manifest rename failed for version $version")
+    // test seam: the window between manifest build and publish is
+    // where a concurrent writer's commit lands — specs swap in a
+    // self-resetting closure that commits here to force slot loss
+    // DETERMINISTICALLY (thread-race tests would flake green)
+    beforePublish()
+    // THE commit point: atomic put-if-absent of the marker
+    if (!publishIfAbsent(fs, tmp, new Path(r, s"_commit_$version")))
+      return false
     pruneRetention(fs, r, retain)
-    ()
+    true
   }
 
   /** The retention prune every commit runs: keep the live snapshot
@@ -1310,13 +1414,21 @@ object Lake {
     * also reclaims orphans from a PAST crash between a prune's
     * marker and dir deletions — they are referenced by no manifest
     * and could never be resurrected. A writer-in-progress dir is
-    * never swept: its version exceeds every committed one.
+    * never swept: a version-named (`v<N>`) one exceeds every
+    * committed version, and a staged (`z<nonce>`) one is only ever
+    * swept by reference from a manifest pruned in this very call —
+    * an in-flight stage is referenced by nothing and untouchable
+    * here (crash-abandoned stages age out via [[vacuumCommitted]]).
     * @return (pruned manifest versions, swept dir names) */
   private def pruneRetention(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       retain: Int): (Seq[Long], Seq[String]) = {
     val all = committedVersions(fs, r)
     if (all.isEmpty) return (Nil, Nil)
     val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
+    // staged (`z`) dirs carry no version in their name, so they are
+    // sweepable only by REFERENCE: record what the to-be-pruned
+    // manifests referenced BEFORE deleting them
+    val staleRefs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet
     stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
     val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
     val maxV = all.last
@@ -1325,10 +1437,20 @@ object Lake {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .foreach { n =>
-        if (n.startsWith("v") && !keptRefs.contains(n))
-          n.stripPrefix("v").toLongOption.foreach { v =>
-            if (v <= maxV) { fs.delete(new Path(r, n), true); swept += n }
+        if (!keptRefs.contains(n)) {
+          if (n.startsWith("v"))
+            n.stripPrefix("v").toLongOption.foreach { v =>
+              if (v <= maxV) { fs.delete(new Path(r, n), true); swept += n }
+            }
+          // a staged dir whose last reference was just pruned is dead
+          // (it WAS committed once, so it is not in-flight). A staged
+          // dir referenced by NO manifest may belong to an in-flight
+          // writer — only vacuumCommitted's staleness horizon touches
+          // those.
+          else if (n.startsWith("z") && staleRefs.contains(n)) {
+            fs.delete(new Path(r, n), true); swept += n
           }
+        }
       }
     (stale, swept.result())
   }
@@ -1343,20 +1465,51 @@ object Lake {
     * pruned versions fail fast naming the remaining horizon). Also
     * reclaims orphan dirs from past crashed writers below the live
     * version; an in-progress writer dir (above it) is never touched.
+    *
+    * `staleStagedMs` additionally reclaims crash-ABANDONED optimistic
+    * writes: staged `z<nonce>` dirs referenced by no manifest, and
+    * orphaned `_commit_*.tmp` marker files, older than the horizon.
+    * Delta's VACUUM contract applies verbatim — never set the horizon
+    * below your longest-running writer's staging time, or an
+    * in-flight commit's data is swept from under it (the 7-day
+    * default is Delta's own).
     * @return (pruned manifest versions, swept data dir names) */
   def vacuumCommitted(spark: SparkSession, root: String,
-      retain: Int = 1): (Seq[Long], Seq[String]) = {
+      retain: Int = 1,
+      staleStagedMs: Long = 7L * 24 * 60 * 60 * 1000): (Seq[Long], Seq[String]) = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(staleStagedMs >= 0, s"staleStagedMs must be >= 0, got $staleStagedMs")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     if (committedVersions(fs, r).isEmpty)
       throw new java.util.NoSuchElementException(s"no committed table at $root")
-    pruneRetention(fs, r, retain)
+    val (pruned, swept) = pruneRetention(fs, r, retain)
+    val live = committedVersions(fs, r)
+      .flatMap(v => manifestDirs(fs, r, v)).toSet
+    val cutoff = System.currentTimeMillis() - staleStagedMs
+    val aged = Seq.newBuilder[String]
+    fs.listStatus(r).foreach { st =>
+      val n = st.getPath.getName
+      val abandoned =
+        (st.isDirectory && n.startsWith("z") && !live.contains(n)) ||
+          (st.isFile && n.startsWith("_commit_") && n.endsWith(".tmp"))
+      if (abandoned && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true)
+        aged += n
+      }
+    }
+    (pruned, swept ++ aged.result())
   }
 
   /** Replace the table at `root` with `df`, committing via one atomic
-    * manifest rename — no reader-visible gap at any crash point (see
-    * protocol above). Returns the committed version. */
+    * manifest publish — no reader-visible gap at any crash point (see
+    * protocol above). Optimistically concurrent: the batch stages
+    * under a writer-unique dir, so concurrent writers never touch
+    * each other's data; losing the version slot to ANY concurrent
+    * commit is a refusal (`ConcurrentModificationException`) — an
+    * overwrite replaces a snapshot its caller derived against, so
+    * the caller must re-derive and retry, Delta's rule. Returns the
+    * committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
@@ -1364,22 +1517,28 @@ object Lake {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    // allocate past EVERY committed marker, not just the live one: a
-    // defensively-ignored manifest (data dirs lost) still owns its
-    // number, and renaming a new manifest onto it would fail forever
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, statsCols)
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
-    // data first, completely; an interrupted write leaves an orphan
-    // dir the next commit of the same version overwrites
-    df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
-      .map(s"v$next" -> _).toMap
-    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-      .map(s"v$next" -> _).toMap
-    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema), rowCount,
-      stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-      op = "overwrite")
+    // data first, completely, under a dir no other writer contests
+    val staged = stagedDirName()
+    df.write.mode("overwrite").parquet(new Path(r, staged).toString)
+    val stats = dirStatsJson(spark, new Path(r, staged).toString, effStats)
+      .map(staged -> _).toMap
+    val blooms = dirBloomJson(spark, new Path(r, staged).toString, effBloom)
+      .map(staged -> _).toMap
+    // allocate past EVERY committed marker, not just the live one: a
+    // defensively-ignored manifest (data dirs lost) still owns its
+    // number, and publishing onto it would conflict forever
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, Seq(staged), retain, Some(df.schema),
+        rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+        op = "overwrite")) {
+      fs.delete(new Path(r, staged), true)
+      throw new java.util.ConcurrentModificationException(
+        s"overwrite of $root lost version $next to a concurrent commit — " +
+          "an overwrite replaces the snapshot its caller derived against; " +
+          "re-derive against the current table and retry")
+    }
     next
   }
 
@@ -1388,7 +1547,19 @@ object Lake {
     * This is the lake form of the K1 append sink — at 100 TB the
     * nightly load writes only its batch, and readers still swap
     * snapshots atomically. First commit on an empty root bootstraps
-    * the table. Returns the committed version. */
+    * the table.
+    *
+    * Optimistically concurrent (Delta's blind-append rule): the batch
+    * writes ONCE to a writer-unique staged dir; each commit attempt
+    * only builds a manifest, so losing the version slot costs a
+    * manifest read, never a re-run of the job. A loser REBASES on the
+    * new live snapshot and retries as long as every intervening
+    * commit was itself append-shaped — N interleaved appenders all
+    * commit, serialized, no lost dirs. An intervening commit that
+    * REMOVED dirs (overwrite/merge/delete/compact) changed rows this
+    * append never saw: refused with `ConcurrentModificationException`
+    * rather than guessed (re-derive the batch and retry).
+    * Returns the committed version. */
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
@@ -1398,40 +1569,84 @@ object Lake {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val cur = currentVersion(spark, root)
-    // number allocation vs committedVersions (see commitOverwrite);
-    // the snapshot to extend is the LIVE one
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
-    val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
-    // the committed schema evolves by MERGE (add-nullable-column; type
-    // changes refused — see mergeSchemas). A legacy manifest without a
-    // schema line infers its schema once here, so its first post-
-    // upgrade append migrates the table to carried-schema reads.
-    val prevSchema = cur.flatMap(v => manifestSchema(fs, r, v))
-      .orElse(cur.map(v => spark.read.parquet(
-        manifestDirs(fs, r, v).map(d => new Path(r, d).toString): _*).schema))
-    val schema = prevSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
-    // the appended snapshot's count = previous + batch, when the
-    // caller supplied the batch count AND the chain carried one
-    // (bootstrap: the batch count alone)
-    val rows = rowCount.flatMap { n =>
-      cur match {
-        case Some(v) => manifestRows(fs, r, v).map(_ + n)
-        case None    => Some(n)
-      }
-    }
     val effStats = effectiveStatsCols(fs, r, statsCols)
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
-    df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    val staged = stagedDirName()
+    df.write.mode("overwrite").parquet(new Path(r, staged).toString)
     // O(batch): stats only for the new dir; reused dirs' lines carry
-    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
-      .map(s"v$next" -> _).toMap
-    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-      .map(s"v$next" -> _).toMap
-    commitManifest(fs, r, next, prevDirs :+ s"v$next", retain, Some(schema), rows,
-      stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-      op = op)
-    next
+    val stats = dirStatsJson(spark, new Path(r, staged).toString, effStats)
+      .map(staged -> _).toMap
+    val blooms = dirBloomJson(spark, new Path(r, staged).toString, effBloom)
+      .map(staged -> _).toMap
+    // the snapshot this append staged against; every retry re-checks
+    // that the commits landing after it were all append-shaped
+    val base = committedVersions(fs, r).maxOption.getOrElse(-1L)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val committed = committedVersions(fs, r)
+      if (base >= 0 && !committed.contains(base))
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root: the base version $base this append staged " +
+            "against was retention-pruned during the commit race — the " +
+            "append-only interleaving cannot be proven; re-derive and retry " +
+            "(or commit with a larger `retain`)")
+      // rebase validation: every commit that landed since `base` must
+      // itself be append-shaped (dirs only added) for a blind rebase
+      // to be sound
+      (base +: committed.filter(_ > base)).filter(_ >= 0)
+        .sliding(2).foreach {
+          case Seq(a, b) =>
+            val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
+            if (removed.nonEmpty) {
+              fs.delete(new Path(r, staged), true)
+              throw new java.util.ConcurrentModificationException(
+                s"append to $root: concurrent commit v$b removed dirs " +
+                  s"${removed.toSeq.sorted.mkString(", ")} " +
+                  "(overwrite/merge/delete/compact) while this append was " +
+                  "staging — a blind-append rebase is only sound across " +
+                  "appends; re-derive the batch against the current " +
+                  "snapshot and retry")
+            }
+          case _ => // single element: nothing landed since base
+        }
+      val cur = committed.lastOption
+      // number allocation vs committedVersions (see commitOverwrite);
+      // the snapshot to extend is the LIVE one
+      val next = cur.map(_ + 1).getOrElse(0L)
+      val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
+      // the committed schema evolves by MERGE (add-nullable-column;
+      // type changes refused — see mergeSchemas). A legacy manifest
+      // without a schema line infers its schema once here, so its
+      // first post-upgrade append migrates the table to
+      // carried-schema reads.
+      val prevSchema = cur.flatMap(v => manifestSchema(fs, r, v))
+        .orElse(cur.map(v => spark.read.parquet(
+          manifestDirs(fs, r, v).map(d => new Path(r, d).toString): _*).schema))
+      val schema = prevSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+      // the appended snapshot's count = previous + batch, when the
+      // caller supplied the batch count AND the chain carried one
+      // (bootstrap: the batch count alone)
+      val rows = rowCount.flatMap { n =>
+        cur match {
+          case Some(v) => manifestRows(fs, r, v).map(_ + n)
+          case None    => Some(n)
+        }
+      }
+      if (commitManifest(fs, r, next, prevDirs :+ staged, retain, Some(schema),
+          rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+          op = op))
+        return next
+      // lost the slot: a concurrent writer committed `next` first.
+      // Loop — the next pass validates what landed and rebases.
+      if (attempt >= 100) {
+        fs.delete(new Path(r, staged), true)
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root lost $attempt consecutive commit races — " +
+            "pathological contention; back off and retry")
+      }
+    }
+    -1L // unreachable
   }
 
   /** Per-row MERGE INTO a committed table — the copy-on-write form of
@@ -1522,9 +1737,16 @@ object Lake {
       val effBloom = effectiveBloomCols(fs, r, Nil)
       val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
         .map(s"v$next" -> _).toMap
-      commitManifest(fs, r, next, untouched :+ s"v$next", retain,
-        carried.orElse(Some(rewritten.schema)), None, stats, effStats,
-        newBlooms = blooms, bloomCols = effBloom, op = "merge")
+      if (!commitManifest(fs, r, next, untouched :+ s"v$next", retain,
+          carried.orElse(Some(rewritten.schema)), None, stats, effStats,
+          newBlooms = blooms, bloomCols = effBloom, op = "merge")) {
+        fs.delete(new Path(r, s"v$next"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"merge into $root lost version $next to a concurrent commit — " +
+            "the merge read a snapshot that is no longer live; re-run " +
+            "against the current table (maintenance commits are " +
+            "one-writer-at-a-time, Delta's OPTIMIZE conflict rule)")
+      }
       next
     } finally { latest.unpersist(); () }
   }
@@ -1644,9 +1866,15 @@ object Lake {
     val effBloom = effectiveBloomCols(fs, r, Nil)
     val freshBlooms = newDir.flatMap(d =>
       dirBloomJson(spark, new Path(r, d).toString, effBloom).map(d -> _)).toMap
-    commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
-      carried, None, freshStats, effStats,
-      newBlooms = freshBlooms, bloomCols = effBloom, op = "delete")
+    if (!commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
+        carried, None, freshStats, effStats,
+        newBlooms = freshBlooms, bloomCols = effBloom, op = "delete")) {
+      newDir.foreach(d => fs.delete(new Path(r, d), true))
+      throw new java.util.ConcurrentModificationException(
+        s"delete on $root lost version $next to a concurrent commit — " +
+          "the delete classified a snapshot that is no longer live; " +
+          "re-run against the current table")
+    }
     next
   }
 
@@ -1710,9 +1938,15 @@ object Lake {
     val freshBlooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
       .map(s"v$next" -> _).toMap
     // updates are row-preserving: the metadata count carries over
-    commitManifest(fs, r, next, kept :+ s"v$next", retain,
-      carried, manifestRows(fs, r, cur), freshStats, effStats,
-      newBlooms = freshBlooms, bloomCols = effBloom, op = "update")
+    if (!commitManifest(fs, r, next, kept :+ s"v$next", retain,
+        carried, manifestRows(fs, r, cur), freshStats, effStats,
+        newBlooms = freshBlooms, bloomCols = effBloom, op = "update")) {
+      fs.delete(new Path(r, s"v$next"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"update on $root lost version $next to a concurrent commit — " +
+          "the update rewrote a snapshot that is no longer live; re-run " +
+          "against the current table")
+    }
     next
   }
 
@@ -1755,9 +1989,15 @@ object Lake {
     val effBloom = effectiveBloomCols(fs, r, Nil)
     val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
       .map(s"v$next" -> _).toMap
-    commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
-      manifestRows(fs, r, cur), stats, effStats,
-      newBlooms = blooms, bloomCols = effBloom, op = "compact")
+    if (!commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
+        manifestRows(fs, r, cur), stats, effStats,
+        newBlooms = blooms, bloomCols = effBloom, op = "compact")) {
+      fs.delete(new Path(r, s"v$next"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"compaction of $root lost version $next to a concurrent commit — " +
+          "the collapsed snapshot is no longer live; re-run against the " +
+          "current table")
+    }
     next
   }
 
@@ -1853,10 +2093,16 @@ object Lake {
     val effBloom = effectiveBloomCols(fs, r, Nil)
     val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
       .map(s"v$next" -> _).toMap
-    commitManifest(fs, r, next, Seq(s"v$next"), retain,
-      Some(clustered.schema), manifestRows(fs, r, cur),
-      Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons),
-      newBlooms = blooms, bloomCols = effBloom, op = "zorder")
+    if (!commitManifest(fs, r, next, Seq(s"v$next"), retain,
+        Some(clustered.schema), manifestRows(fs, r, cur),
+        Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons),
+        newBlooms = blooms, bloomCols = effBloom, op = "zorder")) {
+      fs.delete(new Path(r, s"v$next"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"clustering of $root lost version $next to a concurrent commit — " +
+          "the clustered snapshot is no longer live; re-run against the " +
+          "current table")
+    }
     next
   }
 

@@ -11,6 +11,15 @@ class LakeSpec extends SparkSpec {
   private def tmpTable(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
 
+  /** The data dir each of versions 0..n added to an append-built
+    * table — OCC appends stage writer-unique dir names, so tests
+    * resolve them by consecutive snapshot diff instead of assuming
+    * `v<version>`. */
+  private def batchDirs(root: String, n: Int): IndexedSeq[String] =
+    (0 to n).scanLeft(Set.empty[String]) { (_, b) =>
+      Lake.snapshotDirNames(spark, root, b.toLong).toSet
+    }.sliding(2).collect { case Seq(a, b) => (b -- a).head }.toIndexedSeq
+
   test("manifest commit: versions sequence, readers resolve the live one, retention prunes") {
     val root = tmpTable("graft-lake-commit")
     assert(Lake.currentVersion(spark, root).isEmpty)
@@ -22,10 +31,17 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(3L, "c")))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    // default retain=1: v1 survives for in-flight readers, v0 pruned
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v0")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v1")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v2")))
+    // default retain=1: version 1's data dir survives for in-flight
+    // readers, version 0's is pruned (dir names are writer-unique
+    // staged nonces; resolve them through the retained manifests)
+    val d1 = Lake.snapshotDirNames(spark, root, 1L)
+    val d2 = Lake.snapshotDirNames(spark, root, 2L)
+    assert(d1.nonEmpty && d2.nonEmpty && d1 != d2)
+    (d1 ++ d2).foreach(d =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, d))))
+    // only the two retained snapshots' dirs (and markers) remain
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet === (d1 ++ d2).toSet)
   }
 
   test("manifest commit crash sweep: every crash point leaves a readable current table") {
@@ -113,12 +129,14 @@ class LakeSpec extends SparkSpec {
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
     assert(Lake.resolve(spark, root).length === 3)
     assert(!fs.exists(new Path(root, "_commit_0")))
-    assert(fs.exists(new Path(root, "v0")) && fs.exists(new Path(root, "v1")))
+    val batchDirs = Lake.snapshotDirNames(spark, root, 2L)
+    assert(batchDirs.length === 3)
+    batchDirs.foreach(d => assert(fs.exists(new Path(root, d))))
     // an overwrite collapses the snapshot; with retain = 0 the now-
     // unreferenced batch dirs are vacuumed
     assert(Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root, retain = 0) === 3L)
     assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
-    Seq("v0", "v1", "v2").foreach(d =>
+    batchDirs.foreach(d =>
       assert(!fs.exists(new Path(root, d)), s"$d should be vacuumed"))
   }
 
@@ -268,7 +286,13 @@ class LakeSpec extends SparkSpec {
       base, changes, Seq("k"), "ver", "is_del"))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val v0Before = fs.listStatus(new Path(root, "v0"))
+    // the three batch dirs carry staged (writer-unique) names; resolve
+    // them by snapshot diff
+    val dir0 = Lake.snapshotDirNames(spark, root, 0L).head
+    val dir1 = (Lake.snapshotDirNames(spark, root, 1L).toSet - dir0).head
+    val dir2 = (Lake.snapshotDirNames(spark, root, 2L).toSet -
+      dir0 - dir1).head
+    val v0Before = fs.listStatus(new Path(root, dir0))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
     val v = Lake.mergeCommitted(spark, root, changes, Seq("k"), "ver", "is_del")
     assert(v === 3L)
@@ -276,12 +300,12 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)) === expect)
     assert(rows(Lake.readCommitted(spark, root)) ===
       Set(Seq(1L, 10L, "a"), Seq(2L, 20L, "B"), Seq(4L, 13L, "d"), Seq(9L, 22L, "new")))
-    // copy-on-write: untouched dirs v0/v2 are REUSED BY REFERENCE in
-    // the new snapshot (byte-identical files), touched v1 is not
+    // copy-on-write: untouched batch dirs 0/2 are REUSED BY REFERENCE
+    // in the new snapshot (byte-identical files), touched dir 1 is not
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(live.contains("v0") && live.contains("v2") && live.contains("v3"))
-    assert(!live.contains("v1"))
-    assert(fs.listStatus(new Path(root, "v0"))
+    assert(live.contains(dir0) && live.contains(dir2) && live.contains("v3"))
+    assert(!live.contains(dir1))
+    assert(fs.listStatus(new Path(root, dir0))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet === v0Before)
     // time travel still serves the pre-merge snapshot
     assert(rows(Lake.readCommittedAt(spark, root, 2L)) === rows(base))
@@ -292,7 +316,7 @@ class LakeSpec extends SparkSpec {
       Seq("k"), "ver", "is_del")
     assert(v2 === 4L)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(Set("v0", "v2", "v3", "v4").subsetOf(live2))
+    assert(Set(dir0, dir2, "v3", "v4").subsetOf(live2))
     assert(Lake.readCommitted(spark, root).count() === 5L)
     // an all-stale guarded batch has no effective winners → no commit
     val v3 = Lake.mergeCommitted(spark, root,
@@ -667,16 +691,19 @@ class LakeSpec extends SparkSpec {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     def fileSig(d: String) = fs.listStatus(new Path(root, d))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
-    val sigs = (0 to 3).map(b => fileSig(s"v$b"))
+    // resolve each ranged batch's staged dir name by snapshot diff
+    val bDirs = batchDirs(root, 3)
+    val sigs = (0 to 3).map(b => fileSig(bDirs(b)))
 
-    // 1. delete an exact dir range: [0,10) — v0 provably all-match →
-    //    dropped METADATA-ONLY (no new data dir), v1..v3 reused by ref
+    // 1. delete an exact dir range: [0,10) — batch 0's dir provably
+    //    all-match → dropped METADATA-ONLY (no new data dir), batches
+    //    1..3 reused by ref
     val preV = Lake.currentVersion(spark, root).get
     val v = Lake.deleteWhere(spark, root, col("k") < 10L, retain = 4)
     assert(v === preV + 1)
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(live === Set("v1", "v2", "v3")) // no new dir was written
-    (1 to 3).foreach(b => assert(fileSig(s"v$b") === sigs(b))) // byte-identical
+    assert(live === Set(bDirs(1), bDirs(2), bDirs(3))) // no new dir was written
+    (1 to 3).foreach(b => assert(fileSig(bDirs(b)) === sigs(b))) // byte-identical
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       (10L until 40L).map(Seq(_)).toSet)
     // the change feed derives the drop as plain deletes
@@ -688,8 +715,9 @@ class LakeSpec extends SparkSpec {
     //    one new dir, v3 reused; NULL-keeping filter semantics
     val v2 = Lake.deleteWhere(spark, root, col("k").between(15L, 24L), retain = 4)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(live2.contains("v3") && !live2.contains("v1") && !live2.contains("v2"))
-    assert(fileSig("v3") === sigs(3))
+    assert(live2.contains(bDirs(3)) && !live2.contains(bDirs(1)) &&
+      !live2.contains(bDirs(2)))
+    assert(fileSig(bDirs(3)) === sigs(3))
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       ((10L to 14L) ++ (25L to 39L)).map(Seq(_)).toSet)
 
@@ -752,15 +780,16 @@ class LakeSpec extends SparkSpec {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     def fileSig(d: String) = fs.listStatus(new Path(root, d))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
-    val sig3 = fileSig("v3")
+    val bDirs = batchDirs(root, 3)
+    val sig3 = fileSig(bDirs(3))
     val preV = Lake.currentVersion(spark, root).get
-    // touch [5,24]: v0..v2 rewrite, v3 reused by reference
+    // touch [5,24]: batches 0..2 rewrite, batch 3 reused by reference
     val v = Lake.updateWhere(spark, root, col("k").between(5L, 24L),
       Map("amt" -> (col("amt") + 1L), "t" -> upper(col("t"))), retain = 4)
     assert(v === preV + 1)
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(live.contains("v3") && !live.contains("v0"))
-    assert(fileSig("v3") === sig3)
+    assert(live.contains(bDirs(3)) && !live.contains(bDirs(0)))
+    assert(fileSig(bDirs(3)) === sig3)
     val back = Lake.readCommitted(spark, root)
     assert(back.count() === 40L)
     // updated rows transformed, others (including the reused dir) intact
@@ -787,25 +816,32 @@ class LakeSpec extends SparkSpec {
     import org.apache.hadoop.fs.Path
     val root = tmpTable("graft-lake-bloom")
     // hash-interleaved appends: every dir spans the FULL key range
-    // (k%4), so range stats prune nothing; the per-dir bloom must
-    (0L until 4L).foreach { b =>
+    // (k%4), so range stats prune nothing; the per-dir bloom must.
+    // retain=0 prunes old markers as we go, so capture each batch's
+    // staged dir name right after its commit.
+    var seen = Set.empty[String]
+    val bDirs = (0L until 4L).map { b =>
       Lake.commitAppend(
         (0L until 400L).filter(_ % 4 == b).map(k => (k, s"n$k")).toDF("k", "t"),
         root, retain = 0, statsCols = Seq("k"), bloomCols = Seq("k", "t"))
-      ()
+      val cur = Lake.snapshotDirNames(spark, root, b).toSet
+      val added = (cur -- seen).head
+      seen = cur
+      added
     }
-    // k=37 lives only in dir v1 (37%4==1); ranges keep all four
+    // k=37 lives only in batch 1's dir (37%4==1); ranges keep all four
     val (keptR, _) = Lake.pruneDirs(spark, root, col("k") === 37L)
-    assert(keptR.map(p => new Path(p).getName) === Seq("v1"))
+    assert(keptR.map(p => new Path(p).getName) === Seq(bDirs(1)))
     assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 37L)) ===
       Set(Seq(37L, "n37")))
     // string-column bloom probes too
     val (keptS, _) = Lake.pruneDirs(spark, root, col("t") === "n38")
-    assert(keptS.map(p => new Path(p).getName) === Seq("v2"))
+    assert(keptS.map(p => new Path(p).getName) === Seq(bDirs(2)))
     // IN-list keeps exactly the union of matching dirs
     val (keptIn, skippedIn) = Lake.pruneDirs(spark, root,
       col("k").isin(37L, 102L))
-    assert(keptIn.map(p => new Path(p).getName).toSet === Set("v1", "v2"))
+    assert(keptIn.map(p => new Path(p).getName).toSet ===
+      Set(bDirs(1), bDirs(2)))
     assert(skippedIn.size === 2)
     // a definitely-absent key skips every dir, result still exact-empty
     val (keptNone, _) = Lake.pruneDirs(spark, root, col("k") === 9999L)
@@ -835,21 +871,22 @@ class LakeSpec extends SparkSpec {
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     def fileSig(d: String) = fs.listStatus(new Path(root, d))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
-    val sigs = (0 to 3).map(b => fileSig(s"v$b"))
-    // delete k=37: only v1 can hold it — v0/v2/v3 reused by reference
+    val bDirs = batchDirs(root, 3)
+    val sigs = (0 to 3).map(b => fileSig(bDirs(b)))
+    // delete k=37: only batch 1's dir can hold it — 0/2/3 reused by ref
     Lake.deleteWhere(spark, root, col("k") === 37L, retain = 4)
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(!live.contains("v1"))
-    Seq(0, 2, 3).foreach(b => assert(fileSig(s"v$b") === sigs(b)))
+    assert(!live.contains(bDirs(1)))
+    Seq(0, 2, 3).foreach(b => assert(fileSig(bDirs(b)) === sigs(b)))
     assert(Lake.readCommitted(spark, root).where(col("k") === 37L).isEmpty)
     assert(Lake.readCommitted(spark, root).count() === 399L)
-    // update k=102: only v2 can hold it
-    val sig0 = fileSig("v0"); val sig3b = fileSig("v3")
+    // update k=102: only batch 2's dir can hold it
+    val sig0 = fileSig(bDirs(0)); val sig3b = fileSig(bDirs(3))
     Lake.updateWhere(spark, root, col("k") === 102L,
       Map("amt" -> lit(-1L)), retain = 4)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(!live2.contains("v2"))
-    assert(fileSig("v0") === sig0 && fileSig("v3") === sig3b)
+    assert(!live2.contains(bDirs(2)))
+    assert(fileSig(bDirs(0)) === sig0 && fileSig(bDirs(3)) === sig3b)
     assert(rows(Lake.readCommitted(spark, root).where(col("k") === 102L)) ===
       Set(Seq(102L, -1L)))
   }
@@ -893,6 +930,21 @@ class LakeSpec extends SparkSpec {
     // retain=0 leaves exactly the live snapshot
     Lake.vacuumCommitted(spark, root, retain = 0)
     assert(Lake.readableVersions(spark, root) === Seq(3L))
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+    // crash-ABANDONED optimistic stages (a z-dir referenced by no
+    // manifest, an orphaned manifest tmp) age out past the horizon;
+    // a FRESH stage — possibly an in-flight writer — is spared
+    fs.mkdirs(new Path(root, "zdeadbeef0000"))
+    fs.create(new Path(root, "_commit_9.abcd1234.tmp"), true).close()
+    fs.mkdirs(new Path(root, "zfresh0000000"))
+    fs.setTimes(new Path(root, "zdeadbeef0000"), 1000L, -1)
+    fs.setTimes(new Path(root, "_commit_9.abcd1234.tmp"), 1000L, -1)
+    val (_, swept2) = Lake.vacuumCommitted(spark, root, retain = 0,
+      staleStagedMs = 60L * 1000)
+    assert(swept2.contains("zdeadbeef0000") &&
+      swept2.contains("_commit_9.abcd1234.tmp"))
+    assert(!fs.exists(new Path(root, "zdeadbeef0000")))
+    assert(fs.exists(new Path(root, "zfresh0000000"))) // in-flight: spared
     assert(Lake.readCommitted(spark, root).count() === 4L)
     intercept[java.util.NoSuchElementException] {
       Lake.vacuumCommitted(spark, tmpTable("graft-lake-vac-none"))
@@ -1051,5 +1103,112 @@ class LakeSpec extends SparkSpec {
     intercept[java.util.NoSuchElementException] {
       Lake.readCommitted(spark, dst2).collect()
     }
+  }
+
+  /** Install a beforePublish seam that runs `body` exactly once, in
+    * the window between the NEXT commit's manifest build and its
+    * publish — i.e. as a deterministic "concurrent" commit. The seam
+    * self-resets first so the commit it performs does not recurse. */
+  private def raceOnce(body: => Unit): Unit =
+    Lake.beforePublish = () => {
+      Lake.beforePublish = () => ()
+      body
+    }
+
+  test("OCC: two interleaved appenders both commit, serialized, no lost dirs") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-occ-app")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    try {
+      // appender B lands INSIDE appender A's build->publish window:
+      // A stages, builds its manifest for v1 — then B commits v1
+      // first. A must lose the slot, rebase on B's snapshot, and
+      // commit v2 with BOTH dirs.
+      raceOnce {
+        Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+        ()
+      }
+      val vA = Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8)
+      assert(vA === 2L) // serialized AFTER the interleaved appender
+      assert(Lake.currentVersion(spark, root) === Some(2L))
+      // no lost dirs: all three batches' rows are in the live snapshot
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+      assert(Lake.resolve(spark, root).length === 3)
+      // every intermediate snapshot is consistent too
+      assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+      // the loser's doomed manifest tmp did not leak
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(new Path(root)).exists(
+        _.getPath.getName.endsWith(".tmp")))
+    } finally Lake.beforePublish = () => ()
+  }
+
+  test("OCC: a conflicting overwrite loser gets the documented refusal; nothing is lost") {
+    val root = tmpTable("graft-lake-occ-ow")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    try {
+      raceOnce {
+        Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+        ()
+      }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root, retain = 8)
+      }
+      assert(e.getMessage.contains("re-derive"))
+      // the interleaved append WON and nothing of it was lost; the
+      // loser's staged dir was cleaned up
+      assert(Lake.currentVersion(spark, root) === Some(1L))
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+      assert(Lake.resolve(spark, root).length === 2)
+      // the documented recovery works: re-derive and retry
+      assert(Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root,
+        retain = 8) === 2L)
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
+    } finally Lake.beforePublish = () => ()
+  }
+
+  test("OCC: an append racing a dir-removing commit refuses instead of rebasing blindly") {
+    val root = tmpTable("graft-lake-occ-rm")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    try {
+      // an OVERWRITE lands inside the append's window: the rebase
+      // validation sees removed dirs and must refuse — silently
+      // appending onto a replaced table would resurrect superseded
+      // context the appender derived its batch from
+      raceOnce {
+        Lake.commitOverwrite(Seq((9L, "z")).toDF("k", "t"), root, retain = 8)
+        ()
+      }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+      }
+      assert(e.getMessage.contains("removed dirs"))
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
+    } finally Lake.beforePublish = () => ()
+  }
+
+  test("OCC: eight genuinely concurrent appenders all commit; the table holds every batch") {
+    val root = tmpTable("graft-lake-occ-par")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { i =>
+      new Thread(() =>
+        try {
+          gate.await()
+          Lake.commitAppend(Seq((i.toLong, s"t$i")).toDF("k", "t"), root,
+            retain = 16)
+          ()
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appenders failed: ${errs.peek()}")
+    assert(Lake.currentVersion(spark, root) === Some(7L)) // dense, serialized
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      (0 until 8).map(i => Seq(i.toLong, s"t$i")).toSet)
+    assert(Lake.resolve(spark, root).length === 8)
   }
 }

@@ -227,9 +227,11 @@ class LakeStreamSpec extends SparkSpec {
     // the dir the lagging range names is swept out-of-band (a
     // concurrent writer's prune racing this reader, or an
     // object-store lifecycle rule) while its manifest survives
+    val d1 = (Lake.snapshotDirNames(spark, root, 1L).toSet --
+      Lake.snapshotDirNames(spark, root, 0L)).head
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(root, "v1"), true))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(root, d1), true))
 
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
