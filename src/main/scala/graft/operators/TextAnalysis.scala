@@ -606,6 +606,106 @@ object TextAnalysis {
         col("token"), coalesce(col("token_id"), lit(unkId)).as("token_id"))
   }
 
+  /** BPE subword merge TRAINING — the Sennrich byte-pair-encoding
+    * loop (the public `learn_bpe` algorithm: count adjacent symbol
+    * pairs, merge the most frequent, repeat) re-expressed over word
+    * TYPES, the classic trick that makes BPE train at corpus scale:
+    * the corpus enters ONCE through a (token, count) aggregate, and
+    * every merge round then works on the vocab-sized type table —
+    * at 100 TB that is ~10⁶-10⁸ narrow rows per round, not the
+    * corpus.
+    *
+    * Encoding representation: each word's symbol sequence is the
+    * string `(s1)(s2)...` — wrapped symbols make a merge of pair
+    * (a,b) one exact, boundary-safe, non-overlapping left-to-right
+    * literal `replace(enc, '(a)(b)', '(ab)')`, which is precisely the
+    * reference algorithm's one-pass merge semantics ("aaaa" + merge
+    * (a,a) → "(aa)(aa)") with zero per-row UDFs; the wrapper is
+    * unambiguous because training restricts to `[a-z0-9]+` tokens
+    * (subword models own the alphabet they train on — anything else
+    * passes through un-encoded).
+    *
+    * Per round: one map-side-combined pair aggregate + an argmax
+    * collected to the driver (ONE row — the bounded-collect class of
+    * the k-means centroid sync), tie-broken (weight DESC, a ASC,
+    * b ASC) so training is deterministic and oracle-reproducible.
+    * The type table persists between rounds; each round's replace is
+    * one codegen'd projection.
+    * @return the ordered merge list, highest-priority first */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var words = graft.sources.Tables.widen(df)
+      .select(explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("token"))
+      .where(col("token").rlike("^[a-z0-9]+$"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("enc", regexp_replace(col("token"), "(.)", "($1)"))
+      .persist()
+    val out = Seq.newBuilder[(String, String)]
+    try {
+      var round = 0
+      var dry = false
+      while (round < nMerges && !dry) {
+        round += 1
+        val sym = split(trim(col("enc"), "()"), "\\)\\(")
+        val n1 = greatest(size(col("__sym")) - 1, lit(0))
+        val pairs = words
+          .withColumn("__sym", sym)
+          .select(col("cnt"), explode(zip_with(
+            slice(col("__sym"), lit(1), n1), slice(col("__sym"), lit(2), n1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+          .select(col("__p.a"), col("__p.b"), col("cnt"))
+        val best = pairs.groupBy("a", "b").agg(sum("cnt").as("w"))
+          .orderBy(col("w").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) dry = true // every word is one symbol
+        else {
+          val (a, b) = (best.head.getString(0), best.head.getString(1))
+          out += ((a, b))
+          val next = words.withColumn("enc",
+            expr(s"replace(enc, '($a)($b)', '($a$b)')")).persist()
+          next.count() // materialize before dropping the parent
+          words.unpersist()
+          words = next
+        }
+      }
+      out.result()
+    } finally { words.unpersist(); () }
+  }
+
+  /** BPE subword ENCODE against a trained merge list — the subword
+    * completion of [[encodeTokens]] (q79 encodes whole words; real
+    * training pipelines encode merges). Applying M ordered merges is
+    * M nested literal replaces over the wrapped-symbol encoding: ONE
+    * codegen'd projection, no per-row UDF, no loop at execution time.
+    * The chain runs over the DISTINCT word types and joins back to
+    * the token stream on the token key (the q79 shape: corpus-scale
+    * type tables don't broadcast; AQE covers the stopword-head skew).
+    * Tokens outside the trained `[a-z0-9]+` alphabet are dropped —
+    * the model cannot encode symbols it never saw (callers route
+    * those to a byte fallback upstream).
+    * @return (idCol, pos, token, piece_pos, piece), positions 1-based */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        posexplode(TextFns.tokens(TextFns.normalize(col(textCol))))
+          .as(Seq("__p", "token")))
+      .where(col("token").rlike("^[a-z0-9]+$"))
+    // the merge chain as one nested-literal-replace SQL expression —
+    // merges are trained on the [a-z0-9] alphabet, so embedding them
+    // as literals is quote-safe
+    val encSql = merges.foldLeft("regexp_replace(token, '(.)', '($1)')") {
+      case (s, (a, b)) => s"replace($s, '($a)($b)', '($a$b)')"
+    }
+    val types = toks.select("token").distinct()
+      .withColumn("sym", split(trim(expr(encSql), "()"), "\\)\\("))
+    toks.join(types, Seq("token"))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
+        col("token"), posexplode(col("sym")).as(Seq("__q", "piece")))
+      .select(col(idCol), col("pos"), col("token"),
+        (col("__q") + 1).cast("long").as("piece_pos"), col("piece"))
+  }
+
   /** Deterministic hash-based dataset split — the train/valid/test
     * assignment a training pipeline runs instead of RNG sampling:
     * bucket = md5(id) mod 100, thresholds cut the buckets. Properties

@@ -658,6 +658,26 @@ object Text {
         .orderBy("doc_id", "pos")
     },
 
+    // BPE subword encode: train 10 byte-pair merges on the corpus
+    // word types (Sennrich's learn_bpe — count adjacent symbol pairs,
+    // merge the most frequent, repeat; each round is one narrow
+    // aggregate over the VOCAB-sized type table + a one-row argmax
+    // collect, q91's iterative driver-round-trip class), then encode
+    // every document's token stream into subword pieces: the trained
+    // merge list becomes ONE codegen'd projection of nested literal
+    // replaces over the distinct types, joined back on the token key
+    // (the q79 shape). Completes the tokenize→pack story at subword
+    // granularity: q79/q64/q73/q108 consume exactly this id stream in
+    // a real pipeline. The oracle replays training as 10 unrolled
+    // materialized CTE steps — bit-identical tie-breaks (weight DESC,
+    // pair ASC), integer-only, full hash check.
+    Q("q137_bpe_encode", Text.bpeOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+          TextAnalysis.bpeMerges(docs, "text", nMerges = 10))
+        .orderBy("doc_id", "pos", "piece_pos")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.
@@ -1352,4 +1372,47 @@ object Text {
        |  WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM cand
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** q137 oracle: BPE training unrolled as 10 materialized CTE steps
+    * — w0 is the `[a-z0-9]+` word-type table with each token's
+    * wrapped-symbol encoding `(c)(c)...`; step i picks the
+    * max-weight adjacent pair (weight = Σ type count per occurrence,
+    * tie (a ASC, b ASC)) and applies it as the same boundary-exact
+    * literal replace the engine runs. MATERIALIZED is load-bearing:
+    * inlined CTEs would re-evaluate the chain exponentially. */
+  private[queries] def bpeOracle: String = {
+    val nMerges = 10
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT token, count(*) AS cnt,
+         |    regexp_replace(token, '(.)', '(\\1)', 'g') AS enc
+         |  FROM (SELECT unnest($oTok) AS token FROM documents)
+         |  WHERE regexp_full_match(token, '[a-z0-9]+')
+         |  GROUP BY token)""".stripMargin
+    val steps = (1 to nMerges).flatMap { i =>
+      Seq(
+        s"""b$i AS MATERIALIZED (
+           |  SELECT sym[s.i] AS a, sym[s.i + 1] AS b
+           |  FROM (SELECT cnt, string_split(trim(enc, '()'), ')(') AS sym
+           |        FROM w${i - 1}),
+           |       unnest(generate_series(1, len(sym) - 1)) AS s(i)
+           |  GROUP BY a, b ORDER BY sum(cnt) DESC, a, b LIMIT 1)""".stripMargin,
+        s"""w$i AS MATERIALIZED (
+           |  SELECT w.token, w.cnt,
+           |    replace(w.enc, '(' || m.a || ')(' || m.b || ')',
+           |      '(' || m.a || m.b || ')') AS enc
+           |  FROM w${i - 1} w, b$i m)""".stripMargin)
+    }
+    s"""WITH ${(w0 +: steps).mkString(",\n")},
+       |enc AS (SELECT doc_id, unnest($oTok) AS token,
+       |    generate_subscripts($oTok, 1) AS pos FROM documents),
+       |pieces AS (
+       |  SELECT e.doc_id, e.pos, e.token,
+       |    string_split(trim(w.enc, '()'), ')(') AS sym
+       |  FROM enc e JOIN w$nMerges w USING (token))
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+       |  CAST(generate_subscripts(sym, 1) AS BIGINT) AS piece_pos,
+       |  unnest(sym) AS piece
+       |FROM pieces ORDER BY doc_id, pos, piece_pos""".stripMargin
+  }
 }

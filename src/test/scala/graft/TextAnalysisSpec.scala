@@ -362,6 +362,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges: most-frequent pair first, one-pass merge semantics, deterministic ties") {
+    import spark.implicits._
+    // "aa" x3 + "ab" x1: pair (a,a) weight 3 beats (a,b) weight 1
+    val docs = Seq((1L, "aa aa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, "text", 2)
+    assert(merges.head === ("a", "a"))
+    // Sennrich one-pass semantics: "aaaa" + merge (a,a) → (aa)(aa),
+    // NOT (aa)(a)(a) — the wrapped-literal replace must consume
+    // disjoint occurrences left-to-right
+    val enc = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "a")))
+    assert(enc.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("aa", "aa"))
+    // boundary safety: merge (a,b) must not fire inside symbol "xa"+"b"
+    // — sequence (x)(ab) vs (xa)(b) are different symbol streams
+    val enc2 = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "xab")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("x", "a")))
+    // merge (x,a) applies: (x)(a)(b) → (xa)(b); a later (a,b) merge
+    // must then find NO (a)(b) pair
+    assert(enc2.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("xa", "b"))
+    val enc3 = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "xab")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("x", "a"), ("a", "b")))
+    assert(enc3.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("xa", "b")) // the 'a' is inside (xa); (a,b) cannot apply
+    // ordered merges compose: (a,b) then (ab,c)
+    val enc4 = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "b"), ("ab", "c")))
+    assert(enc4.collect().map(_.getString(4)).toSeq === Seq("abc"))
+    // non-alphabet tokens are excluded from training and encode
+    val merges2 = graft.operators.TextAnalysis.bpeMerges(
+      Seq((1L, "zz z-z zz")).toDF("doc_id", "text"), "text", 1)
+    assert(merges2 === Seq(("z", "z"))) // "z-z" contributed no pairs
+    val enc5 = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "zz z-z")).toDF("doc_id", "text"), "doc_id", "text", merges2)
+    assert(enc5.select("token").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("zz"))
+  }
+
   test("segmentDedup: keep-first across docs, within-doc repeats dropped, all-lost doc survives") {
     // segTokens = 2 → segments are 2-token windows. Doc 1 owns
     // "a b" and "c d"; doc 2 repeats "a b" (cross-doc dup) plus its
