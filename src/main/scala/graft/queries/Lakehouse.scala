@@ -584,5 +584,86 @@ object Lakehouse {
       }
       Lake.readCommitted(s, out)
         .select("doc_id", "lang", "n_toks").orderBy("doc_id")
+    },
+
+    // The STREAMED change feed closing the q113/q115 loop: the same
+    // merge-heavy history (4 ranged appends + one CDC merge with
+    // disjoint update/delete/insert sets) is consumed through
+    // readChangeFeed=true — one micro-batch per version
+    // (maxVersionsPerTrigger=1), each carrying exact row-level
+    // insert/delete/update images — and FOLDED into a replica table by
+    // keyed MERGE commits. The replica's final state is under the
+    // oracle hash, so the whole path (version offsets, per-version
+    // key-diff, retraction-aware fold, effectively-once checkpoint)
+    // must reproduce the plain-SQL truth. At 100 TB this is the
+    // standing shape of every derived table over a MUTATING source:
+    // O(changed dirs) per trigger, retractions exact, never O(table).
+    Q("q138_lake_cdf_stream",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |            AND o_orderkey % 11 <> 3
+        |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |           AND o_orderkey % 11 <> 3)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_cdfs_src", d)
+      val replica = scratchRoot("lake_cdfs_rep", d)
+      val ckpt = scratchRoot("lake_cdfs_ckpt", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val key = col("o_orderkey")
+      val base = orders.where(pmod(key, lit(11)) =!= 3).withColumn("ver", lit(0L))
+      val maxId = orders.agg(max(key)).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          base.where(key >= b * step && key < (b + 1) * step), root, retain = 8,
+          statsCols = Seq("o_orderkey"))
+        ()
+      }
+      val ups = orders
+        .where(pmod(key, lit(5)) === 0 && pmod(key, lit(7)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val dels = orders
+        .where(pmod(key, lit(7)) === 0 && pmod(key, lit(5)) =!= 0 &&
+          pmod(key, lit(11)) =!= 3)
+      val ins = orders.where(pmod(key, lit(11)) === 3)
+      Lake.mergeCommitted(s, root,
+        ups.withColumn("is_del", lit(false))
+          .unionByName(dels.withColumn("is_del", lit(true)))
+          .unionByName(ins.withColumn("is_del", lit(false)))
+          .withColumn("ver", lit(1L)),
+        Seq("o_orderkey"), "ver", "is_del", retain = 8)
+      val q = s.readStream.format("graft-lake").option("root", root)
+        .option("readChangeFeed", "true").option("keyCols", "o_orderkey")
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val changes = batch
+            .where(col("change_type") =!= "update_preimage")
+            .withColumn("is_del", col("change_type") === "delete")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderstatus"),
+              col("commit_version"), col("is_del"))
+          // bootstrap on the first (never-empty: v0 inserts) batch;
+          // afterwards mergeCommitted no-ops on empty change sets
+          if (Lake.currentVersion(s, replica).isEmpty)
+            Lake.commitOverwrite(
+              changes.where(!col("is_del")).drop("is_del"), replica,
+              retain = 8)
+          else
+            Lake.mergeCommitted(s, replica, changes, Seq("o_orderkey"),
+              "commit_version", "is_del", retain = 8)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Lake.readCommitted(s, replica)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
     })
 }

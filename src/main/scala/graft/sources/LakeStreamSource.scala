@@ -25,14 +25,16 @@ import org.apache.spark.sql.types.StructType
   * (/root/reference/dags/Main.py:20-26); at 100 TB the difference is
   * O(new dirs) per trigger versus O(table).
   *
-  * Contract: the source follows APPEND commits (append/load/stream
-  * sinks — dirs only ever added). A commit that REMOVES dirs
+  * Contract: the DEFAULT mode follows APPEND commits (append/load/
+  * stream sinks — dirs only ever added). A commit that REMOVES dirs
   * (overwrite, merge, compaction, delete/update) is refused with the
   * alternatives named — `ignoreDeletes=true` to skip rewritten-dir
   * history (emits only genuinely new dirs, Delta's
-  * `ignoreChanges`-style escape hatch, duplicates possible), or the
-  * exact change feed ([[Lake.changesBetween]]) when row-level
-  * retractions matter. Retention: append chains keep every dir
+  * `ignoreChanges`-style escape hatch, duplicates possible), or
+  * `readChangeFeed=true` + `keyCols` for the STREAMING CHANGE FEED
+  * ([[cdfBatch]] — the Delta CDF read path): row-level insert /
+  * delete / update pre+postimages per commit, so merge-heavy history
+  * streams exactly and MV folds consume retractions end-to-end. Retention: append chains keep every dir
   * referenced by the live snapshot, so a lagging stream never loses
   * data — EXCEPT across layout-only maintenance (compact/z-order),
   * which this source skips as row-preserving but which un-references
@@ -50,7 +52,8 @@ final class LakeStreamSource(
     sqlContext: SQLContext, root: String,
     override val schema: StructType,
     startAfter: Option[Long], ignoreDeletes: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    maxVersionsPerTrigger: Option[Long] = None,
+    changeFeedKeys: Seq[String] = Nil) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -129,6 +132,60 @@ final class LakeStreamSource(
       org.apache.spark.sql.connector.read.streaming.Offset =
     visibleNow.map(LongOffset(_)).orNull
 
+  /** CHANGE-FEED mode (`readChangeFeed=true`): the Delta CDF read
+    * path — each micro-batch carries the ROW-LEVEL changes of its
+    * version range, tagged `change_type` (insert / delete /
+    * update_preimage / update_postimage) + `commit_version`, so a
+    * downstream MV fold consumes exact retractions instead of
+    * refusing dir-removing commits. Changes derive per committed
+    * version via [[Lake.changesBetween]] (O(changed dirs) each, a
+    * key-diff on `changeFeedKeys`); layout-only maintenance
+    * contributes nothing, exactly like the append mode. The batch is
+    * computed through the batch API and wrapped as a streaming
+    * LogicalRDD (the MemoryStream move) — its diff joins must not
+    * meet the streaming unsupported-operations checker. */
+  private def cdfBatch(all: Seq[Long], fromV: Option[Long], endV: Long):
+      DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val versions = all.filter(v => v <= endV && fromV.forall(v > _))
+    val baseFields = schema.fields
+      .filterNot(f => f.name == "change_type" || f.name == "commit_version")
+    // align every per-version diff to the PINNED stream schema: later
+    // evolved columns invisible, older versions read NULL-backfilled —
+    // the same rule as the append mode
+    def aligned(df: DataFrame, v: Long): DataFrame =
+      df.select(baseFields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)) :+
+        col("change_type") :+ lit(v).as("commit_version"): _*)
+    var prev = fromV.flatMap(f => all.filter(_ <= f).maxOption)
+    val parts = Seq.newBuilder[DataFrame]
+    versions.foreach { v =>
+      val layoutOnly = Lake.snapshotOp(spark, root, v)
+        .exists(op => op == "compact" || op == "zorder")
+      if (!layoutOnly) {
+        val diff = prev match {
+          // table birth (or pre-horizon start): the snapshot IS the
+          // change set — every row an insert, Delta's CDF bootstrap
+          case None => Lake.readCommittedAt(spark, root, v)
+            .withColumn("change_type", lit("insert"))
+          case Some(p) => Lake.changesBetween(spark, root, p, v, changeFeedKeys)
+        }
+        parts += aligned(diff, v)
+      }
+      prev = Some(v)
+    }
+    val batch = parts.result() match {
+      case Nil =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      case seq => seq.reduce(_.unionByName(_))
+    }
+    org.apache.spark.sql.graft.Shim.ofRows(spark,
+      org.apache.spark.sql.graft.Shim.streamingPlanOf(
+        batch.queryExecution.toRdd, batch))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = toVersion(end)
     val fromV = start.map(toVersion).orElse(startAfter)
@@ -146,6 +203,7 @@ final class LakeStreamSource(
             "reconstructed without duplicating data. Restart with a fresh " +
             "checkpoint, or commit with a larger `retain`")
     }
+    if (changeFeedKeys.nonEmpty) return cdfBatch(all, fromV, endV)
     val versions = all.filter(v => v <= endV && fromV.forall(v > _))
     // the snapshot the range extends: the greatest committed version
     // at or below the start offset (None = table birth, empty dirs)
@@ -170,7 +228,8 @@ final class LakeStreamSource(
               s"${removed.toSeq.sorted.mkString(", ")} (overwrite/merge/delete). " +
               "The version-offset source follows append commits only; set " +
               "option(\"ignoreDeletes\", \"true\") to stream just the added dirs, " +
-              "or consume Lake.changesBetween for exact row-level changes")
+              "or options readChangeFeed=true + keyCols for exact row-level " +
+              "changes (insert/delete/update images per commit)")
         fresh ++= (cur -- prev).toSeq.sorted
       }
       prev = cur
@@ -374,10 +433,35 @@ final class GraftLakeProvider extends StreamSourceProvider
         Lake.readCommittedAt(spark, root, v).schema))
   }
 
+  /** `readChangeFeed=true` + `keyCols=a,b` turn the stream into the
+    * row-level change feed ([[LakeStreamSource.cdfBatch]]): table
+    * columns + `change_type` + `commit_version`. Keys are required —
+    * the feed diffs snapshots BY KEY ([[Lake.changesBetween]]'s
+    * contract), it does not track row identity physically. */
+  private def cdfKeysOf(parameters: Map[String, String]): Seq[String] =
+    if (!parameters.get("readChangeFeed").exists(_.toBoolean)) Nil
+    else {
+      val keys = parameters.get("keyCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      require(keys.nonEmpty,
+        "readChangeFeed=true requires option(\"keyCols\", \"k1,k2,…\") — " +
+          "the change feed diffs snapshots by key")
+      keys
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(liveSchema(sqlContext, rootOf(parameters))))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(liveSchema(sqlContext, rootOf(parameters)))
+    val out =
+      if (cdfKeysOf(parameters).isEmpty) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("commit_version",
+          org.apache.spark.sql.types.LongType))
+    (shortName(), out)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -420,8 +504,22 @@ final class GraftLakeProvider extends StreamSourceProvider
       require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
       v
     }
-    new LakeStreamSource(sqlContext, root,
-      schema.getOrElse(liveSchema(sqlContext, root)), startAfter, ignoreDeletes,
-      maxVersions)
+    val keys = cdfKeysOf(parameters)
+    require(keys.isEmpty || !ignoreDeletes,
+      "readChangeFeed already carries deletes as retraction rows; " +
+        "ignoreDeletes does not compose with it")
+    val base = schema.getOrElse(liveSchema(sqlContext, root))
+    keys.foreach(k => require(base.fieldNames.contains(k),
+      s"keyCols column '$k' not in the table schema " +
+        base.fieldNames.mkString("[", ", ", "]")))
+    val eff =
+      if (keys.isEmpty || base.fieldNames.contains("change_type")) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("commit_version",
+          org.apache.spark.sql.types.LongType))
+    new LakeStreamSource(sqlContext, root, eff, startAfter, ignoreDeletes,
+      maxVersions, keys)
   }
 }

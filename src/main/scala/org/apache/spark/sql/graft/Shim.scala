@@ -43,6 +43,19 @@ object Shim {
       origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
       isStreaming = false)
 
+  /** The MemoryStream move, dual of [[batchPlanOf]]: wrap a BATCH
+    * computation's planned rdd as a STREAMING logical plan, so a
+    * `Source.getBatch` can return work computed through the batch
+    * API (the change-feed diff joins would otherwise trip the
+    * streaming unsupported-operations checker). */
+  def streamingPlanOf(rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      origin: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd,
+      origin.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+      isStreaming = true)
+
   /** LogicalPlan -> DataFrame (`Dataset.ofRows` went `private[sql]`
     * with the Spark 4 classic split). Used by `Lake.sqlTable` to
     * surface the [[org.apache.spark.sql.execution.datasources

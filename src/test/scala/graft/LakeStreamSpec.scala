@@ -244,6 +244,127 @@ class LakeStreamSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("retention swept"))))
   }
 
+  test("readChangeFeed: merge-heavy history streams as exact row-level changes") {
+    val root = tmpTable("graft-lkstream-cdf")
+    val ckpt = tmpDir("graft-lkstream-cdf-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "t", "ver"),
+      root, retain = 8)
+    def readCdf = readLake(root,
+      Map("readChangeFeed" -> "true", "keyCols" -> "k"))
+
+    // first batch: the bootstrap snapshot as inserts at version 0
+    drainOnce(readCdf, ckpt, sink)
+    assert(sink.toSet === Set(
+      Seq(1L, "a", 0L, "insert", 0L), Seq(2L, "b", 0L, "insert", 0L)))
+
+    // a merge (update k=2, delete k=1, insert k=3), a compaction
+    // (layout-only: contributes NOTHING), and an append land while
+    // the stream is down
+    Lake.mergeCommitted(spark, root,
+      Seq((2L, "B", 10L, false), (1L, "a", 11L, true), (3L, "c", 12L, false))
+        .toDF("k", "t", "ver", "is_del"),
+      Seq("k"), "ver", "is_del", retain = 8)                          // v1
+    Lake.compactCommitted(spark, root, retain = 8)                    // v2
+    Lake.commitAppend(Seq((4L, "d", 13L)).toDF("k", "t", "ver"), root,
+      retain = 8)                                                      // v3
+
+    sink.clear()
+    drainOnce(readCdf, ckpt, sink)
+    // the merge's images tag v1; the compaction is silent; the append
+    // is a plain insert at v3
+    assert(sink.toSet === Set(
+      Seq(2L, "b", 0L, "update_preimage", 1L),
+      Seq(2L, "B", 10L, "update_postimage", 1L),
+      Seq(1L, "a", 0L, "delete", 1L),
+      Seq(3L, "c", 12L, "insert", 1L),
+      Seq(4L, "d", 13L, "insert", 3L)))
+
+    // nothing new → nothing emitted
+    sink.clear()
+    drainOnce(readCdf, ckpt, sink)
+    assert(sink.isEmpty)
+
+    // option validation surfaces at start(): keys are required,
+    // ignoreDeletes does not compose
+    def startWith(opts: (String, String)*): Throwable =
+      intercept[Exception] { // surfaces sync (analysis) or wrapped (run)
+        val q = opts.foldLeft(
+          spark.readStream.format("graft-lake").option("root", root)
+        ) { case (r, (k, v)) => r.option(k, v) }.load()
+          .writeStream.format("memory").queryName("lkstream_cdf_opts")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(startWith("readChangeFeed" -> "true")).exists(c =>
+      Option(c.getMessage).exists(_.contains("keyCols"))))
+    assert(causes(startWith("readChangeFeed" -> "true", "keyCols" -> "k",
+        "ignoreDeletes" -> "true")).exists(c =>
+      Option(c.getMessage).exists(_.contains("does not compose"))))
+  }
+
+  test("readChangeFeed E2E: a streamed MV fold equals the batch recompute at every version") {
+    val root = tmpTable("graft-lkstream-cdf-mv")
+    val replica = tmpTable("graft-lkstream-cdf-replica")
+    val ckpt = tmpDir("graft-lkstream-cdf-mv-ckpt")
+    Lake.commitAppend(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "t", "ver"),
+      root, retain = 16)
+
+    def drainFold(): Unit = {
+      val q = readLake(root, Map("readChangeFeed" -> "true",
+          "keyCols" -> "k", "maxVersionsPerTrigger" -> "1"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val vs = batch.agg(max(col("commit_version"))).collect().head
+          if (!vs.isNullAt(0)) {
+            val v = vs.getLong(0)
+            val changes = batch
+              .where(col("change_type") =!= "update_preimage")
+              .withColumn("is_del", col("change_type") === "delete")
+              .select("k", "t", "ver", "commit_version", "is_del")
+            if (Lake.currentVersion(spark, replica).isEmpty)
+              Lake.commitOverwrite(changes.where(!col("is_del"))
+                .drop("is_del"), replica, retain = 16)
+            else
+              Lake.mergeCommitted(spark, replica, changes,
+                Seq("k"), "commit_version", "is_del", retain = 16)
+            // THE invariant: after folding version v's changes, the
+            // replica equals the source's snapshot AT v — the MV fold
+            // tracks the table exactly, version by version
+            assert(rows(Lake.readCommitted(spark, replica)
+                .select("k", "t")) ===
+              rows(Lake.readCommittedAt(spark, root, v).select("k", "t")),
+              s"replica diverged from source at version $v")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drainFold() // bootstrap snapshot
+    // merge-heavy history: upserts, deletes, maintenance, appends
+    Lake.mergeCommitted(spark, root,
+      Seq((2L, "B", 1L, false), (3L, "c", 2L, false))
+        .toDF("k", "t", "ver", "is_del"), Seq("k"), "ver", "is_del",
+      retain = 16)                                                     // v1
+    Lake.mergeCommitted(spark, root,
+      Seq((1L, "a", 3L, true)).toDF("k", "t", "ver", "is_del"),
+      Seq("k"), "ver", "is_del", retain = 16)                          // v2
+    Lake.compactCommitted(spark, root, retain = 16)                    // v3
+    Lake.commitAppend(Seq((5L, "e", 4L)).toDF("k", "t", "ver"), root,
+      retain = 16)                                                     // v4
+    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 16)        // v5
+    drainFold() // resumes from the checkpoint, one version per batch
+
+    // final state: fold == live table
+    assert(rows(Lake.readCommitted(spark, replica).select("k", "t")) ===
+      Set(Seq(3L, "c"), Seq(5L, "e")))
+  }
+
   test("schema pinned at start: an evolved append streams under the start schema") {
     val root = tmpTable("graft-lkstream-evo")
     val ckpt = tmpDir("graft-lkstream-evo-ckpt")
