@@ -237,19 +237,27 @@ object Graph {
           val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
           val linked = e.join(deg, Seq("src"))
             .withColumn("w", lit(1)).withColumn("sb", lit(0L))
-          // (node, seed?) rows: consumed by both the self-loop build
-          // and the initial ranks — fixed-width, checkpoint once
-          val flagged = nodes.join(s.withColumn("__s", lit(1)), Seq("p"), "left")
-            .localCheckpoint(true)
-          val loops = flagged.select(col("p").as("src"), col("p").as("dst"),
-            lit(null).cast("long").as("outdeg"), lit(0).as("w"),
-            when(col("__s").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("sb"))
+          // the seed flag RIDES the loop rows' `w` column (-1 = seed
+          // loop, 0 = plain loop; the round aggregate only tests
+          // w = 1, so loop rows may carry anything else): both the
+          // restart bases AND the initial ranks then derive from the
+          // ONE cached e2 build — no separate flagged-nodes join or
+          // extra eager checkpoint. (`sb` alone could not flag seeds:
+          // dampPct=100 makes every seedBase 0 while seedInit is not.)
+          val loops = nodes.join(s.withColumn("__s", lit(1)), Seq("p"), "left")
+            .select(col("p").as("src"), col("p").as("dst"),
+              lit(null).cast("long").as("outdeg"),
+              when(col("__s").isNotNull, lit(-1)).otherwise(lit(0)).as("w"),
+              when(col("__s").isNotNull, lit(seedBase)).otherwise(lit(0L)).as("sb"))
           val e2 = linked.unionByName(loops)
             .repartition(col("src"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           e2Cache = Some(e2)
-          val ranks0 = flagged.select(col("p"),
-            when(col("__s").isNotNull, lit(seedInit)).otherwise(lit(0L)).as("r"))
+          // initial ranks read back out of the cached loop rows — the
+          // first evaluation (ranks0's checkpoint inside the loop)
+          // populates the e2 cache as a side effect
+          val ranks0 = e2.where(col("w") =!= 1).select(col("src").as("p"),
+            when(col("w") === -1, lit(seedInit)).otherwise(lit(0L)).as("r"))
           if (m == 0 && nSeeds == 0)
             ranks0.select(col("p"), col("r").as("rank"))
           else dampedRankLoop(e2, ranks0, iterations, dampPct)
