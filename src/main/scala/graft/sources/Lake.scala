@@ -68,12 +68,15 @@ object Lake {
   // across a dir-removing commit (overwrite/merge/delete/compact) it
   // refuses with `ConcurrentModificationException` (the world the
   // caller derived the batch against is gone — re-derive and retry).
-  // An OVERWRITE loser always gets that refusal. MAINTENANCE commits
-  // (merge/delete/update/compact/cluster) and streaming folds keep
-  // version-named dirs and a one-maintenance-writer-at-a-time
-  // contract — they too lose the manifest race loudly, never
-  // silently — matching Delta's OPTIMIZE conflict rules. `retain`
-  // keeps that
+  // An OVERWRITE loser always gets that refusal, as do MAINTENANCE
+  // commits (merge/delete/update/compact/cluster) — they read a
+  // snapshot, so ANY concurrent commit invalidates them, Delta's
+  // OPTIMIZE conflict rule; their rewrites stage under writer-unique
+  // dirs too, with the version slot pinned BEFORE the rewrite so an
+  // interloper always forces the loud refusal, never a silently
+  // dropped dir. Streaming folds keep version-named pre-written dirs
+  // under their own single-writer checkpoint-lineage contract.
+  // `retain` keeps that
   // many SUPERSEDED snapshots so an in-flight reader of the previous
   // version survives a concurrent commit — the same reader-retention
   // lever as any lakehouse VACUUM horizon — and pruning deletes only
@@ -1726,21 +1729,29 @@ object Lake {
         .join(touchedKeys, keyCols, "left_anti")
         .unionByName(
           latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
+      // the slot is pinned BEFORE the rewrite: a concurrent commit
+      // landing during the write takes this number and our publish
+      // must then lose (computing `next` after the write would let us
+      // publish a dirs list that silently drops the interloper's data)
       val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
       val effStats = effectiveStatsCols(fs, r, Nil)
-      rewritten.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+      // the rewrite stages under a writer-unique dir like every other
+      // data write: concurrent writers never contest it, the version
+      // slot is claimed by the manifest publish alone
+      val newDir = stagedDirName()
+      rewritten.write.mode("overwrite").parquet(new Path(r, newDir).toString)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
-      preserveMarkers(fs, r, touchedDirs, s"v$next")
-      val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
-        .map(s"v$next" -> _).toMap
+      preserveMarkers(fs, r, touchedDirs, newDir)
+      val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
+        .map(newDir -> _).toMap
       val effBloom = effectiveBloomCols(fs, r, Nil)
-      val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-        .map(s"v$next" -> _).toMap
-      if (!commitManifest(fs, r, next, untouched :+ s"v$next", retain,
+      val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
+        .map(newDir -> _).toMap
+      if (!commitManifest(fs, r, next, untouched :+ newDir, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
           newBlooms = blooms, bloomCols = effBloom, op = "merge")) {
-        fs.delete(new Path(r, s"v$next"), true)
+        fs.delete(new Path(r, newDir), true)
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +
             "the merge read a snapshot that is no longer live; re-run " +
@@ -1837,6 +1848,9 @@ object Lake {
       dirs.map(d => new Path(r, d)).filter(fs.exists)
         .exists(d => fs.listStatus(d).exists(_.getPath.getName.startsWith("_applied_")))
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    // staged writer-unique dir (see mergeCommitted): the slot is
+    // claimed by the publish, never by the dir name
+    val staged = stagedDirName()
     val newDir =
       if (rewrite.nonEmpty) {
         val paths = rewrite.map(d => new Path(r, d).toString)
@@ -1845,9 +1859,9 @@ object Lake {
           case None    => spark.read.parquet(paths: _*)
         }
         val surviving = base.where(!coalesce(predicate, lit(false)))
-        surviving.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-        preserveMarkers(fs, r, rewrite ++ dropped, s"v$next")
-        Some(s"v$next")
+        surviving.write.mode("overwrite").parquet(new Path(r, staged).toString)
+        preserveMarkers(fs, r, rewrite ++ dropped, staged)
+        Some(staged)
       } else if (hasMarkers(dropped) || kept.isEmpty) {
         // empty carrier dir: markers need a home, and a zero-dir
         // manifest is unrepresentable (an empty dirs body reads as the
@@ -1857,9 +1871,9 @@ object Lake {
           dropped.map(d => new Path(r, d).toString): _*).schema)
         spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-          .write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-        preserveMarkers(fs, r, dropped, s"v$next")
-        Some(s"v$next")
+          .write.mode("overwrite").parquet(new Path(r, staged).toString)
+        preserveMarkers(fs, r, dropped, staged)
+        Some(staged)
       } else None // the metadata-only partition drop: no job at all
     val freshStats = newDir.flatMap(d =>
       dirStatsJson(spark, new Path(r, d).toString, effStats).map(d -> _)).toMap
@@ -1930,18 +1944,19 @@ object Lake {
     }
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
-    updated.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    preserveMarkers(fs, r, touched, s"v$next")
-    val freshStats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
-      .map(s"v$next" -> _).toMap
+    val newDir = stagedDirName() // writer-unique, see mergeCommitted
+    updated.write.mode("overwrite").parquet(new Path(r, newDir).toString)
+    preserveMarkers(fs, r, touched, newDir)
+    val freshStats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
+      .map(newDir -> _).toMap
     val effBloom = effectiveBloomCols(fs, r, Nil)
-    val freshBlooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-      .map(s"v$next" -> _).toMap
+    val freshBlooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
+      .map(newDir -> _).toMap
     // updates are row-preserving: the metadata count carries over
-    if (!commitManifest(fs, r, next, kept :+ s"v$next", retain,
+    if (!commitManifest(fs, r, next, kept :+ newDir, retain,
         carried, manifestRows(fs, r, cur), freshStats, effStats,
         newBlooms = freshBlooms, bloomCols = effBloom, op = "update")) {
-      fs.delete(new Path(r, s"v$next"), true)
+      fs.delete(new Path(r, newDir), true)
       throw new java.util.ConcurrentModificationException(
         s"update on $root lost version $next to a concurrent commit — " +
           "the update rewrote a snapshot that is no longer live; re-run " +
@@ -1977,22 +1992,23 @@ object Lake {
     val df = readCommittedAt(spark, root, cur).repartition(n)
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
-    df.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
+    val newDir = stagedDirName() // writer-unique, see mergeCommitted
+    df.write.mode("overwrite").parquet(new Path(r, newDir).toString)
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
-    preserveMarkers(fs, r, liveDirs, s"v$next")
+    preserveMarkers(fs, r, liveDirs, newDir)
     // compaction is row-preserving: the previous count carries over;
     // the collapsed dir gets fresh whole-table stats (footer-pushdown
     // read of what was just written)
-    val stats = dirStatsJson(spark, new Path(r, s"v$next").toString, effStats)
-      .map(s"v$next" -> _).toMap
+    val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
+      .map(newDir -> _).toMap
     val effBloom = effectiveBloomCols(fs, r, Nil)
-    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-      .map(s"v$next" -> _).toMap
-    if (!commitManifest(fs, r, next, Seq(s"v$next"), retain, Some(df.schema),
+    val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
+      .map(newDir -> _).toMap
+    if (!commitManifest(fs, r, next, Seq(newDir), retain, Some(df.schema),
         manifestRows(fs, r, cur), stats, effStats,
         newBlooms = blooms, bloomCols = effBloom, op = "compact")) {
-      fs.delete(new Path(r, s"v$next"), true)
+      fs.delete(new Path(r, newDir), true)
       throw new java.util.ConcurrentModificationException(
         s"compaction of $root lost version $next to a concurrent commit — " +
           "the collapsed snapshot is no longer live; re-run against the " +
@@ -2083,21 +2099,22 @@ object Lake {
       }
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols).distinct
-    clustered.write.mode("overwrite").parquet(new Path(r, s"v$next").toString)
-    preserveMarkers(fs, r, liveDirs, s"v$next")
+    val newDir = stagedDirName() // writer-unique, see mergeCommitted
+    clustered.write.mode("overwrite").parquet(new Path(r, newDir).toString)
+    preserveMarkers(fs, r, liveDirs, newDir)
     // ONE column-pruned pass over the fresh dir yields per-file AND
     // dir ranges — the whole point of the rewrite
     val (dirJson, fileJsons) =
-      fileStatsJson(spark, new Path(r, s"v$next").toString, effStats)
+      fileStatsJson(spark, new Path(r, newDir).toString, effStats)
         .getOrElse(("{}", Map.empty[String, String]))
     val effBloom = effectiveBloomCols(fs, r, Nil)
-    val blooms = dirBloomJson(spark, new Path(r, s"v$next").toString, effBloom)
-      .map(s"v$next" -> _).toMap
-    if (!commitManifest(fs, r, next, Seq(s"v$next"), retain,
+    val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
+      .map(newDir -> _).toMap
+    if (!commitManifest(fs, r, next, Seq(newDir), retain,
         Some(clustered.schema), manifestRows(fs, r, cur),
-        Map(s"v$next" -> dirJson), effStats, Map(s"v$next" -> fileJsons),
+        Map(newDir -> dirJson), effStats, Map(newDir -> fileJsons),
         newBlooms = blooms, bloomCols = effBloom, op = "zorder")) {
-      fs.delete(new Path(r, s"v$next"), true)
+      fs.delete(new Path(r, newDir), true)
       throw new java.util.ConcurrentModificationException(
         s"clustering of $root lost version $next to a concurrent commit — " +
           "the clustered snapshot is no longer live; re-run against the " +

@@ -303,8 +303,8 @@ class LakeSpec extends SparkSpec {
     // copy-on-write: untouched batch dirs 0/2 are REUSED BY REFERENCE
     // in the new snapshot (byte-identical files), touched dir 1 is not
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(live.contains(dir0) && live.contains(dir2) && live.contains("v3"))
-    assert(!live.contains(dir1))
+    val mergeDir = (live - dir0 - dir2).head
+    assert(live === Set(dir0, dir2, mergeDir) && !live.contains(dir1))
     assert(fs.listStatus(new Path(root, dir0))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet === v0Before)
     // time travel still serves the pre-merge snapshot
@@ -316,7 +316,7 @@ class LakeSpec extends SparkSpec {
       Seq("k"), "ver", "is_del")
     assert(v2 === 4L)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
-    assert(Set(dir0, dir2, "v3", "v4").subsetOf(live2))
+    assert(Set(dir0, dir2, mergeDir).subsetOf(live2) && live2.size === 4)
     assert(Lake.readCommitted(spark, root).count() === 5L)
     // an all-stale guarded batch has no effective winners → no commit
     val v3 = Lake.mergeCommitted(spark, root,
@@ -632,7 +632,8 @@ class LakeSpec extends SparkSpec {
     assert(Lake.countCommitted(spark, root) === Some(4096L))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(root, s"v$v"))
+    val zDir = Lake.snapshotDirNames(spark, root, v).head
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(root, zDir))
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     assert(nFiles > 4, s"need a multi-file layout to demonstrate skipping, got $nFiles")
     // a predicate on EITHER dimension now skips files — the z-curve
@@ -1189,6 +1190,74 @@ class LakeSpec extends SparkSpec {
       assert(e.getMessage.contains("removed dirs"))
       assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
     } finally Lake.beforePublish = () => ()
+  }
+
+  test("OCC randomized: a concurrent append/overwrite/compact mix linearizes by version order") {
+    val root = tmpTable("graft-lake-occ-lin")
+    Lake.commitAppend(Seq((-1L, "seed")).toDF("k", "t"), root, retain = 64)
+    // committed effects, keyed by the version each op RETURNED — the
+    // version order IS the serialization the commit protocol claims
+    val effects = new java.util.concurrent.ConcurrentHashMap[
+      Long, (String, Set[(Long, String)])]()
+    effects.put(0L, ("append", Set((-1L, "seed"))))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(6)
+    val threads = (0 until 6).map { tid =>
+      new Thread(() =>
+        try {
+          gate.await()
+          val rnd = new scala.util.Random(1234 + tid)
+          (0 until 4).foreach { i =>
+            val payload = Set((tid * 100L + i, s"t$tid-$i"))
+            val df = payload.toSeq.toDF("k", "t")
+            rnd.nextInt(10) match {
+              case 9 => // rare overwrite: loser refusal is a legal outcome
+                try {
+                  val v = Lake.commitOverwrite(df, root, retain = 64)
+                  effects.put(v, ("overwrite", payload))
+                } catch { case _: java.util.ConcurrentModificationException => }
+              case 8 => // rare compaction: row-preserving or refused
+                try {
+                  val v = Lake.compactCommitted(spark, root, retain = 64)
+                  effects.put(v, ("compact", Set.empty))
+                } catch {
+                  case _: java.util.ConcurrentModificationException =>
+                  case e: IllegalArgumentException
+                    if Option(e.getMessage).exists(_.contains("no parquet")) =>
+                  // racing an overwrite that emptied... not possible here
+                }
+              case _ => // appends either commit or refuse loudly —
+                // ACROSS an overwrite/compact the blind rebase refuses
+                try {
+                  val v = Lake.commitAppend(df, root, retain = 64)
+                  effects.put(v, ("append", payload))
+                } catch { case _: java.util.ConcurrentModificationException => }
+            }
+          }
+        } catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    // replay the committed effects in version order: the final table
+    // must equal the replay — no lost append, no phantom rows, no
+    // effect applied out of its claimed slot
+    import scala.jdk.CollectionConverters._
+    val history = effects.asScala.toSeq.sortBy(_._1)
+    assert(history.nonEmpty)
+    // every recorded version slot is unique and was actually committed
+    assert(history.map(_._1).distinct.size === history.size)
+    val expected = history.foldLeft(Set.empty[(Long, String)]) {
+      case (st, (_, ("append", rows)))    => st ++ rows
+      case (st, (_, ("overwrite", rows))) => rows
+      case (st, (_, ("compact", _)))      => st
+      case (st, _)                        => st
+    }
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      expected.map { case (k, t) => Seq(k, t) })
+    // the claimed slots really are the committed history's tail (gaps
+    // can only come from ops this test did not run)
+    val current = Lake.currentVersion(spark, root).get
+    assert(history.map(_._1).max === current)
   }
 
   test("OCC: eight genuinely concurrent appenders all commit; the table holds every batch") {
