@@ -849,17 +849,32 @@ object TextAnalysis {
   def sequencePack(
       df: DataFrame, idCol: String, textCol: String,
       budget: Int = 1024, shards: Int = 8): DataFrame = {
-    require(budget >= 1 && shards >= 1, "budget and shards must be positive")
     // coalesce: size() of a NULL token array is NULL (or -1 with ANSI
     // off) — a NULL-text doc must still get a stream position (0 tokens)
     // or it breaks the running sum for every doc after it in the shard
     val nTok = coalesce(
       size(TextFns.tokens(TextFns.normalize(col(textCol)))).cast("long"),
       lit(0L))
+    packTokenCounts(
+      df.select(col(idCol), nTok.as("n_tokens")), idCol, budget, shards)
+  }
+
+  /** [[sequencePack]] over a PRECOMPUTED per-document token count
+    * (`n_tokens` column) — the form a SUBWORD pipeline needs, where
+    * the budget is measured in [[bpeEncode]] pieces (or any external
+    * tokenizer's counts), not whitespace words. Same sharded
+    * prefix-sum layout, same interleaved seq_id numbering. */
+  def packTokenCounts(
+      counts: DataFrame, idCol: String,
+      budget: Int = 1024, shards: Int = 8): DataFrame = {
+    require(budget >= 1 && shards >= 1, "budget and shards must be positive")
     val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % shards).cast("int")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-    df.select(col(idCol), greatest(nTok, lit(0L)).as("n_tokens"), shard.as("shard"))
+    counts.select(col(idCol),
+        greatest(coalesce(col("n_tokens").cast("long"), lit(0L)), lit(0L))
+          .as("n_tokens"),
+        shard.as("shard"))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id",
         col("shard") + floor(col("__start") / budget) * shards)

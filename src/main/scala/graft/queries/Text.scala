@@ -678,6 +678,25 @@ object Text {
         .orderBy("doc_id", "pos", "piece_pos")
     },
 
+    // Subword sequence packing: the q64 pretraining batch layout
+    // measured in BPE PIECES instead of whitespace words — train the
+    // q137 merges, count each document's pieces (one aggregate over
+    // the encode stream), pack with the sharded prefix sum. This is
+    // the layout step a real subword pipeline ships: budgets are
+    // model-context tokens, and context windows count subwords.
+    // Docs outside the trained alphabet (or with NULL text) pack with
+    // count 0 and keep their stream position.
+    Q("q139_bpe_pack", Text.bpePackOracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pieces = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.bpeMerges(docs, "text", nMerges = 10))
+      val counts = docs.select("doc_id")
+        .join(pieces.groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+          Seq("doc_id"), "left")
+      TextAnalysis.packTokenCounts(counts, "doc_id", budget = 512, shards = 8)
+        .orderBy("doc_id")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.
@@ -1380,8 +1399,13 @@ object Text {
     * tie (a ASC, b ASC)) and applies it as the same boundary-exact
     * literal replace the engine runs. MATERIALIZED is load-bearing:
     * inlined CTEs would re-evaluate the chain exponentially. */
-  private[queries] def bpeOracle: String = {
-    val nMerges = 10
+  // `final` + literal = a compile-time constant, safe to reference
+  // from `all`'s initializer above (a plain val here would still be 0
+  // during the catalog's own object-init evaluation)
+  private final val bpeNMerges = 10
+
+  /** The shared BPE-training CTE block (see [[bpeOracle]]). */
+  private def bpeTrainingCtes: String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT token, count(*) AS cnt,
@@ -1389,7 +1413,7 @@ object Text {
          |  FROM (SELECT unnest($oTok) AS token FROM documents)
          |  WHERE regexp_full_match(token, '[a-z0-9]+')
          |  GROUP BY token)""".stripMargin
-    val steps = (1 to nMerges).flatMap { i =>
+    val steps = (1 to bpeNMerges).flatMap { i =>
       Seq(
         s"""b$i AS MATERIALIZED (
            |  SELECT sym[s.i] AS a, sym[s.i + 1] AS b
@@ -1403,16 +1427,43 @@ object Text {
            |      '(' || m.a || m.b || ')') AS enc
            |  FROM w${i - 1} w, b$i m)""".stripMargin)
     }
-    s"""WITH ${(w0 +: steps).mkString(",\n")},
+    (w0 +: steps).mkString(",\n")
+  }
+
+  private[queries] def bpeOracle: String =
+    s"""WITH $bpeTrainingCtes,
        |enc AS (SELECT doc_id, unnest($oTok) AS token,
        |    generate_subscripts($oTok, 1) AS pos FROM documents),
        |pieces AS (
        |  SELECT e.doc_id, e.pos, e.token,
        |    string_split(trim(w.enc, '()'), ')(') AS sym
-       |  FROM enc e JOIN w$nMerges w USING (token))
+       |  FROM enc e JOIN w$bpeNMerges w USING (token))
        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
        |  CAST(generate_subscripts(sym, 1) AS BIGINT) AS piece_pos,
        |  unnest(sym) AS piece
        |FROM pieces ORDER BY doc_id, pos, piece_pos""".stripMargin
-  }
+
+  /** q139 oracle: per-document SUBWORD counts from the trained
+    * encodings, then q64's sharded prefix-sum pack over those counts
+    * (budget 512 pieces). Docs with no in-alphabet tokens pack with
+    * count 0 — they still hold a stream position. */
+  private[queries] def bpePackOracle: String =
+    s"""WITH $bpeTrainingCtes,
+       |enc AS (SELECT doc_id, unnest($oTok) AS token FROM documents),
+       |tokcnt AS (
+       |  SELECT e.doc_id,
+       |    CAST(sum(len(string_split(trim(w.enc, '()'), ')('))) AS BIGINT) AS n
+       |  FROM enc e JOIN w$bpeNMerges w USING (token) GROUP BY e.doc_id),
+       |t AS (
+       |  SELECT d.doc_id, coalesce(tc.n, 0) AS n_tokens,
+       |    CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS INT) AS shard
+       |  FROM documents d LEFT JOIN tokcnt tc ON d.doc_id = tc.doc_id),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |    - n_tokens AS strt
+       |  FROM t)
+       |SELECT doc_id, n_tokens, shard,
+       |  CAST(shard + (strt // 512) * 8 AS BIGINT) AS seq_id,
+       |  CAST(strt % 512 AS BIGINT) AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
 }
