@@ -537,6 +537,66 @@ object Similarity {
     assigned.select(col("__id").as(idCol), col("cluster_id"), col("cosine"))
   }
 
+  /** POWER ITERATION for the corpus's top principal direction — the
+    * spectral signal an embedding pipeline derives before whitening,
+    * spectral dedup/outlier scoring, or projection-based curricula.
+    * Computes v ← rescale(Xᵀ(Xv)) without EVER materializing the
+    * covariance matrix: each round is ONE map-only pass (per row,
+    * s = x·v against the broadcast-literal direction — the k-means
+    * literal-centroid sync precedent) feeding ONE dims-group
+    * partial-aggregatable shuffle (u_d = Σ x_d·s), then a
+    * driver-side exact rescale of the 64 collected components
+    * (max|v| pinned to 2¹⁶ in BigInt — mirrors the oracle's HUGEINT
+    * bit for bit).
+    *
+    * INTEGER-EXACT end to end, the q69/q91 discipline: inputs
+    * fixed-point at x·1024 (a power of two, so the float→double
+    * widen, multiply and +0.5-floor are all exact and
+    * engine-identical), all sums BIGINT, the rescale
+    * sign·(|u|·2¹⁶ div max|u|) on nonnegative operands so truncation
+    * and floor agree across engines. Overflow headroom documented:
+    * |x_q| ≤ 2¹² and |v| ≤ 2¹⁶ bound each round's u_d by
+    * N·dims·2²⁸ ≪ 2⁶³ up to ~10⁸ rows; shrink the v scale for more.
+    * Convergence sign follows the deterministic all-ones start.
+    * @return (idCol, pc1_proj) — each row's exact integer projection
+    *   onto the final direction */
+  def powerIteration(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, rounds: Int = 8): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
+    val xq = emb.select(col(idCol),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("__q"))
+      .where(size(col("__q")) === dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v: IndexedSeq[Long] = IndexedSeq.fill(dims)(1024L)
+      // zip_with + aggregate HOF, measured FASTER than a flat 64-term
+      // sum (7.1s vs 15.5s isolated at sf0.1): the deep binary Add
+      // tree of the flat form defeats codegen, while the HOF loop
+      // evaluates linearly
+      def proj(vNow: IndexedSeq[Long]): Column = aggregate(
+        zip_with(col("__q"), array(vNow.map(lit): _*), (a, b) => a * b),
+        lit(0L), (acc, y) => acc + y)
+      for (_ <- 1 to rounds) {
+        val u = xq
+          .select(proj(v).as("__s"), posexplode(col("__q")).as(Seq("__d", "__x")))
+          .groupBy(col("__d"))
+          .agg(sum(col("__x") * col("__s")).as("__u"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val ub = (0 until dims).map(d => BigInt(u.getOrElse(d, 0L)))
+        val m = ub.map(_.abs).max
+        v =
+          if (m == 0) IndexedSeq.fill(dims)(1024L) // degenerate: restart
+          else ub.map(x => (x.sign * ((x.abs * 65536) / m)).toLong)
+      }
+      // one extra evaluation of xq under the FINAL direction — the
+      // projection scores the oracle's last CTE emits
+      xq.select(col(idCol), proj(v).as("pc1_proj"))
+    } finally { xq.unpersist(); () }
+  }
+
   /** Per-label centroids: element-wise mean via posexplode + regroup.
     * Shuffles (label, pos) pairs — dims × |labels| cells, independent of
     * corpus size after the partial aggregation. */

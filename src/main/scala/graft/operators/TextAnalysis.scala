@@ -640,6 +640,12 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("enc", regexp_replace(col("token"), "(.)", "($1)"))
       .persist()
+    // every round's type table stays persisted until training ends —
+    // the tables are vocab-sized, and holding them halves the job
+    // count (the next round's argmax materializes this round's cache
+    // through the still-cached parent; no separate count() job needed)
+    val held = Seq.newBuilder[DataFrame]
+    held += words
     val out = Seq.newBuilder[(String, String)]
     try {
       var round = 0
@@ -661,15 +667,13 @@ object TextAnalysis {
         else {
           val (a, b) = (best.head.getString(0), best.head.getString(1))
           out += ((a, b))
-          val next = words.withColumn("enc",
+          words = words.withColumn("enc",
             expr(s"replace(enc, '($a)($b)', '($a$b)')")).persist()
-          next.count() // materialize before dropping the parent
-          words.unpersist()
-          words = next
+          held += words
         }
       }
       out.result()
-    } finally { words.unpersist(); () }
+    } finally { held.result().foreach(_.unpersist()); () }
   }
 
   /** BPE subword ENCODE against a trained merge list — the subword

@@ -333,6 +333,23 @@ object Vectors {
         .orderBy("query_id", "rank")
     },
 
+    // Power-iteration PCA: the corpus's top principal direction by
+    // v ← rescale(Xᵀ(Xv)) — the covariance matrix is NEVER
+    // materialized; each of the 8 rounds is one map-only projection
+    // pass against the broadcast-literal direction + one dims-group
+    // partial-aggregatable shuffle + a 64-component exact driver
+    // rescale (the k-means literal-sync precedent). Fixed-point
+    // integer end-to-end (power-of-two scales, sign-split truncating
+    // division), so every projection hash-matches the 8-step
+    // unrolled-CTE oracle bit for bit. The output is each vector's
+    // exact integer projection onto the final direction — the
+    // spectral outlier/curriculum signal next to q74's clusters.
+    Q("q140_power_iteration", Vectors.powerIterOracle) { (s, d) =>
+      Similarity.powerIteration(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 64, rounds = 8)
+        .orderBy("vec_id")
+    },
+
     // Multimodal: binary payload column + metadata/feature extraction
     // (decode stubbed — container has no codecs; plumbing is real).
     Q("q60_media_features",
@@ -942,5 +959,41 @@ object Vectors {
        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q140 oracle: 8 power-iteration rounds unrolled as materialized
+    * CTEs over the fixed-point quantized embeddings (x·1024,
+    * power-of-two scale → the float widen/multiply/round are exact
+    * and engine-identical). Per round: s = x·v per vector, u = Σ x·s
+    * per dim (interior HUGEINT, exact), rescale max|v| to 2¹⁶ with a
+    * sign-split `//` on nonnegative operands so floor division equals
+    * the engine's truncating BigInt division. */
+  private[queries] def powerIterOracle: String = {
+    val rounds = 8
+    val steps = (1 to rounds).flatMap { r =>
+      Seq(
+        s"""s$r AS MATERIALIZED (
+           |  SELECT vec_id, CAST(sum(x * v) AS BIGINT) AS s
+           |  FROM xq JOIN v${r - 1} USING (d) GROUP BY vec_id)""".stripMargin,
+        s"""u$r AS MATERIALIZED (
+           |  SELECT xq.d, sum(xq.x * s$r.s) AS u
+           |  FROM xq JOIN s$r USING (vec_id) GROUP BY xq.d)""".stripMargin,
+        s"""v$r AS MATERIALIZED (
+           |  SELECT d, CAST(CASE WHEN m.m = 0 THEN 1024
+           |    WHEN u < 0 THEN -(((-u) * 65536) // m.m)
+           |    ELSE (u * 65536) // m.m END AS BIGINT) AS v
+           |  FROM u$r, (SELECT max(abs(u)) AS m FROM u$r) m)""".stripMargin)
+    }
+    s"""WITH xq AS MATERIALIZED (
+       |  SELECT vec_id, t.i AS d,
+       |    CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+       |  WHERE len(embedding) = 64),
+       |v0 AS (SELECT i AS d, CAST(1024 AS BIGINT) AS v
+       |       FROM unnest(generate_series(1, 64)) AS t(i)),
+       |${steps.mkString(",\n")}
+       |SELECT xq.vec_id, CAST(sum(x * v) AS BIGINT) AS pc1_proj
+       |FROM xq JOIN v$rounds USING (d)
+       |GROUP BY xq.vec_id ORDER BY xq.vec_id""".stripMargin
   }
 }

@@ -233,4 +233,43 @@ class SimilaritySpec extends SparkSpec {
         col("va").cast("array<double>"), col("vb").cast("array<double>")), 4))
     assert(survivorPairs.where(col("cos") >= 0.95).count() === 0)
   }
+
+  test("powerIteration finds the dominant axis; projections are exact and deterministic") {
+    import spark.implicits._
+    // anisotropic 4-dim cloud: dim 0 carries ±8-scale spread, dims
+    // 1-3 carry ±1 noise — the top principal direction is ~axis 0,
+    // so |projection| must order by |x0|
+    val rows = (0 until 40).map { i =>
+      val sgn = if (i % 2 == 0) 1.0f else -1.0f
+      val x0 = sgn * (1.0f + (i % 7))
+      (i.toLong, Seq(x0, (i % 3 - 1).toFloat * 0.1f,
+        (i % 5 - 2).toFloat * 0.1f, (i % 2).toFloat * 0.1f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .powerIteration(emb, "vec_id", "embedding", dims = 4, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deterministic: a second run is bit-identical
+    val out2 = graft.operators.Similarity
+      .powerIteration(emb, "vec_id", "embedding", dims = 4, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === out2)
+    // dominant-axis recovery: projection magnitude orders by |x0|
+    val byMag = rows.sortBy { case (_, v) => -math.abs(v.head) }.map(_._1)
+    val byProj = out.toSeq.sortBy { case (_, p) => -math.abs(p) }.map(_._1)
+    assert(byMag.take(5).toSet === byProj.take(5).toSet)
+    // sign structure: same-sign x0 rows project with the same sign
+    val pos = rows.filter(_._2.head > 0).map(_._1)
+    val neg = rows.filter(_._2.head < 0).map(_._1)
+    assert(pos.map(out).forall(_ > 0) !== pos.map(out).forall(_ < 0))
+    assert(pos.map(out).map(_.sign).distinct.size === 1)
+    assert(neg.map(out).map(_.sign).distinct.size === 1)
+    assert(pos.map(out).head.sign === -neg.map(out).head.sign)
+    // degenerate all-zero corpus: projections are 0, no crash
+    val zeros = Seq((1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val z = graft.operators.Similarity
+      .powerIteration(zeros, "vec_id", "embedding", dims = 4, rounds = 3)
+      .collect()
+    assert(z.map(_.getLong(1)).toSeq === Seq(0L))
+  }
 }
