@@ -41,7 +41,10 @@ object Lakehouse {
     * minus the read-time cap). `doc_id % 10 <> 3` is the final doc
     * set after the scenario's merge (base < 8, batch >= 8, deletes
     * = 3); NULL-text docs carry no shingles and are not indexed. */
-  private def lshIndexOracle: String = {
+  /** The sh/sigs/banded CTE chain deriving the uncapped band postings
+    * of every doc satisfying `pred`, from scratch (shared by the q129
+    * and q141 oracles; same arithmetic as `Dedup.bandedSignatures`). */
+  private def lshBandedCtes(pred: String): String = {
     val p = graft.operators.Dedup.minhashP
     val sigs = graft.operators.Dedup.minhashCoeffs.take(12).zipWithIndex
       .map { case ((a, b), i) =>
@@ -51,23 +54,47 @@ object Lakehouse {
       val cols = (b * 3 until (b + 1) * 3).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      generate_series(1, greatest(length(t) - 4, 1)),
        |      i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))) AS hs
        |  FROM (SELECT doc_id, lower(translate(text, ',;''', '   ')) AS t
-       |        FROM documents WHERE doc_id % 10 <> 3 AND text IS NOT NULL)
+       |        FROM documents WHERE ($pred) AND text IS NOT NULL)
        |  WHERE len(hs) > 0),
        |sigs AS (
        |  SELECT doc_id,
        |    $sigs
        |  FROM sh),
        |banded AS (
-       |  $bandSelects)
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def lshIndexOracle: String =
+    s"""WITH ${lshBandedCtes("doc_id % 10 <> 3")}
        |SELECT doc_id, band, bkey FROM banded
        |ORDER BY doc_id, band, bkey""".stripMargin
-  }
+
+  /** q141 oracle: ground truth for BOTH maintained artifacts after the
+    * erasure — the per-lang stats over surviving docs (the MV) and the
+    * per-lang posting count of a from-scratch re-band of the surviving
+    * corpus (the LSH index). */
+  private def forgetOracle: String =
+    s"""WITH ${lshBandedCtes("doc_id % 7 <> 2")},
+       |surv AS (SELECT * FROM documents WHERE doc_id % 7 <> 2),
+       |mv AS (
+       |  SELECT lang, count(n_chars) AS cnt,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+       |      / nullif(count(n_chars), 0) AS avg_v
+       |  FROM surv GROUP BY lang),
+       |lang_post AS (
+       |  SELECT s.lang, count(*) AS n_postings
+       |  FROM banded b JOIN surv s USING (doc_id) GROUP BY s.lang)
+       |SELECT mv.lang, mv.cnt, mv.sum_v, mv.avg_v,
+       |  coalesce(lp.n_postings, 0) AS n_postings
+       |FROM mv LEFT JOIN lang_post lp ON mv.lang = lp.lang
+       |ORDER BY mv.lang""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -665,5 +692,51 @@ object Lakehouse {
       Lake.readCommitted(s, replica)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         .orderBy("o_orderkey")
+    },
+
+    // Right-to-be-forgotten propagation — the GDPR-erasure composition
+    // every governed training-data platform needs: ONE predicate
+    // DELETE on the source-of-truth table, and every derived artifact
+    // follows from the change feed alone. The erasure batch
+    // (doc_id % 7 = 2) deletes copy-on-write; the feed's retraction
+    // rows then fold the per-lang stats MV (q115 machinery) and
+    // retract the LSH band index's postings (q129 machinery) — the
+    // 100 TB story is O(changed dirs + affected keys) per artifact,
+    // with no artifact ever re-reading the corpus. The oracle
+    // recomputes BOTH artifacts from scratch over the surviving docs,
+    // so "forgotten everywhere, exactly" is under one hash.
+    Q("q141_forget_pipeline", Lakehouse.forgetOracle) { (s, d) =>
+      val docsRoot = scratchRoot("lake_forget_docs", d)
+      val idxRoot = scratchRoot("lake_forget_idx", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "text", "n_chars")
+      val v0 = Lake.commitOverwrite(docs, docsRoot, retain = 3)
+      // derived artifact 1: the per-lang stats MV, bootstrapped once
+      val mv0 = Incremental.retractablePartials(
+        Lake.readCommittedAt(s, docsRoot, v0), Seq("lang"), "n_chars")
+      // derived artifact 2: the stored LSH band index
+      Lake.commitOverwrite(
+        Dedup.bandedSignatures(
+          Lake.readCommittedAt(s, docsRoot, v0).where(col("text").isNotNull),
+          "doc_id", "text"),
+        idxRoot, retain = 3)
+      // the erasure request, copy-on-write on the source of truth
+      val v1 = Lake.deleteWhere(s, docsRoot,
+        pmod(col("doc_id"), lit(7)) === 2, retain = 3)
+      val feed = Lake.changesBetween(s, docsRoot, v0, v1, Seq("doc_id"))
+      // both artifacts fold THE SAME feed — nothing re-reads the corpus
+      val mv = Incremental.finalizeRetractable(
+        Incremental.applyFeed(mv0, feed, Seq("lang"), "n_chars"))
+      Lake.commitOverwrite(
+        Dedup.applyBandFeed(
+          Lake.readCommitted(s, idxRoot), feed, "doc_id", "text"),
+        idxRoot, retain = 3)
+      val langPost = Lake.readCommitted(s, idxRoot)
+        .join(Lake.readCommitted(s, docsRoot).select("doc_id", "lang"),
+          Seq("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n_postings"))
+      mv.join(langPost, Seq("lang"), "left")
+        .withColumn("n_postings", coalesce(col("n_postings"), lit(0L)))
+        .orderBy("lang")
     })
 }
