@@ -697,6 +697,35 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // FROZEN tokenizer (stored-index pattern for the BPE merges): the
+    // trained merge list persists as a manifest-committed table —
+    // rank-ordered (rank, a, b) rows — and encode LOADS it back
+    // instead of retraining, the production tokenizer lifecycle
+    // (subword ids are only comparable if every shard of every run
+    // encoded against the same frozen merges; the committed table is
+    // the versioned artifact that guarantees it, with time travel =
+    // tokenizer versioning for free). The oracle is q137's: strings
+    // round-trip parquet exactly, so frozen and fresh must agree to
+    // the hash. Same discipline as the stored IVF/PQ codebooks
+    // (q110/q120) and the stored df index (q130).
+    Q("q142_stored_bpe", Text.bpeOracle) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bpe_merges_" + Integer.toHexString(d.hashCode) +
+          "_" + Q.runId).toString
+      graft.sources.Lake.commitOverwrite(
+        TextAnalysis.bpeMerges(docs, "text", nMerges = 10).zipWithIndex
+          .map { case ((a, b), r) => (r + 1, a, b) }
+          .toDF("rank", "a", "b"),
+        root)
+      val stored = graft.sources.Lake.readCommitted(s, root)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", stored)
+        .orderBy("doc_id", "pos", "piece_pos")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.

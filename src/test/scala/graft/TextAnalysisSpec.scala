@@ -395,6 +395,24 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text",
       Seq(("a", "b"), ("ab", "c")))
     assert(enc4.collect().map(_.getString(4)).toSeq === Seq("abc"))
+    // lossless round-trip: each token's pieces, rejoined in piece_pos
+    // order, are the token again — no merge chain loses characters
+    val rt = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "hello world abc aaa"), (2L, "aaaa bb")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("l", "l"), ("a", "a"), ("aa", "a"), ("b", "b")))
+    val bad = rt.groupBy("doc_id", "pos", "token")
+      .agg(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.collect_list(
+              org.apache.spark.sql.functions.struct(
+                org.apache.spark.sql.functions.col("piece_pos"),
+                org.apache.spark.sql.functions.col("piece")))),
+          x => x.getField("piece")), "").as("decoded"))
+      .where(org.apache.spark.sql.functions.col("decoded") =!=
+        org.apache.spark.sql.functions.col("token"))
+    assert(bad.isEmpty)
+
     // non-alphabet tokens are excluded from training and encode
     val merges2 = graft.operators.TextAnalysis.bpeMerges(
       Seq((1L, "zz z-z zz")).toDF("doc_id", "text"), "text", 1)
