@@ -537,6 +537,33 @@ object Similarity {
     assigned.select(col("__id").as(idCol), col("cluster_id"), col("cosine"))
   }
 
+  /** Embedding-level DECONTAMINATION — q76's shingle sweep lifted to
+    * the semantic space: drop every corpus vector whose max cosine
+    * against ANY benchmark vector reaches `threshold` (paraphrased
+    * eval leakage that exact n-gram overlap misses). The benchmark
+    * set broadcasts (eval suites are thousands of rows, never
+    * corpus-scale) and the corpus streams past it map-side — the q50
+    * brute-force scoring shape — then one key-grouped max and a
+    * filter; the corpus never shuffles its payloads. Cosines round to
+    * `roundTo` BEFORE the max/threshold (the q50 cross-engine float
+    * policy). An empty benchmark set contaminates nothing: every
+    * corpus row survives with NULL max_cos.
+    * @return the surviving corpus rows + their `max_cos` */
+  def decontaminateByCosine(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    val b = broadcast(bench
+      .select(col(vecCol).cast("array<double>").as("__bv")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .join(b)
+      .select(col(idCol),
+        round(VectorFns.cosine(col("__cv"), col("__bv")), roundTo).as("__cos"))
+      .groupBy(col(idCol)).agg(max(col("__cos")).as("max_cos"))
+    corpus.join(scored, Seq(idCol), "left")
+      .where(col("max_cos").isNull || col("max_cos") < threshold)
+  }
+
   /** POWER ITERATION for the corpus's top principal direction — the
     * spectral signal an embedding pipeline derives before whitening,
     * spectral dedup/outlier scoring, or projection-based curricula.

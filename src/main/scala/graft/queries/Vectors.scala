@@ -350,6 +350,32 @@ object Vectors {
         .orderBy("vec_id")
     },
 
+    // Embedding-level decontamination: q76's eval-leak sweep in the
+    // semantic space — corpus vectors whose max cosine against the
+    // broadcast benchmark set reaches 0.5 are dropped (paraphrased
+    // leakage that exact shingle overlap misses). The q50 brute-force
+    // scoring shape; payloads never shuffle. Survivors + their
+    // max_cos under the hash.
+    Q("q143_embedding_decontam",
+      """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 10 = 7),
+        |c AS (SELECT vec_id, label, embedding FROM embeddings
+        |      WHERE vec_id % 10 <> 7),
+        |m AS (SELECT c.vec_id, c.label,
+        |    max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                     CAST(b.bv AS DOUBLE[])), 4)) AS max_cos
+        |  FROM c, b GROUP BY c.vec_id, c.label)
+        |SELECT vec_id, label, max_cos FROM m
+        |WHERE max_cos < 0.5 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.decontaminateByCosine(
+          emb.where(pmod(col("vec_id"), lit(10)) =!= 7)
+            .select("vec_id", "label", "embedding"),
+          emb.where(pmod(col("vec_id"), lit(10)) === 7),
+          "vec_id", "embedding", threshold = 0.5)
+        .select("vec_id", "label", "max_cos")
+        .orderBy("vec_id")
+    },
+
     // Multimodal: binary payload column + metadata/feature extraction
     // (decode stubbed — container has no codecs; plumbing is real).
     Q("q60_media_features",

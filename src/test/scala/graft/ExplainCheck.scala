@@ -48,6 +48,9 @@ object ExplainCheck {
     // |corpus|×|Q| shape as q50 (the BNLJ side is the broadcast
     // query set, never corpus×corpus)
     "q69_quantized_topk",
+    // corpus × broadcast BENCHMARK scoring (eval suites are bounded;
+    // the corpus streams map-side, q50's shape)
+    "q143_embedding_decontam",
     // ONE-ROW broadcast scalar joins (corpus size N / avgdl stats /
     // min-stratum target / total token count): a cross join against a
     // single aggregated row is the standard way to attach a global
