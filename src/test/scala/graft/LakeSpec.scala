@@ -1260,6 +1260,46 @@ class LakeSpec extends SparkSpec {
     assert(history.map(_._1).max === current)
   }
 
+  test("OCC crash sweep: every loser/crash residue is invisible to readers and writers") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpTable("graft-lake-occ-crash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+
+    // crash point A: writer died after staging, before any publish —
+    // an unreferenced z-dir. Readers and subsequent commits ignore it.
+    Seq((9L, "dead")).toDF("k", "t").write
+      .parquet(new Path(root, "zdeadwriter01").toString)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+
+    // crash point B: writer died after building its manifest tmp,
+    // before the publish — a writer-unique *.tmp file. Invisible to
+    // version resolution (it parses as no version).
+    val out = fs.create(new Path(root, "_commit_1.deadbeef.tmp"), true)
+    out.write("zdeadwriter01".getBytes("UTF-8")); out.close()
+    assert(Lake.currentVersion(spark, root) === Some(0L))
+
+    // crash point C: publish SUCCEEDED but the winner died before
+    // deleting its tmp — marker valid, stale tmp beside it. The next
+    // commit allocates past the published version normally.
+    assert(Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root,
+      retain = 8) === 1L)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+
+    // recovery: vacuum's staleness horizon reclaims BOTH residues
+    // (aged), while live data dirs survive
+    fs.setTimes(new Path(root, "zdeadwriter01"), 1000L, -1)
+    fs.setTimes(new Path(root, "_commit_1.deadbeef.tmp"), 1000L, -1)
+    val (_, swept) = Lake.vacuumCommitted(spark, root, retain = 8,
+      staleStagedMs = 60L * 1000)
+    assert(swept.contains("zdeadwriter01") &&
+      swept.contains("_commit_1.deadbeef.tmp"))
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
   test("OCC: eight genuinely concurrent appenders all commit; the table holds every batch") {
     val root = tmpTable("graft-lake-occ-par")
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
