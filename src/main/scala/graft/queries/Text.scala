@@ -726,6 +726,51 @@ object Text {
         .orderBy("doc_id", "pos", "piece_pos")
     },
 
+    // Bounded-state quantile sketch with its guarantee under the hash
+    // — the q90 pattern for percentiles: percentile_approx (the
+    // Greenwald–Khanna sketch Spark ships; O(accuracy) state per
+    // group, the ONLY way to quantile 100 TB in one pass) next to the
+    // exact values, with the sketch's rank-error guarantee
+    // (≤ n/accuracy) VERIFIED as boolean columns — the estimate's
+    // rank bracket is recounted exactly against the data, so the
+    // oracle's literal TRUE flags fail the hash if the sketch ever
+    // exceeds its contract. Exact percentiles ride along for the
+    // check only (they collect per-group state; at scale you ship
+    // the sketch — that is the point).
+    Q("q144_approx_percentiles",
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.5) AS exact_p50,
+        |  quantile_cont(n_chars, 0.9) AS exact_p90,
+        |  TRUE AS p50_within_bound, TRUE AS p90_within_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("lang", "n_chars")
+      val acc = 100 // GK guarantee: rank error <= n/acc
+      val est = docs.groupBy("lang").agg(
+        percentile_approx(col("n_chars"), lit(0.5), lit(acc)).as("e50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(acc)).as("e90"),
+        percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+        percentile(col("n_chars"), lit(0.9)).as("exact_p90"),
+        count(lit(1)).as("n"))
+      def ok(p: Double, le: org.apache.spark.sql.Column,
+          lt: org.apache.spark.sql.Column) =
+        (le >= col("n") * p - col("n") / acc - 1) &&
+          (lt <= col("n") * p + col("n") / acc + 1)
+      docs.join(broadcast(est), Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          first(col("exact_p50")).as("exact_p50"),
+          first(col("exact_p90")).as("exact_p90"),
+          first(col("n")).as("n"),
+          sum(when(col("n_chars") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("n_chars") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("n_chars") <= col("e90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("n_chars") < col("e90"), 1L).otherwise(0L)).as("lt90"))
+        .select(col("lang"), col("exact_p50"), col("exact_p90"),
+          ok(0.5, col("le50"), col("lt50")).as("p50_within_bound"),
+          ok(0.9, col("le90"), col("lt90")).as("p90_within_bound"))
+        .orderBy("lang")
+    },
+
     // SimHash Hamming near-dup pairs: byte-band the fingerprints,
     // candidates = any shared band, exact bit_count(xor) rescore.
     // Integer-only end-to-end → full hash check.
