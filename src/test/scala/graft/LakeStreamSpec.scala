@@ -450,6 +450,36 @@ class LakeStreamSpec extends SparkSpec {
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
+  test("OCC crosses the stream/batch boundary: a batch appender inside a sink commit is not lost") {
+    import graft.sources.LakeStreamSink
+    val root = tmpTable("graft-lksink-occ")
+    val sc = spark.sparkContext
+    val sink = new LakeStreamSink(root, retain = 8, Nil, Nil)
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", "lin-occ")
+      sink.addBatch(0, Seq((1L, "a")).toDF("k", "t")) // v0
+      // a BATCH appender (a backfill job, a second pipeline) lands
+      // inside the sink's next commit window — the sink's append must
+      // lose the slot, rebase, and commit WITH the interloper's dir
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitAppend(Seq((9L, "batch")).toDF("k", "t"), root, retain = 8)
+        ()
+      }
+      sink.addBatch(1, Seq((2L, "b")).toDF("k", "t"))
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, "a"), Seq(9L, "batch"), Seq(2L, "b")))
+      // the sink's effectively-once lineage survived the rebase: a
+      // crash-replay of the same batch id still commits nothing
+      val before = Lake.currentVersion(spark, root)
+      sink.addBatch(1, Seq((2L, "b")).toDF("k", "t"))
+      assert(Lake.currentVersion(spark, root) === before)
+    } finally {
+      Lake.beforePublish = () => ()
+      sc.setLocalProperty("sql.streaming.queryId", null)
+    }
+  }
+
   test("randomized protocol: appends, compactions and drains in any interleaving stream each row exactly once") {
     // seeded — failures reproduce; the drain uses the SAME checkpoint
     // throughout, so every random prefix exercises restart-resume
