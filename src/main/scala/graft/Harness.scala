@@ -10,6 +10,9 @@ object Harness {
   def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // engine extensions: graft_* SQL functions + the rule routing
+      // SQL INSERT on graft-lake tables through the manifest commit
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

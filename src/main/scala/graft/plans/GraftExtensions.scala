@@ -18,8 +18,13 @@ import org.apache.spark.sql.graft.Shim
   * [[rollingHash]] wrappers build the expressions directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL INSERT INTO/OVERWRITE on graft-lake catalog tables must go
+    // through the manifest commit, not a raw file write into the
+    // table root (see GraftLakeInsertRule — silent data loss without it)
+    ext.injectPostHocResolutionRule(_ => new graft.sources.GraftLakeInsertRule)
+  }
 }
 
 object GraftExtensions {

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.StructType
   * version is pinned at construction.
   */
 final class LakeFileIndex(
-    spark: SparkSession, root: String,
+    spark: SparkSession, val root: String,
     val version: Long, dataSchema: StructType) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+
+/** SQL `INSERT INTO` / `INSERT OVERWRITE` routed through the manifest
+  * commit protocol.
+  *
+  * Without this, Spark's `DataSourceAnalysis` plans an insert into a
+  * `CREATE TABLE USING graft-lake` catalog table as a plain
+  * `InsertIntoHadoopFsRelationCommand` writing parquet files straight
+  * into the table ROOT — files no manifest references, so the insert
+  * reports success and the rows silently never appear to any reader
+  * (measured before this rule existed). That is the one failure class
+  * this engine refuses everywhere: data loss without an error.
+  *
+  * The rewrite keys on the relation's [[LakeFileIndex]] (only lake
+  * tables carry one) and replaces the file write with the real
+  * commit: append for `INSERT INTO`, snapshot replace for
+  * `INSERT OVERWRITE` — both optimistically concurrent, crash-safe,
+  * change-feed-visible like every other commit. Schema alignment
+  * (column count/order/casts) has already happened upstream in
+  * `PreprocessTableInsertion`, so the committed batch is exactly what
+  * SQL semantics dictate. Retention uses the commit default; pipelines
+  * needing custom retention/stats knobs use the write API. */
+case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graft.Shim.ofRows(session, query)
+    if (overwrite) Lake.commitOverwrite(df, root)
+    else Lake.commitAppend(df, root)
+    Seq.empty
+  }
+}
+
+/** Post-hoc resolution rule installing the rewrite; registered by
+  * `graft.plans.GraftExtensions` (custom post-hoc rules run AFTER
+  * `DataSourceAnalysis`, so the match is on the already-converted
+  * file-write command, whose `fileIndex` identifies lake tables). */
+class GraftLakeInsertRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: InsertIntoHadoopFsRelationCommand =>
+      c.fileIndex match {
+        case Some(idx: LakeFileIndex) =>
+          GraftLakeInsertCommand(idx.root, c.mode == SaveMode.Overwrite, c.query)
+        case _ => plan
+      }
+    case _ => plan // inserts are whole-statement commands; never nested
+  }
+}

@@ -190,6 +190,43 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO/OVERWRITE commit through the manifest — never a silent root write") {
+    val root = tmpTable("graft-lakesql-ins")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_ins")
+    spark.sql(
+      s"CREATE TABLE lakesql_ins USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      // INSERT INTO = a real append commit: visible to SQL (after the
+      // standard REFRESH — snapshot-pinned handles), to readCommitted,
+      // and to the change feed; the manifest records the op
+      spark.sql("INSERT INTO lakesql_ins VALUES (2, 'b')")
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+      spark.sql("REFRESH TABLE lakesql_ins")
+      assert(rows(spark.sql("SELECT * FROM lakesql_ins")) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+      assert(Lake.currentVersion(spark, root) === Some(1L))
+      // no stray parquet files at the table root (the silent-loss
+      // failure mode this rule exists to prevent)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root)).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet")))
+      // INSERT OVERWRITE = a snapshot replace, same protocol
+      spark.sql("INSERT OVERWRITE lakesql_ins VALUES (9, 'z')")
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
+      spark.sql("REFRESH TABLE lakesql_ins")
+      assert(rows(spark.sql("SELECT * FROM lakesql_ins")) === Set(Seq(9L, "z")))
+      // time travel still serves the pre-overwrite snapshot
+      assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
+        Set(Seq(1L, "a"), Seq(2L, "b")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_ins")
+      ()
+    }
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
