@@ -221,6 +221,13 @@ class LakeSqlSpec extends SparkSpec {
       // time travel still serves the pre-overwrite snapshot
       assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
         Set(Seq(1L, "a"), Seq(2L, "b")))
+      // SQL row-level DML refuses LOUDLY (the standard v1 message) —
+      // the programmatic deleteWhere/updateWhere/mergeCommitted are
+      // the supported paths; CTAS goes through the provider and
+      // commits properly (probed: no silent write path remains)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("DELETE FROM lakesql_ins WHERE k = 9")
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS lakesql_ins")
       ()
