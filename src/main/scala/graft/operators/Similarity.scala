@@ -581,9 +581,15 @@ object Similarity {
     * widen, multiply and +0.5-floor are all exact and
     * engine-identical), all sums BIGINT, the rescale
     * sign·(|u|·2¹⁶ div max|u|) on nonnegative operands so truncation
-    * and floor agree across engines. Overflow headroom documented:
-    * |x_q| ≤ 2¹² and |v| ≤ 2¹⁶ bound each round's u_d by
-    * N·dims·2²⁸ ≪ 2⁶³ up to ~10⁸ rows; shrink the v scale for more.
+    * and floor agree across engines. Overflow headroom is ENFORCED,
+    * not assumed: with m = max|x_q| over the corpus, each row's
+    * projection is |s| ≤ dims·m·2¹⁶ and each component's sum is
+    * |u_d| ≤ N·m·|s| = N·dims·m²·2¹⁶ — Spark's non-ANSI long sum
+    * would wrap SILENTLY past 2⁶³ while the oracle's HUGEINT interior
+    * stays exact, so the operator measures (N, m) up front and
+    * refuses when the bound leaves less than 2× headroom (at unit
+    * embeddings, m = 2¹⁰, dims = 64, that admits N up to ~2³⁵ rows;
+    * larger inputs shrink it — the refusal names the numbers).
     * Convergence sign follows the deterministic all-ones start.
     * @return (idCol, pc1_proj) — each row's exact integer projection
     *   onto the final direction */
@@ -598,6 +604,20 @@ object Similarity {
       .where(size(col("__q")) === dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one narrow pass over the (persisted) quantized corpus measures
+      // the exact overflow envelope — see the scaladoc bound
+      val hdr = xq.select(count(lit(1)).as("n"),
+        max(aggregate(col("__q"), lit(0L),
+          (acc, y) => greatest(acc, abs(y)))).as("m")).head()
+      val n = hdr.getLong(0)
+      val m = if (hdr.isNullAt(1)) 0L else math.max(hdr.getLong(1), 1L)
+      val worst = BigInt(n) * dims * BigInt(m) * BigInt(m) * BigInt(65536)
+      require(worst < (BigInt(1) << 62),
+        s"powerIteration would overflow BIGINT partial sums: N=$n rows × " +
+          s"dims=$dims × max|x_q|²=$m² × 2^16 = $worst ≥ 2^62 — Spark's " +
+          "long sum wraps silently past 2^63 while the oracle stays exact. " +
+          "Reduce the corpus slice, dims, or input magnitude (the 2^16 " +
+          "direction scale is pinned to the integer-exact oracle).")
       var v: IndexedSeq[Long] = IndexedSeq.fill(dims)(1024L)
       // zip_with + aggregate HOF, measured FASTER than a flat 64-term
       // sum (7.1s vs 15.5s isolated at sf0.1): the deep binary Add

@@ -1588,31 +1588,46 @@ object Lake {
     while (true) {
       attempt += 1
       val committed = committedVersions(fs, r)
-      if (base >= 0 && !committed.contains(base))
+      if (base >= 0 && !committed.contains(base)) {
+        fs.delete(new Path(r, staged), true)
         throw new java.util.ConcurrentModificationException(
           s"append to $root: the base version $base this append staged " +
             "against was retention-pruned during the commit race — the " +
             "append-only interleaving cannot be proven; re-derive and retry " +
             "(or commit with a larger `retain`)")
+      }
       // rebase validation: every commit that landed since `base` must
       // itself be append-shaped (dirs only added) for a blind rebase
-      // to be sound
-      (base +: committed.filter(_ > base)).filter(_ >= 0)
-        .sliding(2).foreach {
-          case Seq(a, b) =>
-            val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
-            if (removed.nonEmpty) {
-              fs.delete(new Path(r, staged), true)
-              throw new java.util.ConcurrentModificationException(
-                s"append to $root: concurrent commit v$b removed dirs " +
-                  s"${removed.toSeq.sorted.mkString(", ")} " +
-                  "(overwrite/merge/delete/compact) while this append was " +
-                  "staging — a blind-append rebase is only sound across " +
-                  "appends; re-derive the batch against the current " +
-                  "snapshot and retry")
-            }
-          case _ => // single element: nothing landed since base
-        }
+      // to be sound. A concurrent winner's pruneRetention can delete a
+      // manifest between the committedVersions listing above and these
+      // per-version reads (TOCTOU) — that race IS the retention-pruned
+      // case, so it gets the same refusal, not a raw FileNotFound.
+      try {
+        (base +: committed.filter(_ > base)).filter(_ >= 0)
+          .sliding(2).foreach {
+            case Seq(a, b) =>
+              val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
+              if (removed.nonEmpty) {
+                fs.delete(new Path(r, staged), true)
+                throw new java.util.ConcurrentModificationException(
+                  s"append to $root: concurrent commit v$b removed dirs " +
+                    s"${removed.toSeq.sorted.mkString(", ")} " +
+                    "(overwrite/merge/delete/compact) while this append was " +
+                    "staging — a blind-append rebase is only sound across " +
+                    "appends; re-derive the batch against the current " +
+                    "snapshot and retry")
+              }
+            case _ => // single element: nothing landed since base
+          }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          fs.delete(new Path(r, staged), true)
+          throw new java.util.ConcurrentModificationException(
+            s"append to $root: a manifest in the rebase window was " +
+              "retention-pruned by a concurrent commit mid-validation — " +
+              "the append-only interleaving cannot be proven; re-derive " +
+              "and retry (or commit with a larger `retain`)")
+      }
       val cur = committed.lastOption
       // number allocation vs committedVersions (see commitOverwrite);
       // the snapshot to extend is the LIVE one

@@ -27,10 +27,24 @@ import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationComm
   * SQL semantics dictate. Retention uses the commit default; pipelines
   * needing custom retention/stats knobs use the write API. */
 case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
-    query: LogicalPlan) extends LeafRunnableCommand {
+    query: LogicalPlan, outputColumnNames: Seq[String])
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
-    val df = org.apache.spark.sql.graft.Shim.ofRows(session, query)
+    val df0 = org.apache.spark.sql.graft.Shim.ofRows(session, query)
+    // commit under the command's declared output names, not whatever
+    // the query plan's attributes happen to be called — the committed
+    // schema merges BY NAME, so a divergent query alias would
+    // otherwise evolve the table under the wrong column names
+    val df =
+      if (outputColumnNames.nonEmpty &&
+          outputColumnNames != df0.columns.toSeq) {
+        require(outputColumnNames.length == df0.columns.length,
+          s"INSERT into lake table $root: ${outputColumnNames.length} " +
+            s"output columns declared but the query produces " +
+            s"${df0.columns.length}")
+        df0.toDF(outputColumnNames: _*)
+      } else df0
     if (overwrite) Lake.commitOverwrite(df, root)
     else Lake.commitAppend(df, root)
     Seq.empty
@@ -46,7 +60,14 @@ class GraftLakeInsertRule extends Rule[LogicalPlan] {
     case c: InsertIntoHadoopFsRelationCommand =>
       c.fileIndex match {
         case Some(idx: LakeFileIndex) =>
-          GraftLakeInsertCommand(idx.root, c.mode == SaveMode.Overwrite, c.query)
+          // lake catalog tables are unpartitioned at the catalog level
+          // (the manifest owns layout) — a static-partition INSERT
+          // spec reaching here would be silently dropped, so refuse
+          require(c.staticPartitions.isEmpty,
+            s"INSERT into lake table ${idx.root} does not support " +
+              "PARTITION (...) specs — the manifest owns the layout")
+          GraftLakeInsertCommand(idx.root, c.mode == SaveMode.Overwrite,
+            c.query, c.outputColumnNames)
         case _ => plan
       }
     case _ => plan // inserts are whole-statement commands; never nested

@@ -453,8 +453,11 @@ final class GraftLakeProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val base = schema.getOrElse(liveSchema(sqlContext, rootOf(parameters)))
+    // same guard as createSource: a caller-supplied schema that already
+    // carries the CDF columns must not get them appended twice
     val out =
-      if (cdfKeysOf(parameters).isEmpty) base
+      if (cdfKeysOf(parameters).isEmpty ||
+          base.fieldNames.contains("change_type")) base
       else StructType(base.fields.toSeq :+
         org.apache.spark.sql.types.StructField("change_type",
           org.apache.spark.sql.types.StringType) :+
