@@ -678,36 +678,128 @@ object TextAnalysis {
 
   /** BPE subword ENCODE against a trained merge list — the subword
     * completion of [[encodeTokens]] (q79 encodes whole words; real
-    * training pipelines encode merges). Applying M ordered merges is
-    * M nested literal replaces over the wrapped-symbol encoding: ONE
-    * codegen'd projection, no per-row UDF, no loop at execution time.
-    * The chain runs over the DISTINCT word types and joins back to
-    * the token stream on the token key (the q79 shape: corpus-scale
-    * type tables don't broadcast; AQE covers the stopword-head skew).
-    * Tokens outside the trained `[a-z0-9]+` alphabet are dropped —
-    * the model cannot encode symbols it never saw (callers route
-    * those to a byte fallback upstream).
+    * training pipelines encode merges).
+    *
+    * Semantics: apply the M merges IN RANK ORDER, each as one
+    * left-to-right non-overlapping pass over the word's current
+    * symbol sequence — exactly the `replace(replace(…))` chain over
+    * the wrapped-symbol string encoding (the form the DuckDB oracle
+    * replays), with one crucial difference in HOW: a nested-literal
+    * chain is O(M) deep in the plan, which at a production merge
+    * count (~32k) is a parser/analyzer blowup and the measured q140
+    * codegen cliff. Instead the merge list compiles DRIVER-SIDE into
+    * a rank lookup (pair → ordered ranks) broadcast to a typed
+    * per-partition pass over the DISTINCT word types — the legitimate
+    * §2.10 carve-out: the plan is O(1) in M, the pass runs over the
+    * VOCAB-sized type table (never the corpus), and each word encodes
+    * in O(len · merges-applied) via a monotone rank floor (the next
+    * merge to fire is the smallest rank above the last applied — a
+    * later merge can re-create an earlier pair, but the sequential
+    * chain has already passed that rank, so it must NOT fire;
+    * [[applyMerges]] pins this).
+    *
+    * The encoded types join back to the token stream on the token key
+    * (the q79 shape: corpus-scale type tables don't broadcast; AQE
+    * covers the stopword-head skew). Tokens outside the trained
+    * `[a-z0-9]+` alphabet are dropped — the model cannot encode
+    * symbols it never saw (callers route those to a byte fallback
+    * upstream).
     * @return (idCol, pos, token, piece_pos, piece), positions 1-based */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = graft.sources.Tables.widen(df)
       .select(col(idCol),
         posexplode(TextFns.tokens(TextFns.normalize(col(textCol))))
           .as(Seq("__p", "token")))
       .where(col("token").rlike("^[a-z0-9]+$"))
-    // the merge chain as one nested-literal-replace SQL expression —
-    // merges are trained on the [a-z0-9] alphabet, so embedding them
-    // as literals is quote-safe
-    val encSql = merges.foldLeft("regexp_replace(token, '(.)', '($1)')") {
-      case (s, (a, b)) => s"replace($s, '($a)($b)', '($a$b)')"
-    }
-    val types = toks.select("token").distinct()
-      .withColumn("sym", split(trim(expr(encSql), "()"), "\\)\\("))
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val types = toks.select("token").distinct().as[String]
+      .mapPartitions { it =>
+        val pairs = bc.value
+        val rank = compileRanks(pairs)
+        it.map(tok => (tok, applyMerges(tok, pairs, rank)))
+      }.toDF("token", "sym")
     toks.join(types, Seq("token"))
       .select(col(idCol), (col("__p") + 1).cast("long").as("pos"),
         col("token"), posexplode(col("sym")).as(Seq("__q", "piece")))
       .select(col(idCol), col("pos"), col("token"),
         (col("__q") + 1).cast("long").as("piece_pos"), col("piece"))
+  }
+
+  /** Compile a merge list into the pair → ordered-ranks lookup
+    * [[applyMerges]] probes. The key wraps the pair as `a)(b` — the
+    * training alphabet is `[a-z0-9]+`, so the separator is
+    * unambiguous (same argument as the wrapped-string encoding). A
+    * pair CAN repeat in a trained list (a later merge can re-create
+    * and re-learn an earlier pair), so every rank is kept, ordered. */
+  private[graft] def compileRanks(pairs: Array[(String, String)])
+      : java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](pairs.length * 2)
+    var i = 0
+    while (i < pairs.length) {
+      val k = pairs(i)._1 + ")(" + pairs(i)._2
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i + 1) else prev :+ (i + 1))
+      i += 1
+    }
+    m
+  }
+
+  /** Apply a rank-compiled merge list to one word — bit-identical to
+    * the sequential nested-replace chain: merges fire in strictly
+    * increasing rank order (the monotone `floor`), each as ONE
+    * left-to-right non-overlapping pass; a pair re-created by a later
+    * merge does not resurrect an already-passed rank. O(len) scan per
+    * fired merge, O(1) in the total merge count for ranks that never
+    * fire. */
+  private[graft] def applyMerges(token: String,
+      pairs: Array[(String, String)],
+      rank: java.util.HashMap[String, Array[Int]]): Array[String] = {
+    var syms = new Array[String](token.length)
+    var c = 0
+    while (c < token.length) {
+      syms(c) = String.valueOf(token.charAt(c)); c += 1
+    }
+    var floor = 0
+    var done = syms.length <= 1 || rank.isEmpty
+    while (!done) {
+      // the next rank the sequential chain would fire: the smallest
+      // rank > floor among the pairs currently adjacent in the word
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rs = rank.get(syms(i) + ")(" + syms(i + 1))
+        if (rs != null) {
+          var j = 0
+          while (j < rs.length) {
+            val r = rs(j)
+            if (r > floor && r < best) best = r
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best - 1)
+        val ab = a + b
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += ab; j += 2
+          } else {
+            out += syms(j); j += 1
+          }
+        }
+        syms = out.toArray
+        floor = best
+        done = syms.length <= 1
+      }
+    }
+    syms
   }
 
   /** Deterministic hash-based dataset split — the train/valid/test

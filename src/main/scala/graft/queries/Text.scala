@@ -664,9 +664,12 @@ object Text {
     // aggregate over the VOCAB-sized type table + a one-row argmax
     // collect, q91's iterative driver-round-trip class), then encode
     // every document's token stream into subword pieces: the trained
-    // merge list becomes ONE codegen'd projection of nested literal
-    // replaces over the distinct types, joined back on the token key
-    // (the q79 shape). Completes the tokenize→pack story at subword
+    // merge list rank-compiles driver-side into a broadcast lookup
+    // applied by a typed per-partition pass over the distinct types
+    // (plan size O(1) in the merge count — a 32k-merge production
+    // list would blow the analyzer as a nested-replace chain), joined
+    // back on the token key (the q79 shape). Completes the
+    // tokenize→pack story at subword
     // granularity: q79/q64/q73/q108 consume exactly this id stream in
     // a real pipeline. The oracle replays training as 10 unrolled
     // materialized CTE steps — bit-identical tie-breaks (weight DESC,

@@ -423,6 +423,83 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("zz"))
   }
 
+  test("bpeEncode: sequential rank order is pinned — a later merge re-creating an earlier pair does not resurrect it") {
+    import spark.implicits._
+    // merges: rank 1 = (ab, c), rank 2 = (a, b). On "abc" the chain
+    // applies rank 1 first (no 'ab' symbol yet — no-op), THEN rank 2
+    // creates 'ab'. Rank 1's pair is now present, but the chain has
+    // passed it: the result is [ab, c], NOT [abc]. (A trained list is
+    // topologically ordered so this needs a hand-built list to hit.)
+    val enc = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("ab", "c"), ("a", "b")))
+    assert(enc.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("ab", "c"))
+    // a DUPLICATE pair later in the list fires again when its pair is
+    // re-created: [(bc,d), (b,c), (bc,d)] on "bcd" — rank 1 is a
+    // no-op (no 'bc' symbol yet), rank 2 creates it, rank 3 (the
+    // duplicate) then merges (bc)(d) → one piece "bcd"…
+    val dup = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "bcd")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("bc", "d"), ("b", "c"), ("bc", "d")))
+    assert(dup.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("bcd"))
+    // …while WITHOUT the duplicate the passed rank stays passed
+    val nodup = graft.operators.TextAnalysis.bpeEncode(
+      Seq((1L, "bcd")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("bc", "d"), ("b", "c")))
+    assert(nodup.orderBy("piece_pos").collect().map(_.getString(4)).toSeq ===
+      Seq("bc", "d"))
+  }
+
+  test("bpeEncode: plan size is O(1) in the merge count — a 2000-merge list analyzes and matches the 10-merge result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { i =>
+      val words = Seq.fill(8)(Seq.fill(2 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val trained = graft.operators.TextAnalysis.bpeMerges(docs, "text", 10)
+    assert(trained.length === 10)
+    // pad to 2000 with merges over symbols that can never occur
+    // (alphabet here is a-d; 'z…' symbols never form), so the padded
+    // list must produce the identical encoding — while being 200× the
+    // size a nested-replace plan could not survive
+    val padded = trained ++ (1 to 1990).map(i => (s"zz$i", s"zq$i"))
+    val small = graft.operators.TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", trained)
+    val big = graft.operators.TextAnalysis.bpeEncode(
+      docs, "doc_id", "text", padded)
+    // O(1) plan: identical node count regardless of merge count
+    def nNodes(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case p => p }.length
+    assert(nNodes(small) === nNodes(big))
+    assert(rows(small) === rows(big))
+    assert(small.count() > 0)
+
+    // equivalence against the nested-literal-replace chain (the form
+    // the DuckDB oracle replays): every distinct token's pieces from
+    // the rank-compiled pass match the chain's, on the trained merges
+    import org.apache.spark.sql.functions.{explode, expr, split, trim}
+    val encSql = trained.foldLeft("regexp_replace(token, '(.)', '($1)')") {
+      case (s, (a, b)) => s"replace($s, '($a)($b)', '($a$b)')"
+    }
+    val viaChain = docs
+      .select(explode(graft.functions.TextFns.tokens(
+        graft.functions.TextFns.normalize(col("text")))).as("token"))
+      .where(col("token").rlike("^[a-z0-9]+$")).distinct()
+      .withColumn("sym", split(trim(expr(encSql), "()"), "\\)\\("))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaChain.nonEmpty)
+    val pairs = trained.toArray
+    val ranks = graft.operators.TextAnalysis.compileRanks(pairs)
+    viaChain.foreach { case (tok, expected) =>
+      assert(graft.operators.TextAnalysis.applyMerges(tok, pairs, ranks)
+        .toSeq === expected, s"token $tok diverged from the replace chain")
+    }
+  }
+
   test("segmentDedup: keep-first across docs, within-doc repeats dropped, all-lost doc survives") {
     // segTokens = 2 → segments are 2-token windows. Doc 1 owns
     // "a b" and "c d"; doc 2 repeats "a b" (cross-doc dup) plus its
