@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through the manifest commit, not a raw file write into the
     // table root (see GraftLakeInsertRule — silent data loss without it)
     ext.injectPostHocResolutionRule(_ => new graft.sources.GraftLakeInsertRule)
+    // SQL DELETE/UPDATE/MERGE on graft-lake catalog tables route to
+    // the copy-on-write commit engines (see GraftLakeDmlRule); the
+    // analyzer resolves these fully for v1 relations and only planning
+    // would reject them, so post-hoc resolution is the right slot
+    ext.injectPostHocResolutionRule(_ => new graft.sources.GraftLakeDmlRule)
   }
 }
 

@@ -738,5 +738,88 @@ object Lakehouse {
       mv.join(langPost, Seq("lang"), "left")
         .withColumn("n_postings", coalesce(col("n_postings"), lit(0L)))
         .orderBy("lang")
+    },
+
+    // SQL row-level DELETE on a lake CATALOG table, under the oracle
+    // hash: the q116 COW delete driven through the `DELETE FROM`
+    // spelling (GraftLakeDmlRule → Lake.deleteWhere) and read back
+    // through plain `SELECT` on the same catalog table — the DML
+    // command refreshes the relation, so the SELECT serves the
+    // post-delete snapshot with no REFRESH. Dirs whose key range
+    // excludes the predicate are reused by reference, exactly as in
+    // the programmatic path (same pruner, same manifest commit).
+    Q("q145_sql_delete",
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |WHERE NOT coalesce(doc_id BETWEEN 200 AND 399 AND lang = 'fr', FALSE)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("sql_del", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("doc_id"))
+        ()
+      }
+      s.sql("DROP TABLE IF EXISTS sql_del_docs")
+      s.sql(s"CREATE TABLE sql_del_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("DELETE FROM sql_del_docs WHERE doc_id BETWEEN 200 AND 399 AND lang = 'fr'")
+      s.sql("SELECT doc_id, source, lang, n_chars FROM sql_del_docs ORDER BY doc_id")
+    },
+
+    // SQL MERGE INTO a lake catalog table, under the oracle hash: the
+    // canonical warehouse upsert — customers below the key midpoint
+    // are the committed target, per-customer order totals are the
+    // source; a conditional DELETE outranks the UPDATE, non-matching
+    // totals INSERT. The executor (Lake.mergeInto) probes which
+    // snapshot dirs hold matched keys and rewrites only those; the
+    // oracle replays the clause semantics as a LEFT JOIN + anti-join
+    // UNION in plain SQL. Totals go through DECIMAL on both engines
+    // so the matched-row arithmetic is bit-identical.
+    Q("q146_sql_merge",
+      """WITH tgt AS MATERIALIZED (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_custkey <= (SELECT max(c_custkey) / 2 FROM customer)),
+        |src AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT t.c_custkey,
+        |  CASE WHEN s.o_custkey IS NOT NULL THEN t.c_acctbal + s.total
+        |       ELSE t.c_acctbal END AS c_acctbal
+        |FROM tgt t LEFT JOIN src s ON t.c_custkey = s.o_custkey
+        |WHERE NOT coalesce(s.total > 300000.0, FALSE)
+        |UNION ALL
+        |SELECT s.o_custkey AS c_custkey, s.total AS c_acctbal
+        |FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.c_custkey = s.o_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("sql_merge", d)
+      val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      val maxK = cust.agg(max(col("c_custkey"))).collect().head.getLong(0)
+      val tgt = cust.where(col("c_custkey") <= maxK / 2)
+      val step = maxK / 2 / 2 + 1
+      (0L until 2L).foreach { b =>
+        Lake.commitAppend(
+          tgt.where(col("c_custkey") >= b * step && col("c_custkey") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("c_custkey"))
+        ()
+      }
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql("DROP TABLE IF EXISTS sql_merge_tgt")
+      s.sql(s"CREATE TABLE sql_merge_tgt USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("""MERGE INTO sql_merge_tgt t USING sql_merge_src s
+        |ON t.c_custkey = s.o_custkey
+        |WHEN MATCHED AND s.total > 300000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.total
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+        |  VALUES (s.o_custkey, s.total)""".stripMargin)
+      s.sql("SELECT c_custkey, c_acctbal FROM sql_merge_tgt ORDER BY c_custkey")
     })
 }

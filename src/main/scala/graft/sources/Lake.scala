@@ -1980,6 +1980,178 @@ object Lake {
     next
   }
 
+  /** General SQL-semantics MERGE INTO a committed table — the
+    * copy-on-write executor behind `MERGE INTO` on lake catalog
+    * tables (and a programmatic operator in its own right; the
+    * CDC-shaped [[mergeCommitted]] remains the upsert-feed form).
+    *
+    * Clause semantics are ANSI MERGE: every (target row, source row)
+    * pair matching the equi-`on` condition takes the FIRST `matched`
+    * clause whose condition holds (UPDATE builds the new row, DELETE
+    * drops it; no clause → row kept); target rows with no source
+    * match take the first `notMatchedBySource` clause; source rows
+    * with no target match take the first `notMatched` INSERT clause
+    * (unassigned columns NULL). A target row matched by MORE than one
+    * source row is a cardinality violation and fails the job (the
+    * ambiguity every engine refuses), detected with a window over the
+    * BATCH side only — never a corpus-sized shuffle.
+    *
+    * Column reference contract: target columns as `col("t.c")`,
+    * source columns as `col("s.c")` in clause conditions/assignments;
+    * `on` pairs are (target expr `t.`-qualified, source expr
+    * UNqualified — it resolves against the bare source before the
+    * join).
+    *
+    * Scale shape (the [[mergeCommitted]] discipline): one map-only
+    * probe finds which snapshot dirs hold matched keys; untouched
+    * dirs are reused BY REFERENCE and only touched dirs rewrite
+    * through the clause fold. `notMatchedBySource` clauses see every
+    * target row by definition, so they rewrite the full snapshot —
+    * that is the semantics' cost, not the executor's. Optimistically
+    * concurrent like every maintenance commit: the slot is pinned
+    * before the rewrite, losing it deletes the staged dir and
+    * refuses. Returns the committed version (unchanged if a no-op). */
+  def mergeInto(spark: SparkSession, root: String,
+      source: org.apache.spark.sql.DataFrame,
+      on: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+      matched: Seq[LakeMergeMatched] = Nil,
+      notMatched: Seq[LakeMergeInsert] = Nil,
+      notMatchedBySource: Seq[LakeMergeMatched] = Nil,
+      retain: Int = 1): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(on.nonEmpty, "MERGE needs at least one ON equality pair")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
+    val snapDirs = manifestDirs(fs, r, cur)
+    val carried = manifestSchema(fs, r, cur)
+    val base = readCommittedAt(spark, root, cur)
+    val schema = carried.getOrElse(base.schema)
+    val needJoin = matched.nonEmpty || notMatchedBySource.nonEmpty
+    // per-source-key match count, window over the BATCH side only —
+    // joined rows carrying __nmatch > 1 are the cardinality violation
+    val srcW = source
+      .withColumn("__nmatch", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(on.map(_._2): _*)))
+      .withColumn("__s_present", lit(true))
+      .persist()
+    try {
+      val joinCond = on.zipWithIndex.map { case ((t, _), i) =>
+        t === col(s"s.__sk_$i")
+      }.reduce(_ && _)
+      // materialize the source-side key exprs as columns BEFORE the
+      // alias (they must resolve against the bare source, and stay
+      // unambiguous under the join)
+      val srcKeyed = on.zipWithIndex.foldLeft(srcW) { case (d, ((_, s), i)) =>
+        d.withColumn(s"__sk_$i", s)
+      }.alias("s")
+      val touchedDirNames: Set[String] =
+        if (notMatchedBySource.nonEmpty) snapDirs.toSet
+        else if (matched.isEmpty) Set.empty
+        else base.withColumn("__file", input_file_name()).alias("t")
+          .join(srcKeyed, joinCond, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(row => new Path(row.getString(0)).getParent.getName)
+          .toSet
+      val touchedDirs = snapDirs.filter(touchedDirNames)
+      val untouched = snapDirs.filterNot(touchedDirNames)
+      val cols = schema.fieldNames.toSeq
+      val touchedBase =
+        if (touchedDirs.isEmpty) base.limit(0)
+        else {
+          val paths = touchedDirs.map(d => new Path(r, d).toString)
+          carried match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None    => spark.read.parquet(paths: _*)
+          }
+        }
+      val present = coalesce(col("s.__s_present"), lit(false))
+      // ordered branch list: (guard, Some(assignments) = update /
+      // None = delete). Matched and by-source groups are disjoint on
+      // `present`, so group order cannot overlap.
+      def branchesOf(clauses: Seq[LakeMergeMatched], guard: Column) =
+        clauses.map {
+          case LakeMergeUpdate(c, set) =>
+            (guard && c.getOrElse(lit(true)), Some(set))
+          case LakeMergeDelete(c) =>
+            (guard && c.getOrElse(lit(true)), None)
+        }
+      val branches = branchesOf(matched, present) ++
+        branchesOf(notMatchedBySource, !present)
+      def colValue(c: String): Column = branches.foldRight(col(s"t.$c")) {
+        case ((g, act), els) =>
+          when(g, act.flatMap(_.get(c)).getOrElse(col(s"t.$c"))).otherwise(els)
+      }.cast(schema(c).dataType)
+      // the cardinality raise rides the delete flag — it is evaluated
+      // for every joined row before any branch can act
+      val deleted = when(present && col("s.__nmatch") > 1,
+          raise_error(concat(lit("MERGE cardinality violation on "),
+            lit(root), lit(": a target row matched multiple source rows " +
+              "— deduplicate the source on the ON keys"))).cast("boolean"))
+        .otherwise(branches.foldRight(lit(false): Column) {
+          case ((g, act), els) => when(g, lit(act.isEmpty)).otherwise(els)
+        })
+      val keptRewritten =
+        if (!needJoin) touchedBase.limit(0)
+        else touchedBase.alias("t").join(srcKeyed, joinCond, "left")
+          .withColumn("__del", deleted)
+          .where(!col("__del"))
+          .select(cols.map(c => colValue(c).as(c)): _*)
+      val inserts =
+        if (notMatched.isEmpty) keptRewritten.limit(0)
+        else {
+          // every target row matching a source key lives in a touched
+          // dir (that is what the probe computed), so the anti-join
+          // against touched rows alone is the anti-join against the
+          // full table. Insert-only merges probe nothing — anti-join
+          // the full base.
+          val antiRight = (if (needJoin) touchedBase else base).alias("t")
+          val srcOnly = srcKeyed.join(antiRight, joinCond, "left_anti")
+          val insBranches = notMatched.map(i =>
+            (i.condition.getOrElse(lit(true)), i.values))
+          def insValue(c: String): Column =
+            insBranches.foldRight(lit(null): Column) { case ((g, vs), els) =>
+              when(g, vs.getOrElse(c, lit(null))).otherwise(els)
+            }.cast(schema(c).dataType)
+          val insFlag = insBranches.foldRight(lit(false): Column) {
+            case ((g, _), els) => when(g, lit(true)).otherwise(els)
+          }
+          srcOnly.where(insFlag)
+            .select(cols.map(c => insValue(c).as(c)): _*)
+        }
+      val rewritten = keptRewritten.unionByName(inserts)
+      // nothing matched, nothing to insert → the table is unchanged
+      if (touchedDirs.isEmpty && rewritten.isEmpty) return cur
+      val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+      val effStats = effectiveStatsCols(fs, r, Nil)
+      val newDir = stagedDirName() // writer-unique, see mergeCommitted
+      rewritten.write.mode("overwrite").parquet(new Path(r, newDir).toString)
+      preserveMarkers(fs, r, touchedDirs, newDir)
+      val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
+        .map(newDir -> _).toMap
+      val effBloom = effectiveBloomCols(fs, r, Nil)
+      val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
+        .map(newDir -> _).toMap
+      if (!commitManifest(fs, r, next, untouched :+ newDir, retain,
+          carried.orElse(Some(rewritten.schema)), None, stats, effStats,
+          newBlooms = blooms, bloomCols = effBloom, op = "merge")) {
+        fs.delete(new Path(r, newDir), true)
+        throw new java.util.ConcurrentModificationException(
+          s"merge into $root lost version $next to a concurrent commit — " +
+            "the merge read a snapshot that is no longer live; re-run " +
+            "against the current table (maintenance commits are " +
+            "one-writer-at-a-time, Delta's OPTIMIZE conflict rule)")
+      }
+      next
+    } finally { srcW.unpersist(); () }
+  }
+
   /** [[compact]] for a manifest-committed table: collapse the live
     * snapshot (append commits accumulate one dir per batch — the
     * small-files pathology in manifest form: readers pay listing +

@@ -1,0 +1,277 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, AttributeReference, EqualTo, Expression, PlanExpression,
+  PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan,
+  MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.Shim
+
+/** The [[Lake.mergeInto]] matched-clause ADT: SQL
+  * `WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN UPDATE SET … |
+  * DELETE`, first matching clause wins. Conditions and assignment
+  * values reference target columns as `col("t.c")` and source columns
+  * as `col("s.c")`. */
+sealed trait LakeMergeMatched
+final case class LakeMergeUpdate(
+    condition: Option[Column], set: Map[String, Column]) extends LakeMergeMatched
+final case class LakeMergeDelete(
+    condition: Option[Column]) extends LakeMergeMatched
+/** `WHEN NOT MATCHED [AND cond] THEN INSERT (…) VALUES (…)` — values
+  * keyed by TARGET column name; unassigned columns insert NULL. */
+final case class LakeMergeInsert(
+    condition: Option[Column], values: Map[String, Column])
+
+/** SQL row-level DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) on
+  * graft-lake catalog tables, routed through the copy-on-write commit
+  * engines ([[Lake.deleteWhere]] / [[Lake.updateWhere]] /
+  * [[Lake.mergeInto]]).
+  *
+  * Spark analyzes these statements fully for v1 relations (conditions
+  * resolved, star actions expanded into per-column assignments, casts
+  * inserted) and only rejects them at PLANNING time ("does not
+  * support DELETE", DataSourceV2Strategy) — so a post-hoc resolution
+  * rule sees the complete resolved command and can substitute the
+  * real executor, the same slot [[GraftLakeInsertRule]] uses for
+  * INSERT. The commands below re-anchor the resolved expressions to
+  * the executor's own scan by converting each [[AttributeReference]]
+  * back to an [[UnresolvedAttribute]] under the side's alias —
+  * target → `t.name`, source → `s.name` — which is exactly the
+  * reference contract the COW engines expose programmatically.
+  *
+  * Out-of-scope shapes REFUSE LOUDLY (never silently drop a clause):
+  * subqueries in DML conditions, non-equi MERGE ON conditions, nested
+  * field assignments, and DML against a time-travel handle
+  * (`OPTIONS (version …)`) — the error names the programmatic path. */
+class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable =>
+      LakeDml.lakeTarget(d.table) match {
+        case Some((root, ident)) =>
+          val tOut = LakeDml.byExprId(d.table.output)
+          val cond = LakeDml.unresolve(
+            d.condition, tOut, None, Map.empty, None, "DELETE condition")
+          GraftLakeDeleteCommand(root, cond, ident)
+        case None => plan
+      }
+    case u: UpdateTable =>
+      LakeDml.lakeTarget(u.table) match {
+        case Some((root, ident)) =>
+          val tOut = LakeDml.byExprId(u.table.output)
+          val cond = u.condition
+            .map(LakeDml.unresolve(_, tOut, None, Map.empty, None,
+              "UPDATE condition"))
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          val set = u.assignments.map(a =>
+            LakeDml.assignmentName(a, "UPDATE SET") ->
+              LakeDml.unresolve(a.value, tOut, None, Map.empty, None,
+                "UPDATE SET value")).toMap
+          GraftLakeUpdateCommand(root, cond, set, ident)
+        case None => plan
+      }
+    case m: MergeIntoTable =>
+      LakeDml.lakeTarget(m.targetTable) match {
+        case Some((root, ident)) =>
+          val tOut = LakeDml.byExprId(m.targetTable.output)
+          val sOut = LakeDml.byExprId(m.sourceTable.output)
+          // ON must be a conjunction of target-vs-source equalities
+          // (the broadcastable, dir-probeable shape every lakehouse
+          // MERGE standardizes on); anything else refuses
+          val on = splitConjunctivePredicates(m.mergeCondition).map {
+            case EqualTo(l, r)
+                if l.references.forall(a => tOut.contains(a.exprId)) &&
+                  r.references.nonEmpty &&
+                  r.references.forall(a => sOut.contains(a.exprId)) =>
+              (LakeDml.unresolve(l, tOut, Some("t"), Map.empty, None, "MERGE ON"),
+                LakeDml.unresolve(r, Map.empty, None, sOut, None, "MERGE ON"))
+            case EqualTo(l, r)
+                if r.references.forall(a => tOut.contains(a.exprId)) &&
+                  l.references.nonEmpty &&
+                  l.references.forall(a => sOut.contains(a.exprId)) =>
+              (LakeDml.unresolve(r, tOut, Some("t"), Map.empty, None, "MERGE ON"),
+                LakeDml.unresolve(l, Map.empty, None, sOut, None, "MERGE ON"))
+            case other =>
+              throw new UnsupportedOperationException(
+                "MERGE INTO a graft-lake table requires the ON condition " +
+                  "to be a conjunction of target-column = source-column " +
+                  s"equalities; got `${other.sql}`. Use Lake.mergeInto / " +
+                  "Lake.mergeCommitted for custom shapes.")
+          }
+          def mCond(c: Option[Expression], what: String) = c.map(
+            LakeDml.unresolve(_, tOut, Some("t"), sOut, Some("s"), what))
+          val matched = m.matchedActions.map {
+            case UpdateAction(c, assigns, _) =>
+              LakeMergeUpdate(mCond(c, "WHEN MATCHED condition"),
+                assigns.map(a =>
+                  LakeDml.assignmentName(a, "MERGE UPDATE SET") ->
+                    LakeDml.unresolve(a.value, tOut, Some("t"), sOut, Some("s"),
+                      "MERGE UPDATE value")).toMap)
+            case DeleteAction(c) => LakeMergeDelete(mCond(c, "WHEN MATCHED condition"))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN MATCHED action for a graft-lake table: $other")
+          }
+          val notMatched = m.notMatchedActions.map {
+            case InsertAction(c, assigns) =>
+              LakeMergeInsert(
+                c.map(LakeDml.unresolve(_, Map.empty, None, sOut, Some("s"),
+                  "WHEN NOT MATCHED condition")),
+                assigns.map(a =>
+                  LakeDml.assignmentName(a, "MERGE INSERT") ->
+                    LakeDml.unresolve(a.value, Map.empty, None, sOut, Some("s"),
+                      "MERGE INSERT value")).toMap)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED action for a graft-lake table: $other")
+          }
+          val bySource = m.notMatchedBySourceActions.map {
+            case UpdateAction(c, assigns, _) =>
+              LakeMergeUpdate(
+                c.map(LakeDml.unresolve(_, tOut, Some("t"), Map.empty, None,
+                  "WHEN NOT MATCHED BY SOURCE condition")),
+                assigns.map(a =>
+                  LakeDml.assignmentName(a, "MERGE UPDATE SET") ->
+                    LakeDml.unresolve(a.value, tOut, Some("t"), Map.empty, None,
+                      "MERGE UPDATE value")).toMap)
+            case DeleteAction(c) => LakeMergeDelete(
+              c.map(LakeDml.unresolve(_, tOut, Some("t"), Map.empty, None,
+                "WHEN NOT MATCHED BY SOURCE condition")))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported WHEN NOT MATCHED BY SOURCE action for a " +
+                s"graft-lake table: $other")
+          }
+          GraftLakeMergeCommand(root, m.sourceTable, on, matched, notMatched,
+            bySource, ident)
+        case None => plan
+      }
+    case _ => plan
+  }
+}
+
+private[sources] object LakeDml {
+
+  /** The (root, catalog identifier) of a resolved graft-lake relation;
+    * None for anything else. Time-travel handles refuse — a DML commit
+    * advances the LIVE table, which is not what a pinned-version
+    * reader holds. */
+  def lakeTarget(table: LogicalPlan): Option[(String, Option[TableIdentifier])] =
+    table.collectFirst {
+      case l: LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[LakeFileIndex] =>
+        if (l.catalogTable.exists(_.storage.properties.contains("version")))
+          throw new UnsupportedOperationException(
+            "DML on a time-travel graft-lake handle (OPTIONS version …) is " +
+              "not supported — commits advance the LIVE table; use a handle " +
+              "without a pinned version")
+        (l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[LakeFileIndex].root,
+          l.catalogTable.map(_.identifier))
+    }
+
+  def byExprId(out: Seq[Attribute])
+      : Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+    out.map(a => a.exprId -> a.name).toMap
+
+  /** Re-anchor a RESOLVED expression to the executor's scan: every
+    * [[AttributeReference]] becomes an [[UnresolvedAttribute]] under
+    * its side's alias. Anything this cannot faithfully re-anchor —
+    * subqueries, attributes of neither side — refuses loudly. */
+  def unresolve(e: Expression,
+      tIds: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      tQual: Option[String],
+      sIds: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      sQual: Option[String],
+      what: String): Column = {
+    if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+      throw new UnsupportedOperationException(
+        s"$what contains a subquery — not supported for graft-lake DML; " +
+          "materialize the subquery and use the programmatic " +
+          "Lake.deleteWhere/updateWhere/mergeInto")
+    // inline common-subexpression nodes first: analyzed trees of
+    // runtime-replaceables (BETWEEN, …) carry With/CommonExpressionRef
+    // structure whose re-resolution calls dataType on the by-then
+    // unresolved def — inlining the pure definition is semantically
+    // identical and round-trips cleanly
+    val inlined = e.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case rf: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+              if defs.contains(rf.id) => defs(rf.id)
+        }
+    }
+    val converted = inlined.transformUp {
+      case a: AttributeReference if tIds.contains(a.exprId) =>
+        UnresolvedAttribute(tQual.toSeq :+ tIds(a.exprId))
+      case a: AttributeReference if sIds.contains(a.exprId) =>
+        UnresolvedAttribute(sQual.toSeq :+ sIds(a.exprId))
+    }
+    converted.foreach {
+      case a: AttributeReference =>
+        throw new UnsupportedOperationException(
+          s"$what references column `${a.name}` of neither the target " +
+            "table nor the MERGE source — not supported for graft-lake DML")
+      case _ =>
+    }
+    Shim.column(converted)
+  }
+
+  /** Assignment keys must be plain target columns (nested-field
+    * assignment would need a struct rewrite the COW engines don't
+    * model — refuse, never partially apply). */
+  def assignmentName(a: Assignment, what: String): String = a.key match {
+    case ar: AttributeReference => ar.name
+    case other => throw new UnsupportedOperationException(
+      s"$what supports only plain column assignment for graft-lake " +
+        s"tables; got `${other.sql}`")
+  }
+
+  def refresh(session: SparkSession, ident: Option[TableIdentifier]): Unit =
+    ident.foreach(i => session.catalog.refreshTable(i.quotedString))
+}
+
+/** `DELETE FROM lake WHERE p` → [[Lake.deleteWhere]] (stats/bloom
+  * dir pruning, metadata-only whole-dir drops, OCC commit). */
+case class GraftLakeDeleteCommand(root: String, condition: Column,
+    ident: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.deleteWhere(session, root, condition)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+/** `UPDATE lake SET … WHERE p` → [[Lake.updateWhere]]. */
+case class GraftLakeUpdateCommand(root: String, condition: Column,
+    set: Map[String, Column], ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.updateWhere(session, root, condition, set)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO lake … ` → [[Lake.mergeInto]]. The source plan is
+  * already fully resolved — it executes as-is. */
+case class GraftLakeMergeCommand(root: String, source: LogicalPlan,
+    on: Seq[(Column, Column)], matched: Seq[LakeMergeMatched],
+    notMatched: Seq[LakeMergeInsert], notMatchedBySource: Seq[LakeMergeMatched],
+    ident: Option[TableIdentifier]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.mergeInto(session, root, Shim.ofRows(session, source), on,
+      matched, notMatched, notMatchedBySource)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}

@@ -117,6 +117,9 @@ object ExplainCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+      // the harness session config: SQL INSERT/DML on lake catalog
+      // tables (q145/q146) route through the graft rules
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     if (noBroadcast) builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
     if (args.contains("-noAqe")) builder.config("spark.sql.adaptive.enabled", "false")
     val spark = builder.getOrCreate()

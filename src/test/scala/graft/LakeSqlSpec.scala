@@ -221,15 +221,119 @@ class LakeSqlSpec extends SparkSpec {
       // time travel still serves the pre-overwrite snapshot
       assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
         Set(Seq(1L, "a"), Seq(2L, "b")))
-      // SQL row-level DML refuses LOUDLY (the standard v1 message) —
-      // the programmatic deleteWhere/updateWhere/mergeCommitted are
-      // the supported paths; CTAS goes through the provider and
-      // commits properly (probed: no silent write path remains)
-      intercept[org.apache.spark.sql.AnalysisException] {
-        spark.sql("DELETE FROM lakesql_ins WHERE k = 9")
-      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS lakesql_ins")
+      ()
+    }
+  }
+
+  test("SQL DELETE/UPDATE commit through the COW engines — feed-visible, time travel intact, no REFRESH needed") {
+    val root = tmpTable("graft-lakesql-dml")
+    Lake.commitOverwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("k", "t", "v"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_dml")
+    spark.sql(
+      s"CREATE TABLE lakesql_dml USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      spark.sql("DELETE FROM lakesql_dml WHERE k = 1")
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(2L, "b", 20.0), Seq(3L, "c", 30.0), Seq(4L, "d", 40.0)))
+      // the DML command refreshes the catalog relation itself: SQL
+      // reads see the commit without an explicit REFRESH TABLE
+      assert(rows(spark.sql("SELECT * FROM lakesql_dml")) ===
+        Set(Seq(2L, "b", 20.0), Seq(3L, "c", 30.0), Seq(4L, "d", 40.0)))
+      // the change feed carries the row-level delete, and time travel
+      // still serves the pre-DML snapshot
+      assert(rows(Lake.changesBetween(spark, root, 0L, 1L, Seq("k"))
+        .select(col("k"), col("change_type"))) === Set(Seq(1L, "delete")))
+      assert(rows(Lake.readCommittedAt(spark, root, 0L)).size === 4)
+      // multi-assignment UPDATE with expressions over the row
+      spark.sql("UPDATE lakesql_dml SET v = v + 5, t = upper(t) WHERE k >= 3")
+      assert(rows(spark.sql("SELECT * FROM lakesql_dml")) ===
+        Set(Seq(2L, "b", 20.0), Seq(3L, "C", 35.0), Seq(4L, "D", 45.0)))
+      assert(rows(Lake.changesBetween(spark, root, 1L, 2L, Seq("k"))
+        .select(col("k"), col("change_type"))) ===
+        Set(Seq(3L, "update_preimage"), Seq(3L, "update_postimage"),
+          Seq(4L, "update_preimage"), Seq(4L, "update_postimage")))
+      // ops recorded in history (DML commits use the default
+      // retention, so only the recent window stays readable)
+      val hist = Lake.describeHistory(spark, root).select("version", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(1L) === "delete" && hist(2L) === "update")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_dml")
+      ()
+    }
+  }
+
+  test("SQL MERGE INTO: conditional upsert, delete, BY SOURCE, cardinality violation, loud refusals") {
+    val root = tmpTable("graft-lakesql-mrg")
+    Lake.commitOverwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "t", "v"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_mrg")
+    spark.sql(
+      s"CREATE TABLE lakesql_mrg USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      // conditional update + INSERT * upsert
+      spark.sql("""MERGE INTO lakesql_mrg tg
+        |USING (SELECT * FROM VALUES (2, 'zz', 99.0), (7, 'gg', 70.0)
+        |       AS s(k, t, v)) s
+        |ON tg.k = s.k
+        |WHEN MATCHED AND tg.v < 25 THEN UPDATE SET v = s.v, t = s.t
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(rows(spark.sql("SELECT * FROM lakesql_mrg")) ===
+        Set(Seq(1L, "a", 10.0), Seq(2L, "zz", 99.0), Seq(3L, "c", 30.0),
+          Seq(7L, "gg", 70.0)))
+      // MATCHED DELETE + NOT MATCHED BY SOURCE UPDATE (whole-snapshot
+      // rewrite by definition)
+      spark.sql("""MERGE INTO lakesql_mrg tg
+        |USING (SELECT 7 AS k) s
+        |ON tg.k = s.k
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND tg.k > 2 THEN UPDATE SET t = 'kept'
+        |""".stripMargin)
+      assert(rows(spark.sql("SELECT * FROM lakesql_mrg")) ===
+        Set(Seq(1L, "a", 10.0), Seq(2L, "zz", 99.0), Seq(3L, "kept", 30.0)))
+      // a target row matched by two source rows is a cardinality
+      // violation — the job fails, the table is unchanged
+      val before = rows(Lake.readCommitted(spark, root))
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO lakesql_mrg tg
+          |USING (SELECT * FROM VALUES (2, 'p'), (2, 'q') AS s(k, t)) s
+          |ON tg.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t = s.t""".stripMargin)
+      }
+      assert(e.getMessage != null &&
+        e.getMessage.contains("MERGE cardinality violation"))
+      assert(rows(Lake.readCommitted(spark, root)) === before)
+      // non-equi ON refuses loudly, naming the programmatic path
+      val ne = intercept[UnsupportedOperationException] {
+        spark.sql("""MERGE INTO lakesql_mrg tg
+          |USING (SELECT 1 AS k) s ON tg.k > s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(ne.getMessage.contains("conjunction of target-column"))
+      // subquery conditions refuse loudly
+      val sq = intercept[UnsupportedOperationException] {
+        spark.sql(
+          "DELETE FROM lakesql_mrg WHERE k IN (SELECT k FROM lakesql_mrg)")
+      }
+      assert(sq.getMessage.contains("subquery"))
+      // DML on a time-travel handle refuses (commits advance the LIVE
+      // table; a pinned reader must never think it wrote "its" version)
+      val live = Lake.currentVersion(spark, root).get
+      spark.sql("DROP TABLE IF EXISTS lakesql_mrg_v0")
+      spark.sql(s"CREATE TABLE lakesql_mrg_v0 USING `graft-lake` " +
+        s"OPTIONS (root '$root', version '$live')")
+      val tt = intercept[UnsupportedOperationException] {
+        spark.sql("DELETE FROM lakesql_mrg_v0 WHERE k = 1")
+      }
+      assert(tt.getMessage.contains("time-travel"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_mrg")
+      spark.sql("DROP TABLE IF EXISTS lakesql_mrg_v0")
       ()
     }
   }
