@@ -821,5 +821,35 @@ object Lakehouse {
         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
         |  VALUES (s.o_custkey, s.total)""".stripMargin)
       s.sql("SELECT c_custkey, c_acctbal FROM sql_merge_tgt ORDER BY c_custkey")
+    },
+
+    // Hive-style partition columns as first-class lake prune keys: the
+    // orders fact lands YEAR-partitioned (one manifest dir per year per
+    // ingest batch — the layout every date-partitioned 100 TB fact
+    // table uses; the second batch INHERITS the declared layout), and
+    // the SQL year-IN predicate prunes whole dirs at PLANNING time via
+    // the manifest's exact #part_ values, before stats/bloom fire and
+    // before any file is opened (LakeSpec asserts the scanned-file
+    // count; this query puts the answer under the hash). Partition
+    // columns stay IN the data files, so time travel, clone,
+    // compaction and COW rewrites compose unchanged.
+    Q("q147_lake_partitioned",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1996, 1998)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_part", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 0, partitionBy = Seq("o_year"))
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 0)
+      Lake.registerSql(s, "lake_part_orders", root)
+      s.sql("""SELECT o_orderkey, o_custkey, o_year, o_totalprice
+              |FROM lake_part_orders WHERE o_year IN (1996, 1998)
+              |ORDER BY o_orderkey""".stripMargin)
     })
 }

@@ -560,6 +560,187 @@ object Lake {
     }
   }
 
+  // ---- hive-style partition columns as first-class prune keys ------
+  //
+  // `#partcols=<c1,c2>` names the table's PARTITION COLUMNS
+  // (established by the first commit passing `partitionBy`, inherited
+  // by every later commit), and one `#part_<dir>=<json>` line per
+  // partitioned data dir records the EXACT value tuple every row of
+  // that dir carries. A partitioned commit stages one dir per
+  // distinct partition-value tuple — the date-partitioned layout
+  // every 100 TB fact table uses — and the values prune BEFORE
+  // stats/bloom fire: `WHERE year = 1998` on a year-partitioned table
+  // reads exactly the matching dirs, manifest-read planning cost.
+  //
+  // Differences from min/max stats that make partitions first-class:
+  // the value is exact (min==max by construction, so equality,
+  // ranges and IN prune precisely), and a NULL-valued partition dir
+  // is PRUNED by any comparison predicate (NULL satisfies none) where
+  // stats must conservatively keep it. Partition columns stay IN the
+  // data files (dirs are self-contained; the manifest line is
+  // metadata, not hive path encoding), so every reader — time travel,
+  // clone, compaction, COW rewrites — composes unchanged: a rewrite's
+  // fresh dir simply carries no #part_ line and is always scanned.
+  private val PartColsPrefix = "#partcols="
+  private val PartPrefix = "#part_"
+
+  private def manifestPartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(PartColsPrefix))
+      .map(_.stripPrefix(PartColsPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Raw `#part_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private def manifestPartsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(PartPrefix) && l.indexOf('=') > PartPrefix.length =>
+        val i = l.indexOf('=')
+        l.substring(PartPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** One dir's exact partition values: `{"c":{"n":"123"}}` numeric,
+    * `{"c":{"s":"abc"}}` string, `{"c":{"z":true}}` NULL. */
+  private def partJson(m: Seq[(String, Option[NormVal])]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.sortBy(_._1).foreach { case (c, v) =>
+      val node = om.createObjectNode()
+      v match {
+        case Some(NumV(n)) => node.put("n", n.toString)
+        case Some(StrV(s)) => node.put("s", s.toString)
+        case None          => node.put("z", true)
+      }
+      root.set[com.fasterxml.jackson.databind.JsonNode](c, node)
+      ()
+    }
+    om.writeValueAsString(root)
+  }
+
+  /** Inverse of [[partJson]]: col -> Some(value) | None (= NULL). */
+  private def parsePartJson(json: String): Map[String, Option[NormVal]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = scala.util.Try(om.readTree(json)).getOrElse(return Map.empty)
+    val it = root.properties().iterator()
+    val out = Map.newBuilder[String, Option[NormVal]]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (v.has("n"))
+        scala.util.Try(NumV(BigDecimal(v.get("n").asText())))
+          .foreach(n => out += e.getKey -> Some(n))
+      else if (v.has("s"))
+        out += e.getKey -> Some(StrV(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.get("s").asText())))
+      else if (v.has("z"))
+        out += e.getKey -> None
+    }
+    out.result()
+  }
+
+  /** Partition columns established for the table (inherited), with a
+    * divergent re-declaration refused — one layout per table. */
+  private def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      want: Seq[String]): Seq[String] = {
+    val prev = committedVersions(fs, r).lastOption
+      .map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
+    if (want.isEmpty) prev
+    else {
+      require(prev.isEmpty || prev == want,
+        s"table at $r is partitioned by (${prev.mkString(", ")}); a commit " +
+          s"cannot re-partition it by (${want.mkString(", ")}) — one layout " +
+          "per table (write a new root to re-layout)")
+      want
+    }
+  }
+
+  /** Types a partition value can normalize to (the [[normLit]] set) —
+    * anything else refuses at write time, never at prune time. */
+  private def partitionableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | FloatType | DoubleType |
+           StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Stage a batch under writer-unique dirs: ONE dir when `partCols`
+    * is empty, one dir PER distinct partition-value tuple otherwise.
+    * Returns (dirs, stats, blooms, parts) ready for [[commitManifest]].
+    * The distinct-tuple collect is partition-count-sized (metadata
+    * scale, like the k-means centroid sync) and capped — a batch with
+    * thousands of distinct values wants a coarser partition key. */
+  private def stageBatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df: org.apache.spark.sql.DataFrame, effStats: Seq[String],
+      effBloom: Seq[String], partCols: Seq[String]):
+      (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def stageOne(slice: org.apache.spark.sql.DataFrame): (String, Option[String], Option[String]) = {
+      val staged = stagedDirName()
+      slice.write.mode("overwrite").parquet(new Path(r, staged).toString)
+      (staged,
+        dirStatsJson(spark, new Path(r, staged).toString, effStats),
+        dirBloomJson(spark, new Path(r, staged).toString, effBloom))
+    }
+    if (partCols.isEmpty) {
+      val (d, st, bl) = stageOne(df)
+      (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+    } else {
+      partCols.foreach(c => require(df.columns.contains(c),
+        s"partition column '$c' is not in the batch schema " +
+          df.columns.mkString("[", ", ", "]") + " — every writer to a " +
+          "partitioned table must supply its partition columns"))
+      partCols.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(partitionableType(dt),
+          s"partition column '$c' has unsupported type ${dt.simpleString} — " +
+            "integral, float/decimal, string, date and timestamp partition")
+      }
+      val batch = df.persist()
+      try {
+        val tuples = batch.select(partCols.map(col): _*)
+          .distinct().limit(1001).collect()
+        require(tuples.length <= 1000,
+          s"batch carries more than 1000 distinct (${partCols.mkString(", ")}) " +
+            "tuples — partition by a coarser key (a dir per tuple is the " +
+            "layout contract)")
+        if (tuples.isEmpty) { // empty batch: one empty dir keeps the
+          val (d, st, bl) = stageOne(batch) // version/schema semantics
+          (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+        } else {
+          val dirs = Seq.newBuilder[String]
+          val stats = Map.newBuilder[String, String]
+          val blooms = Map.newBuilder[String, String]
+          val parts = Map.newBuilder[String, String]
+          tuples.foreach { row =>
+            val slice = partCols.zipWithIndex.foldLeft(batch) {
+              case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
+            }
+            val (d, st, bl) = stageOne(slice)
+            dirs += d
+            st.foreach(j => stats += d -> j)
+            bl.foreach(j => blooms += d -> j)
+            parts += d -> partJson(partCols.zipWithIndex.map { case (c, i) =>
+              c -> (if (row.isNullAt(i)) None
+                else normExternal(row.get(i)) match {
+                  case some @ Some(_) => some
+                  case None => throw new IllegalArgumentException(
+                    s"partition value ${row.get(i)} of column '$c' does not " +
+                      "normalize — unsupported runtime type")
+                })
+            })
+          }
+          (dirs.result(), stats.result(), blooms.result(), parts.result())
+        }
+      } finally { batch.unpersist(); () }
+    }
+  }
+
   // -- predicate -> prunable conjuncts --------------------------------
 
   private sealed trait POp
@@ -691,16 +872,26 @@ object Lake {
     val dirs = manifestDirs(fs, r, version)
     val stats = manifestStatsRaw(fs, r, version)
     val bloomsRaw = manifestBloomsRaw(fs, r, version)
+    val partsRaw = manifestPartsRaw(fs, r, version)
     if (preds.isEmpty) (dirs, Nil)
     else dirs.partition { d =>
-      val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
+      // partition values prune FIRST (exact, cheapest): a dir whose
+      // recorded tuple fails a conjunct holds no matching row — and a
+      // NULL-valued partition dir satisfies NO comparison/IN, which
+      // min/max stats can never prove
+      val partExcluded = partsRaw.get(d).map(parsePartJson).exists(pv =>
+        preds.exists(p => pv.get(p.col).exists {
+          case Some(v) => predExcludes(v, v, p)
+          case None    => true
+        }))
+      lazy val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
         preds.exists(p =>
           st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
       // ranges prune range predicates; blooms prune equality lookups
       // the ranges can't (hash-distributed keys overlap on every dir)
       lazy val bloomExcluded = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
         preds.exists(p => bloomExcludes(bfs, p)))
-      !rangeExcluded && !bloomExcluded
+      !partExcluded && !rangeExcluded && !bloomExcluded
     }
   }
 
@@ -1045,6 +1236,9 @@ object Lake {
         statsCols = manifestStatsCols(fs, sr, v),
         newBlooms = srcBlooms.map { case (d, j) => toAbs.getOrElse(d, d) -> j },
         bloomCols = manifestBloomCols(fs, sr, v),
+        newParts = manifestPartsRaw(fs, sr, v)
+          .map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+        partCols = manifestPartCols(fs, sr, v),
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
         s"committed table already exists at $dstRoot — a concurrent writer " +
@@ -1346,6 +1540,8 @@ object Lake {
       newFileStats: Map[String, Map[String, String]] = Map.empty,
       newBlooms: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Nil,
+      newParts: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Nil,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -1379,6 +1575,16 @@ object Lake {
     val effBloom =
       if (bloomCols.nonEmpty) bloomCols
       else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
+    // partition lines carry exactly like stats lines (immutable dir,
+    // immutable values); the column line inherits so COW rewrites and
+    // folds never sever the table's declared layout
+    val prevParts = prevV
+      .map(v => manifestPartsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val partLines = dirs.flatMap(d =>
+      newParts.get(d).orElse(prevParts.get(d)).map(j => PartPrefix + d + "=" + j))
+    val effPart =
+      if (partCols.nonEmpty) partCols
+      else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -1394,7 +1600,9 @@ object Lake {
        else Nil) ++
       (if (effBloom.nonEmpty) Seq(BloomColsPrefix + effBloom.mkString(","))
        else Nil) ++
-      statsLines ++ fileStatsLines ++ bloomLines
+      (if (effPart.nonEmpty) Seq(PartColsPrefix + effPart.mkString(","))
+       else Nil) ++
+      statsLines ++ fileStatsLines ++ bloomLines ++ partLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
     // where a concurrent writer's commit lands — specs swap in a
@@ -1515,28 +1723,27 @@ object Lake {
     * committed version. */
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val effStats = effectiveStatsCols(fs, r, statsCols)
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
-    // data first, completely, under a dir no other writer contests
-    val staged = stagedDirName()
-    df.write.mode("overwrite").parquet(new Path(r, staged).toString)
-    val stats = dirStatsJson(spark, new Path(r, staged).toString, effStats)
-      .map(staged -> _).toMap
-    val blooms = dirBloomJson(spark, new Path(r, staged).toString, effBloom)
-      .map(staged -> _).toMap
+    val effPart = effectivePartCols(fs, r, partitionBy)
+    // data first, completely, under dirs no other writer contests
+    // (one per partition-value tuple when the table is partitioned)
+    val (staged, stats, blooms, parts) =
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
     // allocate past EVERY committed marker, not just the live one: a
     // defensively-ignored manifest (data dirs lost) still owns its
     // number, and publishing onto it would conflict forever
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
-    if (!commitManifest(fs, r, next, Seq(staged), retain, Some(df.schema),
+    if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-        op = "overwrite")) {
-      fs.delete(new Path(r, staged), true)
+        newParts = parts, partCols = effPart, op = "overwrite")) {
+      staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"overwrite of $root lost version $next to a concurrent commit — " +
           "an overwrite replaces the snapshot its caller derived against; " +
@@ -1566,7 +1773,7 @@ object Lake {
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      op: String = "append"): Long = {
+      op: String = "append", partitionBy: Seq[String] = Nil): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     require(!op.contains("\n"), "op must be a single manifest line")
     val spark = df.sparkSession
@@ -1574,13 +1781,13 @@ object Lake {
     val r = new Path(root)
     val effStats = effectiveStatsCols(fs, r, statsCols)
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
-    val staged = stagedDirName()
-    df.write.mode("overwrite").parquet(new Path(r, staged).toString)
-    // O(batch): stats only for the new dir; reused dirs' lines carry
-    val stats = dirStatsJson(spark, new Path(r, staged).toString, effStats)
-      .map(staged -> _).toMap
-    val blooms = dirBloomJson(spark, new Path(r, staged).toString, effBloom)
-      .map(staged -> _).toMap
+    // a partitioned table's layout is a TABLE property: appends
+    // inherit it and stage one dir per partition-value tuple
+    val effPart = effectivePartCols(fs, r, partitionBy)
+    // O(batch): stats only for the new dirs; reused dirs' lines carry
+    val (staged, stats, blooms, parts) =
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
+    def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
     // the snapshot this append staged against; every retry re-checks
     // that the commits landing after it were all append-shaped
     val base = committedVersions(fs, r).maxOption.getOrElse(-1L)
@@ -1589,7 +1796,7 @@ object Lake {
       attempt += 1
       val committed = committedVersions(fs, r)
       if (base >= 0 && !committed.contains(base)) {
-        fs.delete(new Path(r, staged), true)
+        dropStaged()
         throw new java.util.ConcurrentModificationException(
           s"append to $root: the base version $base this append staged " +
             "against was retention-pruned during the commit race — the " +
@@ -1608,7 +1815,7 @@ object Lake {
             case Seq(a, b) =>
               val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
               if (removed.nonEmpty) {
-                fs.delete(new Path(r, staged), true)
+                dropStaged()
                 throw new java.util.ConcurrentModificationException(
                   s"append to $root: concurrent commit v$b removed dirs " +
                     s"${removed.toSeq.sorted.mkString(", ")} " +
@@ -1621,7 +1828,7 @@ object Lake {
           }
       } catch {
         case _: java.io.FileNotFoundException =>
-          fs.delete(new Path(r, staged), true)
+          dropStaged()
           throw new java.util.ConcurrentModificationException(
             s"append to $root: a manifest in the rebase window was " +
               "retention-pruned by a concurrent commit mid-validation — " +
@@ -1651,14 +1858,14 @@ object Lake {
           case None    => Some(n)
         }
       }
-      if (commitManifest(fs, r, next, prevDirs :+ staged, retain, Some(schema),
+      if (commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
           rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-          op = op))
+          newParts = parts, partCols = effPart, op = op))
         return next
       // lost the slot: a concurrent writer committed `next` first.
       // Loop — the next pass validates what landed and rebases.
       if (attempt >= 100) {
-        fs.delete(new Path(r, staged), true)
+        dropStaged()
         throw new java.util.ConcurrentModificationException(
           s"append to $root lost $attempt consecutive commit races — " +
             "pathological contention; back off and retry")

@@ -1320,4 +1320,124 @@ class LakeSpec extends SparkSpec {
       (0 until 8).map(i => Seq(i.toLong, s"t$i")).toSet)
     assert(Lake.resolve(spark, root).length === 8)
   }
+
+  test("partitioned commits: one dir per value tuple, exact dir pruning before stats, NULL dirs pruned by comparisons") {
+    val root = tmpTable("graft-lake-part")
+    val rows0 = Seq(
+      (1L, java.lang.Long.valueOf(1995L), "a"), (2L, java.lang.Long.valueOf(1995L), "b"),
+      (3L, java.lang.Long.valueOf(1996L), "c"), (4L, java.lang.Long.valueOf(1997L), "d"),
+      (5L, null.asInstanceOf[java.lang.Long], "e"))
+    Lake.commitOverwrite(rows0.toDF("k", "y", "t"), root, retain = 8,
+      partitionBy = Seq("y"))
+    // one dir per distinct y (1995, 1996, 1997, NULL)
+    assert(Lake.resolve(spark, root).length === 4)
+    // reads are exactly the input — partition columns stay IN the files
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      rows0.map(r => Seq(r._1, r._2, r._3)).toSet)
+    // equality prunes to ONE dir; the NULL dir is pruned too (stats
+    // alone could never prove that)
+    val (kept, skipped, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(kept.length === 1 && skipped.length === 3)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
+      .select("k")) === Set(Seq(1L), Seq(2L)))
+    // range predicates prune exactly
+    val (kept2, skipped2, _) = Lake.resolveWhere(spark, root, col("y") >= 1996L)
+    assert(kept2.length === 2 && skipped2.length === 2)
+    // IS NULL rows still readable (pruning never changes answers)
+    assert(rows(Lake.readCommitted(spark, root).where(col("y").isNull)
+      .select("k")) === Set(Seq(5L)))
+
+    // appends INHERIT the layout (partitionBy not repeated) and add
+    // only their tuples' dirs
+    Lake.commitAppend(Seq((6L, java.lang.Long.valueOf(1995L), "f"))
+      .toDF("k", "y", "t"), root, retain = 8)
+    assert(Lake.resolve(spark, root).length === 5)
+    val (kept3, skipped3, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(kept3.length === 2 && skipped3.length === 3)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
+      .select("k")) === Set(Seq(1L), Seq(2L), Seq(6L)))
+
+    // the SQL scan (LakeFileIndex) prunes the same dirs at PLANNING
+    val q = Lake.sqlTable(spark, root).where(col("y") === 1995L)
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    def parquetFilesUnder(paths: Seq[String]): Long = paths.map(p =>
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+        .toLong).sum
+    val keptPaths = Lake.resolveWhere(spark, root, col("y") === 1995L)._1
+    assert(scans.map(_.metrics("numFiles").value).sum ===
+      parquetFilesUnder(keptPaths))
+    assert(parquetFilesUnder(keptPaths) <
+      parquetFilesUnder(Lake.resolve(spark, root)))
+
+    // layout contract refusals
+    val re = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((9L, 1L, "z")).toDF("k", "y", "t"), root,
+        retain = 8, partitionBy = Seq("t"))
+    }
+    assert(re.getMessage.contains("partitioned by"))
+    val miss = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((9L, "z")).toDF("k", "t"), root, retain = 8)
+    }
+    assert(miss.getMessage.contains("partition column"))
+  }
+
+  test("partitioned tables compose: COW delete, compaction, clone keep answers; rewrites are conservatively scanned") {
+    val root = tmpTable("graft-lake-part-cow")
+    val df = (1L to 40L).map(k => (k, 1995L + k % 4, s"t$k")).toDF("k", "y", "t")
+    Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y"),
+      statsCols = Seq("k"))
+    assert(Lake.resolve(spark, root).length === 4)
+    // COW delete rewrites only dirs holding matched rows; the fresh
+    // rewrite dir carries no #part_ line (always scanned) but answers
+    // stay exact and other partitions still prune
+    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      (1L to 40L).filterNot(_ == 2L).map(Seq(_)).toSet)
+    val (kept, skipped, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(skipped.nonEmpty, "untouched partition dirs must still prune")
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
+      .select("k")) === (1L to 40L).filterNot(_ == 2L).filter(_ % 4 == 0)
+        .map(Seq(_)).toSet)
+    // clone carries the partition metadata: the clone prunes too
+    val dst = tmpTable("graft-lake-part-clone")
+    Lake.cloneCommitted(spark, root, dst)
+    val (_, skippedClone, _) = Lake.resolveWhere(spark, dst, col("y") === 1996L)
+    assert(skippedClone.nonEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, dst, col("y") === 1996L)) ===
+      rows(Lake.readCommittedWhere(spark, root, col("y") === 1996L)))
+    // compaction collapses to one dir (partition pruning gone until a
+    // partitioned rewrite; answers unchanged — layout is metadata)
+    Lake.compactCommitted(spark, root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      (1L to 40L).filterNot(_ == 2L).map(Seq(_)).toSet)
+    // a fresh partitioned overwrite restores the layout
+    Lake.commitOverwrite(df, root, retain = 8)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1997L)
+      .select("k")) === (1L to 40L).filter(_ % 4 == 2).map(Seq(_)).toSet)
+  }
+
+  test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
+    val root = tmpTable("graft-lake-part-occ")
+    Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
+      partitionBy = Seq("y"))
+    raceOnce {
+      Lake.commitAppend(Seq((2L, 20L)).toDF("k", "y"), root, retain = 8)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Lake.commitOverwrite(Seq((3L, 30L), (4L, 40L)).toDF("k", "y"), root,
+        retain = 8)
+    }
+    // the loser's two staged partition dirs are gone: live dirs =
+    // winner's three (v0's 10, the raced append's 20) and no orphans
+    val live = Lake.resolve(spark, root).toSet
+    val onDisk = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(onDisk === live.map(p => new java.io.File(p).getName))
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10L), Seq(2L, 20L)))
+  }
 }
