@@ -560,6 +560,57 @@ object Vectors {
         .select(col("media_id").as("doc_id"), col("n_frames"))
       txt.join(img, "doc_id").join(aud, "doc_id").join(vid, "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ANN recall gate UNDER THE HASH (the q90/q144 bounded-guarantee
+    // discipline): every approximate path — sign-band LSH (q53), IVF
+    // (q57), PQ ADC (q119), int8 quantized (q69) — is scored as
+    // recall@5 against the exact q50 brute-force top-5 on the SAME
+    // query set, and the in-bound flags are hashed against literal
+    // TRUE. Every pipeline here is deterministic, so recall is exactly
+    // reproducible: a banding, nprobe, encode or quantization
+    // regression that costs recall flips a flag and fails the round.
+    // The floors are REGRESSION floors, not quality claims — the
+    // synthetic embeddings are near-random (no cluster structure), so
+    // bucketed methods sit near the random-candidate baseline by
+    // construction (measured sf0.01/sf0.1: lsh 0.100/0.075, ivf
+    // 0.375/0.425, pq 0.150/0.025, int8 0.975/1.000); int8 is
+    // near-exact everywhere and gates the scoring arithmetic itself.
+    Q("q148_ann_recall",
+      """SELECT method, CAST(n_queries AS BIGINT) AS n_queries, recall_ok
+        |FROM (VALUES ('int8', 8, TRUE), ('ivf', 8, TRUE),
+        |             ('lsh', 8, TRUE), ('pq', 8, TRUE))
+        |  AS t(method, n_queries, recall_ok)
+        |ORDER BY method""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, roundTo = 4).select(col("query_id"), col("neighbor_id"))
+      def gate(ann: org.apache.spark.sql.DataFrame, method: String,
+          floor: Double) = {
+        val hits = ann.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            (sum(coalesce(col("hits"), lit(0L))).cast("double") /
+              sum(col("n"))).as("recall"))
+          .select(lit(method).as("method"), col("n_queries"),
+            (col("recall") >= floor).as("recall_ok"))
+      }
+      gate(Similarity.lshTopK(emb, "vec_id", "embedding", dims = 64,
+          planesPerBand = 8, k = 5, bands = 4, maxBucketFreq = 200)
+          .where(col("query_id") < 8), "lsh", floor = 0.05)
+        .unionByName(gate(Similarity.ivfTopK(emb, queries,
+          Similarity.codebookFromLabels(emb, "label", "embedding"),
+          "vec_id", "embedding", k = 5, nprobe = 2), "ivf", floor = 0.25))
+        .unionByName(gate(Similarity.pqTopK(emb, queries,
+          Similarity.pqCodebooks(emb, "label", "embedding", m = 8, dims = 64),
+          "vec_id", "embedding", k = 5, subLen = 8), "pq", floor = 0.02))
+        .unionByName(gate(Similarity.quantizedTopK(emb, queries,
+          "vec_id", "embedding", k = 5), "int8", floor = 0.9))
+        .orderBy("method")
     })
 
   /** Shared oracle prelude: the stub decoder's pseudo-dimensions.
