@@ -44,9 +44,13 @@ import org.apache.spark.sql.types.StructType
   * slowest consumer's lag, the standard lakehouse contract).
   *
   * Schema is pinned at stream start (the live manifest's, fully
-  * nullable): later evolved columns are invisible until the stream
-  * restarts, old dirs read with NULL backfill — deterministic under
-  * replay, same rule as every reader here.
+  * nullable): versions OLDER than the pinned schema read with NULL
+  * backfill (deterministic under replay, same rule as every reader
+  * here), and a mid-stream `mergeSchemas` widening REFUSES the batch
+  * naming the restart path — the pinned plan cannot carry the new
+  * column, and emitting rows without it would be silent column loss.
+  * Restarting the query on the same checkpoint re-pins the widened
+  * schema and continues from the checkpointed offset.
   */
 final class LakeStreamSource(
     sqlContext: SQLContext, root: String,
@@ -202,6 +206,30 @@ final class LakeStreamSource(
             "pruned past retention, so the batch boundary cannot be " +
             "reconstructed without duplicating data. Restart with a fresh " +
             "checkpoint, or commit with a larger `retain`")
+    }
+    // schema-evolution guard (Delta's rule): a mid-stream mergeSchemas
+    // append widened the table past the stream's PINNED schema. The
+    // pinned plan physically cannot carry the new column, and emitting
+    // rows without it would be silent column loss — the failure class
+    // this engine refuses everywhere. Column adds are monotone
+    // (mergeSchemas is add-nullable-only), so checking the range's end
+    // version covers every version in the batch. A replayed batch
+    // whose end MARKER was retention-pruned skips the check (that
+    // batch's dirs were already streamed; the other guards own it).
+    scala.util.Try(Lake.snapshotSchema(spark, root, endV))
+      .toOption.flatten.foreach { committed =>
+      val pinned = schema.fieldNames.toSet
+      val extra = committed.fieldNames.filterNot(pinned.contains).toSeq.sorted
+      if (extra.nonEmpty)
+        throw new IllegalStateException(
+          s"streaming source on $root: version $endV carries columns " +
+            extra.mkString("(", ", ", ")") +
+            " that are not in the stream's pinned schema — the table's " +
+            "schema evolved mid-stream. Restart the streaming query (same " +
+            "checkpoint: offsets continue, the restarted source pins the " +
+            "widened schema; earlier versions read NULL-backfilled). " +
+            "Emitting rows without the new columns would be silent " +
+            "column loss, which this source refuses.")
     }
     if (changeFeedKeys.nonEmpty) return cdfBatch(all, fromV, endV)
     val versions = all.filter(v => v <= endV && fromV.forall(v > _))

@@ -381,6 +381,69 @@ class LakeStreamSpec extends SparkSpec {
     assert(sink.map(_.take(2)).toSet === Set(Seq(2L, "b")))
   }
 
+  test("a MID-STREAM schema widening refuses the batch naming the restart path; the restarted query picks it up") {
+    val root = tmpTable("graft-lkstream-widen")
+    val ckpt = tmpDir("graft-lkstream-widen-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    val q = readLake(root).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.collect().map(_.toSeq)
+        sink.synchronized { sink ++= got }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(sink.toSet === Set(Seq(1L, "a")))
+      // the running query's schema is pinned; a widened append must
+      // REFUSE its batch (silent column loss otherwise), telling the
+      // operator to restart the query
+      Lake.commitAppend(Seq((2L, "b", 20L)).toDF("k", "t", "extra"),
+        root, retain = 8)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.toString.contains("evolved mid-stream") ||
+        Option(e.getCause).exists(_.toString.contains("evolved mid-stream")),
+        s"expected the schema-evolution refusal, got: $e")
+    } finally { scala.util.Try(q.stop()); () }
+    // restart on the SAME checkpoint: the source re-pins the widened
+    // schema, offsets continue — exactly the evolved batch arrives,
+    // new column populated
+    sink.clear()
+    drainOnce(readLake(root), ckpt, sink)
+    assert(sink.toSet === Set(Seq(2L, "b", 20L)))
+  }
+
+  test("CDF mode refuses a mid-stream widening too; the restarted feed carries the new column") {
+    val root = tmpTable("graft-lkstream-widen-cdf")
+    val ckpt = tmpDir("graft-lkstream-widen-cdf-ckpt")
+    val opts = Map("readChangeFeed" -> "true", "keyCols" -> "k")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    val q = readLake(root, opts).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.collect().map(_.toSeq)
+        sink.synchronized { sink ++= got }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(sink.map(_.take(3)).toSet === Set(Seq(1L, "a", "insert")))
+      Lake.commitAppend(Seq((2L, "b", 20L)).toDF("k", "t", "extra"),
+        root, retain = 8)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.toString.contains("evolved mid-stream") ||
+        Option(e.getCause).exists(_.toString.contains("evolved mid-stream")),
+        s"expected the schema-evolution refusal, got: $e")
+    } finally { scala.util.Try(q.stop()); () }
+    sink.clear()
+    drainOnce(readLake(root, opts), ckpt, sink)
+    assert(sink.map(_.take(4)).toSet === Set(Seq(2L, "b", 20L, "insert")))
+  }
+
   test("writeStream sink: micro-batches append; checkpoint restart appends only new data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
