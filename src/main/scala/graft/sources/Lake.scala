@@ -1120,10 +1120,19 @@ object Lake {
       throw new java.util.NoSuchElementException(
         s"version $version at $root references lost data dirs " +
           s"${missing.mkString(", ")} (readable: $horizon)")
-    val paths = dirs.map(d => new Path(r, d).toString)
     manifestSchema(fs, r, version) match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None    => spark.read.parquet(paths: _*)
+      // index-planned read: the scan's file set resolves through the
+      // LakeFileIndex at PLANNING time (lazily, with whatever filters
+      // the query pushes), not through an eager spark.read listing of
+      // every dir path — measured 30 s vs 0.4 s of driver time to
+      // construct the read on a 10^4-dir append-heavy table, the
+      // manifest-growth pathology (BENCH_NOTES round 11)
+      case Some(s) => LakeFileIndex.relation(spark, root, version,
+        org.apache.spark.sql.graft.Shim.asNullable(s))
+      // legacy manifest without a schema line: footer inference needs
+      // the eager listing anyway
+      case None =>
+        spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
     }
   }
 
