@@ -1476,11 +1476,20 @@ object Lake {
     * Markers are empty files; names are the state. */
   private def preserveMarkers(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       fromDirs: Seq[String], toDir: String): Unit =
-    fromDirs.map(d => new Path(r, d)).filter(fs.exists)
-      .flatMap(d => fs.listStatus(d).toSeq)
-      .map(_.getPath.getName).distinct
-      .filter(_.startsWith("_applied_"))
-      .foreach(n => fs.create(new Path(new Path(r, toDir), n)).close())
+    preserveMarkers(fs, r, fromDirs, Seq(toDir))
+
+  /** Multi-dir form (partitioned rewrites stage several dirs): a
+    * marker is a PRESENCE check over the live snapshot's dirs, so the
+    * first replacement dir carrying them preserves the invariant. */
+  private def preserveMarkers(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      fromDirs: Seq[String], toDirs: Seq[String]): Unit =
+    toDirs.headOption.foreach { t =>
+      fromDirs.map(d => new Path(r, d)).filter(fs.exists)
+        .flatMap(d => fs.listStatus(d).toSeq)
+        .map(_.getPath.getName).distinct
+        .filter(_.startsWith("_applied_"))
+        .foreach(n => fs.create(new Path(new Path(r, t), n)).close())
+    }
 
   /** Merge a committed table schema with an incoming batch's: the
     * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one.
@@ -1966,23 +1975,23 @@ object Lake {
       // publish a dirs list that silently drops the interloper's data)
       val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
       val effStats = effectiveStatsCols(fs, r, Nil)
-      // the rewrite stages under a writer-unique dir like every other
-      // data write: concurrent writers never contest it, the version
-      // slot is claimed by the manifest publish alone
-      val newDir = stagedDirName()
-      rewritten.write.mode("overwrite").parquet(new Path(r, newDir).toString)
+      // the rewrite stages under writer-unique dirs like every other
+      // data write (one per partition tuple on a partitioned table —
+      // COW maintenance preserves the declared layout): concurrent
+      // writers never contest them, the version slot is claimed by the
+      // manifest publish alone
+      val effBloom = effectiveBloomCols(fs, r, Nil)
+      val effPart = manifestPartCols(fs, r, cur)
+      val (newDirs, stats, blooms, parts) =
+        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
-      preserveMarkers(fs, r, touchedDirs, newDir)
-      val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
-        .map(newDir -> _).toMap
-      val effBloom = effectiveBloomCols(fs, r, Nil)
-      val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
-        .map(newDir -> _).toMap
-      if (!commitManifest(fs, r, next, untouched :+ newDir, retain,
+      preserveMarkers(fs, r, touchedDirs, newDirs)
+      if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
-          newBlooms = blooms, bloomCols = effBloom, op = "merge")) {
-        fs.delete(new Path(r, newDir), true)
+          newBlooms = blooms, bloomCols = effBloom,
+          newParts = parts, op = "merge")) {
+        newDirs.foreach(d => fs.delete(new Path(r, d), true))
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +
             "the merge read a snapshot that is no longer live; re-run " +
@@ -2079,10 +2088,15 @@ object Lake {
       dirs.map(d => new Path(r, d)).filter(fs.exists)
         .exists(d => fs.listStatus(d).exists(_.getPath.getName.startsWith("_applied_")))
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
-    // staged writer-unique dir (see mergeCommitted): the slot is
-    // claimed by the publish, never by the dir name
-    val staged = stagedDirName()
-    val newDir =
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    // rewrites PRESERVE the table's declared partition layout: on a
+    // partitioned table the surviving rows re-stage one dir per value
+    // tuple with fresh #part_ lines, so partition pruning never
+    // degrades under COW maintenance
+    val effPart = manifestPartCols(fs, r, cur)
+    // staged writer-unique dirs (see mergeCommitted): the slot is
+    // claimed by the publish, never by the dir names
+    val (newDirs, freshStats, freshBlooms, freshParts) =
       if (rewrite.nonEmpty) {
         val paths = rewrite.map(d => new Path(r, d).toString)
         val base = carried match {
@@ -2090,9 +2104,9 @@ object Lake {
           case None    => spark.read.parquet(paths: _*)
         }
         val surviving = base.where(!coalesce(predicate, lit(false)))
-        surviving.write.mode("overwrite").parquet(new Path(r, staged).toString)
-        preserveMarkers(fs, r, rewrite ++ dropped, staged)
-        Some(staged)
+        val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart)
+        preserveMarkers(fs, r, rewrite ++ dropped, staged._1)
+        staged
       } else if (hasMarkers(dropped) || kept.isEmpty) {
         // empty carrier dir: markers need a home, and a zero-dir
         // manifest is unrepresentable (an empty dirs body reads as the
@@ -2100,21 +2114,19 @@ object Lake {
         // whole table still commits one readable empty snapshot
         val schema = carried.getOrElse(spark.read.parquet(
           dropped.map(d => new Path(r, d).toString): _*).schema)
-        spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-          .write.mode("overwrite").parquet(new Path(r, staged).toString)
-        preserveMarkers(fs, r, dropped, staged)
-        Some(staged)
-      } else None // the metadata-only partition drop: no job at all
-    val freshStats = newDir.flatMap(d =>
-      dirStatsJson(spark, new Path(r, d).toString, effStats).map(d -> _)).toMap
-    val effBloom = effectiveBloomCols(fs, r, Nil)
-    val freshBlooms = newDir.flatMap(d =>
-      dirBloomJson(spark, new Path(r, d).toString, effBloom).map(d -> _)).toMap
-    if (!commitManifest(fs, r, next, kept ++ newDir.toSeq, retain,
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        val staged = stageBatch(spark, fs, r, empty, effStats, effBloom, Nil)
+        preserveMarkers(fs, r, dropped, staged._1)
+        staged
+      } else // the metadata-only partition drop: no job at all
+        (Nil, Map.empty[String, String], Map.empty[String, String],
+          Map.empty[String, String])
+    if (!commitManifest(fs, r, next, kept ++ newDirs, retain,
         carried, None, freshStats, effStats,
-        newBlooms = freshBlooms, bloomCols = effBloom, op = "delete")) {
-      newDir.foreach(d => fs.delete(new Path(r, d), true))
+        newBlooms = freshBlooms, bloomCols = effBloom,
+        newParts = freshParts, op = "delete")) {
+      newDirs.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"delete on $root lost version $next to a concurrent commit — " +
           "the delete classified a snapshot that is no longer live; " +
@@ -2175,19 +2187,21 @@ object Lake {
     }
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
-    val newDir = stagedDirName() // writer-unique, see mergeCommitted
-    updated.write.mode("overwrite").parquet(new Path(r, newDir).toString)
-    preserveMarkers(fs, r, touched, newDir)
-    val freshStats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
-      .map(newDir -> _).toMap
     val effBloom = effectiveBloomCols(fs, r, Nil)
-    val freshBlooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
-      .map(newDir -> _).toMap
+    // layout-preserving rewrite (see deleteWhere): note an UPDATE may
+    // move rows BETWEEN partitions (SET on a partition column) — the
+    // re-staging splits by the post-update values, so the layout stays
+    // exact either way
+    val effPart = manifestPartCols(fs, r, cur)
+    val (newDirs, freshStats, freshBlooms, freshParts) =
+      stageBatch(spark, fs, r, updated, effStats, effBloom, effPart)
+    preserveMarkers(fs, r, touched, newDirs)
     // updates are row-preserving: the metadata count carries over
-    if (!commitManifest(fs, r, next, kept :+ newDir, retain,
+    if (!commitManifest(fs, r, next, kept ++ newDirs, retain,
         carried, manifestRows(fs, r, cur), freshStats, effStats,
-        newBlooms = freshBlooms, bloomCols = effBloom, op = "update")) {
-      fs.delete(new Path(r, newDir), true)
+        newBlooms = freshBlooms, bloomCols = effBloom,
+        newParts = freshParts, op = "update")) {
+      newDirs.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"update on $root lost version $next to a concurrent commit — " +
           "the update rewrote a snapshot that is no longer live; re-run " +
@@ -2346,18 +2360,18 @@ object Lake {
       if (touchedDirs.isEmpty && rewritten.isEmpty) return cur
       val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
       val effStats = effectiveStatsCols(fs, r, Nil)
-      val newDir = stagedDirName() // writer-unique, see mergeCommitted
-      rewritten.write.mode("overwrite").parquet(new Path(r, newDir).toString)
-      preserveMarkers(fs, r, touchedDirs, newDir)
-      val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
-        .map(newDir -> _).toMap
       val effBloom = effectiveBloomCols(fs, r, Nil)
-      val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
-        .map(newDir -> _).toMap
-      if (!commitManifest(fs, r, next, untouched :+ newDir, retain,
+      // layout-preserving (see deleteWhere): partitioned tables
+      // re-stage the rewrite one dir per value tuple
+      val effPart = manifestPartCols(fs, r, cur)
+      val (newDirs, stats, blooms, parts) =
+        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart)
+      preserveMarkers(fs, r, touchedDirs, newDirs)
+      if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
-          newBlooms = blooms, bloomCols = effBloom, op = "merge")) {
-        fs.delete(new Path(r, newDir), true)
+          newBlooms = blooms, bloomCols = effBloom,
+          newParts = parts, op = "merge")) {
+        newDirs.foreach(d => fs.delete(new Path(r, d), true))
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +
             "the merge read a snapshot that is no longer live; re-run " +
@@ -2395,23 +2409,27 @@ object Lake {
     val df = readCommittedAt(spark, root, cur).repartition(n)
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
-    val newDir = stagedDirName() // writer-unique, see mergeCommitted
-    df.write.mode("overwrite").parquet(new Path(r, newDir).toString)
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    // compaction PRESERVES the declared partition layout: on a
+    // partitioned table the collapse is per-value-tuple (small-files
+    // cleanup within each partition; a partition hotter than
+    // targetBytes stays one dir — split it by re-partitioning the
+    // table key, not by breaking the layout), so partition pruning
+    // survives maintenance instead of degrading to a full scan
+    val effPart = manifestPartCols(fs, r, cur)
+    val (newDirs, stats, blooms, parts) =
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
-    preserveMarkers(fs, r, liveDirs, newDir)
+    preserveMarkers(fs, r, liveDirs, newDirs)
     // compaction is row-preserving: the previous count carries over;
-    // the collapsed dir gets fresh whole-table stats (footer-pushdown
-    // read of what was just written)
-    val stats = dirStatsJson(spark, new Path(r, newDir).toString, effStats)
-      .map(newDir -> _).toMap
-    val effBloom = effectiveBloomCols(fs, r, Nil)
-    val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
-      .map(newDir -> _).toMap
-    if (!commitManifest(fs, r, next, Seq(newDir), retain, Some(df.schema),
+    // the collapsed dirs get fresh stats (footer-pushdown read of
+    // what was just written)
+    if (!commitManifest(fs, r, next, newDirs, retain, Some(df.schema),
         manifestRows(fs, r, cur), stats, effStats,
-        newBlooms = blooms, bloomCols = effBloom, op = "compact")) {
-      fs.delete(new Path(r, newDir), true)
+        newBlooms = blooms, bloomCols = effBloom,
+        newParts = parts, op = "compact")) {
+      newDirs.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"compaction of $root lost version $next to a concurrent commit — " +
           "the collapsed snapshot is no longer live; re-run against the " +

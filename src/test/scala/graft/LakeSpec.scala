@@ -1384,37 +1384,57 @@ class LakeSpec extends SparkSpec {
     assert(miss.getMessage.contains("partition column"))
   }
 
-  test("partitioned tables compose: COW delete, compaction, clone keep answers; rewrites are conservatively scanned") {
+  test("partitioned tables compose: COW delete/update, compaction and clone all PRESERVE the layout") {
     val root = tmpTable("graft-lake-part-cow")
+    // y = 1995 + k % 4: partition y holds exactly the k ≡ (y-1995) mod 4 slice
     val df = (1L to 40L).map(k => (k, 1995L + k % 4, s"t$k")).toDF("k", "y", "t")
     Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y"),
       statsCols = Seq("k"))
     assert(Lake.resolve(spark, root).length === 4)
-    // COW delete rewrites only dirs holding matched rows; the fresh
-    // rewrite dir carries no #part_ line (always scanned) but answers
-    // stay exact and other partitions still prune
+    // COW delete: touched dirs re-stage PER PARTITION VALUE with fresh
+    // #part_ lines — after the rewrite, a partition predicate still
+    // prunes to exactly one dir per value, including the rewritten ones
     Lake.deleteWhere(spark, root, col("k") === 2L, retain = 8)
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       (1L to 40L).filterNot(_ == 2L).map(Seq(_)).toSet)
+    val all1 = Lake.resolve(spark, root).length
     val (kept, skipped, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
-    assert(skipped.nonEmpty, "untouched partition dirs must still prune")
+    assert(kept.length === 1 && skipped.length === all1 - 1,
+      s"layout-preserving rewrite must keep exact pruning; kept=$kept")
     assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
       .select("k")) === (1L to 40L).filterNot(_ == 2L).filter(_ % 4 == 0)
         .map(Seq(_)).toSet)
+    // COW update MOVING rows BETWEEN partitions: SET y = 1999 WHERE
+    // k in the 1996 partition — the re-staging splits by the
+    // POST-update values, so the moved rows land in their own pruned dir
+    Lake.updateWhere(spark, root, col("y") === 1996L,
+      Map("y" -> lit(1999L)), retain = 8)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1999L)
+      .select("k")) === (1L to 40L).filter(_ % 4 == 1).map(Seq(_)).toSet)
+    val (k96, _, _) = Lake.resolveWhere(spark, root, col("y") === 1996L)
+    assert(k96.isEmpty, "the vacated partition must prune to zero dirs")
+    val (k99, s99, _) = Lake.resolveWhere(spark, root, col("y") === 1999L)
+    assert(k99.length === 1 && s99.nonEmpty)
     // clone carries the partition metadata: the clone prunes too
     val dst = tmpTable("graft-lake-part-clone")
     Lake.cloneCommitted(spark, root, dst)
-    val (_, skippedClone, _) = Lake.resolveWhere(spark, dst, col("y") === 1996L)
-    assert(skippedClone.nonEmpty)
-    assert(rows(Lake.readCommittedWhere(spark, dst, col("y") === 1996L)) ===
-      rows(Lake.readCommittedWhere(spark, root, col("y") === 1996L)))
-    // compaction collapses to one dir (partition pruning gone until a
-    // partitioned rewrite; answers unchanged — layout is metadata)
+    val (kc, sc, _) = Lake.resolveWhere(spark, dst, col("y") === 1999L)
+    assert(kc.length === 1 && sc.nonEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, dst, col("y") === 1999L)) ===
+      rows(Lake.readCommittedWhere(spark, root, col("y") === 1999L)))
+    // compaction preserves the layout: per-partition collapse, exact
+    // pruning intact, answers unchanged
     Lake.compactCommitted(spark, root, retain = 8)
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       (1L to 40L).filterNot(_ == 2L).map(Seq(_)).toSet)
-    // a fresh partitioned overwrite restores the layout
+    val allC = Lake.resolve(spark, root).length
+    val (kcc, scc, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(kcc.length === 1 && scc.length === allC - 1,
+      "compaction must preserve partition pruning")
+    // an overwrite inherits the layout (partitionBy not repeated)
     Lake.commitOverwrite(df, root, retain = 8)
+    val (ko, so, _) = Lake.resolveWhere(spark, root, col("y") === 1997L)
+    assert(ko.length === 1 && so.length === 3)
     assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1997L)
       .select("k")) === (1L to 40L).filter(_ % 4 == 2).map(Seq(_)).toSet)
   }
