@@ -749,6 +749,12 @@ object Lake {
   private case object PLe extends POp
   private case object PGt extends POp
   private case object PGe extends POp
+  // NULL tests: min/max ranges describe NON-NULL values only, so
+  // stats can never prove them either way — but a partition dir's
+  // recorded value is exact (Some(v) = every row non-NULL, None =
+  // every row NULL), so the partition pruner answers both precisely
+  private case object PNull extends POp
+  private case object PNotNull extends POp
   private final case class Pred(col: String, op: POp, values: Seq[NormVal])
 
   private def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression):
@@ -807,6 +813,10 @@ object Lake {
       case GreaterThan(a, b)        => cmp(a, b, PGt, PLt)
       case GreaterThanOrEqual(a, b) => cmp(a, b, PGe, PLe)
       case In(a, vs) if vs.nonEmpty => inPred(a, vs)
+      case IsNull(a) =>
+        (attrName(a).map(c => Pred(c, PNull, Nil)).toSeq, attrName(a).isDefined)
+      case IsNotNull(a) =>
+        (attrName(a).map(c => Pred(c, PNotNull, Nil)).toSeq, attrName(a).isDefined)
       // sql-api Columns build operators as UNRESOLVED FUNCTION CALLS
       // ("=", "and", "in", …) — the shape the classic converter emits
       // for a `col("k") === 250` tree before analysis
@@ -820,6 +830,10 @@ object Lake {
           case (">", Seq(a, b))           => cmp(a, b, PGt, PLt)
           case (">=", Seq(a, b))          => cmp(a, b, PGe, PLe)
           case ("in", a +: vs)            => inPred(a, vs)
+          case ("isnull", Seq(a)) =>
+            (attrName(a).map(c => Pred(c, PNull, Nil)).toSeq, attrName(a).isDefined)
+          case ("isnotnull", Seq(a)) =>
+            (attrName(a).map(c => Pred(c, PNotNull, Nil)).toSeq, attrName(a).isDefined)
           case _ => (Nil, false)
         }
       case _ => (Nil, false)
@@ -837,6 +851,8 @@ object Lake {
     case PLe => cmpNorm(lo, p.values.head).exists(_ > 0)
     case PGt => cmpNorm(hi, p.values.head).exists(_ <= 0)
     case PGe => cmpNorm(hi, p.values.head).exists(_ < 0)
+    // a range over the non-NULL values proves nothing about NULLs
+    case PNull | PNotNull => false
   }
 
   /** Can `p` provably select EVERY row of a dir whose NON-NULL value
@@ -852,6 +868,10 @@ object Lake {
     case PLe => cmpNorm(hi, p.values.head).exists(_ <= 0)
     case PGt => cmpNorm(lo, p.values.head).exists(_ > 0)
     case PGe => cmpNorm(lo, p.values.head).exists(_ >= 0)
+    // under the caller's no-NULLs proof, IS NOT NULL is everything
+    // and IS NULL is nothing
+    case PNotNull => true
+    case PNull => false
   }
 
   /** (kept, skipped) dirs of the live snapshot under `predicate` —
@@ -881,8 +901,15 @@ object Lake {
       // min/max stats can never prove
       val partExcluded = partsRaw.get(d).map(parsePartJson).exists(pv =>
         preds.exists(p => pv.get(p.col).exists {
-          case Some(v) => predExcludes(v, v, p)
-          case None    => true
+          case Some(v) => p.op match {
+            case PNull    => true  // single non-NULL value: IS NULL empty
+            case PNotNull => false
+            case _        => predExcludes(v, v, p)
+          }
+          case None => p.op match {
+            case PNull => false    // the NULL partition IS the match
+            case _     => true     // comparisons/IN/IS NOT NULL: nothing
+          }
         }))
       lazy val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
         preds.exists(p =>

@@ -1343,9 +1343,16 @@ class LakeSpec extends SparkSpec {
     // range predicates prune exactly
     val (kept2, skipped2, _) = Lake.resolveWhere(spark, root, col("y") >= 1996L)
     assert(kept2.length === 2 && skipped2.length === 2)
-    // IS NULL rows still readable (pruning never changes answers)
-    assert(rows(Lake.readCommitted(spark, root).where(col("y").isNull)
+    // NULL tests prune EXACTLY on partition values: IS NULL keeps only
+    // the NULL-partition dir, IS NOT NULL prunes it away
+    val (kNull, sNull, _) = Lake.resolveWhere(spark, root, col("y").isNull)
+    assert(kNull.length === 1 && sNull.length === 3)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y").isNull)
       .select("k")) === Set(Seq(5L)))
+    val (kNN, sNN, _) = Lake.resolveWhere(spark, root, col("y").isNotNull)
+    assert(kNN.length === 3 && sNN.length === 1)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y").isNotNull)
+      .select("k")) === Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
 
     // appends INHERIT the layout (partitionBy not repeated) and add
     // only their tuples' dirs
