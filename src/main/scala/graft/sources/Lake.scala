@@ -855,6 +855,34 @@ object Lake {
     case PNull | PNotNull => false
   }
 
+  /** Does `p` provably select NOTHING from a dir whose partition
+    * value for `p.col` is exactly `v` (None = every row NULL)? Unlike
+    * stats ranges this is EXACT per-row knowledge: every row of the
+    * dir carries the tuple, so NULL tests answer too. */
+  private def partValueExcludes(v: Option[NormVal], p: Pred): Boolean = v match {
+    case Some(x) => p.op match {
+      case PNull    => true  // single non-NULL value: IS NULL matches nothing
+      case PNotNull => false
+      case _        => predExcludes(x, x, p)
+    }
+    case None => p.op match {
+      case PNull => false    // the NULL partition IS the match
+      case _     => true     // comparisons/IN/IS NOT NULL: nothing matches
+    }
+  }
+
+  /** Does `p` provably select EVERY row of a dir whose partition value
+    * for `p.col` is exactly `v`? No nullability gate needed — the
+    * value IS each row's value. */
+  private def partValueIncludesAll(v: Option[NormVal], p: Pred): Boolean = v match {
+    case Some(x) => p.op match {
+      case PNull    => false
+      case PNotNull => true
+      case _        => predIncludesAll(x, x, p)
+    }
+    case None => p.op == PNull
+  }
+
   /** Can `p` provably select EVERY row of a dir whose NON-NULL value
     * range for `p.col` is [lo, hi]? Caller must separately prove the
     * column holds no NULLs in the dir (a NULL never satisfies a
@@ -900,17 +928,7 @@ object Lake {
       // NULL-valued partition dir satisfies NO comparison/IN, which
       // min/max stats can never prove
       val partExcluded = partsRaw.get(d).map(parsePartJson).exists(pv =>
-        preds.exists(p => pv.get(p.col).exists {
-          case Some(v) => p.op match {
-            case PNull    => true  // single non-NULL value: IS NULL empty
-            case PNotNull => false
-            case _        => predExcludes(v, v, p)
-          }
-          case None => p.op match {
-            case PNull => false    // the NULL partition IS the match
-            case _     => true     // comparisons/IN/IS NOT NULL: nothing
-          }
-        }))
+        preds.exists(p => pv.get(p.col).exists(partValueExcludes(_, p))))
       lazy val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
         preds.exists(p =>
           st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
@@ -2083,9 +2101,24 @@ object Lake {
     val allMatchProvable = exact && preds.nonEmpty &&
       preds.forall(p => nonNullCols.contains(p.col))
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
+    val partsRaw = manifestPartsRaw(fs, r, cur)
     sealed trait C; case object Keep extends C; case object Drop extends C
     case object Rewrite extends C
     def classify(d: String): C = {
+      // partition values decide FIRST and exactly: a dir whose tuple
+      // fails a conjunct survives untouched, and a dir whose tuple
+      // provably satisfies EVERY conjunct (the exact predicate, all on
+      // partition columns) is the metadata-only WHOLE-PARTITION DROP —
+      // `DELETE WHERE year = 1996` on a year-partitioned fact is
+      // manifest surgery, zero data I/O, no nullability gate needed
+      // (the tuple IS each row's value)
+      val pv = partsRaw.get(d).map(parsePartJson)
+      val partKeep = pv.exists(m =>
+        preds.exists(p => m.get(p.col).exists(partValueExcludes(_, p))))
+      if (partKeep) return Keep
+      val partDrop = exact && preds.nonEmpty && pv.exists(m =>
+        preds.forall(p => m.get(p.col).exists(partValueIncludesAll(_, p))))
+      if (partDrop) return Drop
       // a bloom proving an equality conjunct absent is as good as a
       // range exclusion: no row can match, the dir survives untouched
       lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
@@ -2193,13 +2226,17 @@ object Lake {
         schema.fieldNames.mkString("[", ", ", "]")))
     val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
+    val partsRaw = manifestPartsRaw(fs, r, cur)
     val (kept, touched) = snapDirs.partition { d =>
-      val rangeKeep = stats.get(d).map(parseStatsJson).exists(st =>
+      // partition values exclude first (exact, incl. NULL tests)
+      val partKeep = partsRaw.get(d).map(parsePartJson).exists(m =>
+        preds.exists(p => m.get(p.col).exists(partValueExcludes(_, p))))
+      lazy val rangeKeep = stats.get(d).map(parseStatsJson).exists(st =>
         preds.exists(p =>
           st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
       lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
         preds.exists(p => bloomExcludes(bfs, p)))
-      rangeKeep || bloomKeep
+      partKeep || rangeKeep || bloomKeep
     }
     if (touched.isEmpty) return cur
     val paths = touched.map(d => new Path(r, d).toString)

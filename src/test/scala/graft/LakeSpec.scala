@@ -1446,6 +1446,35 @@ class LakeSpec extends SparkSpec {
       .select("k")) === (1L to 40L).filter(_ % 4 == 2).map(Seq(_)).toSet)
   }
 
+  test("DELETE of a whole partition is metadata-only: the dir drops from the manifest, no rewrite job, no new dirs") {
+    val root = tmpTable("graft-lake-part-drop")
+    val rows0 = Seq(
+      (1L, java.lang.Long.valueOf(1995L)), (2L, java.lang.Long.valueOf(1996L)),
+      (3L, java.lang.Long.valueOf(1997L)), (4L, null.asInstanceOf[java.lang.Long]))
+    Lake.commitOverwrite(rows0.toDF("k", "y"), root, retain = 8,
+      partitionBy = Seq("y"))
+    val before = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    assert(before.size === 4)
+    // equality on the partition column: the 1996 dir drops by manifest
+    // surgery — the surviving dirs are EXACTLY the original ones (no
+    // rewrite dir was staged, the untouched-partition proof)
+    Lake.deleteWhere(spark, root, col("y") === 1996L, retain = 8)
+    val after = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    assert(after.subsetOf(before) && (before -- after).size === 1,
+      s"expected a pure dir drop; before=$before after=$after")
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(3L), Seq(4L)))
+    // the NULL partition drops metadata-only under IS NULL too
+    Lake.deleteWhere(spark, root, col("y").isNull, retain = 8)
+    val after2 = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    assert(after2.subsetOf(after) && (after -- after2).size === 1)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(3L)))
+    // a range over the partition column drops every covered partition
+    Lake.deleteWhere(spark, root, col("y") >= 1990L, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)).isEmpty)
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
