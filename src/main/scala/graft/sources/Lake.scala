@@ -2528,6 +2528,13 @@ object Lake {
       targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // on a PARTITIONED table, clustering replaces the per-value dirs
+    // with one globally-ordered dir: the declared layout (#partcols)
+    // persists and the next partitioned commit restores it, but the
+    // clustered snapshot itself prunes via per-FILE ranges instead of
+    // partition dirs — include the partition column in `cols` so the
+    // file ranges carry its locality (answers are unaffected either
+    // way; LakeSpec pins the interaction)
     require(cols.nonEmpty, "cluster columns must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(retain >= 0, s"retain must be >= 0, got $retain")

@@ -1475,6 +1475,28 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)).isEmpty)
   }
 
+  test("z-order on a partitioned table: answers exact, file ranges take over pruning, the layout returns on the next commit") {
+    val root = tmpTable("graft-lake-part-zorder")
+    val df = (1L to 40L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
+    Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y"))
+    // clustering on (y, k) collapses the partition dirs into one
+    // globally-ordered dir; answers stay exact and the y predicate
+    // now prunes at FILE granularity through the fresh #fstats_
+    Lake.clusterCommitted(spark, root, Seq("y", "k"),
+      targetBytes = 2048, retain = 8)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
+      .select("k")) === (1L to 40L).filter(_ % 4 == 0).map(Seq(_)).toSet)
+    val (_, _, skippedFiles) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(skippedFiles.nonEmpty,
+      "clustered file ranges must prune the partition predicate")
+    // the DECLARED layout survived the z-order: the next plain append
+    // re-partitions its batch and dir pruning returns for it
+    Lake.commitAppend(Seq((41L, 1999L)).toDF("k", "y"), root, retain = 8)
+    val (k99, s99, _) = Lake.resolveWhere(spark, root, col("y") === 1999L)
+    assert(k99.length === 1 && s99.nonEmpty,
+      "inherited partition layout must prune the fresh append's dir")
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,

@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-object DmlProbe {
+/** Reproduces the BENCH_NOTES round-11 manifest-growth measurement:
+  * a 10^4-dir append-heavy table synthesized by hard-linking one real
+  * committed dir (byte-identical to 10^4 tiny appends) + a
+  * hand-written manifest, then timed read-planning surfaces.
+  * `Test/runMain graft.ManifestGrowthProbe`. */
+object ManifestGrowthProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.spark
     import spark.implicits._
