@@ -851,5 +851,27 @@ object Lakehouse {
       s.sql("""SELECT o_orderkey, o_custkey, o_year, o_totalprice
               |FROM lake_part_orders WHERE o_year IN (1996, 1998)
               |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // SHOW PARTITIONS from the manifest alone, under the oracle hash:
+    // the q147 layout (year-partitioned orders, two parity ingest
+    // batches) inspected through Lake.partitionValues — one manifest
+    // read, no data I/O, no listing. Each year's dir count equals the
+    // number of parity batches that contained it, which the oracle
+    // replays as count(DISTINCT o_orderkey % 2) per year — so the
+    // manifest's partition METADATA itself (values, types, dir
+    // multiplicity) is what hashes, not a scan of the data.
+    Q("q149_show_partitions",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(DISTINCT o_orderkey % 2) AS BIGINT) AS n_dirs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_showpart", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 0, partitionBy = Seq("o_year"))
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 0)
+      Lake.partitionValues(s, root).orderBy("o_year")
     })
 }

@@ -2446,6 +2446,72 @@ object Lake {
     } finally { srcW.unpersist(); () }
   }
 
+  /** `SHOW PARTITIONS` for a committed table: the live snapshot's
+    * partition-value tuples with their dir counts, answered from ONE
+    * manifest read — no data I/O, no listing (the values are exact
+    * per-dir metadata, so this is how an operator inspects a 100 TB
+    * fact's layout for free). Values decode to the committed schema's
+    * column types; a NULL partition reports NULL. Dirs carrying no
+    * recorded values (a z-ordered snapshot's global dir, pre-layout
+    * legacy dirs) are not partitions and are not listed — the table's
+    * declared layout is what this reports.
+    * @return one row per distinct tuple: (partition cols…, n_dirs) */
+  def partitionValues(spark: SparkSession, root: String,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root")))
+    val partCols = manifestPartCols(fs, r, v)
+    require(partCols.nonEmpty,
+      s"table at $root declares no partition columns — partitionValues " +
+        "reports the #partcols layout; commit with partitionBy to establish one")
+    val schema = manifestSchema(fs, r, v).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"version $v at $root carries no schema line (legacy manifest) — " +
+          "partition values cannot be typed"))
+    def decode(c: String, nv: Option[NormVal]): Any = nv match {
+      case None => null
+      case Some(x) =>
+        import org.apache.spark.sql.catalyst.util.DateTimeUtils
+        (x, schema(c).dataType) match {
+          case (NumV(n), ByteType)    => n.toByte
+          case (NumV(n), ShortType)   => n.toShort
+          case (NumV(n), IntegerType) => n.toInt
+          case (NumV(n), LongType)    => n.toLong
+          case (NumV(n), FloatType)   => n.toFloat
+          case (NumV(n), DoubleType)  => n.toDouble
+          case (NumV(n), dt: DecimalType) =>
+            new java.math.BigDecimal(n.bigDecimal.toPlainString)
+              .setScale(dt.scale)
+          case (NumV(n), DateType) => DateTimeUtils.toJavaDate(n.toInt)
+          case (NumV(n), TimestampType | TimestampNTZType) =>
+            DateTimeUtils.toJavaTimestamp(n.toLong)
+          case (StrV(s), StringType) => s.toString
+          case (other, dt) => throw new IllegalStateException(
+            s"partition value $other of '$c' does not decode to " +
+              dt.simpleString)
+        }
+    }
+    val live = manifestDirs(fs, r, v).toSet
+    val tuples = manifestPartsRaw(fs, r, v).toSeq
+      .filter { case (d, _) => live.contains(d) }
+      .map { case (_, json) =>
+        val m = parsePartJson(json)
+        partCols.map(c => decode(c, m.get(c).flatten))
+      }
+      .groupBy(identity).toSeq
+      .map { case (vals, dirs) =>
+        org.apache.spark.sql.Row.fromSeq(vals :+ dirs.size.toLong)
+      }
+    val outSchema = StructType(
+      partCols.map(c => schema(c).copy(nullable = true)) :+
+        StructField("n_dirs", LongType, nullable = false))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(tuples).asJava, outSchema)
+  }
+
   /** [[compact]] for a manifest-committed table: collapse the live
     * snapshot (append commits accumulate one dir per batch — the
     * small-files pathology in manifest form: readers pay listing +

@@ -1497,6 +1497,30 @@ class LakeSpec extends SparkSpec {
       "inherited partition layout must prune the fresh append's dir")
   }
 
+  test("partitionValues: manifest-only layout report — NULL tuple included, value-less dirs excluded, unpartitioned refused") {
+    val root = tmpTable("graft-lake-part-show")
+    val rows0 = Seq(
+      (1L, java.lang.Long.valueOf(1995L)), (2L, java.lang.Long.valueOf(1995L)),
+      (3L, java.lang.Long.valueOf(1996L)), (4L, null.asInstanceOf[java.lang.Long]))
+    Lake.commitOverwrite(rows0.toDF("k", "y"), root, retain = 8,
+      partitionBy = Seq("y"))
+    Lake.commitAppend(Seq((5L, java.lang.Long.valueOf(1995L))).toDF("k", "y"),
+      root, retain = 8)
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(1995L, 2L), Seq(1996L, 1L), Seq(null, 1L)))
+    // a z-ordered snapshot's global dir carries no values: not listed
+    Lake.clusterCommitted(spark, root, Seq("k"), targetBytes = 2048,
+      retain = 8)
+    assert(Lake.partitionValues(spark, root).isEmpty)
+    // unpartitioned tables refuse (there is no layout to report)
+    val plain = tmpTable("graft-lake-part-show-plain")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), plain, retain = 8)
+    val e = intercept[IllegalArgumentException] {
+      Lake.partitionValues(spark, plain)
+    }
+    assert(e.getMessage.contains("no partition columns"))
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
