@@ -338,6 +338,32 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT into a partitioned lake table inherits the layout: new dirs per value, pruning exact") {
+    val root = tmpTable("graft-lakesql-partins")
+    Lake.commitOverwrite(
+      Seq((1L, 1995L, "a"), (2L, 1996L, "b")).toDF("k", "y", "t"), root,
+      retain = 8, partitionBy = Seq("y"))
+    spark.sql("DROP TABLE IF EXISTS lakesql_partins")
+    spark.sql(
+      s"CREATE TABLE lakesql_partins USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      // the INSERT routes through commitAppend, which inherits the
+      // declared layout: two new partition dirs, one per value
+      spark.sql(
+        "INSERT INTO lakesql_partins VALUES (3, 1995, 'c'), (4, 1997, 'd')")
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, 1995L, "a"), Seq(2L, 1996L, "b"),
+          Seq(3L, 1995L, "c"), Seq(4L, 1997L, "d")))
+      assert(rows(Lake.partitionValues(spark, root)) ===
+        Set(Seq(1995L, 2L), Seq(1996L, 1L), Seq(1997L, 1L)))
+      val (kept, skipped, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+      assert(kept.length === 2 && skipped.length === 2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_partins")
+      ()
+    }
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
