@@ -27,8 +27,8 @@ import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationComm
   * SQL semantics dictate. Retention uses the commit default; pipelines
   * needing custom retention/stats knobs use the write API. */
 case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
-    query: LogicalPlan, outputColumnNames: Seq[String])
-    extends LeafRunnableCommand {
+    query: LogicalPlan, outputColumnNames: Seq[String],
+    partitionBy: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
     val df0 = org.apache.spark.sql.graft.Shim.ofRows(session, query)
@@ -45,8 +45,8 @@ case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
             s"${df0.columns.length}")
         df0.toDF(outputColumnNames: _*)
       } else df0
-    if (overwrite) Lake.commitOverwrite(df, root)
-    else Lake.commitAppend(df, root)
+    if (overwrite) Lake.commitOverwrite(df, root, partitionBy = partitionBy)
+    else Lake.commitAppend(df, root, partitionBy = partitionBy)
     Seq.empty
   }
 }
@@ -65,9 +65,18 @@ class GraftLakeInsertRule extends Rule[LogicalPlan] {
           // spec reaching here would be silently dropped, so refuse
           require(c.staticPartitions.isEmpty,
             s"INSERT into lake table ${idx.root} does not support " +
-              "PARTITION (...) specs — the manifest owns the layout")
+              "static PARTITION (col=value) specs — partition values " +
+              "travel in the rows; the manifest owns the layout")
+          // a DDL-declared PARTITIONED BY must be HONORED, not
+          // silently dropped: the first insert establishes the lake
+          // layout from it, and a root already partitioned differently
+          // refuses (effectivePartCols' one-layout-per-table rule)
           GraftLakeInsertCommand(idx.root, c.mode == SaveMode.Overwrite,
-            c.query, c.outputColumnNames)
+            c.query, c.outputColumnNames,
+            // the DDL declaration lives on the catalog table — the
+            // relation's own partitionSchema is empty by design (the
+            // manifest, not hive paths, carries the layout)
+            c.catalogTable.map(_.partitionColumnNames).getOrElse(Nil))
         case _ => plan
       }
     case _ => plan // inserts are whole-statement commands; never nested

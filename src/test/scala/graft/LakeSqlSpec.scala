@@ -364,6 +364,51 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE ... PARTITIONED BY is honored: the first INSERT establishes the lake layout; mismatches refuse") {
+    val root = tmpTable("graft-lakesql-ddlpart")
+    Lake.commitOverwrite(Seq((1L, 1995L)).toDF("k", "y"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart")
+    spark.sql(s"CREATE TABLE lakesql_ddlpart (k BIGINT, y BIGINT) " +
+      s"USING `graft-lake` PARTITIONED BY (y) OPTIONS (root '$root')")
+    try {
+      // pre-layout dir stays value-less (conservatively scanned); the
+      // INSERT establishes #partcols=y from the DDL and stages its
+      // rows one dir per value
+      spark.sql("INSERT INTO lakesql_ddlpart VALUES (2, 1996), (3, 1996), (4, 1997)")
+      assert(rows(Lake.partitionValues(spark, root)) ===
+        Set(Seq(1996L, 1L), Seq(1997L, 1L)))
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(1L, 1995L), Seq(2L, 1996L), Seq(3L, 1996L), Seq(4L, 1997L)))
+      // static PARTITION (col=value) specs refuse loudly — Spark's
+      // analyzer already rejects them against the relation's empty
+      // partition schema (values travel in the rows here); the rule's
+      // own require is the backstop for any path that slips through
+      val sp = intercept[Exception] {
+        spark.sql("INSERT INTO lakesql_ddlpart PARTITION (y=1998) VALUES (5)")
+      }
+      assert(sp.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        sp.getMessage.contains("static PARTITION"))
+      assert(rows(Lake.readCommitted(spark, root)).size === 4,
+        "a refused static-partition INSERT must not commit")
+      // a DDL declaration diverging from an established layout refuses
+      // (one layout per table)
+      val other = tmpTable("graft-lakesql-ddlpart2")
+      Lake.commitOverwrite(Seq((1L, 5L)).toDF("k", "y"), other, retain = 8,
+        partitionBy = Seq("k"))
+      spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart2")
+      spark.sql(s"CREATE TABLE lakesql_ddlpart2 (k BIGINT, y BIGINT) " +
+        s"USING `graft-lake` PARTITIONED BY (y) OPTIONS (root '$other')")
+      val mm = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO lakesql_ddlpart2 VALUES (2, 6)")
+      }
+      assert(mm.getMessage.contains("cannot re-partition"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart")
+      spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart2")
+      ()
+    }
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
