@@ -1521,6 +1521,36 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("no partition columns"))
   }
 
+  test("DATE-typed partition columns: prune on date predicates, round-trip through partitionValues") {
+    val root = tmpTable("graft-lake-part-date")
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq(
+      (1L, d("2026-01-01")), (2L, d("2026-01-01")),
+      (3L, d("2026-01-02")), (4L, d("2026-01-03")))
+      .toDF("k", "day")
+    Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("day"))
+    assert(Lake.resolve(spark, root).length === 3)
+    // equality and ranges on the date prune exactly (normalized via
+    // the catalyst day number, the same order parquet stats use)
+    val (k1, s1, _) = Lake.resolveWhere(spark, root,
+      col("day") === lit(d("2026-01-01")))
+    assert(k1.length === 1 && s1.length === 2)
+    assert(rows(Lake.readCommittedWhere(spark, root,
+      col("day") >= lit(d("2026-01-02"))).select("k")) ===
+      Set(Seq(3L), Seq(4L)))
+    // the layout report decodes back to java.sql.Date
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(d("2026-01-01"), 1L), Seq(d("2026-01-02"), 1L),
+        Seq(d("2026-01-03"), 1L)))
+    // whole-day retention DELETE is metadata-only
+    val before = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    Lake.deleteWhere(spark, root, col("day") < lit(d("2026-01-02")), retain = 8)
+    val after = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    assert(after.subsetOf(before) && (before -- after).size === 1)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      Set(Seq(3L), Seq(4L)))
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
