@@ -1551,6 +1551,28 @@ class LakeSpec extends SparkSpec {
       Set(Seq(3L), Seq(4L)))
   }
 
+  test("partitioned tables compose with schema evolution and the change feed") {
+    val root = tmpTable("graft-lake-part-evo")
+    Lake.commitOverwrite(
+      Seq((1L, 1995L), (2L, 1996L)).toDF("k", "y"), root, retain = 8,
+      partitionBy = Seq("y"))
+    // an EVOLVED append (new nullable column) still stages per value;
+    // old dirs read NULL-backfilled
+    Lake.commitAppend(
+      Seq((3L, 1995L, "x")).toDF("k", "y", "extra"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 1995L, null), Seq(2L, 1996L, null), Seq(3L, 1995L, "x")))
+    val (kept, skipped, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(kept.length === 2 && skipped.length === 1)
+    // the row-level change feed sees a whole-partition metadata drop
+    // as exact per-row deletes (the feed diffs snapshots by key — the
+    // physical shortcut is invisible to consumers)
+    val v = Lake.deleteWhere(spark, root, col("y") === 1995L, retain = 8)
+    assert(rows(Lake.changesBetween(spark, root, v - 1, v, Seq("k"))
+      .select(col("k"), col("change_type"))) ===
+      Set(Seq(1L, "delete"), Seq(3L, "delete")))
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
