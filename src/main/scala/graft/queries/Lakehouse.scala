@@ -873,5 +873,46 @@ object Lakehouse {
       Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
         retain = 0)
       Lake.partitionValues(s, root).orderBy("o_year")
+    },
+
+    // Dynamic dir pruning for star joins, under the oracle hash — the
+    // lakehouse DPP pattern: the year-partitioned orders fact joins a
+    // FILTERED derived dimension (the top-2 revenue years), and the
+    // dim's two keys collect first so the fact read prunes to 2-of-7
+    // partitions before the join plans (LakeSpec gates the dir
+    // count). At 100 TB this is `fact ⋈ filtered-calendar-dim` as
+    // O(matching partitions) I/O instead of a full fact scan. All
+    // money goes through DECIMAL on both engines.
+    Q("q150_star_prune",
+      """WITH f AS MATERIALIZED (
+        |  SELECT o_orderkey,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |  FROM orders),
+        |dim AS MATERIALIZED (
+        |  SELECT o_year,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS year_total
+        |  FROM f GROUP BY o_year ORDER BY year_total DESC, o_year LIMIT 2)
+        |SELECT f.o_orderkey, f.o_year AS o_year, f.o_totalprice,
+        |  d.year_total
+        |FROM f JOIN dim d ON f.o_year = d.o_year
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_starprune", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders, root, retain = 0,
+        partitionBy = Seq("o_year"))
+      val dim = orders.groupBy("o_year")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("year_total"))
+        .orderBy(desc("year_total"), asc("o_year")).limit(2)
+        .persist() // used twice: the key collect + the join build side
+      val fact = Lake.readCommittedDimPruned(s, root, "o_year",
+        dim.select("o_year"))
+      fact.join(broadcast(dim), Seq("o_year"))
+        .select(col("o_orderkey"), col("o_year"), col("o_totalprice"),
+          col("year_total"))
+        .orderBy("o_orderkey")
     })
 }

@@ -2446,6 +2446,46 @@ object Lake {
     } finally { srcW.unpersist(); () }
   }
 
+  /** DYNAMIC dir pruning for star joins — the lakehouse
+    * dynamic-partition-pruning pattern as an explicit two-phase read:
+    * the dimension side's distinct join keys (metadata-scale when the
+    * join key is the fact's partition/date column — a filtered
+    * calendar dim is a handful of rows) collect first, then the fact
+    * reads through [[readCommittedWhere]] with the keys as an IN
+    * predicate, so partition values, stats and blooms all prune dirs
+    * BEFORE the join plans. At 100 TB this turns `fact ⋈ (filtered
+    * dim)` from a full fact scan into O(matching partitions) I/O —
+    * what Spark's built-in DPP does for hive-layout tables, expressed
+    * through the manifest instead.
+    *
+    * The collected key set is capped: a dim whose filtered keys
+    * exceed the cap would not have pruned meaningfully anyway — read
+    * the full fact and let the join do the work.
+    * @param dimKeys single-column DataFrame of join-key values
+    * @return fact rows whose `factKeyCol` is in `dimKeys` (NULL keys
+    *   never match, standard join semantics) */
+  def readCommittedDimPruned(spark: SparkSession, root: String,
+      factKeyCol: String, dimKeys: org.apache.spark.sql.DataFrame,
+      maxKeys: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(dimKeys.columns.length == 1,
+      s"dimKeys must be a single-column key set, got " +
+        dimKeys.columns.mkString("[", ", ", "]"))
+    require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
+    val keys = dimKeys.distinct().limit(maxKeys + 1).collect()
+      .map(_.get(0)).filter(_ != null)
+    require(keys.length <= maxKeys,
+      s"dim side carries more than $maxKeys distinct join keys — a key " +
+        "set that large would not prune; read the fact with " +
+        "readCommitted and join directly (or raise maxKeys)")
+    if (keys.isEmpty) {
+      val s = readCommitted(spark, root).schema
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+    }
+    readCommittedWhere(spark, root, col(factKeyCol).isin(keys.toSeq: _*))
+  }
+
   /** `SHOW PARTITIONS` for a committed table: the live snapshot's
     * partition-value tuples with their dir counts, answered from ONE
     * manifest read — no data I/O, no listing (the values are exact

@@ -1573,6 +1573,35 @@ class LakeSpec extends SparkSpec {
       Set(Seq(1L, "delete"), Seq(3L, "delete")))
   }
 
+  test("readCommittedDimPruned: the dim's keys prune fact dirs before the join plans; caps and empties behave") {
+    val root = tmpTable("graft-lake-dimprune")
+    val df = (1L to 40L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
+    Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y"))
+    // two dim keys -> exactly two partition dirs read
+    val dim = Seq(1995L, 1997L).toDF("y")
+    val fact = Lake.readCommittedDimPruned(spark, root, "y", dim)
+    assert(rows(fact.select("k")) ===
+      (1L to 40L).filter(k => k % 4 == 0 || k % 4 == 2).map(Seq(_)).toSet)
+    val (kept, skipped, _) = Lake.resolveWhere(spark, root,
+      col("y").isin(1995L, 1997L))
+    assert(kept.length === 2 && skipped.length === 2)
+    // NULL dim keys never match (join semantics); empty dim -> empty
+    // fact with the table schema, zero dirs read
+    val withNull = Seq(java.lang.Long.valueOf(1995L),
+      null.asInstanceOf[java.lang.Long]).toDF("y")
+    assert(Lake.readCommittedDimPruned(spark, root, "y", withNull)
+      .count() === 10)
+    val empty = Lake.readCommittedDimPruned(spark, root, "y",
+      spark.emptyDataFrame.select(lit(1L).as("y")).limit(0))
+    assert(empty.isEmpty && empty.columns.toSeq === Seq("k", "y"))
+    // an over-cap key set refuses, naming the full-scan alternative
+    val big = (1L to 50L).toDF("y")
+    val e = intercept[IllegalArgumentException] {
+      Lake.readCommittedDimPruned(spark, root, "y", big, maxKeys = 10)
+    }
+    assert(e.getMessage.contains("would not prune"))
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
