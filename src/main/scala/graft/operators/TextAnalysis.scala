@@ -631,6 +631,13 @@ object TextAnalysis {
     * b ASC) so training is deterministic and oracle-reproducible.
     * The type table persists between rounds; each round's replace is
     * one codegen'd projection.
+    *
+    * Scale bound: training is inherently sequential (each merge
+    * changes the pair counts the next round sees), so M merges = M
+    * driver-coordinated rounds over the VOCAB-sized table — minutes
+    * of fixed job latency at production M≈32k, run ONCE offline and
+    * frozen as the committed artifact (q142); encode, the per-corpus
+    * hot path, is O(1) plan size in M ([[bpeEncode]]).
     * @return the ordered merge list, highest-priority first */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")

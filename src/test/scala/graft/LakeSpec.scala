@@ -1602,6 +1602,42 @@ class LakeSpec extends SparkSpec {
     assert(e.getMessage.contains("would not prune"))
   }
 
+  test("Lake.mergeInto programmatic API: clause order, insert conditions, no-op short-circuit, require gates") {
+    import graft.sources.{LakeMergeDelete, LakeMergeInsert, LakeMergeUpdate}
+    val root = tmpTable("graft-lake-mergeinto")
+    Lake.commitOverwrite(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), root, retain = 8)
+    val src = Seq((2L, 200.0), (3L, 5.0), (9L, 90.0), (10L, 1.0))
+      .toDF("sk", "sv")
+    // first-matching-clause order: DELETE (sv >= 100) outranks UPDATE;
+    // conditional INSERT admits only sv >= 50
+    val v = Lake.mergeInto(spark, root, src,
+      on = Seq((col("t.k"), col("sk"))),
+      matched = Seq(
+        LakeMergeDelete(Some(col("s.sv") >= 100.0)),
+        LakeMergeUpdate(None, Map("v" -> (col("t.v") + col("s.sv"))))),
+      notMatched = Seq(
+        LakeMergeInsert(Some(col("s.sv") >= 50.0),
+          Map("k" -> col("s.sk"), "v" -> col("s.sv")))))
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10.0), Seq(3L, 35.0), Seq(9L, 90.0)))
+    // a merge that matches nothing and inserts nothing is a NO-OP:
+    // the version does not advance
+    val v2 = Lake.mergeInto(spark, root,
+      Seq((77L, 1.0)).toDF("sk", "sv"),
+      on = Seq((col("t.k"), col("sk"))),
+      matched = Seq(LakeMergeDelete(None)))
+    assert(v2 === v)
+    // require gates: some clause, some ON pair
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, root, src, on = Seq((col("t.k"), col("sk"))))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, root, src, on = Nil,
+        matched = Seq(LakeMergeDelete(None)))
+    }
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
