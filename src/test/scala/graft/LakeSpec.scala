@@ -1638,6 +1638,35 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("multi-column partitions: one dir per tuple, single-column predicates prune across the other dimension") {
+    val root = tmpTable("graft-lake-part-multi")
+    val df = Seq(
+      (1L, 1995L, "en"), (2L, 1995L, "fr"),
+      (3L, 1996L, "en"), (4L, 1996L, "fr"), (5L, 1996L, "fr"))
+      .toDF("k", "y", "lang")
+    Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y", "lang"))
+    assert(Lake.resolve(spark, root).length === 4) // 4 distinct tuples
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(1995L, "en", 1L), Seq(1995L, "fr", 1L),
+        Seq(1996L, "en", 1L), Seq(1996L, "fr", 1L)))
+    // a predicate on ONE partition column prunes across the other
+    val (kLang, sLang, _) = Lake.resolveWhere(spark, root, col("lang") === "fr")
+    assert(kLang.length === 2 && sLang.length === 2)
+    // conjunct on both pins the single tuple dir
+    val (kBoth, sBoth, _) = Lake.resolveWhere(spark, root,
+      col("y") === 1996L && col("lang") === "fr")
+    assert(kBoth.length === 1 && sBoth.length === 3)
+    assert(rows(Lake.readCommittedWhere(spark, root,
+      col("y") === 1996L && col("lang") === "fr").select("k")) ===
+      Set(Seq(4L), Seq(5L)))
+    // whole-tuple DELETE is metadata-only
+    val before = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    Lake.deleteWhere(spark, root,
+      col("y") === 1995L && col("lang") === "en", retain = 8)
+    val after = Lake.resolve(spark, root).map(p => new java.io.File(p).getName).toSet
+    assert(after.subsetOf(before) && (before -- after).size === 1)
+  }
+
   test("partitioned OCC: a losing overwrite deletes EVERY staged partition dir") {
     val root = tmpTable("graft-lake-part-occ")
     Lake.commitOverwrite(Seq((1L, 10L)).toDF("k", "y"), root, retain = 8,
