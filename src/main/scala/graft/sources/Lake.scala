@@ -2328,6 +2328,15 @@ object Lake {
     val base = readCommittedAt(spark, root, cur)
     val schema = carried.getOrElse(base.schema)
     val needJoin = matched.nonEmpty || notMatchedBySource.nonEmpty
+    // working columns are part of the executor's private vocabulary —
+    // a user column under one of these names would be silently
+    // overwritten mid-merge, so refuse up front
+    (Seq("__nmatch", "__s_present") ++ on.indices.map(i => s"__sk_$i"))
+      .foreach(n => require(!source.columns.contains(n),
+        s"MERGE source must not carry reserved working column '$n'"))
+    Seq("__file", "__del").foreach(n =>
+      require(!schema.fieldNames.contains(n),
+        s"MERGE target must not carry reserved working column '$n'"))
     // per-source-key match count, window over the BATCH side only —
     // joined rows carrying __nmatch > 1 are the cardinality violation
     val srcW = source
