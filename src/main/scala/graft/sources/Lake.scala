@@ -584,6 +584,13 @@ object Lake {
   private val PartColsPrefix = "#partcols="
   private val PartPrefix = "#part_"
 
+  /** Per-BATCH distinct-partition-tuple cap for [[stageBatch]] (a dir
+    * per tuple is the layout contract, so a batch staging thousands of
+    * dirs wants a coarser key). `var` only as a test seam — specs
+    * lower it to exercise the maintenance fallback without staging a
+    * thousand real dirs. */
+  private[graft] var stageTupleCap: Int = 1000
+
   private def manifestPartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
     manifestBody(fs, r, v).find(_.startsWith(PartColsPrefix))
@@ -643,6 +650,11 @@ object Lake {
     * divergent re-declaration refused — one layout per table. */
   private def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       want: Seq[String]): Seq[String] = {
+    // same grammar guard as stats/bloom columns: the list rides a
+    // comma-separated manifest line, so these characters would write a
+    // malformed #partcols line (a newline even injects a bogus body line)
+    want.foreach(c => require(!c.exists("=,\n#".contains(_)),
+      s"partition column name '$c' may not contain '=', ',', '#', or newline"))
     val prev = committedVersions(fs, r).lastOption
       .map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
     if (want.isEmpty) prev
@@ -673,11 +685,29 @@ object Lake {
     * Returns (dirs, stats, blooms, parts) ready for [[commitManifest]].
     * The distinct-tuple collect is partition-count-sized (metadata
     * scale, like the k-means centroid sync) and capped — a batch with
-    * thousands of distinct values wants a coarser partition key. */
+    * thousands of distinct values wants a coarser partition key.
+    *
+    * `maintenance = true` marks layout-PRESERVING re-staging (COW
+    * rewrites, compaction): those re-stage whole-snapshot slices, so
+    * the per-batch tuple cap would hard-fail any maintenance op on a
+    * table whose accumulated partitions exceed it (~3 years of daily
+    * partitions). Maintenance falls back to ONE unpartitioned dir
+    * instead — no #part_ line, pruning degrades for the rewritten
+    * slice, but the op succeeds and correctness is untouched (a dir
+    * with no recorded values is always scanned). Appends keep the
+    * refusal: a single BATCH with >1000 tuples is a layout-design
+    * error, not an accumulation.
+    *
+    * Failure discipline: any throw after dirs were staged (a partition
+    * value that does not normalize, a mid-loop write error) deletes
+    * the already-staged dirs before rethrowing — matching the commit
+    * paths' lost-race cleanup, so refusals never leave orphan data
+    * dirs under the table root. */
   private def stageBatch(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: Path,
       df: org.apache.spark.sql.DataFrame, effStats: Seq[String],
-      effBloom: Seq[String], partCols: Seq[String]):
+      effBloom: Seq[String], partCols: Seq[String],
+      maintenance: Boolean = false):
       (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
     def stageOne(slice: org.apache.spark.sql.DataFrame): (String, Option[String], Option[String]) = {
@@ -703,29 +733,27 @@ object Lake {
       }
       val batch = df.persist()
       try {
+        val cap = stageTupleCap
         val tuples = batch.select(partCols.map(col): _*)
-          .distinct().limit(1001).collect()
-        require(tuples.length <= 1000,
-          s"batch carries more than 1000 distinct (${partCols.mkString(", ")}) " +
+          .distinct().limit(cap + 1).collect()
+        if (tuples.length > cap && maintenance) {
+          // whole-snapshot rewrite over an accumulated layout: succeed
+          // unpartitioned rather than refuse the maintenance op
+          val (d, st, bl) = stageOne(batch)
+          return (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+        }
+        require(tuples.length <= cap,
+          s"batch carries more than $cap distinct (${partCols.mkString(", ")}) " +
             "tuples — partition by a coarser key (a dir per tuple is the " +
             "layout contract)")
         if (tuples.isEmpty) { // empty batch: one empty dir keeps the
           val (d, st, bl) = stageOne(batch) // version/schema semantics
           (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
         } else {
-          val dirs = Seq.newBuilder[String]
-          val stats = Map.newBuilder[String, String]
-          val blooms = Map.newBuilder[String, String]
-          val parts = Map.newBuilder[String, String]
-          tuples.foreach { row =>
-            val slice = partCols.zipWithIndex.foldLeft(batch) {
-              case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
-            }
-            val (d, st, bl) = stageOne(slice)
-            dirs += d
-            st.foreach(j => stats += d -> j)
-            bl.foreach(j => blooms += d -> j)
-            parts += d -> partJson(partCols.zipWithIndex.map { case (c, i) =>
+          // validate every tuple BEFORE the first write: a value that
+          // does not normalize refuses with zero dirs staged
+          val tupleJsons = tuples.map { row =>
+            partJson(partCols.zipWithIndex.map { case (c, i) =>
               c -> (if (row.isNullAt(i)) None
                 else normExternal(row.get(i)) match {
                   case some @ Some(_) => some
@@ -734,6 +762,29 @@ object Lake {
                       "normalize — unsupported runtime type")
                 })
             })
+          }
+          val dirs = Seq.newBuilder[String]
+          val stats = Map.newBuilder[String, String]
+          val blooms = Map.newBuilder[String, String]
+          val parts = Map.newBuilder[String, String]
+          val stagedSoFar = scala.collection.mutable.ArrayBuffer.empty[String]
+          try {
+            tuples.zip(tupleJsons).foreach { case (row, json) =>
+              val slice = partCols.zipWithIndex.foldLeft(batch) {
+                case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
+              }
+              val (d, st, bl) = stageOne(slice)
+              stagedSoFar += d
+              dirs += d
+              st.foreach(j => stats += d -> j)
+              bl.foreach(j => blooms += d -> j)
+              parts += d -> json
+            }
+          } catch {
+            case t: Throwable =>
+              stagedSoFar.foreach(d =>
+                scala.util.Try(fs.delete(new Path(r, d), true)))
+              throw t
           }
           (dirs.result(), stats.result(), blooms.result(), parts.result())
         }
@@ -1937,6 +1988,20 @@ object Lake {
     -1L // unreachable
   }
 
+  /** Distinct PARENT-DIR names behind a probe's `__file` column,
+    * aggregated EXECUTOR-side before the collect: the driver sees
+    * O(dirs), never O(files), so an uncompacted million-file snapshot
+    * probes at dir scale. `input_file_name` yields a URI-ish path
+    * whose last two segments are `<dir>/<file>`. */
+  private[graft] def probeDirNames(
+      withFile: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    withFile
+      .select(substring_index(substring_index(
+        col("__file"), "/", -2), "/", 1).as("__dir"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
   /** Per-row MERGE INTO a committed table — the copy-on-write form of
     * [[graft.operators.Cdc.applyChanges]] (q99's oracle-checked
     * semantics), closing the reference's row-level DELETE/update gap
@@ -1981,14 +2046,13 @@ object Lake {
       if (latest.isEmpty) return cur
       val touchedKeys = broadcast(latest.select(keyCols.map(col): _*))
       // one map-only probe: which files (→ dirs) hold touched keys.
-      // The collected set is bounded by the snapshot's FILE count
-      // (metadata-scale), never row count.
-      val touchedDirNames: Set[String] = base
+      // Aggregated to dir granularity executor-side, so the collected
+      // set is bounded by the snapshot's DIR count — an uncompacted
+      // million-file table still probes at dir scale.
+      val touchedDirNames: Set[String] = probeDirNames(base
         .withColumn("__file", input_file_name())
         .join(touchedKeys, keyCols, "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(row => new Path(row.getString(0)).getParent.getName)
-        .toSet
+        .select(col("__file")))
       val untouched = snapDirs.filterNot(touchedDirNames)
       val touchedDirs = snapDirs.filter(touchedDirNames)
       // no stored rows touched and nothing to insert → the table is
@@ -2028,7 +2092,8 @@ object Lake {
       val effBloom = effectiveBloomCols(fs, r, Nil)
       val effPart = manifestPartCols(fs, r, cur)
       val (newDirs, stats, blooms, parts) =
-        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart)
+        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
+          maintenance = true)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
       preserveMarkers(fs, r, touchedDirs, newDirs)
@@ -2164,7 +2229,8 @@ object Lake {
           case None    => spark.read.parquet(paths: _*)
         }
         val surviving = base.where(!coalesce(predicate, lit(false)))
-        val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart)
+        val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart,
+          maintenance = true)
         preserveMarkers(fs, r, rewrite ++ dropped, staged._1)
         staged
       } else if (hasMarkers(dropped) || kept.isEmpty) {
@@ -2258,7 +2324,8 @@ object Lake {
     // exact either way
     val effPart = manifestPartCols(fs, r, cur)
     val (newDirs, freshStats, freshBlooms, freshParts) =
-      stageBatch(spark, fs, r, updated, effStats, effBloom, effPart)
+      stageBatch(spark, fs, r, updated, effStats, effBloom, effPart,
+          maintenance = true)
     preserveMarkers(fs, r, touched, newDirs)
     // updates are row-preserving: the metadata count carries over
     if (!commitManifest(fs, r, next, kept ++ newDirs, retain,
@@ -2357,11 +2424,10 @@ object Lake {
       val touchedDirNames: Set[String] =
         if (notMatchedBySource.nonEmpty) snapDirs.toSet
         else if (matched.isEmpty) Set.empty
-        else base.withColumn("__file", input_file_name()).alias("t")
+        else probeDirNames(base
+          .withColumn("__file", input_file_name()).alias("t")
           .join(srcKeyed, joinCond, "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(row => new Path(row.getString(0)).getParent.getName)
-          .toSet
+          .select(col("__file")))
       val touchedDirs = snapDirs.filter(touchedDirNames)
       val untouched = snapDirs.filterNot(touchedDirNames)
       val cols = schema.fieldNames.toSeq
@@ -2391,18 +2457,30 @@ object Lake {
         case ((g, act), els) =>
           when(g, act.flatMap(_.get(c)).getOrElse(col(s"t.$c"))).otherwise(els)
       }.cast(schema(c).dataType)
+      val plainDel = branches.foldRight(lit(false): Column) {
+        case ((g, act), els) => when(g, lit(act.isEmpty)).otherwise(els)
+      }
       // the cardinality raise rides the delete flag — it is evaluated
-      // for every joined row before any branch can act
-      val deleted = when(present && col("s.__nmatch") > 1,
-          raise_error(concat(lit("MERGE cardinality violation on "),
-            lit(root), lit(": a target row matched multiple source rows " +
-              "— deduplicate the source on the ON keys"))).cast("boolean"))
-        .otherwise(branches.foldRight(lit(false): Column) {
-          case ((g, act), els) => when(g, lit(act.isEmpty)).otherwise(els)
-        })
+      // for every joined row before any branch can act. It applies
+      // ONLY when matched clauses can act: a bySource-only merge keeps
+      // matched rows verbatim, so duplicate source keys are legal
+      // there (only key PRESENCE matters) and the join right side
+      // dedupes to the distinct key set to keep the row multiset exact.
+      val deleted =
+        if (matched.isEmpty) plainDel
+        else when(present && col("s.__nmatch") > 1,
+            raise_error(concat(lit("MERGE cardinality violation on "),
+              lit(root), lit(": a target row matched multiple source rows " +
+                "— deduplicate the source on the ON keys"))).cast("boolean"))
+          .otherwise(plainDel)
+      val joinRight =
+        if (matched.nonEmpty) srcKeyed
+        else srcKeyed.select(
+          (on.indices.map(i => col(s"__sk_$i")) :+ col("__s_present")): _*)
+          .distinct().alias("s")
       val keptRewritten =
         if (!needJoin) touchedBase.limit(0)
-        else touchedBase.alias("t").join(srcKeyed, joinCond, "left")
+        else touchedBase.alias("t").join(joinRight, joinCond, "left")
           .withColumn("__del", deleted)
           .where(!col("__del"))
           .select(cols.map(c => colValue(c).as(c)): _*)
@@ -2438,7 +2516,8 @@ object Lake {
       // re-stage the rewrite one dir per value tuple
       val effPart = manifestPartCols(fs, r, cur)
       val (newDirs, stats, blooms, parts) =
-        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart)
+        stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
+          maintenance = true)
       preserveMarkers(fs, r, touchedDirs, newDirs)
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
@@ -2535,8 +2614,12 @@ object Lake {
             new java.math.BigDecimal(n.bigDecimal.toPlainString)
               .setScale(dt.scale)
           case (NumV(n), DateType) => DateTimeUtils.toJavaDate(n.toInt)
-          case (NumV(n), TimestampType | TimestampNTZType) =>
+          case (NumV(n), TimestampType) =>
             DateTimeUtils.toJavaTimestamp(n.toLong)
+          // NTZ rows convert from LocalDateTime, not java.sql.Timestamp
+          // — createDataFrame would refuse the latter at runtime
+          case (NumV(n), TimestampNTZType) =>
+            DateTimeUtils.microsToLocalDateTime(n.toLong)
           case (StrV(s), StringType) => s.toString
           case (other, dt) => throw new IllegalStateException(
             s"partition value $other of '$c' does not decode to " +
@@ -2597,7 +2680,8 @@ object Lake {
     // survives maintenance instead of degrading to a full scan
     val effPart = manifestPartCols(fs, r, cur)
     val (newDirs, stats, blooms, parts) =
-      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
+        maintenance = true)
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
     preserveMarkers(fs, r, liveDirs, newDirs)

@@ -1688,4 +1688,124 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)) ===
       Set(Seq(1L, 10L), Seq(2L, 20L)))
   }
+
+  test("mergeInto bySource-only: duplicate source keys are legal — no spurious cardinality raise, no row duplication") {
+    import graft.sources.{LakeMergeDelete, LakeMergeUpdate}
+    val root = tmpTable("graft-lake-bysrc")
+    Lake.commitOverwrite(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "t"), root)
+    // source carries key 2 THREE times: a bySource-only merge keeps
+    // matched rows verbatim (presence is all that matters), deletes
+    // the unmatched — previously this raised a spurious cardinality
+    // violation, and without the raise would have tripled row 2
+    Lake.mergeInto(spark, root, Seq(2L, 2L, 2L).toDF("sk"),
+      on = Seq((col("t.k"), col("sk"))),
+      notMatchedBySource = Seq(LakeMergeDelete(None)))
+    val kept = Lake.readCommitted(spark, root).collect()
+    assert(kept.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "b")))
+    // bySource UPDATE form over duplicate keys: target row untouched
+    // (matched), so still exactly one copy
+    Lake.mergeInto(spark, root, Seq(99L, 99L).toDF("sk"),
+      on = Seq((col("t.k"), col("sk"))),
+      notMatchedBySource =
+        Seq(LakeMergeUpdate(None, Map("t" -> lit("stale")))))
+    val upd = Lake.readCommitted(spark, root).collect()
+    assert(upd.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "stale")))
+    // WITH a matched clause the ambiguity is real and must still raise
+    val boom = intercept[Exception] {
+      Lake.mergeInto(spark, root, Seq(2L, 2L).toDF("sk"),
+        on = Seq((col("t.k"), col("sk"))),
+        matched = Seq(LakeMergeUpdate(None, Map("t" -> lit("x")))))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("cardinality")))
+  }
+
+  test("merge probe collects at DIR granularity: many files per dir still yield one probe row per dir") {
+    // 900 file paths across 3 dirs: the executor-side aggregate hands
+    // the driver exactly the 3 dir names, never the 900 file rows
+    val files = (0 until 900).map(i =>
+      s"file:/lake/t/dir${i % 3}/part-${"%05d".format(i)}.parquet")
+    val probed = Lake.probeDirNames(files.toDF("__file"))
+    assert(probed === Set("dir0", "dir1", "dir2"))
+  }
+
+  test("maintenance rewrites over an accumulated >cap layout fall back to unpartitioned dirs; appends still refuse and stage nothing") {
+    val prev = Lake.stageTupleCap
+    Lake.stageTupleCap = 5
+    try {
+      val root = tmpTable("graft-lake-capfb")
+      def batch(ps: Range) =
+        ps.map(p => (p.toLong, p.toLong * 10)).toDF("p", "v")
+      // two appends of 4 partitions each: 8 accumulated tuples — each
+      // BATCH is under the cap, the TABLE is over it
+      Lake.commitOverwrite(batch(0 until 4), root, partitionBy = Seq("p"))
+      Lake.commitAppend(batch(4 until 8), root)
+      assert(Lake.partitionValues(spark, root).count() === 8L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      def dataDirs(): Set[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet
+      // a single APPEND batch with 6 distinct tuples still refuses —
+      // and the refusal happens before any dir is staged (no orphans)
+      val before = dataDirs()
+      val e = intercept[IllegalArgumentException] {
+        Lake.commitAppend(batch(10 until 16), root)
+      }
+      assert(e.getMessage.contains("distinct"))
+      assert(dataDirs() === before)
+      // a whole-snapshot MAINTENANCE rewrite (8 tuples > cap 5) now
+      // succeeds by falling back to one unpartitioned dir: pruning
+      // degrades for the rewritten slice, correctness does not
+      Lake.updateWhere(spark, root, col("p") >= 0L,
+        Map("v" -> (col("v") + 1L)))
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        (0 until 8).map(p => Seq(p.toLong, p * 10L + 1)).toSet)
+      // the fallback dir carries no #part_ line → no live tuples listed
+      assert(Lake.partitionValues(spark, root).isEmpty)
+      // compaction over the same >cap layout also succeeds
+      Lake.compactCommitted(spark, root)
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        (0 until 8).map(p => Seq(p.toLong, p * 10L + 1)).toSet)
+    } finally Lake.stageTupleCap = prev
+  }
+
+  test("partition staging refusals leave no orphan dirs; partition column grammar and NTZ values are validated/decoded") {
+    // a NaN float partition value cannot normalize: the refusal fires
+    // BEFORE any per-tuple dir is written
+    val root = tmpTable("graft-lake-nan")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(Seq((Float.NaN, 1L), (1.0f, 2L)).toDF("p", "v"),
+        root, partitionBy = Seq("p"))
+    }
+    assert(Lake.currentVersion(spark, root).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .forall(!_.isDirectory))
+    // a partition column name that would corrupt the one-line manifest
+    // grammar refuses up front (same guard as stats/bloom columns)
+    val root2 = tmpTable("graft-lake-badname")
+    val bad = Seq((1L, 2L)).toDF("k", "a,b")
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(bad, root2, partitionBy = Seq("a,b"))
+    }
+    assert(e.getMessage.contains("may not contain"))
+    // TimestampNTZ partitions: values decode to LocalDateTime (the NTZ
+    // row converter's required external type), not java.sql.Timestamp
+    val root3 = tmpTable("graft-lake-ntz")
+    val ntz = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+      .toDF("s").select(to_timestamp_ntz(col("s")).as("d"), lit(1L).as("v"))
+    Lake.commitOverwrite(ntz, root3, partitionBy = Seq("d"))
+    val vals = Lake.partitionValues(spark, root3).collect()
+    assert(vals.length === 2)
+    assert(vals.forall(_.get(0).isInstanceOf[java.time.LocalDateTime]))
+    assert(vals.map(_.get(0).toString).sorted.toSeq ===
+      Seq("2024-01-01T00:00", "2024-01-02T00:00"))
+  }
 }
