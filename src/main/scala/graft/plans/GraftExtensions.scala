@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzer resolves these fully for v1 relations and only planning
     // would reject them, so post-hoc resolution is the right slot
     ext.injectPostHocResolutionRule(_ => new graft.sources.GraftLakeDmlRule)
+    // SQL `VERSION AS OF` / `TIMESTAMP AS OF` on graft-lake catalog
+    // tables resolves to the pinned snapshot read. Hints batch: the
+    // built-in ResolveRelations refuses v1 time travel before any
+    // extended RESOLUTION rule could fire (see GraftLakeTimeTravelRule)
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakeTimeTravelRule(s))
   }
 }
 

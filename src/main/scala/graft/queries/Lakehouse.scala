@@ -914,5 +914,70 @@ object Lakehouse {
         .select(col("o_orderkey"), col("o_year"), col("o_totalprice"),
           col("year_total"))
         .orderBy("o_orderkey")
+    },
+
+    // SQL UPDATE on a lake catalog table, under the oracle hash — the
+    // q117 copy-on-write semantics spelled `UPDATE … SET … WHERE`
+    // (GraftLakeDmlRule → Lake.updateWhere): dirs whose key range
+    // excludes [300,1299] are reused by reference, only the straddling
+    // dirs rewrite with the CASE WHEN fold, and the post-update SELECT
+    // serves the new snapshot without a REFRESH. Completes the SQL DML
+    // triple under the hash (q145 DELETE, q146 MERGE, this UPDATE).
+    Q("q151_sql_update",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN 300 AND 1299 AND o_orderstatus = 'O'
+        |       THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("sql_upd", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val maxId = orders.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          orders.where(col("o_orderkey") >= b * step &&
+            col("o_orderkey") < (b + 1) * step),
+          root, retain = 0, statsCols = Seq("o_orderkey"))
+        ()
+      }
+      s.sql("DROP TABLE IF EXISTS sql_upd_orders")
+      s.sql(s"CREATE TABLE sql_upd_orders USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("""UPDATE sql_upd_orders SET o_totalprice = o_totalprice + 500.0
+              |WHERE o_orderkey BETWEEN 300 AND 1299
+              |  AND o_orderstatus = 'O'""".stripMargin)
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+              |FROM sql_upd_orders ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // SQL time travel under the oracle hash: orders committed (v0),
+    // COW-updated (v1), then ONE SQL statement joins both versions of
+    // the same catalog table — the current snapshot through
+    // `TIMESTAMP AS OF` (a far-future constant resolves to the latest
+    // commit, Delta's commit-timestamp semantics) and the pre-update
+    // snapshot through `VERSION AS OF 0` — so the standard grammar,
+    // the hint-batch resolution rule, the pinned FileIndex reads, and
+    // the per-version isolation all sit under the hash. At 100 TB this
+    // is audit/debug SQL over retained snapshots: each side plans from
+    // its own manifest, no copy of the table is ever made.
+    Q("q152_sql_time_travel",
+      """SELECT o_orderkey, o_totalprice AS price_v0,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN o_totalprice + 250.0 ELSE o_totalprice END AS price_cur
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("sql_tt", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Lake.commitOverwrite(orders, root, retain = 8,
+        statsCols = Seq("o_orderkey"))
+      Lake.updateWhere(s, root, col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") + 250.0)), retain = 8)
+      s.sql("DROP TABLE IF EXISTS sql_tt_orders")
+      s.sql(s"CREATE TABLE sql_tt_orders USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("""SELECT cur.o_orderkey, v0.o_totalprice AS price_v0,
+              |  cur.o_totalprice AS price_cur
+              |FROM sql_tt_orders TIMESTAMP AS OF '9999-01-01 00:00:00' cur
+              |JOIN sql_tt_orders VERSION AS OF 0 v0
+              |  ON cur.o_orderkey = v0.o_orderkey
+              |ORDER BY cur.o_orderkey""".stripMargin)
     })
 }

@@ -1416,6 +1416,24 @@ object Lake {
       version: Option[Long] = None): Unit =
     sqlTable(spark, root, version).createOrReplaceTempView(name)
 
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
+    * marker landed at or before `tsMicros` (epoch micros) — Delta's
+    * commit-timestamp semantics, answered from the marker files'
+    * modification times, no data I/O. Refuses (with the readable
+    * horizon) when the timestamp predates every retained commit. */
+  def versionAsOf(spark: SparkSession, root: String, tsMicros: Long): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val vs = committedVersions(fs, r)
+    if (vs.isEmpty) throw new java.util.NoSuchElementException(
+      s"no committed table at $root")
+    vs.filter(v => fs.getFileStatus(new Path(r, s"_commit_$v"))
+        .getModificationTime * 1000L <= tsMicros)
+      .maxOption.getOrElse(throw new java.util.NoSuchElementException(
+        s"no version committed at or before timestamp $tsMicros micros at " +
+          s"$root (readable: ${readableVersions(spark, root).mkString("[", ", ", "]")})"))
+  }
+
   /** CHANGE FEED: the exact NET row-level changes that turn snapshot
     * `fromVersion` into snapshot `toVersion` — each output row is a
     * `toVersion`-schema row plus `change_type` ∈ `insert` / `delete`

@@ -275,3 +275,88 @@ case class GraftLakeMergeCommand(root: String, source: LogicalPlan,
     Seq.empty
   }
 }
+
+/** SQL time travel for graft-lake catalog tables: `SELECT … FROM t
+  * VERSION AS OF n` / `FOR TIMESTAMP AS OF ts` resolves to the pinned
+  * index-planned snapshot read ([[Lake.sqlTable]] — the spelling
+  * `OPTIONS (version …)` already serves; this wires the standard
+  * grammar every Delta/Iceberg user types).
+  *
+  * Injected in the HINTS batch (`injectHintResolutionRule`), which
+  * runs BEFORE the Resolution batch: the built-in ResolveRelations
+  * refuses time travel on v1 session-catalog tables
+  * (V2SessionCatalog.failTimeTravel) the moment it sees the node, so
+  * no extended RESOLUTION rule could ever fire. Non-graft relations
+  * pass through untouched and keep the standard error.
+  *
+  * `TIMESTAMP AS OF` takes any foldable expression castable to
+  * TIMESTAMP and resolves it to the latest version whose commit
+  * marker landed at or before it ([[Lake.versionAsOf]] — Delta's
+  * commit-timestamp semantics). DML cannot reach a pinned handle this
+  * way: the grammar only admits time travel in query FROM clauses,
+  * and `OPTIONS (version …)` handles refuse in [[LakeDml.lakeTarget]]. */
+class GraftLakeTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{
+    RelationTimeTravel, UnresolvedRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        lakeRootOf(u) match {
+          case None => tt // not ours: built-in machinery (and its error)
+          case Some(root) =>
+            val v = (ver, ts) match {
+              case (Some(s), _) => s.toLongOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF on a graft-lake table takes a committed " +
+                    s"version number, got '$s'"))
+              case (None, Some(e)) =>
+                Lake.versionAsOf(session, root, evalTsMicros(e))
+              case (None, None) => throw new IllegalArgumentException(
+                "time travel needs VERSION AS OF or TIMESTAMP AS OF")
+            }
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              u.multipartIdentifier.last,
+              Lake.sqlTable(session, root, Some(v)).queryExecution.analyzed)
+        }
+    }
+
+  /** The table root iff `u` names a graft-lake catalog table (temp
+    * views and unknown/other-provider tables return None and keep the
+    * built-in behavior). */
+  private def lakeRootOf(u: UnresolvedRelation): Option[String] = {
+    val parts = u.multipartIdentifier
+    val ident = parts match {
+      case Seq(t)                               => Some(TableIdentifier(t))
+      case Seq(db, t)                           => Some(TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _                                    => None
+    }
+    for {
+      i <- ident
+      cat = session.sessionState.catalog
+      if !cat.isTempView(parts) // a temp view shadows the table name
+      meta <- scala.util.Try(cat.getTableMetadata(i)).toOption
+      if meta.provider.exists(_.equalsIgnoreCase("graft-lake"))
+    } yield meta.storage.properties.getOrElse("root",
+      throw new IllegalArgumentException(
+        s"graft-lake table ${i.quotedString} carries no root option"))
+  }
+
+  /** Evaluate the `TIMESTAMP AS OF` expression to epoch micros: must
+    * be foldable (a literal/constant expression, the standard
+    * contract) and castable to TIMESTAMP. */
+  private def evalTsMicros(e: Expression): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF expression must be a constant, got ${e.sql}")
+    val tz = session.sessionState.conf.sessionLocalTimeZone
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType, Some(tz)).eval() match {
+      case l: java.lang.Long => l
+      case _ => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF expression ${e.sql} does not evaluate to a " +
+          "timestamp")
+    }
+  }
+}

@@ -419,4 +419,56 @@ class LakeSqlSpec extends SparkSpec {
     assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo"))),
       "expected EqualTo pushed to the parquet reader")
   }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF pin snapshots; non-lake tables keep the standard refusal") {
+    import spark.implicits._
+    val root = tmpTable("lakesql-tt")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_tt")
+    try {
+      spark.sql(s"CREATE TABLE lakesql_tt USING `graft-lake` OPTIONS (root '$root')")
+      // both grammars, pinned to the first commit
+      assert(rows(spark.sql("SELECT k FROM lakesql_tt VERSION AS OF 0")) ===
+        Set(Seq(1L)))
+      assert(rows(spark.sql("SELECT k FROM lakesql_tt FOR VERSION AS OF 0")) ===
+        Set(Seq(1L)))
+      // a far-future TIMESTAMP AS OF resolves to the LATEST commit
+      assert(rows(spark.sql(
+        "SELECT k FROM lakesql_tt TIMESTAMP AS OF '9999-01-01 00:00:00'")) ===
+        Set(Seq(1L), Seq(2L)))
+      // two versions of one table join in a single statement, each
+      // side planned from its own manifest
+      assert(rows(spark.sql(
+        """SELECT cur.k FROM lakesql_tt cur
+          |LEFT ANTI JOIN lakesql_tt VERSION AS OF 0 v0 ON cur.k = v0.k
+          |""".stripMargin)) === Set(Seq(2L)))
+      // a timestamp before every retained commit refuses with the
+      // readable horizon, not a silent empty read
+      val early = intercept[java.util.NoSuchElementException] {
+        spark.sql(
+          "SELECT k FROM lakesql_tt TIMESTAMP AS OF '1990-01-01 00:00:00'")
+      }
+      assert(early.getMessage.contains("no version committed at or before"))
+      // an uncommitted version refuses through the pinned-read gate
+      val missing = intercept[java.util.NoSuchElementException] {
+        spark.sql("SELECT k FROM lakesql_tt VERSION AS OF 99")
+      }
+      assert(missing.getMessage.contains("not committed"))
+      // non-lake catalog tables keep Spark's standard refusal — the
+      // hint rule passes anything without the graft-lake provider
+      spark.sql("DROP TABLE IF EXISTS lakesql_tt_plain")
+      spark.sql("CREATE TABLE lakesql_tt_plain (k BIGINT) USING parquet")
+      try {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql("SELECT k FROM lakesql_tt_plain VERSION AS OF 0")
+        }
+        assert(e.getMessage.contains("Time travel"))
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS lakesql_tt_plain"); ()
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lakesql_tt"); ()
+    }
+  }
 }
