@@ -46,6 +46,62 @@ object Vectors {
       |asg AS (SELECT vec_id, cid AS cluster_id, s AS cosine
       |  FROM b2 WHERE rn = 1)""".stripMargin
 
+  /** Deterministic CLUSTERED embedding fixture (closed-form per row —
+    * no window, no randomness): cluster `L = vec_id % 10` has center
+    * `c_L[j] = ±1` (Knuth-hash sign of `L·64+j`), and member
+    * `i = vec_id / 10` inflates ONE dimension `d = i % 64` ALONG the
+    * center's sign by `eps(i)` — `0.05·(i+1)` for the 8 nearest
+    * members, `2.0` for the rest. Inflating along the sign keeps the
+    * numerator `q·v = 64 + eps_q + eps_v` and makes exact cosine
+    * STRICTLY DECREASING in `eps_v` (d/de of
+    * `(64+eps_q+e)/√(64+2e+e²)` has the sign of `−eps_q(1+e) < 0`),
+    * so every query's true top-5 is its cluster's five smallest-eps
+    * members — which are also its five smallest vec_ids, aligning the
+    * id tie-breaks every approximate scorer uses. Consecutive near
+    * members differ by ≳ 7.8e-4 in cosine, an order above the 1e-4
+    * rounding, and signs never flip, so sign-band LSH keys are
+    * constant within a cluster. Cross-cluster cosine is a ±1
+    * random-sign correlation (≈ 0 ± 0.12) — clusters are cleanly
+    * separable, which is exactly what the near-random stock
+    * embeddings lack (the q148 floors sit at the random baseline for
+    * that reason). Emitted as ARRAY<FLOAT> with `label = vec_id % 10`
+    * so every ANN path runs bit-identically to its q148 wiring. */
+  def clusteredEmbeddings(emb: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val v = col("vec_id")
+    val label = pmod(v, lit(10L))
+    val idx = floor(v / lit(10L)).cast("long")
+    val dmark = pmod(idx, lit(64L))
+    val eps = when(idx < 8, (idx + 1).cast("double") * lit(0.05))
+      .otherwise(lit(2.0))
+    val vec = transform(sequence(lit(0L), lit(63L)), j => {
+      val h = shiftright((label * 64L + j) * lit(2654435761L), 16)
+      val sgn = when(pmod(h, lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+      (sgn * (lit(1.0) + when(j === dmark, eps).otherwise(lit(0.0))))
+        .cast("float")
+    })
+    emb.select(v.as("vec_id"), label.cast("int").as("label"),
+      vec.as("embedding"))
+  }
+
+  /** recall@k of one approximate result against the exact top-k, as a
+    * single hashed gate row `(method, n_queries, recall_ok)` — shared
+    * by the q148 regression gate and the q153 quality gate. */
+  private def recallGate(exact: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame, method: String,
+      floor: Double): org.apache.spark.sql.DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(coalesce(col("hits"), lit(0L))).cast("double") /
+          sum(col("n"))).as("recall"))
+      .select(lit(method).as("method"), col("n_queries"),
+        (col("recall") >= floor).as("recall_ok"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: small query set broadcast against the
@@ -587,18 +643,7 @@ object Vectors {
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
         k = 5, roundTo = 4).select(col("query_id"), col("neighbor_id"))
       def gate(ann: org.apache.spark.sql.DataFrame, method: String,
-          floor: Double) = {
-        val hits = ann.select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        exact.groupBy("query_id").agg(count(lit(1)).as("n"))
-          .join(hits, Seq("query_id"), "left")
-          .agg(count(lit(1)).as("n_queries"),
-            (sum(coalesce(col("hits"), lit(0L))).cast("double") /
-              sum(col("n"))).as("recall"))
-          .select(lit(method).as("method"), col("n_queries"),
-            (col("recall") >= floor).as("recall_ok"))
-      }
+          floor: Double) = recallGate(exact, ann, method, floor)
       gate(Similarity.lshTopK(emb, "vec_id", "embedding", dims = 64,
           planesPerBand = 8, k = 5, bands = 4, maxBucketFreq = 200)
           .where(col("query_id") < 8), "lsh", floor = 0.05)
@@ -610,6 +655,47 @@ object Vectors {
           "vec_id", "embedding", k = 5, subLen = 8), "pq", floor = 0.02))
         .unionByName(gate(Similarity.quantizedTopK(emb, queries,
           "vec_id", "embedding", k = 5), "int8", floor = 0.9))
+        .orderBy("method")
+    },
+
+    // ANN recall gate that BINDS ON QUALITY: the same four approximate
+    // paths as q148, run over the deterministic CLUSTERED fixture
+    // ([[clusteredEmbeddings]] — per-label ±1 centers, one inflated
+    // dim per member) where real retrieval structure exists, gated at
+    // recall@5 ≥ 0.8 and hashed against literal TRUE. q148's floors
+    // sit at the random-candidate baseline because the stock synthetic
+    // embeddings carry no cluster structure — it catches determinism
+    // regressions but a banding/nprobe/encode change that destroyed
+    // actual retrieval quality could still pass it; THIS gate fails
+    // the round for any such change (measured on the fixture: lsh,
+    // ivf, pq and int8 all at recall 1.0 for sf0.01 AND sf0.1 — the
+    // 0.8 floor leaves margin for tie-flips only, not for structural
+    // regressions). lsh probes with a cluster-sized bucket cap: the
+    // fixture's whole point is that a cluster shares its band keys,
+    // so the hot-bucket guard must admit cluster-sized buckets here.
+    Q("q153_ann_clustered_recall",
+      """SELECT method, CAST(n_queries AS BIGINT) AS n_queries, recall_ok
+        |FROM (VALUES ('int8', 8, TRUE), ('ivf', 8, TRUE),
+        |             ('lsh', 8, TRUE), ('pq', 8, TRUE))
+        |  AS t(method, n_queries, recall_ok)
+        |ORDER BY method""".stripMargin) { (s, d) =>
+      val emb = clusteredEmbeddings(Tables.embeddings(s, d))
+      val queries = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = 5, roundTo = 4).select(col("query_id"), col("neighbor_id"))
+      def gate(ann: org.apache.spark.sql.DataFrame, method: String) =
+        recallGate(exact, ann, method, floor = 0.8)
+      gate(Similarity.lshTopK(emb, "vec_id", "embedding", dims = 64,
+          planesPerBand = 8, k = 5, bands = 4, maxBucketFreq = 2048)
+          .where(col("query_id") < 8), "lsh")
+        .unionByName(gate(Similarity.ivfTopK(emb, queries,
+          Similarity.codebookFromLabels(emb, "label", "embedding"),
+          "vec_id", "embedding", k = 5, nprobe = 2), "ivf"))
+        .unionByName(gate(Similarity.pqTopK(emb, queries,
+          Similarity.pqCodebooks(emb, "label", "embedding", m = 8, dims = 64),
+          "vec_id", "embedding", k = 5, subLen = 8), "pq"))
+        .unionByName(gate(Similarity.quantizedTopK(emb, queries,
+          "vec_id", "embedding", k = 5), "int8"))
         .orderBy("method")
     })
 
