@@ -634,12 +634,23 @@ object TextAnalysis {
     *
     * Scale bound: training is inherently sequential (each merge
     * changes the pair counts the next round sees), so M merges = M
-    * driver-coordinated rounds over the VOCAB-sized table — minutes
-    * of fixed job latency at production M≈32k, run ONCE offline and
-    * frozen as the committed artifact (q142); encode, the per-corpus
-    * hot path, is O(1) plan size in M ([[bpeEncode]]).
+    * driver-coordinated rounds over the VOCAB-sized table — at a
+    * production M≈32k that is ~32k Spark jobs of fixed scheduling
+    * latency (hours). The word-TYPE table is vocab-sized, so when it
+    * fits `localTypeLimit` the trainer COLLECTS it once and runs the
+    * heap-based Sennrich learn_bpe driver-side instead
+    * ([[localBpeMerges]] — bit-identical by construction, 32k merges
+    * in seconds, the same fast-path discipline as the q45 union-find
+    * `localEdgeLimit`). The distributed loop remains the above-bound
+    * path: the corpus still enters ONCE through the (token, count)
+    * aggregate either way.
+    * @param localTypeLimit collect-and-train bound on DISTINCT word
+    *   types (driver budget ≈ types · avg-len strings + a pair-count
+    *   map bounded by total symbols — a few hundred MB at the
+    *   default); 0 forces the distributed loop
     * @return the ordered merge list, highest-priority first */
-  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+      localTypeLimit: Int = 200000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var words = graft.sources.Tables.widen(df)
       .select(explode(TextFns.tokens(TextFns.normalize(col(textCol)))).as("token"))
@@ -647,6 +658,13 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("enc", regexp_replace(col("token"), "(.)", "($1)"))
       .persist()
+    if (localTypeLimit > 0 &&
+        words.limit(localTypeLimit + 1).count() <= localTypeLimit)
+      try {
+        return localBpeMerges(
+          words.select(col("token"), col("cnt")).collect()
+            .map(r => (r.getString(0), r.getLong(1))), nMerges)
+      } finally { words.unpersist(); () }
     // every round's type table stays persisted until training ends —
     // the tables are vocab-sized, and holding them halves the job
     // count (the next round's argmax materializes this round's cache
@@ -681,6 +699,119 @@ object TextAnalysis {
       }
       out.result()
     } finally { held.result().foreach(_.unpersist()); () }
+  }
+
+  /** Driver-side exact BPE training over a collected (token, count)
+    * type table — the [[bpeMerges]] fast path (Sennrich's learn_bpe
+    * with incremental pair-count maintenance and a lazy-deletion
+    * max-heap). Semantics are BIT-IDENTICAL to the distributed loop:
+    * the argmax is (weight DESC, a ASC, b ASC) — the training alphabet
+    * is `[a-z0-9]+`, so JVM String order equals the UTF8 binary order
+    * Spark sorts by — and each merge is one left-to-right
+    * non-overlapping pass per word, exactly the wrapped-string
+    * `replace` the distributed round applies. Training stops early
+    * only when NO adjacent pair remains anywhere (every word fully
+    * merged), same as the distributed dry check.
+    *
+    * Cost: pair counts update incrementally through a pair → word-ids
+    * index (only words CONTAINING the merged pair are touched), and
+    * the heap pops stale entries lazily (an entry is live iff it
+    * matches the current count) — per merge O(touched words · word
+    * len), independent of the merge count, which is what turns 32k
+    * merges from 32k Spark jobs into seconds of driver time. */
+  private[graft] def localBpeMerges(types: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val words = types.map { case (t, _) =>
+      val a = new Array[String](t.length)
+      var i = 0
+      while (i < t.length) { a(i) = String.valueOf(t.charAt(i)); i += 1 }
+      a
+    }
+    val wcnt = types.map(_._2)
+    val cnt = new java.util.HashMap[(String, String), Long]()
+    val occ = new java.util.HashMap[(String, String),
+      scala.collection.mutable.HashSet[Int]]()
+    // max-heap: weight DESC, then a ASC, b ASC (the distributed argmax)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[
+      (Long, String, String)](ord)
+    def bump(p: (String, String), by: Long, wi: Int, add: Boolean): Unit = {
+      val nv = cnt.getOrDefault(p, 0L) + by
+      if (nv <= 0L) cnt.remove(p) else cnt.put(p, nv)
+      val s = occ.get(p)
+      if (add) {
+        if (s == null) {
+          val ns = scala.collection.mutable.HashSet.empty[Int]
+          ns += wi; occ.put(p, ns)
+        } else s += wi
+      }
+      ()
+    }
+    def pairsOf(syms: Array[String])(f: (String, String) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f(syms(i), syms(i + 1)); i += 1 }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      pairsOf(words(wi))((a, b) => bump((a, b), wcnt(wi), wi, add = true))
+      wi += 1
+    }
+    occ.keySet().forEach(p => heap.enqueue((cnt.getOrDefault(p, 0L), p._1, p._2)))
+    val out = Seq.newBuilder[(String, String)]
+    var made = 0
+    var dry = false
+    while (made < nMerges && !dry) {
+      // lazy deletion: pop until the entry matches the live count
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (w, a, b) = heap.dequeue()
+        if (w > 0L && cnt.getOrDefault((a, b), 0L) == w) best = (a, b)
+      }
+      if (best == null) dry = true
+      else {
+        out += best
+        made += 1
+        val (a, b) = best
+        val ab = a + b
+        val touched = occ.remove(best)
+        val changed = scala.collection.mutable.HashSet.empty[(String, String)]
+        if (touched != null) touched.toArray[Int].foreach { w =>
+          val old = words(w)
+          val c = wcnt(w)
+          pairsOf(old) { (x, y) =>
+            bump((x, y), -c, w, add = false); changed += ((x, y))
+            val s = occ.get((x, y)); if (s != null) { s -= w; () }
+          }
+          // one left-to-right non-overlapping merge pass
+          val nw = new scala.collection.mutable.ArrayBuffer[String](old.length)
+          var i = 0
+          while (i < old.length) {
+            if (i < old.length - 1 && old(i) == a && old(i + 1) == b) {
+              nw += ab; i += 2
+            } else { nw += old(i); i += 1 }
+          }
+          val ns = nw.toArray
+          words(w) = ns
+          pairsOf(ns) { (x, y) =>
+            bump((x, y), c, w, add = true); changed += ((x, y)); ()
+          }
+        }
+        changed.foreach { p =>
+          val w = cnt.getOrDefault(p, 0L)
+          if (w > 0L) heap.enqueue((w, p._1, p._2))
+        }
+      }
+    }
+    out.result()
   }
 
   /** BPE subword ENCODE against a trained merge list — the subword

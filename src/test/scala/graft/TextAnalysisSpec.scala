@@ -423,6 +423,47 @@ class TextAnalysisSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("zz"))
   }
 
+  test("bpeMerges: driver fast path is bit-identical to the distributed loop, at and across the collect bound") {
+    import spark.implicits._
+    // ties, re-created pairs, heavy repeats, shared substrings — the
+    // shapes where an argmax tie-break or pass-semantics divergence
+    // between the two trainers would surface
+    val docs = Seq(
+      (1L, "the theme thesis then there other ether"),
+      (2L, "aaaa aaa aa a abab ababab banana bandana"),
+      (3L, "mississippi missive promise possess"),
+      (4L, "zz zz zz yy yy xx ing ring bring string"),
+      (5L, "abc bcd cde def abcdef abcde aa the"))
+      .toDF("doc_id", "text")
+    // 12 merges: deep enough to cross several tie-breaks and a
+    // re-created pair; the distributed loop chains one cached plan per
+    // round, so spec-side round counts stay near the catalog's 10
+    val local = graft.operators.TextAnalysis.bpeMerges(docs, "text", 12)
+    val dist = graft.operators.TextAnalysis.bpeMerges(docs, "text", 12,
+      localTypeLimit = 0)
+    assert(local === dist)
+    // the exact boundary: limit == type count collects, one less runs
+    // distributed — results equal either way
+    val nTypes = docs
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFns.tokens(graft.functions.TextFns.normalize(
+          org.apache.spark.sql.functions.col("text")))).as("t"))
+      .where(org.apache.spark.sql.functions.col("t").rlike("^[a-z0-9]+$"))
+      .select("t").distinct().count().toInt
+    val atBound = graft.operators.TextAnalysis.bpeMerges(docs, "text", 5,
+      localTypeLimit = nTypes)
+    val belowBound = graft.operators.TextAnalysis.bpeMerges(docs, "text", 5,
+      localTypeLimit = nTypes - 1)
+    assert(atBound === belowBound)
+    assert(atBound === local.take(5))
+    // dry-out parity: both trainers stop when no adjacent pair remains
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.bpeMerges(tiny, "text", 10) ===
+      Seq(("a", "b")))
+    assert(graft.operators.TextAnalysis.bpeMerges(tiny, "text", 10,
+      localTypeLimit = 0) === Seq(("a", "b")))
+  }
+
   test("bpeEncode: sequential rank order is pinned — a later merge re-creating an earlier pair does not resurrect it") {
     import spark.implicits._
     // merges: rank 1 = (ab, c), rank 2 = (a, b). On "abc" the chain
