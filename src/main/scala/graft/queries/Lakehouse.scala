@@ -23,7 +23,7 @@ object Lakehouse {
     * wiped before each build so replays commit the identical version
     * chain. Unique across JVMs via [[Q.runId]] so concurrent Verify
     * invocations (or a crashed prior run mid-write) never share paths. */
-  private def scratchRoot(tag: String, sfDir: String): String = {
+  private[queries] def scratchRoot(tag: String, sfDir: String): String = {
     val f = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_${tag}_" + Integer.toHexString(sfDir.hashCode) + "_" + Q.runId)

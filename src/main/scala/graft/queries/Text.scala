@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Lake, Tables}
 import graft.functions.TextFns
 import graft.operators.{Classify, Dedup, Incremental, Ranking, Retrieval, Similarity, TextAnalysis}
 
@@ -1106,6 +1106,31 @@ object Text {
       Dedup.nearDupsVsBase(
           docs.where(pmod(col("doc_id"), lit(10)) >= 8),
           docs.where(pmod(col("doc_id"), lit(10)) < 8),
+          "doc_id", "text", shingleN = 5, numHashes = 12, bands = 4)
+        .orderBy("id_new", "id_base")
+    },
+
+    // The q103 probe against a LAKE-STORED band index with a
+    // manifest-declared BUCKET layout — the composition round 11
+    // couldn't offer: the stored index gets OCC commits, time travel
+    // and the change feed (lake) AND the shuffle-free probe
+    // (bucketed scan exposes HashPartitioning(band,bkey → 4), so the
+    // join reshuffles ONLY the batch's bands; BucketingSpec gates the
+    // zero-exchange stored branch). Same oracle as q103: storing the
+    // index must be invisible to the answer. At 100 TB this is the
+    // standing near-dedup loop — the index table maintains
+    // incrementally under multi-writer commits and every nightly
+    // batch probes it at O(batch) with no index-side exchange.
+    Q("q154_lake_bucketed_index", Text.incrementalNearDupOracle) { (s, d) =>
+      val root = Lakehouse.scratchRoot("lake_bidx", d)
+      val docs = Tables.documents(s, d)
+      val base = docs.where(pmod(col("doc_id"), lit(10)) < 8)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      Lake.commitOverwrite(
+        Dedup.bandIndex(base, "doc_id", "text",
+          shingleN = 5, numHashes = 12, bands = 4),
+        root, retain = 0, bucketBy = Some((4, Seq("band", "bkey"))))
+      Dedup.nearDupsVsIndex(batch, Lake.readBucketed(s, root),
           "doc_id", "text", shingleN = 5, numHashes = 12, bands = 4)
         .orderBy("id_new", "id_base")
     },

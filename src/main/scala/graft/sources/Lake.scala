@@ -591,6 +591,63 @@ object Lake {
     * thousand real dirs. */
   private[graft] var stageTupleCap: Int = 1000
 
+  // ---- hash-bucketed layout as a table property ---------------------
+  //
+  // `#bucketby=<n>:<c1,c2>` declares the table CO-LOCATION layout
+  // (established by the first commit passing `bucketBy`, inherited by
+  // every later commit and COW rewrite, divergent re-declaration
+  // refused — one layout per table, like #partcols). Every data write
+  // to a bucketed table stages through Spark's own bucketed writer, so
+  // files carry the engine's bucket-id naming and the Murmur3 hash
+  // Spark's HashPartitioning uses — which is what lets [[readBucketed]]
+  // (and SQL reads through the catalog) expose
+  // `outputPartitioning = HashPartitioning(cols, n)` on the scan:
+  // joins and aggregations on the bucket key read the stored side with
+  // ZERO exchanges. This closes the stored-index gap: a band index or
+  // df multiset stored in a lake table now gets OCC, time travel and
+  // the change feed AND shuffle-free probes — previously those lived
+  // in catalog `bucketBy` tables only (sources/Bucketing.scala).
+  //
+  // Scope: bucketing and hive-style partition columns do not compose
+  // yet (pick one per table — refused at commit), and z-order refuses
+  // on bucketed tables (a clustered rewrite would destroy the bucket
+  // naming the read contract depends on; compaction instead preserves
+  // the layout by re-staging through the bucketed writer).
+  private val BucketByPrefix = "#bucketby="
+
+  private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[(Int, Seq[String])] =
+    manifestBody(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
+      val body = l.stripPrefix(BucketByPrefix)
+      val i = body.indexOf(':')
+      if (i <= 0) None
+      else body.take(i).toIntOption.map(n =>
+        (n, body.drop(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    }
+
+  /** The table's established bucket layout: `want` when this commit
+    * declares one, else inherited — a divergent re-declaration
+    * refuses (re-bucket by writing a new root). */
+  private def effectiveBucketBy(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      want: Option[(Int, Seq[String])]): Option[(Int, Seq[String])] = {
+    want.foreach { case (n, cols) =>
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      require(cols.nonEmpty, "bucketBy needs at least one column")
+      cols.foreach(c => require(!c.exists("=,\n#:".contains(_)),
+        s"bucket column name '$c' may not contain '=', ',', ':', '#', or newline"))
+    }
+    val prev = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestBucketBy(fs, r, v))
+    want match {
+      case None => prev
+      case Some(w) =>
+        require(prev.isEmpty || prev.contains(w),
+          s"table at $r is bucketed by $prev; a commit cannot re-bucket " +
+            s"it as $w — one layout per table (write a new root to re-layout)")
+        Some(w)
+    }
+  }
+
   private def manifestPartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
     manifestBody(fs, r, v).find(_.startsWith(PartColsPrefix))
@@ -707,12 +764,48 @@ object Lake {
       fs: org.apache.hadoop.fs.FileSystem, r: Path,
       df: org.apache.spark.sql.DataFrame, effStats: Seq[String],
       effBloom: Seq[String], partCols: Seq[String],
-      maintenance: Boolean = false):
+      maintenance: Boolean = false,
+      bucketBy: Option[(Int, Seq[String])] = None):
       (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(partCols.isEmpty || bucketBy.isEmpty,
+      "partitioned and bucketed lake layouts do not compose yet — one " +
+        "layout per table")
+    bucketBy.foreach { case (_, cols) =>
+      cols.foreach(c => require(df.columns.contains(c),
+        s"bucket column '$c' is not in the batch schema " +
+          df.columns.mkString("[", ", ", "]")))
+    }
     def stageOne(slice: org.apache.spark.sql.DataFrame): (String, Option[String], Option[String]) = {
       val staged = stagedDirName()
-      slice.write.mode("overwrite").parquet(new Path(r, staged).toString)
+      bucketBy match {
+        case Some((n, cols)) =>
+          // Spark's OWN bucketed writer is the only public path that
+          // produces the bucket-id file naming and Murmur3 placement
+          // the bucketed read contract depends on — route through a
+          // throwaway EXTERNAL catalog entry pointed at the staged dir
+          // (dropping an external table keeps its files)
+          val tmp = "graft_bucket_stage_" +
+            staged.replaceAll("[^a-zA-Z0-9_]", "_")
+          try {
+            slice.write.mode("overwrite").format("parquet")
+              .bucketBy(n, cols.head, cols.tail: _*)
+              .sortBy(cols.head, cols.tail: _*)
+              .option("path", new Path(r, staged).toString)
+              .saveAsTable(tmp)
+          } finally { spark.sql(s"DROP TABLE IF EXISTS `$tmp`"); () }
+          // an empty bucketed batch writes NO data files (the plain
+          // writer emits a schema-carrying empty file) — the stats
+          // read cannot infer a schema there, and empty dirs carry no
+          // ranges anyway
+          if (!fs.listStatus(new Path(r, staged)).exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet")))
+            return (staged,
+              if (effStats.isEmpty) None else Some("{}"),
+              if (effBloom.isEmpty) None else Some("{}"))
+        case None =>
+          slice.write.mode("overwrite").parquet(new Path(r, staged).toString)
+      }
       (staged,
         dirStatsJson(spark, new Path(r, staged).toString, effStats),
         dirBloomJson(spark, new Path(r, staged).toString, effBloom))
@@ -1416,6 +1509,38 @@ object Lake {
       version: Option[Long] = None): Unit =
     sqlTable(spark, root, version).createOrReplaceTempView(name)
 
+  /** The declared bucket layout of one snapshot, as Spark's
+    * [[org.apache.spark.sql.catalyst.catalog.BucketSpec]] — what the
+    * relation assembly attaches so the scan exposes
+    * `HashPartitioning(cols, n)`. Sort columns = bucket columns (the
+    * staged writer sortBy's them). */
+  private[sources] def bucketSpecAt(spark: SparkSession, root: String,
+      version: Long): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val fs = fsFor(spark, root)
+    manifestBucketBy(fs, new Path(root), version).map { case (n, cols) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, cols)
+    }
+  }
+
+  /** The live (or pinned) snapshot of a BUCKETED table as a DataFrame
+    * whose scan carries the bucket layout: joins and aggregations on
+    * the bucket key read this side with ZERO exchanges (the other side
+    * shuffles to the bucket count; `spark.sql.shuffle.partitions` need
+    * not match). Same pinned index-planned read as [[sqlTable]] — in
+    * fact [[sqlTable]] and SQL catalog reads already carry the layout
+    * when the manifest declares one; this entry point additionally
+    * REFUSES when the table isn't bucketed, so a stored-index probe
+    * can assert its co-location contract instead of silently
+    * shuffling. */
+  def readBucketed(spark: SparkSession, root: String,
+      version: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val (v, schema) = resolveSnapshot(spark, root, version)
+    require(bucketSpecAt(spark, root, v).isDefined,
+      s"table at $root declares no bucket layout — commit with " +
+        "bucketBy = Some((n, cols)) to establish one")
+    LakeFileIndex.relation(spark, root, v, schema)
+  }
+
   /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
     * marker landed at or before `tsMicros` (epoch micros) — Delta's
     * commit-timestamp semantics, answered from the marker files'
@@ -1674,6 +1799,7 @@ object Lake {
       bloomCols: Seq[String] = Nil,
       newParts: Map[String, String] = Map.empty,
       partCols: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -1717,6 +1843,8 @@ object Lake {
     val effPart =
       if (partCols.nonEmpty) partCols
       else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
+    // the bucket layout inherits like the other table-property lines
+    val effBucket = bucketBy.orElse(prevV.flatMap(v => manifestBucketBy(fs, r, v)))
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -1734,6 +1862,9 @@ object Lake {
        else Nil) ++
       (if (effPart.nonEmpty) Seq(PartColsPrefix + effPart.mkString(","))
        else Nil) ++
+      effBucket.map { case (n, cols) =>
+        BucketByPrefix + n + ":" + cols.mkString(",")
+      } ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -1856,7 +1987,8 @@ object Lake {
   def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
@@ -1864,17 +1996,20 @@ object Lake {
     val effStats = effectiveStatsCols(fs, r, statsCols)
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
     val effPart = effectivePartCols(fs, r, partitionBy)
+    val effBucket = effectiveBucketBy(fs, r, bucketBy)
     // data first, completely, under dirs no other writer contests
     // (one per partition-value tuple when the table is partitioned)
     val (staged, stats, blooms, parts) =
-      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
+        bucketBy = effBucket)
     // allocate past EVERY committed marker, not just the live one: a
     // defensively-ignored manifest (data dirs lost) still owns its
     // number, and publishing onto it would conflict forever
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-        newParts = parts, partCols = effPart, op = "overwrite")) {
+        newParts = parts, partCols = effPart, bucketBy = effBucket,
+        op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"overwrite of $root lost version $next to a concurrent commit — " +
@@ -1905,7 +2040,8 @@ object Lake {
   def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-      op: String = "append", partitionBy: Seq[String] = Nil): Long = {
+      op: String = "append", partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     require(!op.contains("\n"), "op must be a single manifest line")
     val spark = df.sparkSession
@@ -1916,9 +2052,13 @@ object Lake {
     // a partitioned table's layout is a TABLE property: appends
     // inherit it and stage one dir per partition-value tuple
     val effPart = effectivePartCols(fs, r, partitionBy)
+    // the bucket layout is a table property too: appends inherit it
+    // and stage through the bucketed writer
+    val effBucket = effectiveBucketBy(fs, r, bucketBy)
     // O(batch): stats only for the new dirs; reused dirs' lines carry
     val (staged, stats, blooms, parts) =
-      stageBatch(spark, fs, r, df, effStats, effBloom, effPart)
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
+        bucketBy = effBucket)
     def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
     // the snapshot this append staged against; every retry re-checks
     // that the commits landing after it were all append-shaped
@@ -2109,9 +2249,10 @@ object Lake {
       // manifest publish alone
       val effBloom = effectiveBloomCols(fs, r, Nil)
       val effPart = manifestPartCols(fs, r, cur)
+      val effBucket = manifestBucketBy(fs, r, cur)
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
-          maintenance = true)
+          maintenance = true, bucketBy = effBucket)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
       preserveMarkers(fs, r, touchedDirs, newDirs)
@@ -2248,7 +2389,7 @@ object Lake {
         }
         val surviving = base.where(!coalesce(predicate, lit(false)))
         val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart,
-          maintenance = true)
+          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
         preserveMarkers(fs, r, rewrite ++ dropped, staged._1)
         staged
       } else if (hasMarkers(dropped) || kept.isEmpty) {
@@ -2260,7 +2401,8 @@ object Lake {
           dropped.map(d => new Path(r, d).toString): _*).schema)
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-        val staged = stageBatch(spark, fs, r, empty, effStats, effBloom, Nil)
+        val staged = stageBatch(spark, fs, r, empty, effStats, effBloom, Nil,
+          bucketBy = manifestBucketBy(fs, r, cur))
         preserveMarkers(fs, r, dropped, staged._1)
         staged
       } else // the metadata-only partition drop: no job at all
@@ -2343,7 +2485,7 @@ object Lake {
     val effPart = manifestPartCols(fs, r, cur)
     val (newDirs, freshStats, freshBlooms, freshParts) =
       stageBatch(spark, fs, r, updated, effStats, effBloom, effPart,
-          maintenance = true)
+          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
     preserveMarkers(fs, r, touched, newDirs)
     // updates are row-preserving: the metadata count carries over
     if (!commitManifest(fs, r, next, kept ++ newDirs, retain,
@@ -2533,9 +2675,10 @@ object Lake {
       // layout-preserving (see deleteWhere): partitioned tables
       // re-stage the rewrite one dir per value tuple
       val effPart = manifestPartCols(fs, r, cur)
+      val effBucket = manifestBucketBy(fs, r, cur)
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
-          maintenance = true)
+          maintenance = true, bucketBy = effBucket)
       preserveMarkers(fs, r, touchedDirs, newDirs)
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
@@ -2699,7 +2842,7 @@ object Lake {
     val effPart = manifestPartCols(fs, r, cur)
     val (newDirs, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
-        maintenance = true)
+        maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
     // the collapsed snapshot replaces EVERY live dir — carry their
     // streaming-fold replay markers forward (see preserveMarkers)
     preserveMarkers(fs, r, liveDirs, newDirs)
@@ -2759,6 +2902,11 @@ object Lake {
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    require(manifestBucketBy(fs, r, cur).isEmpty,
+      s"table at $root is hash-bucketed — a clustered rewrite would " +
+        "destroy the bucket placement and file naming the co-located-join " +
+        "contract depends on; bucketed tables compact with " +
+        "compactCommitted (layout-preserving) instead of z-ordering")
     val liveDirs = manifestDirs(fs, r, cur)
     val total = liveDirs
       .flatMap(d => fs.listStatus(new Path(r, d)).toSeq)

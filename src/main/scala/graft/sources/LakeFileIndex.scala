@@ -72,7 +72,13 @@ object LakeFileIndex {
   private[sources] def hadoopRelation(spark: SparkSession, root: String,
       version: Long, schema: StructType): HadoopFsRelation = {
     val index = new LakeFileIndex(spark, root, version, schema)
-    HadoopFsRelation(index, new StructType(), schema, None,
+    // a manifest-declared bucket layout rides into the relation, so
+    // the scan's outputPartitioning is HashPartitioning(cols, n) and
+    // joins/aggs on the bucket key skip their exchange on this side
+    // (every data file of a bucketed snapshot is written through
+    // Spark's bucketed writer — the id-in-file-name contract holds)
+    HadoopFsRelation(index, new StructType(), schema,
+      Lake.bucketSpecAt(spark, root, version),
       new ParquetFileFormat, Map.empty[String, String])(spark)
   }
 

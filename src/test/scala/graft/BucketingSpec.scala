@@ -202,6 +202,88 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("lake-stored band index: bucketBy is a manifest property — appends inherit, COW + compaction preserve it, probes read with zero stored-side exchanges") {
+    import graft.sources.Lake
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-bidx")
+      .resolve("t").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = Tables.documents(spark, d)
+      val base1 = docs.where(pmod(col("doc_id"), lit(10)) < 4)
+      val base2 = docs.where(pmod(col("doc_id"), lit(10)).between(4, 7))
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) >= 8)
+      val idx1 = graft.operators.Dedup.bandIndex(base1, "doc_id", "text")
+      val idx2 = graft.operators.Dedup.bandIndex(base2, "doc_id", "text")
+      // the stored index is a REAL lake table now: OCC commit, time
+      // travel, change feed — AND the co-located probe layout
+      Lake.commitOverwrite(idx1, root, retain = 8,
+        bucketBy = Some((4, Seq("band", "bkey"))))
+      // the append INHERITS the declared layout (no bucketBy repeated)
+      Lake.commitAppend(idx2, root, retain = 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def probe() = graft.operators.Dedup.nearDupsVsIndex(
+        batch, Lake.readBucketed(spark, root), "doc_id", "text")
+      def assertStoredSideShuffleFree(
+          df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+        val scanAt = joinSubtree.indexOf("Bucketed: true")
+        assert(scanAt >= 0, s"index must read as a bucketed scan:\n$plan")
+        val idxBranch = joinSubtree.substring(
+          joinSubtree.lastIndexOf("Sort", scanAt), scanAt)
+        assert(!idxBranch.contains("Exchange"),
+          s"lake-stored band index must not shuffle:\n$plan")
+      }
+      val probed = probe()
+      assert(rows(probed) === rows(graft.operators.Dedup.nearDupsVsIndex(
+        batch, idx1.unionByName(idx2), "doc_id", "text")))
+      assertStoredSideShuffleFree(probed)
+      // COW DELETE preserves the layout: the rewrite re-stages through
+      // the bucketed writer, so the probe stays shuffle-free and the
+      // dropped base doc stops pairing
+      val victim = probed.select("id_base").orderBy("id_base")
+        .limit(1).collect().head.getLong(0)
+      Lake.deleteWhere(spark, root, col("id_base") === victim)
+      val afterDelete = probe()
+      assert(!afterDelete.select("id_base").collect()
+        .exists(_.getLong(0) == victim))
+      assertStoredSideShuffleFree(afterDelete)
+      // compaction collapses the dirs and STILL preserves the layout
+      Lake.compactCommitted(spark, root, retain = 8)
+      val afterCompact = probe()
+      assert(rows(afterCompact) === rows(afterDelete))
+      assertStoredSideShuffleFree(afterCompact)
+      // refusals: divergent re-bucketing, composing with partitions,
+      // z-order on a bucketed table, readBucketed on an unbucketed one
+      val re = intercept[IllegalArgumentException] {
+        Lake.commitAppend(idx2, root, retain = 8,
+          bucketBy = Some((8, Seq("band", "bkey"))))
+      }
+      assert(re.getMessage.contains("re-bucket"))
+      val zo = intercept[IllegalArgumentException] {
+        Lake.clusterCommitted(spark, root, Seq("band", "bkey"))
+      }
+      assert(zo.getMessage.contains("bucketed"))
+      val plainRoot = java.nio.file.Files.createTempDirectory("graft-plain")
+        .resolve("t").toString
+      import spark.implicits._
+      Lake.commitOverwrite(Seq((1L, 2L)).toDF("k", "p"), plainRoot)
+      val rb = intercept[IllegalArgumentException] {
+        Lake.readBucketed(spark, plainRoot)
+      }
+      assert(rb.getMessage.contains("no bucket layout"))
+      val pb = intercept[IllegalArgumentException] {
+        Lake.commitOverwrite(Seq((1L, 2L)).toDF("k", "p"), plainRoot,
+          partitionBy = Seq("p"), bucketBy = Some((4, Seq("k"))))
+      }
+      assert(pb.getMessage.contains("do not compose"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("date-partitioned layout: a partition filter reads N of M directories") {
     val d = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
