@@ -979,5 +979,40 @@ object Lakehouse {
               |JOIN sql_tt_orders VERSION AS OF 0 v0
               |  ON cur.o_orderkey = v0.o_orderkey
               |ORDER BY cur.o_orderkey""".stripMargin)
+    },
+
+    // Partition pruning AND z-order file skipping in ONE scan, under
+    // the oracle hash — the q147 + q114 composition: even keys land
+    // year-partitioned and get z-ordered on (o_year, o_custkey) into
+    // one clustered dir with per-file ranges; odd keys then append and
+    // INHERIT the declared partition layout (per-year dirs with exact
+    // #part_ values). A (year = Y AND custkey <= mid) read prunes the
+    // append dirs by partition VALUE and the clustered dir's files by
+    // their z-order ranges — both mechanisms fire on one predicate in
+    // one manifest-planned scan (LakeSpec gates both skip counts).
+    // This is the real 100 TB maintenance arc: OPTIMIZE-ZORDER the
+    // cold bulk, keep ingesting partitioned, lose neither pruning.
+    Q("q155_part_zorder_scan",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |  AND o_custkey <= (SELECT max(o_custkey) // 2 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_pz", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      val midCust = orders.agg(max(col("o_custkey")))
+        .collect().head.getLong(0) / 2
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 8, partitionBy = Seq("o_year"))
+      Lake.clusterCommitted(s, root, Seq("o_year", "o_custkey"),
+        targetBytes = 64 * 1024, retain = 8)
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 8)
+      Lake.readCommittedWhere(s, root,
+          col("o_year") === 1996L && col("o_custkey") <= midCust)
+        .orderBy("o_orderkey")
     })
 }

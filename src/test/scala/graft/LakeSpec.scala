@@ -1497,6 +1497,38 @@ class LakeSpec extends SparkSpec {
       "inherited partition layout must prune the fresh append's dir")
   }
 
+  test("mixed snapshot (q155 shape): partition-value dir pruning AND z-order file skipping fire on ONE predicate in one scan") {
+    val root = tmpTable("graft-lake-pz-mixed")
+    // even keys: partitioned by y, then z-ordered into one clustered
+    // dir (per-file ranges); odd keys: appended AFTER, inheriting the
+    // declared partition layout (per-year dirs with exact values)
+    // y derives from k/2 so BOTH parities cover all four years (the
+    // even half z-orders, the odd half appends partitioned)
+    val df = (1L to 400L).map(k => (k, 1995L + (k / 2) % 4, k * 7 % 100))
+      .toDF("k", "y", "c")
+    Lake.commitOverwrite(df.where(col("k") % 2 === 0), root, retain = 8,
+      partitionBy = Seq("y"))
+    Lake.clusterCommitted(spark, root, Seq("y", "c"),
+      targetBytes = 2048, retain = 8)
+    Lake.commitAppend(df.where(col("k") % 2 === 1), root, retain = 8)
+    val (kept, skippedDirs, skippedFiles) =
+      Lake.resolveWhere(spark, root, col("y") === 1996L && col("c") <= 30L)
+    // both mechanisms on one predicate: the appended per-year dirs
+    // prune by exact partition value, the clustered dir's files prune
+    // by their z-order ranges
+    assert(skippedDirs.length === 3,
+      s"expected the 3 non-matching year dirs skipped, got $skippedDirs")
+    assert(skippedFiles.nonEmpty,
+      "expected z-order file ranges to skip inside the clustered dir")
+    assert(kept.nonEmpty)
+    // and the answer is exact
+    assert(rows(Lake.readCommittedWhere(spark, root,
+        col("y") === 1996L && col("c") <= 30L).select("k")) ===
+      (1L to 400L)
+        .filter(k => 1995L + (k / 2) % 4 == 1996L && k * 7 % 100 <= 30)
+        .map(Seq(_)).toSet)
+  }
+
   test("partitionValues: manifest-only layout report — NULL tuple included, value-less dirs excluded, unpartitioned refused") {
     val root = tmpTable("graft-lake-part-show")
     val rows0 = Seq(
