@@ -20,6 +20,12 @@ import org.apache.spark.sql.graft.Shim
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL table-valued metadata surfaces for lake tables:
+    // `SELECT * FROM graft_history('<root>')` (DESCRIBE HISTORY) and
+    // `FROM graft_partitions('<root>')` (SHOW PARTITIONS) — both
+    // answer from manifest metadata alone, bounded by retention, so
+    // materializing them at resolution is KB-scale, never a scan
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     // SQL INSERT INTO/OVERWRITE on graft-lake catalog tables must go
     // through the manifest commit, not a raw file write into the
     // table root (see GraftLakeInsertRule — silent data loss without it)
@@ -77,6 +83,39 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = functions.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
+
+  type TableFunctionDescription =
+    (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  /** One required string-literal argument (the table root) of a
+    * metadata table function — anything else refuses with the
+    * function named. */
+  private def rootArg(name: String, args: Seq[Expression]): String = args match {
+    case Seq(org.apache.spark.sql.catalyst.expressions.Literal(s, _))
+        if s != null && args.head.dataType ==
+          org.apache.spark.sql.types.StringType =>
+      s.toString
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> "1 (a string table-root literal)",
+        "actualNum" -> args.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
+  val tableFunctions: Seq[TableFunctionDescription] = Seq(
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.sources.Lake", "graft_history"),
+      args => graft.sources.Lake.describeHistory(
+        SparkSession.active, rootArg("graft_history", args))
+        .queryExecution.analyzed),
+    (FunctionIdentifier("graft_partitions"),
+      new ExpressionInfo("graft.sources.Lake", "graft_partitions"),
+      args => graft.sources.Lake.partitionValues(
+        SparkSession.active, rootArg("graft_partitions", args))
+        .queryExecution.analyzed))
 
   // typed Column builders (no registry needed)
   def dot(a: Column, b: Column): Column =

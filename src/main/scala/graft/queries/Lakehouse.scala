@@ -1014,5 +1014,28 @@ object Lakehouse {
       Lake.readCommittedWhere(s, root,
           col("o_year") === 1996L && col("o_custkey") <= midCust)
         .orderBy("o_orderkey")
+    },
+
+    // SHOW PARTITIONS as SQL — the q149 metadata report through the
+    // `graft_partitions('<root>')` table-valued function (registered
+    // by GraftExtensions), so the spelling every operator types
+    // (`SELECT … FROM graft_partitions(…)`) is itself under the
+    // oracle hash. Same layout and oracle shape as q149: the answer
+    // comes from ONE manifest read, no data I/O — at 100 TB the
+    // layout inspection costs KBs. graft_history (DESCRIBE HISTORY)
+    // rides the same registration, spec-pinned in LakeSqlSpec.
+    Q("q156_sql_show_partitions",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(count(DISTINCT o_orderkey % 2) AS BIGINT) AS n_dirs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_sqlshowpart", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 0, partitionBy = Seq("o_year"))
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 0)
+      s.sql(s"""SELECT o_year, n_dirs FROM graft_partitions('$root')
+               |ORDER BY o_year""".stripMargin)
     })
 }

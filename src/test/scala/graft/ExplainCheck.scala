@@ -64,10 +64,11 @@ object ExplainCheck {
     "q82_hybrid_rrf", "q130_stored_df_hybrid",
     // one-row broadcast reference date (newest event) for the decay age
     "q83_time_decay",
-    // the recall gate runs q50 + q57 + q119 + q69 verbatim to score
-    // them — it inherits exactly their whitelisted bounded-broadcast
+    // the recall gates run q50 + q57 + q119 + q69 verbatim to score
+    // them — they inherit exactly their whitelisted bounded-broadcast
     // BNLJs (corpus × 8-query set / × k-row codebooks), nothing new
-    "q148_ann_recall")
+    // (q153 is q148 over the clustered fixture)
+    "q148_ann_recall", "q153_ann_clustered_recall")
 
   val expectationPath = "src/test/resources/plan-expectations.txt"
 

@@ -471,4 +471,28 @@ class LakeSqlSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lakesql_tt"); ()
     }
   }
+
+  test("metadata table functions: graft_history and graft_partitions answer from the manifest in SQL") {
+    import spark.implicits._
+    val root = tmpTable("lakesql-tvf")
+    Lake.commitOverwrite(Seq((1L, 1995L), (2L, 1996L)).toDF("k", "y"), root,
+      retain = 8, partitionBy = Seq("y"))
+    Lake.commitAppend(Seq((3L, 1995L)).toDF("k", "y"), root, retain = 8)
+    Lake.deleteWhere(spark, root, col("y") === 1996L, retain = 8)
+    // DESCRIBE HISTORY spelling: op per version, newest last
+    val hist = spark.sql(
+      s"SELECT version, op FROM graft_history('$root') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((0L, "overwrite"), (1L, "append"), (2L, "delete")))
+    // SHOW PARTITIONS spelling: live tuples with dir counts — the
+    // y=1996 partition was dropped by the delete
+    assert(rows(spark.sql(
+      s"SELECT y, n_dirs FROM graft_partitions('$root') ORDER BY y")) ===
+      Set(Seq(1995L, 2L)))
+    // wrong arity / non-literal refuses with the function named
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_history()")
+    }
+    assert(e.getMessage.contains("graft_history"))
+  }
 }
