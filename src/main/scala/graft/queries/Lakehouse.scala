@@ -1037,5 +1037,39 @@ object Lakehouse {
         retain = 0)
       s.sql(s"""SELECT o_year, n_dirs FROM graft_partitions('$root')
                |ORDER BY o_year""".stripMargin)
+    },
+
+    // The composed 100 TB fact layout on LAKE tables, under the oracle
+    // hash: orders partitioned by year AND hash-bucketed on custkey,
+    // the customer dim co-bucketed on the same key — the year filter
+    // prunes whole partition dirs at planning and the join reads both
+    // sides bucket-aligned with zero exchanges (BucketingSpec gates
+    // the plan, including COW-update survival; broadcast is live here
+    // so the HASH gates only the answer). Partition pruning kills the
+    // scan, bucketing kills the join shuffle, OCC/time-travel/feed
+    // ride along — one table serves all three stories at once.
+    Q("q157_lake_composed_layout",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice,
+        |  c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE year(o_orderdate) = 1996
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val factRoot = scratchRoot("lake_pb_fact", d)
+      val dimRoot = scratchRoot("lake_pb_dim", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders, factRoot, retain = 0,
+        partitionBy = Seq("o_year"), bucketBy = Some((4, Seq("o_custkey"))))
+      Lake.commitOverwrite(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        dimRoot, retain = 0, bucketBy = Some((4, Seq("c_custkey"))))
+      Lake.sqlTable(s, factRoot).where(col("o_year") === 1996L)
+        .join(Lake.readBucketed(s, dimRoot),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_year"),
+          col("o_totalprice"), col("c_acctbal"))
+        .orderBy("o_orderkey")
     })
 }

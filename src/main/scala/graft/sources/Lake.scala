@@ -608,11 +608,15 @@ object Lake {
   // the change feed AND shuffle-free probes — previously those lived
   // in catalog `bucketBy` tables only (sources/Bucketing.scala).
   //
-  // Scope: bucketing and hive-style partition columns do not compose
-  // yet (pick one per table — refused at commit), and z-order refuses
-  // on bucketed tables (a clustered rewrite would destroy the bucket
-  // naming the read contract depends on; compaction instead preserves
-  // the layout by re-staging through the bucketed writer).
+  // Bucketing COMPOSES with hive-style partition columns (each
+  // partition tuple's dir writes bucketed; bucket grouping is exact
+  // across any pruned dir subset because key placement is global) —
+  // the standard date-partitioned + key-bucketed fact layout. Z-order
+  // refuses on bucketed tables (a clustered rewrite would destroy the
+  // bucket naming the read contract depends on; compaction instead
+  // preserves the layout by re-staging through the bucketed writer),
+  // and an APPEND cannot introduce bucketing to an existing unbucketed
+  // table (earlier dirs lack the naming — re-layout via overwrite).
   private val BucketByPrefix = "#bucketby="
 
   private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
@@ -768,9 +772,12 @@ object Lake {
       bucketBy: Option[(Int, Seq[String])] = None):
       (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
-    require(partCols.isEmpty || bucketBy.isEmpty,
-      "partitioned and bucketed lake layouts do not compose yet — one " +
-        "layout per table")
+    // partitioned AND bucketed compose: each partition tuple's dir is
+    // written through the bucketed writer, and since every row of key
+    // k lands in bucket hash(k) regardless of WHICH dir holds it, the
+    // scan's bucket grouping stays exact across pruned dir subsets —
+    // partition values prune dirs, buckets kill the join shuffle, the
+    // standard composed 100 TB fact layout
     bucketBy.foreach { case (_, cols) =>
       cols.foreach(c => require(df.columns.contains(c),
         s"bucket column '$c' is not in the batch schema " +
@@ -2053,7 +2060,17 @@ object Lake {
     // inherit it and stage one dir per partition-value tuple
     val effPart = effectivePartCols(fs, r, partitionBy)
     // the bucket layout is a table property too: appends inherit it
-    // and stage through the bucketed writer
+    // and stage through the bucketed writer. A NEW declaration on an
+    // append to an existing UNBUCKETED table refuses: earlier dirs
+    // lack the bucket file naming, so the declared layout would lie
+    // to every bucketed scan — declare bucketBy on the table's first
+    // commit, or re-layout the whole snapshot with commitOverwrite
+    if (bucketBy.isDefined && committedVersions(fs, r).nonEmpty)
+      require(committedVersions(fs, r).lastOption
+          .flatMap(v => manifestBucketBy(fs, r, v)).isDefined,
+        s"an append cannot declare a bucket layout on the existing " +
+          s"unbucketed table at $root — earlier dirs lack bucket file " +
+          "naming; re-layout with commitOverwrite(bucketBy = …)")
     val effBucket = effectiveBucketBy(fs, r, bucketBy)
     // O(batch): stats only for the new dirs; reused dirs' lines carry
     val (staged, stats, blooms, parts) =

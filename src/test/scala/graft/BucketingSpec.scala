@@ -274,11 +274,70 @@ class BucketingSpec extends SparkSpec {
         Lake.readBucketed(spark, plainRoot)
       }
       assert(rb.getMessage.contains("no bucket layout"))
-      val pb = intercept[IllegalArgumentException] {
-        Lake.commitOverwrite(Seq((1L, 2L)).toDF("k", "p"), plainRoot,
-          partitionBy = Seq("p"), bucketBy = Some((4, Seq("k"))))
+      // an APPEND cannot introduce bucketing to an existing unbucketed
+      // table: its earlier dirs lack the bucket file naming
+      val late = intercept[IllegalArgumentException] {
+        Lake.commitAppend(Seq((2L, 3L)).toDF("k", "p"), plainRoot,
+          bucketBy = Some((4, Seq("k"))))
       }
-      assert(pb.getMessage.contains("do not compose"))
+      assert(late.getMessage.contains("cannot declare a bucket layout"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("composed LAKE layout: partition dirs prune AND the bucket join is shuffle-free on both sides, surviving COW maintenance") {
+    import graft.sources.Lake
+    import spark.implicits._
+    val factRoot = java.nio.file.Files.createTempDirectory("graft-lake-pbfact")
+      .resolve("t").toString
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft-lake-pbdim")
+      .resolve("t").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the standard 100 TB fact layout: date-ish partitions (scan
+      // prunes to the queried range) AND hash buckets on the join key
+      // (the join needs no exchange) — on LAKE tables now, so OCC,
+      // time travel and COW maintenance ride along
+      val fact = (1L to 400L).map(k => (k, 1995L + k % 4, k % 37))
+        .toDF("k", "y", "u")
+      Lake.commitOverwrite(fact, factRoot, retain = 8,
+        partitionBy = Seq("y"), bucketBy = Some((4, Seq("u"))))
+      val dim = (0L until 37L).map(u => (u, s"user$u")).toDF("u", "name")
+      Lake.commitOverwrite(dim, dimRoot, retain = 8,
+        bucketBy = Some((4, Seq("u"))))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joined() = Lake.sqlTable(spark, factRoot)
+        .where(col("y") === 1996L)
+        .join(Lake.readBucketed(spark, dimRoot), Seq("u"))
+        .select(col("k"), col("u"), col("name"))
+      def assertShape(df: org.apache.spark.sql.DataFrame,
+          expect: Set[Seq[Any]]): Unit = {
+        assert(rows(df) === expect)
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+        assert(!joinSubtree.contains("Exchange"),
+          s"composed lake layout join must not shuffle either side:\n$plan")
+      }
+      val expect = (1L to 400L).filter(k => 1995L + k % 4 == 1996L)
+        .map(k => Seq(k, k % 37, s"user${k % 37}")).toSet
+      assertShape(joined(), expect)
+      // partition pruning holds on the same handle: 3 of 4 year dirs
+      // skipped at planning
+      val (_, skippedDirs, _) =
+        Lake.resolveWhere(spark, factRoot, col("y") === 1996L)
+      assert(skippedDirs.length === 3, s"expected 3 year dirs skipped: $skippedDirs")
+      // COW UPDATE preserves BOTH layout halves: per-tuple dirs,
+      // bucket-named files, the probe stays shuffle-free
+      Lake.updateWhere(spark, factRoot, col("k") === 5L,
+        Map("u" -> lit(7L)), retain = 8)
+      val expect2 = expect.map {
+        case Seq(5L, _, _) => Seq(5L, 7L, "user7")
+        case other => other
+      }
+      assertShape(joined(), expect2)
+      assert(Lake.partitionValues(spark, factRoot).count() === 4L)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
