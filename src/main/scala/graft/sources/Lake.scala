@@ -1444,6 +1444,11 @@ object Lake {
         newParts = manifestPartsRaw(fs, sr, v)
           .map { case (d, j) => toAbs.getOrElse(d, d) -> j },
         partCols = manifestPartCols(fs, sr, v),
+        // the bucket layout carries: the referenced dirs ARE
+        // bucket-named (written through the bucketed writer), so the
+        // clone keeps co-located probes and its own appends stage
+        // bucketed under the inherited property
+        bucketBy = manifestBucketBy(fs, sr, v),
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
         s"committed table already exists at $dstRoot — a concurrent writer " +
@@ -1772,14 +1777,27 @@ object Lake {
     * with the data) and then calls this. */
   private[graft] def commitVersion(spark: SparkSession, root: String,
       version: Long, dirs: Seq[String], retain: Int,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
-    if (!commitManifest(fsFor(spark, root), new Path(root), version, dirs,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // fold sinks pre-write PLAIN version dirs (the applied-batch
+    // marker rides inside the dir) — on a bucketed table those files
+    // would violate the bucket-naming contract every bucketed scan
+    // depends on, so refuse up front instead of corrupting reads
+    val ffs = fsFor(spark, root)
+    committedVersions(ffs, new Path(root)).lastOption.foreach { last =>
+      require(manifestBucketBy(ffs, new Path(root), last).isEmpty,
+        s"the table at $root declares a bucket layout — fold commits " +
+          "pre-write plain version dirs and cannot preserve it; fold " +
+          "into an unbucketed table (or use the append/CDC-merge sinks, " +
+          "which stage through the bucketed writer)")
+    }
+    if (!commitManifest(ffs, new Path(root), version, dirs,
         retain, schema, op = "fold"))
       throw new java.util.ConcurrentModificationException(
         s"fold commit of version $version at $root lost the slot to a " +
           "concurrent writer — fold tables have ONE streaming writer " +
           "(checkpoint lineage); a contested version means two writers " +
           "share this root")
+  }
 
   /** TEST SEAM: runs between a manifest's build and its put-if-absent
     * publish — exactly the window a concurrent writer's commit can

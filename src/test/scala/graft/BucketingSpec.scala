@@ -343,6 +343,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed lake edges: a shallow clone carries the layout; fold commits refuse on bucketed tables") {
+    import graft.sources.Lake
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-lake-bsrc")
+      .resolve("t").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-lake-bdst")
+      .resolve("t").toString
+    Lake.commitOverwrite((1L to 40L).map(k => (k, k % 7)).toDF("k", "u"),
+      src, retain = 8, bucketBy = Some((4, Seq("u"))))
+    Lake.cloneCommitted(spark, src, dst)
+    // the clone reads bucketed (source dirs carry the bucket naming)
+    // and its own appends stage bucketed under the inherited property
+    assert(Lake.readBucketed(spark, dst).count() === 40L)
+    Lake.commitAppend(Seq((41L, 3L)).toDF("k", "u"), dst, retain = 8)
+    assert(Lake.readBucketed(spark, dst).count() === 41L)
+    // a fold commit would pre-write plain dirs — refused on bucketed
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitVersion(spark, src, 99L, Seq("v99"), retain = 8)
+    }
+    assert(e.getMessage.contains("fold commits"))
+  }
+
   test("date-partitioned layout: a partition filter reads N of M directories") {
     val d = "/root/testdata/sf0.001"
     val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
