@@ -983,15 +983,16 @@ object Lakehouse {
 
     // Partition pruning AND z-order file skipping in ONE scan, under
     // the oracle hash — the q147 + q114 composition: even keys land
-    // year-partitioned and get z-ordered on (o_year, o_custkey) into
-    // one clustered dir with per-file ranges; odd keys then append and
-    // INHERIT the declared partition layout (per-year dirs with exact
-    // #part_ values). A (year = Y AND custkey <= mid) read prunes the
-    // append dirs by partition VALUE and the clustered dir's files by
-    // their z-order ranges — both mechanisms fire on one predicate in
-    // one manifest-planned scan (LakeSpec gates both skip counts).
-    // This is the real 100 TB maintenance arc: OPTIMIZE-ZORDER the
-    // cold bulk, keep ingesting partitioned, lose neither pruning.
+    // year-partitioned and get z-ordered PER PARTITION (Delta's
+    // OPTIMIZE ZORDER BY semantics — each year dir rewrites clustered
+    // with per-file (o_year, o_custkey) ranges, keeping its exact
+    // #part_ values); odd keys then append and INHERIT the declared
+    // layout. A (year = Y AND custkey <= mid) read prunes every
+    // non-matching year dir — clustered AND appended — by partition
+    // VALUE and the kept clustered dir's files by their z-order
+    // ranges (LakeSpec gates both skip counts). This is the real
+    // 100 TB maintenance arc: OPTIMIZE the cold bulk, keep ingesting
+    // partitioned, lose neither pruning.
     Q("q155_part_zorder_scan",
       """SELECT o_orderkey, o_custkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice

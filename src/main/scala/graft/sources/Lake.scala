@@ -2923,13 +2923,17 @@ object Lake {
       targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    // on a PARTITIONED table, clustering replaces the per-value dirs
-    // with one globally-ordered dir: the declared layout (#partcols)
-    // persists and the next partitioned commit restores it, but the
-    // clustered snapshot itself prunes via per-FILE ranges instead of
-    // partition dirs — include the partition column in `cols` so the
-    // file ranges carry its locality (answers are unaffected either
-    // way; LakeSpec pins the interaction)
+    // on a PARTITIONED table, clustering is PER PARTITION (Delta's
+    // OPTIMIZE ZORDER BY semantics): each partition-value tuple
+    // rewrites into its own size-targeted clustered dir carrying its
+    // exact #part_ values, so partition-dir pruning SURVIVES the
+    // rewrite and the cluster columns' per-file ranges prune INSIDE
+    // kept dirs — both mechanisms on one scan, nothing traded away.
+    // Per-slice z-spans are computed within each partition (tighter
+    // ranks than a global span). A table whose accumulated tuples
+    // exceed the stage cap falls back to ONE globally-clustered dir
+    // (the maintenance-fallback discipline: pruning degrades, the op
+    // succeeds).
     require(cols.nonEmpty, "cluster columns must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(retain >= 0, s"retain must be >= 0, got $retain")
@@ -2943,12 +2947,13 @@ object Lake {
         "contract depends on; bucketed tables compact with " +
         "compactCommitted (layout-preserving) instead of z-ordering")
     val liveDirs = manifestDirs(fs, r, cur)
-    val total = liveDirs
-      .flatMap(d => fs.listStatus(new Path(r, d)).toSeq)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    def dirBytes(d: String): Long =
+      fs.listStatus(new Path(r, d)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    val bytesByDir = liveDirs.map(d => d -> dirBytes(d)).toMap
+    val total = bytesByDir.values.sum
     require(total > 0, s"no parquet data in the live snapshot at $root")
-    val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val df = readCommittedAt(spark, root, cur)
     cols.foreach(c => require(df.columns.contains(c),
       s"cluster column '$c' not in the table schema"))
@@ -2960,13 +2965,17 @@ object Lake {
     }
     val zOrderable = cols.lengthCompare(2) >= 0 && cols.lengthCompare(4) <= 0 &&
       cols.forall(c => isNumeric(df.schema(c).dataType))
-    val clustered =
+    /** `slice` laid out into `n` files tight on `cols` (z-order when
+      * the column mix supports it, lexicographic range otherwise);
+      * spans computed over THIS slice. */
+    def clusterLayout(slice: org.apache.spark.sql.DataFrame, n: Int):
+        org.apache.spark.sql.DataFrame =
       if (!zOrderable)
-        df.repartitionByRange(n, cols.map(col): _*)
+        slice.repartitionByRange(n, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
       else {
         // per-column spans for the 16-bit rank scaling — one tiny agg
-        val mm = df.agg(
+        val mm = slice.agg(
           cols.flatMap(c => Seq(min(col(c)).cast("double"),
             max(col(c)).cast("double"))).head,
           cols.flatMap(c => Seq(min(col(c)).cast("double"),
@@ -2984,35 +2993,103 @@ object Lake {
         val z = (0 until 16).flatMap(i => buckets.zipWithIndex.map { case (b, j) =>
           shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), i * k + j)
         }).reduce(_ bitwiseOR _)
-        df.withColumn("__graft_z", z)
+        slice.withColumn("__graft_z", z)
           .repartitionByRange(n, col("__graft_z"))
           .sortWithinPartitions(col("__graft_z"))
           .drop("__graft_z")
       }
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols).distinct
-    val newDir = stagedDirName() // writer-unique, see mergeCommitted
-    clustered.write.mode("overwrite").parquet(new Path(r, newDir).toString)
-    preserveMarkers(fs, r, liveDirs, newDir)
-    // ONE column-pruned pass over the fresh dir yields per-file AND
-    // dir ranges — the whole point of the rewrite
-    val (dirJson, fileJsons) =
-      fileStatsJson(spark, new Path(r, newDir).toString, effStats)
-        .getOrElse(("{}", Map.empty[String, String]))
     val effBloom = effectiveBloomCols(fs, r, Nil)
-    val blooms = dirBloomJson(spark, new Path(r, newDir).toString, effBloom)
-      .map(newDir -> _).toMap
-    if (!commitManifest(fs, r, next, Seq(newDir), retain,
-        Some(clustered.schema), manifestRows(fs, r, cur),
-        Map(newDir -> dirJson), effStats, Map(newDir -> fileJsons),
-        newBlooms = blooms, bloomCols = effBloom, op = "zorder")) {
-      fs.delete(new Path(r, newDir), true)
-      throw new java.util.ConcurrentModificationException(
-        s"clustering of $root lost version $next to a concurrent commit — " +
-          "the clustered snapshot is no longer live; re-run against the " +
-          "current table")
+    val effPart = manifestPartCols(fs, r, cur)
+    /** Write one clustered dir for `slice`; returns its manifest
+      * pieces. ONE column-pruned pass over the fresh dir yields
+      * per-file AND dir ranges — the whole point of the rewrite. */
+    def stageClustered(slice: org.apache.spark.sql.DataFrame, n: Int):
+        (String, String, Map[String, String], Option[String]) = {
+      val dir = stagedDirName() // writer-unique, see mergeCommitted
+      clusterLayout(slice, n).write.mode("overwrite")
+        .parquet(new Path(r, dir).toString)
+      val (dirJson, fileJsons) =
+        fileStatsJson(spark, new Path(r, dir).toString, effStats)
+          .getOrElse(("{}", Map.empty[String, String]))
+      (dir, dirJson, fileJsons,
+        dirBloomJson(spark, new Path(r, dir).toString, effBloom))
     }
-    next
+    def filesFor(bytes: Long): Int =
+      Math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val cached = df.persist()
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val tuples =
+        if (effPart.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else cached.select(effPart.map(col): _*)
+          .distinct().limit(stageTupleCap + 1).collect()
+      val (newDirs, dirStats, fileStats, blooms, parts) =
+        if (effPart.isEmpty || tuples.isEmpty || tuples.length > stageTupleCap) {
+          // unpartitioned table, or over-cap fallback: one global dir
+          val (d, dj, fj, bl) = stageClustered(cached, filesFor(total))
+          staged += d
+          (Seq(d), Map(d -> dj), Map(d -> fj), bl.map(d -> _).toMap,
+            Map.empty[String, String])
+        } else {
+          // per-partition clustering: byte budget per tuple = its own
+          // recorded dirs' bytes + an even share of value-less dirs
+          // (legacy/global dirs whose rows re-home to their tuples here)
+          val partsRaw = manifestPartsRaw(fs, r, cur)
+          val valueless = liveDirs.filterNot(partsRaw.contains)
+            .map(bytesByDir).sum / tuples.length
+          val bytesByJson = liveDirs.flatMap(d =>
+            partsRaw.get(d).map(_ -> bytesByDir(d)))
+            .groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2).sum }
+          val dirs = Seq.newBuilder[String]
+          val ds = Map.newBuilder[String, String]
+          val fjs = Map.newBuilder[String, Map[String, String]]
+          val bls = Map.newBuilder[String, String]
+          val pls = Map.newBuilder[String, String]
+          tuples.foreach { row =>
+            val slice = effPart.zipWithIndex.foldLeft(cached) {
+              case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
+            }
+            val json = partJson(effPart.zipWithIndex.map { case (c, i) =>
+              c -> (if (row.isNullAt(i)) None
+                else normExternal(row.get(i)) match {
+                  case some @ Some(_) => some
+                  case None => throw new IllegalArgumentException(
+                    s"partition value ${row.get(i)} of column '$c' does " +
+                      "not normalize — unsupported runtime type")
+                })
+            })
+            val (d, dj, fj, bl) = stageClustered(slice,
+              filesFor(bytesByJson.getOrElse(json, 0L) + valueless))
+            staged += d
+            dirs += d
+            ds += d -> dj
+            fjs += d -> fj
+            bl.foreach(b => bls += d -> b)
+            pls += d -> json
+          }
+          (dirs.result(), ds.result(), fjs.result(), bls.result(),
+            pls.result())
+        }
+      preserveMarkers(fs, r, liveDirs, newDirs)
+      if (!commitManifest(fs, r, next, newDirs, retain,
+          Some(cached.schema), manifestRows(fs, r, cur),
+          dirStats, effStats, fileStats,
+          newBlooms = blooms, bloomCols = effBloom,
+          newParts = parts, op = "zorder")) {
+        newDirs.foreach(d => fs.delete(new Path(r, d), true))
+        throw new java.util.ConcurrentModificationException(
+          s"clustering of $root lost version $next to a concurrent commit — " +
+            "the clustered snapshot is no longer live; re-run against the " +
+            "current table")
+      }
+      next
+    } catch {
+      case t: Throwable if !t.isInstanceOf[java.util.ConcurrentModificationException] =>
+        staged.foreach(d => scala.util.Try(fs.delete(new Path(r, d), true)))
+        throw t
+    } finally { cached.unpersist(); () }
   }
 
   /** Number of parquet data files currently under `path`. */

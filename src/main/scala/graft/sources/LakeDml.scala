@@ -345,11 +345,15 @@ class GraftLakeTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Evaluate the `TIMESTAMP AS OF` expression to epoch micros: must
-    * be foldable (a literal/constant expression, the standard
-    * contract) and castable to TIMESTAMP. */
+    * be an already-resolved constant (a literal — this rule runs in
+    * the Hints batch, BEFORE expression resolution, so a function
+    * call like `current_date()` is still unresolved here and refuses
+    * with this message instead of an internal UnresolvedException)
+    * castable to TIMESTAMP. */
   private def evalTsMicros(e: Expression): Long = {
-    if (!e.foldable) throw new IllegalArgumentException(
-      s"TIMESTAMP AS OF expression must be a constant, got ${e.sql}")
+    if (!e.resolved || !e.foldable) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF on a graft-lake table takes a constant literal " +
+        s"(evaluated before expression resolution); got ${e.sql}")
     val tz = session.sessionState.conf.sessionLocalTimeZone
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.TimestampType, Some(tz)).eval() match {

@@ -1475,23 +1475,33 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root)).isEmpty)
   }
 
-  test("z-order on a partitioned table: answers exact, file ranges take over pruning, the layout returns on the next commit") {
+  test("z-order on a partitioned table is PER PARTITION: dir pruning survives, file ranges bite inside kept dirs") {
     val root = tmpTable("graft-lake-part-zorder")
-    val df = (1L to 40L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
+    val df = (1L to 400L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
     Lake.commitOverwrite(df, root, retain = 8, partitionBy = Seq("y"))
-    // clustering on (y, k) collapses the partition dirs into one
-    // globally-ordered dir; answers stay exact and the y predicate
-    // now prunes at FILE granularity through the fresh #fstats_
+    // Delta's OPTIMIZE ZORDER BY semantics: each partition tuple
+    // rewrites into its own clustered dir carrying its exact values —
+    // the declared layout never degrades under the rewrite
     Lake.clusterCommitted(spark, root, Seq("y", "k"),
-      targetBytes = 2048, retain = 8)
+      targetBytes = 1024, retain = 8)
     assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1995L)
-      .select("k")) === (1L to 40L).filter(_ % 4 == 0).map(Seq(_)).toSet)
-    val (_, _, skippedFiles) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+      .select("k")) === (1L to 400L).filter(_ % 4 == 0).map(Seq(_)).toSet)
+    // partition-dir pruning SURVIVED: the y predicate drops the other
+    // three years' clustered dirs at manifest cost
+    val (_, skippedDirs, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(skippedDirs.length === 3,
+      s"expected the 3 non-matching year dirs skipped, got $skippedDirs")
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(1995L, 1L), Seq(1996L, 1L), Seq(1997L, 1L), Seq(1998L, 1L)))
+    // and the cluster column's per-file ranges prune INSIDE kept dirs
+    val (_, sd2, skippedFiles) = Lake.resolveWhere(spark, root,
+      col("y") === 1995L && col("k") <= 20L)
+    assert(sd2.length === 3)
     assert(skippedFiles.nonEmpty,
-      "clustered file ranges must prune the partition predicate")
-    // the DECLARED layout survived the z-order: the next plain append
-    // re-partitions its batch and dir pruning returns for it
-    Lake.commitAppend(Seq((41L, 1999L)).toDF("k", "y"), root, retain = 8)
+      "clustered file ranges must prune inside the kept partition dir")
+    // the layout keeps composing: the next plain append re-partitions
+    // its batch and dir pruning covers it too
+    Lake.commitAppend(Seq((401L, 1999L)).toDF("k", "y"), root, retain = 8)
     val (k99, s99, _) = Lake.resolveWhere(spark, root, col("y") === 1999L)
     assert(k99.length === 1 && s99.nonEmpty,
       "inherited partition layout must prune the fresh append's dir")
@@ -1499,12 +1509,11 @@ class LakeSpec extends SparkSpec {
 
   test("mixed snapshot (q155 shape): partition-value dir pruning AND z-order file skipping fire on ONE predicate in one scan") {
     val root = tmpTable("graft-lake-pz-mixed")
-    // even keys: partitioned by y, then z-ordered into one clustered
-    // dir (per-file ranges); odd keys: appended AFTER, inheriting the
-    // declared partition layout (per-year dirs with exact values)
-    // y derives from k/2 so BOTH parities cover all four years (the
-    // even half z-orders, the odd half appends partitioned)
-    val df = (1L to 400L).map(k => (k, 1995L + (k / 2) % 4, k * 7 % 100))
+    // even keys: partitioned by y, then z-ordered PER PARTITION (each
+    // year dir rewrites clustered with per-file ranges); odd keys:
+    // appended AFTER, inheriting the declared partition layout.
+    // y derives from k/2 so BOTH parities cover all four years
+    val df = (1L to 1600L).map(k => (k, 1995L + (k / 2) % 4, k * 7 % 100))
       .toDF("k", "y", "c")
     Lake.commitOverwrite(df.where(col("k") % 2 === 0), root, retain = 8,
       partitionBy = Seq("y"))
@@ -1513,23 +1522,26 @@ class LakeSpec extends SparkSpec {
     Lake.commitAppend(df.where(col("k") % 2 === 1), root, retain = 8)
     val (kept, skippedDirs, skippedFiles) =
       Lake.resolveWhere(spark, root, col("y") === 1996L && col("c") <= 30L)
-    // both mechanisms on one predicate: the appended per-year dirs
-    // prune by exact partition value, the clustered dir's files prune
-    // by their z-order ranges
-    assert(skippedDirs.length === 3,
-      s"expected the 3 non-matching year dirs skipped, got $skippedDirs")
+    // both mechanisms on one predicate: SIX non-matching year dirs
+    // (3 clustered + 3 appended) prune by exact partition value, and
+    // the kept clustered dir's files prune by their z-order ranges
+    assert(skippedDirs.length === 6,
+      s"expected the 6 non-matching year dirs skipped, got $skippedDirs")
     assert(skippedFiles.nonEmpty,
-      "expected z-order file ranges to skip inside the clustered dir")
+      "expected z-order file ranges to skip inside the kept clustered dir")
     assert(kept.nonEmpty)
     // and the answer is exact
     assert(rows(Lake.readCommittedWhere(spark, root,
         col("y") === 1996L && col("c") <= 30L).select("k")) ===
-      (1L to 400L)
+      (1L to 1600L)
         .filter(k => 1995L + (k / 2) % 4 == 1996L && k * 7 % 100 <= 30)
         .map(Seq(_)).toSet)
   }
 
-  test("partitionValues: manifest-only layout report — NULL tuple included, value-less dirs excluded, unpartitioned refused") {
+  // (value-less dirs excluded from the report is pinned by the
+  // maintenance-fallback test above: the over-cap rewrite's dir
+  // carries no #part_ line and partitionValues lists nothing)
+  test("partitionValues: manifest-only layout report — NULL tuple included, per-partition z-order keeps values, unpartitioned refused") {
     val root = tmpTable("graft-lake-part-show")
     val rows0 = Seq(
       (1L, java.lang.Long.valueOf(1995L)), (2L, java.lang.Long.valueOf(1995L)),
@@ -1540,10 +1552,12 @@ class LakeSpec extends SparkSpec {
       root, retain = 8)
     assert(rows(Lake.partitionValues(spark, root)) ===
       Set(Seq(1995L, 2L), Seq(1996L, 1L), Seq(null, 1L)))
-    // a z-ordered snapshot's global dir carries no values: not listed
+    // z-order is per-partition: each tuple (including the NULL one)
+    // collapses to ONE clustered dir that keeps its exact values
     Lake.clusterCommitted(spark, root, Seq("k"), targetBytes = 2048,
       retain = 8)
-    assert(Lake.partitionValues(spark, root).isEmpty)
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(1995L, 1L), Seq(1996L, 1L), Seq(null, 1L)))
     // unpartitioned tables refuse (there is no layout to report)
     val plain = tmpTable("graft-lake-part-show-plain")
     Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), plain, retain = 8)

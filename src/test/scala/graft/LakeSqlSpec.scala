@@ -455,6 +455,12 @@ class LakeSqlSpec extends SparkSpec {
         spark.sql("SELECT k FROM lakesql_tt VERSION AS OF 99")
       }
       assert(missing.getMessage.contains("not committed"))
+      // a non-literal timestamp expression refuses with the contract
+      // named (the rule runs before expression resolution)
+      val fn = intercept[IllegalArgumentException] {
+        spark.sql("SELECT k FROM lakesql_tt TIMESTAMP AS OF current_date()")
+      }
+      assert(fn.getMessage.contains("constant literal"))
       // non-lake catalog tables keep Spark's standard refusal — the
       // hint rule passes anything without the graft-lake provider
       spark.sql("DROP TABLE IF EXISTS lakesql_tt_plain")
