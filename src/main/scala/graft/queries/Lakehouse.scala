@@ -1072,5 +1072,35 @@ object Lakehouse {
         .select(col("o_orderkey"), col("o_custkey"), col("o_year"),
           col("o_totalprice"), col("c_acctbal"))
         .orderBy("o_orderkey")
+    },
+
+    // Predicate-scoped OPTIMIZE under the oracle hash — how OPTIMIZE
+    // actually runs at 100 TB: the q147 scenario (year-partitioned
+    // orders, two fragmented parity batches) gets `OPTIMIZE … WHERE
+    // o_year = 1996` — ONLY that year's two dirs rewrite z-ordered
+    // (per-file ranges), every other partition carries by reference,
+    // never read (LakeSpec gates the carried-dir set). The read then
+    // spans one OPTIMIZED partition and one CARRIED partition, so
+    // "scoping the rewrite is invisible to the answer" is what hashes
+    // (same oracle as q147).
+    Q("q158_optimize_where",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1996, 1998)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_optwhere", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 8, partitionBy = Seq("o_year"))
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 8)
+      Lake.clusterCommitted(s, root, Seq("o_year", "o_custkey"),
+        targetBytes = 64 * 1024, retain = 8,
+        where = Some(col("o_year") === 1996L))
+      Lake.readCommittedWhere(s, root, col("o_year").isin(1996L, 1998L))
+        .orderBy("o_orderkey")
     })
 }

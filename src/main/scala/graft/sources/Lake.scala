@@ -2919,8 +2919,18 @@ object Lake {
     * keeps the pre-cluster snapshot, markers carried. The cluster
     * columns join the table's established stat columns so later
     * appends stat them too. Returns the committed version. */
+  /** @param where scope the rewrite (`OPTIMIZE … WHERE`): dirs the
+    *   manifest PROVES can hold no matching row (partition values,
+    *   stats, blooms — the readCommittedWhere pruner) carry into the
+    *   new snapshot BY REFERENCE, untouched; every other dir rewrites
+    *   clustered with ALL its rows (the predicate selects which FILES
+    *   get optimized, never which rows survive — row multiset is
+    *   always preserved). At 100 TB this is how OPTIMIZE actually
+    *   runs: yesterday's fragmented partition rewrites, the cold
+    *   history is never read. None = the whole snapshot. */
   def clusterCommitted(spark: SparkSession, root: String, cols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     // on a PARTITIONED table, clustering is PER PARTITION (Delta's
@@ -2947,14 +2957,34 @@ object Lake {
         "contract depends on; bucketed tables compact with " +
         "compactCommitted (layout-preserving) instead of z-ordering")
     val liveDirs = manifestDirs(fs, r, cur)
+    // predicate scope: dirs the manifest proves hold no matching row
+    // carry by reference; the rest rewrite (with ALL their rows)
+    val (rewriteDirs, carriedDirs) = where match {
+      case None => (liveDirs, Seq.empty[String])
+      case Some(p) =>
+        val (kept, skipped) = pruneDirsAt(spark, root, cur,
+          extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(p)))
+        (kept, skipped)
+    }
     def dirBytes(d: String): Long =
       fs.listStatus(new Path(r, d)).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum
-    val bytesByDir = liveDirs.map(d => d -> dirBytes(d)).toMap
+    val bytesByDir = rewriteDirs.map(d => d -> dirBytes(d)).toMap
     val total = bytesByDir.values.sum
+    if (where.isDefined && (rewriteDirs.isEmpty || total == 0))
+      return cur // nothing in scope: the snapshot is already optimal
     require(total > 0, s"no parquet data in the live snapshot at $root")
-    val df = readCommittedAt(spark, root, cur)
+    val carried = manifestSchema(fs, r, cur)
+    val df =
+      if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
+      else {
+        val paths = rewriteDirs.map(d => new Path(r, d).toString)
+        carried match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+      }
     cols.foreach(c => require(df.columns.contains(c),
       s"cluster column '$c' not in the table schema"))
     def isNumeric(dt: DataType): Boolean = dt match {
@@ -3037,9 +3067,9 @@ object Lake {
           // recorded dirs' bytes + an even share of value-less dirs
           // (legacy/global dirs whose rows re-home to their tuples here)
           val partsRaw = manifestPartsRaw(fs, r, cur)
-          val valueless = liveDirs.filterNot(partsRaw.contains)
+          val valueless = rewriteDirs.filterNot(partsRaw.contains)
             .map(bytesByDir).sum / tuples.length
-          val bytesByJson = liveDirs.flatMap(d =>
+          val bytesByJson = rewriteDirs.flatMap(d =>
             partsRaw.get(d).map(_ -> bytesByDir(d)))
             .groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2).sum }
           val dirs = Seq.newBuilder[String]
@@ -3072,8 +3102,8 @@ object Lake {
           (dirs.result(), ds.result(), fjs.result(), bls.result(),
             pls.result())
         }
-      preserveMarkers(fs, r, liveDirs, newDirs)
-      if (!commitManifest(fs, r, next, newDirs, retain,
+      preserveMarkers(fs, r, rewriteDirs, newDirs)
+      if (!commitManifest(fs, r, next, carriedDirs ++ newDirs, retain,
           Some(cached.schema), manifestRows(fs, r, cur),
           dirStats, effStats, fileStats,
           newBlooms = blooms, bloomCols = effBloom,

@@ -1538,6 +1538,42 @@ class LakeSpec extends SparkSpec {
         .map(Seq(_)).toSet)
   }
 
+  test("OPTIMIZE WHERE: only in-scope dirs rewrite, the cold history carries by reference, rows always preserved") {
+    val root = tmpTable("graft-lake-optwhere")
+    val df = (1L to 800L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
+    // two fragmented appends per year: 8 dirs
+    Lake.commitOverwrite(df.where(col("k") <= 400L), root, retain = 8,
+      partitionBy = Seq("y"))
+    Lake.commitAppend(df.where(col("k") > 400L), root, retain = 8)
+    val before = Lake.snapshotDirNames(spark, root,
+      Lake.currentVersion(spark, root).get).toSet
+    assert(before.size === 8)
+    // scope the rewrite to one year: its two dirs collapse into one
+    // clustered dir; the OTHER SIX dirs carry by reference (same
+    // names in the new manifest — the cold history is never read)
+    val v = Lake.clusterCommitted(spark, root, Seq("y", "k"),
+      targetBytes = 1024, retain = 8,
+      where = Some(col("y") === 1996L))
+    val after = Lake.snapshotDirNames(spark, root, v).toSet
+    val carried = before.intersect(after)
+    assert(carried.size === 6, s"expected 6 carried dirs, got $carried")
+    assert((after -- carried).size === 1, "one fresh clustered dir for 1996")
+    assert(rows(Lake.partitionValues(spark, root)) ===
+      Set(Seq(1995L, 2L), Seq(1996L, 1L), Seq(1997L, 2L), Seq(1998L, 2L)))
+    // row multiset untouched (the predicate scopes FILES, never rows)
+    assert(Lake.readCommitted(spark, root).count() === 800L)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1996L)
+      .select("k")) === (1L to 800L).filter(_ % 4 == 1).map(Seq(_)).toSet)
+    // the fresh dir's file ranges bite: a k-range inside 1996 skips
+    val (_, sd, sf) = Lake.resolveWhere(spark, root,
+      col("y") === 1996L && col("k") <= 40L)
+    assert(sd.length === 6 && sf.nonEmpty,
+      s"expected 6 dirs + some files skipped, got dirs=$sd files=$sf")
+    // an out-of-scope predicate is a no-op: same version back
+    assert(Lake.clusterCommitted(spark, root, Seq("y", "k"),
+      where = Some(col("y") === 2050L)) === v)
+  }
+
   // (value-less dirs excluded from the report is pinned by the
   // maintenance-fallback test above: the over-cap rewrite's dir
   // carries no #part_ line and partitionValues lists nothing)
