@@ -2847,8 +2847,12 @@ object Lake {
     * committed through the same atomic rename. Row multiset and
     * carried schema unchanged; concurrent readers keep the pre-
     * compaction snapshot until retention passes. Converges like
-    * [[compact]]: sizing uses current on-disk bytes. Returns the
-    * committed version. */
+    * [[compact]]: sizing uses current on-disk bytes. For a SCOPED
+    * small-files cleanup (only the hot partition, cold history
+    * untouched) use [[clusterCommitted]] with `where` — its
+    * lexicographic fallback over the partition columns is a compact
+    * that also records per-file ranges. Returns the committed
+    * version. */
   def compactCommitted(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
