@@ -2966,9 +2966,22 @@ object Lake {
     val (rewriteDirs, carriedDirs) = where match {
       case None => (liveDirs, Seq.empty[String])
       case Some(p) =>
-        val (kept, skipped) = pruneDirsAt(spark, root, cur,
-          extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(p)))
-        (kept, skipped)
+        val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(p))
+        // a typo'd column or an un-prunable predicate shape would
+        // carry NOTHING and silently rewrite the whole table — refuse
+        // loudly; whole-table optimize is the where-less spelling
+        require(preds.nonEmpty,
+          "OPTIMIZE WHERE predicate has no prunable conjunct " +
+            "(column-vs-literal =, <, <=, >, >=, IN, IS [NOT] NULL, " +
+            "AND) — it would rewrite the whole table; omit `where` for " +
+            "a full rewrite")
+        manifestSchema(fs, r, cur).map(_.fieldNames.toSet).foreach { sc =>
+          preds.map(_.col).distinct.foreach(c => require(sc.contains(c),
+            s"OPTIMIZE WHERE references column '$c' which is not in the " +
+              "committed schema — nothing would be excluded and the whole " +
+              "table would rewrite"))
+        }
+        pruneDirsAt(spark, root, cur, preds)
     }
     def dirBytes(d: String): Long =
       fs.listStatus(new Path(r, d)).toSeq

@@ -374,7 +374,10 @@ final class LakeStreamSink(root: String, retain: Int,
   * (required, the committed table), `version` (batch), and for
   * streams `startingVersion` = `"latest"` (only commits after stream
   * start) or a version number N (changes from N on; default: the
-  * full snapshot as the first batch) plus `ignoreDeletes`. */
+  * full snapshot as the first batch), `startingTimestamp` (stream
+  * what landed after the instant, resolved through the commit
+  * markers' own times — Delta parity, mutually exclusive with
+  * startingVersion) plus `ignoreDeletes`. */
 final class GraftLakeProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
@@ -503,13 +506,34 @@ final class GraftLakeProvider extends StreamSourceProvider
     // skips the gap. The resolution is persisted in the source's own
     // checkpoint dir (atomic tmp+rename, same primitive as the lake):
     // restarts read it back, a fresh checkpoint re-resolves.
-    val startAfter = parameters.get("startingVersion").map { sv =>
-      val resolved = sv match {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    // `startingTimestamp` (Delta parity): stream the commits that
+    // landed AFTER the given instant — resolved through the commit
+    // markers' own timestamps (Lake.versionAsOf = latest at-or-before,
+    // which is exactly the version to start AFTER); a timestamp
+    // predating every retained commit streams from the full first
+    // snapshot. Resolution persists in the checkpoint like
+    // startingVersion="latest" does: retention moving the marker
+    // horizon must not shift a restart's boundary.
+    val requestedStart: Option[Long] =
+      parameters.get("startingTimestamp").map { ts =>
+        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestampAnsi(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+            java.time.ZoneId.of(sqlContext.sparkSession.sessionState.conf
+              .sessionLocalTimeZone))
+        scala.util.Try(
+          Lake.versionAsOf(sqlContext.sparkSession, root, micros))
+          .getOrElse(-1L)
+      }.orElse(parameters.get("startingVersion").map {
         case "latest" => Lake.currentVersion(sqlContext.sparkSession, root)
           .getOrElse(-1L)
         case n => n.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"startingVersion must be \"latest\" or a version number, got $n")) - 1L
-      }
+      })
+    val startAfter = requestedStart.map { resolved =>
       val p = new Path(metadataPath, "graft-lake-start")
       val fs = p.getFileSystem(
         sqlContext.sparkSession.sparkContext.hadoopConfiguration)

@@ -1572,6 +1572,18 @@ class LakeSpec extends SparkSpec {
     // an out-of-scope predicate is a no-op: same version back
     assert(Lake.clusterCommitted(spark, root, Seq("y", "k"),
       where = Some(col("y") === 2050L)) === v)
+    // guards: a typo'd column or an un-prunable shape would silently
+    // rewrite the whole table — both refuse loudly
+    val typo = intercept[IllegalArgumentException] {
+      Lake.clusterCommitted(spark, root, Seq("y", "k"),
+        where = Some(col("nope") === 1L))
+    }
+    assert(typo.getMessage.contains("not in the committed schema"))
+    val orTree = intercept[IllegalArgumentException] {
+      Lake.clusterCommitted(spark, root, Seq("y", "k"),
+        where = Some(col("y") === 1996L || col("k") === 1L))
+    }
+    assert(orTree.getMessage.contains("no prunable conjunct"))
   }
 
   // (value-less dirs excluded from the report is pinned by the

@@ -83,6 +83,51 @@ class LakeStreamSpec extends SparkSpec {
     assert(rows(spark.table("lkstream_from1")) === Set(Seq(2L, "b")))
   }
 
+  test("startingTimestamp resolves through commit-marker times: stream what landed after the instant") {
+    val root = tmpTable("graft-lkstream-sts")
+    Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
+    Thread.sleep(1200) // marker mtimes have ms granularity
+    val boundary = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    Thread.sleep(1200)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8) // v1
+    // between the commits: only what landed after the instant streams
+    val qMid = readLake(root, Map("startingTimestamp" -> boundary))
+      .writeStream.format("memory").queryName("lkstream_ts_mid")
+      .trigger(Trigger.AvailableNow()).start()
+    qMid.awaitTermination()
+    assert(rows(spark.table("lkstream_ts_mid")) === Set(Seq(2L, "b")))
+    // predating every commit: the full first snapshot streams
+    val qPast = readLake(root,
+      Map("startingTimestamp" -> "1990-01-01 00:00:00"))
+      .writeStream.format("memory").queryName("lkstream_ts_past")
+      .trigger(Trigger.AvailableNow()).start()
+    qPast.awaitTermination()
+    assert(rows(spark.table("lkstream_ts_past")) ===
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    // after every commit: nothing replays, only future commits would
+    val qFut = readLake(root,
+      Map("startingTimestamp" -> "9999-01-01 00:00:00"))
+      .writeStream.format("memory").queryName("lkstream_ts_fut")
+      .trigger(Trigger.AvailableNow()).start()
+    qFut.awaitTermination()
+    assert(spark.table("lkstream_ts_fut").count() === 0L)
+    // the two start options are mutually exclusive (the refusal
+    // surfaces wrapped in the streaming query's terminal exception)
+    val both = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      readLake(root, Map("startingTimestamp" -> boundary,
+        "startingVersion" -> "0"))
+        .writeStream.format("memory").queryName("lkstream_ts_both")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(Iterator.iterate[Throwable](both)(_.getCause)
+      .takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("mutually exclusive"))))
+  }
+
   test("startingVersion=latest is pinned at FIRST start, not re-resolved per restart") {
     val root = tmpTable("graft-lkstream-pin-latest")
     val ckpt = tmpDir("graft-lkstream-pin-ckpt")
