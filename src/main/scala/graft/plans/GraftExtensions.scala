@@ -105,6 +105,15 @@ object GraftExtensions {
         "docroot" -> "https://spark.apache.org/docs/latest"))
   }
 
+  private def wrongArgs(name: String, expected: String, n: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected,
+        "actualNum" -> n.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val tableFunctions: Seq[TableFunctionDescription] = Seq(
     (FunctionIdentifier("graft_history"),
       new ExpressionInfo("graft.sources.Lake", "graft_history"),
@@ -115,7 +124,43 @@ object GraftExtensions {
       new ExpressionInfo("graft.sources.Lake", "graft_partitions"),
       args => graft.sources.Lake.partitionValues(
         SparkSession.active, rootArg("graft_partitions", args))
-        .queryExecution.analyzed))
+        .queryExecution.analyzed),
+    // Delta's `table_changes` for lake tables: the exact row-level
+    // change feed of a version range, in SQL —
+    // `FROM graft_changes('<root>', from, to, '<k1,k2>')`. Unlike the
+    // metadata functions this resolves to the change-feed PLAN (diff
+    // joins over only the changed dirs), not a materialized result.
+    (FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.sources.Lake", "graft_changes"),
+      { args =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def longOf(e: Expression): Option[Long] = e match {
+          case Literal(v: java.lang.Integer, _) => Some(v.toLong)
+          case Literal(v: java.lang.Long, _)    => Some(v)
+          case _                                 => None
+        }
+        def strOf(e: Expression): Option[String] = e match {
+          case Literal(s, org.apache.spark.sql.types.StringType)
+              if s != null => Some(s.toString)
+          case _ => None
+        }
+        (args.map(Some(_)) ++ Seq.fill(4)(None)).take(4) match {
+          case Seq(Some(a), Some(b), Some(c), Some(d)) =>
+            (for {
+              root <- strOf(a); from <- longOf(b)
+              to <- longOf(c); keys <- strOf(d)
+            } yield graft.sources.Lake.changesBetween(SparkSession.active,
+              root, from, to,
+              keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .queryExecution.analyzed)
+              .getOrElse(wrongArgs("graft_changes",
+                "4 (root string, from version, to version, key-columns csv)",
+                args.length))
+          case _ => wrongArgs("graft_changes",
+            "4 (root string, from version, to version, key-columns csv)",
+            args.length)
+        }
+      }))
 
   // typed Column builders (no registry needed)
   def dot(a: Column, b: Column): Column =

@@ -1102,5 +1102,36 @@ object Lakehouse {
         where = Some(col("o_year") === 1996L))
       Lake.readCommittedWhere(s, root, col("o_year").isin(1996L, 1998L))
         .orderBy("o_orderkey")
+    },
+
+    // Delta's `table_changes` in SQL, under the oracle hash: orders
+    // land as THREE key-ranged append commits (v0, v1, v2), and
+    // `FROM graft_changes('<root>', 0, 2, 'o_orderkey')` answers the
+    // exact NET row-level changes that turn snapshot v0 into v2 —
+    // for an append chain, precisely the second and third batches as
+    // inserts, which the oracle replays from the key ranges alone.
+    // The TVF resolves to the change-feed PLAN (per-version diffs
+    // read only changed dirs), so ad-hoc CDC inspection costs
+    // O(changed dirs) at any table size — the q113 machinery with a
+    // SQL spelling.
+    Q("q159_sql_table_changes",
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o_orderkey, o_totalprice, 'insert' AS change_type
+        |FROM orders, m
+        |WHERE o_orderkey > mx // 3
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_sqlchanges", d)
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val maxId = orders.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+      val third = maxId / 3
+      Lake.commitAppend(orders.where(col("o_orderkey") <= third), root,
+        retain = 8)
+      Lake.commitAppend(orders.where(col("o_orderkey") > third &&
+        col("o_orderkey") <= 2 * third), root, retain = 8)
+      Lake.commitAppend(orders.where(col("o_orderkey") > 2 * third), root,
+        retain = 8)
+      s.sql(s"""SELECT o_orderkey, o_totalprice, change_type
+               |FROM graft_changes('$root', 0, 2, 'o_orderkey')
+               |ORDER BY o_orderkey""".stripMargin)
     })
 }

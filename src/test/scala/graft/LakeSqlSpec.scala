@@ -495,10 +495,21 @@ class LakeSqlSpec extends SparkSpec {
     assert(rows(spark.sql(
       s"SELECT y, n_dirs FROM graft_partitions('$root') ORDER BY y")) ===
       Set(Seq(1995L, 2L)))
+    // table_changes spelling: the NET row-level changes v0 -> v2 in
+    // SQL — the append's insert and the delete's retraction
+    val ch = spark.sql(
+      s"""SELECT k, change_type FROM graft_changes('$root', 0, 2, 'k')
+         |ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ch === Seq((2L, "delete"), (3L, "insert")))
     // wrong arity / non-literal refuses with the function named
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft_history()")
     }
     assert(e.getMessage.contains("graft_history"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_changes('x', 0)")
+    }
+    assert(e2.getMessage.contains("graft_changes"))
   }
 }
