@@ -1133,5 +1133,30 @@ object Lakehouse {
       s.sql(s"""SELECT o_orderkey, o_totalprice, change_type
                |FROM graft_changes('$root', 0, 2, 'o_orderkey')
                |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // RESTORE under the oracle hash — the rollback story: orders land
+    // (v0), take a bad COW update (v1) and a bad COW delete (v2), and
+    // ONE manifest write (Lake.restoreCommitted — v0's immutable dirs
+    // referenced verbatim, zero data I/O at any table size) rolls the
+    // live table back. The oracle is the ORIGINAL table: a restore
+    // must be indistinguishable from the edits never happening, while
+    // history stays readable behind it and the change feed emits the
+    // exact revivals (LakeSpec pins both). This is the operational
+    // answer to a bad pipeline deploy at 100 TB: seconds, not a
+    // re-load.
+    Q("q160_restore",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_restore", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Lake.commitOverwrite(orders, root, retain = 8,
+        statsCols = Seq("o_orderkey"))
+      Lake.updateWhere(s, root, col("o_orderstatus") === "F",
+        Map("o_totalprice" -> (col("o_totalprice") + 100.0)), retain = 8)
+      Lake.deleteWhere(s, root, col("o_orderkey") % 10 === 3, retain = 8)
+      Lake.restoreCommitted(s, root, 0L, retain = 8)
+      Lake.readCommitted(s, root).orderBy("o_orderkey")
     })
 }

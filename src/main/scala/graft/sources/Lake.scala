@@ -1521,6 +1521,54 @@ object Lake {
       version: Option[Long] = None): Unit =
     sqlTable(spark, root, version).createOrReplaceTempView(name)
 
+  /** RESTORE — roll the LIVE table back to a retained snapshot
+    * (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit `version`'s
+    * dir list as the NEXT version. One manifest write, ZERO data I/O
+    * at any table size — version dirs are immutable and the restored
+    * ones are still on disk (that is what retention retains), so the
+    * restore references them exactly like a shallow clone references
+    * its source. History is preserved, not rewritten: the bad commits
+    * stay readable behind the restore point (auditable), the change
+    * feed across the restore emits the exact rows it retracts/revives
+    * (downstream MVs keep folding), and restoring is itself
+    * time-travelable. The restored dirs bring their own stats / bloom
+    * / file-stats / partition lines from their manifest (the previous
+    * version may have dropped them). Refuses when `version` is no
+    * longer readable (named horizon), when its data dirs were swept,
+    * or when the bucket layout changed across the restore range (the
+    * old dirs would not satisfy the current naming contract).
+    * Optimistically concurrent like every maintenance commit.
+    * @return the committed version holding the restored snapshot */
+  def restoreCommitted(spark: SparkSession, root: String,
+      version: Long, retain: Int = 1): Long = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    if (version == cur) return cur // restoring the live snapshot: no-op
+    // validates the marker exists and every referenced dir survives
+    val (_, schema) = resolveSnapshot(spark, root, Some(version))
+    require(manifestBucketBy(fs, r, version) == manifestBucketBy(fs, r, cur),
+      s"the bucket layout changed between v$version and the live " +
+        s"v$cur — restored dirs would not satisfy the current bucketed " +
+        "read contract; re-layout with commitOverwrite instead")
+    val dirs = manifestDirs(fs, r, version)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, dirs, retain,
+        Some(schema), manifestRows(fs, r, version),
+        newStats = manifestStatsRaw(fs, r, version),
+        newFileStats = manifestFileStatsRaw(fs, r, version),
+        newBlooms = manifestBloomsRaw(fs, r, version),
+        newParts = manifestPartsRaw(fs, r, version),
+        op = s"restore v$version"))
+      throw new java.util.ConcurrentModificationException(
+        s"restore of $root to v$version lost version $next to a " +
+          "concurrent commit — re-check the live table and retry")
+    next
+  }
+
   /** The declared bucket layout of one snapshot, as Spark's
     * [[org.apache.spark.sql.catalyst.catalog.BucketSpec]] — what the
     * relation assembly attaches so the scan exposes

@@ -1538,6 +1538,52 @@ class LakeSpec extends SparkSpec {
         .map(Seq(_)).toSet)
   }
 
+  test("restoreCommitted: one-manifest rollback — dirs by reference, history preserved, feed exact, refusals loud") {
+    val root = tmpTable("graft-lake-restore")
+    Lake.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root,
+      retain = 8, rowCount = Some(2L))                               // v0
+    Lake.updateWhere(spark, root, col("k") === 2L,
+      Map("v" -> lit(99.0)), retain = 8)                             // v1
+    Lake.deleteWhere(spark, root, col("k") === 1L, retain = 8)      // v2
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(2L, 99.0)))
+    val v0dirs = Lake.snapshotDirNames(spark, root, 0L).toSet
+    // restore: the bad edits roll back in ONE manifest write — the
+    // restored snapshot references v0's dirs verbatim, zero data I/O
+    val v3 = Lake.restoreCommitted(spark, root, 0L, retain = 8)
+    assert(v3 === 3L)
+    assert(Lake.snapshotDirNames(spark, root, v3).toSet === v0dirs)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 20.0)))
+    // history preserved, not rewritten: the restore is an audited op
+    // and the bad versions stay time-travelable behind it
+    val hist = Lake.describeHistory(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(3L) === "restore v0")
+    assert(rows(Lake.readCommittedAt(spark, root, 2L)) === Set(Seq(2L, 99.0)))
+    // the change feed across the restore emits the exact revival:
+    // k=1 comes back, k=2 flips 99 -> 20 (both images)
+    val feed = Lake.changesBetween(spark, root, 2L, 3L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(feed === Set((1L, "insert"),
+      (2L, "update_preimage"), (2L, "update_postimage")))
+    // metadata count carried from the restored version
+    assert(Lake.countCommitted(spark, root) === Some(2L))
+    // no-op: restoring the live snapshot returns it unchanged
+    assert(Lake.restoreCommitted(spark, root, 3L) === 3L)
+    // a version outside the readable horizon refuses, naming it
+    intercept[java.util.NoSuchElementException] {
+      Lake.restoreCommitted(spark, root, 99L)
+    }
+    // a bucket-layout change across the restore range refuses: v0's
+    // dirs lack the naming the current contract requires
+    Lake.commitOverwrite(Seq((5L, 1.0)).toDF("k", "v"), root, retain = 8,
+      bucketBy = Some((4, Seq("k"))))                                // v4
+    val e = intercept[IllegalArgumentException] {
+      Lake.restoreCommitted(spark, root, 0L, retain = 8)
+    }
+    assert(e.getMessage.contains("bucket layout changed"))
+  }
+
   test("OPTIMIZE WHERE: only in-scope dirs rewrite, the cold history carries by reference, rows always preserved") {
     val root = tmpTable("graft-lake-optwhere")
     val df = (1L to 800L).map(k => (k, 1995L + k % 4)).toDF("k", "y")
