@@ -1158,5 +1158,35 @@ object Lakehouse {
       Lake.deleteWhere(s, root, col("o_orderkey") % 10 === 3, retain = 8)
       Lake.restoreCommitted(s, root, 0L, retain = 8)
       Lake.readCommitted(s, root).orderBy("o_orderkey")
+    },
+
+    // CHECK constraints under the oracle hash — the DLT-expectations /
+    // Delta-CHECK story: a curated table declares `o_orderkey % 2 = 0`
+    // (its partition discipline), a conforming append commits, and a
+    // violating append REFUSES before anything stages (one aggregate
+    // job over the batch, never the table). The hash is the final
+    // table: if the gate ever let the bad batch through, the odd keys
+    // would land and the oracle (evens only) would mismatch — "the
+    // constraint actually blocked it" is what hashes. At 100 TB this
+    // is the write-side quality gate every curated training corpus
+    // runs: O(batch) validation riding each commit.
+    Q("q161_check_constraint",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_check", d)
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val maxId = orders.agg(max(col("o_orderkey"))).collect().head.getLong(0)
+      val evens = orders.where(col("o_orderkey") % 2 === 0)
+      Lake.commitOverwrite(evens.where(col("o_orderkey") <= maxId / 2),
+        root, retain = 8)
+      Lake.addCheckConstraint(s, root, "evens_only", "o_orderkey % 2 = 0")
+      Lake.commitAppend(evens.where(col("o_orderkey") > maxId / 2), root,
+        retain = 8)
+      val blocked = scala.util.Try(
+        Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+          retain = 8)).isFailure
+      require(blocked, "the violating batch must refuse")
+      Lake.readCommitted(s, root).orderBy("o_orderkey")
     })
 }

@@ -619,6 +619,123 @@ object Lake {
   // table (earlier dirs lack the naming — re-layout via overwrite).
   private val BucketByPrefix = "#bucketby="
 
+  // ---- CHECK constraints as a table property -----------------------
+  //
+  // `#check=<name>:<sql expression>` lines (one per constraint,
+  // inherited like every table-property line) are Delta's CHECK
+  // constraints / DLT expectations: EVERY commit that introduces or
+  // rewrites rows validates them in ONE extra aggregate job over the
+  // batch (never the table) and refuses naming the violated
+  // constraints and their violation counts. SQL NULL semantics: a row
+  // passes when the expression is TRUE or NULL, violates only on
+  // FALSE. Row-preserving maintenance (compact, z-order, restore) and
+  // predicate DELETE skip validation — they cannot create a violating
+  // row that did not already exist.
+  private val CheckPrefix = "#check="
+
+  private[graft] def manifestChecks(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(CheckPrefix) &&
+          l.indexOf(':', CheckPrefix.length) > CheckPrefix.length =>
+        val i = l.indexOf(':', CheckPrefix.length)
+        l.substring(CheckPrefix.length, i) -> l.substring(i + 1)
+    }
+
+  private def liveChecks(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Seq[(String, String)] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestChecks(fs, r, v)).getOrElse(Nil)
+
+  /** ONE aggregate job over `df`: refuse (naming every violated
+    * constraint and its row count) if any live CHECK constraint fails.
+    * O(batch) — the validation scans what the commit was going to
+    * write anyway, never the table. */
+  private def validateChecks(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val cs = liveChecks(fs, r)
+    if (cs.isEmpty) return
+    val counts = df.agg(
+      sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L).otherwise(0L))
+        .as(cs.head._1),
+      cs.tail.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+      }: _*).collect().head
+    val violated = cs.zipWithIndex.collect {
+      case ((n, e), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$n (${counts.getLong(i)} rows violate `$e`)"
+    }
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"$what at $r violates CHECK constraint(s): " +
+        violated.mkString("; ") + " — fix the rows or drop the constraint")
+  }
+
+  /** ADD a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    * validates the EXISTING table first (one aggregate job over the
+    * live snapshot), then commits the property — same dirs, one
+    * manifest write. Every later row-introducing commit validates its
+    * batch against it. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+      name: String, sqlExpr: String, retain: Int = 1): Long = {
+    require(name.nonEmpty && !name.exists(":=,\n#".contains(_)),
+      s"constraint name '$name' may not contain ':', '=', ',', '#', or newline")
+    require(!sqlExpr.contains("\n"),
+      "constraint expression must be a single manifest line")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val prev = manifestChecks(fs, r, cur)
+    require(!prev.exists(_._1 == name),
+      s"constraint '$name' already exists on $root — drop it first")
+    // the new constraint must hold on the existing rows
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val bad = readCommittedAt(spark, root, cur)
+      .agg(sum(when(!coalesce(expr(sqlExpr), lit(true)), 1L).otherwise(0L)))
+      .collect().head.getLong(0)
+    require(bad == 0,
+      s"cannot add constraint '$name': $bad existing rows violate " +
+        s"`$sqlExpr` — clean the table first (Delta's ADD CONSTRAINT rule)")
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        checks = Some(prev :+ (name -> sqlExpr)),
+        op = s"add constraint $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding constraint '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** DROP a CHECK constraint — same dirs, one manifest write. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+      name: String, retain: Int = 1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val prev = manifestChecks(fs, r, cur)
+    require(prev.exists(_._1 == name),
+      s"no constraint '$name' on $root (have: " +
+        prev.map(_._1).mkString("[", ", ", "]") + ")")
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        checks = Some(prev.filterNot(_._1 == name)),
+        op = s"drop constraint $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"dropping constraint '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** The live CHECK constraints of a table: (name, sql expression). */
+  def checkConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
+    liveChecks(fsFor(spark, root), new Path(root))
+
   private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[(Int, Seq[String])] =
     manifestBody(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
@@ -1873,6 +1990,7 @@ object Lake {
       newParts: Map[String, String] = Map.empty,
       partCols: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
+      checks: Option[Seq[(String, String)]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -1918,6 +2036,9 @@ object Lake {
       else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
     // the bucket layout inherits like the other table-property lines
     val effBucket = bucketBy.orElse(prevV.flatMap(v => manifestBucketBy(fs, r, v)))
+    // CHECK constraints inherit too; Some(…) replaces (add/drop)
+    val effChecks = checks.getOrElse(
+      prevV.map(v => manifestChecks(fs, r, v)).getOrElse(Nil))
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -1938,6 +2059,7 @@ object Lake {
       effBucket.map { case (n, cols) =>
         BucketByPrefix + n + ":" + cols.mkString(",")
       } ++
+      effChecks.map { case (n, e) => CheckPrefix + n + ":" + e } ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -2070,6 +2192,9 @@ object Lake {
     val effBloom = effectiveBloomCols(fs, r, bloomCols)
     val effPart = effectivePartCols(fs, r, partitionBy)
     val effBucket = effectiveBucketBy(fs, r, bucketBy)
+    // CHECK constraints gate every row-introducing commit: one
+    // aggregate job over the batch, BEFORE anything stages
+    validateChecks(fs, r, df, "overwrite")
     // data first, completely, under dirs no other writer contests
     // (one per partition-value tuple when the table is partitioned)
     val (staged, stats, blooms, parts) =
@@ -2138,6 +2263,7 @@ object Lake {
           s"unbucketed table at $root — earlier dirs lack bucket file " +
           "naming; re-layout with commitOverwrite(bucketBy = …)")
     val effBucket = effectiveBucketBy(fs, r, bucketBy)
+    validateChecks(fs, r, df, "append")
     // O(batch): stats only for the new dirs; reused dirs' lines carry
     val (staged, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
@@ -2333,6 +2459,7 @@ object Lake {
       val effBloom = effectiveBloomCols(fs, r, Nil)
       val effPart = manifestPartCols(fs, r, cur)
       val effBucket = manifestBucketBy(fs, r, cur)
+      validateChecks(fs, r, rewritten, "merge")
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
           maintenance = true, bucketBy = effBucket)
@@ -2566,6 +2693,7 @@ object Lake {
     // re-staging splits by the post-update values, so the layout stays
     // exact either way
     val effPart = manifestPartCols(fs, r, cur)
+    validateChecks(fs, r, updated, "update")
     val (newDirs, freshStats, freshBlooms, freshParts) =
       stageBatch(spark, fs, r, updated, effStats, effBloom, effPart,
           maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
@@ -2759,6 +2887,7 @@ object Lake {
       // re-stage the rewrite one dir per value tuple
       val effPart = manifestPartCols(fs, r, cur)
       val effBucket = manifestBucketBy(fs, r, cur)
+      validateChecks(fs, r, rewritten, "merge")
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
           maintenance = true, bucketBy = effBucket)
@@ -2901,22 +3030,51 @@ object Lake {
     * lexicographic fallback over the partition columns is a compact
     * that also records per-file ranges. Returns the committed
     * version. */
+  /** @param minBytes INCREMENTAL compaction (Delta's OPTIMIZE
+    *   bin-packing rule): only dirs SMALLER than `minBytes` collapse —
+    *   already-compacted dirs carry into the new snapshot BY
+    *   REFERENCE, untouched. At 100 TB this is the standing
+    *   maintenance cadence: hourly appendlets fold into one
+    *   size-targeted dir while the compacted history is never read.
+    *   0 (the default) keeps the whole-snapshot collapse. Fewer than
+    *   two small dirs is a version-stable no-op (collapsing one dir
+    *   into one dir moves bytes for nothing). */
   def compactCommitted(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1): Long = {
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1,
+      minBytes: Long = 0L): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(minBytes >= 0, s"minBytes must be >= 0, got $minBytes")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val liveDirs = manifestDirs(fs, r, cur)
-    val total = liveDirs
-      .flatMap(d => fs.listStatus(new Path(r, d)).toSeq)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    require(total > 0, s"no parquet data in the live snapshot at $root")
+    def dirBytes(d: String): Long =
+      fs.listStatus(new Path(r, d)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    val (smallDirs, carriedDirs) =
+      if (minBytes <= 0L) (liveDirs, Seq.empty[String])
+      else liveDirs.partition(d => dirBytes(d) < minBytes)
+    if (minBytes > 0L && smallDirs.lengthCompare(2) < 0)
+      return cur // nothing to bin-pack: already compact
+    val total = smallDirs.map(dirBytes).sum
+    require(total > 0 || minBytes > 0L,
+      s"no parquet data in the live snapshot at $root")
+    if (total == 0L) return cur // only empty dirs in scope
     val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val df = readCommittedAt(spark, root, cur).repartition(n)
+    val carried = manifestSchema(fs, r, cur)
+    val base =
+      if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
+      else {
+        val paths = smallDirs.map(d => new Path(r, d).toString)
+        carried match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None    => spark.read.parquet(paths: _*)
+        }
+      }
+    val df = base.repartition(n)
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
     val effBloom = effectiveBloomCols(fs, r, Nil)
@@ -2930,13 +3088,14 @@ object Lake {
     val (newDirs, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
         maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
-    // the collapsed snapshot replaces EVERY live dir — carry their
-    // streaming-fold replay markers forward (see preserveMarkers)
-    preserveMarkers(fs, r, liveDirs, newDirs)
+    // the collapsed dirs hand their streaming-fold replay markers to
+    // their replacements; carried dirs keep their own in place
+    preserveMarkers(fs, r, smallDirs, newDirs)
     // compaction is row-preserving: the previous count carries over;
     // the collapsed dirs get fresh stats (footer-pushdown read of
-    // what was just written)
-    if (!commitManifest(fs, r, next, newDirs, retain, Some(df.schema),
+    // what was just written) and carried dirs keep their lines
+    if (!commitManifest(fs, r, next, carriedDirs ++ newDirs, retain,
+        carried.orElse(Some(df.schema)),
         manifestRows(fs, r, cur), stats, effStats,
         newBlooms = blooms, bloomCols = effBloom,
         newParts = parts, op = "compact")) {

@@ -1538,6 +1538,87 @@ class LakeSpec extends SparkSpec {
         .map(Seq(_)).toSet)
   }
 
+  test("CHECK constraints: add validates existing rows, every row-introducing commit gates its batch, drop lifts") {
+    val root = tmpTable("graft-lake-check")
+    Lake.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root,
+      retain = 8)
+    // adding a constraint the existing rows violate refuses (Delta's
+    // ADD CONSTRAINT rule), with the violation count named
+    val pre = intercept[IllegalArgumentException] {
+      Lake.addCheckConstraint(spark, root, "v_big", "v > 15.0")
+    }
+    assert(pre.getMessage.contains("1 existing rows violate"))
+    Lake.addCheckConstraint(spark, root, "v_pos", "v > 0.0")
+    assert(Lake.checkConstraints(spark, root) === Seq("v_pos" -> "v > 0.0"))
+    intercept[IllegalArgumentException] {
+      Lake.addCheckConstraint(spark, root, "v_pos", "v > 1.0") // dup name
+    }
+    // a violating APPEND refuses before anything stages — no orphan
+    // dirs, table unchanged
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dirsBefore = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val bad = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((3L, -1.0)).toDF("k", "v"), root, retain = 8)
+    }
+    assert(bad.getMessage.contains("v_pos") &&
+      bad.getMessage.contains("1 rows violate"))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet === dirsBefore)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 20.0)))
+    // SQL CHECK NULL semantics: a NULL expression PASSES
+    Lake.commitAppend(
+      Seq(4L).toDF("k").withColumn("v", lit(null).cast("double")),
+      root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 3L)
+    // a COW UPDATE cannot write a violating post-image either
+    val badUpd = intercept[IllegalArgumentException] {
+      Lake.updateWhere(spark, root, col("k") === 1L,
+        Map("v" -> lit(-5.0)), retain = 8)
+    }
+    assert(badUpd.getMessage.contains("v_pos"))
+    // neither can a CDC merge's winning upserts
+    intercept[IllegalArgumentException] {
+      Lake.mergeCommitted(spark, root,
+        Seq((2L, -9.0, 1L, false)).toDF("k", "v", "ver", "del"),
+        Seq("k"), "ver", "del", retain = 8)
+    }
+    // predicate DELETE skips validation (a row subset cannot violate)
+    Lake.deleteWhere(spark, root, col("k") === 4L, retain = 8)
+    // drop lifts the gate
+    Lake.dropCheckConstraint(spark, root, "v_pos")
+    Lake.commitAppend(Seq((5L, -1.0)).toDF("k", "v"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10.0), Seq(2L, 20.0), Seq(5L, -1.0)))
+  }
+
+  test("incremental compaction (minBytes): small dirs bin-pack, compacted history carries by reference") {
+    val root = tmpTable("graft-lake-inc-compact")
+    // one BIG dir (the already-compacted history) + three appendlets
+    Lake.commitOverwrite((1L to 5000L).map(k => (k, s"v$k")).toDF("k", "t"),
+      root, retain = 8)
+    (5001L to 5003L).foreach { k =>
+      Lake.commitAppend(Seq((k, s"v$k")).toDF("k", "t"), root, retain = 8)
+      ()
+    }
+    val before = Lake.snapshotDirNames(spark, root,
+      Lake.currentVersion(spark, root).get).toSet
+    assert(before.size === 4)
+    val bigDir = Lake.snapshotDirNames(spark, root, 0L).head
+    // bin-pack only the appendlets: the big dir is NEVER read
+    val v = Lake.compactCommitted(spark, root, retain = 8,
+      minBytes = 16 * 1024)
+    val after = Lake.snapshotDirNames(spark, root, v).toSet
+    assert(after.contains(bigDir), "compacted history must carry by reference")
+    assert(after.size === 2, s"three appendlets collapse to one dir: $after")
+    assert(Lake.readCommitted(spark, root).count() === 5003L)
+    // already compact: re-running is a version-stable no-op
+    assert(Lake.compactCommitted(spark, root, retain = 8,
+      minBytes = 16 * 1024) === v)
+  }
+
   test("restoreCommitted: one-manifest rollback — dirs by reference, history preserved, feed exact, refusals loud") {
     val root = tmpTable("graft-lake-restore")
     Lake.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root,
