@@ -1116,6 +1116,37 @@ class LakeSpec extends SparkSpec {
       body
     }
 
+  test("OCC: restore and constraint commits lose their slot loudly, table intact") {
+    val root = tmpTable("graft-lake-occ-meta")
+    Lake.commitOverwrite(Seq((1L, 1.0)).toDF("k", "v"), root, retain = 8) // v0
+    Lake.commitAppend(Seq((2L, 2.0)).toDF("k", "v"), root, retain = 8)   // v1
+    // a concurrent append lands inside the restore's build->publish
+    // window and takes its slot: the restore refuses (CME), never
+    // silently drops the interloper's rows
+    raceOnce {
+      Lake.commitAppend(Seq((3L, 3.0)).toDF("k", "v"), root, retain = 8)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Lake.restoreCommitted(spark, root, 0L, retain = 8)
+    }
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 3.0)))
+    // same discipline for the constraint property commit
+    raceOnce {
+      Lake.commitAppend(Seq((4L, 4.0)).toDF("k", "v"), root, retain = 8)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      Lake.addCheckConstraint(spark, root, "v_pos", "v > 0.0")
+    }
+    assert(Lake.checkConstraints(spark, root).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+    // the retry then lands cleanly
+    Lake.addCheckConstraint(spark, root, "v_pos", "v > 0.0")
+    assert(Lake.checkConstraints(spark, root).map(_._1) === Seq("v_pos"))
+  }
+
   test("OCC: two interleaved appenders both commit, serialized, no lost dirs") {
     import org.apache.hadoop.fs.Path
     val root = tmpTable("graft-lake-occ-app")
