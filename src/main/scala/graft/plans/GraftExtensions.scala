@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built-in ResolveRelations refuses v1 time travel before any
     // extended RESOLUTION rule could fire (see GraftLakeTimeTravelRule)
     ext.injectHintResolutionRule(s => new graft.sources.GraftLakeTimeTravelRule(s))
+    // ALTER TABLE … ADD/DROP CONSTRAINT on graft-lake tables routes to
+    // the manifest constraint property — same pre-Resolution slot
+    // (ResolveSessionCatalog refuses the v2 commands for v1 tables)
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakeConstraintRule(s))
   }
 }
 

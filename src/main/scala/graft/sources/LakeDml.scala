@@ -237,6 +237,32 @@ private[sources] object LakeDml {
 
   def refresh(session: SparkSession, ident: Option[TableIdentifier]): Unit =
     ident.foreach(i => session.catalog.refreshTable(i.quotedString))
+
+  /** The (root, identifier) of a graft-lake CATALOG table named by
+    * `parts` — None for temp views (they shadow), unknown tables, or
+    * other providers. Shared by the Hints-batch rules (time travel,
+    * constraint DDL), which run before relation resolution and so must
+    * resolve the name themselves. */
+  def lakeRootByIdent(session: SparkSession, parts: Seq[String])
+      : Option[(String, Option[TableIdentifier])] = {
+    val ident = parts match {
+      case Seq(t)       => Some(TableIdentifier(t))
+      case Seq(db, t)   => Some(TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _            => None
+    }
+    for {
+      i <- ident
+      cat = session.sessionState.catalog
+      if !cat.isTempView(parts)
+      meta <- scala.util.Try(cat.getTableMetadata(i)).toOption
+      if meta.provider.exists(_.equalsIgnoreCase("graft-lake"))
+    } yield (meta.storage.properties.getOrElse("root",
+      throw new IllegalArgumentException(
+        s"graft-lake table ${i.quotedString} carries no root option")),
+      Some(i))
+  }
 }
 
 /** `DELETE FROM lake WHERE p` → [[Lake.deleteWhere]] (stats/bloom
@@ -324,25 +350,8 @@ class GraftLakeTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** The table root iff `u` names a graft-lake catalog table (temp
     * views and unknown/other-provider tables return None and keep the
     * built-in behavior). */
-  private def lakeRootOf(u: UnresolvedRelation): Option[String] = {
-    val parts = u.multipartIdentifier
-    val ident = parts match {
-      case Seq(t)                               => Some(TableIdentifier(t))
-      case Seq(db, t)                           => Some(TableIdentifier(t, Some(db)))
-      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
-        Some(TableIdentifier(t, Some(db)))
-      case _                                    => None
-    }
-    for {
-      i <- ident
-      cat = session.sessionState.catalog
-      if !cat.isTempView(parts) // a temp view shadows the table name
-      meta <- scala.util.Try(cat.getTableMetadata(i)).toOption
-      if meta.provider.exists(_.equalsIgnoreCase("graft-lake"))
-    } yield meta.storage.properties.getOrElse("root",
-      throw new IllegalArgumentException(
-        s"graft-lake table ${i.quotedString} carries no root option"))
-  }
+  private def lakeRootOf(u: UnresolvedRelation): Option[String] =
+    LakeDml.lakeRootByIdent(session, u.multipartIdentifier).map(_._1)
 
   /** Evaluate the `TIMESTAMP AS OF` expression to epoch micros: must
     * be an already-resolved constant (a literal — this rule runs in
@@ -362,5 +371,70 @@ class GraftLakeTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
         s"TIMESTAMP AS OF expression ${e.sql} does not evaluate to a " +
           "timestamp")
     }
+  }
+}
+
+/** SQL CHECK-constraint DDL for graft-lake catalog tables:
+  * `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+  * `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name` route to
+  * [[Lake.addCheckConstraint]] / [[Lake.dropCheckConstraint]].
+  *
+  * Same Hints-batch slot as [[GraftLakeTimeTravelRule]], for the same
+  * reason: ResolveSessionCatalog refuses the v2 constraint commands
+  * for v1 session-catalog tables (UNSUPPORTED_FEATURE.TABLE_OPERATION)
+  * before any extended resolution rule runs. Non-graft tables pass
+  * through and keep the standard error. `NOT ENFORCED` refuses —
+  * graft constraints always enforce on write. */
+class GraftLakeConstraintRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTable}
+  import org.apache.spark.sql.catalyst.expressions.CheckConstraint
+  import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, DropConstraint}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case a @ AddCheckConstraint(child,
+          chk @ CheckConstraint(_, _, _, _, characteristic)) =>
+        val parts = child.collectFirst {
+          case u: UnresolvedRelation => u.multipartIdentifier
+        }
+        parts.flatMap(LakeDml.lakeRootByIdent(session, _)) match {
+          case None => a
+          case Some((root, ident)) =>
+            require(!characteristic.enforced.contains(false),
+              "NOT ENFORCED is not supported on graft-lake tables — " +
+                "CHECK constraints always enforce on write")
+            val name = Option(chk.name).filter(_.nonEmpty)
+              .getOrElse("chk_" + math.abs(chk.condition.hashCode).toString)
+            GraftAddConstraintCommand(root, name, chk.condition, ident)
+        }
+      case d @ DropConstraint(t: UnresolvedTable, name, ifExists, _) =>
+        LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
+          case None => d
+          case Some((root, ident)) =>
+            GraftDropConstraintCommand(root, name, ifExists, ident)
+        }
+    }
+}
+
+case class GraftAddConstraintCommand(root: String, name: String,
+    condition: String, ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.addCheckConstraint(session, root, name, condition)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+case class GraftDropConstraintCommand(root: String, name: String,
+    ifExists: Boolean, ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!ifExists ||
+        Lake.checkConstraints(session, root).exists(_._1 == name)) {
+      Lake.dropCheckConstraint(session, root, name)
+      LakeDml.refresh(session, ident)
+    }
+    Seq.empty
   }
 }

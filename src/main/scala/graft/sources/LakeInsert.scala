@@ -28,7 +28,9 @@ import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationComm
   * needing custom retention/stats knobs use the write API. */
 case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
     query: LogicalPlan, outputColumnNames: Seq[String],
-    partitionBy: Seq[String]) extends LeafRunnableCommand {
+    partitionBy: Seq[String],
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
     val df0 = org.apache.spark.sql.graft.Shim.ofRows(session, query)
@@ -47,6 +49,12 @@ case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
       } else df0
     if (overwrite) Lake.commitOverwrite(df, root, partitionBy = partitionBy)
     else Lake.commitAppend(df, root, partitionBy = partitionBy)
+    // invalidate the catalog's cached relation so the next SELECT on
+    // this table resolves the post-insert snapshot — without it the
+    // INSERT's own analysis caches the PRE-insert relation and later
+    // reads silently serve stale rows (the failure class the DML
+    // commands already refresh against; measured, then fixed)
+    LakeDml.refresh(session, ident)
     Seq.empty
   }
 }
@@ -76,7 +84,8 @@ class GraftLakeInsertRule extends Rule[LogicalPlan] {
             // the DDL declaration lives on the catalog table — the
             // relation's own partitionSchema is empty by design (the
             // manifest, not hive paths, carries the layout)
-            c.catalogTable.map(_.partitionColumnNames).getOrElse(Nil))
+            c.catalogTable.map(_.partitionColumnNames).getOrElse(Nil),
+            c.catalogTable.map(_.identifier))
         case _ => plan
       }
     case _ => plan // inserts are whole-statement commands; never nested

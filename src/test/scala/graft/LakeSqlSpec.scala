@@ -197,13 +197,13 @@ class LakeSqlSpec extends SparkSpec {
     spark.sql(
       s"CREATE TABLE lakesql_ins USING `graft-lake` OPTIONS (root '$root')")
     try {
-      // INSERT INTO = a real append commit: visible to SQL (after the
-      // standard REFRESH — snapshot-pinned handles), to readCommitted,
-      // and to the change feed; the manifest records the op
+      // INSERT INTO = a real append commit: visible to SQL WITHOUT a
+      // manual REFRESH (the command invalidates the cached relation,
+      // the DML contract), to readCommitted, and to the change feed;
+      // the manifest records the op
       spark.sql("INSERT INTO lakesql_ins VALUES (2, 'b')")
       assert(rows(Lake.readCommitted(spark, root)) ===
         Set(Seq(1L, "a"), Seq(2L, "b")))
-      spark.sql("REFRESH TABLE lakesql_ins")
       assert(rows(spark.sql("SELECT * FROM lakesql_ins")) ===
         Set(Seq(1L, "a"), Seq(2L, "b")))
       assert(Lake.currentVersion(spark, root) === Some(1L))
@@ -213,10 +213,10 @@ class LakeSqlSpec extends SparkSpec {
         new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
       assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root)).exists(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet")))
-      // INSERT OVERWRITE = a snapshot replace, same protocol
+      // INSERT OVERWRITE = a snapshot replace, same protocol, same
+      // no-REFRESH visibility
       spark.sql("INSERT OVERWRITE lakesql_ins VALUES (9, 'z')")
       assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(9L, "z")))
-      spark.sql("REFRESH TABLE lakesql_ins")
       assert(rows(spark.sql("SELECT * FROM lakesql_ins")) === Set(Seq(9L, "z")))
       // time travel still serves the pre-overwrite snapshot
       assert(rows(Lake.readCommittedAt(spark, root, 1L)) ===
@@ -476,6 +476,63 @@ class LakeSqlSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS lakesql_tt"); ()
     }
+  }
+
+  test("SQL constraint DDL: ALTER TABLE ADD/DROP CONSTRAINT gates writes through the manifest property") {
+    import spark.implicits._
+    val root = tmpTable("lakesql-cons")
+    Lake.commitOverwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root,
+      retain = 8)
+    spark.sql("DROP TABLE IF EXISTS lakesql_cons")
+    try {
+      spark.sql(s"CREATE TABLE lakesql_cons USING `graft-lake` OPTIONS (root '$root')")
+      spark.sql("ALTER TABLE lakesql_cons ADD CONSTRAINT v_pos CHECK (v > 0)")
+      assert(Lake.checkConstraints(spark, root) === Seq("v_pos" -> "v > 0"))
+      // the gate holds on the SQL write path too
+      val bad = intercept[Exception] {
+        spark.sql("INSERT INTO lakesql_cons VALUES (3, -1.0)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(bad).exists(_.contains("v_pos")))
+      assert(spark.sql("SELECT count(*) AS n FROM lakesql_cons")
+        .collect().head.getLong(0) === 2L)
+      // adding a constraint the existing rows violate refuses
+      val pre = intercept[IllegalArgumentException] {
+        spark.sql("ALTER TABLE lakesql_cons ADD CONSTRAINT v_big CHECK (v > 15)")
+      }
+      assert(pre.getMessage.contains("existing rows violate"))
+      // NOT ENFORCED is refused for CHECK by Spark's own parser (and
+      // belt-and-braces by the rule); the explicit ENFORCED spelling
+      // routes through and gates like the bare form
+      val ne = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        spark.sql(
+          "ALTER TABLE lakesql_cons ADD CONSTRAINT v_ne CHECK (v > 0) NOT ENFORCED")
+      }
+      assert(ne.getMessage.contains("NOT ENFORCED"))
+      spark.sql(
+        "ALTER TABLE lakesql_cons ADD CONSTRAINT v_cap CHECK (v < 1e9) ENFORCED")
+      assert(Lake.checkConstraints(spark, root).map(_._1) ===
+        Seq("v_pos", "v_cap"))
+      spark.sql("ALTER TABLE lakesql_cons DROP CONSTRAINT v_cap")
+      // drop lifts the gate; IF EXISTS tolerates absence
+      spark.sql("ALTER TABLE lakesql_cons DROP CONSTRAINT v_pos")
+      spark.sql("ALTER TABLE lakesql_cons DROP CONSTRAINT IF EXISTS v_pos")
+      spark.sql("INSERT INTO lakesql_cons VALUES (3, -1.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM lakesql_cons")
+        .collect().head.getLong(0) === 3L)
+      // non-lake tables keep the standard refusal
+      spark.sql("DROP TABLE IF EXISTS lakesql_cons_plain")
+      spark.sql("CREATE TABLE lakesql_cons_plain (k BIGINT) USING parquet")
+      try {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql(
+            "ALTER TABLE lakesql_cons_plain ADD CONSTRAINT c CHECK (k > 0)")
+        }
+        assert(e.getMessage.contains("does not support"))
+      } finally { spark.sql("DROP TABLE IF EXISTS lakesql_cons_plain"); () }
+    } finally { spark.sql("DROP TABLE IF EXISTS lakesql_cons"); () }
   }
 
   test("metadata table functions: graft_history and graft_partitions answer from the manifest in SQL") {
