@@ -148,8 +148,8 @@ object GraftExtensions {
               if s != null => Some(s.toString)
           case _ => None
         }
-        (args.map(Some(_)) ++ Seq.fill(4)(None)).take(4) match {
-          case Seq(Some(a), Some(b), Some(c), Some(d)) =>
+        args match {
+          case Seq(a, b, c, d) =>
             (for {
               root <- strOf(a); from <- longOf(b)
               to <- longOf(c); keys <- strOf(d)

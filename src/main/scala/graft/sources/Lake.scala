@@ -1679,6 +1679,11 @@ object Lake {
         newFileStats = manifestFileStatsRaw(fs, r, version),
         newBlooms = manifestBloomsRaw(fs, r, version),
         newParts = manifestPartsRaw(fs, r, version),
+        // CHECK constraints restore to the TARGET version's set (Delta
+        // restores metadata with data): a constraint added after
+        // `version` was never validated against these rows and must
+        // not silently claim to hold over them
+        checks = Some(manifestChecks(fs, r, version)),
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +

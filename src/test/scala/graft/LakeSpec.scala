@@ -1686,10 +1686,17 @@ class LakeSpec extends SparkSpec {
     intercept[java.util.NoSuchElementException] {
       Lake.restoreCommitted(spark, root, 99L)
     }
+    // CHECK constraints restore WITH the data: a constraint added
+    // AFTER the target version was never validated against its rows
+    // and must not silently claim to hold over them
+    Lake.addCheckConstraint(spark, root, "v_pos", "v > 0.0",
+      retain = 8)                                                    // v4
+    Lake.restoreCommitted(spark, root, 0L, retain = 8)               // v5
+    assert(Lake.checkConstraints(spark, root).isEmpty)
     // a bucket-layout change across the restore range refuses: v0's
     // dirs lack the naming the current contract requires
     Lake.commitOverwrite(Seq((5L, 1.0)).toDF("k", "v"), root, retain = 8,
-      bucketBy = Some((4, Seq("k"))))                                // v4
+      bucketBy = Some((4, Seq("k"))))
     val e = intercept[IllegalArgumentException] {
       Lake.restoreCommitted(spark, root, 0L, retain = 8)
     }
