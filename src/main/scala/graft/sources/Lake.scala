@@ -1387,13 +1387,20 @@ object Lake {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val out = readableVersions(spark, root).map { v =>
-      org.apache.spark.sql.Row(v, manifestOp(fs, r, v).orNull,
+      // the marker file's own mtime IS the commit instant (what
+      // TIMESTAMP AS OF / startingTimestamp resolve against)
+      val ts = scala.util.Try(new java.sql.Timestamp(
+        fs.getFileStatus(new Path(r, s"_commit_$v")).getModificationTime))
+        .getOrElse(null)
+      org.apache.spark.sql.Row(v, ts, manifestOp(fs, r, v).orNull,
         manifestDirs(fs, r, v).size,
         manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("version",
         org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
       org.apache.spark.sql.types.StructField("op",
         org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("n_dirs",

@@ -964,14 +964,20 @@ class LakeSpec extends SparkSpec {
       Map("v" -> (col("v") + 1.0)), retain = 10)
     Lake.compactCommitted(spark, root, targetBytes = 1L << 20, retain = 10)
     val h = Lake.describeHistory(spark, root).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(h === Map(0L -> "overwrite", 1L -> "append", 2L -> "delete",
       3L -> "update", 4L -> "compact"))
+    // every version carries its commit instant (the marker's mtime —
+    // what TIMESTAMP AS OF resolves against), non-decreasing
+    val ts = Lake.describeHistory(spark, root).collect()
+      .map(r => r.getTimestamp(1))
+    assert(ts.forall(_ != null))
+    assert(ts.sliding(2).forall { case Array(a, b) => !b.before(a) })
     // row counts ride where the writer carried one (counted commits;
     // the append SUMS onto the chain, the row-preserving update and
     // compact carry it, the count-destroying delete drops it honestly)
     val rc = Lake.describeHistory(spark, root).collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
     assert(rc(0L) === Some(3L) && rc(1L) === Some(4L) && rc(2L) === None)
     // a pre-op manifest (hand-written, dirs only) reports NULL op
     val legacy = tmpTable("graft-lake-hist-legacy")
@@ -983,7 +989,7 @@ class LakeSpec extends SparkSpec {
     val stripped = body.split("\n").filterNot(_.startsWith("#op=")).mkString("\n")
     val out = fs.create(m, true)
     try out.write(stripped.getBytes("UTF-8")) finally out.close()
-    assert(Lake.describeHistory(spark, legacy).collect().map(_.isNullAt(1)).toSeq
+    assert(Lake.describeHistory(spark, legacy).collect().map(_.isNullAt(2)).toSeq
       === Seq(true))
   }
 
@@ -1669,7 +1675,7 @@ class LakeSpec extends SparkSpec {
     // history preserved, not rewritten: the restore is an audited op
     // and the bad versions stay time-travelable behind it
     val hist = Lake.describeHistory(spark, root).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toMap
+      .map(r => (r.getLong(0), r.getString(2))).toMap
     assert(hist(3L) === "restore v0")
     assert(rows(Lake.readCommittedAt(spark, root, 2L)) === Set(Seq(2L, 99.0)))
     // the change feed across the restore emits the exact revival:
