@@ -1188,5 +1188,37 @@ object Lakehouse {
           retain = 8)).isFailure
       require(blocked, "the violating batch must refuse")
       Lake.readCommitted(s, root).orderBy("o_orderkey")
+    },
+
+    // LOSSLESS TYPE WIDENING under the oracle hash — Delta's
+    // type-widening evolution: the first half of orders lands with
+    // o_orderkey as INT and o_totalprice as FLOAT (the types an early
+    // ingest chose), the second half arrives LONG/DOUBLE and the
+    // schema WIDENS in place — the old dirs read upcast, nothing
+    // rewrites. The oracle reads the same rows as BIGINT/DOUBLE from
+    // the start, so "widening is exact" is what hashes: a lossy
+    // coercion anywhere (the float→double upcast, the int→long read)
+    // would flip values. At 100 TB this is the schema mistake every
+    // long-lived table survives without a rewrite.
+    Q("q162_type_widening",
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_widen", d)
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      Lake.commitAppend(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice").cast("float").as("price")),
+        root, retain = 8)
+      Lake.commitAppend(
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price")),
+        root, retain = 8)
+      Lake.readCommitted(s, root).orderBy("o_orderkey")
     })
 }

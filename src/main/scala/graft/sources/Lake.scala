@@ -1919,13 +1919,50 @@ object Lake {
         .foreach(n => fs.create(new Path(new Path(r, t), n)).close())
     }
 
+  /** LOSSLESS type widening for schema evolution (Delta's
+    * type-widening feature): `Some(wider)` when one side widens the
+    * other with zero information loss AND the parquet reader upcasts
+    * the narrower files under the wider schema (byte→short→int→long,
+    * float→double, ≤int-integral→double — all probed on Spark 4.1's
+    * vectorized reader). long→double and anything decimal/temporal is
+    * NOT widening (lossy / representation-changing) and refuses. */
+  private def widenedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    def smallIntegral(dt: DataType): Boolean =
+      dt == ByteType || dt == ShortType || dt == IntegerType
+    if (a == b) Some(a)
+    else (rank(a), rank(b)) match {
+      case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
+      case _ =>
+        (a, b) match {
+          case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+            Some(DoubleType)
+          case (x, DoubleType) if smallIntegral(x) => Some(DoubleType)
+          case (DoubleType, x) if smallIntegral(x) => Some(DoubleType)
+          case _ => None
+        }
+    }
+  }
+
   /** Merge a committed table schema with an incoming batch's: the
-    * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one.
-    * New columns append (nullable — old files lack them and read
-    * NULL); a column the batch omits stays (nullable — the new files
-    * read NULL for it); a column changing TYPE is refused loudly —
-    * silent coercion corrupts every prior snapshot's reading of the
-    * shared files. */
+    * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one,
+    * plus LOSSLESS TYPE WIDENING ([[widenedType]] — the merged column
+    * takes the wider type in EITHER direction: a long batch widens an
+    * int column, and an int batch lands unchanged in a long column;
+    * old files read upcast under the widened schema, new files are
+    * whatever the batch wrote — both exact). New columns append
+    * (nullable — old files lack them and read NULL); a column the
+    * batch omits stays (nullable — the new files read NULL for it);
+    * any NON-widening type change is refused loudly — silent coercion
+    * corrupts every prior snapshot's reading of the shared files. */
   private[graft] def mergeSchemas(
       base: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType):
@@ -1934,12 +1971,14 @@ object Lake {
     val kept = base.fields.map { f =>
       incoming.fields.find(_.name == f.name) match {
         case Some(g) =>
-          require(g.dataType == f.dataType,
-            s"schema evolution supports adding nullable columns only; " +
-              s"'${f.name}' changes type ${f.dataType.simpleString} -> " +
-              s"${g.dataType.simpleString}. Rewrite the table " +
-              "(commitOverwrite) to change a column's type.")
-          f.copy(nullable = f.nullable || g.nullable)
+          val merged = widenedType(f.dataType, g.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution supports adding nullable columns and " +
+                s"lossless type widening only; '${f.name}' changes type " +
+                s"${f.dataType.simpleString} -> ${g.dataType.simpleString}. " +
+                "Rewrite the table (commitOverwrite) to change a " +
+                "column's type."))
+          f.copy(dataType = merged, nullable = f.nullable || g.nullable)
         case None => f.copy(nullable = true)
       }
     }

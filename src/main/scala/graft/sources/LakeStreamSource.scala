@@ -208,28 +208,36 @@ final class LakeStreamSource(
             "checkpoint, or commit with a larger `retain`")
     }
     // schema-evolution guard (Delta's rule): a mid-stream mergeSchemas
-    // append widened the table past the stream's PINNED schema. The
-    // pinned plan physically cannot carry the new column, and emitting
-    // rows without it would be silent column loss — the failure class
-    // this engine refuses everywhere. Column adds are monotone
-    // (mergeSchemas is add-nullable-only), so checking the range's end
-    // version covers every version in the batch. A replayed batch
-    // whose end MARKER was retention-pruned skips the check (that
-    // batch's dirs were already streamed; the other guards own it).
+    // append widened the table past the stream's PINNED schema —
+    // either a NEW COLUMN (the pinned plan physically cannot carry it,
+    // and emitting rows without it would be silent column loss) or a
+    // TYPE WIDENING (reading the new wider files under the pinned
+    // narrower type is a lossy downcast the reader refuses with a raw
+    // parquet error). Both evolutions are monotone, so checking the
+    // range's end version covers every version in the batch. A
+    // replayed batch whose end MARKER was retention-pruned skips the
+    // check (that batch's dirs were already streamed; the other
+    // guards own it).
     scala.util.Try(Lake.snapshotSchema(spark, root, endV))
       .toOption.flatten.foreach { committed =>
       val pinned = schema.fieldNames.toSet
       val extra = committed.fieldNames.filterNot(pinned.contains).toSeq.sorted
-      if (extra.nonEmpty)
+      val widened = committed.fields.flatMap(cf =>
+        schema.fields.find(_.name == cf.name)
+          .filter(_.dataType != cf.dataType)
+          .map(pf => s"${pf.name}: ${pf.dataType.simpleString} -> " +
+            cf.dataType.simpleString)).toSeq.sorted
+      if (extra.nonEmpty || widened.nonEmpty)
         throw new IllegalStateException(
-          s"streaming source on $root: version $endV carries columns " +
-            extra.mkString("(", ", ", ")") +
-            " that are not in the stream's pinned schema — the table's " +
-            "schema evolved mid-stream. Restart the streaming query (same " +
-            "checkpoint: offsets continue, the restarted source pins the " +
-            "widened schema; earlier versions read NULL-backfilled). " +
-            "Emitting rows without the new columns would be silent " +
-            "column loss, which this source refuses.")
+          s"streaming source on $root: version $endV evolved past the " +
+            "stream's pinned schema (" +
+            (extra.map("new column " + _) ++ widened.map("widened " + _))
+              .mkString("; ") +
+            "). Restart the streaming query (same checkpoint: offsets " +
+            "continue, the restarted source pins the evolved schema; " +
+            "earlier versions read NULL-backfilled/upcast). Emitting " +
+            "under the stale pinned schema would lose or corrupt " +
+            "columns, which this source refuses.")
     }
     if (changeFeedKeys.nonEmpty) return cdfBatch(all, fromV, endV)
     val versions = all.filter(v => v <= endV && fromV.forall(v > _))

@@ -268,6 +268,31 @@ class LakeSpec extends SparkSpec {
       Set(Seq(1L, "a", null), Seq(2L, "b", 7.5), Seq(3L, "c", null)))
     assert(Lake.commitAppend(Seq((5L, "e", 1.0)).toDF("k", "t", "score"), root) === 3L)
     assert(Lake.readCommitted(spark, root).count() === 4L)
+
+    // LOSSLESS TYPE WIDENING is legal evolution (Delta's feature):
+    // a long batch widens an int column, a double batch widens a
+    // float one — old files read upcast under the widened schema
+    val wroot = tmpTable("graft-lake-widen")
+    Lake.commitAppend(Seq((1, 1.5f)).toDF("i", "f"), wroot, retain = 8)
+    Lake.commitAppend(
+      Seq((2L, 2.25)).toDF("i", "f"), wroot, retain = 8)
+    val wide = Lake.readCommitted(spark, wroot)
+    assert(wide.schema.map(f => f.dataType.simpleString).toSeq ===
+      Seq("bigint", "double"))
+    assert(rows(wide) === Set(Seq(1L, 1.5), Seq(2L, 2.25)))
+    // the narrow direction lands unchanged in the wide column
+    Lake.commitAppend(Seq((3, 3.5f)).toDF("i", "f"), wroot, retain = 8)
+    assert(rows(Lake.readCommitted(spark, wroot)) ===
+      Set(Seq(1L, 1.5), Seq(2L, 2.25), Seq(3L, 3.5)))
+    // time travel: the pre-widening snapshot keeps its narrow schema
+    assert(Lake.readCommittedAt(spark, wroot, 0L).schema
+      .map(_.dataType.simpleString).toSeq === Seq("int", "float"))
+    // lossy changes still refuse: long -> double loses precision
+    val lossy = intercept[IllegalArgumentException] {
+      Lake.commitAppend(
+        Seq((4.5, 1.0)).toDF("i", "f"), wroot, retain = 8)
+    }
+    assert(lossy.getMessage.contains("changes type"))
   }
 
   test("mergeCommitted: copy-on-write MERGE rewrites only the touched dirs") {
