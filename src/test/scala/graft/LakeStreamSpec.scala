@@ -448,8 +448,8 @@ class LakeStreamSpec extends SparkSpec {
       Lake.commitAppend(Seq((2L, "b", 20L)).toDF("k", "t", "extra"),
         root, retain = 8)
       val e = intercept[Exception] { q.processAllAvailable() }
-      assert(e.toString.contains("evolved mid-stream") ||
-        Option(e.getCause).exists(_.toString.contains("evolved mid-stream")),
+      assert(e.toString.contains("evolved past the stream") ||
+        Option(e.getCause).exists(_.toString.contains("evolved past the stream")),
         s"expected the schema-evolution refusal, got: $e")
     } finally { scala.util.Try(q.stop()); () }
     // restart on the SAME checkpoint: the source re-pins the widened
@@ -480,8 +480,8 @@ class LakeStreamSpec extends SparkSpec {
       Lake.commitAppend(Seq((2L, "b", 20L)).toDF("k", "t", "extra"),
         root, retain = 8)
       val e = intercept[Exception] { q.processAllAvailable() }
-      assert(e.toString.contains("evolved mid-stream") ||
-        Option(e.getCause).exists(_.toString.contains("evolved mid-stream")),
+      assert(e.toString.contains("evolved past the stream") ||
+        Option(e.getCause).exists(_.toString.contains("evolved past the stream")),
         s"expected the schema-evolution refusal, got: $e")
     } finally { scala.util.Try(q.stop()); () }
     sink.clear()
