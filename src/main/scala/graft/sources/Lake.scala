@@ -1325,6 +1325,22 @@ object Lake {
   private val RowsPrefix = "#rows="
   private val OpPrefix = "#op="
 
+  // `#ts=<epoch millis>` — the commit instant, stamped INTO the
+  // manifest body at publish. `TIMESTAMP AS OF` / `startingTimestamp`
+  // / DESCRIBE HISTORY resolve from this line, NOT from the marker
+  // file's mtime: a table-root backup/restore, `cp -r` migration, or
+  // object-store copy rewrites mtimes and would silently re-date the
+  // whole history (re-resolving past time-travel queries to different
+  // versions). The line travels with the bytes. Pre-existing manifests
+  // without the line fall back to mtime — same answer they always gave.
+  private val TsPrefix = "#ts="
+
+  private[sources] def manifestTsMillis(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Long =
+    manifestBody(fs, r, v).find(_.startsWith(TsPrefix))
+      .flatMap(_.stripPrefix(TsPrefix).toLongOption)
+      .getOrElse(fs.getFileStatus(new Path(r, s"_commit_$v")).getModificationTime)
+
   private def manifestRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[Long] =
     manifestBody(fs, r, v).find(_.startsWith(RowsPrefix))
@@ -1387,11 +1403,11 @@ object Lake {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val out = readableVersions(spark, root).map { v =>
-      // the marker file's own mtime IS the commit instant (what
-      // TIMESTAMP AS OF / startingTimestamp resolve against)
+      // the manifest's own `#ts=` line IS the commit instant (what
+      // TIMESTAMP AS OF / startingTimestamp resolve against); older
+      // manifests without one fall back to the marker file's mtime
       val ts = scala.util.Try(new java.sql.Timestamp(
-        fs.getFileStatus(new Path(r, s"_commit_$v")).getModificationTime))
-        .getOrElse(null)
+        manifestTsMillis(fs, r, v))).getOrElse(null)
       org.apache.spark.sql.Row(v, ts, manifestOp(fs, r, v).orNull,
         manifestDirs(fs, r, v).size,
         manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull)
@@ -1731,18 +1747,19 @@ object Lake {
   }
 
   /** `TIMESTAMP AS OF` resolution: the LATEST version whose commit
-    * marker landed at or before `tsMicros` (epoch micros) — Delta's
-    * commit-timestamp semantics, answered from the marker files'
-    * modification times, no data I/O. Refuses (with the readable
-    * horizon) when the timestamp predates every retained commit. */
+    * landed at or before `tsMicros` (epoch micros) — Delta's
+    * commit-timestamp semantics, answered from the manifests' own
+    * `#ts=` lines (mtime fallback for pre-line manifests — see
+    * [[TsPrefix]] for why mtimes alone are untrustworthy), no data
+    * I/O. Refuses (with the readable horizon) when the timestamp
+    * predates every retained commit. */
   def versionAsOf(spark: SparkSession, root: String, tsMicros: Long): Long = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val vs = committedVersions(fs, r)
     if (vs.isEmpty) throw new java.util.NoSuchElementException(
       s"no committed table at $root")
-    vs.filter(v => fs.getFileStatus(new Path(r, s"_commit_$v"))
-        .getModificationTime * 1000L <= tsMicros)
+    vs.filter(v => manifestTsMillis(fs, r, v) * 1000L <= tsMicros)
       .maxOption.getOrElse(throw new java.util.NoSuchElementException(
         s"no version committed at or before timestamp $tsMicros micros at " +
           s"$root (readable: ${readableVersions(spark, root).mkString("[", ", ", "]")})"))
@@ -2099,6 +2116,7 @@ object Lake {
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     val body = dirs ++ Seq(OpPrefix + op) ++
+      Seq(TsPrefix + System.currentTimeMillis()) ++
       schema.map(s => SchemaPrefix + s.json) ++
       rows.map(n => RowsPrefix + n) ++
       (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))

@@ -1018,6 +1018,46 @@ class LakeSpec extends SparkSpec {
       === Seq(true))
   }
 
+  test("commit instant rides the manifest body: rewritten marker mtimes change nothing") {
+    val root = tmpTable("graft-lake-ts")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 10)
+    Thread.sleep(5)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 10)
+    Thread.sleep(5)
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 10)
+    val before = Lake.describeHistory(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    // the boundary TIMESTAMP AS OF answers before the mtime rewrite …
+    val t1 = before(1L).getTime
+    assert(Lake.versionAsOf(spark, root, t1 * 1000L) === 1L)
+    assert(Lake.versionAsOf(spark, root, (t1 - 1) * 1000L) === 0L)
+    // … then a backup/restore-style migration rewrites every marker
+    // mtime (cp -r, object-store copy): resolution MUST NOT move,
+    // because the instant lives in the manifest body, not the inode
+    (0L to 2L).foreach { v =>
+      val f = java.nio.file.Paths.get(
+        new java.net.URI(root).getPath + s"/_commit_$v")
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    val after = Lake.describeHistory(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(after === before)
+    assert(Lake.versionAsOf(spark, root, t1 * 1000L) === 1L)
+    assert(Lake.versionAsOf(spark, root, (t1 - 1) * 1000L) === 0L)
+    // a pre-#ts manifest (line stripped by hand) falls back to mtime
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(root, "_commit_0")
+    val body = scala.io.Source.fromInputStream(fs.open(m), "UTF-8").mkString
+    val stripped = body.split("\n").filterNot(_.startsWith("#ts=")).mkString("\n")
+    val out = fs.create(m, true)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    val legacyTs = Lake.describeHistory(spark, root).collect()
+      .find(_.getLong(0) == 0L).get.getTimestamp(1).getTime
+    assert(legacyTs === fs.getFileStatus(m).getModificationTime)
+  }
+
   test("ingest pipeline (q124): arrival order beats doc_id across batch boundaries") {
     // fabricate an sf dir: batch split is doc_id % 3 (== 2 -> batch 2)
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-sf").toString
