@@ -44,6 +44,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the manifest constraint property — same pre-Resolution slot
     // (ResolveSessionCatalog refuses the v2 commands for v1 tables)
     ext.injectHintResolutionRule(s => new graft.sources.GraftLakeConstraintRule(s))
+    // SQL catalog reads of a snapshot carrying deletion vectors get
+    // the DV filter wrapped around the scan (DataFrame reads apply it
+    // at assembly; the catalog SELECT path resolves to a bare
+    // relation) — without this a SQL read would silently resurrect
+    // soft-deleted rows. Registered AFTER the DML/insert rules so
+    // their pattern matches see the unwrapped relation.
+    ext.injectPostHocResolutionRule(s => new graft.sources.GraftLakeDvRule(s))
+    // SQL spellings for lake maintenance — OPTIMIZE [WHERE] [ZORDER
+    // BY], VACUUM [RETAIN n HOURS], RESTORE TABLE … TO VERSION AS OF,
+    // DESCRIBE HISTORY — none of which exist in Spark's grammar: a
+    // delegating parser intercepts exactly those four line-shaped
+    // statements and passes everything else through untouched.
+    ext.injectParser((s, delegate) =>
+      new graft.sources.GraftSqlParser(s, delegate))
   }
 }
 

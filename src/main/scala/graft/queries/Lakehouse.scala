@@ -1220,5 +1220,128 @@ object Lakehouse {
           .select(col("o_orderkey"), col("o_totalprice").as("price")),
         root, retain = 8)
       Lake.readCommitted(s, root).orderBy("o_orderkey")
+    },
+
+    // DELETION VECTORS (merge-on-read DELETE) under the oracle hash —
+    // the at-scale write-amplification fix: a sparse SQL DELETE
+    // (~1% of rows) commits `#dv_` position lines against the
+    // UNCHANGED dir set instead of rewriting dir-sized parquet, so a
+    // CDC-style delete on a 100 TB table is a manifest write, not a
+    // data copy. The `dv_metadata_only` column carries the proof into
+    // the hash (oracle expects TRUE on every row): it compares the
+    // live dir PATHS before and after the delete — if the engine ever
+    // regressed to copy-on-write here, the staged replacement dirs
+    // would flip it FALSE and the hash would mismatch. The surviving
+    // rows under the same hash prove the soft-deleted rows are
+    // invisible to a plain catalog SELECT (the analyzer-rule read
+    // path), and invisible EXACTLY — not one row over- or under-dead.
+    Q("q163_dv_delete",
+      """SELECT doc_id, source, lang, n_chars, TRUE AS dv_metadata_only
+        |FROM documents
+        |WHERE NOT doc_id % 97 = 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("dv_del", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 2, statsCols = Seq("doc_id"))
+        ()
+      }
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("DROP TABLE IF EXISTS dv_del_docs")
+      s.sql(s"CREATE TABLE dv_del_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("DELETE FROM dv_del_docs WHERE doc_id % 97 = 5")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      s.sql("SELECT doc_id, source, lang, n_chars FROM dv_del_docs ORDER BY doc_id")
+        .withColumn("dv_metadata_only", lit(metadataOnly))
+    },
+
+    // DV × CHANGE FEED in SQL: the `graft_changes` TVF over a
+    // deletion-vector delete emits the exact row-level deletes — the
+    // dirs did not change, so the feed derives them from the VECTOR
+    // delta (old rows under the old vector minus new rows under the
+    // new), reading only the touched dirs. The oracle recomputes the
+    // deleted key set from scratch; an over- or under-reported delete
+    // (a resurrection downstream consumers would fold wrong) breaks
+    // the hash.
+    Q("q164_dv_changefeed",
+      """SELECT doc_id, 'delete' AS change_type
+        |FROM documents WHERE doc_id % 97 = 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("dv_cdf", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      Lake.commitOverwrite(docs, root, retain = 2)
+      val v1 = Lake.deleteWhere(s, root, pmod(col("doc_id"), lit(97)) === 5,
+        retain = 2)
+      require(v1 == 1L, s"DV delete must commit version 1, got $v1")
+      s.sql(s"SELECT doc_id, change_type FROM graft_changes('$root', 0, 1, " +
+        "'doc_id') ORDER BY doc_id")
+    },
+
+    // NOT NULL enforcement under the oracle hash (q161's write-side
+    // gate, aimed at the evolution loophole): `CHECK (lang IS NOT
+    // NULL)` must refuse BOTH a batch carrying NULL lang and a batch
+    // OMITTING the column entirely — schema evolution would otherwise
+    // NULL-backfill it and the constraint would silently claim to
+    // hold over rows that read NULL. If either blocked batch ever
+    // landed, its keys (shifted past the id range) would reach the
+    // final table and break the hash; the committed half + clean half
+    // equal the oracle exactly.
+    Q("q165_notnull_constraint",
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_notnull", d)
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val half = docs.where(col("doc_id") <= maxId / 2)
+      val rest = docs.where(col("doc_id") > maxId / 2)
+      Lake.commitOverwrite(half, root, retain = 8)
+      Lake.addCheckConstraint(s, root, "lang_present", "lang IS NOT NULL")
+      val nullBlocked = scala.util.Try(Lake.commitAppend(
+        rest.withColumn("doc_id", col("doc_id") + maxId + 1)
+          .withColumn("lang", lit(null).cast("string")),
+        root, retain = 8)).isFailure
+      require(nullBlocked, "the NULL-lang batch must refuse")
+      val omitBlocked = scala.util.Try(Lake.commitAppend(
+        rest.withColumn("doc_id", col("doc_id") + 2 * (maxId + 1)).drop("lang"),
+        root, retain = 8)).isFailure
+      require(omitBlocked, "the lang-omitting batch must refuse")
+      Lake.commitAppend(rest, root, retain = 8)
+      Lake.readCommitted(s, root).orderBy("doc_id")
+    },
+
+    // SQL maintenance end-to-end (q158's scenario, SQL-only): a
+    // SQL-first user builds a partitioned lake table, runs `OPTIMIZE …
+    // WHERE … ZORDER BY (…)` through the injected parser — no Scala —
+    // and reads the hot partitions back through the catalog. The
+    // clustered rewrite is per-partition and predicate-scoped (cold
+    // partitions carry by reference with their #part_ lines), the
+    // post-OPTIMIZE scan prunes on BOTH partition values and fresh
+    // per-file ranges, and the oracle recomputes the answer from
+    // scratch — a rewrite that lost or duplicated one row, or a scan
+    // that pruned one dir too many, breaks the hash.
+    Q("q166_sql_optimize",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1996, 1998)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_sqlopt", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders.where(col("o_orderkey") % 2 === 0), root,
+        retain = 8, partitionBy = Seq("o_year"))
+      Lake.commitAppend(orders.where(col("o_orderkey") % 2 === 1), root,
+        retain = 8)
+      s.sql("DROP TABLE IF EXISTS opt_sql_orders")
+      s.sql(s"CREATE TABLE opt_sql_orders USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("OPTIMIZE opt_sql_orders WHERE o_year = 1996 " +
+        "ZORDER BY (o_year, o_custkey)")
+      s.sql("SELECT o_orderkey, o_custkey, o_year, o_totalprice " +
+        "FROM opt_sql_orders WHERE o_year IN (1996, 1998) ORDER BY o_orderkey")
     })
 }

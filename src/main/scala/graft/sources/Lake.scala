@@ -270,6 +270,69 @@ object Lake {
     }
   }
 
+  // Long-string stat bounds TRUNCATE before they reach a manifest
+  // line (Delta's rule): a user putting a document-sized text column
+  // in statsCols must not bloat every manifest (and every planning
+  // read) with full min/max strings. min -> its first
+  // `StatsStringMaxLen` code points (a prefix is ≤ the original in
+  // UTF8 binary order: valid lower bound); max -> the truncated
+  // prefix's SUCCESSOR — last code point incremented (surrogate gap
+  // jumped, max-code-point chars dropped), which upper-bounds every
+  // string sharing the prefix because UTF-8 preserves code-point
+  // order byte-wise. No successor derivable (all chars at the
+  // maximum code point) -> the column's stats drop for that dir,
+  // conservative as always. Pruning proofs stay sound either way:
+  // the recorded range only ever WIDENS, and both predExcludes and
+  // predIncludesAll are superset-range-safe.
+  private val StatsStringMaxLen = 32
+
+  private def truncPrefix(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatsStringMaxLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StatsStringMaxLen))
+
+  /** Successor of a truncated prefix: smallest string-prefix bound
+    * strictly above every string starting with `s`. */
+  private def prefixSuccessor(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val next0 = cps(i) + 1
+        // the surrogate range is not encodable as a scalar value —
+        // jump past it (0xE000 > every char below 0xD800 encodes
+        // greater byte-wise too)
+        val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+        val out = new java.lang.StringBuilder()
+        (0 until i).foreach(j => out.appendCodePoint(cps(j)))
+        out.appendCodePoint(next)
+        return Some(out.toString)
+      }
+      i -= 1 // max code point: drop it, increment the previous one
+    }
+    None
+  }
+
+  private def boundedStat(lo: NormVal, hi: NormVal):
+      Option[(NormVal, NormVal)] = (lo, hi) match {
+    case (StrV(a), StrV(b)) =>
+      val as = a.toString; val bs = b.toString
+      val aLong = as.codePointCount(0, as.length) > StatsStringMaxLen
+      val bLong = bs.codePointCount(0, bs.length) > StatsStringMaxLen
+      if (!aLong && !bLong) Some((lo, hi))
+      else {
+        val newLo =
+          if (aLong) StrV(org.apache.spark.unsafe.types.UTF8String
+            .fromString(truncPrefix(as)))
+          else lo
+        val newHi =
+          if (bLong) prefixSuccessor(truncPrefix(bs)).map(up =>
+            StrV(org.apache.spark.unsafe.types.UTF8String.fromString(up)))
+          else Some(hi)
+        newHi.map(h => (newLo, h))
+      }
+    case other => Some(other)
+  }
+
   private def statsJson(m: Map[String, (NormVal, NormVal)]): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
@@ -370,7 +433,8 @@ object Lake {
           lo <- normExternal(row.get(1 + 2 * i))
           hi <- normExternal(row.get(2 + 2 * i))
           if cmpNorm(lo, hi).isDefined
-        } yield c -> ((lo, hi))
+          bounded <- boundedStat(lo, hi)
+        } yield c -> bounded
       }.toMap
       name -> m
     }.toMap
@@ -551,7 +615,8 @@ object Lake {
           lo <- normExternal(row.get(2 * i))
           hi <- normExternal(row.get(2 * i + 1))
           if cmpNorm(lo, hi).isDefined
-        } yield c -> ((lo, hi))
+          bounded <- boundedStat(lo, hi)
+        } yield c -> bounded
       }.toMap
       Some(statsJson(m))
     } finally prev match {
@@ -656,7 +721,24 @@ object Lake {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
     val cs = liveChecks(fs, r)
     if (cs.isEmpty) return
-    val counts = df.agg(
+    // a batch OMITTING a committed column evolves it NULL-backfilled
+    // (mergeSchemas marks it nullable, old readers see NULL) — so the
+    // checks validate against that SAME view: the omitted column joins
+    // the batch as a typed NULL and `c IS NOT NULL` refuses the
+    // omission up front, instead of the constraint silently claiming
+    // to hold over rows that read NULL. This IS the engine's NOT NULL
+    // enforcement: declare `ADD CONSTRAINT … CHECK (c IS NOT NULL)`
+    // and neither a NULL-carrying nor a column-omitting batch commits.
+    val committed = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestSchema(fs, r, v))
+    val widened = committed match {
+      case Some(s) =>
+        s.fields.filterNot(f => df.columns.contains(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => df
+    }
+    val counts = widened.agg(
       sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L).otherwise(0L))
         .as(cs.head._1),
       cs.tail.map { case (n, e) =>
@@ -826,6 +908,126 @@ object Lake {
 
   /** Partition columns established for the table (inherited), with a
     * divergent re-declaration refused — one layout per table. */
+  // ---- deletion vectors (merge-on-read row deletes) ----------------
+  //
+  // `#dv_<dir>=<json>` soft-deletes rows of an IMMUTABLE data dir by
+  // parquet row position: json = {"<file>": [pos, …]} with positions
+  // the deterministic `_metadata.row_index` the scan regenerates
+  // (Delta's DV foundation — row indices are absolute file positions,
+  // stable under row-group/page skipping). This is the first MUTABLE
+  // per-dir manifest line: a later delete on the same dir REPLACES its
+  // line with the merged position set, and RESTORE replaces the whole
+  // line set with the target version's (`dvsReplace` — carry semantics
+  // would resurrect or re-kill rows across the restore point).
+  //
+  // Readers conjoin `NOT DvContains(<dir-basename>/<file>, row_index)`
+  // ([[dvReadFilter]] on index-planned reads, [[readDirsWithDv]] on
+  // every raw-path COW/maintenance/diff read), so a soft-deleted row
+  // can neither be served nor resurrect through a rewrite. Any rewrite
+  // of a DV'd dir (update/merge/compact/z-order/COW delete) reads
+  // through the filter and MATERIALIZES the deletes away — the
+  // replacement dir carries no line. Bounded by construction: a delete
+  // whose hit count exceeds its `dvMaxRows` falls back to copy-on-
+  // write, so manifests stay planning-read-sized; at 100 TB the
+  // CDC-delete workload commits manifest lines instead of rewriting
+  // its hot dirs every batch, and the standing compaction cadence
+  // folds the vectors into data.
+  private val DvPrefix = "#dv_"
+
+  /** Raw `#dv_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private[graft] def manifestDvsRaw(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(DvPrefix) && l.indexOf('=') > DvPrefix.length =>
+        val i = l.indexOf('=')
+        l.substring(DvPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  private[sources] def snapshotDvs(spark: SparkSession, root: String,
+      version: Long): Map[String, String] =
+    manifestDvsRaw(fsFor(spark, root), new Path(root), version)
+
+  private def dvJson(m: Map[String, Seq[Long]]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (f, ps) =>
+      val arr = om.createArrayNode()
+      ps.foreach(p => arr.add(p))
+      root.set[com.fasterxml.jackson.databind.JsonNode](f, arr)
+      ()
+    }
+    om.writeValueAsString(root)
+  }
+
+  private[graft] def parseDvJson(json: String): Map[String, Array[Long]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = scala.util.Try(om.readTree(json)).getOrElse(return Map.empty)
+    val it = root.properties().iterator()
+    val out = Map.newBuilder[String, Array[Long]]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (v.isArray) {
+        val buf = Array.newBuilder[Long]
+        val ait = v.elements()
+        while (ait.hasNext) buf += ait.next().asLong()
+        out += e.getKey -> buf.result()
+      }
+    }
+    out.result()
+  }
+
+  /** The DV read predicate for `dvs` (dir -> json line), or None when
+    * nothing is soft-deleted. Keyed by `<dir-basename>/<file>` — the
+    * last two `_metadata.file_path` segments — so relative and
+    * absolute (clone-referenced) dir entries resolve alike. The
+    * [[DvApplied]] marker rides along for the analyzer rule's
+    * idempotence check and constant-folds away. */
+  private def dvEntries(dvs: Map[String, String]): Option[DvSet] = {
+    if (dvs.isEmpty) return None
+    val entries: Map[String, Array[Long]] = dvs.toSeq.flatMap { case (dir, j) =>
+      val base = new Path(dir).getName
+      parseDvJson(j).map { case (f, ps) => (base + "/" + f) -> ps }
+    }.toMap
+    if (entries.forall(_._2.isEmpty)) None else Some(new DvSet(entries))
+  }
+
+  private def dvColumn(dvs: Map[String, String]):
+      Option[org.apache.spark.sql.Column] = dvEntries(dvs).map { set =>
+    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.graft.Shim
+    val key = substring_index(col("_metadata.file_path"), "/", -2)
+    Shim.column(DvApplied()) &&
+      !Shim.column(DvContains(Shim.expression(key),
+        Shim.expression(col("_metadata.row_index")), set))
+  }
+
+  /** The live DV position index of one snapshot for index-planned
+    * reads ([[LakeFileIndex.relation]] and [[GraftLakeDvRule]] build
+    * the resolved filter plan from it); None when vector-free. */
+  private[sources] def dvSetFor(spark: SparkSession, root: String,
+      version: Long): Option[DvSet] =
+    dvEntries(manifestDvsRaw(fsFor(spark, root), new Path(root), version))
+
+  /** Raw-path read of `dirs` from snapshot `version` with that
+    * snapshot's deletion vectors applied — EVERY maintenance / COW /
+    * diff read goes through here, so a soft-deleted row can never
+    * resurrect through a rewrite. */
+  private def readDirsWithDv(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, version: Long,
+      dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]):
+      org.apache.spark.sql.DataFrame = {
+    val paths = dirs.map(d => new Path(r, d).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
+    val want = dirs.toSet
+    val dvs = manifestDvsRaw(fs, r, version).filter { case (d, _) => want(d) }
+    dvColumn(dvs).map(base.where).getOrElse(base)
+  }
+
   private def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       want: Seq[String]): Seq[String] = {
     // same grammar guard as stats/bloom columns: the list rides a
@@ -1311,7 +1513,13 @@ object Lake {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None    => spark.read.parquet(paths: _*)
       }
-    base.where(predicate)
+    // the snapshot's deletion vectors apply before the predicate
+    // (paths may be pruned FILE paths — the vector keys by dir
+    // basename + file, so the restriction to "whole snapshot" is
+    // only ever a no-op lookup, never a wrong row)
+    val withDv = dvColumn(manifestDvsRaw(fs, r, cur))
+      .map(base.where).getOrElse(base)
+    withDv.where(predicate)
   }
 
   // `#rows=<n>` — the snapshot's exact row count, carried when the
@@ -1466,9 +1674,11 @@ object Lake {
       case Some(s) => LakeFileIndex.relation(spark, root, version,
         org.apache.spark.sql.graft.Shim.asNullable(s))
       // legacy manifest without a schema line: footer inference needs
-      // the eager listing anyway
+      // the eager listing anyway (deletion vectors still honored — a
+      // pre-schema table can be DV-deleted like any other)
       case None =>
-        spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
+        val df = spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
+        dvColumn(manifestDvsRaw(fs, r, version)).map(df.where).getOrElse(df)
     }
   }
 
@@ -1589,6 +1799,12 @@ object Lake {
         // clone keeps co-located probes and its own appends stage
         // bucketed under the inherited property
         bucketBy = manifestBucketBy(fs, sr, v),
+        // the source snapshot's deletion vectors carry under the
+        // absolute dir names (read-side keys are dir BASEnames, so
+        // relative/absolute entries resolve alike)
+        newDvs = manifestDvsRaw(fs, sr, v)
+          .map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+        dvsReplace = true,
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
         s"committed table already exists at $dstRoot — a concurrent writer " +
@@ -1707,6 +1923,9 @@ object Lake {
         // `version` was never validated against these rows and must
         // not silently claim to hold over them
         checks = Some(manifestChecks(fs, r, version)),
+        // deletion vectors restore AUTHORITATIVELY: carrying the live
+        // version's vectors would re-kill rows the restore revives
+        newDvs = manifestDvsRaw(fs, r, version), dvsReplace = true,
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +
@@ -1824,20 +2043,29 @@ object Lake {
     if (fromVersion == toVersion)
       return to.limit(0).withColumn("change_type", lit(""))
     readCommittedAt(spark, root, fromVersion) // horizon check only
-    val fromDirs = manifestDirs(fs, r, fromVersion).toSet
-    val toDirs = manifestDirs(fs, r, toVersion).toSet
-    val removed = (fromDirs -- toDirs).toSeq.sorted
-    val added = (toDirs -- fromDirs).toSeq.sorted
-    def readDirs(dirs: Seq[String]) =
+    // the diff unit is (dir, deletion-vector line): version dirs are
+    // immutable, but a DV delete changes a dir's LIVE rows without
+    // renaming it — such a dir joins both sides (old rows under the
+    // old vector, new rows under the new), unchanged rows pair up and
+    // drop out, and the newly soft-deleted rows surface as deletes
+    val fromDvs = manifestDvsRaw(fs, r, fromVersion)
+    val toDvs = manifestDvsRaw(fs, r, toVersion)
+    val fromPairs = manifestDirs(fs, r, fromVersion)
+      .map(d => d -> fromDvs.getOrElse(d, "")).toSet
+    val toPairs = manifestDirs(fs, r, toVersion)
+      .map(d => d -> toDvs.getOrElse(d, "")).toSet
+    val removed = (fromPairs -- toPairs).map(_._1).toSeq.sorted
+    val added = (toPairs -- fromPairs).map(_._1).toSeq.sorted
+    def readDirs(dirs: Seq[String], version: Long) =
       if (dirs.isEmpty)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), toSchema)
-      else spark.read.schema(toSchema) // shared superset schema (see contract)
-        .parquet(dirs.map(d => new Path(r, d).toString): _*)
-    val newSide = readDirs(added)
+      else // shared superset schema (see contract), that version's DVs
+        readDirsWithDv(spark, fs, r, version, dirs, Some(toSchema))
+    val newSide = readDirs(added, toVersion)
     if (removed.isEmpty) // append-only fast path: every added row is an insert
       return newSide.withColumn("change_type", lit("insert"))
-    val oldSide = readDirs(removed)
+    val oldSide = readDirs(removed, fromVersion)
     val valueCols = toSchema.fieldNames.filterNot(keyCols.contains).toSeq
     val o = oldSide.select(
       struct(keyCols.map(col): _*).as("__k"),
@@ -2059,6 +2287,8 @@ object Lake {
       partCols: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       checks: Option[Seq[(String, String)]] = None,
+      newDvs: Map[String, String] = Map.empty,
+      dvsReplace: Boolean = false,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -2107,6 +2337,18 @@ object Lake {
     // CHECK constraints inherit too; Some(…) replaces (add/drop)
     val effChecks = checks.getOrElse(
       prevV.map(v => manifestChecks(fs, r, v)).getOrElse(Nil))
+    // deletion vectors: the one MUTABLE per-dir line. Normal commits
+    // carry a reused dir's vector (new deletes pass the merged set in
+    // `newDvs`); rewritten dirs materialize theirs away by renaming.
+    // RESTORE passes `dvsReplace` — the target version's vectors are
+    // authoritative, carrying the live ones would re-kill rows the
+    // restore revives (or keep alive rows it re-deletes).
+    val prevDvs = prevV.map(v => manifestDvsRaw(fs, r, v))
+      .getOrElse(Map.empty[String, String])
+    val dvLines = dirs.flatMap(d =>
+      (if (dvsReplace) newDvs.get(d)
+       else newDvs.get(d).orElse(prevDvs.get(d)))
+        .map(j => DvPrefix + d + "=" + j))
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -2129,7 +2371,7 @@ object Lake {
         BucketByPrefix + n + ":" + cols.mkString(",")
       } ++
       effChecks.map { case (n, e) => CheckPrefix + n + ":" + e } ++
-      statsLines ++ fileStatsLines ++ bloomLines ++ partLines
+      statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
     // where a concurrent writer's commit lands — specs swap in a
@@ -2502,13 +2744,8 @@ object Lake {
       val carried = manifestSchema(fs, r, cur)
       val touchedBase =
         if (touchedDirs.isEmpty) base.limit(0)
-        else {
-          val paths = touchedDirs.map(d => new Path(r, d).toString)
-          carried match {
-            case Some(s) => spark.read.schema(s).parquet(paths: _*)
-            case None    => spark.read.parquet(paths: _*)
-          }
-        }
+        // DV-aware: the rewrite materializes any existing vector
+        else readDirsWithDv(spark, fs, r, cur, touchedDirs, carried)
       // the applyChanges fold, scoped to the touched dirs' rows
       val rewritten = touchedBase
         .join(touchedKeys, keyCols, "left_anti")
@@ -2582,10 +2819,22 @@ object Lake {
     * carried (the drop path never counts what it drops); the
     * metadata-count chain resumes at the next counted commit. Returns
     * the committed version (unchanged when nothing can match). */
+  /** @param dvMaxRows soft-delete bound (deletion vectors): when no
+    *   whole-dir drop is in play and at most this many rows match, the
+    *   delete commits `#dv_` position lines against the UNCHANGED dirs
+    *   (merge-on-read) instead of rewriting them — the CDC-delete
+    *   shape that at 100 TB turns per-batch dir-sized write
+    *   amplification into a manifest line. Above the bound (or 0 to
+    *   disable) the delete is the copy-on-write rewrite as before;
+    *   compaction / z-order / any later rewrite of a DV'd dir
+    *   materializes its vector away. */
   def deleteWhere(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column, retain: Int = 1): Long = {
+      predicate: org.apache.spark.sql.Column, retain: Int = 1,
+      dvMaxRows: Long = 10000L): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
+    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -2642,6 +2891,50 @@ object Lake {
     val dropped = byClass.getOrElse(Drop, Nil)
     val rewrite = byClass.getOrElse(Rewrite, Nil)
     if (dropped.isEmpty && rewrite.isEmpty) return cur // nothing can match
+    // MERGE-ON-READ fast path (deletion vectors): no whole-dir drop in
+    // play → soft-delete the matching rows as `#dv_` position lines
+    // against the UNCHANGED dir set. One metadata-cost commit; the
+    // read filter and every rewrite path honor the vector. Falls back
+    // to copy-on-write when the hit count exceeds the bound.
+    if (rewrite.nonEmpty && dropped.isEmpty && dvMaxRows > 0) {
+      import org.apache.spark.sql.functions.{col, substring_index}
+      val prevDvs = manifestDvsRaw(fs, r, cur)
+      val hits = readDirsWithDv(spark, fs, r, cur, rewrite, carried)
+        .where(coalesce(predicate, lit(false)))
+        .select(
+          substring_index(col("_metadata.file_path"), "/", -2).as("__dv_key"),
+          col("_metadata.row_index").as("__dv_pos"))
+        .limit(dvMaxRows.toInt + 1).collect()
+      if (hits.isEmpty) return cur // no row actually matches
+      if (hits.length <= dvMaxRows) {
+        val bySeg = rewrite.map(d => new Path(d).getName -> d).toMap
+        val fresh: Map[String, String] = hits.toSeq
+          .map(h => (h.getString(0), h.getLong(1)))
+          .groupBy { case (k, _) => bySeg(k.takeWhile(_ != '/')) }
+          .map { case (dir, entries) =>
+            val prev = prevDvs.get(dir).map(parseDvJson)
+              .getOrElse(Map.empty[String, Array[Long]])
+            val merged = entries.foldLeft(
+              prev.view.mapValues(_.toSet).toMap) { case (acc, (k, p)) =>
+              val f = k.drop(k.indexOf('/') + 1)
+              acc + (f -> (acc.getOrElse(f, Set.empty[Long]) + p))
+            }
+            dir -> dvJson(merged.view.mapValues(_.toSeq.sorted).toMap)
+          }
+        val dvNext = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+        // positions are NEW deletions (the read pre-filtered existing
+        // vectors), so the metadata count stays exact through the chain
+        if (!commitManifest(fs, r, dvNext, snapDirs, retain, carried,
+            manifestRows(fs, r, cur).map(_ - hits.length),
+            newDvs = fresh, op = "delete"))
+          throw new java.util.ConcurrentModificationException(
+            s"delete on $root lost version $dvNext to a concurrent " +
+              "commit — the delete classified a snapshot that is no " +
+              "longer live; re-run against the current table")
+        return dvNext
+      }
+      // over the bound: fall through to the copy-on-write rewrite
+    }
     val effStats = effectiveStatsCols(fs, r, Nil)
     // a dropped dir may hold streaming-fold replay markers: they must
     // survive the delete or a checkpoint replay double-folds. A
@@ -2661,11 +2954,9 @@ object Lake {
     // claimed by the publish, never by the dir names
     val (newDirs, freshStats, freshBlooms, freshParts) =
       if (rewrite.nonEmpty) {
-        val paths = rewrite.map(d => new Path(r, d).toString)
-        val base = carried match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None    => spark.read.parquet(paths: _*)
-        }
+        // DV-aware read: a rewrite MATERIALIZES any existing vector
+        // (soft-deleted rows excluded here never reach the new dir)
+        val base = readDirsWithDv(spark, fs, r, cur, rewrite, carried)
         val surviving = base.where(!coalesce(predicate, lit(false)))
         val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart,
           maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
@@ -2744,11 +3035,8 @@ object Lake {
       partKeep || rangeKeep || bloomKeep
     }
     if (touched.isEmpty) return cur
-    val paths = touched.map(d => new Path(r, d).toString)
-    val base = carried match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None    => spark.read.parquet(paths: _*)
-    }
+    // DV-aware read: the rewrite materializes any existing vector
+    val base = readDirsWithDv(spark, fs, r, cur, touched, carried)
     val hit = coalesce(predicate, lit(false))
     val updated = set.foldLeft(base) { case (df, (c, expr)) =>
       val field = schema(c)
@@ -2873,13 +3161,8 @@ object Lake {
       val cols = schema.fieldNames.toSeq
       val touchedBase =
         if (touchedDirs.isEmpty) base.limit(0)
-        else {
-          val paths = touchedDirs.map(d => new Path(r, d).toString)
-          carried match {
-            case Some(s) => spark.read.schema(s).parquet(paths: _*)
-            case None    => spark.read.parquet(paths: _*)
-          }
-        }
+        // DV-aware: the rewrite materializes any existing vector
+        else readDirsWithDv(spark, fs, r, cur, touchedDirs, carried)
       val present = coalesce(col("s.__s_present"), lit(false))
       // ordered branch list: (guard, Some(assignments) = update /
       // None = delete). Matched and by-source groups are disjoint on
@@ -3136,13 +3419,8 @@ object Lake {
     val carried = manifestSchema(fs, r, cur)
     val base =
       if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
-      else {
-        val paths = smallDirs.map(d => new Path(r, d).toString)
-        carried match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None    => spark.read.parquet(paths: _*)
-        }
-      }
+      // DV-aware: compaction materializes the collapsed dirs' vectors
+      else readDirsWithDv(spark, fs, r, cur, smallDirs, carried)
     val df = base.repartition(n)
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
@@ -3271,13 +3549,8 @@ object Lake {
     val carried = manifestSchema(fs, r, cur)
     val df =
       if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
-      else {
-        val paths = rewriteDirs.map(d => new Path(r, d).toString)
-        carried match {
-          case Some(s) => spark.read.schema(s).parquet(paths: _*)
-          case None    => spark.read.parquet(paths: _*)
-        }
-      }
+      // DV-aware: z-order materializes the rewritten dirs' vectors
+      else readDirsWithDv(spark, fs, r, cur, rewriteDirs, carried)
     cols.foreach(c => require(df.columns.contains(c),
       s"cluster column '$c' not in the table schema"))
     def isNumeric(dt: DataType): Boolean = dt match {

@@ -84,9 +84,14 @@ object LakeFileIndex {
 
   /** [[hadoopRelation]] surfaced as a DataFrame through the one
     * `private[sql]` bridge ([[org.apache.spark.sql.graft.Shim
-    * .ofRows]]). */
+    * .ofRows]]), with the snapshot's deletion-vector filter applied
+    * when it carries one (soft-deleted rows must not be served; the
+    * filter is absent — zero cost — on vector-free snapshots). */
   private[sources] def relation(spark: SparkSession, root: String,
-      version: Long, schema: StructType): DataFrame =
+      version: Long, schema: StructType): DataFrame = {
+    val lr = LogicalRelation(hadoopRelation(spark, root, version, schema))
     org.apache.spark.sql.graft.Shim.ofRows(spark,
-      LogicalRelation(hadoopRelation(spark, root, version, schema)))
+      Lake.dvSetFor(spark, root, version)
+        .map(set => DvFilter.plan(lr, set)).getOrElse(lr))
+  }
 }

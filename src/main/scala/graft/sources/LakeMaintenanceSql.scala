@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** SQL spellings for the lake maintenance operations (Delta parity):
+  *
+  *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1, c2, …)]
+  *   VACUUM <t> [RETAIN <n> HOURS]
+  *   RESTORE TABLE <t> TO VERSION AS OF <v>
+  *   DESCRIBE HISTORY <t>
+  *
+  * None of these exist in Spark's grammar, so they are intercepted by
+  * a delegating [[ParserInterface]] (the same technique Delta's SQL
+  * extension uses, regex-anchored instead of a second ANTLR grammar —
+  * the four statements are line-shaped and the full predicate/column
+  * sub-grammars are delegated to `functions.expr` at execution).
+  * Everything else passes through to the session parser untouched, so
+  * the extension cannot change the meaning of any standard statement.
+  *
+  * `<t>` is a graft-lake CATALOG table name, or a quoted '<root>'
+  * path literal for tables used without a catalog entry. Execution
+  * routes to the existing engines ([[Lake.clusterCommitted]] /
+  * [[Lake.compactCommitted]] / [[Lake.vacuumCommitted]] /
+  * [[Lake.restoreCommitted]] / [[Lake.describeHistory]]) and
+  * refreshes the catalog relation afterwards, like every DML command.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftMaintenanceSql {
+  // target: a 'quoted root path' or a (possibly dotted / backquoted)
+  // catalog identifier
+  private val T = """(?:'([^']+)'|([\w.`]+))"""
+  private val Optimize =
+    ("""(?is)^\s*OPTIMIZE\s+""" + T +
+      """(?:\s+WHERE\s+(.*?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val Vacuum =
+    ("""(?is)^\s*VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""").r
+  private val Restore =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val History =
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+
+  private def target(rootLit: String, ident: String): GraftMaintTarget =
+    if (rootLit != null) GraftMaintTarget(Some(rootLit), None)
+    else GraftMaintTarget(None,
+      Some(ident.split('.').map(_.stripPrefix("`").stripSuffix("`")).toSeq))
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Optimize(rootLit, ident, whereText, zorderText) =>
+      val cols = Option(zorderText).toSeq
+        .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      Some(GraftOptimizeCommand(target(rootLit, ident),
+        Option(whereText).map(_.trim).filter(_.nonEmpty), cols))
+    case Vacuum(rootLit, ident, hours) =>
+      Some(GraftVacuumCommand(target(rootLit, ident),
+        Option(hours).map(_.toDouble)))
+    case Restore(rootLit, ident, v) =>
+      Some(GraftRestoreCommand(target(rootLit, ident), v.toLong))
+    case History(rootLit, ident) =>
+      Some(GraftDescribeHistoryCommand(target(rootLit, ident)))
+    case _ => None
+  }
+}
+
+/** A maintenance statement's target: a literal root, or a catalog
+  * name resolved at EXECUTION time (the parser must not touch the
+  * catalog — EXPLAIN of a statement about a dropped table still
+  * parses; execution resolves and refuses with the real name). */
+case class GraftMaintTarget(root: Option[String], name: Option[Seq[String]]) {
+  def resolve(session: SparkSession): (String, Option[TableIdentifier]) =
+    root.map(r => (r, None: Option[TableIdentifier])).getOrElse {
+      val parts = name.get
+      LakeDml.lakeRootByIdent(session, parts).getOrElse(
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+          messageParameters = Map(
+            "tableName" -> parts.mkString("."),
+            "operation" ->
+              ("lake maintenance (the statement targets graft-lake " +
+                "catalog tables or a quoted '<root>' path)"))))
+    }
+  def describe: String = root.getOrElse(name.map(_.mkString(".")).getOrElse("?"))
+}
+
+/** `OPTIMIZE t` — incremental bin-packing compaction; with `ZORDER BY`
+  * a clustered rewrite (per-partition on partitioned tables), with
+  * `WHERE` scoped to the dirs the manifest cannot prove clean.
+  * Returns the committed version (unchanged on a no-op). */
+case class GraftOptimizeCommand(t: GraftMaintTarget,
+    whereSql: Option[String], zorderCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    require(zorderCols.nonEmpty || whereSql.isEmpty,
+      s"OPTIMIZE ${t.describe} WHERE … requires ZORDER BY (…): plain " +
+        "bin-packing compaction is whole-table incremental (small dirs " +
+        "only) and takes no predicate scope")
+    val v =
+      if (zorderCols.nonEmpty)
+        Lake.clusterCommitted(session, root, zorderCols,
+          where = whereSql.map(org.apache.spark.sql.functions.expr))
+      else
+        Lake.compactCommitted(session, root,
+          minBytes = 128L * 1024 * 1024)
+    LakeDml.refresh(session, ident)
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` — sweep pruned-version leftovers and
+  * crash-abandoned staged dirs older than the retention horizon. */
+case class GraftVacuumCommand(t: GraftMaintTarget, retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("swept_manifests", LongType, nullable = false)(),
+      AttributeReference("swept_dirs", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = t.resolve(session)
+    val (ms, ds) = retainHours match {
+      case Some(h) => Lake.vacuumCommitted(session, root,
+        staleStagedMs = (h * 3600 * 1000).toLong)
+      case None => Lake.vacuumCommitted(session, root)
+    }
+    Seq(Row(ms.size.toLong, ds.size.toLong))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v` — one manifest write, zero
+  * data I/O ([[Lake.restoreCommitted]]). */
+case class GraftRestoreCommand(t: GraftMaintTarget, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    val v = Lake.restoreCommitted(session, root, version)
+    LakeDml.refresh(session, ident)
+    Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the audit trail from manifest metadata
+  * alone (same rows as the `graft_history` TVF). */
+case class GraftDescribeHistoryCommand(t: GraftMaintTarget)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("commit_ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_dirs",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("row_count", LongType))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = t.resolve(session)
+    Lake.describeHistory(session, root).collect().toSeq
+  }
+}

@@ -243,25 +243,38 @@ final class LakeStreamSource(
     val versions = all.filter(v => v <= endV && fromV.forall(v > _))
     // the snapshot the range extends: the greatest committed version
     // at or below the start offset (None = table birth, empty dirs)
-    var prev: Set[String] = fromV
-      .flatMap(f => all.filter(_ <= f).maxOption)
+    val anchor = fromV.flatMap(f => all.filter(_ <= f).maxOption)
+    var prev: Set[String] = anchor
       .map(v => Lake.snapshotDirNames(spark, root, v).toSet)
       .getOrElse(Set.empty)
+    // deletion-vector lines tracked alongside the dir set: a DV
+    // delete changes a dir's LIVE rows without renaming it, so it is
+    // a delete the removed-dirs test cannot see
+    var prevDvs: Map[String, String] = anchor
+      .map(v => Lake.snapshotDvs(spark, root, v)).getOrElse(Map.empty)
     val fresh = Seq.newBuilder[String]
     versions.foreach { v =>
       val cur = Lake.snapshotDirNames(spark, root, v).toSet
+      val curDvs = Lake.snapshotDvs(spark, root, v)
       // row-PRESERVING maintenance (compaction, z-order) rewrites
       // layout, not contents: its added dirs carry exactly the rows
       // already streamed, so the step contributes NOTHING — the
-      // source composes with table maintenance instead of refusing it
+      // source composes with table maintenance instead of refusing it.
+      // (A maintenance rewrite MATERIALIZES deletion vectors — its DV
+      // lines dropping with the rewritten dirs is still row-preserving
+      // over LIVE rows, so the DV guard below skips it too.)
       val layoutOnly = Lake.snapshotOp(spark, root, v)
         .exists(op => op == "compact" || op == "zorder")
       if (!layoutOnly) {
         val removed = prev -- cur
-        if (removed.nonEmpty && !ignoreDeletes)
+        val dvChanged = curDvs != prevDvs
+        if ((removed.nonEmpty || dvChanged) && !ignoreDeletes)
           throw new IllegalStateException(
-            s"streaming source on $root: version $v removes dirs " +
-              s"${removed.toSeq.sorted.mkString(", ")} (overwrite/merge/delete). " +
+            s"streaming source on $root: version $v " +
+              (if (removed.nonEmpty)
+                s"removes dirs ${removed.toSeq.sorted.mkString(", ")}"
+               else "changes deletion vectors (soft row deletes)") +
+              " (overwrite/merge/delete). " +
               "The version-offset source follows append commits only; set " +
               "option(\"ignoreDeletes\", \"true\") to stream just the added dirs, " +
               "or options readChangeFeed=true + keyCols for exact row-level " +
@@ -269,6 +282,7 @@ final class LakeStreamSource(
         fresh ++= (cur -- prev).toSeq.sorted
       }
       prev = cur
+      prevDvs = curDvs
     }
     val dirs = fresh.result().distinct
     // a stream lagging across a compaction: the compaction itself is

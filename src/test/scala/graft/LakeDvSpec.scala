@@ -1,0 +1,261 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors (merge-on-read deletes): a predicate DELETE under
+  * the `dvMaxRows` bound commits `#dv_` position lines against the
+  * UNCHANGED dir set instead of rewriting dirs; every read path honors
+  * the vector; every rewrite path materializes it away. */
+class LakeDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def fsOf(root: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def liveDirs(root: String): Set[String] =
+    Lake.resolve(spark, root)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+
+  private def manifestLines(root: String, v: Long): Seq[String] = {
+    val fs = fsOf(root)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_commit_$v"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def dvLines(root: String, v: Long): Seq[String] =
+    manifestLines(root, v).filter(_.startsWith("#dv_"))
+
+  private def fileSigs(root: String, dirs: Set[String]) = {
+    val fs = fsOf(root)
+    dirs.map(d => d -> fs.listStatus(new org.apache.hadoop.fs.Path(root, d))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet)
+      .toMap
+  }
+
+  test("DV delete: dirs untouched byte-for-byte, every read path excludes the rows") {
+    val root = tmpTable("graft-dv-basic")
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        root, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val preDirs = liveDirs(root)
+    val preSigs = fileSigs(root, preDirs)
+    val preV = Lake.currentVersion(spark, root).get
+    // straddling delete: k in {15, 22} touches two dirs — DV path
+    val v = Lake.deleteWhere(spark, root, col("k").isin(15L, 22L), retain = 8)
+    assert(v === preV + 1)
+    // THE merge-on-read gate: the dir set is unchanged and every data
+    // file is byte-identical — only a manifest line was added
+    assert(liveDirs(root) === preDirs)
+    assert(fileSigs(root, preDirs) === preSigs)
+    assert(dvLines(root, v).size === 2) // one line per touched dir
+    // reads exclude the soft-deleted rows on every path
+    val want = (0L until 40L).toSet -- Set(15L, 22L)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      want.map(Seq(_)))
+    assert(rows(Lake.readCommittedWhere(spark, root,
+      col("k").between(10L, 29L)).select("k")) ===
+      ((10L until 30L).toSet -- Set(15L, 22L)).map(Seq(_)))
+    assert(Lake.sqlTable(spark, root).count() === 38L)
+    // metadata count stays exact through the DV delete
+    assert(Lake.countCommitted(spark, root) === Some(38L))
+    // time travel: the pre-delete snapshot still serves all 40
+    assert(Lake.readCommittedAt(spark, root, preV).count() === 40L)
+    // SQL catalog read (bare-relation path → GraftLakeDvRule)
+    spark.sql("DROP TABLE IF EXISTS dv_basic")
+    spark.sql(s"CREATE TABLE dv_basic USING `graft-lake` OPTIONS (root '$root')")
+    assert(spark.sql("SELECT count(*) AS n FROM dv_basic").collect()
+      .head.getLong(0) === 38L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM dv_basic WHERE k IN (15, 22)").collect()
+      .head.getLong(0) === 0L)
+    // … and inside a subquery expression
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM dv_basic WHERE k IN " +
+        "(SELECT k FROM dv_basic WHERE k >= 20)").collect()
+      .head.getLong(0) === 19L) // 20..39 minus 22
+    spark.sql("DROP TABLE dv_basic")
+  }
+
+  test("DV delete merges with an existing vector; second delete stays merge-on-read") {
+    val root = tmpTable("graft-dv-merge")
+    Lake.commitOverwrite((0L until 20L).map(k => (k, s"r$k")).toDF("k", "t"),
+      root, retain = 8, rowCount = Some(20L))
+    val preDirs = liveDirs(root)
+    val v1 = Lake.deleteWhere(spark, root, col("k") === 3L, retain = 8)
+    val v2 = Lake.deleteWhere(spark, root, col("k").isin(5L, 7L), retain = 8)
+    assert(liveDirs(root) === preDirs)
+    assert(dvLines(root, v2).size === 1)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      ((0L until 20L).toSet -- Set(3L, 5L, 7L)).map(Seq(_)))
+    assert(Lake.countCommitted(spark, root) === Some(17L))
+    // deleting an already-DV'd row is a no-op (the read pre-filters)
+    assert(Lake.deleteWhere(spark, root, col("k") === 3L, retain = 8) === v2)
+    // v1 time travel shows exactly the first vector's view
+    assert(rows(Lake.readCommittedAt(spark, root, v1).select("k")) ===
+      ((0L until 20L).toSet - 3L).map(Seq(_)))
+  }
+
+  test("rewrites materialize the vector: compact, update, merge, z-order never resurrect") {
+    val root = tmpTable("graft-dv-mat")
+    (0L until 3L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, k * 100L)).toDF("k", "amt"),
+        root, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    Lake.deleteWhere(spark, root, col("k").isin(4L, 14L, 24L), retain = 8)
+    assert(Lake.countCommitted(spark, root) === Some(27L))
+    // update on a DV'd dir: reads through the vector, rewrites the dir
+    Lake.updateWhere(spark, root, col("k") === 15L,
+      Map("amt" -> lit(-1L)), retain = 8)
+    assert(Lake.readCommitted(spark, root).where(col("k") === 14L).isEmpty)
+    // compaction collapses the rest and materializes every vector
+    val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20, retain = 8)
+    assert(dvLines(root, vc).isEmpty)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      ((0L until 30L).toSet -- Set(4L, 14L, 24L)).map(Seq(_)))
+    assert(Lake.countCommitted(spark, root) === Some(27L))
+    // z-order after a fresh DV: also materializes
+    Lake.deleteWhere(spark, root, col("k") === 0L, retain = 8)
+    val vz = Lake.clusterCommitted(spark, root, Seq("k"),
+      targetBytes = 1L << 20, retain = 8)
+    assert(dvLines(root, vz).isEmpty)
+    assert(Lake.readCommitted(spark, root).where(col("k") === 0L).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 26L)
+    // MERGE on a DV'd dir: upsert next to a soft-deleted key
+    Lake.deleteWhere(spark, root, col("k") === 1L, retain = 8)
+    Lake.mergeInto(spark, root,
+      Seq((2L, -2L)).toDF("sk", "samt"),
+      on = Seq((col("t.k"), col("sk"))),
+      matched = Seq(graft.sources.LakeMergeUpdate(None,
+        Map("amt" -> col("s.samt")))),
+      retain = 8)
+    val after = Lake.readCommitted(spark, root)
+    assert(after.where(col("k") === 1L).isEmpty) // not resurrected
+    assert(rows(after.where(col("k") === 2L)) === Set(Seq(2L, -2L)))
+  }
+
+  test("cap overflow falls back to copy-on-write; dvMaxRows=0 disables") {
+    val root = tmpTable("graft-dv-cap")
+    Lake.commitOverwrite((0L until 100L).map(k => (k, s"r$k")).toDF("k", "t"),
+      root, retain = 8)
+    val preDirs = liveDirs(root)
+    // 50 hits > cap of 10 → COW rewrite, no DV line
+    val v = Lake.deleteWhere(spark, root, col("k") < 50L, retain = 8,
+      dvMaxRows = 10)
+    assert(liveDirs(root) !== preDirs)
+    assert(dvLines(root, v).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 50L)
+    // dvMaxRows = 0: even a one-row delete rewrites
+    val preDirs2 = liveDirs(root)
+    val v2 = Lake.deleteWhere(spark, root, col("k") === 60L, retain = 8,
+      dvMaxRows = 0)
+    assert(liveDirs(root) !== preDirs2)
+    assert(dvLines(root, v2).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 49L)
+  }
+
+  test("restore across a DV delete revives the rows; restore onto it re-applies them") {
+    val root = tmpTable("graft-dv-restore")
+    Lake.commitOverwrite((0L until 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+      root, retain = 8, rowCount = Some(10L))                       // v0
+    val vDel = Lake.deleteWhere(spark, root, col("k") === 4L, retain = 8) // v1
+    Lake.commitAppend(Seq((100L, "x")).toDF("k", "t"), root, retain = 8,
+      rowCount = Some(1L))                                          // v2
+    // restore to v0: the row revives — the live vector must NOT carry
+    val vr = Lake.restoreCommitted(spark, root, 0L, retain = 8)
+    assert(dvLines(root, vr).isEmpty)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      (0L until 10L).map(Seq(_)).toSet)
+    // restore onto the DV'd version: the vector comes back with it
+    val vr2 = Lake.restoreCommitted(spark, root, vDel, retain = 8)
+    assert(dvLines(root, vr2).size === 1)
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      ((0L until 10L).toSet - 4L).map(Seq(_)))
+  }
+
+  test("change feed derives DV deletes exactly; streaming guards and CDF compose") {
+    val root = tmpTable("graft-dv-cdf")
+    Lake.commitOverwrite((0L until 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+      root, retain = 8)                                             // v0
+    val v1 = Lake.deleteWhere(spark, root, col("k").isin(2L, 6L), retain = 8)
+    // batch feed: exactly two deletes, nothing else
+    val feed = Lake.changesBetween(spark, root, 0L, v1, Seq("k"))
+    assert(feed.where(col("change_type") =!= "delete").isEmpty)
+    assert(rows(feed.select("k")) === Set(Seq(2L), Seq(6L)))
+    // append another batch after the delete: feed across both versions
+    val v2BatchRoot = Lake.commitAppend(Seq((50L, "y")).toDF("k", "t"),
+      root, retain = 8)
+    val feed2 = Lake.changesBetween(spark, root, 0L, v2BatchRoot, Seq("k"))
+    assert(rows(feed2.select("k", "change_type")) ===
+      Set(Seq(2L, "delete"), Seq(6L, "delete"), Seq(50L, "insert")))
+    // CDF STREAM over the whole history emits the row-level deletes
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dv-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dv-ckpt").toString
+    val q = spark.readStream.format("graft-lake")
+      .option("root", root).option("readChangeFeed", "true")
+      .option("keyCols", "k")
+      .load().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(outDir)
+    assert(got.where(col("change_type") === "delete").count() === 2L)
+    // append-mode stream REFUSES a DV delete (a delete it cannot see
+    // in the dir diff) unless ignoreDeletes is set
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-dv-ckpt2").toString
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft-lake").option("root", root)
+        .load().writeStream.format("noop")
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("deletion vectors") ||
+      Option(ex.getCause).exists(_.getMessage.contains("deletion vectors")))
+    // with ignoreDeletes the stream proceeds (added dirs only)
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft-dv-ckpt3").toString
+    val outDir3 = java.nio.file.Files.createTempDirectory("graft-dv-out3").toString
+    spark.readStream.format("graft-lake").option("root", root)
+      .option("ignoreDeletes", "true")
+      .load().writeStream.format("parquet")
+      .option("path", outDir3).option("checkpointLocation", ckpt3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    assert(spark.read.parquet(outDir3).count() === 11L) // 10 + the append
+  }
+
+  test("SQL DELETE takes the DV path; clone carries the vector; vacuum composes") {
+    val root = tmpTable("graft-dv-sql")
+    Lake.commitOverwrite((0L until 30L).map(k => (k, s"r$k")).toDF("k", "t"),
+      root, retain = 8, rowCount = Some(30L))
+    spark.sql("DROP TABLE IF EXISTS dv_sql")
+    spark.sql(s"CREATE TABLE dv_sql USING `graft-lake` OPTIONS (root '$root')")
+    val preDirs = liveDirs(root)
+    spark.sql("DELETE FROM dv_sql WHERE k % 10 = 3")
+    assert(liveDirs(root) === preDirs) // merge-on-read through SQL too
+    val vNow = Lake.currentVersion(spark, root).get
+    assert(dvLines(root, vNow).nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM dv_sql").collect()
+      .head.getLong(0) === 27L)
+    // shallow clone of the DV'd snapshot: the vector travels
+    val cloneRoot = tmpTable("graft-dv-clone")
+    Lake.cloneCommitted(spark, root, cloneRoot)
+    assert(Lake.readCommitted(spark, cloneRoot).count() === 27L)
+    assert(rows(Lake.readCommitted(spark, cloneRoot)
+      .where(col("k") % 10 === 3).select("k")) === Set.empty[Seq[Any]])
+    // vacuum on the source: DV'd dirs are still referenced, nothing breaks
+    Lake.vacuumCommitted(spark, root)
+    assert(Lake.readCommitted(spark, root).count() === 27L)
+    spark.sql("DROP TABLE dv_sql")
+  }
+}

@@ -739,7 +739,10 @@ class LakeSpec extends SparkSpec {
 
     // 2. straddling range: [15,24] touches v1+v2 → those rewrite into
     //    one new dir, v3 reused; NULL-keeping filter semantics
-    val v2 = Lake.deleteWhere(spark, root, col("k").between(15L, 24L), retain = 4)
+    //    (dvMaxRows = 0 pins the copy-on-write path this test is
+    //    about; the merge-on-read default is LakeDvSpec's subject)
+    val v2 = Lake.deleteWhere(spark, root, col("k").between(15L, 24L),
+      retain = 4, dvMaxRows = 0)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
     assert(live2.contains(bDirs(3)) && !live2.contains(bDirs(1)) &&
       !live2.contains(bDirs(2)))
@@ -884,6 +887,43 @@ class LakeSpec extends SparkSpec {
     assert(Lake.pruneDirs(spark, root, col("k") === 9999L)._1.isEmpty)
   }
 
+  test("string stats truncate to bounded prefixes; pruning stays conservative-correct") {
+    val root = tmpTable("graft-lake-strstats")
+    // two ranged appends of 10 KB strings: dir A all share a 32+ 'a'
+    // prefix, dir B a 'z' prefix — untruncated these would put 10 KB
+    // min/max strings on every manifest line
+    val pad = "x" * 10000
+    Lake.commitAppend((0 until 50).map(i => (i.toLong, "a" * 100 + f"$i%03d" + pad))
+      .toDF("k", "t"), root, retain = 4, statsCols = Seq("t"))
+    Lake.commitAppend((50 until 100).map(i => (i.toLong, "z" * 100 + f"$i%03d" + pad))
+      .toDF("k", "t"), root, retain = 4, statsCols = Seq("t"))
+    val v = Lake.currentVersion(spark, root).get
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, s"_commit_$v"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val statLines = lines.filter(_.startsWith("#stats_"))
+    assert(statLines.size === 2)
+    // THE bound: a 10 KB stat column costs ≤ ~200 bytes of manifest
+    statLines.foreach(l => assert(l.length < 300, s"unbounded stat line: ${l.take(80)}…"))
+    // pruning still separates the prefixes: an 'a'-query skips dir B
+    val (keptA, skippedA) = Lake.pruneDirs(spark, root, col("t") === ("a" * 40))
+    assert(keptA.size === 1 && skippedA.size === 1)
+    // conservative above the true max but inside the successor bound:
+    // a value sharing dir A's truncated prefix is KEPT (never wrongly
+    // excluded), even though no actual row matches
+    val (keptB, _) = Lake.pruneDirs(spark, root,
+      col("t") === ("a" * 32 + "zzz"))
+    assert(keptB.size >= 1)
+    // and the full read path answers exactly despite truncation
+    val probe = "a" * 100 + "007" + pad
+    assert(rows(Lake.readCommittedWhere(spark, root, col("t") === probe)
+      .select("k")) === Set(Seq(7L)))
+    assert(Lake.readCommittedWhere(spark, root,
+      col("t") === ("z" * 100 + "007" + pad)).isEmpty)
+  }
+
   test("bloom skipping: deleteWhere and updateWhere reuse bloom-absent dirs by reference") {
     import org.apache.hadoop.fs.Path
     val root = tmpTable("graft-lake-bloomdel")
@@ -900,7 +940,9 @@ class LakeSpec extends SparkSpec {
     val bDirs = batchDirs(root, 3)
     val sigs = (0 to 3).map(b => fileSig(bDirs(b)))
     // delete k=37: only batch 1's dir can hold it — 0/2/3 reused by ref
-    Lake.deleteWhere(spark, root, col("k") === 37L, retain = 4)
+    // (dvMaxRows = 0 pins the copy-on-write path whose bloom-driven
+    // classification this test is about; LakeDvSpec owns the default)
+    Lake.deleteWhere(spark, root, col("k") === 37L, retain = 4, dvMaxRows = 0)
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
     assert(!live.contains(bDirs(1)))
     Seq(0, 2, 3).foreach(b => assert(fileSig(bDirs(b)) === sigs(b)))
@@ -1000,10 +1042,11 @@ class LakeSpec extends SparkSpec {
     assert(ts.sliding(2).forall { case Array(a, b) => !b.before(a) })
     // row counts ride where the writer carried one (counted commits;
     // the append SUMS onto the chain, the row-preserving update and
-    // compact carry it, the count-destroying delete drops it honestly)
+    // compact carry it, and the deletion-vector delete knows its exact
+    // hit count so the chain stays unbroken through it)
     val rc = Lake.describeHistory(spark, root).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
-    assert(rc(0L) === Some(3L) && rc(1L) === Some(4L) && rc(2L) === None)
+    assert(rc(0L) === Some(3L) && rc(1L) === Some(4L) && rc(2L) === Some(3L))
     // a pre-op manifest (hand-written, dirs only) reports NULL op
     val legacy = tmpTable("graft-lake-hist-legacy")
     Lake.commitOverwrite(Seq((1L, 1.0)).toDF("k", "v"), legacy)
@@ -1694,6 +1737,37 @@ class LakeSpec extends SparkSpec {
     Lake.commitAppend(Seq((5L, -1.0)).toDF("k", "v"), root, retain = 8)
     assert(rows(Lake.readCommitted(spark, root)) ===
       Set(Seq(1L, 10.0), Seq(2L, 20.0), Seq(5L, -1.0)))
+  }
+
+  test("NOT NULL via CHECK: null-carrying AND column-omitting batches both refuse") {
+    val root = tmpTable("graft-lake-notnull")
+    Lake.commitOverwrite(Seq((1L, "en"), (2L, "fr")).toDF("k", "lang"), root,
+      retain = 8)
+    Lake.addCheckConstraint(spark, root, "lang_present", "lang IS NOT NULL")
+    // a batch carrying NULL lang refuses (plain CHECK machinery)
+    val nullEx = intercept[IllegalArgumentException] {
+      Lake.commitAppend(
+        Seq(3L).toDF("k").withColumn("lang", lit(null).cast("string")),
+        root, retain = 8)
+    }
+    assert(nullEx.getMessage.contains("lang_present"))
+    // a batch OMITTING lang entirely refuses TOO: schema evolution
+    // would NULL-backfill it, which the constraint forbids — the
+    // refusal names the constraint instead of failing to resolve
+    val omitEx = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq(Tuple1(4L)).toDF("k"), root, retain = 8)
+    }
+    assert(omitEx.getMessage.contains("lang_present") &&
+      omitEx.getMessage.contains("lang IS NOT NULL"))
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "en"), Seq(2L, "fr")))
+    // a batch omitting a column under a NON-null-rejecting constraint
+    // still evolves fine (NULL passes SQL CHECK semantics): adding a
+    // new column the constraint never mentions is unaffected
+    Lake.commitAppend(Seq((5L, "de", 1.0)).toDF("k", "lang", "score"),
+      root, retain = 8)
+    Lake.commitAppend(Seq((6L, "es")).toDF("k", "lang"), root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 4L)
   }
 
   test("incremental compaction (minBytes): small dirs bin-pack, compacted history carries by reference") {

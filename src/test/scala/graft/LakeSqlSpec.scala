@@ -569,4 +569,70 @@ class LakeSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("graft_changes"))
   }
+
+  test("SQL maintenance spellings: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
+    val root = tmpTable("lakesql-maint")
+    // a fragmented table: four small appends
+    (0L until 4L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, k * 2L)).toDF("k", "v"),
+        root, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    spark.sql("DROP TABLE IF EXISTS maint_sql")
+    spark.sql(s"CREATE TABLE maint_sql USING `graft-lake` OPTIONS (root '$root')")
+    // plain OPTIMIZE: incremental bin-packing — four small dirs
+    // collapse into one, rows unchanged, catalog SELECT follows
+    val preDirs = Lake.resolve(spark, root).size
+    val vOpt = spark.sql("OPTIMIZE maint_sql").collect().head.getLong(0)
+    assert(Lake.resolve(spark, root).size < preDirs)
+    assert(spark.sql("SELECT count(*) AS n FROM maint_sql").collect()
+      .head.getLong(0) === 40L)
+    // OPTIMIZE ZORDER BY: clustered rewrite, op recorded, rows stable
+    val vZ = spark.sql("OPTIMIZE maint_sql ZORDER BY (k)").collect()
+      .head.getLong(0)
+    assert(spark.sql("SELECT sum(v) AS s FROM maint_sql").collect()
+      .head.getLong(0) === (0L until 40L).map(_ * 2).sum)
+    // OPTIMIZE WHERE without ZORDER refuses loudly
+    val we = intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE maint_sql WHERE k < 10")
+    }
+    assert(we.getMessage.contains("ZORDER"))
+    // DESCRIBE HISTORY: audit rows, newest op last; quoted-root form too
+    val hist = spark.sql("DESCRIBE HISTORY maint_sql").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(hist(vOpt).contains("compact") && hist(vZ).contains("zorder"))
+    assert(spark.sql(s"DESCRIBE HISTORY '$root'").count() ===
+      Lake.readableVersions(spark, root).size.toLong)
+    // RESTORE TABLE … TO VERSION AS OF: rows revert, SELECT follows
+    spark.sql("DELETE FROM maint_sql WHERE k >= 20")
+    assert(spark.sql("SELECT count(*) AS n FROM maint_sql").collect()
+      .head.getLong(0) === 20L)
+    val vR = spark.sql(
+      s"RESTORE TABLE maint_sql TO VERSION AS OF $vZ").collect()
+      .head.getLong(0)
+    assert(vR > vZ)
+    assert(spark.sql("SELECT count(*) AS n FROM maint_sql").collect()
+      .head.getLong(0) === 40L)
+    // VACUUM sweeps a crash-abandoned staged dir past the horizon
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "zdeadbeefcafe"))
+    val swept = spark.sql("VACUUM maint_sql RETAIN 0 HOURS").collect().head
+    assert(swept.getLong(1) >= 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "zdeadbeefcafe")))
+    assert(spark.sql("SELECT count(*) AS n FROM maint_sql").collect()
+      .head.getLong(0) === 40L)
+    // a non-lake target refuses with the table named; standard
+    // statements pass through the delegating parser untouched
+    spark.sql("DROP TABLE IF EXISTS maint_plain")
+    spark.sql("CREATE TABLE maint_plain (k BIGINT) USING parquet")
+    val ne = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("OPTIMIZE maint_plain")
+    }
+    assert(ne.getMessage.contains("maint_plain"))
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) === 1)
+    spark.sql("DROP TABLE maint_sql")
+    spark.sql("DROP TABLE maint_plain")
+  }
 }
