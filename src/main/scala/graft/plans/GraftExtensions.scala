@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the manifest constraint property — same pre-Resolution slot
     // (ResolveSessionCatalog refuses the v2 commands for v1 tables)
     ext.injectHintResolutionRule(s => new graft.sources.GraftLakeConstraintRule(s))
+    // ALTER TABLE … RENAME/DROP COLUMN routes to the metadata-only
+    // column-mapping engine (#colmap) — same slot, same reason
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakeColumnDdlRule(s))
     // SQL catalog reads of a snapshot carrying deletion vectors get
     // the DV filter wrapped around the scan (DataFrame reads apply it
     // at assembly; the catalog SELECT path resolves to a bare

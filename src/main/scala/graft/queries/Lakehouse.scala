@@ -1343,5 +1343,115 @@ object Lakehouse {
         "ZORDER BY (o_year, o_custkey)")
       s.sql("SELECT o_orderkey, o_custkey, o_year, o_totalprice " +
         "FROM opt_sql_orders WHERE o_year IN (1996, 1998) ORDER BY o_orderkey")
+    },
+
+    // COLUMN MAPPING under the oracle hash — Delta's rename-as-
+    // metadata, end-to-end in SQL: half the docs commit under `lang`,
+    // `ALTER TABLE … RENAME COLUMN lang TO language` re-points the
+    // manifest map (the `rename_metadata_only` column proves the dir
+    // set is byte-identical across the rename — a rewrite flips it
+    // FALSE and breaks the hash), the second half INSERTs under the
+    // NEW name (staged under the FROZEN physical name so both file
+    // generations serve one logical column), and the final SELECT
+    // filters and projects `language` across both. At 100 TB a rename
+    // is one manifest write instead of a table rewrite.
+    Q("q168_column_rename",
+      """SELECT doc_id, source, lang AS language, n_chars,
+        |  TRUE AS rename_metadata_only
+        |FROM documents
+        |WHERE lang IS NOT NULL
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("colmap_sql", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      Lake.commitOverwrite(docs.where(col("doc_id") <= maxId / 2), root,
+        retain = 4, statsCols = Seq("doc_id"))
+      s.sql("DROP TABLE IF EXISTS colmap_docs")
+      s.sql(s"CREATE TABLE colmap_docs USING `graft-lake` OPTIONS (root '$root')")
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("ALTER TABLE colmap_docs RENAME COLUMN lang TO language")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      Lake.commitAppend(
+        docs.where(col("doc_id") > maxId / 2)
+          .withColumnRenamed("lang", "language"),
+        root, retain = 4)
+      s.sql("REFRESH TABLE colmap_docs")
+      s.sql("""SELECT doc_id, source, language, n_chars FROM colmap_docs
+              |WHERE language IS NOT NULL ORDER BY doc_id""".stripMargin)
+        .withColumn("rename_metadata_only", lit(metadataOnly))
+    },
+
+    // NATIVE dynamic partition pruning, plain SQL, under the oracle
+    // hash — q150's star shape with NO engine-specific API: the
+    // year-partitioned lake fact exposes `o_year` as a TRUE Spark
+    // partition column (LakeFileIndex partition-schema mode), so
+    // Spark's own DPP rule plants a runtime subquery on the fact scan
+    // and the `rk <= 2` dim filter prunes the fact to 2-of-7
+    // partitions AT EXECUTION. The `dpp_pruned` column carries the
+    // proof into the hash (oracle expects TRUE on every row): it reads
+    // the executed scan's `numPartitions` metric — if partition-schema
+    // mode ever regressed (flat listing: no metric) or DPP stopped
+    // firing (7 partitions read), it flips FALSE and the hash breaks.
+    // At 100 TB this is `fact ⋈ filtered-dim` as O(matching
+    // partitions) I/O from a plain `spark.sql(...)` string.
+    Q("q167_native_dpp",
+      """WITH f AS MATERIALIZED (
+        |  SELECT o_orderkey,
+        |    CAST(year(o_orderdate) AS BIGINT) AS o_year, o_totalprice
+        |  FROM orders),
+        |dim AS MATERIALIZED (
+        |  SELECT o_year,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS year_total,
+        |    row_number() OVER (
+        |      ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC, o_year)
+        |      AS rk
+        |  FROM f GROUP BY o_year)
+        |SELECT f.o_orderkey, f.o_year AS o_year, f.o_totalprice,
+        |  d.year_total, TRUE AS dpp_pruned
+        |FROM f JOIN dim d ON f.o_year = d.o_year
+        |WHERE d.rk <= 2
+        |ORDER BY f.o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_dpp", d)
+      val dimRoot = scratchRoot("lake_dpp_dim", d)
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      Lake.commitOverwrite(orders, root, retain = 0,
+        partitionBy = Seq("o_year"))
+      val dim = orders.groupBy("o_year")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("year_total"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("year_total"), asc("o_year"))).cast("long"))
+      Lake.commitOverwrite(dim, dimRoot, retain = 0)
+      Lake.registerSql(s, "dpp_orders", root)
+      Lake.registerSql(s, "dpp_years", dimRoot)
+      val q =
+        """SELECT f.o_orderkey, f.o_year, f.o_totalprice, d.year_total
+          |FROM dpp_orders f JOIN dpp_years d ON f.o_year = d.o_year
+          |WHERE d.rk <= 2
+          |ORDER BY f.o_orderkey""".stripMargin
+      val probe = s.sql(q)
+      probe.collect() // execute: DPP re-filters, metrics materialize
+      val partsRead = lakeScansOf(probe.queryExecution.executedPlan)
+        .filter(_.relation.partitionSchema.nonEmpty)
+        .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+      s.sql(q).withColumn("dpp_pruned", lit(partsRead == 2L))
     })
+
+  /** Lake scans of an executed plan, descending through AQE query
+    * stages (their subtrees are members, not children — plain collect
+    * misses them). */
+  private def lakeScansOf(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.isInstanceOf[graft.sources.LakeFileIndex] =>
+      Seq(s)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      lakeScansOf(q.plan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      lakeScansOf(a.executedPlan)
+  }.flatten
 }

@@ -818,6 +818,249 @@ object Lake {
   def checkConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
     liveChecks(fsFor(spark, root), new Path(root))
 
+  // ---- column mapping (rename / drop as metadata) ------------------
+  //
+  // `#colmap=<logical>:<physical>,…` records — for the columns whose
+  // names diverge — the PHYSICAL name under which the table's data
+  // files store a committed (LOGICAL) column: Delta's column-mapping
+  // 'name' mode. Physical names FREEZE at column birth, so a RENAME is
+  // one manifest write (same dirs; the `#schema` field takes the new
+  // logical name; the map entry re-points) and a DROP is one manifest
+  // write that also RETIRES the physical name (`#colretired=…`) so a
+  // later re-add of the same logical name allocates a fresh physical
+  // name instead of resurrecting the dropped column's bytes from old
+  // files. Readers scan under physical names and alias back to
+  // logical at the user boundary; writers rename logical→physical
+  // before staging; every other manifest line (`#partcols`,
+  // `#statscols`, `#bucketby`, per-dir stat/bloom/part keys) is keyed
+  // PHYSICALLY and therefore never rewrites on rename. Each manifest
+  // version carries its own map, so time travel serves every version
+  // under the names it had. Absent lines mean identity — pre-mapping
+  // tables read and write exactly as before, at zero cost.
+  private val ColMapPrefix = "#colmap="
+  private val ColRetiredPrefix = "#colretired="
+
+  private[sources] def manifestColMap(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    manifestBody(fs, r, v).find(_.startsWith(ColMapPrefix))
+      .map(_.stripPrefix(ColMapPrefix).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).flatMap { e =>
+          val i = e.indexOf(':')
+          if (i <= 0) None else Some(e.take(i) -> e.drop(i + 1))
+        }.toMap)
+      .getOrElse(Map.empty)
+
+  private def manifestRetired(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(ColRetiredPrefix))
+      .map(_.stripPrefix(ColRetiredPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** The live snapshot's column map (empty = identity). */
+  private def liveColMap(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Map[String, String] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty)
+
+  private[sources] def colMapAt(spark: SparkSession, root: String,
+      version: Long): Map[String, String] =
+    manifestColMap(fsFor(spark, root), new Path(root), version)
+
+  /** The physical (file) name of logical column `c`. */
+  private[sources] def physName(map: Map[String, String], c: String): String =
+    map.getOrElse(c, c)
+
+  /** Logical schema → the PHYSICAL schema its files store (field
+    * renames only; order, types and nullability are shared). */
+  private[sources] def physSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      map: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (map.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = physName(map, f.name))))
+
+  /** Batch with LOGICAL names → the PHYSICAL names staging writes. */
+  private def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
+      map: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (map.isEmpty) df else df.toDF(df.columns.map(physName(map, _)): _*)
+
+  /** Prunable conjuncts re-keyed to physical names (per-dir stat /
+    * bloom / partition / file-stat lines are keyed physically). */
+  private def predsToPhysical(preds: Seq[Pred],
+      map: Map[String, String]): Seq[Pred] =
+    if (map.isEmpty) preds else preds.map(p => p.copy(col = physName(map, p.col)))
+
+  /** Logical column names → physical, for user-supplied column lists
+    * (statsCols / bloomCols / partitionBy / bucketBy / z-order). */
+  private def colsToPhysical(cols: Seq[String],
+      map: Map[String, String]): Seq[String] =
+    if (map.isEmpty) cols else cols.map(physName(map, _))
+
+  /** Names of `checks` whose expression references column `c`
+    * (parsed, case-insensitive; an unparseable expression is
+    * conservatively treated as referencing). */
+  private def checksReferencing(spark: SparkSession,
+      checks: Seq[(String, String)], c: String): Seq[String] =
+    checks.collect { case (n, e) if
+        scala.util.Try(spark.sessionState.sqlParser.parseExpression(e))
+          .map(_.exists {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.exists(_.equalsIgnoreCase(c))
+            case _ => false
+          }).getOrElse(true) => n }
+
+  /** Extend `map` with physical-name assignments for the columns of
+    * `schema` it does not cover: identity (no entry) unless the name
+    * is already claimed as a mapped physical name or retired — then a
+    * fresh `<name>_r<version>` allocates, so a column re-added after
+    * a rename/drop can never read another column's bytes. */
+  private def allocPhysical(schema: org.apache.spark.sql.types.StructType,
+      map: Map[String, String], retired: Seq[String],
+      version: Long): Map[String, String] = {
+    if (map.isEmpty && retired.isEmpty) return map
+    var out = map
+    // ALL mapped physical names are claimed — including those of live
+    // columns the batch omits — plus every retired name
+    var used = map.values.toSet ++ retired
+    schema.fieldNames.filterNot(out.contains).foreach { n =>
+      if (!used(n)) used += n
+      else {
+        require(!n.exists("=,:\n#".contains(_)),
+          s"column name '$n' needs a #colmap entry (its name collides " +
+            "with a retired or mapped physical column) but contains " +
+            "'=', ',', ':', '#', or newline — rename it in the batch")
+        var cand = s"${n}_r$version"
+        var i = 0
+        while (used(cand)) { i += 1; cand = s"${n}_r${version}_$i" }
+        out += n -> cand
+        used += cand
+      }
+    }
+    out
+  }
+
+  /** RENAME a column as METADATA (Delta's column mapping): one
+    * manifest write, ZERO data I/O at any table size — the immutable
+    * data files keep the column's physical name, the committed schema
+    * takes the new logical one, and the `#colmap` line re-points.
+    * Superseded versions keep their own names under time travel.
+    * Refuses: unknown source, duplicate target, a manifest-hostile
+    * target name, a column referenced by a CHECK constraint (the
+    * stored expression text would silently stop binding — drop the
+    * constraint, rename, re-add it under the new name), pre-schema
+    * (legacy) tables, and fold-maintained tables (their sink writes
+    * data dirs outside the staging choke point that applies the map).
+    * Optimistically concurrent like every maintenance commit.
+    * @return the committed version carrying the renamed schema */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String, retain: Int = 1): Long = {
+    require(newName.nonEmpty && !newName.exists("=,:\n#".contains(_)),
+      s"column name '$newName' may not contain '=', ',', ':', '#', or newline")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then rename"))
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' at $root (have: " +
+        schema.fieldNames.mkString("[", ", ", "]") + ")")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists at $root")
+    requireNotFoldTable(fs, r, "rename a column of")
+    val refs = checksReferencing(spark, manifestChecks(fs, r, cur), oldName)
+    require(refs.isEmpty,
+      s"cannot rename '$oldName': CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them, " +
+        "rename, and re-add them under the new name")
+    val map = manifestColMap(fs, r, cur)
+    val phys = physName(map, oldName)
+    val newMap = (map - oldName) ++
+      (if (phys == newName) Nil else Seq(newName -> phys))
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(newMap),
+        op = s"rename column $oldName -> $newName"))
+      throw new java.util.ConcurrentModificationException(
+        s"renaming '$oldName' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** DROP a column as METADATA: one manifest write, zero data I/O —
+    * the column leaves the committed schema (reads stop serving it),
+    * its physical name RETIRES (a later re-add allocates fresh, never
+    * resurrecting the dropped bytes), and its entries leave the
+    * stats/bloom column lists. Old versions still serve it under time
+    * travel. Refuses: the last column, a partition or bucket column
+    * (the layout is a table property — rewrite to re-layout), a
+    * column referenced by a CHECK constraint, legacy and
+    * fold-maintained tables.
+    * @return the committed version without the column */
+  def dropColumn(spark: SparkSession, root: String,
+      name: String, retain: Int = 1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then drop"))
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $root (have: " +
+        schema.fieldNames.mkString("[", ", ", "]") + ")")
+    require(schema.length > 1, s"cannot drop the only column of $root")
+    requireNotFoldTable(fs, r, "drop a column of")
+    val map = manifestColMap(fs, r, cur)
+    val phys = physName(map, name)
+    require(!manifestPartCols(fs, r, cur).contains(phys),
+      s"cannot drop partition column '$name' — the partition layout is " +
+        "a table property; re-layout with commitOverwrite to change it")
+    require(!manifestBucketBy(fs, r, cur).exists(_._2.contains(phys)),
+      s"cannot drop bucket column '$name' — the bucket layout is a " +
+        "table property; re-layout with commitOverwrite to change it")
+    val refs = checksReferencing(spark, manifestChecks(fs, r, cur), name)
+    require(refs.isEmpty,
+      s"cannot drop '$name': CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them first")
+    require(!phys.exists("=,\n#".contains(_)),
+      s"physical column name '$phys' cannot ride the #colretired line")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val retired = manifestRetired(fs, r, cur)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(map - name),
+        retiredCols = Some((retired :+ phys).distinct),
+        statsColsReplace =
+          Some(manifestStatsCols(fs, r, cur).filterNot(_ == phys)),
+        bloomColsReplace =
+          Some(manifestBloomCols(fs, r, cur).filterNot(_ == phys)),
+        op = s"drop column $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"dropping '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** Fold-maintained tables write data dirs outside the staging choke
+    * point that applies the column map — refuse mapping DDL on them. */
+  private def requireNotFoldTable(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, what: String): Unit =
+    committedVersions(fs, r).lastOption
+      .flatMap(v => manifestOp(fs, r, v)).foreach(op =>
+        require(!op.startsWith("fold"),
+          s"cannot $what a fold-maintained table at $r — the fold sink " +
+            "pre-writes data dirs under the stream's own column names"))
+
   private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[(Int, Seq[String])] =
     manifestBody(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
@@ -908,6 +1151,110 @@ object Lake {
 
   /** Partition columns established for the table (inherited), with a
     * divergent re-declaration refused — one layout per table. */
+  /** One recorded partition value as the CATALYST INTERNAL value of
+    * `dt` (what a [[org.apache.spark.sql.execution.datasources
+    * .PartitionDirectory]] row carries): `#part_` lines store dates /
+    * timestamps in their internal day/micros form already, so this is
+    * numeric narrowing plus UTF8String passthrough. None = the value
+    * does not represent under `dt` (disables partition-schema reads
+    * for the snapshot, conservative); Some(null) = a NULL partition. */
+  private def partInternal(v: Option[NormVal],
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    v match {
+      case None => Some(null)
+      case Some(NumV(bd)) => dt match {
+        case ByteType     => scala.util.Try(bd.toByteExact).toOption
+        case ShortType    => scala.util.Try(bd.toShortExact).toOption
+        case IntegerType | DateType => scala.util.Try(bd.toIntExact).toOption
+        case LongType | TimestampType | TimestampNTZType =>
+          scala.util.Try(bd.toLongExact).toOption
+        case FloatType    => Some(bd.toFloat)
+        case DoubleType   => Some(bd.toDouble)
+        case d: DecimalType => scala.util.Try(
+          org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)).toOption
+        case _ => None
+      }
+      case Some(StrV(u)) => dt match {
+        case StringType => Some(u)
+        case _ => None
+      }
+    }
+  }
+
+  /** The PARTITION-SCHEMA read layout of one snapshot — what lets the
+    * scan expose the partition columns as true Spark partition
+    * columns, unlocking the engine's own static partition pruning AND
+    * dynamic partition pruning (the star-join runtime prune) with no
+    * special API: `Some((partition fields, dir -> tuple InternalRow))`
+    * when EVERY live dir carries a `#part_` line whose values
+    * represent under the committed types, the partition columns exist
+    * in the schema (leaving a non-empty data schema), and no bucket
+    * column doubles as a partition column. Any miss → None and reads
+    * keep today's shape (a fold's fallback dir, a pre-layout table):
+    * honest degradation, never wrong answers. */
+  private[sources] def partitionLayoutAt(spark: SparkSession, root: String,
+      version: Long, schema: org.apache.spark.sql.types.StructType):
+      Option[(org.apache.spark.sql.types.StructType,
+        Map[String, org.apache.spark.sql.catalyst.InternalRow])] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val partCols = manifestPartCols(fs, r, version)
+    if (partCols.isEmpty) return None
+    // #partcols and #part_ keys are PHYSICAL; `schema` (and the
+    // partition schema this returns) is LOGICAL
+    val inv = manifestColMap(fs, r, version).map(_.swap)
+    val pairs = partCols.map(c => c -> inv.getOrElse(c, c))
+    val fieldsOpt = pairs.map { case (phys, log) =>
+      schema.fields.find(_.name == log).map(phys -> _) }
+    if (fieldsOpt.exists(_.isEmpty)) return None
+    val fields = fieldsOpt.flatten
+    if (fields.length == schema.length) return None // no data columns left
+    if (manifestBucketBy(fs, r, version)
+        .exists(_._2.exists(partCols.contains))) return None
+    val partsRaw = manifestPartsRaw(fs, r, version)
+    val dirs = manifestDirs(fs, r, version)
+    val tuples = Map.newBuilder[String, org.apache.spark.sql.catalyst.InternalRow]
+    dirs.foreach { d =>
+      val j = partsRaw.getOrElse(d, return None) // un-tupled dir: no layout
+      val m = parsePartJson(j)
+      val vals = fields.map { case (phys, f) =>
+        if (!m.contains(phys)) return None
+        partInternal(m(phys), f.dataType).getOrElse(return None)
+      }
+      tuples += d -> org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+    }
+    Some((org.apache.spark.sql.types.StructType(fields.map(_._2)),
+      tuples.result()))
+  }
+
+  /** [[scanFilesAt]] grouped by manifest dir — the partition-schema
+    * listing needs per-dir file sets to pair with per-dir tuples. */
+  private[sources] def scanDirFilesAt(spark: SparkSession, root: String,
+      version: Long,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    // scan-planning filters reference the relation's LOGICAL columns;
+    // every per-dir line is keyed physically
+    val preds = predsToPhysical(filters.flatMap(extractPreds),
+      manifestColMap(fs, r, version))
+    val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
+    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+      else manifestFileStatsRaw(fs, r, version)
+    keptDirs.map { d =>
+      val files = fstats.get(d) match {
+        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
+          splitDirFiles(fs, r, d, byFile, preds)._1
+        case _ =>
+          fs.listStatus(new Path(r, d)).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+      d -> files
+    }
+  }
+
   // ---- deletion vectors (merge-on-read row deletes) ----------------
   //
   // `#dv_<dir>=<json>` soft-deletes rows of an IMMUTABLE data dir by
@@ -1019,13 +1366,21 @@ object Lake {
       schema: Option[org.apache.spark.sql.types.StructType]):
       org.apache.spark.sql.DataFrame = {
     val paths = dirs.map(d => new Path(r, d).toString)
+    // files store PHYSICAL names; the returned view serves LOGICAL
+    // ones (the DV filter runs below the rename — it reads only
+    // `_metadata`, and metadata columns propagate through the alias)
+    val map = manifestColMap(fs, r, version)
     val base = schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case Some(s) => spark.read.schema(physSchema(s, map)).parquet(paths: _*)
       case None    => spark.read.parquet(paths: _*)
     }
     val want = dirs.toSet
     val dvs = manifestDvsRaw(fs, r, version).filter { case (d, _) => want(d) }
-    dvColumn(dvs).map(base.where).getOrElse(base)
+    val withDv = dvColumn(dvs).map(base.where).getOrElse(base)
+    schema match {
+      case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
+      case _ => withDv
+    }
   }
 
   private def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
@@ -1085,12 +1440,17 @@ object Lake {
     * dirs under the table root. */
   private def stageBatch(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      df: org.apache.spark.sql.DataFrame, effStats: Seq[String],
+      df0: org.apache.spark.sql.DataFrame, effStats: Seq[String],
       effBloom: Seq[String], partCols: Seq[String],
       maintenance: Boolean = false,
-      bucketBy: Option[(Int, Seq[String])] = None):
+      bucketBy: Option[(Int, Seq[String])] = None,
+      colMap: Map[String, String] = Map.empty):
       (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
     import org.apache.spark.sql.functions.{col, lit}
+    // batches arrive under LOGICAL names; files (and therefore every
+    // per-dir stat/bloom/part key, and the partCols/effStats/effBloom/
+    // bucket args, which come from the manifest) are PHYSICAL
+    val df = toPhysicalDf(df0, colMap)
     // partitioned AND bucketed compose: each partition tuple's dir is
     // written through the bucketed writer, and since every row of key
     // k lands in bucket hash(k) regardless of WHICH dir holds it, the
@@ -1438,7 +1798,11 @@ object Lake {
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    // the user predicate names LOGICAL columns; every per-dir line is
+    // keyed physically
+    val preds = predsToPhysical(
+      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)),
+      manifestColMap(fs, r, cur))
     val (keptDirs, skippedDirs) = pruneDirsAt(spark, root, cur, preds)
     val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
       else manifestFileStatsRaw(fs, r, cur)
@@ -1468,23 +1832,8 @@ object Lake {
   private[sources] def scanFilesAt(spark: SparkSession, root: String,
       version: Long,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
-      Seq[org.apache.hadoop.fs.FileStatus] = {
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
-    val preds = filters.flatMap(extractPreds)
-    val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
-    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
-      else manifestFileStatsRaw(fs, r, version)
-    keptDirs.flatMap { d =>
-      fstats.get(d) match {
-        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
-          splitDirFiles(fs, r, d, byFile, preds)._1
-        case _ =>
-          fs.listStatus(new Path(r, d)).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      }
-    }
-  }
+      Seq[org.apache.hadoop.fs.FileStatus] =
+    scanDirFilesAt(spark, root, version, filters).flatMap(_._2)
 
   /** Predicate read with manifest-stats data skipping: scans only the
     * live snapshot's dirs — and, inside dirs carrying file-level
@@ -1504,22 +1853,29 @@ object Lake {
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val (paths, _, _) = resolveWhere(spark, root, predicate)
     val schemaOpt = manifestSchema(fs, r, cur)
-    val base =
-      if (paths.isEmpty) {
-        val s = schemaOpt.getOrElse(spark.read.parquet(
-          manifestDirs(fs, r, cur).map(d => new Path(r, d).toString): _*).schema)
-        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-      } else schemaOpt match {
-        case Some(s) => spark.read.schema(s).parquet(paths: _*)
-        case None    => spark.read.parquet(paths: _*)
-      }
+    val map = manifestColMap(fs, r, cur)
+    if (paths.isEmpty) {
+      val s = schemaOpt.getOrElse(spark.read.parquet(
+        manifestDirs(fs, r, cur).map(d => new Path(r, d).toString): _*).schema)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
+        .where(predicate)
+    }
+    val base = schemaOpt match {
+      case Some(s) => spark.read.schema(physSchema(s, map)).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
     // the snapshot's deletion vectors apply before the predicate
     // (paths may be pruned FILE paths — the vector keys by dir
     // basename + file, so the restriction to "whole snapshot" is
     // only ever a no-op lookup, never a wrong row)
     val withDv = dvColumn(manifestDvsRaw(fs, r, cur))
       .map(base.where).getOrElse(base)
-    withDv.where(predicate)
+    val logical = schemaOpt match {
+      case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
+      case _ => withDv
+    }
+    logical.where(predicate)
   }
 
   // `#rows=<n>` — the snapshot's exact row count, carried when the
@@ -1804,6 +2160,10 @@ object Lake {
         // relative/absolute entries resolve alike)
         newDvs = manifestDvsRaw(fs, sr, v)
           .map { case (d, j) => toAbs.getOrElse(d, d) -> j },
+        // the source's column map carries verbatim: the referenced
+        // dirs store the SOURCE's physical names
+        colMap = Some(manifestColMap(fs, sr, v)),
+        retiredCols = Some(manifestRetired(fs, sr, v)),
         dvsReplace = true,
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
@@ -1926,6 +2286,13 @@ object Lake {
         // deletion vectors restore AUTHORITATIVELY: carrying the live
         // version's vectors would re-kill rows the restore revives
         newDvs = manifestDvsRaw(fs, r, version), dvsReplace = true,
+        // the column map (and retired set, and the stat/bloom column
+        // lists a drop may have shrunk) restore to the TARGET's — the
+        // restored dirs store the TARGET's physical names
+        colMap = Some(manifestColMap(fs, r, version)),
+        retiredCols = Some(manifestRetired(fs, r, version)),
+        statsColsReplace = Some(manifestStatsCols(fs, r, version)),
+        bloomColsReplace = Some(manifestBloomCols(fs, r, version)),
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +
@@ -1941,7 +2308,11 @@ object Lake {
   private[sources] def bucketSpecAt(spark: SparkSession, root: String,
       version: Long): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
     val fs = fsFor(spark, root)
-    manifestBucketBy(fs, new Path(root), version).map { case (n, cols) =>
+    // #bucketby stores PHYSICAL names; the relation's surface (and the
+    // HashPartitioning its scan advertises) is LOGICAL
+    val inv = manifestColMap(fs, new Path(root), version).map(_.swap)
+    manifestBucketBy(fs, new Path(root), version).map { case (n, cols0) =>
+      val cols = cols0.map(c => inv.getOrElse(c, c))
       org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, cols)
     }
   }
@@ -2043,6 +2414,29 @@ object Lake {
     if (fromVersion == toVersion)
       return to.limit(0).withColumn("change_type", lit(""))
     readCommittedAt(spark, root, fromVersion) // horizon check only
+    // the diff reads BOTH endpoints under toVersion's schema; a
+    // column-mapping change inside the range (rename, drop+re-add)
+    // makes the shared-schema read a lie for the old side — refuse
+    // loudly instead of reporting every row as an update
+    val fromMap = manifestColMap(fs, r, fromVersion)
+    val toMap = manifestColMap(fs, r, toVersion)
+    if (fromMap != toMap || manifestRetired(fs, r, fromVersion) !=
+        manifestRetired(fs, r, toVersion)) {
+      val fromNames = manifestSchema(fs, r, fromVersion)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val fromPhys = manifestSchema(fs, r, fromVersion)
+        .map(s => physSchema(s, fromMap).fieldNames.toSet)
+        .getOrElse(Set.empty)
+      val crossed = toSchema.fieldNames.filter { n =>
+        val pTo = physName(toMap, n)
+        if (fromNames.contains(n)) physName(fromMap, n) != pTo
+        else fromPhys.contains(pTo)
+      }
+      require(crossed.isEmpty,
+        s"changesBetween v$fromVersion..v$toVersion crosses a column " +
+          s"rename/re-add of ${crossed.mkString("[", ", ", "]")} — read " +
+          "the feed in two spans, split at the mapping commit")
+    }
     // the diff unit is (dir, deletion-vector line): version dirs are
     // immutable, but a DV delete changes a dir's LIVE rows without
     // renaming it — such a dir joins both sides (old rows under the
@@ -2250,6 +2644,11 @@ object Lake {
           "pre-write plain version dirs and cannot preserve it; fold " +
           "into an unbucketed table (or use the append/CDC-merge sinks, " +
           "which stage through the bucketed writer)")
+      require(manifestColMap(ffs, new Path(root), last).isEmpty,
+        s"the table at $root carries a column mapping (renamed/dropped " +
+          "columns) — fold commits pre-write data dirs under the " +
+          "stream's own column names and cannot apply the map; fold " +
+          "into an unmapped table")
     }
     if (!commitManifest(ffs, new Path(root), version, dirs,
         retain, schema, op = "fold"))
@@ -2289,6 +2688,10 @@ object Lake {
       checks: Option[Seq[(String, String)]] = None,
       newDvs: Map[String, String] = Map.empty,
       dvsReplace: Boolean = false,
+      colMap: Option[Map[String, String]] = None,
+      retiredCols: Option[Seq[String]] = None,
+      statsColsReplace: Option[Seq[String]] = None,
+      bloomColsReplace: Option[Seq[String]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -2309,9 +2712,9 @@ object Lake {
     // the stat-column line itself inherits too, so a commit path that
     // computes no stats (e.g. the streaming fold's commitVersion)
     // doesn't sever the chain — its new dir is merely unstat'd
-    val effCols =
+    val effCols = statsColsReplace.getOrElse(
       if (statsCols.nonEmpty) statsCols
-      else prevV.map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil)
+      else prevV.map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil))
     // bloom lines carry exactly like stats lines: reused dirs keep
     // their serialized filters verbatim (immutable dir, immutable
     // membership), only dirs this commit wrote get fresh ones
@@ -2319,9 +2722,9 @@ object Lake {
       .map(v => manifestBloomsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
     val bloomLines = dirs.flatMap(d =>
       newBlooms.get(d).orElse(prevBlooms.get(d)).map(j => BloomPrefix + d + "=" + j))
-    val effBloom =
+    val effBloom = bloomColsReplace.getOrElse(
       if (bloomCols.nonEmpty) bloomCols
-      else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
+      else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil))
     // partition lines carry exactly like stats lines (immutable dir,
     // immutable values); the column line inherits so COW rewrites and
     // folds never sever the table's declared layout
@@ -2337,6 +2740,12 @@ object Lake {
     // CHECK constraints inherit too; Some(…) replaces (add/drop)
     val effChecks = checks.getOrElse(
       prevV.map(v => manifestChecks(fs, r, v)).getOrElse(Nil))
+    // the column map and retired-physical-name set inherit like every
+    // table-property line; Some(…) replaces (rename/drop/evolution)
+    val effColMap = colMap.getOrElse(
+      prevV.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty))
+    val effRetired = retiredCols.getOrElse(
+      prevV.map(v => manifestRetired(fs, r, v)).getOrElse(Nil))
     // deletion vectors: the one MUTABLE per-dir line. Normal commits
     // carry a reused dir's vector (new deletes pass the merged set in
     // `newDvs`); rewritten dirs materialize theirs away by renaming.
@@ -2371,6 +2780,12 @@ object Lake {
         BucketByPrefix + n + ":" + cols.mkString(",")
       } ++
       effChecks.map { case (n, e) => CheckPrefix + n + ":" + e } ++
+      (if (effColMap.nonEmpty)
+        Seq(ColMapPrefix + effColMap.toSeq.sorted
+          .map { case (l, p) => s"$l:$p" }.mkString(","))
+       else Nil) ++
+      (if (effRetired.nonEmpty) Seq(ColRetiredPrefix + effRetired.mkString(","))
+       else Nil) ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -2499,18 +2914,32 @@ object Lake {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val effStats = effectiveStatsCols(fs, r, statsCols)
-    val effBloom = effectiveBloomCols(fs, r, bloomCols)
-    val effPart = effectivePartCols(fs, r, partitionBy)
-    val effBucket = effectiveBucketBy(fs, r, bucketBy)
+    // user column args name LOGICAL columns; the property lines (and
+    // stageBatch's view of the batch) are physical. An overwrite keeps
+    // the surviving columns' physical names (its fresh files must
+    // agree with the inherited property lines) and drops map entries
+    // whose logical column the new schema no longer carries.
+    val liveMap = liveColMap(fs, r)
+    val retired0 =
+      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+        .getOrElse(Nil)
+    val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, liveMap))
+    val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, liveMap))
+    val effPart = effectivePartCols(fs, r, colsToPhysical(partitionBy, liveMap))
+    val effBucket = effectiveBucketBy(fs, r,
+      bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, liveMap)) })
     // CHECK constraints gate every row-introducing commit: one
     // aggregate job over the batch, BEFORE anything stages
     validateChecks(fs, r, df, "overwrite")
+    val allocV = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val newMap = allocPhysical(df.schema,
+      liveMap.filter { case (l, _) => df.columns.contains(l) },
+      retired0, allocV)
     // data first, completely, under dirs no other writer contests
     // (one per partition-value tuple when the table is partitioned)
     val (staged, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
-        bucketBy = effBucket)
+        bucketBy = effBucket, colMap = newMap)
     // allocate past EVERY committed marker, not just the live one: a
     // defensively-ignored manifest (data dirs lost) still owns its
     // number, and publishing onto it would conflict forever
@@ -2518,7 +2947,7 @@ object Lake {
     if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
         newParts = parts, partCols = effPart, bucketBy = effBucket,
-        op = "overwrite")) {
+        colMap = Some(newMap), op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"overwrite of $root lost version $next to a concurrent commit — " +
@@ -2556,11 +2985,21 @@ object Lake {
     val spark = df.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val effStats = effectiveStatsCols(fs, r, statsCols)
-    val effBloom = effectiveBloomCols(fs, r, bloomCols)
+    // user column args name LOGICAL columns; property lines are
+    // physical — and a batch adding NEW columns allocates them
+    // physical names that can never collide with a mapped or retired
+    // one (a re-add after rename/drop must not read old bytes)
+    val liveMap = liveColMap(fs, r)
+    val retired0 =
+      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+        .getOrElse(Nil)
+    val newMap = allocPhysical(df.schema, liveMap, retired0,
+      committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L))
+    val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, newMap))
+    val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, newMap))
     // a partitioned table's layout is a TABLE property: appends
     // inherit it and stage one dir per partition-value tuple
-    val effPart = effectivePartCols(fs, r, partitionBy)
+    val effPart = effectivePartCols(fs, r, colsToPhysical(partitionBy, newMap))
     // the bucket layout is a table property too: appends inherit it
     // and stage through the bucketed writer. A NEW declaration on an
     // append to an existing UNBUCKETED table refuses: earlier dirs
@@ -2573,12 +3012,13 @@ object Lake {
         s"an append cannot declare a bucket layout on the existing " +
           s"unbucketed table at $root — earlier dirs lack bucket file " +
           "naming; re-layout with commitOverwrite(bucketBy = …)")
-    val effBucket = effectiveBucketBy(fs, r, bucketBy)
+    val effBucket = effectiveBucketBy(fs, r,
+      bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, newMap)) })
     validateChecks(fs, r, df, "append")
     // O(batch): stats only for the new dirs; reused dirs' lines carry
     val (staged, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
-        bucketBy = effBucket)
+        bucketBy = effBucket, colMap = newMap)
     def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
     // the snapshot this append staged against; every retry re-checks
     // that the commits landing after it were all append-shaped
@@ -2628,6 +3068,25 @@ object Lake {
               "and retry (or commit with a larger `retain`)")
       }
       val cur = committed.lastOption
+      // column-map rebase: this batch's file names froze under the map
+      // read at staging time. A concurrent append that merely ADDED
+      // entries merges; a concurrent rename/drop that moved a name
+      // this batch staged under — or retired/claimed a physical name
+      // this batch allocated — refuses (the staged bytes would lie).
+      val curMap = cur.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty)
+      val curRetired = cur.map(v => manifestRetired(fs, r, v)).getOrElse(Nil)
+      val ourNew = newMap -- liveMap.keys
+      val mergedMap = curMap ++ ourNew
+      if (df.columns.exists(c => physName(mergedMap, c) != physName(newMap, c)) ||
+          ourNew.values.exists(curRetired.contains) ||
+          ourNew.values.toSet.intersect(
+            (curMap -- newMap.keys).values.toSet).nonEmpty) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root: a concurrent commit changed the column " +
+            "mapping while this append was staging — re-derive the batch " +
+            "against the current table and retry")
+      }
       // number allocation vs committedVersions (see commitOverwrite);
       // the snapshot to extend is the LIVE one
       val next = cur.map(_ + 1).getOrElse(0L)
@@ -2652,7 +3111,8 @@ object Lake {
       }
       if (commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
           rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
-          newParts = parts, partCols = effPart, op = op))
+          newParts = parts, partCols = effPart,
+          colMap = Some(mergedMap), op = op))
         return next
       // lost the slot: a concurrent writer committed `next` first.
       // Loop — the next pass validates what landed and rebases.
@@ -2768,7 +3228,8 @@ object Lake {
       validateChecks(fs, r, rewritten, "merge")
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
-          maintenance = true, bucketBy = effBucket)
+          maintenance = true, bucketBy = effBucket,
+          colMap = manifestColMap(fs, r, cur))
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
       preserveMarkers(fs, r, touchedDirs, newDirs)
@@ -2842,13 +3303,17 @@ object Lake {
     val snapDirs = manifestDirs(fs, r, cur)
     val stats = manifestStatsRaw(fs, r, cur)
     val carried = manifestSchema(fs, r, cur)
-    val (preds, exact) = extractPredsExact(
+    // user predicates name LOGICAL columns; per-dir lines are physical
+    val cmap = manifestColMap(fs, r, cur)
+    val (preds0, exact) = extractPredsExact(
       org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    val preds = predsToPhysical(preds0, cmap)
     // the NULL gate for the metadata-only drop: every predicate column
     // declared non-nullable by the COMMITTED schema (a dir could
     // otherwise hide NULL rows the ranges don't see)
     val nonNullCols: Set[String] = carried
-      .map(_.fields.collect { case f if !f.nullable => f.name }.toSet)
+      .map(_.fields.collect {
+        case f if !f.nullable => physName(cmap, f.name) }.toSet)
       .getOrElse(Set.empty)
     val allMatchProvable = exact && preds.nonEmpty &&
       preds.forall(p => nonNullCols.contains(p.col))
@@ -2959,7 +3424,8 @@ object Lake {
         val base = readDirsWithDv(spark, fs, r, cur, rewrite, carried)
         val surviving = base.where(!coalesce(predicate, lit(false)))
         val staged = stageBatch(spark, fs, r, surviving, effStats, effBloom, effPart,
-          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
+          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur),
+          colMap = cmap)
         preserveMarkers(fs, r, rewrite ++ dropped, staged._1)
         staged
       } else if (hasMarkers(dropped) || kept.isEmpty) {
@@ -2972,7 +3438,7 @@ object Lake {
         val empty = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         val staged = stageBatch(spark, fs, r, empty, effStats, effBloom, Nil,
-          bucketBy = manifestBucketBy(fs, r, cur))
+          bucketBy = manifestBucketBy(fs, r, cur), colMap = cmap)
         preserveMarkers(fs, r, dropped, staged._1)
         staged
       } else // the metadata-only partition drop: no job at all
@@ -3020,7 +3486,10 @@ object Lake {
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"SET column '$c' is not in the table schema " +
         schema.fieldNames.mkString("[", ", ", "]")))
-    val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
+    // user predicates name LOGICAL columns; per-dir lines are physical
+    val cmap = manifestColMap(fs, r, cur)
+    val preds = predsToPhysical(
+      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)), cmap)
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val partsRaw = manifestPartsRaw(fs, r, cur)
     val (kept, touched) = snapDirs.partition { d =>
@@ -3053,7 +3522,8 @@ object Lake {
     validateChecks(fs, r, updated, "update")
     val (newDirs, freshStats, freshBlooms, freshParts) =
       stageBatch(spark, fs, r, updated, effStats, effBloom, effPart,
-          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
+          maintenance = true, bucketBy = manifestBucketBy(fs, r, cur),
+          colMap = cmap)
     preserveMarkers(fs, r, touched, newDirs)
     // updates are row-preserving: the metadata count carries over
     if (!commitManifest(fs, r, next, kept ++ newDirs, retain,
@@ -3242,7 +3712,8 @@ object Lake {
       validateChecks(fs, r, rewritten, "merge")
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
-          maintenance = true, bucketBy = effBucket)
+          maintenance = true, bucketBy = effBucket,
+          colMap = manifestColMap(fs, r, cur))
       preserveMarkers(fs, r, touchedDirs, newDirs)
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
@@ -3324,11 +3795,16 @@ object Lake {
       throw new java.util.NoSuchElementException(
         s"version $v at $root carries no schema line (legacy manifest) — " +
           "partition values cannot be typed"))
+    // #partcols and #part_ keys are PHYSICAL; the schema (and this
+    // function's output columns) use the LOGICAL names
+    val inv = manifestColMap(fs, r, v).map(_.swap)
+    def logical(c: String): String = inv.getOrElse(c, c)
+    def fieldOf(c: String) = schema(logical(c))
     def decode(c: String, nv: Option[NormVal]): Any = nv match {
       case None => null
       case Some(x) =>
         import org.apache.spark.sql.catalyst.util.DateTimeUtils
-        (x, schema(c).dataType) match {
+        (x, fieldOf(c).dataType) match {
           case (NumV(n), ByteType)    => n.toByte
           case (NumV(n), ShortType)   => n.toShort
           case (NumV(n), IntegerType) => n.toInt
@@ -3363,7 +3839,7 @@ object Lake {
         org.apache.spark.sql.Row.fromSeq(vals :+ dirs.size.toLong)
       }
     val outSchema = StructType(
-      partCols.map(c => schema(c).copy(nullable = true)) :+
+      partCols.map(c => fieldOf(c).copy(nullable = true)) :+
         StructField("n_dirs", LongType, nullable = false))
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(tuples).asJava, outSchema)
@@ -3434,7 +3910,8 @@ object Lake {
     val effPart = manifestPartCols(fs, r, cur)
     val (newDirs, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
-        maintenance = true, bucketBy = manifestBucketBy(fs, r, cur))
+        maintenance = true, bucketBy = manifestBucketBy(fs, r, cur),
+        colMap = manifestColMap(fs, r, cur))
     // the collapsed dirs hand their streaming-fold replay markers to
     // their replacements; carried dirs keep their own in place
     preserveMarkers(fs, r, smallDirs, newDirs)
@@ -3517,6 +3994,7 @@ object Lake {
     val liveDirs = manifestDirs(fs, r, cur)
     // predicate scope: dirs the manifest proves hold no matching row
     // carry by reference; the rest rewrite (with ALL their rows)
+    val cmap = manifestColMap(fs, r, cur)
     val (rewriteDirs, carriedDirs) = where match {
       case None => (liveDirs, Seq.empty[String])
       case Some(p) =>
@@ -3535,7 +4013,7 @@ object Lake {
               "committed schema — nothing would be excluded and the whole " +
               "table would rewrite"))
         }
-        pruneDirsAt(spark, root, cur, preds)
+        pruneDirsAt(spark, root, cur, predsToPhysical(preds, cmap))
     }
     def dirBytes(d: String): Long =
       fs.listStatus(new Path(r, d)).toSeq
@@ -3547,37 +4025,44 @@ object Lake {
       return cur // nothing in scope: the snapshot is already optimal
     require(total > 0, s"no parquet data in the live snapshot at $root")
     val carried = manifestSchema(fs, r, cur)
-    val df =
+    val dfLogical =
       if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
       // DV-aware: z-order materializes the rewritten dirs' vectors
       else readDirsWithDv(spark, fs, r, cur, rewriteDirs, carried)
-    cols.foreach(c => require(df.columns.contains(c),
+    cols.foreach(c => require(dfLogical.columns.contains(c),
       s"cluster column '$c' not in the table schema"))
+    // this function writes its clustered dirs DIRECTLY (not through
+    // stageBatch), so the physical rename happens here: the df, the
+    // user's cluster columns, and the committed schema it re-commits
+    // all translate once, and everything below is physical
+    val logicalSchema = dfLogical.schema
+    val df = toPhysicalDf(dfLogical, cmap)
+    val cols0 = colsToPhysical(cols, cmap)
     def isNumeric(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | DateType | TimestampType | TimestampNTZType => true
       case _: DecimalType => true
       case _ => false
     }
-    val zOrderable = cols.lengthCompare(2) >= 0 && cols.lengthCompare(4) <= 0 &&
-      cols.forall(c => isNumeric(df.schema(c).dataType))
+    val zOrderable = cols0.lengthCompare(2) >= 0 && cols0.lengthCompare(4) <= 0 &&
+      cols0.forall(c => isNumeric(df.schema(c).dataType))
     /** `slice` laid out into `n` files tight on `cols` (z-order when
       * the column mix supports it, lexicographic range otherwise);
       * spans computed over THIS slice. */
     def clusterLayout(slice: org.apache.spark.sql.DataFrame, n: Int):
         org.apache.spark.sql.DataFrame =
       if (!zOrderable)
-        slice.repartitionByRange(n, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*)
+        slice.repartitionByRange(n, cols0.map(col): _*)
+          .sortWithinPartitions(cols0.map(col): _*)
       else {
         // per-column spans for the 16-bit rank scaling — one tiny agg
         val mm = slice.agg(
-          cols.flatMap(c => Seq(min(col(c)).cast("double"),
+          cols0.flatMap(c => Seq(min(col(c)).cast("double"),
             max(col(c)).cast("double"))).head,
-          cols.flatMap(c => Seq(min(col(c)).cast("double"),
+          cols0.flatMap(c => Seq(min(col(c)).cast("double"),
             max(col(c)).cast("double"))).drop(1): _*).collect().head
-        val k = cols.length
-        val buckets = cols.zipWithIndex.map { case (c, j) =>
+        val k = cols0.length
+        val buckets = cols0.zipWithIndex.map { case (c, j) =>
           val (lo, hi) = (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
           if (lo >= hi || lo.isNaN || hi.isNaN || hi.isInfinite || lo.isInfinite)
             lit(0L)
@@ -3595,7 +4080,7 @@ object Lake {
           .drop("__graft_z")
       }
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
-    val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols).distinct
+    val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols0).distinct
     val effBloom = effectiveBloomCols(fs, r, Nil)
     val effPart = manifestPartCols(fs, r, cur)
     /** Write one clustered dir for `slice`; returns its manifest
@@ -3670,7 +4155,7 @@ object Lake {
         }
       preserveMarkers(fs, r, rewriteDirs, newDirs)
       if (!commitManifest(fs, r, next, carriedDirs ++ newDirs, retain,
-          Some(cached.schema), manifestRows(fs, r, cur),
+          Some(logicalSchema), manifestRows(fs, r, cur),
           dirStats, effStats, fileStats,
           newBlooms = blooms, bloomCols = effBloom,
           newParts = parts, op = "zorder")) {

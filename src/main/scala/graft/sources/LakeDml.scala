@@ -238,6 +238,23 @@ private[sources] object LakeDml {
   def refresh(session: SparkSession, ident: Option[TableIdentifier]): Unit =
     ident.foreach(i => session.catalog.refreshTable(i.quotedString))
 
+  /** Align the CATALOG's stored schema with the table's live committed
+    * schema — after a rename/drop (or an evolving insert) the stored
+    * creation-time schema is stale, and v1 relation resolution
+    * hard-compares it against the provider's relation ("user-specified
+    * schema doesn't match"). One catalog write, only when they differ. */
+  def syncCatalogSchema(session: SparkSession, root: String,
+      ident: Option[TableIdentifier]): Unit =
+    ident.foreach { i =>
+      val live = org.apache.spark.sql.graft.Shim.asNullable(
+        Lake.readCommitted(session, root).schema)
+      val cat = session.sessionState.catalog
+      val meta = cat.getTableMetadata(i)
+      // alterTable (not alterTableDataSchema): the latter refuses
+      // renames/drops — this engine's mapping makes them legal
+      if (meta.schema != live) cat.alterTable(meta.copy(schema = live))
+    }
+
   /** The (root, identifier) of a graft-lake CATALOG table named by
     * `parts` — None for temp views (they shadow), unknown tables, or
     * other providers. Shared by the Hints-batch rules (time travel,
@@ -435,6 +452,75 @@ case class GraftDropConstraintCommand(root: String, name: String,
       Lake.dropCheckConstraint(session, root, name)
       LakeDml.refresh(session, ident)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP COLUMN
+  * a` on graft-lake catalog tables, routed to the METADATA-ONLY
+  * column-mapping engine ([[Lake.renameColumn]] / [[Lake.dropColumn]]
+  * — one manifest write, zero data I/O; see the `#colmap` protocol).
+  * Same Hints-batch slot as [[GraftLakeConstraintRule]], same reason:
+  * ResolveSessionCatalog refuses the v2 ALTER COLUMN commands for v1
+  * session-catalog tables before extended resolution runs. Nested
+  * fields refuse (top-level mapping only); non-graft tables pass
+  * through with the standard error. */
+class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedTable}
+  import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, RenameColumn}
+
+  private def topLevel(parts: Seq[String], what: String): String = {
+    require(parts.length == 1,
+      s"graft-lake column mapping supports top-level columns only — " +
+        s"cannot $what nested field ${parts.mkString(".")}")
+    parts.head
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case rc @ RenameColumn(t: UnresolvedTable,
+          UnresolvedFieldName(parts), newName) =>
+        LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
+          case None => rc
+          case Some((root, ident)) =>
+            GraftRenameColumnCommand(root,
+              topLevel(parts, "rename"), newName, ident)
+        }
+      case dc @ DropColumns(t: UnresolvedTable, cols, ifExists) =>
+        LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
+          case None => dc
+          case Some((root, ident)) =>
+            val names = cols.map {
+              case UnresolvedFieldName(parts) => topLevel(parts, "drop")
+              case other => throw new IllegalArgumentException(
+                s"cannot drop $other — name the column directly")
+            }
+            GraftDropColumnCommand(root, names, ifExists, ident)
+        }
+    }
+}
+
+case class GraftRenameColumnCommand(root: String, oldName: String,
+    newName: String, ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.renameColumn(session, root, oldName, newName)
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+case class GraftDropColumnCommand(root: String, names: Seq[String],
+    ifExists: Boolean, ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val have = Lake.readCommitted(session, root).columns.toSet
+    names.foreach { n =>
+      if (!ifExists || have(n)) Lake.dropColumn(session, root, n)
+    }
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
     Seq.empty
   }
 }

@@ -49,6 +49,9 @@ case class GraftLakeInsertCommand(root: String, overwrite: Boolean,
       } else df0
     if (overwrite) Lake.commitOverwrite(df, root, partitionBy = partitionBy)
     else Lake.commitAppend(df, root, partitionBy = partitionBy)
+    // an evolving insert (new columns) leaves the catalog's stored
+    // schema stale, and v1 resolution hard-compares it — re-align
+    LakeDml.syncCatalogSchema(session, root, ident)
     // invalidate the catalog's cached relation so the next SELECT on
     // this table resolves the post-insert snapshot — without it the
     // INSERT's own analysis caches the PRE-insert relation and later

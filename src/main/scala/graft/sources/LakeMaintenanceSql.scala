@@ -167,6 +167,9 @@ case class GraftRestoreCommand(t: GraftMaintTarget, version: Long)
   override def run(session: SparkSession): Seq[Row] = {
     val (root, ident) = t.resolve(session)
     val v = Lake.restoreCommitted(session, root, version)
+    // a restore across a rename/drop/evolution changes the live
+    // schema; the catalog's stored copy must follow
+    LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq(Row(v))
   }

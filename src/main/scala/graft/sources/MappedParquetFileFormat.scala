@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+/** Stock parquet reading under a COLUMN MAP: the whole plan — catalog
+  * resolution, filter pushdown, manifest pruning, partition handling —
+  * runs under the table's LOGICAL column names, and this format
+  * translates the file-facing schemas and pushed-down filters to the
+  * PHYSICAL names the immutable files actually store, at the last
+  * boundary before the reader. Rows come back positionally (a rename
+  * never moves or converts data), so the vectorized reader, codegen
+  * and batch support are inherited untouched. This is the same
+  * layering Delta Lake uses for its column-mapping 'name' mode
+  * (DeltaParquetFileFormat over the stock reader).
+  *
+  * Filters whose shape the translator does not know are DROPPED, not
+  * passed through: parquet pushdown is advisory (Spark re-applies the
+  * full predicate above the scan), so dropping can only cost I/O,
+  * never correctness — while passing an untranslated name through
+  * would silently skip row groups that match. */
+final class MappedParquetFileFormat(
+    private[sources] val map: Map[String, String])
+    extends ParquetFileFormat {
+
+  private def phys(s: StructType): StructType = Lake.physSchema(s, map)
+  private def phys(c: String): String = map.getOrElse(c, c)
+
+  private def physFilter(f: sources.Filter): Option[sources.Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(phys(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
+    case sources.GreaterThanOrEqual(a, v) =>
+      Some(sources.GreaterThanOrEqual(phys(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(phys(a), v))
+    case sources.LessThanOrEqual(a, v) =>
+      Some(sources.LessThanOrEqual(phys(a), v))
+    case sources.In(a, vs) => Some(sources.In(phys(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(phys(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(phys(a)))
+    case sources.StringStartsWith(a, v) =>
+      Some(sources.StringStartsWith(phys(a), v))
+    case sources.StringEndsWith(a, v) =>
+      Some(sources.StringEndsWith(phys(a), v))
+    case sources.StringContains(a, v) =>
+      Some(sources.StringContains(phys(a), v))
+    case sources.And(l, r) => (physFilter(l), physFilter(r)) match {
+      case (Some(a), Some(b)) => Some(sources.And(a, b))
+      case (a, b)             => a.orElse(b) // AND weakens per-conjunct
+    }
+    case sources.Or(l, r) => for (a <- physFilter(l); b <- physFilter(r))
+      yield sources.Or(a, b) // OR only survives whole
+    case sources.Not(c) => physFilter(c).map(sources.Not(_))
+    case sources.AlwaysTrue() | sources.AlwaysFalse() => Some(f)
+    case _ => None // unknown shape: drop, never mistranslate
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[sources.Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] =
+    super.buildReaderWithPartitionValues(sparkSession, phys(dataSchema),
+      partitionSchema, phys(requiredSchema), filters.flatMap(physFilter),
+      options, hadoopConf)
+
+  // distinct maps must never compare equal (plan canonicalization /
+  // exchange reuse compare relations structurally)
+  override def equals(other: Any): Boolean = other match {
+    case m: MappedParquetFileFormat => m.map == map
+    case _ => false
+  }
+  override def hashCode(): Int = map.hashCode()
+  override def toString: String = "Parquet(column-mapped)"
+}
