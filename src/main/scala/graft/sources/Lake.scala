@@ -158,12 +158,44 @@ object Lake {
   // existed read as before (inferred schema).
   private val SchemaPrefix = "#schema="
 
+  // A manifest (`_commit_<v>`) is IMMUTABLE once published — the
+  // protocol renames it in atomically and only ever DELETES it — but
+  // the accessors below each parse it independently, so one relation
+  // assembly reads the same KB-sized file a dozen times: noise on a
+  // local FS, a dozen GETs of planning latency per query on an object
+  // store. This JVM-wide LRU collapses those to one read, VALIDATED by
+  // (modTime, length) on every hit (one HEAD instead of one GET), so
+  // even an out-of-protocol in-place rewrite (hand surgery, test
+  // scenarios, a backup restored over a live root) reads correctly.
+  private val manifestCacheMax = 256
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
+        size() > manifestCacheMax
+    }
+
   private def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] = {
-    val in = fs.open(new Path(r, s"_commit_$v"))
+    val p = new Path(r, s"_commit_$v")
+    // same FileNotFoundException contract as the direct open
+    val st = fs.getFileStatus(p)
+    val key = fs.getUri.toString + "::" + fs.makeQualified(p).toUri.getPath
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime &&
+          hit._2 == st.getLen)
+        return hit._3
+    }
+    val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    manifestCache.synchronized {
+      manifestCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
+    }
+    lines
   }
 
   private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,

@@ -310,13 +310,21 @@ final class LakeStreamSource(
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
           org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
           Nil, isStreaming = true)
-      else
-        spark.read.schema(schema)
+      else {
+        // files store PHYSICAL names (column mapping); the stream's
+        // pinned schema is logical — read physical, alias back. A
+        // mapping commit MID-stream changes schema names and trips
+        // the evolution guard above; this covers tables mapped
+        // BEFORE the stream pinned.
+        val map = Lake.colMapAt(spark, root, endV)
+        val df0 = spark.read.schema(Lake.physSchema(schema, map))
           .parquet(dirs.map(d => new Path(root, d).toString): _*)
-          .queryExecution.analyzed.transform {
-            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-              lr.copy(isStreaming = true)
-          }
+        val df = if (map.isEmpty) df0 else df0.toDF(schema.fieldNames: _*)
+        df.queryExecution.analyzed.transform {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.copy(isStreaming = true)
+        }
+      }
     org.apache.spark.sql.graft.Shim.ofRows(spark, plan)
   }
 

@@ -217,6 +217,29 @@ class LakeColMapSpec extends SparkSpec {
     spark.sql("DROP TABLE colmap_sql")
   }
 
+  test("streaming a pre-mapped table: the pinned schema serves both file generations") {
+    val root = tmpTable("graft-colmap-stream")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-colmap-stream-ckpt").toString
+    Lake.commitAppend(Seq((1L, 10L)).toDF("id", "amount"), root, retain = 8)
+    Lake.renameColumn(spark, root, "amount", "price")
+    // a post-rename append: its files store the FROZEN physical name
+    Lake.commitAppend(Seq((2L, 20L)).toDF("id", "price"), root, retain = 8)
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val df = spark.readStream.format("graft-lake").option("root", root).load()
+    assert(df.columns.toSeq === Seq("id", "price"))
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(_.toSeq)
+        sink.synchronized { sink ++= got }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(sink.toSet === Set(Seq(1L, 10L), Seq(2L, 20L)))
+  }
+
   test("refusals: constraints, layout columns, duplicates, change feed across a rename") {
     val root = tmpTable("graft-colmap-refuse")
     Lake.commitOverwrite((1L to 10L).map(i => (i, i % 3)).toDF("id", "k"),
