@@ -1439,6 +1439,45 @@ object Lakehouse {
         .filter(_.relation.partitionSchema.nonEmpty)
         .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
       s.sql(q).withColumn("dpp_pruned", lit(partsRead == 2L))
+    },
+
+    // GENERATED partition columns under the oracle hash — Delta's
+    // `GENERATED ALWAYS AS` with partition-filter derivation: orders
+    // partition by a DERIVED `o_year = year(o_orderdate)` the batches
+    // never carry (the writer materializes it), and the query filters
+    // only the SOURCE date column — the engine derives the
+    // `o_year ∈ [1996..1997]` conjunct and prunes the listing to
+    // 2-of-7 partition dirs. The `derived_pruned` column carries the
+    // runtime partitions-read metric into the hash: if materialization
+    // or derivation regressed, it flips FALSE and the hash breaks. At
+    // 100 TB this is every time-range query on a date-partitioned fact
+    // paying O(matching partitions) without naming the partition key.
+    Q("q169_generated_partition",
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  o_totalprice, TRUE AS derived_pruned
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_genpart", d)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      Lake.commitOverwrite(orders, root, retain = 4,
+        partitionBy = Seq("o_year"),
+        generatedColumns = Map("o_year" -> "year(o_orderdate)"))
+      Lake.registerSql(s, "genpart_orders", root)
+      val q =
+        """SELECT o_orderkey, CAST(o_year AS BIGINT) AS o_year, o_totalprice
+          |FROM genpart_orders
+          |WHERE o_orderdate >= DATE '1996-01-01'
+          |  AND o_orderdate < DATE '1998-01-01'
+          |ORDER BY o_orderkey""".stripMargin
+      val probe = s.sql(q)
+      probe.collect()
+      val partsRead = lakeScansOf(probe.queryExecution.executedPlan)
+        .filter(_.relation.partitionSchema.nonEmpty)
+        .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+      s.sql(q).withColumn("derived_pruned", lit(partsRead == 2L))
     })
 
   /** Lake scans of an executed plan, descending through AQE query

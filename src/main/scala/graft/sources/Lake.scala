@@ -749,9 +749,19 @@ object Lake {
     * O(batch) — the validation scans what the commit was going to
     * write anyway, never the table. */
   private def validateChecks(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df: org.apache.spark.sql.DataFrame, what: String,
+      gens: Seq[(String, String)] = Nil): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    val cs = liveChecks(fs, r)
+    // generated columns gate through the same machinery: a batch
+    // SUPPLYING a generated column must agree with the expression
+    // row-for-row (`<=>`: exact, never NULL), or the layout the
+    // readers prune by would lie
+    val effGens = if (gens.nonEmpty) gens
+      else committedVersions(fs, r).lastOption
+        .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+    val genChecks = effGens.map { case (c, e) =>
+      s"gen_$c" -> s"`$c` <=> ($e)" }
+    val cs = liveChecks(fs, r) ++ genChecks
     if (cs.isEmpty) return
     // a batch OMITTING a committed column evolves it NULL-backfilled
     // (mergeSchemas marks it nullable, old readers see NULL) — so the
@@ -849,6 +859,214 @@ object Lake {
   /** The live CHECK constraints of a table: (name, sql expression). */
   def checkConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
     liveChecks(fsFor(spark, root), new Path(root))
+
+  // ---- generated columns (derived partition keys) ------------------
+  //
+  // `#genpart=<col>:<exprText>` declares a GENERATED column (Delta's
+  // `GENERATED ALWAYS AS`): its value is a deterministic expression of
+  // other columns, materialized into every batch the writer stages (a
+  // batch omitting it gets it computed; a batch supplying it is
+  // validated row-by-row through the same one-aggregate-job gate CHECK
+  // constraints use — `p <=> expr` — so a stale copy refuses instead
+  // of silently corrupting the layout). The payoff is at READ time: a
+  // query filtering the SOURCE column prunes the GENERATED partition
+  // column — `WHERE ts BETWEEN a AND b` on a `p = year(ts)`-partitioned
+  // 100 TB fact derives `p BETWEEN year(a) AND year(b)` and reads only
+  // the matching partition dirs, Delta's generated-column partition
+  // filter rule. Range derivation is restricted to a MONOTONE
+  // whitelist (year, to_date, date_trunc, cast-to-date); any
+  // single-column deterministic expression derives equality and IS
+  // NULL conjuncts. Expressions over TimestampType evaluate under the
+  // session time zone, so the zone is recorded at establishment
+  // (`#genparttz=`) and derivation quietly disables when a reading
+  // session's zone differs — pruning weakens, never lies.
+  private val GenPartPrefix = "#genpart="
+  private val GenTzPrefix = "#genparttz="
+
+  private[graft] def manifestGenParts(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(GenPartPrefix) &&
+          l.indexOf(':', GenPartPrefix.length) > GenPartPrefix.length =>
+        val i = l.indexOf(':', GenPartPrefix.length)
+        l.substring(GenPartPrefix.length, i) -> l.substring(i + 1)
+    }
+
+  private def manifestGenTz(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[String] =
+    manifestBody(fs, r, v).find(_.startsWith(GenTzPrefix))
+      .map(_.stripPrefix(GenTzPrefix))
+
+  /** The table's established generated columns: `want` on the first
+    * declaring commit, inherited afterwards, divergence refused —
+    * a generated column is a TABLE property like the partition
+    * layout. */
+  private def effectiveGenParts(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, want: Map[String, String]): Seq[(String, String)] = {
+    want.foreach { case (c, e) =>
+      require(c.nonEmpty && !c.exists("=,:\n#".contains(_)),
+        s"generated column name '$c' may not contain '=', ',', ':', '#', or newline")
+      require(!e.contains("\n"),
+        s"generated column expression for '$c' must be a single manifest line")
+    }
+    val prev = committedVersions(fs, r).lastOption
+      .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+    if (want.isEmpty) prev
+    else {
+      val w = want.toSeq.sortBy(_._1)
+      require(prev.isEmpty || prev.sortBy(_._1) == w,
+        s"table at $r declares generated columns ${prev.toMap}; a commit " +
+          s"cannot re-declare them as $want — one generation per table")
+      w
+    }
+  }
+
+  /** Materialize every declared generated column the batch omits. */
+  private def materializeGenerated(df: org.apache.spark.sql.DataFrame,
+      gens: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Monotone-or-equality classification of one generated-column
+    * expression: Some((sourceColumn, rangeDerivable)). */
+  private def classifyGenExpr(spark: SparkSession,
+      text: String): Option[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(text)).toOption
+      .getOrElse(return None)
+    def attrOf(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def eqOnly: Option[(String, Boolean)] = {
+      val attrs = parsed.collect {
+        case a: UnresolvedAttribute => a.nameParts.mkString(".") }.distinct
+      if (attrs.length == 1) Some((attrs.head, false)) else None
+    }
+    parsed match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+          case ("year", Seq(a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("to_date", Seq(a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("date_trunc", Seq(_: CLit, a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("trunc", Seq(a, _: CLit)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case _ => eqOnly
+        }
+      case c: Cast if attrOf(c.child).isDefined &&
+          c.dataType == org.apache.spark.sql.types.DateType =>
+        Some((attrOf(c.child).get, true))
+      case _ => eqOnly
+    }
+  }
+
+  /** Evaluate generated expression `text` at the source-column literal
+    * `v` (normalized) — one driver-local job over `range(1)` (the
+    * select resolves functions and folds; no data is touched). None
+    * when anything refuses: derivation then just doesn't happen. */
+  private def evalGenAt(spark: SparkSession, text: String, srcCol: String,
+      srcType: org.apache.spark.sql.types.DataType,
+      v: NormVal): Option[NormVal] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    import org.apache.spark.sql.types._
+    val internal: Any = (v, srcType) match {
+      case (NumV(bd), ByteType)    => bd.toByteExact
+      case (NumV(bd), ShortType)   => bd.toShortExact
+      case (NumV(bd), IntegerType | DateType) => bd.toIntExact
+      case (NumV(bd), LongType | TimestampType | TimestampNTZType) =>
+        bd.toLongExact
+      case (NumV(bd), FloatType)   => bd.toFloat
+      case (NumV(bd), DoubleType)  => bd.toDouble
+      case (NumV(bd), d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+      case (StrV(u), StringType)   => u
+      case _ => return None
+    }
+    val substituted = spark.sessionState.sqlParser.parseExpression(text)
+      .transform {
+        case a: UnresolvedAttribute if a.nameParts == Seq(srcCol) =>
+          CLit(internal, srcType)
+      }
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graft.Shim.column(substituted))
+      .collect().head.get(0)
+    normExternal(out)
+  }.toOption.flatten
+
+  /** Extra prunable conjuncts on GENERATED columns, derived from the
+    * query's conjuncts on their source columns (all in LOGICAL names;
+    * callers translate afterwards). Monotone expressions derive
+    * ranges (strict bounds weaken to inclusive — f is non-strictly
+    * monotone), everything derivable derives equality/IN and IS NULL
+    * (the whitelist is NULL-preserving). Purely an optimization: the
+    * derived conjuncts are implied by the originals, so Keep AND
+    * whole-dir-Drop proofs stay exact. */
+  private def deriveGenPreds(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
+      preds: Seq[Pred]): Seq[Pred] = {
+    val gens = manifestGenParts(fs, r, v)
+    if (gens.isEmpty || preds.isEmpty) return Nil
+    val schema = manifestSchema(fs, r, v).getOrElse(return Nil)
+    val tzOk = manifestGenTz(fs, r, v).forall(
+      _ == spark.sessionState.conf.sessionLocalTimeZone)
+    gens.flatMap { case (p, text) =>
+      classifyGenExpr(spark, text) match {
+        case None => Nil
+        case Some((src, monotone)) =>
+          val srcFieldOpt = schema.fields.find(_.name == src)
+          if (srcFieldOpt.isEmpty) Nil
+          // session-zone-dependent evaluation: derive only when the
+          // reading session matches the establishing one
+          else if (srcFieldOpt.get.dataType ==
+              org.apache.spark.sql.types.TimestampType && !tzOk) Nil
+          else preds.filter(_.col == src).flatMap { pr =>
+            def at(nv: NormVal): Option[NormVal] =
+              evalGenAt(spark, text, src, srcFieldOpt.get.dataType, nv)
+            // a DISCRETE source type tightens strict bounds by one
+            // unit before mapping: `d < 1998-01-01` derives
+            // `year <= year(1997-12-31) = 1997`, not the weak `<= 1998`
+            def discreteStep(nv: NormVal, delta: Int): Option[NormVal] = {
+              import org.apache.spark.sql.types._
+              (nv, srcFieldOpt.get.dataType) match {
+                case (NumV(bd), ByteType | ShortType | IntegerType |
+                     LongType | DateType | TimestampType |
+                     TimestampNTZType) => Some(NumV(bd + delta))
+                case _ => None
+              }
+            }
+            pr.op match {
+              case PEq =>
+                val mapped = pr.values.map(at)
+                if (mapped.exists(_.isEmpty)) Nil
+                else Seq(Pred(p, PEq, mapped.flatten))
+              case PNull => Seq(Pred(p, PNull, Nil))
+              case PLt if monotone =>
+                discreteStep(pr.values.head, -1).orElse(Some(pr.values.head))
+                  .flatMap(at).map(d => Pred(p, PLe, Seq(d))).toSeq
+              case PLe if monotone =>
+                at(pr.values.head).map(d => Pred(p, PLe, Seq(d))).toSeq
+              case PGt if monotone =>
+                discreteStep(pr.values.head, 1).orElse(Some(pr.values.head))
+                  .flatMap(at).map(d => Pred(p, PGe, Seq(d))).toSeq
+              case PGe if monotone =>
+                at(pr.values.head).map(d => Pred(p, PGe, Seq(d))).toSeq
+              case _ => Nil
+            }
+          }
+      }
+    }
+  }
 
   // ---- column mapping (rename / drop as metadata) ------------------
   //
@@ -1008,6 +1226,13 @@ object Lake {
       s"cannot rename '$oldName': CHECK constraint(s) " +
         refs.mkString("[", ", ", "]") + " reference it — drop them, " +
         "rename, and re-add them under the new name")
+    val genRefs = manifestGenParts(fs, r, cur).collect {
+      case (c, _) if c == oldName => c
+    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), oldName)
+    require(genRefs.isEmpty,
+      s"cannot rename '$oldName': generated column(s) " +
+        genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
+        "from) it — the stored generation expression would stop binding")
     val map = manifestColMap(fs, r, cur)
     val phys = physName(map, oldName)
     val newMap = (map - oldName) ++
@@ -1062,6 +1287,13 @@ object Lake {
     require(refs.isEmpty,
       s"cannot drop '$name': CHECK constraint(s) " +
         refs.mkString("[", ", ", "]") + " reference it — drop them first")
+    val genRefs = manifestGenParts(fs, r, cur).collect {
+      case (c, _) if c == name => c
+    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), name)
+    require(genRefs.isEmpty,
+      s"cannot drop '$name': generated column(s) " +
+        genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
+        "from) it")
     require(!phys.exists("=,\n#".contains(_)),
       s"physical column name '$phys' cannot ride the #colretired line")
     val newSchema = org.apache.spark.sql.types.StructType(
@@ -1269,8 +1501,12 @@ object Lake {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     // scan-planning filters reference the relation's LOGICAL columns;
-    // every per-dir line is keyed physically
-    val preds = predsToPhysical(filters.flatMap(extractPreds),
+    // every per-dir line is keyed physically. Conjuncts on generated
+    // columns' SOURCES derive extra conjuncts on the generated
+    // partition keys first (the ts-range-prunes-year-partitions rule).
+    val logicalPreds = filters.flatMap(extractPreds)
+    val preds = predsToPhysical(
+      logicalPreds ++ deriveGenPreds(spark, fs, r, version, logicalPreds),
       manifestColMap(fs, r, version))
     val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
     val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
@@ -1831,9 +2067,12 @@ object Lake {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     // the user predicate names LOGICAL columns; every per-dir line is
-    // keyed physically
+    // keyed physically. Generated-column derivation first (see
+    // scanDirFilesAt).
+    val logicalPreds =
+      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
     val preds = predsToPhysical(
-      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)),
+      logicalPreds ++ deriveGenPreds(spark, fs, r, cur, logicalPreds),
       manifestColMap(fs, r, cur))
     val (keptDirs, skippedDirs) = pruneDirsAt(spark, root, cur, preds)
     val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
@@ -2196,6 +2435,8 @@ object Lake {
         // dirs store the SOURCE's physical names
         colMap = Some(manifestColMap(fs, sr, v)),
         retiredCols = Some(manifestRetired(fs, sr, v)),
+        genParts = Some(manifestGenParts(fs, sr, v)),
+        genTz = manifestGenTz(fs, sr, v),
         dvsReplace = true,
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
@@ -2325,6 +2566,9 @@ object Lake {
         retiredCols = Some(manifestRetired(fs, r, version)),
         statsColsReplace = Some(manifestStatsCols(fs, r, version)),
         bloomColsReplace = Some(manifestBloomCols(fs, r, version)),
+        genParts = Some(manifestGenParts(fs, r, version)),
+        genTz = manifestGenTz(fs, r, version),
+        partColsReplace = Some(manifestPartCols(fs, r, version)),
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +
@@ -2722,8 +2966,11 @@ object Lake {
       dvsReplace: Boolean = false,
       colMap: Option[Map[String, String]] = None,
       retiredCols: Option[Seq[String]] = None,
+      genParts: Option[Seq[(String, String)]] = None,
+      genTz: Option[String] = None,
       statsColsReplace: Option[Seq[String]] = None,
       bloomColsReplace: Option[Seq[String]] = None,
+      partColsReplace: Option[Seq[String]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -2764,9 +3011,9 @@ object Lake {
       .map(v => manifestPartsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
     val partLines = dirs.flatMap(d =>
       newParts.get(d).orElse(prevParts.get(d)).map(j => PartPrefix + d + "=" + j))
-    val effPart =
+    val effPart = partColsReplace.getOrElse(
       if (partCols.nonEmpty) partCols
-      else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
+      else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil))
     // the bucket layout inherits like the other table-property lines
     val effBucket = bucketBy.orElse(prevV.flatMap(v => manifestBucketBy(fs, r, v)))
     // CHECK constraints inherit too; Some(…) replaces (add/drop)
@@ -2778,6 +3025,10 @@ object Lake {
       prevV.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty))
     val effRetired = retiredCols.getOrElse(
       prevV.map(v => manifestRetired(fs, r, v)).getOrElse(Nil))
+    // generated columns inherit like every table-property line
+    val effGen = genParts.getOrElse(
+      prevV.map(v => manifestGenParts(fs, r, v)).getOrElse(Nil))
+    val effGenTz = genTz.orElse(prevV.flatMap(v => manifestGenTz(fs, r, v)))
     // deletion vectors: the one MUTABLE per-dir line. Normal commits
     // carry a reused dir's vector (new deletes pass the merged set in
     // `newDvs`); rewritten dirs materialize theirs away by renaming.
@@ -2818,6 +3069,8 @@ object Lake {
        else Nil) ++
       (if (effRetired.nonEmpty) Seq(ColRetiredPrefix + effRetired.mkString(","))
        else Nil) ++
+      effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
+      (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -2937,15 +3190,25 @@ object Lake {
     * overwrite replaces a snapshot its caller derived against, so
     * the caller must re-derive and retry, Delta's rule. Returns the
     * committed version. */
-  def commitOverwrite(df: org.apache.spark.sql.DataFrame, root: String,
+  def commitOverwrite(df0: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      bucketBy: Option[(Int, Seq[String])] = None): Long = {
+      bucketBy: Option[(Int, Seq[String])] = None,
+      generatedColumns: Map[String, String] = Map.empty): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    val effGen = effectiveGenParts(fs, r, generatedColumns)
+    // the evaluation zone is pinned at ESTABLISHMENT — later commits
+    // inherit it (a different writer session must not re-date it)
+    val genTzEst =
+      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+        Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None
+    val df = materializeGenerated(df0, effGen)
     // user column args name LOGICAL columns; the property lines (and
     // stageBatch's view of the batch) are physical. An overwrite keeps
     // the surviving columns' physical names (its fresh files must
@@ -2962,7 +3225,7 @@ object Lake {
       bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, liveMap)) })
     // CHECK constraints gate every row-introducing commit: one
     // aggregate job over the batch, BEFORE anything stages
-    validateChecks(fs, r, df, "overwrite")
+    validateChecks(fs, r, df, "overwrite", effGen)
     val allocV = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val newMap = allocPhysical(df.schema,
       liveMap.filter { case (l, _) => df.columns.contains(l) },
@@ -2979,7 +3242,9 @@ object Lake {
     if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
         newParts = parts, partCols = effPart, bucketBy = effBucket,
-        colMap = Some(newMap), op = "overwrite")) {
+        colMap = Some(newMap),
+        genParts = Some(effGen), genTz = genTzEst,
+        op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
         s"overwrite of $root lost version $next to a concurrent commit — " +
@@ -3007,16 +3272,24 @@ object Lake {
     * append never saw: refused with `ConcurrentModificationException`
     * rather than guessed (re-derive the batch and retry).
     * Returns the committed version. */
-  def commitAppend(df: org.apache.spark.sql.DataFrame, root: String,
+  def commitAppend(df0: org.apache.spark.sql.DataFrame, root: String,
       retain: Int = 1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       op: String = "append", partitionBy: Seq[String] = Nil,
-      bucketBy: Option[(Int, Seq[String])] = None): Long = {
+      bucketBy: Option[(Int, Seq[String])] = None,
+      generatedColumns: Map[String, String] = Map.empty): Long = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
     require(!op.contains("\n"), "op must be a single manifest line")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    val effGen = effectiveGenParts(fs, r, generatedColumns)
+    val genTzEst =
+      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+        Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None
+    val df = materializeGenerated(df0, effGen)
     // user column args name LOGICAL columns; property lines are
     // physical — and a batch adding NEW columns allocates them
     // physical names that can never collide with a mapped or retired
@@ -3046,7 +3319,7 @@ object Lake {
           "naming; re-layout with commitOverwrite(bucketBy = …)")
     val effBucket = effectiveBucketBy(fs, r,
       bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, newMap)) })
-    validateChecks(fs, r, df, "append")
+    validateChecks(fs, r, df, "append", effGen)
     // O(batch): stats only for the new dirs; reused dirs' lines carry
     val (staged, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
@@ -3144,7 +3417,9 @@ object Lake {
       if (commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
           rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
           newParts = parts, partCols = effPart,
-          colMap = Some(mergedMap), op = op))
+          colMap = Some(mergedMap),
+          genParts = Some(effGen), genTz = genTzEst,
+          op = op))
         return next
       // lost the slot: a concurrent writer committed `next` first.
       // Loop — the next pass validates what landed and rebases.
@@ -3339,7 +3614,11 @@ object Lake {
     val cmap = manifestColMap(fs, r, cur)
     val (preds0, exact) = extractPredsExact(
       org.apache.spark.sql.graft.Shim.catalystTree(predicate))
-    val preds = predsToPhysical(preds0, cmap)
+    // generated-column derivation: the derived conjuncts are IMPLIED
+    // by the originals, so both the Keep and the whole-dir Drop proofs
+    // stay exact with them added
+    val preds = predsToPhysical(
+      preds0 ++ deriveGenPreds(spark, fs, r, cur, preds0), cmap)
     // the NULL gate for the metadata-only drop: every predicate column
     // declared non-nullable by the COMMITTED schema (a dir could
     // otherwise hide NULL rows the ranges don't see)
@@ -3520,8 +3799,10 @@ object Lake {
         schema.fieldNames.mkString("[", ", ", "]")))
     // user predicates name LOGICAL columns; per-dir lines are physical
     val cmap = manifestColMap(fs, r, cur)
+    val updPreds0 =
+      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
     val preds = predsToPhysical(
-      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)), cmap)
+      updPreds0 ++ deriveGenPreds(spark, fs, r, cur, updPreds0), cmap)
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val partsRaw = manifestPartsRaw(fs, r, cur)
     val (kept, touched) = snapDirs.partition { d =>
@@ -4045,7 +4326,9 @@ object Lake {
               "committed schema — nothing would be excluded and the whole " +
               "table would rewrite"))
         }
-        pruneDirsAt(spark, root, cur, predsToPhysical(preds, cmap))
+        pruneDirsAt(spark, root, cur,
+          predsToPhysical(preds ++ deriveGenPreds(spark, fs, r, cur, preds),
+            cmap))
     }
     def dirBytes(d: String): Long =
       fs.listStatus(new Path(r, d)).toSeq

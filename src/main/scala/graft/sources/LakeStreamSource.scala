@@ -432,6 +432,30 @@ final class GraftLakeProvider extends StreamSourceProvider
     parameters.get("statsCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
     parameters.get("bloomCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 
+  /** Writer-side layout options: `partitionBy=a,b` (manifest partition
+    * layout — the DataFrameWriter's own partitionBy is hive-style and
+    * not supported here), `bucketBy=n:a,b`, and `generated=p:expr[;q:expr]`
+    * (generated columns, `;`-separated since exprs may contain commas). */
+  private def writeLayoutOpts(parameters: Map[String, String]):
+      (Seq[String], Option[(Int, Seq[String])], Map[String, String]) = {
+    val partBy = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val bucket = parameters.get("bucketBy").map { b =>
+      val i = b.indexOf(':')
+      require(i > 0, s"bucketBy option must be '<n>:<col>[,col…]', got '$b'")
+      (b.take(i).trim.toInt,
+        b.drop(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+    val gen = parameters.get("generated").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"generated option entries must be '<col>:<expr>', got '$e'")
+        e.take(i).trim -> e.drop(i + 1).trim
+      }.toMap
+    (partBy, bucket, gen)
+  }
+
   /** `df.write.format("graft-lake").mode(…)` — batch writes as
     * manifest commits: Append extends the snapshot O(batch),
     * Overwrite replaces it, ErrorIfExists/Ignore follow their
@@ -443,21 +467,26 @@ final class GraftLakeProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val (retain, statsCols, bloomCols) = layoutOpts(parameters)
+    val (partBy, bucket, gen) = writeLayoutOpts(parameters)
     val exists = Lake.currentVersion(spark, root).isDefined
     import org.apache.spark.sql.SaveMode._
+    def over(): Unit = {
+      Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols,
+        partitionBy = partBy, bucketBy = bucket, generatedColumns = gen)
+      ()
+    }
     mode match {
       case Append =>
-        Lake.commitAppend(data, root, retain, None, statsCols, bloomCols)
-      case Overwrite =>
-        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+        Lake.commitAppend(data, root, retain, None, statsCols, bloomCols,
+          partitionBy = partBy, bucketBy = bucket, generatedColumns = gen)
+        ()
+      case Overwrite => over()
       case ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"committed table already exists at $root (SaveMode.ErrorIfExists)")
-      case ErrorIfExists =>
-        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+      case ErrorIfExists => over()
       case Ignore if exists => // SaveMode contract: leave it untouched
-      case Ignore =>
-        Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols)
+      case Ignore => over()
     }
     val (v, schema) = Lake.resolveSnapshot(spark, root, None)
     LakeFileIndex.hadoopRelation(spark, root, v, schema)
