@@ -1478,6 +1478,50 @@ object Lakehouse {
         .filter(_.relation.partitionSchema.nonEmpty)
         .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
       s.sql(q).withColumn("derived_pruned", lit(partsRead == 2L))
+    },
+
+    // CDC MERGE SCHEMA EVOLUTION under the oracle hash — the
+    // schema-drift ingestion story: a lake table commits WITHOUT a
+    // `lang` column (two append dirs), then a CDC batch carrying the
+    // NEW column merges with `allowSchemaEvolution = true`. The
+    // committed schema evolves by the append rule (add-nullable),
+    // upserted rows carry real values, every untouched row reads NULL
+    // — and only the touched dirs rewrite (the untouched dir carries
+    // by reference; at 100 TB a drifted CDC batch costs O(touched
+    // dirs), never a table rewrite — `evolve_in_place` proves at
+    // least one pre-merge dir survived verbatim, under the hash).
+    Q("q170_merge_evolution",
+      """SELECT doc_id, source, n_chars,
+        |  CASE WHEN doc_id % 5 = 0
+        |    AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |    THEN lang END AS lang,
+        |  TRUE AS evolve_in_place
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("merge_evo", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+      val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        lit(0L).as("v"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      Lake.commitAppend(base.where(col("doc_id") <= maxId / 2), root,
+        retain = 4, statsCols = Seq("doc_id"))
+      Lake.commitAppend(base.where(col("doc_id") > maxId / 2), root,
+        retain = 4)
+      val preDirs = Lake.resolve(s, root).toSet
+      // drift touches only first-half keys, so the second dir must
+      // survive the merge verbatim (the in-place proof under the hash)
+      val drifted = docs.where(pmod(col("doc_id"), lit(5)) === 0 &&
+          col("doc_id") <= maxId / 2)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          lit(1L).as("v"), col("lang"), lit(false).as("del"))
+      Lake.mergeCommitted(s, root, drifted, keyCols = Seq("doc_id"),
+        versionCol = "v", deleteCol = "del", retain = 4,
+        allowSchemaEvolution = true)
+      val inPlace = Lake.resolve(s, root).toSet.intersect(preDirs).nonEmpty
+      Lake.readCommitted(s, root)
+        .select("doc_id", "source", "n_chars", "lang")
+        .withColumn("evolve_in_place", lit(inPlace))
+        .orderBy("doc_id")
     })
 
   /** Lake scans of an executed plan, descending through AQE query

@@ -3475,7 +3475,8 @@ object Lake {
   def mergeCommitted(spark: SparkSession, root: String,
       changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String,
-      guardVersions: Boolean = false, retain: Int = 1): Long = {
+      guardVersions: Boolean = false, retain: Int = 1,
+      allowSchemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions._
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val fs = fsFor(spark, root)
@@ -3513,11 +3514,31 @@ object Lake {
         if (touchedDirs.isEmpty) base.limit(0)
         // DV-aware: the rewrite materializes any existing vector
         else readDirsWithDv(spark, fs, r, cur, touchedDirs, carried)
+      val upserts = latest.where(!coalesce(col(deleteCol), lit(false)))
+        .drop(deleteCol)
+      // CDC SCHEMA DRIFT (Delta's merge autoMerge, opt-in): a batch
+      // carrying columns the table lacks evolves the committed schema
+      // by the SAME rule appends use — add-nullable + lossless
+      // widening, lossy changes refused loudly. Untouched dirs carry
+      // by reference and read NULL-backfilled under the carried
+      // schema, exactly like an evolving append. Without the opt-in a
+      // drifted batch refuses (unionByName names the columns).
+      val baseSchema = carried.getOrElse(touchedBase.schema)
+      val evolved =
+        if (allowSchemaEvolution) mergeSchemas(baseSchema, upserts.schema)
+        else baseSchema
+      def aligned(df: org.apache.spark.sql.DataFrame) =
+        df.select(evolved.fields.toSeq.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
       // the applyChanges fold, scoped to the touched dirs' rows
-      val rewritten = touchedBase
-        .join(touchedKeys, keyCols, "left_anti")
-        .unionByName(
-          latest.where(!coalesce(col(deleteCol), lit(false))).drop(deleteCol))
+      val rewritten =
+        if (allowSchemaEvolution)
+          aligned(touchedBase.join(touchedKeys, keyCols, "left_anti"))
+            .unionByName(aligned(upserts))
+        else touchedBase
+          .join(touchedKeys, keyCols, "left_anti")
+          .unionByName(upserts)
       // the slot is pinned BEFORE the rewrite: a concurrent commit
       // landing during the write takes this number and our publish
       // must then lose (computing `next` after the write would let us
@@ -3533,17 +3554,22 @@ object Lake {
       val effPart = manifestPartCols(fs, r, cur)
       val effBucket = manifestBucketBy(fs, r, cur)
       validateChecks(fs, r, rewritten, "merge")
+      // evolution may introduce columns whose names collide with a
+      // mapped or retired physical name — allocate like appends do
+      val stageMap = allocPhysical(evolved, manifestColMap(fs, r, cur),
+        committedVersions(fs, r).lastOption
+          .map(v => manifestRetired(fs, r, v)).getOrElse(Nil), next)
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
           maintenance = true, bucketBy = effBucket,
-          colMap = manifestColMap(fs, r, cur))
+          colMap = stageMap)
       // replaced dirs may hold streaming-fold replay markers — carry
       // them into the replacement before the commit makes it live
       preserveMarkers(fs, r, touchedDirs, newDirs)
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
-          carried.orElse(Some(rewritten.schema)), None, stats, effStats,
+          Some(evolved), None, stats, effStats,
           newBlooms = blooms, bloomCols = effBloom,
-          newParts = parts, op = "merge")) {
+          newParts = parts, colMap = Some(stageMap), op = "merge")) {
         newDirs.foreach(d => fs.delete(new Path(r, d), true))
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +

@@ -137,6 +137,26 @@ class LakeGenPartSpec extends SparkSpec {
       .where(col("y") === 2013).count() === 1L)
   }
 
+  test("SQL CTAS with layout options: one statement creates a generated-partitioned lake table") {
+    val root = tmpTable("graft-genpart-ctas")
+    val rows = for (y <- 2020 to 2022; i <- 0 until 4)
+      yield (y * 10L + i, java.sql.Date.valueOf(s"$y-0${1 + i}-10"))
+    rows.toDF("id", "d").createOrReplaceTempView("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS genpart_ctas")
+    spark.sql(
+      s"""CREATE TABLE genpart_ctas USING `graft-lake`
+         |OPTIONS (root '$root', partitionBy 'y', generated 'y:year(d)')
+         |AS SELECT * FROM ctas_src""".stripMargin)
+    assert(Lake.partitionValues(spark, root).count() === 3L)
+    assert(spark.sql("SELECT count(*) FROM genpart_ctas")
+      .collect().head.getLong(0) === 12L)
+    // derivation prunes the catalog read's listing through the source
+    val (_, skipped, _) = Lake.resolveWhere(spark, root,
+      col("d") >= java.sql.Date.valueOf("2022-01-01"))
+    assert(skipped.size === 2)
+    spark.sql("DROP TABLE genpart_ctas")
+  }
+
   test("restore across the establishing commit clears the declaration") {
     val root = tmpTable("graft-genpart-restore")
     Lake.commitOverwrite(
