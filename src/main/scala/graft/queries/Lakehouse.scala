@@ -1522,6 +1522,45 @@ object Lakehouse {
         .select("doc_id", "source", "n_chars", "lang")
         .withColumn("evolve_in_place", lit(inPlace))
         .orderBy("doc_id")
+    },
+
+    // DV UPDATE (merge-on-read, Delta's DV update) under the oracle
+    // hash — q163's write-amplification story for the OTHER row-level
+    // op: a sparse SQL UPDATE soft-deletes the matched rows via `#dv_`
+    // position lines and appends their updated copies as ONE
+    // O(matched) dir; every pre-update dir survives BYTE-IDENTICAL.
+    // The `dv_update_in_place` column proves it (pre-dirs ⊂ post-dirs
+    // with exactly one addition — a COW regression flips it FALSE and
+    // breaks the hash), and the surviving values under the same hash
+    // prove the update is EXACT: each matched row updated once,
+    // nothing duplicated, nothing resurrected.
+    Q("q171_dv_update",
+      """SELECT doc_id, source, lang,
+        |  CASE WHEN doc_id % 97 = 5 THEN CAST(-1 AS BIGINT)
+        |       ELSE n_chars END AS n_chars,
+        |  TRUE AS dv_update_in_place
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("dv_upd", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 2, statsCols = Seq("doc_id"))
+        ()
+      }
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("DROP TABLE IF EXISTS dv_upd_docs")
+      s.sql(s"CREATE TABLE dv_upd_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("UPDATE dv_upd_docs SET n_chars = -1 WHERE doc_id % 97 = 5")
+      val postDirs = Lake.resolve(s, root).toSet
+      val inPlace = preDirs.subsetOf(postDirs) &&
+        (postDirs -- preDirs).size == 1
+      s.sql("SELECT doc_id, source, lang, n_chars FROM dv_upd_docs " +
+        "ORDER BY doc_id")
+        .withColumn("dv_update_in_place", lit(inPlace))
     })
 
   /** Lake scans of an executed plan, descending through AQE query

@@ -3807,9 +3807,12 @@ object Lake {
     * version (unchanged when nothing can match). */
   def updateWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column], retain: Int = 1): Long = {
+      set: Map[String, org.apache.spark.sql.Column], retain: Int = 1,
+      dvMaxRows: Long = 10000L): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
+    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
     val fs = fsFor(spark, root)
     val r = new Path(root)
@@ -3843,6 +3846,75 @@ object Lake {
       partKeep || rangeKeep || bloomKeep
     }
     if (touched.isEmpty) return cur
+    // MERGE-ON-READ fast path (deletion vectors, Delta's DV update):
+    // when the hit count stays under the bound, the matched rows
+    // soft-delete via `#dv_` position lines against the UNCHANGED dir
+    // set and their UPDATED copies append as one O(matched) dir — a
+    // sparse UPDATE on a hot 100 TB table costs a small append plus a
+    // manifest write, not dir-sized copy-on-write amplification. Two
+    // passes read the predicate, so a nondeterministic one falls back
+    // to the single-pass COW rewrite. The change feed needs no special
+    // case: the key join pairs each killed row with its appended copy
+    // into update_preimage/update_postimage.
+    val deterministic = scala.util.Try(
+      org.apache.spark.sql.graft.Shim.catalystTree(predicate).deterministic)
+      .getOrElse(false)
+    if (dvMaxRows > 0 && deterministic) {
+      import org.apache.spark.sql.functions.substring_index
+      val prevDvs = manifestDvsRaw(fs, r, cur)
+      val hits = readDirsWithDv(spark, fs, r, cur, touched, carried)
+        .where(coalesce(predicate, lit(false)))
+        .select(
+          substring_index(col("_metadata.file_path"), "/", -2).as("__dv_key"),
+          col("_metadata.row_index").as("__dv_pos"))
+        .limit(dvMaxRows.toInt + 1).collect()
+      if (hits.isEmpty) return cur // no row actually matches
+      if (hits.length <= dvMaxRows) {
+        val bySeg = touched.map(d => new Path(d).getName -> d).toMap
+        val fresh: Map[String, String] = hits.toSeq
+          .map(h => (h.getString(0), h.getLong(1)))
+          .groupBy { case (k, _) => bySeg(k.takeWhile(_ != '/')) }
+          .map { case (dir, entries) =>
+            val prev = prevDvs.get(dir).map(parseDvJson)
+              .getOrElse(Map.empty[String, Array[Long]])
+            val merged = entries.foldLeft(
+              prev.view.mapValues(_.toSet).toMap) { case (acc, (k, pos)) =>
+              val f = k.drop(k.indexOf('/') + 1)
+              acc + (f -> (acc.getOrElse(f, Set.empty[Long]) + pos))
+            }
+            dir -> dvJson(merged.view.mapValues(_.toSeq.sorted).toMap)
+          }
+        // the updated COPIES of the matched rows, computed
+        // distributively and staged as one O(matched) dir (layout- and
+        // bucket-preserving, like every staged write)
+        val copies0 = readDirsWithDv(spark, fs, r, cur, touched, carried)
+          .where(coalesce(predicate, lit(false)))
+        val copies = set.foldLeft(copies0) { case (df, (c, expr)) =>
+          df.withColumn(c, expr.cast(schema(c).dataType))
+        }
+        validateChecks(fs, r, copies, "update")
+        val effStatsDv = effectiveStatsCols(fs, r, Nil)
+        val effBloomDv = effectiveBloomCols(fs, r, Nil)
+        val (newDirs, freshStats, freshBlooms, freshParts) =
+          stageBatch(spark, fs, r, copies, effStatsDv, effBloomDv,
+            manifestPartCols(fs, r, cur),
+            bucketBy = manifestBucketBy(fs, r, cur), colMap = cmap)
+        val dvNext = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+        // row-preserving: every killed row has exactly one live copy
+        if (!commitManifest(fs, r, dvNext, snapDirs ++ newDirs, retain,
+            carried, manifestRows(fs, r, cur), freshStats, effStatsDv,
+            newBlooms = freshBlooms, bloomCols = effBloomDv,
+            newParts = freshParts, newDvs = fresh, op = "update")) {
+          newDirs.foreach(d => fs.delete(new Path(r, d), true))
+          throw new java.util.ConcurrentModificationException(
+            s"update on $root lost version $dvNext to a concurrent " +
+              "commit — the update classified a snapshot that is no " +
+              "longer live; re-run against the current table")
+        }
+        return dvNext
+      }
+      // over the bound: fall through to the copy-on-write rewrite
+    }
     // DV-aware read: the rewrite materializes any existing vector
     val base = readDirsWithDv(spark, fs, r, cur, touched, carried)
     val hit = coalesce(predicate, lit(false))

@@ -113,9 +113,10 @@ class LakeDvSpec extends SparkSpec {
     }
     Lake.deleteWhere(spark, root, col("k").isin(4L, 14L, 24L), retain = 8)
     assert(Lake.countCommitted(spark, root) === Some(27L))
-    // update on a DV'd dir: reads through the vector, rewrites the dir
+    // update on a DV'd dir, COW path pinned: reads through the
+    // vector, rewrites the dir (the DV fast path has its own test)
     Lake.updateWhere(spark, root, col("k") === 15L,
-      Map("amt" -> lit(-1L)), retain = 8)
+      Map("amt" -> lit(-1L)), retain = 8, dvMaxRows = 0L)
     assert(Lake.readCommitted(spark, root).where(col("k") === 14L).isEmpty)
     // compaction collapses the rest and materializes every vector
     val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20, retain = 8)
@@ -141,6 +142,58 @@ class LakeDvSpec extends SparkSpec {
     val after = Lake.readCommitted(spark, root)
     assert(after.where(col("k") === 1L).isEmpty) // not resurrected
     assert(rows(after.where(col("k") === 2L)) === Set(Seq(2L, -2L)))
+  }
+
+  test("DV update: dirs untouched, matched rows soft-delete and re-append updated") {
+    val root = tmpTable("graft-dv-upd")
+    (0L until 3L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, k * 100L)).toDF("k", "amt"),
+        root, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val preDirs = liveDirs(root)
+    val preSigs = fileSigs(root, preDirs)
+    val v = Lake.updateWhere(spark, root, col("k").isin(5L, 15L),
+      Map("amt" -> lit(-5L)), retain = 8)
+    // every pre-update dir byte-identical and still referenced; one
+    // O(matched) dir appended; two dirs carry fresh vectors
+    val dirsAfter = liveDirs(root)
+    assert(preDirs.subsetOf(dirsAfter))
+    assert(fileSigs(root, preDirs) === preSigs)
+    assert((dirsAfter -- preDirs).size === 1)
+    assert(dvLines(root, v).size === 2)
+    // values: exactly the matched rows updated, count preserved
+    val r = Lake.readCommitted(spark, root)
+    assert(r.count() === 30L)
+    assert(Lake.countCommitted(spark, root) === Some(30L))
+    assert(rows(r.where(col("amt") === -5L).select("k")) ===
+      Set(Seq(5L), Seq(15L)))
+    assert(r.where(col("k") === 5L).count() === 1L) // no duplicate copy
+    // predicate read path agrees
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 15L)
+      .select("amt")) === Set(Seq(-5L)))
+    // the change feed pairs each killed row with its appended copy
+    val feed = Lake.changesBetween(spark, root, v - 1, v, Seq("k"))
+    assert(rows(feed.select("k", "change_type")) === Set(
+      Seq(5L, "update_preimage"), Seq(5L, "update_postimage"),
+      Seq(15L, "update_preimage"), Seq(15L, "update_postimage")))
+    // SQL catalog path agrees
+    spark.sql("DROP TABLE IF EXISTS dv_upd_t")
+    spark.sql(s"CREATE TABLE dv_upd_t USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("UPDATE dv_upd_t SET amt = -7 WHERE k = 25")
+    assert(spark.sql("SELECT amt FROM dv_upd_t WHERE k = 25")
+      .collect().map(_.getLong(0)).toSeq === Seq(-7L))
+    assert(spark.sql("SELECT count(*) FROM dv_upd_t")
+      .collect().head.getLong(0) === 30L)
+    spark.sql("DROP TABLE dv_upd_t")
+    // compaction materializes the vectors away, values survive
+    val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+      retain = 8)
+    assert(dvLines(root, vc).isEmpty)
+    assert(rows(Lake.readCommitted(spark, root)
+      .where(col("amt") < 0L).select("k")) ===
+      Set(Seq(5L), Seq(15L), Seq(25L)))
   }
 
   test("cap overflow falls back to copy-on-write; dvMaxRows=0 disables") {

@@ -813,8 +813,10 @@ class LakeSpec extends SparkSpec {
     val sig3 = fileSig(bDirs(3))
     val preV = Lake.currentVersion(spark, root).get
     // touch [5,24]: batches 0..2 rewrite, batch 3 reused by reference
+    // COW path pinned (the DV fast path has its own LakeDvSpec test)
     val v = Lake.updateWhere(spark, root, col("k").between(5L, 24L),
-      Map("amt" -> (col("amt") + 1L), "t" -> upper(col("t"))), retain = 4)
+      Map("amt" -> (col("amt") + 1L), "t" -> upper(col("t"))), retain = 4,
+      dvMaxRows = 0L)
     assert(v === preV + 1)
     val live = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
     assert(live.contains(bDirs(3)) && !live.contains(bDirs(0)))
@@ -951,7 +953,7 @@ class LakeSpec extends SparkSpec {
     // update k=102: only batch 2's dir can hold it
     val sig0 = fileSig(bDirs(0)); val sig3b = fileSig(bDirs(3))
     Lake.updateWhere(spark, root, col("k") === 102L,
-      Map("amt" -> lit(-1L)), retain = 4)
+      Map("amt" -> lit(-1L)), retain = 4, dvMaxRows = 0L)
     val live2 = Lake.resolve(spark, root).map(p => new Path(p).getName).toSet
     assert(!live2.contains(bDirs(2)))
     assert(fileSig(bDirs(0)) === sig0 && fileSig(bDirs(3)) === sig3b)
@@ -1546,7 +1548,8 @@ class LakeSpec extends SparkSpec {
     // COW delete: touched dirs re-stage PER PARTITION VALUE with fresh
     // #part_ lines — after the rewrite, a partition predicate still
     // prunes to exactly one dir per value, including the rewritten ones
-    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 8)
+    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 8,
+      dvMaxRows = 0)
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       (1L to 40L).filterNot(_ == 2L).map(Seq(_)).toSet)
     val all1 = Lake.resolve(spark, root).length
@@ -1560,7 +1563,7 @@ class LakeSpec extends SparkSpec {
     // k in the 1996 partition — the re-staging splits by the
     // POST-update values, so the moved rows land in their own pruned dir
     Lake.updateWhere(spark, root, col("y") === 1996L,
-      Map("y" -> lit(1999L)), retain = 8)
+      Map("y" -> lit(1999L)), retain = 8, dvMaxRows = 0L)
     assert(rows(Lake.readCommittedWhere(spark, root, col("y") === 1999L)
       .select("k")) === (1L to 40L).filter(_ % 4 == 1).map(Seq(_)).toSet)
     val (k96, _, _) = Lake.resolveWhere(spark, root, col("y") === 1996L)
@@ -2166,7 +2169,7 @@ class LakeSpec extends SparkSpec {
       // succeeds by falling back to one unpartitioned dir: pruning
       // degrades for the rewritten slice, correctness does not
       Lake.updateWhere(spark, root, col("p") >= 0L,
-        Map("v" -> (col("v") + 1L)))
+        Map("v" -> (col("v") + 1L)), dvMaxRows = 0L)
       assert(rows(Lake.readCommitted(spark, root)) ===
         (0 until 8).map(p => Seq(p.toLong, p * 10L + 1)).toSet)
       // the fallback dir carries no #part_ line → no live tuples listed
