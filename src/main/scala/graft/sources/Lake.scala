@@ -3476,9 +3476,12 @@ object Lake {
       changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String,
       guardVersions: Boolean = false, retain: Int = 1,
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      dvMaxRows: Long = 10000L): Long = {
     import org.apache.spark.sql.functions._
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
+    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -3531,6 +3534,85 @@ object Lake {
         df.select(evolved.fields.toSeq.map(f =>
           (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
+      // MERGE-ON-READ fast path (deletion vectors): when the matched
+      // base-row count stays under the bound, the touched dirs are NOT
+      // rewritten — matched rows soft-delete via `#dv_` position lines
+      // and the batch's winners append as one O(batch) dir. A CDC
+      // batch touching one row per hot dir costs a small append + a
+      // manifest write instead of rewriting every hot dir — the
+      // at-scale shape of the continuous-upsert workload. Over-bound
+      // (or dvMaxRows = 0) falls through to the dir rewrite.
+      if (dvMaxRows > 0 && touchedDirs.nonEmpty) {
+        val prevDvs = manifestDvsRaw(fs, r, cur)
+        // metadata columns do not survive a join — materialize first
+        val hits = readDirsWithDv(spark, fs, r, cur, touchedDirs, carried)
+          .withColumn("__dv_key",
+            substring_index(col("_metadata.file_path"), "/", -2))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(touchedKeys, keyCols, "left_semi")
+          .select(col("__dv_key"), col("__dv_pos"))
+          .limit(dvMaxRows.toInt + 1).collect()
+        if (hits.length <= dvMaxRows) {
+          val bySeg = touchedDirs.map(d => new Path(d).getName -> d).toMap
+          val fresh: Map[String, String] = hits.toSeq
+            .map(h => (h.getString(0), h.getLong(1)))
+            .groupBy { case (k, _) => bySeg(k.takeWhile(_ != '/')) }
+            .map { case (dir, entries) =>
+              val prev = prevDvs.get(dir).map(parseDvJson)
+                .getOrElse(Map.empty[String, Array[Long]])
+              val merged = entries.foldLeft(
+                prev.view.mapValues(_.toSet).toMap) { case (acc, (k, pos)) =>
+                val f = k.drop(k.indexOf('/') + 1)
+                acc + (f -> (acc.getOrElse(f, Set.empty[Long]) + pos))
+              }
+              dir -> dvJson(merged.view.mapValues(_.toSeq.sorted).toMap)
+            }
+          // strict mode keeps the COW contract: a drifted batch
+          // refuses by name instead of aligned() silently dropping it
+          if (!allowSchemaEvolution) {
+            val drift = upserts.columns.toSet
+              .diff(baseSchema.fieldNames.toSet) ++
+              baseSchema.fieldNames.toSet.diff(upserts.columns.toSet)
+            require(drift.isEmpty,
+              s"merge batch schema differs from the table on " +
+                drift.toSeq.sorted.mkString("[", ", ", "]") +
+                " — pass allowSchemaEvolution = true to evolve")
+          }
+          val winners = aligned(upserts)
+          val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+          val effStats = effectiveStatsCols(fs, r, Nil)
+          val effBloom = effectiveBloomCols(fs, r, Nil)
+          val stageMap = allocPhysical(evolved, manifestColMap(fs, r, cur),
+            committedVersions(fs, r).lastOption
+              .map(v => manifestRetired(fs, r, v)).getOrElse(Nil), next)
+          // a pure-delete batch appends nothing — only vectors commit
+          val (newDirs, stats, blooms, parts) =
+            if (winners.isEmpty)
+              (Nil, Map.empty[String, String], Map.empty[String, String],
+                Map.empty[String, String])
+            else {
+              validateChecks(fs, r, winners, "merge")
+              stageBatch(spark, fs, r, winners, effStats, effBloom,
+                manifestPartCols(fs, r, cur),
+                bucketBy = manifestBucketBy(fs, r, cur), colMap = stageMap)
+            }
+          if (!commitManifest(fs, r, next, snapDirs ++ newDirs, retain,
+              Some(evolved), None, stats, effStats,
+              newBlooms = blooms, bloomCols = effBloom,
+              newParts = parts, newDvs = fresh,
+              colMap = Some(stageMap), op = "merge")) {
+            newDirs.foreach(d => fs.delete(new Path(r, d), true))
+            throw new java.util.ConcurrentModificationException(
+              s"merge into $root lost version $next to a concurrent " +
+                "commit — the merge read a snapshot that is no longer " +
+                "live; re-run against the current table (maintenance " +
+                "commits are one-writer-at-a-time, Delta's OPTIMIZE " +
+                "conflict rule)")
+          }
+          return next
+        }
+        // over the bound: fall through to the dir rewrite
+      }
       // the applyChanges fold, scoped to the touched dirs' rows
       val rewritten =
         if (allowSchemaEvolution)

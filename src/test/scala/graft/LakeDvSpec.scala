@@ -196,6 +196,58 @@ class LakeDvSpec extends SparkSpec {
       Set(Seq(5L), Seq(15L), Seq(25L)))
   }
 
+  test("DV merge: touched dirs untouched, winners append, feed pairs exactly") {
+    val root = tmpTable("graft-dv-merge")
+    (0L until 3L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, 0L, s"r$k"))
+          .toDF("k", "ver", "t"),
+        root, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val preDirs = liveDirs(root)
+    val preSigs = fileSigs(root, preDirs)
+    val preV = Lake.currentVersion(spark, root).get
+    // one update, one delete, one insert — across two dirs
+    val v = Lake.mergeCommitted(spark, root,
+      Seq((5L, 1L, "UP", false), (15L, 1L, "x", true), (99L, 1L, "NEW", false))
+        .toDF("k", "ver", "t", "del"),
+      keyCols = Seq("k"), versionCol = "ver", deleteCol = "del", retain = 8)
+    // every pre-merge dir byte-identical; ONE appended winners dir
+    val dirsAfter = liveDirs(root)
+    assert(preDirs.subsetOf(dirsAfter))
+    assert(fileSigs(root, preDirs) === preSigs)
+    assert((dirsAfter -- preDirs).size === 1)
+    assert(dvLines(root, v).size === 2) // the two touched dirs
+    val r = Lake.readCommitted(spark, root)
+    assert(r.count() === 30L) // 30 - update - delete + update' + insert
+    assert(rows(r.where(col("k") === 5L)) === Set(Seq(5L, 1L, "UP")))
+    assert(r.where(col("k") === 15L).isEmpty)
+    assert(rows(r.where(col("k") === 99L)) === Set(Seq(99L, 1L, "NEW")))
+    // the change feed pairs the update, isolates the delete and insert
+    val feed = Lake.changesBetween(spark, root, preV, v, Seq("k"))
+    assert(rows(feed.select("k", "change_type")) === Set(
+      Seq(5L, "update_preimage"), Seq(5L, "update_postimage"),
+      Seq(15L, "delete"), Seq(99L, "insert")))
+    // a pure-delete DV merge commits vectors only (no appended dir)
+    val dirsB4 = liveDirs(root)
+    Lake.mergeCommitted(spark, root,
+      Seq((6L, 2L, "x", true)).toDF("k", "ver", "t", "del"),
+      Seq("k"), "ver", "del", retain = 8)
+    assert(liveDirs(root) === dirsB4)
+    assert(Lake.readCommitted(spark, root).count() === 29L)
+    // guarded stale batch is still a version-stable no-op
+    val vNow = Lake.currentVersion(spark, root).get
+    assert(Lake.mergeCommitted(spark, root,
+      Seq((5L, 0L, "stale", false)).toDF("k", "ver", "t", "del"),
+      Seq("k"), "ver", "del", guardVersions = true, retain = 8) === vNow)
+    // compaction materializes everything away
+    val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+      retain = 8)
+    assert(dvLines(root, vc).isEmpty)
+    assert(Lake.readCommitted(spark, root).count() === 29L)
+  }
+
   test("cap overflow falls back to copy-on-write; dvMaxRows=0 disables") {
     val root = tmpTable("graft-dv-cap")
     Lake.commitOverwrite((0L until 100L).map(k => (k, s"r$k")).toDF("k", "t"),

@@ -319,7 +319,9 @@ class LakeSpec extends SparkSpec {
       dir0 - dir1).head
     val v0Before = fs.listStatus(new Path(root, dir0))
       .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
-    val v = Lake.mergeCommitted(spark, root, changes, Seq("k"), "ver", "is_del")
+    // COW path pinned (the DV merge has its own LakeDvSpec scenario)
+    val v = Lake.mergeCommitted(spark, root, changes, Seq("k"), "ver",
+      "is_del", dvMaxRows = 0L)
     assert(v === 3L)
     // MERGE semantics == the q99-verified applyChanges fold
     assert(rows(Lake.readCommitted(spark, root)) === expect)
@@ -496,7 +498,7 @@ class LakeSpec extends SparkSpec {
     // exact afterwards
     Lake.mergeCommitted(spark, root,
       Seq((150L, 20L, "B", false)).toDF("k", "ver", "t", "is_del"),
-      Seq("k"), "ver", "is_del", retain = 2)
+      Seq("k"), "ver", "is_del", retain = 2, dvMaxRows = 0L)
     val (keptM, _) = Lake.pruneDirs(spark, root, col("k") === 150L)
     assert(keptM.length === 1)
     assert(rows(Lake.readCommittedWhere(spark, root, col("k") === 150L)) ===
