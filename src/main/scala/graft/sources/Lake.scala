@@ -1315,6 +1315,48 @@ object Lake {
     next
   }
 
+  /** ADD nullable columns as METADATA: one manifest write, zero data
+    * I/O — the committed schema gains the fields, every existing row
+    * reads NULL (exactly what an evolving append would have done), and
+    * later batches may supply them. New names that collide with a
+    * mapped or retired physical name allocate fresh physical names.
+    * Refuses duplicates, legacy (pre-schema) and fold tables.
+    * @return the committed version carrying the widened schema */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      retain: Int = 1): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then add columns"))
+    cols.foreach { case (n, _) =>
+      require(n.nonEmpty && !schema.fieldNames.contains(n),
+        s"column '$n' already exists at $root (or is empty)")
+    }
+    require(cols.map(_._1).distinct.length == cols.length,
+      "duplicate names in the added column list")
+    requireNotFoldTable(fs, r, "add columns to")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields ++ cols.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+    val newMap = allocPhysical(newSchema, manifestColMap(fs, r, cur),
+      manifestRetired(fs, r, cur), cur + 1)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(newMap),
+        op = s"add columns ${cols.map(_._1).mkString(", ")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding columns on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
   /** Fold-maintained tables write data dirs outside the staging choke
     * point that applies the column map — refuse mapping DDL on them. */
   private def requireNotFoldTable(fs: org.apache.hadoop.fs.FileSystem,

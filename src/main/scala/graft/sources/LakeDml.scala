@@ -478,6 +478,29 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AddColumns(
+          t: UnresolvedTable, cols) =>
+        LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
+          case None => ac
+          case Some((root, ident)) =>
+            val named = cols.map { c =>
+              require(c.path.isEmpty,
+                "graft-lake supports top-level columns only — cannot add " +
+                  "a nested field")
+              require(c.position.isEmpty,
+                "graft-lake appends new columns at the end — FIRST/AFTER " +
+                  "is not supported")
+              require(c.default.isEmpty,
+                "graft-lake new columns read NULL on existing rows — " +
+                  "DEFAULT values are not supported")
+              require(c.nullable,
+                "a new column reads NULL on every existing row and must " +
+                  "be nullable — add it nullable, then enforce with " +
+                  "ADD CONSTRAINT ... CHECK (col IS NOT NULL)")
+              c.colName -> c.dataType
+            }
+            GraftAddColumnsCommand(root, named, ident)
+        }
       case rc @ RenameColumn(t: UnresolvedTable,
           UnresolvedFieldName(parts), newName) =>
         LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
@@ -498,6 +521,18 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
             GraftDropColumnCommand(root, names, ifExists, ident)
         }
     }
+}
+
+case class GraftAddColumnsCommand(root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.addColumns(session, root, cols)
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
 }
 
 case class GraftRenameColumnCommand(root: String, oldName: String,

@@ -217,6 +217,40 @@ class LakeColMapSpec extends SparkSpec {
     spark.sql("DROP TABLE colmap_sql")
   }
 
+  test("ADD COLUMN: metadata-only, NULL on existing rows, collision-safe after a drop") {
+    val root = tmpTable("graft-colmap-addcol")
+    Lake.commitOverwrite((1L to 10L).map(i => (i, s"v$i")).toDF("id", "a"),
+      root, retain = 8)
+    val dirsBefore = liveDirs(root)
+    // Scala API
+    Lake.addColumns(spark, root, Seq("score" ->
+      org.apache.spark.sql.types.DoubleType))
+    assert(liveDirs(root) === dirsBefore)
+    val r = Lake.readCommitted(spark, root)
+    assert(r.columns.toSeq === Seq("id", "a", "score"))
+    assert(r.where(col("score").isNotNull).count() === 0L)
+    // a later batch supplies it
+    Lake.commitAppend(Seq((11L, "v11", 0.5)).toDF("id", "a", "score"),
+      root, retain = 8)
+    assert(Lake.readCommitted(spark, root)
+      .where(col("score") === 0.5).count() === 1L)
+    // drop then RE-ADD via SQL: fresh physical name, no resurrection
+    Lake.dropColumn(spark, root, "a")
+    spark.sql("DROP TABLE IF EXISTS addcol_t")
+    spark.sql(s"CREATE TABLE addcol_t USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("ALTER TABLE addcol_t ADD COLUMN a STRING")
+    assert(spark.sql("SELECT a FROM addcol_t WHERE a IS NOT NULL")
+      .count() === 0L, "dropped bytes must not resurrect through ADD COLUMN")
+    // refusals: duplicate, NOT NULL, nested, DEFAULT
+    intercept[Exception](
+      spark.sql("ALTER TABLE addcol_t ADD COLUMN id BIGINT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE addcol_t ADD COLUMN nn BIGINT NOT NULL"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE addcol_t ADD COLUMN d BIGINT DEFAULT 7"))
+    spark.sql("DROP TABLE addcol_t")
+  }
+
   test("streaming a pre-mapped table: the pinned schema serves both file generations") {
     val root = tmpTable("graft-colmap-stream")
     val ckpt = java.nio.file.Files
