@@ -1265,6 +1265,67 @@ class LakeSpec extends SparkSpec {
     assert(Lake.checkConstraints(spark, root).map(_._1) === Seq("v_pos"))
   }
 
+  test("OCC: mapping DDL (rename/drop/add) loses its slot loudly; an append racing a rename refuses") {
+    val root = tmpTable("graft-lake-occ-map")
+    Lake.commitOverwrite(Seq((1L, "a", 1.0)).toDF("k", "t", "v"), root,
+      retain = 8)
+    try {
+      // a concurrent append takes the rename's slot: refusal, schema
+      // and data intact
+      raceOnce {
+        Lake.commitAppend(Seq((2L, "b", 2.0)).toDF("k", "t", "v"), root,
+          retain = 8)
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.renameColumn(spark, root, "t", "txt")
+      }
+      assert(Lake.readCommitted(spark, root).columns.toSeq ===
+        Seq("k", "t", "v"))
+      assert(Lake.readCommitted(spark, root).count() === 2L)
+      // the retry lands; same discipline for drop and add
+      Lake.renameColumn(spark, root, "t", "txt")
+      raceOnce {
+        Lake.commitAppend(Seq((3L, "c", 3.0)).toDF("k", "txt", "v"), root,
+          retain = 8)
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.dropColumn(spark, root, "v")
+      }
+      assert(Lake.readCommitted(spark, root).columns.contains("v"))
+      raceOnce {
+        Lake.commitAppend(Seq((4L, "d", 4.0)).toDF("k", "txt", "v"), root,
+          retain = 8)
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.addColumns(spark, root, Seq("w" ->
+          org.apache.spark.sql.types.LongType))
+      }
+      assert(!Lake.readCommitted(spark, root).columns.contains("w"))
+      // the OTHER direction: a RENAME lands inside an append's
+      // stage->commit window — the append must refuse (its staged
+      // files froze under the pre-rename map), never commit a map
+      // that un-does the rename
+      raceOnce {
+        Lake.renameColumn(spark, root, "txt", "text")
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.commitAppend(Seq((5L, "e", 5.0)).toDF("k", "txt", "v"), root,
+          retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).columns.toSeq ===
+        Seq("k", "text", "v"))
+      assert(Lake.readCommitted(spark, root).count() === 4L)
+      // re-derived under the new name, the append commits
+      Lake.commitAppend(Seq((5L, "e", 5.0)).toDF("k", "text", "v"), root,
+        retain = 8)
+      assert(Lake.readCommitted(spark, root).count() === 5L)
+    } finally Lake.beforePublish = () => ()
+  }
+
   test("OCC: two interleaved appenders both commit, serialized, no lost dirs") {
     import org.apache.hadoop.fs.Path
     val root = tmpTable("graft-lake-occ-app")
