@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ALTER TABLE … RENAME/DROP COLUMN routes to the metadata-only
     // column-mapping engine (#colmap) — same slot, same reason
     ext.injectHintResolutionRule(s => new graft.sources.GraftLakeColumnDdlRule(s))
+    // ALTER TABLE … SET/UNSET TBLPROPERTIES and SHOW TBLPROPERTIES on
+    // lake tables route to the MANIFEST property map (graft.retain /
+    // graft.dvMaxRows live there, not in the metastore) — same slot,
+    // intercepted before ResolveSessionCatalog turns them into v1
+    // metastore commands
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakePropertiesRule(s))
     // SQL catalog reads of a snapshot carrying deletion vectors get
     // the DV filter wrapped around the scan (DataFrame reads apply it
     // at assembly; the catalog SELECT path resolves to a bare

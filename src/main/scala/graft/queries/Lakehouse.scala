@@ -1561,6 +1561,88 @@ object Lakehouse {
       s.sql("SELECT doc_id, source, lang, n_chars FROM dv_upd_docs " +
         "ORDER BY doc_id")
         .withColumn("dv_update_in_place", lit(inPlace))
+    },
+
+    // REORG … APPLY (PURGE) under the oracle hash — the explicit
+    // payoff lever for deletion-vector debt: a sparse SQL DELETE
+    // soft-deletes via `#dv_` position lines (dirs byte-identical),
+    // then REORG rewrites EXACTLY the vector-carrying dirs —
+    // regardless of size, which is the gap compaction's minBytes
+    // selection can never close — and the post-purge table must hash
+    // equal to its pre-purge reads (`dv_debt_paid` proves debt
+    // existed AND the purged manifest carries zero `#dv_` lines). At
+    // 100 TB this is how a table stops paying the per-read row-filter
+    // tax and stops carrying position JSON in every manifest.
+    Q("q173_reorg_purge",
+      """SELECT doc_id, source, lang, n_chars, TRUE AS dv_debt_paid
+        |FROM documents WHERE doc_id % 89 <> 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_reorg", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val step = maxId / 4 + 1
+      (0L until 4L).foreach { b =>
+        Lake.commitAppend(
+          docs.where(col("doc_id") >= b * step && col("doc_id") < (b + 1) * step),
+          root, retain = 2, statsCols = Seq("doc_id"))
+        ()
+      }
+      s.sql("DROP TABLE IF EXISTS reorg_docs")
+      s.sql(s"CREATE TABLE reorg_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("DELETE FROM reorg_docs WHERE doc_id % 89 = 3") // DV path
+      def latestDvDirs(): Int = Lake.describeHistory(s, root)
+        .orderBy(desc("version")).select("dv_dirs").collect().head.getInt(0)
+      val debtBefore = latestDvDirs() > 0
+      s.sql("REORG TABLE reorg_docs APPLY (PURGE)")
+      val paid = debtBefore && latestDvDirs() == 0
+      s.sql("SELECT doc_id, source, lang, n_chars FROM reorg_docs " +
+        "ORDER BY doc_id")
+        .withColumn("dv_debt_paid", lit(paid))
+    },
+
+    // DURABLE TABLE PROPERTIES under the oracle hash — TBLPROPERTIES
+    // as manifest state (Delta parity): `graft.retain` is set ONCE
+    // via SQL and then governs three argless appends (the
+    // `horizon_governed` proof column reads the retained-version list
+    // — had the built-in default (1) still governed, only the last
+    // two versions would survive and the hash would break), a second
+    // SET proves per-key merge semantics, and the result IS the
+    // `SHOW TBLPROPERTIES` output joined with the table's row count
+    // (ties the scenario to the data — a lost append breaks it). At
+    // 100 TB the point is governance: the time-travel horizon is
+    // table state, not an argument two writers can disagree on.
+    Q("q172_tblproperties",
+      """WITH p AS MATERIALIZED (
+        |  SELECT 'dept' AS key, 'ml-platform' AS value
+        |  UNION ALL SELECT 'graft.retain', '6')
+        |SELECT p.key, p.value,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+        |  TRUE AS horizon_governed
+        |FROM p ORDER BY key""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_props", d)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+      Lake.commitOverwrite(docs.where(pmod(col("doc_id"), lit(4)) === 0),
+        root) // v0, no retain argument anywhere in this scenario
+      s.sql("DROP TABLE IF EXISTS props_docs")
+      s.sql(s"CREATE TABLE props_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("ALTER TABLE props_docs SET TBLPROPERTIES " +
+        "('dept' = 'data-eng', 'graft.retain' = '6')") // v1
+      (1 to 3).foreach { i =>
+        Lake.commitAppend(docs.where(pmod(col("doc_id"), lit(4)) === i),
+          root) // v2..v4, argless: the PROPERTY governs retention
+        ()
+      }
+      s.sql("ALTER TABLE props_docs SET TBLPROPERTIES " +
+        "('dept' = 'ml-platform')") // v5: merges, keeps graft.retain
+      val horizonOk = Lake.readableVersions(s, root) == (0L to 5L)
+      val nRows = s.sql("SELECT count(*) FROM props_docs")
+        .collect().head.getLong(0)
+      s.sql("SHOW TBLPROPERTIES props_docs")
+        .withColumn("n_rows", lit(nRows))
+        .withColumn("horizon_governed", lit(horizonOk))
+        .orderBy("key")
     })
 
   /** Lake scans of an executed plan, descending through AQE query

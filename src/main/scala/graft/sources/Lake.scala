@@ -801,7 +801,7 @@ object Lake {
     * manifest write. Every later row-introducing commit validates its
     * batch against it. */
   def addCheckConstraint(spark: SparkSession, root: String,
-      name: String, sqlExpr: String, retain: Int = 1): Long = {
+      name: String, sqlExpr: String, retain: Int = -1): Long = {
     require(name.nonEmpty && !name.exists(":=,\n#".contains(_)),
       s"constraint name '$name' may not contain ':', '=', ',', '#', or newline")
     require(!sqlExpr.contains("\n"),
@@ -835,7 +835,7 @@ object Lake {
 
   /** DROP a CHECK constraint — same dirs, one manifest write. */
   def dropCheckConstraint(spark: SparkSession, root: String,
-      name: String, retain: Int = 1): Long = {
+      name: String, retain: Int = -1): Long = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -859,6 +859,128 @@ object Lake {
   /** The live CHECK constraints of a table: (name, sql expression). */
   def checkConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
     liveChecks(fsFor(spark, root), new Path(root))
+
+  // ---- durable table properties (#prop_<key>=<value>) --------------
+  //
+  // Delta's TBLPROPERTIES: arbitrary (key, value) strings stored AS
+  // TABLE STATE in the manifest chain, inherited by every commit like
+  // `#partcols`/`#statscols`, replaced only by the property DDL.
+  // Engine-reserved keys parameterize behaviors that were per-call
+  // arguments before round 14 — per-call args remain explicit
+  // overrides, but the TABLE now owns the default, so two writers
+  // that pass nothing cannot silently fight over the time-travel
+  // horizon or the DV bound:
+  //
+  //   graft.retain     — retention horizon (superseded versions kept)
+  //   graft.dvMaxRows  — deletion-vector bound for DELETE/UPDATE/MERGE
+  //
+  // Each manifest version carries its own map, so time travel and
+  // RESTORE see every version under the properties it had.
+  private val PropPrefix = "#prop_"
+  final val PropRetain = "graft.retain"
+  final val PropDvMaxRows = "graft.dvMaxRows"
+
+  private[graft] def manifestProps(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(PropPrefix) &&
+          l.indexOf('=', PropPrefix.length) > PropPrefix.length =>
+        val i = l.indexOf('=', PropPrefix.length)
+        l.substring(PropPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  private def liveProps(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Map[String, String] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestProps(fs, r, v)).getOrElse(Map.empty)
+
+  /** The live snapshot's table properties (empty when none set). */
+  def tableProperties(spark: SparkSession, root: String): Map[String, String] =
+    liveProps(fsFor(spark, root), new Path(root))
+
+  /** Effective dvMaxRows: an explicit per-call value (>= 0) wins; the
+    * omitted-arg sentinel -1 inherits the table's `graft.dvMaxRows`
+    * property, defaulting to 10000. */
+  private def effDvMaxRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      arg: Long): Long = {
+    require(arg >= -1L,
+      s"dvMaxRows must be >= 0 (or -1 = inherit $PropDvMaxRows), got $arg")
+    val v =
+      if (arg >= 0L) arg
+      else liveProps(fs, r).get(PropDvMaxRows).map { s =>
+        s.toLongOption.filter(_ >= 0L).getOrElse(
+          throw new IllegalArgumentException(
+            s"table property $PropDvMaxRows='$s' is not a non-negative long"))
+      }.getOrElse(10000L)
+    require(v < Int.MaxValue, s"dvMaxRows must fit an Int, got $v")
+    v
+  }
+
+  /** Validate one property (key, value) against the manifest line
+    * grammar and the reserved keys' value domains. */
+  private def validateProp(k: String, v: String): Unit = {
+    require(k.nonEmpty && !k.exists("=\n#".contains(_)),
+      s"property key '$k' may not be empty or contain '=', '#', or newline")
+    require(!v.contains("\n"), s"property $k value must be a single line")
+    if (k == PropRetain) require(v.toIntOption.exists(_ >= 0),
+      s"$PropRetain must be a non-negative integer, got '$v'")
+    if (k == PropDvMaxRows) require(
+      v.toLongOption.exists(n => n >= 0L && n < Int.MaxValue),
+      s"$PropDvMaxRows must be a non-negative Int-ranged long, got '$v'")
+  }
+
+  /** `ALTER TABLE t SET TBLPROPERTIES (…)`: merge `props` into the
+    * table's property map — same dirs, one manifest write, the
+    * constraint-commit OCC discipline (lost slot refuses loudly;
+    * concurrent property commits serialize by version, last writer
+    * wins per key exactly as Delta's metadata conflict rule). */
+  def setTableProperties(spark: SparkSession, root: String,
+      props: Map[String, String], retain: Int = -1): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, v) => validateProp(k, v) }
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val merged = manifestProps(fs, r, cur) ++ props
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        props = Some(merged),
+        op = "set tblproperties " + props.keys.toSeq.sorted.mkString(",")))
+      throw new java.util.ConcurrentModificationException(
+        s"SET TBLPROPERTIES on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
+  /** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (…)`. Absent keys
+    * refuse unless `ifExists` (Spark's own UNSET semantics). */
+  def unsetTableProperties(spark: SparkSession, root: String,
+      keys: Seq[String], ifExists: Boolean = false,
+      retain: Int = -1): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val have = manifestProps(fs, r, cur)
+    val missing = keys.filterNot(have.contains)
+    if (!ifExists) require(missing.isEmpty,
+      s"cannot UNSET absent table properties on $root: " +
+        missing.sorted.mkString("[", ", ", "]") + " (use IF EXISTS)")
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        props = Some(have -- keys),
+        op = "unset tblproperties " + keys.sorted.mkString(",")))
+      throw new java.util.ConcurrentModificationException(
+        s"UNSET TBLPROPERTIES on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
 
   // ---- generated columns (derived partition keys) ------------------
   //
@@ -1004,12 +1126,49 @@ object Lake {
     normExternal(out)
   }.toOption.flatten
 
+  /** Derivation-safety profile of a generated expression that is NOT
+    * on the monotone whitelist: (deterministic, nullPreserving).
+    * Determinism is read off the ANALYZED tree (the unresolved one
+    * reports children-only determinism, so `rand()` would lie) and
+    * additionally refuses the query-time-anchored family
+    * (current_date/now/…): those are Catalyst-"deterministic" within
+    * one query but evaluate differently at read time than at the
+    * establishing write, which would derive wrong equalities.
+    * NULL-preservation is proven by EVALUATION at a NULL source
+    * literal — the only exact check for arbitrary expressions
+    * (`coalesce(x, 0)`, `isnull(x)`, `hash(x) % 16` all correctly
+    * fail it, so `x IS NULL` never derives `p IS NULL` for them).
+    * None when the expression refuses to resolve. */
+  private def genExprProfile(spark: SparkSession, text: String,
+      srcCol: String, srcType: org.apache.spark.sql.types.DataType):
+      Option[(Boolean, Boolean)] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    val substituted = spark.sessionState.sqlParser.parseExpression(text)
+      .transform {
+        case a: UnresolvedAttribute if a.nameParts == Seq(srcCol) =>
+          CLit(null, srcType)
+      }
+    val df = spark.range(1)
+      .select(org.apache.spark.sql.graft.Shim.column(substituted))
+    val timeAnchored = Set("currentdate", "currenttimestamp", "now",
+      "localtimestamp", "currenttimezone", "currenttime")
+    val det = df.queryExecution.analyzed.expressions.forall(e =>
+      e.deterministic && e.find(c => timeAnchored.contains(
+        c.nodeName.toLowerCase(java.util.Locale.ROOT))).isEmpty)
+    val nullAtNull = det && df.collect().head.isNullAt(0)
+    (det, nullAtNull)
+  }.toOption
+
   /** Extra prunable conjuncts on GENERATED columns, derived from the
     * query's conjuncts on their source columns (all in LOGICAL names;
     * callers translate afterwards). Monotone expressions derive
     * ranges (strict bounds weaken to inclusive — f is non-strictly
-    * monotone), everything derivable derives equality/IN and IS NULL
-    * (the whitelist is NULL-preserving). Purely an optimization: the
+    * monotone; temporal sources only), equality/IN derives when the
+    * expression is proven deterministic, and IS NULL only when it is
+    * additionally proven NULL-preserving (the whitelist is both by
+    * construction; anything else proves it via [[genExprProfile]] or
+    * doesn't derive). Purely an optimization: the
     * derived conjuncts are implied by the originals, so Keep AND
     * whole-dir-Drop proofs stay exact. */
   private def deriveGenPreds(spark: SparkSession,
@@ -1023,14 +1182,31 @@ object Lake {
     gens.flatMap { case (p, text) =>
       classifyGenExpr(spark, text) match {
         case None => Nil
-        case Some((src, monotone)) =>
+        case Some((src, monotone0)) =>
           val srcFieldOpt = schema.fields.find(_.name == src)
           if (srcFieldOpt.isEmpty) Nil
           // session-zone-dependent evaluation: derive only when the
           // reading session matches the establishing one
           else if (srcFieldOpt.get.dataType ==
               org.apache.spark.sql.types.TimestampType && !tzOk) Nil
-          else preds.filter(_.col == src).flatMap { pr =>
+          else {
+          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+          val srcType = srcFieldOpt.get.dataType
+          // range derivation needs a TEMPORAL source (Delta's gate):
+          // lexical string order is not monotone under date parsing
+          // (' 2021-03-04' < '2020-1-5' lexically), so a string-typed
+          // source falls back to equality-only derivation
+          val monotone = monotone0 && (srcType == DateType ||
+            srcType == TimestampType || srcType == TimestampNTZType)
+          // the monotone whitelist (year/to_date/date_trunc/trunc/
+          // cast-to-date) is deterministic and NULL-preserving by
+          // construction; an eqOnly-classified expression must PROVE
+          // both before ANY derivation happens (PEq needs determinism,
+          // PNull additionally needs f(NULL) = NULL)
+          lazy val prof = genExprProfile(spark, text, src, srcType)
+          val detOk = monotone0 || prof.exists(_._1)
+          val nullOk = monotone0 || prof.exists(p => p._1 && p._2)
+          preds.filter(_.col == src).flatMap { pr =>
             def at(nv: NormVal): Option[NormVal] =
               evalGenAt(spark, text, src, srcFieldOpt.get.dataType, nv)
             // a DISCRETE source type tightens strict bounds by one
@@ -1046,11 +1222,11 @@ object Lake {
               }
             }
             pr.op match {
-              case PEq =>
+              case PEq if detOk =>
                 val mapped = pr.values.map(at)
                 if (mapped.exists(_.isEmpty)) Nil
                 else Seq(Pred(p, PEq, mapped.flatten))
-              case PNull => Seq(Pred(p, PNull, Nil))
+              case PNull if nullOk => Seq(Pred(p, PNull, Nil))
               case PLt if monotone =>
                 discreteStep(pr.values.head, -1).orElse(Some(pr.values.head))
                   .flatMap(at).map(d => Pred(p, PLe, Seq(d))).toSeq
@@ -1063,6 +1239,7 @@ object Lake {
                 at(pr.values.head).map(d => Pred(p, PGe, Seq(d))).toSeq
               case _ => Nil
             }
+          }
           }
       }
     }
@@ -1204,7 +1381,7 @@ object Lake {
     * Optimistically concurrent like every maintenance commit.
     * @return the committed version carrying the renamed schema */
   def renameColumn(spark: SparkSession, root: String,
-      oldName: String, newName: String, retain: Int = 1): Long = {
+      oldName: String, newName: String, retain: Int = -1): Long = {
     require(newName.nonEmpty && !newName.exists("=,:\n#".contains(_)),
       s"column name '$newName' may not contain '=', ',', ':', '#', or newline")
     val fs = fsFor(spark, root)
@@ -1261,7 +1438,7 @@ object Lake {
     * fold-maintained tables.
     * @return the committed version without the column */
   def dropColumn(spark: SparkSession, root: String,
-      name: String, retain: Int = 1): Long = {
+      name: String, retain: Int = -1): Long = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -1324,7 +1501,7 @@ object Lake {
     * @return the committed version carrying the widened schema */
   def addColumns(spark: SparkSession, root: String,
       cols: Seq[(String, org.apache.spark.sql.types.DataType)],
-      retain: Int = 1): Long = {
+      retain: Int = -1): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     val fs = fsFor(spark, root)
     val r = new Path(root)
@@ -2285,9 +2462,18 @@ object Lake {
       // manifests without one fall back to the marker file's mtime
       val ts = scala.util.Try(new java.sql.Timestamp(
         manifestTsMillis(fs, r, v))).getOrElse(null)
+      // deletion-vector DEBT per version: dirs still carrying `#dv_`
+      // lines and the total soft-deleted position count — what REORG
+      // … APPLY (PURGE) exists to pay down; surfaced so the cost is
+      // visible instead of silently taxing every read
+      val dvs = manifestDvsRaw(fs, r, v)
+      val dvRows = dvs.values.iterator
+        .map(j => parseDvJson(j).values.iterator.map(_.length.toLong).sum)
+        .sum
       org.apache.spark.sql.Row(v, ts, manifestOp(fs, r, v).orNull,
         manifestDirs(fs, r, v).size,
-        manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull)
+        manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull,
+        dvs.size, dvRows)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("version",
@@ -2299,10 +2485,86 @@ object Lake {
       org.apache.spark.sql.types.StructField("n_dirs",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("row_count",
-        org.apache.spark.sql.types.LongType, nullable = true)))
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("dv_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dv_rows",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+  }
+
+  /** `DESCRIBE DETAIL t` (Delta parity): ONE row describing the LIVE
+    * snapshot — format, location, version, layout, properties and
+    * deletion-vector debt. Everything except `num_files`/`size_bytes`
+    * comes from the manifest alone; those two list each live dir once
+    * (O(dirs) driver listings — an admin command, not a query-path
+    * operation). */
+  def describeDetail(spark: SparkSession, root: String):
+      org.apache.spark.sql.DataFrame = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val dirs = manifestDirs(fs, r, v)
+    var files = 0L; var bytes = 0L
+    dirs.foreach { d =>
+      fs.listStatus(new Path(r, d)).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          files += 1L; bytes += st.getLen
+        }
+      }
+    }
+    val dvs = manifestDvsRaw(fs, r, v)
+    val dvRows = dvs.values.iterator
+      .map(j => parseDvJson(j).values.iterator.map(_.length.toLong).sum)
+      .sum
+    val props = manifestProps(fs, r, v)
+    val ts = scala.util.Try(new java.sql.Timestamp(
+      manifestTsMillis(fs, r, v))).getOrElse(null)
+    val row = org.apache.spark.sql.Row(
+      "graft-lake", root, v, ts,
+      dirs.size, files, bytes,
+      manifestRows(fs, r, v).map(java.lang.Long.valueOf).orNull,
+      manifestPartCols(fs, r, v).mkString(","),
+      manifestBucketBy(fs, r, v)
+        .map { case (n, cs) => s"$n:${cs.mkString(",")}" }.orNull,
+      props.toSeq.sortBy(_._1).map { case (k, pv) => s"$k=$pv" }
+        .mkString(";"),
+      dvs.size, dvRows)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("format",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("location",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("num_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("num_files",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("size_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_count",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("partition_columns",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket_by",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("properties",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("dv_dirs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dv_rows",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(Seq(row)).asJava),
+      schema)
   }
 
   /** TIME TRAVEL: the table contents as of snapshot `version` —
@@ -2414,8 +2676,9 @@ object Lake {
     * Clone from a snapshot the source retains, or deep-copy first.
     * @return the clone's committed version (always 0) */
   def cloneCommitted(spark: SparkSession, srcRoot: String, dstRoot: String,
-      version: Option[Long] = None, retain: Int = 1): Long = {
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+      version: Option[Long] = None, retain: Int = -1): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(!srcRoot.contains("=") && !srcRoot.contains("\n"),
       s"srcRoot must not contain '=' or newlines (manifest line grammar): $srcRoot")
     val fs = fsFor(spark, srcRoot)
@@ -2571,8 +2834,9 @@ object Lake {
     * Optimistically concurrent like every maintenance commit.
     * @return the committed version holding the restored snapshot */
   def restoreCommitted(spark: SparkSession, root: String,
-      version: Long, retain: Int = 1): Long = {
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+      version: Long, retain: Int = -1): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -2985,6 +3249,14 @@ object Lake {
     * optimistic-concurrency loser paths deterministically. */
   private[graft] var beforePublish: () => Unit = () => ()
 
+  /** TEST SEAM: runs right after a DML writer (delete/update/merge)
+    * pins its commit slot and BEFORE any of its classify/probe/
+    * staging jobs — the window where a concurrent commit must steal
+    * the pinned slot and force a loud publish failure instead of
+    * being silently clobbered by a stale-snapshot republish (the DV
+    * fast paths' lost-update window before round 14). */
+  private[graft] var afterSlotPin: () => Unit = () => ()
+
   /** Build and publish the version-`version` manifest put-if-absent.
     * Returns true when this writer won the version slot (retention
     * then pruned), false when a concurrent writer committed `version`
@@ -3013,6 +3285,7 @@ object Lake {
       statsColsReplace: Option[Seq[String]] = None,
       bloomColsReplace: Option[Seq[String]] = None,
       partColsReplace: Option[Seq[String]] = None,
+      props: Option[Map[String, String]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -3071,6 +3344,16 @@ object Lake {
     val effGen = genParts.getOrElse(
       prevV.map(v => manifestGenParts(fs, r, v)).getOrElse(Nil))
     val effGenTz = genTz.orElse(prevV.flatMap(v => manifestGenTz(fs, r, v)))
+    // user/table properties inherit; Some(…) replaces (the DDL)
+    val effProps = props.getOrElse(
+      prevV.map(v => manifestProps(fs, r, v)).getOrElse(Map.empty))
+    // retention is TABLE state (graft.retain) unless this call passed
+    // an explicit override — resolved against effProps, so a commit
+    // that SETS the property is already governed by it
+    val retainEff =
+      if (retain >= 0) retain
+      else effProps.get(PropRetain).flatMap(_.toIntOption)
+        .filter(_ >= 0).getOrElse(1)
     // deletion vectors: the one MUTABLE per-dir line. Normal commits
     // carry a reused dir's vector (new deletes pass the merged set in
     // `newDvs`); rewritten dirs materialize theirs away by renaming.
@@ -3113,6 +3396,7 @@ object Lake {
        else Nil) ++
       effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
       (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
+      effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -3123,7 +3407,7 @@ object Lake {
     // THE commit point: atomic put-if-absent of the marker
     if (!publishIfAbsent(fs, tmp, new Path(r, s"_commit_$version")))
       return false
-    pruneRetention(fs, r, retain)
+    pruneRetention(fs, r, retainEff)
     true
   }
 
@@ -3197,15 +3481,22 @@ object Lake {
     * default is Delta's own).
     * @return (pruned manifest versions, swept data dir names) */
   def vacuumCommitted(spark: SparkSession, root: String,
-      retain: Int = 1,
+      retain: Int = -1,
       staleStagedMs: Long = 7L * 24 * 60 * 60 * 1000): (Seq[Long], Seq[String]) = {
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(staleStagedMs >= 0, s"staleStagedMs must be >= 0, got $staleStagedMs")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     if (committedVersions(fs, r).isEmpty)
       throw new java.util.NoSuchElementException(s"no committed table at $root")
-    val (pruned, swept) = pruneRetention(fs, r, retain)
+    // VACUUM prunes with the table's own horizon unless overridden —
+    // the raw -1 sentinel must never reach the splitAt arithmetic
+    val retainEff =
+      if (retain >= 0) retain
+      else liveProps(fs, r).get(PropRetain).flatMap(_.toIntOption)
+        .filter(_ >= 0).getOrElse(1)
+    val (pruned, swept) = pruneRetention(fs, r, retainEff)
     val live = committedVersions(fs, r)
       .flatMap(v => manifestDirs(fs, r, v)).toSet
     val cutoff = System.currentTimeMillis() - staleStagedMs
@@ -3233,12 +3524,13 @@ object Lake {
     * the caller must re-derive and retry, Delta's rule. Returns the
     * committed version. */
   def commitOverwrite(df0: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1, rowCount: Option[Long] = None,
+      retain: Int = -1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       generatedColumns: Map[String, String] = Map.empty): Long = {
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
@@ -3315,12 +3607,13 @@ object Lake {
     * rather than guessed (re-derive the batch and retry).
     * Returns the committed version. */
   def commitAppend(df0: org.apache.spark.sql.DataFrame, root: String,
-      retain: Int = 1, rowCount: Option[Long] = None,
+      retain: Int = -1, rowCount: Option[Long] = None,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       op: String = "append", partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       generatedColumns: Map[String, String] = Map.empty): Long = {
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(!op.contains("\n"), "op must be a single manifest line")
     val spark = df0.sparkSession
     val fs = fsFor(spark, root)
@@ -3424,8 +3717,20 @@ object Lake {
       val curRetired = cur.map(v => manifestRetired(fs, r, v)).getOrElse(Nil)
       val ourNew = newMap -- liveMap.keys
       val mergedMap = curMap ++ ourNew
+      // every staged column's PHYSICAL name — including identity-
+      // mapped ones — must still be OURS under the concurrent
+      // snapshot: a first-ever rename of an identity column claims
+      // our physical name for a DIFFERENT logical column (mergeSchemas
+      // would re-add the old logical name over the same bytes), and a
+      // first-ever drop retires it (a commit would resurrect the
+      // dropped column's bytes). Both were invisible to the ourNew
+      // checks alone because identity names never appear in the map.
+      val stagedPhys = df.columns.toSeq.map(c => c -> physName(newMap, c))
       if (df.columns.exists(c => physName(mergedMap, c) != physName(newMap, c)) ||
-          ourNew.values.exists(curRetired.contains) ||
+          stagedPhys.exists { case (_, pc) => curRetired.contains(pc) } ||
+          stagedPhys.exists { case (lc, pc) =>
+            curMap.exists { case (clc, cpc) => cpc == pc && clc != lc } } ||
+          ourNew.exists { case (lc, pc) => curMap.get(lc).exists(_ != pc) } ||
           ourNew.values.toSet.intersect(
             (curMap -- newMap.keys).values.toSet).nonEmpty) {
         dropStaged()
@@ -3517,19 +3822,26 @@ object Lake {
   def mergeCommitted(spark: SparkSession, root: String,
       changes: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: String,
-      guardVersions: Boolean = false, retain: Int = 1,
+      guardVersions: Boolean = false, retain: Int = -1,
       allowSchemaEvolution: Boolean = false,
-      dvMaxRows: Long = 10000L): Long = {
+      dvMaxRows: Long = -1L): Long = {
     import org.apache.spark.sql.functions._
-    require(retain >= 0, s"retain must be >= 0, got $retain")
-    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
-    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(
         s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
     val snapDirs = manifestDirs(fs, r, cur)
+    // slot pinned before the probe/hits/staging jobs run (the COW
+    // invariant, shared by the DV fast path): a concurrent commit
+    // landing during those jobs takes this number and our publish —
+    // which would otherwise republish the stale snapDirs over the
+    // interloper's dirs and vectors — fails loudly instead
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    afterSlotPin()
+    val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val base = readCommittedAt(spark, root, cur)
     val latest = graft.operators.Cdc.lastChanges(
       base, changes, keyCols, versionCol, deleteCol, guardVersions).persist()
@@ -3584,7 +3896,7 @@ object Lake {
       // manifest write instead of rewriting every hot dir — the
       // at-scale shape of the continuous-upsert workload. Over-bound
       // (or dvMaxRows = 0) falls through to the dir rewrite.
-      if (dvMaxRows > 0 && touchedDirs.nonEmpty) {
+      if (dvEff > 0 && touchedDirs.nonEmpty) {
         val prevDvs = manifestDvsRaw(fs, r, cur)
         // metadata columns do not survive a join — materialize first
         val hits = readDirsWithDv(spark, fs, r, cur, touchedDirs, carried)
@@ -3593,8 +3905,8 @@ object Lake {
           .withColumn("__dv_pos", col("_metadata.row_index"))
           .join(touchedKeys, keyCols, "left_semi")
           .select(col("__dv_key"), col("__dv_pos"))
-          .limit(dvMaxRows.toInt + 1).collect()
-        if (hits.length <= dvMaxRows) {
+          .limit(dvEff.toInt + 1).collect()
+        if (hits.length <= dvEff) {
           val bySeg = touchedDirs.map(d => new Path(d).getName -> d).toMap
           val fresh: Map[String, String] = hits.toSeq
             .map(h => (h.getString(0), h.getLong(1)))
@@ -3621,12 +3933,10 @@ object Lake {
                 " — pass allowSchemaEvolution = true to evolve")
           }
           val winners = aligned(upserts)
-          val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
           val effStats = effectiveStatsCols(fs, r, Nil)
           val effBloom = effectiveBloomCols(fs, r, Nil)
           val stageMap = allocPhysical(evolved, manifestColMap(fs, r, cur),
-            committedVersions(fs, r).lastOption
-              .map(v => manifestRetired(fs, r, v)).getOrElse(Nil), next)
+            manifestRetired(fs, r, cur), next)
           // a pure-delete batch appends nothing — only vectors commit
           val (newDirs, stats, blooms, parts) =
             if (winners.isEmpty)
@@ -3663,11 +3973,11 @@ object Lake {
         else touchedBase
           .join(touchedKeys, keyCols, "left_anti")
           .unionByName(upserts)
-      // the slot is pinned BEFORE the rewrite: a concurrent commit
-      // landing during the write takes this number and our publish
-      // must then lose (computing `next` after the write would let us
-      // publish a dirs list that silently drops the interloper's data)
-      val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+      // the slot was pinned at entry, BEFORE the probe and the
+      // rewrite: a concurrent commit landing during any of those jobs
+      // takes the pinned number and our publish must then lose
+      // (computing `next` later would let us publish a dirs list that
+      // silently drops the interloper's data)
       val effStats = effectiveStatsCols(fs, r, Nil)
       // the rewrite stages under writer-unique dirs like every other
       // data write (one per partition tuple on a partitioned table —
@@ -3681,8 +3991,7 @@ object Lake {
       // evolution may introduce columns whose names collide with a
       // mapped or retired physical name — allocate like appends do
       val stageMap = allocPhysical(evolved, manifestColMap(fs, r, cur),
-        committedVersions(fs, r).lastOption
-          .map(v => manifestRetired(fs, r, v)).getOrElse(Nil), next)
+        manifestRetired(fs, r, cur), next)
       val (newDirs, stats, blooms, parts) =
         stageBatch(spark, fs, r, rewritten, effStats, effBloom, effPart,
           maintenance = true, bucketBy = effBucket,
@@ -3747,17 +4056,24 @@ object Lake {
     *   compaction / z-order / any later rewrite of a DV'd dir
     *   materializes its vector away. */
   def deleteWhere(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column, retain: Int = 1,
-      dvMaxRows: Long = 10000L): Long = {
+      predicate: org.apache.spark.sql.Column, retain: Int = -1,
+      dvMaxRows: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    require(retain >= 0, s"retain must be >= 0, got $retain")
-    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
-    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val snapDirs = manifestDirs(fs, r, cur)
+    // the slot is pinned HERE, before the classify/hits/staging jobs
+    // run: a concurrent commit landing during those jobs takes this
+    // number and our publish then fails loudly instead of silently
+    // republishing the stale snapDirs over the interloper's commit
+    // (lost update) — the COW invariant, shared by the DV fast path
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    afterSlotPin()
+    val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val stats = manifestStatsRaw(fs, r, cur)
     val carried = manifestSchema(fs, r, cur)
     // user predicates name LOGICAL columns; per-dir lines are physical
@@ -3822,7 +4138,7 @@ object Lake {
     // against the UNCHANGED dir set. One metadata-cost commit; the
     // read filter and every rewrite path honor the vector. Falls back
     // to copy-on-write when the hit count exceeds the bound.
-    if (rewrite.nonEmpty && dropped.isEmpty && dvMaxRows > 0) {
+    if (rewrite.nonEmpty && dropped.isEmpty && dvEff > 0) {
       import org.apache.spark.sql.functions.{col, substring_index}
       val prevDvs = manifestDvsRaw(fs, r, cur)
       val hits = readDirsWithDv(spark, fs, r, cur, rewrite, carried)
@@ -3830,9 +4146,9 @@ object Lake {
         .select(
           substring_index(col("_metadata.file_path"), "/", -2).as("__dv_key"),
           col("_metadata.row_index").as("__dv_pos"))
-        .limit(dvMaxRows.toInt + 1).collect()
+        .limit(dvEff.toInt + 1).collect()
       if (hits.isEmpty) return cur // no row actually matches
-      if (hits.length <= dvMaxRows) {
+      if (hits.length <= dvEff) {
         val bySeg = rewrite.map(d => new Path(d).getName -> d).toMap
         val fresh: Map[String, String] = hits.toSeq
           .map(h => (h.getString(0), h.getLong(1)))
@@ -3847,17 +4163,16 @@ object Lake {
             }
             dir -> dvJson(merged.view.mapValues(_.toSeq.sorted).toMap)
           }
-        val dvNext = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
         // positions are NEW deletions (the read pre-filtered existing
         // vectors), so the metadata count stays exact through the chain
-        if (!commitManifest(fs, r, dvNext, snapDirs, retain, carried,
+        if (!commitManifest(fs, r, next, snapDirs, retain, carried,
             manifestRows(fs, r, cur).map(_ - hits.length),
             newDvs = fresh, op = "delete"))
           throw new java.util.ConcurrentModificationException(
-            s"delete on $root lost version $dvNext to a concurrent " +
+            s"delete on $root lost version $next to a concurrent " +
               "commit — the delete classified a snapshot that is no " +
               "longer live; re-run against the current table")
-        return dvNext
+        return next
       }
       // over the bound: fall through to the copy-on-write rewrite
     }
@@ -3869,7 +4184,6 @@ object Lake {
     def hasMarkers(dirs: Seq[String]): Boolean =
       dirs.map(d => new Path(r, d)).filter(fs.exists)
         .exists(d => fs.listStatus(d).exists(_.getPath.getName.startsWith("_applied_")))
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effBloom = effectiveBloomCols(fs, r, Nil)
     // rewrites PRESERVE the table's declared partition layout: on a
     // partitioned table the surviving rows re-stage one dir per value
@@ -3931,18 +4245,24 @@ object Lake {
     * version (unchanged when nothing can match). */
   def updateWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column], retain: Int = 1,
-      dvMaxRows: Long = 10000L): Long = {
+      set: Map[String, org.apache.spark.sql.Column], retain: Int = -1,
+      dvMaxRows: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    require(retain >= 0, s"retain must be >= 0, got $retain")
-    require(dvMaxRows >= 0, s"dvMaxRows must be >= 0, got $dvMaxRows")
-    require(dvMaxRows < Int.MaxValue, s"dvMaxRows must fit an Int, got $dvMaxRows")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(set.nonEmpty, "updateWhere needs at least one SET assignment")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val snapDirs = manifestDirs(fs, r, cur)
+    // slot pinned before any job runs — see deleteWhere: a concurrent
+    // commit during the hits/staging jobs takes this number and our
+    // publish fails loudly instead of clobbering it (DV and COW paths
+    // share the invariant)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    afterSlotPin()
+    val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val stats = manifestStatsRaw(fs, r, cur)
     val carried = manifestSchema(fs, r, cur)
     val schema = carried.getOrElse(spark.read.parquet(
@@ -3983,7 +4303,7 @@ object Lake {
     val deterministic = scala.util.Try(
       org.apache.spark.sql.graft.Shim.catalystTree(predicate).deterministic)
       .getOrElse(false)
-    if (dvMaxRows > 0 && deterministic) {
+    if (dvEff > 0 && deterministic) {
       import org.apache.spark.sql.functions.substring_index
       val prevDvs = manifestDvsRaw(fs, r, cur)
       val hits = readDirsWithDv(spark, fs, r, cur, touched, carried)
@@ -3991,9 +4311,9 @@ object Lake {
         .select(
           substring_index(col("_metadata.file_path"), "/", -2).as("__dv_key"),
           col("_metadata.row_index").as("__dv_pos"))
-        .limit(dvMaxRows.toInt + 1).collect()
+        .limit(dvEff.toInt + 1).collect()
       if (hits.isEmpty) return cur // no row actually matches
-      if (hits.length <= dvMaxRows) {
+      if (hits.length <= dvEff) {
         val bySeg = touched.map(d => new Path(d).getName -> d).toMap
         val fresh: Map[String, String] = hits.toSeq
           .map(h => (h.getString(0), h.getLong(1)))
@@ -4023,19 +4343,18 @@ object Lake {
           stageBatch(spark, fs, r, copies, effStatsDv, effBloomDv,
             manifestPartCols(fs, r, cur),
             bucketBy = manifestBucketBy(fs, r, cur), colMap = cmap)
-        val dvNext = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
         // row-preserving: every killed row has exactly one live copy
-        if (!commitManifest(fs, r, dvNext, snapDirs ++ newDirs, retain,
+        if (!commitManifest(fs, r, next, snapDirs ++ newDirs, retain,
             carried, manifestRows(fs, r, cur), freshStats, effStatsDv,
             newBlooms = freshBlooms, bloomCols = effBloomDv,
             newParts = freshParts, newDvs = fresh, op = "update")) {
           newDirs.foreach(d => fs.delete(new Path(r, d), true))
           throw new java.util.ConcurrentModificationException(
-            s"update on $root lost version $dvNext to a concurrent " +
+            s"update on $root lost version $next to a concurrent " +
               "commit — the update classified a snapshot that is no " +
               "longer live; re-run against the current table")
         }
-        return dvNext
+        return next
       }
       // over the bound: fall through to the copy-on-write rewrite
     }
@@ -4046,7 +4365,6 @@ object Lake {
       val field = schema(c)
       df.withColumn(c, when(hit, expr.cast(field.dataType)).otherwise(col(c)))
     }
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     val effStats = effectiveStatsCols(fs, r, Nil)
     val effBloom = effectiveBloomCols(fs, r, Nil)
     // layout-preserving rewrite (see deleteWhere): note an UPDATE may
@@ -4111,10 +4429,11 @@ object Lake {
       matched: Seq[LakeMergeMatched] = Nil,
       notMatched: Seq[LakeMergeInsert] = Nil,
       notMatchedBySource: Seq[LakeMergeMatched] = Nil,
-      retain: Int = 1): Long = {
+      retain: Int = -1): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Column
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(on.nonEmpty, "MERGE needs at least one ON equality pair")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -4124,6 +4443,9 @@ object Lake {
       throw new java.util.NoSuchElementException(
         s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
     val snapDirs = manifestDirs(fs, r, cur)
+    // slot pinned before the probe/rewrite jobs — see mergeCommitted
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    afterSlotPin()
     val carried = manifestSchema(fs, r, cur)
     val base = readCommittedAt(spark, root, cur)
     val schema = carried.getOrElse(base.schema)
@@ -4237,7 +4559,6 @@ object Lake {
       val rewritten = keptRewritten.unionByName(inserts)
       // nothing matched, nothing to insert → the table is unchanged
       if (touchedDirs.isEmpty && rewritten.isEmpty) return cur
-      val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
       val effStats = effectiveStatsCols(fs, r, Nil)
       val effBloom = effectiveBloomCols(fs, r, Nil)
       // layout-preserving (see deleteWhere): partitioned tables
@@ -4380,6 +4701,90 @@ object Lake {
       scala.jdk.CollectionConverters.SeqHasAsJava(tuples).asJava, outSchema)
   }
 
+  /** `REORG TABLE … APPLY (PURGE)` (Delta parity): rewrite EXACTLY
+    * the dirs carrying deletion vectors — regardless of size —
+    * materializing the soft-deleted rows away, so the per-read row
+    * filter stops and the `#dv_` position JSON stops being carried in
+    * every subsequent manifest. This is the explicit payoff lever for
+    * DV debt: `compactCommitted(minBytes)` never selects a LARGE dir,
+    * so without REORG a big dir's vector lives forever (the debt is
+    * visible as `dv_dirs`/`dv_rows` in DESCRIBE HISTORY/DETAIL).
+    * `where` scopes the rewrite to DV-carrying dirs the manifest
+    * cannot prove clean of matching rows (the OPTIMIZE WHERE
+    * discipline); vector-free dirs ALWAYS carry by reference. Row
+    * multiset, schema, layout and bucketing are all preserved
+    * (re-staged through stageBatch under the declared partition
+    * columns), and the answer is byte-for-byte unchanged — only the
+    * physical representation pays down. Returns the committed version
+    * (unchanged when no vector is in scope). */
+  def reorgCommitted(spark: SparkSession, root: String,
+      where: Option[org.apache.spark.sql.Column] = None,
+      retain: Int = -1): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val snapDirs = manifestDirs(fs, r, cur)
+    // maintenance OCC: slot pinned before any job (see deleteWhere)
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    afterSlotPin()
+    val dvs = manifestDvsRaw(fs, r, cur)
+    val cmap = manifestColMap(fs, r, cur)
+    // the predicate SHAPE gate runs even on a vector-free table (a
+    // statement that would silently widen must refuse consistently):
+    // an un-prunable predicate scopes NOTHING out and purges every
+    // vector — that is the where-less spelling (OPTIMIZE WHERE rule)
+    val wherePreds = where.map { p =>
+      val preds = extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(p))
+      require(preds.nonEmpty,
+        "REORG WHERE predicate has no prunable conjunct " +
+          "(column-vs-literal =, <, <=, >, >=, IN, IS [NOT] NULL, AND) " +
+          "— omit WHERE to purge every deletion vector")
+      preds
+    }
+    if (dvs.isEmpty) return cur // nothing to purge, version-stable
+    val dvDirs = snapDirs.filter(dvs.contains)
+    val scoped = wherePreds match {
+      case None => dvDirs
+      case Some(preds) =>
+        val (mayMatch, _) = pruneDirsAt(spark, root, cur,
+          predsToPhysical(preds ++ deriveGenPreds(spark, fs, r, cur, preds),
+            cmap))
+        val in = mayMatch.toSet
+        dvDirs.filter(in)
+    }
+    if (scoped.isEmpty) return cur
+    val carried = manifestSchema(fs, r, cur)
+    // DV-aware read: the rewrite MATERIALIZES the vectors (this is
+    // the whole point) and re-stages layout-preserving
+    val base = readDirsWithDv(spark, fs, r, cur, scoped, carried)
+    val effStats = effectiveStatsCols(fs, r, Nil)
+    val effBloom = effectiveBloomCols(fs, r, Nil)
+    val effPart = manifestPartCols(fs, r, cur)
+    val (newDirs, stats, blooms, parts) =
+      stageBatch(spark, fs, r, base, effStats, effBloom, effPart,
+        maintenance = true, bucketBy = manifestBucketBy(fs, r, cur),
+        colMap = cmap)
+    preserveMarkers(fs, r, scoped, newDirs)
+    val kept = snapDirs.filterNot(scoped.toSet)
+    // the purged dirs leave the dirs list, so their `#dv_` lines stop
+    // carrying automatically; unscoped vectors keep theirs. Rows are
+    // unchanged: the DV commit already decremented the count.
+    if (!commitManifest(fs, r, next, kept ++ newDirs, retain, carried,
+        manifestRows(fs, r, cur), stats, effStats,
+        newBlooms = blooms, bloomCols = effBloom, newParts = parts,
+        op = "reorg purge")) {
+      newDirs.foreach(d => fs.delete(new Path(r, d), true))
+      throw new java.util.ConcurrentModificationException(
+        s"REORG on $root lost version $next to a concurrent commit — " +
+          "the purge read a snapshot that is no longer live; re-run " +
+          "against the current table")
+    }
+    next
+  }
+
   /** [[compact]] for a manifest-committed table: collapse the live
     * snapshot (append commits accumulate one dir per batch — the
     * small-files pathology in manifest form: readers pay listing +
@@ -4403,10 +4808,11 @@ object Lake {
     *   two small dirs is a version-stable no-op (collapsing one dir
     *   into one dir moves bytes for nothing). */
   def compactCommitted(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1,
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = -1,
       minBytes: Long = 0L): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(minBytes >= 0, s"minBytes must be >= 0, got $minBytes")
     val fs = fsFor(spark, root)
     val r = new Path(root)
@@ -4499,7 +4905,7 @@ object Lake {
     *   runs: yesterday's fragmented partition rewrites, the cold
     *   history is never read. None = the whole snapshot. */
   def clusterCommitted(spark: SparkSession, root: String, cols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024, retain: Int = 1,
+      targetBytes: Long = 128L * 1024 * 1024, retain: Int = -1,
       where: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -4516,7 +4922,8 @@ object Lake {
     // succeeds).
     require(cols.nonEmpty, "cluster columns must be non-empty")
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(retain >= 0, s"retain must be >= 0, got $retain")
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(

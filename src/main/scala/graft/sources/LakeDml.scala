@@ -559,3 +559,57 @@ case class GraftDropColumnCommand(root: String, names: Seq[String],
     Seq.empty
   }
 }
+
+/** `ALTER TABLE t SET/UNSET TBLPROPERTIES (…)` and
+  * `SHOW TBLPROPERTIES t` on graft-lake CATALOG tables, routed to the
+  * manifest property map ([[Lake.setTableProperties]] /
+  * [[Lake.unsetTableProperties]] / [[Lake.tableProperties]]) instead
+  * of the metastore — the manifest is the single source of truth the
+  * commit engines consult (`graft.retain`, `graft.dvMaxRows`), and a
+  * metastore copy would silently diverge from it under path-based
+  * writers. Same Hints-batch slot as [[GraftLakeConstraintRule]]
+  * (these plans must be intercepted before ResolveSessionCatalog
+  * turns them into v1 metastore commands). Non-lake tables pass
+  * through untouched and keep Spark's standard behavior. */
+class GraftLakePropertiesRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{
+    UnresolvedTable, UnresolvedTableOrView}
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    SetTableProperties, ShowTableProperties, UnsetTableProperties}
+
+  // SET/UNSET parse with UnresolvedTable, SHOW with
+  // UnresolvedTableOrView — resolve a lake root from either
+  private def lakeRootOf(child: LogicalPlan):
+      Option[(String, Option[TableIdentifier])] = child match {
+    case t: UnresolvedTable =>
+      LakeDml.lakeRootByIdent(session, t.multipartIdentifier)
+    case t: UnresolvedTableOrView =>
+      LakeDml.lakeRootByIdent(session, t.multipartIdentifier)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case s @ SetTableProperties(child, props) =>
+        lakeRootOf(child) match {
+          case None => s
+          case Some((root, _)) =>
+            GraftSetPropertiesCommand(
+              GraftMaintTarget(Some(root), None), props)
+        }
+      case u @ UnsetTableProperties(child, keys, ifExists) =>
+        lakeRootOf(child) match {
+          case None => u
+          case Some((root, _)) =>
+            GraftUnsetPropertiesCommand(
+              GraftMaintTarget(Some(root), None), keys, ifExists)
+        }
+      case sh @ ShowTableProperties(child, key, _) =>
+        lakeRootOf(child) match {
+          case None => sh
+          case Some((root, _)) =>
+            GraftShowPropertiesCommand(
+              GraftMaintTarget(Some(root), None), key)
+        }
+    }
+}

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1, c2, …)]
   *   VACUUM <t> [RETAIN <n> HOURS]
   *   RESTORE TABLE <t> TO VERSION AS OF <v>
-  *   DESCRIBE HISTORY <t>
+  *   DESCRIBE HISTORY <t> / DESCRIBE DETAIL <t>
+  *   REORG TABLE <t> [WHERE <pred>] APPLY (PURGE)
+  *   ALTER TABLE '<root>' SET/UNSET TBLPROPERTIES (…)   (path form;
+  *     catalog idents go through the Hints-batch rule instead)
+  *   SHOW TBLPROPERTIES '<root>' [(key)]
   *
   * None of these exist in Spark's grammar, so they are intercepted by
   * a delegating [[ParserInterface]] (the same technique Delta's SQL
@@ -69,6 +73,41 @@ object GraftMaintenanceSql {
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val Reorg =
+    ("""(?is)^\s*REORG\s+(?:TABLE\s+)?""" + T +
+      """(?:\s+WHERE\s+(.*?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+  private val Detail =
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  // TBLPROPERTIES statements intercept ONLY the quoted-'<root>' form
+  // here (not valid Spark grammar anyway); catalog-ident spellings
+  // keep Spark's own parse and route through the Hints-batch rule
+  // (GraftLakePropertiesRule) so standard statements on non-lake
+  // tables keep their standard meaning.
+  private val PathT = """'([^']+)'"""
+  private val SetProps =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathT +
+      """\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""").r
+  private val UnsetProps =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + PathT +
+      """\s+UNSET\s+TBLPROPERTIES\s*(IF\s+EXISTS\s*)?\((.*)\)\s*;?\s*$""").r
+  private val ShowProps =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + PathT +
+      """(?:\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+
+  // one `'k' = 'v'` / `k = v` pair (keys: quoted or dotted idents)
+  private val PropPair =
+    """\s*(?:'([^']*)'|([\w.]+))\s*=\s*(?:'([^']*)'|([^,'][^,]*?))\s*""".r
+  private[sources] def parsePropPairs(s: String): Map[String, String] =
+    s.split(',').iterator.filter(_.trim.nonEmpty).map {
+      case PropPair(kq, k, vq, v) =>
+        (if (kq != null) kq else k) -> (if (vq != null) vq else v.trim)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse TBLPROPERTIES pair `$other` — use k = 'v'")
+    }.toMap
+  private[sources] def parsePropKeys(s: String): Seq[String] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(k => if (k.startsWith("'")) k.stripPrefix("'").stripSuffix("'")
+        else k.stripPrefix("`").stripSuffix("`")).toSeq
 
   private def target(rootLit: String, ident: String): GraftMaintTarget =
     if (rootLit != null) GraftMaintTarget(Some(rootLit), None)
@@ -89,6 +128,21 @@ object GraftMaintenanceSql {
       Some(GraftRestoreCommand(target(rootLit, ident), v.toLong))
     case History(rootLit, ident) =>
       Some(GraftDescribeHistoryCommand(target(rootLit, ident)))
+    case Reorg(rootLit, ident, whereText) =>
+      Some(GraftReorgCommand(target(rootLit, ident),
+        Option(whereText).map(_.trim).filter(_.nonEmpty)))
+    case Detail(rootLit, ident) =>
+      Some(GraftDescribeDetailCommand(target(rootLit, ident)))
+    case SetProps(root, pairs) =>
+      Some(GraftSetPropertiesCommand(GraftMaintTarget(Some(root), None),
+        parsePropPairs(pairs)))
+    case UnsetProps(root, ifExists, keys) =>
+      Some(GraftUnsetPropertiesCommand(GraftMaintTarget(Some(root), None),
+        parsePropKeys(keys), ifExists != null))
+    case ShowProps(root, key) =>
+      Some(GraftShowPropertiesCommand(GraftMaintTarget(Some(root), None),
+        Option(key).map(_.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("`").stripSuffix("`"))))
     case _ => None
   }
 }
@@ -190,9 +244,112 @@ case class GraftDescribeHistoryCommand(t: GraftMaintTarget)
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("row_count", LongType))))
+        org.apache.spark.sql.types.StructField("row_count", LongType),
+        org.apache.spark.sql.types.StructField("dv_dirs",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dv_rows", LongType,
+          nullable = false))))
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = t.resolve(session)
     Lake.describeHistory(session, root).collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row: format, location, live version,
+  * layout, table properties and deletion-vector debt
+  * ([[Lake.describeDetail]]). */
+case class GraftDescribeDetailCommand(t: GraftMaintTarget)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("format",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("location",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("version", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("commit_ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("num_dirs",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("num_files", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("size_bytes", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("row_count", LongType),
+        org.apache.spark.sql.types.StructField("partition_columns",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket_by",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("properties",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("dv_dirs",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("dv_rows", LongType,
+          nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = t.resolve(session)
+    Lake.describeDetail(session, root).collect().toSeq
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES (…)` on a lake root — merge into
+  * the manifest property map ([[Lake.setTableProperties]]). */
+case class GraftSetPropertiesCommand(t: GraftMaintTarget,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    Lake.setTableProperties(session, root, props)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (…)`. */
+case class GraftUnsetPropertiesCommand(t: GraftMaintTarget,
+    keys: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    Lake.unsetTableProperties(session, root, keys, ifExists)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [(key)]` — (key, value) rows from the live
+  * manifest; a named absent key yields zero rows. */
+case class GraftShowPropertiesCommand(t: GraftMaintTarget,
+    key: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = t.resolve(session)
+    val props = Lake.tableProperties(session, root)
+    key match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `REORG TABLE t [WHERE p] APPLY (PURGE)` — rewrite exactly the
+  * deletion-vector-carrying dirs (predicate-scoped like OPTIMIZE
+  * WHERE), materializing vectors away ([[Lake.reorgCommitted]]). */
+case class GraftReorgCommand(t: GraftMaintTarget, whereSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    val v = Lake.reorgCommitted(session, root,
+      where = whereSql.map(org.apache.spark.sql.functions.expr))
+    LakeDml.refresh(session, ident)
+    Seq(Row(v))
   }
 }

@@ -428,7 +428,8 @@ final class GraftLakeProvider extends StreamSourceProvider
 
   private def layoutOpts(parameters: Map[String, String]):
       (Int, Seq[String], Seq[String]) = (
-    parameters.get("retain").map(_.toInt).getOrElse(1),
+    // absent option → -1 → inherit the table's graft.retain property
+    parameters.get("retain").map(_.toInt).getOrElse(-1),
     parameters.get("statsCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
     parameters.get("bloomCols").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
 

@@ -31,7 +31,17 @@ final class MappedParquetFileFormat(
   private def phys(s: StructType): StructType = Lake.physSchema(s, map)
   private def phys(c: String): String = map.getOrElse(c, c)
 
-  private def physFilter(f: sources.Filter): Option[sources.Filter] = f match {
+  /** Translate one pushed filter to physical names. `neg` tracks
+    * POLARITY: in positive position an AND may weaken per-conjunct
+    * (dropping a side only widens the row-group set), but under an
+    * odd number of NOTs the weakened subtree would come back
+    * STRONGER — Not(a) skips row groups Not(And(a, b)) must keep —
+    * so in negative position every child must translate whole or the
+    * subtree drops. Currently every leaf shape below is total, so the
+    * distinction is latent; it goes live the first time Spark grows a
+    * filter shape this match does not know. */
+  private def physFilter(f: sources.Filter,
+      neg: Boolean = false): Option[sources.Filter] = f match {
     case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
     case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(phys(a), v))
     case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
@@ -49,13 +59,16 @@ final class MappedParquetFileFormat(
       Some(sources.StringEndsWith(phys(a), v))
     case sources.StringContains(a, v) =>
       Some(sources.StringContains(phys(a), v))
-    case sources.And(l, r) => (physFilter(l), physFilter(r)) match {
+    case sources.And(l, r) if neg => // negative position: whole or drop
+      for (a <- physFilter(l, neg); b <- physFilter(r, neg))
+        yield sources.And(a, b)
+    case sources.And(l, r) => (physFilter(l, neg), physFilter(r, neg)) match {
       case (Some(a), Some(b)) => Some(sources.And(a, b))
       case (a, b)             => a.orElse(b) // AND weakens per-conjunct
     }
-    case sources.Or(l, r) => for (a <- physFilter(l); b <- physFilter(r))
+    case sources.Or(l, r) => for (a <- physFilter(l, neg); b <- physFilter(r, neg))
       yield sources.Or(a, b) // OR only survives whole
-    case sources.Not(c) => physFilter(c).map(sources.Not(_))
+    case sources.Not(c) => physFilter(c, !neg).map(sources.Not(_))
     case sources.AlwaysTrue() | sources.AlwaysFalse() => Some(f)
     case _ => None // unknown shape: drop, never mistranslate
   }
@@ -66,7 +79,7 @@ final class MappedParquetFileFormat(
       filters: Seq[sources.Filter], options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] =
     super.buildReaderWithPartitionValues(sparkSession, phys(dataSchema),
-      partitionSchema, phys(requiredSchema), filters.flatMap(physFilter),
+      partitionSchema, phys(requiredSchema), filters.flatMap(physFilter(_)),
       options, hadoopConf)
 
   // distinct maps must never compare equal (plan canonicalization /

@@ -363,4 +363,84 @@ class LakeDvSpec extends SparkSpec {
     assert(Lake.readCommitted(spark, root).count() === 27L)
     spark.sql("DROP TABLE dv_sql")
   }
+
+  test("REORG APPLY (PURGE): vectors materialize away regardless of dir size, answer unchanged") {
+    val root = tmpTable("graft-dv-reorg")
+    // three append dirs; sizes irrelevant — compactCommitted(minBytes)
+    // would never select a LARGE one, REORG selects by VECTOR
+    (0 until 3).foreach { b =>
+      Lake.commitAppend(
+        (1L to 40L).map(i => (b * 100L + i, i * 1.5)).toDF("k", "v"),
+        root, retain = 8, statsCols = Seq("k"))
+      ()
+    }
+    // sparse deletes land vectors on dirs 0 and 2 (k-ranges disjoint)
+    Lake.deleteWhere(spark, root, col("k") === 5L, retain = 8)   // dir 0
+    Lake.deleteWhere(spark, root, col("k") === 205L, retain = 8) // dir 2
+    val vDel = Lake.currentVersion(spark, root).get
+    assert(dvLines(root, vDel).size === 2)
+    val before = Lake.readCommitted(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val dirsBefore = liveDirs(root)
+    // WHERE-scoped purge: only the dir whose range may match rewrites;
+    // the other KEEPS its vector (and its bytes, by reference)
+    val v1 = Lake.reorgCommitted(spark, root,
+      where = Some(col("k") < 100L), retain = 8)
+    assert(v1 === vDel + 1)
+    assert(dvLines(root, v1).size === 1)
+    val dirsAfterScoped = liveDirs(root)
+    assert((dirsBefore -- dirsAfterScoped).size === 1, "exactly one dir purged")
+    assert(Lake.readCommitted(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === before)
+    // unscoped purge pays the rest; a vector-free table is a no-op
+    val v2 = Lake.reorgCommitted(spark, root, retain = 8)
+    assert(dvLines(root, v2).isEmpty)
+    assert(Lake.reorgCommitted(spark, root) === v2) // version-stable
+    assert(Lake.readCommitted(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet === before)
+    // the DV debt columns in DESCRIBE HISTORY track the payoff
+    val hist = Lake.describeHistory(spark, root)
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getInt(5), r.getLong(6)))
+    assert(hist.find(_._1 == vDel).get._2 === 2)
+    assert(hist.find(_._1 == v2).get._2 === 0)
+    // an un-prunable WHERE refuses instead of silently purging all
+    intercept[IllegalArgumentException] {
+      Lake.reorgCommitted(spark, root, where = Some(col("k") + 1 > 0))
+    }
+  }
+
+  test("REORG SQL spelling + layout preservation + OCC refusal") {
+    val root = tmpTable("graft-dv-reorg-sql")
+    val rows = (1L to 120L).map(i => (i, (i % 4).toString, i * 2.0))
+    Lake.commitOverwrite(rows.toDF("k", "part", "v"), root, retain = 8,
+      partitionBy = Seq("part"), statsCols = Seq("k"))
+    Lake.deleteWhere(spark, root, col("k") === 7L, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS reorg_sql")
+    spark.sql(s"CREATE TABLE reorg_sql USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      // OCC: an interloper append inside REORG's pin->publish window
+      Lake.afterSlotPin = () => {
+        Lake.afterSlotPin = () => ()
+        Lake.commitAppend(Seq((999L, "3", 1.0)).toDF("k", "part", "v"),
+          root, retain = 8)
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.reorgCommitted(spark, root)
+      }
+      assert(Lake.readCommitted(spark, root).count() === 120L) // 119 live + 999
+      // SQL spelling purges; partition layout survives (pruning intact)
+      val v = spark.sql("REORG TABLE reorg_sql APPLY (PURGE)")
+        .collect().head.getLong(0)
+      assert(dvLines(root, v).isEmpty)
+      assert(Lake.readCommitted(spark, root).count() === 120L)
+      assert(Lake.partitionValues(spark, root).count() === 4L)
+      val (_, skipped, _) = Lake.resolveWhere(spark, root, col("part") === "2")
+      assert(skipped.nonEmpty, "partition pruning must survive the purge")
+    } finally {
+      Lake.afterSlotPin = () => ()
+      spark.sql("DROP TABLE IF EXISTS reorg_sql")
+    }
+  }
 }

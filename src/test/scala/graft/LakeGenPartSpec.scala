@@ -157,6 +157,70 @@ class LakeGenPartSpec extends SparkSpec {
     spark.sql("DROP TABLE genpart_ctas")
   }
 
+  test("derivation safety: a non-NULL-preserving expression never derives IS NULL") {
+    val root = tmpTable("graft-genpart-nullsafe")
+    // coalesce(x, -1) is NOT NULL-preserving: the x-IS-NULL rows live
+    // in the b = -1 dir, which `b IS NULL` derivation would wrongly
+    // prune (there is no NULL dir at all) — SELECT/DELETE would
+    // silently miss every NULL-source row
+    val rows = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, None), (4L, None))
+      .toDF("id", "x")
+    Lake.commitOverwrite(rows, root, retain = 8, partitionBy = Seq("b"),
+      generatedColumns = Map("b" -> "coalesce(x, -1)"))
+    assert(Lake.readCommittedWhere(spark, root, col("x").isNull)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // deleteWhere classifies through the same derivation — the NULL
+    // rows must actually die, not be skipped as "no dir can match"
+    Lake.deleteWhere(spark, root, col("x").isNull, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 2L)
+    // EQUALITY still derives for coalesce (it is proven deterministic):
+    // x = 5 implies b = coalesce(5, -1) = 5, pruning the other dirs
+    val (_, skipEq, _) = Lake.resolveWhere(spark, root, col("x") === 5L)
+    assert(skipEq.nonEmpty,
+      "deterministic non-whitelist expressions should still derive equality")
+    assert(Lake.readCommittedWhere(spark, root, col("x") === 5L)
+      .count() === 1L)
+  }
+
+  test("derivation safety: a STRING source never derives ranges (lexical != temporal order)") {
+    val root = tmpTable("graft-genpart-strsrc")
+    // ' 2021-03-04' sorts lexically BEFORE '2020-1-5' (space < '2')
+    // but parses to a LATER date: deriving `day <= to_date('2020-1-5')`
+    // from `s < '2020-1-5'` would prune the dir holding the row that
+    // lexically matches
+    val rows = Seq((1L, "2020-1-5"), (2L, " 2021-03-04")).toDF("id", "s")
+    Lake.commitOverwrite(rows, root, retain = 8, partitionBy = Seq("day"),
+      generatedColumns = Map("day" -> "to_date(s)"))
+    val hit = Lake.readCommittedWhere(spark, root, col("s") < "2020-1-5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit === Set(2L),
+      s"lexical s < '2020-1-5' must return the 2021 row, got $hit")
+    // equality on the string source still derives (to_date is
+    // deterministic): one dir remains
+    val (_, skipEq, _) = Lake.resolveWhere(spark, root,
+      col("s") === "2020-1-5")
+    assert(skipEq.size === 1)
+  }
+
+  test("derivation safety: a query-time-anchored expression derives nothing") {
+    val root = tmpTable("graft-genpart-timeanchor")
+    // datediff(current_date(), d) is Catalyst-"deterministic" but
+    // anchored to the evaluating day: deriving equalities from it
+    // would prune with values that drift from the written ones the
+    // day after establishment — so it must derive NOTHING, ever
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2020-01-01")),
+      (2L, java.sql.Date.valueOf("2021-01-01"))).toDF("id", "d")
+    Lake.commitOverwrite(rows, root, retain = 8, partitionBy = Seq("age"),
+      generatedColumns = Map("age" -> "datediff(current_date(), d)"))
+    val (_, skipped, _) = Lake.resolveWhere(spark, root,
+      col("d") === java.sql.Date.valueOf("2020-01-01"))
+    assert(skipped.isEmpty,
+      s"time-anchored generation must not derive pruning, skipped $skipped")
+    assert(Lake.readCommittedWhere(spark, root,
+      col("d") === java.sql.Date.valueOf("2020-01-01")).count() === 1L)
+  }
+
   test("restore across the establishing commit clears the declaration") {
     val root = tmpTable("graft-genpart-restore")
     Lake.commitOverwrite(

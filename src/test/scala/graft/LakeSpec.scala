@@ -1326,6 +1326,94 @@ class LakeSpec extends SparkSpec {
     } finally Lake.beforePublish = () => ()
   }
 
+  test("OCC: FIRST-EVER rename/drop of an identity column racing an append refuses") {
+    val root = tmpTable("graft-lake-occ-idmap")
+    Lake.commitOverwrite(Seq((1L, "a", 1.0)).toDF("k", "t", "v"), root,
+      retain = 8)
+    try {
+      // the rename of a NEVER-renamed column lands inside the append's
+      // stage->commit window. Before round 14 the rebase only checked
+      // columns already non-identity-mapped at staging time, so this
+      // append would COMMIT, mergeSchemas would re-add logical "t",
+      // and the table would carry two logical columns over one
+      // physical name. Now: the staged physical name "t" is claimed by
+      // the concurrent map for a DIFFERENT logical column → refusal.
+      raceOnce { Lake.renameColumn(spark, root, "t", "txt"); () }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.commitAppend(Seq((2L, "b", 2.0)).toDF("k", "t", "v"), root,
+          retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).columns.toSeq ===
+        Seq("k", "txt", "v"))
+      assert(Lake.readCommitted(spark, root).count() === 1L)
+      // re-derived under the new name, the append commits
+      Lake.commitAppend(Seq((2L, "b", 2.0)).toDF("k", "txt", "v"), root,
+        retain = 8)
+      assert(Lake.readCommitted(spark, root).count() === 2L)
+      // same for the FIRST-EVER drop: the staged batch still carries
+      // "v", whose physical name the concurrent drop just retired —
+      // committing would resurrect the dropped column's bytes
+      raceOnce { Lake.dropColumn(spark, root, "v"); () }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.commitAppend(Seq((3L, "c", 3.0)).toDF("k", "txt", "v"), root,
+          retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).columns.toSeq ===
+        Seq("k", "txt"))
+      assert(Lake.readCommitted(spark, root).count() === 2L)
+      // without the dropped column the append commits
+      Lake.commitAppend(Seq((3L, "c")).toDF("k", "txt"), root, retain = 8)
+      assert(Lake.readCommitted(spark, root).count() === 3L)
+    } finally Lake.beforePublish = () => ()
+  }
+
+  test("OCC: DV fast paths lose their pinned slot to a mid-probe commit, loudly") {
+    val root = tmpTable("graft-lake-occ-dv")
+    Lake.commitOverwrite(
+      (1L to 100L).map(i => (i, 0L, i * 2.0)).toDF("k", "ver", "v"),
+      root, retain = 8)
+    def interject(row: (Long, Long, Double)): Unit =
+      Lake.afterSlotPin = () => {
+        Lake.afterSlotPin = () => ()
+        Lake.commitAppend(Seq(row).toDF("k", "ver", "v"), root, retain = 8)
+        ()
+      }
+    try {
+      // an append lands right after deleteWhere pins its slot, during
+      // the hits probe. Before round 14 the DV commit computed its
+      // version AFTER the probe, so it published the pre-append dir
+      // set over the interloper — a silent lost update. Now the
+      // pinned slot is taken and the publish fails loudly.
+      interject((101L, 0L, 202.0))
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.deleteWhere(spark, root, col("k") === 5L, retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).count() === 101L) // nothing lost
+      Lake.deleteWhere(spark, root, col("k") === 5L, retain = 8) // retry lands
+      assert(Lake.readCommitted(spark, root).count() === 100L)
+      // updateWhere, same discipline
+      interject((102L, 0L, 204.0))
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.updateWhere(spark, root, col("k") === 6L,
+          Map("v" -> lit(0.0)), retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).count() === 101L)
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 102L).count() === 1L) // interloper intact
+      // mergeCommitted, same discipline
+      interject((103L, 0L, 206.0))
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.mergeCommitted(spark, root,
+          Seq((7L, 1L, 0.0, false)).toDF("k", "ver", "v", "del"),
+          Seq("k"), "ver", "del", retain = 8)
+      }
+      assert(Lake.readCommitted(spark, root).count() === 102L)
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 7L).select("v").collect().head.getDouble(0)
+        === 14.0) // the merge did NOT half-apply
+    } finally { Lake.afterSlotPin = () => (); Lake.beforePublish = () => () }
+  }
+
   test("OCC: two interleaved appenders both commit, serialized, no lost dirs") {
     import org.apache.hadoop.fs.Path
     val root = tmpTable("graft-lake-occ-app")
