@@ -160,31 +160,60 @@ object GraftExtensions {
     (FunctionIdentifier("graft_changes"),
       new ExpressionInfo("graft.sources.Lake", "graft_changes"),
       { args =>
-        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+        // version numbers are INTEGRAL literals only — a TimestampType
+        // literal is a Long internally (micros) and must NOT read as a
+        // version number
         def longOf(e: Expression): Option[Long] = e match {
-          case Literal(v: java.lang.Integer, _) => Some(v.toLong)
-          case Literal(v: java.lang.Long, _)    => Some(v)
-          case _                                 => None
+          case Literal(v: java.lang.Integer, IntegerType) => Some(v.toLong)
+          case Literal(v: java.lang.Long, LongType)       => Some(v)
+          case _                                           => None
         }
         def strOf(e: Expression): Option[String] = e match {
-          case Literal(s, org.apache.spark.sql.types.StringType)
-              if s != null => Some(s.toString)
+          case Literal(s, StringType) if s != null => Some(s.toString)
           case _ => None
         }
+        // a boundary is a VERSION (int/long literal) or an INSTANT
+        // (timestamp literal, or a string parsed as a timestamp in
+        // the session zone) resolved via versionAsOf — Delta's
+        // table_changes accepts exactly this mix
+        def boundOf(e: Expression, root: String): Option[Long] =
+          longOf(e).orElse {
+            val micros = e match {
+              case Literal(v: java.lang.Long, TimestampType) => Some(v.longValue)
+              case Literal(s, StringType) if s != null =>
+                val spark = SparkSession.active
+                val tz = spark.sessionState.conf.sessionLocalTimeZone
+                Cast(Literal(s.toString), TimestampType, Some(tz)).eval() match {
+                  case l: java.lang.Long => Some(l.longValue)
+                  case _ => throw new IllegalArgumentException(
+                    s"graft_changes boundary '${s.toString}' does not parse " +
+                      "as a timestamp — pass a version number or an instant")
+                }
+              case _ => None
+            }
+            micros.map(m =>
+              graft.sources.Lake.versionAsOf(SparkSession.active, root, m))
+          }
         args match {
           case Seq(a, b, c, d) =>
             (for {
-              root <- strOf(a); from <- longOf(b)
-              to <- longOf(c); keys <- strOf(d)
+              root <- strOf(a)
+              keys <- strOf(d)
+              from <- boundOf(b, root)
+              to <- boundOf(c, root)
             } yield graft.sources.Lake.changesBetween(SparkSession.active,
               root, from, to,
               keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .queryExecution.analyzed)
               .getOrElse(wrongArgs("graft_changes",
-                "4 (root string, from version, to version, key-columns csv)",
+                "4 (root string, from version|instant, to version|instant, " +
+                  "key-columns csv)",
                 args.length))
           case _ => wrongArgs("graft_changes",
-            "4 (root string, from version, to version, key-columns csv)",
+            "4 (root string, from version|instant, to version|instant, " +
+              "key-columns csv)",
             args.length)
         }
       }))

@@ -1601,6 +1601,126 @@ object Lakehouse {
         .withColumn("dv_debt_paid", lit(paid))
     },
 
+    // NESTED FIELDS through column mapping under the oracle hash —
+    // struct-heavy event schemas are the second most common shape,
+    // and a rename must stay metadata-only for them too: the events
+    // feed commits with a STRUCT column, `RENAME COLUMN meta TO m`
+    // re-points the container (dirs byte-identical, proof column),
+    // a second generation appends under the NEW name, and the final
+    // read filters on the NESTED field across both generations. The
+    // `nested_pushdown` proof column reads the executed scan's
+    // PushedFilters for the nested path — if nested predicate
+    // pushdown ever stopped reaching the mapped scan, it flips FALSE
+    // and the hash breaks (the logical→physical path translation
+    // below the scan is unit-pinned in LakeColMapSpec).
+    Q("q176_nested_predicate",
+      """SELECT event_id, user_id, event_type AS etype,
+        |  CAST(value AS DOUBLE) AS v,
+        |  TRUE AS rename_metadata_only, TRUE AS nested_pushdown
+        |FROM events
+        |WHERE event_type = 'click' AND value > 0.5
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_nested", d)
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        struct(col("event_type").as("etype"),
+          col("value").cast("double").as("v")).as("meta"))
+      val maxId = ev.agg(max(col("event_id"))).collect().head.getLong(0)
+      Lake.commitOverwrite(ev.where(col("event_id") <= maxId / 2), root,
+        retain = 8, statsCols = Seq("event_id"))
+      val preDirs = Lake.resolve(s, root).toSet
+      Lake.renameColumn(s, root, "meta", "m")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      Lake.commitAppend(
+        ev.where(col("event_id") > maxId / 2).withColumnRenamed("meta", "m"),
+        root, retain = 8)
+      val out = Lake.readCommitted(s, root)
+        .where(col("m.etype") === "click" && col("m.v") > 0.5)
+        .select(col("event_id"), col("user_id"),
+          col("m.etype").as("etype"), col("m.v").as("v"))
+        .orderBy("event_id")
+      out.collect() // materialize so the executed plan exists
+      val pushed = lakeScansOf(out.queryExecution.executedPlan)
+        .flatMap(_.metadata.get("PushedFilters")).mkString
+      out.withColumn("rename_metadata_only", lit(metadataOnly))
+        .withColumn("nested_pushdown", lit(pushed.contains("m.etype")))
+    },
+
+    // IDENTITY COLUMNS under the oracle hash — GENERATED ALWAYS AS
+    // IDENTITY as manifest state (the reference's `id SERIAL PRIMARY
+    // KEY`, dags/sql/news.sql:2, at lake scale): three batches commit
+    // WITHOUT the key column and the allocator hands each a
+    // contiguous block, advancing the high-water mark atomically with
+    // the rows. Ids are assignment-order-free, so the hash pins the
+    // INVARIANTS instead of raw values: per-batch count, min/max
+    // (derived arithmetically by the oracle from batch sizes —
+    // blocks are contiguous AND allocated in commit order), distinct
+    // count, and a gap-free proof column. A duplicated, skipped, or
+    // overlapping id anywhere breaks the hash.
+    Q("q175_identity_column",
+      """WITH c AS MATERIALIZED (
+        |  SELECT CAST(doc_id % 3 AS BIGINT) AS batch,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT batch, n AS n_rows,
+        |  CAST(1 + coalesce(sum(n) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS min_id,
+        |  CAST(coalesce(sum(n) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n
+        |    AS BIGINT) AS max_id,
+        |  n AS n_distinct, TRUE AS gap_free
+        |FROM c ORDER BY batch""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_identity", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3)).as("batch"))
+      Lake.commitOverwrite(docs.where(col("batch") === 0L), root,
+        retain = 8, identity = Some("id"))
+      Lake.commitAppend(docs.where(col("batch") === 1L), root, retain = 8)
+      Lake.commitAppend(docs.where(col("batch") === 2L), root, retain = 8)
+      Lake.readCommitted(s, root).groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"),
+          countDistinct(col("id")).as("n_distinct"))
+        .withColumn("gap_free",
+          col("max_id") - col("min_id") + 1 === col("n_rows") &&
+            col("n_distinct") === col("n_rows"))
+        .orderBy("batch")
+    },
+
+    // TIMESTAMP-BOUNDED CHANGE FEED under the oracle hash — Delta's
+    // `table_changes(t, '<instant>', …)`: consumers know wall-clock
+    // windows, not version numbers, so graft_changes accepts instants
+    // and resolves each to the snapshot LIVE at that moment via the
+    // manifests' own `#ts=` commit instants. The scenario reads the
+    // instants back from DESCRIBE HISTORY (the only public clock the
+    // protocol has) and pulls the feed between the FIRST and LAST
+    // commit instants; rows inserted then deleted INSIDE the window
+    // must net out (the snapshot-diff contract), which the oracle
+    // recomputes arithmetically from the base table.
+    Q("q174_ts_changefeed",
+      """WITH d AS MATERIALIZED (SELECT doc_id FROM documents)
+        |SELECT doc_id, 'insert' AS change_type FROM d
+        |WHERE doc_id % 3 = 1 AND doc_id % 97 <> 4
+        |UNION ALL
+        |SELECT doc_id, 'delete' AS change_type FROM d
+        |WHERE doc_id % 3 = 0 AND doc_id % 97 = 4
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_tsfeed", d)
+      val ids = Tables.documents(s, d).select("doc_id")
+      Lake.commitAppend(ids.where(pmod(col("doc_id"), lit(3)) === 0),
+        root, retain = 8)                                        // v0
+      Thread.sleep(10) // commit instants are millisecond-granular
+      Lake.commitAppend(ids.where(pmod(col("doc_id"), lit(3)) === 1),
+        root, retain = 8)                                        // v1
+      Thread.sleep(10)
+      Lake.deleteWhere(s, root, pmod(col("doc_id"), lit(97)) === 4,
+        retain = 8)                                              // v2
+      val ts = Lake.describeHistory(s, root).orderBy("version")
+        .select("commit_ts").collect().map(_.getTimestamp(0))
+      s.sql(s"SELECT doc_id, change_type FROM graft_changes('$root', " +
+        s"'${ts.head}', '${ts.last}', 'doc_id') ORDER BY doc_id")
+    },
+
     // DURABLE TABLE PROPERTIES under the oracle hash — TBLPROPERTIES
     // as manifest state (Delta parity): `graft.retain` is set ONCE
     // via SQL and then governs three argless appends (the

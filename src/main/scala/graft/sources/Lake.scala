@@ -1019,6 +1019,95 @@ object Lake {
     manifestBody(fs, r, v).find(_.startsWith(GenTzPrefix))
       .map(_.stripPrefix(GenTzPrefix))
 
+  // ---- identity columns (GENERATED ALWAYS AS IDENTITY) -------------
+  //
+  // `#identity=<col>:<next>` declares a writer-materialized surrogate
+  // key (the reference's `id SERIAL PRIMARY KEY`,
+  // /root/reference/dags/sql/news.sql:2, at lake scale): batches MUST
+  // omit the column (GENERATED ALWAYS — an explicit value could
+  // collide with the allocator), each append allocates the contiguous
+  // block [next, next + n) and advances the high-water mark IN THE
+  // SAME manifest write, so the mark and the rows that consumed it
+  // commit atomically. OCC composes: an append that loses its slot to
+  // a concurrent allocator re-reads the mark, RE-STAGES its batch
+  // under the new block, and retries — concurrent appends allocate
+  // disjoint, gap-free-per-commit ranges with no coordinator beyond
+  // the manifest slot itself.
+  private val IdentityPrefix = "#identity="
+
+  private[graft] def manifestIdentity(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[(String, Long)] =
+    manifestBody(fs, r, v).find(_.startsWith(IdentityPrefix)).flatMap { l =>
+      val body = l.stripPrefix(IdentityPrefix)
+      val i = body.lastIndexOf(':')
+      if (i <= 0) None
+      else body.drop(i + 1).toLongOption.map(n => (body.take(i), n))
+    }
+
+  /** The live identity declaration: (column, next value to allocate). */
+  def identityColumn(spark: SparkSession, root: String): Option[(String, Long)] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    committedVersions(fs, r).lastOption.flatMap(v => manifestIdentity(fs, r, v))
+  }
+
+  /** Declaration resolution (the [[effectiveGenParts]] discipline):
+    * `want` on the first declaring commit, inherited afterwards,
+    * divergence refused. */
+  private def effectiveIdentityCol(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, want: Option[String]): Option[String] = {
+    val prev = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v)).map(_._1)
+    want match {
+      case None => prev
+      case Some(c) =>
+        require(c.nonEmpty && !c.exists("=,:\n#".contains(_)),
+          s"identity column name '$c' may not contain '=', ',', ':', '#', or newline")
+        require(prev.isEmpty || prev.contains(c),
+          s"table at $r declares identity column '${prev.get}'; a commit " +
+            s"cannot re-declare it as '$c' — one identity per table")
+        Some(c)
+    }
+  }
+
+  /** Materialize the contiguous id block [start, start + n) into
+    * `idCol` (LongType, gap-free per commit by construction).
+    * `zipWithIndex` is a distributed two-pass (per-partition counts,
+    * then offset map) — O(batch), no single-partition shuffle, the
+    * price of contiguity. Assignment order within the batch is
+    * partition order (arbitrary but valid: identity guarantees
+    * uniqueness + per-commit contiguity, not row affinity). */
+  private def materializeIdentity(df: org.apache.spark.sql.DataFrame,
+      idCol: String, start: Long): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val out = df.schema.add(idCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (start + i)) },
+      out)
+  }
+
+  /** SQL `INSERT INTO t (named, cols)` pads every UNNAMED column with
+    * NULL. For identity/generated columns an all-NULL padded copy
+    * means "omitted" — drop it so the allocator/expression recomputes
+    * (Delta's rule). One aggregate job probes every carried special
+    * column at once; a copy with ANY real value stays (generated
+    * copies then validate row-for-row; identity refuses upstream). */
+  private def dropAllNullSpecials(df: org.apache.spark.sql.DataFrame,
+      gens: Seq[(String, String)], ident: Option[(String, Long)]):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    val carried = (gens.map(_._1) ++ ident.map(_._1).toSeq).distinct
+      .filter(df.columns.contains)
+    if (carried.isEmpty) return df
+    val counts = df.agg(count(col(carried.head)),
+      carried.tail.map(c => count(col(c))): _*).collect().head
+    carried.zipWithIndex
+      .filter { case (_, i) => counts.getLong(i) == 0L }
+      .map(_._1).foldLeft(df)(_.drop(_))
+  }
+
   /** The table's established generated columns: `want` on the first
     * declaring commit, inherited afterwards, divergence refused —
     * a generated column is a TABLE property like the partition
@@ -1826,15 +1915,26 @@ object Lake {
     if (entries.forall(_._2.isEmpty)) None else Some(new DvSet(entries))
   }
 
-  private def dvColumn(dvs: Map[String, String]):
+  private def dvColumn(spark: SparkSession, dvs: Map[String, String]):
       Option[org.apache.spark.sql.Column] = dvEntries(dvs).map { set =>
     import org.apache.spark.sql.functions.{col, substring_index}
     import org.apache.spark.sql.graft.Shim
     val key = substring_index(col("_metadata.file_path"), "/", -2)
     Shim.column(DvApplied()) &&
       !Shim.column(DvContains(Shim.expression(key),
-        Shim.expression(col("_metadata.row_index")), set))
+        Shim.expression(col("_metadata.row_index")), dvCarrier(spark, set)))
   }
+
+  /** Ship threshold: position sets at or above this embed as an
+    * executor BROADCAST instead of riding the serialized plan into
+    * every task closure; below it the plan copy is cheaper than the
+    * broadcast bookkeeping. */
+  private[sources] final val DvBroadcastMinPositions = 4096L
+
+  private[sources] def dvCarrier(spark: SparkSession, set: DvSet): DvCarrier =
+    if (set.totalPositions >= DvBroadcastMinPositions)
+      DvBroadcastRef(spark.sparkContext.broadcast(set))
+    else DvInline(set)
 
   /** The live DV position index of one snapshot for index-planned
     * reads ([[LakeFileIndex.relation]] and [[GraftLakeDvRule]] build
@@ -1863,7 +1963,7 @@ object Lake {
     }
     val want = dirs.toSet
     val dvs = manifestDvsRaw(fs, r, version).filter { case (d, _) => want(d) }
-    val withDv = dvColumn(dvs).map(base.where).getOrElse(base)
+    val withDv = dvColumn(spark, dvs).map(base.where).getOrElse(base)
     schema match {
       case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
       case _ => withDv
@@ -2359,7 +2459,7 @@ object Lake {
     // (paths may be pruned FILE paths — the vector keys by dir
     // basename + file, so the restriction to "whole snapshot" is
     // only ever a no-op lookup, never a wrong row)
-    val withDv = dvColumn(manifestDvsRaw(fs, r, cur))
+    val withDv = dvColumn(spark, manifestDvsRaw(fs, r, cur))
       .map(base.where).getOrElse(base)
     val logical = schemaOpt match {
       case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
@@ -2609,7 +2709,8 @@ object Lake {
       // pre-schema table can be DV-deleted like any other)
       case None =>
         val df = spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
-        dvColumn(manifestDvsRaw(fs, r, version)).map(df.where).getOrElse(df)
+        dvColumn(spark, manifestDvsRaw(fs, r, version))
+          .map(df.where).getOrElse(df)
     }
   }
 
@@ -2875,6 +2976,11 @@ object Lake {
         genParts = Some(manifestGenParts(fs, r, version)),
         genTz = manifestGenTz(fs, r, version),
         partColsReplace = Some(manifestPartCols(fs, r, version)),
+        // table properties and the identity mark restore to the
+        // TARGET's (restored-away rows' ids become reusable exactly
+        // because the rows that consumed them are gone)
+        props = Some(manifestProps(fs, r, version)),
+        identity = Some(manifestIdentity(fs, r, version)),
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +
@@ -2969,6 +3075,24 @@ object Lake {
     * an overwrite dropped is invisible to the diff by construction).
     * MapType columns are refused — Spark cannot compare maps; feed
     * tables carry exploded pairs instead. */
+  /** [[changesBetween]] with WALL-CLOCK boundaries (Delta's
+    * `table_changes(t, '2026-01-01', …)`): each instant resolves to
+    * the snapshot that was LIVE at that moment ([[versionAsOf]] —
+    * latest commit at-or-before, off the manifests' own `#ts=`
+    * lines), so "changes between instant A and instant B" is exactly
+    * the diff of the snapshots a reader saw at A and at B. An instant
+    * before the first retained commit refuses fast, naming the
+    * readable horizon — consumers know wall-clock windows, not
+    * version numbers. */
+  def changesBetweenInstants(spark: SparkSession, root: String,
+      fromTs: java.sql.Timestamp, toTs: java.sql.Timestamp,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(!toTs.before(fromTs), s"fromTs $fromTs must be <= toTs $toTs")
+    val from = versionAsOf(spark, root, fromTs.getTime * 1000L)
+    val to = versionAsOf(spark, root, toTs.getTime * 1000L)
+    changesBetween(spark, root, from, to, keyCols)
+  }
+
   def changesBetween(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -3286,6 +3410,7 @@ object Lake {
       bloomColsReplace: Option[Seq[String]] = None,
       partColsReplace: Option[Seq[String]] = None,
       props: Option[Map[String, String]] = None,
+      identity: Option[Option[(String, Long)]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -3347,6 +3472,11 @@ object Lake {
     // user/table properties inherit; Some(…) replaces (the DDL)
     val effProps = props.getOrElse(
       prevV.map(v => manifestProps(fs, r, v)).getOrElse(Map.empty))
+    // the identity declaration + high-water mark inherit; Some(…)
+    // replaces (allocating commits advance the mark ATOMICALLY with
+    // the rows that consumed it; restore re-points both)
+    val effIdentity = identity.getOrElse(
+      prevV.flatMap(v => manifestIdentity(fs, r, v)))
     // retention is TABLE state (graft.retain) unless this call passed
     // an explicit override — resolved against effProps, so a commit
     // that SETS the property is already governed by it
@@ -3397,6 +3527,7 @@ object Lake {
       effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
       (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
       effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
+      effIdentity.map { case (c, n) => IdentityPrefix + c + ":" + n } ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -3409,6 +3540,70 @@ object Lake {
       return false
     pruneRetention(fs, r, retainEff)
     true
+  }
+
+  /** Layout-only maintenance OCC rebase (Delta's disjoint-file
+    * conflict rule): a compaction / z-order / REORG purge that lost
+    * its version slot may RETRY on top of the interleaved commits —
+    * instead of discarding a rewrite that may have moved terabytes —
+    * PROVIDED the race never touched what the rewrite read or froze:
+    *
+    *  - every SOURCE dir is still live (an interloper that removed or
+    *    rewrote one superseded rows our output would resurrect);
+    *  - the source dirs' deletion vectors are unchanged (the rewrite
+    *    materialized the vector it READ);
+    *  - the table-level metadata the staged files froze under is
+    *    unchanged (column map / retired names / stat, bloom and
+    *    partition column lists / bucket layout / generated columns).
+    *
+    * Anything else — plain appends above all, but also disjoint
+    * maintenance — composes: the retry publishes (current live dirs −
+    * source dirs) + the rewrite's output, under the CURRENT schema
+    * and row count (an interloping append may have evolved/extended
+    * both; the rewrite is row-preserving so they stay exact).
+    * @return (next slot, current live dirs, current schema, rows) */
+  private def maintenanceRebase(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, root: String, baseV: Long, srcDirs: Set[String],
+      what: String):
+      (Long, Seq[String], Option[org.apache.spark.sql.types.StructType],
+        Option[Long]) = {
+    def cme(msg: String) =
+      new java.util.ConcurrentModificationException(s"$what of $root $msg")
+    try {
+      val curV = committedVersions(fs, r).maxOption.getOrElse(
+        throw cme("raced the table's last manifest away mid-commit"))
+      val live = manifestDirs(fs, r, curV)
+      val missing = srcDirs -- live.toSet
+      if (missing.nonEmpty) throw cme(
+        "raced a commit that removed or rewrote its source dirs " +
+          missing.toSeq.sorted.mkString("[", ", ", "]") +
+          " — retrying would resurrect superseded rows; re-run against " +
+          "the current table")
+      def srcDvs(v: Long) = manifestDvsRaw(fs, r, v)
+        .view.filterKeys(srcDirs).toMap
+      if (srcDvs(curV) != srcDvs(baseV)) throw cme(
+        "raced a deletion-vector commit on its source dirs — the " +
+          "rewrite materialized a vector that is no longer current; " +
+          "re-run against the current table")
+      val metaSame =
+        manifestColMap(fs, r, curV) == manifestColMap(fs, r, baseV) &&
+          manifestRetired(fs, r, curV) == manifestRetired(fs, r, baseV) &&
+          manifestStatsCols(fs, r, curV) == manifestStatsCols(fs, r, baseV) &&
+          manifestBloomCols(fs, r, curV) == manifestBloomCols(fs, r, baseV) &&
+          manifestPartCols(fs, r, curV) == manifestPartCols(fs, r, baseV) &&
+          manifestBucketBy(fs, r, curV) == manifestBucketBy(fs, r, baseV) &&
+          manifestGenParts(fs, r, curV) == manifestGenParts(fs, r, baseV)
+      if (!metaSame) throw cme(
+        "raced a metadata commit (mapping/layout DDL) — the staged " +
+          "files froze under the previous metadata; re-run against the " +
+          "current table")
+      (curV + 1, live, manifestSchema(fs, r, curV), manifestRows(fs, r, curV))
+    } catch {
+      case _: java.io.FileNotFoundException => throw cme(
+        "raced a retention prune past its base snapshot — the " +
+          "interleaving cannot be proven safe; re-run against the " +
+          "current table (or commit with a larger `retain`)")
+    }
   }
 
   /** The retention prune every commit runs: keep the live snapshot
@@ -3528,13 +3723,50 @@ object Lake {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      generatedColumns: Map[String, String] = Map.empty): Long = {
+      generatedColumns: Map[String, String] = Map.empty,
+      identity: Option[String] = None): Long = {
     require(retain >= -1,
       s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val effGen = effectiveGenParts(fs, r, generatedColumns)
+    // IDENTITY: materialize FIRST (a generated/partition column may
+    // derive from the key). An establishing batch may SEED the
+    // sequence with its own unique values; afterwards the column is
+    // GENERATED ALWAYS — batches omit it, the allocator owns it.
+    val effIdCol = effectiveIdentityCol(fs, r, identity)
+    val prevHwm = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
+    val effGen0 = effectiveGenParts(fs, r, generatedColumns)
+    // SQL INSERT OVERWRITE pads unnamed columns with NULL: an
+    // all-NULL identity/generated copy means omitted (see
+    // dropAllNullSpecials) — only an ESTABLISHING seed carries real
+    // identity values past this point
+    val dfPre = dropAllNullSpecials(df0, effGen0,
+      effIdCol.map(c => (c, prevHwm.getOrElse(1L))))
+    val (dfId, idNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
+      effIdCol match {
+        case None => (dfPre, None)
+        case Some(c) if dfPre.columns.contains(c) =>
+          require(prevHwm.isEmpty,
+            s"identity column '$c' is GENERATED ALWAYS — the batch must " +
+              "omit it (an explicit value could collide with the allocator); " +
+              "only the ESTABLISHING commit may seed existing keys")
+          import org.apache.spark.sql.functions.{count, countDistinct, lit, max => fmax}
+          val a = dfPre.agg(count(lit(1)), count(org.apache.spark.sql.functions.col(c)),
+            countDistinct(org.apache.spark.sql.functions.col(c)),
+            fmax(org.apache.spark.sql.functions.col(c).cast("long"))).collect().head
+          require(a.getLong(0) == a.getLong(1) && a.getLong(1) == a.getLong(2),
+            s"seeding identity column '$c' requires unique non-NULL values " +
+              s"(${a.getLong(0)} rows, ${a.getLong(1)} non-null, " +
+              s"${a.getLong(2)} distinct)")
+          (dfPre, Some(if (a.isNullAt(3)) 1L else a.getLong(3) + 1L))
+        case Some(c) =>
+          val start = prevHwm.getOrElse(1L)
+          val n = dfPre.count()
+          (materializeIdentity(dfPre, c, start), Some(start + n))
+      }
+    val effGen = effGen0
     // the evaluation zone is pinned at ESTABLISHMENT — later commits
     // inherit it (a different writer session must not re-date it)
     val genTzEst =
@@ -3542,7 +3774,7 @@ object Lake {
           .forall(v => manifestGenParts(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
-    val df = materializeGenerated(df0, effGen)
+    val df = materializeGenerated(dfId, effGen)
     // user column args name LOGICAL columns; the property lines (and
     // stageBatch's view of the batch) are physical. An overwrite keeps
     // the surviving columns' physical names (its fresh files must
@@ -3578,6 +3810,7 @@ object Lake {
         newParts = parts, partCols = effPart, bucketBy = effBucket,
         colMap = Some(newMap),
         genParts = Some(effGen), genTz = genTzEst,
+        identity = effIdCol.map(c => Some((c, idNext.getOrElse(1L)))),
         op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
@@ -3624,7 +3857,31 @@ object Lake {
           .forall(v => manifestGenParts(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
-    val df = materializeGenerated(df0, effGen)
+    // IDENTITY: a declared table allocates [mark, mark + n) here and
+    // advances the mark in the SAME manifest write; the batch must
+    // omit the column (GENERATED ALWAYS)
+    val effId = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v))
+    // SQL `INSERT INTO t (named, cols)` pads every unnamed column
+    // with NULL — an all-NULL identity/generated column therefore
+    // means OMITTED (recompute/allocate, Delta's rule), while any
+    // non-NULL identity value refuses (GENERATED ALWAYS). One probe
+    // job covers all such columns the batch carries.
+    val dfDropped = dropAllNullSpecials(df0, effGen, effId)
+    effId.foreach { case (c, _) =>
+      require(!dfDropped.columns.contains(c),
+        s"identity column '$c' is GENERATED ALWAYS — the append batch " +
+          "must omit it (keys allocate atomically at commit)")
+    }
+    val dfIn = dfDropped
+    var idStart: Long = effId.map(_._2).getOrElse(0L)
+    val idN: Long = if (effId.isDefined) dfIn.count() else 0L
+    def withIds(start: Long): org.apache.spark.sql.DataFrame = effId match {
+      case Some((c, _)) =>
+        materializeGenerated(materializeIdentity(dfIn, c, start), effGen)
+      case None => materializeGenerated(dfIn, effGen)
+    }
+    val df = withIds(idStart)
     // user column args name LOGICAL columns; property lines are
     // physical — and a batch adding NEW columns allocates them
     // physical names that can never collide with a mapped or retired
@@ -3656,7 +3913,7 @@ object Lake {
       bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, newMap)) })
     validateChecks(fs, r, df, "append", effGen)
     // O(batch): stats only for the new dirs; reused dirs' lines carry
-    val (staged, stats, blooms, parts) =
+    var (staged, stats, blooms, parts) =
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
         bucketBy = effBucket, colMap = newMap)
     def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
@@ -3739,6 +3996,21 @@ object Lake {
             "mapping while this append was staging — re-derive the batch " +
             "against the current table and retry")
       }
+      // IDENTITY rebase: a concurrent allocator advanced the mark
+      // past the block this batch staged under — the staged ids would
+      // collide, so RE-STAGE the same rows under the new block (only
+      // the key column moves; this is what makes concurrent appends
+      // to an identity table allocate disjoint ranges instead of
+      // refusing)
+      val curMark = cur.flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
+      if (effId.isDefined && curMark.exists(_ != idStart)) {
+        dropStaged()
+        idStart = curMark.get
+        val restaged = stageBatch(spark, fs, r, withIds(idStart),
+          effStats, effBloom, effPart, bucketBy = effBucket, colMap = newMap)
+        staged = restaged._1; stats = restaged._2
+        blooms = restaged._3; parts = restaged._4
+      }
       // number allocation vs committedVersions (see commitOverwrite);
       // the snapshot to extend is the LIVE one
       val next = cur.map(_ + 1).getOrElse(0L)
@@ -3766,6 +4038,7 @@ object Lake {
           newParts = parts, partCols = effPart,
           colMap = Some(mergedMap),
           genParts = Some(effGen), genTz = genTzEst,
+          identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
           op = op))
         return next
       // lost the slot: a concurrent writer committed `next` first.
@@ -4270,6 +4543,11 @@ object Lake {
     set.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"SET column '$c' is not in the table schema " +
         schema.fieldNames.mkString("[", ", ", "]")))
+    manifestIdentity(fs, r, cur).foreach { case (idCol, _) =>
+      require(!set.contains(idCol),
+        s"identity column '$idCol' is GENERATED ALWAYS — UPDATE cannot " +
+          "assign it (keys are allocator-owned)")
+    }
     // user predicates name LOGICAL columns; per-dir lines are physical
     val cmap = manifestColMap(fs, r, cur)
     val updPreds0 =
@@ -4768,21 +5046,38 @@ object Lake {
         maintenance = true, bucketBy = manifestBucketBy(fs, r, cur),
         colMap = cmap)
     preserveMarkers(fs, r, scoped, newDirs)
-    val kept = snapDirs.filterNot(scoped.toSet)
     // the purged dirs leave the dirs list, so their `#dv_` lines stop
     // carrying automatically; unscoped vectors keep theirs. Rows are
-    // unchanged: the DV commit already decremented the count.
-    if (!commitManifest(fs, r, next, kept ++ newDirs, retain, carried,
-        manifestRows(fs, r, cur), stats, effStats,
+    // unchanged: the DV commit already decremented the count. Slot
+    // loss rebases across disjoint interlopers (maintenanceRebase).
+    val srcSet = scoped.toSet
+    var nextV = next
+    var pubDirs = snapDirs.filterNot(srcSet)
+    var pubSchema = carried
+    var pubRows = manifestRows(fs, r, cur)
+    var attempt = 0
+    while (!commitManifest(fs, r, nextV, pubDirs ++ newDirs, retain,
+        pubSchema, pubRows, stats, effStats,
         newBlooms = blooms, bloomCols = effBloom, newParts = parts,
         op = "reorg purge")) {
-      newDirs.foreach(d => fs.delete(new Path(r, d), true))
-      throw new java.util.ConcurrentModificationException(
-        s"REORG on $root lost version $next to a concurrent commit — " +
-          "the purge read a snapshot that is no longer live; re-run " +
-          "against the current table")
+      attempt += 1
+      val rb =
+        try maintenanceRebase(fs, r, root, cur, srcSet, "REORG purge")
+        catch { case t: Throwable =>
+          newDirs.foreach(d => fs.delete(new Path(r, d), true)); throw t
+        }
+      if (attempt >= 100) {
+        newDirs.foreach(d => fs.delete(new Path(r, d), true))
+        throw new java.util.ConcurrentModificationException(
+          s"REORG on $root lost $attempt consecutive commit races — " +
+            "pathological contention; back off and retry")
+      }
+      nextV = rb._1
+      pubDirs = rb._2.filterNot(srcSet)
+      pubSchema = rb._3.orElse(pubSchema)
+      pubRows = rb._4
     }
-    next
+    nextV
   }
 
   /** [[compact]] for a manifest-committed table: collapse the live
@@ -4858,19 +5153,39 @@ object Lake {
     preserveMarkers(fs, r, smallDirs, newDirs)
     // compaction is row-preserving: the previous count carries over;
     // the collapsed dirs get fresh stats (footer-pushdown read of
-    // what was just written) and carried dirs keep their lines
-    if (!commitManifest(fs, r, next, carriedDirs ++ newDirs, retain,
-        carried.orElse(Some(df.schema)),
-        manifestRows(fs, r, cur), stats, effStats,
+    // what was just written) and carried dirs keep their lines.
+    // Losing the slot REBASES across disjoint interlopers (appends,
+    // other maintenance) instead of discarding the rewrite — see
+    // maintenanceRebase; only a race that touched the collapsed dirs
+    // (or table metadata) refuses.
+    val srcSet = smallDirs.toSet
+    var nextV = next
+    var pubDirs = carriedDirs
+    var pubSchema = carried.orElse(Some(df.schema))
+    var pubRows = manifestRows(fs, r, cur)
+    var attempt = 0
+    while (!commitManifest(fs, r, nextV, pubDirs ++ newDirs, retain,
+        pubSchema, pubRows, stats, effStats,
         newBlooms = blooms, bloomCols = effBloom,
         newParts = parts, op = "compact")) {
-      newDirs.foreach(d => fs.delete(new Path(r, d), true))
-      throw new java.util.ConcurrentModificationException(
-        s"compaction of $root lost version $next to a concurrent commit — " +
-          "the collapsed snapshot is no longer live; re-run against the " +
-          "current table")
+      attempt += 1
+      val rb =
+        try maintenanceRebase(fs, r, root, cur, srcSet, "compaction")
+        catch { case t: Throwable =>
+          newDirs.foreach(d => fs.delete(new Path(r, d), true)); throw t
+        }
+      if (attempt >= 100) {
+        newDirs.foreach(d => fs.delete(new Path(r, d), true))
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $root lost $attempt consecutive commit races — " +
+            "pathological contention; back off and retry")
+      }
+      nextV = rb._1
+      pubDirs = rb._2.filterNot(srcSet)
+      pubSchema = rb._3.orElse(pubSchema)
+      pubRows = rb._4
     }
-    next
+    nextV
   }
 
   /** CLUSTER the live snapshot for data skipping: rewrite it into one
@@ -5098,18 +5413,37 @@ object Lake {
             pls.result())
         }
       preserveMarkers(fs, r, rewriteDirs, newDirs)
-      if (!commitManifest(fs, r, next, carriedDirs ++ newDirs, retain,
-          Some(logicalSchema), manifestRows(fs, r, cur),
-          dirStats, effStats, fileStats,
+      // slot loss rebases across disjoint interlopers instead of
+      // discarding the clustered rewrite — see maintenanceRebase
+      val srcSet = rewriteDirs.toSet
+      var nextV = next
+      var pubDirs = carriedDirs
+      var pubSchema: Option[org.apache.spark.sql.types.StructType] =
+        Some(logicalSchema)
+      var pubRows = manifestRows(fs, r, cur)
+      var attempt = 0
+      while (!commitManifest(fs, r, nextV, pubDirs ++ newDirs, retain,
+          pubSchema, pubRows, dirStats, effStats, fileStats,
           newBlooms = blooms, bloomCols = effBloom,
           newParts = parts, op = "zorder")) {
-        newDirs.foreach(d => fs.delete(new Path(r, d), true))
-        throw new java.util.ConcurrentModificationException(
-          s"clustering of $root lost version $next to a concurrent commit — " +
-            "the clustered snapshot is no longer live; re-run against the " +
-            "current table")
+        attempt += 1
+        val rb =
+          try maintenanceRebase(fs, r, root, cur, srcSet, "clustering")
+          catch { case t: Throwable =>
+            newDirs.foreach(d => fs.delete(new Path(r, d), true)); throw t
+          }
+        if (attempt >= 100) {
+          newDirs.foreach(d => fs.delete(new Path(r, d), true))
+          throw new java.util.ConcurrentModificationException(
+            s"clustering of $root lost $attempt consecutive commit races — " +
+              "pathological contention; back off and retry")
+        }
+        nextV = rb._1
+        pubDirs = rb._2.filterNot(srcSet)
+        pubSchema = rb._3.orElse(pubSchema)
+        pubRows = rb._4
       }
-      next
+      nextV
     } catch {
       case t: Throwable if !t.isInstanceOf[java.util.ConcurrentModificationException] =>
         staged.foreach(d => scala.util.Try(fs.delete(new Path(r, d), true)))

@@ -60,33 +60,54 @@ final class DvSet(val entries: Map[String, Array[Long]]) extends Serializable {
   def totalPositions: Long = entries.valuesIterator.map(_.length.toLong).sum
 }
 
+/** How the position index ships to tasks. A SMALL set embeds in the
+  * serialized plan (zero indirection, no broadcast bookkeeping); a
+  * LARGE one rides an executor BROADCAST — the plan then carries only
+  * a handle, so raising `dvMaxRows` toward Delta's ~2%-cardinality
+  * guidance stops shipping megabytes of positions in every task
+  * closure (each executor fetches the set once). The threshold lives
+  * at [[Lake.dvCarrier]]. */
+sealed trait DvCarrier extends Serializable { def set: DvSet }
+final case class DvInline(set: DvSet) extends DvCarrier
+final case class DvBroadcastRef(
+    bc: org.apache.spark.broadcast.Broadcast[DvSet]) extends DvCarrier {
+  @transient override lazy val set: DvSet = bc.value
+}
+
 /** `dv.contains(<dir>/<file>, row_index)` as a codegen'd predicate.
   * Never NULL: a NULL input (impossible for `_metadata` fields, but
   * stated) reads as not-deleted — conservative in the enclosing
   * `NOT DvContains(…)` read filter only because deletes are re-checked
   * nowhere else; the metadata columns are in practice always set. */
-case class DvContains(fileKey: Expression, pos: Expression, dv: DvSet)
+case class DvContains(fileKey: Expression, pos: Expression, dv: DvCarrier)
     extends Expression {
   override def children: Seq[Expression] = Seq(fileKey, pos)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
 
+  @transient private lazy val localSet: DvSet = dv.set
+
   override def eval(input: InternalRow): Any = {
     val k = fileKey.eval(input)
     val p = pos.eval(input)
     if (k == null || p == null) false
-    else dv.contains(k.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+    else localSet.contains(k.asInstanceOf[UTF8String], p.asInstanceOf[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val dvRef = ctx.addReferenceObj("dvSet", dv, classOf[DvSet].getName)
+    val dvRef = ctx.addReferenceObj("dvCarrier", dv,
+      classOf[DvCarrier].getName)
+    // resolve the carrier ONCE per codegen instance (a broadcast's
+    // value() is a method call; rows pay a plain field read)
+    val dvLocal = ctx.addMutableState(classOf[DvSet].getName, "dvSetLocal",
+      v => s"$v = ((${classOf[DvCarrier].getName}) $dvRef).set();")
     val kEval = fileKey.genCode(ctx)
     val pEval = pos.genCode(ctx)
     ev.copy(code = code"""
       ${kEval.code}
       ${pEval.code}
       boolean ${ev.value} = !${kEval.isNull} && !${pEval.isNull} &&
-        $dvRef.contains(${kEval.value}, ${pEval.value});""",
+        $dvLocal.contains(${kEval.value}, ${pEval.value});""",
       isNull = FalseLiteral)
   }
 
@@ -123,7 +144,7 @@ object DvFilter {
     * idempotence check cannot see through, which recursed. The
     * Project restores the relation's original output (the metadata
     * column serves the filter only). */
-  private[sources] def plan(lr: LogicalRelation, dv: DvSet): LogicalPlan = {
+  private[sources] def plan(lr: LogicalRelation, dv: DvCarrier): LogicalPlan = {
     val withMeta = lr.withMetadataColumns()
     val metaAttr = withMeta.output.find(_.name == "_metadata").getOrElse(
       throw new IllegalStateException(
@@ -166,7 +187,7 @@ class GraftLakeDvRule(session: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h.location match {
         case idx: LakeFileIndex =>
           Lake.dvSetFor(session, idx.root, idx.version) match {
-            case Some(set) => DvFilter.plan(lr, set)
+            case Some(set) => DvFilter.plan(lr, Lake.dvCarrier(session, set))
             case None => lr
           }
         case _ => lr

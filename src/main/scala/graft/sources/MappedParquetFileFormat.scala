@@ -29,7 +29,19 @@ final class MappedParquetFileFormat(
     extends ParquetFileFormat {
 
   private def phys(s: StructType): StructType = Lake.physSchema(s, map)
-  private def phys(c: String): String = map.getOrElse(c, c)
+
+  /** Logical → physical attribute path. Mapping is TOP-LEVEL only (a
+    * rename re-points the container; field names inside a struct
+    * never change — the DDL refuses nested renames), so a NESTED
+    * pushed filter (`m.etype`, Spark's dotted spelling) translates by
+    * mapping its HEAD segment and keeping the tail. An exact-name map
+    * hit wins first, so a top-level column whose name happens to
+    * contain a dot still maps as itself. */
+  private def phys(c: String): String = map.getOrElse(c, {
+    val i = c.indexOf('.')
+    if (i < 0) c
+    else map.get(c.take(i)).map(_ + c.drop(i)).getOrElse(c)
+  })
 
   /** Translate one pushed filter to physical names. `neg` tracks
     * POLARITY: in positive position an AND may weaken per-conjunct
@@ -40,7 +52,7 @@ final class MappedParquetFileFormat(
     * subtree drops. Currently every leaf shape below is total, so the
     * distinction is latent; it goes live the first time Spark grows a
     * filter shape this match does not know. */
-  private def physFilter(f: sources.Filter,
+  private[graft] def physFilter(f: sources.Filter,
       neg: Boolean = false): Option[sources.Filter] = f match {
     case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
     case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(phys(a), v))

@@ -299,4 +299,64 @@ class LakeColMapSpec extends SparkSpec {
     assert(Lake.changesBetween(spark, root, vBefore + 1, vAfter, Seq("id"))
       .count() === 1L)
   }
+
+  test("nested fields: struct column through rename, filtered scan pushes the PHYSICAL path") {
+    val root = tmpTable("graft-colmap-nested")
+    val rows = (1L to 200L).map(i =>
+      (i, (if (i % 3 == 0) "click" else "view", i * 0.01)))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<etype:string,v:double>"))
+    Lake.commitOverwrite(rows, root, retain = 8, statsCols = Seq("id"))
+    val preDirs = liveDirs(root)
+    // rename the STRUCT CONTAINER: metadata-only like any rename
+    Lake.renameColumn(spark, root, "meta", "m")
+    assert(liveDirs(root) === preDirs)
+    // appends under the new logical name stage under the frozen
+    // physical name; both file generations serve one logical column
+    Lake.commitAppend(
+      Seq((201L, ("click", 9.0))).toDF("id", "m")
+        .select(col("id"), col("m").cast("struct<etype:string,v:double>")),
+      root, retain = 8)
+    // a NESTED predicate under the new name answers exactly…
+    val df = Lake.readCommitted(spark, root)
+      .where(col("m.etype") === "click" && col("m.v") > 0.5)
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ((51L to 200L).filter(_ % 3 == 0).toSet + 201L))
+    // …and the scan PUSHES the nested filter at all (the display
+    // shows LOGICAL names; the physical translation happens below,
+    // inside buildReaderWithPartitionValues)…
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("m.etype"),
+      s"nested filter did not reach the scan: $pushed")
+    // …and the TRANSLATION maps the head segment to the physical
+    // container so the parquet reader (which sees file schema `meta`)
+    // keeps row-group skipping — an untranslated `m.etype` would be
+    // silently dropped at filter-conversion time
+    import org.apache.spark.sql.sources
+    val fmt = new graft.sources.MappedParquetFileFormat(Map("m" -> "meta"))
+    assert(fmt.physFilter(sources.EqualTo("m.etype", "click")) ===
+      Some(sources.EqualTo("meta.etype", "click")))
+    assert(fmt.physFilter(sources.GreaterThan("m.v", 0.5)) ===
+      Some(sources.GreaterThan("meta.v", 0.5)))
+    // polarity: under NOT an AND must translate whole — a weakened
+    // subtree would come back STRONGER and skip matching row groups
+    assert(fmt.physFilter(sources.Not(sources.And(
+      sources.EqualTo("m.etype", "click"),
+      sources.AlwaysTrue()))) ===
+      Some(sources.Not(sources.And(
+        sources.EqualTo("meta.etype", "click"), sources.AlwaysTrue()))))
+    // nested DML assignment still refuses loudly (mapping is
+    // top-level; the refusal names the contract)
+    Lake.registerSql(spark, "colmap_nested", root)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE colmap_nested SET m.etype = 'x' WHERE id = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("nested") ||
+      e.getMessage.contains("m.etype"))
+    spark.sql("DROP TABLE IF EXISTS colmap_nested")
+  }
 }

@@ -364,6 +364,52 @@ class LakeDvSpec extends SparkSpec {
     spark.sql("DROP TABLE dv_sql")
   }
 
+  test("DV ship path: large vectors broadcast (bounded plan), small ones embed inline") {
+    import graft.sources.{DvBroadcastRef, DvContains, DvInline}
+    def dvCarrierOf(df: org.apache.spark.sql.DataFrame): Seq[graft.sources.DvCarrier] =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect { case c: DvContains => c.dv }
+      }.flatten
+    // SMALL vector: embeds in the plan, no broadcast bookkeeping
+    val small = tmpTable("graft-dv-inline")
+    Lake.commitOverwrite((1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "v"),
+      small, retain = 8)
+    Lake.deleteWhere(spark, small, col("k") <= 10L, retain = 8)
+    val sc = dvCarrierOf(Lake.readCommitted(spark, small))
+    assert(sc.nonEmpty && sc.forall(_.isInstanceOf[DvInline]))
+    // LARGE vector (>= threshold): ships as an executor broadcast and
+    // the serialized FILTER CONDITION stays bounded — the plan copy
+    // every task receives carries a handle, not the position set
+    val big = tmpTable("graft-dv-bcast")
+    Lake.commitOverwrite((1L to 60000L).map(i => (i, i * 2.0)).toDF("k", "v"),
+      big, retain = 8)
+    Lake.deleteWhere(spark, big, col("k") % 3L === 0L, retain = 8,
+      dvMaxRows = 30000L) // 20k positions soft-delete
+    val read = Lake.readCommitted(spark, big)
+    assert(read.count() === 40000L)
+    assert(read.where(col("k") === 9L).isEmpty)
+    val bc = dvCarrierOf(read)
+    assert(bc.nonEmpty && bc.forall(_.isInstanceOf[DvBroadcastRef]))
+    val cond = read.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.head
+    val bytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(cond); oo.close(); bo.size()
+    }
+    assert(bytes < 64 * 1024,
+      s"serialized DV filter is $bytes bytes — the position set " +
+        "is riding the plan instead of the broadcast")
+    // the SQL catalog path broadcasts identically
+    spark.sql("DROP TABLE IF EXISTS dv_bcast")
+    spark.sql(s"CREATE TABLE dv_bcast USING `graft-lake` OPTIONS (root '$big')")
+    assert(spark.sql("SELECT count(*) AS n FROM dv_bcast").collect()
+      .head.getLong(0) === 40000L)
+    spark.sql("DROP TABLE dv_bcast")
+  }
+
   test("REORG APPLY (PURGE): vectors materialize away regardless of dir size, answer unchanged") {
     val root = tmpTable("graft-dv-reorg")
     // three append dirs; sizes irrelevant — compactCommitted(minBytes)
@@ -410,7 +456,7 @@ class LakeDvSpec extends SparkSpec {
     }
   }
 
-  test("REORG SQL spelling + layout preservation + OCC refusal") {
+  test("REORG SQL spelling; append races COMPOSE (disjoint-file rebase); source-dir DV races refuse") {
     val root = tmpTable("graft-dv-reorg-sql")
     val rows = (1L to 120L).map(i => (i, (i % 4).toString, i * 2.0))
     Lake.commitOverwrite(rows.toDF("k", "part", "v"), root, retain = 8,
@@ -419,22 +465,40 @@ class LakeDvSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS reorg_sql")
     spark.sql(s"CREATE TABLE reorg_sql USING `graft-lake` OPTIONS (root '$root')")
     try {
-      // OCC: an interloper append inside REORG's pin->publish window
+      // an APPEND lands inside REORG's pin->publish window: layout-
+      // only + row-preserving + disjoint dirs → the purge REBASES and
+      // BOTH commit (Delta's disjoint-file conflict rule) — a rewrite
+      // that may have moved terabytes is not discarded for one
+      // appendlet
       Lake.afterSlotPin = () => {
         Lake.afterSlotPin = () => ()
         Lake.commitAppend(Seq((999L, "3", 1.0)).toDF("k", "part", "v"),
           root, retain = 8)
         ()
       }
-      intercept[java.util.ConcurrentModificationException] {
-        Lake.reorgCommitted(spark, root)
+      val vr = Lake.reorgCommitted(spark, root, retain = 8)
+      assert(dvLines(root, vr).isEmpty)
+      assert(Lake.readCommitted(spark, root).count() === 120L) // 119 + 999
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 999L).count() === 1L) // interloper kept
+      // but a DV delete landing ON A SOURCE DIR mid-purge refuses:
+      // the rewrite materialized a vector that is no longer current
+      Lake.deleteWhere(spark, root, col("k") === 8L, retain = 8) // part 0
+      Lake.afterSlotPin = () => {
+        Lake.afterSlotPin = () => ()
+        Lake.deleteWhere(spark, root, col("k") === 12L, retain = 8) // part 0 too
+        ()
       }
-      assert(Lake.readCommitted(spark, root).count() === 120L) // 119 live + 999
-      // SQL spelling purges; partition layout survives (pruning intact)
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.reorgCommitted(spark, root, retain = 8)
+      }
+      // the interloper's delete WON and nothing of it was lost
+      assert(Lake.readCommitted(spark, root).count() === 118L)
+      // the re-run purges cleanly; SQL spelling; layout survives
       val v = spark.sql("REORG TABLE reorg_sql APPLY (PURGE)")
         .collect().head.getLong(0)
       assert(dvLines(root, v).isEmpty)
-      assert(Lake.readCommitted(spark, root).count() === 120L)
+      assert(Lake.readCommitted(spark, root).count() === 118L)
       assert(Lake.partitionValues(spark, root).count() === 4L)
       val (_, skipped, _) = Lake.resolveWhere(spark, root, col("part") === "2")
       assert(skipped.nonEmpty, "partition pruning must survive the purge")
@@ -442,5 +506,57 @@ class LakeDvSpec extends SparkSpec {
       Lake.afterSlotPin = () => ()
       spark.sql("DROP TABLE IF EXISTS reorg_sql")
     }
+  }
+
+  test("OPTIMIZE/z-order rebase across an interleaved append: both commit, replay exact") {
+    val root = tmpTable("graft-dv-maintrebase")
+    (0 until 4).foreach { b =>
+      Lake.commitAppend(
+        (1L to 25L).map(i => (b * 100L + i, i * 1.0)).toDF("k", "v"),
+        root, retain = 8, statsCols = Seq("k"))
+      ()
+    }
+    try {
+      // compaction: appender lands in the build->publish window; the
+      // compaction rebases and publishes (its sources + the new dir)
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitAppend(Seq((9001L, 1.0)).toDF("k", "v"), root, retain = 8)
+        ()
+      }
+      val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+        retain = 8)
+      assert(Lake.currentVersion(spark, root) === Some(vc))
+      assert(Lake.readCommitted(spark, root).count() === 101L)
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 9001L).count() === 1L)
+      // replay-by-version ≡ final table: the interloper's version and
+      // the compaction's version BOTH serve exactly their snapshots
+      assert(Lake.readCommittedAt(spark, root, vc - 1).count() === 101L)
+      // z-order: same discipline
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitAppend(Seq((9002L, 2.0)).toDF("k", "v"), root, retain = 8)
+        ()
+      }
+      val vz = Lake.clusterCommitted(spark, root, Seq("k"),
+        targetBytes = 1L << 20, retain = 8)
+      assert(Lake.currentVersion(spark, root) === Some(vz))
+      assert(Lake.readCommitted(spark, root).count() === 102L)
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 9002L).count() === 1L)
+      // a DIR-REMOVING interloper still refuses: an overwrite lands
+      // mid-compaction and the compaction's sources are gone
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitOverwrite(Seq((1L, 1.0)).toDF("k", "v"), root, retain = 8)
+        ()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+          retain = 8)
+      }
+      assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, 1.0)))
+    } finally Lake.beforePublish = () => ()
   }
 }

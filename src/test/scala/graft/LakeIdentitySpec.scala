@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+/** Identity columns (`#identity=<col>:<next>`): GENERATED ALWAYS AS
+  * IDENTITY as manifest state — batches omit the column, each append
+  * allocates a contiguous block and advances the high-water mark in
+  * the same manifest write, and OCC losers re-stage under the new
+  * mark so concurrent appends get disjoint ranges. */
+class LakeIdentitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def ids(root: String): Seq[Long] =
+    Lake.readCommitted(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+
+  test("establishment allocates 1..n; appends continue the sequence; supplying refuses") {
+    val root = tmpTable("graft-id-basic")
+    Lake.commitOverwrite(Seq("a", "b", "c").toDF("t"), root, retain = 8,
+      identity = Some("id"))
+    assert(ids(root) === Seq(1L, 2L, 3L))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 4L)))
+    // the append allocates the NEXT contiguous block
+    Lake.commitAppend(Seq("d", "e").toDF("t"), root, retain = 8)
+    assert(ids(root) === (1L to 5L))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 6L)))
+    // GENERATED ALWAYS: a batch carrying the column refuses
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((99L, "x")).toDF("id", "t"), root, retain = 8)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // UPDATE cannot assign it either
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.updateWhere(spark, root, col("t") === "a",
+        Map("id" -> lit(77L)), retain = 8)
+    }
+    assert(e2.getMessage.contains("GENERATED ALWAYS"))
+    // re-declaring a DIFFERENT identity column refuses
+    val e3 = intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(Seq("z").toDF("t"), root, retain = 8,
+        identity = Some("id2"))
+    }
+    assert(e3.getMessage.contains("one identity per table"))
+  }
+
+  test("seeded establishment: existing unique keys set the mark; duplicates refuse") {
+    val root = tmpTable("graft-id-seed")
+    Lake.commitOverwrite(Seq((10L, "a"), (42L, "b")).toDF("id", "t"), root,
+      retain = 8, identity = Some("id"))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 43L)))
+    Lake.commitAppend(Seq("c").toDF("t"), root, retain = 8)
+    assert(ids(root) === Seq(10L, 42L, 43L))
+    // a duplicate-seeded establishment refuses
+    val dup = tmpTable("graft-id-dup")
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(Seq((1L, "a"), (1L, "b")).toDF("id", "t"), dup,
+        retain = 8, identity = Some("id"))
+    }
+    assert(e.getMessage.contains("unique non-NULL"))
+  }
+
+  test("OCC: concurrent appends allocate disjoint gap-free blocks (loser re-stages)") {
+    val root = tmpTable("graft-id-occ")
+    Lake.commitOverwrite(Seq("a").toDF("t"), root, retain = 8,
+      identity = Some("id")) // id 1, mark 2
+    try {
+      // appender B (3 rows) lands inside appender A's stage->publish
+      // window: A staged ids [2,5) from the pre-B mark, loses the
+      // slot, sees the mark at 5, RE-STAGES as [5,9) and commits —
+      // disjoint contiguous blocks, nothing lost, nothing colliding
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitAppend(Seq("b1", "b2", "b3").toDF("t"), root, retain = 8)
+        ()
+      }
+      Lake.commitAppend(Seq("a1", "a2", "a3", "a4").toDF("t"), root,
+        retain = 8)
+      assert(ids(root) === (1L to 8L)) // 1 seed + 3 + 4, no gaps/dupes
+      assert(Lake.identityColumn(spark, root) === Some(("id", 9L)))
+      // each batch's block is CONTIGUOUS
+      val byBatch = Lake.readCommitted(spark, root)
+        .where(col("t").startsWith("b")).select("id").collect()
+        .map(_.getLong(0)).sorted
+      assert(byBatch.last - byBatch.head === 2L)
+    } finally Lake.beforePublish = () => ()
+  }
+
+  test("restore re-points the mark; freed ids re-allocate with the restored rows gone") {
+    val root = tmpTable("graft-id-restore")
+    Lake.commitOverwrite(Seq("a", "b").toDF("t"), root, retain = 8,
+      identity = Some("id"))                                  // v0: 1,2 mark 3
+    Lake.commitAppend(Seq("c", "d").toDF("t"), root, retain = 8) // v1: 3,4 mark 5
+    Lake.restoreCommitted(spark, root, 0L, retain = 8)           // mark back to 3
+    assert(Lake.identityColumn(spark, root) === Some(("id", 3L)))
+    Lake.commitAppend(Seq("e").toDF("t"), root, retain = 8)
+    assert(ids(root) === Seq(1L, 2L, 3L)) // 3 reused: its old row is gone
+    // the full history stays consistent per version
+    assert(Lake.readCommittedAt(spark, root, 1L).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (1L to 4L))
+  }
+
+  test("identity composes with partitions/generated columns and SQL INSERT") {
+    val root = tmpTable("graft-id-compose")
+    val rows = Seq(("x", java.sql.Date.valueOf("1995-06-15")),
+      ("y", java.sql.Date.valueOf("1996-06-15"))).toDF("t", "d")
+    Lake.commitOverwrite(rows, root, retain = 8,
+      partitionBy = Seq("y"), generatedColumns = Map("y" -> "year(d)"),
+      identity = Some("id"))
+    assert(ids(root) === Seq(1L, 2L))
+    spark.sql("DROP TABLE IF EXISTS id_sql")
+    spark.sql(s"CREATE TABLE id_sql USING `graft-lake` OPTIONS (root '$root')")
+    try {
+      // SQL INSERT routes through commitAppend → allocates too
+      spark.sql("INSERT INTO id_sql (t, d) VALUES ('z', DATE'1997-06-15')")
+      assert(spark.sql("SELECT id FROM id_sql ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === (1L to 3L))
+      assert(spark.sql("SELECT y FROM id_sql WHERE id = 3").collect()
+        .head.getInt(0) === 1997)
+    } finally spark.sql("DROP TABLE IF EXISTS id_sql")
+  }
+}

@@ -570,6 +570,55 @@ class LakeSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_changes"))
   }
 
+  test("graft_changes timestamp boundaries: instants resolve via #ts=, horizon misses refuse") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpTable("lakesql-tsch")
+    Lake.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root,
+      retain = 8)                                               // v0
+    Thread.sleep(10) // #ts= lines are millisecond-granular
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8) // v1
+    Thread.sleep(10)
+    Lake.deleteWhere(spark, root, col("k") === 2L, retain = 8)  // v2
+    val ts = Lake.describeHistory(spark, root).orderBy("version")
+      .select("commit_ts").collect().map(_.getTimestamp(0))
+    val want = Seq((2L, "delete"), (3L, "insert"))
+    def changes(fromLit: String, toLit: String): Seq[(Long, String)] =
+      spark.sql(s"SELECT k, change_type FROM " +
+        s"graft_changes('$root', $fromLit, $toLit, 'k') ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(changes("0", "2") === want)
+    // timestamp literals resolve to the snapshots LIVE at each
+    // instant (versionAsOf over the manifests' own commit instants)
+    assert(changes(s"TIMESTAMP'${ts(0)}'", s"TIMESTAMP'${ts(2)}'") === want)
+    // plain strings parse as instants in the session zone
+    assert(changes(s"'${ts(0)}'", s"'${ts(2)}'") === want)
+    // mixed version + instant boundaries compose
+    assert(changes("0", s"'${ts(2)}'") === want)
+    // an instant between v0 and v1 resolves to v0 (latest at-or-
+    // before): same feed
+    val mid = new java.sql.Timestamp(ts(0).getTime + 5)
+    assert(changes(s"'$mid'", "2") === want)
+    // programmatic spelling
+    assert(Lake.changesBetweenInstants(spark, root, ts(0), ts(2), Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+      .toSeq === want)
+    // an instant predating the whole retained horizon refuses fast,
+    // naming what IS readable
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM " +
+        s"graft_changes('$root', '1990-01-01 00:00:00', 2, 'k')").collect()
+    }
+    assert(e.getMessage.contains("no version committed"))
+    // an unparseable boundary refuses with the contract named
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM " +
+        s"graft_changes('$root', 'not-a-time', 2, 'k')").collect()
+    }
+    assert(e2.getMessage.contains("does not parse") ||
+      e2.getMessage.contains("cannot be cast")) // ANSI cast names it first
+  }
+
   test("SQL maintenance spellings: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
     val root = tmpTable("lakesql-maint")
     // a fragmented table: four small appends

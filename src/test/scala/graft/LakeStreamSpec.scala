@@ -289,6 +289,31 @@ class LakeStreamSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("retention swept"))))
   }
 
+  test("readChangeFeed composes with startingTimestamp: only post-instant changes stream") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpTable("graft-lkstream-cdf-ts")
+    val ckpt = tmpDir("graft-lkstream-cdf-ts-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root,
+      retain = 8)                                              // v0
+    Thread.sleep(1200)
+    val boundary = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    Thread.sleep(1200)
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8) // v1
+    Lake.deleteWhere(spark, root, col("k") === 1L, retain = 8)         // v2 (DV)
+    // the CDF stream anchored at the instant: v0 predates it and is
+    // NOT replayed; the post-instant append and the DV delete arrive
+    // as exact row-level changes with their commit versions
+    drainOnce(readLake(root, Map("readChangeFeed" -> "true",
+      "keyCols" -> "k", "startingTimestamp" -> boundary)), ckpt, sink)
+    assert(sink.toSet === Set(
+      Seq(3L, "c", "insert", 1L),
+      Seq(1L, "a", "delete", 2L)))
+  }
+
   test("readChangeFeed: merge-heavy history streams as exact row-level changes") {
     val root = tmpTable("graft-lkstream-cdf")
     val ckpt = tmpDir("graft-lkstream-cdf-ckpt")
