@@ -435,8 +435,10 @@ final class GraftLakeProvider extends StreamSourceProvider
 
   /** Writer-side layout options: `partitionBy=a,b` (manifest partition
     * layout — the DataFrameWriter's own partitionBy is hive-style and
-    * not supported here), `bucketBy=n:a,b`, and `generated=p:expr[;q:expr]`
-    * (generated columns, `;`-separated since exprs may contain commas). */
+    * not supported here), `bucketBy=n:a,b`, `generated=p:expr[;q:expr]`
+    * (generated columns, `;`-separated since exprs may contain
+    * commas), and `identity=col` (GENERATED ALWAYS AS IDENTITY,
+    * established on the creating commit). */
   private def writeLayoutOpts(parameters: Map[String, String]):
       (Seq[String], Option[(Int, Seq[String])], Map[String, String]) = {
     val partBy = parameters.get("partitionBy").toSeq
@@ -469,15 +471,23 @@ final class GraftLakeProvider extends StreamSourceProvider
     val root = rootOf(parameters)
     val (retain, statsCols, bloomCols) = layoutOpts(parameters)
     val (partBy, bucket, gen) = writeLayoutOpts(parameters)
+    // `identity 'id'` declares GENERATED ALWAYS AS IDENTITY at table
+    // creation (CTAS spelling); appends only INHERIT the declaration
+    val identity = parameters.get("identity").map(_.trim).filter(_.nonEmpty)
     val exists = Lake.currentVersion(spark, root).isDefined
     import org.apache.spark.sql.SaveMode._
     def over(): Unit = {
       Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols,
-        partitionBy = partBy, bucketBy = bucket, generatedColumns = gen)
+        partitionBy = partBy, bucketBy = bucket, generatedColumns = gen,
+        identity = identity)
       ()
     }
     mode match {
       case Append =>
+        require(identity.isEmpty || Lake.identityColumn(spark, root)
+            .exists(_._1 == identity.get),
+          "the identity declaration is established by the table's " +
+            "creating OVERWRITE commit; appends inherit it")
         Lake.commitAppend(data, root, retain, None, statsCols, bloomCols,
           partitionBy = partBy, bucketBy = bucket, generatedColumns = gen)
         ()

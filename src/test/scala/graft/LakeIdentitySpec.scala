@@ -103,6 +103,29 @@ class LakeIdentitySpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === (1L to 4L))
   }
 
+  test("CTAS OPTIONS (identity 'id') establishes the allocator; appends must inherit, not declare") {
+    val root = tmpTable("graft-id-ctas")
+    Seq("a", "b").toDF("t").createOrReplaceTempView("id_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS id_ctas")
+    spark.sql(s"""CREATE TABLE id_ctas USING `graft-lake`
+      |OPTIONS (root '$root', identity 'id')
+      |AS SELECT * FROM id_ctas_src""".stripMargin)
+    try {
+      assert(spark.sql("SELECT id FROM id_ctas ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      spark.sql("INSERT INTO id_ctas (t) VALUES ('c')")
+      assert(spark.sql("SELECT id FROM id_ctas ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === (1L to 3L))
+      // an APPEND-mode write declaring a DIFFERENT identity refuses
+      val e = intercept[IllegalArgumentException] {
+        Seq("d").toDF("t").write.format("graft-lake")
+          .option("root", root).option("identity", "other")
+          .mode("append").save()
+      }
+      assert(e.getMessage.contains("inherit"))
+    } finally spark.sql("DROP TABLE IF EXISTS id_ctas")
+  }
+
   test("identity composes with partitions/generated columns and SQL INSERT") {
     val root = tmpTable("graft-id-compose")
     val rows = Seq(("x", java.sql.Date.valueOf("1995-06-15")),
