@@ -448,12 +448,28 @@ object Lake {
     * dir-level merge — ONE column-pruned pass over the dir
     * (`groupBy(input_file_name)`), O(this dir) like the write that
     * produced it. Returns (dirJson, fileName -> json). */
+  /** Resolve a possibly-dotted NESTED path against `schema` — stats
+    * and bloom columns accept struct-field paths (`meta.v`) so
+    * struct-heavy event schemas skip like flat ones. An exact
+    * top-level name wins first (a column literally named "a.b"). */
+  private def resolveField(schema: org.apache.spark.sql.types.StructType,
+      c: String): Option[org.apache.spark.sql.types.StructField] =
+    schema.fields.find(_.name == c).orElse {
+      val i = c.indexOf('.')
+      if (i < 0) None
+      else schema.fields.find(_.name == c.take(i)).flatMap(_.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          resolveField(st, c.drop(i + 1))
+        case _ => None
+      })
+    }
+
   private def fileStatsJson(spark: SparkSession, dirPath: String,
       cols: Seq[String]): Option[(String, Map[String, String])] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (cols.isEmpty) return None
     val df = spark.read.parquet(dirPath)
-    val present = cols.filter(df.columns.contains)
+    val present = cols.filter(c => resolveField(df.schema, c).isDefined)
     if (present.isEmpty) return Some(("{}", Map.empty))
     val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
     val rows = df.groupBy(input_file_name().as("__f"))
@@ -561,11 +577,11 @@ object Lake {
     import org.apache.spark.sql.types._
     if (cols.isEmpty) return None
     val df = spark.read.parquet(dirPath)
-    val present = cols.filter(c => df.schema.fields.exists(f =>
-      f.name == c && (f.dataType match {
+    val present = cols.filter(c => resolveField(df.schema, c)
+      .exists(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType | StringType => true
         case _ => false
-      })))
+      }))
     if (present.isEmpty) return Some("{}")
     val n = df.count()
     if (n == 0) return Some("{}")
@@ -638,7 +654,7 @@ object Lake {
     spark.conf.set(key, "true")
     try {
       val df = spark.read.parquet(dirPath)
-      val present = cols.filter(df.columns.contains)
+      val present = cols.filter(c => resolveField(df.schema, c).isDefined)
       if (present.isEmpty) return Some("{}")
       val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
       val row = df.agg(aggs.head, aggs.drop(1): _*).collect().head
@@ -1385,7 +1401,15 @@ object Lake {
 
   /** The physical (file) name of logical column `c`. */
   private[sources] def physName(map: Map[String, String], c: String): String =
-    map.getOrElse(c, c)
+    map.getOrElse(c, {
+      // nested paths map their HEAD segment (renaming re-points the
+      // container; field names inside a struct never change) — an
+      // exact-name hit wins first so a top-level column whose name
+      // contains a literal dot still maps as itself
+      val i = c.indexOf('.')
+      if (i < 0) c
+      else map.get(c.take(i)).map(_ + c.drop(i)).getOrElse(c)
+    })
 
   /** Logical schema → the PHYSICAL schema its files store (field
     * renames only; order, types and nullability are shared). */
@@ -2178,6 +2202,12 @@ object Lake {
       Option[String] = e match {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+    // nested struct fields prune like flat columns: the dotted path
+    // is the stats/bloom key (`meta.v`), and the NULL semantics
+    // match — a NULL container makes the field read NULL, which the
+    // min/max range (computed over non-NULLs) never claims to bound
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      attrName(g.child).map(_ + "." + g.extractFieldName)
     case _ => None
   }
 

@@ -300,6 +300,40 @@ class LakeColMapSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("nested statsCols + blooms: struct-field ranges prune dirs, and survive a container rename") {
+    val root = tmpTable("graft-nested-stats")
+    // four appends with DISJOINT meta.v ranges and distinct meta.tag
+    (0 until 4).foreach { b =>
+      val df = (1L to 50L).map(i => (b * 100L + i, (s"s$b", b * 100.0 + i)))
+        .toDF("id", "meta")
+        .select(col("id"), col("meta").cast("struct<tag:string,v:double>"))
+      Lake.commitAppend(df, root, retain = 8,
+        statsCols = Seq("meta.v"), bloomCols = Seq("meta.tag"))
+      ()
+    }
+    // range predicate on the NESTED field prunes to the one dir whose
+    // recorded [lo, hi] can match
+    val (_, skipped, _) = Lake.resolveWhere(spark, root, col("meta.v") > 250.0)
+    assert(skipped.size === 3, s"expected 3 of 4 dirs skipped, got $skipped")
+    assert(Lake.readCommittedWhere(spark, root, col("meta.v") > 250.0)
+      .count() === 50L)
+    // bloom on the nested STRING field prunes equality lookups
+    val (_, skipEq, _) = Lake.resolveWhere(spark, root, col("meta.tag") === "s2")
+    assert(skipEq.size === 3, s"expected bloom pruning, skipped $skipEq")
+    // renaming the CONTAINER keeps the stats keys valid: they are
+    // recorded under the frozen PHYSICAL path, and logical predicates
+    // translate their head segment before the lookup
+    Lake.renameColumn(spark, root, "meta", "m")
+    val (_, skipRenamed, _) = Lake.resolveWhere(spark, root, col("m.v") > 250.0)
+    assert(skipRenamed.size === 3,
+      s"nested pruning must survive the rename, skipped $skipRenamed")
+    assert(Lake.readCommittedWhere(spark, root, col("m.v") > 250.0)
+      .count() === 50L)
+    // correctness floor: a predicate matching two dirs reads both
+    assert(Lake.readCommittedWhere(spark, root, col("m.v") > 150.0)
+      .count() === 100L)
+  }
+
   test("nested fields: struct column through rename, filtered scan pushes the PHYSICAL path") {
     val root = tmpTable("graft-colmap-nested")
     val rows = (1L to 200L).map(i =>
