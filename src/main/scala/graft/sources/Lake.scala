@@ -3973,15 +3973,28 @@ object Lake {
           .sliding(2).foreach {
             case Seq(a, b) =>
               val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
-              if (removed.nonEmpty) {
+              // a ROW-PRESERVING layout commit (compaction / z-order /
+              // REORG purge) removes dirs without changing contents:
+              // the snapshot this batch was derived against is
+              // semantically intact, so the blind rebase stays sound —
+              // appends compose with the standing OPTIMIZE cadence
+              // (Delta's rule) instead of failing for it. Anything
+              // else that removed dirs (overwrite/merge/delete/
+              // restore) changed ROWS this append may have derived
+              // from: refuse.
+              lazy val rowPreserving = manifestOp(fs, r, b).exists(o =>
+                o.startsWith("compact") || o.startsWith("zorder") ||
+                  o.startsWith("reorg"))
+              if (removed.nonEmpty && !rowPreserving) {
                 dropStaged()
                 throw new java.util.ConcurrentModificationException(
                   s"append to $root: concurrent commit v$b removed dirs " +
                     s"${removed.toSeq.sorted.mkString(", ")} " +
-                    "(overwrite/merge/delete/compact) while this append was " +
-                    "staging — a blind-append rebase is only sound across " +
-                    "appends; re-derive the batch against the current " +
-                    "snapshot and retry")
+                    "(overwrite/merge/delete/restore) while this append " +
+                    "was staging — a blind-append rebase is only sound " +
+                    "across appends and row-preserving maintenance; " +
+                    "re-derive the batch against the current snapshot " +
+                    "and retry")
               }
             case _ => // single element: nothing landed since base
           }

@@ -332,6 +332,16 @@ class LakeColMapSpec extends SparkSpec {
     // correctness floor: a predicate matching two dirs reads both
     assert(Lake.readCommittedWhere(spark, root, col("m.v") > 150.0)
       .count() === 100L)
+    // CHECK constraints gate NESTED fields too: existing rows
+    // validate, a violating batch refuses by name
+    Lake.addCheckConstraint(spark, root, "v_nonneg", "m.v >= 0")
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitAppend(
+        Seq((9999L, ("bad", -1.0))).toDF("id", "m")
+          .select(col("id"), col("m").cast("struct<tag:string,v:double>")),
+        root, retain = 8)
+    }
+    assert(e.getMessage.contains("v_nonneg"))
   }
 
   test("nested fields: struct column through rename, filtered scan pushes the PHYSICAL path") {

@@ -1470,6 +1470,35 @@ class LakeSpec extends SparkSpec {
     } finally Lake.beforePublish = () => ()
   }
 
+  test("OCC: an append racing row-preserving maintenance REBASES (OPTIMIZE cadence composes)") {
+    val root = tmpTable("graft-lake-occ-maint-app")
+    (0 until 3).foreach { b =>
+      Lake.commitAppend(Seq((b.toLong, s"r$b")).toDF("k", "t"), root,
+        retain = 8)
+      ()
+    }
+    try {
+      // a COMPACTION lands inside the append's stage->commit window:
+      // it removed dirs, but row-preservingly — the snapshot the
+      // append derived against is semantically intact, so the append
+      // rebases and commits instead of failing for the standing
+      // maintenance cadence
+      raceOnce {
+        Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+          retain = 8)
+        ()
+      }
+      Lake.commitAppend(Seq((99L, "new")).toDF("k", "t"), root, retain = 8)
+      assert(rows(Lake.readCommitted(spark, root)) ===
+        Set(Seq(0L, "r0"), Seq(1L, "r1"), Seq(2L, "r2"), Seq(99L, "new")))
+      // same across a REORG purge
+      Lake.deleteWhere(spark, root, col("k") === 0L, retain = 8) // DV
+      raceOnce { Lake.reorgCommitted(spark, root, retain = 8); () }
+      Lake.commitAppend(Seq((100L, "newer")).toDF("k", "t"), root, retain = 8)
+      assert(Lake.readCommitted(spark, root).count() === 4L) // 3 - 1 + 2
+    } finally Lake.beforePublish = () => ()
+  }
+
   test("OCC: an append racing a dir-removing commit refuses instead of rebasing blindly") {
     val root = tmpTable("graft-lake-occ-rm")
     Lake.commitAppend(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0
