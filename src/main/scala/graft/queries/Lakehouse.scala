@@ -1601,6 +1601,39 @@ object Lakehouse {
         .withColumn("dv_debt_paid", lit(paid))
     },
 
+    // CONVERT TO GRAFT under the oracle hash — Delta's CONVERT TO
+    // DELTA: a plain parquet dump becomes a committed lake table IN
+    // PLACE (same-filesystem file moves + one manifest, zero data
+    // rewrite — at 100 TB conversion cost is metadata, not a copy).
+    // The `adopted_in_place` proof column compares the (name, bytes)
+    // file signatures before and after: a conversion that rewrote or
+    // dropped a file flips it FALSE and breaks the hash; the
+    // post-convert SQL DELETE proves every lake capability applies
+    // from version 0.
+    Q("q177_convert_adopt",
+      """SELECT doc_id, lang, n_chars, TRUE AS adopted_in_place
+        |FROM documents WHERE doc_id % 101 <> 7
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_convert", d)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      docs.coalesce(2).write.mode("overwrite").parquet(root)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      def sigs(p: org.apache.hadoop.fs.Path): Set[(String, Long)] =
+        fs.listStatus(p).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen)).toSet
+      val before = sigs(new org.apache.hadoop.fs.Path(root))
+      s.sql(s"CONVERT TO GRAFT '$root' STATS BY (doc_id)")
+      val after = sigs(new org.apache.hadoop.fs.Path(root, "v0"))
+      val inPlace = before.nonEmpty && before == after
+      s.sql("DROP TABLE IF EXISTS convert_docs")
+      s.sql(s"CREATE TABLE convert_docs USING `graft-lake` OPTIONS (root '$root')")
+      s.sql("DELETE FROM convert_docs WHERE doc_id % 101 = 7")
+      s.sql("SELECT doc_id, lang, n_chars FROM convert_docs ORDER BY doc_id")
+        .withColumn("adopted_in_place", lit(inPlace))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

@@ -5123,6 +5123,69 @@ object Lake {
     nextV
   }
 
+  /** `CONVERT TO GRAFT` (Delta's CONVERT TO DELTA): adopt a plain
+    * directory of parquet files as a committed lake table IN PLACE —
+    * no data rewrite. The files MOVE (same-filesystem renames, pure
+    * metadata) into the deterministic bootstrap dir `v0` and one
+    * manifest publishes them as version 0 with the inferred schema
+    * and optional stats/bloom lines; every lake capability (time
+    * travel, DML, OCC, properties, maintenance) applies from that
+    * moment. Crash-safe by CONVERGENCE: until the manifest publishes
+    * nothing is a lake table, and a rerun moves whatever files remain
+    * at the root into the same `v0` dir before committing — the
+    * rename set only shrinks. Hive-partitioned layouts (subdirs)
+    * refuse: convert flat parquet dirs, or read+commitOverwrite with
+    * `partitionBy` to adopt the layout as manifest partitions. */
+  def convertParquet(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      retain: Int = -1): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    require(committedVersions(fs, r).isEmpty,
+      s"a committed lake table already exists at $root — CONVERT " +
+        "bootstraps; this table needs no conversion")
+    require(fs.exists(r), s"no directory at $root")
+    val entries = fs.listStatus(r).toSeq
+    val subdirs = entries.filter(e => e.isDirectory && e.getPath.getName != "v0")
+    require(subdirs.isEmpty,
+      s"directory at $root contains subdirectories " +
+        subdirs.map(_.getPath.getName).sorted.mkString("[", ", ", "]") +
+        " — CONVERT adopts FLAT parquet dirs only (for a hive-partitioned " +
+        "layout, read it and commitOverwrite with partitionBy)")
+    val loose = entries.filter(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+    val dir = new Path(r, "v0")
+    val resumed = fs.exists(dir)
+    require(loose.nonEmpty || resumed,
+      s"no parquet files at $root — nothing to convert")
+    if (!resumed) fs.mkdirs(dir)
+    loose.foreach { f =>
+      if (!fs.rename(f.getPath, new Path(dir, f.getPath.getName)))
+        throw new java.io.IOException(
+          s"CONVERT could not move ${f.getPath.getName} into $dir")
+    }
+    val df = spark.read.parquet(dir.toString)
+    val schema = org.apache.spark.sql.graft.Shim.asNullable(df.schema)
+    val effStats = statsCols.map(_.trim).filter(_.nonEmpty)
+    val effBloom = bloomCols.map(_.trim).filter(_.nonEmpty)
+    val (dirJson, fileJsons) =
+      if (effStats.isEmpty) ("{}", Map.empty[String, String])
+      else fileStatsJson(spark, dir.toString, effStats)
+        .getOrElse(("{}", Map.empty[String, String]))
+    if (!commitManifest(fs, r, 0L, Seq("v0"), retain, Some(schema),
+        None, Map("v0" -> dirJson), effStats,
+        newFileStats = Map("v0" -> fileJsons),
+        newBlooms = dirBloomJson(spark, dir.toString, effBloom)
+          .map("v0" -> _).toMap,
+        bloomCols = effBloom, op = "convert"))
+      throw new java.util.ConcurrentModificationException(
+        s"CONVERT of $root lost version 0 to a concurrent bootstrap — " +
+          "the directory is already becoming a lake table; re-check it")
+    0L
+  }
+
   /** [[compact]] for a manifest-committed table: collapse the live
     * snapshot (append commits accumulate one dir per batch — the
     * small-files pathology in manifest form: readers pay listing +

@@ -78,6 +78,12 @@ object GraftMaintenanceSql {
       """(?:\s+WHERE\s+(.*?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val Detail =
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  private val Clone =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val Convert =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" + """'([^']+)'""" +
+      """(?:\s+STATS\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   // TBLPROPERTIES statements intercept ONLY the quoted-'<root>' form
   // here (not valid Spark grammar anyway); catalog-ident spellings
   // keep Spark's own parse and route through the Hints-batch rule
@@ -133,6 +139,12 @@ object GraftMaintenanceSql {
         Option(whereText).map(_.trim).filter(_.nonEmpty)))
     case Detail(rootLit, ident) =>
       Some(GraftDescribeDetailCommand(target(rootLit, ident)))
+    case Clone(dstLit, dstIdent, srcLit, srcIdent, v) =>
+      Some(GraftCloneCommand(target(dstLit, dstIdent),
+        target(srcLit, srcIdent), Option(v).map(_.toLong)))
+    case Convert(root, stats) =>
+      Some(GraftConvertCommand(root, Option(stats).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
     case SetProps(root, pairs) =>
       Some(GraftSetPropertiesCommand(GraftMaintTarget(Some(root), None),
         parsePropPairs(pairs)))
@@ -352,4 +364,57 @@ case class GraftReorgCommand(t: GraftMaintTarget, whereSql: Option[String])
     LakeDml.refresh(session, ident)
     Seq(Row(v))
   }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]` — zero-copy
+  * metadata clone ([[Lake.cloneCommitted]]). A catalog-ident
+  * destination gets its root from the session catalog's default
+  * table path and is registered as a graft-lake table; a quoted-path
+  * destination clones without a catalog entry. The source is a lake
+  * catalog table or a quoted root. */
+case class GraftCloneCommand(dst: GraftMaintTarget, src: GraftMaintTarget,
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (srcRoot, _) = src.resolve(session)
+    val v = dst match {
+      case GraftMaintTarget(Some(path), _) =>
+        Lake.cloneCommitted(session, srcRoot, path, version)
+      case GraftMaintTarget(None, Some(parts)) =>
+        require(parts.lengthCompare(2) <= 0,
+          s"clone destination ${parts.mkString(".")} — use db.table or table")
+        val id = parts match {
+          case Seq(t) => TableIdentifier(t)
+          case Seq(db, t) => TableIdentifier(t, Some(db))
+          case _ => throw new IllegalArgumentException(parts.mkString("."))
+        }
+        require(!session.sessionState.catalog.tableExists(id),
+          s"table ${parts.mkString(".")} already exists — clone creates a " +
+            "NEW table")
+        val dstRoot = new org.apache.hadoop.fs.Path(
+          session.sessionState.catalog.defaultTablePath(id)).toString
+        val out = Lake.cloneCommitted(session, srcRoot, dstRoot, version)
+        // EXTERNAL registration (LOCATION): the clone already
+        // populated the path, which a managed CREATE would refuse
+        session.sql(s"CREATE TABLE ${parts.map(p => s"`$p`").mkString(".")} " +
+          s"USING `graft-lake` OPTIONS (root '$dstRoot') " +
+          s"LOCATION '$dstRoot'")
+        out
+      case _ => throw new IllegalArgumentException("clone destination missing")
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `CONVERT TO GRAFT '<dir>' [STATS BY (c1, c2)]` — adopt a flat
+  * parquet directory as a lake table in place
+  * ([[Lake.convertParquet]]; same-filesystem file moves + one
+  * manifest, no data rewrite). */
+case class GraftConvertCommand(root: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Lake.convertParquet(session, root, statsCols)))
 }

@@ -619,6 +619,65 @@ class LakeSqlSpec extends SparkSpec {
       e2.getMessage.contains("cannot be cast")) // ANSI cast names it first
   }
 
+  test("CONVERT TO GRAFT adopts a plain parquet dir in place; SHALLOW CLONE SQL spellings") {
+    import org.apache.spark.sql.functions.col
+    // CONVERT: flat parquet dir → lake table, file moves only
+    val dir = tmpTable("lakesql-convert")
+    (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v").coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    val v0 = spark.sql(s"CONVERT TO GRAFT '$dir' STATS BY (k)")
+      .collect().head.getLong(0)
+    assert(v0 === 0L)
+    assert(Lake.readCommitted(spark, dir).count() === 100L)
+    // the converted dir is a REAL lake table: stats prune, DML works
+    val (_, skipped, _) = Lake.resolveWhere(spark, dir, col("k") > 1000L)
+    assert(skipped.nonEmpty, "converted stats must prune")
+    Lake.deleteWhere(spark, dir, col("k") === 1L, retain = 8)
+    assert(Lake.readCommitted(spark, dir).count() === 99L)
+    assert(Lake.readCommittedAt(spark, dir, 0L).count() === 100L)
+    // converting an existing lake table refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT TO GRAFT '$dir'").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+    // a hive-partitioned (subdir) layout refuses with the alternative
+    val hive = tmpTable("lakesql-convert-hive")
+    Seq((1L, "a")).toDF("k", "p").write.partitionBy("p")
+      .mode("overwrite").parquet(hive)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CONVERT TO GRAFT '$hive'").collect()
+    }
+    assert(e2.getMessage.contains("FLAT"))
+    // SHALLOW CLONE, path form + version pin
+    val cl = tmpTable("lakesql-clonepath")
+    spark.sql(s"CREATE TABLE '$cl' SHALLOW CLONE '$dir'")
+    assert(Lake.readCommitted(spark, cl).count() === 99L)
+    val cl0 = tmpTable("lakesql-clonev0")
+    spark.sql(s"CREATE TABLE '$cl0' SHALLOW CLONE '$dir' VERSION AS OF 0")
+    assert(Lake.readCommitted(spark, cl0).count() === 100L)
+    // catalog-ident destination registers a graft-lake table at the
+    // session catalog's default path (DROP TABLE keeps external
+    // files, so a rerun must clear the default path first)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    def clearDefaultPath(): Unit = rmrf(new java.io.File(new java.net.URI(
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst
+          .TableIdentifier("clone_cat"))).toString)))
+    spark.sql("DROP TABLE IF EXISTS clone_cat")
+    clearDefaultPath()
+    try {
+      spark.sql(s"CREATE TABLE clone_cat SHALLOW CLONE '$dir'")
+      assert(spark.sql("SELECT count(*) AS n FROM clone_cat").collect()
+        .head.getLong(0) === 99L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS clone_cat")
+      clearDefaultPath()
+    }
+  }
+
   test("SQL maintenance spellings: OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY") {
     val root = tmpTable("lakesql-maint")
     // a fragmented table: four small appends
