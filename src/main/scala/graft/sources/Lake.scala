@@ -3322,6 +3322,17 @@ object Lake {
             Some(DoubleType)
           case (x, DoubleType) if smallIntegral(x) => Some(DoubleType)
           case (DoubleType, x) if smallIntegral(x) => Some(DoubleType)
+          // NESTED evolution (Delta's autoMerge shape): structs merge
+          // field-by-field under the SAME rules — add-nullable fields
+          // and lossless widening inside the container; any
+          // unmergeable nested field refuses through the None, and
+          // the outer error names the top-level column. Old files
+          // lacking a nested field read it NULL (parquet schema
+          // clipping), exactly like a top-level add.
+          case (sa: StructType, sb: StructType) =>
+            scala.util.Try(mergeSchemas(sa, sb)).toOption
+          case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+            widenedType(ea, eb).map(e => ArrayType(e, na || nb))
           case _ => None
         }
     }

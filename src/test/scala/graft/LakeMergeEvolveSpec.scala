@@ -59,4 +59,47 @@ class LakeMergeEvolveSpec extends SparkSpec {
     intercept[IllegalArgumentException](Lake.mergeCommitted(spark, root,
       lossy, Seq("id"), "v", "del", allowSchemaEvolution = true))
   }
+
+  test("NESTED evolution: struct fields add (NULL-backfilled) and widen; lossy nested refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-evolve-nested").resolve("t").toString
+    // v0: struct<tag:string, n:int>
+    Lake.commitAppend(
+      Seq((1L, ("a", 1)), (2L, ("b", 2))).toDF("id", "m")
+        .select(col("id"), col("m").cast("struct<tag:string,n:int>")),
+      root, retain = 8)
+    // append ADDS a nested field and WIDENS n to long in one batch
+    Lake.commitAppend(
+      Seq((3L, ("c", 30L, 0.5))).toDF("id", "m")
+        .select(col("id"),
+          col("m").cast("struct<tag:string,n:bigint,score:double>")),
+      root, retain = 8)
+    val r = Lake.readCommitted(spark, root)
+    assert(r.schema("m").dataType.simpleString ===
+      "struct<tag:string,n:bigint,score:double>")
+    // old rows read the added nested field NULL and n upcast to long
+    val rows3 = r.orderBy("id").select("id", "m.n", "m.score").collect()
+    assert(rows3.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (3L, 30L)))
+    assert(rows3.take(2).forall(_.isNullAt(2)) && rows3(2).getDouble(2) === 0.5)
+    // pruning on the evolved nested field still composes
+    assert(Lake.readCommittedWhere(spark, root, col("m.n") >= 30L)
+      .count() === 1L)
+    // a LOSSY nested change refuses naming the container
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitAppend(
+        Seq((4L, (1.0, 4L, 0.1))).toDF("id", "m")
+          .select(col("id"),
+            col("m").cast("struct<tag:double,n:bigint,score:double>")),
+        root, retain = 8)
+    }
+    assert(e.getMessage.contains("'m'"))
+    // a conforming append lands under the evolved schema
+    Lake.commitAppend(
+      Seq((5L, ("e", 50L, 0.9))).toDF("id", "m")
+        .select(col("id"),
+          col("m").cast("struct<tag:string,n:bigint,score:double>")),
+      root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 4L)
+  }
 }
