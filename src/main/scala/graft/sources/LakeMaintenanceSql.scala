@@ -71,6 +71,9 @@ object GraftMaintenanceSql {
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTs =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val Reorg =
@@ -131,7 +134,9 @@ object GraftMaintenanceSql {
       Some(GraftVacuumCommand(target(rootLit, ident),
         Option(hours).map(_.toDouble)))
     case Restore(rootLit, ident, v) =>
-      Some(GraftRestoreCommand(target(rootLit, ident), v.toLong))
+      Some(GraftRestoreCommand(target(rootLit, ident), Left(v.toLong)))
+    case RestoreTs(rootLit, ident, ts) =>
+      Some(GraftRestoreCommand(target(rootLit, ident), Right(ts)))
     case History(rootLit, ident) =>
       Some(GraftDescribeHistoryCommand(target(rootLit, ident)))
     case Reorg(rootLit, ident, whereText) =>
@@ -224,14 +229,30 @@ case class GraftVacuumCommand(t: GraftMaintTarget, retainHours: Option[Double])
   }
 }
 
-/** `RESTORE TABLE t TO VERSION AS OF v` — one manifest write, zero
-  * data I/O ([[Lake.restoreCommitted]]). */
-case class GraftRestoreCommand(t: GraftMaintTarget, version: Long)
-    extends LeafRunnableCommand {
+/** `RESTORE TABLE t TO VERSION AS OF v` /
+  * `… TO TIMESTAMP AS OF '<instant>'` — one manifest write, zero
+  * data I/O ([[Lake.restoreCommitted]]; an instant resolves to the
+  * snapshot LIVE at that moment via the manifests' commit instants,
+  * the same resolver TIMESTAMP AS OF reads use). */
+case class GraftRestoreCommand(t: GraftMaintTarget,
+    to: Either[Long, String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (root, ident) = t.resolve(session)
+    val version = to match {
+      case Left(v) => v
+      case Right(ts) =>
+        val tz = session.sessionState.conf.sessionLocalTimeZone
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(ts),
+          org.apache.spark.sql.types.TimestampType, Some(tz)).eval() match {
+          case l: java.lang.Long => l.longValue
+          case _ => throw new IllegalArgumentException(
+            s"RESTORE TO TIMESTAMP AS OF '$ts' does not parse as a timestamp")
+        }
+        Lake.versionAsOf(session, root, micros)
+    }
     val v = Lake.restoreCommitted(session, root, version)
     // a restore across a rename/drop/evolution changes the live
     // schema; the catalog's stored copy must follow

@@ -617,6 +617,15 @@ class LakeSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("does not parse") ||
       e2.getMessage.contains("cannot be cast")) // ANSI cast names it first
+    // RESTORE TO TIMESTAMP AS OF resolves through the same instants:
+    // restoring to v1's instant rolls the delete back
+    spark.sql(s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '${ts(1)}'")
+    assert(Lake.readCommitted(spark, root).count() === 3L)
+    val e3 = intercept[Exception] {
+      spark.sql(s"RESTORE TABLE '$root' TO TIMESTAMP AS OF 'junk'")
+    }
+    assert(e3.getMessage.contains("does not parse") ||
+      e3.getMessage.contains("cannot be cast")) // ANSI cast names it first
   }
 
   test("CONVERT TO GRAFT adopts a plain parquet dir in place; SHALLOW CLONE SQL spellings") {
