@@ -3663,7 +3663,7 @@ object Lake {
     * here (crash-abandoned stages age out via [[vacuumCommitted]]).
     * @return (pruned manifest versions, swept dir names) */
   private def pruneRetention(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      retain: Int): (Seq[Long], Seq[String]) = {
+      retain: Int, dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
     val all = committedVersions(fs, r)
     if (all.isEmpty) return (Nil, Nil)
     val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
@@ -3671,7 +3671,8 @@ object Lake {
     // sweepable only by REFERENCE: record what the to-be-pruned
     // manifests referenced BEFORE deleting them
     val staleRefs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet
-    stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
+    if (!dryRun)
+      stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
     val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
     val maxV = all.last
     val swept = Seq.newBuilder[String]
@@ -3682,7 +3683,10 @@ object Lake {
         if (!keptRefs.contains(n)) {
           if (n.startsWith("v"))
             n.stripPrefix("v").toLongOption.foreach { v =>
-              if (v <= maxV) { fs.delete(new Path(r, n), true); swept += n }
+              if (v <= maxV) {
+                if (!dryRun) fs.delete(new Path(r, n), true)
+                swept += n
+              }
             }
           // a staged dir whose last reference was just pruned is dead
           // (it WAS committed once, so it is not in-flight). A staged
@@ -3690,7 +3694,8 @@ object Lake {
           // writer — only vacuumCommitted's staleness horizon touches
           // those.
           else if (n.startsWith("z") && staleRefs.contains(n)) {
-            fs.delete(new Path(r, n), true); swept += n
+            if (!dryRun) fs.delete(new Path(r, n), true)
+            swept += n
           }
         }
       }
@@ -3716,9 +3721,13 @@ object Lake {
     * in-flight commit's data is swept from under it (the 7-day
     * default is Delta's own).
     * @return (pruned manifest versions, swept data dir names) */
+  /** @param dryRun report what WOULD be reclaimed (pruned versions,
+    *   swept dirs/markers) without deleting anything — Delta's
+    *   `VACUUM … DRY RUN`, the audit step before enforcing a horizon. */
   def vacuumCommitted(spark: SparkSession, root: String,
       retain: Int = -1,
-      staleStagedMs: Long = 7L * 24 * 60 * 60 * 1000): (Seq[Long], Seq[String]) = {
+      staleStagedMs: Long = 7L * 24 * 60 * 60 * 1000,
+      dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
     require(retain >= -1,
       s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(staleStagedMs >= 0, s"staleStagedMs must be >= 0, got $staleStagedMs")
@@ -3732,7 +3741,7 @@ object Lake {
       if (retain >= 0) retain
       else liveProps(fs, r).get(PropRetain).flatMap(_.toIntOption)
         .filter(_ >= 0).getOrElse(1)
-    val (pruned, swept) = pruneRetention(fs, r, retainEff)
+    val (pruned, swept) = pruneRetention(fs, r, retainEff, dryRun)
     val live = committedVersions(fs, r)
       .flatMap(v => manifestDirs(fs, r, v)).toSet
     val cutoff = System.currentTimeMillis() - staleStagedMs
@@ -3743,7 +3752,7 @@ object Lake {
         (st.isDirectory && n.startsWith("z") && !live.contains(n)) ||
           (st.isFile && n.startsWith("_commit_") && n.endsWith(".tmp"))
       if (abandoned && st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, true)
+        if (!dryRun) fs.delete(st.getPath, true)
         aged += n
       }
     }

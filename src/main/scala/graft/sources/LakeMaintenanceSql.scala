@@ -67,7 +67,8 @@ object GraftMaintenanceSql {
       """(?:\s+WHERE\s+(.*?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + T +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -130,9 +131,9 @@ object GraftMaintenanceSql {
         .filter(_.nonEmpty)
       Some(GraftOptimizeCommand(target(rootLit, ident),
         Option(whereText).map(_.trim).filter(_.nonEmpty), cols))
-    case Vacuum(rootLit, ident, hours) =>
+    case Vacuum(rootLit, ident, hours, dry) =>
       Some(GraftVacuumCommand(target(rootLit, ident),
-        Option(hours).map(_.toDouble)))
+        Option(hours).map(_.toDouble), dry != null))
     case Restore(rootLit, ident, v) =>
       Some(GraftRestoreCommand(target(rootLit, ident), Left(v.toLong)))
     case RestoreTs(rootLit, ident, ts) =>
@@ -211,9 +212,12 @@ case class GraftOptimizeCommand(t: GraftMaintTarget,
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` — sweep pruned-version leftovers and
-  * crash-abandoned staged dirs older than the retention horizon. */
-case class GraftVacuumCommand(t: GraftMaintTarget, retainHours: Option[Double])
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — sweep pruned-version
+  * leftovers and crash-abandoned staged dirs older than the retention
+  * horizon; DRY RUN reports the counts without deleting (the audit
+  * step before enforcing a horizon). */
+case class GraftVacuumCommand(t: GraftMaintTarget,
+    retainHours: Option[Double], dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("swept_manifests", LongType, nullable = false)(),
@@ -222,8 +226,8 @@ case class GraftVacuumCommand(t: GraftMaintTarget, retainHours: Option[Double])
     val (root, _) = t.resolve(session)
     val (ms, ds) = retainHours match {
       case Some(h) => Lake.vacuumCommitted(session, root,
-        staleStagedMs = (h * 3600 * 1000).toLong)
-      case None => Lake.vacuumCommitted(session, root)
+        staleStagedMs = (h * 3600 * 1000).toLong, dryRun = dryRun)
+      case None => Lake.vacuumCommitted(session, root, dryRun = dryRun)
     }
     Seq(Row(ms.size.toLong, ds.size.toLong))
   }

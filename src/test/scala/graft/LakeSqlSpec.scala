@@ -735,6 +735,13 @@ class LakeSqlSpec extends SparkSpec {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "zdeadbeefcafe"))
+    // DRY RUN reports the same counts WITHOUT deleting (the audit
+    // step before enforcing a horizon)
+    val dry = spark.sql("VACUUM maint_sql RETAIN 0 HOURS DRY RUN")
+      .collect().head
+    assert(dry.getLong(1) >= 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "zdeadbeefcafe")),
+      "DRY RUN must not delete")
     val swept = spark.sql("VACUUM maint_sql RETAIN 0 HOURS").collect().head
     assert(swept.getLong(1) >= 1L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "zdeadbeefcafe")))
