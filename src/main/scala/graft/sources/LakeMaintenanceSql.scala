@@ -11,10 +11,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
 /** SQL spellings for the lake maintenance operations (Delta parity):
   *
   *   OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (c1, c2, …)]
-  *   VACUUM <t> [RETAIN <n> HOURS]
-  *   RESTORE TABLE <t> TO VERSION AS OF <v>
+  *   VACUUM <t> [RETAIN <n> HOURS] [DRY RUN]
+  *   RESTORE TABLE <t> TO VERSION AS OF <v> | TO TIMESTAMP AS OF '<ts>'
   *   DESCRIBE HISTORY <t> / DESCRIBE DETAIL <t>
   *   REORG TABLE <t> [WHERE <pred>] APPLY (PURGE)
+  *   CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <v>]
+  *   CONVERT TO GRAFT '<dir>' [STATS BY (c1, c2, …)]
   *   ALTER TABLE '<root>' SET/UNSET TBLPROPERTIES (…)   (path form;
   *     catalog idents go through the Hints-batch rule instead)
   *   SHOW TBLPROPERTIES '<root>' [(key)]
