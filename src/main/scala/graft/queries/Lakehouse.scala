@@ -1634,6 +1634,167 @@ object Lakehouse {
         .withColumn("adopted_in_place", lit(inPlace))
     },
 
+    // ALTER COLUMN TYPE under the oracle hash — explicit lossless
+    // type-widening DDL (Delta/Spark 4's ALTER COLUMN TYPE): the
+    // first generation commits n_chars as INT, one manifest write
+    // widens it to BIGINT (`widen_metadata_only` proves the data dirs
+    // are untouched), and a second generation appends values ONLY a
+    // BIGINT can hold. The final read spans both file generations —
+    // the hash breaks if the INT files' upcast is anything but exact,
+    // if either generation is missed, or if the lossy long→double
+    // spelling ever stops refusing (`lossy_refused`). At 100 TB the
+    // point is the cost model: an admin widens a column with one
+    // KB-sized manifest commit instead of a full-table rewrite.
+    Q("q178_widen_column",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars
+        |            ELSE n_chars + 3000000000 END AS BIGINT) AS n_big,
+        |  TRUE AS widen_metadata_only, TRUE AS lossy_refused
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_widen", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("int").as("n_big"))
+      // generation 1: INT column (even ids)
+      Lake.commitOverwrite(docs.where(col("doc_id") % 2 === 0), root,
+        retain = 8, statsCols = Seq("doc_id"))
+      s.sql("DROP TABLE IF EXISTS widen_docs")
+      s.sql(s"CREATE TABLE widen_docs USING `graft-lake` OPTIONS (root '$root')")
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("ALTER TABLE widen_docs ALTER COLUMN n_big TYPE BIGINT")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs &&
+        Lake.readCommitted(s, root).schema("n_big").dataType ==
+          org.apache.spark.sql.types.LongType
+      // generation 2: BIGINT values beyond the int range (odd ids)
+      Lake.commitAppend(
+        docs.where(col("doc_id") % 2 =!= 0)
+          .withColumn("n_big", col("n_big").cast("long") + 3000000000L),
+        root, retain = 8)
+      val lossyRefused = scala.util.Try(
+        s.sql("ALTER TABLE widen_docs ALTER COLUMN n_big TYPE DOUBLE")
+      ).isFailure
+      s.sql("SELECT doc_id, n_big FROM widen_docs ORDER BY doc_id")
+        .withColumn("widen_metadata_only", lit(metadataOnly))
+        .withColumn("lossy_refused", lit(lossyRefused))
+    },
+
+    // NESTED DDL + NESTED DML under the oracle hash — the struct-heavy
+    // user's weekly pair: `ALTER TABLE … ADD COLUMN meta.tag STRING`
+    // evolves the schema with ONE manifest write (`nested_add_metadata
+    // _only` proves the data dirs are byte-identical; old files read
+    // the new field NULL via parquet schema clipping), and `UPDATE …
+    // SET meta.v = …, meta.tag = … WHERE meta.etype = …` rewrites the
+    // struct through the COW/DV update engine with `withField` —
+    // matched rows keep every unassigned sibling field, unmatched rows
+    // are untouched. The hash breaks on a dropped sibling, a missed or
+    // extra match, or a NULL-backfill error in either file generation.
+    Q("q179_nested_update",
+      """SELECT event_id, event_type AS etype,
+        |  CAST(CASE WHEN event_type = 'click' THEN value * 2
+        |            ELSE value END AS DOUBLE) AS v,
+        |  CAST(CASE WHEN event_type = 'click' THEN 'boosted'
+        |            ELSE NULL END AS VARCHAR) AS tag,
+        |  TRUE AS nested_add_metadata_only
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_nestedupd", d)
+      val ev = Tables.events(s, d).select(col("event_id"),
+        struct(col("event_type").as("etype"),
+          col("value").cast("double").as("v")).as("meta"))
+      val maxId = ev.agg(max(col("event_id"))).collect().head.getLong(0)
+      // two file generations: the second appends AFTER the nested add
+      Lake.commitOverwrite(ev.where(col("event_id") <= maxId / 2), root,
+        retain = 8, statsCols = Seq("event_id"))
+      s.sql("DROP TABLE IF EXISTS nested_upd")
+      s.sql(s"CREATE TABLE nested_upd USING `graft-lake` OPTIONS (root '$root')")
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("ALTER TABLE nested_upd ADD COLUMN meta.tag STRING")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      Lake.commitAppend(
+        ev.where(col("event_id") > maxId / 2)
+          .withColumn("meta", col("meta").withField("tag",
+            lit(null).cast("string"))),
+        root, retain = 8)
+      s.sql("UPDATE nested_upd SET meta.v = meta.v * 2, " +
+        "meta.tag = 'boosted' WHERE meta.etype = 'click'")
+      s.sql("SELECT event_id, meta.etype AS etype, meta.v AS v, " +
+        "meta.tag AS tag FROM nested_upd ORDER BY event_id")
+        .withColumn("nested_add_metadata_only", lit(metadataOnly))
+    },
+
+    // COPY INTO under the oracle hash — idempotent landing-zone
+    // ingestion (Delta's COPY INTO): half the corpus establishes the
+    // table, the other half lands as loose parquet files, one COPY
+    // loads exactly the unrecorded files, and a RE-RUN of the same
+    // statement provably loads NOTHING (`rerun_noop` — files_loaded
+    // 0 AND the version unchanged; a double-load would also double
+    // rows and break the hash). At 100 TB this is the crash-retried
+    // hourly cron that must never double-ingest: the file ledger
+    // commits atomically with the data, and each run costs O(new
+    // files) + one directory listing.
+    Q("q180_copy_into",
+      """SELECT doc_id, lang, n_chars, TRUE AS rerun_noop
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_copyinto", d)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      Lake.commitOverwrite(docs.where(col("doc_id") <= maxId / 2), root,
+        retain = 8, statsCols = Seq("doc_id"))
+      val land = scratchRoot("lake_copyinto_land", d)
+      docs.where(col("doc_id") > maxId / 2).coalesce(2)
+        .write.mode("overwrite").parquet(land)
+      s.sql("DROP TABLE IF EXISTS copy_docs")
+      s.sql(s"CREATE TABLE copy_docs USING `graft-lake` OPTIONS (root '$root')")
+      val first = s.sql(s"COPY INTO copy_docs FROM '$land'").collect().head
+      val vAfter = Lake.currentVersion(s, root).get
+      val rerun = s.sql(s"COPY INTO copy_docs FROM '$land'").collect().head
+      val noop = first.getLong(1) > 0L && rerun.getLong(1) == 0L &&
+        Lake.currentVersion(s, root).get == vAfter
+      s.sql("SELECT doc_id, lang, n_chars FROM copy_docs ORDER BY doc_id")
+        .withColumn("rerun_noop", lit(noop))
+    },
+
+    // PARTITION EVOLUTION under the oracle hash — Iceberg's
+    // forward-only spec evolution without a table rewrite: generation
+    // 1 commits day-partitioned, a re-declaration makes generation 2
+    // stage hour-partitioned, and pruning consults EACH DIR'S OWN
+    // tuple — a day predicate drops old-generation dirs exactly while
+    // honestly scanning the new ones (no tuple for day ⇒ keep), and
+    // vice versa. `mixed_prune_exact` gates both directions' prune
+    // counts; the result hash breaks if either generation's rows are
+    // missed or double-read. At 100 TB this is how a table migrates
+    // day→hour granularity with a KB manifest write, old data pruning
+    // as before, and OPTIMIZE migrating dirs lazily.
+    Q("q181_partition_evolution",
+      """SELECT doc_id, n_chars, TRUE AS mixed_prune_exact
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_partevo", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      // generation 1: day-partitioned
+      Lake.commitOverwrite(
+        docs.where(col("doc_id") <= maxId / 2)
+          .withColumn("day", col("doc_id") % 7),
+        root, retain = 8, partitionBy = Seq("day"))
+      val g1Dirs = Lake.resolve(s, root).size
+      // generation 2: re-declared HOUR-partitioned (forward-only)
+      Lake.commitAppend(
+        docs.where(col("doc_id") > maxId / 2)
+          .withColumn("day", col("doc_id") % 7)
+          .withColumn("hour", col("doc_id") % 24),
+        root, retain = 8, partitionBy = Seq("hour"))
+      val g2Dirs = Lake.resolve(s, root).size - g1Dirs
+      // day predicate: old generation prunes exactly (6 of 7 day dirs
+      // drop), new generation scans honestly (no day tuples)
+      val (_, skipDay, _) = Lake.resolveWhere(s, root, col("day") === 3L)
+      // hour predicate: new generation prunes exactly, old kept
+      val (_, skipHour, _) = Lake.resolveWhere(s, root, col("hour") === 11L)
+      val pruneExact = g1Dirs == 7 && g2Dirs == 24 &&
+        skipDay.size == 6 && skipHour.size == 23
+      Lake.readCommittedWhere(s, root, col("day") === 3L)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+        .withColumn("mixed_prune_exact", lit(pruneExact))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

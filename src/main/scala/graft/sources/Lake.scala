@@ -147,6 +147,40 @@ object Lake {
         n.stripPrefix("_commit_").toLongOption }
       .flatten.toSeq.sorted
 
+  /** Pin the OCC slot for a commit that carries state read from
+    * snapshot `cur` — the version [[currentVersion]] actually
+    * resolved. The slot is `cur + 1`, NOT `max(markers) + 1` from a
+    * second listing: a commit landing between the snapshot read and
+    * the listing would otherwise shift the pin past its own slot, and
+    * the put-if-absent publish would SUCCEED while carrying dirs/props
+    * read from the stale snapshot — silently dropping the interleaved
+    * commit (the exact lost update the pin exists to prevent). Pinning
+    * `cur + 1` makes that race collide at the interloper's marker and
+    * refuse loudly instead.
+    *
+    * The only slots skipped are those owned by markers whose data dirs
+    * are provably LOST (out-of-protocol damage: `currentVersion`
+    * defensively ignored them, but their numbers are burned — a
+    * publish there would conflict forever). A healthy newer marker is
+    * an interleaved commit and the pin stops at it. A marker that
+    * vanishes mid-check was retention-pruned; its slot is treated as
+    * contested and the publish itself decides. */
+  private def pinSlot(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      cur: Long): Long = {
+    var next = cur + 1
+    val newer = committedVersions(fs, r).filter(_ > cur)
+    var halted = false
+    newer.foreach { v =>
+      if (!halted && v == next) {
+        val defective =
+          try !manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d)))
+          catch { case _: java.io.FileNotFoundException => false }
+        if (defective) next = v + 1 else halted = true
+      }
+    }
+    next
+  }
+
   // Manifest body = newline-separated data-dir names, plus optional
   // `#`-prefixed metadata lines. `#schema=<DataType json>` records the
   // committed table schema: appends MERGE it (add-nullable-column
@@ -176,6 +210,46 @@ object Lake {
         size() > manifestCacheMax
     }
 
+  // ---- protocol feature gates (Delta's table-features contract) ----
+  //
+  // A semantics-bearing manifest line changes WHICH ROWS a snapshot
+  // contains or HOW its bytes map to columns — a reader that merely
+  // skipped it (the default for unknown `#` lines) would return wrong
+  // answers silently: a pre-DV build would resurrect soft-deleted
+  // rows, a pre-colmap build would read dropped columns' bytes back.
+  // So every commit that writes such a construct stamps a
+  // `#require=<feature,…>` line naming EXACTLY the features its
+  // snapshot carries, and every manifest parse REFUSES a `#require=`
+  // naming a feature this build does not recognize — loudly, before
+  // any interpretation happens (read, commit-on-top, vacuum, history
+  // — they all parse through [[manifestBody]]). Unknown `#` lines
+  // WITHOUT a `#require=` entry keep reading as before: that is the
+  // forward-compat channel for OPTIONAL metadata (stats, blooms,
+  // props — losing them degrades performance, never correctness).
+  // Legacy manifests have no `#require=` line and read unchanged.
+  private[sources] val RequirePrefix = "#require="
+
+  /** Reader/writer features this build understands: merge-on-read
+    * deletion vectors, column mapping (rename/drop as metadata),
+    * identity columns, generated partition columns, hash-bucketed
+    * layout, and forward-only partition-spec evolution. */
+  private[sources] val SupportedFeatures: Set[String] =
+    Set("dv", "colmap", "identity", "genpart", "bucket", "partevo")
+
+  private def checkRequiredFeatures(p: Path, lines: Seq[String]): Unit =
+    lines.find(_.startsWith(RequirePrefix)).foreach { l =>
+      val unknown = l.stripPrefix(RequirePrefix).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).filterNot(SupportedFeatures).toSeq
+      if (unknown.nonEmpty) throw new UnsupportedOperationException(
+        s"the manifest $p requires table feature(s) " +
+          unknown.sorted.mkString("[", ", ", "]") +
+          " this build does not support — reading (or committing on " +
+          "top) would silently misinterpret the snapshot, e.g. " +
+          "resurrect soft-deleted rows or misread remapped columns; " +
+          "upgrade the engine to one that lists them in " +
+          "Lake.SupportedFeatures")
+    }
+
   private def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] = {
     val p = new Path(r, s"_commit_$v")
@@ -185,8 +259,10 @@ object Lake {
     manifestCache.synchronized {
       val hit = manifestCache.get(key)
       if (hit != null && hit._1 == st.getModificationTime &&
-          hit._2 == st.getLen)
+          hit._2 == st.getLen) {
+        checkRequiredFeatures(p, hit._3)
         return hit._3
+      }
     }
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -195,6 +271,7 @@ object Lake {
     manifestCache.synchronized {
       manifestCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
     }
+    checkRequiredFeatures(p, lines)
     lines
   }
 
@@ -838,7 +915,7 @@ object Lake {
     require(bad == 0,
       s"cannot add constraint '$name': $bad existing rows violate " +
         s"`$sqlExpr` — clean the table first (Delta's ADD CONSTRAINT rule)")
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
         checks = Some(prev :+ (name -> sqlExpr)),
@@ -861,7 +938,7 @@ object Lake {
     require(prev.exists(_._1 == name),
       s"no constraint '$name' on $root (have: " +
         prev.map(_._1).mkString("[", ", ", "]") + ")")
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
         checks = Some(prev.filterNot(_._1 == name)),
@@ -960,7 +1037,7 @@ object Lake {
       throw new java.util.NoSuchElementException(
         s"no committed table at $root"))
     val merged = manifestProps(fs, r, cur) ++ props
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
         props = Some(merged),
@@ -987,7 +1064,7 @@ object Lake {
     if (!ifExists) require(missing.isEmpty,
       s"cannot UNSET absent table properties on $root: " +
         missing.sorted.mkString("[", ", ", "]") + " (use IF EXISTS)")
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
         props = Some(have -- keys),
@@ -1232,7 +1309,8 @@ object Lake {
   }.toOption.flatten
 
   /** Derivation-safety profile of a generated expression that is NOT
-    * on the monotone whitelist: (deterministic, nullPreserving).
+    * on the monotone whitelist: (deterministic, nullPreserving,
+    * tzDependent).
     * Determinism is read off the ANALYZED tree (the unresolved one
     * reports children-only determinism, so `rand()` would lie) and
     * additionally refuses the query-time-anchored family
@@ -1243,12 +1321,23 @@ object Lake {
     * literal — the only exact check for arbitrary expressions
     * (`coalesce(x, 0)`, `isnull(x)`, `hash(x) % 16` all correctly
     * fail it, so `x IS NULL` never derives `p IS NULL` for them).
+    * tzDependent is true when the ANALYZED tree contains any
+    * session-zone-anchored node (`TimeZoneAwareExpression`, or a
+    * `Cast` whose from/to pair needs a zone) — REGARDLESS of the
+    * source column's type: `from_unixtime(x)` over a LongType x and
+    * `date_trunc` over a DateType x both evaluate in the session
+    * zone, so a cross-zone reader would map predicate values
+    * differently than the writer materialized partition values and
+    * prune dirs that contain matching rows. Callers refuse every
+    * derivation of a tz-dependent expression unless the reading
+    * session's zone matches the establishing writer's (`#gentz`).
     * None when the expression refuses to resolve. */
   private def genExprProfile(spark: SparkSession, text: String,
       srcCol: String, srcType: org.apache.spark.sql.types.DataType):
-      Option[(Boolean, Boolean)] = scala.util.Try {
+      Option[(Boolean, Boolean, Boolean)] = scala.util.Try {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.{Cast,
+      TimeZoneAwareExpression, Literal => CLit}
     val substituted = spark.sessionState.sqlParser.parseExpression(text)
       .transform {
         case a: UnresolvedAttribute if a.nameParts == Seq(srcCol) =>
@@ -1258,11 +1347,17 @@ object Lake {
       .select(org.apache.spark.sql.graft.Shim.column(substituted))
     val timeAnchored = Set("currentdate", "currenttimestamp", "now",
       "localtimestamp", "currenttimezone", "currenttime")
-    val det = df.queryExecution.analyzed.expressions.forall(e =>
+    val analyzed = df.queryExecution.analyzed.expressions
+    val det = analyzed.forall(e =>
       e.deterministic && e.find(c => timeAnchored.contains(
         c.nodeName.toLowerCase(java.util.Locale.ROOT))).isEmpty)
+    val tzDep = analyzed.exists(e => e.find {
+      case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+      case _: TimeZoneAwareExpression => true
+      case _ => false
+    }.isDefined)
     val nullAtNull = det && df.collect().head.isNullAt(0)
-    (det, nullAtNull)
+    (det, nullAtNull, tzDep)
   }.toOption
 
   /** Extra prunable conjuncts on GENERATED columns, derived from the
@@ -1297,20 +1392,28 @@ object Lake {
           else {
           import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
           val srcType = srcFieldOpt.get.dataType
-          // range derivation needs a TEMPORAL source (Delta's gate):
-          // lexical string order is not monotone under date parsing
-          // (' 2021-03-04' < '2020-1-5' lexically), so a string-typed
-          // source falls back to equality-only derivation
-          val monotone = monotone0 && (srcType == DateType ||
-            srcType == TimestampType || srcType == TimestampNTZType)
           // the monotone whitelist (year/to_date/date_trunc/trunc/
           // cast-to-date) is deterministic and NULL-preserving by
           // construction; an eqOnly-classified expression must PROVE
           // both before ANY derivation happens (PEq needs determinism,
           // PNull additionally needs f(NULL) = NULL)
           lazy val prof = genExprProfile(spark, text, src, srcType)
-          val detOk = monotone0 || prof.exists(_._1)
-          val nullOk = monotone0 || prof.exists(p => p._1 && p._2)
+          // session-zone safety gates EVERY derivation, not just
+          // timestamp sources: `from_unixtime(x)` over a long and
+          // `date_trunc` over a date are both zone-anchored, so a
+          // cross-zone reader maps values differently than the writer
+          // did. Safe when the zones match (tzOk) or the analyzed tree
+          // is proven zone-free; when the profile refuses to resolve,
+          // refuse derivation under a mismatched zone.
+          val tzSafe = tzOk || prof.exists(!_._3)
+          // range derivation needs a TEMPORAL source (Delta's gate):
+          // lexical string order is not monotone under date parsing
+          // (' 2021-03-04' < '2020-1-5' lexically), so a string-typed
+          // source falls back to equality-only derivation
+          val monotone = monotone0 && tzSafe && (srcType == DateType ||
+            srcType == TimestampType || srcType == TimestampNTZType)
+          val detOk = tzSafe && (monotone0 || prof.exists(_._1))
+          val nullOk = tzSafe && (monotone0 || prof.exists(p => p._1 && p._2))
           preds.filter(_.col == src).flatMap { pr =>
             def at(nv: NormVal): Option[NormVal] =
               evalGenAt(spark, text, src, srcFieldOpt.get.dataType, nv)
@@ -1348,6 +1451,78 @@ object Lake {
           }
       }
     }
+  }
+
+  // ---- COPY INTO (idempotent landing-zone ingestion) ----------------
+  //
+  // `#ingested=<fileName>:<len>` manifest lines record which landing
+  // files a table has already loaded (Delta's COPY INTO file ledger):
+  // re-running the same COPY commits NOTHING, so a crash-retried cron
+  // never double-loads. Entries are SELF-BOUNDED: each COPY keeps only
+  // the entries whose file still exists in the landing dir (a file
+  // removed from the zone can never re-ingest, so its entry carries no
+  // information) — the ledger is O(landing dir), not O(history).
+  // Dedup keys on the NAME alone (Delta's rule): a landing file
+  // rewritten in place is NOT reloaded — landing zones are
+  // append-only by contract, and re-loading a mutated file would
+  // double its rows.
+  private val IngestedPrefix = "#ingested="
+
+  private[graft] def manifestIngested(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(IngestedPrefix) => l.stripPrefix(IngestedPrefix)
+    }
+
+  /** `COPY INTO <table> FROM '<dir>'`: append every parquet file of
+    * the landing dir that is not yet in the table's ingestion ledger,
+    * as ONE ordinary append commit (schema evolution, CHECK
+    * constraints, partition/bucket layout, identity allocation — the
+    * full staging choke point applies) that atomically records the
+    * loaded file names. Idempotent: a re-run lists, finds every file
+    * recorded, and commits nothing. Concurrency: the commit refuses
+    * (loudly) if ANY commit interleaves — a lost race means the
+    * ledger this COPY read may be stale, and the re-run the error
+    * demands re-reads it, skipping whatever the winner loaded. At
+    * 100 TB the cost model is O(new files): the listing is one
+    * directory scan and the append stages only unrecorded files.
+    * @return (committed version, files ingested this run) */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+      retain: Int = -1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): (Long, Long) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root — COPY INTO loads into an " +
+          "existing table; establish it with commitOverwrite/CREATE TABLE"))
+    val sfs = fsFor(spark, srcDir)
+    val sp = new Path(srcDir)
+    require(sfs.exists(sp), s"COPY INTO source dir does not exist: $srcDir")
+    require(sfs.makeQualified(sp) != fs.makeQualified(r),
+      "COPY INTO source must not be the table root itself")
+    val landing = sfs.listStatus(sp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .toSeq.sortBy(_._1)
+    landing.foreach { case (n, _) => require(!n.exists(":=,\n#".contains(_)),
+      s"landing file name '$n' cannot ride the ingestion ledger") }
+    val landingNames = landing.map(_._1).toSet
+    val prevLedger = manifestIngested(fs, r, cur)
+    val recordedNames = prevLedger.map(_.takeWhile(_ != ':')).toSet
+    val newFiles = landing.filterNot { case (n, _) => recordedNames(n) }
+    if (newFiles.isEmpty) return (cur, 0L)
+    val keptLedger = prevLedger.filter(e =>
+      landingNames(e.takeWhile(_ != ':')))
+    val ledger = keptLedger ++ newFiles.map { case (n, l) => s"$n:$l" }
+    val df = spark.read.parquet(
+      newFiles.map { case (n, _) => new Path(sp, n).toString }: _*)
+    val v = commitAppend(df, root, retain = retain, statsCols = statsCols,
+      bloomCols = bloomCols, op = s"copy into from $srcDir",
+      ingested = Some(ledger), requireBase = Some(cur))
+    (v, newFiles.size.toLong)
   }
 
   // ---- column mapping (rename / drop as metadata) ------------------
@@ -1529,7 +1704,7 @@ object Lake {
       (if (phys == newName) Nil else Seq(newName -> phys))
     val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
       f => if (f.name == oldName) f.copy(name = newName) else f))
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         Some(newSchema), manifestRows(fs, r, cur),
         colMap = Some(newMap),
@@ -1589,7 +1764,7 @@ object Lake {
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
     val retired = manifestRetired(fs, r, cur)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         Some(newSchema), manifestRows(fs, r, cur),
         colMap = Some(map - name),
@@ -1636,7 +1811,7 @@ object Lake {
         org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
     val newMap = allocPhysical(newSchema, manifestColMap(fs, r, cur),
       manifestRetired(fs, r, cur), cur + 1)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         Some(newSchema), manifestRows(fs, r, cur),
         colMap = Some(newMap),
@@ -1644,6 +1819,165 @@ object Lake {
       throw new java.util.ConcurrentModificationException(
         s"adding columns on $root lost version $next to a concurrent " +
           "commit — retry against the current table")
+    next
+  }
+
+  /** Insert a nullable field named `path.last` into the struct at
+    * `path.init` — the schema-surgery core of nested ADD COLUMN.
+    * Refuses a missing/non-struct intermediate and an existing leaf;
+    * array/map interiors refuse (a per-element add has no single
+    * NULL-backfill story in old files). */
+  private def addFieldAt(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String],
+      dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(path.nonEmpty, "empty column path")
+    if (path.length == 1) {
+      require(!schema.fieldNames.contains(path.head),
+        s"field '${path.head}' already exists")
+      StructType(schema.fields :+
+        StructField(path.head, dt, nullable = true))
+    } else {
+      val i = schema.fieldNames.indexOf(path.head)
+      require(i >= 0, s"no field '${path.head}'")
+      schema.fields(i).dataType match {
+        case st: StructType =>
+          val rebuilt = schema.fields.clone()
+          rebuilt(i) = rebuilt(i).copy(
+            dataType = addFieldAt(st, path.tail, dt))
+          StructType(rebuilt)
+        case other => throw new IllegalArgumentException(
+          s"'${path.head}' is ${other.simpleString}, not a struct — " +
+            "cannot add a field inside it")
+      }
+    }
+  }
+
+  /** `ALTER TABLE t ADD COLUMN meta.x <type>`: add a NULLABLE field
+    * inside a struct column — one manifest schema commit, zero data
+    * I/O. Old files lack the field and read it NULL (parquet schema
+    * clipping), exactly like a top-level add; new files write it.
+    * The container keeps its frozen physical name under column
+    * mapping (nested names ride inside it verbatim), so stats,
+    * blooms and pushdown on OTHER nested fields are untouched.
+    * Identity / generated / bucket / constraint declarations are
+    * top-level-only constructs, so a nested add can never collide
+    * with them. */
+  def addNestedColumn(spark: SparkSession, root: String,
+      path: Seq[String], dt: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long = {
+    require(path.length >= 2,
+      s"addNestedColumn needs a nested path (got ${path.mkString(".")}) " +
+        "— use addColumns for top-level columns")
+    path.foreach(seg => require(
+      seg.nonEmpty && !seg.exists("=,\n#:.".contains(_)),
+      s"column path segment '$seg' may not be empty or contain " +
+        "'=', ',', ':', '#', '.', or newline"))
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then add columns"))
+    requireNotFoldTable(fs, r, "add columns to")
+    val newSchema =
+      try addFieldAt(schema, path, dt)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot add ${path.mkString(".")} at $root: ${e.getMessage}")
+      }
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = s"add nested column ${path.mkString(".")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding a nested column on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>`: LOSSLESS type
+    * widening as one manifest schema commit — zero data I/O. Old
+    * files keep their narrower physical type and read UPCAST under
+    * the widened `#schema` (the parquet reader's widening conversion,
+    * the same machinery append/merge schema evolution already relies
+    * on); new files write the wide type. Admissible widenings are
+    * exactly [[widenedType]]'s (byte→short→int→long, float→double,
+    * small-integral→double, recursively inside structs/arrays);
+    * anything lossy — long→double above all — refuses with the
+    * schema-evolution rule's message. Same-type is an idempotent
+    * no-op.
+    *
+    * Refused for columns whose MATERIALIZED artifacts hash or derive
+    * from the narrow type: bucket columns (bucket assignment hashes
+    * the value's byte width — int 5 and long 5 land in different
+    * buckets), generated partition columns and their sources (stored
+    * dir tuples froze values computed at the narrow type; `hash(x)`
+    * derivations would diverge), and the identity column (its domain
+    * is fixed LongType). Range stats, blooms and partition tuples
+    * survive widening: they compare through the width-independent
+    * normalized domain (BigDecimal / putLong). */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then alter types"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' at $root (have: " +
+          schema.fieldNames.mkString("[", ", ", "]") + ")"))
+    require(!manifestIdentity(fs, r, cur).exists(_._1 == name),
+      s"cannot alter the identity column '$name' — its domain is " +
+        "fixed LongType")
+    if (field.dataType == newType) return cur // idempotent no-op
+    val widened = widenedType(field.dataType, newType)
+    require(widened.contains(newType),
+      s"ALTER COLUMN TYPE supports lossless widening only; '$name' " +
+        s"cannot change ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString}. Rewrite the table (commitOverwrite) " +
+        "to change a column's type.")
+    requireNotFoldTable(fs, r, "alter a column type on")
+    manifestBucketBy(fs, r, cur).foreach { case (_, cols) =>
+      require(!cols.contains(name),
+        s"cannot widen bucket column '$name': bucket assignment hashes " +
+          "the stored width, so existing dirs would stop satisfying " +
+          "the bucketed read contract — re-layout with commitOverwrite")
+    }
+    val gens = manifestGenParts(fs, r, cur)
+    require(!gens.exists(_._1 == name),
+      s"cannot alter generated column '$name' — its stored dir values " +
+        "froze under the generation expression")
+    // reference check parses the stored text directly (classification
+    // may refuse an expression that still references the column)
+    val genSrcRefs = gens.collect {
+      case (c, text) if scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(text).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head
+          }).getOrElse(Seq(name)).contains(name) => c
+    }
+    require(genSrcRefs.isEmpty,
+      s"cannot widen '$name': generated column(s) " +
+        genSrcRefs.mkString("[", ", ", "]") + " derive from it and " +
+        "their stored dir values froze at the narrow type")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == name) f.copy(dataType = newType) else f))
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = s"alter column $name type ${newType.simpleString}"))
+      throw new java.util.ConcurrentModificationException(
+        s"altering column type on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
     next
   }
 
@@ -1939,14 +2273,16 @@ object Lake {
     if (entries.forall(_._2.isEmpty)) None else Some(new DvSet(entries))
   }
 
-  private def dvColumn(spark: SparkSession, dvs: Map[String, String]):
+  private def dvColumn(spark: SparkSession, dvs: Map[String, String],
+      cacheKey: Option[(String, Long)] = None):
       Option[org.apache.spark.sql.Column] = dvEntries(dvs).map { set =>
     import org.apache.spark.sql.functions.{col, substring_index}
     import org.apache.spark.sql.graft.Shim
     val key = substring_index(col("_metadata.file_path"), "/", -2)
     Shim.column(DvApplied()) &&
       !Shim.column(DvContains(Shim.expression(key),
-        Shim.expression(col("_metadata.row_index")), dvCarrier(spark, set)))
+        Shim.expression(col("_metadata.row_index")),
+        dvCarrier(spark, set, cacheKey)))
   }
 
   /** Ship threshold: position sets at or above this embed as an
@@ -1955,10 +2291,51 @@ object Lake {
     * broadcast bookkeeping. */
   private[sources] final val DvBroadcastMinPositions = 4096L
 
-  private[sources] def dvCarrier(spark: SparkSession, set: DvSet): DvCarrier =
-    if (set.totalPositions >= DvBroadcastMinPositions)
-      DvBroadcastRef(spark.sparkContext.broadcast(set))
-    else DvInline(set)
+  // One snapshot ships ONE broadcast: repeated reads of a DV-heavy
+  // table reuse the (root, version) entry instead of re-broadcasting
+  // the full position set per read assembly / analyzer-rule pass and
+  // leaving the blocks to accumulate until ContextCleaner happens to
+  // run. Hits VALIDATE structurally (manifests are immutable in
+  // protocol, but test scenarios and hand surgery are not) and
+  // evicted/invalidated entries unpersist their blocks eagerly.
+  private val dvBcCacheMax = 32
+  private val dvBcCache = new java.util.LinkedHashMap[
+      (String, Long), org.apache.spark.broadcast.Broadcast[DvSet]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Long), org.apache.spark.broadcast.Broadcast[DvSet]]):
+        Boolean = {
+      val evict = size() > dvBcCacheMax
+      if (evict) scala.util.Try(e.getValue.unpersist(blocking = false))
+      evict
+    }
+  }
+
+  private def sameDvSet(a: DvSet, b: DvSet): Boolean =
+    a.entries.keySet == b.entries.keySet &&
+      a.entries.forall { case (k, ps) => b.entries(k).sameElements(ps) }
+
+  private[sources] def dvCarrier(spark: SparkSession, set: DvSet,
+      cacheKey: Option[(String, Long)] = None): DvCarrier =
+    if (set.totalPositions < DvBroadcastMinPositions) DvInline(set)
+    else cacheKey match {
+      case None => DvBroadcastRef(spark.sparkContext.broadcast(set))
+      case Some(k) => dvBcCache.synchronized {
+        val hit = dvBcCache.get(k)
+        val valid = hit != null &&
+          scala.util.Try(sameDvSet(hit.value, set)).getOrElse(false)
+        val bc =
+          if (valid) hit
+          else {
+            if (hit != null)
+              scala.util.Try(hit.unpersist(blocking = false))
+            val fresh = spark.sparkContext.broadcast(set)
+            dvBcCache.put(k, fresh)
+            fresh
+          }
+        DvBroadcastRef(bc)
+      }
+    }
 
   /** The live DV position index of one snapshot for index-planned
     * reads ([[LakeFileIndex.relation]] and [[GraftLakeDvRule]] build
@@ -1987,7 +2364,11 @@ object Lake {
     }
     val want = dirs.toSet
     val dvs = manifestDvsRaw(fs, r, version).filter { case (d, _) => want(d) }
-    val withDv = dvColumn(spark, dvs).map(base.where).getOrElse(base)
+    // dir-subset reads key the broadcast cache by subset too — a full
+    // snapshot read at the same version keeps its own entry
+    val subKey = r.toString + "#" + want.toSeq.sorted.mkString(",").hashCode
+    val withDv = dvColumn(spark, dvs, Some((subKey, version)))
+      .map(base.where).getOrElse(base)
     schema match {
       case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
       case _ => withDv
@@ -2003,14 +2384,20 @@ object Lake {
       s"partition column name '$c' may not contain '=', ',', '#', or newline"))
     val prev = committedVersions(fs, r).lastOption
       .map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
-    if (want.isEmpty) prev
-    else {
-      require(prev.isEmpty || prev == want,
-        s"table at $r is partitioned by (${prev.mkString(", ")}); a commit " +
-          s"cannot re-partition it by (${want.mkString(", ")}) — one layout " +
-          "per table (write a new root to re-layout)")
-      want
-    }
+    // FORWARD-ONLY partition evolution (Iceberg's spec evolution,
+    // without a rewrite): a commit may RE-DECLARE the layout — the new
+    // `#partcols` governs how THIS and future commits stage, while
+    // every old dir keeps its recorded `#part_` tuple. Pruning is
+    // per-dir-tuple (a predicate on a column a dir has no tuple for
+    // keeps the dir — honest degradation to scan, never a wrong
+    // prune), so BOTH generations keep pruning on their own keys; the
+    // native partition-aware scan shape (partitionLayoutAt) requires a
+    // uniformly-tupled snapshot and degrades the same way. OPTIMIZE
+    // migrates old dirs: a compaction/z-order re-stages their rows
+    // under the CURRENT declaration. Old builds read evolved tables
+    // safely through the same keep-when-untupled rule, so evolution
+    // stamps no `#require=` feature.
+    if (want.isEmpty) prev else want
   }
 
   /** Types a partition value can normalize to (the [[normLit]] set) —
@@ -2489,7 +2876,8 @@ object Lake {
     // (paths may be pruned FILE paths — the vector keys by dir
     // basename + file, so the restriction to "whole snapshot" is
     // only ever a no-op lookup, never a wrong row)
-    val withDv = dvColumn(spark, manifestDvsRaw(fs, r, cur))
+    val withDv = dvColumn(spark, manifestDvsRaw(fs, r, cur),
+        Some((r.toString, cur)))
       .map(base.where).getOrElse(base)
     val logical = schemaOpt match {
       case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
@@ -2739,7 +3127,8 @@ object Lake {
       // pre-schema table can be DV-deleted like any other)
       case None =>
         val df = spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
-        dvColumn(spark, manifestDvsRaw(fs, r, version))
+        dvColumn(spark, manifestDvsRaw(fs, r, version),
+            Some((r.toString, version)))
           .map(df.where).getOrElse(df)
     }
   }
@@ -2981,7 +3370,7 @@ object Lake {
         s"v$cur — restored dirs would not satisfy the current bucketed " +
         "read contract; re-layout with commitOverwrite instead")
     val dirs = manifestDirs(fs, r, version)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, dirs, retain,
         Some(schema), manifestRows(fs, r, version),
         newStats = manifestStatsRaw(fs, r, version),
@@ -3452,6 +3841,7 @@ object Lake {
       partColsReplace: Option[Seq[String]] = None,
       props: Option[Map[String, String]] = None,
       identity: Option[Option[(String, Long)]] = None,
+      ingested: Option[Seq[String]] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -3518,6 +3908,10 @@ object Lake {
     // the rows that consumed it; restore re-points both)
     val effIdentity = identity.getOrElse(
       prevV.flatMap(v => manifestIdentity(fs, r, v)))
+    // the COPY INTO file ledger inherits (a plain append between two
+    // COPYs must not amnesia the loaded set); Some(…) replaces
+    val effIngested = ingested.getOrElse(
+      prevV.map(v => manifestIngested(fs, r, v)).getOrElse(Nil))
     // retention is TABLE state (graft.retain) unless this call passed
     // an explicit override — resolved against effProps, so a commit
     // that SETS the property is already governed by it
@@ -3537,6 +3931,18 @@ object Lake {
       (if (dvsReplace) newDvs.get(d)
        else newDvs.get(d).orElse(prevDvs.get(d)))
         .map(j => DvPrefix + d + "=" + j))
+    // protocol gate: name EXACTLY the semantics-bearing features this
+    // snapshot carries (derived from the effective lines, so a commit
+    // that materializes a feature away — REORG purging the last DV,
+    // say — drops the requirement with it). Readers that don't
+    // recognize a named feature refuse the manifest instead of
+    // misreading it; see RequirePrefix.
+    val features =
+      (if (dvLines.nonEmpty) Seq("dv") else Nil) ++
+      (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
+      (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
+      (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
+      (if (effBucket.nonEmpty) Seq("bucket") else Nil)
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -3569,6 +3975,9 @@ object Lake {
       (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
       effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
       effIdentity.map { case (c, n) => IdentityPrefix + c + ":" + n } ++
+      effIngested.map(IngestedPrefix + _) ++
+      (if (features.nonEmpty) Seq(RequirePrefix + features.mkString(","))
+       else Nil) ++
       statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
@@ -3853,7 +4262,10 @@ object Lake {
         bucketBy = effBucket, colMap = newMap)
     // allocate past EVERY committed marker, not just the live one: a
     // defensively-ignored manifest (data dirs lost) still owns its
-    // number, and publishing onto it would conflict forever
+    // number, and publishing onto it would conflict forever. An
+    // overwrite REPLACES the table — it carries no prior-snapshot
+    // state — so (unlike the pinSlot commits) a freshest-marker
+    // allocation loses nothing to an interleaved commit it supersedes.
     val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
     if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
@@ -3894,7 +4306,9 @@ object Lake {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       op: String = "append", partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      generatedColumns: Map[String, String] = Map.empty): Long = {
+      generatedColumns: Map[String, String] = Map.empty,
+      ingested: Option[Seq[String]] = None,
+      requireBase: Option[Long] = None): Long = {
     require(retain >= -1,
       s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     require(!op.contains("\n"), "op must be a single manifest line")
@@ -3974,6 +4388,19 @@ object Lake {
     while (true) {
       attempt += 1
       val committed = committedVersions(fs, r)
+      // ledger-carrying commits (COPY INTO) must extend EXACTLY the
+      // snapshot whose ledger they read: any interleaved commit means
+      // the merged `ingested` list may be stale, so refuse loudly and
+      // let the re-run re-read it (idempotence skips the loaded files)
+      requireBase.foreach { b =>
+        if (committed.lastOption != Some(b)) {
+          dropStaged()
+          throw new java.util.ConcurrentModificationException(
+            s"COPY INTO $root raced a concurrent commit past its base " +
+              s"v$b — re-run; files the winner already recorded will " +
+              "be skipped")
+        }
+      }
       if (base >= 0 && !committed.contains(base)) {
         dropStaged()
         throw new java.util.ConcurrentModificationException(
@@ -4102,6 +4529,7 @@ object Lake {
           colMap = Some(mergedMap),
           genParts = Some(effGen), genTz = genTzEst,
           identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
+          ingested = ingested,
           op = op))
         return next
       // lost the slot: a concurrent writer committed `next` first.
@@ -4175,7 +4603,7 @@ object Lake {
     // landing during those jobs takes this number and our publish —
     // which would otherwise republish the stale snapDirs over the
     // interloper's dirs and vectors — fails loudly instead
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     afterSlotPin()
     val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val base = readCommittedAt(spark, root, cur)
@@ -4407,7 +4835,7 @@ object Lake {
     // number and our publish then fails loudly instead of silently
     // republishing the stale snapDirs over the interloper's commit
     // (lost update) — the COW invariant, shared by the DV fast path
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     afterSlotPin()
     val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val stats = manifestStatsRaw(fs, r, cur)
@@ -4596,7 +5024,7 @@ object Lake {
     // commit during the hits/staging jobs takes this number and our
     // publish fails loudly instead of clobbering it (DV and COW paths
     // share the invariant)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     afterSlotPin()
     val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val stats = manifestStatsRaw(fs, r, cur)
@@ -4675,7 +5103,8 @@ object Lake {
         val copies0 = readDirsWithDv(spark, fs, r, cur, touched, carried)
           .where(coalesce(predicate, lit(false)))
         val copies = set.foldLeft(copies0) { case (df, (c, expr)) =>
-          df.withColumn(c, expr.cast(schema(c).dataType))
+          df.withColumn(c, expr.cast(
+            org.apache.spark.sql.graft.Shim.asNullableType(schema(c).dataType)))
         }
         validateChecks(fs, r, copies, "update")
         val effStatsDv = effectiveStatsCols(fs, r, Nil)
@@ -4704,7 +5133,9 @@ object Lake {
     val hit = coalesce(predicate, lit(false))
     val updated = set.foldLeft(base) { case (df, (c, expr)) =>
       val field = schema(c)
-      df.withColumn(c, when(hit, expr.cast(field.dataType)).otherwise(col(c)))
+      df.withColumn(c, when(hit, expr.cast(
+        org.apache.spark.sql.graft.Shim.asNullableType(field.dataType)))
+        .otherwise(col(c)))
     }
     val effStats = effectiveStatsCols(fs, r, Nil)
     val effBloom = effectiveBloomCols(fs, r, Nil)
@@ -4785,7 +5216,7 @@ object Lake {
         s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
     val snapDirs = manifestDirs(fs, r, cur)
     // slot pinned before the probe/rewrite jobs — see mergeCommitted
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     afterSlotPin()
     val carried = manifestSchema(fs, r, cur)
     val base = readCommittedAt(spark, root, cur)
@@ -5069,7 +5500,7 @@ object Lake {
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     val snapDirs = manifestDirs(fs, r, cur)
     // maintenance OCC: slot pinned before any job (see deleteWhere)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     afterSlotPin()
     val dvs = manifestDvsRaw(fs, r, cur)
     val cmap = manifestColMap(fs, r, cur)
@@ -5260,7 +5691,7 @@ object Lake {
       // DV-aware: compaction materializes the collapsed dirs' vectors
       else readDirsWithDv(spark, fs, r, cur, smallDirs, carried)
     val df = base.repartition(n)
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     val effStats = effectiveStatsCols(fs, r, Nil)
     val effBloom = effectiveBloomCols(fs, r, Nil)
     // compaction PRESERVES the declared partition layout: on a
@@ -5464,7 +5895,7 @@ object Lake {
           .sortWithinPartitions(col("__graft_z"))
           .drop("__graft_z")
       }
-    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val next = pinSlot(fs, r, cur)
     val effStats = (effectiveStatsCols(fs, r, Nil) ++ cols0).distinct
     val effBloom = effectiveBloomCols(fs, r, Nil)
     val effPart = manifestPartCols(fs, r, cur)

@@ -71,11 +71,14 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
             .map(LakeDml.unresolve(_, tOut, None, Map.empty, None,
               "UPDATE condition"))
             .getOrElse(org.apache.spark.sql.functions.lit(true))
-          val set = u.assignments.map(a =>
-            LakeDml.assignmentName(a, "UPDATE SET") ->
+          // assignment keys may be NESTED fields (`SET meta.v = …`):
+          // each resolves to its full path; the command composes the
+          // nested ones into a struct rewrite of the top-level column
+          val assigns = u.assignments.map(a =>
+            LakeDml.assignmentPath(a.key, "UPDATE SET") ->
               LakeDml.unresolve(a.value, tOut, None, Map.empty, None,
-                "UPDATE SET value")).toMap
-          GraftLakeUpdateCommand(root, cond, set, ident)
+                "UPDATE SET value"))
+          GraftLakeUpdateCommand(root, cond, assigns, ident)
         case None => plan
       }
     case m: MergeIntoTable =>
@@ -235,6 +238,56 @@ private[sources] object LakeDml {
         s"tables; got `${other.sql}`")
   }
 
+  /** Assignment key as a column PATH — `meta.v` resolves to
+    * Seq(meta, v) through the analyzer's GetStructField chain, a
+    * plain column to its single-element path. Anything else (array
+    * element, map value) refuses loudly. */
+  def assignmentPath(e: Expression, what: String): Seq[String] = e match {
+    case ar: AttributeReference => Seq(ar.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      assignmentPath(g.child, what) :+ g.extractFieldName
+    case other => throw new UnsupportedOperationException(
+      s"$what supports plain and struct-field column assignment for " +
+        s"graft-lake tables; got `${other.sql}`")
+  }
+
+  /** Compose per-path assignments into the top-level SET map the COW
+    * update engine models: nested paths rewrite their container with
+    * `withField` (rows outside the predicate are untouched; matched
+    * rows keep every unassigned sibling field). A plain assignment and
+    * a nested one to the same column conflict and refuse. */
+  def composeAssignments(assigns: Seq[(Seq[String], Column)]):
+      Map[String, Column] = {
+    require(assigns.map(_._1).distinct.length == assigns.length,
+      "duplicate assignment targets in SET")
+    assigns.groupBy(_._1.head).map { case (head, as) =>
+      val (plain, nested) = as.partition(_._1.length == 1)
+      require(plain.isEmpty || nested.isEmpty,
+        s"conflicting assignments to '$head': both the column and its " +
+          "nested field(s) are SET in one statement")
+      if (nested.isEmpty) head -> plain.head._2
+      else head -> nested.foldLeft(
+          org.apache.spark.sql.functions.col(head)) {
+        case (acc, (path, v)) => acc.withField(path.tail.mkString("."), v)
+      }
+    }
+  }
+
+  /** Does `path` name an existing (possibly nested) field? Guards the
+    * nested UPDATE: `withField` silently ADDS an absent field, which
+    * would drift rewritten rows off the committed schema. */
+  def fieldPathExists(schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Boolean = path match {
+    case Seq(last) => schema.fieldNames.contains(last)
+    case head +: rest => schema.fields.find(_.name == head)
+      .map(_.dataType).exists {
+        case st: org.apache.spark.sql.types.StructType =>
+          fieldPathExists(st, rest)
+        case _ => false
+      }
+    case _ => false
+  }
+
   def refresh(session: SparkSession, ident: Option[TableIdentifier]): Unit =
     ident.foreach(i => session.catalog.refreshTable(i.quotedString))
 
@@ -293,12 +346,22 @@ case class GraftLakeDeleteCommand(root: String, condition: Column,
   }
 }
 
-/** `UPDATE lake SET … WHERE p` → [[Lake.updateWhere]]. */
+/** `UPDATE lake SET … WHERE p` → [[Lake.updateWhere]]. Nested-field
+  * assignments (`SET meta.v = …`) compose into a `withField` struct
+  * rewrite of their top-level container — matched rows keep every
+  * unassigned sibling field, unmatched rows are untouched, and an
+  * absent nested path refuses (never silently adds a field). */
 case class GraftLakeUpdateCommand(root: String, condition: Column,
-    set: Map[String, Column], ident: Option[TableIdentifier])
+    assigns: Seq[(Seq[String], Column)], ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Lake.updateWhere(session, root, condition, set)
+    val schema = Lake.readCommitted(session, root).schema
+    assigns.map(_._1).filter(_.length > 1).foreach(p =>
+      require(LakeDml.fieldPathExists(schema, p),
+        s"UPDATE SET names absent nested field ${p.mkString(".")} — " +
+          "add it first (ALTER TABLE ... ADD COLUMN)"))
+    Lake.updateWhere(session, root, condition,
+      LakeDml.composeAssignments(assigns))
     LakeDml.refresh(session, ident)
     Seq.empty
   }
@@ -484,9 +547,6 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => ac
           case Some((root, ident)) =>
             val named = cols.map { c =>
-              require(c.path.isEmpty,
-                "graft-lake supports top-level columns only — cannot add " +
-                  "a nested field")
               require(c.position.isEmpty,
                 "graft-lake appends new columns at the end — FIRST/AFTER " +
                   "is not supported")
@@ -497,7 +557,15 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 "a new column reads NULL on every existing row and must " +
                   "be nullable — add it nullable, then enforce with " +
                   "ADD CONSTRAINT ... CHECK (col IS NOT NULL)")
-              c.colName -> c.dataType
+              // nested spellings (`ADD COLUMN meta.x INT`) carry the
+              // container path; the command routes them to the nested
+              // schema-commit engine
+              val prefix = c.path.map {
+                case UnresolvedFieldName(parts) => parts
+                case other => throw new IllegalArgumentException(
+                  s"cannot add under $other — name the struct path directly")
+              }.getOrElse(Nil)
+              (prefix :+ c.colName) -> c.dataType
             }
             GraftAddColumnsCommand(root, named, ident)
         }
@@ -520,15 +588,50 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
             }
             GraftDropColumnCommand(root, names, ifExists, ident)
         }
+      // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` → one manifest
+      // schema commit (Lake.alterColumnType): lossless widenings only,
+      // old files read upcast. Every other AlterColumnSpec facet
+      // (comment, nullability, position, defaults) refuses loudly.
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
+          t: UnresolvedTable, specs) =>
+        LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
+          case None => ac
+          case Some((root, ident)) =>
+            val typed = specs.map { sp =>
+              require(sp.newComment.isEmpty && sp.newNullability.isEmpty &&
+                  sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+                  !sp.dropDefault,
+                "graft-lake ALTER COLUMN supports TYPE widening only — " +
+                  "comment/nullability/position/default changes are not " +
+                  "supported")
+              val dt = sp.newDataType.getOrElse(throw
+                new IllegalArgumentException(
+                  "graft-lake ALTER COLUMN needs a TYPE clause"))
+              val name = sp.column match {
+                case UnresolvedFieldName(parts) => topLevel(parts, "widen")
+                case other => throw new IllegalArgumentException(
+                  s"cannot alter $other — name the column directly")
+              }
+              name -> dt
+            }
+            GraftAlterColumnTypeCommand(root, typed, ident)
+        }
     }
 }
 
 case class GraftAddColumnsCommand(root: String,
-    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
     ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Lake.addColumns(session, root, cols)
+    // all-top-level keeps the single-commit batch shape; a statement
+    // mixing nested paths commits in declaration order
+    if (cols.forall(_._1.length == 1))
+      Lake.addColumns(session, root, cols.map { case (p, dt) => p.head -> dt })
+    else cols.foreach {
+      case (Seq(name), dt) => Lake.addColumns(session, root, Seq(name -> dt))
+      case (path, dt) => Lake.addNestedColumn(session, root, path, dt)
+    }
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty
@@ -540,6 +643,20 @@ case class GraftRenameColumnCommand(root: String, oldName: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Lake.renameColumn(session, root, oldName, newName)
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+case class GraftAlterColumnTypeCommand(root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    cols.foreach { case (n, dt) =>
+      Lake.alterColumnType(session, root, n, dt)
+    }
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty

@@ -187,7 +187,8 @@ class GraftLakeDvRule(session: SparkSession) extends Rule[LogicalPlan] {
       case h: HadoopFsRelation => h.location match {
         case idx: LakeFileIndex =>
           Lake.dvSetFor(session, idx.root, idx.version) match {
-            case Some(set) => DvFilter.plan(lr, Lake.dvCarrier(session, set))
+            case Some(set) => DvFilter.plan(lr,
+              Lake.dvCarrier(session, set, Some((idx.root, idx.version))))
             case None => lr
           }
         case _ => lr

@@ -156,7 +156,8 @@ object LakeFileIndex {
     val lr = LogicalRelation(
       hadoopRelation(spark, root, version, schema, partitionAware = true))
     val base = Lake.dvSetFor(spark, root, version)
-      .map(set => DvFilter.plan(lr, Lake.dvCarrier(spark, set)))
+      .map(set => DvFilter.plan(lr,
+        Lake.dvCarrier(spark, set, Some((root, version)))))
       .getOrElse(lr)
     val plan =
       if (lr.output.map(_.name) == schema.fieldNames.toSeq) base

@@ -87,6 +87,9 @@ object GraftMaintenanceSql {
   private val Clone =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val CopyInto =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + T +
+      """\s+FROM\s+'([^']+)'\s*;?\s*$""").r
   private val Convert =
     ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+""" + """'([^']+)'""" +
       """(?:\s+STATS\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
@@ -106,11 +109,27 @@ object GraftMaintenanceSql {
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + PathT +
       """(?:\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
 
-  // one `'k' = 'v'` / `k = v` pair (keys: quoted or dotted idents)
+  // one `'k' = 'v'` / `k = v` pair (keys: quoted or dotted idents).
+  // Pairs are scanned with a QUOTE-AWARE tokenizer, not a raw
+  // String.split(',') — a quoted value may itself contain commas
+  // (`SET TBLPROPERTIES ('owners' = 'a,b')`), which Spark/Delta SQL
+  // and this engine's own manifest line grammar both accept.
   private val PropPair =
     """\s*(?:'([^']*)'|([\w.]+))\s*=\s*(?:'([^']*)'|([^,'][^,]*?))\s*""".r
+  private def splitPairsQuoteAware(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq
+  }
   private[sources] def parsePropPairs(s: String): Map[String, String] =
-    s.split(',').iterator.filter(_.trim.nonEmpty).map {
+    splitPairsQuoteAware(s).iterator.filter(_.trim.nonEmpty).map {
       case PropPair(kq, k, vq, v) =>
         (if (kq != null) kq else k) -> (if (vq != null) vq else v.trim)
       case other => throw new IllegalArgumentException(
@@ -150,6 +169,8 @@ object GraftMaintenanceSql {
     case Clone(dstLit, dstIdent, srcLit, srcIdent, v) =>
       Some(GraftCloneCommand(target(dstLit, dstIdent),
         target(srcLit, srcIdent), Option(v).map(_.toLong)))
+    case CopyInto(rootLit, ident, src) =>
+      Some(GraftCopyIntoCommand(target(rootLit, ident), src))
     case Convert(root, stats) =>
       Some(GraftConvertCommand(root, Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
@@ -444,4 +465,22 @@ case class GraftConvertCommand(root: String, statsCols: Seq[String])
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(Lake.convertParquet(session, root, statsCols)))
+}
+
+/** `COPY INTO t FROM '<dir>'` — idempotent landing-zone ingestion
+  * ([[Lake.copyInto]]): appends only the parquet files the table's
+  * `#ingested=` ledger has not recorded, and records them atomically
+  * with the data commit. A re-run of the same statement loads
+  * nothing. Returns (version, files_loaded). */
+case class GraftCopyIntoCommand(t: GraftMaintTarget, srcDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("files_loaded", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, ident) = t.resolve(session)
+    val (v, n) = Lake.copyInto(session, root, srcDir)
+    LakeDml.refresh(session, ident)
+    Seq(Row(v, n))
+  }
 }

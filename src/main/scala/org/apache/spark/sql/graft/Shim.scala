@@ -31,6 +31,13 @@ object Shim {
   def asNullable(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = s.asNullable
 
+  /** Same relaxation for a single type (`DataType.asNullable` is
+    * `private[spark]`) — UPDATE SET casts its value to the column's
+    * type, and a scan-derived NOT NULL nested field must not make
+    * that cast refuse a nullable-but-equal struct. */
+  def asNullableType(t: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = t.asNullable
+
   /** The ForeachBatchSink move: wrap an already-planned incremental
     * execution's rdd as a BATCH logical plan, so a streaming sink can
     * hand its micro-batch to batch writers without re-analysis

@@ -393,14 +393,180 @@ class LakeColMapSpec extends SparkSpec {
       sources.AlwaysTrue()))) ===
       Some(sources.Not(sources.And(
         sources.EqualTo("meta.etype", "click"), sources.AlwaysTrue()))))
-    // nested DML assignment still refuses loudly (mapping is
-    // top-level; the refusal names the contract)
-    Lake.registerSql(spark, "colmap_nested", root)
-    val e = intercept[Exception] {
-      spark.sql("UPDATE colmap_nested SET m.etype = 'x' WHERE id = 1")
-    }
-    assert(e.getMessage.toLowerCase.contains("nested") ||
-      e.getMessage.contains("m.etype"))
+    // nested DML assignment works through the struct rewrite — the
+    // sibling field survives and unmatched rows are untouched (the
+    // dedicated nested-add/UPDATE test covers the full contract).
+    // CREATE TABLE (live resolution), not registerSql (pinned view).
     spark.sql("DROP TABLE IF EXISTS colmap_nested")
+    spark.sql(
+      s"CREATE TABLE colmap_nested USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("UPDATE colmap_nested SET m.etype = 'x' WHERE id = 1")
+    assert(spark.sql("SELECT m.etype FROM colmap_nested WHERE id = 1")
+      .collect().head.getString(0) === "x")
+    assert(spark.sql(
+      "SELECT count(*) FROM colmap_nested WHERE m.etype = 'x'")
+      .collect().head.getLong(0) === 1L)
+    spark.sql("DROP TABLE IF EXISTS colmap_nested")
+  }
+
+  test("nested ADD COLUMN + nested UPDATE SET: schema commit, NULL backfill, struct rewrite") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-nestadd")
+    // generation 1: struct meta(etype, v)
+    Lake.commitOverwrite(
+      Seq((1L, "click", 0.4), (2L, "view", 0.9)).toDF("id", "etype", "v")
+        .select(col("id"), struct(col("etype"), col("v")).as("meta")),
+      root, retain = 8)
+    val preDirs = Lake.resolve(spark, root).toSet
+    // programmatic nested add: one manifest write, dirs untouched
+    Lake.addNestedColumn(spark, root, Seq("meta", "score"), DoubleType)
+    assert(Lake.resolve(spark, root).toSet === preDirs)
+    val df = Lake.readCommitted(spark, root)
+    val metaT = df.schema("meta").dataType.asInstanceOf[StructType]
+    assert(metaT.fieldNames.toSeq === Seq("etype", "v", "score"))
+    // old files read the new field NULL
+    assert(rows(df.select(col("id"), col("meta.score"))) ===
+      Set(Seq(1L, null), Seq(2L, null)))
+    // generation 2 writes it
+    Lake.commitAppend(
+      Seq((3L, "click", 0.7, 0.5)).toDF("id", "etype", "v", "score")
+        .select(col("id"),
+          struct(col("etype"), col("v"), col("score")).as("meta")),
+      root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)
+      .select(col("id"), col("meta.score"))) ===
+      Set(Seq(1L, null), Seq(2L, null), Seq(3L, 0.5)))
+    // SQL: nested add + nested UPDATE (multiple fields, one statement)
+    spark.sql("DROP TABLE IF EXISTS nestadd_sql")
+    spark.sql(s"CREATE TABLE nestadd_sql USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("ALTER TABLE nestadd_sql ADD COLUMN meta.tag STRING")
+    spark.sql("UPDATE nestadd_sql SET meta.score = 9.9, meta.tag = 'hot' " +
+      "WHERE meta.etype = 'click'")
+    val out = spark.sql(
+      "SELECT id, meta.etype, meta.v, meta.score, meta.tag " +
+        "FROM nestadd_sql ORDER BY id")
+    assert(orderedRows(out) === Seq(
+      Seq(1L, "click", 0.4, 9.9, "hot"),
+      Seq(2L, "view", 0.9, null, null),
+      Seq(3L, "click", 0.7, 9.9, "hot")))
+    // absent nested path refuses — never silently adds a field
+    // (Spark's own resolution catches it at FIELD_NOT_FOUND; the
+    // command's fieldPathExists guard backstops any path that slips
+    // through resolution)
+    assert(intercept[Exception] {
+      spark.sql("UPDATE nestadd_sql SET meta.nope = 1 WHERE id = 1")
+    }.getMessage.matches("(?s).*(FIELD_NOT_FOUND|absent nested field).*"))
+    // conflicting whole-column + nested assignment refuses
+    intercept[Exception] {
+      spark.sql("UPDATE nestadd_sql SET meta = named_struct('etype', 'x', " +
+        "'v', 0.0, 'score', 0.0, 'tag', 'y'), meta.tag = 'z' WHERE id = 1")
+    }
+    // plain UPDATE still works alongside
+    spark.sql("UPDATE nestadd_sql SET id = 20 WHERE id = 2")
+    assert(spark.sql("SELECT count(*) FROM nestadd_sql WHERE id = 20")
+      .collect().head.getLong(0) === 1L)
+    // refusals: non-struct / missing container, existing leaf
+    intercept[IllegalArgumentException] {
+      Lake.addNestedColumn(spark, root, Seq("id", "x"), IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.addNestedColumn(spark, root, Seq("ghost", "x"), IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.addNestedColumn(spark, root, Seq("meta", "etype"), StringType)
+    }
+    // nested UPDATE through a RENAMED container (column mapping)
+    spark.sql("ALTER TABLE nestadd_sql RENAME COLUMN meta TO m")
+    spark.sql("UPDATE nestadd_sql SET m.tag = 'cold' WHERE m.etype = 'view'")
+    assert(spark.sql("SELECT m.tag FROM nestadd_sql WHERE id = 20")
+      .collect().head.getString(0) === "cold")
+    spark.sql("DROP TABLE nestadd_sql")
+  }
+
+  test("ALTER COLUMN TYPE: lossless widen is metadata-only, old files read upcast, lossy refuses") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-widen")
+    // generation 1: INT n
+    Lake.commitOverwrite(
+      Seq((1L, 10), (2L, 20)).toDF("k", "n"), root, retain = 8,
+      statsCols = Seq("k"))
+    val preDirs = Lake.resolve(spark, root).toSet
+    val v = Lake.alterColumnType(spark, root, "n", LongType)
+    // metadata-only: same dirs, one new version
+    assert(Lake.resolve(spark, root).toSet === preDirs)
+    assert(Lake.currentVersion(spark, root).get === v)
+    val widened = Lake.readCommitted(spark, root)
+    assert(widened.schema("n").dataType === LongType)
+    // old INT files read UPCAST, exactly
+    assert(rows(widened) === Set(Seq(1L, 10L), Seq(2L, 20L)))
+    // generation 2 appends LONG values beyond the int range
+    Lake.commitAppend(Seq((3L, 5000000000L)).toDF("k", "n"), root,
+      retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 5000000000L)))
+    // idempotent no-op: same type returns the live version, no commit
+    val curV = Lake.currentVersion(spark, root).get
+    assert(Lake.alterColumnType(spark, root, "n", LongType) === curV)
+    assert(Lake.currentVersion(spark, root).get === curV)
+    // LOSSY refuses with the schema-evolution message: long→double
+    val ex = intercept[IllegalArgumentException] {
+      Lake.alterColumnType(spark, root, "n", DoubleType)
+    }
+    assert(ex.getMessage.contains("lossless widening only"))
+    // narrowing refuses too
+    intercept[IllegalArgumentException] {
+      Lake.alterColumnType(spark, root, "k", IntegerType)
+    }
+    // int→double IS lossless and allowed (then float→double chain on a new col)
+    Lake.addColumns(spark, root, Seq("f" -> FloatType))
+    Lake.alterColumnType(spark, root, "f", DoubleType)
+    assert(Lake.readCommitted(spark, root).schema("f").dataType === DoubleType)
+    // guards: bucket / generated / identity columns refuse
+    val b = tmpTable("graft-widen-bucket")
+    Lake.commitOverwrite(Seq((1, "a")).toDF("k", "t"), b,
+      bucketBy = Some((2, Seq("k"))))
+    assert(intercept[IllegalArgumentException] {
+      Lake.alterColumnType(spark, b, "k", LongType)
+    }.getMessage.contains("bucket"))
+    val g = tmpTable("graft-widen-gen")
+    Lake.commitOverwrite(Seq((1, 5)).toDF("k", "x"), g, retain = 8,
+      partitionBy = Seq("p"), generatedColumns = Map("p" -> "pmod(x, 7)"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.alterColumnType(spark, g, "x", LongType)
+    }.getMessage.contains("derive from it"))
+    val i = tmpTable("graft-widen-id")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("id", "t"), i, retain = 8,
+      identity = Some("id"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.alterColumnType(spark, i, "id", LongType)
+    }.getMessage.contains("identity"))
+  }
+
+  test("SQL surface: ALTER TABLE ... ALTER COLUMN ... TYPE on a catalog table, stored schema re-syncs") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-widensql")
+    Lake.commitOverwrite(Seq((1L, 7), (2L, 9)).toDF("k", "n"), root,
+      retain = 8)
+    spark.sql("DROP TABLE IF EXISTS widen_sql")
+    spark.sql(s"CREATE TABLE widen_sql USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("ALTER TABLE widen_sql ALTER COLUMN n TYPE BIGINT")
+    // catalog stored schema re-synced; reads serve the wide type
+    val df = spark.sql("SELECT k, n FROM widen_sql ORDER BY k")
+    assert(df.schema("n").dataType === LongType)
+    assert(orderedRows(df) === Seq(Seq(1L, 7L), Seq(2L, 9L)))
+    // appends through SQL write the wide type
+    spark.sql("INSERT INTO widen_sql VALUES (3, 6000000000)")
+    assert(spark.sql("SELECT n FROM widen_sql WHERE k = 3").collect()
+      .head.getLong(0) === 6000000000L)
+    // lossy spelling refuses through SQL too
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE widen_sql ALTER COLUMN n TYPE DOUBLE")
+    }
+    assert(ex.getMessage.contains("lossless widening only"))
+    // non-TYPE facets refuse loudly
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE widen_sql ALTER COLUMN n COMMENT 'x'")
+    }.getMessage.contains("TYPE widening only"))
+    spark.sql("DROP TABLE widen_sql")
   }
 }

@@ -408,6 +408,23 @@ class LakeDvSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM dv_bcast").collect()
       .head.getLong(0) === 40000L)
     spark.sql("DROP TABLE dv_bcast")
+    // ONE SNAPSHOT, ONE BROADCAST: repeated read assemblies of the
+    // same (root, version) reuse the cached broadcast instead of
+    // shipping a fresh copy of the position set per query and leaving
+    // the blocks to pile up until ContextCleaner runs
+    val id1 = dvCarrierOf(Lake.readCommitted(spark, big))
+      .collect { case b: DvBroadcastRef => b.bc.id }
+    val id2 = dvCarrierOf(Lake.readCommitted(spark, big))
+      .collect { case b: DvBroadcastRef => b.bc.id }
+    assert(id1.nonEmpty && id1 === id2,
+      s"same snapshot re-broadcast its DV set: $id1 vs $id2")
+    // a NEW version (more deletes) must NOT reuse the old entry
+    Lake.deleteWhere(spark, big, col("k") === 2L, retain = 8,
+      dvMaxRows = 30000L)
+    val id3 = dvCarrierOf(Lake.readCommitted(spark, big))
+      .collect { case b: DvBroadcastRef => b.bc.id }
+    assert(id3.nonEmpty && id3 != id1,
+      "a new DV commit must ship a fresh broadcast, not the stale set")
   }
 
   test("REORG APPLY (PURGE): vectors materialize away regardless of dir size, answer unchanged") {

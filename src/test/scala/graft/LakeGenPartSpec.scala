@@ -237,4 +237,49 @@ class LakeGenPartSpec extends SparkSpec {
       root, retain = 8)
     assert(Lake.readCommitted(spark, root).columns.toSeq === Seq("id", "d"))
   }
+
+  test("derivation safety: session-zone-anchored expressions over NON-timestamp sources derive only when zones match") {
+    val root = tmpTable("graft-genpart-tzlong")
+    // from_unixtime(x) over a LONG source evaluates in the session
+    // zone — partition values materialized by a UTC writer differ
+    // from what a UTC+14 reader would compute, so a cross-zone reader
+    // deriving equality would prune dirs that hold matching rows.
+    // (The old gate only fired for TimestampType sources.)
+    val rows = Seq(
+      (1L, 1700000000L), // 2023-11-14 22:13:20 UTC
+      (2L, 1720000000L)  // 2024-07-03 09:46:40 UTC
+    ).toDF("id", "x")
+    Lake.commitOverwrite(rows, root, retain = 8, partitionBy = Seq("p"),
+      generatedColumns = Map("p" -> "from_unixtime(x)"))
+    // matching zone (UTC, the establishing one): equality derives
+    val (_, skipSame, _) = Lake.resolveWhere(spark, root,
+      col("x") === 1700000000L)
+    assert(skipSame.nonEmpty,
+      "same-zone reader should derive the generated equality")
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Pacific/Kiritimati") // UTC+14, no DST
+      // mismatched zone: NO derivation (the expression is
+      // zone-anchored), and the read stays CORRECT
+      val (_, skipX, _) = Lake.resolveWhere(spark, root,
+        col("x") === 1700000000L)
+      assert(skipX.isEmpty,
+        s"cross-zone reader must not derive zone-anchored equality, skipped $skipX")
+      assert(Lake.readCommittedWhere(spark, root, col("x") === 1700000000L)
+        .select("id").collect().map(_.getLong(0)).toSet === Set(1L))
+    } finally spark.conf.set(tzKey, saved)
+    // zone-FREE non-whitelist expressions keep deriving cross-zone
+    val zf = tmpTable("graft-genpart-tzfree")
+    Lake.commitOverwrite(rows, root = zf, retain = 8,
+      partitionBy = Seq("b"),
+      generatedColumns = Map("b" -> "pmod(x, 7)"))
+    try {
+      spark.conf.set(tzKey, "Pacific/Kiritimati")
+      val (_, skipB, _) = Lake.resolveWhere(spark, zf,
+        col("x") === 1700000000L)
+      assert(skipB.nonEmpty,
+        "zone-free expression should still derive under a different session zone")
+    } finally spark.conf.set(tzKey, saved)
+  }
 }

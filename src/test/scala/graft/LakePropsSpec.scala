@@ -145,6 +145,13 @@ class LakePropsSpec extends SparkSpec {
       // quoted-path spelling (delegating parser)
       spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES (team = 'ml')")
       assert(spark.sql(s"SHOW TBLPROPERTIES '$root'").count() === 2L)
+      // a quoted VALUE may itself contain commas (and '=' ): the pair
+      // scanner is quote-aware, not a raw split on ','
+      spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES " +
+        "('owners' = 'a,b', 'note' = 'x=y, z')")
+      assert(Lake.tableProperties(spark, root)("owners") === "a,b")
+      assert(Lake.tableProperties(spark, root)("note") === "x=y, z")
+      spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES (owners, note)")
       spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES IF EXISTS " +
         "(team, ghost)")
       assert(Lake.tableProperties(spark, root) === Map("graft.retain" -> "6"))

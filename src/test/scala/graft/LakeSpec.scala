@@ -2395,4 +2395,57 @@ class LakeSpec extends SparkSpec {
     assert(vals.map(_.get(0).toString).sorted.toSeq ===
       Seq("2024-01-01T00:00", "2024-01-02T00:00"))
   }
+
+  test("partition evolution (forward-only): day→hour re-declare, both generations prune on their own keys, OPTIMIZE migrates") {
+    val root = tmpTable("graft-lake-partevo")
+    // generation 1: DAY-partitioned
+    Lake.commitOverwrite(
+      Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 11L, "c")).toDF("k", "day", "t"),
+      root, retain = 8, partitionBy = Seq("day"))
+    assert(Lake.resolve(spark, root).length === 2)
+    // EVOLVE: future commits partition by HOUR (schema gains the
+    // column via ordinary evolution; old dirs keep their day tuples)
+    Lake.commitAppend(
+      Seq((4L, 12L, 5L, "d"), (5L, 12L, 6L, "e")).toDF("k", "day", "hour", "t"),
+      root, retain = 8, partitionBy = Seq("hour"))
+    assert(Lake.resolve(spark, root).length === 4) // 2 day + 2 hour dirs
+    // prune on DAY: old generation exact (day=11 dropped), new
+    // generation KEPT (no day tuple — honest degrade to scan)
+    val (kD, sD, _) = Lake.resolveWhere(spark, root, col("day") === 10L)
+    assert(kD.length === 3 && sD.length === 1)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("day") === 10L)
+      .select("k")) === Set(Seq(1L), Seq(2L)))
+    // prune on HOUR: new generation exact, old generation kept —
+    // and old rows read hour NULL, so results stay right
+    val (kH, sH, _) = Lake.resolveWhere(spark, root, col("hour") === 5L)
+    assert(kH.length === 3 && sH.length === 1)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("hour") === 5L)
+      .select("k")) === Set(Seq(4L)))
+    // further appends stage under the CURRENT declaration without
+    // re-passing partitionBy
+    Lake.commitAppend(Seq((6L, 13L, 5L, "f")).toDF("k", "day", "hour", "t"),
+      root, retain = 8)
+    val (kH2, _, _) = Lake.resolveWhere(spark, root, col("hour") === 5L)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("hour") === 5L)
+      .select("k")) === Set(Seq(4L), Seq(6L)))
+    // time travel: the pre-evolution snapshot still reads and prunes
+    // under its own declaration
+    assert(rows(Lake.readCommittedAt(spark, root, 0).select("k")) ===
+      Set(Seq(1L), Seq(2L), Seq(3L)))
+    // OPTIMIZE migrates the OLD generation to the new layout: the
+    // compaction re-stages every dir under the current declaration,
+    // old rows land in the hour=NULL dir, and hour pruning turns
+    // EXACT across the whole table (the NULL dir is pruned by any
+    // comparison — partition semantics, not stats)
+    Lake.compactCommitted(spark, root, retain = 8,
+      minBytes = 1024L * 1024 * 1024)
+    val (kH3, sH3, _) = Lake.resolveWhere(spark, root, col("hour") === 5L)
+    assert(kH3.length === 1,
+      s"post-OPTIMIZE hour prune should keep exactly the hour=5 dir, kept $kH3")
+    assert(sH3.length >= 2)
+    assert(rows(Lake.readCommittedWhere(spark, root, col("hour") === 5L)
+      .select("k")) === Set(Seq(4L), Seq(6L)))
+    assert(rows(Lake.readCommitted(spark, root).select("k")) ===
+      Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(5L), Seq(6L)))
+  }
 }
