@@ -1765,31 +1765,33 @@ object Lakehouse {
     // as before, and OPTIMIZE migrating dirs lazily.
     Q("q181_partition_evolution",
       """SELECT doc_id, n_chars, TRUE AS mixed_prune_exact
-        |FROM documents WHERE doc_id % 7 = 3
+        |FROM documents WHERE doc_id % 5 = 3
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val root = scratchRoot("lake_partevo", d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
-      // generation 1: day-partitioned
+      // generation 1: day-partitioned (5 tuple dirs)
       Lake.commitOverwrite(
         docs.where(col("doc_id") <= maxId / 2)
-          .withColumn("day", col("doc_id") % 7),
+          .withColumn("day", col("doc_id") % 5),
         root, retain = 8, partitionBy = Seq("day"))
       val g1Dirs = Lake.resolve(s, root).size
-      // generation 2: re-declared HOUR-partitioned (forward-only)
+      // generation 2: re-declared HOUR-partitioned (forward-only;
+      // 8 tuple dirs — granularity kept small so the bench measures
+      // the evolution contract, not 31 tiny staging jobs)
       Lake.commitAppend(
         docs.where(col("doc_id") > maxId / 2)
-          .withColumn("day", col("doc_id") % 7)
-          .withColumn("hour", col("doc_id") % 24),
+          .withColumn("day", col("doc_id") % 5)
+          .withColumn("hour", col("doc_id") % 8),
         root, retain = 8, partitionBy = Seq("hour"))
       val g2Dirs = Lake.resolve(s, root).size - g1Dirs
-      // day predicate: old generation prunes exactly (6 of 7 day dirs
+      // day predicate: old generation prunes exactly (4 of 5 day dirs
       // drop), new generation scans honestly (no day tuples)
       val (_, skipDay, _) = Lake.resolveWhere(s, root, col("day") === 3L)
       // hour predicate: new generation prunes exactly, old kept
-      val (_, skipHour, _) = Lake.resolveWhere(s, root, col("hour") === 11L)
-      val pruneExact = g1Dirs == 7 && g2Dirs == 24 &&
-        skipDay.size == 6 && skipHour.size == 23
+      val (_, skipHour, _) = Lake.resolveWhere(s, root, col("hour") === 5L)
+      val pruneExact = g1Dirs == 5 && g2Dirs == 8 &&
+        skipDay.size == 4 && skipHour.size == 7
       Lake.readCommittedWhere(s, root, col("day") === 3L)
         .select("doc_id", "n_chars").orderBy("doc_id")
         .withColumn("mixed_prune_exact", lit(pruneExact))

@@ -1,0 +1,1074 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Commit engines: batch staging, the manifest writer (one atomic put-if-absent publish), append/overwrite with their OCC rebase rules, and retention pruning.
+  *
+  * Mechanically split from the [[Lake]] object (one object, many
+  * files): every member keeps its semantics and its package-private
+  * reach; [[Lake]] mixes the traits back into the single public
+  * surface. See Lake.scala for the protocol overview. */
+private[graft] trait LakeCommits { this: Lake.type =>
+
+  private[sources] def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      want: Seq[String]): Seq[String] = {
+    // same grammar guard as stats/bloom columns: the list rides a
+    // comma-separated manifest line, so these characters would write a
+    // malformed #partcols line (a newline even injects a bogus body line)
+    want.foreach(c => require(!c.exists("=,\n#".contains(_)),
+      s"partition column name '$c' may not contain '=', ',', '#', or newline"))
+    val prev = committedVersions(fs, r).lastOption
+      .map(v => manifestPartCols(fs, r, v)).getOrElse(Nil)
+    // FORWARD-ONLY partition evolution (Iceberg's spec evolution,
+    // without a rewrite): a commit may RE-DECLARE the layout — the new
+    // `#partcols` governs how THIS and future commits stage, while
+    // every old dir keeps its recorded `#part_` tuple. Pruning is
+    // per-dir-tuple (a predicate on a column a dir has no tuple for
+    // keeps the dir — honest degradation to scan, never a wrong
+    // prune), so BOTH generations keep pruning on their own keys; the
+    // native partition-aware scan shape (partitionLayoutAt) requires a
+    // uniformly-tupled snapshot and degrades the same way. OPTIMIZE
+    // migrates old dirs: a compaction/z-order re-stages their rows
+    // under the CURRENT declaration. Old builds read evolved tables
+    // safely through the same keep-when-untupled rule, so evolution
+    // stamps no `#require=` feature.
+    if (want.isEmpty) prev else want
+  }
+
+  /** Types a partition value can normalize to (the [[normLit]] set) —
+    * anything else refuses at write time, never at prune time. */
+  private[sources] def partitionableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | FloatType | DoubleType |
+           StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Stage a batch under writer-unique dirs: ONE dir when `partCols`
+    * is empty, one dir PER distinct partition-value tuple otherwise.
+    * Returns (dirs, stats, blooms, parts) ready for [[commitManifest]].
+    * The distinct-tuple collect is partition-count-sized (metadata
+    * scale, like the k-means centroid sync) and capped — a batch with
+    * thousands of distinct values wants a coarser partition key.
+    *
+    * `maintenance = true` marks layout-PRESERVING re-staging (COW
+    * rewrites, compaction): those re-stage whole-snapshot slices, so
+    * the per-batch tuple cap would hard-fail any maintenance op on a
+    * table whose accumulated partitions exceed it (~3 years of daily
+    * partitions). Maintenance falls back to ONE unpartitioned dir
+    * instead — no #part_ line, pruning degrades for the rewritten
+    * slice, but the op succeeds and correctness is untouched (a dir
+    * with no recorded values is always scanned). Appends keep the
+    * refusal: a single BATCH with >1000 tuples is a layout-design
+    * error, not an accumulation.
+    *
+    * Failure discipline: any throw after dirs were staged (a partition
+    * value that does not normalize, a mid-loop write error) deletes
+    * the already-staged dirs before rethrowing — matching the commit
+    * paths' lost-race cleanup, so refusals never leave orphan data
+    * dirs under the table root. */
+  private[sources] def stageBatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df0: org.apache.spark.sql.DataFrame, effStats: Seq[String],
+      effBloom: Seq[String], partCols: Seq[String],
+      maintenance: Boolean = false,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      colMap: Map[String, String] = Map.empty):
+      (Seq[String], Map[String, String], Map[String, String], Map[String, String]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // batches arrive under LOGICAL names; files (and therefore every
+    // per-dir stat/bloom/part key, and the partCols/effStats/effBloom/
+    // bucket args, which come from the manifest) are PHYSICAL
+    val df = toPhysicalDf(df0, colMap)
+    // partitioned AND bucketed compose: each partition tuple's dir is
+    // written through the bucketed writer, and since every row of key
+    // k lands in bucket hash(k) regardless of WHICH dir holds it, the
+    // scan's bucket grouping stays exact across pruned dir subsets —
+    // partition values prune dirs, buckets kill the join shuffle, the
+    // standard composed 100 TB fact layout
+    bucketBy.foreach { case (_, cols) =>
+      cols.foreach(c => require(df.columns.contains(c),
+        s"bucket column '$c' is not in the batch schema " +
+          df.columns.mkString("[", ", ", "]")))
+    }
+    def stageOne(slice: org.apache.spark.sql.DataFrame): (String, Option[String], Option[String]) = {
+      val staged = stagedDirName()
+      bucketBy match {
+        case Some((n, cols)) =>
+          // Spark's OWN bucketed writer is the only public path that
+          // produces the bucket-id file naming and Murmur3 placement
+          // the bucketed read contract depends on — route through a
+          // throwaway EXTERNAL catalog entry pointed at the staged dir
+          // (dropping an external table keeps its files)
+          val tmp = "graft_bucket_stage_" +
+            staged.replaceAll("[^a-zA-Z0-9_]", "_")
+          try {
+            slice.write.mode("overwrite").format("parquet")
+              .bucketBy(n, cols.head, cols.tail: _*)
+              .sortBy(cols.head, cols.tail: _*)
+              .option("path", new Path(r, staged).toString)
+              .saveAsTable(tmp)
+          } finally { spark.sql(s"DROP TABLE IF EXISTS `$tmp`"); () }
+          // an empty bucketed batch writes NO data files (the plain
+          // writer emits a schema-carrying empty file) — the stats
+          // read cannot infer a schema there, and empty dirs carry no
+          // ranges anyway
+          if (!fs.listStatus(new Path(r, staged)).exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet")))
+            return (staged,
+              if (effStats.isEmpty) None else Some("{}"),
+              if (effBloom.isEmpty) None else Some("{}"))
+        case None =>
+          slice.write.mode("overwrite").parquet(new Path(r, staged).toString)
+      }
+      (staged,
+        dirStatsJson(spark, new Path(r, staged).toString, effStats),
+        dirBloomJson(spark, new Path(r, staged).toString, effBloom))
+    }
+    if (partCols.isEmpty) {
+      val (d, st, bl) = stageOne(df)
+      (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+    } else {
+      partCols.foreach(c => require(df.columns.contains(c),
+        s"partition column '$c' is not in the batch schema " +
+          df.columns.mkString("[", ", ", "]") + " — every writer to a " +
+          "partitioned table must supply its partition columns"))
+      partCols.foreach { c =>
+        val dt = df.schema(c).dataType
+        require(partitionableType(dt),
+          s"partition column '$c' has unsupported type ${dt.simpleString} — " +
+            "integral, float/decimal, string, date and timestamp partition")
+      }
+      val batch = df.persist()
+      try {
+        val cap = stageTupleCap
+        val tuples = batch.select(partCols.map(col): _*)
+          .distinct().limit(cap + 1).collect()
+        if (tuples.length > cap && maintenance) {
+          // whole-snapshot rewrite over an accumulated layout: succeed
+          // unpartitioned rather than refuse the maintenance op
+          val (d, st, bl) = stageOne(batch)
+          return (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+        }
+        require(tuples.length <= cap,
+          s"batch carries more than $cap distinct (${partCols.mkString(", ")}) " +
+            "tuples — partition by a coarser key (a dir per tuple is the " +
+            "layout contract)")
+        if (tuples.isEmpty) { // empty batch: one empty dir keeps the
+          val (d, st, bl) = stageOne(batch) // version/schema semantics
+          (Seq(d), st.map(d -> _).toMap, bl.map(d -> _).toMap, Map.empty)
+        } else {
+          // validate every tuple BEFORE the first write: a value that
+          // does not normalize refuses with zero dirs staged
+          val tupleJsons = tuples.map { row =>
+            partJson(partCols.zipWithIndex.map { case (c, i) =>
+              c -> (if (row.isNullAt(i)) None
+                else normExternal(row.get(i)) match {
+                  case some @ Some(_) => some
+                  case None => throw new IllegalArgumentException(
+                    s"partition value ${row.get(i)} of column '$c' does not " +
+                      "normalize — unsupported runtime type")
+                })
+            })
+          }
+          val dirs = Seq.newBuilder[String]
+          val stats = Map.newBuilder[String, String]
+          val blooms = Map.newBuilder[String, String]
+          val parts = Map.newBuilder[String, String]
+          val stagedSoFar = scala.collection.mutable.ArrayBuffer.empty[String]
+          try {
+            tuples.zip(tupleJsons).foreach { case (row, json) =>
+              val slice = partCols.zipWithIndex.foldLeft(batch) {
+                case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
+              }
+              val (d, st, bl) = stageOne(slice)
+              stagedSoFar += d
+              dirs += d
+              st.foreach(j => stats += d -> j)
+              bl.foreach(j => blooms += d -> j)
+              parts += d -> json
+            }
+          } catch {
+            case t: Throwable =>
+              stagedSoFar.foreach(d =>
+                scala.util.Try(fs.delete(new Path(r, d), true)))
+              throw t
+          }
+          (dirs.result(), stats.result(), blooms.result(), parts.result())
+        }
+      } finally { batch.unpersist(); () }
+    }
+  }
+
+  // -- predicate -> prunable conjuncts --------------------------------
+
+  private[sources] sealed trait POp
+  private[sources] case object PEq extends POp
+  private[sources] case object PLt extends POp
+  private[sources] case object PLe extends POp
+  private[sources] case object PGt extends POp
+  private[sources] case object PGe extends POp
+  // NULL tests: min/max ranges describe NON-NULL values only, so
+  // stats can never prove them either way — but a partition dir's
+  // recorded value is exact (Some(v) = every row non-NULL, None =
+  // every row NULL), so the partition pruner answers both precisely
+  private[sources] case object PNull extends POp
+  private[sources] case object PNotNull extends POp
+  private[sources] final case class Pred(col: String, op: POp, values: Seq[NormVal])
+
+  /** Next safe version number: past EVERY committed marker, including
+    * defensively-ignored ones whose data dirs are lost — such a
+    * manifest still owns its number, and renaming a new manifest onto
+    * an existing file fails on HDFS on every retry (a permanently
+    * wedged writer). Same allocation rule as [[commitOverwrite]] /
+    * [[commitAppend]]; package-private for the streaming fold. */
+  private[graft] def nextVersion(spark: SparkSession, root: String): Long =
+    committedVersions(fsFor(spark, root), new Path(root))
+      .maxOption.map(_ + 1).getOrElse(0L)
+
+  /** Re-create the `_applied_*` effectively-once markers found in
+    * `fromDirs` inside `toDir` — maintenance ops (merge/compaction)
+    * that REPLACE version dirs must carry the streaming folds'
+    * replay-skip state forward, or a compacted stat table would
+    * silently re-open to double-folds on the next checkpoint replay.
+    * Markers are empty files; names are the state. */
+  private[sources] def preserveMarkers(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      fromDirs: Seq[String], toDir: String): Unit =
+    preserveMarkers(fs, r, fromDirs, Seq(toDir))
+
+  /** Multi-dir form (partitioned rewrites stage several dirs): a
+    * marker is a PRESENCE check over the live snapshot's dirs, so the
+    * first replacement dir carrying them preserves the invariant. */
+  private[sources] def preserveMarkers(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      fromDirs: Seq[String], toDirs: Seq[String]): Unit =
+    toDirs.headOption.foreach { t =>
+      fromDirs.map(d => new Path(r, d)).filter(fs.exists)
+        .flatMap(d => fs.listStatus(d).toSeq)
+        .map(_.getPath.getName).distinct
+        .filter(_.startsWith("_applied_"))
+        .foreach(n => fs.create(new Path(new Path(r, t), n)).close())
+    }
+
+  /** LOSSLESS type widening for schema evolution (Delta's
+    * type-widening feature): `Some(wider)` when one side widens the
+    * other with zero information loss AND the parquet reader upcasts
+    * the narrower files under the wider schema (byte→short→int→long,
+    * float→double, ≤int-integral→double — all probed on Spark 4.1's
+    * vectorized reader). long→double and anything decimal/temporal is
+    * NOT widening (lossy / representation-changing) and refuses. */
+  private[sources] def widenedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    def smallIntegral(dt: DataType): Boolean =
+      dt == ByteType || dt == ShortType || dt == IntegerType
+    if (a == b) Some(a)
+    else (rank(a), rank(b)) match {
+      case (Some(ra), Some(rb)) => Some(if (ra >= rb) a else b)
+      case _ =>
+        (a, b) match {
+          case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+            Some(DoubleType)
+          case (x, DoubleType) if smallIntegral(x) => Some(DoubleType)
+          case (DoubleType, x) if smallIntegral(x) => Some(DoubleType)
+          // NESTED evolution (Delta's autoMerge shape): structs merge
+          // field-by-field under the SAME rules — add-nullable fields
+          // and lossless widening inside the container; any
+          // unmergeable nested field refuses through the None, and
+          // the outer error names the top-level column. Old files
+          // lacking a nested field read it NULL (parquet schema
+          // clipping), exactly like a top-level add.
+          case (sa: StructType, sb: StructType) =>
+            scala.util.Try(mergeSchemas(sa, sb)).toOption
+          case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+            widenedType(ea, eb).map(e => ArrayType(e, na || nb))
+          case _ => None
+        }
+    }
+  }
+
+  /** Merge a committed table schema with an incoming batch's: the
+    * ADD-NULLABLE-COLUMN evolution every lakehouse needs in week one,
+    * plus LOSSLESS TYPE WIDENING ([[widenedType]] — the merged column
+    * takes the wider type in EITHER direction: a long batch widens an
+    * int column, and an int batch lands unchanged in a long column;
+    * old files read upcast under the widened schema, new files are
+    * whatever the batch wrote — both exact). New columns append
+    * (nullable — old files lack them and read NULL); a column the
+    * batch omits stays (nullable — the new files read NULL for it);
+    * any NON-widening type change is refused loudly — silent coercion
+    * corrupts every prior snapshot's reading of the shared files. */
+  private[graft] def mergeSchemas(
+      base: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    val baseNames = base.fieldNames.toSet
+    val kept = base.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          val merged = widenedType(f.dataType, g.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution supports adding nullable columns and " +
+                s"lossless type widening only; '${f.name}' changes type " +
+                s"${f.dataType.simpleString} -> ${g.dataType.simpleString}. " +
+                "Rewrite the table (commitOverwrite) to change a " +
+                "column's type."))
+          f.copy(dataType = merged, nullable = f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val added = incoming.fields.filterNot(f => baseNames(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(kept ++ added)
+  }
+
+  /** Commit `dirs` as snapshot `version` of `root`. Package-private:
+    * the streaming fold pre-writes its own version dir (so its
+    * applied-batch marker rides INSIDE the dir and commits atomically
+    * with the data) and then calls this. */
+  private[graft] def commitVersion(spark: SparkSession, root: String,
+      version: Long, dirs: Seq[String], retain: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // fold sinks pre-write PLAIN version dirs (the applied-batch
+    // marker rides inside the dir) — on a bucketed table those files
+    // would violate the bucket-naming contract every bucketed scan
+    // depends on, so refuse up front instead of corrupting reads
+    val ffs = fsFor(spark, root)
+    committedVersions(ffs, new Path(root)).lastOption.foreach { last =>
+      require(manifestBucketBy(ffs, new Path(root), last).isEmpty,
+        s"the table at $root declares a bucket layout — fold commits " +
+          "pre-write plain version dirs and cannot preserve it; fold " +
+          "into an unbucketed table (or use the append/CDC-merge sinks, " +
+          "which stage through the bucketed writer)")
+      require(manifestColMap(ffs, new Path(root), last).isEmpty,
+        s"the table at $root carries a column mapping (renamed/dropped " +
+          "columns) — fold commits pre-write data dirs under the " +
+          "stream's own column names and cannot apply the map; fold " +
+          "into an unmapped table")
+    }
+    if (!commitManifest(ffs, new Path(root), version, dirs,
+        retain, schema, op = "fold"))
+      throw new java.util.ConcurrentModificationException(
+        s"fold commit of version $version at $root lost the slot to a " +
+          "concurrent writer — fold tables have ONE streaming writer " +
+          "(checkpoint lineage); a contested version means two writers " +
+          "share this root")
+  }
+
+  /** TEST SEAM: runs between a manifest's build and its put-if-absent
+    * publish — exactly the window a concurrent writer's commit can
+    * occupy. Production value is a no-op; LakeSpec installs a
+    * SELF-RESETTING closure (it must reset itself first, or the
+    * concurrent commit it performs recurses forever) to exercise the
+    * optimistic-concurrency loser paths deterministically. */
+  private[graft] var beforePublish: () => Unit = () => ()
+
+  /** TEST SEAM: runs right after a DML writer (delete/update/merge)
+    * pins its commit slot and BEFORE any of its classify/probe/
+    * staging jobs — the window where a concurrent commit must steal
+    * the pinned slot and force a loud publish failure instead of
+    * being silently clobbered by a stale-snapshot republish (the DV
+    * fast paths' lost-update window before round 14). */
+  private[graft] var afterSlotPin: () => Unit = () => ()
+
+  /** Build and publish the version-`version` manifest put-if-absent.
+    * Returns true when this writer won the version slot (retention
+    * then pruned), false when a concurrent writer committed `version`
+    * first — the caller decides whether to rebase-and-retry (append),
+    * refuse (overwrite/maintenance), or treat it as a protocol
+    * violation (single-writer folds). */
+  private[sources] def commitManifest(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      version: Long, dirs: Seq[String], retain: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      rows: Option[Long] = None,
+      newStats: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      newFileStats: Map[String, Map[String, String]] = Map.empty,
+      newBlooms: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil,
+      newParts: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      checks: Option[Seq[(String, String)]] = None,
+      newDvs: Map[String, String] = Map.empty,
+      dvsReplace: Boolean = false,
+      colMap: Option[Map[String, String]] = None,
+      retiredCols: Option[Seq[String]] = None,
+      genParts: Option[Seq[(String, String)]] = None,
+      genTz: Option[String] = None,
+      statsColsReplace: Option[Seq[String]] = None,
+      bloomColsReplace: Option[Seq[String]] = None,
+      partColsReplace: Option[Seq[String]] = None,
+      props: Option[Map[String, String]] = None,
+      identity: Option[Option[(String, Long)]] = None,
+      ingested: Option[Seq[String]] = None,
+      op: String = "commit"): Boolean = {
+    // stats carry: a dir REUSED from the previous snapshot keeps its
+    // stats line verbatim (immutable dir, immutable range); only dirs
+    // this commit wrote get fresh lines. Resolved BEFORE the rename
+    // makes this version the latest.
+    val prevV = committedVersions(fs, r).lastOption
+    val prevStats = prevV
+      .map(v => manifestStatsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val statsLines = dirs.flatMap(d =>
+      newStats.get(d).orElse(prevStats.get(d)).map(j => StatsPrefix + d + "=" + j))
+    val prevFileStats = prevV
+      .map(v => manifestFileStatsRaw(fs, r, v))
+      .getOrElse(Map.empty[String, Map[String, String]])
+    val fileStatsLines = dirs.flatMap(d =>
+      newFileStats.get(d).orElse(prevFileStats.get(d)).toSeq
+        .flatMap(_.toSeq.sortBy(_._1)
+          .map { case (f, j) => FileStatsPrefix + d + "/" + f + "=" + j }))
+    // the stat-column line itself inherits too, so a commit path that
+    // computes no stats (e.g. the streaming fold's commitVersion)
+    // doesn't sever the chain — its new dir is merely unstat'd
+    val effCols = statsColsReplace.getOrElse(
+      if (statsCols.nonEmpty) statsCols
+      else prevV.map(v => manifestStatsCols(fs, r, v)).getOrElse(Nil))
+    // bloom lines carry exactly like stats lines: reused dirs keep
+    // their serialized filters verbatim (immutable dir, immutable
+    // membership), only dirs this commit wrote get fresh ones
+    val prevBlooms = prevV
+      .map(v => manifestBloomsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val bloomLines = dirs.flatMap(d =>
+      newBlooms.get(d).orElse(prevBlooms.get(d)).map(j => BloomPrefix + d + "=" + j))
+    val effBloom = bloomColsReplace.getOrElse(
+      if (bloomCols.nonEmpty) bloomCols
+      else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil))
+    // partition lines carry exactly like stats lines (immutable dir,
+    // immutable values); the column line inherits so COW rewrites and
+    // folds never sever the table's declared layout
+    val prevParts = prevV
+      .map(v => manifestPartsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
+    val partLines = dirs.flatMap(d =>
+      newParts.get(d).orElse(prevParts.get(d)).map(j => PartPrefix + d + "=" + j))
+    val effPart = partColsReplace.getOrElse(
+      if (partCols.nonEmpty) partCols
+      else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil))
+    // the bucket layout inherits like the other table-property lines
+    val effBucket = bucketBy.orElse(prevV.flatMap(v => manifestBucketBy(fs, r, v)))
+    // CHECK constraints inherit too; Some(…) replaces (add/drop)
+    val effChecks = checks.getOrElse(
+      prevV.map(v => manifestChecks(fs, r, v)).getOrElse(Nil))
+    // the column map and retired-physical-name set inherit like every
+    // table-property line; Some(…) replaces (rename/drop/evolution)
+    val effColMap = colMap.getOrElse(
+      prevV.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty))
+    val effRetired = retiredCols.getOrElse(
+      prevV.map(v => manifestRetired(fs, r, v)).getOrElse(Nil))
+    // generated columns inherit like every table-property line
+    val effGen = genParts.getOrElse(
+      prevV.map(v => manifestGenParts(fs, r, v)).getOrElse(Nil))
+    val effGenTz = genTz.orElse(prevV.flatMap(v => manifestGenTz(fs, r, v)))
+    // user/table properties inherit; Some(…) replaces (the DDL)
+    val effProps = props.getOrElse(
+      prevV.map(v => manifestProps(fs, r, v)).getOrElse(Map.empty))
+    // the identity declaration + high-water mark inherit; Some(…)
+    // replaces (allocating commits advance the mark ATOMICALLY with
+    // the rows that consumed it; restore re-points both)
+    val effIdentity = identity.getOrElse(
+      prevV.flatMap(v => manifestIdentity(fs, r, v)))
+    // the COPY INTO file ledger inherits (a plain append between two
+    // COPYs must not amnesia the loaded set); Some(…) replaces
+    val effIngested = ingested.getOrElse(
+      prevV.map(v => manifestIngested(fs, r, v)).getOrElse(Nil))
+    // retention is TABLE state (graft.retain) unless this call passed
+    // an explicit override — resolved against effProps, so a commit
+    // that SETS the property is already governed by it
+    val retainEff =
+      if (retain >= 0) retain
+      else effProps.get(PropRetain).flatMap(_.toIntOption)
+        .filter(_ >= 0).getOrElse(1)
+    // deletion vectors: the one MUTABLE per-dir line. Normal commits
+    // carry a reused dir's vector (new deletes pass the merged set in
+    // `newDvs`); rewritten dirs materialize theirs away by renaming.
+    // RESTORE passes `dvsReplace` — the target version's vectors are
+    // authoritative, carrying the live ones would re-kill rows the
+    // restore revives (or keep alive rows it re-deletes).
+    val prevDvs = prevV.map(v => manifestDvsRaw(fs, r, v))
+      .getOrElse(Map.empty[String, String])
+    val dvLines = dirs.flatMap(d =>
+      (if (dvsReplace) newDvs.get(d)
+       else newDvs.get(d).orElse(prevDvs.get(d)))
+        .map(j => DvPrefix + d + "=" + j))
+    // protocol gate: name EXACTLY the semantics-bearing features this
+    // snapshot carries (derived from the effective lines, so a commit
+    // that materializes a feature away — REORG purging the last DV,
+    // say — drops the requirement with it). Readers that don't
+    // recognize a named feature refuse the manifest instead of
+    // misreading it; see RequirePrefix.
+    val features =
+      (if (dvLines.nonEmpty) Seq("dv") else Nil) ++
+      (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
+      (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
+      (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
+      (if (effBucket.nonEmpty) Seq("bucket") else Nil)
+    // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
+    // racing writers interleave create/write/publish on one file and
+    // publish each other's bodies — the nonce makes every writer's
+    // pre-publish state private (the `.tmp` suffix keeps it out of
+    // committedVersions and readable-version listings)
+    val tmp = new Path(r, s"_commit_$version." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    val body = dirs ++ Seq(OpPrefix + op) ++
+      Seq(TsPrefix + System.currentTimeMillis()) ++
+      schema.map(s => SchemaPrefix + s.json) ++
+      rows.map(n => RowsPrefix + n) ++
+      (if (effCols.nonEmpty) Seq(StatsColsPrefix + effCols.mkString(","))
+       else Nil) ++
+      (if (effBloom.nonEmpty) Seq(BloomColsPrefix + effBloom.mkString(","))
+       else Nil) ++
+      (if (effPart.nonEmpty) Seq(PartColsPrefix + effPart.mkString(","))
+       else Nil) ++
+      effBucket.map { case (n, cols) =>
+        BucketByPrefix + n + ":" + cols.mkString(",")
+      } ++
+      effChecks.map { case (n, e) => CheckPrefix + n + ":" + e } ++
+      (if (effColMap.nonEmpty)
+        Seq(ColMapPrefix + effColMap.toSeq.sorted
+          .map { case (l, p) => s"$l:$p" }.mkString(","))
+       else Nil) ++
+      (if (effRetired.nonEmpty) Seq(ColRetiredPrefix + effRetired.mkString(","))
+       else Nil) ++
+      effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
+      (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
+      effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
+      effIdentity.map { case (c, n) => IdentityPrefix + c + ":" + n } ++
+      effIngested.map(IngestedPrefix + _) ++
+      (if (features.nonEmpty) Seq(RequirePrefix + features.mkString(","))
+       else Nil) ++
+      statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
+    try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // test seam: the window between manifest build and publish is
+    // where a concurrent writer's commit lands — specs swap in a
+    // self-resetting closure that commits here to force slot loss
+    // DETERMINISTICALLY (thread-race tests would flake green)
+    beforePublish()
+    // THE commit point: atomic put-if-absent of the marker
+    if (!publishIfAbsent(fs, tmp, new Path(r, s"_commit_$version")))
+      return false
+    pruneRetention(fs, r, retainEff)
+    true
+  }
+
+  /** Layout-only maintenance OCC rebase (Delta's disjoint-file
+    * conflict rule): a compaction / z-order / REORG purge that lost
+    * its version slot may RETRY on top of the interleaved commits —
+    * instead of discarding a rewrite that may have moved terabytes —
+    * PROVIDED the race never touched what the rewrite read or froze:
+    *
+    *  - every SOURCE dir is still live (an interloper that removed or
+    *    rewrote one superseded rows our output would resurrect);
+    *  - the source dirs' deletion vectors are unchanged (the rewrite
+    *    materialized the vector it READ);
+    *  - the table-level metadata the staged files froze under is
+    *    unchanged (column map / retired names / stat, bloom and
+    *    partition column lists / bucket layout / generated columns).
+    *
+    * Anything else — plain appends above all, but also disjoint
+    * maintenance — composes: the retry publishes (current live dirs −
+    * source dirs) + the rewrite's output, under the CURRENT schema
+    * and row count (an interloping append may have evolved/extended
+    * both; the rewrite is row-preserving so they stay exact).
+    * @return (next slot, current live dirs, current schema, rows) */
+  private[sources] def maintenanceRebase(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, root: String, baseV: Long, srcDirs: Set[String],
+      what: String):
+      (Long, Seq[String], Option[org.apache.spark.sql.types.StructType],
+        Option[Long]) = {
+    def cme(msg: String) =
+      new java.util.ConcurrentModificationException(s"$what of $root $msg")
+    try {
+      val curV = committedVersions(fs, r).maxOption.getOrElse(
+        throw cme("raced the table's last manifest away mid-commit"))
+      val live = manifestDirs(fs, r, curV)
+      val missing = srcDirs -- live.toSet
+      if (missing.nonEmpty) throw cme(
+        "raced a commit that removed or rewrote its source dirs " +
+          missing.toSeq.sorted.mkString("[", ", ", "]") +
+          " — retrying would resurrect superseded rows; re-run against " +
+          "the current table")
+      def srcDvs(v: Long) = manifestDvsRaw(fs, r, v)
+        .view.filterKeys(srcDirs).toMap
+      if (srcDvs(curV) != srcDvs(baseV)) throw cme(
+        "raced a deletion-vector commit on its source dirs — the " +
+          "rewrite materialized a vector that is no longer current; " +
+          "re-run against the current table")
+      val metaSame =
+        manifestColMap(fs, r, curV) == manifestColMap(fs, r, baseV) &&
+          manifestRetired(fs, r, curV) == manifestRetired(fs, r, baseV) &&
+          manifestStatsCols(fs, r, curV) == manifestStatsCols(fs, r, baseV) &&
+          manifestBloomCols(fs, r, curV) == manifestBloomCols(fs, r, baseV) &&
+          manifestPartCols(fs, r, curV) == manifestPartCols(fs, r, baseV) &&
+          manifestBucketBy(fs, r, curV) == manifestBucketBy(fs, r, baseV) &&
+          manifestGenParts(fs, r, curV) == manifestGenParts(fs, r, baseV)
+      if (!metaSame) throw cme(
+        "raced a metadata commit (mapping/layout DDL) — the staged " +
+          "files froze under the previous metadata; re-run against the " +
+          "current table")
+      (curV + 1, live, manifestSchema(fs, r, curV), manifestRows(fs, r, curV))
+    } catch {
+      case _: java.io.FileNotFoundException => throw cme(
+        "raced a retention prune past its base snapshot — the " +
+          "interleaving cannot be proven safe; re-run against the " +
+          "current table (or commit with a larger `retain`)")
+    }
+  }
+
+  /** The retention prune every commit runs: keep the live snapshot
+    * plus the newest `retain` superseded ones — markers first (a
+    * crash mid-prune never leaves a committed manifest pointing at
+    * deleted data — dirs go only after every manifest referencing
+    * them), then sweep EVERY committed-range data dir no surviving
+    * manifest references. Sweeping by reference, not by stale list,
+    * also reclaims orphans from a PAST crash between a prune's
+    * marker and dir deletions — they are referenced by no manifest
+    * and could never be resurrected. A writer-in-progress dir is
+    * never swept: a version-named (`v<N>`) one exceeds every
+    * committed version, and a staged (`z<nonce>`) one is only ever
+    * swept by reference from a manifest pruned in this very call —
+    * an in-flight stage is referenced by nothing and untouchable
+    * here (crash-abandoned stages age out via [[vacuumCommitted]]).
+    * @return (pruned manifest versions, swept dir names) */
+  private[sources] def pruneRetention(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      retain: Int, dryRun: Boolean = false): (Seq[Long], Seq[String]) = {
+    val all = committedVersions(fs, r)
+    if (all.isEmpty) return (Nil, Nil)
+    val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
+    // staged (`z`) dirs carry no version in their name, so they are
+    // sweepable only by REFERENCE: record what the to-be-pruned
+    // manifests referenced BEFORE deleting them
+    val staleRefs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet
+    if (!dryRun)
+      stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
+    val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
+    val maxV = all.last
+    val swept = Seq.newBuilder[String]
+    fs.listStatus(r).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .foreach { n =>
+        if (!keptRefs.contains(n)) {
+          if (n.startsWith("v"))
+            n.stripPrefix("v").toLongOption.foreach { v =>
+              if (v <= maxV) {
+                if (!dryRun) fs.delete(new Path(r, n), true)
+                swept += n
+              }
+            }
+          // a staged dir whose last reference was just pruned is dead
+          // (it WAS committed once, so it is not in-flight). A staged
+          // dir referenced by NO manifest may belong to an in-flight
+          // writer — only vacuumCommitted's staleness horizon touches
+          // those.
+          else if (n.startsWith("z") && staleRefs.contains(n)) {
+            if (!dryRun) fs.delete(new Path(r, n), true)
+            swept += n
+          }
+        }
+      }
+    (stale, swept.result())
+  }
+
+  /** Replace the table at `root` with `df`, committing via one atomic
+    * manifest publish — no reader-visible gap at any crash point (see
+    * protocol above). Optimistically concurrent: the batch stages
+    * under a writer-unique dir, so concurrent writers never touch
+    * each other's data; losing the version slot to ANY concurrent
+    * commit is a refusal (`ConcurrentModificationException`) — an
+    * overwrite replaces a snapshot its caller derived against, so
+    * the caller must re-derive and retry, Delta's rule. Returns the
+    * committed version. */
+  def commitOverwrite(df0: org.apache.spark.sql.DataFrame, root: String,
+      retain: Int = -1, rowCount: Option[Long] = None,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      generatedColumns: Map[String, String] = Map.empty,
+      identity: Option[String] = None): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
+    val spark = df0.sparkSession
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    // IDENTITY: materialize FIRST (a generated/partition column may
+    // derive from the key). An establishing batch may SEED the
+    // sequence with its own unique values; afterwards the column is
+    // GENERATED ALWAYS — batches omit it, the allocator owns it.
+    val effIdCol = effectiveIdentityCol(fs, r, identity)
+    val prevHwm = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
+    val effGen0 = effectiveGenParts(fs, r, generatedColumns)
+    // SQL INSERT OVERWRITE pads unnamed columns with NULL: an
+    // all-NULL identity/generated copy means omitted (see
+    // dropAllNullSpecials) — only an ESTABLISHING seed carries real
+    // identity values past this point
+    val dfPre = dropAllNullSpecials(df0, effGen0,
+      effIdCol.map(c => (c, prevHwm.getOrElse(1L))))
+    val (dfId, idNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
+      effIdCol match {
+        case None => (dfPre, None)
+        case Some(c) if dfPre.columns.contains(c) =>
+          require(prevHwm.isEmpty,
+            s"identity column '$c' is GENERATED ALWAYS — the batch must " +
+              "omit it (an explicit value could collide with the allocator); " +
+              "only the ESTABLISHING commit may seed existing keys")
+          import org.apache.spark.sql.functions.{count, countDistinct, lit, max => fmax}
+          val a = dfPre.agg(count(lit(1)), count(org.apache.spark.sql.functions.col(c)),
+            countDistinct(org.apache.spark.sql.functions.col(c)),
+            fmax(org.apache.spark.sql.functions.col(c).cast("long"))).collect().head
+          require(a.getLong(0) == a.getLong(1) && a.getLong(1) == a.getLong(2),
+            s"seeding identity column '$c' requires unique non-NULL values " +
+              s"(${a.getLong(0)} rows, ${a.getLong(1)} non-null, " +
+              s"${a.getLong(2)} distinct)")
+          (dfPre, Some(if (a.isNullAt(3)) 1L else a.getLong(3) + 1L))
+        case Some(c) =>
+          val start = prevHwm.getOrElse(1L)
+          val n = dfPre.count()
+          (materializeIdentity(dfPre, c, start), Some(start + n))
+      }
+    val effGen = effGen0
+    // the evaluation zone is pinned at ESTABLISHMENT — later commits
+    // inherit it (a different writer session must not re-date it)
+    val genTzEst =
+      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+        Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None
+    val df = materializeGenerated(dfId, effGen)
+    // user column args name LOGICAL columns; the property lines (and
+    // stageBatch's view of the batch) are physical. An overwrite keeps
+    // the surviving columns' physical names (its fresh files must
+    // agree with the inherited property lines) and drops map entries
+    // whose logical column the new schema no longer carries.
+    val liveMap = liveColMap(fs, r)
+    val retired0 =
+      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+        .getOrElse(Nil)
+    val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, liveMap))
+    val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, liveMap))
+    val effPart = effectivePartCols(fs, r, colsToPhysical(partitionBy, liveMap))
+    val effBucket = effectiveBucketBy(fs, r,
+      bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, liveMap)) })
+    // CHECK constraints gate every row-introducing commit: one
+    // aggregate job over the batch, BEFORE anything stages
+    validateChecks(fs, r, df, "overwrite", effGen)
+    val allocV = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val newMap = allocPhysical(df.schema,
+      liveMap.filter { case (l, _) => df.columns.contains(l) },
+      retired0, allocV)
+    // data first, completely, under dirs no other writer contests
+    // (one per partition-value tuple when the table is partitioned)
+    val (staged, stats, blooms, parts) =
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
+        bucketBy = effBucket, colMap = newMap)
+    // allocate past EVERY committed marker, not just the live one: a
+    // defensively-ignored manifest (data dirs lost) still owns its
+    // number, and publishing onto it would conflict forever. An
+    // overwrite REPLACES the table — it carries no prior-snapshot
+    // state — so (unlike the pinSlot commits) a freshest-marker
+    // allocation loses nothing to an interleaved commit it supersedes.
+    val next = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    if (!commitManifest(fs, r, next, staged, retain, Some(df.schema),
+        rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+        newParts = parts, partCols = effPart, bucketBy = effBucket,
+        colMap = Some(newMap),
+        genParts = Some(effGen), genTz = genTzEst,
+        identity = effIdCol.map(c => Some((c, idNext.getOrElse(1L)))),
+        op = "overwrite")) {
+      staged.foreach(d => fs.delete(new Path(r, d), true))
+      throw new java.util.ConcurrentModificationException(
+        s"overwrite of $root lost version $next to a concurrent commit — " +
+          "an overwrite replaces the snapshot its caller derived against; " +
+          "re-derive against the current table and retry")
+    }
+    next
+  }
+
+  /** Append `df` to the table at `root` WITHOUT rewriting it: the new
+    * snapshot = the previous snapshot's dirs + one new O(batch) dir.
+    * This is the lake form of the K1 append sink — at 100 TB the
+    * nightly load writes only its batch, and readers still swap
+    * snapshots atomically. First commit on an empty root bootstraps
+    * the table.
+    *
+    * Optimistically concurrent (Delta's blind-append rule): the batch
+    * writes ONCE to a writer-unique staged dir; each commit attempt
+    * only builds a manifest, so losing the version slot costs a
+    * manifest read, never a re-run of the job. A loser REBASES on the
+    * new live snapshot and retries as long as every intervening
+    * commit was itself append-shaped — N interleaved appenders all
+    * commit, serialized, no lost dirs. An intervening commit that
+    * REMOVED dirs (overwrite/merge/delete/compact) changed rows this
+    * append never saw: refused with `ConcurrentModificationException`
+    * rather than guessed (re-derive the batch and retry).
+    * Returns the committed version. */
+  def commitAppend(df0: org.apache.spark.sql.DataFrame, root: String,
+      retain: Int = -1, rowCount: Option[Long] = None,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      op: String = "append", partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      generatedColumns: Map[String, String] = Map.empty,
+      ingested: Option[Seq[String]] = None,
+      requireBase: Option[Long] = None): Long = {
+    require(retain >= -1,
+      s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
+    require(!op.contains("\n"), "op must be a single manifest line")
+    val spark = df0.sparkSession
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val effGen = effectiveGenParts(fs, r, generatedColumns)
+    val genTzEst =
+      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+        Some(spark.sessionState.conf.sessionLocalTimeZone)
+      else None
+    // IDENTITY: a declared table allocates [mark, mark + n) here and
+    // advances the mark in the SAME manifest write; the batch must
+    // omit the column (GENERATED ALWAYS)
+    val effId = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v))
+    // SQL `INSERT INTO t (named, cols)` pads every unnamed column
+    // with NULL — an all-NULL identity/generated column therefore
+    // means OMITTED (recompute/allocate, Delta's rule), while any
+    // non-NULL identity value refuses (GENERATED ALWAYS). One probe
+    // job covers all such columns the batch carries.
+    val dfDropped = dropAllNullSpecials(df0, effGen, effId)
+    effId.foreach { case (c, _) =>
+      require(!dfDropped.columns.contains(c),
+        s"identity column '$c' is GENERATED ALWAYS — the append batch " +
+          "must omit it (keys allocate atomically at commit)")
+    }
+    val dfIn = dfDropped
+    var idStart: Long = effId.map(_._2).getOrElse(0L)
+    val idN: Long = if (effId.isDefined) dfIn.count() else 0L
+    def withIds(start: Long): org.apache.spark.sql.DataFrame = effId match {
+      case Some((c, _)) =>
+        materializeGenerated(materializeIdentity(dfIn, c, start), effGen)
+      case None => materializeGenerated(dfIn, effGen)
+    }
+    val df = withIds(idStart)
+    // user column args name LOGICAL columns; property lines are
+    // physical — and a batch adding NEW columns allocates them
+    // physical names that can never collide with a mapped or retired
+    // one (a re-add after rename/drop must not read old bytes)
+    val liveMap = liveColMap(fs, r)
+    val retired0 =
+      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+        .getOrElse(Nil)
+    val newMap = allocPhysical(df.schema, liveMap, retired0,
+      committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L))
+    val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, newMap))
+    val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, newMap))
+    // a partitioned table's layout is a TABLE property: appends
+    // inherit it and stage one dir per partition-value tuple
+    val effPart = effectivePartCols(fs, r, colsToPhysical(partitionBy, newMap))
+    // the bucket layout is a table property too: appends inherit it
+    // and stage through the bucketed writer. A NEW declaration on an
+    // append to an existing UNBUCKETED table refuses: earlier dirs
+    // lack the bucket file naming, so the declared layout would lie
+    // to every bucketed scan — declare bucketBy on the table's first
+    // commit, or re-layout the whole snapshot with commitOverwrite
+    if (bucketBy.isDefined && committedVersions(fs, r).nonEmpty)
+      require(committedVersions(fs, r).lastOption
+          .flatMap(v => manifestBucketBy(fs, r, v)).isDefined,
+        s"an append cannot declare a bucket layout on the existing " +
+          s"unbucketed table at $root — earlier dirs lack bucket file " +
+          "naming; re-layout with commitOverwrite(bucketBy = …)")
+    val effBucket = effectiveBucketBy(fs, r,
+      bucketBy.map { case (n, cs) => (n, colsToPhysical(cs, newMap)) })
+    validateChecks(fs, r, df, "append", effGen)
+    // O(batch): stats only for the new dirs; reused dirs' lines carry
+    var (staged, stats, blooms, parts) =
+      stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
+        bucketBy = effBucket, colMap = newMap)
+    def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
+    // the snapshot this append staged against; every retry re-checks
+    // that the commits landing after it were all append-shaped
+    val base = committedVersions(fs, r).maxOption.getOrElse(-1L)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val committed = committedVersions(fs, r)
+      // ledger-carrying commits (COPY INTO) must extend EXACTLY the
+      // snapshot whose ledger they read: any interleaved commit means
+      // the merged `ingested` list may be stale, so refuse loudly and
+      // let the re-run re-read it (idempotence skips the loaded files)
+      requireBase.foreach { b =>
+        if (committed.lastOption != Some(b)) {
+          dropStaged()
+          throw new java.util.ConcurrentModificationException(
+            s"COPY INTO $root raced a concurrent commit past its base " +
+              s"v$b — re-run; files the winner already recorded will " +
+              "be skipped")
+        }
+      }
+      if (base >= 0 && !committed.contains(base)) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root: the base version $base this append staged " +
+            "against was retention-pruned during the commit race — the " +
+            "append-only interleaving cannot be proven; re-derive and retry " +
+            "(or commit with a larger `retain`)")
+      }
+      // rebase validation: every commit that landed since `base` must
+      // itself be append-shaped (dirs only added) for a blind rebase
+      // to be sound. A concurrent winner's pruneRetention can delete a
+      // manifest between the committedVersions listing above and these
+      // per-version reads (TOCTOU) — that race IS the retention-pruned
+      // case, so it gets the same refusal, not a raw FileNotFound.
+      try {
+        (base +: committed.filter(_ > base)).filter(_ >= 0)
+          .sliding(2).foreach {
+            case Seq(a, b) =>
+              val removed = manifestDirs(fs, r, a).toSet -- manifestDirs(fs, r, b)
+              // a ROW-PRESERVING layout commit (compaction / z-order /
+              // REORG purge) removes dirs without changing contents:
+              // the snapshot this batch was derived against is
+              // semantically intact, so the blind rebase stays sound —
+              // appends compose with the standing OPTIMIZE cadence
+              // (Delta's rule) instead of failing for it. Anything
+              // else that removed dirs (overwrite/merge/delete/
+              // restore) changed ROWS this append may have derived
+              // from: refuse.
+              lazy val rowPreserving = manifestOp(fs, r, b).exists(o =>
+                o.startsWith("compact") || o.startsWith("zorder") ||
+                  o.startsWith("reorg"))
+              if (removed.nonEmpty && !rowPreserving) {
+                dropStaged()
+                throw new java.util.ConcurrentModificationException(
+                  s"append to $root: concurrent commit v$b removed dirs " +
+                    s"${removed.toSeq.sorted.mkString(", ")} " +
+                    "(overwrite/merge/delete/restore) while this append " +
+                    "was staging — a blind-append rebase is only sound " +
+                    "across appends and row-preserving maintenance; " +
+                    "re-derive the batch against the current snapshot " +
+                    "and retry")
+              }
+            case _ => // single element: nothing landed since base
+          }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          dropStaged()
+          throw new java.util.ConcurrentModificationException(
+            s"append to $root: a manifest in the rebase window was " +
+              "retention-pruned by a concurrent commit mid-validation — " +
+              "the append-only interleaving cannot be proven; re-derive " +
+              "and retry (or commit with a larger `retain`)")
+      }
+      val cur = committed.lastOption
+      // column-map rebase: this batch's file names froze under the map
+      // read at staging time. A concurrent append that merely ADDED
+      // entries merges; a concurrent rename/drop that moved a name
+      // this batch staged under — or retired/claimed a physical name
+      // this batch allocated — refuses (the staged bytes would lie).
+      val curMap = cur.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty)
+      val curRetired = cur.map(v => manifestRetired(fs, r, v)).getOrElse(Nil)
+      val ourNew = newMap -- liveMap.keys
+      val mergedMap = curMap ++ ourNew
+      // every staged column's PHYSICAL name — including identity-
+      // mapped ones — must still be OURS under the concurrent
+      // snapshot: a first-ever rename of an identity column claims
+      // our physical name for a DIFFERENT logical column (mergeSchemas
+      // would re-add the old logical name over the same bytes), and a
+      // first-ever drop retires it (a commit would resurrect the
+      // dropped column's bytes). Both were invisible to the ourNew
+      // checks alone because identity names never appear in the map.
+      val stagedPhys = df.columns.toSeq.map(c => c -> physName(newMap, c))
+      if (df.columns.exists(c => physName(mergedMap, c) != physName(newMap, c)) ||
+          stagedPhys.exists { case (_, pc) => curRetired.contains(pc) } ||
+          stagedPhys.exists { case (lc, pc) =>
+            curMap.exists { case (clc, cpc) => cpc == pc && clc != lc } } ||
+          ourNew.exists { case (lc, pc) => curMap.get(lc).exists(_ != pc) } ||
+          ourNew.values.toSet.intersect(
+            (curMap -- newMap.keys).values.toSet).nonEmpty) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root: a concurrent commit changed the column " +
+            "mapping while this append was staging — re-derive the batch " +
+            "against the current table and retry")
+      }
+      // IDENTITY rebase: a concurrent allocator advanced the mark
+      // past the block this batch staged under — the staged ids would
+      // collide, so RE-STAGE the same rows under the new block (only
+      // the key column moves; this is what makes concurrent appends
+      // to an identity table allocate disjoint ranges instead of
+      // refusing)
+      val curMark = cur.flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
+      if (effId.isDefined && curMark.exists(_ != idStart)) {
+        dropStaged()
+        idStart = curMark.get
+        val restaged = stageBatch(spark, fs, r, withIds(idStart),
+          effStats, effBloom, effPart, bucketBy = effBucket, colMap = newMap)
+        staged = restaged._1; stats = restaged._2
+        blooms = restaged._3; parts = restaged._4
+      }
+      // number allocation vs committedVersions (see commitOverwrite);
+      // the snapshot to extend is the LIVE one
+      val next = cur.map(_ + 1).getOrElse(0L)
+      val prevDirs = cur.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
+      // the committed schema evolves by MERGE (add-nullable-column;
+      // type changes refused — see mergeSchemas). A legacy manifest
+      // without a schema line infers its schema once here, so its
+      // first post-upgrade append migrates the table to
+      // carried-schema reads.
+      val prevSchema = cur.flatMap(v => manifestSchema(fs, r, v))
+        .orElse(cur.map(v => spark.read.parquet(
+          manifestDirs(fs, r, v).map(d => new Path(r, d).toString): _*).schema))
+      val schema = prevSchema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+      // the appended snapshot's count = previous + batch, when the
+      // caller supplied the batch count AND the chain carried one
+      // (bootstrap: the batch count alone)
+      val rows = rowCount.flatMap { n =>
+        cur match {
+          case Some(v) => manifestRows(fs, r, v).map(_ + n)
+          case None    => Some(n)
+        }
+      }
+      if (commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
+          rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
+          newParts = parts, partCols = effPart,
+          colMap = Some(mergedMap),
+          genParts = Some(effGen), genTz = genTzEst,
+          identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
+          ingested = ingested,
+          op = op))
+        return next
+      // lost the slot: a concurrent writer committed `next` first.
+      // Loop — the next pass validates what landed and rebases.
+      if (attempt >= 100) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root lost $attempt consecutive commit races — " +
+            "pathological contention; back off and retry")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Distinct PARENT-DIR names behind a probe's `__file` column,
+    * aggregated EXECUTOR-side before the collect: the driver sees
+    * O(dirs), never O(files), so an uncompacted million-file snapshot
+    * probes at dir scale. `input_file_name` yields a URI-ish path
+    * whose last two segments are `<dir>/<file>`. */
+  private[graft] def probeDirNames(
+      withFile: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    withFile
+      .select(substring_index(substring_index(
+        col("__file"), "/", -2), "/", 1).as("__dir"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+}

@@ -308,7 +308,9 @@ case class GraftDescribeHistoryCommand(t: GraftMaintTarget)
         org.apache.spark.sql.types.StructField("dv_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("dv_rows", LongType,
-          nullable = false))))
+          nullable = false),
+        org.apache.spark.sql.types.StructField("table_features",
+          org.apache.spark.sql.types.StringType, nullable = false))))
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = t.resolve(session)
     Lake.describeHistory(session, root).collect().toSeq
@@ -347,7 +349,9 @@ case class GraftDescribeDetailCommand(t: GraftMaintTarget)
         org.apache.spark.sql.types.StructField("dv_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("dv_rows", LongType,
-          nullable = false))))
+          nullable = false),
+        org.apache.spark.sql.types.StructField("table_features",
+          org.apache.spark.sql.types.StringType, nullable = false))))
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = t.resolve(session)
     Lake.describeDetail(session, root).collect().toSeq

@@ -1,0 +1,1452 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-level metadata state: partition/bucket layout, CHECK constraints, durable properties, generated and identity columns, the COPY INTO ledger, and column mapping with its DDL.
+  *
+  * Mechanically split from the [[Lake]] object (one object, many
+  * files): every member keeps its semantics and its package-private
+  * reach; [[Lake]] mixes the traits back into the single public
+  * surface. See Lake.scala for the protocol overview. */
+private[graft] trait LakeTableMeta { this: Lake.type =>
+
+  // ---- hive-style partition columns as first-class prune keys ------
+  //
+  // `#partcols=<c1,c2>` names the table's PARTITION COLUMNS
+  // (established by the first commit passing `partitionBy`, inherited
+  // by every later commit), and one `#part_<dir>=<json>` line per
+  // partitioned data dir records the EXACT value tuple every row of
+  // that dir carries. A partitioned commit stages one dir per
+  // distinct partition-value tuple — the date-partitioned layout
+  // every 100 TB fact table uses — and the values prune BEFORE
+  // stats/bloom fire: `WHERE year = 1998` on a year-partitioned table
+  // reads exactly the matching dirs, manifest-read planning cost.
+  //
+  // Differences from min/max stats that make partitions first-class:
+  // the value is exact (min==max by construction, so equality,
+  // ranges and IN prune precisely), and a NULL-valued partition dir
+  // is PRUNED by any comparison predicate (NULL satisfies none) where
+  // stats must conservatively keep it. Partition columns stay IN the
+  // data files (dirs are self-contained; the manifest line is
+  // metadata, not hive path encoding), so every reader — time travel,
+  // clone, compaction, COW rewrites — composes unchanged: a rewrite's
+  // fresh dir simply carries no #part_ line and is always scanned.
+  private[sources] val PartColsPrefix = "#partcols="
+  private[sources] val PartPrefix = "#part_"
+
+  /** Per-BATCH distinct-partition-tuple cap for [[stageBatch]] (a dir
+    * per tuple is the layout contract, so a batch staging thousands of
+    * dirs wants a coarser key). `var` only as a test seam — specs
+    * lower it to exercise the maintenance fallback without staging a
+    * thousand real dirs. */
+  private[graft] var stageTupleCap: Int = 1000
+
+  // ---- hash-bucketed layout as a table property ---------------------
+  //
+  // `#bucketby=<n>:<c1,c2>` declares the table CO-LOCATION layout
+  // (established by the first commit passing `bucketBy`, inherited by
+  // every later commit and COW rewrite, divergent re-declaration
+  // refused — one layout per table, like #partcols). Every data write
+  // to a bucketed table stages through Spark's own bucketed writer, so
+  // files carry the engine's bucket-id naming and the Murmur3 hash
+  // Spark's HashPartitioning uses — which is what lets [[readBucketed]]
+  // (and SQL reads through the catalog) expose
+  // `outputPartitioning = HashPartitioning(cols, n)` on the scan:
+  // joins and aggregations on the bucket key read the stored side with
+  // ZERO exchanges. This closes the stored-index gap: a band index or
+  // df multiset stored in a lake table now gets OCC, time travel and
+  // the change feed AND shuffle-free probes — previously those lived
+  // in catalog `bucketBy` tables only (sources/Bucketing.scala).
+  //
+  // Bucketing COMPOSES with hive-style partition columns (each
+  // partition tuple's dir writes bucketed; bucket grouping is exact
+  // across any pruned dir subset because key placement is global) —
+  // the standard date-partitioned + key-bucketed fact layout. Z-order
+  // refuses on bucketed tables (a clustered rewrite would destroy the
+  // bucket naming the read contract depends on; compaction instead
+  // preserves the layout by re-staging through the bucketed writer),
+  // and an APPEND cannot introduce bucketing to an existing unbucketed
+  // table (earlier dirs lack the naming — re-layout via overwrite).
+  private[sources] val BucketByPrefix = "#bucketby="
+
+  // ---- CHECK constraints as a table property -----------------------
+  //
+  // `#check=<name>:<sql expression>` lines (one per constraint,
+  // inherited like every table-property line) are Delta's CHECK
+  // constraints / DLT expectations: EVERY commit that introduces or
+  // rewrites rows validates them in ONE extra aggregate job over the
+  // batch (never the table) and refuses naming the violated
+  // constraints and their violation counts. SQL NULL semantics: a row
+  // passes when the expression is TRUE or NULL, violates only on
+  // FALSE. Row-preserving maintenance (compact, z-order, restore) and
+  // predicate DELETE skip validation — they cannot create a violating
+  // row that did not already exist.
+  private[sources] val CheckPrefix = "#check="
+
+  private[graft] def manifestChecks(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(CheckPrefix) &&
+          l.indexOf(':', CheckPrefix.length) > CheckPrefix.length =>
+        val i = l.indexOf(':', CheckPrefix.length)
+        l.substring(CheckPrefix.length, i) -> l.substring(i + 1)
+    }
+
+  private[sources] def liveChecks(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Seq[(String, String)] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestChecks(fs, r, v)).getOrElse(Nil)
+
+  /** ONE aggregate job over `df`: refuse (naming every violated
+    * constraint and its row count) if any live CHECK constraint fails.
+    * O(batch) — the validation scans what the commit was going to
+    * write anyway, never the table. */
+  private[sources] def validateChecks(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df: org.apache.spark.sql.DataFrame, what: String,
+      gens: Seq[(String, String)] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    // generated columns gate through the same machinery: a batch
+    // SUPPLYING a generated column must agree with the expression
+    // row-for-row (`<=>`: exact, never NULL), or the layout the
+    // readers prune by would lie
+    val effGens = if (gens.nonEmpty) gens
+      else committedVersions(fs, r).lastOption
+        .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+    val genChecks = effGens.map { case (c, e) =>
+      s"gen_$c" -> s"`$c` <=> ($e)" }
+    val cs = liveChecks(fs, r) ++ genChecks
+    if (cs.isEmpty) return
+    // a batch OMITTING a committed column evolves it NULL-backfilled
+    // (mergeSchemas marks it nullable, old readers see NULL) — so the
+    // checks validate against that SAME view: the omitted column joins
+    // the batch as a typed NULL and `c IS NOT NULL` refuses the
+    // omission up front, instead of the constraint silently claiming
+    // to hold over rows that read NULL. This IS the engine's NOT NULL
+    // enforcement: declare `ADD CONSTRAINT … CHECK (c IS NOT NULL)`
+    // and neither a NULL-carrying nor a column-omitting batch commits.
+    val committed = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestSchema(fs, r, v))
+    val widened = committed match {
+      case Some(s) =>
+        s.fields.filterNot(f => df.columns.contains(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => df
+    }
+    val counts = widened.agg(
+      sum(when(!coalesce(expr(cs.head._2), lit(true)), 1L).otherwise(0L))
+        .as(cs.head._1),
+      cs.tail.map { case (n, e) =>
+        sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+      }: _*).collect().head
+    val violated = cs.zipWithIndex.collect {
+      case ((n, e), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$n (${counts.getLong(i)} rows violate `$e`)"
+    }
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"$what at $r violates CHECK constraint(s): " +
+        violated.mkString("; ") + " — fix the rows or drop the constraint")
+  }
+
+  /** ADD a CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    * validates the EXISTING table first (one aggregate job over the
+    * live snapshot), then commits the property — same dirs, one
+    * manifest write. Every later row-introducing commit validates its
+    * batch against it. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+      name: String, sqlExpr: String, retain: Int = -1): Long = {
+    require(name.nonEmpty && !name.exists(":=,\n#".contains(_)),
+      s"constraint name '$name' may not contain ':', '=', ',', '#', or newline")
+    require(!sqlExpr.contains("\n"),
+      "constraint expression must be a single manifest line")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val prev = manifestChecks(fs, r, cur)
+    require(!prev.exists(_._1 == name),
+      s"constraint '$name' already exists on $root — drop it first")
+    // the new constraint must hold on the existing rows
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val bad = readCommittedAt(spark, root, cur)
+      .agg(sum(when(!coalesce(expr(sqlExpr), lit(true)), 1L).otherwise(0L)))
+      .collect().head.getLong(0)
+    require(bad == 0,
+      s"cannot add constraint '$name': $bad existing rows violate " +
+        s"`$sqlExpr` — clean the table first (Delta's ADD CONSTRAINT rule)")
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        checks = Some(prev :+ (name -> sqlExpr)),
+        op = s"add constraint $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding constraint '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** DROP a CHECK constraint — same dirs, one manifest write. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+      name: String, retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val prev = manifestChecks(fs, r, cur)
+    require(prev.exists(_._1 == name),
+      s"no constraint '$name' on $root (have: " +
+        prev.map(_._1).mkString("[", ", ", "]") + ")")
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        checks = Some(prev.filterNot(_._1 == name)),
+        op = s"drop constraint $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"dropping constraint '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** The live CHECK constraints of a table: (name, sql expression). */
+  def checkConstraints(spark: SparkSession, root: String): Seq[(String, String)] =
+    liveChecks(fsFor(spark, root), new Path(root))
+
+  // ---- durable table properties (#prop_<key>=<value>) --------------
+  //
+  // Delta's TBLPROPERTIES: arbitrary (key, value) strings stored AS
+  // TABLE STATE in the manifest chain, inherited by every commit like
+  // `#partcols`/`#statscols`, replaced only by the property DDL.
+  // Engine-reserved keys parameterize behaviors that were per-call
+  // arguments before round 14 — per-call args remain explicit
+  // overrides, but the TABLE now owns the default, so two writers
+  // that pass nothing cannot silently fight over the time-travel
+  // horizon or the DV bound:
+  //
+  //   graft.retain     — retention horizon (superseded versions kept)
+  //   graft.dvMaxRows  — deletion-vector bound for DELETE/UPDATE/MERGE
+  //
+  // Each manifest version carries its own map, so time travel and
+  // RESTORE see every version under the properties it had.
+  private[sources] val PropPrefix = "#prop_"
+  final val PropRetain = "graft.retain"
+  final val PropDvMaxRows = "graft.dvMaxRows"
+
+  private[graft] def manifestProps(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(PropPrefix) &&
+          l.indexOf('=', PropPrefix.length) > PropPrefix.length =>
+        val i = l.indexOf('=', PropPrefix.length)
+        l.substring(PropPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  private[sources] def liveProps(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Map[String, String] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestProps(fs, r, v)).getOrElse(Map.empty)
+
+  /** The live snapshot's table properties (empty when none set). */
+  def tableProperties(spark: SparkSession, root: String): Map[String, String] =
+    liveProps(fsFor(spark, root), new Path(root))
+
+  /** Effective dvMaxRows: an explicit per-call value (>= 0) wins; the
+    * omitted-arg sentinel -1 inherits the table's `graft.dvMaxRows`
+    * property, defaulting to 10000. */
+  private[sources] def effDvMaxRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      arg: Long): Long = {
+    require(arg >= -1L,
+      s"dvMaxRows must be >= 0 (or -1 = inherit $PropDvMaxRows), got $arg")
+    val v =
+      if (arg >= 0L) arg
+      else liveProps(fs, r).get(PropDvMaxRows).map { s =>
+        s.toLongOption.filter(_ >= 0L).getOrElse(
+          throw new IllegalArgumentException(
+            s"table property $PropDvMaxRows='$s' is not a non-negative long"))
+      }.getOrElse(10000L)
+    require(v < Int.MaxValue, s"dvMaxRows must fit an Int, got $v")
+    v
+  }
+
+  /** Validate one property (key, value) against the manifest line
+    * grammar and the reserved keys' value domains. */
+  private[sources] def validateProp(k: String, v: String): Unit = {
+    require(k.nonEmpty && !k.exists("=\n#".contains(_)),
+      s"property key '$k' may not be empty or contain '=', '#', or newline")
+    require(!v.contains("\n"), s"property $k value must be a single line")
+    if (k == PropRetain) require(v.toIntOption.exists(_ >= 0),
+      s"$PropRetain must be a non-negative integer, got '$v'")
+    if (k == PropDvMaxRows) require(
+      v.toLongOption.exists(n => n >= 0L && n < Int.MaxValue),
+      s"$PropDvMaxRows must be a non-negative Int-ranged long, got '$v'")
+  }
+
+  /** `ALTER TABLE t SET TBLPROPERTIES (…)`: merge `props` into the
+    * table's property map — same dirs, one manifest write, the
+    * constraint-commit OCC discipline (lost slot refuses loudly;
+    * concurrent property commits serialize by version, last writer
+    * wins per key exactly as Delta's metadata conflict rule). */
+  def setTableProperties(spark: SparkSession, root: String,
+      props: Map[String, String], retain: Int = -1): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, v) => validateProp(k, v) }
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val merged = manifestProps(fs, r, cur) ++ props
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        props = Some(merged),
+        op = "set tblproperties " + props.keys.toSeq.sorted.mkString(",")))
+      throw new java.util.ConcurrentModificationException(
+        s"SET TBLPROPERTIES on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
+  /** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (…)`. Absent keys
+    * refuse unless `ifExists` (Spark's own UNSET semantics). */
+  def unsetTableProperties(spark: SparkSession, root: String,
+      keys: Seq[String], ifExists: Boolean = false,
+      retain: Int = -1): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root"))
+    val have = manifestProps(fs, r, cur)
+    val missing = keys.filterNot(have.contains)
+    if (!ifExists) require(missing.isEmpty,
+      s"cannot UNSET absent table properties on $root: " +
+        missing.sorted.mkString("[", ", ", "]") + " (use IF EXISTS)")
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        props = Some(have -- keys),
+        op = "unset tblproperties " + keys.sorted.mkString(",")))
+      throw new java.util.ConcurrentModificationException(
+        s"UNSET TBLPROPERTIES on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
+  // ---- generated columns (derived partition keys) ------------------
+  //
+  // `#genpart=<col>:<exprText>` declares a GENERATED column (Delta's
+  // `GENERATED ALWAYS AS`): its value is a deterministic expression of
+  // other columns, materialized into every batch the writer stages (a
+  // batch omitting it gets it computed; a batch supplying it is
+  // validated row-by-row through the same one-aggregate-job gate CHECK
+  // constraints use — `p <=> expr` — so a stale copy refuses instead
+  // of silently corrupting the layout). The payoff is at READ time: a
+  // query filtering the SOURCE column prunes the GENERATED partition
+  // column — `WHERE ts BETWEEN a AND b` on a `p = year(ts)`-partitioned
+  // 100 TB fact derives `p BETWEEN year(a) AND year(b)` and reads only
+  // the matching partition dirs, Delta's generated-column partition
+  // filter rule. Range derivation is restricted to a MONOTONE
+  // whitelist (year, to_date, date_trunc, cast-to-date); any
+  // single-column deterministic expression derives equality and IS
+  // NULL conjuncts. Expressions over TimestampType evaluate under the
+  // session time zone, so the zone is recorded at establishment
+  // (`#genparttz=`) and derivation quietly disables when a reading
+  // session's zone differs — pruning weakens, never lies.
+  private[sources] val GenPartPrefix = "#genpart="
+  private[sources] val GenTzPrefix = "#genparttz="
+
+  private[graft] def manifestGenParts(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(GenPartPrefix) &&
+          l.indexOf(':', GenPartPrefix.length) > GenPartPrefix.length =>
+        val i = l.indexOf(':', GenPartPrefix.length)
+        l.substring(GenPartPrefix.length, i) -> l.substring(i + 1)
+    }
+
+  private[sources] def manifestGenTz(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[String] =
+    manifestBody(fs, r, v).find(_.startsWith(GenTzPrefix))
+      .map(_.stripPrefix(GenTzPrefix))
+
+  // ---- identity columns (GENERATED ALWAYS AS IDENTITY) -------------
+  //
+  // `#identity=<col>:<next>` declares a writer-materialized surrogate
+  // key (the reference's `id SERIAL PRIMARY KEY`,
+  // /root/reference/dags/sql/news.sql:2, at lake scale): batches MUST
+  // omit the column (GENERATED ALWAYS — an explicit value could
+  // collide with the allocator), each append allocates the contiguous
+  // block [next, next + n) and advances the high-water mark IN THE
+  // SAME manifest write, so the mark and the rows that consumed it
+  // commit atomically. OCC composes: an append that loses its slot to
+  // a concurrent allocator re-reads the mark, RE-STAGES its batch
+  // under the new block, and retries — concurrent appends allocate
+  // disjoint, gap-free-per-commit ranges with no coordinator beyond
+  // the manifest slot itself.
+  private[sources] val IdentityPrefix = "#identity="
+
+  private[graft] def manifestIdentity(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[(String, Long)] =
+    manifestBody(fs, r, v).find(_.startsWith(IdentityPrefix)).flatMap { l =>
+      val body = l.stripPrefix(IdentityPrefix)
+      val i = body.lastIndexOf(':')
+      if (i <= 0) None
+      else body.drop(i + 1).toLongOption.map(n => (body.take(i), n))
+    }
+
+  /** The live identity declaration: (column, next value to allocate). */
+  def identityColumn(spark: SparkSession, root: String): Option[(String, Long)] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    committedVersions(fs, r).lastOption.flatMap(v => manifestIdentity(fs, r, v))
+  }
+
+  /** Declaration resolution (the [[effectiveGenParts]] discipline):
+    * `want` on the first declaring commit, inherited afterwards,
+    * divergence refused. */
+  private[sources] def effectiveIdentityCol(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, want: Option[String]): Option[String] = {
+    val prev = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdentity(fs, r, v)).map(_._1)
+    want match {
+      case None => prev
+      case Some(c) =>
+        require(c.nonEmpty && !c.exists("=,:\n#".contains(_)),
+          s"identity column name '$c' may not contain '=', ',', ':', '#', or newline")
+        require(prev.isEmpty || prev.contains(c),
+          s"table at $r declares identity column '${prev.get}'; a commit " +
+            s"cannot re-declare it as '$c' — one identity per table")
+        Some(c)
+    }
+  }
+
+  /** Materialize the contiguous id block [start, start + n) into
+    * `idCol` (LongType, gap-free per commit by construction).
+    * `zipWithIndex` is a distributed two-pass (per-partition counts,
+    * then offset map) — O(batch), no single-partition shuffle, the
+    * price of contiguity. Assignment order within the batch is
+    * partition order (arbitrary but valid: identity guarantees
+    * uniqueness + per-commit contiguity, not row affinity). */
+  private[sources] def materializeIdentity(df: org.apache.spark.sql.DataFrame,
+      idCol: String, start: Long): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val out = df.schema.add(idCol,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (start + i)) },
+      out)
+  }
+
+  /** SQL `INSERT INTO t (named, cols)` pads every UNNAMED column with
+    * NULL. For identity/generated columns an all-NULL padded copy
+    * means "omitted" — drop it so the allocator/expression recomputes
+    * (Delta's rule). One aggregate job probes every carried special
+    * column at once; a copy with ANY real value stays (generated
+    * copies then validate row-for-row; identity refuses upstream). */
+  private[sources] def dropAllNullSpecials(df: org.apache.spark.sql.DataFrame,
+      gens: Seq[(String, String)], ident: Option[(String, Long)]):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    val carried = (gens.map(_._1) ++ ident.map(_._1).toSeq).distinct
+      .filter(df.columns.contains)
+    if (carried.isEmpty) return df
+    val counts = df.agg(count(col(carried.head)),
+      carried.tail.map(c => count(col(c))): _*).collect().head
+    carried.zipWithIndex
+      .filter { case (_, i) => counts.getLong(i) == 0L }
+      .map(_._1).foldLeft(df)(_.drop(_))
+  }
+
+  /** The table's established generated columns: `want` on the first
+    * declaring commit, inherited afterwards, divergence refused —
+    * a generated column is a TABLE property like the partition
+    * layout. */
+  private[sources] def effectiveGenParts(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, want: Map[String, String]): Seq[(String, String)] = {
+    want.foreach { case (c, e) =>
+      require(c.nonEmpty && !c.exists("=,:\n#".contains(_)),
+        s"generated column name '$c' may not contain '=', ',', ':', '#', or newline")
+      require(!e.contains("\n"),
+        s"generated column expression for '$c' must be a single manifest line")
+    }
+    val prev = committedVersions(fs, r).lastOption
+      .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+    if (want.isEmpty) prev
+    else {
+      val w = want.toSeq.sortBy(_._1)
+      require(prev.isEmpty || prev.sortBy(_._1) == w,
+        s"table at $r declares generated columns ${prev.toMap}; a commit " +
+          s"cannot re-declare them as $want — one generation per table")
+      w
+    }
+  }
+
+  /** Materialize every declared generated column the batch omits. */
+  private[sources] def materializeGenerated(df: org.apache.spark.sql.DataFrame,
+      gens: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+
+  /** Monotone-or-equality classification of one generated-column
+    * expression: Some((sourceColumn, rangeDerivable)). */
+  private[sources] def classifyGenExpr(spark: SparkSession,
+      text: String): Option[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(text)).toOption
+      .getOrElse(return None)
+    def attrOf(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def eqOnly: Option[(String, Boolean)] = {
+      val attrs = parsed.collect {
+        case a: UnresolvedAttribute => a.nameParts.mkString(".") }.distinct
+      if (attrs.length == 1) Some((attrs.head, false)) else None
+    }
+    parsed match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+          case ("year", Seq(a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("to_date", Seq(a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("date_trunc", Seq(_: CLit, a)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case ("trunc", Seq(a, _: CLit)) if attrOf(a).isDefined =>
+            Some((attrOf(a).get, true))
+          case _ => eqOnly
+        }
+      case c: Cast if attrOf(c.child).isDefined &&
+          c.dataType == org.apache.spark.sql.types.DateType =>
+        Some((attrOf(c.child).get, true))
+      case _ => eqOnly
+    }
+  }
+
+  /** Evaluate generated expression `text` at the source-column literal
+    * `v` (normalized) — one driver-local job over `range(1)` (the
+    * select resolves functions and folds; no data is touched). None
+    * when anything refuses: derivation then just doesn't happen. */
+  private[sources] def evalGenAt(spark: SparkSession, text: String, srcCol: String,
+      srcType: org.apache.spark.sql.types.DataType,
+      v: NormVal): Option[NormVal] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    import org.apache.spark.sql.types._
+    val internal: Any = (v, srcType) match {
+      case (NumV(bd), ByteType)    => bd.toByteExact
+      case (NumV(bd), ShortType)   => bd.toShortExact
+      case (NumV(bd), IntegerType | DateType) => bd.toIntExact
+      case (NumV(bd), LongType | TimestampType | TimestampNTZType) =>
+        bd.toLongExact
+      case (NumV(bd), FloatType)   => bd.toFloat
+      case (NumV(bd), DoubleType)  => bd.toDouble
+      case (NumV(bd), d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+      case (StrV(u), StringType)   => u
+      case _ => return None
+    }
+    val substituted = spark.sessionState.sqlParser.parseExpression(text)
+      .transform {
+        case a: UnresolvedAttribute if a.nameParts == Seq(srcCol) =>
+          CLit(internal, srcType)
+      }
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graft.Shim.column(substituted))
+      .collect().head.get(0)
+    normExternal(out)
+  }.toOption.flatten
+
+  /** Derivation-safety profile of a generated expression that is NOT
+    * on the monotone whitelist: (deterministic, nullPreserving,
+    * tzDependent).
+    * Determinism is read off the ANALYZED tree (the unresolved one
+    * reports children-only determinism, so `rand()` would lie) and
+    * additionally refuses the query-time-anchored family
+    * (current_date/now/…): those are Catalyst-"deterministic" within
+    * one query but evaluate differently at read time than at the
+    * establishing write, which would derive wrong equalities.
+    * NULL-preservation is proven by EVALUATION at a NULL source
+    * literal — the only exact check for arbitrary expressions
+    * (`coalesce(x, 0)`, `isnull(x)`, `hash(x) % 16` all correctly
+    * fail it, so `x IS NULL` never derives `p IS NULL` for them).
+    * tzDependent is true when the ANALYZED tree contains any
+    * session-zone-anchored node (`TimeZoneAwareExpression`, or a
+    * `Cast` whose from/to pair needs a zone) — REGARDLESS of the
+    * source column's type: `from_unixtime(x)` over a LongType x and
+    * `date_trunc` over a DateType x both evaluate in the session
+    * zone, so a cross-zone reader would map predicate values
+    * differently than the writer materialized partition values and
+    * prune dirs that contain matching rows. Callers refuse every
+    * derivation of a tz-dependent expression unless the reading
+    * session's zone matches the establishing writer's (`#gentz`).
+    * None when the expression refuses to resolve. */
+  private[sources] def genExprProfile(spark: SparkSession, text: String,
+      srcCol: String, srcType: org.apache.spark.sql.types.DataType):
+      Option[(Boolean, Boolean, Boolean)] = scala.util.Try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast,
+      TimeZoneAwareExpression, Literal => CLit}
+    val substituted = spark.sessionState.sqlParser.parseExpression(text)
+      .transform {
+        case a: UnresolvedAttribute if a.nameParts == Seq(srcCol) =>
+          CLit(null, srcType)
+      }
+    val df = spark.range(1)
+      .select(org.apache.spark.sql.graft.Shim.column(substituted))
+    val timeAnchored = Set("currentdate", "currenttimestamp", "now",
+      "localtimestamp", "currenttimezone", "currenttime")
+    val analyzed = df.queryExecution.analyzed.expressions
+    val det = analyzed.forall(e =>
+      e.deterministic && e.find(c => timeAnchored.contains(
+        c.nodeName.toLowerCase(java.util.Locale.ROOT))).isEmpty)
+    val tzDep = analyzed.exists(e => e.find {
+      case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+      case _: TimeZoneAwareExpression => true
+      case _ => false
+    }.isDefined)
+    val nullAtNull = det && df.collect().head.isNullAt(0)
+    (det, nullAtNull, tzDep)
+  }.toOption
+
+  /** Extra prunable conjuncts on GENERATED columns, derived from the
+    * query's conjuncts on their source columns (all in LOGICAL names;
+    * callers translate afterwards). Monotone expressions derive
+    * ranges (strict bounds weaken to inclusive — f is non-strictly
+    * monotone; temporal sources only), equality/IN derives when the
+    * expression is proven deterministic, and IS NULL only when it is
+    * additionally proven NULL-preserving (the whitelist is both by
+    * construction; anything else proves it via [[genExprProfile]] or
+    * doesn't derive). Purely an optimization: the
+    * derived conjuncts are implied by the originals, so Keep AND
+    * whole-dir-Drop proofs stay exact. */
+  private[sources] def deriveGenPreds(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
+      preds: Seq[Pred]): Seq[Pred] = {
+    val gens = manifestGenParts(fs, r, v)
+    if (gens.isEmpty || preds.isEmpty) return Nil
+    val schema = manifestSchema(fs, r, v).getOrElse(return Nil)
+    val tzOk = manifestGenTz(fs, r, v).forall(
+      _ == spark.sessionState.conf.sessionLocalTimeZone)
+    gens.flatMap { case (p, text) =>
+      classifyGenExpr(spark, text) match {
+        case None => Nil
+        case Some((src, monotone0)) =>
+          val srcFieldOpt = schema.fields.find(_.name == src)
+          if (srcFieldOpt.isEmpty) Nil
+          // session-zone-dependent evaluation: derive only when the
+          // reading session matches the establishing one
+          else if (srcFieldOpt.get.dataType ==
+              org.apache.spark.sql.types.TimestampType && !tzOk) Nil
+          else {
+          import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+          val srcType = srcFieldOpt.get.dataType
+          // the monotone whitelist (year/to_date/date_trunc/trunc/
+          // cast-to-date) is deterministic and NULL-preserving by
+          // construction; an eqOnly-classified expression must PROVE
+          // both before ANY derivation happens (PEq needs determinism,
+          // PNull additionally needs f(NULL) = NULL)
+          lazy val prof = genExprProfile(spark, text, src, srcType)
+          // session-zone safety gates EVERY derivation, not just
+          // timestamp sources: `from_unixtime(x)` over a long and
+          // `date_trunc` over a date are both zone-anchored, so a
+          // cross-zone reader maps values differently than the writer
+          // did. Safe when the zones match (tzOk) or the analyzed tree
+          // is proven zone-free; when the profile refuses to resolve,
+          // refuse derivation under a mismatched zone.
+          val tzSafe = tzOk || prof.exists(!_._3)
+          // range derivation needs a TEMPORAL source (Delta's gate):
+          // lexical string order is not monotone under date parsing
+          // (' 2021-03-04' < '2020-1-5' lexically), so a string-typed
+          // source falls back to equality-only derivation
+          val monotone = monotone0 && tzSafe && (srcType == DateType ||
+            srcType == TimestampType || srcType == TimestampNTZType)
+          val detOk = tzSafe && (monotone0 || prof.exists(_._1))
+          val nullOk = tzSafe && (monotone0 || prof.exists(p => p._1 && p._2))
+          preds.filter(_.col == src).flatMap { pr =>
+            def at(nv: NormVal): Option[NormVal] =
+              evalGenAt(spark, text, src, srcFieldOpt.get.dataType, nv)
+            // a DISCRETE source type tightens strict bounds by one
+            // unit before mapping: `d < 1998-01-01` derives
+            // `year <= year(1997-12-31) = 1997`, not the weak `<= 1998`
+            def discreteStep(nv: NormVal, delta: Int): Option[NormVal] = {
+              import org.apache.spark.sql.types._
+              (nv, srcFieldOpt.get.dataType) match {
+                case (NumV(bd), ByteType | ShortType | IntegerType |
+                     LongType | DateType | TimestampType |
+                     TimestampNTZType) => Some(NumV(bd + delta))
+                case _ => None
+              }
+            }
+            pr.op match {
+              case PEq if detOk =>
+                val mapped = pr.values.map(at)
+                if (mapped.exists(_.isEmpty)) Nil
+                else Seq(Pred(p, PEq, mapped.flatten))
+              case PNull if nullOk => Seq(Pred(p, PNull, Nil))
+              case PLt if monotone =>
+                discreteStep(pr.values.head, -1).orElse(Some(pr.values.head))
+                  .flatMap(at).map(d => Pred(p, PLe, Seq(d))).toSeq
+              case PLe if monotone =>
+                at(pr.values.head).map(d => Pred(p, PLe, Seq(d))).toSeq
+              case PGt if monotone =>
+                discreteStep(pr.values.head, 1).orElse(Some(pr.values.head))
+                  .flatMap(at).map(d => Pred(p, PGe, Seq(d))).toSeq
+              case PGe if monotone =>
+                at(pr.values.head).map(d => Pred(p, PGe, Seq(d))).toSeq
+              case _ => Nil
+            }
+          }
+          }
+      }
+    }
+  }
+
+  // ---- COPY INTO (idempotent landing-zone ingestion) ----------------
+  //
+  // `#ingested=<fileName>:<len>` manifest lines record which landing
+  // files a table has already loaded (Delta's COPY INTO file ledger):
+  // re-running the same COPY commits NOTHING, so a crash-retried cron
+  // never double-loads. Entries are SELF-BOUNDED: each COPY keeps only
+  // the entries whose file still exists in the landing dir (a file
+  // removed from the zone can never re-ingest, so its entry carries no
+  // information) — the ledger is O(landing dir), not O(history).
+  // Dedup keys on the NAME alone (Delta's rule): a landing file
+  // rewritten in place is NOT reloaded — landing zones are
+  // append-only by contract, and re-loading a mutated file would
+  // double its rows.
+  private[sources] val IngestedPrefix = "#ingested="
+
+  private[graft] def manifestIngested(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(IngestedPrefix) => l.stripPrefix(IngestedPrefix)
+    }
+
+  /** `COPY INTO <table> FROM '<dir>'`: append every parquet file of
+    * the landing dir that is not yet in the table's ingestion ledger,
+    * as ONE ordinary append commit (schema evolution, CHECK
+    * constraints, partition/bucket layout, identity allocation — the
+    * full staging choke point applies) that atomically records the
+    * loaded file names. Idempotent: a re-run lists, finds every file
+    * recorded, and commits nothing. Concurrency: the commit refuses
+    * (loudly) if ANY commit interleaves — a lost race means the
+    * ledger this COPY read may be stale, and the re-run the error
+    * demands re-reads it, skipping whatever the winner loaded. At
+    * 100 TB the cost model is O(new files): the listing is one
+    * directory scan and the append stages only unrecorded files.
+    * @return (committed version, files ingested this run) */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+      retain: Int = -1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): (Long, Long) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed table at $root — COPY INTO loads into an " +
+          "existing table; establish it with commitOverwrite/CREATE TABLE"))
+    val sfs = fsFor(spark, srcDir)
+    val sp = new Path(srcDir)
+    require(sfs.exists(sp), s"COPY INTO source dir does not exist: $srcDir")
+    require(sfs.makeQualified(sp) != fs.makeQualified(r),
+      "COPY INTO source must not be the table root itself")
+    val landing = sfs.listStatus(sp).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .toSeq.sortBy(_._1)
+    landing.foreach { case (n, _) => require(!n.exists(":=,\n#".contains(_)),
+      s"landing file name '$n' cannot ride the ingestion ledger") }
+    val landingNames = landing.map(_._1).toSet
+    val prevLedger = manifestIngested(fs, r, cur)
+    val recordedNames = prevLedger.map(_.takeWhile(_ != ':')).toSet
+    val newFiles = landing.filterNot { case (n, _) => recordedNames(n) }
+    if (newFiles.isEmpty) return (cur, 0L)
+    val keptLedger = prevLedger.filter(e =>
+      landingNames(e.takeWhile(_ != ':')))
+    val ledger = keptLedger ++ newFiles.map { case (n, l) => s"$n:$l" }
+    val df = spark.read.parquet(
+      newFiles.map { case (n, _) => new Path(sp, n).toString }: _*)
+    val v = commitAppend(df, root, retain = retain, statsCols = statsCols,
+      bloomCols = bloomCols, op = s"copy into from $srcDir",
+      ingested = Some(ledger), requireBase = Some(cur))
+    (v, newFiles.size.toLong)
+  }
+
+  // ---- column mapping (rename / drop as metadata) ------------------
+  //
+  // `#colmap=<logical>:<physical>,…` records — for the columns whose
+  // names diverge — the PHYSICAL name under which the table's data
+  // files store a committed (LOGICAL) column: Delta's column-mapping
+  // 'name' mode. Physical names FREEZE at column birth, so a RENAME is
+  // one manifest write (same dirs; the `#schema` field takes the new
+  // logical name; the map entry re-points) and a DROP is one manifest
+  // write that also RETIRES the physical name (`#colretired=…`) so a
+  // later re-add of the same logical name allocates a fresh physical
+  // name instead of resurrecting the dropped column's bytes from old
+  // files. Readers scan under physical names and alias back to
+  // logical at the user boundary; writers rename logical→physical
+  // before staging; every other manifest line (`#partcols`,
+  // `#statscols`, `#bucketby`, per-dir stat/bloom/part keys) is keyed
+  // PHYSICALLY and therefore never rewrites on rename. Each manifest
+  // version carries its own map, so time travel serves every version
+  // under the names it had. Absent lines mean identity — pre-mapping
+  // tables read and write exactly as before, at zero cost.
+  private[sources] val ColMapPrefix = "#colmap="
+  private[sources] val ColRetiredPrefix = "#colretired="
+
+  private[sources] def manifestColMap(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    manifestBody(fs, r, v).find(_.startsWith(ColMapPrefix))
+      .map(_.stripPrefix(ColMapPrefix).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).flatMap { e =>
+          val i = e.indexOf(':')
+          if (i <= 0) None else Some(e.take(i) -> e.drop(i + 1))
+        }.toMap)
+      .getOrElse(Map.empty)
+
+  private[sources] def manifestRetired(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(ColRetiredPrefix))
+      .map(_.stripPrefix(ColRetiredPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** The live snapshot's column map (empty = identity). */
+  private[sources] def liveColMap(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Map[String, String] =
+    committedVersions(fs, r).lastOption
+      .map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty)
+
+  private[sources] def colMapAt(spark: SparkSession, root: String,
+      version: Long): Map[String, String] =
+    manifestColMap(fsFor(spark, root), new Path(root), version)
+
+  /** The physical (file) name of logical column `c`. */
+  private[sources] def physName(map: Map[String, String], c: String): String =
+    map.getOrElse(c, {
+      // nested paths map their HEAD segment (renaming re-points the
+      // container; field names inside a struct never change) — an
+      // exact-name hit wins first so a top-level column whose name
+      // contains a literal dot still maps as itself
+      val i = c.indexOf('.')
+      if (i < 0) c
+      else map.get(c.take(i)).map(_ + c.drop(i)).getOrElse(c)
+    })
+
+  /** Logical schema → the PHYSICAL schema its files store (field
+    * renames only; order, types and nullability are shared). */
+  private[sources] def physSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      map: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (map.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = physName(map, f.name))))
+
+  /** Batch with LOGICAL names → the PHYSICAL names staging writes. */
+  private[sources] def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
+      map: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (map.isEmpty) df else df.toDF(df.columns.map(physName(map, _)): _*)
+
+  /** Prunable conjuncts re-keyed to physical names (per-dir stat /
+    * bloom / partition / file-stat lines are keyed physically). */
+  private[sources] def predsToPhysical(preds: Seq[Pred],
+      map: Map[String, String]): Seq[Pred] =
+    if (map.isEmpty) preds else preds.map(p => p.copy(col = physName(map, p.col)))
+
+  /** Logical column names → physical, for user-supplied column lists
+    * (statsCols / bloomCols / partitionBy / bucketBy / z-order). */
+  private[sources] def colsToPhysical(cols: Seq[String],
+      map: Map[String, String]): Seq[String] =
+    if (map.isEmpty) cols else cols.map(physName(map, _))
+
+  /** Names of `checks` whose expression references column `c`
+    * (parsed, case-insensitive; an unparseable expression is
+    * conservatively treated as referencing). */
+  private[sources] def checksReferencing(spark: SparkSession,
+      checks: Seq[(String, String)], c: String): Seq[String] =
+    checks.collect { case (n, e) if
+        scala.util.Try(spark.sessionState.sqlParser.parseExpression(e))
+          .map(_.exists {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts.exists(_.equalsIgnoreCase(c))
+            case _ => false
+          }).getOrElse(true) => n }
+
+  /** Extend `map` with physical-name assignments for the columns of
+    * `schema` it does not cover: identity (no entry) unless the name
+    * is already claimed as a mapped physical name or retired — then a
+    * fresh `<name>_r<version>` allocates, so a column re-added after
+    * a rename/drop can never read another column's bytes. */
+  private[sources] def allocPhysical(schema: org.apache.spark.sql.types.StructType,
+      map: Map[String, String], retired: Seq[String],
+      version: Long): Map[String, String] = {
+    if (map.isEmpty && retired.isEmpty) return map
+    var out = map
+    // ALL mapped physical names are claimed — including those of live
+    // columns the batch omits — plus every retired name
+    var used = map.values.toSet ++ retired
+    schema.fieldNames.filterNot(out.contains).foreach { n =>
+      if (!used(n)) used += n
+      else {
+        require(!n.exists("=,:\n#".contains(_)),
+          s"column name '$n' needs a #colmap entry (its name collides " +
+            "with a retired or mapped physical column) but contains " +
+            "'=', ',', ':', '#', or newline — rename it in the batch")
+        var cand = s"${n}_r$version"
+        var i = 0
+        while (used(cand)) { i += 1; cand = s"${n}_r${version}_$i" }
+        out += n -> cand
+        used += cand
+      }
+    }
+    out
+  }
+
+  /** RENAME a column as METADATA (Delta's column mapping): one
+    * manifest write, ZERO data I/O at any table size — the immutable
+    * data files keep the column's physical name, the committed schema
+    * takes the new logical one, and the `#colmap` line re-points.
+    * Superseded versions keep their own names under time travel.
+    * Refuses: unknown source, duplicate target, a manifest-hostile
+    * target name, a column referenced by a CHECK constraint (the
+    * stored expression text would silently stop binding — drop the
+    * constraint, rename, re-add it under the new name), pre-schema
+    * (legacy) tables, and fold-maintained tables (their sink writes
+    * data dirs outside the staging choke point that applies the map).
+    * Optimistically concurrent like every maintenance commit.
+    * @return the committed version carrying the renamed schema */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String, retain: Int = -1): Long = {
+    require(newName.nonEmpty && !newName.exists("=,:\n#".contains(_)),
+      s"column name '$newName' may not contain '=', ',', ':', '#', or newline")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then rename"))
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' at $root (have: " +
+        schema.fieldNames.mkString("[", ", ", "]") + ")")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists at $root")
+    requireNotFoldTable(fs, r, "rename a column of")
+    val refs = checksReferencing(spark, manifestChecks(fs, r, cur), oldName)
+    require(refs.isEmpty,
+      s"cannot rename '$oldName': CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them, " +
+        "rename, and re-add them under the new name")
+    val genRefs = manifestGenParts(fs, r, cur).collect {
+      case (c, _) if c == oldName => c
+    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), oldName)
+    require(genRefs.isEmpty,
+      s"cannot rename '$oldName': generated column(s) " +
+        genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
+        "from) it — the stored generation expression would stop binding")
+    val map = manifestColMap(fs, r, cur)
+    val phys = physName(map, oldName)
+    val newMap = (map - oldName) ++
+      (if (phys == newName) Nil else Seq(newName -> phys))
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(newMap),
+        op = s"rename column $oldName -> $newName"))
+      throw new java.util.ConcurrentModificationException(
+        s"renaming '$oldName' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** DROP a column as METADATA: one manifest write, zero data I/O —
+    * the column leaves the committed schema (reads stop serving it),
+    * its physical name RETIRES (a later re-add allocates fresh, never
+    * resurrecting the dropped bytes), and its entries leave the
+    * stats/bloom column lists. Old versions still serve it under time
+    * travel. Refuses: the last column, a partition or bucket column
+    * (the layout is a table property — rewrite to re-layout), a
+    * column referenced by a CHECK constraint, legacy and
+    * fold-maintained tables.
+    * @return the committed version without the column */
+  def dropColumn(spark: SparkSession, root: String,
+      name: String, retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then drop"))
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $root (have: " +
+        schema.fieldNames.mkString("[", ", ", "]") + ")")
+    require(schema.length > 1, s"cannot drop the only column of $root")
+    requireNotFoldTable(fs, r, "drop a column of")
+    val map = manifestColMap(fs, r, cur)
+    val phys = physName(map, name)
+    require(!manifestPartCols(fs, r, cur).contains(phys),
+      s"cannot drop partition column '$name' — the partition layout is " +
+        "a table property; re-layout with commitOverwrite to change it")
+    require(!manifestBucketBy(fs, r, cur).exists(_._2.contains(phys)),
+      s"cannot drop bucket column '$name' — the bucket layout is a " +
+        "table property; re-layout with commitOverwrite to change it")
+    val refs = checksReferencing(spark, manifestChecks(fs, r, cur), name)
+    require(refs.isEmpty,
+      s"cannot drop '$name': CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them first")
+    val genRefs = manifestGenParts(fs, r, cur).collect {
+      case (c, _) if c == name => c
+    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), name)
+    require(genRefs.isEmpty,
+      s"cannot drop '$name': generated column(s) " +
+        genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
+        "from) it")
+    require(!phys.exists("=,\n#".contains(_)),
+      s"physical column name '$phys' cannot ride the #colretired line")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val retired = manifestRetired(fs, r, cur)
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(map - name),
+        retiredCols = Some((retired :+ phys).distinct),
+        statsColsReplace =
+          Some(manifestStatsCols(fs, r, cur).filterNot(_ == phys)),
+        bloomColsReplace =
+          Some(manifestBloomCols(fs, r, cur).filterNot(_ == phys)),
+        op = s"drop column $name"))
+      throw new java.util.ConcurrentModificationException(
+        s"dropping '$name' on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** ADD nullable columns as METADATA: one manifest write, zero data
+    * I/O — the committed schema gains the fields, every existing row
+    * reads NULL (exactly what an evolving append would have done), and
+    * later batches may supply them. New names that collide with a
+    * mapped or retired physical name allocate fresh physical names.
+    * Refuses duplicates, legacy (pre-schema) and fold tables.
+    * @return the committed version carrying the widened schema */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      retain: Int = -1): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then add columns"))
+    cols.foreach { case (n, _) =>
+      require(n.nonEmpty && !schema.fieldNames.contains(n),
+        s"column '$n' already exists at $root (or is empty)")
+    }
+    require(cols.map(_._1).distinct.length == cols.length,
+      "duplicate names in the added column list")
+    requireNotFoldTable(fs, r, "add columns to")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields ++ cols.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+    val newMap = allocPhysical(newSchema, manifestColMap(fs, r, cur),
+      manifestRetired(fs, r, cur), cur + 1)
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = Some(newMap),
+        op = s"add columns ${cols.map(_._1).mkString(", ")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding columns on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
+  /** Insert a nullable field named `path.last` into the struct at
+    * `path.init` — the schema-surgery core of nested ADD COLUMN.
+    * Refuses a missing/non-struct intermediate and an existing leaf;
+    * array/map interiors refuse (a per-element add has no single
+    * NULL-backfill story in old files). */
+  private[sources] def addFieldAt(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String],
+      dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(path.nonEmpty, "empty column path")
+    if (path.length == 1) {
+      require(!schema.fieldNames.contains(path.head),
+        s"field '${path.head}' already exists")
+      StructType(schema.fields :+
+        StructField(path.head, dt, nullable = true))
+    } else {
+      val i = schema.fieldNames.indexOf(path.head)
+      require(i >= 0, s"no field '${path.head}'")
+      schema.fields(i).dataType match {
+        case st: StructType =>
+          val rebuilt = schema.fields.clone()
+          rebuilt(i) = rebuilt(i).copy(
+            dataType = addFieldAt(st, path.tail, dt))
+          StructType(rebuilt)
+        case other => throw new IllegalArgumentException(
+          s"'${path.head}' is ${other.simpleString}, not a struct — " +
+            "cannot add a field inside it")
+      }
+    }
+  }
+
+  /** `ALTER TABLE t ADD COLUMN meta.x <type>`: add a NULLABLE field
+    * inside a struct column — one manifest schema commit, zero data
+    * I/O. Old files lack the field and read it NULL (parquet schema
+    * clipping), exactly like a top-level add; new files write it.
+    * The container keeps its frozen physical name under column
+    * mapping (nested names ride inside it verbatim), so stats,
+    * blooms and pushdown on OTHER nested fields are untouched.
+    * Identity / generated / bucket / constraint declarations are
+    * top-level-only constructs, so a nested add can never collide
+    * with them. */
+  def addNestedColumn(spark: SparkSession, root: String,
+      path: Seq[String], dt: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long = {
+    require(path.length >= 2,
+      s"addNestedColumn needs a nested path (got ${path.mkString(".")}) " +
+        "— use addColumns for top-level columns")
+    path.foreach(seg => require(
+      seg.nonEmpty && !seg.exists("=,\n#:.".contains(_)),
+      s"column path segment '$seg' may not be empty or contain " +
+        "'=', ',', ':', '#', '.', or newline"))
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then add columns"))
+    requireNotFoldTable(fs, r, "add columns to")
+    val newSchema =
+      try addFieldAt(schema, path, dt)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot add ${path.mkString(".")} at $root: ${e.getMessage}")
+      }
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = s"add nested column ${path.mkString(".")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding a nested column on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>`: LOSSLESS type
+    * widening as one manifest schema commit — zero data I/O. Old
+    * files keep their narrower physical type and read UPCAST under
+    * the widened `#schema` (the parquet reader's widening conversion,
+    * the same machinery append/merge schema evolution already relies
+    * on); new files write the wide type. Admissible widenings are
+    * exactly [[widenedType]]'s (byte→short→int→long, float→double,
+    * small-integral→double, recursively inside structs/arrays);
+    * anything lossy — long→double above all — refuses with the
+    * schema-evolution rule's message. Same-type is an idempotent
+    * no-op.
+    *
+    * Refused for columns whose MATERIALIZED artifacts hash or derive
+    * from the narrow type: bucket columns (bucket assignment hashes
+    * the value's byte width — int 5 and long 5 land in different
+    * buckets), generated partition columns and their sources (stored
+    * dir tuples froze values computed at the narrow type; `hash(x)`
+    * derivations would diverge), and the identity column (its domain
+    * is fixed LongType). Range stats, blooms and partition tuples
+    * survive widening: they compare through the width-independent
+    * normalized domain (BigDecimal / putLong). */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then alter types"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' at $root (have: " +
+          schema.fieldNames.mkString("[", ", ", "]") + ")"))
+    require(!manifestIdentity(fs, r, cur).exists(_._1 == name),
+      s"cannot alter the identity column '$name' — its domain is " +
+        "fixed LongType")
+    if (field.dataType == newType) return cur // idempotent no-op
+    val widened = widenedType(field.dataType, newType)
+    require(widened.contains(newType),
+      s"ALTER COLUMN TYPE supports lossless widening only; '$name' " +
+        s"cannot change ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString}. Rewrite the table (commitOverwrite) " +
+        "to change a column's type.")
+    requireNotFoldTable(fs, r, "alter a column type on")
+    manifestBucketBy(fs, r, cur).foreach { case (_, cols) =>
+      require(!cols.contains(name),
+        s"cannot widen bucket column '$name': bucket assignment hashes " +
+          "the stored width, so existing dirs would stop satisfying " +
+          "the bucketed read contract — re-layout with commitOverwrite")
+    }
+    val gens = manifestGenParts(fs, r, cur)
+    require(!gens.exists(_._1 == name),
+      s"cannot alter generated column '$name' — its stored dir values " +
+        "froze under the generation expression")
+    // reference check parses the stored text directly (classification
+    // may refuse an expression that still references the column)
+    val genSrcRefs = gens.collect {
+      case (c, text) if scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(text).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head
+          }).getOrElse(Seq(name)).contains(name) => c
+    }
+    require(genSrcRefs.isEmpty,
+      s"cannot widen '$name': generated column(s) " +
+        genSrcRefs.mkString("[", ", ", "]") + " derive from it and " +
+        "their stored dir values froze at the narrow type")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == name) f.copy(dataType = newType) else f))
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = s"alter column $name type ${newType.simpleString}"))
+      throw new java.util.ConcurrentModificationException(
+        s"altering column type on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** Fold-maintained tables write data dirs outside the staging choke
+    * point that applies the column map — refuse mapping DDL on them. */
+  private[sources] def requireNotFoldTable(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, what: String): Unit =
+    committedVersions(fs, r).lastOption
+      .flatMap(v => manifestOp(fs, r, v)).foreach(op =>
+        require(!op.startsWith("fold"),
+          s"cannot $what a fold-maintained table at $r — the fold sink " +
+            "pre-writes data dirs under the stream's own column names"))
+
+  private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[(Int, Seq[String])] =
+    manifestBody(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
+      val body = l.stripPrefix(BucketByPrefix)
+      val i = body.indexOf(':')
+      if (i <= 0) None
+      else body.take(i).toIntOption.map(n =>
+        (n, body.drop(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    }
+
+  /** The table's established bucket layout: `want` when this commit
+    * declares one, else inherited — a divergent re-declaration
+    * refuses (re-bucket by writing a new root). */
+  private[sources] def effectiveBucketBy(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      want: Option[(Int, Seq[String])]): Option[(Int, Seq[String])] = {
+    want.foreach { case (n, cols) =>
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      require(cols.nonEmpty, "bucketBy needs at least one column")
+      cols.foreach(c => require(!c.exists("=,\n#:".contains(_)),
+        s"bucket column name '$c' may not contain '=', ',', ':', '#', or newline"))
+    }
+    val prev = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestBucketBy(fs, r, v))
+    want match {
+      case None => prev
+      case Some(w) =>
+        require(prev.isEmpty || prev.contains(w),
+          s"table at $r is bucketed by $prev; a commit cannot re-bucket " +
+            s"it as $w — one layout per table (write a new root to re-layout)")
+        Some(w)
+    }
+  }
+
+  private[sources] def manifestPartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] =
+    manifestBody(fs, r, v).find(_.startsWith(PartColsPrefix))
+      .map(_.stripPrefix(PartColsPrefix).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Raw `#part_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private[sources] def manifestPartsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(PartPrefix) && l.indexOf('=') > PartPrefix.length =>
+        val i = l.indexOf('=')
+        l.substring(PartPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** One dir's exact partition values: `{"c":{"n":"123"}}` numeric,
+    * `{"c":{"s":"abc"}}` string, `{"c":{"z":true}}` NULL. */
+  private[sources] def partJson(m: Seq[(String, Option[NormVal])]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.sortBy(_._1).foreach { case (c, v) =>
+      val node = om.createObjectNode()
+      v match {
+        case Some(NumV(n)) => node.put("n", n.toString)
+        case Some(StrV(s)) => node.put("s", s.toString)
+        case None          => node.put("z", true)
+      }
+      root.set[com.fasterxml.jackson.databind.JsonNode](c, node)
+      ()
+    }
+    om.writeValueAsString(root)
+  }
+
+  /** Inverse of [[partJson]]: col -> Some(value) | None (= NULL). */
+  private[sources] def parsePartJson(json: String): Map[String, Option[NormVal]] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = scala.util.Try(om.readTree(json)).getOrElse(return Map.empty)
+    val it = root.properties().iterator()
+    val out = Map.newBuilder[String, Option[NormVal]]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (v.has("n"))
+        scala.util.Try(NumV(BigDecimal(v.get("n").asText())))
+          .foreach(n => out += e.getKey -> Some(n))
+      else if (v.has("s"))
+        out += e.getKey -> Some(StrV(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.get("s").asText())))
+      else if (v.has("z"))
+        out += e.getKey -> None
+    }
+    out.result()
+  }
+
+  /** Partition columns established for the table (inherited), with a
+    * divergent re-declaration refused — one layout per table. */
+  /** One recorded partition value as the CATALYST INTERNAL value of
+    * `dt` (what a [[org.apache.spark.sql.execution.datasources
+    * .PartitionDirectory]] row carries): `#part_` lines store dates /
+    * timestamps in their internal day/micros form already, so this is
+    * numeric narrowing plus UTF8String passthrough. None = the value
+    * does not represent under `dt` (disables partition-schema reads
+    * for the snapshot, conservative); Some(null) = a NULL partition. */
+  private[sources] def partInternal(v: Option[NormVal],
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    v match {
+      case None => Some(null)
+      case Some(NumV(bd)) => dt match {
+        case ByteType     => scala.util.Try(bd.toByteExact).toOption
+        case ShortType    => scala.util.Try(bd.toShortExact).toOption
+        case IntegerType | DateType => scala.util.Try(bd.toIntExact).toOption
+        case LongType | TimestampType | TimestampNTZType =>
+          scala.util.Try(bd.toLongExact).toOption
+        case FloatType    => Some(bd.toFloat)
+        case DoubleType   => Some(bd.toDouble)
+        case d: DecimalType => scala.util.Try(
+          org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)).toOption
+        case _ => None
+      }
+      case Some(StrV(u)) => dt match {
+        case StringType => Some(u)
+        case _ => None
+      }
+    }
+  }
+
+  /** The PARTITION-SCHEMA read layout of one snapshot — what lets the
+    * scan expose the partition columns as true Spark partition
+    * columns, unlocking the engine's own static partition pruning AND
+    * dynamic partition pruning (the star-join runtime prune) with no
+    * special API: `Some((partition fields, dir -> tuple InternalRow))`
+    * when EVERY live dir carries a `#part_` line whose values
+    * represent under the committed types, the partition columns exist
+    * in the schema (leaving a non-empty data schema), and no bucket
+    * column doubles as a partition column. Any miss → None and reads
+    * keep today's shape (a fold's fallback dir, a pre-layout table):
+    * honest degradation, never wrong answers. */
+  private[sources] def partitionLayoutAt(spark: SparkSession, root: String,
+      version: Long, schema: org.apache.spark.sql.types.StructType):
+      Option[(org.apache.spark.sql.types.StructType,
+        Map[String, org.apache.spark.sql.catalyst.InternalRow])] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val partCols = manifestPartCols(fs, r, version)
+    if (partCols.isEmpty) return None
+    // #partcols and #part_ keys are PHYSICAL; `schema` (and the
+    // partition schema this returns) is LOGICAL
+    val inv = manifestColMap(fs, r, version).map(_.swap)
+    val pairs = partCols.map(c => c -> inv.getOrElse(c, c))
+    val fieldsOpt = pairs.map { case (phys, log) =>
+      schema.fields.find(_.name == log).map(phys -> _) }
+    if (fieldsOpt.exists(_.isEmpty)) return None
+    val fields = fieldsOpt.flatten
+    if (fields.length == schema.length) return None // no data columns left
+    if (manifestBucketBy(fs, r, version)
+        .exists(_._2.exists(partCols.contains))) return None
+    val partsRaw = manifestPartsRaw(fs, r, version)
+    val dirs = manifestDirs(fs, r, version)
+    val tuples = Map.newBuilder[String, org.apache.spark.sql.catalyst.InternalRow]
+    dirs.foreach { d =>
+      val j = partsRaw.getOrElse(d, return None) // un-tupled dir: no layout
+      val m = parsePartJson(j)
+      val vals = fields.map { case (phys, f) =>
+        if (!m.contains(phys)) return None
+        partInternal(m(phys), f.dataType).getOrElse(return None)
+      }
+      tuples += d -> org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)
+    }
+    Some((org.apache.spark.sql.types.StructType(fields.map(_._2)),
+      tuples.result()))
+  }
+
+  /** [[scanFilesAt]] grouped by manifest dir — the partition-schema
+    * listing needs per-dir file sets to pair with per-dir tuples. */
+  private[sources] def scanDirFilesAt(spark: SparkSession, root: String,
+      version: Long,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    // scan-planning filters reference the relation's LOGICAL columns;
+    // every per-dir line is keyed physically. Conjuncts on generated
+    // columns' SOURCES derive extra conjuncts on the generated
+    // partition keys first (the ts-range-prunes-year-partitions rule).
+    val logicalPreds = filters.flatMap(extractPreds)
+    val preds = predsToPhysical(
+      logicalPreds ++ deriveGenPreds(spark, fs, r, version, logicalPreds),
+      manifestColMap(fs, r, version))
+    val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
+    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+      else manifestFileStatsRaw(fs, r, version)
+    keptDirs.map { d =>
+      val files = fstats.get(d) match {
+        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
+          splitDirFiles(fs, r, d, byFile, preds)._1
+        case _ =>
+          fs.listStatus(new Path(r, d)).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+      d -> files
+    }
+  }
+}

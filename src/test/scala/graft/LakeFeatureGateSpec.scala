@@ -129,4 +129,18 @@ class LakeFeatureGateSpec extends SparkSpec {
     assert(requiresOf(dv, liveVersion(dv)).isEmpty)
     assert(Lake.readCommitted(spark, dv).count() === 38L)
   }
+
+  test("DESCRIBE DETAIL surfaces the declared features") {
+    val root = tmpTable("graft-featgate-detail")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8,
+      bucketBy = Some((2, Seq("k"))))
+    assert(Lake.describeDetail(spark, root).collect().head
+      .getAs[String]("table_features") === "bucket")
+    assert(spark.sql(s"DESCRIBE DETAIL '$root'").collect().head
+      .getAs[String]("table_features") === "bucket")
+    val plain = tmpTable("graft-featgate-detailplain")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), plain)
+    assert(Lake.describeDetail(spark, plain).collect().head
+      .getAs[String]("table_features") === "")
+  }
 }

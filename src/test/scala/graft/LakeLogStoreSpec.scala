@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.{HadoopLogStore, Lake, LakeLogStore}
+import org.apache.spark.sql.functions._
+
+/** The put-if-absent commit seam ([[graft.sources.LakeLogStore]]).
+  * The OCC suite already proves winner/loser behavior through the
+  * default store; this spec drives a lost race through an INJECTED
+  * implementation — proving the protocol's concurrency outcomes are a
+  * property of the seam's contract, not of the hard-link/rename
+  * implementation detail (an S3 conditional-put store slots in the
+  * same way). */
+class LakeLogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** A store whose FIRST manifest publish races a real interloping
+    * commit into the slot before delegating — the delegate then
+    * reports the loss exactly as a concurrent writer would cause. */
+  private final class RacingStore(interloper: () => Unit)
+      extends LakeLogStore {
+    @volatile var fired = false
+    override def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+        tmp: org.apache.hadoop.fs.Path,
+        dest: org.apache.hadoop.fs.Path): Boolean = {
+      if (!fired && dest.getName.startsWith("_commit_")) {
+        fired = true // before the interloper commits: its own publish recurses here
+        interloper()
+      }
+      HadoopLogStore.publishIfAbsent(fs, tmp, dest)
+    }
+  }
+
+  test("append loses the injected race, rebases, and commits — no lost rows either side") {
+    val root = tmpTable("graft-logstore-append")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.logStore = new RacingStore(() =>
+      Lake.commitAppend(Seq((50L, "x")).toDF("k", "t"), root, retain = 8))
+    try Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    finally Lake.logStore = HadoopLogStore
+    assert(rows(Lake.readCommitted(spark, root)) ===
+      Set(Seq(1L, "a"), Seq(50L, "x"), Seq(2L, "b")))
+  }
+
+  test("a maintenance commit loses its pinned slot through the injected store and refuses loudly; a clean retry works") {
+    val root = tmpTable("graft-logstore-maint")
+    Lake.commitOverwrite((1L to 30L).map(i => (i, s"r$i")).toDF("k", "t"),
+      root, retain = 8)
+    Lake.logStore = new RacingStore(() =>
+      Lake.commitAppend(Seq((99L, "x")).toDF("k", "t"), root, retain = 8))
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        Lake.deleteWhere(spark, root, col("k") <= 3L, retain = 8,
+          dvMaxRows = 0L) // force the COW path: DV fast path not in scope
+      }
+    } finally Lake.logStore = HadoopLogStore
+    // nothing lost: the interloper's row is live, the delete did NOT
+    // half-apply
+    assert(Lake.readCommitted(spark, root).count() === 31L)
+    Lake.deleteWhere(spark, root, col("k") <= 3L, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 28L)
+  }
+
+  test("a torn publish (store threw) leaves no readable commit and the retry succeeds") {
+    val root = tmpTable("graft-logstore-torn")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    val v0 = Lake.currentVersion(spark, root).get
+    object ThrowingStore extends LakeLogStore {
+      override def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: org.apache.hadoop.fs.Path,
+          dest: org.apache.hadoop.fs.Path): Boolean =
+        throw new java.io.IOException("injected store outage")
+    }
+    Lake.logStore = ThrowingStore
+    try {
+      intercept[java.io.IOException] {
+        Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+      }
+    } finally Lake.logStore = HadoopLogStore
+    // the failed publish is not a commit: same live version, same rows
+    assert(Lake.currentVersion(spark, root).get === v0)
+    assert(Lake.readCommitted(spark, root).count() === 1L)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 2L)
+  }
+}

@@ -1706,14 +1706,18 @@ class LakeSpec extends SparkSpec {
     assert(parquetFilesUnder(keptPaths) <
       parquetFilesUnder(Lake.resolve(spark, root)))
 
-    // layout contract refusals
-    val re = intercept[IllegalArgumentException] {
-      Lake.commitAppend(Seq((9L, 1L, "z")).toDF("k", "y", "t"), root,
-        retain = 8, partitionBy = Seq("t"))
-    }
-    assert(re.getMessage.contains("partitioned by"))
+    // a re-declaration is FORWARD EVOLUTION now (see the dedicated
+    // partition-evolution test): the append stages under the NEW key
+    // while old dirs keep pruning on theirs
+    val preEvo = Lake.resolve(spark, root).length
+    Lake.commitAppend(Seq((9L, 1L, "z")).toDF("k", "y", "t"), root,
+      retain = 8, partitionBy = Seq("t"))
+    assert(Lake.resolve(spark, root).length === preEvo + 1)
+    val (kOld, sOld, _) = Lake.resolveWhere(spark, root, col("y") === 1995L)
+    assert(sOld.length >= 3, s"old-generation dirs must still prune, skipped $sOld")
+    // a batch MISSING the declared partition column still refuses
     val miss = intercept[IllegalArgumentException] {
-      Lake.commitAppend(Seq((9L, "z")).toDF("k", "t"), root, retain = 8)
+      Lake.commitAppend(Seq((10L, 2L)).toDF("k", "y"), root, retain = 8)
     }
     assert(miss.getMessage.contains("partition column"))
   }

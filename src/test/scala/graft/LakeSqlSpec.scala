@@ -390,18 +390,21 @@ class LakeSqlSpec extends SparkSpec {
         sp.getMessage.contains("static PARTITION"))
       assert(rows(Lake.readCommitted(spark, root)).size === 4,
         "a refused static-partition INSERT must not commit")
-      // a DDL declaration diverging from an established layout refuses
-      // (one layout per table)
+      // a DDL declaration diverging from an established layout is
+      // FORWARD EVOLUTION (Iceberg's spec evolution): the INSERT
+      // stages under the DDL's layout, old dirs keep their tuples
       val other = tmpTable("graft-lakesql-ddlpart2")
       Lake.commitOverwrite(Seq((1L, 5L)).toDF("k", "y"), other, retain = 8,
         partitionBy = Seq("k"))
       spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart2")
       spark.sql(s"CREATE TABLE lakesql_ddlpart2 (k BIGINT, y BIGINT) " +
         s"USING `graft-lake` PARTITIONED BY (y) OPTIONS (root '$other')")
-      val mm = intercept[IllegalArgumentException] {
-        spark.sql("INSERT INTO lakesql_ddlpart2 VALUES (2, 6)")
-      }
-      assert(mm.getMessage.contains("cannot re-partition"))
+      spark.sql("INSERT INTO lakesql_ddlpart2 VALUES (2, 6)")
+      assert(rows(spark.sql("SELECT k, y FROM lakesql_ddlpart2")) ===
+        Set(Seq(1L, 5L), Seq(2L, 6L)))
+      // the new generation's dir carries a y tuple (evolved layout)
+      assert(rows(Lake.partitionValues(spark, other))
+        .exists(r => r.head == 6L))
     } finally {
       spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart")
       spark.sql("DROP TABLE IF EXISTS lakesql_ddlpart2")
