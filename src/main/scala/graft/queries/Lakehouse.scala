@@ -1797,6 +1797,34 @@ object Lakehouse {
         .withColumn("mixed_prune_exact", lit(pruneExact))
     },
 
+    // SHOW PARTITIONS under the oracle hash — the manifest-layout
+    // report as SQL: two appends stage the day-partitioned corpus, so
+    // each day value present in both halves owns TWO dirs; the oracle
+    // recomputes every `day=<v>` spec and its dir count from the raw
+    // rows (dirs per tuple = distinct halves carrying that value).
+    // The hash breaks if a tuple is missed, a dir miscounted, or the
+    // spec string drifts from Spark's `c=v` spelling. Pure manifest
+    // metadata — at 100 TB the statement answers from KB-sized reads.
+    Q("q182_show_partitions",
+      """WITH p AS (
+        |  SELECT CAST(doc_id % 5 AS BIGINT) AS day,
+        |    CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |         THEN 0 ELSE 1 END AS half
+        |  FROM documents)
+        |SELECT 'day=' || CAST(day AS VARCHAR) AS partition,
+        |  CAST(count(DISTINCT half) AS BIGINT) AS n_dirs
+        |FROM p GROUP BY day ORDER BY partition""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_showparts", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 5).as("day"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      Lake.commitOverwrite(docs.where(col("doc_id") <= maxId / 2), root,
+        retain = 8, partitionBy = Seq("day"))
+      Lake.commitAppend(docs.where(col("doc_id") > maxId / 2), root,
+        retain = 8)
+      s.sql(s"SHOW PARTITIONS '$root'").orderBy("partition")
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

@@ -607,12 +607,12 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
               val dt = sp.newDataType.getOrElse(throw
                 new IllegalArgumentException(
                   "graft-lake ALTER COLUMN needs a TYPE clause"))
-              val name = sp.column match {
-                case UnresolvedFieldName(parts) => topLevel(parts, "widen")
+              val path = sp.column match {
+                case UnresolvedFieldName(parts) => parts
                 case other => throw new IllegalArgumentException(
                   s"cannot alter $other — name the column directly")
               }
-              name -> dt
+              path -> dt
             }
             GraftAlterColumnTypeCommand(root, typed, ident)
         }
@@ -650,12 +650,13 @@ case class GraftRenameColumnCommand(root: String, oldName: String,
 }
 
 case class GraftAlterColumnTypeCommand(root: String,
-    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
     ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    cols.foreach { case (n, dt) =>
-      Lake.alterColumnType(session, root, n, dt)
+    cols.foreach {
+      case (Seq(n), dt) => Lake.alterColumnType(session, root, n, dt)
+      case (path, dt) => Lake.alterNestedColumnType(session, root, path, dt)
     }
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
@@ -692,7 +693,8 @@ class GraftLakePropertiesRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{
     UnresolvedTable, UnresolvedTableOrView}
   import org.apache.spark.sql.catalyst.plans.logical.{
-    SetTableProperties, ShowTableProperties, UnsetTableProperties}
+    SetTableProperties, ShowPartitions, ShowTableProperties,
+    UnsetTableProperties}
 
   // SET/UNSET parse with UnresolvedTable, SHOW with
   // UnresolvedTableOrView — resolve a lake root from either
@@ -707,6 +709,16 @@ class GraftLakePropertiesRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      case sp @ ShowPartitions(child, spec, _) =>
+        lakeRootOf(child) match {
+          case None => sp
+          case Some((root, _)) =>
+            require(spec.isEmpty,
+              "SHOW PARTITIONS on a graft-lake table lists the whole " +
+                "manifest layout — a PARTITION (…) filter spec is not " +
+                "supported (filter the output)")
+            GraftShowPartitionsCommand(GraftMaintTarget(Some(root), None))
+        }
       case s @ SetTableProperties(child, props) =>
         lakeRootOf(child) match {
           case None => s

@@ -87,6 +87,11 @@ object GraftMaintenanceSql {
   private val Clone =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  // path form only — the catalog-ident spelling IS Spark grammar and
+  // routes through the Hints-batch rule so non-lake tables keep
+  // Spark's own SHOW PARTITIONS behavior
+  private val ShowPartsPath = // inline '<path>' group: PathT inits later
+    ("""(?is)^\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*;?\s*$""").r
   private val CopyInto =
     ("""(?is)^\s*COPY\s+INTO\s+""" + T +
       """\s+FROM\s+'([^']+)'\s*;?\s*$""").r
@@ -171,6 +176,8 @@ object GraftMaintenanceSql {
         target(srcLit, srcIdent), Option(v).map(_.toLong)))
     case CopyInto(rootLit, ident, src) =>
       Some(GraftCopyIntoCommand(target(rootLit, ident), src))
+    case ShowPartsPath(root) =>
+      Some(GraftShowPartitionsCommand(GraftMaintTarget(Some(root), None)))
     case Convert(root, stats) =>
       Some(GraftConvertCommand(root, Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
@@ -308,9 +315,7 @@ case class GraftDescribeHistoryCommand(t: GraftMaintTarget)
         org.apache.spark.sql.types.StructField("dv_dirs",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("dv_rows", LongType,
-          nullable = false),
-        org.apache.spark.sql.types.StructField("table_features",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+          nullable = false))))
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = t.resolve(session)
     Lake.describeHistory(session, root).collect().toSeq
@@ -486,5 +491,30 @@ case class GraftCopyIntoCommand(t: GraftMaintTarget, srcDir: String)
     val (v, n) = Lake.copyInto(session, root, srcDir)
     LakeDml.refresh(session, ident)
     Seq(Row(v, n))
+  }
+}
+
+
+/** `SHOW PARTITIONS t` — the manifest-layout report as SQL: one row
+  * per live partition-value tuple in Spark's own `c=v/c2=v2` spelling
+  * plus the dir count behind it ([[Lake.partitionValues]] — pure
+  * manifest metadata, no data file opened at any table size).
+  * Unpartitioned tables refuse with the programmatic message. */
+case class GraftShowPartitionsCommand(t: GraftMaintTarget)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition",
+        org.apache.spark.sql.types.StringType, nullable = false)(),
+      AttributeReference("n_dirs", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = t.resolve(session)
+    val pv = Lake.partitionValues(session, root)
+    val cols = pv.schema.fieldNames.dropRight(1) // last = n_dirs
+    pv.collect().toSeq.map { r =>
+      val spec = cols.zipWithIndex.map { case (c, i) =>
+        c + "=" + (if (r.isNullAt(i)) "null" else r.get(i).toString)
+      }.mkString("/")
+      Row(spec, r.getLong(cols.length))
+    }.sortBy(_.getString(0))
   }
 }

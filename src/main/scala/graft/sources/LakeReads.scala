@@ -433,11 +433,7 @@ private[graft] trait LakeReads { this: Lake.type =>
       org.apache.spark.sql.types.StructField("dv_dirs",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("dv_rows",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      // the #require= table features this snapshot declares — what an
-      // older build would refuse on (empty = readable by any build)
-      org.apache.spark.sql.types.StructField("table_features",
-        org.apache.spark.sql.types.StringType, nullable = false)))
+        org.apache.spark.sql.types.LongType, nullable = false)))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)

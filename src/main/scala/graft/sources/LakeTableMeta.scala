@@ -1242,6 +1242,68 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     next
   }
 
+  /** Nested spelling of [[alterColumnType]]:
+    * `ALTER COLUMN meta.v TYPE <wider>` widens a STRUCT FIELD with the
+    * same one-manifest-write cost and the same lossless-only rule
+    * (the parquet reader's widening conversion applies per leaf, so
+    * old files read the narrow nested field upcast). The top-level
+    * guards (bucket/generated/identity) are vacuous here — those are
+    * top-level-only constructs — but the container chain must exist
+    * and be structs the whole way. Nested stats/blooms survive like
+    * top-level ones (width-independent normalized domain). */
+  def alterNestedColumnType(spark: SparkSession, root: String,
+      path: Seq[String], newType: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long = {
+    require(path.length >= 2,
+      s"alterNestedColumnType needs a nested path (got ${path.mkString(".")})" +
+        " — use alterColumnType for top-level columns")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then alter types"))
+    requireNotFoldTable(fs, r, "alter a column type on")
+    def widenAt(st: org.apache.spark.sql.types.StructType,
+        p: Seq[String]): (org.apache.spark.sql.types.StructType, Boolean) = {
+      val i = st.fieldNames.indexOf(p.head)
+      require(i >= 0, s"no field '${p.head}' under ${path.mkString(".")}")
+      val f = st.fields(i)
+      if (p.length == 1) {
+        if (f.dataType == newType) return (st, false) // idempotent no-op
+        require(widenedType(f.dataType, newType).contains(newType),
+          s"ALTER COLUMN TYPE supports lossless widening only; " +
+            s"'${path.mkString(".")}' cannot change " +
+            s"${f.dataType.simpleString} -> ${newType.simpleString}. " +
+            "Rewrite the table (commitOverwrite) to change a column's type.")
+        val rebuilt = st.fields.clone()
+        rebuilt(i) = f.copy(dataType = newType)
+        (org.apache.spark.sql.types.StructType(rebuilt), true)
+      } else f.dataType match {
+        case inner: org.apache.spark.sql.types.StructType =>
+          val (widened, changed) = widenAt(inner, p.tail)
+          val rebuilt = st.fields.clone()
+          rebuilt(i) = f.copy(dataType = widened)
+          (org.apache.spark.sql.types.StructType(rebuilt), changed)
+        case other => throw new IllegalArgumentException(
+          s"'${p.head}' is ${other.simpleString}, not a struct — cannot " +
+            "alter a field inside it")
+      }
+    }
+    val (newSchema, changed) = widenAt(schema, path)
+    if (!changed) return cur
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = s"alter column ${path.mkString(".")} type ${newType.simpleString}"))
+      throw new java.util.ConcurrentModificationException(
+        s"altering column type on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
   /** Fold-maintained tables write data dirs outside the staging choke
     * point that applies the column map — refuse mapping DDL on them. */
   private[sources] def requireNotFoldTable(fs: org.apache.hadoop.fs.FileSystem,

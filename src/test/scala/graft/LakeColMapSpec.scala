@@ -542,6 +542,52 @@ class LakeColMapSpec extends SparkSpec {
     }.getMessage.contains("identity"))
   }
 
+  test("nested ALTER COLUMN TYPE: a struct field widens metadata-only; lossy/missing refuse") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-nestwiden")
+    Lake.commitOverwrite(
+      Seq((1L, "a", 7), (2L, "b", 9)).toDF("id", "t", "n")
+        .select(col("id"), struct(col("t"), col("n")).as("meta")),
+      root, retain = 8)
+    val preDirs = Lake.resolve(spark, root).toSet
+    Lake.alterNestedColumnType(spark, root, Seq("meta", "n"), LongType)
+    assert(Lake.resolve(spark, root).toSet === preDirs)
+    val df = Lake.readCommitted(spark, root)
+    assert(df.schema("meta").dataType.asInstanceOf[StructType]("n")
+      .dataType === LongType)
+    // old files read the nested field UPCAST, exactly
+    assert(rows(df.select(col("id"), col("meta.n"))) ===
+      Set(Seq(1L, 7L), Seq(2L, 9L)))
+    // generation 2 writes beyond the int range
+    Lake.commitAppend(
+      Seq((3L, "c", 6000000000L)).toDF("id", "t", "n")
+        .select(col("id"), struct(col("t"), col("n")).as("meta")),
+      root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root)
+      .select(col("id"), col("meta.n"))) ===
+      Set(Seq(1L, 7L), Seq(2L, 9L), Seq(3L, 6000000000L)))
+    // lossy nested widen refuses; missing path refuses; non-struct refuses
+    assert(intercept[IllegalArgumentException] {
+      Lake.alterNestedColumnType(spark, root, Seq("meta", "n"), DoubleType)
+    }.getMessage.contains("lossless widening only"))
+    intercept[IllegalArgumentException] {
+      Lake.alterNestedColumnType(spark, root, Seq("meta", "ghost"), LongType)
+    }
+    intercept[IllegalArgumentException] {
+      Lake.alterNestedColumnType(spark, root, Seq("id", "x"), LongType)
+    }
+    // SQL spelling through the catalog
+    spark.sql("DROP TABLE IF EXISTS nestwiden_sql")
+    spark.sql(
+      s"CREATE TABLE nestwiden_sql USING `graft-lake` OPTIONS (root '$root')")
+    // add a narrow nested field, widen it through SQL
+    spark.sql("ALTER TABLE nestwiden_sql ADD COLUMN meta.m INT")
+    spark.sql("ALTER TABLE nestwiden_sql ALTER COLUMN meta.m TYPE BIGINT")
+    assert(spark.sql("SELECT meta.m FROM nestwiden_sql WHERE id = 1")
+      .schema.head.dataType === LongType)
+    spark.sql("DROP TABLE nestwiden_sql")
+  }
+
   test("SQL surface: ALTER TABLE ... ALTER COLUMN ... TYPE on a catalog table, stored schema re-syncs") {
     import org.apache.spark.sql.types._
     val root = tmpTable("graft-colmap-widensql")

@@ -412,6 +412,35 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW PARTITIONS: manifest-layout report as SQL, path and catalog forms") {
+    val root = tmpTable("graft-lakesql-showparts")
+    Lake.commitOverwrite(
+      Seq((1L, 1995L), (2L, 1995L), (3L, 1996L)).toDF("k", "y"),
+      root, retain = 8, partitionBy = Seq("y"))
+    Lake.commitAppend(Seq((4L, 1995L)).toDF("k", "y"), root, retain = 8)
+    // path form (delegating parser)
+    val byPath = spark.sql(s"SHOW PARTITIONS '$root'").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byPath === Seq(("y=1995", 2L), ("y=1996", 1L)))
+    // catalog form (Hints-batch rule); non-lake tables keep Spark's own
+    spark.sql("DROP TABLE IF EXISTS showparts_sql")
+    spark.sql(
+      s"CREATE TABLE showparts_sql USING `graft-lake` OPTIONS (root '$root')")
+    assert(spark.sql("SHOW PARTITIONS showparts_sql").collect()
+      .map(_.getString(0)).toSeq === Seq("y=1995", "y=1996"))
+    // a PARTITION (…) filter spec refuses (filter the output instead)
+    intercept[Exception] {
+      spark.sql("SHOW PARTITIONS showparts_sql PARTITION (y=1995)")
+    }
+    spark.sql("DROP TABLE showparts_sql")
+    // unpartitioned tables refuse with the programmatic message
+    val flat = tmpTable("graft-lakesql-showflat")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), flat)
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"SHOW PARTITIONS '$flat'").collect()
+    }.getMessage.contains("no partition columns"))
+  }
+
   test("parquet footer pushdown still rides along under the lake index") {
     val root = rangedTable()
     val q = Lake.sqlTable(spark, root).where(col("k") === 5L)
