@@ -47,10 +47,14 @@ final case class LakeMergeInsert(
   * target → `t.name`, source → `s.name` — which is exactly the
   * reference contract the COW engines expose programmatically.
   *
-  * Out-of-scope shapes REFUSE LOUDLY (never silently drop a clause):
-  * subqueries in DML conditions, non-equi MERGE ON conditions, nested
-  * field assignments, and DML against a time-travel handle
-  * (`OPTIONS (version …)`) — the error names the programmatic path. */
+  * Nested-field assignments (`SET meta.v = …`) compose into a
+  * `withField` struct rewrite of their container — in UPDATE and in
+  * MERGE's matched / by-source update actions alike; absent nested
+  * paths refuse. Out-of-scope shapes REFUSE LOUDLY (never silently
+  * drop a clause): subqueries in DML conditions, non-equi MERGE ON
+  * conditions, nested MERGE INSERT columns, and DML against a
+  * time-travel handle (`OPTIONS (version …)`) — the error names the
+  * programmatic path. */
 class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -111,13 +115,22 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
           }
           def mCond(c: Option[Expression], what: String) = c.map(
             LakeDml.unresolve(_, tOut, Some("t"), sOut, Some("s"), what))
+          val nestedPaths = scala.collection.mutable.ArrayBuffer
+            .empty[Seq[String]]
+          def updateSet(assigns: Seq[Assignment], tAlias: Option[String],
+              sAliased: Boolean): Map[String, Column] = {
+            val paths = assigns.map(a =>
+              LakeDml.assignmentPath(a.key, "MERGE UPDATE SET") ->
+                LakeDml.unresolve(a.value, tOut, tAlias,
+                  if (sAliased) sOut else Map.empty,
+                  if (sAliased) Some("s") else None, "MERGE UPDATE value"))
+            nestedPaths ++= paths.map(_._1).filter(_.length > 1)
+            LakeDml.composeAssignments(paths, tAlias)
+          }
           val matched = m.matchedActions.map {
             case UpdateAction(c, assigns, _) =>
               LakeMergeUpdate(mCond(c, "WHEN MATCHED condition"),
-                assigns.map(a =>
-                  LakeDml.assignmentName(a, "MERGE UPDATE SET") ->
-                    LakeDml.unresolve(a.value, tOut, Some("t"), sOut, Some("s"),
-                      "MERGE UPDATE value")).toMap)
+                updateSet(assigns, Some("t"), sAliased = true))
             case DeleteAction(c) => LakeMergeDelete(mCond(c, "WHEN MATCHED condition"))
             case other => throw new UnsupportedOperationException(
               s"unsupported WHEN MATCHED action for a graft-lake table: $other")
@@ -139,10 +152,7 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
               LakeMergeUpdate(
                 c.map(LakeDml.unresolve(_, tOut, Some("t"), Map.empty, None,
                   "WHEN NOT MATCHED BY SOURCE condition")),
-                assigns.map(a =>
-                  LakeDml.assignmentName(a, "MERGE UPDATE SET") ->
-                    LakeDml.unresolve(a.value, tOut, Some("t"), Map.empty, None,
-                      "MERGE UPDATE value")).toMap)
+                updateSet(assigns, Some("t"), sAliased = false))
             case DeleteAction(c) => LakeMergeDelete(
               c.map(LakeDml.unresolve(_, tOut, Some("t"), Map.empty, None,
                 "WHEN NOT MATCHED BY SOURCE condition")))
@@ -151,7 +161,7 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
                 s"graft-lake table: $other")
           }
           GraftLakeMergeCommand(root, m.sourceTable, on, matched, notMatched,
-            bySource, ident)
+            bySource, ident, nestedPaths.toSeq)
         case None => plan
       }
     case _ => plan
@@ -256,8 +266,8 @@ private[sources] object LakeDml {
     * `withField` (rows outside the predicate are untouched; matched
     * rows keep every unassigned sibling field). A plain assignment and
     * a nested one to the same column conflict and refuse. */
-  def composeAssignments(assigns: Seq[(Seq[String], Column)]):
-      Map[String, Column] = {
+  def composeAssignments(assigns: Seq[(Seq[String], Column)],
+      targetAlias: Option[String] = None): Map[String, Column] = {
     require(assigns.map(_._1).distinct.length == assigns.length,
       "duplicate assignment targets in SET")
     assigns.groupBy(_._1.head).map { case (head, as) =>
@@ -266,8 +276,8 @@ private[sources] object LakeDml {
         s"conflicting assignments to '$head': both the column and its " +
           "nested field(s) are SET in one statement")
       if (nested.isEmpty) head -> plain.head._2
-      else head -> nested.foldLeft(
-          org.apache.spark.sql.functions.col(head)) {
+      else head -> nested.foldLeft(org.apache.spark.sql.functions.col(
+          targetAlias.map(_ + ".").getOrElse("") + head)) {
         case (acc, (path, v)) => acc.withField(path.tail.mkString("."), v)
       }
     }
@@ -372,9 +382,16 @@ case class GraftLakeUpdateCommand(root: String, condition: Column,
 case class GraftLakeMergeCommand(root: String, source: LogicalPlan,
     on: Seq[(Column, Column)], matched: Seq[LakeMergeMatched],
     notMatched: Seq[LakeMergeInsert], notMatchedBySource: Seq[LakeMergeMatched],
-    ident: Option[TableIdentifier]) extends LeafRunnableCommand {
+    ident: Option[TableIdentifier],
+    nestedSetPaths: Seq[Seq[String]] = Nil) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
+    // nested SET targets must exist — withField would silently add
+    val schema = Lake.readCommitted(session, root).schema
+    nestedSetPaths.foreach(p =>
+      require(LakeDml.fieldPathExists(schema, p),
+        s"MERGE UPDATE SET names absent nested field ${p.mkString(".")} — " +
+          "add it first (ALTER TABLE ... ADD COLUMN)"))
     Lake.mergeInto(session, root, Shim.ofRows(session, source), on,
       matched, notMatched, notMatchedBySource)
     LakeDml.refresh(session, ident)

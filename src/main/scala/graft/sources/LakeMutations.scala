@@ -731,7 +731,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
       def colValue(c: String): Column = branches.foldRight(col(s"t.$c")) {
         case ((g, act), els) =>
           when(g, act.flatMap(_.get(c)).getOrElse(col(s"t.$c"))).otherwise(els)
-      }.cast(schema(c).dataType)
+      }.cast(org.apache.spark.sql.graft.Shim.asNullableType(schema(c).dataType))
       val plainDel = branches.foldRight(lit(false): Column) {
         case ((g, act), els) => when(g, lit(act.isEmpty)).otherwise(els)
       }

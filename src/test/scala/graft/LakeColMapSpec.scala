@@ -475,6 +475,21 @@ class LakeColMapSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Lake.addNestedColumn(spark, root, Seq("meta", "etype"), StringType)
     }
+    // MERGE with a nested UPDATE SET composes the same struct rewrite
+    spark.sql("CREATE OR REPLACE TEMP VIEW nest_src AS " +
+      "SELECT 3L AS id, 0.55D AS nv UNION ALL SELECT 77L, 0.1D")
+    spark.sql("MERGE INTO nestadd_sql t USING nest_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET meta.v = s.nv, meta.tag = 'merged' " +
+      "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)")
+    assert(orderedRows(spark.sql(
+      "SELECT id, meta.v, meta.tag FROM nestadd_sql WHERE id IN (3, 77) " +
+        "ORDER BY id")) === Seq(Seq(3L, 0.55, "merged"), Seq(77L, null, null)))
+    // absent nested MERGE target refuses before anything commits
+    assert(intercept[Exception] {
+      spark.sql("MERGE INTO nestadd_sql t USING nest_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET meta.ghost = 1")
+    }.getMessage.matches("(?s).*(FIELD_NOT_FOUND|absent nested field).*"))
+    spark.sql("DELETE FROM nestadd_sql WHERE id = 77")
     // nested UPDATE through a RENAMED container (column mapping)
     spark.sql("ALTER TABLE nestadd_sql RENAME COLUMN meta TO m")
     spark.sql("UPDATE nestadd_sql SET m.tag = 'cold' WHERE m.etype = 'view'")

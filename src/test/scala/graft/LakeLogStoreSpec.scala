@@ -63,6 +63,29 @@ class LakeLogStoreSpec extends SparkSpec {
     assert(Lake.readCommitted(spark, root).count() === 28L)
   }
 
+  test("pinSlot: a dirs-lost marker's burned slot is skipped; the commit lands past it") {
+    val root = tmpTable("graft-logstore-burned")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    // out-of-protocol damage: marker v2 exists but its data dir is
+    // gone (a partial backup restore) — currentVersion resolves v1,
+    // and the slot number 2 is burned forever
+    val p = java.nio.file.Paths.get(root, "_commit_2")
+    java.nio.file.Files.write(p, "vmissing-dir\n#op=append".getBytes("UTF-8"))
+    assert(Lake.currentVersion(spark, root).get === 1L)
+    // a metadata commit carrying v1 state must NOT pin slot 2 (it
+    // would collide with the burned marker forever) — it lands at 3
+    val v = Lake.setTableProperties(spark, root, Map("owner" -> "x"))
+    assert(v === 3L)
+    assert(Lake.currentVersion(spark, root).get === 3L)
+    assert(Lake.tableProperties(spark, root)("owner") === "x")
+    assert(Lake.readCommitted(spark, root).count() === 2L)
+    // DML pins past it the same way
+    Lake.deleteWhere(spark, root, col("k") === 1L, retain = 8)
+    assert(Lake.currentVersion(spark, root).get === 4L)
+    assert(Lake.readCommitted(spark, root).count() === 1L)
+  }
+
   test("a torn publish (store threw) leaves no readable commit and the retry succeeds") {
     val root = tmpTable("graft-logstore-torn")
     Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
