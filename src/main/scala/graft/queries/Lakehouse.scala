@@ -1825,6 +1825,36 @@ object Lakehouse {
       s.sql(s"SHOW PARTITIONS '$root'").orderBy("partition")
     },
 
+    // AUTO-COMPACTION under the oracle hash — Delta's
+    // autoOptimize.autoCompact as the `graft.autoCompact` table
+    // property: five O(batch) appends land as five small dirs; the
+    // append that raises the small-dir count to the declared threshold
+    // bin-packs BEFORE returning, so the table never accumulates the
+    // small-files pathology without an external OPTIMIZE cadence.
+    // `auto_compacted` gates the physical outcome (dir count collapsed
+    // mid-stream + exactly one compact op in history); the row hash
+    // breaks if the trigger loses or duplicates a single row. At
+    // 100 TB: a hot hourly appender stays scan-efficient with zero
+    // operator intervention, and the trigger cost is one property
+    // lookup per append until debt actually builds.
+    Q("q183_auto_compact",
+      """SELECT doc_id, n_chars, TRUE AS auto_compacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_autocompact", d)
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      Lake.commitOverwrite(docs.where(col("doc_id") % 5 === 0), root,
+        retain = 8)
+      s.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES " +
+        "('graft.autoCompact' = '4', 'graft.retain' = '8')")
+      (1L to 4L).foreach(i =>
+        Lake.commitAppend(docs.where(col("doc_id") % 5 === i), root))
+      val compacts = Lake.describeHistory(s, root)
+        .where(col("op") === "compact").count()
+      val compacted = Lake.resolve(s, root).size == 2 && compacts == 1L
+      Lake.readCommitted(s, root).orderBy("doc_id")
+        .withColumn("auto_compacted", lit(compacted))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

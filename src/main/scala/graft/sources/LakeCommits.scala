@@ -11,6 +11,42 @@ import org.apache.spark.sql.SparkSession
   * surface. See Lake.scala for the protocol overview. */
 private[graft] trait LakeCommits { this: Lake.type =>
 
+  /** Dirs under this size count as "small" for the auto-compaction
+    * trigger and are the ones it bin-packs (the compaction call's
+    * `minBytes`). */
+  private[sources] final val AutoCompactMinBytes = 32L * 1024 * 1024
+
+  /** Post-append auto-compaction (Delta's autoOptimize.autoCompact as
+    * the `graft.autoCompact` table property): when the property is set
+    * to N and the just-committed snapshot holds >= N dirs under
+    * [[AutoCompactMinBytes]], run one incremental bin-pack before the
+    * append returns — a high-frequency appender stops accumulating the
+    * small-files pathology without an external OPTIMIZE cadence, and
+    * the trigger self-arms only after enough debt builds (post-compact
+    * the small count drops below N, so per-append cost returns to one
+    * property lookup). BEST-EFFORT: the append itself has already
+    * committed, so a compaction that loses its OCC race is dropped
+    * silently (the next triggering append retries); any other failure
+    * propagates — it would mean the maintenance path is broken, not
+    * merely contended. */
+  private def maybeAutoCompact(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, root: String): Unit =
+    liveProps(fs, r).get(PropAutoCompact).flatMap(_.toIntOption)
+      .foreach { threshold =>
+        val small = committedVersions(fs, r).lastOption.map { v =>
+          manifestDirs(fs, r, v).count { d =>
+            val p = new Path(r, d)
+            fs.exists(p) && fs.listStatus(p).iterator
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+              .map(_.getLen).sum < AutoCompactMinBytes
+          }
+        }.getOrElse(0)
+        if (small >= threshold)
+          try { compactCommitted(spark, root, minBytes = AutoCompactMinBytes); () }
+          catch { case _: java.util.ConcurrentModificationException => () }
+      }
+
   private[sources] def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       want: Seq[String]): Seq[String] = {
     // same grammar guard as stats/bloom columns: the list rides a
@@ -1044,8 +1080,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
           genParts = Some(effGen), genTz = genTzEst,
           identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
           ingested = ingested,
-          op = op))
+          op = op)) {
+        maybeAutoCompact(spark, fs, r, root)
         return next
+      }
       // lost the slot: a concurrent writer committed `next` first.
       // Loop — the next pass validates what landed and rebases.
       if (attempt >= 100) {

@@ -233,6 +233,12 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   private[sources] val PropPrefix = "#prop_"
   final val PropRetain = "graft.retain"
   final val PropDvMaxRows = "graft.dvMaxRows"
+  /** Small-dir count that triggers post-append auto-compaction
+    * (Delta's autoOptimize.autoCompact as a table property): when the
+    * live snapshot holds at least this many dirs under
+    * [[Lake.AutoCompactMinBytes]] after an append commits, the append
+    * call runs an incremental bin-pack before returning. Unset = off. */
+  final val PropAutoCompact = "graft.autoCompact"
 
   private[graft] def manifestProps(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Map[String, String] =
@@ -281,6 +287,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     if (k == PropDvMaxRows) require(
       v.toLongOption.exists(n => n >= 0L && n < Int.MaxValue),
       s"$PropDvMaxRows must be a non-negative Int-ranged long, got '$v'")
+    if (k == PropAutoCompact) require(v.toIntOption.exists(_ >= 2),
+      s"$PropAutoCompact must be an integer >= 2 (the small-dir count " +
+        s"that triggers post-append compaction), got '$v'")
   }
 
   /** `ALTER TABLE t SET TBLPROPERTIES (…)`: merge `props` into the

@@ -120,6 +120,49 @@ class LakePropsSpec extends SparkSpec {
     } finally Lake.beforePublish = () => ()
   }
 
+  test("graft.autoCompact: appends self-compact past the small-dir threshold; off by default; best-effort") {
+    val root = tmpTable("graft-props-autocompact")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    (2L to 5L).foreach(i =>
+      Lake.commitAppend(Seq((i, s"r$i")).toDF("k", "t"), root, retain = 8))
+    // no property: small dirs accumulate — the pathology
+    assert(Lake.resolve(spark, root).length === 5)
+    // durable retention too: the AUTO-triggered compaction inherits
+    // TABLE state (it has no per-call retain), so a table relying on
+    // per-call retain args would see the trigger prune history to the
+    // built-in default — retention belongs in the property map
+    Lake.setTableProperties(spark, root,
+      Map(Lake.PropAutoCompact -> "4", Lake.PropRetain -> "8"))
+    // the next append sees >= 4 small dirs and bin-packs before returning
+    Lake.commitAppend(Seq((6L, "r6")).toDF("k", "t"), root, retain = 8)
+    assert(Lake.resolve(spark, root).length === 1,
+      s"auto-compact should have bin-packed, dirs = ${Lake.resolve(spark, root)}")
+    assert(Lake.readCommitted(spark, root).count() === 6L)
+    val hist = Lake.describeHistory(spark, root)
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
+      .select("op").collect().map(_.getString(0))
+    assert(hist.head === "compact" && hist(1) === "append")
+    // trigger disarmed until debt rebuilds: next appends just append
+    Lake.commitAppend(Seq((7L, "r7")).toDF("k", "t"), root, retain = 8)
+    assert(Lake.resolve(spark, root).length === 2)
+    assert(Lake.readCommitted(spark, root).count() === 7L)
+    // debt rebuilds past the threshold → the trigger re-arms: the
+    // 9th append sees 4 small dirs and bin-packs; the two appends
+    // after it accumulate again below the threshold
+    (8L to 11L).foreach(i =>
+      Lake.commitAppend(Seq((i, s"r$i")).toDF("k", "t"), root, retain = 8))
+    assert(Lake.resolve(spark, root).length === 3,
+      s"re-armed trigger should have bin-packed at the 4-dir point, " +
+        s"dirs = ${Lake.resolve(spark, root).length}")
+    assert(Lake.describeHistory(spark, root)
+      .where(col("op") === "compact").count() === 2L)
+    assert(Lake.readCommitted(spark, root).count() === 11L)
+    // domain guard
+    intercept[IllegalArgumentException] {
+      Lake.setTableProperties(spark, root, Map(Lake.PropAutoCompact -> "1"))
+    }
+  }
+
   test("SQL spellings: SET/UNSET/SHOW TBLPROPERTIES and DESCRIBE DETAIL, catalog and path forms") {
     val root = tmpTable("graft-props-sql")
     Lake.commitOverwrite((1L to 20L).map(i => (i, s"r$i")).toDF("k", "t"),
