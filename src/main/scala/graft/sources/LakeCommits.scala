@@ -16,6 +16,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
     * `minBytes`). */
   private[sources] final val AutoCompactMinBytes = 32L * 1024 * 1024
 
+  /** Optimize-write sizing target: plan-estimated bytes per staged
+    * output file (in-memory estimate, so compressed files land
+    * smaller — conservative in the safe direction). */
+  private[sources] final val OptimizeWriteTargetBytes = 128L * 1024 * 1024
+
   /** Post-append auto-compaction (Delta's autoOptimize.autoCompact as
     * the `graft.autoCompact` table property): when the property is set
     * to N and the just-committed snapshot holds >= N dirs under
@@ -121,6 +126,27 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // per-dir stat/bloom/part key, and the partCols/effStats/effBloom/
     // bucket args, which come from the manifest) are PHYSICAL
     val df = toPhysicalDf(df0, colMap)
+    // optimize-write (Delta's): with the table property on, each
+    // slice coalesces to ceil(est/128 MB) files instead of one file
+    // per shuffle partition — a 32-thread tiny append stages ONE
+    // file. Coalesce is shuffle-free; the bucketed writer keeps its
+    // own layout (bucket count fixes the file set), and an unknown or
+    // huge size estimate leaves the slice untouched (never funnel a
+    // big batch into too few write tasks on a bad estimate).
+    val optimizeWrite = bucketBy.isEmpty &&
+      liveProps(fs, r).get(PropOptimizeWrite).contains("true")
+    def sized(slice: org.apache.spark.sql.DataFrame):
+        org.apache.spark.sql.DataFrame =
+      if (!optimizeWrite) slice
+      else {
+        val est = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= 0 || est > (BigInt(64L) << 30)) slice
+        else {
+          val n = ((est + OptimizeWriteTargetBytes - 1) /
+            OptimizeWriteTargetBytes).toLong.max(1L).min(10000L).toInt
+          if (n < slice.rdd.getNumPartitions) slice.coalesce(n) else slice
+        }
+      }
     // partitioned AND bucketed compose: each partition tuple's dir is
     // written through the bucketed writer, and since every row of key
     // k lands in bucket hash(k) regardless of WHICH dir holds it, the
@@ -160,7 +186,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
               if (effStats.isEmpty) None else Some("{}"),
               if (effBloom.isEmpty) None else Some("{}"))
         case None =>
-          slice.write.mode("overwrite").parquet(new Path(r, staged).toString)
+          sized(slice).write.mode("overwrite")
+            .parquet(new Path(r, staged).toString)
       }
       (staged,
         dirStatsJson(spark, new Path(r, staged).toString, effStats),

@@ -239,6 +239,13 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * [[Lake.AutoCompactMinBytes]] after an append commits, the append
     * call runs an incremental bin-pack before returning. Unset = off. */
   final val PropAutoCompact = "graft.autoCompact"
+  /** When "true", every staged write COALESCES its slice to
+    * ceil(estimated bytes / 128 MB) output files instead of one file
+    * per shuffle partition (Delta's optimizeWrite): a 32-thread tiny
+    * append stages ONE file, not 32 splinters. Shuffle-free (coalesce
+    * merges partitions); estimates come from the plan's size stats
+    * and unknown/huge estimates leave the slice untouched. */
+  final val PropOptimizeWrite = "graft.optimizeWrite"
 
   private[graft] def manifestProps(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Map[String, String] =
@@ -290,6 +297,8 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     if (k == PropAutoCompact) require(v.toIntOption.exists(_ >= 2),
       s"$PropAutoCompact must be an integer >= 2 (the small-dir count " +
         s"that triggers post-append compaction), got '$v'")
+    if (k == PropOptimizeWrite) require(v == "true" || v == "false",
+      s"$PropOptimizeWrite must be 'true' or 'false', got '$v'")
   }
 
   /** `ALTER TABLE t SET TBLPROPERTIES (…)`: merge `props` into the

@@ -163,6 +163,48 @@ class LakePropsSpec extends SparkSpec {
     }
   }
 
+  test("graft.optimizeWrite: tiny appends stage one file instead of one per shuffle partition") {
+    def filesOfNewestDir(root: String): Int = {
+      val newest = Lake.resolve(spark, root).last
+      new java.io.File(new java.net.URI(newest).getPath match {
+        case "" => newest; case p => p
+      }).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val root = tmpTable("graft-props-optwrite")
+    // OFF: a multi-partition tiny batch splinters into many files
+    Lake.commitOverwrite(
+      spark.range(0, 1000, 1, 8).toDF("k").withColumn("t", col("k") * 2),
+      root, retain = 8)
+    assert(filesOfNewestDir(root) === 8)
+    Lake.setTableProperties(spark, root, Map(Lake.PropOptimizeWrite -> "true"))
+    // ON: the same shape coalesces to ONE file (est << 128 MB)
+    Lake.commitAppend(
+      spark.range(1000, 2000, 1, 8).toDF("k").withColumn("t", col("k") * 2),
+      root, retain = 8)
+    assert(filesOfNewestDir(root) === 1,
+      s"optimize-write should coalesce, got ${filesOfNewestDir(root)} files")
+    assert(Lake.readCommitted(spark, root).count() === 2000L)
+    // partitioned slices size per tuple too
+    val p2 = tmpTable("graft-props-optwrite-part")
+    Lake.commitOverwrite(
+      spark.range(0, 100, 1, 8).toDF("k").withColumn("p", col("k") % 2),
+      p2, retain = 8, partitionBy = Seq("p"))
+    Lake.setTableProperties(spark, p2, Map(Lake.PropOptimizeWrite -> "true"))
+    Lake.commitAppend(
+      spark.range(100, 200, 1, 8).toDF("k").withColumn("p", col("k") % 2),
+      p2, retain = 8)
+    Lake.resolve(spark, p2).takeRight(2).foreach { d =>
+      assert(new java.io.File(new java.net.URI(d).getPath match {
+        case "" => d; case q => q
+      }).listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    assert(Lake.readCommitted(spark, p2).count() === 200L)
+    // domain guard
+    intercept[IllegalArgumentException] {
+      Lake.setTableProperties(spark, root, Map(Lake.PropOptimizeWrite -> "yes"))
+    }
+  }
+
   test("SQL spellings: SET/UNSET/SHOW TBLPROPERTIES and DESCRIBE DETAIL, catalog and path forms") {
     val root = tmpTable("graft-props-sql")
     Lake.commitOverwrite((1L to 20L).map(i => (i, s"r$i")).toDF("k", "t"),
