@@ -498,6 +498,45 @@ class LakeColMapSpec extends SparkSpec {
     spark.sql("DROP TABLE nestadd_sql")
   }
 
+  test("CHECK constraints on NESTED fields: gate writes, block container rename/drop while referenced") {
+    val root = tmpTable("graft-colmap-nestcheck")
+    Lake.commitOverwrite(
+      Seq((1L, "click", 0.4)).toDF("id", "etype", "v")
+        .select(col("id"), struct(col("etype"), col("v")).as("meta")),
+      root, retain = 8)
+    Lake.addCheckConstraint(spark, root, "v_range", "meta.v BETWEEN 0 AND 1")
+    // violating batch refuses naming the constraint; clean one lands
+    val bad = Seq((2L, "view", 1.5)).toDF("id", "etype", "v")
+      .select(col("id"), struct(col("etype"), col("v")).as("meta"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.commitAppend(bad, root, retain = 8)
+    }.getMessage.contains("v_range"))
+    Lake.commitAppend(
+      Seq((2L, "view", 0.9)).toDF("id", "etype", "v")
+        .select(col("id"), struct(col("etype"), col("v")).as("meta")),
+      root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 2L)
+    // a nested UPDATE that breaks the constraint refuses too
+    spark.sql("DROP TABLE IF EXISTS nestcheck_sql")
+    spark.sql(
+      s"CREATE TABLE nestcheck_sql USING `graft-lake` OPTIONS (root '$root')")
+    assert(intercept[Exception] {
+      spark.sql("UPDATE nestcheck_sql SET meta.v = 2.0 WHERE id = 1")
+    }.getMessage.contains("v_range"))
+    spark.sql("UPDATE nestcheck_sql SET meta.v = 0.95 WHERE id = 1")
+    assert(spark.sql("SELECT meta.v FROM nestcheck_sql WHERE id = 1")
+      .collect().head.getDouble(0) === 0.95)
+    // renaming/dropping the referenced CONTAINER refuses while the
+    // constraint stands; after dropping it, the rename goes through
+    intercept[IllegalArgumentException] {
+      Lake.renameColumn(spark, root, "meta", "m")
+    }
+    Lake.dropCheckConstraint(spark, root, "v_range")
+    Lake.renameColumn(spark, root, "meta", "m")
+    assert(Lake.readCommitted(spark, root).columns.toSeq === Seq("id", "m"))
+    spark.sql("DROP TABLE IF EXISTS nestcheck_sql")
+  }
+
   test("ALTER COLUMN TYPE: lossless widen is metadata-only, old files read upcast, lossy refuses") {
     import org.apache.spark.sql.types._
     val root = tmpTable("graft-colmap-widen")
