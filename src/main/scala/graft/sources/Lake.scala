@@ -207,9 +207,12 @@ object Lake
   /** Reader/writer features this build understands: merge-on-read
     * deletion vectors, column mapping (rename/drop as metadata),
     * identity columns, generated partition columns, hash-bucketed
-    * layout, and forward-only partition-spec evolution. */
+    * layout, forward-only partition-spec evolution, the COPY INTO
+    * `#ingested=` ledger, column DEFAULT backfill, general generated
+    * columns, and stable row tracking. */
   private[sources] val SupportedFeatures: Set[String] =
-    Set("dv", "colmap", "identity", "genpart", "bucket", "partevo")
+    Set("dv", "colmap", "identity", "genpart", "bucket", "partevo",
+      "ingest", "default", "gencol", "rowtracking")
 
   private[sources] def checkRequiredFeatures(p: Path, lines: Seq[String]): Unit =
     lines.find(_.startsWith(RequirePrefix)).foreach { l =>

@@ -29,28 +29,36 @@ private[graft] trait LakeCommits { this: Lake.type =>
     * small-files pathology without an external OPTIMIZE cadence, and
     * the trigger self-arms only after enough debt builds (post-compact
     * the small count drops below N, so per-append cost returns to one
-    * property lookup). BEST-EFFORT: the append itself has already
-    * committed, so a compaction that loses its OCC race is dropped
-    * silently (the next triggering append retries); any other failure
-    * propagates — it would mean the maintenance path is broken, not
-    * merely contended. */
+    * property lookup). BEST-EFFORT FOR EVERY FAILURE SHAPE: the append
+    * itself has already durably committed before this runs, so a throw
+    * here would surface AFTER the commit — a caller retrying
+    * commitAppend on exception would double-ingest the batch. Lost OCC
+    * races, IO errors mid-rewrite, a listing racing a concurrent
+    * VACUUM: all are logged-and-dropped (the next triggering append
+    * retries the compaction); only fatal VM errors propagate. */
   private def maybeAutoCompact(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: Path, root: String): Unit =
-    liveProps(fs, r).get(PropAutoCompact).flatMap(_.toIntOption)
-      .foreach { threshold =>
-        val small = committedVersions(fs, r).lastOption.map { v =>
-          manifestDirs(fs, r, v).count { d =>
-            val p = new Path(r, d)
-            fs.exists(p) && fs.listStatus(p).iterator
-              .filter(st => st.isFile &&
-                st.getPath.getName.endsWith(".parquet"))
-              .map(_.getLen).sum < AutoCompactMinBytes
+    try {
+      liveProps(fs, r).get(PropAutoCompact).flatMap(_.toIntOption)
+        .foreach { threshold =>
+          val small = committedVersions(fs, r).lastOption.map { v =>
+            manifestDirs(fs, r, v).count { d =>
+              val p = new Path(r, d)
+              fs.exists(p) && fs.listStatus(p).iterator
+                .filter(st => st.isFile &&
+                  st.getPath.getName.endsWith(".parquet"))
+                .map(_.getLen).sum < AutoCompactMinBytes
+            }
+          }.getOrElse(0)
+          if (small >= threshold) {
+            compactCommitted(spark, root, minBytes = AutoCompactMinBytes); ()
           }
-        }.getOrElse(0)
-        if (small >= threshold)
-          try { compactCommitted(spark, root, minBytes = AutoCompactMinBytes); () }
-          catch { case _: java.util.ConcurrentModificationException => () }
-      }
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"auto-compact after append on $root skipped: $e")
+    }
 
   private[sources] def effectivePartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       want: Seq[String]): Seq[String] = {
@@ -283,6 +291,40 @@ private[graft] trait LakeCommits { this: Lake.type =>
   private[sources] case object PNull extends POp
   private[sources] case object PNotNull extends POp
   private[sources] final case class Pred(col: String, op: POp, values: Seq[NormVal])
+
+  /** Boolean STRUCTURE over prunable conjuncts — what lets OR-disjunct
+    * predicates skip data (Delta prunes `region = 'EU' OR region =
+    * 'US'` by evaluating both sides and unioning the kept sets; the
+    * flat conjunct list cannot express that). [[PUnknown]] marks a
+    * subexpression the pruner does not understand: it can never prove
+    * exclusion, so an OR with an unprunable side keeps every dir —
+    * pruning quietly weakens, never strengthens. */
+  private[sources] sealed trait PredTree
+  private[sources] final case class PLeaf(p: Pred) extends PredTree
+  private[sources] final case class PAnd(children: Seq[PredTree]) extends PredTree
+  private[sources] final case class POr(children: Seq[PredTree]) extends PredTree
+  private[sources] case object PUnknown extends PredTree
+
+  /** Can `t` provably select NOTHING given per-leaf exclusion evidence
+    * `leafExcludes`? AND excludes when ANY conjunct does; OR only when
+    * EVERY disjunct does (a dir is dropped only if BOTH sides of the
+    * OR exclude it); the unknown part of a predicate never excludes. */
+  private[sources] def treeExcludes(t: PredTree,
+      leafExcludes: Pred => Boolean): Boolean = t match {
+    case PLeaf(p)  => leafExcludes(p)
+    case PAnd(cs)  => cs.exists(treeExcludes(_, leafExcludes))
+    case POr(cs)   => cs.nonEmpty && cs.forall(treeExcludes(_, leafExcludes))
+    case PUnknown  => false
+  }
+
+  /** Does `t` carry any prunable leaf at all? Gates the per-file
+    * stats lookup — a tree of PUnknown prunes nothing. */
+  private[sources] def treeHasLeaves(t: PredTree): Boolean = t match {
+    case PLeaf(_) => true
+    case PAnd(cs) => cs.exists(treeHasLeaves)
+    case POr(cs)  => cs.exists(treeHasLeaves)
+    case PUnknown => false
+  }
 
   /** Next safe version number: past EVERY committed marker, including
     * defensively-ignored ones whose data dirs are lost — such a
@@ -576,7 +618,12 @@ private[graft] trait LakeCommits { this: Lake.type =>
       (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
       (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
       (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
-      (if (effBucket.nonEmpty) Seq("bucket") else Nil)
+      (if (effBucket.nonEmpty) Seq("bucket") else Nil) ++
+      // the #ingested= ledger is SEMANTICS-BEARING for COPY INTO
+      // idempotency: a pre-ingest build committing on top would
+      // rebuild the manifest body without the ledger, after which a
+      // re-run COPY INTO re-loads every landing file and doubles rows
+      (if (effIngested.nonEmpty) Seq("ingest") else Nil)
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's

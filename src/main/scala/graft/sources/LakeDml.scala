@@ -265,12 +265,35 @@ private[sources] object LakeDml {
     * update engine models: nested paths rewrite their container with
     * `withField` (rows outside the predicate are untouched; matched
     * rows keep every unassigned sibling field). A plain assignment and
-    * a nested one to the same column conflict and refuse. */
+    * a nested one to the same column conflict and refuse.
+    *
+    * Conflict detection matches the session's RESOLUTION, not exact
+    * spelling: under the default case-insensitive resolver `SET
+    * meta.v = a, meta.V = b` names ONE field twice (the two withField
+    * calls would silently last-write-win), and `meta.v` with
+    * `meta.v.x` overlap (apply order-dependently) — both refuse, like
+    * the reference refuses conflicting assignments. */
   def composeAssignments(assigns: Seq[(Seq[String], Column)],
       targetAlias: Option[String] = None): Map[String, Column] = {
-    require(assigns.map(_._1).distinct.length == assigns.length,
+    // normalize per the active resolver: case-insensitive sessions
+    // compare lower-cased path segments, case-sensitive ones exact
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    def norm(p: Seq[String]): Seq[String] =
+      if (caseSensitive) p else p.map(_.toLowerCase(java.util.Locale.ROOT))
+    val normed = assigns.map(a => norm(a._1))
+    require(normed.distinct.length == normed.length,
       "duplicate assignment targets in SET")
-    assigns.groupBy(_._1.head).map { case (head, as) =>
+    for (i <- normed.indices; j <- normed.indices if i != j)
+      require(!normed(j).startsWith(normed(i)),
+        s"conflicting assignments in SET: '${assigns(i)._1.mkString(".")}'" +
+          s" is a prefix of '${assigns(j)._1.mkString(".")}' — the two " +
+          "writes would apply order-dependently; assign the whole " +
+          "struct once or only its fields")
+    assigns.groupBy(a => norm(a._1).head).map { case (_, as) =>
+      // keep the user's first spelling for col() — resolution matches
+      // it to the schema under the same resolver
+      val head = as.head._1.head
       val (plain, nested) = as.partition(_._1.length == 1)
       require(plain.isEmpty || nested.isEmpty,
         s"conflicting assignments to '$head': both the column and its " +
@@ -285,17 +308,23 @@ private[sources] object LakeDml {
 
   /** Does `path` name an existing (possibly nested) field? Guards the
     * nested UPDATE: `withField` silently ADDS an absent field, which
-    * would drift rewritten rows off the committed schema. */
+    * would drift rewritten rows off the committed schema. Segments
+    * match under the SESSION resolver (case-insensitive by default) —
+    * the analyzer resolved the statement with it, so a legal
+    * `SET meta.V = …` must not be refused on spelling. */
   def fieldPathExists(schema: org.apache.spark.sql.types.StructType,
-      path: Seq[String]): Boolean = path match {
-    case Seq(last) => schema.fieldNames.contains(last)
-    case head +: rest => schema.fields.find(_.name == head)
-      .map(_.dataType).exists {
-        case st: org.apache.spark.sql.types.StructType =>
-          fieldPathExists(st, rest)
-        case _ => false
-      }
-    case _ => false
+      path: Seq[String]): Boolean = {
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    path match {
+      case Seq(last) => schema.fieldNames.exists(res(_, last))
+      case head +: rest => schema.fields.find(f => res(f.name, head))
+        .map(_.dataType).exists {
+          case st: org.apache.spark.sql.types.StructType =>
+            fieldPathExists(st, rest)
+          case _ => false
+        }
+      case _ => false
+    }
   }
 
   def refresh(session: SparkSession, ident: Option[TableIdentifier]): Unit =
@@ -641,14 +670,10 @@ case class GraftAddColumnsCommand(root: String,
     ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    // all-top-level keeps the single-commit batch shape; a statement
-    // mixing nested paths commits in declaration order
-    if (cols.forall(_._1.length == 1))
-      Lake.addColumns(session, root, cols.map { case (p, dt) => p.head -> dt })
-    else cols.foreach {
-      case (Seq(name), dt) => Lake.addColumns(session, root, Seq(name -> dt))
-      case (path, dt) => Lake.addNestedColumn(session, root, path, dt)
-    }
+    // ONE manifest commit for the whole statement (top-level, nested,
+    // or mixed) — a mid-statement validation failure or OCC loss
+    // applies nothing, matching the reference's atomic ADD COLUMNS
+    Lake.addColumnsAtPaths(session, root, cols)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty
@@ -671,10 +696,9 @@ case class GraftAlterColumnTypeCommand(root: String,
     ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    cols.foreach {
-      case (Seq(n), dt) => Lake.alterColumnType(session, root, n, dt)
-      case (path, dt) => Lake.alterNestedColumnType(session, root, path, dt)
-    }
+    // ONE manifest commit for every column in the statement — all
+    // guards run against the folded schema before anything applies
+    Lake.alterColumnTypes(session, root, cols)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty

@@ -484,11 +484,18 @@ private[graft] trait LakeMutations { this: Lake.type =>
     val carried = manifestSchema(fs, r, cur)
     val schema = carried.getOrElse(spark.read.parquet(
       snapDirs.map(d => new Path(r, d).toString): _*).schema)
-    set.keys.foreach(c => require(schema.fieldNames.contains(c),
+    // canonicalize SET keys to the SCHEMA's spelling under the session
+    // resolver: the analyzer resolved `SET Meta.x = …` case-insensitively,
+    // so 'Meta' must land on the schema's 'meta' (exact lookups below —
+    // schema(c), withColumn — then stay spelling-stable)
+    val setRes = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val set0 = set.map { case (k, v) =>
+      schema.fieldNames.find(setRes(_, k)).getOrElse(k) -> v }
+    set0.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"SET column '$c' is not in the table schema " +
         schema.fieldNames.mkString("[", ", ", "]")))
     manifestIdentity(fs, r, cur).foreach { case (idCol, _) =>
-      require(!set.contains(idCol),
+      require(!set0.contains(idCol),
         s"identity column '$idCol' is GENERATED ALWAYS — UPDATE cannot " +
           "assign it (keys are allocator-owned)")
     }
@@ -555,7 +562,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
         // bucket-preserving, like every staged write)
         val copies0 = readDirsWithDv(spark, fs, r, cur, touched, carried)
           .where(coalesce(predicate, lit(false)))
-        val copies = set.foldLeft(copies0) { case (df, (c, expr)) =>
+        val copies = set0.foldLeft(copies0) { case (df, (c, expr)) =>
           df.withColumn(c, expr.cast(
             org.apache.spark.sql.graft.Shim.asNullableType(schema(c).dataType)))
         }
@@ -584,7 +591,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
     // DV-aware read: the rewrite materializes any existing vector
     val base = readDirsWithDv(spark, fs, r, cur, touched, carried)
     val hit = coalesce(predicate, lit(false))
-    val updated = set.foldLeft(base) { case (df, (c, expr)) =>
+    val updated = set0.foldLeft(base) { case (df, (c, expr)) =>
       val field = schema(c)
       df.withColumn(c, when(hit, expr.cast(
         org.apache.spark.sql.graft.Shim.asNullableType(field.dataType)))
@@ -674,6 +681,22 @@ private[graft] trait LakeMutations { this: Lake.type =>
     val carried = manifestSchema(fs, r, cur)
     val base = readCommittedAt(spark, root, cur)
     val schema = carried.getOrElse(base.schema)
+    // canonicalize assignment keys to the SCHEMA's spelling under the
+    // session resolver — the branch application below looks maps up by
+    // exact schema field name, so a case-varied `SET Meta = …` would
+    // otherwise silently NOT apply (the row would keep its old value)
+    val mergeRes = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def canonSet(m: Map[String, Column]): Map[String, Column] =
+      m.map { case (k, v) =>
+        schema.fieldNames.find(mergeRes(_, k)).getOrElse(k) -> v }
+    def canonMatched(cs: Seq[LakeMergeMatched]): Seq[LakeMergeMatched] =
+      cs.map {
+        case LakeMergeUpdate(c, set) => LakeMergeUpdate(c, canonSet(set))
+        case d => d
+      }
+    val matchedC = canonMatched(matched)
+    val notMatchedBySourceC = canonMatched(notMatchedBySource)
+    val notMatchedC = notMatched.map(i => i.copy(values = canonSet(i.values)))
     val needJoin = matched.nonEmpty || notMatchedBySource.nonEmpty
     // working columns are part of the executor's private vocabulary —
     // a user column under one of these names would be silently
@@ -726,8 +749,8 @@ private[graft] trait LakeMutations { this: Lake.type =>
           case LakeMergeDelete(c) =>
             (guard && c.getOrElse(lit(true)), None)
         }
-      val branches = branchesOf(matched, present) ++
-        branchesOf(notMatchedBySource, !present)
+      val branches = branchesOf(matchedC, present) ++
+        branchesOf(notMatchedBySourceC, !present)
       def colValue(c: String): Column = branches.foldRight(col(s"t.$c")) {
         case ((g, act), els) =>
           when(g, act.flatMap(_.get(c)).getOrElse(col(s"t.$c"))).otherwise(els)
@@ -769,7 +792,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
           // the full base.
           val antiRight = (if (needJoin) touchedBase else base).alias("t")
           val srcOnly = srcKeyed.join(antiRight, joinCond, "left_anti")
-          val insBranches = notMatched.map(i =>
+          val insBranches = notMatchedC.map(i =>
             (i.condition.getOrElse(lit(true)), i.values))
           def insValue(c: String): Column =
             insBranches.foldRight(lit(null): Column) { case ((g, vs), els) =>

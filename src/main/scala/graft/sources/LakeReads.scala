@@ -100,6 +100,62 @@ private[graft] trait LakeReads { this: Lake.type =>
     }
   }
 
+  /** [[extractPredsExact]] lifted to the BOOLEAN STRUCTURE: AND/OR
+    * nodes keep their shape, understood comparisons become leaves,
+    * anything else collapses to [[PUnknown]] (which can never prove
+    * exclusion). This is what lets `region = 'EU' OR region = 'US'`
+    * prune: each disjunct prunes on its own and a dir survives only
+    * if SOME disjunct might match it. */
+  private[sources] def extractTree(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): PredTree = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    e match {
+      case And(a, b) => PAnd(Seq(extractTree(a), extractTree(b)))
+      case Or(a, b)  => POr(Seq(extractTree(a), extractTree(b)))
+      // sql-api Columns arrive as unresolved function calls ("and",
+      // "or", …) — the same shape extractPredsExact handles for leaves
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.nameParts.head.equalsIgnoreCase("and") &&
+            f.arguments.lengthCompare(2) == 0 =>
+        PAnd(f.arguments.map(extractTree))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.nameParts.head.equalsIgnoreCase("or") &&
+            f.arguments.lengthCompare(2) == 0 =>
+        POr(f.arguments.map(extractTree))
+      case other =>
+        val ps = extractPreds(other)
+        if (ps.isEmpty) PUnknown
+        else if (ps.lengthCompare(1) == 0) PLeaf(ps.head)
+        else PAnd(ps.map(PLeaf))
+    }
+  }
+
+  /** Leaf enrichment for the tree pruner: each understood leaf gains
+    * its generated-partition derivations (valid in ANY boolean
+    * context — `p` implies `derived(p)` row-for-row, so the
+    * conjunction rides inside the leaf's position) and re-keys to
+    * physical names. Mirrors the `predsToPhysical(logical ++
+    * deriveGenPreds(logical))` pipeline the conjunct path runs. */
+  private[sources] def enrichTree(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
+      t: PredTree): PredTree = {
+    val map = manifestColMap(fs, r, v)
+    def phys(p: Pred): Pred =
+      if (map.isEmpty) p else p.copy(col = physName(map, p.col))
+    def go(t: PredTree): PredTree = t match {
+      case PLeaf(p) =>
+        val derived = deriveGenPreds(spark, fs, r, v, Seq(p))
+        if (derived.isEmpty) PLeaf(phys(p))
+        else PAnd(PLeaf(phys(p)) +: derived.map(d => PLeaf(phys(d))))
+      case PAnd(cs) => PAnd(cs.map(go))
+      case POr(cs)  => POr(cs.map(go))
+      case PUnknown => PUnknown
+    }
+    go(t)
+  }
+
   /** Can `p` provably select NOTHING from a dir whose stat range for
     * `p.col` is [lo, hi]? NULL rows never satisfy a comparison, so a
     * range over the non-NULL values is sufficient evidence. */
@@ -169,34 +225,43 @@ private[graft] trait LakeReads { this: Lake.type =>
       predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    pruneDirsAt(spark, root, cur,
-      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
+    pruneDirsTreeAt(spark, root, cur,
+      extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
   }
 
+  /** Flat-conjunction compatibility spelling — the mutation engines
+    * (DELETE/UPDATE touched-dir partitions) still speak conjunct
+    * lists; a list IS the AND tree of its leaves. */
   private[sources] def pruneDirsAt(spark: SparkSession, root: String,
-      version: Long, preds: Seq[Pred]): (Seq[String], Seq[String]) = {
+      version: Long, preds: Seq[Pred]): (Seq[String], Seq[String]) =
+    pruneDirsTreeAt(spark, root, version,
+      if (preds.isEmpty) PUnknown else PAnd(preds.map(PLeaf)))
+
+  private[sources] def pruneDirsTreeAt(spark: SparkSession, root: String,
+      version: Long, tree: PredTree): (Seq[String], Seq[String]) = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val dirs = manifestDirs(fs, r, version)
+    if (!treeHasLeaves(tree)) return (dirs, Nil)
     val stats = manifestStatsRaw(fs, r, version)
     val bloomsRaw = manifestBloomsRaw(fs, r, version)
     val partsRaw = manifestPartsRaw(fs, r, version)
-    if (preds.isEmpty) (dirs, Nil)
-    else dirs.partition { d =>
-      // partition values prune FIRST (exact, cheapest): a dir whose
-      // recorded tuple fails a conjunct holds no matching row — and a
-      // NULL-valued partition dir satisfies NO comparison/IN, which
-      // min/max stats can never prove
-      val partExcluded = partsRaw.get(d).map(parsePartJson).exists(pv =>
-        preds.exists(p => pv.get(p.col).exists(partValueExcludes(_, p))))
-      lazy val rangeExcluded = stats.get(d).map(parseStatsJson).exists(st =>
-        preds.exists(p =>
-          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
-      // ranges prune range predicates; blooms prune equality lookups
-      // the ranges can't (hash-distributed keys overlap on every dir)
-      lazy val bloomExcluded = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
-        preds.exists(p => bloomExcludes(bfs, p)))
-      !partExcluded && !rangeExcluded && !bloomExcluded
+    dirs.partition { d =>
+      // per-dir evidence, parsed lazily once and shared by every leaf:
+      // exact partition tuples (answer NULL tests too), min/max
+      // ranges, and bloom membership for equality lookups the ranges
+      // can't answer. A leaf excludes when ANY evidence source proves
+      // it; the tree combines leaves (OR keeps a dir unless BOTH
+      // disjuncts exclude it).
+      lazy val pv = partsRaw.get(d).map(parsePartJson)
+      lazy val st = stats.get(d).map(parseStatsJson)
+      lazy val bf = bloomsRaw.get(d).map(parseBloomJson)
+      def leafExcl(p: Pred): Boolean =
+        pv.exists(m => m.get(p.col).exists(partValueExcludes(_, p))) ||
+        st.exists(m => m.get(p.col).exists {
+          case (lo, hi) => predExcludes(lo, hi, p) }) ||
+        bf.exists(bfs => bloomExcludes(bfs, p))
+      !treeExcludes(tree, leafExcl)
     }
   }
 
@@ -211,11 +276,17 @@ private[graft] trait LakeReads { this: Lake.type =>
   private[sources] def splitDirFiles(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       d: String, byFile: Map[String, String], preds: Seq[Pred]):
       (Seq[org.apache.hadoop.fs.FileStatus], Seq[org.apache.hadoop.fs.FileStatus]) =
+    splitDirFilesTree(fs, r, d, byFile,
+      if (preds.isEmpty) PUnknown else PAnd(preds.map(PLeaf)))
+
+  private[sources] def splitDirFilesTree(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, d: String, byFile: Map[String, String], tree: PredTree):
+      (Seq[org.apache.hadoop.fs.FileStatus], Seq[org.apache.hadoop.fs.FileStatus]) =
     fs.listStatus(new Path(r, d)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .partition { f =>
         byFile.get(f.getPath.getName).map(parseStatsJson) match {
-          case Some(st) => !preds.exists(pr =>
+          case Some(st) => !treeExcludes(tree, pr =>
             st.get(pr.col).exists { case (lo, hi) => predExcludes(lo, hi, pr) })
           case None => true
         }
@@ -229,22 +300,21 @@ private[graft] trait LakeReads { this: Lake.type =>
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
     // the user predicate names LOGICAL columns; every per-dir line is
-    // keyed physically. Generated-column derivation first (see
-    // scanDirFilesAt).
-    val logicalPreds =
-      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
-    val preds = predsToPhysical(
-      logicalPreds ++ deriveGenPreds(spark, fs, r, cur, logicalPreds),
-      manifestColMap(fs, r, cur))
-    val (keptDirs, skippedDirs) = pruneDirsAt(spark, root, cur, preds)
-    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+    // keyed physically. The TREE keeps the predicate's AND/OR shape
+    // (an OR of two prunable ranges skips; an OR with an unprunable
+    // side keeps all); generated-column derivation rides per leaf.
+    val tree = enrichTree(spark, fs, r, cur,
+      extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
+    val (keptDirs, skippedDirs) = pruneDirsTreeAt(spark, root, cur, tree)
+    val prunable = treeHasLeaves(tree)
+    val fstats = if (!prunable) Map.empty[String, Map[String, String]]
       else manifestFileStatsRaw(fs, r, cur)
     val paths = Seq.newBuilder[String]
     val skippedFiles = Seq.newBuilder[String]
     keptDirs.foreach { d =>
       fstats.get(d) match {
-        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
-          val (keep, skip) = splitDirFiles(fs, r, d, byFile, preds)
+        case Some(byFile) if byFile.nonEmpty && prunable =>
+          val (keep, skip) = splitDirFilesTree(fs, r, d, byFile, tree)
           if (skip.isEmpty) paths += new Path(r, d).toString
           else {
             paths ++= keep.map(_.getPath.toString)

@@ -1112,13 +1112,17 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{StructField, StructType}
     require(path.nonEmpty, "empty column path")
+    // segment lookup under the session resolver: the analyzer resolved
+    // the statement case-insensitively (by default), so `Meta.x` must
+    // find the schema's `meta`, and adding `V` beside `v` must refuse
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
     if (path.length == 1) {
-      require(!schema.fieldNames.contains(path.head),
+      require(!schema.fieldNames.exists(res(_, path.head)),
         s"field '${path.head}' already exists")
       StructType(schema.fields :+
         StructField(path.head, dt, nullable = true))
     } else {
-      val i = schema.fieldNames.indexOf(path.head)
+      val i = schema.fieldNames.indexWhere(res(_, path.head))
       require(i >= 0, s"no field '${path.head}'")
       schema.fields(i).dataType match {
         case st: StructType =>
@@ -1178,6 +1182,64 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     next
   }
 
+  /** Batch spelling covering MIXED top-level and nested paths in ONE
+    * manifest commit — `ALTER TABLE t ADD COLUMNS (a INT, meta.x INT)`
+    * must be atomic like the reference's: a validation failure on ANY
+    * column (duplicate, missing container, bad grammar) applies
+    * nothing, and an OCC loss can never leave the statement half
+    * done. The whole new schema folds first; commitManifest once. */
+  def addColumnsAtPaths(spark: SparkSession, root: String,
+      cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
+      retain: Int = -1): Long = {
+    require(cols.nonEmpty, "addColumnsAtPaths needs at least one column")
+    if (cols.forall(_._1.length == 1))
+      return addColumns(spark, root,
+        cols.map { case (p, dt) => p.head -> dt }, retain)
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then add columns"))
+    requireNotFoldTable(fs, r, "add columns to")
+    cols.foreach { case (path, _) =>
+      require(path.nonEmpty, "empty column path")
+      if (path.length >= 2) path.foreach(seg => require(
+        seg.nonEmpty && !seg.exists("=,\n#:.".contains(_)),
+        s"column path segment '$seg' may not be empty or contain " +
+          "'=', ',', ':', '#', '.', or newline"))
+      else require(path.head.nonEmpty, "empty column name")
+    }
+    // fold in declaration order — a later nested add may target a
+    // struct column added earlier in the SAME statement
+    val newSchema = cols.foldLeft(schema) { case (acc, (path, dt)) =>
+      try addFieldAt(acc, path, dt)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot add ${path.mkString(".")} at $root: ${e.getMessage}")
+      }
+    }
+    // new TOP-LEVEL names need fresh physical allocations under
+    // column mapping; nested adds ride inside their container's
+    // frozen physical name and leave the map untouched
+    val colMapOpt =
+      if (cols.exists(_._1.length == 1))
+        Some(allocPhysical(newSchema, manifestColMap(fs, r, cur),
+          manifestRetired(fs, r, cur), cur + 1))
+      else None
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        colMap = colMapOpt,
+        op = s"add columns ${cols.map(_._1.mkString(".")).mkString(", ")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"adding columns on $root lost version $next to a concurrent " +
+          "commit — retry against the current table")
+    next
+  }
+
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>`: LOSSLESS type
     * widening as one manifest schema commit — zero data I/O. Old
     * files keep their narrower physical type and read UPCAST under
@@ -1201,59 +1263,114 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * normalized domain (BigDecimal / putLong). */
   def alterColumnType(spark: SparkSession, root: String, name: String,
       newType: org.apache.spark.sql.types.DataType,
+      retain: Int = -1): Long =
+    alterColumnTypes(spark, root, Seq(Seq(name) -> newType), retain)
+
+  /** Batch spelling: widen SEVERAL columns (top-level or nested) in
+    * ONE manifest commit — `ALTER TABLE t ALTER COLUMN a TYPE …, b
+    * TYPE …` must be atomic like the reference's, so a mid-statement
+    * validation failure (a lossy type, a bucket column, an OCC loss)
+    * leaves NOTHING applied. All guards run against the folded schema
+    * BEFORE the single commitManifest call. */
+  def alterColumnTypes(spark: SparkSession, root: String,
+      cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
       retain: Int = -1): Long = {
+    require(cols.nonEmpty, "alterColumnTypes needs at least one column")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val schema = manifestSchema(fs, r, cur).getOrElse(
+    val schema0 = manifestSchema(fs, r, cur).getOrElse(
       throw new IllegalArgumentException(
         s"the table at $root predates carried schemas — commit once " +
           "(any append) to establish a #schema line, then alter types"))
-    val field = schema.fields.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column '$name' at $root (have: " +
-          schema.fieldNames.mkString("[", ", ", "]") + ")"))
-    require(!manifestIdentity(fs, r, cur).exists(_._1 == name),
-      s"cannot alter the identity column '$name' — its domain is " +
-        "fixed LongType")
-    if (field.dataType == newType) return cur // idempotent no-op
-    val widened = widenedType(field.dataType, newType)
-    require(widened.contains(newType),
-      s"ALTER COLUMN TYPE supports lossless widening only; '$name' " +
-        s"cannot change ${field.dataType.simpleString} -> " +
-        s"${newType.simpleString}. Rewrite the table (commitOverwrite) " +
-        "to change a column's type.")
-    requireNotFoldTable(fs, r, "alter a column type on")
-    manifestBucketBy(fs, r, cur).foreach { case (_, cols) =>
-      require(!cols.contains(name),
-        s"cannot widen bucket column '$name': bucket assignment hashes " +
-          "the stored width, so existing dirs would stop satisfying " +
-          "the bucketed read contract — re-layout with commitOverwrite")
-    }
+    // session-resolver lookup: `ALTER COLUMN Meta.V` must find
+    // `meta.v` under the default case-insensitive resolver
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val identityDecl = manifestIdentity(fs, r, cur)
+    val bucketDecl = manifestBucketBy(fs, r, cur)
     val gens = manifestGenParts(fs, r, cur)
-    require(!gens.exists(_._1 == name),
-      s"cannot alter generated column '$name' — its stored dir values " +
-        "froze under the generation expression")
-    // reference check parses the stored text directly (classification
-    // may refuse an expression that still references the column)
-    val genSrcRefs = gens.collect {
-      case (c, text) if scala.util.Try(
-          spark.sessionState.sqlParser.parseExpression(text).collect {
-            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.nameParts.head
-          }).getOrElse(Seq(name)).contains(name) => c
+    var schema = schema0
+    var changed = false
+    cols.foreach { case (path, newType) =>
+      require(path.nonEmpty, "empty column path")
+      def widenAt(st: org.apache.spark.sql.types.StructType,
+          p: Seq[String]): (org.apache.spark.sql.types.StructType, Boolean) = {
+        val i = st.fieldNames.indexWhere(res(_, p.head))
+        require(i >= 0,
+          if (p.length == path.length && path.length == 1)
+            s"no column '${p.head}' at $root (have: " +
+              st.fieldNames.mkString("[", ", ", "]") + ")"
+          else s"no field '${p.head}' under ${path.mkString(".")}")
+        val f = st.fields(i)
+        if (p.length == 1) {
+          if (f.dataType == newType) return (st, false) // idempotent no-op
+          require(widenedType(f.dataType, newType).contains(newType),
+            s"ALTER COLUMN TYPE supports lossless widening only; " +
+              s"'${path.mkString(".")}' cannot change " +
+              s"${f.dataType.simpleString} -> ${newType.simpleString}. " +
+              "Rewrite the table (commitOverwrite) to change a column's type.")
+          val rebuilt = st.fields.clone()
+          rebuilt(i) = f.copy(dataType = newType)
+          (org.apache.spark.sql.types.StructType(rebuilt), true)
+        } else f.dataType match {
+          case inner: org.apache.spark.sql.types.StructType =>
+            val (widened, ch) = widenAt(inner, p.tail)
+            val rebuilt = st.fields.clone()
+            rebuilt(i) = f.copy(dataType = widened)
+            (org.apache.spark.sql.types.StructType(rebuilt), ch)
+          case other => throw new IllegalArgumentException(
+            s"'${p.head}' is ${other.simpleString}, not a struct — cannot " +
+              "alter a field inside it")
+        }
+      }
+      if (path.length == 1) {
+        val name = path.head
+        // identity refusal comes FIRST — even a same-type no-op on the
+        // identity column is a declaration error worth surfacing
+        require(!identityDecl.exists(d => res(d._1, name)),
+          s"cannot alter the identity column '$name' — its domain is " +
+            "fixed LongType")
+        val (s2, ch) = widenAt(schema, path)
+        if (ch) {
+          // guards that only matter when the type actually changes
+          // (same-type stays a silent no-op, like the original)
+          bucketDecl.foreach { case (_, bcols) =>
+            require(!bcols.exists(res(_, name)),
+              s"cannot widen bucket column '$name': bucket assignment hashes " +
+                "the stored width, so existing dirs would stop satisfying " +
+                "the bucketed read contract — re-layout with commitOverwrite")
+          }
+          require(!gens.exists(g => res(g._1, name)),
+            s"cannot alter generated column '$name' — its stored dir values " +
+              "froze under the generation expression")
+          // reference check parses the stored text directly (classification
+          // may refuse an expression that still references the column)
+          val genSrcRefs = gens.collect {
+            case (c, text) if scala.util.Try(
+                spark.sessionState.sqlParser.parseExpression(text).collect {
+                  case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a.nameParts.head
+                }).getOrElse(Seq(name)).exists(res(_, name)) => c
+          }
+          require(genSrcRefs.isEmpty,
+            s"cannot widen '$name': generated column(s) " +
+              genSrcRefs.mkString("[", ", ", "]") + " derive from it and " +
+              "their stored dir values froze at the narrow type")
+        }
+        schema = s2; changed = changed || ch
+      } else {
+        val (s2, ch) = widenAt(schema, path)
+        schema = s2; changed = changed || ch
+      }
     }
-    require(genSrcRefs.isEmpty,
-      s"cannot widen '$name': generated column(s) " +
-        genSrcRefs.mkString("[", ", ", "]") + " derive from it and " +
-        "their stored dir values froze at the narrow type")
-    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
-      f => if (f.name == name) f.copy(dataType = newType) else f))
+    if (!changed) return cur
+    requireNotFoldTable(fs, r, "alter a column type on")
     val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
-        Some(newSchema), manifestRows(fs, r, cur),
-        op = s"alter column $name type ${newType.simpleString}"))
+        Some(schema), manifestRows(fs, r, cur),
+        op = "alter column " + cols.map { case (p, dt) =>
+          s"${p.mkString(".")} type ${dt.simpleString}" }.mkString(", ")))
       throw new java.util.ConcurrentModificationException(
         s"altering column type on $root lost version $next to a " +
           "concurrent commit — retry against the current table")
@@ -1275,51 +1392,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     require(path.length >= 2,
       s"alterNestedColumnType needs a nested path (got ${path.mkString(".")})" +
         " — use alterColumnType for top-level columns")
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val schema = manifestSchema(fs, r, cur).getOrElse(
-      throw new IllegalArgumentException(
-        s"the table at $root predates carried schemas — commit once " +
-          "(any append) to establish a #schema line, then alter types"))
-    requireNotFoldTable(fs, r, "alter a column type on")
-    def widenAt(st: org.apache.spark.sql.types.StructType,
-        p: Seq[String]): (org.apache.spark.sql.types.StructType, Boolean) = {
-      val i = st.fieldNames.indexOf(p.head)
-      require(i >= 0, s"no field '${p.head}' under ${path.mkString(".")}")
-      val f = st.fields(i)
-      if (p.length == 1) {
-        if (f.dataType == newType) return (st, false) // idempotent no-op
-        require(widenedType(f.dataType, newType).contains(newType),
-          s"ALTER COLUMN TYPE supports lossless widening only; " +
-            s"'${path.mkString(".")}' cannot change " +
-            s"${f.dataType.simpleString} -> ${newType.simpleString}. " +
-            "Rewrite the table (commitOverwrite) to change a column's type.")
-        val rebuilt = st.fields.clone()
-        rebuilt(i) = f.copy(dataType = newType)
-        (org.apache.spark.sql.types.StructType(rebuilt), true)
-      } else f.dataType match {
-        case inner: org.apache.spark.sql.types.StructType =>
-          val (widened, changed) = widenAt(inner, p.tail)
-          val rebuilt = st.fields.clone()
-          rebuilt(i) = f.copy(dataType = widened)
-          (org.apache.spark.sql.types.StructType(rebuilt), changed)
-        case other => throw new IllegalArgumentException(
-          s"'${p.head}' is ${other.simpleString}, not a struct — cannot " +
-            "alter a field inside it")
-      }
-    }
-    val (newSchema, changed) = widenAt(schema, path)
-    if (!changed) return cur
-    val next = pinSlot(fs, r, cur)
-    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
-        Some(newSchema), manifestRows(fs, r, cur),
-        op = s"alter column ${path.mkString(".")} type ${newType.simpleString}"))
-      throw new java.util.ConcurrentModificationException(
-        s"altering column type on $root lost version $next to a " +
-          "concurrent commit — retry against the current table")
-    next
+    alterColumnTypes(spark, root, Seq(path -> newType), retain)
   }
 
   /** Fold-maintained tables write data dirs outside the staging choke
@@ -1508,20 +1581,21 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     val fs = fsFor(spark, root)
     val r = new Path(root)
     // scan-planning filters reference the relation's LOGICAL columns;
-    // every per-dir line is keyed physically. Conjuncts on generated
-    // columns' SOURCES derive extra conjuncts on the generated
-    // partition keys first (the ts-range-prunes-year-partitions rule).
-    val logicalPreds = filters.flatMap(extractPreds)
-    val preds = predsToPhysical(
-      logicalPreds ++ deriveGenPreds(spark, fs, r, version, logicalPreds),
-      manifestColMap(fs, r, version))
-    val (keptDirs, _) = pruneDirsAt(spark, root, version, preds)
-    val fstats = if (preds.isEmpty) Map.empty[String, Map[String, String]]
+    // every per-dir line is keyed physically. Each filter is one
+    // conjunct but may itself be an OR tree — the tree pruner keeps
+    // the shape (both disjuncts must exclude before a dir drops).
+    // Conjuncts on generated columns' SOURCES derive extra leaves on
+    // the generated partition keys (ts-range-prunes-year-partitions).
+    val tree = enrichTree(spark, fs, r, version,
+      if (filters.isEmpty) PUnknown else PAnd(filters.map(extractTree)))
+    val (keptDirs, _) = pruneDirsTreeAt(spark, root, version, tree)
+    val prunable = treeHasLeaves(tree)
+    val fstats = if (!prunable) Map.empty[String, Map[String, String]]
       else manifestFileStatsRaw(fs, r, version)
     keptDirs.map { d =>
       val files = fstats.get(d) match {
-        case Some(byFile) if byFile.nonEmpty && preds.nonEmpty =>
-          splitDirFiles(fs, r, d, byFile, preds)._1
+        case Some(byFile) if byFile.nonEmpty && prunable =>
+          splitDirFilesTree(fs, r, d, byFile, tree)._1
         case _ =>
           fs.listStatus(new Path(r, d)).toSeq
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -669,4 +669,107 @@ class LakeColMapSpec extends SparkSpec {
     }.getMessage.contains("TYPE widening only"))
     spark.sql("DROP TABLE widen_sql")
   }
+
+  test("case-insensitive DDL/DML paths resolve like the analyzer; case-spelled conflicts refuse") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-caseres")
+    Lake.commitOverwrite(
+      Seq((1L, "click", 7)).toDF("id", "etype", "n")
+        .select(col("id"), struct(col("etype"), col("n")).as("meta")),
+      root, retain = 8)
+    // nested ADD through a case-varied container path lands on `meta`
+    Lake.addNestedColumn(spark, root, Seq("Meta", "score"), DoubleType)
+    val metaT = Lake.readCommitted(spark, root).schema("meta")
+      .dataType.asInstanceOf[StructType]
+    assert(metaT.fieldNames.contains("score"))
+    // adding a case-twin of an existing field refuses (the session
+    // resolver treats `N` and `n` as the same name)
+    assert(intercept[IllegalArgumentException] {
+      Lake.addNestedColumn(spark, root, Seq("meta", "N"), IntegerType)
+    }.getMessage.contains("already exists"))
+    // nested widen through a case-varied path lands on meta.n
+    Lake.alterNestedColumnType(spark, root, Seq("Meta", "N"), LongType)
+    assert(Lake.readCommitted(spark, root).schema("meta").dataType
+      .asInstanceOf[StructType]("n").dataType === LongType)
+    // SQL: nested UPDATE with a case-varied spelling is legal …
+    spark.sql("DROP TABLE IF EXISTS caseres_sql")
+    spark.sql(s"CREATE TABLE caseres_sql USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("UPDATE caseres_sql SET Meta.Score = 1.5 WHERE id = 1")
+    assert(spark.sql("SELECT meta.score FROM caseres_sql WHERE id = 1")
+      .collect().head.getDouble(0) === 1.5)
+    // … but two case-spellings of ONE field in a single SET refuse
+    // (they would silently last-write-win through withField)
+    assert(intercept[Exception] {
+      spark.sql("UPDATE caseres_sql SET meta.score = 1.0, meta.Score = 2.0 " +
+        "WHERE id = 1")
+    }.getMessage.contains("duplicate assignment targets"))
+    spark.sql("DROP TABLE caseres_sql")
+  }
+
+  test("prefix-overlapping SET targets refuse (order-dependent writes)") {
+    val root = tmpTable("graft-colmap-prefixset")
+    Lake.commitOverwrite(
+      Seq((1L, 0.5, "a")).toDF("id", "v", "tag")
+        .select(col("id"),
+          struct(struct(col("v"), col("tag")).as("inner")).as("meta")),
+      root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS prefixset_sql")
+    spark.sql(s"CREATE TABLE prefixset_sql USING `graft-lake` OPTIONS (root '$root')")
+    // meta.inner and meta.inner.v in one statement: the whole-struct
+    // write and the field write apply order-dependently — refuse
+    assert(intercept[Exception] {
+      spark.sql("UPDATE prefixset_sql SET " +
+        "meta.inner = named_struct('v', 0.1, 'tag', 'b'), " +
+        "meta.inner.v = 0.2 WHERE id = 1")
+    }.getMessage.contains("prefix"))
+    // disjoint nested paths still compose fine
+    spark.sql("UPDATE prefixset_sql SET meta.inner.v = 0.9, " +
+      "meta.inner.tag = 'z' WHERE id = 1")
+    assert(rows(spark.sql(
+      "SELECT meta.inner.v, meta.inner.tag FROM prefixset_sql")) ===
+      Set(Seq(0.9, "z")))
+    spark.sql("DROP TABLE prefixset_sql")
+  }
+
+  test("multi-column DDL statements are ATOMIC: one manifest commit, all-or-nothing") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-colmap-atomicddl")
+    Lake.commitOverwrite(
+      Seq((1L, "x", 3)).toDF("id", "etype", "n")
+        .select(col("id"), struct(col("etype")).as("meta"), col("n")),
+      root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS atomicddl_sql")
+    spark.sql(s"CREATE TABLE atomicddl_sql USING `graft-lake` OPTIONS (root '$root')")
+    // mixed top-level + nested ADD COLUMNS: ONE version bump
+    val v0 = Lake.currentVersion(spark, root).get
+    spark.sql("ALTER TABLE atomicddl_sql ADD COLUMNS (w INT, meta.x INT)")
+    assert(Lake.currentVersion(spark, root).get === v0 + 1)
+    val sch = Lake.readCommitted(spark, root).schema
+    assert(sch.fieldNames.contains("w"))
+    assert(sch("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("x"))
+    // a statement whose SECOND column fails validation applies NOTHING
+    val v1 = Lake.currentVersion(spark, root).get
+    intercept[Exception] {
+      spark.sql("ALTER TABLE atomicddl_sql ADD COLUMNS (ok INT, ghost.y INT)")
+    }
+    assert(Lake.currentVersion(spark, root).get === v1)
+    assert(!Lake.readCommitted(spark, root).columns.contains("ok"))
+    // multi-column ALTER TYPE: one commit; a lossy second column
+    // applies nothing (n stays IntegerType)
+    val v2 = Lake.currentVersion(spark, root).get
+    intercept[Exception] {
+      spark.sql("ALTER TABLE atomicddl_sql ALTER COLUMN n TYPE BIGINT, " +
+        "id TYPE DOUBLE")
+    }
+    assert(Lake.currentVersion(spark, root).get === v2)
+    assert(Lake.readCommitted(spark, root).schema("n").dataType ===
+      IntegerType)
+    spark.sql("ALTER TABLE atomicddl_sql ALTER COLUMN n TYPE BIGINT, " +
+      "w TYPE BIGINT")
+    assert(Lake.currentVersion(spark, root).get === v2 + 1)
+    val sch2 = Lake.readCommitted(spark, root).schema
+    assert(sch2("n").dataType === LongType && sch2("w").dataType === LongType)
+    spark.sql("DROP TABLE atomicddl_sql")
+  }
 }

@@ -154,4 +154,32 @@ class LakeCopyIntoSpec extends SparkSpec {
     assert(n === 1L)
     assert(Lake.readCommitted(spark, root).count() === 4L)
   }
+
+  test("the ledger is feature-gated: #require carries 'ingest' so a pre-ingest build cannot amnesia it") {
+    val root = tmpTable("graft-copyinto-gate")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    def requiresOf(v: Long): Set[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, s"_commit_$v")), "UTF-8")
+        .split("\n").find(_.startsWith("#require="))
+        .map(_.stripPrefix("#require=").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // before any COPY: no ingest feature
+    assert(!requiresOf(Lake.currentVersion(spark, root).get)("ingest"))
+    val land = landingDir("graft-copy-landgate")
+    landFile(Seq((2L, "b")).toDF("k", "t"), land, "f1.parquet")
+    val (v1, _) = Lake.copyInto(spark, root, land.toString)
+    // the COPY commit declares the ledger required — a build without
+    // the feature would rebuild the manifest WITHOUT the #ingested=
+    // lines and a re-run COPY would double-load every landing file
+    assert(requiresOf(v1)("ingest"))
+    // a plain append inherits the ledger AND keeps the gate with it
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8)
+    val v2 = Lake.currentVersion(spark, root).get
+    assert(ledgerOf(root).nonEmpty)
+    assert(requiresOf(v2)("ingest"))
+    // idempotency survives the inheriting commit
+    val (_, n) = Lake.copyInto(spark, root, land.toString)
+    assert(n === 0L)
+  }
 }

@@ -163,6 +163,40 @@ class LakePropsSpec extends SparkSpec {
     }
   }
 
+  test("auto-compact is best-effort for EVERY failure shape: a fault after the append commits never surfaces") {
+    // the append has durably committed before the compaction runs, so
+    // ANY throw here would break the atomic-append contract — a caller
+    // retrying commitAppend on exception would double-ingest the batch
+    val root = tmpTable("graft-props-autocompact-fault")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    (2L to 5L).foreach(i =>
+      Lake.commitAppend(Seq((i, s"r$i")).toDF("k", "t"), root, retain = 8))
+    Lake.setTableProperties(spark, root,
+      Map(Lake.PropAutoCompact -> "4", Lake.PropRetain -> "8"))
+    // first publish = the append itself; second = the triggered
+    // compaction — fail THAT one with a non-OCC fault (disk full)
+    var publishes = 0
+    Lake.beforePublish = () => {
+      publishes += 1
+      if (publishes == 2) {
+        Lake.beforePublish = () => ()
+        throw new RuntimeException("simulated IO failure mid-compaction")
+      }
+    }
+    try Lake.commitAppend(Seq((6L, "r6")).toDF("k", "t"), root, retain = 8)
+    finally Lake.beforePublish = () => ()
+    assert(publishes === 2, "the compaction must have been attempted")
+    // the append stuck; the compaction was dropped, not surfaced
+    assert(Lake.readCommitted(spark, root).count() === 6L)
+    assert(Lake.resolve(spark, root).length === 6)
+    assert(Lake.describeHistory(spark, root)
+      .where(col("op") === "compact").count() === 0L)
+    // the next triggering append retries the compaction and succeeds
+    Lake.commitAppend(Seq((7L, "r7")).toDF("k", "t"), root, retain = 8)
+    assert(Lake.resolve(spark, root).length === 1)
+    assert(Lake.readCommitted(spark, root).count() === 7L)
+  }
+
   test("graft.optimizeWrite: tiny appends stage one file instead of one per shuffle partition") {
     def filesOfNewestDir(root: String): Int = {
       val newest = Lake.resolve(spark, root).last

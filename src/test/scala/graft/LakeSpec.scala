@@ -2452,4 +2452,77 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommitted(spark, root).select("k")) ===
       Set(Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(5L), Seq(6L)))
   }
+
+  test("OR-disjunct data skipping: stats ranges, partition tuples and file stats prune through OR") {
+    import org.apache.spark.sql.functions.col
+    // ten ordered appends: dir i holds k in [i*10, i*10+10)
+    val root = tmpTable("graft-lake-orprune")
+    (0L until 10L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        root, retain = 0, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    // OR of two prunable ranges: only the two edge dirs survive
+    val pOr = col("k") < 10L || col("k") >= 90L
+    val (kept, skippedDirs, _) = Lake.resolveWhere(spark, root, pOr)
+    assert(skippedDirs.size === 8,
+      s"expected 8 middle dirs skipped, got ${skippedDirs.size}")
+    assert(kept.size === 2)
+    assert(rows(Lake.readCommittedWhere(spark, root, pOr).select("k")) ===
+      ((0L until 10L) ++ (90L until 100L)).map(Seq(_)).toSet)
+    // OR nested under AND keeps pruning: t is unprunable but the
+    // conjunct (k<10 OR k>=90) still drops the middle dirs
+    val pMix = (col("k") < 10L || col("k") >= 90L) && col("t").startsWith("r")
+    assert(Lake.resolveWhere(spark, root, pMix)._2.size === 8)
+    // an OR with an UNPRUNABLE side keeps every dir (each dir might
+    // hold a matching row on the side stats can't see)
+    val pWeak = col("k") < 10L || col("t") === "r55"
+    assert(Lake.resolveWhere(spark, root, pWeak)._2.isEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, root, pWeak).select("k")) ===
+      ((0L until 10L) :+ 55L).map(Seq(_)).toSet)
+    // three-way OR prunes to exactly the three hit dirs
+    val p3 = col("k") === 5L || col("k") === 55L || col("k") === 95L
+    assert(Lake.resolveWhere(spark, root, p3)._2.size === 7)
+
+    // partition tuples prune through OR: the everyday dashboard
+    // predicate `region = 'EU' OR region = 'US'`
+    val proot = tmpTable("graft-lake-orprune-part")
+    Lake.commitOverwrite(
+      Seq(("EU", 1L), ("US", 2L), ("APAC", 3L), ("LATAM", 4L))
+        .toDF("region", "v"),
+      proot, retain = 8, partitionBy = Seq("region"))
+    val pReg = col("region") === "EU" || col("region") === "US"
+    val (kp, sp, _) = Lake.resolveWhere(spark, proot, pReg)
+    assert(sp.size === 2 && kp.size === 2)
+    assert(rows(Lake.readCommittedWhere(spark, proot, pReg)
+      .select("v")) === Set(Seq(1L), Seq(2L)))
+    // IS NULL OR comparison: partition tuples answer NULL tests
+    val nroot = tmpTable("graft-lake-orprune-null")
+    Lake.commitOverwrite(
+      Seq((Option.empty[String], 1L), (Some("a"), 2L), (Some("b"), 3L))
+        .toDF("p", "v"),
+      nroot, retain = 8, partitionBy = Seq("p"))
+    val pNull = col("p").isNull || col("p") === "b"
+    assert(Lake.resolveWhere(spark, nroot, pNull)._2.size === 1)
+    assert(rows(Lake.readCommittedWhere(spark, nroot, pNull).select("v")) ===
+      Set(Seq(1L), Seq(3L)))
+
+    // FILE-level stats prune through OR too (z-ordered single dir)
+    val froot = tmpTable("graft-lake-orprune-files")
+    (0 until 4).foreach { b =>
+      Lake.commitAppend(
+        (b * 256 until (b + 1) * 256).map(i => (i.toLong, s"v$i"))
+          .toDF("k", "t"),
+        froot, retain = 0, rowCount = Some(256L), statsCols = Seq("k"))
+      ()
+    }
+    Lake.clusterCommitted(spark, froot, Seq("k"), targetBytes = 8 * 1024)
+    val pF = col("k") < 16L || col("k") >= 1008L
+    val (_, _, skippedFiles) = Lake.resolveWhere(spark, froot, pF)
+    assert(skippedFiles.nonEmpty,
+      "file stats must prune the middle files of the OR read")
+    assert(rows(Lake.readCommittedWhere(spark, froot, pF).select("k")) ===
+      ((0L until 16L) ++ (1008L until 1024L)).map(Seq(_)).toSet)
+  }
 }
