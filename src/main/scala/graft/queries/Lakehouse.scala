@@ -1910,6 +1910,60 @@ object Lakehouse {
         .withColumn("or_prune_exact", lit(partExact && rangeExact))
     },
 
+    // COLUMN DEFAULT VALUES under the oracle hash — Delta's
+    // allowColumnDefaults with Iceberg's initial-default read
+    // semantics: generation 1 commits WITHOUT the column; `ADD COLUMN
+    // score DOUBLE DEFAULT 0.5` is one metadata commit (dirs
+    // untouched — proof bit); generation 2a OMITS the column (the
+    // writer materializes 0.5 physically); generation 2b SUPPLIES it,
+    // explicit NULLs included. The final read must serve: backfilled
+    // 0.5 for gen-1 rows (per-file EXISTS_DEFAULT — files predating
+    // the column), materialized 0.5 for gen-2a, stored values and
+    // real NULLs for gen-2b — all hashed. `default_backfill_exact`
+    // additionally pins the PHYSICAL split: gen-1 files lack the
+    // column on disk, gen-2a files carry it. At 100 TB the add is one
+    // KB-sized manifest write instead of a full-table UPDATE pass.
+    Q("q185_column_default",
+      """WITH m AS (SELECT max(doc_id) // 2 AS half FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id <= (SELECT half FROM m) THEN 0.5
+        |       WHEN doc_id % 3 = 0 THEN 0.5
+        |       WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE n_chars / 10.0 END AS score,
+        |  TRUE AS default_backfill_exact
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val root = scratchRoot("lake_default", d)
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val half = maxId / 2
+      Lake.commitOverwrite(docs.where(col("doc_id") <= half), root,
+        retain = 8)
+      val preDirs = Lake.resolve(s, root).toSet
+      Lake.addColumnWithDefault(s, root, "score", DoubleType, "0.5")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      // 2a: omitting batch — the default materializes physically
+      Lake.commitAppend(
+        docs.where(col("doc_id") > half && col("doc_id") % 3 === 0),
+        root, retain = 8)
+      val dir2a = (Lake.resolve(s, root).toSet -- preDirs).toSeq
+      // 2b: supplying batch — stored values win, explicit NULL stays
+      Lake.commitAppend(
+        docs.where(col("doc_id") > half && col("doc_id") % 3 =!= 0)
+          .withColumn("score", when(col("doc_id") % 7 === 0, lit(null))
+            .otherwise(col("n_chars") / lit(10.0))),
+        root, retain = 8)
+      // physical proof: gen-1 files LACK the column, gen-2a files
+      // CARRY it (materialized, not reader-backfilled)
+      val gen1HasNot = !s.read
+        .parquet(preDirs.toSeq: _*).columns.contains("score")
+      val gen2aHas = s.read
+        .parquet(dir2a: _*).columns.contains("score")
+      Lake.readCommitted(s, root).orderBy("doc_id")
+        .withColumn("default_backfill_exact",
+          lit(metadataOnly && gen1HasNot && gen2aHas))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

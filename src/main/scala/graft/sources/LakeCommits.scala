@@ -623,7 +623,15 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // idempotency: a pre-ingest build committing on top would
       // rebuild the manifest body without the ledger, after which a
       // re-run COPY INTO re-loads every landing file and doubles rows
-      (if (effIngested.nonEmpty) Seq("ingest") else Nil)
+      (if (effIngested.nonEmpty) Seq("ingest") else Nil) ++
+      // column DEFAULTs ride as field metadata inside #schema: a
+      // pre-default build would read files predating the column as
+      // NULL and append omitted columns as NULL — wrong rows, not
+      // degraded performance
+      (if (schema.exists(_.fields.exists(f =>
+          f.metadata.contains(DefaultExistsKey) ||
+          f.metadata.contains(DefaultCurrentKey)))) Seq("default")
+       else Nil)
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -969,7 +977,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
         materializeGenerated(materializeIdentity(dfIn, c, start), effGen)
       case None => materializeGenerated(dfIn, effGen)
     }
-    val df = withIds(idStart)
+    // committed columns with a CURRENT_DEFAULT that this batch omits
+    // materialize here (before CHECK validation sees the batch) — an
+    // omitting append writes the default physically, never NULL
+    val df = materializeDefaults(fs, r, withIds(idStart))
     // user column args name LOGICAL columns; property lines are
     // physical — and a batch adding NEW columns allocates them
     // physical names that can never collide with a mapped or retired
@@ -1120,7 +1131,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
       if (effId.isDefined && curMark.exists(_ != idStart)) {
         dropStaged()
         idStart = curMark.get
-        val restaged = stageBatch(spark, fs, r, withIds(idStart),
+        val restaged = stageBatch(spark, fs, r,
+          materializeDefaults(fs, r, withIds(idStart)),
           effStats, effBloom, effPart, bucketBy = effBucket, colMap = newMap)
         staged = restaged._1; stats = restaged._2
         blooms = restaged._3; parts = restaged._4

@@ -596,13 +596,11 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
               require(c.position.isEmpty,
                 "graft-lake appends new columns at the end — FIRST/AFTER " +
                   "is not supported")
-              require(c.default.isEmpty,
-                "graft-lake new columns read NULL on existing rows — " +
-                  "DEFAULT values are not supported")
               require(c.nullable,
-                "a new column reads NULL on every existing row and must " +
-                  "be nullable — add it nullable, then enforce with " +
-                  "ADD CONSTRAINT ... CHECK (col IS NOT NULL)")
+                "a new column reads NULL (or its DEFAULT) on every " +
+                  "existing row and must be nullable — add it nullable, " +
+                  "then enforce with ADD CONSTRAINT ... CHECK " +
+                  "(col IS NOT NULL)")
               // nested spellings (`ADD COLUMN meta.x INT`) carry the
               // container path; the command routes them to the nested
               // schema-commit engine
@@ -611,7 +609,16 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
                 case other => throw new IllegalArgumentException(
                   s"cannot add under $other — name the struct path directly")
               }.getOrElse(Nil)
-              (prefix :+ c.colName) -> c.dataType
+              // `DEFAULT <literal>` is a TOP-LEVEL construct: old
+              // files backfill per-file, omitting batches materialize.
+              // A nested field under a struct a file DOES carry has no
+              // missing-column event for the reader to key on — refuse.
+              require(c.default.isEmpty || prefix.isEmpty,
+                s"DEFAULT on nested field ${(prefix :+ c.colName).mkString(".")}" +
+                  " is not supported — only top-level columns backfill " +
+                  "per predating file")
+              (prefix :+ c.colName, c.dataType,
+                c.default.map(_.originalSQL))
             }
             GraftAddColumnsCommand(root, named, ident)
         }
@@ -643,30 +650,49 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
           case None => ac
           case Some((root, ident)) =>
-            val typed = specs.map { sp =>
+            specs.foreach { sp =>
               require(sp.newComment.isEmpty && sp.newNullability.isEmpty &&
-                  sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
-                  !sp.dropDefault,
-                "graft-lake ALTER COLUMN supports TYPE widening only — " +
-                  "comment/nullability/position/default changes are not " +
-                  "supported")
-              val dt = sp.newDataType.getOrElse(throw
-                new IllegalArgumentException(
-                  "graft-lake ALTER COLUMN needs a TYPE clause"))
-              val path = sp.column match {
-                case UnresolvedFieldName(parts) => parts
-                case other => throw new IllegalArgumentException(
-                  s"cannot alter $other — name the column directly")
-              }
-              path -> dt
+                  sp.newPosition.isEmpty,
+                "graft-lake ALTER COLUMN supports TYPE widening and " +
+                  "SET/DROP DEFAULT only — comment/nullability/position " +
+                  "changes are not supported")
             }
-            GraftAlterColumnTypeCommand(root, typed, ident)
+            def pathOf(sp: org.apache.spark.sql.catalyst.plans.logical
+                .AlterColumnSpec): Seq[String] = sp.column match {
+              case UnresolvedFieldName(parts) => parts
+              case other => throw new IllegalArgumentException(
+                s"cannot alter $other — name the column directly")
+            }
+            val (defaultSpecs, typedSpecs) = specs.partition(sp =>
+              sp.newDefaultExpression.isDefined || sp.dropDefault)
+            require(defaultSpecs.isEmpty || typedSpecs.isEmpty,
+              "one ALTER COLUMN statement cannot mix TYPE and DEFAULT " +
+                "facets on a graft-lake table — issue two statements")
+            if (defaultSpecs.nonEmpty) {
+              val defs = defaultSpecs.map { sp =>
+                val path = pathOf(sp)
+                require(path.length == 1,
+                  "DEFAULT is a top-level-column construct — nested " +
+                    s"field ${path.mkString(".")} cannot carry one")
+                path.head -> sp.newDefaultExpression.map(_.originalSQL)
+              }
+              GraftAlterColumnDefaultCommand(root, defs, ident)
+            } else {
+              val typed = typedSpecs.map { sp =>
+                val dt = sp.newDataType.getOrElse(throw
+                  new IllegalArgumentException(
+                    "graft-lake ALTER COLUMN needs a TYPE clause"))
+                pathOf(sp) -> dt
+              }
+              GraftAlterColumnTypeCommand(root, typed, ident)
+            }
         }
     }
 }
 
 case class GraftAddColumnsCommand(root: String,
-    cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
+    cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType,
+      Option[String])],
     ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -685,6 +711,17 @@ case class GraftRenameColumnCommand(root: String, oldName: String,
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     Lake.renameColumn(session, root, oldName, newName)
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+case class GraftAlterColumnDefaultCommand(root: String,
+    defs: Seq[(String, Option[String])], ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.alterColumnDefaults(session, root, defs)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty

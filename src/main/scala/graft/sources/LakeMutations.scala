@@ -794,9 +794,19 @@ private[graft] trait LakeMutations { this: Lake.type =>
           val srcOnly = srcKeyed.join(antiRight, joinCond, "left_anti")
           val insBranches = notMatchedC.map(i =>
             (i.condition.getOrElse(lit(true)), i.values))
+          // a column the INSERT clause leaves unnamed takes its
+          // declared DEFAULT (CURRENT_DEFAULT field metadata, like an
+          // omitting append); NULL only when no default is declared
+          def insFallback(c: String): Column = {
+            val md = schema(c).metadata
+            if (md.contains(DefaultCurrentKey))
+              org.apache.spark.sql.functions
+                .expr(md.getString(DefaultCurrentKey))
+            else lit(null)
+          }
           def insValue(c: String): Column =
             insBranches.foldRight(lit(null): Column) { case ((g, vs), els) =>
-              when(g, vs.getOrElse(c, lit(null))).otherwise(els)
+              when(g, vs.getOrElse(c, insFallback(c))).otherwise(els)
             }.cast(schema(c).dataType)
           val insFlag = insBranches.foldRight(lit(false): Column) {
             case ((g, _), els) => when(g, lit(true)).otherwise(els)

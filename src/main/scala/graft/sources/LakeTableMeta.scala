@@ -1059,6 +1059,157 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     next
   }
 
+  // -- column DEFAULT values ------------------------------------------
+  //
+  // Delta's allowColumnDefaults / Iceberg's initial-default, carried as
+  // STANDARD Spark field metadata inside the `#schema` line (StructType
+  // JSON round-trips metadata, so every schema-carrying read path —
+  // readCommitted*, the SQL relation, streaming, DV reads — picks it up
+  // with zero extra plumbing):
+  //  - EXISTS_DEFAULT: what rows in files PREDATING the column read —
+  //    Spark's own parquet/orc readers fill a column missing from a
+  //    file from this metadata (per FILE, vectorized, codegen-safe), so
+  //    old files read the default while post-add files read their
+  //    stored values and an explicit NULL stays NULL.
+  //  - CURRENT_DEFAULT: what a batch OMITTING the column writes —
+  //    materialized physically at append (the generated-column
+  //    materialization precedent), so stats/blooms see real values and
+  //    history never reinterprets.
+  // Constant literals only; both keys carry the same literal and are
+  // IMMUTABLE once set (Iceberg's rule — a mutable initial-default
+  // would retroactively rewrite history). Semantics-bearing → the
+  // commit stamps the `default` protocol feature: a build without it
+  // would read pre-add files NULL and append omitted columns as NULL.
+  private[sources] val DefaultExistsKey = "EXISTS_DEFAULT"
+  private[sources] val DefaultCurrentKey = "CURRENT_DEFAULT"
+
+  /** Validate `text` as a column-DEFAULT literal for type `dt`:
+    * must analyze with no input columns, fold to a constant,
+    * be deterministic, and cast to `dt`. Returns normally or refuses
+    * loudly (never at read time). */
+  private[sources] def validateDefaultLiteral(spark: SparkSession,
+      name: String, dt: org.apache.spark.sql.types.DataType,
+      text: String): Unit = {
+    val parsed = try spark.sql(s"SELECT ($text) AS v")
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for '$name' must be a constant literal; `$text` " +
+          s"does not analyze: ${e.getMessage}") }
+    val e = parsed.queryExecution.analyzed.expressions.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case x => x
+    }
+    require(e.foldable && e.deterministic,
+      s"DEFAULT for '$name' must be a CONSTANT literal — `$text` is " +
+        "not foldable/deterministic (expressions, rand(), " +
+        "current_timestamp() and column references are refused)")
+    // the literal must actually cast to the column type
+    try { parsed.select(org.apache.spark.sql.functions.col("v").cast(dt))
+      .collect(); () }
+    catch { case ex: Exception => throw new IllegalArgumentException(
+      s"DEFAULT `$text` for '$name' does not cast to ${dt.simpleString}: " +
+        ex.getMessage) }
+  }
+
+  /** Fields of the live committed schema that declare a
+    * CURRENT_DEFAULT and are ABSENT from `df` get materialized into
+    * the batch — an omitting append writes the default physically
+    * (never NULL), so post-add files always carry the column and the
+    * per-file EXISTS_DEFAULT backfill applies exactly to pre-add
+    * files. */
+  private[sources] def materializeDefaults(
+      fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val committed = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestSchema(fs, r, v))
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    committed match {
+      case Some(s) =>
+        s.fields.filter(f => f.metadata.contains(DefaultCurrentKey) &&
+            !df.columns.exists(res(_, f.name)))
+          .foldLeft(df)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions
+              .expr(f.metadata.getString(DefaultCurrentKey))
+              .cast(f.dataType)))
+      case None => df
+    }
+  }
+
+  /** ADD one nullable column WITH a DEFAULT literal: one manifest
+    * write, zero data I/O. Existing rows read the DEFAULT (per-file
+    * EXISTS_DEFAULT backfill — not NULL, unlike a plain add), batches
+    * omitting the column write it (CURRENT_DEFAULT materialization),
+    * and batches supplying it keep their values, explicit NULLs
+    * included. Top-level columns only (a nested field has no single
+    * per-file backfill story under struct clipping). */
+  def addColumnWithDefault(spark: SparkSession, root: String,
+      name: String, dt: org.apache.spark.sql.types.DataType,
+      defaultSql: String, retain: Int = -1): Long = {
+    validateDefaultLiteral(spark, name, dt, defaultSql)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(DefaultExistsKey, defaultSql)
+      .putString(DefaultCurrentKey, defaultSql)
+      .build()
+    addColumnsWithMetadata(spark, root, Seq((name, dt, md)), retain)
+  }
+
+  /** `ALTER COLUMN c SET DEFAULT <literal>` / `DROP DEFAULT`: changes
+    * what FUTURE omitting batches write (CURRENT_DEFAULT) in one
+    * manifest commit for the whole statement. The per-file backfill
+    * for files predating the column (EXISTS_DEFAULT) is FROZEN at ADD
+    * time and never changes here — a mutable initial-default would
+    * retroactively rewrite history (Iceberg's immutability rule).
+    * `None` drops the current default. Top-level columns only;
+    * identity / generated columns refuse (their values are
+    * engine-owned). */
+  def alterColumnDefaults(spark: SparkSession, root: String,
+      cols: Seq[(String, Option[String])], retain: Int = -1): Long = {
+    require(cols.nonEmpty, "alterColumnDefaults needs at least one column")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then alter defaults"))
+    requireNotFoldTable(fs, r, "alter column defaults on")
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val identityDecl = manifestIdentity(fs, r, cur)
+    val gens = manifestGenParts(fs, r, cur)
+    var fields = schema.fields
+    cols.foreach { case (name, defOpt) =>
+      val i = fields.indexWhere(f => res(f.name, name))
+      require(i >= 0, s"no column '$name' at $root (have: " +
+        fields.map(_.name).mkString("[", ", ", "]") + ")")
+      require(!identityDecl.exists(d => res(d._1, name)) &&
+          !gens.exists(g => res(g._1, name)),
+        s"cannot set a DEFAULT on '$name' — identity/generated columns " +
+          "are engine-owned (GENERATED ALWAYS)")
+      val f = fields(i)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      defOpt match {
+        case Some(text) =>
+          validateDefaultLiteral(spark, name, f.dataType, text)
+          mb.putString(DefaultCurrentKey, text)
+        case None =>
+          mb.remove(DefaultCurrentKey)
+      }
+      fields = fields.updated(i, f.copy(metadata = mb.build()))
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(fields)
+    if (newSchema == schema) return cur
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(newSchema), manifestRows(fs, r, cur),
+        op = "alter column defaults " + cols.map { case (n, d) =>
+          n + d.map(" = " + _).getOrElse(" drop") }.mkString(", ")))
+      throw new java.util.ConcurrentModificationException(
+        s"altering column defaults on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
   /** ADD nullable columns as METADATA: one manifest write, zero data
     * I/O — the committed schema gains the fields, every existing row
     * reads NULL (exactly what an evolving append would have done), and
@@ -1068,6 +1219,15 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * @return the committed version carrying the widened schema */
   def addColumns(spark: SparkSession, root: String,
       cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      retain: Int = -1): Long =
+    addColumnsWithMetadata(spark, root,
+      cols.map { case (n, dt) =>
+        (n, dt, org.apache.spark.sql.types.Metadata.empty) }, retain)
+
+  private[sources] def addColumnsWithMetadata(spark: SparkSession,
+      root: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.Metadata)],
       retain: Int = -1): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     val fs = fsFor(spark, root)
@@ -1078,7 +1238,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       throw new IllegalArgumentException(
         s"the table at $root predates carried schemas — commit once " +
           "(any append) to establish a #schema line, then add columns"))
-    cols.foreach { case (n, _) =>
+    cols.foreach { case (n, _, _) =>
       require(n.nonEmpty && !schema.fieldNames.contains(n),
         s"column '$n' already exists at $root (or is empty)")
     }
@@ -1086,8 +1246,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       "duplicate names in the added column list")
     requireNotFoldTable(fs, r, "add columns to")
     val newSchema = org.apache.spark.sql.types.StructType(
-      schema.fields ++ cols.map { case (n, dt) =>
-        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+      schema.fields ++ cols.map { case (n, dt, md) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true,
+          metadata = md) })
     val newMap = allocPhysical(newSchema, manifestColMap(fs, r, cur),
       manifestRetired(fs, r, cur), cur + 1)
     val next = pinSlot(fs, r, cur)
@@ -1189,12 +1350,29 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * nothing, and an OCC loss can never leave the statement half
     * done. The whole new schema folds first; commitManifest once. */
   def addColumnsAtPaths(spark: SparkSession, root: String,
-      cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)],
+      cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType,
+        Option[String])],
       retain: Int = -1): Long = {
     require(cols.nonEmpty, "addColumnsAtPaths needs at least one column")
+    // DEFAULT literals validate and become field metadata (top-level
+    // only — the SQL rule refuses nested defaults before this point)
+    def mdOf(name: String, dt: org.apache.spark.sql.types.DataType,
+        default: Option[String]): org.apache.spark.sql.types.Metadata =
+      default match {
+        case None => org.apache.spark.sql.types.Metadata.empty
+        case Some(text) =>
+          validateDefaultLiteral(spark, name, dt, text)
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(DefaultExistsKey, text)
+            .putString(DefaultCurrentKey, text)
+            .build()
+      }
     if (cols.forall(_._1.length == 1))
-      return addColumns(spark, root,
-        cols.map { case (p, dt) => p.head -> dt }, retain)
+      return addColumnsWithMetadata(spark, root,
+        cols.map { case (p, dt, d) => (p.head, dt, mdOf(p.head, dt, d)) },
+        retain)
+    require(cols.forall(c => c._1.length == 1 || c._3.isEmpty),
+      "DEFAULT is a top-level-column construct")
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -1204,7 +1382,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
         s"the table at $root predates carried schemas — commit once " +
           "(any append) to establish a #schema line, then add columns"))
     requireNotFoldTable(fs, r, "add columns to")
-    cols.foreach { case (path, _) =>
+    cols.foreach { case (path, _, _) =>
       require(path.nonEmpty, "empty column path")
       if (path.length >= 2) path.foreach(seg => require(
         seg.nonEmpty && !seg.exists("=,\n#:.".contains(_)),
@@ -1214,13 +1392,20 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     }
     // fold in declaration order — a later nested add may target a
     // struct column added earlier in the SAME statement
-    val newSchema = cols.foldLeft(schema) { case (acc, (path, dt)) =>
+    val newSchema0 = cols.foldLeft(schema) { case (acc, (path, dt, _)) =>
       try addFieldAt(acc, path, dt)
       catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"cannot add ${path.mkString(".")} at $root: ${e.getMessage}")
       }
     }
+    // top-level adds carrying a DEFAULT gain their metadata
+    val defaults = cols.collect {
+      case (Seq(n), dt, Some(text)) => n -> mdOf(n, dt, Some(text)) }.toMap
+    val newSchema =
+      if (defaults.isEmpty) newSchema0
+      else org.apache.spark.sql.types.StructType(newSchema0.fields.map(f =>
+        defaults.get(f.name).map(md => f.copy(metadata = md)).getOrElse(f)))
     // new TOP-LEVEL names need fresh physical allocations under
     // column mapping; nested adds ride inside their container's
     // frozen physical name and leave the map untouched
