@@ -1964,6 +1964,110 @@ object Lakehouse {
           lit(metadataOnly && gen1HasNot && gen2aHas))
     },
 
+    // ROW TRACKING / KEYLESS CHANGE FEED under the oracle hash —
+    // Delta's stable row ids: the corpus commits with rowTracking on
+    // (hidden `_row_id` stamped per row under the identity-block
+    // protocol), takes an UPDATE, a DELETE and an APPEND, and the
+    // change feed is read with NO key columns — update pre/postimages
+    // pair on the stable id alone. The oracle recomputes every change
+    // class from the raw rows; `keyless_pairing` additionally gates
+    // that the keyless feed EQUALS the keyed feed (doc_id is a
+    // natural key here, so the two must agree row-for-row) and that
+    // the hidden column never leaks into either. At 100 TB this is
+    // the CDC primitive for tables with no natural key — event logs,
+    // scraped corpora — where today's fallback degrades every update
+    // into delete+insert.
+    Q("q186_row_tracking",
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |             lang FROM documents)
+        |SELECT doc_id, n_chars, lang, 'update_preimage' AS change_type,
+        |  TRUE AS keyless_pairing
+        |FROM d WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id, n_chars + 1000, lang, 'update_postimage', TRUE
+        |FROM d WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang, 'delete', TRUE
+        |FROM d WHERE doc_id % 17 = 0 AND doc_id % 10 <> 1
+        |UNION ALL
+        |SELECT doc_id + 100000, n_chars, lang, 'insert', TRUE
+        |FROM d WHERE doc_id % 23 = 0
+        |ORDER BY doc_id, change_type""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_rowtrack", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("lang"))
+      Lake.commitOverwrite(docs, root, retain = 8, rowTracking = true)
+      val v0 = Lake.currentVersion(s, root).get
+      Lake.updateWhere(s, root, col("doc_id") % 10 === 1,
+        Map("n_chars" -> (col("n_chars") + 1000L)), retain = 8)
+      Lake.deleteWhere(s, root,
+        col("doc_id") % 17 === 0 && col("doc_id") % 10 =!= 1, retain = 8)
+      Lake.commitAppend(
+        docs.where(col("doc_id") % 23 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L),
+        root, retain = 8)
+      val v1 = Lake.currentVersion(s, root).get
+      val keyless = Lake.changesBetween(s, root, v0, v1, Nil)
+      val keyed = Lake.changesBetween(s, root, v0, v1, Seq("doc_id"))
+      val cols = Seq("doc_id", "n_chars", "lang", "change_type")
+      val agrees =
+        keyless.select(cols.map(col): _*)
+          .exceptAll(keyed.select(cols.map(col): _*)).isEmpty &&
+        keyed.select(cols.map(col): _*)
+          .exceptAll(keyless.select(cols.map(col): _*)).isEmpty &&
+        !keyless.columns.contains("_row_id") &&
+        !Lake.readCommitted(s, root).columns.contains("_row_id")
+      keyless.orderBy("doc_id", "change_type")
+        .withColumn("keyless_pairing", lit(agrees))
+    },
+
+    // GENERAL GENERATED COLUMNS under the oracle hash — GENERATED
+    // ALWAYS AS for columns that do NOT participate in the partition
+    // layout (`#gencol=`, Delta's generated columns beyond partition
+    // derivation): generation 1 OMITS the column (the writer
+    // materializes `n_chars * 2 + length(lang)`), generation 2
+    // SUPPLIES a correct copy (validated row-for-row at commit), and
+    // a generation supplying a STALE copy refuses loudly
+    // (`gencol_guards` carries that refusal plus the derived
+    // data-skipping proof: a predicate on the SOURCE column prunes
+    // through the stored generation expression when stats exist on
+    // the generated column). The oracle recomputes the expression
+    // from raw rows — a materialization or validation drift anywhere
+    // breaks the hash. At 100 TB: derived features stay consistent
+    // by construction, not by pipeline discipline.
+    Q("q187_generated_column",
+      """SELECT doc_id, n_chars,
+        |  CAST(n_chars * 2 + length(lang) AS BIGINT) AS feat,
+        |  TRUE AS gencol_guards
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_gencol", d)
+      val docs = Tables.documents(s, d).select("doc_id", "n_chars", "lang")
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val half = maxId / 2
+      // generation 1 omits feat — materialized at write
+      Lake.commitOverwrite(docs.where(col("doc_id") <= half), root,
+        retain = 8, statsCols = Seq("feat"),
+        generatedColumns = Map("feat" ->
+          "CAST(n_chars * 2 + length(lang) AS BIGINT)"))
+      // generation 2 supplies a CORRECT copy — validates and commits
+      Lake.commitAppend(
+        docs.where(col("doc_id") > half).withColumn("feat",
+          (col("n_chars") * 2 + length(col("lang"))).cast("long")),
+        root, retain = 8)
+      // a STALE copy refuses (write-time row-for-row validation) and
+      // the refusal leaves the table untouched
+      val preV = Lake.currentVersion(s, root).get
+      val refused = scala.util.Try(
+        Lake.commitAppend(
+          docs.where(col("doc_id") > half).withColumn("feat", lit(0L)),
+          root, retain = 8)).isFailure
+      val untouched = Lake.currentVersion(s, root).get == preV
+      Lake.readCommitted(s, root).select("doc_id", "n_chars", "feat")
+        .orderBy("doc_id")
+        .withColumn("gencol_guards", lit(refused && untouched))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

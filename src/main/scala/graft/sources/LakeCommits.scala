@@ -515,9 +515,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
       statsColsReplace: Option[Seq[String]] = None,
       bloomColsReplace: Option[Seq[String]] = None,
       partColsReplace: Option[Seq[String]] = None,
+      genCols: Option[Seq[(String, String)]] = None,
       props: Option[Map[String, String]] = None,
       identity: Option[Option[(String, Long)]] = None,
       ingested: Option[Seq[String]] = None,
+      rowId: Option[Long] = None,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -575,6 +577,9 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // generated columns inherit like every table-property line
     val effGen = genParts.getOrElse(
       prevV.map(v => manifestGenParts(fs, r, v)).getOrElse(Nil))
+    // plain (non-partition) generated columns: same inheritance
+    val effGenCols = genCols.getOrElse(
+      prevV.map(v => manifestGenCols(fs, r, v)).getOrElse(Nil))
     val effGenTz = genTz.orElse(prevV.flatMap(v => manifestGenTz(fs, r, v)))
     // user/table properties inherit; Some(…) replaces (the DDL)
     val effProps = props.getOrElse(
@@ -588,6 +593,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // COPYs must not amnesia the loaded set); Some(…) replaces
     val effIngested = ingested.getOrElse(
       prevV.map(v => manifestIngested(fs, r, v)).getOrElse(Nil))
+    // the row-id high-water mark inherits (metadata commits and COW
+    // rewrites allocate nothing); Some(n) advances it atomically with
+    // the rows that consumed the block
+    val effRowId = rowId.orElse(prevV.flatMap(v => manifestRowId(fs, r, v)))
     // retention is TABLE state (graft.retain) unless this call passed
     // an explicit override — resolved against effProps, so a commit
     // that SETS the property is already governed by it
@@ -618,6 +627,9 @@ private[graft] trait LakeCommits { this: Lake.type =>
       (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
       (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
       (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
+      // plain generated columns are semantics-bearing the same way:
+      // an old build's omitting append would commit them NULL
+      (if (effGenCols.nonEmpty) Seq("gencol") else Nil) ++
       (if (effBucket.nonEmpty) Seq("bucket") else Nil) ++
       // the #ingested= ledger is SEMANTICS-BEARING for COPY INTO
       // idempotency: a pre-ingest build committing on top would
@@ -631,7 +643,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
       (if (schema.exists(_.fields.exists(f =>
           f.metadata.contains(DefaultExistsKey) ||
           f.metadata.contains(DefaultCurrentKey)))) Seq("default")
-       else Nil)
+       else Nil) ++
+      // row tracking: an old build's append would not stamp ids,
+      // silently breaking keyless update pairing for every consumer
+      (if (effRowId.nonEmpty) Seq("rowtracking") else Nil)
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -661,9 +676,12 @@ private[graft] trait LakeCommits { this: Lake.type =>
       (if (effRetired.nonEmpty) Seq(ColRetiredPrefix + effRetired.mkString(","))
        else Nil) ++
       effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
-      (if (effGen.nonEmpty) effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
+      effGenCols.map { case (c, e) => GenColPrefix + c + ":" + e } ++
+      (if (effGen.nonEmpty || effGenCols.nonEmpty)
+        effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
       effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
       effIdentity.map { case (c, n) => IdentityPrefix + c + ":" + n } ++
+      effRowId.map(RowIdPrefix + _) ++
       effIngested.map(IngestedPrefix + _) ++
       (if (features.nonEmpty) Seq(RequirePrefix + features.mkString(","))
        else Nil) ++
@@ -731,7 +749,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
           manifestBloomCols(fs, r, curV) == manifestBloomCols(fs, r, baseV) &&
           manifestPartCols(fs, r, curV) == manifestPartCols(fs, r, baseV) &&
           manifestBucketBy(fs, r, curV) == manifestBucketBy(fs, r, baseV) &&
-          manifestGenParts(fs, r, curV) == manifestGenParts(fs, r, baseV)
+          manifestGenParts(fs, r, curV) == manifestGenParts(fs, r, baseV) &&
+          manifestGenCols(fs, r, curV) == manifestGenCols(fs, r, baseV)
       if (!metaSame) throw cme(
         "raced a metadata commit (mapping/layout DDL) — the staged " +
           "files froze under the previous metadata; re-run against the " +
@@ -815,7 +834,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       generatedColumns: Map[String, String] = Map.empty,
-      identity: Option[String] = None): Long = {
+      identity: Option[String] = None,
+      rowTracking: Boolean = false): Long = {
     require(retain >= -1,
       s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
     val spark = df0.sparkSession
@@ -862,10 +882,26 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // inherit it (a different writer session must not re-date it)
     val genTzEst =
       if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
-          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+          .forall(v => manifestGenAll(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
-    val df = materializeGenerated(dfId, effGen)
+    // row tracking: an overwrite's rows are all NEW — allocate a
+    // fresh block past the inherited mark (ids never reuse across
+    // history, so a time-traveling diff can't alias two generations)
+    val prevRidMark = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestRowId(fs, r, v))
+    val ridEnabled = rowTracking || prevRidMark.isDefined
+    if (ridEnabled) require(!dfId.columns.contains(RowIdCol),
+      s"'$RowIdCol' is engine-owned under row tracking — the batch " +
+        "must omit it")
+    val (dfRid, ridNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
+      if (!ridEnabled) (dfId, None)
+      else {
+        val start = prevRidMark.getOrElse(0L)
+        val n = dfId.count()
+        (materializeIdentity(dfId, RowIdCol, start), Some(start + n))
+      }
+    val df = materializeGenerated(dfRid, effGen)
     // user column args name LOGICAL columns; the property lines (and
     // stageBatch's view of the batch) are physical. An overwrite keeps
     // the surviving columns' physical names (its fresh files must
@@ -903,8 +939,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
         rowCount, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
         newParts = parts, partCols = effPart, bucketBy = effBucket,
         colMap = Some(newMap),
-        genParts = Some(effGen), genTz = genTzEst,
+        genParts = Some(effGen.filter { case (c, _) =>
+          effPart.contains(physName(newMap, c)) }),
+        genCols = Some(effGen.filterNot { case (c, _) =>
+          effPart.contains(physName(newMap, c)) }),
+        genTz = genTzEst,
         identity = effIdCol.map(c => Some((c, idNext.getOrElse(1L)))),
+        rowId = ridNext,
         op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
       throw new java.util.ConcurrentModificationException(
@@ -950,7 +991,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val effGen = effectiveGenParts(fs, r, generatedColumns)
     val genTzEst =
       if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
-          .forall(v => manifestGenParts(fs, r, v).isEmpty))
+          .forall(v => manifestGenAll(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
     // IDENTITY: a declared table allocates [mark, mark + n) here and
@@ -972,15 +1013,32 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val dfIn = dfDropped
     var idStart: Long = effId.map(_._2).getOrElse(0L)
     val idN: Long = if (effId.isDefined) dfIn.count() else 0L
-    def withIds(start: Long): org.apache.spark.sql.DataFrame = effId match {
-      case Some((c, _)) =>
-        materializeGenerated(materializeIdentity(dfIn, c, start), effGen)
-      case None => materializeGenerated(dfIn, effGen)
+    // row tracking: stamp the hidden id block like the identity block
+    // (same allocator protocol, same OCC rebase below)
+    val ridMark0 = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestRowId(fs, r, v))
+    if (ridMark0.isDefined) require(!dfIn.columns.contains(RowIdCol),
+      s"'$RowIdCol' is engine-owned under row tracking — the append " +
+        "batch must omit it")
+    var ridStart: Long = ridMark0.getOrElse(0L)
+    val ridN: Long =
+      if (!ridMark0.isDefined) 0L
+      else if (effId.isDefined) idN // identity already counted the batch
+      else dfIn.count()
+    def withIds(idS: Long, ridS: Long): org.apache.spark.sql.DataFrame = {
+      val base = effId match {
+        case Some((c, _)) => materializeIdentity(dfIn, c, idS)
+        case None => dfIn
+      }
+      val rid =
+        if (ridMark0.isDefined) materializeIdentity(base, RowIdCol, ridS)
+        else base
+      materializeGenerated(rid, effGen)
     }
     // committed columns with a CURRENT_DEFAULT that this batch omits
     // materialize here (before CHECK validation sees the batch) — an
     // omitting append writes the default physically, never NULL
-    val df = materializeDefaults(fs, r, withIds(idStart))
+    val df = materializeDefaults(fs, r, withIds(idStart, ridStart))
     // user column args name LOGICAL columns; property lines are
     // physical — and a batch adding NEW columns allocates them
     // physical names that can never collide with a mapped or retired
@@ -1128,11 +1186,15 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // to an identity table allocate disjoint ranges instead of
       // refusing)
       val curMark = cur.flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
-      if (effId.isDefined && curMark.exists(_ != idStart)) {
+      val curRidMark = cur.flatMap(v => manifestRowId(fs, r, v))
+      val idMoved = effId.isDefined && curMark.exists(_ != idStart)
+      val ridMoved = ridMark0.isDefined && curRidMark.exists(_ != ridStart)
+      if (idMoved || ridMoved) {
         dropStaged()
-        idStart = curMark.get
+        if (idMoved) idStart = curMark.get
+        if (ridMoved) ridStart = curRidMark.get
         val restaged = stageBatch(spark, fs, r,
-          materializeDefaults(fs, r, withIds(idStart)),
+          materializeDefaults(fs, r, withIds(idStart, ridStart)),
           effStats, effBloom, effPart, bucketBy = effBucket, colMap = newMap)
         staged = restaged._1; stats = restaged._2
         blooms = restaged._3; parts = restaged._4
@@ -1163,9 +1225,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
           rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
           newParts = parts, partCols = effPart,
           colMap = Some(mergedMap),
-          genParts = Some(effGen), genTz = genTzEst,
+          genParts = Some(effGen.filter { case (c, _) =>
+            effPart.contains(physName(newMap, c)) }),
+          genCols = Some(effGen.filterNot { case (c, _) =>
+            effPart.contains(physName(newMap, c)) }),
+          genTz = genTzEst,
           identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
           ingested = ingested,
+          rowId = if (ridMark0.isDefined) Some(ridStart + ridN) else None,
           op = op)) {
         maybeAutoCompact(spark, fs, r, root)
         return next

@@ -717,6 +717,15 @@ case class GraftRenameColumnCommand(root: String, oldName: String,
   }
 }
 
+case class GraftAnalyzeCommand(root: String,
+    ident: Option[TableIdentifier], cols: Seq[String],
+    allColumns: Boolean, noScan: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Lake.analyzeTable(session, root, cols, allColumns, ident, noScan)
+    Seq.empty
+  }
+}
+
 case class GraftAlterColumnDefaultCommand(root: String,
     defs: Seq[(String, Option[String])], ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
@@ -787,6 +796,32 @@ class GraftLakePropertiesRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]: manifest-planned
+      // size + one-aggregate row count, recorded as graft.stats.*
+      // properties AND pushed to the session catalog for CBO
+      case at @ org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable(
+          child, partitionSpec, noScan) =>
+        lakeRootOf(child) match {
+          case None => at
+          case Some((root, ident)) =>
+            require(partitionSpec.isEmpty,
+              "ANALYZE on a graft-lake table covers the whole snapshot " +
+                "— a PARTITION (…) spec is not supported")
+            GraftAnalyzeCommand(root, ident, Nil,
+              allColumns = false, noScan = noScan)
+        }
+      // ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS …: adds
+      // per-column NDV / min / max / null count (what join reordering
+      // actually keys on)
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn(
+          child, columnNames, allColumns) =>
+        lakeRootOf(child) match {
+          case None => ac
+          case Some((root, ident)) =>
+            GraftAnalyzeCommand(root, ident,
+              columnNames.getOrElse(Nil), allColumns = allColumns,
+              noScan = false)
+        }
       case sp @ ShowPartitions(child, spec, _) =>
         lakeRootOf(child) match {
           case None => sp

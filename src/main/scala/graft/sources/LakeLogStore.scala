@@ -44,6 +44,73 @@ trait LakeLogStore {
   * atomic, EEXIST on a taken slot). Either way the loser's tmp is
   * cleaned up; a reader never observes a partially-written
   * destination. */
+/** REFERENCE conditional-put store: publishes the way an S3-class
+  * object-store client would, against the local filesystem standing
+  * in for the bucket. This is the conformance implementation for the
+  * trait's contract — it exists to PROVE the contract text is
+  * sufficient for a real S3 implementation, by running the OCC
+  * suite's critical races through the object-store semantics instead
+  * of rename/link:
+  *
+  *  - the service-side atomicity of `PUT If-None-Match: *` is
+  *    simulated by a JVM-global lock around (existence check, full
+  *    byte upload): concurrent publishers of one `dest` serialize
+  *    exactly like the store's conditional-write path;
+  *  - a taken slot surfaces as the 412/PreconditionFailed branch →
+  *    `false`, loser's tmp cleaned, winner's bytes untouched;
+  *  - fault injection: `failNextPut` tears the next upload BEFORE the
+  *    object becomes visible (the network-error shape) — the call
+  *    RAISES, `dest` stays absent, and the protocol must surface the
+  *    error rather than treat it as a clean loss (torn publish must
+  *    never look like `false`).
+  *
+  * Counters are test-visible so specs can assert which branch fired. */
+final class ObjectStoreLogStore extends LakeLogStore {
+  private val lock = new java.util.concurrent.locks.ReentrantLock
+  @volatile var puts = 0
+  @volatile var conflicts = 0
+  /** When set, the next manifest PUT throws this after the
+    * precondition check and before any byte lands (self-clearing). */
+  @volatile var failNextPut: Option[() => Throwable] = None
+
+  override def publishIfAbsent(fs: FileSystem, tmp: Path,
+      dest: Path): Boolean = {
+    val bytes = {
+      val in = fs.open(tmp)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+        out.toByteArray
+      } finally in.close()
+    }
+    lock.lock()
+    try {
+      if (fs.exists(dest)) { // the store's 412 / PreconditionFailed
+        conflicts += 1
+        fs.delete(tmp, false)
+        return false
+      }
+      failNextPut match {
+        case Some(mk) =>
+          failNextPut = None
+          // torn upload: nothing became visible; tmp is LEFT — the
+          // caller owns retry/cleanup, exactly like a network error
+          throw mk()
+        case None =>
+      }
+      // the conditional PUT: bytes become visible as one object (the
+      // local stand-in exposes a brief partial-write window to
+      // READERS that a real bucket does not — writers are fully
+      // serialized by the lock, which is the property under test)
+      val out = fs.create(dest, false)
+      try out.write(bytes) finally out.close()
+      puts += 1
+      fs.delete(tmp, false)
+      true
+    } finally lock.unlock()
+  }
+}
+
 object HadoopLogStore extends LakeLogStore {
   override def publishIfAbsent(fs: FileSystem, tmp: Path,
       dest: Path): Boolean = fs match {

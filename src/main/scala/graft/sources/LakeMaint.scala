@@ -397,7 +397,9 @@ private[graft] trait LakeMaint { this: Lake.type =>
     val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val carried = manifestSchema(fs, r, cur)
     val base =
-      if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
+      // RAW read: a layout rewrite must carry the hidden row-id
+      // through (the stability contract the keyless feed pairs on)
+      if (carriedDirs.isEmpty) readCommittedAtRaw(spark, root, cur)
       // DV-aware: compaction materializes the collapsed dirs' vectors
       else readDirsWithDv(spark, fs, r, cur, smallDirs, carried)
     val df = base.repartition(n)
@@ -552,7 +554,8 @@ private[graft] trait LakeMaint { this: Lake.type =>
     require(total > 0, s"no parquet data in the live snapshot at $root")
     val carried = manifestSchema(fs, r, cur)
     val dfLogical =
-      if (carriedDirs.isEmpty) readCommittedAt(spark, root, cur)
+      // RAW read: the rewrite must carry the hidden row-id through
+      if (carriedDirs.isEmpty) readCommittedAtRaw(spark, root, cur)
       // DV-aware: z-order materializes the rewritten dirs' vectors
       else readDirsWithDv(spark, fs, r, cur, rewriteDirs, carried)
     cols.foreach(c => require(dfLogical.columns.contains(c),

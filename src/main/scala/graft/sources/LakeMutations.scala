@@ -140,16 +140,22 @@ private[graft] trait LakeMutations { this: Lake.type =>
             }
           // strict mode keeps the COW contract: a drifted batch
           // refuses by name instead of aligned() silently dropping it
+          // (the hidden row-id is engine-owned — never part of the
+          // batch contract)
           if (!allowSchemaEvolution) {
-            val drift = upserts.columns.toSet
-              .diff(baseSchema.fieldNames.toSet) ++
-              baseSchema.fieldNames.toSet.diff(upserts.columns.toSet)
+            val publicBase = publicSchema(baseSchema).fieldNames.toSet
+            val drift = upserts.columns.toSet.diff(publicBase) ++
+              publicBase.diff(upserts.columns.toSet)
             require(drift.isEmpty,
               s"merge batch schema differs from the table on " +
                 drift.toSeq.sorted.mkString("[", ", ", "]") +
                 " — pass allowSchemaEvolution = true to evolve")
           }
-          val winners = aligned(upserts)
+          // CDC winners are NEW row versions — fresh ids (keyed
+          // consumers pair by key; the keyless feed sees them as
+          // delete+insert, the honest reading of a key-replacing merge)
+          val (winners, ridNextDv) =
+            assignFreshRowIds(fs, r, aligned(upserts))
           val effStats = effectiveStatsCols(fs, r, Nil)
           val effBloom = effectiveBloomCols(fs, r, Nil)
           val stageMap = allocPhysical(evolved, manifestColMap(fs, r, cur),
@@ -169,7 +175,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
               Some(evolved), None, stats, effStats,
               newBlooms = blooms, bloomCols = effBloom,
               newParts = parts, newDvs = fresh,
-              colMap = Some(stageMap), op = "merge")) {
+              colMap = Some(stageMap), rowId = ridNextDv, op = "merge")) {
             newDirs.foreach(d => fs.delete(new Path(r, d), true))
             throw new java.util.ConcurrentModificationException(
               s"merge into $root lost version $next to a concurrent " +
@@ -182,14 +188,23 @@ private[graft] trait LakeMutations { this: Lake.type =>
         }
         // over the bound: fall through to the dir rewrite
       }
-      // the applyChanges fold, scoped to the touched dirs' rows
-      val rewritten =
+      // the applyChanges fold, scoped to the touched dirs' rows.
+      // Survivors keep their hidden row ids (they ride in
+      // touchedBase's columns); winners are NEW row versions and get
+      // fresh ids below — aligned() gives them the typed NULL slot.
+      val upsertsRid =
+        if (manifestRowId(fs, r, cur).isDefined)
+          upserts.withColumn(RowIdCol,
+            lit(null).cast(org.apache.spark.sql.types.LongType))
+        else upserts
+      val rewritten0 =
         if (allowSchemaEvolution)
           aligned(touchedBase.join(touchedKeys, keyCols, "left_anti"))
             .unionByName(aligned(upserts))
         else touchedBase
           .join(touchedKeys, keyCols, "left_anti")
-          .unionByName(upserts)
+          .unionByName(upsertsRid)
+      val (rewritten, ridNext) = assignFreshRowIds(fs, r, rewritten0)
       // the slot was pinned at entry, BEFORE the probe and the
       // rewrite: a concurrent commit landing during any of those jobs
       // takes the pinned number and our publish must then lose
@@ -219,7 +234,8 @@ private[graft] trait LakeMutations { this: Lake.type =>
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           Some(evolved), None, stats, effStats,
           newBlooms = blooms, bloomCols = effBloom,
-          newParts = parts, colMap = Some(stageMap), op = "merge")) {
+          newParts = parts, colMap = Some(stageMap), rowId = ridNext,
+          op = "merge")) {
         newDirs.foreach(d => fs.delete(new Path(r, d), true))
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +
@@ -814,7 +830,12 @@ private[graft] trait LakeMutations { this: Lake.type =>
           srcOnly.where(insFlag)
             .select(cols.map(c => insValue(c).as(c)): _*)
         }
-      val rewritten = keptRewritten.unionByName(inserts)
+      // kept/updated rows carry their hidden row ids through the
+      // `t.`-side fallback; INSERT rows surface with a NULL id and
+      // take the next block here (update stability + fresh inserts —
+      // what the keyless change feed pairs on)
+      val (rewritten, ridNext) =
+        assignFreshRowIds(fs, r, keptRewritten.unionByName(inserts))
       // nothing matched, nothing to insert → the table is unchanged
       if (touchedDirs.isEmpty && rewritten.isEmpty) return cur
       val effStats = effectiveStatsCols(fs, r, Nil)
@@ -832,7 +853,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
       if (!commitManifest(fs, r, next, untouched ++ newDirs, retain,
           carried.orElse(Some(rewritten.schema)), None, stats, effStats,
           newBlooms = blooms, bloomCols = effBloom,
-          newParts = parts, op = "merge")) {
+          newParts = parts, rowId = ridNext, op = "merge")) {
         newDirs.foreach(d => fs.delete(new Path(r, d), true))
         throw new java.util.ConcurrentModificationException(
           s"merge into $root lost version $next to a concurrent commit — " +

@@ -361,8 +361,8 @@ private[graft] trait LakeReads { this: Lake.type =>
       val s = schemaOpt.getOrElse(spark.read.parquet(
         manifestDirs(fs, r, cur).map(d => new Path(r, d).toString): _*).schema)
       return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
-        .where(predicate)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        publicSchema(s)).where(predicate)
     }
     val base = schemaOpt match {
       case Some(s) => spark.read.schema(physSchema(s, map)).parquet(paths: _*)
@@ -379,7 +379,8 @@ private[graft] trait LakeReads { this: Lake.type =>
       case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
       case _ => withDv
     }
-    logical.where(predicate)
+    val out = logical.where(predicate)
+    if (out.columns.contains(RowIdCol)) out.drop(RowIdCol) else out
   }
 
   // `#rows=<n>` — the snapshot's exact row count, carried when the
@@ -600,6 +601,17 @@ private[graft] trait LakeReads { this: Lake.type =>
     * horizon. */
   def readCommittedAt(spark: SparkSession, root: String,
       version: Long): org.apache.spark.sql.DataFrame = {
+    val df = readCommittedAtRaw(spark, root, version)
+    // the hidden row-id never reaches a user-facing read; the rewrite
+    // engines (which must PRESERVE ids) read dirs with the carried
+    // schema directly, and the diff engine uses the raw spelling
+    if (df.columns.contains(RowIdCol)) df.drop(RowIdCol) else df
+  }
+
+  /** [[readCommittedAt]] WITH the hidden row-tracking column (when the
+    * table carries one) — the diff engine's and the specs' spelling. */
+  private[graft] def readCommittedAtRaw(spark: SparkSession, root: String,
+      version: Long): org.apache.spark.sql.DataFrame = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     def horizon = readableVersions(spark, root).mkString("[", ", ", "]")
@@ -762,7 +774,14 @@ private[graft] trait LakeReads { this: Lake.type =>
         colMap = Some(manifestColMap(fs, sr, v)),
         retiredCols = Some(manifestRetired(fs, sr, v)),
         genParts = Some(manifestGenParts(fs, sr, v)),
+        genCols = Some(manifestGenCols(fs, sr, v)),
         genTz = manifestGenTz(fs, sr, v),
+        // allocator state carries: a clone of an identity / row-
+        // tracked table keeps allocating past the source's mark —
+        // without these lines the clone's appends would stop stamping
+        // while the schema still carries the columns
+        identity = Some(manifestIdentity(fs, sr, v)),
+        rowId = manifestRowId(fs, sr, v),
         dvsReplace = true,
         op = s"clone $srcRoot@v$v"))
       throw new IllegalStateException(
@@ -825,7 +844,8 @@ private[graft] trait LakeReads { this: Lake.type =>
     val schema = org.apache.spark.sql.graft.Shim.asNullable(
       manifestSchema(fs, r, v).getOrElse(
         spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*).schema))
-    (v, schema)
+    // the hidden row-id never reaches a user-facing relation
+    (v, publicSchema(schema))
   }
 
   /** [[sqlTable]] registered as a temp view: `spark.sql("… FROM
@@ -894,6 +914,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         statsColsReplace = Some(manifestStatsCols(fs, r, version)),
         bloomColsReplace = Some(manifestBloomCols(fs, r, version)),
         genParts = Some(manifestGenParts(fs, r, version)),
+        genCols = Some(manifestGenCols(fs, r, version)),
         genTz = manifestGenTz(fs, r, version),
         partColsReplace = Some(manifestPartCols(fs, r, version)),
         // table properties and the identity mark restore to the
@@ -1018,14 +1039,30 @@ private[graft] trait LakeReads { this: Lake.type =>
     import org.apache.spark.sql.functions._
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    require(keyCols.nonEmpty, "keyCols must be non-empty")
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    // KEYLESS feed: with row tracking live, the hidden `_row_id` IS
+    // the pairing key — exact update pre/postimages with no key
+    // contract (Delta's row-tracking CDF). Without it, keys stay
+    // required (pairing would otherwise degrade to insert+delete).
+    val useRowId = keyCols.isEmpty
+    if (useRowId) require(manifestRowId(fs, r, toVersion).isDefined,
+      s"changesBetween without keyCols needs row tracking on $root — " +
+        "enable it (Lake.enableRowTracking / commitOverwrite(rowTracking " +
+        "= true)) or pass the natural key columns")
+    val effKeys = if (useRowId) Seq(RowIdCol) else keyCols
     // both endpoints must be readable — reuse the time-travel
     // resolution (fails fast naming the horizon when pruned)
     val to = readCommittedAt(spark, root, toVersion)
-    val toSchema = to.schema
-    keyCols.foreach(k => require(toSchema.fieldNames.contains(k),
+    // the diff runs over the RAW schema in keyless mode (`_row_id`
+    // pairs, then drops from the output); a KEYED diff excludes the
+    // id entirely — a merge-allocated fresh id must not flag a
+    // value-identical row as an update
+    val toSchemaFull = org.apache.spark.sql.graft.Shim.asNullable(
+      manifestSchema(fs, r, toVersion).getOrElse(to.schema))
+    val toSchema =
+      if (useRowId) toSchemaFull else publicSchema(toSchemaFull)
+    effKeys.foreach(k => require(toSchema.fieldNames.contains(k),
       s"key column '$k' not in the version-$toVersion schema " +
         toSchema.fieldNames.mkString("[", ", ", "]")))
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -1083,15 +1120,17 @@ private[graft] trait LakeReads { this: Lake.type =>
       else // shared superset schema (see contract), that version's DVs
         readDirsWithDv(spark, fs, r, version, dirs, Some(toSchema))
     val newSide = readDirs(added, toVersion)
+    def publicOut(df: org.apache.spark.sql.DataFrame) =
+      if (useRowId) df.drop(RowIdCol) else df
     if (removed.isEmpty) // append-only fast path: every added row is an insert
-      return newSide.withColumn("change_type", lit("insert"))
+      return publicOut(newSide.withColumn("change_type", lit("insert")))
     val oldSide = readDirs(removed, fromVersion)
-    val valueCols = toSchema.fieldNames.filterNot(keyCols.contains).toSeq
+    val valueCols = toSchema.fieldNames.filterNot(effKeys.contains).toSeq
     val o = oldSide.select(
-      struct(keyCols.map(col): _*).as("__k"),
+      struct(effKeys.map(col): _*).as("__k"),
       struct(toSchema.fieldNames.map(col).toSeq: _*).as("__old"))
     val n = newSide.select(
-      struct(keyCols.map(col): _*).as("__k"),
+      struct(effKeys.map(col): _*).as("__k"),
       struct(toSchema.fieldNames.map(col).toSeq: _*).as("__new"))
     val sameRow = valueCols
       .map(c => col("__old").getField(c) <=> col("__new").getField(c))
@@ -1111,10 +1150,10 @@ private[graft] trait LakeReads { this: Lake.type =>
           org.apache.spark.sql.types.StructField("r", toSchema),
           org.apache.spark.sql.types.StructField("t",
             org.apache.spark.sql.types.StringType))))))
-    joined.select(explode(changes).as("__c"))
+    publicOut(joined.select(explode(changes).as("__c"))
       .select(toSchema.fieldNames.map(f =>
         col("__c.r").getField(f).as(f)).toSeq :+
-        col("__c.t").as("change_type"): _*)
+        col("__c.t").as("change_type"): _*))
   }
 
   /** Cursor pull for incremental consumers: the changes committed

@@ -472,4 +472,131 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
       case None    => spark.conf.unset(key)
     }
   }
+
+  // ---- ANALYZE TABLE (optimizer statistics) ------------------------
+  //
+  // `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN | FOR COLUMNS …|FOR ALL
+  // COLUMNS]` for lake tables: ONE aggregate job over the live
+  // snapshot computes row count and per-column NDV / min / max / null
+  // count, durably recorded as `graft.stats.*` manifest properties
+  // (any engine reading the manifest sees them; SHOW TBLPROPERTIES
+  // surfaces them) and pushed into the session catalog's
+  // CatalogStatistics for CATALOG tables — which is what Spark's CBO
+  // (`spark.sql.cbo.enabled` + joinReorder) consumes for join
+  // reordering and broadcast decisions. Without this, CBO runs
+  // stats-blind over lake tables on multi-join queries. The table
+  // SIZE comes from the manifest file listing (live snapshot bytes,
+  // not the root dir du — stale versions excluded).
+  final val PropStatsPrefix = "graft.stats."
+
+  def analyzeTable(spark: SparkSession, root: String,
+      cols: Seq[String] = Nil, allColumns: Boolean = false,
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None,
+      noScan: Boolean = false): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val sizeBytes = scanFilesAt(spark, root, cur, Nil).map(_.getLen).sum
+    def numericLike(dt: DataType): Boolean = dt match {
+      case _: NumericType => true
+      case _ => false
+    }
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val df = readCommitted(spark, root)
+    val schema = df.schema
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val target: Seq[StructField] =
+      if (noScan) Nil
+      else if (allColumns) schema.fields.filter(f => atomic(f.dataType)).toSeq
+      else cols.map { c =>
+        val f = schema.fields.find(f => res(f.name, c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$c' at $root (have: " +
+              schema.fieldNames.mkString("[", ", ", "]") + ")"))
+        require(atomic(f.dataType),
+          s"ANALYZE FOR COLUMNS supports atomic types; '$c' is " +
+            f.dataType.simpleString)
+        f
+      }
+    // one aggregate job, positional access (aliases would fight with
+    // dotted/odd column names)
+    val perCol = target.map { f =>
+      val c = col(s"`${f.name}`")
+      val base = Seq(approx_count_distinct(c), count(c))
+      val extra = f.dataType match {
+        case dt if numericLike(dt) =>
+          Seq(min(c).cast("string"), max(c).cast("string"))
+        case StringType =>
+          Seq(avg(length(c)).cast("string"), max(length(c)).cast("string"))
+        case _ => Nil
+      }
+      (f, base ++ extra)
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)) +: perCol.flatMap(_._2)
+    val (rowCount, row) =
+      if (noScan) (None, null)
+      else {
+        val collected = df.agg(aggs.head, aggs.tail: _*).collect().head
+        (Some(collected.getLong(0)), collected)
+      }
+    // walk the row positionally, building both surfaces at once
+    var idx = 1
+    val colResults = perCol.map { case (f, exprs) =>
+      val ndv = row.getLong(idx)
+      val nonNull = row.getLong(idx + 1)
+      val nulls = rowCount.get - nonNull
+      val (minS, maxS, avgLen, maxLen) = f.dataType match {
+        case dt if numericLike(dt) =>
+          (Option(row.getString(idx + 2)), Option(row.getString(idx + 3)),
+            None, None)
+        case StringType =>
+          val a = Option(row.getString(idx + 2))
+            .flatMap(_.toDoubleOption).map(d => math.ceil(d).toLong)
+          val m = Option(row.getString(idx + 3)).flatMap(_.toLongOption)
+          (None, None, a, m)
+        case _ => (None, None, None, None)
+      }
+      idx += exprs.length
+      (f, ndv, nulls, minS, maxS, avgLen, maxLen)
+    }
+    // durable manifest properties (engine-readable without a metastore)
+    val props = Map(PropStatsPrefix + "sizeBytes" -> sizeBytes.toString) ++
+      rowCount.map(n => PropStatsPrefix + "rowCount" -> n.toString) ++
+      colResults.map { case (f, ndv, nulls, minS, maxS, avgLen, maxLen) =>
+        PropStatsPrefix + "col." + f.name ->
+          (Seq(s"ndv:$ndv", s"nulls:$nulls") ++
+            minS.map("min:" + _) ++ maxS.map("max:" + _) ++
+            avgLen.map("avgLen:" + _) ++ maxLen.map("maxLen:" + _))
+            .mkString(";")
+      }
+    val next = setTableProperties(spark, root, props)
+    // metastore CatalogStatistics: what CBO join reordering consumes
+    ident.foreach { i =>
+      import org.apache.spark.sql.catalyst.catalog.{
+        CatalogColumnStat, CatalogStatistics}
+      val colStats = colResults.map {
+        case (f, ndv, nulls, minS, maxS, avgLen, maxLen) =>
+          f.name -> CatalogColumnStat(
+            distinctCount = Some(BigInt(ndv)),
+            min = minS, max = maxS,
+            nullCount = Some(BigInt(nulls)),
+            avgLen = avgLen.orElse(Some(f.dataType.defaultSize.toLong)),
+            maxLen = maxLen.orElse(Some(f.dataType.defaultSize.toLong)),
+            histogram = None, version = 2)
+      }.toMap
+      spark.sessionState.catalog.alterTableStats(i, Some(
+        CatalogStatistics(BigInt(sizeBytes),
+          rowCount.map(BigInt(_)), colStats)))
+      spark.catalog.refreshTable(i.quotedString)
+    }
+    next
+  }
 }

@@ -112,7 +112,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     // readers prune by would lie
     val effGens = if (gens.nonEmpty) gens
       else committedVersions(fs, r).lastOption
-        .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+        .map(v => manifestGenAll(fs, r, v)).getOrElse(Nil)
     val genChecks = effGens.map { case (c, e) =>
       s"gen_$c" -> s"`$c` <=> ($e)" }
     val cs = liveChecks(fs, r) ++ genChecks
@@ -376,6 +376,14 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   // session's zone differs — pruning weakens, never lies.
   private[sources] val GenPartPrefix = "#genpart="
   private[sources] val GenTzPrefix = "#genparttz="
+  // `#gencol=<col>:<exprText>` — the SAME generated-column contract
+  // (materialize omitting batches, validate supplying ones row-for-row)
+  // for columns NOT participating in the partition layout. One
+  // declaration surface (`generatedColumns`); the engine splits the
+  // lines by partition membership so partition-participating ones keep
+  // their dir-tuple derivation and the rest stay plain derived columns
+  // (still usable for stats/bloom skipping through deriveGenPreds).
+  private[sources] val GenColPrefix = "#gencol="
 
   private[graft] def manifestGenParts(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, String)] =
@@ -385,6 +393,22 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
         val i = l.indexOf(':', GenPartPrefix.length)
         l.substring(GenPartPrefix.length, i) -> l.substring(i + 1)
     }
+
+  private[graft] def manifestGenCols(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestBody(fs, r, v).collect {
+      case l if l.startsWith(GenColPrefix) &&
+          l.indexOf(':', GenColPrefix.length) > GenColPrefix.length =>
+        val i = l.indexOf(':', GenColPrefix.length)
+        l.substring(GenColPrefix.length, i) -> l.substring(i + 1)
+    }
+
+  /** EVERY generated column of snapshot `v`, partition-participating
+    * or not — the spelling the write-side contract (materialize +
+    * validate) and the DDL guards consume. */
+  private[graft] def manifestGenAll(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, String)] =
+    manifestGenParts(fs, r, v) ++ manifestGenCols(fs, r, v)
 
   private[sources] def manifestGenTz(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[String] =
@@ -406,6 +430,94 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   // disjoint, gap-free-per-commit ranges with no coordinator beyond
   // the manifest slot itself.
   private[sources] val IdentityPrefix = "#identity="
+
+  // -- row tracking ----------------------------------------------------
+  //
+  // Delta's row tracking for KEYLESS change feeds: a hidden LongType
+  // `_row_id` column materialized physically at write under the
+  // identity allocator's block protocol (`#rowid=<next>` carries the
+  // high-water mark, advanced atomically with the rows that consumed
+  // it). Ids are STABLE: an UPDATE's rewritten copy keeps its id (the
+  // copy is read from the stored files, id included), a COW rewrite /
+  // compaction / z-order re-stages stored rows verbatim, and only
+  // genuinely new rows (appends, MERGE inserts) allocate fresh ids —
+  // which is exactly what lets `changesBetween` pair update pre/post
+  // images on a table with NO natural key. The column is hidden from
+  // every user-facing read (readCommitted*, the SQL relation, the
+  // stream source); only the diff engine and the rewrite engines see
+  // it. Semantics-bearing → `#require=rowtracking` (an old build's
+  // append would not stamp ids, silently breaking pairing).
+  private[graft] val RowIdCol = "_row_id"
+  private[sources] val RowIdPrefix = "#rowid="
+
+  private[graft] def manifestRowId(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[Long] =
+    manifestBody(fs, r, v).find(_.startsWith(RowIdPrefix))
+      .flatMap(_.stripPrefix(RowIdPrefix).toLongOption)
+
+  /** Is row tracking live on the table (and if so, the next id)? */
+  def rowTracking(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    committedVersions(fs, r).lastOption.flatMap(v => manifestRowId(fs, r, v))
+  }
+
+  /** Strip the hidden row-id field from a user-facing schema. */
+  private[sources] def publicSchema(
+      s: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    if (!s.fieldNames.contains(RowIdCol)) s
+    else org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name == RowIdCol))
+
+  /** Enable row tracking on an EXISTING table: one maintenance-style
+    * rewrite stamps ids over the current rows (O(table), priced
+    * honestly — Delta's backfill is the same full pass), after which
+    * every write allocates. Layout (partitioning, stats, blooms,
+    * bucketing) is inherited by the overwrite path's table-property
+    * resolution. No-op if already enabled. */
+  def enableRowTracking(spark: SparkSession, root: String,
+      retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    if (manifestRowId(fs, r, cur).isDefined) return cur
+    requireNotFoldTable(fs, r, "enable row tracking on")
+    require(manifestSchema(fs, r, cur).isDefined,
+      s"the table at $root predates carried schemas — commit once " +
+        "(any append) to establish a #schema line, then enable row tracking")
+    commitOverwrite(readCommittedAt(spark, root, cur), root,
+      retain = retain, rowTracking = true)
+  }
+
+  /** Rewrite-path row-id repair: rows whose `_row_id` is NULL are
+    * genuinely NEW (a MERGE insert, a CDC upsert) and take the next
+    * block; rows carrying an id keep it (the stability contract).
+    * Returns the frame plus the advanced mark to commit — None when
+    * the table is untracked (frame untouched). One count job over the
+    * new rows only, and only on tracked tables. */
+  private[sources] def assignFreshRowIds(
+      fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      df: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, Option[Long]) = {
+    import org.apache.spark.sql.functions.col
+    val mark = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestRowId(fs, r, v))
+    mark match {
+      case None => (df, None)
+      case Some(m) if !df.columns.contains(RowIdCol) =>
+        val n = df.count()
+        (materializeIdentity(df, RowIdCol, m), Some(m + n))
+      case Some(m) =>
+        val newRows = df.where(col(RowIdCol).isNull).drop(RowIdCol)
+        val n = newRows.count()
+        if (n == 0) (df, Some(m))
+        else (df.where(col(RowIdCol).isNotNull).unionByName(
+          materializeIdentity(newRows, RowIdCol, m)
+            .select(df.columns.map(col).toSeq: _*)), Some(m + n))
+    }
+  }
 
   private[graft] def manifestIdentity(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[(String, Long)] =
@@ -492,8 +604,11 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       require(!e.contains("\n"),
         s"generated column expression for '$c' must be a single manifest line")
     }
+    // resolution covers EVERY generated column — partition-derived
+    // (#genpart) and plain (#gencol) alike; the caller re-splits by
+    // partition membership when it builds the commit lines
     val prev = committedVersions(fs, r).lastOption
-      .map(v => manifestGenParts(fs, r, v)).getOrElse(Nil)
+      .map(v => manifestGenAll(fs, r, v)).getOrElse(Nil)
     if (want.isEmpty) prev
     else {
       val w = want.toSeq.sortBy(_._1)
@@ -653,7 +768,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   private[sources] def deriveGenPreds(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
       preds: Seq[Pred]): Seq[Pred] = {
-    val gens = manifestGenParts(fs, r, v)
+    val gens = manifestGenAll(fs, r, v)
     if (gens.isEmpty || preds.isEmpty) return Nil
     val schema = manifestSchema(fs, r, v).getOrElse(return Nil)
     val tzOk = manifestGenTz(fs, r, v).forall(
@@ -970,9 +1085,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       s"cannot rename '$oldName': CHECK constraint(s) " +
         refs.mkString("[", ", ", "]") + " reference it — drop them, " +
         "rename, and re-add them under the new name")
-    val genRefs = manifestGenParts(fs, r, cur).collect {
+    val genRefs = manifestGenAll(fs, r, cur).collect {
       case (c, _) if c == oldName => c
-    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), oldName)
+    } ++ checksReferencing(spark, manifestGenAll(fs, r, cur), oldName)
     require(genRefs.isEmpty,
       s"cannot rename '$oldName': generated column(s) " +
         genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
@@ -1031,9 +1146,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     require(refs.isEmpty,
       s"cannot drop '$name': CHECK constraint(s) " +
         refs.mkString("[", ", ", "]") + " reference it — drop them first")
-    val genRefs = manifestGenParts(fs, r, cur).collect {
+    val genRefs = manifestGenAll(fs, r, cur).collect {
       case (c, _) if c == name => c
-    } ++ checksReferencing(spark, manifestGenParts(fs, r, cur), name)
+    } ++ checksReferencing(spark, manifestGenAll(fs, r, cur), name)
     require(genRefs.isEmpty,
       s"cannot drop '$name': generated column(s) " +
         genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
@@ -1175,7 +1290,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     requireNotFoldTable(fs, r, "alter column defaults on")
     val res = org.apache.spark.sql.internal.SQLConf.get.resolver
     val identityDecl = manifestIdentity(fs, r, cur)
-    val gens = manifestGenParts(fs, r, cur)
+    val gens = manifestGenAll(fs, r, cur)
     var fields = schema.fields
     cols.foreach { case (name, defOpt) =>
       val i = fields.indexWhere(f => res(f.name, name))
@@ -1474,7 +1589,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     val res = org.apache.spark.sql.internal.SQLConf.get.resolver
     val identityDecl = manifestIdentity(fs, r, cur)
     val bucketDecl = manifestBucketBy(fs, r, cur)
-    val gens = manifestGenParts(fs, r, cur)
+    val gens = manifestGenAll(fs, r, cur)
     var schema = schema0
     var changed = false
     cols.foreach { case (path, newType) =>

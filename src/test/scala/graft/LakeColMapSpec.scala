@@ -241,13 +241,12 @@ class LakeColMapSpec extends SparkSpec {
     spark.sql("ALTER TABLE addcol_t ADD COLUMN a STRING")
     assert(spark.sql("SELECT a FROM addcol_t WHERE a IS NOT NULL")
       .count() === 0L, "dropped bytes must not resurrect through ADD COLUMN")
-    // refusals: duplicate, NOT NULL, nested, DEFAULT
+    // refusals: duplicate, NOT NULL (DEFAULT is SUPPORTED since
+    // round 16 — LakeDefaultSpec owns that surface)
     intercept[Exception](
       spark.sql("ALTER TABLE addcol_t ADD COLUMN id BIGINT"))
     intercept[Exception](
       spark.sql("ALTER TABLE addcol_t ADD COLUMN nn BIGINT NOT NULL"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE addcol_t ADD COLUMN d BIGINT DEFAULT 7"))
     spark.sql("DROP TABLE addcol_t")
   }
 
@@ -663,10 +662,10 @@ class LakeColMapSpec extends SparkSpec {
       spark.sql("ALTER TABLE widen_sql ALTER COLUMN n TYPE DOUBLE")
     }
     assert(ex.getMessage.contains("lossless widening only"))
-    // non-TYPE facets refuse loudly
+    // non-TYPE/DEFAULT facets refuse loudly
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE widen_sql ALTER COLUMN n COMMENT 'x'")
-    }.getMessage.contains("TYPE widening only"))
+    }.getMessage.contains("TYPE widening and SET/DROP DEFAULT only"))
     spark.sql("DROP TABLE widen_sql")
   }
 

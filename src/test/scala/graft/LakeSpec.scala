@@ -477,9 +477,11 @@ class LakeSpec extends SparkSpec {
     val none = Lake.readCommittedWhere(spark, root, col("k") === -5L)
     assert(none.columns.toSeq === Seq("k", "t") && none.count() === 0L)
     assert(Lake.pruneDirs(spark, root, col("k") === -5L)._1.isEmpty)
-    // an OR tree prunes nothing (conservative), never wrongly
+    // an OR of two prunable equalities keeps exactly the two hit dirs
+    // (round-16 OR-disjunct skipping; the dedicated OR test covers the
+    // partition/file shapes)
     assert(Lake.pruneDirs(spark, root,
-      col("k") === 250L || col("k") === 10L)._1.length === 4)
+      col("k") === 250L || col("k") === 10L)._1.length === 2)
   }
 
   test("data skipping: stat columns inherit through append, merge, and compaction") {
