@@ -208,12 +208,28 @@ object GraftExtensions {
               keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .queryExecution.analyzed)
               .getOrElse(wrongArgs("graft_changes",
-                "4 (root string, from version|instant, to version|instant, " +
-                  "key-columns csv)",
+                "3 or 4 (root string, from version|instant, to " +
+                  "version|instant [, key-columns csv])",
+                args.length))
+          // KEYLESS spelling (row-tracked tables): update images pair
+          // on the hidden stable row id — Delta's table_changes needs
+          // no key either; changesBetween refuses untracked tables
+          // with the remedy named
+          case Seq(a, b, c) =>
+            (for {
+              root <- strOf(a)
+              from <- boundOf(b, root)
+              to <- boundOf(c, root)
+            } yield graft.sources.Lake.changesBetween(SparkSession.active,
+              root, from, to, Nil)
+              .queryExecution.analyzed)
+              .getOrElse(wrongArgs("graft_changes",
+                "3 or 4 (root string, from version|instant, to " +
+                  "version|instant [, key-columns csv])",
                 args.length))
           case _ => wrongArgs("graft_changes",
-            "4 (root string, from version|instant, to version|instant, " +
-              "key-columns csv)",
+            "3 or 4 (root string, from version|instant, to " +
+              "version|instant [, key-columns csv])",
             args.length)
         }
       }))

@@ -57,7 +57,7 @@ final class LakeStreamSource(
     override val schema: StructType,
     startAfter: Option[Long], ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    changeFeedKeys: Seq[String] = Nil) extends Source
+    changeFeedKeys: Option[Seq[String]] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -173,7 +173,9 @@ final class LakeStreamSource(
           // change set — every row an insert, Delta's CDF bootstrap
           case None => Lake.readCommittedAt(spark, root, v)
             .withColumn("change_type", lit("insert"))
-          case Some(p) => Lake.changesBetween(spark, root, p, v, changeFeedKeys)
+          case Some(p) =>
+            Lake.changesBetween(spark, root, p, v,
+              changeFeedKeys.getOrElse(Nil))
         }
         parts += aligned(diff, v)
       }
@@ -219,7 +221,9 @@ final class LakeStreamSource(
     // check (that batch's dirs were already streamed; the other
     // guards own it).
     scala.util.Try(Lake.snapshotSchema(spark, root, endV))
-      .toOption.flatten.foreach { committed =>
+      // compare PUBLIC schemas: the hidden row-tracking column is
+      // engine state, not an evolution the stream's plan must carry
+      .toOption.flatten.map(Lake.publicSchema).foreach { committed =>
       val pinned = schema.fieldNames.toSet
       val extra = committed.fieldNames.filterNot(pinned.contains).toSeq.sorted
       val widened = committed.fields.flatMap(cf =>
@@ -239,7 +243,7 @@ final class LakeStreamSource(
             "under the stale pinned schema would lose or corrupt " +
             "columns, which this source refuses.")
     }
-    if (changeFeedKeys.nonEmpty) return cdfBatch(all, fromV, endV)
+    if (changeFeedKeys.isDefined) return cdfBatch(all, fromV, endV)
     val versions = all.filter(v => v <= endV && fromV.forall(v > _))
     // the snapshot the range extends: the greatest committed version
     // at or below the start offset (None = table birth, empty dirs)
@@ -529,25 +533,32 @@ final class GraftLakeProvider extends StreamSourceProvider
       throw new java.util.NoSuchElementException(
         s"no committed table at $root — the streaming source needs an " +
           "existing table for its schema; commit version 0 first"))
-    org.apache.spark.sql.graft.Shim.asNullable(
+    // publicSchema: the hidden row-tracking column never reaches a
+    // stream's user-facing schema (same rule as every batch read)
+    Lake.publicSchema(org.apache.spark.sql.graft.Shim.asNullable(
       Lake.snapshotSchema(spark, root, v).getOrElse(
-        Lake.readCommittedAt(spark, root, v).schema))
+        Lake.readCommittedAt(spark, root, v).schema)))
   }
 
-  /** `readChangeFeed=true` + `keyCols=a,b` turn the stream into the
-    * row-level change feed ([[LakeStreamSource.cdfBatch]]): table
-    * columns + `change_type` + `commit_version`. Keys are required —
-    * the feed diffs snapshots BY KEY ([[Lake.changesBetween]]'s
-    * contract), it does not track row identity physically. */
-  private def cdfKeysOf(parameters: Map[String, String]): Seq[String] =
-    if (!parameters.get("readChangeFeed").exists(_.toBoolean)) Nil
+  /** `readChangeFeed=true` [+ `keyCols=a,b`] turns the stream into
+    * the row-level change feed ([[LakeStreamSource.cdfBatch]]): table
+    * columns + `change_type` + `commit_version`. The feed diffs
+    * snapshots BY KEY ([[Lake.changesBetween]]'s contract) — keyCols
+    * may be OMITTED only on a row-tracked table, where the hidden
+    * stable row id pairs update images instead (the keyless feed).
+    * None = not CDF mode; Some(Nil) = keyless CDF. */
+  private def cdfKeysOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, parameters: Map[String, String]): Option[Seq[String]] =
+    if (!parameters.get("readChangeFeed").exists(_.toBoolean)) None
     else {
       val keys = parameters.get("keyCols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      require(keys.nonEmpty,
+      require(keys.nonEmpty || Lake.rowTracking(spark, root).isDefined,
         "readChangeFeed=true requires option(\"keyCols\", \"k1,k2,…\") — " +
-          "the change feed diffs snapshots by key")
-      keys
+          "the change feed diffs snapshots by key; only a ROW-TRACKED " +
+          "table (Lake.enableRowTracking / commitOverwrite(rowTracking " +
+          "= true)) may omit keys and pair on the stable row id")
+      Some(keys)
     }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -557,7 +568,8 @@ final class GraftLakeProvider extends StreamSourceProvider
     // same guard as createSource: a caller-supplied schema that already
     // carries the CDF columns must not get them appended twice
     val out =
-      if (cdfKeysOf(parameters).isEmpty ||
+      if (cdfKeysOf(sqlContext.sparkSession, rootOf(parameters),
+            parameters).isEmpty ||
           base.fieldNames.contains("change_type")) base
       else StructType(base.fields.toSeq :+
         org.apache.spark.sql.types.StructField("change_type",
@@ -629,12 +641,12 @@ final class GraftLakeProvider extends StreamSourceProvider
       require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
       v
     }
-    val keys = cdfKeysOf(parameters)
+    val keys = cdfKeysOf(sqlContext.sparkSession, root, parameters)
     require(keys.isEmpty || !ignoreDeletes,
       "readChangeFeed already carries deletes as retraction rows; " +
         "ignoreDeletes does not compose with it")
     val base = schema.getOrElse(liveSchema(sqlContext, root))
-    keys.foreach(k => require(base.fieldNames.contains(k),
+    keys.toSeq.flatten.foreach(k => require(base.fieldNames.contains(k),
       s"keyCols column '$k' not in the table schema " +
         base.fieldNames.mkString("[", ", ", "]")))
     val eff =

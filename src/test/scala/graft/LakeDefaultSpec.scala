@@ -170,6 +170,27 @@ class LakeDefaultSpec extends SparkSpec {
     spark.sql("DROP TABLE defmerge")
   }
 
+  test("the SQL DEFAULT keyword resolves through the synced catalog schema (INSERT and UPDATE)") {
+    // Spark's own ResolveDefaultColumns substitutes the DEFAULT
+    // keyword from CURRENT_DEFAULT field metadata on the catalog
+    // schema — which syncCatalogSchema keeps aligned with the
+    // manifest's; no engine-side special case needed, but the surface
+    // is pinned here so a sync regression fails loudly
+    val root = tmpTable("graft-default-kw")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.addColumnWithDefault(spark, root, "score", DoubleType, "0.5")
+    spark.sql("DROP TABLE IF EXISTS defkw")
+    spark.sql(s"CREATE TABLE defkw USING `graft-lake` OPTIONS (root '$root')")
+    spark.sql("INSERT INTO defkw VALUES (2, 'b', DEFAULT)")
+    assert(rows(spark.sql("SELECT k, score FROM defkw")) ===
+      Set(Seq(1L, 0.5), Seq(2L, 0.5)))
+    spark.sql("UPDATE defkw SET score = 9.0 WHERE k = 2")
+    spark.sql("UPDATE defkw SET score = DEFAULT WHERE k = 2")
+    assert(rows(spark.sql("SELECT k, score FROM defkw WHERE k = 2")) ===
+      Set(Seq(2L, 0.5)))
+    spark.sql("DROP TABLE defkw")
+  }
+
   test("the default feature gate refuses pre-default builds from committing on top") {
     // simulated old build: strip 'default' from the features it knows
     val root = tmpTable("graft-default-gate")

@@ -155,9 +155,13 @@ class LakeRowTrackingSpec extends SparkSpec {
     // a keyless feed works from here on
     Lake.updateWhere(spark, root, col("k") === 2L, Map("t" -> lit("B")),
       retain = 8)
-    val feed = rows(Lake.changesBetween(spark, root, v,
-      Lake.currentVersion(spark, root).get, Nil))
+    val live = Lake.currentVersion(spark, root).get
+    val feed = rows(Lake.changesBetween(spark, root, v, live, Nil))
     assert(feed === Set(
       Seq(2L, "b", "update_preimage"), Seq(2L, "B", "update_postimage")))
+    // the SQL spelling: graft_changes with NO key argument
+    assert(rows(spark.sql(
+      s"SELECT k, t, change_type FROM graft_changes('$root', $v, $live)")) ===
+      feed)
   }
 }

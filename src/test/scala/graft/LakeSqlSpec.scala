@@ -791,4 +791,21 @@ class LakeSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE maint_sql")
     spark.sql("DROP TABLE maint_plain")
   }
+
+  test("CREATE TABLE ... AS SELECT commits the query result as the table's v0") {
+    val root = tmpTable("lakesql-ctas")
+    spark.sql("DROP TABLE IF EXISTS ctas_t")
+    spark.sql(s"CREATE TABLE ctas_t USING `graft-lake` OPTIONS (root '$root') " +
+      "AS SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(100)")
+    // the write went through the manifest protocol, not a raw file dump
+    assert(Lake.currentVersion(spark, root).contains(0L))
+    assert(spark.sql("SELECT count(*) AS n FROM ctas_t").collect()
+      .head.getLong(0) === 100L)
+    assert(Lake.readCommitted(spark, root).count() === 100L)
+    // and the table is a full citizen: DML + time travel work on it
+    spark.sql("DELETE FROM ctas_t WHERE k < 10")
+    assert(spark.sql("SELECT count(*) AS n FROM ctas_t").collect()
+      .head.getLong(0) === 90L)
+    spark.sql("DROP TABLE ctas_t")
+  }
 }

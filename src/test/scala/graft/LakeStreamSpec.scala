@@ -749,4 +749,37 @@ class LakeStreamSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_rows"), sum("n").as("sum_n"))
     assert(rows(streamed) === rows(direct))
   }
+
+  test("readChangeFeed with NO keyCols: a row-tracked table streams the keyless feed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpTable("graft-lkstream-cdf-keyless")
+    val ckpt = tmpDir("graft-lkstream-cdf-keyless-ckpt")
+    val sink = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    Lake.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root,
+      retain = 8, rowTracking = true)                          // v0
+    def readCdf = readLake(root, Map("readChangeFeed" -> "true"))
+    // bootstrap: the snapshot as inserts; the hidden row id never leaks
+    drainOnce(readCdf, ckpt, sink)
+    assert(sink.toSet === Set(
+      Seq(1L, "a", "insert", 0L), Seq(2L, "b", "insert", 0L)))
+    sink.clear()
+    // an UPDATE pairs on the stable row id — exact pre/postimages
+    // with no key contract anywhere in the stream options
+    Lake.updateWhere(spark, root, col("k") === 2L,
+      Map("t" -> lit("B")), retain = 8)                        // v1
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8) // v2
+    drainOnce(readCdf, ckpt, sink)
+    assert(sink.toSet === Set(
+      Seq(2L, "b", "update_preimage", 1L),
+      Seq(2L, "B", "update_postimage", 1L),
+      Seq(3L, "c", "insert", 2L)))
+    // an UNTRACKED table refuses the keyless spelling with the remedy
+    val plain = tmpTable("graft-lkstream-cdf-plainrefuse")
+    Lake.commitOverwrite(Seq((1L, "x")).toDF("k", "t"), plain, retain = 8)
+    val e = intercept[IllegalArgumentException] {
+      readLake(plain, Map("readChangeFeed" -> "true")).schema
+    }
+    assert(e.getMessage.contains("row id") ||
+      e.getMessage.contains("keyCols"))
+  }
 }
