@@ -520,6 +520,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       identity: Option[Option[(String, Long)]] = None,
       ingested: Option[Seq[String]] = None,
       rowId: Option[Long] = None,
+      rowIdReplace: Boolean = false,
       op: String = "commit"): Boolean = {
     // stats carry: a dir REUSED from the previous snapshot keeps its
     // stats line verbatim (immutable dir, immutable range); only dirs
@@ -595,8 +596,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
       prevV.map(v => manifestIngested(fs, r, v)).getOrElse(Nil))
     // the row-id high-water mark inherits (metadata commits and COW
     // rewrites allocate nothing); Some(n) advances it atomically with
-    // the rows that consumed the block
-    val effRowId = rowId.orElse(prevV.flatMap(v => manifestRowId(fs, r, v)))
+    // the rows that consumed the block. `rowIdReplace` (RESTORE) makes
+    // the passed value AUTHORITATIVE — including None, so restoring to
+    // a pre-tracking version restores to untracked (the identity rule:
+    // marks consumed by restored-away rows become reusable)
+    val effRowId =
+      if (rowIdReplace) rowId
+      else rowId.orElse(prevV.flatMap(v => manifestRowId(fs, r, v)))
     // retention is TABLE state (graft.retain) unless this call passed
     // an explicit override — resolved against effProps, so a commit
     // that SETS the property is already governed by it

@@ -327,6 +327,13 @@ private[graft] trait LakeMutations { this: Lake.type =>
       .getOrElse(Set.empty)
     val allMatchProvable = exact && preds.nonEmpty &&
       preds.forall(p => nonNullCols.contains(p.col))
+    // the EXCLUSION side additionally understands OR shapes (round-16
+    // tree pruner): a `k = 5 OR k = 9000005` DELETE rewrites only the
+    // dirs that can hold matches. The whole-dir DROP proofs stay
+    // conjunction-exact — an OR tree falls to Rewrite/DV, never a
+    // wrong metadata drop.
+    val delTree = enrichTree(spark, fs, r, cur,
+      extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val partsRaw = manifestPartsRaw(fs, r, cur)
     sealed trait C; case object Keep extends C; case object Drop extends C
@@ -340,24 +347,24 @@ private[graft] trait LakeMutations { this: Lake.type =>
       // manifest surgery, zero data I/O, no nullability gate needed
       // (the tuple IS each row's value)
       val pv = partsRaw.get(d).map(parsePartJson)
-      val partKeep = pv.exists(m =>
-        preds.exists(p => m.get(p.col).exists(partValueExcludes(_, p))))
-      if (partKeep) return Keep
+      lazy val st = stats.get(d).map(parseStatsJson)
+      lazy val bf = bloomsRaw.get(d).map(parseBloomJson)
+      // exclusion through the TREE (partition tuples, ranges, blooms
+      // as combined per-leaf evidence; OR keeps a dir unless BOTH
+      // sides exclude): no row can match → the dir survives untouched
+      def leafExcl(p: Pred): Boolean =
+        pv.exists(m => m.get(p.col).exists(partValueExcludes(_, p))) ||
+        st.exists(m => m.get(p.col).exists {
+          case (lo, hi) => predExcludes(lo, hi, p) }) ||
+        bf.exists(bfs => bloomExcludes(bfs, p))
+      if (treeExcludes(delTree, leafExcl)) return Keep
       val partDrop = exact && preds.nonEmpty && pv.exists(m =>
         preds.forall(p => m.get(p.col).exists(partValueIncludesAll(_, p))))
       if (partDrop) return Drop
-      // a bloom proving an equality conjunct absent is as good as a
-      // range exclusion: no row can match, the dir survives untouched
-      lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
-        preds.exists(p => bloomExcludes(bfs, p)))
-      stats.get(d).map(parseStatsJson) match {
-        case Some(st) if preds.exists(p =>
-            st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }) =>
-          Keep
-        case Some(st) if allMatchProvable && preds.forall(p =>
-            st.get(p.col).exists { case (lo, hi) => predIncludesAll(lo, hi, p) }) =>
+      st match {
+        case Some(stm) if allMatchProvable && preds.forall(p =>
+            stm.get(p.col).exists { case (lo, hi) => predIncludesAll(lo, hi, p) }) =>
           Drop
-        case _ if bloomKeep => Keep
         case _ => Rewrite // unstat'd or straddling: read, filter, rewrite
       }
     }
@@ -515,24 +522,25 @@ private[graft] trait LakeMutations { this: Lake.type =>
         s"identity column '$idCol' is GENERATED ALWAYS — UPDATE cannot " +
           "assign it (keys are allocator-owned)")
     }
-    // user predicates name LOGICAL columns; per-dir lines are physical
+    // user predicates name LOGICAL columns; per-dir lines are physical.
+    // The TREE keeps the predicate's AND/OR shape — a selective
+    // `k = 5 OR k = 9000005` UPDATE rewrites only the two dirs that
+    // can hold matches, not the table (same round-16 rule as reads).
     val cmap = manifestColMap(fs, r, cur)
-    val updPreds0 =
-      extractPreds(org.apache.spark.sql.graft.Shim.catalystTree(predicate))
-    val preds = predsToPhysical(
-      updPreds0 ++ deriveGenPreds(spark, fs, r, cur, updPreds0), cmap)
+    val updTree = enrichTree(spark, fs, r, cur,
+      extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
     val bloomsRaw = manifestBloomsRaw(fs, r, cur)
     val partsRaw = manifestPartsRaw(fs, r, cur)
     val (kept, touched) = snapDirs.partition { d =>
-      // partition values exclude first (exact, incl. NULL tests)
-      val partKeep = partsRaw.get(d).map(parsePartJson).exists(m =>
-        preds.exists(p => m.get(p.col).exists(partValueExcludes(_, p))))
-      lazy val rangeKeep = stats.get(d).map(parseStatsJson).exists(st =>
-        preds.exists(p =>
-          st.get(p.col).exists { case (lo, hi) => predExcludes(lo, hi, p) }))
-      lazy val bloomKeep = bloomsRaw.get(d).map(parseBloomJson).exists(bfs =>
-        preds.exists(p => bloomExcludes(bfs, p)))
-      partKeep || rangeKeep || bloomKeep
+      lazy val pv = partsRaw.get(d).map(parsePartJson)
+      lazy val st = stats.get(d).map(parseStatsJson)
+      lazy val bf = bloomsRaw.get(d).map(parseBloomJson)
+      def leafExcl(p: Pred): Boolean =
+        pv.exists(m => m.get(p.col).exists(partValueExcludes(_, p))) ||
+        st.exists(m => m.get(p.col).exists {
+          case (lo, hi) => predExcludes(lo, hi, p) }) ||
+        bf.exists(bfs => bloomExcludes(bfs, p))
+      treeExcludes(updTree, leafExcl)
     }
     if (touched.isEmpty) return cur
     // MERGE-ON-READ fast path (deletion vectors, Delta's DV update):

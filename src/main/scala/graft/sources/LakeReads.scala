@@ -885,7 +885,12 @@ private[graft] trait LakeReads { this: Lake.type =>
         s"no committed table at $root"))
     if (version == cur) return cur // restoring the live snapshot: no-op
     // validates the marker exists and every referenced dir survives
-    val (_, schema) = resolveSnapshot(spark, root, Some(version))
+    val (_, pubSchema) = resolveSnapshot(spark, root, Some(version))
+    // commit the RAW target schema: resolveSnapshot serves the
+    // user-facing view, but the restored manifest must keep the
+    // hidden row-tracking column the target's files physically carry
+    val schema = org.apache.spark.sql.graft.Shim.asNullable(
+      manifestSchema(fs, r, version).getOrElse(pubSchema))
     require(manifestBucketBy(fs, r, version) == manifestBucketBy(fs, r, cur),
       s"the bucket layout changed between v$version and the live " +
         s"v$cur — restored dirs would not satisfy the current bucketed " +
@@ -922,6 +927,11 @@ private[graft] trait LakeReads { this: Lake.type =>
         // because the rows that consumed them are gone)
         props = Some(manifestProps(fs, r, version)),
         identity = Some(manifestIdentity(fs, r, version)),
+        // the row-id mark restores AUTHORITATIVELY too (None clears:
+        // restoring to a pre-tracking version restores to untracked —
+        // the restored dirs carry no ids, so keeping the mark would
+        // leave a half-tracked table whose keyless feed can't pair)
+        rowId = manifestRowId(fs, r, version), rowIdReplace = true,
         op = s"restore v$version"))
       throw new java.util.ConcurrentModificationException(
         s"restore of $root to v$version lost version $next to a " +

@@ -478,12 +478,19 @@ final class GraftLakeProvider extends StreamSourceProvider
     // `identity 'id'` declares GENERATED ALWAYS AS IDENTITY at table
     // creation (CTAS spelling); appends only INHERIT the declaration
     val identity = parameters.get("identity").map(_.trim).filter(_.nonEmpty)
+    // `rowTracking 'true'` enables stable row ids at table creation
+    // (appends inherit, like every table property)
+    val rowTrack = parameters.get("rowTracking").exists { v =>
+      require(v == "true" || v == "false",
+        s"rowTracking option must be 'true' or 'false', got '$v'")
+      v.toBoolean
+    }
     val exists = Lake.currentVersion(spark, root).isDefined
     import org.apache.spark.sql.SaveMode._
     def over(): Unit = {
       Lake.commitOverwrite(data, root, retain, None, statsCols, bloomCols,
         partitionBy = partBy, bucketBy = bucket, generatedColumns = gen,
-        identity = identity)
+        identity = identity, rowTracking = rowTrack)
       ()
     }
     mode match {

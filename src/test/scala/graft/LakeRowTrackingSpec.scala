@@ -139,6 +139,47 @@ class LakeRowTrackingSpec extends SparkSpec {
     spark.sql("DROP TABLE ridmerge")
   }
 
+  test("the DataFrameWriter option declares tracking at creation; appends inherit") {
+    val root = tmpTable("graft-rid-writer")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "t").write.format("graft-lake")
+      .option("root", root).option("rowTracking", "true")
+      .mode("overwrite").save()
+    assert(Lake.rowTracking(spark, root).contains(2L))
+    Seq((3L, "c")).toDF("k", "t").write.format("graft-lake")
+      .option("root", root).mode("append").save()
+    assert(ridsOf(root).sorted === Seq(0L, 1L, 2L))
+    intercept[IllegalArgumentException] {
+      Seq((4L, "d")).toDF("k", "t").write.format("graft-lake")
+        .option("root", root).option("rowTracking", "yes")
+        .mode("append").save()
+    }
+  }
+
+  test("RESTORE re-points the row-id mark authoritatively; pre-tracking targets restore to untracked") {
+    val root = tmpTable("graft-rid-restore")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8) // v0 untracked
+    Lake.enableRowTracking(spark, root)                                   // v1 tracked
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)    // v2
+    val markV2 = Lake.rowTracking(spark, root).get
+    // restore to the TRACKED v1: the mark re-points to v1's (ids the
+    // restored-away rows consumed become reusable, the identity rule)
+    Lake.restoreCommitted(spark, root, 1L, retain = 8)
+    assert(Lake.rowTracking(spark, root).exists(_ < markV2))
+    assert(ridsOf(root).sorted === Seq(0L))
+    // appends keep allocating from the restored mark
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8)
+    assert(ridsOf(root).distinct.length === 2)
+    // restore to the PRE-tracking v0: the table is untracked again —
+    // no mark, no hidden column, keyless feeds refuse honestly
+    Lake.restoreCommitted(spark, root, 0L, retain = 8)
+    assert(Lake.rowTracking(spark, root).isEmpty)
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+    val live = Lake.currentVersion(spark, root).get
+    intercept[IllegalArgumentException] {
+      Lake.changesBetween(spark, root, live - 1, live, Nil)
+    }
+  }
+
   test("enableRowTracking backfills an existing table once; no-op when already on") {
     val root = tmpTable("graft-rid-enable")
     Lake.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "t"), root,

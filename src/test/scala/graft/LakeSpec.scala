@@ -2510,6 +2510,42 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommittedWhere(spark, nroot, pNull).select("v")) ===
       Set(Seq(1L), Seq(3L)))
 
+    // the MUTATION engines classify through OR too: a two-point OR
+    // DELETE / UPDATE rewrites only the dirs that can hold matches
+    val mroot = tmpTable("graft-lake-ormut")
+    (0L until 10L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        mroot, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val before = Lake.resolve(spark, mroot).toSet
+    Lake.deleteWhere(spark, mroot, col("k") === 5L || col("k") === 95L,
+      retain = 8, dvMaxRows = 0L)
+    val after = Lake.resolve(spark, mroot).toSet
+    assert((before -- after).size === 2,
+      s"OR delete must rewrite exactly the 2 hit dirs, rewrote ${(before -- after).size}")
+    assert(Lake.readCommitted(spark, mroot).count() === 98L)
+    // fresh table for the UPDATE half: the delete above merged its two
+    // rewritten edge dirs into one wide-range dir that any later
+    // predicate legitimately touches
+    val uroot = tmpTable("graft-lake-ormut-upd")
+    (0L until 10L).foreach { b =>
+      Lake.commitAppend(
+        (b * 10L until (b + 1) * 10L).map(k => (k, s"r$k")).toDF("k", "t"),
+        uroot, retain = 8, rowCount = Some(10L), statsCols = Seq("k"))
+      ()
+    }
+    val before2 = Lake.resolve(spark, uroot).toSet
+    Lake.updateWhere(spark, uroot, col("k") === 15L || col("k") === 85L,
+      Map("t" -> org.apache.spark.sql.functions.lit("upd")),
+      retain = 8, dvMaxRows = 0L)
+    val after2 = Lake.resolve(spark, uroot).toSet
+    assert((before2 -- after2).size === 2,
+      s"OR update must rewrite exactly the 2 hit dirs")
+    assert(rows(Lake.readCommittedWhere(spark, uroot, col("t") === "upd")
+      .select("k")) === Set(Seq(15L), Seq(85L)))
+
     // FILE-level stats prune through OR too (z-ordered single dir)
     val froot = tmpTable("graft-lake-orprune-files")
     (0 until 4).foreach { b =>
