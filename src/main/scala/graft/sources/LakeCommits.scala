@@ -461,6 +461,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
           "columns) — fold commits pre-write data dirs under the " +
           "stream's own column names and cannot apply the map; fold " +
           "into an unmapped table")
+      require(manifestRowId(ffs, new Path(root), last).isEmpty,
+        s"the table at $root carries row tracking — fold commits " +
+          "pre-write data dirs outside the allocator choke point and " +
+          "would commit rows with no ids (breaking keyless-feed " +
+          "pairing); fold into an untracked table")
     }
     if (!commitManifest(ffs, new Path(root), version, dirs,
         retain, schema, op = "fold"))

@@ -88,6 +88,16 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     case m: MergeIntoTable =>
       LakeDml.lakeTarget(m.targetTable) match {
         case Some((root, ident)) =>
+          // `MERGE WITH SCHEMA EVOLUTION` would silently behave as a
+          // plain merge here (the general-clause engine executes the
+          // RESOLVED actions; source-only columns never reach the
+          // target schema) — refuse loudly and name the working path
+          require(!m.withSchemaEvolution,
+            s"MERGE WITH SCHEMA EVOLUTION into the graft-lake table at " +
+              s"$root is not supported — evolve the schema first " +
+              "(ALTER TABLE ... ADD COLUMNS) or use the CDC merge " +
+              "(Lake.mergeCommitted(allowSchemaEvolution = true)) for " +
+              "drifted upsert feeds")
           val tOut = LakeDml.byExprId(m.targetTable.output)
           val sOut = LakeDml.byExprId(m.sourceTable.output)
           // ON must be a conjunction of target-vs-source equalities

@@ -608,6 +608,21 @@ private[graft] trait LakeReads { this: Lake.type =>
     if (df.columns.contains(RowIdCol)) df.drop(RowIdCol) else df
   }
 
+  /** The live snapshot WITH the `_row_id` column exposed — the
+    * supported surface for consumers that key external state by row
+    * identity (the batch analog of Delta's `_metadata.row_id`).
+    * Refuses untracked tables so a NULL-id column can never silently
+    * stand in for identity. */
+  def readCommittedWithRowId(spark: SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    require(manifestRowId(fsFor(spark, root), new Path(root), cur).isDefined,
+      s"the table at $root does not carry row tracking — enable it " +
+        "(Lake.enableRowTracking / commitOverwrite(rowTracking = true))")
+    readCommittedAtRaw(spark, root, cur)
+  }
+
   /** [[readCommittedAt]] WITH the hidden row-tracking column (when the
     * table carries one) — the diff engine's and the specs' spelling. */
   private[graft] def readCommittedAtRaw(spark: SparkSession, root: String,

@@ -170,6 +170,25 @@ class LakeDefaultSpec extends SparkSpec {
     spark.sql("DROP TABLE defmerge")
   }
 
+  test("defaults survive RENAME and lossless widening (field metadata rides the schema)") {
+    val root = tmpTable("graft-default-ddl")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    Lake.addColumnWithDefault(spark, root, "n", IntegerType, "7")
+    // rename: the default follows the column (metadata rides f.copy)
+    Lake.renameColumn(spark, root, "n", "m")
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).select("k", "m")) ===
+      Set(Seq(1L, 7), Seq(2L, 7)))
+    // widen: the frozen literal recasts to the wider type at read
+    Lake.alterColumnType(spark, root, "m", LongType)
+    Lake.commitAppend(Seq((3L, "c")).toDF("k", "t"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).select("k", "m")) ===
+      Set(Seq(1L, 7L), Seq(2L, 7L), Seq(3L, 7L)))
+    // drop lifts it with the column
+    Lake.dropColumn(spark, root, "m")
+    assert(!Lake.readCommitted(spark, root).columns.contains("m"))
+  }
+
   test("the SQL DEFAULT keyword resolves through the synced catalog schema (INSERT and UPDATE)") {
     // Spark's own ResolveDefaultColumns substitutes the DEFAULT
     // keyword from CURRENT_DEFAULT field metadata on the catalog

@@ -139,6 +139,31 @@ class LakeRowTrackingSpec extends SparkSpec {
     spark.sql("DROP TABLE ridmerge")
   }
 
+  test("concurrent appends allocate disjoint id blocks (OCC re-stage on a moved mark)") {
+    val root = tmpTable("graft-rid-race")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root,
+      retain = 8, rowTracking = true)
+    // the loser stages under mark 1, an interloper advances it to 3,
+    // the loser's retry re-stages its rows under [3, 5) — no overlap
+    var fired = false
+    Lake.beforePublish = () => {
+      if (!fired) {
+        fired = true
+        Lake.commitAppend(Seq((10L, "x"), (11L, "y")).toDF("k", "t"),
+          root, retain = 8)
+        ()
+      }
+    }
+    try Lake.commitAppend(Seq((20L, "p"), (21L, "q")).toDF("k", "t"),
+      root, retain = 8)
+    finally Lake.beforePublish = () => ()
+    val ids = ridsOf(root)
+    assert(ids.length === 5 && ids.distinct.length === 5,
+      s"concurrent allocations must stay disjoint, got $ids")
+    assert(ids.sorted === (0L to 4L), s"blocks must be gap-free: $ids")
+    assert(Lake.rowTracking(spark, root).contains(5L))
+  }
+
   test("the DataFrameWriter option declares tracking at creation; appends inherit") {
     val root = tmpTable("graft-rid-writer")
     Seq((1L, "a"), (2L, "b")).toDF("k", "t").write.format("graft-lake")
@@ -152,6 +177,16 @@ class LakeRowTrackingSpec extends SparkSpec {
       Seq((4L, "d")).toDF("k", "t").write.format("graft-lake")
         .option("root", root).option("rowTracking", "yes")
         .mode("append").save()
+    }
+    // the supported exposed-id surface (external state keyed by row
+    // identity); untracked tables refuse instead of serving NULL ids
+    assert(rows(Lake.readCommittedWithRowId(spark, root)
+      .select("k", Lake.RowIdCol)) ===
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L)))
+    val plain = tmpTable("graft-rid-expose-refuse")
+    Lake.commitOverwrite(Seq((1L, "x")).toDF("k", "t"), plain, retain = 8)
+    intercept[IllegalArgumentException] {
+      Lake.readCommittedWithRowId(spark, plain)
     }
   }
 

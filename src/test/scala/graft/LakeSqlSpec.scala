@@ -808,4 +808,24 @@ class LakeSqlSpec extends SparkSpec {
       .head.getLong(0) === 90L)
     spark.sql("DROP TABLE ctas_t")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION refuses loudly instead of silently dropping columns") {
+    val root = tmpTable("lakesql-mergeevo")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS mergeevo_t")
+    spark.sql(s"CREATE TABLE mergeevo_t USING `graft-lake` OPTIONS (root '$root')")
+    val e = intercept[Exception] {
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO mergeevo_t t " +
+        "USING (SELECT 2L AS k, 'b' AS t, 1.5 AS extra) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("SCHEMA EVOLUTION") ||
+      e.getMessage.contains("mergeCommitted"))
+    // the plain spelling still works
+    spark.sql("MERGE INTO mergeevo_t t USING (SELECT 2L AS k, 'b' AS t) s " +
+      "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, t) VALUES (s.k, s.t)")
+    assert(spark.sql("SELECT count(*) AS n FROM mergeevo_t").collect()
+      .head.getLong(0) === 2L)
+    spark.sql("DROP TABLE mergeevo_t")
+  }
 }
