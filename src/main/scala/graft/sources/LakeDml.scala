@@ -88,10 +88,14 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     case m: MergeIntoTable =>
       LakeDml.lakeTarget(m.targetTable) match {
         case Some((root, ident)) =>
-          // `MERGE WITH SCHEMA EVOLUTION` would silently behave as a
-          // plain merge here (the general-clause engine executes the
-          // RESOLVED actions; source-only columns never reach the
-          // target schema) — refuse loudly and name the working path
+          // `MERGE WITH SCHEMA EVOLUTION` cannot be honored here: for
+          // a v1 target the analyzer expands star actions against the
+          // UN-evolved target schema, silently dropping the source-only
+          // columns before this rule ever sees them (verified: the
+          // resolved INSERT * actions carry only the target's columns),
+          // so "supporting" it would execute a plain merge that loses
+          // data the user asked to keep — refuse loudly and name the
+          // working paths instead
           require(!m.withSchemaEvolution,
             s"MERGE WITH SCHEMA EVOLUTION into the graft-lake table at " +
               s"$root is not supported — evolve the schema first " +

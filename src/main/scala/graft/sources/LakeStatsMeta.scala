@@ -567,8 +567,13 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
       idx += exprs.length
       (f, ndv, nulls, minS, maxS, avgLen, maxLen)
     }
-    // durable manifest properties (engine-readable without a metastore)
-    val props = Map(PropStatsPrefix + "sizeBytes" -> sizeBytes.toString) ++
+    // durable manifest properties (engine-readable without a metastore).
+    // `version` records WHICH snapshot the numbers describe — readers
+    // judge staleness against the live version (metastore stats have
+    // no equivalent and silently age)
+    val props = Map(
+      PropStatsPrefix + "sizeBytes" -> sizeBytes.toString,
+      PropStatsPrefix + "version" -> cur.toString) ++
       rowCount.map(n => PropStatsPrefix + "rowCount" -> n.toString) ++
       colResults.map { case (f, ndv, nulls, minS, maxS, avgLen, maxLen) =>
         PropStatsPrefix + "col." + f.name ->

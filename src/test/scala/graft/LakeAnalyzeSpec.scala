@@ -26,6 +26,8 @@ class LakeAnalyzeSpec extends SparkSpec {
     val props = Lake.tableProperties(spark, root)
     assert(props("graft.stats.rowCount") === "100")
     assert(props("graft.stats.sizeBytes").toLong > 0L)
+    // staleness is visible: the stats name the snapshot they describe
+    assert(props("graft.stats.version") === "0")
     spark.sql("ANALYZE TABLE an_props COMPUTE STATISTICS FOR COLUMNS k, g")
     val props2 = Lake.tableProperties(spark, root)
     assert(props2("graft.stats.col.k").contains("ndv:"))
