@@ -290,6 +290,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
   // every row NULL), so the partition pruner answers both precisely
   private[sources] case object PNull extends POp
   private[sources] case object PNotNull extends POp
+  // negated membership (`NOT (k = 5)` / `k NOT IN (…)`), produced only
+  // by the tree pruner's De-Morgan pass: provable exclusion needs the
+  // dir's WHOLE domain inside the refused set — an exact partition
+  // tuple, or a degenerate lo == hi range
+  private[sources] case object PNe extends POp
   private[sources] final case class Pred(col: String, op: POp, values: Seq[NormVal])
 
   /** Boolean STRUCTURE over prunable conjuncts — what lets OR-disjunct

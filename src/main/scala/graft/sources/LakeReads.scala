@@ -106,12 +106,72 @@ private[graft] trait LakeReads { this: Lake.type =>
     * exclusion). This is what lets `region = 'EU' OR region = 'US'`
     * prune: each disjunct prunes on its own and a dir survives only
     * if SOME disjunct might match it. */
+  /** Exact leaf negation for the NOT pass: comparisons invert
+    * (ranges are over NON-NULL values, and a negated comparison still
+    * never matches NULL rows, so the inversion is sound evidence),
+    * equality/IN becomes [[PNe]] (provable only against a whole-domain
+    * witness — an exact partition tuple or a degenerate range), NULL
+    * tests swap. */
+  private def negatePred(p: Pred): PredTree = p.op match {
+    case PEq      => PLeaf(Pred(p.col, PNe, p.values))
+    case PNe      => PLeaf(Pred(p.col, PEq, p.values))
+    case PLt      => PLeaf(Pred(p.col, PGe, p.values))
+    case PLe      => PLeaf(Pred(p.col, PGt, p.values))
+    case PGt      => PLeaf(Pred(p.col, PLe, p.values))
+    case PGe      => PLeaf(Pred(p.col, PLt, p.values))
+    case PNull    => PLeaf(Pred(p.col, PNotNull, Nil))
+    case PNotNull => PLeaf(Pred(p.col, PNull, Nil))
+  }
+
+  /** The tree of NOT(e) — De Morgan over AND/OR, exact leaf inversion,
+    * PUnknown wherever `e` is not PRECISELY understood (negating an
+    * approximation would prune wrongly: the conjunct list is a
+    * superset-safe weakening, but its negation would be a
+    * strengthening). */
+  private def negateTree(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): PredTree = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Not, Or}
+    e match {
+      case And(a, b) => POr(Seq(negateTree(a), negateTree(b)))
+      case Or(a, b)  => PAnd(Seq(negateTree(a), negateTree(b)))
+      case Not(inner) => extractTree(inner)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.arguments.lengthCompare(2) == 0 &&
+            f.nameParts.head.equalsIgnoreCase("and") =>
+        POr(f.arguments.map(negateTree))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.arguments.lengthCompare(2) == 0 &&
+            f.nameParts.head.equalsIgnoreCase("or") =>
+        PAnd(f.arguments.map(negateTree))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.arguments.lengthCompare(1) == 0 &&
+            (f.nameParts.head.equalsIgnoreCase("not") ||
+              f.nameParts.head == "!") =>
+        extractTree(f.arguments.head)
+      case other =>
+        val (ps, exact) = extractPredsExact(other)
+        if (!exact || ps.isEmpty) PUnknown
+        else if (ps.lengthCompare(1) == 0) negatePred(ps.head)
+        else POr(ps.map(negatePred)) // NOT(p1 AND p2) = ¬p1 OR ¬p2
+    }
+  }
+
   private[sources] def extractTree(
       e: org.apache.spark.sql.catalyst.expressions.Expression): PredTree = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    import org.apache.spark.sql.catalyst.expressions.{And, Not, Or}
     e match {
       case And(a, b) => PAnd(Seq(extractTree(a), extractTree(b)))
       case Or(a, b)  => POr(Seq(extractTree(a), extractTree(b)))
+      case Not(inner) => negateTree(inner)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.arguments.lengthCompare(1) == 0 &&
+            (f.nameParts.head.equalsIgnoreCase("not") ||
+              f.nameParts.head == "!") =>
+        negateTree(f.arguments.head)
       // sql-api Columns arrive as unresolved function calls ("and",
       // "or", …) — the same shape extractPredsExact handles for leaves
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -167,6 +227,10 @@ private[graft] trait LakeReads { this: Lake.type =>
     case PLe => cmpNorm(lo, p.values.head).exists(_ > 0)
     case PGt => cmpNorm(hi, p.values.head).exists(_ <= 0)
     case PGe => cmpNorm(hi, p.values.head).exists(_ < 0)
+    // NOT-equality: excludable only when the dir's whole non-NULL
+    // domain is ONE value and that value is in the refused set
+    case PNe => cmpNorm(lo, hi).contains(0) &&
+      p.values.exists(v => cmpNorm(v, lo).contains(0))
     // a range over the non-NULL values proves nothing about NULLs
     case PNull | PNotNull => false
   }
@@ -212,6 +276,10 @@ private[graft] trait LakeReads { this: Lake.type =>
     case PLe => cmpNorm(hi, p.values.head).exists(_ <= 0)
     case PGt => cmpNorm(lo, p.values.head).exists(_ > 0)
     case PGe => cmpNorm(lo, p.values.head).exists(_ >= 0)
+    // NOT-equality selects everything iff the whole (non-NULL) domain
+    // is one value provably OUTSIDE the refused set
+    case PNe => cmpNorm(lo, hi).contains(0) &&
+      p.values.forall(v => cmpNorm(v, lo).exists(_ != 0))
     // under the caller's no-NULLs proof, IS NOT NULL is everything
     // and IS NULL is nothing
     case PNotNull => true

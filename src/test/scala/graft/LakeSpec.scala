@@ -2510,6 +2510,35 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommittedWhere(spark, nroot, pNull).select("v")) ===
       Set(Seq(1L), Seq(3L)))
 
+    // NOT prunes through De Morgan + exact leaf inversion:
+    // NOT(k < 90) = k >= 90 keeps only the last dir
+    assert(Lake.resolveWhere(spark, root, !(col("k") < 90L))._2.size === 9)
+    assert(rows(Lake.readCommittedWhere(spark, root, !(col("k") < 90L))
+      .select("k")) === (90L until 100L).map(Seq(_)).toSet)
+    // NOT(a OR b) = NOT a AND NOT b — the De Morgan shape
+    val pDeM = !(col("k") < 50L || col("k") >= 60L)
+    assert(Lake.resolveWhere(spark, root, pDeM)._2.size === 9)
+    assert(rows(Lake.readCommittedWhere(spark, root, pDeM).select("k")) ===
+      (50L until 60L).map(Seq(_)).toSet)
+    // double negation lands back on the positive tree
+    assert(Lake.resolveWhere(spark, root, !(!(col("k") < 10L)))._2.size === 9)
+    // NOT-equality: ranges can't prove it (only a whole-domain
+    // witness can), so nothing prunes — and nothing is wrong
+    val pNe = !(col("k") === 55L)
+    assert(Lake.resolveWhere(spark, root, pNe)._2.isEmpty)
+    assert(Lake.readCommittedWhere(spark, root, pNe).count() === 99L)
+    // …but an exact PARTITION tuple IS a whole-domain witness:
+    // NOT(region = 'EU') prunes the EU dir on the partitioned table
+    val pNotEu = !(col("region") === "EU")
+    assert(Lake.resolveWhere(spark, proot, pNotEu)._2.size === 1)
+    assert(rows(Lake.readCommittedWhere(spark, proot, pNotEu)
+      .select("v")) === Set(Seq(2L), Seq(3L), Seq(4L)))
+    // NOT IN over partition tuples prunes both named dirs
+    val pNotIn = !col("region").isin("EU", "US")
+    assert(Lake.resolveWhere(spark, proot, pNotIn)._2.size === 2)
+    assert(rows(Lake.readCommittedWhere(spark, proot, pNotIn)
+      .select("v")) === Set(Seq(3L), Seq(4L)))
+
     // the MUTATION engines classify through OR too: a two-point OR
     // DELETE / UPDATE rewrites only the dirs that can hold matches
     val mroot = tmpTable("graft-lake-ormut")
