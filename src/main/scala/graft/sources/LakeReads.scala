@@ -151,6 +151,18 @@ private[graft] trait LakeReads { this: Lake.type =>
             (f.nameParts.head.equalsIgnoreCase("not") ||
               f.nameParts.head == "!") =>
         extractTree(f.arguments.head)
+      // NULL-SAFE equality is the one two-valued comparison: `k <=> 5`
+      // is FALSE (not NULL) for NULL rows, so NOT(k <=> 5) MATCHES
+      // them — while its extracted PEq leaf negates to a PNe that
+      // (correctly for plain `=`) treats NULL rows as never-matching.
+      // Negating through that leaf would wrongly exclude NULL-holding
+      // dirs; refuse instead (conservative, never wrong).
+      case _: org.apache.spark.sql.catalyst.expressions.EqualNullSafe =>
+        PUnknown
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.nameParts.head == "<=>" =>
+        PUnknown
       case other =>
         val (ps, exact) = extractPredsExact(other)
         if (!exact || ps.isEmpty) PUnknown

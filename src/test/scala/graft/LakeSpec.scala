@@ -2538,6 +2538,13 @@ class LakeSpec extends SparkSpec {
     assert(Lake.resolveWhere(spark, proot, pNotIn)._2.size === 2)
     assert(rows(Lake.readCommittedWhere(spark, proot, pNotIn)
       .select("v")) === Set(Seq(3L), Seq(4L)))
+    // NOT over NULL-SAFE equality never prunes: NOT(p <=> 'a') MATCHES
+    // NULL rows, which the plain-equality inversion can't see — the
+    // all-NULL partition of nroot must be KEPT and served
+    val pNse = !(col("p") <=> "a")
+    assert(Lake.resolveWhere(spark, nroot, pNse)._2.isEmpty)
+    assert(rows(Lake.readCommittedWhere(spark, nroot, pNse)
+      .select("v")) === Set(Seq(1L), Seq(3L)))
 
     // the MUTATION engines classify through OR too: a two-point OR
     // DELETE / UPDATE rewrites only the dirs that can hold matches
