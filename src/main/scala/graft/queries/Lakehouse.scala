@@ -1855,7 +1855,7 @@ object Lakehouse {
         .withColumn("auto_compacted", lit(compacted))
     },
 
-    // OR-DISJUNCT DATA SKIPPING under the oracle hash — the everyday
+    // OR/NOT-DISJUNCT DATA SKIPPING under the oracle hash — the everyday
     // dashboard predicate `lang = 'en' OR lang = 'fr'` (Delta prunes
     // OR by evaluating both sides and unioning the kept sets; a
     // conjunct-only pruner scans every dir). The corpus commits
@@ -1866,8 +1866,9 @@ object Lakehouse {
     // hash). A second proof bit runs the RANGE shape `doc_id < lo OR
     // doc_id >= hi` against a key-ordered stats table: only the two
     // edge dirs survive, and an OR with an unprunable side keeps
-    // everything (never a wrong prune). At 100 TB both shapes answer
-    // from the KB-sized manifest before any scan plans.
+    // everything (never a wrong prune), and NOT prunes through
+    // De Morgan against the exact partition tuples. At 100 TB every
+    // shape answers from the KB-sized manifest before any scan plans.
     Q("q184_or_skipping",
       """SELECT doc_id, lang, n_chars, TRUE AS or_prune_exact
         |FROM documents WHERE lang = 'en' OR lang = 'fr'
@@ -1889,6 +1890,12 @@ object Lakehouse {
       val (kept, skipped, _) = Lake.resolveWhere(s, root, pred)
       val partExact = kept.size.toLong == expKept &&
         skipped.size.toLong == totalDirs - expKept && expKept < totalDirs
+      // NOT prunes through De Morgan against the exact tuples:
+      // NOT(lang = 'en') drops the en dir; NOT(en OR fr) drops both
+      val notExact =
+        Lake.resolveWhere(s, root, !(col("lang") === "en"))._2.size == 1 &&
+        Lake.resolveWhere(s, root,
+          !(col("lang") === "en" || col("lang") === "fr"))._2.size == 2
       // range shape on a second, key-ordered table: edge dirs only
       val rroot = scratchRoot("lake_orskip_rng", d)
       val step = maxId / 6 + 1
@@ -1906,7 +1913,8 @@ object Lakehouse {
       val rangeExact = rKept.size == 2 && rSkipped.size == 4 &&
         weak._2.isEmpty
       Lake.readCommittedWhere(s, root, pred).orderBy("doc_id")
-        .withColumn("or_prune_exact", lit(partExact && rangeExact))
+        .withColumn("or_prune_exact",
+          lit(partExact && rangeExact && notExact))
     },
 
     // COLUMN DEFAULT VALUES under the oracle hash — Delta's
