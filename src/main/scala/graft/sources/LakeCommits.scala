@@ -497,6 +497,15 @@ private[graft] trait LakeCommits { this: Lake.type =>
     * fast paths' lost-update window before round 14). */
   private[graft] var afterSlotPin: () => Unit = () => ()
 
+  /** TEST SEAM: runs after [[commitAppend]] stages its batch and
+    * BEFORE it reads the base version its rebase window starts at —
+    * the one window where a concurrent enableRowTracking / identity-
+    * declaring overwrite is invisible to the removed-dirs check (it
+    * lands at or below `base`), so the allocator-presence rebase
+    * check below is the only guard against committing untracked rows
+    * onto a tracked table. */
+  private[graft] var afterAppendStage: () => Unit = () => ()
+
   /** Build and publish the version-`version` manifest put-if-absent.
     * Returns true when this writer won the version slot (retention
     * then pruned), false when a concurrent writer committed `version`
@@ -766,7 +775,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
           manifestPartCols(fs, r, curV) == manifestPartCols(fs, r, baseV) &&
           manifestBucketBy(fs, r, curV) == manifestBucketBy(fs, r, baseV) &&
           manifestGenParts(fs, r, curV) == manifestGenParts(fs, r, baseV) &&
-          manifestGenCols(fs, r, curV) == manifestGenCols(fs, r, baseV)
+          manifestGenCols(fs, r, curV) == manifestGenCols(fs, r, baseV) &&
+          // allocator PRESENCE: a rewrite staged on an untracked /
+          // identity-free base carries no id columns — retrying onto a
+          // snapshot that enabled either would commit id-less rows
+          manifestRowId(fs, r, curV).isDefined ==
+            manifestRowId(fs, r, baseV).isDefined &&
+          manifestIdentity(fs, r, curV).isDefined ==
+            manifestIdentity(fs, r, baseV).isDefined
       if (!metaSame) throw cme(
         "raced a metadata commit (mapping/layout DDL) — the staged " +
           "files froze under the previous metadata; re-run against the " +
@@ -1090,6 +1106,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       stageBatch(spark, fs, r, df, effStats, effBloom, effPart,
         bucketBy = effBucket, colMap = newMap)
     def dropStaged(): Unit = staged.foreach(d => fs.delete(new Path(r, d), true))
+    afterAppendStage()
     // the snapshot this append staged against; every retry re-checks
     // that the commits landing after it were all append-shaped
     val base = committedVersions(fs, r).maxOption.getOrElse(-1L)
@@ -1203,6 +1220,26 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // refusing)
       val curMark = cur.flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
       val curRidMark = cur.flatMap(v => manifestRowId(fs, r, v))
+      // allocator PRESENCE must match what this append staged under:
+      // an enableRowTracking / identity-declaring overwrite (or a
+      // RESTORE dropping either) that lands between this append's
+      // entry reads and `base` is invisible to the removed-dirs check
+      // above, and committing would inherit the live mark while the
+      // staged rows carry no ids (or vice versa) — a silently
+      // half-tracked table whose NULL ids mis-pair in the keyless
+      // change feed. Refuse loudly; the re-run stages under the
+      // current declaration.
+      if (effId.isDefined != curMark.isDefined ||
+          ridMark0.isDefined != curRidMark.isDefined) {
+        dropStaged()
+        throw new java.util.ConcurrentModificationException(
+          s"append to $root: a concurrent commit " +
+            (if (ridMark0.isDefined != curRidMark.isDefined)
+              "changed row tracking" else "changed the identity declaration") +
+            " while this append was staging — the staged rows were " +
+            "built under the previous allocator state; re-run the " +
+            "append against the current table")
+      }
       val idMoved = effId.isDefined && curMark.exists(_ != idStart)
       val ridMoved = ridMark0.isDefined && curRidMark.exists(_ != ridStart)
       if (idMoved || ridMoved) {

@@ -51,6 +51,13 @@ private[graft] trait LakeMutations { this: Lake.type =>
       throw new java.util.NoSuchElementException(
         s"no committed table at $root — bootstrap with commitOverwrite/commitAppend"))
     val snapDirs = manifestDirs(fs, r, cur)
+    // a CDC batch never carries the hidden row-id: survivors keep
+    // theirs (read from the stored files) and winners allocate fresh —
+    // a batch smuggling the column in would either refuse as drift or
+    // be silently replaced, so refuse it by name up front
+    require(!changes.columns.contains(RowIdCol),
+      s"'$RowIdCol' is engine-owned under row tracking — the merge " +
+        "batch must omit it")
     // slot pinned before the probe/hits/staging jobs run (the COW
     // invariant, shared by the DV fast path): a concurrent commit
     // landing during those jobs takes this number and our publish —
@@ -514,9 +521,18 @@ private[graft] trait LakeMutations { this: Lake.type =>
     val setRes = org.apache.spark.sql.internal.SQLConf.get.resolver
     val set0 = set.map { case (k, v) =>
       schema.fieldNames.find(setRes(_, k)).getOrElse(k) -> v }
-    set0.keys.foreach(c => require(schema.fieldNames.contains(c),
+    // the carried schema includes the HIDDEN row-tracking column —
+    // engine-owned like the identity column one guard below: a
+    // programmatic SET on it would rewrite stable ids and silently
+    // break the keyless change feed's pairing contract
+    require(!set0.contains(RowIdCol),
+      s"'$RowIdCol' is engine-owned under row tracking — UPDATE " +
+        "cannot assign it (stable ids are what the keyless change " +
+        "feed pairs on)")
+    set0.keys.foreach(c => require(
+      publicSchema(schema).fieldNames.contains(c),
       s"SET column '$c' is not in the table schema " +
-        schema.fieldNames.mkString("[", ", ", "]")))
+        publicSchema(schema).fieldNames.mkString("[", ", ", "]")))
     manifestIdentity(fs, r, cur).foreach { case (idCol, _) =>
       require(!set0.contains(idCol),
         s"identity column '$idCol' is GENERATED ALWAYS — UPDATE cannot " +
@@ -710,9 +726,16 @@ private[graft] trait LakeMutations { this: Lake.type =>
     // exact schema field name, so a case-varied `SET Meta = …` would
     // otherwise silently NOT apply (the row would keep its old value)
     val mergeRes = org.apache.spark.sql.internal.SQLConf.get.resolver
-    def canonSet(m: Map[String, Column]): Map[String, Column] =
+    def canonSet(m: Map[String, Column]): Map[String, Column] = {
+      // the hidden row-id is engine-owned: assigning (or inserting)
+      // it would rewrite stable ids and break keyless-feed pairing —
+      // same refusal UPDATE applies, matching the append-side guard
+      require(!m.keys.exists(mergeRes(_, RowIdCol)),
+        s"'$RowIdCol' is engine-owned under row tracking — MERGE " +
+          "cannot assign or insert it")
       m.map { case (k, v) =>
         schema.fieldNames.find(mergeRes(_, k)).getOrElse(k) -> v }
+    }
     def canonMatched(cs: Seq[LakeMergeMatched]): Seq[LakeMergeMatched] =
       cs.map {
         case LakeMergeUpdate(c, set) => LakeMergeUpdate(c, canonSet(set))

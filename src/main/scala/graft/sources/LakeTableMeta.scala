@@ -1198,13 +1198,19 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   private[sources] val DefaultExistsKey = "EXISTS_DEFAULT"
   private[sources] val DefaultCurrentKey = "CURRENT_DEFAULT"
 
-  /** Validate `text` as a column-DEFAULT literal for type `dt`:
-    * must analyze with no input columns, fold to a constant,
-    * be deterministic, and cast to `dt`. Returns normally or refuses
-    * loudly (never at read time). */
+  /** Validate `text` as a column-DEFAULT literal for type `dt` and
+    * CONSTANT-FOLD it once, returning the folded literal's SQL — what
+    * actually lands in EXISTS_DEFAULT/CURRENT_DEFAULT. The stored text
+    * is re-evaluated per read (the per-file backfill) and per omitting
+    * write, so anything left unfolded could drift between sessions;
+    * folding at DDL time freezes it (the same rule Spark's
+    * ResolveDefaultColumns.analyze applies). Must analyze with no
+    * input columns, fold to a constant, be deterministic, NOT be
+    * query-time-anchored, and cast to `dt`; refuses loudly (never at
+    * read time). */
   private[sources] def validateDefaultLiteral(spark: SparkSession,
       name: String, dt: org.apache.spark.sql.types.DataType,
-      text: String): Unit = {
+      text: String): String = {
     val parsed = try spark.sql(s"SELECT ($text) AS v")
       catch { case e: Exception => throw new IllegalArgumentException(
         s"DEFAULT for '$name' must be a constant literal; `$text` " +
@@ -1213,16 +1219,33 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
       case x => x
     }
+    // current_timestamp()/now()/current_date() are Catalyst-foldable
+    // AND deterministic (folded only later, by ComputeCurrentTime),
+    // so the foldable gate alone would admit them — and the stored
+    // text would re-evaluate per READ, drifting pre-add rows between
+    // queries: exactly the history reinterpretation the immutability
+    // rule forbids. Refuse them by node.
+    val timeAnchored = Set("currentdate", "currenttimestamp", "now",
+      "localtimestamp", "currenttimezone", "currenttime")
+    require(e.find(c => timeAnchored.contains(
+        c.nodeName.toLowerCase(java.util.Locale.ROOT))).isEmpty,
+      s"DEFAULT for '$name' must be a CONSTANT literal — `$text` is " +
+        "anchored to query time (current_timestamp()/current_date()/" +
+        "now()), so pre-add rows would read a different value per " +
+        "query; freeze the instant yourself (TIMESTAMP '...')")
     require(e.foldable && e.deterministic,
       s"DEFAULT for '$name' must be a CONSTANT literal — `$text` is " +
         "not foldable/deterministic (expressions, rand(), " +
         "current_timestamp() and column references are refused)")
-    // the literal must actually cast to the column type
-    try { parsed.select(org.apache.spark.sql.functions.col("v").cast(dt))
-      .collect(); () }
+    // fold: the literal must actually cast to the column type, and the
+    // CAST RESULT is what the metadata stores
+    val folded = try parsed
+      .select(org.apache.spark.sql.functions.col("v").cast(dt))
+      .collect().head.get(0)
     catch { case ex: Exception => throw new IllegalArgumentException(
       s"DEFAULT `$text` for '$name' does not cast to ${dt.simpleString}: " +
         ex.getMessage) }
+    org.apache.spark.sql.catalyst.expressions.Literal.create(folded, dt).sql
   }
 
   /** Fields of the live committed schema that declare a
@@ -1259,10 +1282,10 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   def addColumnWithDefault(spark: SparkSession, root: String,
       name: String, dt: org.apache.spark.sql.types.DataType,
       defaultSql: String, retain: Int = -1): Long = {
-    validateDefaultLiteral(spark, name, dt, defaultSql)
+    val folded = validateDefaultLiteral(spark, name, dt, defaultSql)
     val md = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString(DefaultExistsKey, defaultSql)
-      .putString(DefaultCurrentKey, defaultSql)
+      .putString(DefaultExistsKey, folded)
+      .putString(DefaultCurrentKey, folded)
       .build()
     addColumnsWithMetadata(spark, root, Seq((name, dt, md)), retain)
   }
@@ -1305,8 +1328,8 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
         .withMetadata(f.metadata)
       defOpt match {
         case Some(text) =>
-          validateDefaultLiteral(spark, name, f.dataType, text)
-          mb.putString(DefaultCurrentKey, text)
+          mb.putString(DefaultCurrentKey,
+            validateDefaultLiteral(spark, name, f.dataType, text))
         case None =>
           mb.remove(DefaultCurrentKey)
       }
@@ -1353,12 +1376,19 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       throw new IllegalArgumentException(
         s"the table at $root predates carried schemas — commit once " +
           "(any append) to establish a #schema line, then add columns"))
+    // duplicate checks run under the SESSION resolver, like addFieldAt
+    // and the ALTER paths: under the default case-insensitive analysis
+    // `ADD COLUMNS (Score INT)` on a table with 'score' must refuse —
+    // an exact-only check would commit a case-duplicate column the
+    // analyzer can then no longer resolve unambiguously
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
     cols.foreach { case (n, _, _) =>
-      require(n.nonEmpty && !schema.fieldNames.contains(n),
+      require(n.nonEmpty && !schema.fieldNames.exists(res(_, n)),
         s"column '$n' already exists at $root (or is empty)")
     }
-    require(cols.map(_._1).distinct.length == cols.length,
-      "duplicate names in the added column list")
+    for (i <- cols.indices; j <- cols.indices if i < j)
+      require(!res(cols(i)._1, cols(j)._1),
+        "duplicate names in the added column list")
     requireNotFoldTable(fs, r, "add columns to")
     val newSchema = org.apache.spark.sql.types.StructType(
       schema.fields ++ cols.map { case (n, dt, md) =>
@@ -1476,10 +1506,10 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       default match {
         case None => org.apache.spark.sql.types.Metadata.empty
         case Some(text) =>
-          validateDefaultLiteral(spark, name, dt, text)
+          val folded = validateDefaultLiteral(spark, name, dt, text)
           new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(DefaultExistsKey, text)
-            .putString(DefaultCurrentKey, text)
+            .putString(DefaultExistsKey, folded)
+            .putString(DefaultCurrentKey, folded)
             .build()
       }
     if (cols.forall(_._1.length == 1))

@@ -771,4 +771,22 @@ class LakeColMapSpec extends SparkSpec {
     assert(sch2("n").dataType === LongType && sch2("w").dataType === LongType)
     spark.sql("DROP TABLE atomicddl_sql")
   }
+
+  test("ADD COLUMNS duplicate checks run under the session resolver (case-insensitive by default)") {
+    val root = tmpTable("graft-colmap-casedup")
+    Lake.commitOverwrite(Seq((1L, 0.5)).toDF("k", "score"), root, retain = 8)
+    // a case-twin of an existing column refuses — committing it would
+    // leave the analyzer unable to resolve either unambiguously
+    assert(intercept[IllegalArgumentException] {
+      Lake.addColumns(spark, root,
+        Seq("Score" -> org.apache.spark.sql.types.IntegerType))
+    }.getMessage.contains("already exists"))
+    // intra-statement case twins refuse the whole statement
+    assert(intercept[IllegalArgumentException] {
+      Lake.addColumns(spark, root,
+        Seq("a" -> org.apache.spark.sql.types.IntegerType,
+          "A" -> org.apache.spark.sql.types.IntegerType))
+    }.getMessage.contains("duplicate"))
+    assert(Lake.readCommitted(spark, root).columns.toSeq === Seq("k", "score"))
+  }
 }

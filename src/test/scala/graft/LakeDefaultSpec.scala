@@ -231,4 +231,36 @@ class LakeDefaultSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("default-v99"))
   }
+
+  test("query-time-anchored defaults refuse; constant expressions fold ONCE at DDL time") {
+    val root = tmpTable("graft-default-fold")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    // current_timestamp()/current_date() are foldable AND
+    // deterministic to Catalyst (folded only later, by
+    // ComputeCurrentTime) — the node-level refusal is what stands
+    // between them and a backfill that drifts per read
+    assert(intercept[IllegalArgumentException] {
+      Lake.addColumnWithDefault(spark, root, "ts", TimestampType,
+        "current_timestamp()")
+    }.getMessage.contains("anchored to query time"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.addColumnWithDefault(spark, root, "d", DateType,
+        "current_date()")
+    }.getMessage.contains("anchored to query time"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.alterColumnDefaults(spark, root, Seq("t" -> Some("now()")))
+    }.getMessage.contains("anchored to query time"))
+    // a constant EXPRESSION folds at DDL time: the stored metadata is
+    // the folded literal's SQL, never the expression text — what the
+    // per-file backfill and omitting writes re-evaluate is frozen
+    Lake.addColumnWithDefault(spark, root, "n", IntegerType, "1 + 1")
+    val f = Lake.readCommitted(spark, root).schema("n")
+    assert(f.metadata.getString("CURRENT_DEFAULT") === "2")
+    assert(f.metadata.getString("EXISTS_DEFAULT") === "2")
+    assert(rows(Lake.readCommitted(spark, root).select("k", "n")) ===
+      Set(Seq(1L, 2)))
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).select("k", "n")) ===
+      Set(Seq(1L, 2), Seq(2L, 2)))
+  }
 }

@@ -240,4 +240,55 @@ class LakeRowTrackingSpec extends SparkSpec {
       s"SELECT k, t, change_type FROM graft_changes('$root', $v, $live)")) ===
       feed)
   }
+
+  test("an append racing enableRowTracking refuses instead of committing id-less rows") {
+    val root = tmpTable("graft-rid-race-enable")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
+    // the one window the removed-dirs rebase check cannot see: the
+    // tracking enable lands AFTER this append read the allocator state
+    // but BEFORE it read its base version — without the presence check
+    // the append would win the next slot and commit rows with no
+    // physical _row_id while inheriting the live mark (half-tracked)
+    Lake.afterAppendStage = () => {
+      Lake.afterAppendStage = () => ()
+      Lake.enableRowTracking(spark, root, retain = 8); ()
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    }
+    assert(e.getMessage.contains("changed row tracking"))
+    // the re-run stages under the live declaration and stamps ids
+    Lake.commitAppend(Seq((2L, "b")).toDF("k", "t"), root, retain = 8)
+    assert(ridsOf(root).sorted === Seq(0L, 1L))
+  }
+
+  test("engine-owned _row_id refuses in UPDATE SET, MERGE assignments and CDC merge batches") {
+    val root = tmpTable("graft-rid-own")
+    Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root,
+      retain = 8, rowTracking = true)
+    assert(intercept[IllegalArgumentException] {
+      Lake.updateWhere(spark, root, col("k") === 1L,
+        Map(Lake.RowIdCol -> lit(0L)))
+    }.getMessage.contains("engine-owned"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, root, Seq((1L, "z")).toDF("k", "t"),
+        on = Seq((col("t.k"), col("k"))),
+        matched = Seq(graft.sources.LakeMergeUpdate(None,
+          Map(Lake.RowIdCol -> lit(0L)))))
+    }.getMessage.contains("engine-owned"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.mergeInto(spark, root, Seq((2L, "z")).toDF("k", "t"),
+        on = Seq((col("t.k"), col("k"))),
+        notMatched = Seq(graft.sources.LakeMergeInsert(None,
+          Map("k" -> col("s.k"), Lake.RowIdCol -> lit(7L)))))
+    }.getMessage.contains("engine-owned"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.mergeCommitted(spark, root,
+        Seq((1L, "z", 99L, 1L, false)).toDF(
+          "k", "t", Lake.RowIdCol, "v", "del"),
+        Seq("k"), "v", "del")
+    }.getMessage.contains("engine-owned"))
+    // nothing above committed: the table is untouched
+    assert(rows(Lake.readCommitted(spark, root)) === Set(Seq(1L, "a")))
+  }
 }
