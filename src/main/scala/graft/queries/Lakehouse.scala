@@ -2075,6 +2075,57 @@ object Lakehouse {
         .withColumn("gencol_guards", lit(refused && untouched))
     },
 
+    // ID-MODE COLUMN MAPPING (#colmap2) under the oracle hash — the
+    // round-17 lift of the nested-DROP refusal. Per-field immutable
+    // ids assign to EXISTING names at upgrade (zero file rewrites);
+    // `DROP COLUMN meta.lang` tombstones the field's (container,
+    // physical-name) so the immediate RE-ADD of the same name mints a
+    // FRESH physical name — the oracle's CASE encodes the resurrection
+    // proof: every pre-drop row reads NULL for the re-added field,
+    // never the dropped generation's bytes. `RENAME COLUMN meta.sz TO
+    // size` then moves only the logical name (the physical stats key
+    // is frozen), and generation 2 appends under the post-DDL shape so
+    // the final read crosses TWO mapping generations. Proof columns:
+    // the dir set is byte-identical across all three DDLs
+    // (mapping_metadata_only) and a range predicate on the RENAMED
+    // nested field still prunes on the frozen physical stats key
+    // (skipping_survives). At 100 TB all three DDLs are one manifest
+    // write each.
+    Q("q188_nested_colmap_v2",
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |       THEN NULL ELSE lang END AS lang2,
+        |  doc_id AS size,
+        |  TRUE AS mapping_metadata_only, TRUE AS skipping_survives
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_cmv2", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        struct(col("lang"), col("doc_id").as("sz")).as("meta"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val half = maxId / 2
+      Lake.commitOverwrite(docs.where(col("doc_id") <= half), root,
+        retain = 8, statsCols = Seq("meta.sz"))
+      s.sql("DROP TABLE IF EXISTS cmv2_docs")
+      s.sql(s"CREATE TABLE cmv2_docs USING `graft-lake` OPTIONS (root '$root')")
+      val preDirs = Lake.resolve(s, root).toSet
+      s.sql("ALTER TABLE cmv2_docs DROP COLUMN meta.lang")
+      s.sql("ALTER TABLE cmv2_docs ADD COLUMN meta.lang STRING")
+      s.sql("ALTER TABLE cmv2_docs RENAME COLUMN meta.sz TO size")
+      val metadataOnly = Lake.resolve(s, root).toSet == preDirs
+      Lake.commitAppend(
+        Tables.documents(s, d).where(col("doc_id") > half)
+          .select(col("doc_id"), col("source"),
+            struct(col("doc_id").as("size"), col("lang")).as("meta")),
+        root, retain = 8)
+      s.sql("REFRESH TABLE cmv2_docs")
+      val (_, skipped) = Lake.pruneDirs(s, root, col("meta.size") > half)
+      s.sql(
+        """SELECT doc_id, source, meta.lang AS lang2, meta.size AS size
+          |FROM cmv2_docs ORDER BY doc_id""".stripMargin)
+        .withColumn("mapping_metadata_only", lit(metadataOnly))
+        .withColumn("skipping_survives", lit(skipped.nonEmpty))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

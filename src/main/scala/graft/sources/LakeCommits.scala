@@ -132,8 +132,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
     import org.apache.spark.sql.functions.{col, lit}
     // batches arrive under LOGICAL names; files (and therefore every
     // per-dir stat/bloom/part key, and the partCols/effStats/effBloom/
-    // bucket args, which come from the manifest) are PHYSICAL
-    val df = toPhysicalDf(df0, colMap)
+    // bucket args, which come from the manifest) are PHYSICAL. Under
+    // id-mode the tree additionally stamps each known field's
+    // parquet.field.id into the staged files (write-side provenance).
+    val df = toPhysicalDf(df0, colMap, liveColMap2(fs, r))
     // optimize-write (Delta's): with the table property on, each
     // slice coalesces to ceil(est/128 MB) files instead of one file
     // per shuffle partition — a 32-thread tiny append stages ONE
@@ -528,6 +530,9 @@ private[graft] trait LakeCommits { this: Lake.type =>
       newDvs: Map[String, String] = Map.empty,
       dvsReplace: Boolean = false,
       colMap: Option[Map[String, String]] = None,
+      colMap2Carry: Map[String, String] = Map.empty,
+      colMap2Establish: Boolean = false,
+      colMap2Replace: Option[Option[ColMapV2]] = None,
       retiredCols: Option[Seq[String]] = None,
       genParts: Option[Seq[(String, String)]] = None,
       genTz: Option[String] = None,
@@ -594,6 +599,24 @@ private[graft] trait LakeCommits { this: Lake.type =>
       prevV.map(v => manifestColMap(fs, r, v)).getOrElse(Map.empty))
     val effRetired = retiredCols.getOrElse(
       prevV.map(v => manifestRetired(fs, r, v)).getOrElse(Nil))
+    // the id-mode field tree (#colmap2) RECONCILES at this one choke
+    // point: fields of the committed schema keep their ids (matched by
+    // container + logical name, or through the rename carry), new
+    // fields mint, vanished fields tombstone — so every schema-shaping
+    // path (append evolution, overwrite, merge, DDL) maintains the
+    // tree without knowing it exists. RESTORE/clone pass the target
+    // version's tree AUTHORITATIVELY.
+    val prevV2 = prevV.flatMap(v => manifestColMap2(fs, r, v))
+    val effV2: Option[ColMapV2] = colMap2Replace match {
+      case Some(v2) => v2
+      case None =>
+        if (prevV2.isEmpty && !colMap2Establish) None
+        else schema match {
+          case Some(s) =>
+            Some(reconcileColMap2(prevV2, s, effColMap, colMap2Carry))
+          case None => prevV2
+        }
+    }
     // generated columns inherit like every table-property line
     val effGen = genParts.getOrElse(
       prevV.map(v => manifestGenParts(fs, r, v)).getOrElse(Nil))
@@ -650,6 +673,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val features =
       (if (dvLines.nonEmpty) Seq("dv") else Nil) ++
       (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
+      // the id tree is semantics-bearing: a build without it would
+      // drop the tree on commit-on-top, losing the tombstones that
+      // keep dropped nested bytes unreachable on re-add
+      (if (effV2.nonEmpty) Seq("colmap2") else Nil) ++
       (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
       (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
       // plain generated columns are semantics-bearing the same way:
@@ -694,10 +721,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
         BucketByPrefix + n + ":" + cols.mkString(",")
       } ++
       effChecks.map { case (n, e) => CheckPrefix + n + ":" + e } ++
-      (if (effColMap.nonEmpty)
+      // under id-mode the flat map is DERIVED from the tree on read —
+      // writing both would be a dual source of truth
+      (if (effColMap.nonEmpty && effV2.isEmpty)
         Seq(ColMapPrefix + effColMap.toSeq.sorted
           .map { case (l, p) => s"$l:$p" }.mkString(","))
        else Nil) ++
+      effV2.map(v2 => ColMap2Prefix + colMap2Json(v2)).toSeq ++
       (if (effRetired.nonEmpty) Seq(ColRetiredPrefix + effRetired.mkString(","))
        else Nil) ++
       effGen.map { case (c, e) => GenPartPrefix + c + ":" + e } ++
@@ -769,6 +799,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
           "re-run against the current table")
       val metaSame =
         manifestColMap(fs, r, curV) == manifestColMap(fs, r, baseV) &&
+          manifestColMap2(fs, r, curV) == manifestColMap2(fs, r, baseV) &&
           manifestRetired(fs, r, curV) == manifestRetired(fs, r, baseV) &&
           manifestStatsCols(fs, r, curV) == manifestStatsCols(fs, r, baseV) &&
           manifestBloomCols(fs, r, curV) == manifestBloomCols(fs, r, baseV) &&
@@ -1274,7 +1305,15 @@ private[graft] trait LakeCommits { this: Lake.type =>
           case None    => Some(n)
         }
       }
-      if (commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
+      // an id-mode reconcile conflict (the batch's schema evolution
+      // re-introduces a field a concurrent or earlier commit dropped)
+      // throws before the publish — clean up the staged dirs and
+      // surface it (the remedy is ALTER TABLE ADD COLUMN)
+      def publishOrClean(commit: => Boolean): Boolean =
+        try commit catch {
+          case e: IllegalStateException => dropStaged(); throw e
+        }
+      if (publishOrClean(commitManifest(fs, r, next, prevDirs ++ staged, retain, Some(schema),
           rows, stats, effStats, newBlooms = blooms, bloomCols = effBloom,
           newParts = parts, partCols = effPart,
           colMap = Some(mergedMap),
@@ -1286,7 +1325,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
           identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
           ingested = ingested,
           rowId = if (ridMark0.isDefined) Some(ridStart + ridN) else None,
-          op = op)) {
+          op = op))) {
         maybeAutoCompact(spark, fs, r, root)
         return next
       }

@@ -592,13 +592,6 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFieldName, UnresolvedTable}
   import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, RenameColumn}
 
-  private def topLevel(parts: Seq[String], what: String): String = {
-    require(parts.length == 1,
-      s"graft-lake column mapping supports top-level columns only — " +
-        s"cannot $what nested field ${parts.mkString(".")}")
-    parts.head
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case ac @ org.apache.spark.sql.catalyst.plans.logical.AddColumns(
@@ -641,15 +634,16 @@ class GraftLakeColumnDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
           case None => rc
           case Some((root, ident)) =>
-            GraftRenameColumnCommand(root,
-              topLevel(parts, "rename"), newName, ident)
+            // nested paths route to the id-mode engine (auto-upgrades
+            // the table to #colmap2); top-level stays name-mode
+            GraftRenameColumnCommand(root, parts, newName, ident)
         }
       case dc @ DropColumns(t: UnresolvedTable, cols, ifExists) =>
         LakeDml.lakeRootByIdent(session, t.multipartIdentifier) match {
           case None => dc
           case Some((root, ident)) =>
             val names = cols.map {
-              case UnresolvedFieldName(parts) => topLevel(parts, "drop")
+              case UnresolvedFieldName(parts) => parts
               case other => throw new IllegalArgumentException(
                 s"cannot drop $other — name the column directly")
             }
@@ -720,11 +714,12 @@ case class GraftAddColumnsCommand(root: String,
   }
 }
 
-case class GraftRenameColumnCommand(root: String, oldName: String,
+case class GraftRenameColumnCommand(root: String, path: Seq[String],
     newName: String, ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    Lake.renameColumn(session, root, oldName, newName)
+    if (path.length == 1) Lake.renameColumn(session, root, path.head, newName)
+    else Lake.renameNestedColumn(session, root, path, newName)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty
@@ -765,13 +760,16 @@ case class GraftAlterColumnTypeCommand(root: String,
   }
 }
 
-case class GraftDropColumnCommand(root: String, names: Seq[String],
+case class GraftDropColumnCommand(root: String, names: Seq[Seq[String]],
     ifExists: Boolean, ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val have = Lake.readCommitted(session, root).columns.toSet
-    names.foreach { n =>
-      if (!ifExists || have(n)) Lake.dropColumn(session, root, n)
+    val schema = Lake.readCommitted(session, root).schema
+    names.foreach { p =>
+      if (!ifExists || LakeDml.fieldPathExists(schema, p)) {
+        if (p.length == 1) Lake.dropColumn(session, root, p.head)
+        else Lake.dropNestedColumn(session, root, p)
+      }
     }
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)

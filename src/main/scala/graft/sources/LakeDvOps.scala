@@ -192,7 +192,7 @@ private[graft] trait LakeDvOps { this: Lake.type =>
     val withDv = dvColumn(spark, dvs, Some((subKey, version)))
       .map(base.where).getOrElse(base)
     schema match {
-      case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
+      case Some(s) if map.nonEmpty => renameToLogical(withDv, s, map)
       case _ => withDv
     }
   }

@@ -305,8 +305,12 @@ private[graft] trait LakeReads { this: Lake.type =>
       predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    // same leaf enrichment as the real read paths: generated-column
+    // derivation + logical→physical re-keying (per-dir lines are
+    // keyed physically — a renamed column's stats still prune)
     pruneDirsTreeAt(spark, root, cur,
-      extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
+      enrichTree(spark, fsFor(spark, root), new Path(root), cur,
+        extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate))))
   }
 
   /** Flat-conjunction compatibility spelling — the mutation engines
@@ -456,7 +460,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         Some((r.toString, cur)))
       .map(base.where).getOrElse(base)
     val logical = schemaOpt match {
-      case Some(s) if map.nonEmpty => withDv.toDF(s.fieldNames: _*)
+      case Some(s) if map.nonEmpty => renameToLogical(withDv, s, map)
       case _ => withDv
     }
     val out = logical.where(predicate)
@@ -867,6 +871,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         // the source's column map carries verbatim: the referenced
         // dirs store the SOURCE's physical names
         colMap = Some(manifestColMap(fs, sr, v)),
+        colMap2Replace = Some(manifestColMap2(fs, sr, v)),
         retiredCols = Some(manifestRetired(fs, sr, v)),
         genParts = Some(manifestGenParts(fs, sr, v)),
         genCols = Some(manifestGenCols(fs, sr, v)),
@@ -1010,6 +1015,12 @@ private[graft] trait LakeReads { this: Lake.type =>
         // lists a drop may have shrunk) restore to the TARGET's — the
         // restored dirs store the TARGET's physical names
         colMap = Some(manifestColMap(fs, r, version)),
+        // the id tree restores AUTHORITATIVELY with the rest of the
+        // metadata: reconciling against the LIVE tree would refuse
+        // re-surfacing a field dropped after the target (its tombstone
+        // is not part of the restored state — the restored dirs' bytes
+        // ARE that field's bytes)
+        colMap2Replace = Some(manifestColMap2(fs, r, version)),
         retiredCols = Some(manifestRetired(fs, r, version)),
         statsColsReplace = Some(manifestStatsCols(fs, r, version)),
         bloomColsReplace = Some(manifestBloomCols(fs, r, version)),
@@ -1204,6 +1215,29 @@ private[graft] trait LakeReads { this: Lake.type =>
         s"changesBetween v$fromVersion..v$toVersion crosses a column " +
           s"rename/re-add of ${crossed.mkString("[", ", ", "]")} — read " +
           "the feed in two spans, split at the mapping commit")
+    }
+    // id-mode ranges: any id that MOVED (rename), DROPPED, or whose
+    // path is re-served by a different id (drop + re-add) inside the
+    // range makes a shared-schema read lie about old-side preimages —
+    // refuse with the span-split remedy. Pure additions (ids minted by
+    // evolving appends) are the normal feed case and pass; a mid-range
+    // UPGRADE is a relabeling of existing names (the flat guard above
+    // already vetted name moves) and passes unless it tombstoned.
+    val fromV2 = manifestColMap2(fs, r, fromVersion)
+    val toV2 = manifestColMap2(fs, r, toVersion)
+    if (fromV2 != toV2) {
+      val crossed2: Seq[String] = (fromV2, toV2) match {
+        case (Some(a), Some(b)) => colMap2CrossedPaths(a, b)
+        case (None, Some(b)) =>
+          if (b.dead.isEmpty) Nil
+          else b.dead.map { case (c, p) => s"<container $c>.$p" }
+        case (Some(_), None) => Seq("<column-mapping restored away>")
+        case (None, None) => Nil
+      }
+      require(crossed2.isEmpty,
+        s"changesBetween v$fromVersion..v$toVersion crosses a nested " +
+          s"rename/drop/re-add of ${crossed2.mkString("[", ", ", "]")} — " +
+          "read the feed in two spans, split at the mapping commit")
     }
     // the diff unit is (dir, deletion-vector line): version dirs are
     // immutable, but a DV delete changes a dir's LIVE rows without

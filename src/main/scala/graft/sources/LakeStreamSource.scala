@@ -323,7 +323,8 @@ final class LakeStreamSource(
         val map = Lake.colMapAt(spark, root, endV)
         val df0 = spark.read.schema(Lake.physSchema(schema, map))
           .parquet(dirs.map(d => new Path(root, d).toString): _*)
-        val df = if (map.isEmpty) df0 else df0.toDF(schema.fieldNames: _*)
+        val df = if (map.isEmpty) df0
+          else Lake.renameToLogical(df0, schema, map)
         df.queryExecution.analyzed.transform {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             lr.copy(isStreaming = true)

@@ -943,13 +943,17 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[sources] def manifestColMap(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Map[String, String] =
-    manifestBody(fs, r, v).find(_.startsWith(ColMapPrefix))
-      .map(_.stripPrefix(ColMapPrefix).split(",").iterator
-        .map(_.trim).filter(_.nonEmpty).flatMap { e =>
-          val i = e.indexOf(':')
-          if (i <= 0) None else Some(e.take(i) -> e.drop(i + 1))
-        }.toMap)
-      .getOrElse(Map.empty)
+    // id-mode tables derive the flat translation from the field tree
+    // (#colmap2 is then the single source of truth and the v1 line is
+    // no longer written); name-mode tables parse the v1 line as ever
+    manifestColMap2(fs, r, v).map(flatColMap).getOrElse(
+      manifestBody(fs, r, v).find(_.startsWith(ColMapPrefix))
+        .map(_.stripPrefix(ColMapPrefix).split(",").iterator
+          .map(_.trim).filter(_.nonEmpty).flatMap { e =>
+            val i = e.indexOf(':')
+            if (i <= 0) None else Some(e.take(i) -> e.drop(i + 1))
+          }.toMap)
+        .getOrElse(Map.empty))
 
   private[sources] def manifestRetired(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[String] =
@@ -968,31 +972,139 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       version: Long): Map[String, String] =
     manifestColMap(fsFor(spark, root), new Path(root), version)
 
-  /** The physical (file) name of logical column `c`. */
+  /** The physical (file) path of logical column path `c`: an exact
+    * map hit wins (so a top-level column whose name contains a literal
+    * dot maps as itself), else the LONGEST mapped prefix translates
+    * and the tail rides verbatim — container renames compose down to
+    * unentried descendants. v1 maps only ever hold top-level keys,
+    * where this reduces to the original head-segment rule. */
   private[sources] def physName(map: Map[String, String], c: String): String =
     map.getOrElse(c, {
-      // nested paths map their HEAD segment (renaming re-points the
-      // container; field names inside a struct never change) — an
-      // exact-name hit wins first so a top-level column whose name
-      // contains a literal dot still maps as itself
-      val i = c.indexOf('.')
-      if (i < 0) c
-      else map.get(c.take(i)).map(_ + c.drop(i)).getOrElse(c)
+      var i = c.lastIndexOf('.')
+      while (i > 0) {
+        map.get(c.take(i)) match {
+          case Some(p) => return p + c.drop(i)
+          case None => i = c.lastIndexOf('.', i - 1)
+        }
+      }
+      c
     })
 
   /** Logical schema → the PHYSICAL schema its files store (field
-    * renames only; order, types and nullability are shared). */
+    * renames only, nested included under id-mode; order, types and
+    * nullability are shared). */
   private[sources] def physSchema(
       schema: org.apache.spark.sql.types.StructType,
       map: Map[String, String]): org.apache.spark.sql.types.StructType =
     if (map.isEmpty) schema
-    else org.apache.spark.sql.types.StructType(
-      schema.fields.map(f => f.copy(name = physName(map, f.name))))
+    else {
+      val nested = map.keys.exists(_.contains('.'))
+      def go(st: org.apache.spark.sql.types.StructType,
+          prefix: String): org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(st.fields.map { f =>
+          val lpath = if (prefix.isEmpty) f.name else prefix + "." + f.name
+          val newName = map.get(lpath) match {
+            case Some(full) => full.substring(full.lastIndexOf('.') + 1)
+            case None => f.name
+          }
+          val dt = f.dataType match {
+            case s: org.apache.spark.sql.types.StructType
+                if nested && map.keys.exists(_.startsWith(lpath + ".")) =>
+              go(s, lpath)
+            case other => other
+          }
+          f.copy(name = newName, dataType = dt)
+        })
+      go(schema, "")
+    }
 
-  /** Batch with LOGICAL names → the PHYSICAL names staging writes. */
+  /** Batch with LOGICAL names → the PHYSICAL names staging writes.
+    * Top-level divergence is a zero-cost `toDF` rename; NESTED
+    * divergence (id-mode) rewrites the diverging containers through a
+    * struct cast — positional, codegen'd, a projection not a shuffle.
+    * When the table carries an id tree, every field the tree knows is
+    * additionally stamped with its `parquet.field.id` (Spark's own
+    * write wiring puts it in the footer), the provenance a future
+    * pure-id reader keys on; fields minted by THIS commit get their
+    * ids from the next write. */
   private[sources] def toPhysicalDf(df: org.apache.spark.sql.DataFrame,
+      map: Map[String, String],
+      v2: Option[ColMapV2] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+    if (map.isEmpty && v2.isEmpty) return df
+    val byKey = v2.map(_.fields.map(f => (f.container, f.logical) -> f).toMap)
+      .getOrElse(Map.empty)
+    def idOf(container: Int, name: String): Option[ColMapField] =
+      byKey.get((container, name))
+    // physical target field (renamed, nested-renamed, id-stamped)
+    def physField(f: org.apache.spark.sql.types.StructField,
+        prefix: String, container: Int):
+        org.apache.spark.sql.types.StructField = {
+      val lpath = if (prefix.isEmpty) f.name else prefix + "." + f.name
+      val ent = idOf(container, f.name)
+      val newName = map.get(lpath) match {
+        case Some(full) => full.substring(full.lastIndexOf('.') + 1)
+        case None => ent.map(_.phys).getOrElse(f.name)
+      }
+      val md = ent match {
+        case Some(e) => new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", e.id.toLong).build()
+        case None => f.metadata
+      }
+      val dt = f.dataType match {
+        case s: StructType =>
+          StructType(s.fields.map(physField(_, lpath,
+            ent.map(_.id).getOrElse(-1))))
+        case other => other
+      }
+      f.copy(name = newName, dataType = dt, metadata = md)
+    }
+    val target = StructType(df.schema.fields.map(physField(_, "", 0)))
+    val nestedChange = df.schema.fields.zip(target.fields).exists {
+      case (a, b) => a.dataType != b.dataType
+    }
+    if (!nestedChange) {
+      // rename-only fast path; top-level aliases carry the id metadata
+      if (v2.isEmpty) df.toDF(target.fields.map(_.name).toIndexedSeq: _*)
+      else df.select(df.schema.fields.zip(target.fields).toSeq.map {
+        case (lf, pf) =>
+          org.apache.spark.sql.functions
+            .col("`" + lf.name.replace("`", "``") + "`")
+            .as(pf.name, pf.metadata)
+      }: _*)
+    } else
+      // struct cast renames nested fields positionally (types are
+      // shared, so this is a name-level rewrite the optimizer keeps
+      // inside codegen) and carries the nested id metadata
+      df.select(df.schema.fields.zip(target.fields).toSeq.map {
+        case (lf, pf) =>
+          val c = org.apache.spark.sql.functions
+            .col("`" + lf.name.replace("`", "``") + "`")
+          (if (lf.dataType == pf.dataType) c
+           else c.cast(org.apache.spark.sql.graft.Shim
+             .asNullableType(pf.dataType)))
+            .as(pf.name, pf.metadata)
+      }: _*)
+  }
+
+  /** Physically-named read → the LOGICAL names callers see: the
+    * rename-back dual of [[toPhysicalDf]]. Top-level divergence is a
+    * `toDF`; nested divergence casts each diverging container back to
+    * its logical struct shape. `s` is the committed LOGICAL schema. */
+  private[sources] def renameToLogical(df: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.types.StructType,
       map: Map[String, String]): org.apache.spark.sql.DataFrame =
-    if (map.isEmpty) df else df.toDF(df.columns.map(physName(map, _)): _*)
+    if (map.isEmpty) df
+    else if (!map.keys.exists(_.contains('.')))
+      df.toDF(s.fieldNames.toIndexedSeq: _*)
+    else df.select(s.fields.toSeq.zip(df.schema.fields.toSeq).map {
+      case (lf, pf) =>
+        val c = org.apache.spark.sql.functions
+          .col("`" + pf.name.replace("`", "``") + "`")
+        (if (pf.dataType == lf.dataType) c
+         else c.cast(org.apache.spark.sql.graft.Shim
+           .asNullableType(lf.dataType))).as(lf.name)
+    }: _*)
 
   /** Prunable conjuncts re-keyed to physical names (per-dir stat /
     * bloom / partition / file-stat lines are keyed physically). */
@@ -1049,6 +1161,470 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     out
   }
 
+  // ---- id-mode column mapping (#colmap2) ----------------------------
+  //
+  // Delta's `columnMapping.mode = id`, adapted to the one constraint
+  // vanilla Spark imposes (pinned by LakeColMapV2Spec's conformance
+  // test): the parquet reader CANNOT mix id-matching and name-matching
+  // per file — with `spark.sql.parquet.fieldId.read.enabled` a file
+  // carrying no ids reads every id-ed column as NULL (or errors), so
+  // pure-id reads would corrupt every file written before the upgrade.
+  // The sound Spark-native shape is therefore Iceberg's NAME-MAPPING
+  // trick inverted: per-field immutable numeric ids are the CANONICAL
+  // identity (assigned to existing names at upgrade, zero file
+  // rewrites), file ACCESS stays name-keyed, and the invariant that
+  // makes that sound is that each id's physical name is FROZEN and
+  // never reused inside its container — a dropped-then-re-added field
+  // gets a fresh id and a fresh physical name, so old bytes are
+  // unreachable by construction. New files additionally carry each
+  // field's id as `parquet.field.id` (Spark's own write wiring), the
+  // durable provenance a future pure-id reader needs.
+  //
+  // `#colmap2=<json>` holds the field tree: one entry per struct
+  // field, nested included — `i` the immutable id, `c` the container's
+  // id (0 = root), `l` the field's LOGICAL name within its container,
+  // `p` its PHYSICAL (file) name — plus `dead` tombstones (container
+  // id, physical name) for dropped fields and `next`, the id
+  // high-water mark. The flat logical-path → physical-path map every
+  // reader/writer consumes is DERIVED from the tree, so the v1
+  // `#colmap=` machinery keeps working unchanged; the v1 line stops
+  // being written once the tree exists. Array/map interiors are leaf
+  // entries (no per-element identity — DDL inside them refuses, as in
+  // name mode). Semantics-bearing → `#require=colmap2`: an old build
+  // committing on top would drop the tree and resurrect dropped
+  // nested bytes on re-add.
+  private[sources] val ColMap2Prefix = "#colmap2="
+
+  private[graft] final case class ColMapField(
+      id: Int, container: Int, logical: String, phys: String)
+  private[graft] final case class ColMapV2(
+      next: Int, fields: Seq[ColMapField], dead: Seq[(Int, String)])
+
+  private[sources] def colMap2Json(m: ColMapV2): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("next", m.next)
+    val fs = om.createArrayNode()
+    m.fields.foreach { f =>
+      val n = om.createObjectNode()
+      n.put("i", f.id); n.put("c", f.container)
+      n.put("l", f.logical); n.put("p", f.phys)
+      fs.add(n); ()
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("fields", fs)
+    val ds = om.createArrayNode()
+    m.dead.foreach { case (c, p) =>
+      val n = om.createObjectNode()
+      n.put("c", c); n.put("p", p)
+      ds.add(n); ()
+    }
+    root.set[com.fasterxml.jackson.databind.JsonNode]("dead", ds)
+    om.writeValueAsString(root)
+  }
+
+  private[sources] def parseColMap2(json: String): Option[ColMapV2] =
+    scala.util.Try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(json)
+      val fields = Seq.newBuilder[ColMapField]
+      root.get("fields").forEach { n =>
+        fields += ColMapField(n.get("i").asInt, n.get("c").asInt,
+          n.get("l").asText, n.get("p").asText)
+      }
+      val dead = Seq.newBuilder[(Int, String)]
+      root.get("dead").forEach { n =>
+        dead += ((n.get("c").asInt, n.get("p").asText))
+      }
+      ColMapV2(root.get("next").asInt, fields.result(), dead.result())
+    }.toOption
+
+  private[graft] def manifestColMap2(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[ColMapV2] =
+    manifestBody(fs, r, v).find(_.startsWith(ColMap2Prefix))
+      .flatMap(l => parseColMap2(l.stripPrefix(ColMap2Prefix)))
+
+  private[sources] def liveColMap2(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Option[ColMapV2] =
+    committedVersions(fs, r).lastOption.flatMap(v => manifestColMap2(fs, r, v))
+
+  /** The flat logical-path → physical-path translation a tree implies:
+    * one entry per field whose OWN name diverges, keyed by the full
+    * dotted logical path and valued with the full dotted physical path
+    * (container translation composes through [[physName]]'s
+    * longest-prefix rule for unentried descendants). Tree order is
+    * parent-before-child by construction ([[reconcileColMap2]] emits a
+    * pre-order walk). */
+  private[graft] def flatColMap(v2: ColMapV2): Map[String, String] = {
+    val lp = scala.collection.mutable.Map(0 -> "")
+    val pp = scala.collection.mutable.Map(0 -> "")
+    val out = Map.newBuilder[String, String]
+    v2.fields.foreach { f =>
+      def join(a: String, b: String) = if (a.isEmpty) b else a + "." + b
+      val l = join(lp.getOrElse(f.container, ""), f.logical)
+      val p = join(pp.getOrElse(f.container, ""), f.phys)
+      lp(f.id) = l; pp(f.id) = p
+      if (f.logical != f.phys) out += l -> p
+    }
+    out.result()
+  }
+
+  /** Fold the NEW committed schema against the previous field tree:
+    * fields matching a previous entry by (container id, logical name)
+    * — or reached through `carry` (newLogicalPath → prevLogicalPath,
+    * the rename spelling) — KEEP their id and frozen physical name;
+    * anything else is a new field and mints the next id with a
+    * physical name taken from `flat` (the commit's staged translation
+    * — identity unless a DDL pre-allocated a fresh name). Previous
+    * entries no rule matched are dropped fields: their (container,
+    * phys) tombstones so the name can never be minted again in that
+    * container. Minting a physical name a live or dead sibling holds
+    * REFUSES — committing it would let old bytes answer for the new
+    * field (the resurrection this mode exists to prevent). */
+  private[sources] def reconcileColMap2(prev: Option[ColMapV2],
+      schema: org.apache.spark.sql.types.StructType,
+      flat: Map[String, String],
+      carry: Map[String, String]): ColMapV2 = {
+    val prevFields = prev.map(_.fields).getOrElse(Nil)
+    val byKey = prevFields.map(f => (f.container, f.logical) -> f).toMap
+    val childrenOf = prevFields.groupBy(_.container)
+    def prevByPath(path: String): Option[ColMapField] = {
+      var container = 0
+      var ent: Option[ColMapField] = None
+      path.split('.').foreach { seg =>
+        ent = byKey.get((container, seg))
+        ent match {
+          case Some(e) => container = e.id
+          case None => return None
+        }
+      }
+      ent
+    }
+    var next = prev.map(_.next).getOrElse(1)
+    val out = Seq.newBuilder[ColMapField]
+    val matched = scala.collection.mutable.Set.empty[Int]
+    // phys names already spoken for per container: every PREVIOUS
+    // entry's name (matched entries keep theirs; unmatched ones are
+    // dying and must not be resurrected) plus tombstones plus names
+    // minted earlier in this walk
+    val claimed = scala.collection.mutable.Set.empty[(Int, String)]
+    prevFields.foreach(f => claimed += ((f.container, f.phys)))
+    prev.foreach(_.dead.foreach(claimed += _))
+    def walk(st: org.apache.spark.sql.types.StructType,
+        container: Int, prefix: String, physPrefix: String): Unit =
+      st.fields.foreach { f =>
+        val lpath = if (prefix.isEmpty) f.name else prefix + "." + f.name
+        val ent = byKey.get((container, f.name))
+          .orElse(carry.get(lpath).flatMap(prevByPath))
+        val (id, phys) = ent match {
+          case Some(e) => matched += e.id; (e.id, e.phys)
+          case None =>
+            val full = physName(flat, lpath)
+            val p =
+              if (physPrefix.isEmpty) full
+              else full.stripPrefix(physPrefix + ".")
+            if (claimed((container, p)))
+              throw new IllegalStateException(
+                s"column-mapping conflict: field '$lpath' would take " +
+                  s"physical name '$p', which a dropped or concurrent " +
+                  "field of the same container already holds — old " +
+                  "bytes would answer for the new field. Re-add the " +
+                  "column with ALTER TABLE ... ADD COLUMN (which " +
+                  "allocates a fresh physical name) instead of " +
+                  "re-introducing it through a write's schema evolution.")
+            val i = next; next += 1
+            (i, p)
+        }
+        claimed += ((container, phys))
+        out += ColMapField(id, container, f.name, phys)
+        f.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            walk(s, id,
+              lpath,
+              if (physPrefix.isEmpty) phys else physPrefix + "." + phys)
+          case _ =>
+        }
+      }
+    walk(schema, 0, "", "")
+    // a dropped container retires its own name; its children die with
+    // it (their namespace — the container id — is unreachable once the
+    // id is never reissued), but tombstoning them too is free and keeps
+    // the dead list self-describing
+    val newDead = (prev.map(_.dead).getOrElse(Nil) ++
+      prevFields.filterNot(f => matched(f.id))
+        .map(f => (f.container, f.phys))).distinct
+    ColMapV2(next, out.result(), newDead)
+  }
+
+  /** Per-id full logical paths of a tree (pre-order: containers
+    * precede their children by construction). */
+  private[sources] def colMap2Paths(v2: ColMapV2): Map[Int, String] = {
+    val lp = scala.collection.mutable.Map(0 -> "")
+    val out = Map.newBuilder[Int, String]
+    v2.fields.foreach { f =>
+      val base = lp.getOrElse(f.container, "")
+      val l = if (base.isEmpty) f.logical else base + "." + f.logical
+      lp(f.id) = l
+      out += f.id -> l
+    }
+    out.result()
+  }
+
+  /** Paths whose identity CHANGED between two trees: ids that moved
+    * (renamed / re-parented / re-keyed physically), ids that dropped,
+    * and paths the newer tree serves from a DIFFERENT id than the
+    * older one did (drop + re-add). Empty = the newer tree only ADDS
+    * fields — the one mapping change a cross-version consumer can read
+    * through safely. */
+  private[sources] def colMap2CrossedPaths(a: ColMapV2, b: ColMapV2): Seq[String] = {
+    val ap = colMap2Paths(a)
+    val bp = colMap2Paths(b)
+    val bById = b.fields.map(f => f.id -> f).toMap
+    val moved = a.fields.flatMap { f =>
+      bById.get(f.id) match {
+        case None => Some(ap(f.id))
+        case Some(g) if g.container != f.container ||
+            g.logical != f.logical || g.phys != f.phys => Some(ap(f.id))
+        case _ => None
+      }
+    }
+    val aIdByPath = ap.map(_.swap)
+    val rekeyed = b.fields.flatMap { g =>
+      val p = bp(g.id)
+      aIdByPath.get(p).filter(_ != g.id).map(_ => p)
+    }
+    (moved ++ rekeyed).distinct
+  }
+
+  /** Upgrade a table to id-mode column mapping: one metadata commit
+    * assigns immutable ids to every EXISTING field (nested included)
+    * under its current physical name — zero data I/O, zero file
+    * rewrites (the Iceberg name-mapping trick). After this, nested
+    * RENAME and DROP are one-manifest-write operations, and every
+    * staged file carries `parquet.field.id`. No-op when already
+    * upgraded. Stamps `#require=colmap2` — older builds refuse the
+    * table rather than silently dropping the tree. */
+  def upgradeColumnMapping(spark: SparkSession, root: String,
+      retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    if (manifestColMap2(fs, r, cur).isDefined) return cur
+    require(manifestSchema(fs, r, cur).isDefined,
+      s"the table at $root predates carried schemas — commit once " +
+        "(any append) to establish a #schema line, then upgrade")
+    requireNotFoldTable(fs, r, "upgrade column mapping on")
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        manifestSchema(fs, r, cur), manifestRows(fs, r, cur),
+        colMap2Establish = true,
+        op = "upgrade column mapping"))
+      throw new java.util.ConcurrentModificationException(
+        s"upgrading column mapping on $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
+  }
+
+  /** Attribute paths (dotted, as written) referenced by stored
+    * expression texts whose path OVERLAPS `path` — equal, descendant,
+    * or ancestor, under the session resolver. An unparseable
+    * expression is conservatively treated as referencing. */
+  private[sources] def refsOverlapping(spark: SparkSession,
+      exprs: Seq[(String, String)], path: Seq[String]): Seq[String] = {
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def overlaps(a: Seq[String]): Boolean = {
+      val n = math.min(a.length, path.length)
+      a.take(n).zip(path.take(n)).forall { case (x, y) => res(x, y) }
+    }
+    exprs.collect { case (name, e) if
+        scala.util.Try(spark.sessionState.sqlParser.parseExpression(e))
+          .map(_.exists {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              overlaps(u.nameParts)
+            case _ => false
+          }).getOrElse(true) => name }
+  }
+
+  /** Remove the field at `path` — the schema-surgery core of nested
+    * DROP COLUMN. Refuses a missing path, a non-struct intermediate,
+    * and emptying a struct (parquet cannot represent an empty group —
+    * drop the container instead). Segments resolve under the session
+    * resolver; returns (new schema, canonical path as spelled in the
+    * schema). */
+  private[sources] def dropFieldAt(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String]):
+      (org.apache.spark.sql.types.StructType, Seq[String]) = {
+    import org.apache.spark.sql.types.StructType
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    require(path.nonEmpty, "empty column path")
+    val i = schema.fieldNames.indexWhere(res(_, path.head))
+    require(i >= 0, s"no field '${path.head}'")
+    val f = schema.fields(i)
+    if (path.length == 1) {
+      require(schema.length > 1,
+        s"dropping '${f.name}' would empty its struct — parquet cannot " +
+          "represent an empty group; drop the container column instead")
+      (StructType(schema.fields.patch(i, Nil, 1)), Seq(f.name))
+    } else f.dataType match {
+      case st: StructType =>
+        val (inner, canon) = dropFieldAt(st, path.tail)
+        val rebuilt = schema.fields.clone()
+        rebuilt(i) = f.copy(dataType = inner)
+        (StructType(rebuilt), f.name +: canon)
+      case other => throw new IllegalArgumentException(
+        s"'${f.name}' is ${other.simpleString}, not a struct — cannot " +
+          "drop a field inside it")
+    }
+  }
+
+  /** Rename the field at `path` to `newName` in place. Refuses a
+    * missing path, a non-struct intermediate, and an existing target
+    * name (session resolver). Returns (new schema, canonical old path,
+    * canonical new path). */
+  private[sources] def renameFieldAt(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String],
+      newName: String): (org.apache.spark.sql.types.StructType,
+        Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types.StructType
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    require(path.nonEmpty, "empty column path")
+    val i = schema.fieldNames.indexWhere(res(_, path.head))
+    require(i >= 0, s"no field '${path.head}'")
+    val f = schema.fields(i)
+    if (path.length == 1) {
+      require(!schema.fieldNames.exists(res(_, newName)),
+        s"field '$newName' already exists beside '${f.name}'")
+      val rebuilt = schema.fields.clone()
+      rebuilt(i) = f.copy(name = newName)
+      (StructType(rebuilt), Seq(f.name), Seq(newName))
+    } else f.dataType match {
+      case st: StructType =>
+        val (inner, oldCanon, newCanon) = renameFieldAt(st, path.tail, newName)
+        val rebuilt = schema.fields.clone()
+        rebuilt(i) = f.copy(dataType = inner)
+        (StructType(rebuilt), f.name +: oldCanon, f.name +: newCanon)
+      case other => throw new IllegalArgumentException(
+        s"'${f.name}' is ${other.simpleString}, not a struct — cannot " +
+          "rename a field inside it")
+    }
+  }
+
+  /** DROP a NESTED field as METADATA — the operation name-mode column
+    * mapping refused through round 16: one manifest write removes the
+    * field from the committed schema and tombstones its (container id,
+    * physical name) in the id tree, so a later re-add of the same name
+    * allocates a FRESH physical name and can never read the dropped
+    * bytes back (the honest boundary that forced the old refusal).
+    * Zero data I/O; old versions still serve the field under time
+    * travel. Auto-upgrades the table to id-mode (`#colmap2`) when
+    * needed. Refuses: paths a CHECK constraint or generated column
+    * reaches into (or through), legacy and fold tables. */
+  def dropNestedColumn(spark: SparkSession, root: String,
+      path: Seq[String], retain: Int = -1): Long = {
+    require(path.length >= 2,
+      s"dropNestedColumn needs a nested path (got ${path.mkString(".")}) " +
+        "— use dropColumn for top-level columns")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then drop"))
+    requireNotFoldTable(fs, r, "drop a nested column of")
+    val (newSchema, canon) =
+      try dropFieldAt(schema, path)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot drop ${path.mkString(".")} at $root: ${e.getMessage}")
+      }
+    val refs = refsOverlapping(spark, manifestChecks(fs, r, cur), canon)
+    require(refs.isEmpty,
+      s"cannot drop ${canon.mkString(".")}: CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them first")
+    val genRefs = refsOverlapping(spark, manifestGenAll(fs, r, cur), canon)
+    require(genRefs.isEmpty,
+      s"cannot drop ${canon.mkString(".")}: generated column(s) " +
+        genRefs.mkString("[", ", ", "]") + " derive from (or through) it")
+    // the id tree must exist BEFORE the drop commit (ids are assigned
+    // to the PRE-drop names — establishing in the same commit would
+    // assign them to the post-drop schema and lose the tombstone);
+    // no-op when already upgraded
+    upgradeColumnMapping(spark, root, retain)
+    val base = currentVersion(spark, root).get
+    val flat = manifestColMap(fs, r, base)
+    val physPath = physName(flat, canon.mkString("."))
+    val next = pinSlot(fs, r, base)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, base), retain,
+        Some(newSchema), manifestRows(fs, r, base),
+        colMap = Some(flat - canon.mkString(".")),
+        statsColsReplace =
+          Some(manifestStatsCols(fs, r, base).filterNot(_ == physPath)),
+        bloomColsReplace =
+          Some(manifestBloomCols(fs, r, base).filterNot(_ == physPath)),
+        op = s"drop column ${canon.mkString(".")}"))
+      throw new java.util.ConcurrentModificationException(
+        s"dropping ${canon.mkString(".")} on $root lost version $next to " +
+          "a concurrent commit — retry against the current table")
+    next
+  }
+
+  /** RENAME a NESTED field as METADATA: one manifest write — the field
+    * keeps its immutable id and FROZEN physical name (data files, and
+    * every physically-keyed stats/bloom line, are untouched at any
+    * table size); only the committed schema's logical name moves.
+    * Auto-upgrades to id-mode. Refuses: an existing target name, paths
+    * a CHECK constraint or generated column reaches into, legacy and
+    * fold tables. */
+  def renameNestedColumn(spark: SparkSession, root: String,
+      path: Seq[String], newName: String, retain: Int = -1): Long = {
+    require(path.length >= 2,
+      s"renameNestedColumn needs a nested path (got ${path.mkString(".")}) " +
+        "— use renameColumn for top-level columns")
+    require(newName.nonEmpty && !newName.exists("=,:\n#.".contains(_)),
+      s"field name '$newName' may not contain '=', ',', ':', '#', '.', " +
+        "or newline")
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then rename"))
+    requireNotFoldTable(fs, r, "rename a nested column of")
+    val (newSchema, oldCanon, newCanon) =
+      try renameFieldAt(schema, path, newName)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot rename ${path.mkString(".")} at $root: ${e.getMessage}")
+      }
+    val refs = refsOverlapping(spark, manifestChecks(fs, r, cur), oldCanon)
+    require(refs.isEmpty,
+      s"cannot rename ${oldCanon.mkString(".")}: CHECK constraint(s) " +
+        refs.mkString("[", ", ", "]") + " reference it — drop them, " +
+        "rename, and re-add them under the new name")
+    val genRefs = refsOverlapping(spark, manifestGenAll(fs, r, cur), oldCanon)
+    require(genRefs.isEmpty,
+      s"cannot rename ${oldCanon.mkString(".")}: generated column(s) " +
+        genRefs.mkString("[", ", ", "]") + " derive from (or through) it")
+    // ids must be assigned to the PRE-rename names (the carry re-keys
+    // one of them) — upgrade first as its own commit; no-op when done
+    upgradeColumnMapping(spark, root, retain)
+    val base = currentVersion(spark, root).get
+    val next = pinSlot(fs, r, base)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, base), retain,
+        Some(newSchema), manifestRows(fs, r, base),
+        colMap2Carry = Map(newCanon.mkString(".") -> oldCanon.mkString(".")),
+        op = s"rename column ${oldCanon.mkString(".")} -> " +
+          newCanon.mkString(".")))
+      throw new java.util.ConcurrentModificationException(
+        s"renaming ${oldCanon.mkString(".")} on $root lost version $next " +
+          "to a concurrent commit — retry against the current table")
+    next
+  }
+
   /** RENAME a column as METADATA (Delta's column mapping): one
     * manifest write, ZERO data I/O at any table size — the immutable
     * data files keep the column's physical name, the committed schema
@@ -1102,6 +1678,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         Some(newSchema), manifestRows(fs, r, cur),
         colMap = Some(newMap),
+        // id-mode: the renamed column KEEPS its id (the carry tells
+        // the reconcile which previous path it came from)
+        colMap2Carry = Map(newName -> oldName),
         op = s"rename column $oldName -> $newName"))
       throw new java.util.ConcurrentModificationException(
         s"renaming '$oldName' on $root lost version $next to a " +
@@ -1459,34 +2038,71 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     require(path.length >= 2,
       s"addNestedColumn needs a nested path (got ${path.mkString(".")}) " +
         "— use addColumns for top-level columns")
-    path.foreach(seg => require(
-      seg.nonEmpty && !seg.exists("=,\n#:.".contains(_)),
-      s"column path segment '$seg' may not be empty or contain " +
-        "'=', ',', ':', '#', '.', or newline"))
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val schema = manifestSchema(fs, r, cur).getOrElse(
-      throw new IllegalArgumentException(
-        s"the table at $root predates carried schemas — commit once " +
-          "(any append) to establish a #schema line, then add columns"))
-    requireNotFoldTable(fs, r, "add columns to")
-    val newSchema =
-      try addFieldAt(schema, path, dt)
-      catch { case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"cannot add ${path.mkString(".")} at $root: ${e.getMessage}")
-      }
-    val next = pinSlot(fs, r, cur)
-    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
-        Some(newSchema), manifestRows(fs, r, cur),
-        op = s"add nested column ${path.mkString(".")}"))
-      throw new java.util.ConcurrentModificationException(
-        s"adding a nested column on $root lost version $next to a " +
-          "concurrent commit — retry against the current table")
-    next
+    // one spelling: the batch path owns the id-mode fresh-physical-name
+    // allocation a dropped-then-re-added nested name needs
+    addColumnsAtPaths(spark, root, Seq((path, dt, None)), retain)
   }
+
+  /** Under id-mode: fresh-PHYSICAL-name allocation for NESTED adds —
+    * the nested analog of [[allocPhysical]]. For each added path whose
+    * target container has a tombstoned (or live) claim on the leaf
+    * name, extend the flat map with a `<name>_r<version>` allocation,
+    * so a re-added field can never read the dropped field's bytes.
+    * Containers added in the same statement have no history and
+    * allocate nothing; name-mode (no tree) passes through. */
+  private[sources] def allocNestedPhys(v2Opt: Option[ColMapV2],
+      flat: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[Seq[String]], version: Long): Map[String, String] =
+    v2Opt match {
+      case None => flat
+      case Some(v2) =>
+        import org.apache.spark.sql.types.StructType
+        val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+        val byContainer = v2.fields.groupBy(_.container)
+        val treeFlat = flatColMap(v2)
+        var out = flat
+        paths.filter(_.length >= 2).foreach { path =>
+          // canonicalize the PARENT chain to the schema's spelling
+          def canon(st: StructType, segs: Seq[String],
+              acc: Seq[String]): Option[Seq[String]] = segs match {
+            case Seq() => Some(acc)
+            case h +: t => st.fields.find(f => res(f.name, h)) match {
+              case Some(f) => f.dataType match {
+                case inner: StructType => canon(inner, t, acc :+ f.name)
+                case _ => None
+              }
+              case None => None
+            }
+          }
+          canon(schema, path.init, Nil).foreach { parentCanon =>
+            var cid = 0
+            var known = true
+            parentCanon.foreach { seg =>
+              byContainer.getOrElse(cid, Nil)
+                .find(f => res(f.logical, seg)) match {
+                case Some(e) => cid = e.id
+                case None => known = false
+              }
+            }
+            if (known) {
+              val name = path.last
+              val claimed = (v2.dead.collect { case (c, p) if c == cid => p }
+                ++ byContainer.getOrElse(cid, Nil).map(_.phys)).toSet
+              def taken(s: String) = claimed.exists(res(_, s))
+              if (taken(name)) {
+                var cand = s"${name}_r$version"
+                var i = 0
+                while (taken(cand)) { i += 1; cand = s"${name}_r${version}_$i" }
+                val lparent = parentCanon.mkString(".")
+                out += (lparent + "." + name) ->
+                  (physName(treeFlat, lparent) + "." + cand)
+              }
+            }
+          }
+        }
+        out
+    }
 
   /** Batch spelling covering MIXED top-level and nested paths in ONE
     * manifest commit — `ALTER TABLE t ADD COLUMNS (a INT, meta.x INT)`
@@ -1552,13 +2168,17 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       else org.apache.spark.sql.types.StructType(newSchema0.fields.map(f =>
         defaults.get(f.name).map(md => f.copy(metadata = md)).getOrElse(f)))
     // new TOP-LEVEL names need fresh physical allocations under
-    // column mapping; nested adds ride inside their container's
-    // frozen physical name and leave the map untouched
-    val colMapOpt =
+    // column mapping; nested adds ride inside their container's frozen
+    // physical name — EXCEPT, under id-mode, a leaf name the container
+    // tombstoned (dropped-then-re-added), which allocates fresh so the
+    // dropped bytes stay unreachable
+    val flat0 = manifestColMap(fs, r, cur)
+    val withTop =
       if (cols.exists(_._1.length == 1))
-        Some(allocPhysical(newSchema, manifestColMap(fs, r, cur),
-          manifestRetired(fs, r, cur), cur + 1))
-      else None
+        allocPhysical(newSchema, flat0, manifestRetired(fs, r, cur), cur + 1)
+      else flat0
+    val colMapOpt = Some(allocNestedPhys(manifestColMap2(fs, r, cur),
+      withTop, schema, cols.map(_._1), cur + 1))
     val next = pinSlot(fs, r, cur)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
         Some(newSchema), manifestRows(fs, r, cur),

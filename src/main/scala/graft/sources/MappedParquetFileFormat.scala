@@ -30,18 +30,13 @@ final class MappedParquetFileFormat(
 
   private def phys(s: StructType): StructType = Lake.physSchema(s, map)
 
-  /** Logical → physical attribute path. Mapping is TOP-LEVEL only (a
-    * rename re-points the container; field names inside a struct
-    * never change — the DDL refuses nested renames), so a NESTED
-    * pushed filter (`m.etype`, Spark's dotted spelling) translates by
-    * mapping its HEAD segment and keeping the tail. An exact-name map
-    * hit wins first, so a top-level column whose name happens to
-    * contain a dot still maps as itself. */
-  private def phys(c: String): String = map.getOrElse(c, {
-    val i = c.indexOf('.')
-    if (i < 0) c
-    else map.get(c.take(i)).map(_ + c.drop(i)).getOrElse(c)
-  })
+  /** Logical → physical attribute path — [[Lake.physName]]'s
+    * longest-mapped-prefix rule (id-mode maps carry NESTED entries; a
+    * pushed filter like `m.etype` translates every diverging segment
+    * of its container chain, with an exact-name hit winning first so
+    * a top-level column whose name happens to contain a dot still
+    * maps as itself). */
+  private def phys(c: String): String = Lake.physName(map, c)
 
   /** Translate one pushed filter to physical names. `neg` tracks
     * POLARITY: in positive position an AND may weaken per-conjunct
