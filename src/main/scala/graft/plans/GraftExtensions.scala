@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built-in ResolveRelations refuses v1 time travel before any
     // extended RESOLUTION rule could fire (see GraftLakeTimeTravelRule)
     ext.injectHintResolutionRule(s => new graft.sources.GraftLakeTimeTravelRule(s))
+    // MERGE WITH SCHEMA EVOLUTION must be intercepted BEFORE resolution
+    // (the analyzer expands star actions against the un-evolved target
+    // schema) — the rule evolves the schema first, then re-analyzes
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakeMergeEvolutionRule(s))
+    // CREATE TABLE column lists carrying DEFAULT / GENERATED ALWAYS AS
+    // / IDENTITY birth the table with its governance (one establishing
+    // commit) — intercepted before ResolveSessionCatalog refuses the
+    // facets for v1 providers; plain column lists keep Spark's path
+    ext.injectHintResolutionRule(s => new graft.sources.GraftLakeCreateTableRule(s))
     // ALTER TABLE … ADD/DROP CONSTRAINT on graft-lake tables routes to
     // the manifest constraint property — same pre-Resolution slot
     // (ResolveSessionCatalog refuses the v2 commands for v1 tables)

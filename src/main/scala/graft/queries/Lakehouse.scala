@@ -2126,6 +2126,187 @@ object Lakehouse {
         .withColumn("skipping_survives", lit(skipped.nonEmpty))
     },
 
+    // SQL `MERGE WITH SCHEMA EVOLUTION` under the oracle hash — the
+    // drifted-upsert-feed spelling Delta ships. The v1 analyzer
+    // expands star actions against the TARGET schema, so the engine
+    // intercepts the statement BEFORE resolution, evolves the
+    // committed schema toward the source (one metadata commit,
+    // add-nullable + lossless widening), and re-analyzes: the drifted
+    // `lang` column lands through `UPDATE SET *` while every
+    // untouched dir carries BY REFERENCE (proof column) and reads
+    // NULL-backfilled. At 100 TB a drifted CDC feed costs O(touched
+    // dirs) + one manifest write, never a table rewrite.
+    Q("q189_sql_merge_evolution",
+      """SELECT doc_id, source,
+        |  CAST(CASE WHEN doc_id > 3 * (SELECT max(doc_id) FROM documents) // 4
+        |       THEN n_chars * 2 ELSE n_chars END AS BIGINT) AS n_chars2,
+        |  CASE WHEN doc_id > 3 * (SELECT max(doc_id) FROM documents) // 4
+        |       THEN lang ELSE NULL END AS lang2,
+        |  TRUE AS untouched_carried
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_mrgevo", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val q3 = maxId * 3 / 4
+      Lake.commitOverwrite(docs.where(col("doc_id") <= maxId / 2), root,
+        retain = 8, statsCols = Seq("doc_id"))
+      val lowDirs = Lake.resolve(s, root).toSet
+      Lake.commitAppend(docs.where(col("doc_id") > maxId / 2), root,
+        retain = 8)
+      s.sql("DROP TABLE IF EXISTS mrgevo_docs")
+      s.sql(s"CREATE TABLE mrgevo_docs USING `graft-lake` OPTIONS (root '$root')")
+      Tables.documents(s, d).where(col("doc_id") > q3)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") * 2).cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("mrgevo_feed")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_docs t
+          |USING mrgevo_feed s ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the low-half dir holds no doc_id > 3q: carried by reference
+      val carried = lowDirs.subsetOf(Lake.resolve(s, root).toSet)
+      s.sql(
+        """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars2,
+          |  lang AS lang2 FROM mrgevo_docs ORDER BY doc_id""".stripMargin)
+        .withColumn("untouched_carried", lit(carried))
+    },
+
+    // MONOTONE-EXPRESSION DATA SKIPPING under the oracle hash — the
+    // everyday dashboard predicate `WHERE year(o_orderdate) = 1996`
+    // prunes on o_orderdate's OWN min/max stats, no generated
+    // partition column required: the whitelist map (year / to_date /
+    // date_trunc / trunc / cast-date) rides the predicate leaf and
+    // each dir's stored range maps through it before the comparison
+    // fires (monotone ⇒ every row's f(x) ∈ [f(lo), f(hi)] — exclusion
+    // against the mapped range is exact). The prune count is gated
+    // into the hash: a date-sliced history must skip exactly the
+    // out-of-year dirs, or expr_skip_pruned flips FALSE. At 100 TB
+    // this is the time-ordered append table answering a year filter
+    // with O(matching dirs) I/O from the plain function-wrapped
+    // predicate every BI tool emits.
+    Q("q190_expr_skipping",
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(o_totalprice AS DOUBLE) AS price, TRUE AS expr_skip_pruned
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_exprskip", d)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("price"))
+      def slice(lo: String, hi: String) = orders.where(
+        col("o_orderdate") >= java.sql.Date.valueOf(lo) &&
+          col("o_orderdate") < java.sql.Date.valueOf(hi))
+      Lake.commitOverwrite(slice("1990-01-01", "1996-01-01"), root,
+        retain = 8, statsCols = Seq("o_orderdate"))
+      Lake.commitAppend(slice("1996-01-01", "1997-01-01"), root, retain = 8)
+      Lake.commitAppend(slice("1997-01-01", "2002-01-01"), root, retain = 8)
+      val (_, skipped) = Lake.pruneDirs(s, root,
+        year(col("o_orderdate")) === 1996)
+      // the pruned read must also be the CORRECT read
+      Lake.readCommittedWhere(s, root, year(col("o_orderdate")) === 1996)
+        .select(col("o_orderkey"), col("o_orderdate"), col("price"))
+        .orderBy("o_orderkey")
+        .withColumn("expr_skip_pruned", lit(skipped.size == 2))
+    },
+
+    // GOVERNED CREATE TABLE under the oracle hash — the one-statement
+    // column-list DDL (`id BIGINT GENERATED ALWAYS AS IDENTITY, score
+    // DOUBLE DEFAULT 0.5, feat BIGINT GENERATED ALWAYS AS (n * 2)`)
+    // births the table with its governance as ONE establishing commit:
+    // the first data batch omits all three columns and the manifest
+    // declarations allocate the keys, write the default physically and
+    // materialize the generation — no post-hoc ALTERs, no writer-side
+    // arguments. The batch is committed in doc_id order, so the
+    // allocator's row_number arithmetic is the oracle.
+    Q("q191_create_table_governed",
+      """SELECT row_number() OVER (ORDER BY doc_id) AS id, doc_id,
+        |  source, 0.5 AS score, CAST(n_chars * 2 AS BIGINT) AS feat
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_create_gov", d)
+      s.sql("DROP TABLE IF EXISTS gov_docs")
+      s.sql(
+        s"""CREATE TABLE gov_docs (
+           |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+           |  doc_id BIGINT,
+           |  source STRING,
+           |  score DOUBLE DEFAULT 0.5,
+           |  n_chars BIGINT,
+           |  feat BIGINT GENERATED ALWAYS AS (n_chars * 2)
+           |) USING `graft-lake` OPTIONS (root '$root')""".stripMargin)
+      Lake.commitAppend(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+          .orderBy("doc_id"),
+        root, retain = 8)
+      s.sql("REFRESH TABLE gov_docs")
+      s.sql("""SELECT id, doc_id, source, score, feat FROM gov_docs
+              |ORDER BY doc_id""".stripMargin)
+    },
+
+    // IDENTITY GENERATED BY DEFAULT under the oracle hash — Delta's
+    // migration-friendly mode (the reference's `id SERIAL` seeded from
+    // an existing system, dags/sql/news.sql:2): explicit keys pass
+    // through VERBATIM, NULL keys take the allocator's next contiguous
+    // block, and the high-water mark advances past BOTH — so the
+    // allocator can never reuse an explicitly written key, while
+    // uniqueness against explicit values is (documentedly) the
+    // writer's responsibility. The whole allocation arithmetic —
+    // seeded lower half, one explicit outlier, the middle block filled
+    // in batch order from the advanced mark — is under the hash.
+    Q("q192_identity_by_default",
+      """SELECT doc_id, source,
+        |  CAST(CASE
+        |    WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+        |      THEN doc_id + 1000
+        |    WHEN doc_id = (SELECT max(doc_id) FROM documents) THEN 99999
+        |    ELSE 1000 + (SELECT max(doc_id) // 2 FROM documents)
+        |      + row_number() OVER (
+        |          PARTITION BY (doc_id <= (SELECT max(doc_id) // 2 FROM documents))
+        |            OR (doc_id = (SELECT max(doc_id) FROM documents))
+        |          ORDER BY doc_id)
+        |    END AS BIGINT) AS id,
+        |  TRUE AS mark_advanced
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_idbd", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val half = maxId / 2
+      Lake.commitOverwrite(
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType)))),
+        root, retain = 8, identity = Some("id"), identityByDefault = true)
+      // migration batch: every key explicit (seeded SERIAL values)
+      Lake.commitAppend(docs.where(col("doc_id") <= half)
+        .select((col("doc_id") + 1000L).as("id"), col("doc_id"),
+          col("source")),
+        root, retain = 8)
+      // mixed batch: one explicit outlier, the rest NULL → filled in
+      // batch order from the mark the migration batch advanced
+      Lake.commitAppend(docs.where(col("doc_id") > half)
+        .select(when(col("doc_id") === maxId, lit(99999L))
+          .otherwise(lit(null)).cast("long").as("id"),
+          col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+        root, retain = 8)
+      // the mark is past BOTH the filled block and the explicit keys
+      val nMiddle = Lake.readCommitted(s, root)
+        .where(col("doc_id") > half && col("doc_id") =!= maxId).count()
+      val expectedMark = math.max(1001L + half + nMiddle, 100000L)
+      val markOk = Lake.identityColumn(s, root) == Some(("id", expectedMark))
+      Lake.readCommitted(s, root).select("doc_id", "source", "id")
+        .orderBy("doc_id")
+        .withColumn("mark_advanced", lit(markOk))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events

@@ -211,8 +211,8 @@ object Lake
     * `#ingested=` ledger, column DEFAULT backfill, general generated
     * columns, and stable row tracking. */
   private[sources] val SupportedFeatures: Set[String] =
-    Set("dv", "colmap", "colmap2", "identity", "genpart", "bucket",
-      "partevo", "ingest", "default", "gencol", "rowtracking")
+    Set("dv", "colmap", "colmap2", "identity", "idmode", "genpart",
+      "bucket", "partevo", "ingest", "default", "gencol", "rowtracking")
 
   private[sources] def checkRequiredFeatures(p: Path, lines: Seq[String]): Unit =
     lines.find(_.startsWith(RequirePrefix)).foreach { l =>

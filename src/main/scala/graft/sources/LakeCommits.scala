@@ -297,7 +297,17 @@ private[graft] trait LakeCommits { this: Lake.type =>
   // dir's WHOLE domain inside the refused set — an exact partition
   // tuple, or a degenerate lo == hi range
   private[sources] case object PNe extends POp
-  private[sources] final case class Pred(col: String, op: POp, values: Seq[NormVal])
+  /** One prunable conjunct. `xform`, when set, is a MONOTONE
+    * NULL-preserving map of the column's stored domain (built by
+    * [[LakeReads.enrichTree]] for whitelist expressions like
+    * `year(ts)`): evidence ranges/values map through it before the
+    * comparison fires, so `WHERE year(o_orderdate) = 1996` prunes on
+    * `o_orderdate`'s own stats. Exclusion-side only — the whole-dir
+    * inclusion proofs and blooms conservatively ignore transformed
+    * leaves. */
+  private[sources] final case class Pred(col: String, op: POp,
+      values: Seq[NormVal],
+      xform: Option[NormVal => Option[NormVal]] = None)
 
   /** Boolean STRUCTURE over prunable conjuncts — what lets OR-disjunct
     * predicates skip data (Delta prunes `region = 'EU' OR region =
@@ -311,6 +321,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
   private[sources] final case class PAnd(children: Seq[PredTree]) extends PredTree
   private[sources] final case class POr(children: Seq[PredTree]) extends PredTree
   private[sources] case object PUnknown extends PredTree
+  /** Un-enriched marker for a comparison on a MONOTONE-whitelist
+    * expression of one column (`year(ts) = 1996`):
+    * [[LakeReads.enrichTree]] converts it into an evaluator-carrying
+    * [[Pred]] leaf when the source type and session zone admit sound
+    * range mapping, else [[PUnknown]]. Consumers that see the raw
+    * marker treat it as unknown (never excludes). */
+  private[sources] final case class PXform(col: String, fn: String,
+      arg: Option[String], op: POp, values: Seq[NormVal]) extends PredTree
 
   /** Can `t` provably select NOTHING given per-leaf exclusion evidence
     * `leafExcludes`? AND excludes when ANY conjunct does; OR only when
@@ -322,6 +340,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     case PAnd(cs)  => cs.exists(treeExcludes(_, leafExcludes))
     case POr(cs)   => cs.nonEmpty && cs.forall(treeExcludes(_, leafExcludes))
     case PUnknown  => false
+    case _: PXform => false // un-enriched marker: no evaluator, no proof
   }
 
   /** Does `t` carry any prunable leaf at all? Gates the per-file
@@ -331,6 +350,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     case PAnd(cs) => cs.exists(treeHasLeaves)
     case POr(cs)  => cs.exists(treeHasLeaves)
     case PUnknown => false
+    case _: PXform => false
   }
 
   /** Next safe version number: past EVERY committed marker, including
@@ -542,6 +562,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       genCols: Option[Seq[(String, String)]] = None,
       props: Option[Map[String, String]] = None,
       identity: Option[Option[(String, Long)]] = None,
+      idMode: Option[Option[String]] = None,
       ingested: Option[Seq[String]] = None,
       rowId: Option[Long] = None,
       rowIdReplace: Boolean = false,
@@ -632,6 +653,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // the rows that consumed it; restore re-points both)
     val effIdentity = identity.getOrElse(
       prevV.flatMap(v => manifestIdentity(fs, r, v)))
+    // the identity MODE (GENERATED ALWAYS vs BY DEFAULT) inherits with
+    // the declaration; Some(…) replaces (declaration / restore)
+    val effIdMode = idMode.getOrElse(
+      prevV.flatMap(v => manifestIdMode(fs, r, v)))
+      .filter(_ => effIdentity.nonEmpty)
     // the COPY INTO file ledger inherits (a plain append between two
     // COPYs must not amnesia the loaded set); Some(…) replaces
     val effIngested = ingested.getOrElse(
@@ -678,6 +704,9 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // keep dropped nested bytes unreachable on re-add
       (if (effV2.nonEmpty) Seq("colmap2") else Nil) ++
       (if (effIdentity.nonEmpty) Seq("identity") else Nil) ++
+      // BY DEFAULT mode: an old build committing on top would drop the
+      // #idmode line and silently revert the allocator to ALWAYS
+      (if (effIdMode.nonEmpty) Seq("idmode") else Nil) ++
       (if (effGen.nonEmpty) Seq("genpart") else Nil) ++
       // plain generated columns are semantics-bearing the same way:
       // an old build's omitting append would commit them NULL
@@ -736,6 +765,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
         effGenTz.map(GenTzPrefix + _).toSeq else Nil) ++
       effProps.toSeq.sortBy(_._1).map { case (k, v) => PropPrefix + k + "=" + v } ++
       effIdentity.map { case (c, n) => IdentityPrefix + c + ":" + n } ++
+      effIdMode.map(IdModePrefix + _).toSeq ++
       effRowId.map(RowIdPrefix + _) ++
       effIngested.map(IngestedPrefix + _) ++
       (if (features.nonEmpty) Seq(RequirePrefix + features.mkString(","))
@@ -898,6 +928,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       bucketBy: Option[(Int, Seq[String])] = None,
       generatedColumns: Map[String, String] = Map.empty,
       identity: Option[String] = None,
+      identityByDefault: Boolean = false,
       rowTracking: Boolean = false): Long = {
     require(retain >= -1,
       s"retain must be >= 0 (or -1 = inherit $PropRetain), got $retain")
@@ -911,6 +942,20 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val effIdCol = effectiveIdentityCol(fs, r, identity)
     val prevHwm = committedVersions(fs, r).lastOption
       .flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
+    // identity MODE: declared with the column (GENERATED BY DEFAULT =
+    // allocator fills only omitted/NULL values), inherited afterwards,
+    // divergent re-declaration refused — one mode per table
+    val prevIdMode = committedVersions(fs, r).lastOption
+      .flatMap(v => manifestIdMode(fs, r, v))
+    val wantIdMode = if (identityByDefault) Some("bydefault") else None
+    require(identity.isDefined || !identityByDefault,
+      "identityByDefault needs an identity declaration on this commit")
+    if (identity.isDefined && prevHwm.isDefined)
+      require(wantIdMode == prevIdMode,
+        s"table at $r declares identity mode ${prevIdMode.getOrElse("always")}; " +
+          "a commit cannot re-declare it — one mode per table")
+    val effIdMode = if (identity.isDefined) wantIdMode else prevIdMode
+    val idByDefault = effIdCol.isDefined && effIdMode.contains("bydefault")
     val effGen0 = effectiveGenParts(fs, r, generatedColumns)
     // SQL INSERT OVERWRITE pads unnamed columns with NULL: an
     // all-NULL identity/generated copy means omitted (see
@@ -921,6 +966,20 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val (dfId, idNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
       effIdCol match {
         case None => (dfPre, None)
+        // BY DEFAULT: the allocator fills only NULL values; explicit
+        // ones pass through verbatim and the mark advances past them
+        // (uniqueness against explicit keys is NOT guaranteed —
+        // Delta's documented BY DEFAULT rule)
+        case Some(c) if idByDefault && dfPre.columns.contains(c) =>
+          import org.apache.spark.sql.functions.{col => fcol, max => fmax, sum, when, lit => flit}
+          val start = prevHwm.getOrElse(1L)
+          val agg = dfPre.agg(
+            sum(when(fcol(c).isNull, 1L).otherwise(0L)),
+            fmax(fcol(c).cast("long"))).collect().head
+          val nNull = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+          val maxExp = if (agg.isNullAt(1)) start - 1L else agg.getLong(1)
+          (fillIdentityNulls(dfPre, c, start, nNull),
+            Some(math.max(start + nNull, maxExp + 1L)))
         case Some(c) if dfPre.columns.contains(c) =>
           require(prevHwm.isEmpty,
             s"identity column '$c' is GENERATED ALWAYS — the batch must " +
@@ -1008,6 +1067,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
           effPart.contains(physName(newMap, c)) }),
         genTz = genTzEst,
         identity = effIdCol.map(c => Some((c, idNext.getOrElse(1L)))),
+        idMode = if (identity.isDefined) Some(effIdMode) else None,
         rowId = ridNext,
         op = "overwrite")) {
       staged.foreach(d => fs.delete(new Path(r, d), true))
@@ -1067,15 +1127,39 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // means OMITTED (recompute/allocate, Delta's rule), while any
     // non-NULL identity value refuses (GENERATED ALWAYS). One probe
     // job covers all such columns the batch carries.
+    // BY DEFAULT mode (Delta's GENERATED BY DEFAULT AS IDENTITY): a
+    // batch MAY carry the column — explicit values pass through
+    // verbatim, NULL values take the next block, and the mark advances
+    // past both, so the allocator never reuses an explicit key
+    // (uniqueness against explicit values is NOT guaranteed — the
+    // documented BY DEFAULT rule; it exists for migrations seeding
+    // existing SERIAL keys)
+    val idByDefault = effId.isDefined &&
+      committedVersions(fs, r).lastOption
+        .flatMap(v => manifestIdMode(fs, r, v)).contains("bydefault")
     val dfDropped = dropAllNullSpecials(df0, effGen, effId)
     effId.foreach { case (c, _) =>
-      require(!dfDropped.columns.contains(c),
+      require(idByDefault || !dfDropped.columns.contains(c),
         s"identity column '$c' is GENERATED ALWAYS — the append batch " +
-          "must omit it (keys allocate atomically at commit)")
+          "must omit it (keys allocate atomically at commit); declare " +
+          "the column GENERATED BY DEFAULT to write explicit keys")
     }
     val dfIn = dfDropped
+    val idCarried = idByDefault && effId.exists(i => dfIn.columns.contains(i._1))
     var idStart: Long = effId.map(_._2).getOrElse(0L)
-    val idN: Long = if (effId.isDefined) dfIn.count() else 0L
+    // idN = rows the allocator fills; idMaxExplicit bounds the mark
+    // past explicitly-written keys (BY DEFAULT only)
+    val (idN, idMaxExplicit): (Long, Long) =
+      if (effId.isEmpty) (0L, -1L)
+      else if (idCarried) {
+        import org.apache.spark.sql.functions.{col, max => fmax, sum, when}
+        val c = effId.get._1
+        val agg = dfIn.agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)),
+          fmax(col(c).cast("long"))).collect().head
+        (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+          if (agg.isNullAt(1)) -1L else agg.getLong(1))
+      } else (dfIn.count(), -1L)
     // row tracking: stamp the hidden id block like the identity block
     // (same allocator protocol, same OCC rebase below)
     val ridMark0 = committedVersions(fs, r).lastOption
@@ -1086,10 +1170,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
     var ridStart: Long = ridMark0.getOrElse(0L)
     val ridN: Long =
       if (!ridMark0.isDefined) 0L
-      else if (effId.isDefined) idN // identity already counted the batch
+      // identity already counted the FULL batch (omitted column); a
+      // BY DEFAULT carried column counted only its NULL rows
+      else if (effId.isDefined && !idCarried) idN
       else dfIn.count()
     def withIds(idS: Long, ridS: Long): org.apache.spark.sql.DataFrame = {
       val base = effId match {
+        case Some((c, _)) if idCarried => fillIdentityNulls(dfIn, c, idS, idN)
         case Some((c, _)) => materializeIdentity(dfIn, c, idS)
         case None => dfIn
       }
@@ -1322,7 +1409,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
           genCols = Some(effGen.filterNot { case (c, _) =>
             effPart.contains(physName(newMap, c)) }),
           genTz = genTzEst,
-          identity = effId.map { case (c, _) => Some((c, idStart + idN)) },
+          identity = effId.map { case (c, _) =>
+            Some((c, math.max(idStart + idN, idMaxExplicit + 1L))) },
           ingested = ingested,
           rowId = if (ridMark0.isDefined) Some(ridStart + ridN) else None,
           op = op))) {

@@ -88,20 +88,21 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
     case m: MergeIntoTable =>
       LakeDml.lakeTarget(m.targetTable) match {
         case Some((root, ident)) =>
-          // `MERGE WITH SCHEMA EVOLUTION` cannot be honored here: for
-          // a v1 target the analyzer expands star actions against the
-          // UN-evolved target schema, silently dropping the source-only
-          // columns before this rule ever sees them (verified: the
-          // resolved INSERT * actions carry only the target's columns),
-          // so "supporting" it would execute a plain merge that loses
-          // data the user asked to keep — refuse loudly and name the
-          // working paths instead
+          // `MERGE WITH SCHEMA EVOLUTION` on a CATALOG lake table is
+          // intercepted BEFORE resolution ([[GraftLakeMergeEvolutionRule]]
+          // — the v1 analyzer expands star actions against the target
+          // schema, so the target must evolve first). Reaching here
+          // with the flag still set means the target resolved through
+          // a non-catalog handle (a temp view over sqlTable) the
+          // pre-resolution rule cannot see — refuse loudly and name
+          // the working paths.
           require(!m.withSchemaEvolution,
             s"MERGE WITH SCHEMA EVOLUTION into the graft-lake table at " +
-              s"$root is not supported — evolve the schema first " +
-              "(ALTER TABLE ... ADD COLUMNS) or use the CDC merge " +
-              "(Lake.mergeCommitted(allowSchemaEvolution = true)) for " +
-              "drifted upsert feeds")
+              s"$root works on CATALOG tables only (the schema must " +
+              "evolve before the analyzer expands star actions) — merge " +
+              "into the catalog table name, evolve the schema first " +
+              "(ALTER TABLE ... ADD COLUMNS), or use the CDC merge " +
+              "(Lake.mergeCommitted(allowSchemaEvolution = true))")
           val tOut = LakeDml.byExprId(m.targetTable.output)
           val sOut = LakeDml.byExprId(m.sourceTable.output)
           // ON must be a conjunction of target-vs-source equalities
@@ -437,6 +438,218 @@ case class GraftLakeMergeCommand(root: String, source: LogicalPlan,
           "add it first (ALTER TABLE ... ADD COLUMN)"))
     Lake.mergeInto(session, root, Shim.ofRows(session, source), on,
       matched, notMatched, notMatchedBySource)
+    LakeDml.refresh(session, ident)
+    Seq.empty
+  }
+}
+
+/** One declared column of a governed CREATE TABLE: the SQL column-list
+  * spellings `DEFAULT <literal>`, `GENERATED ALWAYS AS (expr)` and
+  * `GENERATED ALWAYS|BY DEFAULT AS IDENTITY`, carried to run time. */
+case class GraftLakeColumnSpec(name: String,
+    dataType: org.apache.spark.sql.types.DataType, nullable: Boolean,
+    default: Option[String], generated: Option[String],
+    identity: Option[(Long, Long, Boolean)])
+
+/** `CREATE TABLE t (id BIGINT GENERATED ALWAYS AS IDENTITY, c INT
+  * DEFAULT 5, y INT GENERATED ALWAYS AS (expr)) USING graft-lake …` —
+  * the one-statement spelling that BIRTHS a table with its governance,
+  * instead of requiring post-hoc ALTERs / writer-side declarations.
+  * Spark's v1 path refuses these column facets for custom providers,
+  * so the statement is intercepted in the Hints batch (before
+  * ResolveSessionCatalog) whenever the column list carries any of the
+  * three; plain column lists keep Spark's own path untouched. */
+class GraftLakeCreateTableRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    CreateTable, OptionList, UnresolvedTableSpec}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case CreateTable(UnresolvedIdentifier(parts, _), columns, partitioning,
+        spec: UnresolvedTableSpec, ignoreIfExists)
+        if spec.provider.exists(_.equalsIgnoreCase("graft-lake")) &&
+          columns.exists(c => c.defaultValue.isDefined ||
+            c.generationExpression.isDefined ||
+            c.identityColumnSpec.isDefined) =>
+      val rootOpt = (spec.optionExpression match {
+        case OptionList(opts) => opts.collectFirst {
+          case (k, org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+              if k.equalsIgnoreCase("root") && v != null => v.toString
+        }
+        case _ => None
+      }).orElse(spec.location)
+      val root = rootOpt.getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE ... USING graft-lake with DEFAULT/GENERATED/" +
+          "IDENTITY columns needs an explicit root: " +
+          "OPTIONS (root '<path>') or LOCATION '<path>'"))
+      val partCols = partitioning.map { t =>
+        // identity transforms only (PARTITIONED BY (col)): the
+        // public Transform surface spells them name()=identity with
+        // one field reference
+        if (t.name == "identity" && t.references.length == 1)
+          t.references.head.fieldNames.mkString(".")
+        else throw new IllegalArgumentException(
+          "graft-lake supports PARTITIONED BY (column, …) only — " +
+            s"got $t")
+      }
+      val cols = columns.map { c =>
+        GraftLakeColumnSpec(c.name, c.dataType, c.nullable,
+          c.defaultValue.map(_.originalSQL), c.generationExpression,
+          c.identityColumnSpec.map(s =>
+            (s.getStart, s.getStep, s.isAllowExplicitInsert)))
+      }
+      GraftCreateLakeTableCommand(parts, root, cols, partCols, ignoreIfExists)
+    case _ => plan
+  }
+}
+
+/** Runtime half of [[GraftLakeCreateTableRule]]: one empty-batch
+  * establishing commit carries the schema (DEFAULT metadata folded
+  * in), the partition layout, the generated columns, the identity
+  * declaration and its mode — the table is BORN governed; the catalog
+  * entry then registers it like any `CREATE … USING graft-lake`. */
+case class GraftCreateLakeTableCommand(nameParts: Seq[String], root: String,
+    cols: Seq[GraftLakeColumnSpec], partCols: Seq[String],
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types._
+    val ident = nameParts match {
+      case Seq(t)     => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => throw new IllegalArgumentException(
+        s"cannot resolve table name ${nameParts.mkString(".")}")
+    }
+    val cat = session.sessionState.catalog
+    if (cat.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.nameParts)
+    }
+    require(Lake.currentVersion(session, root).isEmpty,
+      s"a committed table already exists at $root — a governed CREATE " +
+        "establishes its declarations at birth; point it at an empty " +
+        "root (or register the existing table with a plain CREATE)")
+    val idents = cols.filter(_.identity.isDefined)
+    require(idents.size <= 1, "at most one IDENTITY column per table")
+    val idCol = idents.headOption
+    idCol.foreach { c =>
+      require(c.dataType == LongType,
+        s"IDENTITY column '${c.name}' must be BIGINT — the allocator's " +
+          "domain is fixed LongType")
+      require(c.identity.get._2 == 1L,
+        s"IDENTITY step must be 1 (the allocator hands out contiguous " +
+          s"blocks), got ${c.identity.get._2}")
+      require(c.default.isEmpty && c.generated.isEmpty,
+        s"column '${c.name}' cannot combine IDENTITY with DEFAULT/GENERATED")
+    }
+    val fields = cols.map { c =>
+      val md = c.default match {
+        case Some(text) =>
+          require(c.generated.isEmpty,
+            s"column '${c.name}' cannot combine DEFAULT with GENERATED " +
+              "(generated values are engine-owned)")
+          val folded = Lake.validateDefaultLiteral(session, c.name,
+            c.dataType, text)
+          new MetadataBuilder().putString("EXISTS_DEFAULT", folded)
+            .putString("CURRENT_DEFAULT", folded).build()
+        case None => Metadata.empty
+      }
+      StructField(c.name, c.dataType, c.nullable, md)
+    }
+    val gens = cols.flatMap(c => c.generated.map(g => c.name -> g)).toMap
+    val empty = session.createDataFrame(
+      java.util.Collections.emptyList[Row](), StructType(fields))
+    Lake.commitOverwrite(empty, root, partitionBy = partCols,
+      generatedColumns = gens, identity = idCol.map(_.name),
+      identityByDefault = idCol.exists(_.identity.get._3))
+    // START WITH n: one metadata commit re-points the fresh mark (the
+    // establishing empty batch consumed nothing)
+    idCol.map(c => (c.name, c.identity.get._1)).filter(_._2 != 1L)
+      .foreach { case (name, start) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(root), session.sparkContext.hadoopConfiguration)
+        val r = new org.apache.hadoop.fs.Path(root)
+        val cur = Lake.currentVersion(session, root).get
+        if (!Lake.commitManifest(fs, r, cur + 1,
+            Lake.snapshotDirNames(session, root, cur), -1,
+            Lake.snapshotSchema(session, root, cur), None,
+            identity = Some(Some((name, start))),
+            op = s"identity start $start"))
+          throw new java.util.ConcurrentModificationException(
+            s"setting IDENTITY START WITH on $root lost its slot — " +
+              "retry the CREATE against an empty root")
+      }
+    val storage = org.apache.spark.sql.catalyst.catalog
+      .CatalogStorageFormat.empty.copy(
+        locationUri = Some(org.apache.spark.sql.catalyst.catalog
+          .CatalogUtils.stringToURI(root)),
+        properties = Map("root" -> root))
+    val meta = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = ident,
+      tableType = org.apache.spark.sql.catalyst.catalog
+        .CatalogTableType.EXTERNAL,
+      storage = storage,
+      schema = org.apache.spark.sql.graft.Shim.asNullable(
+        Lake.readCommitted(session, root).schema),
+      provider = Some("graft-lake"))
+    cat.createTable(meta, ignoreIfExists = false)
+    Seq.empty
+  }
+}
+
+/** `MERGE WITH SCHEMA EVOLUTION INTO <lake catalog table> …` — Delta's
+  * spelling for the drifted-upsert-feed case. The v1 analyzer expands
+  * star actions (and resolves explicit assignments) against the
+  * TARGET's schema, so honoring the flag post-resolution is impossible:
+  * source-only columns are already gone (or failed resolution) by then.
+  * This rule intercepts the statement in the HINTS batch — before any
+  * resolution — and swaps in a command that (1) analyzes the source
+  * standalone, (2) evolves the committed schema toward it by the
+  * append rule ([[Lake.evolveSchema]] — one metadata commit, add-
+  * nullable + lossless widening, the same rule
+  * `mergeCommitted(allowSchemaEvolution = true)` applies), (3)
+  * re-analyzes the SAME merge with the flag cleared, which now
+  * resolves against the evolved relation and executes through the
+  * standard [[GraftLakeDmlRule]] path. Non-lake targets pass through
+  * untouched and keep Spark's own behavior. */
+class GraftLakeMergeEvolutionRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.withSchemaEvolution =>
+      val parts = m.targetTable.collectFirst {
+        case u: UnresolvedRelation => u.multipartIdentifier
+      }
+      parts.flatMap(LakeDml.lakeRootByIdent(session, _)) match {
+        case Some((root, ident)) => GraftLakeMergeEvolveCommand(root, m, ident)
+        case None => plan
+      }
+    case _ => plan
+  }
+}
+
+/** Runtime half of [[GraftLakeMergeEvolutionRule]]: evolve, then
+  * re-analyze-and-execute the merge with evolution satisfied. The
+  * stored plan is the PARSED statement (unresolved) — deliberately not
+  * an innerChild, so analysis checks never descend into it. */
+case class GraftLakeMergeEvolveCommand(root: String,
+    merge: MergeIntoTable, ident: Option[TableIdentifier])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // the source analyzes standalone (it references no target columns
+    // by construction of the grammar); its resolved schema is what the
+    // target evolves toward — all source columns, the CDC rule
+    val srcSchema = Shim.ofRows(session, merge.sourceTable).schema
+    Lake.evolveSchema(session, root, srcSchema)
+    LakeDml.syncCatalogSchema(session, root, ident)
+    LakeDml.refresh(session, ident)
+    // re-analysis resolves the target with the evolved schema: star
+    // actions expand to the full evolved column set, explicit
+    // assignments to new columns resolve, and GraftLakeDmlRule
+    // substitutes the COW executor — commands run eagerly in ofRows
+    Shim.ofRows(session, merge.copy(withSchemaEvolution = false))
     LakeDml.refresh(session, ident)
     Seq.empty
   }

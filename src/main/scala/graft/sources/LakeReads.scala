@@ -198,10 +198,204 @@ private[graft] trait LakeReads { this: Lake.type =>
         POr(f.arguments.map(extractTree))
       case other =>
         val ps = extractPreds(other)
-        if (ps.isEmpty) PUnknown
-        else if (ps.lengthCompare(1) == 0) PLeaf(ps.head)
-        else PAnd(ps.map(PLeaf))
+        if (ps.nonEmpty) {
+          if (ps.lengthCompare(1) == 0) PLeaf(ps.head)
+          else PAnd(ps.map(PLeaf))
+        } else extractXformLeaf(other).getOrElse(PUnknown)
     }
+  }
+
+  /** `f(col)` where f is on the MONOTONE whitelist (year / to_date /
+    * date_trunc / trunc / cast-to-date): Some((column path, fn, unit
+    * arg)). Matches both the unresolved Column spelling and the
+    * analyzed shapes scan planning pushes — `year(ts)` analyzes to
+    * `Year(Cast(ts AS DATE))`, and the composition of two monotone
+    * maps stays monotone, so the cast unwraps to the attribute. */
+  private def xformShape(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[(String, String, Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, StringType}
+    def dateArg(x: Expression): Option[String] = attrName(x).orElse(x match {
+      case c: Cast if c.dataType == DateType => attrName(c.child)
+      case _ => None
+    })
+    def unitOf(x: Expression): Option[String] = x match {
+      case Literal(u, StringType) if u != null => Some(u.toString)
+      case _ => None
+    }
+    e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 =>
+        (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+          case ("year", Seq(a)) => dateArg(a).map((_, "year", None))
+          case ("to_date", Seq(a)) => attrName(a).map((_, "to_date", None))
+          case ("date_trunc", Seq(u, a)) =>
+            for (uu <- unitOf(u); c <- attrName(a))
+              yield (c, "date_trunc", Some(uu))
+          case ("trunc", Seq(a, u)) =>
+            for (uu <- unitOf(u); c <- attrName(a))
+              yield (c, "trunc", Some(uu))
+          case _ => None
+        }
+      case y: Year => dateArg(y.child).map((_, "year", None))
+      case t: TruncTimestamp =>
+        for (u <- unitOf(t.format); c <- attrName(t.timestamp))
+          yield (c, "date_trunc", Some(u))
+      case t: TruncDate =>
+        for (u <- unitOf(t.format); c <- attrName(t.date))
+          yield (c, "trunc", Some(u))
+      case c: Cast if c.dataType == DateType =>
+        attrName(c.child).map((_, "cast_date", None))
+      case _ => None
+    }
+  }
+
+  /** Comparison between a whitelist-monotone expression and literals →
+    * an un-enriched [[PXform]] marker ([[enrichTree]] attaches the
+    * evaluator, or degrades to PUnknown). Covers the resolved
+    * comparisons scan planning pushes and the unresolved Column
+    * spellings alike. */
+  private def extractXformLeaf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[PredTree] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def lit1(x: Expression): Option[NormVal] = x match {
+      case Literal(v, dt) => normLit(v, dt)
+      case _ => None
+    }
+    def mk(a: Expression, b: Expression, op: POp, flip: POp): Option[PredTree] =
+      (for (s <- xformShape(a); v <- lit1(b))
+        yield PXform(s._1, s._2, s._3, op, Seq(v)))
+        .orElse(for (s <- xformShape(b); v <- lit1(a))
+          yield PXform(s._1, s._2, s._3, flip, Seq(v)))
+    e match {
+      case EqualTo(a, b)            => mk(a, b, PEq, PEq)
+      case LessThan(a, b)           => mk(a, b, PLt, PGt)
+      case LessThanOrEqual(a, b)    => mk(a, b, PLe, PGe)
+      case GreaterThan(a, b)        => mk(a, b, PGt, PLt)
+      case GreaterThanOrEqual(a, b) => mk(a, b, PGe, PLe)
+      case In(a, vs) if vs.nonEmpty =>
+        val lits = vs.map(lit1)
+        if (lits.forall(_.isDefined))
+          xformShape(a).map(s => PXform(s._1, s._2, s._3, PEq, lits.flatten))
+        else None
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 =>
+        (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+            f.arguments) match {
+          case ("=" | "==", Seq(a, b)) => mk(a, b, PEq, PEq)
+          case ("<", Seq(a, b))        => mk(a, b, PLt, PGt)
+          case ("<=", Seq(a, b))       => mk(a, b, PLe, PGe)
+          case (">", Seq(a, b))        => mk(a, b, PGt, PLt)
+          case (">=", Seq(a, b))       => mk(a, b, PGe, PLe)
+          case ("in", a +: vs) if vs.nonEmpty =>
+            val lits = vs.map(lit1)
+            if (lits.forall(_.isDefined))
+              xformShape(a).map(s =>
+                PXform(s._1, s._2, s._3, PEq, lits.flatten))
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Analyzed-once evaluator for one whitelist expression over
+    * `srcType`. None when the expression refuses to analyze, or when
+    * it is session-zone-anchored under a zone with DST transitions —
+    * the micros→local mapping is then NOT monotone (midnight
+    * fall-backs exist in real zones), so the range map would prune
+    * dirs that hold matches. Fixed-offset zones (UTC above all) are
+    * provably monotone. Evaluation runs in the SAME session zone the
+    * query's own filter evaluates in, so prune-time and scan-time
+    * semantics can never diverge. */
+  private[graft] def buildXformEval(spark: SparkSession, fn: String,
+      arg: Option[String],
+      srcType: org.apache.spark.sql.types.DataType):
+      Option[NormVal => Option[NormVal]] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast, TimeZoneAwareExpression, Literal => CLit}
+    import org.apache.spark.sql.types._
+    def quoted(u: String) = "'" + u.replace("'", "''") + "'"
+    val textOpt = fn match {
+      case "year"       => Some("year(c)")
+      case "to_date"    => Some("to_date(c)")
+      case "cast_date"  => Some("CAST(c AS DATE)")
+      case "date_trunc" => arg.map(u => s"date_trunc(${quoted(u)}, c)")
+      case "trunc"      => arg.map(u => s"trunc(c, ${quoted(u)})")
+      case _            => None
+    }
+    textOpt.flatMap { text =>
+      scala.util.Try {
+        val df0 = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("c", srcType))))
+        df0.select(org.apache.spark.sql.functions.expr(text))
+          .queryExecution.analyzed.expressions.head match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case x => x
+        }
+      }.toOption
+    }.flatMap { analyzed =>
+      val tzDep = analyzed.find {
+        case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+        case _: TimeZoneAwareExpression => true
+        case _ => false
+      }.isDefined
+      val zoneFixed = scala.util.Try(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone).getRules.isFixedOffset)
+        .getOrElse(false)
+      if (tzDep && !zoneFixed) None
+      else Some { (nv: NormVal) =>
+        val internalOpt: Option[Any] = nv match {
+          case NumV(bd) => srcType match {
+            case DateType => scala.util.Try(bd.toIntExact).toOption
+            case TimestampType | TimestampNTZType =>
+              scala.util.Try(bd.toLongExact).toOption
+            case _ => None
+          }
+          case _ => None
+        }
+        internalOpt.flatMap { internal =>
+          scala.util.Try {
+            val sub = analyzed.transform {
+              case _: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference => CLit(internal, srcType)
+            }
+            normLit(sub.eval(null), sub.dataType)
+          }.toOption.flatten
+        }
+      }
+    }
+  }
+
+  /** Convert one [[PXform]] marker into an evaluator-carrying leaf
+    * against snapshot `v`'s committed schema: the source column must
+    * be TEMPORAL (string order is not monotone under date parsing) and
+    * the evaluator must build ([[buildXformEval]]'s zone guard). The
+    * returned Pred still carries the LOGICAL column path. */
+  private def xformLeaf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
+      x: PXform): Option[Pred] = {
+    import org.apache.spark.sql.types._
+    val schema = manifestSchema(fs, r, v).getOrElse(return None)
+    val res = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def typeAt(st: StructType, segs: Seq[String]): Option[DataType] =
+      segs match {
+        case Seq(one) => st.fields.find(f => res(f.name, one)).map(_.dataType)
+        case h +: t => st.fields.find(f => res(f.name, h))
+          .map(_.dataType).flatMap {
+            case s: StructType => typeAt(s, t)
+            case _ => None
+          }
+        case _ => None
+      }
+    typeAt(schema, x.col.split('.').toSeq).filter(dt =>
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType)
+      .flatMap(dt => buildXformEval(spark, x.fn, x.arg, dt))
+      .map(f => Pred(x.col, x.op, x.values, Some(f)))
   }
 
   /** Leaf enrichment for the tree pruner: each understood leaf gains
@@ -224,14 +418,34 @@ private[graft] trait LakeReads { this: Lake.type =>
       case PAnd(cs) => PAnd(cs.map(go))
       case POr(cs)  => POr(cs.map(go))
       case PUnknown => PUnknown
+      // monotone-expression comparisons gain their evaluator here
+      // (temporal source + zone guard), then prune on the SOURCE
+      // column's own stats/partition evidence — the skipping Delta
+      // derives for `WHERE year(o_orderdate) = 1996` without a
+      // generated partition column
+      case x: PXform =>
+        xformLeaf(spark, fs, r, v, x).map(p => PLeaf(phys(p)))
+          .getOrElse(PUnknown)
     }
     go(t)
   }
 
   /** Can `p` provably select NOTHING from a dir whose stat range for
     * `p.col` is [lo, hi]? NULL rows never satisfy a comparison, so a
-    * range over the non-NULL values is sufficient evidence. */
-  private[sources] def predExcludes(lo: NormVal, hi: NormVal, p: Pred): Boolean = p.op match {
+    * range over the non-NULL values is sufficient evidence. A
+    * transformed leaf (`year(ts) op v`) maps the range through its
+    * monotone evaluator first: f non-decreasing means every row's
+    * f(x) lies in [f(lo), f(hi)], so exclusion against the mapped
+    * range is exact; a mapping failure keeps the dir. */
+  private[sources] def predExcludes(lo: NormVal, hi: NormVal, p: Pred): Boolean =
+    p.xform match {
+      case Some(f) =>
+        (for (flo <- f(lo); fhi <- f(hi))
+          yield predExcludesBase(flo, fhi, p)).getOrElse(false)
+      case None => predExcludesBase(lo, hi, p)
+    }
+
+  private def predExcludesBase(lo: NormVal, hi: NormVal, p: Pred): Boolean = p.op match {
     case PEq => p.values.forall(v =>
       (for (a <- cmpNorm(v, lo); b <- cmpNorm(v, hi)) yield a < 0 || b > 0)
         .getOrElse(false))
@@ -280,7 +494,11 @@ private[graft] trait LakeReads { this: Lake.type =>
     * column holds no NULLs in the dir (a NULL never satisfies a
     * comparison, so a dir with NULL rows is never all-match) — see
     * [[deleteWhere]]'s non-nullable-schema gate. */
-  private[sources] def predIncludesAll(lo: NormVal, hi: NormVal, p: Pred): Boolean = p.op match {
+  private[sources] def predIncludesAll(lo: NormVal, hi: NormVal, p: Pred): Boolean =
+    // transformed leaves are exclusion-side only: the whole-dir DROP
+    // proofs stay untransformed (extractPredsExact never emits them),
+    // and anything that slipped through stays conservative
+    if (p.xform.isDefined) false else p.op match {
     // every non-null value equals lo (=hi) and that value is in the set
     case PEq => cmpNorm(lo, hi).contains(0) &&
       p.values.exists(v => cmpNorm(v, lo).contains(0))
@@ -881,6 +1099,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         // without these lines the clone's appends would stop stamping
         // while the schema still carries the columns
         identity = Some(manifestIdentity(fs, sr, v)),
+        idMode = Some(manifestIdMode(fs, sr, v)),
         rowId = manifestRowId(fs, sr, v),
         dvsReplace = true,
         op = s"clone $srcRoot@v$v"))
@@ -1033,6 +1252,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         // because the rows that consumed them are gone)
         props = Some(manifestProps(fs, r, version)),
         identity = Some(manifestIdentity(fs, r, version)),
+        idMode = Some(manifestIdMode(fs, r, version)),
         // the row-id mark restores AUTHORITATIVELY too (None clears:
         // restoring to a pre-tracking version restores to untracked —
         // the restored dirs carry no ids, so keeping the mark would

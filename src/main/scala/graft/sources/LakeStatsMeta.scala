@@ -410,7 +410,9 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
   private[sources] def bloomExcludes(
       blooms: Map[String, org.apache.spark.util.sketch.BloomFilter],
       p: Pred): Boolean =
-    p.op == PEq && blooms.get(p.col).exists { bf =>
+    // a transformed leaf's values live in f-space; the bloom holds
+    // SOURCE-space hashes — membership answers nothing
+    p.op == PEq && p.xform.isEmpty && blooms.get(p.col).exists { bf =>
       p.values.forall {
         case NumV(v) =>
           v.isWhole && v.isValidLong && !bf.mightContainLong(v.toLongExact)

@@ -57,7 +57,8 @@ final class LakeStreamSource(
     override val schema: StructType,
     startAfter: Option[Long], ignoreDeletes: Boolean,
     maxVersionsPerTrigger: Option[Long] = None,
-    changeFeedKeys: Option[Seq[String]] = None) extends Source
+    changeFeedKeys: Option[Seq[String]] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -129,7 +130,63 @@ final class LakeStreamSource(
         }
       case None => eff
     }
-    capped.map(LongOffset(_)).orNull
+    // maxBytesPerTrigger (Delta's byte-based admission): walk the
+    // committed versions past the start offset ACCUMULATING each
+    // version's NEW-dir bytes and stop before the budget overflows —
+    // a history holding one month-sized overwrite no longer lands as
+    // one giant micro-batch beside the version-count throttle. The
+    // FIRST version past the offset always admits (a single version
+    // larger than the budget must still make progress — Delta's
+    // at-least-one rule), offsets stay exact committed versions, and
+    // the batch-twin semantics are untouched (the same rows arrive,
+    // split differently).
+    val byteCapped = maxBytesPerTrigger match {
+      case Some(budget) =>
+        val from = Option(start).map(o => o.json.trim.toLong)
+          .orElse(startAfter).getOrElse(-1L)
+        capped.map { v =>
+          if (v <= from) v
+          else {
+            val committed = Lake.committedVersionList(spark, root)
+              .filter(c => c > from && c <= v)
+            var acc = 0L
+            var last = from
+            var done = false
+            committed.foreach { c =>
+              if (!done) {
+                val sz = versionNewBytes(c)
+                if (last == from || acc + sz <= budget) {
+                  acc += sz; last = c
+                } else done = true
+              }
+            }
+            if (last == from) v else last
+          }
+        }
+      case None => capped
+    }
+    byteCapped.map(LongOffset(_)).orNull
+  }
+
+  /** Bytes version `c` ADDED to the table: the parquet lengths of the
+    * dirs its manifest references that the previous committed manifest
+    * did not (first retained version: the whole snapshot). One driver
+    * listing per new dir at PLANNING time — O(new dirs), the admission
+    * controller's price, never a data read. */
+  private def versionNewBytes(c: Long): Long = {
+    val all = Lake.committedVersionList(spark, root)
+    val prevDirs = all.filter(_ < c).maxOption
+      .map(p => Lake.snapshotDirNames(spark, root, p).toSet)
+      .getOrElse(Set.empty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    Lake.snapshotDirNames(spark, root, c).filterNot(prevDirs).map { d =>
+      val p = new Path(new Path(root), d)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
   }
 
   override def reportLatestOffset():
@@ -649,6 +706,12 @@ final class GraftLakeProvider extends StreamSourceProvider
       require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
       v
     }
+    val maxBytes = parameters.get("maxBytesPerTrigger").map { n =>
+      val v = n.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"maxBytesPerTrigger must be a positive byte count, got $n"))
+      require(v > 0, s"maxBytesPerTrigger must be positive, got $v")
+      v
+    }
     val keys = cdfKeysOf(sqlContext.sparkSession, root, parameters)
     require(keys.isEmpty || !ignoreDeletes,
       "readChangeFeed already carries deletes as retraction rows; " +
@@ -665,6 +728,6 @@ final class GraftLakeProvider extends StreamSourceProvider
         org.apache.spark.sql.types.StructField("commit_version",
           org.apache.spark.sql.types.LongType))
     new LakeStreamSource(sqlContext, root, eff, startAfter, ignoreDeletes,
-      maxVersions, keys)
+      maxVersions, keys, maxBytes)
   }
 }

@@ -430,6 +430,43 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   // disjoint, gap-free-per-commit ranges with no coordinator beyond
   // the manifest slot itself.
   private[sources] val IdentityPrefix = "#identity="
+  // `#idmode=bydefault` — Delta's GENERATED BY DEFAULT AS IDENTITY:
+  // the allocator fills ONLY rows omitting (or NULL-ing) the column;
+  // explicit values pass through VERBATIM and the high-water mark
+  // advances past them, so the allocator never reuses an explicitly
+  // written key — but BY DEFAULT does NOT guarantee uniqueness against
+  // explicit values (Delta's documented rule; it exists for migrations
+  // seeding existing SERIAL keys). Absent line = GENERATED ALWAYS
+  // (batches must omit the column). Semantics-bearing → `#require=
+  // idmode`: an old build committing on top would drop the line and
+  // silently revert the table to ALWAYS.
+  private[sources] val IdModePrefix = "#idmode="
+
+  private[graft] def manifestIdMode(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Option[String] =
+    manifestBody(fs, r, v).find(_.startsWith(IdModePrefix))
+      .map(_.stripPrefix(IdModePrefix))
+
+  /** BY DEFAULT fill: rows whose identity value is NULL take the
+    * contiguous block [start, start + nNull); explicit values pass
+    * through verbatim (cast to LongType). Returns the filled frame and
+    * the advanced mark — max(block end, max explicit + 1), so future
+    * allocations never collide with keys this batch wrote explicitly.
+    * `nNull`/`maxExplicit` are the caller's precomputed aggregates
+    * (the OCC rebase re-fills at a moved mark without re-counting). */
+  private[sources] def fillIdentityNulls(df: org.apache.spark.sql.DataFrame,
+      c: String, start: Long, nNull: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val typed = df.withColumn(c,
+      col(c).cast(org.apache.spark.sql.types.LongType))
+    if (nNull == 0L) typed
+    else {
+      val nulls = typed.where(col(c).isNull).drop(c)
+      typed.where(col(c).isNotNull).unionByName(
+        materializeIdentity(nulls, c, start)
+          .select(typed.columns.map(col).toSeq: _*))
+    }
+  }
 
   // -- row tracking ----------------------------------------------------
   //
@@ -581,14 +618,17 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   private[sources] def dropAllNullSpecials(df: org.apache.spark.sql.DataFrame,
       gens: Seq[(String, String)], ident: Option[(String, Long)]):
       org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, count}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val carried = (gens.map(_._1) ++ ident.map(_._1).toSeq).distinct
       .filter(df.columns.contains)
     if (carried.isEmpty) return df
-    val counts = df.agg(count(col(carried.head)),
-      carried.tail.map(c => count(col(c))): _*).collect().head
+    val counts = df.agg(count(lit(1)),
+      carried.map(c => count(col(c))): _*).collect().head
+    // an EMPTY batch is an establishing/degenerate commit, not a SQL
+    // NULL-padded insert — keep its columns (and their declared ORDER)
+    if (counts.getLong(0) == 0L) return df
     carried.zipWithIndex
-      .filter { case (_, i) => counts.getLong(i) == 0L }
+      .filter { case (_, i) => counts.getLong(i + 1) == 0L }
       .map(_._1).foldLeft(df)(_.drop(_))
   }
 
@@ -1393,6 +1433,49 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
       aIdByPath.get(p).filter(_ != g.id).map(_ => p)
     }
     (moved ++ rekeyed).distinct
+  }
+
+  /** Evolve the committed schema TOWARD `incoming` by the APPEND rule
+    * (add nullable columns — nested included via struct merge — and
+    * lossless type widening; anything lossy refuses loudly) in ONE
+    * metadata commit with zero data I/O. No-op when nothing changes.
+    * This is what the SQL `MERGE WITH SCHEMA EVOLUTION` spelling runs
+    * before re-analyzing the merge: the v1 analyzer expands star
+    * actions against the target schema, so the target must carry the
+    * evolved shape BEFORE resolution — the same rule
+    * [[LakeMutations.mergeCommitted]]'s allowSchemaEvolution applies
+    * at execution. */
+  def evolveSchema(spark: SparkSession, root: String,
+      incoming: org.apache.spark.sql.types.StructType,
+      retain: Int = -1): Long = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed table at $root"))
+    val schema = manifestSchema(fs, r, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"the table at $root predates carried schemas — commit once " +
+          "(any append) to establish a #schema line, then evolve"))
+    require(!incoming.fieldNames.contains(RowIdCol),
+      s"'$RowIdCol' is engine-owned under row tracking — the incoming " +
+        "schema must omit it")
+    val merged = mergeSchemas(schema, incoming)
+    if (merged == schema) return cur
+    requireNotFoldTable(fs, r, "evolve the schema of")
+    // new top-level names allocate physical names that can never
+    // collide with a mapped or retired one, exactly like an evolving
+    // append's staging would
+    val newMap = allocPhysical(merged, manifestColMap(fs, r, cur),
+      manifestRetired(fs, r, cur), cur + 1)
+    val next = pinSlot(fs, r, cur)
+    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
+        Some(merged), manifestRows(fs, r, cur),
+        colMap = Some(newMap),
+        op = "evolve schema"))
+      throw new java.util.ConcurrentModificationException(
+        s"evolving the schema of $root lost version $next to a " +
+          "concurrent commit — retry against the current table")
+    next
   }
 
   /** Upgrade a table to id-mode column mapping: one metadata commit

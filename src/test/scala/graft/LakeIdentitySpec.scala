@@ -145,4 +145,72 @@ class LakeIdentitySpec extends SparkSpec {
         .head.getInt(0) === 1997)
     } finally spark.sql("DROP TABLE IF EXISTS id_sql")
   }
+
+  test("GENERATED BY DEFAULT: the allocator fills only omitted/NULL values; explicit keys pass and advance the mark") {
+    val root = tmpTable("graft-id-bydefault")
+    // establishing commit declares the mode with the column
+    Lake.commitOverwrite(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType)))),
+      root, retain = 8, identity = Some("id"), identityByDefault = true)
+    // a MIXED batch: explicit keys (migration-seeded SERIAL values)
+    // pass through verbatim; NULL keys take the next block
+    Lake.commitAppend(Seq((Some(100L), "a"), (None, "b"), (Some(200L), "c"),
+      (None, "d")).toDF("id", "t"), root, retain = 8)
+    val r1 = rows(Lake.readCommitted(spark, root))
+    assert(r1 === Set(Seq(100L, "a"), Seq(1L, "b"), Seq(200L, "c"),
+      Seq(2L, "d")))
+    // the mark advanced past the explicit max: the next omitted batch
+    // can never reuse 100 or 200
+    assert(Lake.identityColumn(spark, root) === Some(("id", 201L)))
+    Lake.commitAppend(Seq(Tuple1("e")).toDF("t"), root, retain = 8)
+    assert(rows(Lake.readCommitted(spark, root).where(col("t") === "e")
+      .select("id")) === Set(Seq(201L)))
+    // a fully-explicit batch just advances the mark
+    Lake.commitAppend(Seq((500L, "f")).toDF("id", "t"), root, retain = 8)
+    assert(Lake.identityColumn(spark, root) === Some(("id", 501L)))
+    // mode is immutable: re-declaring as ALWAYS refuses
+    assert(intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(Seq((1L, "x")).toDF("id", "t"), root,
+        retain = 8, identity = Some("id"))
+    }.getMessage.contains("mode"))
+    // an ALWAYS table still refuses explicit values, naming the remedy
+    val aroot = tmpTable("graft-id-always")
+    Lake.commitOverwrite(Seq(Tuple1("a")).toDF("t"), aroot, retain = 8,
+      identity = Some("id"))
+    assert(intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq((9L, "x")).toDF("id", "t"), aroot, retain = 8)
+    }.getMessage.contains("BY DEFAULT"))
+  }
+
+  test("GENERATED BY DEFAULT under an OCC race: the loser re-fills its NULL block past the winner's mark") {
+    val root = tmpTable("graft-id-bydefault-occ")
+    Lake.commitOverwrite(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType)))),
+      root, retain = 8, identity = Some("id"), identityByDefault = true)
+    // interloper allocates [1,2] while our mixed batch is mid-commit
+    Lake.beforePublish = () => {
+      Lake.beforePublish = () => ()
+      Lake.commitAppend(Seq(Tuple1("w1"), Tuple1("w2")).toDF("t"), root,
+        retain = 8); ()
+    }
+    Lake.commitAppend(Seq((Some(50L), "x"), (None, "y")).toDF("id", "t"),
+      root, retain = 8)
+    val r = rows(Lake.readCommitted(spark, root))
+    // winner took 1,2; the loser re-staged its NULL row at 3; explicit
+    // 50 passed verbatim; mark past max(4, 51)
+    assert(r === Set(Seq(1L, "w1"), Seq(2L, "w2"), Seq(50L, "x"),
+      Seq(3L, "y")))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 51L)))
+  }
+
 }

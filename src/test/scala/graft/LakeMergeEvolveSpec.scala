@@ -102,4 +102,68 @@ class LakeMergeEvolveSpec extends SparkSpec {
       root, retain = 8)
     assert(Lake.readCommitted(spark, root).count() === 4L)
   }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION: the schema evolves before resolution; star and explicit actions land the drifted columns") {
+    val root = tmpTable("graft-mergevo-sql")
+    Lake.commitAppend((1L to 50L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      root, retain = 8)
+    Lake.commitAppend((51L to 100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS mrgevo_sql")
+    spark.sql(s"CREATE TABLE mrgevo_sql USING `graft-lake` OPTIONS (root '$root')")
+    Seq((60L, "upd", "en"), (200L, "ins", "fr"))
+      .toDF("id", "payload", "lang").createOrReplaceTempView("mrgevo_src")
+    val preDirs = Lake.resolve(spark, root).toSet
+    // star actions: the analyzer must expand them against the EVOLVED
+    // schema — without the pre-resolution evolution the source-only
+    // `lang` column would be silently dropped (the old refusal)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_sql t
+        |USING mrgevo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val r = spark.table("mrgevo_sql")
+    assert(r.columns.toSeq === Seq("id", "payload", "lang"))
+    assert(r.count() === 101L)
+    assert(rows(r.where(col("lang").isNotNull).select("id", "payload", "lang")) ===
+      Set(Seq(60L, "upd", "en"), Seq(200L, "ins", "fr")))
+    // dir 1 (ids 1..50) untouched: carried by reference
+    assert(Lake.resolve(spark, root).toSet.intersect(preDirs).nonEmpty,
+      "the untouched dir must carry by reference across the evolution")
+    // EXPLICIT assignment to a drifted column resolves too (it would
+    // fail analysis against the un-evolved target)
+    Seq((61L, "upd2", "de", 1.5)).toDF("id", "payload", "lang", "score")
+      .createOrReplaceTempView("mrgevo_src2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_sql t
+        |USING mrgevo_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET lang = s.lang, score = s.score""".stripMargin)
+    assert(rows(spark.sql(
+      "SELECT lang, score FROM mrgevo_sql WHERE id = 61")) ===
+      Set(Seq("de", 1.5)))
+    // idempotent shape: a NON-drifted source under the flag is a plain
+    // merge (evolveSchema no-ops)
+    Seq((62L, "upd3", "it", 2.5)).toDF("id", "payload", "lang", "score")
+      .createOrReplaceTempView("mrgevo_src3")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_sql t
+        |USING mrgevo_src3 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(rows(spark.sql(
+      "SELECT payload, lang FROM mrgevo_sql WHERE id = 62")) ===
+      Set(Seq("upd3", "it")))
+    // a LOSSY drift still refuses loudly (the append rule)
+    Seq((63L, 1.0)).toDF("id", "score_bad")
+      .withColumn("payload", lit(2.0)) // double vs string payload
+      .createOrReplaceTempView("mrgevo_src4")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_sql t
+          |USING mrgevo_src4 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("schema evolution"))
+    spark.sql("DROP TABLE mrgevo_sql")
+  }
+
 }

@@ -2599,4 +2599,56 @@ class LakeSpec extends SparkSpec {
     assert(rows(Lake.readCommittedWhere(spark, froot, pF).select("k")) ===
       ((0L until 16L) ++ (1008L until 1024L)).map(Seq(_)).toSet)
   }
+
+  test("monotone-expression skipping: year()/to_date()/date_trunc() on a stat'd column prune; DST zones and strings refuse") {
+    val root = tmpTable("graft-xform-skip")
+    def df(years: Seq[Int]) = years.flatMap(y => (1 to 10).map(m0 =>
+      (y.toLong * 100 + m0, java.sql.Date.valueOf(s"$y-0${(m0 % 9) + 1}-15"))))
+      .toDF("k", "d")
+    Lake.commitOverwrite(df(Seq(1995)), root, retain = 8,
+      statsCols = Seq("d"))
+    Lake.commitAppend(df(Seq(1996)), root, retain = 8)
+    Lake.commitAppend(df(Seq(1998)), root, retain = 8)
+    // equality through year(): only the 1996 dir survives
+    val (kept, skipped) = Lake.pruneDirs(spark, root,
+      year(col("d")) === 1996)
+    assert(kept.size === 1 && skipped.size === 2,
+      s"year() equality must prune on d's own stats (kept=$kept)")
+    // ranges through to_date()/date_trunc() prune too
+    assert(Lake.pruneDirs(spark, root,
+      to_date(col("d")) >= lit(java.sql.Date.valueOf("1998-01-01")))._2.size === 2)
+    assert(Lake.pruneDirs(spark, root,
+      date_trunc("year", col("d")) ===
+        lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))._2.size === 2)
+    // IN through year()
+    assert(Lake.pruneDirs(spark, root,
+      year(col("d")).isin(1995, 1998))._2.size === 1)
+    // correctness: the pruned read equals the unpruned filter
+    assert(Lake.readCommittedWhere(spark, root, year(col("d")) === 1996)
+      .count() === 10)
+    // the SQL scan path prunes the same way (resolved Year shape)
+    Lake.registerSql(spark, "xformskip", root)
+    assert(spark.sql("SELECT count(*) FROM xformskip WHERE year(d) = 1996")
+      .collect().head.getLong(0) === 10)
+    // ZONE GUARD: a session zone with DST transitions refuses the
+    // zone-anchored maps (micros->local is not monotone there) —
+    // pruning weakens, never lies. year(DATE) is zone-free and keeps
+    // pruning; date_trunc (timestamp-anchored) must not.
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      assert(Lake.pruneDirs(spark, root,
+        date_trunc("year", col("d")) ===
+          lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))._2.isEmpty,
+        "zone-anchored maps must refuse under a DST zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // STRING sources refuse (lexical order is not monotone under
+    // date parsing)
+    val sroot = tmpTable("graft-xform-str")
+    Lake.commitOverwrite(Seq((1L, "1995-01-15"), (2L, "1996-02-15"))
+      .toDF("k", "ds"), sroot, retain = 8, statsCols = Seq("ds"))
+    assert(Lake.pruneDirs(spark, sroot,
+      year(to_date(col("ds"))) === 1996)._2.isEmpty)
+  }
+
 }

@@ -809,23 +809,90 @@ class LakeSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE ctas_t")
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION refuses loudly instead of silently dropping columns") {
+  test("MERGE WITH SCHEMA EVOLUTION lands the drifted column (round-17 lift of the refusal)") {
     val root = tmpTable("lakesql-mergeevo")
     Lake.commitOverwrite(Seq((1L, "a")).toDF("k", "t"), root, retain = 8)
     spark.sql("DROP TABLE IF EXISTS mergeevo_t")
     spark.sql(s"CREATE TABLE mergeevo_t USING `graft-lake` OPTIONS (root '$root')")
-    val e = intercept[Exception] {
-      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO mergeevo_t t " +
-        "USING (SELECT 2L AS k, 'b' AS t, 1.5 AS extra) s ON t.k = s.k " +
-        "WHEN NOT MATCHED THEN INSERT *")
-    }
-    assert(e.getMessage.contains("SCHEMA EVOLUTION") ||
-      e.getMessage.contains("mergeCommitted"))
-    // the plain spelling still works
-    spark.sql("MERGE INTO mergeevo_t t USING (SELECT 2L AS k, 'b' AS t) s " +
-      "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, t) VALUES (s.k, s.t)")
+    // the round-16 refusal is LIFTED: the pre-resolution rule evolves
+    // the schema first, so INSERT * keeps the source-only column
+    // instead of silently dropping it (the hazard the refusal guarded)
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO mergeevo_t t " +
+      "USING (SELECT CAST(2 AS BIGINT) AS k, 'b' AS t, CAST(1.5 AS DOUBLE) AS extra) s " +
+      "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(spark.sql("SELECT k, t, extra FROM mergeevo_t")) ===
+      Set(Seq(1L, "a", null), Seq(2L, "b", 1.5)))
+    // the plain spelling still works against the evolved table
+    spark.sql("MERGE INTO mergeevo_t t USING (SELECT CAST(3 AS BIGINT) " +
+      "AS k, 'c' AS t) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, t) VALUES (s.k, s.t)")
     assert(spark.sql("SELECT count(*) AS n FROM mergeevo_t").collect()
-      .head.getLong(0) === 2L)
+      .head.getLong(0) === 3L)
     spark.sql("DROP TABLE mergeevo_t")
   }
+
+  test("governed CREATE TABLE: IDENTITY + DEFAULT + GENERATED ALWAYS AS in one statement; an omitting insert materializes all three") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-create-gov").resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS gov_create")
+    spark.sql(
+      s"""CREATE TABLE gov_create (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+         |  name STRING,
+         |  score DOUBLE DEFAULT 0.5,
+         |  n BIGINT,
+         |  feat BIGINT GENERATED ALWAYS AS (n * 2)
+         |) USING `graft-lake` OPTIONS (root '$root')""".stripMargin)
+    // the table is BORN governed: one insert omitting id/score/feat
+    // allocates, defaults and materializes
+    spark.sql("INSERT INTO gov_create (name, n) VALUES ('a', 10), ('b', 20)")
+    assert(rows(spark.sql(
+      "SELECT id, name, score, n, feat FROM gov_create ORDER BY id")) ===
+      Set(Seq(1L, "a", 0.5, 10L, 20L), Seq(2L, "b", 0.5, 20L, 40L)))
+    // declarations live in the manifest, not just the catalog
+    assert(graft.sources.Lake.identityColumn(spark, root) ===
+      Some(("id", 3L)))
+    // explicit identity values refuse (ALWAYS)
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO gov_create VALUES (9, 'x', 1.0, 1, 2)")
+    }.getMessage.contains("GENERATED ALWAYS"))
+    // a stale generated copy refuses row-for-row
+    assert(intercept[Exception] {
+      spark.sql("INSERT INTO gov_create (name, n, feat) " +
+        "VALUES ('bad', 5, 99)")
+    }.getMessage.contains("gen_feat"))
+    spark.sql("DROP TABLE gov_create")
+
+    // BY DEFAULT + START WITH spelling: explicit keys pass, omitted
+    // keys allocate from the declared start
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-create-gov2").resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS gov_create2")
+    spark.sql(
+      s"""CREATE TABLE gov_create2 (
+         |  id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100),
+         |  name STRING
+         |) USING `graft-lake` OPTIONS (root '$root2')""".stripMargin)
+    spark.sql("INSERT INTO gov_create2 VALUES (7, 'seeded')")
+    spark.sql("INSERT INTO gov_create2 (name) VALUES ('alloc')")
+    assert(rows(spark.sql("SELECT id, name FROM gov_create2")) ===
+      Set(Seq(7L, "seeded"), Seq(100L, "alloc")))
+    spark.sql("DROP TABLE gov_create2")
+
+    // refusals: non-BIGINT identity, step != 1, an already-committed root
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE gov_bad1 (id INT GENERATED ALWAYS AS " +
+        s"IDENTITY, t STRING) USING `graft-lake` OPTIONS (root '${root}_b1')")
+    }.getMessage.contains("BIGINT"))
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE gov_bad2 (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (INCREMENT BY 2), t STRING) USING `graft-lake` " +
+        s"OPTIONS (root '${root}_b2')")
+    }.getMessage.contains("step"))
+    assert(intercept[Exception] {
+      spark.sql("CREATE TABLE gov_bad3 (c INT DEFAULT 5) " +
+        s"USING `graft-lake` OPTIONS (root '$root2')")
+    }.getMessage.contains("already exists"))
+  }
+
 }

@@ -782,4 +782,41 @@ class LakeStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("row id") ||
       e.getMessage.contains("keyCols"))
   }
+
+  test("maxBytesPerTrigger splits a backlog at version-byte boundaries; an over-budget version still admits alone") {
+    val root = tmpTable("graft-lkstream-bytecap")
+    val ckpt = tmpDir("graft-lkstream-bytecap-ckpt")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    // one LARGE version (5000 rows) then four tiny single-row commits —
+    // the version-count throttle alone would happily take the big one
+    // plus neighbors in one trigger
+    Lake.commitAppend((1L to 5000L).map(k => (k, s"t$k")).toDF("k", "t"),
+      root, retain = 8)
+    (1 to 4).foreach { i =>
+      Lake.commitAppend(Seq((10000L + i, s"s$i")).toDF("k", "t"), root,
+        retain = 8)
+      ()
+    }
+    // budget below the big version's size: it must still admit (alone —
+    // the at-least-one progress rule), and the tiny commits then pack
+    // together under the budget instead of one-per-trigger
+    val q = readLake(root, Map("startingVersion" -> "0",
+        "maxBytesPerTrigger" -> "4096"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sizes = batchSizes.toSeq
+    assert(sizes.head === 5000L,
+      s"the over-budget version must admit alone, got $sizes")
+    assert(sizes.sum === 5004L, s"every row must arrive exactly once: $sizes")
+    assert(sizes.length >= 2 && sizes.tail.forall(_ <= 4L),
+      s"later versions must respect the byte budget: $sizes")
+  }
+
 }
