@@ -41,7 +41,7 @@ object Bench {
     // 43s on identical code — BENCH_NOTES.md); min-of-2 is the standard
     // noise floor and still a fully executed end-to-end run.
     def timeOne(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+        org.apache.spark.sql.DataFrame): Either[String, (Double, Double)] = {
       // Shared-JVM hygiene: collect the previous query's garbage
       // OUTSIDE the timer so an allocation-heavy neighbor cannot tax
       // this query with its GC debt. Round-3 bisection measured the
@@ -51,8 +51,19 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        execute(fn)
-        Right((System.nanoTime() - t0) / 1e9)
+        // SPLIT the timer at the function/plan boundary: lake queries
+        // build their committed scenario EAGERLY inside fn (the r16
+        // q184 profile measured 7 local commits dominating a 4.99s
+        // entry), while the returned plan's noop execution is the
+        // probe the query exists to measure. Recording both makes the
+        // scenario-vs-probe split a standing artifact instead of a
+        // one-off profile — perf gates should track probe cost, not
+        // local-commit fixed overhead that amortizes over real data.
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        Right(((t2 - t0) / 1e9, (t1 - t0) / 1e9))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(e.getClass.getSimpleName)
@@ -68,12 +79,13 @@ object Bench {
     // the JSON ("passes") so the artifact documents its own noise
     // floor instead of asking the reader to trust the min.
     val maxPasses = 5
-    val results: Seq[(String, Either[String, Seq[Double]])] =
+    val results: Seq[(String, Either[String, Seq[(Double, Double)]])] =
       ordered.map { case (name, fn) =>
-        var acc: Either[String, Vector[Double]] = Right(Vector.empty)
-        def needMore(ts: Vector[Double]): Boolean =
+        var acc: Either[String, Vector[(Double, Double)]] = Right(Vector.empty)
+        def needMore(ts: Vector[(Double, Double)]): Boolean =
           ts.size < 2 || (ts.size < maxPasses &&
-            ts.max / ts.min > 2.0 && ts.max - ts.min > 0.5)
+            ts.map(_._1).max / ts.map(_._1).min > 2.0 &&
+            ts.map(_._1).max - ts.map(_._1).min > 0.5)
         while (acc.exists(needMore)) {
           acc = (acc, timeOne(name, fn)) match {
             case (Right(ts), Right(t)) => Right(ts :+ t)
@@ -89,15 +101,24 @@ object Bench {
     // summary line (~93 queries) comfortably inside a 4 KB capture
     def fmt4(v: Double): String = (math.rint(v * 1e4) / 1e4).toString
     val qs = results.map {
-      case (k, Right(ts)) => s"\"" + k + "\":" + fmt4(ts.min)
+      case (k, Right(ts)) => s"\"" + k + "\":" + fmt4(ts.map(_._1).min)
       case (k, Left(e))   => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
     val passes = results.map {
-      case (k, Right(ts)) => s"\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+      case (k, Right(ts)) =>
+        s"\"" + k + "\":[" + ts.map(t => fmt(t._1)).mkString(",") + "]"
       case (k, Left(e))   => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
+    // per-query [scenario-build, probe] of the FASTEST pass, for
+    // queries whose build cost is material (>= 0.25s): the standing
+    // scenario-vs-probe ledger the perf gates read
+    val splits = results.collect {
+      case (k, Right(ts)) if ts.nonEmpty && ts.minBy(_._1)._2 >= 0.25 =>
+        val (tot, build) = ts.minBy(_._1)
+        s"\"" + k + "\":[" + fmt4(build) + "," + fmt4(tot - build) + "]"
+    }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(ts)) => ts.min }.sum
+    val total = results.collect { case (_, Right(ts)) => ts.map(_._1).min }.sum
     // Two lines, DETAIL FIRST, SUMMARY LAST: the round capture keeps
     // only a ~4 KB tail of this output, and in round 5 the per-pass
     // arrays pushed the front of the single line (q01–q45 mins) out of
@@ -106,6 +127,7 @@ object Bench {
     // count, every per-query min — must be the final bytes written.
     val passesLine = s"""{"metric":"passes","unit":"sec","passes":$passes,"sf":"$sfDir"}"""
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    println(s"""{"metric":"build_probe_split","unit":"sec","split":$splits}""")
     println(passesLine)
     println(totalLine)
     // FULL artifact on disk: the driver's capture keeps only a ~2 KB
@@ -119,7 +141,7 @@ object Bench {
     try if (only.isEmpty) {
       val w = new java.io.PrintWriter("BENCH_LATEST.json", "UTF-8")
       try {
-        w.println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+        w.println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"n_queries":${results.size},"queries":$qs,"passes":$passes,"build_probe_split":$splits,"sf":"$sfDir"}""")
       } finally w.close()
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_LATEST.json: ${e.getMessage}") }
@@ -132,7 +154,7 @@ object Bench {
     // slow, what's the total" even if every line above is cut.
     val ranked: Seq[String] = {
       val errEntries = results.collect { case (k, Left(e)) => s"\"" + k + "\":\"err:" + e + "\"" }
-      val timeEntries = results.collect { case (k, Right(ts)) => (k, ts.min) }
+      val timeEntries = results.collect { case (k, Right(ts)) => (k, ts.map(_._1).min) }
         .sortBy(-_._2)
         .map { case (k, t) => s"\"" + k + "\":" + fmt4(t) }
       errEntries ++ timeEntries
