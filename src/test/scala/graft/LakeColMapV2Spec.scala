@@ -170,6 +170,15 @@ class LakeColMapV2Spec extends SparkSpec {
     val scoreEnt = v2b.fields.find(f =>
       f.container == metaId.id && f.logical == "score").get
     assert(scoreEnt.phys === "v", "rename froze the physical name")
+    // TOP-LEVEL rename on an id-mode table also carries its id (the
+    // rename carry reaches both engines) and freezes the physical name
+    Lake.renameColumn(spark, root, "k", "key")
+    val v2c = Lake.manifestColMap2(fs, r,
+      Lake.currentVersion(spark, root).get).get
+    val keyEnt = v2c.fields.find(f => f.container == 0 && f.logical == "key").get
+    assert(keyEnt.id === idOfK && keyEnt.phys === "k",
+      "a top-level rename must keep the id and the frozen physical name")
+    Lake.renameColumn(spark, root, "key", "k") // restore for the footer check
     // a post-upgrade write stamps each known field's id in the footer
     Lake.commitAppend(Seq((11L, 11, 5.5)).toDF("k", "x", "v")
       .select(col("k"), struct(col("x"), col("v").as("score")).as("meta")),

@@ -2626,10 +2626,34 @@ class LakeSpec extends SparkSpec {
     // correctness: the pruned read equals the unpruned filter
     assert(Lake.readCommittedWhere(spark, root, year(col("d")) === 1996)
       .count() === 10)
-    // the SQL scan path prunes the same way (resolved Year shape)
+    // the SQL scan path prunes the same way (resolved Year shape) —
+    // proven at the PLAN level: the executed scan's numFiles metric
+    // must shrink, not just the answer hold
     Lake.registerSql(spark, "xformskip", root)
+    def scannedFiles(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = scannedFiles("SELECT k, d FROM xformskip")
     assert(spark.sql("SELECT count(*) FROM xformskip WHERE year(d) = 1996")
       .collect().head.getLong(0) === 10)
+    assert(scannedFiles("SELECT k, d FROM xformskip WHERE year(d) = 1996")
+      < allFiles, "the SQL scan must read fewer files under year()")
+    // partition TUPLES map through the expression too: a
+    // date-partitioned layout answers year() equality exactly
+    val proot = tmpTable("graft-xform-part")
+    Lake.commitOverwrite(
+      Seq((1L, java.sql.Date.valueOf("1995-06-15")),
+        (2L, java.sql.Date.valueOf("1996-06-15")),
+        (3L, java.sql.Date.valueOf("1998-06-15"))).toDF("k", "d"),
+      proot, retain = 8, partitionBy = Seq("d"))
+    val (pk, ps) = Lake.pruneDirs(spark, proot, year(col("d")) === 1996)
+    assert(pk.size === 1 && ps.size === 2,
+      s"partition tuples must prune through year() (kept=$pk)")
     // ZONE GUARD: a session zone with DST transitions refuses the
     // zone-anchored maps (micros->local is not monotone there) —
     // pruning weakens, never lies. year(DATE) is zone-free and keeps
