@@ -977,13 +977,14 @@ case class GraftDropColumnCommand(root: String, names: Seq[Seq[String]],
     ifExists: Boolean, ident: Option[TableIdentifier])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
+    // ONE manifest commit for the whole statement (plus the id-mode
+    // upgrade commit when a nested path needs it) — a mid-statement
+    // validation failure or OCC loss applies nothing, matching the
+    // atomic ADD/ALTER statements
     val schema = Lake.readCommitted(session, root).schema
-    names.foreach { p =>
-      if (!ifExists || LakeDml.fieldPathExists(schema, p)) {
-        if (p.length == 1) Lake.dropColumn(session, root, p.head)
-        else Lake.dropNestedColumn(session, root, p)
-      }
-    }
+    val present = names.filter(p =>
+      !ifExists || LakeDml.fieldPathExists(schema, p))
+    if (present.nonEmpty) Lake.dropColumnsAtPaths(session, root, present)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
     Seq.empty

@@ -24,10 +24,36 @@ private[graft] trait LakeReads { this: Lake.type =>
     case _ => None
   }
 
+  /** Normalized value of a CONSTANT expression: a literal, or a cast
+    * of one (`lit("1998-01-01").cast("date")` — the everyday
+    * programmatic spelling; SQL paths constant-fold before pushdown,
+    * the Column path does not). The cast evaluates ONCE on the driver
+    * under the session zone — exactly how the query's own filter will
+    * evaluate it — and anything that fails to evaluate (bad parse,
+    * ANSI overflow) contributes nothing. */
+  private[sources] def constNorm(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[NormVal] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt) =>
+      normLit(v, dt)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      constNorm(c.child).flatMap { _ =>
+        scala.util.Try {
+          val zoned =
+            if (c.timeZoneId.isDefined) c
+            else c.withTimeZone(org.apache.spark.sql.internal
+              .SQLConf.get.sessionLocalTimeZone)
+          normLit(zoned.eval(null), c.dataType)
+        }.toOption.flatten
+      }
+    case _ => None
+  }
+
   /** The conjuncts of `e` this pruner understands: comparisons and IN
-    * between a bare column and literals. Anything else (OR trees,
-    * casts, function calls, IS NULL, subqueries) contributes no
-    * conjunct — pruning quietly weakens, never strengthens. */
+    * between a bare column and constants. Anything else (OR trees,
+    * casts of columns, function calls, subqueries — IS NULL aside)
+    * contributes no conjunct — pruning quietly weakens, never
+    * strengthens. */
   private[sources] def extractPreds(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Pred] =
     extractPredsExact(e)._1
@@ -43,10 +69,7 @@ private[graft] trait LakeReads { this: Lake.type =>
   private[sources] def extractPredsExact(
       e: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[Pred], Boolean) = {
     import org.apache.spark.sql.catalyst.expressions._
-    def lit1(x: Expression): Option[NormVal] = x match {
-      case Literal(v, dt) => normLit(v, dt)
-      case _ => None
-    }
+    def lit1(x: Expression): Option[NormVal] = constNorm(x)
     def cmp(a: Expression, b: Expression, op: POp, flip: POp): (Seq[Pred], Boolean) =
       (attrName(a), lit1(b), attrName(b), lit1(a)) match {
         case (Some(c), Some(v), _, _) => (Seq(Pred(c, op, Seq(v))), true)
@@ -261,10 +284,7 @@ private[graft] trait LakeReads { this: Lake.type =>
       e: org.apache.spark.sql.catalyst.expressions.Expression):
       Option[PredTree] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def lit1(x: Expression): Option[NormVal] = x match {
-      case Literal(v, dt) => normLit(v, dt)
-      case _ => None
-    }
+    def lit1(x: Expression): Option[NormVal] = constNorm(x)
     def mk(a: Expression, b: Expression, op: POp, flip: POp): Option[PredTree] =
       (for (s <- xformShape(a); v <- lit1(b))
         yield PXform(s._1, s._2, s._3, op, Seq(v)))

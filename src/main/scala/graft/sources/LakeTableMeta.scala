@@ -1607,50 +1607,9 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     require(path.length >= 2,
       s"dropNestedColumn needs a nested path (got ${path.mkString(".")}) " +
         "— use dropColumn for top-level columns")
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val schema = manifestSchema(fs, r, cur).getOrElse(
-      throw new IllegalArgumentException(
-        s"the table at $root predates carried schemas — commit once " +
-          "(any append) to establish a #schema line, then drop"))
-    requireNotFoldTable(fs, r, "drop a nested column of")
-    val (newSchema, canon) =
-      try dropFieldAt(schema, path)
-      catch { case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"cannot drop ${path.mkString(".")} at $root: ${e.getMessage}")
-      }
-    val refs = refsOverlapping(spark, manifestChecks(fs, r, cur), canon)
-    require(refs.isEmpty,
-      s"cannot drop ${canon.mkString(".")}: CHECK constraint(s) " +
-        refs.mkString("[", ", ", "]") + " reference it — drop them first")
-    val genRefs = refsOverlapping(spark, manifestGenAll(fs, r, cur), canon)
-    require(genRefs.isEmpty,
-      s"cannot drop ${canon.mkString(".")}: generated column(s) " +
-        genRefs.mkString("[", ", ", "]") + " derive from (or through) it")
-    // the id tree must exist BEFORE the drop commit (ids are assigned
-    // to the PRE-drop names — establishing in the same commit would
-    // assign them to the post-drop schema and lose the tombstone);
-    // no-op when already upgraded
-    upgradeColumnMapping(spark, root, retain)
-    val base = currentVersion(spark, root).get
-    val flat = manifestColMap(fs, r, base)
-    val physPath = physName(flat, canon.mkString("."))
-    val next = pinSlot(fs, r, base)
-    if (!commitManifest(fs, r, next, manifestDirs(fs, r, base), retain,
-        Some(newSchema), manifestRows(fs, r, base),
-        colMap = Some(flat - canon.mkString(".")),
-        statsColsReplace =
-          Some(manifestStatsCols(fs, r, base).filterNot(_ == physPath)),
-        bloomColsReplace =
-          Some(manifestBloomCols(fs, r, base).filterNot(_ == physPath)),
-        op = s"drop column ${canon.mkString(".")}"))
-      throw new java.util.ConcurrentModificationException(
-        s"dropping ${canon.mkString(".")} on $root lost version $next to " +
-          "a concurrent commit — retry against the current table")
-    next
+    // one engine: the batch path owns the guards, the id-mode upgrade
+    // and the tombstone bookkeeping
+    dropColumnsAtPaths(spark, root, Seq(path), retain)
   }
 
   /** RENAME a NESTED field as METADATA: one manifest write — the field
@@ -1782,58 +1741,120 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * fold-maintained tables.
     * @return the committed version without the column */
   def dropColumn(spark: SparkSession, root: String,
-      name: String, retain: Int = -1): Long = {
+      name: String, retain: Int = -1): Long =
+    dropColumnsAtPaths(spark, root, Seq(Seq(name)), retain)
+
+  /** DROP several columns — top-level, nested, or mixed — in ONE
+    * manifest commit: `ALTER TABLE t DROP COLUMNS (a, meta.x)` must be
+    * atomic like the reference's ADD/ALTER statements, so a
+    * mid-statement validation failure (an unknown name, a referenced
+    * constraint, an OCC loss) applies NOTHING. Every guard of the
+    * single-column spellings applies per path; any nested path
+    * auto-upgrades the table to id-mode first (its own commit, like
+    * the single-path DDL). */
+  def dropColumnsAtPaths(spark: SparkSession, root: String,
+      paths: Seq[Seq[String]], retain: Int = -1): Long = {
+    require(paths.nonEmpty, "dropColumnsAtPaths needs at least one column")
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    val cur = currentVersion(spark, root).getOrElse(
+    def cur0 = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val schema = manifestSchema(fs, r, cur).getOrElse(
+    def schemaAt(v: Long) = manifestSchema(fs, r, v).getOrElse(
       throw new IllegalArgumentException(
         s"the table at $root predates carried schemas — commit once " +
           "(any append) to establish a #schema line, then drop"))
-    require(schema.fieldNames.contains(name),
-      s"no column '$name' at $root (have: " +
-        schema.fieldNames.mkString("[", ", ", "]") + ")")
-    require(schema.length > 1, s"cannot drop the only column of $root")
-    requireNotFoldTable(fs, r, "drop a column of")
+    requireNotFoldTable(fs, r, if (paths.exists(_.length >= 2))
+      "drop a nested column of" else "drop a column of")
+    // ALL validation runs against the pre-upgrade state FIRST, so a
+    // refused statement applies nothing — not even the id-mode
+    // upgrade commit (the upgrade changes neither the schema nor the
+    // flat map, so the fold below stays valid across it)
+    val cur = cur0
+    val schema = schemaAt(cur)
     val map = manifestColMap(fs, r, cur)
-    val phys = physName(map, name)
-    require(!manifestPartCols(fs, r, cur).contains(phys),
-      s"cannot drop partition column '$name' — the partition layout is " +
-        "a table property; re-layout with commitOverwrite to change it")
-    require(!manifestBucketBy(fs, r, cur).exists(_._2.contains(phys)),
-      s"cannot drop bucket column '$name' — the bucket layout is a " +
-        "table property; re-layout with commitOverwrite to change it")
-    val refs = checksReferencing(spark, manifestChecks(fs, r, cur), name)
-    require(refs.isEmpty,
-      s"cannot drop '$name': CHECK constraint(s) " +
-        refs.mkString("[", ", ", "]") + " reference it — drop them first")
-    val genRefs = manifestGenAll(fs, r, cur).collect {
-      case (c, _) if c == name => c
-    } ++ checksReferencing(spark, manifestGenAll(fs, r, cur), name)
-    require(genRefs.isEmpty,
-      s"cannot drop '$name': generated column(s) " +
-        genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
-        "from) it")
-    require(!phys.exists("=,\n#".contains(_)),
-      s"physical column name '$phys' cannot ride the #colretired line")
-    val newSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(_.name == name))
-    val retired = manifestRetired(fs, r, cur)
-    val next = pinSlot(fs, r, cur)
-    if (!commitManifest(fs, r, next, manifestDirs(fs, r, cur), retain,
-        Some(newSchema), manifestRows(fs, r, cur),
-        colMap = Some(map - name),
-        retiredCols = Some((retired :+ phys).distinct),
+    val checks = manifestChecks(fs, r, cur)
+    val gens = manifestGenAll(fs, r, cur)
+    var folded = schema
+    val droppedPhys = Seq.newBuilder[String] // full dotted phys paths
+    val retiredTop = Seq.newBuilder[String]
+    var newMap = map
+    paths.foreach { path =>
+      require(path.nonEmpty, "empty column path")
+      if (path.length == 1) {
+        val name = path.head
+        require(folded.fieldNames.contains(name),
+          s"no column '$name' at $root (have: " +
+            folded.fieldNames.mkString("[", ", ", "]") + ")")
+        require(folded.length > 1, s"cannot drop the only column of $root")
+        val phys = physName(map, name)
+        require(!manifestPartCols(fs, r, cur).contains(phys),
+          s"cannot drop partition column '$name' — the partition layout is " +
+            "a table property; re-layout with commitOverwrite to change it")
+        require(!manifestBucketBy(fs, r, cur).exists(_._2.contains(phys)),
+          s"cannot drop bucket column '$name' — the bucket layout is a " +
+            "table property; re-layout with commitOverwrite to change it")
+        val refs = checksReferencing(spark, checks, name)
+        require(refs.isEmpty,
+          s"cannot drop '$name': CHECK constraint(s) " +
+            refs.mkString("[", ", ", "]") + " reference it — drop them first")
+        val genRefs = gens.collect { case (c, _) if c == name => c } ++
+          checksReferencing(spark, gens, name)
+        require(genRefs.isEmpty,
+          s"cannot drop '$name': generated column(s) " +
+            genRefs.distinct.mkString("[", ", ", "]") + " are (or derive " +
+            "from) it")
+        require(!phys.exists("=,\n#".contains(_)),
+          s"physical column name '$phys' cannot ride the #colretired line")
+        folded = org.apache.spark.sql.types.StructType(
+          folded.fields.filterNot(_.name == name))
+        droppedPhys += phys
+        retiredTop += phys
+        newMap -= name
+      } else {
+        val (next, canon) =
+          try dropFieldAt(folded, path)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"cannot drop ${path.mkString(".")} at $root: ${e.getMessage}")
+          }
+        val refs = refsOverlapping(spark, checks, canon)
+        require(refs.isEmpty,
+          s"cannot drop ${canon.mkString(".")}: CHECK constraint(s) " +
+            refs.mkString("[", ", ", "]") + " reference it — drop them first")
+        val genRefs = refsOverlapping(spark, gens, canon)
+        require(genRefs.isEmpty,
+          s"cannot drop ${canon.mkString(".")}: generated column(s) " +
+            genRefs.mkString("[", ", ", "]") + " derive from (or through) it")
+        folded = next
+        droppedPhys += physName(map, canon.mkString("."))
+        newMap -= canon.mkString(".")
+      }
+    }
+    val droppedSet = droppedPhys.result().toSet
+    // nested paths need the id tree (ids assign to the PRE-drop names,
+    // tombstones key on them) — own commit, no-op when already
+    // upgraded, and only AFTER every guard above passed
+    val base =
+      if (paths.exists(_.length >= 2)) {
+        upgradeColumnMapping(spark, root, retain)
+        currentVersion(spark, root).get
+      } else cur
+    val retired = manifestRetired(fs, r, base)
+    val slot = pinSlot(fs, r, base)
+    if (!commitManifest(fs, r, slot, manifestDirs(fs, r, base), retain,
+        Some(folded), manifestRows(fs, r, base),
+        colMap = Some(newMap),
+        retiredCols = Some((retired ++ retiredTop.result()).distinct),
         statsColsReplace =
-          Some(manifestStatsCols(fs, r, cur).filterNot(_ == phys)),
+          Some(manifestStatsCols(fs, r, base).filterNot(droppedSet)),
         bloomColsReplace =
-          Some(manifestBloomCols(fs, r, cur).filterNot(_ == phys)),
-        op = s"drop column $name"))
+          Some(manifestBloomCols(fs, r, base).filterNot(droppedSet)),
+        op = s"drop column ${paths.map(_.mkString(".")).mkString(", ")}"))
       throw new java.util.ConcurrentModificationException(
-        s"dropping '$name' on $root lost version $next to a " +
-          "concurrent commit — retry against the current table")
-    next
+        s"dropping ${paths.map(_.mkString(".")).mkString(", ")} on $root " +
+          s"lost version $slot to a concurrent commit — retry against " +
+          "the current table")
+    slot
   }
 
   // -- column DEFAULT values ------------------------------------------

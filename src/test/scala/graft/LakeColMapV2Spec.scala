@@ -257,4 +257,45 @@ class LakeColMapV2Spec extends SparkSpec {
     Lake.restoreCommitted(spark, root, vSeed)
     assert(Lake.readCommitted(spark, root).select("meta.v").count() === 10)
   }
+
+  test("multi-column DROP is atomic (one commit, mixed paths); constant casts prune on the Column path") {
+    val root = tmpTable("graft-cmv2-multidrop")
+    def df(ks: Seq[Long]) = ks.map(k => (k, k.toInt, k * 0.5, s"s$k"))
+      .toDF("k", "x", "v", "extra")
+      .select(col("k"), struct(col("x"), col("v")).as("meta"), col("extra"))
+    Lake.commitOverwrite(df(1L to 5L), root, retain = 8)
+    spark.sql("DROP TABLE IF EXISTS cmv2multi")
+    spark.sql(s"CREATE TABLE cmv2multi USING `graft-lake` OPTIONS (root '$root')")
+    val vPre = Lake.currentVersion(spark, root).get
+    // a statement with one BAD path applies NOTHING — not even the
+    // id-mode upgrade commit
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE cmv2multi DROP COLUMNS (extra, meta.absent)")
+    }.getMessage.contains("no field"))
+    assert(Lake.currentVersion(spark, root).get === vPre)
+    // mixed top-level + nested drop lands as upgrade + ONE drop commit
+    spark.sql("ALTER TABLE cmv2multi DROP COLUMNS (extra, meta.x)")
+    assert(spark.table("cmv2multi").columns.toSeq === Seq("k", "meta"))
+    assert(spark.table("cmv2multi").select("meta.*").columns.toSeq === Seq("v"))
+    assert(Lake.currentVersion(spark, root).get === vPre + 2)
+    spark.sql("DROP TABLE cmv2multi")
+
+    // constant CASTS of literals prune on the programmatic path (SQL
+    // folds them before pushdown; Columns do not)
+    val croot = tmpTable("graft-constcast")
+    def dd(lo: String, n: Int) = (0 until n).map(i =>
+      (i.toLong, java.sql.Date.valueOf(lo).toLocalDate.plusDays(i)))
+      .map { case (k, d) => (k, java.sql.Date.valueOf(d)) }
+      .toDF("k", "d")
+    Lake.commitOverwrite(dd("1995-01-01", 10), croot, retain = 8,
+      statsCols = Seq("d"))
+    Lake.commitAppend(dd("1998-01-01", 10), croot, retain = 8)
+    val (_, skipped) = Lake.pruneDirs(spark, croot,
+      col("d") >= lit("1998-01-01").cast("date"))
+    assert(skipped.size === 1,
+      "a cast-of-literal bound must fold and prune like a typed literal")
+    assert(Lake.readCommittedWhere(spark, croot,
+      col("d") >= lit("1998-01-01").cast("date")).count() === 10)
+  }
+
 }
