@@ -444,8 +444,30 @@ private[graft] trait LakeReads { this: Lake.type =>
       // derives for `WHERE year(o_orderdate) = 1996` without a
       // generated partition column
       case x: PXform =>
-        xformLeaf(spark, fs, r, v, x).map(p => PLeaf(phys(p)))
-          .getOrElse(PUnknown)
+        val direct = xformLeaf(spark, fs, r, v, x).map(p => PLeaf(phys(p)))
+        // a GENERATED column declared as EXACTLY this expression
+        // carries the mapped value physically — the comparison holds
+        // on it row-for-row, so its partition tuples/stats prune even
+        // when the SOURCE column carries no evidence. Zone guard: the
+        // stored values froze under the establishing session's zone
+        // (#genparttz), so derive only when the reading zone matches.
+        val tzOk = manifestGenTz(fs, r, v).forall(
+          _ == spark.sessionState.conf.sessionLocalTimeZone)
+        val viaGen =
+          if (!tzOk) None
+          else manifestGenAll(fs, r, v).collectFirst {
+            case (p, text) if scala.util.Try(
+                spark.sessionState.sqlParser.parseExpression(text))
+                .toOption.flatMap(xformShape)
+                .contains((x.col, x.fn, x.arg)) =>
+              PLeaf(phys(Pred(p, x.op, x.values)))
+          }
+        (direct, viaGen) match {
+          case (Some(a), Some(b)) => PAnd(Seq(a, b))
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case _                  => PUnknown
+        }
     }
     go(t)
   }

@@ -282,4 +282,31 @@ class LakeGenPartSpec extends SparkSpec {
         "zone-free expression should still derive under a different session zone")
     } finally spark.conf.set(tzKey, saved)
   }
+
+  test("a filter ON the generation expression itself prunes the generated partition key (year(ts) = Y -> y tuples)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-genpart-self").resolve("t").toString
+    // NO stats on ts: the only pruning evidence is the generated
+    // partition tuples — the filter names the EXPRESSION, not the key
+    val df = Seq("1995-03-01 10:00:00", "1996-07-01 10:00:00",
+      "1998-11-01 10:00:00").zipWithIndex.map { case (s, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(s)) }.toDF("k", "ts")
+    Lake.commitOverwrite(df, root, retain = 8,
+      partitionBy = Seq("y"),
+      generatedColumns = Map("y" -> "year(ts)"))
+    val (kept, skipped) = Lake.pruneDirs(spark, root,
+      org.apache.spark.sql.functions.year(col("ts")) === 1996)
+    assert(kept.size === 1 && skipped.size === 2,
+      s"year(ts) must derive onto the generated key's tuples (kept=$kept)")
+    assert(Lake.readCommittedWhere(spark, root,
+      org.apache.spark.sql.functions.year(col("ts")) === 1996).count() === 1)
+    // a mismatched session zone refuses the derivation (stored tuples
+    // froze under the establishing zone) — pruning weakens, never lies
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(Lake.pruneDirs(spark, root,
+      org.apache.spark.sql.functions.year(col("ts")) === 1996)._2.isEmpty)
+    finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
 }
