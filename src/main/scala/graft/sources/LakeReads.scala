@@ -188,7 +188,26 @@ private[graft] trait LakeReads { this: Lake.type =>
         PUnknown
       case other =>
         val (ps, exact) = extractPredsExact(other)
-        if (!exact || ps.isEmpty) PUnknown
+        if (!exact || ps.isEmpty)
+          // a monotone-expression comparison inverts EXACTLY like a
+          // plain one (the marker is precisely the comparison, and a
+          // negated comparison still never matches NULL rows — the
+          // whitelist maps are NULL-preserving); anything else refuses
+          extractXformLeaf(other) match {
+            case Some(PXform(c, fn, arg, op, vs)) =>
+              val inv = op match {
+                case PEq => Some(PNe)
+                case PNe => Some(PEq)
+                case PLt => Some(PGe)
+                case PLe => Some(PGt)
+                case PGt => Some(PLe)
+                case PGe => Some(PLt)
+                case _   => None
+              }
+              inv.map(o => PXform(c, fn, arg, o, vs): PredTree)
+                .getOrElse(PUnknown)
+            case _ => PUnknown
+          }
         else if (ps.lengthCompare(1) == 0) negatePred(ps.head)
         else POr(ps.map(negatePred)) // NOT(p1 AND p2) = ¬p1 OR ¬p2
     }

@@ -2623,6 +2623,10 @@ class LakeSpec extends SparkSpec {
     // IN through year()
     assert(Lake.pruneDirs(spark, root,
       year(col("d")).isin(1995, 1998))._2.size === 1)
+    // NOT through year(): a dir whose whole mapped domain is the
+    // refused value drops (the exact-leaf inversion rule)
+    assert(Lake.pruneDirs(spark, root,
+      !(year(col("d")) === 1996))._2.size === 1)
     // correctness: the pruned read equals the unpruned filter
     assert(Lake.readCommittedWhere(spark, root, year(col("d")) === 1996)
       .count() === 10)
