@@ -962,7 +962,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // dropAllNullSpecials) — only an ESTABLISHING seed carries real
     // identity values past this point
     val dfPre = dropAllNullSpecials(df0, effGen0,
-      effIdCol.map(c => (c, prevHwm.getOrElse(1L))))
+      effIdCol.map(c => (c, prevHwm.getOrElse(1L))),
+      establishing = committedVersions(fs, r).isEmpty)
     val (dfId, idNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
       effIdCol match {
         case None => (dfPre, None)
@@ -973,9 +974,25 @@ private[graft] trait LakeCommits { this: Lake.type =>
         case Some(c) if idByDefault && dfPre.columns.contains(c) =>
           import org.apache.spark.sql.functions.{col => fcol, max => fmax, sum, when, lit => flit}
           val start = prevHwm.getOrElse(1L)
+          // try_cast: the probe itself must not abort the job under
+          // ANSI — a malformed value gets OUR refusal below, uniformly
+          val tryLong = org.apache.spark.sql.functions.expr(
+            s"try_cast(`${c.replace("`", "``")}` as bigint)")
           val agg = dfPre.agg(
             sum(when(fcol(c).isNull, 1L).otherwise(0L)),
-            fmax(fcol(c).cast("long"))).collect().head
+            fmax(tryLong),
+            // explicit values whose BIGINT cast is NULL (bad strings,
+            // overflowing values) would be silently allocator-filled
+            // PAST the reserved block (the fill splits on the post-cast
+            // column) — refuse them instead
+            sum(when(fcol(c).isNotNull && tryLong.isNull, 1L)
+              .otherwise(0L))).collect().head
+          val nBad = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+          require(nBad == 0L,
+            s"identity column '$c' carries $nBad explicit value(s) that " +
+              "cast to BIGINT as NULL — an explicit identity key must be " +
+              "a valid BIGINT (the allocator would otherwise fill it " +
+              "beyond the block this commit reserved)")
           val nNull = if (agg.isNullAt(0)) 0L else agg.getLong(0)
           val maxExp = if (agg.isNullAt(1)) start - 1L else agg.getLong(1)
           (fillIdentityNulls(dfPre, c, start, nNull),
@@ -1137,7 +1154,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val idByDefault = effId.isDefined &&
       committedVersions(fs, r).lastOption
         .flatMap(v => manifestIdMode(fs, r, v)).contains("bydefault")
-    val dfDropped = dropAllNullSpecials(df0, effGen, effId)
+    val dfDropped = dropAllNullSpecials(df0, effGen, effId,
+      establishing = committedVersions(fs, r).isEmpty)
     effId.foreach { case (c, _) =>
       require(idByDefault || !dfDropped.columns.contains(c),
         s"identity column '$c' is GENERATED ALWAYS — the append batch " +
@@ -1154,9 +1172,23 @@ private[graft] trait LakeCommits { this: Lake.type =>
       else if (idCarried) {
         import org.apache.spark.sql.functions.{col, max => fmax, sum, when}
         val c = effId.get._1
+        // try_cast: the probe must not abort under ANSI — a malformed
+        // value gets OUR refusal below, uniformly across ANSI modes
+        val tryLong = org.apache.spark.sql.functions.expr(
+          s"try_cast(`${c.replace("`", "``")}` as bigint)")
         val agg = dfIn.agg(
           sum(when(col(c).isNull, 1L).otherwise(0L)),
-          fmax(col(c).cast("long"))).collect().head
+          fmax(tryLong),
+          // see commitOverwrite: an explicit value whose BIGINT cast is
+          // NULL would be allocator-filled past the reserved block
+          sum(when(col(c).isNotNull && tryLong.isNull, 1L)
+            .otherwise(0L))).collect().head
+        val nBad = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+        require(nBad == 0L,
+          s"identity column '$c' carries $nBad explicit value(s) that " +
+            "cast to BIGINT as NULL — an explicit identity key must be " +
+            "a valid BIGINT (the allocator would otherwise fill it " +
+            "beyond the block this commit reserved)")
         (if (agg.isNullAt(0)) 0L else agg.getLong(0),
           if (agg.isNullAt(1)) -1L else agg.getLong(1))
       } else (dfIn.count(), -1L)

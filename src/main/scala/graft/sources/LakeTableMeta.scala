@@ -616,7 +616,8 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     * column at once; a copy with ANY real value stays (generated
     * copies then validate row-for-row; identity refuses upstream). */
   private[sources] def dropAllNullSpecials(df: org.apache.spark.sql.DataFrame,
-      gens: Seq[(String, String)], ident: Option[(String, Long)]):
+      gens: Seq[(String, String)], ident: Option[(String, Long)],
+      establishing: Boolean = false):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val carried = (gens.map(_._1) ++ ident.map(_._1).toSeq).distinct
@@ -624,9 +625,14 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     if (carried.isEmpty) return df
     val counts = df.agg(count(lit(1)),
       carried.map(c => count(col(c))): _*).collect().head
-    // an EMPTY batch is an establishing/degenerate commit, not a SQL
-    // NULL-padded insert — keep its columns (and their declared ORDER)
-    if (counts.getLong(0) == 0L) return df
+    // an EMPTY batch on a table with NO committed version is the
+    // establishing commit of a governed CREATE TABLE — keep its columns
+    // (and their declared ORDER). On an ESTABLISHED table a zero-row
+    // batch is a real pipeline case (an empty incremental INSERT whose
+    // padded specials must read as OMITTED, not as a seeding attempt),
+    // so it falls through to the all-NULL drop below — every carried
+    // column has count 0 and drops, exactly the omitted semantics.
+    if (counts.getLong(0) == 0L && establishing) return df
     carried.zipWithIndex
       .filter { case (_, i) => counts.getLong(i + 1) == 0L }
       .map(_._1).foldLeft(df)(_.drop(_))
@@ -1478,6 +1484,12 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     next
   }
 
+  /** TEST SEAM: runs after a nested-DDL statement validates against its
+    * snapshot and BEFORE its auto id-mode upgrade commit — the window a
+    * concurrent commit occupies when it must be detected by the
+    * post-upgrade drift check rather than silently folded over. */
+  private[graft] var beforeColMapUpgrade: () => Unit = () => ()
+
   /** Upgrade a table to id-mode column mapping: one metadata commit
     * assigns immutable ids to every EXISTING field (nested included)
     * under its current physical name — zero data I/O, zero file
@@ -1653,8 +1665,22 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
         genRefs.mkString("[", ", ", "]") + " derive from (or through) it")
     // ids must be assigned to the PRE-rename names (the carry re-keys
     // one of them) — upgrade first as its own commit; no-op when done
+    beforeColMapUpgrade()
     upgradeColumnMapping(spark, root, retain)
     val base = currentVersion(spark, root).get
+    // the rename was validated against snapshot `cur`; a commit landing
+    // before the upgrade would be silently folded over (stale schema
+    // republished, its columns tombstoned) — refuse drift with the same
+    // CME contract as the single-version pinSlot paths (the upgrade
+    // itself changes none of the validated state)
+    if (base != cur && (manifestSchema(fs, r, base) != Some(schema) ||
+        manifestChecks(fs, r, base) != manifestChecks(fs, r, cur) ||
+        manifestGenAll(fs, r, base) != manifestGenAll(fs, r, cur)))
+      throw new java.util.ConcurrentModificationException(
+        s"renaming ${oldCanon.mkString(".")} on $root raced a concurrent " +
+          "commit that changed the table's schema or constraints between " +
+          "validation and the id-mode upgrade — retry against the " +
+          "current table")
     val next = pinSlot(fs, r, base)
     if (!commitManifest(fs, r, next, manifestDirs(fs, r, base), retain,
         Some(newSchema), manifestRows(fs, r, base),
@@ -1836,8 +1862,27 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     // upgraded, and only AFTER every guard above passed
     val base =
       if (paths.exists(_.length >= 2)) {
+        beforeColMapUpgrade()
         upgradeColumnMapping(spark, root, retain)
-        currentVersion(spark, root).get
+        val b = currentVersion(spark, root).get
+        // the fold above ran against snapshot `cur`; a commit landing
+        // between that read and the upgrade (an evolving append, a DDL)
+        // would otherwise be silently clobbered — its schema changes
+        // folded over and its new columns tombstoned by the reconcile.
+        // The upgrade itself changes none of the state validated above
+        // (it only assigns ids to the EXISTING names), so any drift
+        // here is a real interleaved commit: refuse with the same CME
+        // contract as the single-version pinSlot paths.
+        if (b != cur && (schemaAt(b) != schema ||
+            manifestColMap(fs, r, b) != map ||
+            manifestChecks(fs, r, b) != checks ||
+            manifestGenAll(fs, r, b) != gens))
+          throw new java.util.ConcurrentModificationException(
+            s"dropping ${paths.map(_.mkString(".")).mkString(", ")} on " +
+              s"$root raced a concurrent commit that changed the " +
+              "table's schema or constraints between validation and " +
+              "the id-mode upgrade — retry against the current table")
+        b
       } else cur
     val retired = manifestRetired(fs, r, base)
     val slot = pinSlot(fs, r, base)

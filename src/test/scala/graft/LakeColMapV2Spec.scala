@@ -298,4 +298,63 @@ class LakeColMapV2Spec extends SparkSpec {
       col("d") >= lit("1998-01-01").cast("date")).count() === 10)
   }
 
+
+  test("a commit racing the pre-DDL window is refused, never folded over (CME, nothing applied)") {
+    val root = tmpTable("graft-cmv2-race")
+    seed(root)
+    // an evolving append lands BETWEEN the drop statement's validation
+    // read and its auto id-mode upgrade commit — the exact window the
+    // post-upgrade drift check guards: committing the stale folded
+    // schema would silently remove (and tombstone) the new column
+    try {
+      Lake.beforeColMapUpgrade = () => {
+        Lake.beforeColMapUpgrade = () => ()
+        Lake.commitAppend(
+          Seq((99L, 9, 9.0, "fresh")).toDF("k", "x", "v", "extra")
+            .select(col("k"), struct(col("x"), col("v")).as("meta"),
+              col("extra")),
+          root, retain = 8)
+        ()
+      }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Lake.dropNestedColumn(spark, root, Seq("meta", "x"))
+      }
+      assert(e.getMessage.contains("between validation and the id-mode upgrade"))
+    } finally Lake.beforeColMapUpgrade = () => ()
+    // the interloper's column SURVIVES and the drop applied nothing
+    val cols = Lake.readCommitted(spark, root).columns.toSeq
+    assert(cols.contains("extra"))
+    assert(Lake.readCommitted(spark, root)
+      .select("meta.*").columns.toSeq === Seq("x", "v"))
+    // retried against the current table, the drop lands cleanly
+    Lake.dropNestedColumn(spark, root, Seq("meta", "x"))
+    assert(Lake.readCommitted(spark, root)
+      .select("meta.*").columns.toSeq === Seq("v"))
+    assert(Lake.readCommitted(spark, root).columns.toSeq
+      .contains("extra"))
+
+    // the nested-RENAME spelling shares the guard
+    val root2 = tmpTable("graft-cmv2-race2")
+    seed(root2)
+    try {
+      Lake.beforeColMapUpgrade = () => {
+        Lake.beforeColMapUpgrade = () => ()
+        Lake.commitAppend(
+          Seq((99L, 9, 9.0, "fresh")).toDF("k", "x", "v", "extra")
+            .select(col("k"), struct(col("x"), col("v")).as("meta"),
+              col("extra")),
+          root2, retain = 8)
+        ()
+      }
+      val e = intercept[java.util.ConcurrentModificationException] {
+        Lake.renameNestedColumn(spark, root2, Seq("meta", "v"), "score")
+      }
+      assert(e.getMessage.contains("between validation and the id-mode upgrade"))
+    } finally Lake.beforeColMapUpgrade = () => ()
+    assert(Lake.readCommitted(spark, root2).columns.toSeq.contains("extra"))
+    Lake.renameNestedColumn(spark, root2, Seq("meta", "v"), "score")
+    assert(Lake.readCommitted(spark, root2)
+      .select("meta.*").columns.toSeq === Seq("x", "score"))
+  }
+
 }

@@ -213,4 +213,55 @@ class LakeIdentitySpec extends SparkSpec {
     assert(Lake.identityColumn(spark, root) === Some(("id", 51L)))
   }
 
+
+  test("empty incremental batches with NULL-padded specials commit cleanly (omitted semantics)") {
+    import org.apache.spark.sql.types._
+    val root = tmpTable("graft-id-empty")
+    Lake.commitOverwrite(Seq("a", "b").toDF("t"), root, retain = 8,
+      identity = Some("id")) // GENERATED ALWAYS, ids 1..2
+    val padded = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], padded)
+    // the v1 SQL INSERT path pads the identity column with NULL; a
+    // ZERO-row incremental batch must read as OMITTED, not as a seeding
+    // attempt — both the append and the overwrite spellings
+    val v1 = Lake.commitAppend(empty, root, retain = 8)
+    assert(ids(root) === Seq(1L, 2L))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 3L)))
+    Lake.commitOverwrite(empty, root, retain = 8)
+    assert(Lake.readCommitted(spark, root).count() === 0L)
+    // the declaration (and mark) survive the empty overwrite
+    assert(Lake.identityColumn(spark, root).map(_._1) === Some("id"))
+    // appends keep allocating past the mark
+    Lake.commitAppend(Seq("c").toDF("t"), root, retain = 8)
+    assert(ids(root).nonEmpty)
+    assert(v1 === 1L)
+  }
+
+  test("BY DEFAULT explicit values that cast to BIGINT as NULL refuse (block-overrun guard)") {
+    val root = tmpTable("graft-id-badcast")
+    Lake.commitOverwrite(Seq("a").toDF("t"), root, retain = 8,
+      identity = Some("id"), identityByDefault = true) // id 1, mark 2
+    // a string key that is not a number casts to NULL: the fill (which
+    // splits on the POST-cast column) would allocate it past the block
+    // the mark reserved — the commit must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Lake.commitAppend(Seq(("abc", "x"), ("7", "y")).toDF("id", "t"),
+        root, retain = 8)
+    }
+    assert(e.getMessage.contains("cast to BIGINT as NULL"))
+    assert(ids(root) === Seq(1L)) // nothing landed
+    // numeric strings cast losslessly and pass through verbatim
+    Lake.commitAppend(Seq(("7", "y")).toDF("id", "t"), root, retain = 8)
+    assert(ids(root) === Seq(1L, 7L))
+    assert(Lake.identityColumn(spark, root) === Some(("id", 8L)))
+    // same guard on the overwrite path
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.commitOverwrite(Seq(("xyz", "z")).toDF("id", "t"), root,
+        retain = 8)
+    }
+    assert(e2.getMessage.contains("cast to BIGINT as NULL"))
+  }
+
 }
