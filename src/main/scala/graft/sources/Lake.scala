@@ -209,10 +209,13 @@ object Lake
     * identity columns, generated partition columns, hash-bucketed
     * layout, forward-only partition-spec evolution, the COPY INTO
     * `#ingested=` ledger, column DEFAULT backfill, general generated
-    * columns, and stable row tracking. */
+    * columns, stable row tracking, and tiered manifests (`seg` — the
+    * per-dir metadata lives in immutable side files the marker body
+    * references; a build without it would read a PARTIAL dir list). */
   private[sources] val SupportedFeatures: Set[String] =
     Set("dv", "colmap", "colmap2", "identity", "idmode", "genpart",
-      "bucket", "partevo", "ingest", "default", "gencol", "rowtracking")
+      "bucket", "partevo", "ingest", "default", "gencol", "rowtracking",
+      "seg")
 
   private[sources] def checkRequiredFeatures(p: Path, lines: Seq[String]): Unit =
     lines.find(_.startsWith(RequirePrefix)).foreach { l =>
@@ -238,19 +241,88 @@ object Lake
         .map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
-  private[sources] def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Seq[String] = {
-    val p = new Path(r, s"_commit_$v")
-    // same FileNotFoundException contract as the direct open
+  // ---- tiered manifests (the Iceberg manifest-list shape) -----------
+  //
+  // Past ~10^3 dirs, rewriting every per-dir `#stats_`/`#fstats_`/
+  // `#bloom_`/`#part_`/`#dv_` line (and the dir list itself) in each
+  // marker makes a commit's manifest write O(table), not O(batch) —
+  // the one cost that would still grow with table size at 100 TB. The
+  // tiered form SEGMENTS that per-dir metadata into immutable side
+  // files (`_seg_<nonce>`, same line grammar as the body: dir names +
+  // their per-dir lines), referenced from the marker body as
+  // `#seg=<name>:<ndirs>`. A commit then writes one new segment for
+  // its own dirs and carries untouched segments BY REFERENCE — exactly
+  // how data dirs already work — so commit bytes are O(batch) at any
+  // table size. Mutation stays O(batch) too, without breaking segment
+  // immutability:
+  //   - `#segdrop=<dir>` inline: the dir (and all its per-dir lines)
+  //     is removed from whatever segment lists it;
+  //   - an inline per-dir line for a segment-listed dir REPLACES that
+  //     dir's ENTIRE per-dir line set from the segment (writers emit
+  //     the full effective set, so removal — a materialized-away DV —
+  //     is expressible).
+  // Drift (drops + overrides) folds away when a segment's waste
+  // fraction crosses the rewrite threshold or the merge policy folds
+  // small segments together — LSM-style, amortized O(batch · log n).
+  // Readers see NONE of this: [[manifestBody]] expands references
+  // transparently (and caches the expansion), so every accessor —
+  // dirs, stats, parts, DVs, CDF, history — reads one logical body.
+  // Semantics-bearing → `#require=seg`: a build without it would read
+  // only the inline lines and silently serve a PARTIAL table.
+  private[sources] val SegPrefix = "#seg="
+  private[sources] val SegDropPrefix = "#segdrop="
+
+  /** The segment references of a manifest, in body order, RAW (no
+    * expansion): (segment file name, recorded dir count). */
+  private[sources] def manifestSegRefs(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[(String, Int)] =
+    manifestBodyRaw(fs, r, v).collect {
+      case l if l.startsWith(SegPrefix) =>
+        val body = l.stripPrefix(SegPrefix)
+        val i = body.lastIndexOf(':')
+        if (i <= 0) (body, 0)
+        else (body.take(i), body.drop(i + 1).toIntOption.getOrElse(0))
+    }
+
+  /** Immutable segment file contents (cached like manifests). */
+  private[sources] def segmentLines(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, name: String): Seq[String] =
+    readCachedLines(fs, new Path(r, name))
+
+  /** The container-relative dir a per-dir metadata line describes (the
+    * override/drop key of tiered expansion); None for table-level
+    * lines and dir names. */
+  private[sources] def perDirKey(l: String): Option[String] = {
+    def keyOf(prefix: String, stopAtSlash: Boolean): Option[String] = {
+      val eq = l.indexOf('=', prefix.length)
+      if (eq <= prefix.length) None
+      else {
+        val k = l.substring(prefix.length, eq)
+        if (stopAtSlash) {
+          val s = k.indexOf('/')
+          if (s > 0) Some(k.take(s)) else Some(k)
+        } else Some(k)
+      }
+    }
+    if (l.startsWith(FileStatsPrefix)) keyOf(FileStatsPrefix, true)
+    // #stats_ is a prefix of nothing else per-dir; #statscols= is a
+    // DIFFERENT prefix (no underscore) and never matches here
+    else if (l.startsWith(StatsPrefix)) keyOf(StatsPrefix, false)
+    else if (l.startsWith(BloomPrefix)) keyOf(BloomPrefix, false)
+    else if (l.startsWith(PartPrefix)) keyOf(PartPrefix, false)
+    else if (l.startsWith(DvPrefix)) keyOf(DvPrefix, false)
+    else None
+  }
+
+  private def readCachedLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
     val st = fs.getFileStatus(p)
     val key = fs.getUri.toString + "::" + fs.makeQualified(p).toUri.getPath
     manifestCache.synchronized {
       val hit = manifestCache.get(key)
       if (hit != null && hit._1 == st.getModificationTime &&
-          hit._2 == st.getLen) {
-        checkRequiredFeatures(p, hit._3)
+          hit._2 == st.getLen)
         return hit._3
-      }
     }
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -259,7 +331,70 @@ object Lake
     manifestCache.synchronized {
       manifestCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
     }
+    lines
+  }
+
+  /** The manifest's OWN lines — segment references unexpanded. This is
+    * what the commit engine diffs against (it must see the segment
+    * STRUCTURE) and what retention/vacuum walk for segment liveness;
+    * every semantic accessor reads the expanded [[manifestBody]]. */
+  private[sources] def manifestBodyRaw(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] = {
+    val p = new Path(r, s"_commit_$v")
+    val lines = readCachedLines(fs, p)
     checkRequiredFeatures(p, lines)
+    lines
+  }
+
+  // expanded bodies cached separately: validated by the MANIFEST's
+  // (modTime, length) — the segments it references are immutable
+  private[sources] val expandedCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
+        size() > 64
+    }
+
+  private[sources] def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] = {
+    val raw = manifestBodyRaw(fs, r, v)
+    if (!raw.exists(_.startsWith(SegPrefix))) return raw // untiered fast path
+    val p = new Path(r, s"_commit_$v")
+    val st = fs.getFileStatus(p)
+    val key = fs.getUri.toString + "::" +
+      fs.makeQualified(p).toUri.getPath + "::expanded"
+    expandedCache.synchronized {
+      val hit = expandedCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime &&
+          hit._2 == st.getLen)
+        return hit._3
+    }
+    val drops = raw.iterator.filter(_.startsWith(SegDropPrefix))
+      .map(_.stripPrefix(SegDropPrefix)).toSet
+    // inline per-dir lines REPLACE the listed dir's whole segment set
+    val overridden = raw.iterator.flatMap(perDirKey).toSet
+    val out = Seq.newBuilder[String]
+    raw.foreach { l =>
+      if (l.startsWith(SegPrefix)) {
+        val name = {
+          val body = l.stripPrefix(SegPrefix)
+          val i = body.lastIndexOf(':')
+          if (i > 0) body.take(i) else body
+        }
+        segmentLines(fs, r, name).foreach { sl =>
+          if (!sl.startsWith("#")) { if (!drops(sl)) out += sl }
+          else perDirKey(sl) match {
+            case Some(d) => if (!drops(d) && !overridden(d)) out += sl
+            case None => // segments carry only per-dir lines; skip junk
+          }
+        }
+      } else if (!l.startsWith(SegDropPrefix)) out += l
+    }
+    val lines = out.result()
+    expandedCache.synchronized {
+      expandedCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
+    }
     lines
   }
 

@@ -574,15 +574,9 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val prevV = committedVersions(fs, r).lastOption
     val prevStats = prevV
       .map(v => manifestStatsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
-    val statsLines = dirs.flatMap(d =>
-      newStats.get(d).orElse(prevStats.get(d)).map(j => StatsPrefix + d + "=" + j))
     val prevFileStats = prevV
       .map(v => manifestFileStatsRaw(fs, r, v))
       .getOrElse(Map.empty[String, Map[String, String]])
-    val fileStatsLines = dirs.flatMap(d =>
-      newFileStats.get(d).orElse(prevFileStats.get(d)).toSeq
-        .flatMap(_.toSeq.sortBy(_._1)
-          .map { case (f, j) => FileStatsPrefix + d + "/" + f + "=" + j }))
     // the stat-column line itself inherits too, so a commit path that
     // computes no stats (e.g. the streaming fold's commitVersion)
     // doesn't sever the chain — its new dir is merely unstat'd
@@ -594,8 +588,6 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // membership), only dirs this commit wrote get fresh ones
     val prevBlooms = prevV
       .map(v => manifestBloomsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
-    val bloomLines = dirs.flatMap(d =>
-      newBlooms.get(d).orElse(prevBlooms.get(d)).map(j => BloomPrefix + d + "=" + j))
     val effBloom = bloomColsReplace.getOrElse(
       if (bloomCols.nonEmpty) bloomCols
       else prevV.map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil))
@@ -604,8 +596,6 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // folds never sever the table's declared layout
     val prevParts = prevV
       .map(v => manifestPartsRaw(fs, r, v)).getOrElse(Map.empty[String, String])
-    val partLines = dirs.flatMap(d =>
-      newParts.get(d).orElse(prevParts.get(d)).map(j => PartPrefix + d + "=" + j))
     val effPart = partColsReplace.getOrElse(
       if (partCols.nonEmpty) partCols
       else prevV.map(v => manifestPartCols(fs, r, v)).getOrElse(Nil))
@@ -686,10 +676,25 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // restore revives (or keep alive rows it re-deletes).
     val prevDvs = prevV.map(v => manifestDvsRaw(fs, r, v))
       .getOrElse(Map.empty[String, String])
-    val dvLines = dirs.flatMap(d =>
-      (if (dvsReplace) newDvs.get(d)
-       else newDvs.get(d).orElse(prevDvs.get(d)))
-        .map(j => DvPrefix + d + "=" + j))
+    def dvFor(d: String): Option[String] =
+      if (dvsReplace) newDvs.get(d)
+      else newDvs.get(d).orElse(prevDvs.get(d))
+    // the per-dir effective metadata of one dir, in the body/segment
+    // line grammar and a CANONICAL order (stats, fstats sorted, bloom,
+    // part, dv) — the tiered carry logic relies on writers always
+    // emitting this order
+    def linesFor(d: String): Seq[String] =
+      newStats.get(d).orElse(prevStats.get(d))
+        .map(j => StatsPrefix + d + "=" + j).toSeq ++
+      newFileStats.get(d).orElse(prevFileStats.get(d)).toSeq
+        .flatMap(_.toSeq.sortBy(_._1)
+          .map { case (f, j) => FileStatsPrefix + d + "/" + f + "=" + j }) ++
+      newBlooms.get(d).orElse(prevBlooms.get(d))
+        .map(j => BloomPrefix + d + "=" + j).toSeq ++
+      newParts.get(d).orElse(prevParts.get(d))
+        .map(j => PartPrefix + d + "=" + j).toSeq ++
+      dvFor(d).map(j => DvPrefix + d + "=" + j).toSeq
+    val hasDv = dirs.exists(d => dvFor(d).nonEmpty)
     // protocol gate: name EXACTLY the semantics-bearing features this
     // snapshot carries (derived from the effective lines, so a commit
     // that materializes a feature away — REORG purging the last DV,
@@ -697,7 +702,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // recognize a named feature refuse the manifest instead of
     // misreading it; see RequirePrefix.
     val features =
-      (if (dvLines.nonEmpty) Seq("dv") else Nil) ++
+      (if (hasDv) Seq("dv") else Nil) ++
       (if (effColMap.nonEmpty || effRetired.nonEmpty) Seq("colmap") else Nil) ++
       // the id tree is semantics-bearing: a build without it would
       // drop the tree on commit-on-top, losing the tombstones that
@@ -728,6 +733,106 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // row tracking: an old build's append would not stamp ids,
       // silently breaking keyless update pairing for every consumer
       (if (effRowId.nonEmpty) Seq("rowtracking") else Nil)
+    // ---- tiered layout (the protocol note in Lake.scala) -------------
+    //
+    // Decide whether this snapshot's per-dir metadata rides inline
+    // (small tables: today's body, byte-compatible) or in immutable
+    // `_seg_` side files so the commit writes O(batch) bytes at any
+    // table size. All decisions run on SET logic over cached lines —
+    // no per-dir string building except for dirs this commit actually
+    // touched.
+    val segThreshold = effProps.get(PropSegThreshold).flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(2048)
+    val segMax = effProps.get(PropSegMax).flatMap(_.toIntOption)
+      .filter(_ > 1).getOrElse(64)
+    val segWaste = effProps.get(PropSegWaste).flatMap(_.toDoubleOption)
+      .filter(w => w > 0 && w <= 1).getOrElse(0.3)
+    val dirSet = dirs.toSet
+    // dirs whose effective lines may differ from what a previous
+    // segment recorded: touched by this commit, overridden inline by a
+    // previous commit (kept overridden until the segment rewrites), or
+    // DV-replaced wholesale (restore)
+    def touchedNow(d: String): Boolean =
+      newStats.contains(d) || newFileStats.contains(d) ||
+        newBlooms.contains(d) || newParts.contains(d) || newDvs.contains(d)
+    val prevRawBody = prevV.map(v => manifestBodyRaw(fs, r, v)).getOrElse(Nil)
+    val prevOverKeys = prevRawBody.iterator.flatMap(perDirKey).toSet
+    val prevSegNames =
+      prevV.map(v => manifestSegRefs(fs, r, v).map(_._1)).getOrElse(Nil)
+    final case class CarriedSeg(name: String, liveDirs: Seq[String],
+        drops: Seq[String], overrides: Seq[String])
+    var carriedSegs = Vector.empty[CarriedSeg]
+    prevSegNames.foreach { name =>
+      val sl = segmentLines(fs, r, name)
+      val segDirs = sl.filterNot(_.startsWith("#"))
+      val segDvDirs: Set[String] =
+        if (dvsReplace)
+          sl.iterator.filter(_.startsWith(DvPrefix)).flatMap(perDirKey).toSet
+        else Set.empty
+      val live = segDirs.filter(dirSet)
+      val dead = segDirs.filterNot(dirSet)
+      val over = live.filter(d =>
+        touchedNow(d) || prevOverKeys(d) || segDvDirs(d))
+      // a dir whose effective line set became EMPTY cannot be
+      // expressed as an override (zero inline lines would leave the
+      // segment's lines live) — fold the segment instead
+      val unexpressible = over.exists(d => linesFor(d).isEmpty)
+      if (live.isEmpty || unexpressible ||
+          dead.size + over.size > segWaste * segDirs.size) {
+        // fold: the survivors fall to the residual pool below and the
+        // accumulated drift (dead dirs, override lines) vanishes with
+        // the segment — the LSM-style cleanup that bounds inline waste
+      } else carriedSegs :+= CarriedSeg(name, live, dead,
+        over.flatMap(linesFor))
+    }
+    // merge policy — a binary counter over segment sizes: the commit's
+    // residual pool absorbs every carried segment NO LARGER than the
+    // pool, repeatedly (ascending), so a dir only ever rewrites into a
+    // segment at least twice its old one's size — O(log n) rewrites
+    // per dir over the table's life and O(log n) live segments. A
+    // fold-smallest-at-cap policy would instead rewrite ~n/cap dirs
+    // per commit at steady state, which is NOT O(batch).
+    // `graft.seg.max` stays as a hard backstop on the ref-list length.
+    locally {
+      val sorted = carriedSegs.sortBy(_.liveDirs.size)
+      var pool = dirs.size - sorted.iterator.map(_.liveDirs.size).sum
+      if (pool > 0) {
+        val keep = Vector.newBuilder[CarriedSeg]
+        var absorbing = true
+        sorted.foreach { c =>
+          if (absorbing && c.liveDirs.size <= pool) pool += c.liveDirs.size
+          else { absorbing = false; keep += c } // later ones are larger
+        }
+        carriedSegs = keep.result()
+      }
+    }
+    while (carriedSegs.size + 1 > segMax) {
+      val smallest = carriedSegs.minBy(_.liveDirs.size)
+      carriedSegs = carriedSegs.filterNot(_ eq smallest)
+    }
+    val carriedDirSet = carriedSegs.iterator.flatMap(_.liveDirs).toSet
+    val residual = dirs.filterNot(carriedDirSet)
+    val inlineCount = dirs.size +
+      dirs.count(d => newStats.contains(d) || prevStats.contains(d)) +
+      dirs.count(d => newFileStats.contains(d) || prevFileStats.contains(d)) +
+      dirs.count(d => newBlooms.contains(d) || prevBlooms.contains(d)) +
+      dirs.count(d => newParts.contains(d) || prevParts.contains(d)) +
+      dirs.count(d => dvFor(d).nonEmpty)
+    val tiered = carriedSegs.nonEmpty || inlineCount > segThreshold
+    val featuresAll =
+      features ++ (if (tiered) Seq("seg") else Nil)
+    // the new segment is written BEFORE the marker references it; a
+    // lost publish deletes it (an unpublished segment is unreferenced)
+    val newSegName: Option[String] =
+      if (tiered && residual.nonEmpty) {
+        val name = "_seg_" +
+          java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val so = fs.create(new Path(r, name), true)
+        val content = residual ++ residual.flatMap(linesFor)
+        try so.write(content.mkString("\n").getBytes("UTF-8"))
+        finally so.close()
+        Some(name)
+      } else None
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -736,7 +841,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val tmp = new Path(r, s"_commit_$version." +
       java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
-    val body = dirs ++ Seq(OpPrefix + op) ++
+    val body = (if (tiered) Nil else dirs) ++ Seq(OpPrefix + op) ++
       Seq(TsPrefix + System.currentTimeMillis()) ++
       schema.map(s => SchemaPrefix + s.json) ++
       rows.map(n => RowsPrefix + n) ++
@@ -768,9 +873,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
       effIdMode.map(IdModePrefix + _).toSeq ++
       effRowId.map(RowIdPrefix + _) ++
       effIngested.map(IngestedPrefix + _) ++
-      (if (features.nonEmpty) Seq(RequirePrefix + features.mkString(","))
+      (if (featuresAll.nonEmpty) Seq(RequirePrefix + featuresAll.mkString(","))
        else Nil) ++
-      statsLines ++ fileStatsLines ++ bloomLines ++ partLines ++ dvLines
+      (if (!tiered) dirs.flatMap(linesFor)
+       else carriedSegs.map(c => SegPrefix + c.name + ":" + c.liveDirs.size) ++
+         newSegName.map(n => SegPrefix + n + ":" + residual.size).toSeq ++
+         carriedSegs.flatMap(_.drops).map(SegDropPrefix + _) ++
+         carriedSegs.flatMap(_.overrides))
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
     // test seam: the window between manifest build and publish is
     // where a concurrent writer's commit lands — specs swap in a
@@ -778,8 +887,12 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // DETERMINISTICALLY (thread-race tests would flake green)
     beforePublish()
     // THE commit point: atomic put-if-absent of the marker
-    if (!publishIfAbsent(fs, tmp, new Path(r, s"_commit_$version")))
+    if (!publishIfAbsent(fs, tmp, new Path(r, s"_commit_$version"))) {
+      // the loser's freshly-written segment is unreferenced — remove it
+      // (carried segments belong to the previous snapshot and stay)
+      newSegName.foreach(n => fs.delete(new Path(r, n), false))
       return false
+    }
     pruneRetention(fs, r, retainEff)
     true
   }
@@ -879,11 +992,18 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val (stale, kept) = all.splitAt(Math.max(0, all.length - 1 - retain))
     // staged (`z`) dirs carry no version in their name, so they are
     // sweepable only by REFERENCE: record what the to-be-pruned
-    // manifests referenced BEFORE deleting them
+    // manifests referenced BEFORE deleting them; tiered segments sweep
+    // by reference exactly the same way
     val staleRefs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet
+    val staleSegs = stale.flatMap(v =>
+      try manifestSegRefs(fs, r, v).map(_._1)
+      catch { case _: java.io.FileNotFoundException => Nil }).toSet
     if (!dryRun)
       stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
     val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
+    val keptSegs = kept.flatMap(v =>
+      try manifestSegRefs(fs, r, v).map(_._1)
+      catch { case _: java.io.FileNotFoundException => Nil }).toSet
     val maxV = all.last
     val swept = Seq.newBuilder[String]
     fs.listStatus(r).iterator
@@ -909,6 +1029,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
           }
         }
       }
+    // segments referenced ONLY by pruned manifests are dead (a segment
+    // referenced by no manifest at all may belong to an in-flight
+    // commit — vacuumCommitted's staleness horizon owns those)
+    (staleSegs -- keptSegs).toSeq.sorted.foreach { n =>
+      if (!dryRun) fs.delete(new Path(r, n), false)
+      swept += n
+    }
     (stale, swept.result())
   }
 

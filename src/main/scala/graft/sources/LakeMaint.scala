@@ -53,13 +53,19 @@ private[graft] trait LakeMaint { this: Lake.type =>
     val (pruned, swept) = pruneRetention(fs, r, retainEff, dryRun)
     val live = committedVersions(fs, r)
       .flatMap(v => manifestDirs(fs, r, v)).toSet
+    val liveSegs = committedVersions(fs, r)
+      .flatMap(v => manifestSegRefs(fs, r, v).map(_._1)).toSet
     val cutoff = System.currentTimeMillis() - staleStagedMs
     val aged = Seq.newBuilder[String]
     fs.listStatus(r).foreach { st =>
       val n = st.getPath.getName
       val abandoned =
         (st.isDirectory && n.startsWith("z") && !live.contains(n)) ||
-          (st.isFile && n.startsWith("_commit_") && n.endsWith(".tmp"))
+          (st.isFile && n.startsWith("_commit_") && n.endsWith(".tmp")) ||
+          // a segment no committed manifest references is a crash-
+          // abandoned loser's — reclaimable once stale (an in-flight
+          // writer's fresh segment is younger than any sane horizon)
+          (st.isFile && n.startsWith("_seg_") && !liveSegs.contains(n))
       if (abandoned && st.getModificationTime < cutoff) {
         if (!dryRun) fs.delete(st.getPath, true)
         aged += n

@@ -232,6 +232,14 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   // RESTORE see every version under the properties it had.
   private[sources] val PropPrefix = "#prop_"
   final val PropRetain = "graft.retain"
+  // tiered-manifest knobs (see the protocol note in Lake.scala): the
+  // inline per-dir line count past which a commit spills to segments,
+  // the segment-list length cap (smallest segments merge into the
+  // commit's new segment past it), and the drift fraction (dropped +
+  // overridden dirs) past which a carried segment rewrites instead
+  final val PropSegThreshold = "graft.seg.threshold"
+  final val PropSegMax = "graft.seg.max"
+  final val PropSegWaste = "graft.seg.waste"
   final val PropDvMaxRows = "graft.dvMaxRows"
   /** Small-dir count that triggers post-append auto-compaction
     * (Delta's autoOptimize.autoCompact as a table property): when the
