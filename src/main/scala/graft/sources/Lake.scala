@@ -113,14 +113,65 @@ object Lake
       tmp: Path, dest: Path): Boolean =
     logStore.publishIfAbsent(fs, tmp, dest)
 
+  /** The table root as a java.nio path when the filesystem is local —
+    * the fast-listing seam: Hadoop's RawLocalFileSystem materializes a
+    * full FileStatus (owner/perm stat) per entry, ~20 µs each, which a
+    * 10^5-dir root turns into seconds PER LISTING; a DirectoryStream
+    * reads names only. Non-local filesystems keep the Hadoop path
+    * (HDFS/S3 listings are server-side efficient). */
+  private[sources] def localDirOf(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Option[java.nio.file.Path] =
+    if (fs.getScheme != "file") None
+    else Some(java.nio.file.Paths.get(fs.makeQualified(r).toUri.getPath))
+
+  /** Root child NAMES as a membership set, one listing. */
+  private[sources] def rootChildNames(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Set[String] =
+    rootChildren(fs, r).iterator.map(_._1).toSet
+
+  /** Root children as (name, isDirectory), one listing. */
+  private[sources] def rootChildren(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): Seq[(String, Boolean)] =
+    localDirOf(fs, r) match {
+      case Some(dir) =>
+        if (!java.nio.file.Files.isDirectory(dir)) Nil
+        else {
+          val b = Seq.newBuilder[(String, Boolean)]
+          val st = java.nio.file.Files.newDirectoryStream(dir)
+          try st.forEach(p => b += ((p.getFileName.toString,
+            java.nio.file.Files.isDirectory(p))))
+          finally st.close()
+          b.result()
+        }
+      case None =>
+        if (!fs.exists(r)) Nil
+        else fs.listStatus(r).iterator
+          .map(st => (st.getPath.getName, st.isDirectory)).toSeq
+    }
+
   private[sources] def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
       r: Path): Seq[Long] =
-    if (!fs.exists(r)) Nil
-    else fs.listStatus(r).iterator
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("_commit_") && !n.endsWith(".tmp") =>
-        n.stripPrefix("_commit_").toLongOption }
-      .flatten.toSeq.sorted
+    localDirOf(fs, r) match {
+      case Some(dir) =>
+        if (!java.nio.file.Files.isDirectory(dir)) Nil
+        else {
+          val out = Seq.newBuilder[Long]
+          val st = java.nio.file.Files.newDirectoryStream(dir, "_commit_*")
+          try st.forEach { p =>
+            val n = p.getFileName.toString
+            if (!n.endsWith(".tmp"))
+              n.stripPrefix("_commit_").toLongOption.foreach(out += _)
+          } finally st.close()
+          out.result().sorted
+        }
+      case None =>
+        if (!fs.exists(r)) Nil
+        else fs.listStatus(r).iterator
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("_commit_") && !n.endsWith(".tmp") =>
+            n.stripPrefix("_commit_").toLongOption }
+          .flatten.toSeq.sorted
+    }
 
   /** Pin the OCC slot for a commit that carries state read from
     * snapshot `cur` — the version [[currentVersion]] actually

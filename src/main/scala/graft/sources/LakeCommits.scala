@@ -1006,9 +1006,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
       catch { case _: java.io.FileNotFoundException => Nil }).toSet
     val maxV = all.last
     val swept = Seq.newBuilder[String]
-    fs.listStatus(r).iterator
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
+    rootChildren(fs, r).iterator
+      .collect { case (n, isDir) if isDir => n }
       .foreach { n =>
         if (!keptRefs.contains(n)) {
           if (n.startsWith("v"))

@@ -790,8 +790,17 @@ private[graft] trait LakeReads { this: Lake.type =>
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    committedVersions(fs, r).reverseIterator
-      .find(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
+    val vs = committedVersions(fs, r)
+    if (vs.isEmpty) return None
+    // ONE root listing answers every relative-dir presence probe — a
+    // per-dir fs.exists would be 10^5 point stats (NameNode RPCs at
+    // scale) per resolution; only absolute entries (shallow-clone
+    // references outside this root) still probe individually
+    lazy val children = rootChildNames(fs, r)
+    def present(d: String): Boolean =
+      if (new Path(d).isAbsolute) fs.exists(new Path(r, d))
+      else children.contains(d)
+    vs.reverseIterator.find(v => manifestDirs(fs, r, v).forall(present))
   }
 
   /** Data-dir paths of the live snapshot — what readers scan. */
@@ -811,8 +820,12 @@ private[graft] trait LakeReads { this: Lake.type =>
   def readableVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    lazy val children = rootChildNames(fs, r)
+    def present(d: String): Boolean =
+      if (new Path(d).isAbsolute) fs.exists(new Path(r, d))
+      else children.contains(d)
     committedVersions(fs, r)
-      .filter(v => manifestDirs(fs, r, v).forall(d => fs.exists(new Path(r, d))))
+      .filter(v => manifestDirs(fs, r, v).forall(present))
   }
 
   private[sources] def manifestOp(fs: org.apache.hadoop.fs.FileSystem, r: Path,

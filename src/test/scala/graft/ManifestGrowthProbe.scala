@@ -146,16 +146,26 @@ object ManifestGrowthProbe {
 
     // ---- phase 3: 10^6 dirs, manifest-only commit bytes --------------
     val rt6 = synthesizeTiered(1000000, realDirs = false)
+    // phase-3 dirs are manifest-only (never on disk), so the DEFENSIVE
+    // currentVersion rightly refuses them — read the raw marker max
+    def rawMax(rt: String): Long =
+      new java.io.File(rt).listFiles().iterator.map(_.getName)
+        .filter(n => n.startsWith("_commit_") && !n.endsWith(".tmp"))
+        .flatMap(n => n.stripPrefix("_commit_").toLongOption).max
     (1 to 3).foreach { i =>
       time(s"[1e6] commitAppend #$i")(
         graft.sources.Lake.commitAppend(Seq((9000000L + i, "x")).toDF("k", "t"),
           rt6, retain = 0, statsCols = Seq("k")))
-      val v = graft.sources.Lake.currentVersion(spark, rt6).get
+      val v = rawMax(rt6)
       println(s"== [1e6] commit_$v bytes: " + fs.getFileStatus(
         new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(rt6),
           s"_commit_$v")).getLen)
     }
-    time("[1e6] planning: pruneDirs k=17")(
-      graft.sources.Lake.pruneDirs(spark, rt6, col("k") === 17L))
+    // planning proxy at 1e6 (dirs are manifest-only): a full manifest
+    // + segment expansion and metadata parse, twice (cold then cached)
+    time("[1e6] planning: countCommittedAt cold")(
+      graft.sources.Lake.countCommittedAt(spark, rt6, rawMax(rt6)))
+    time("[1e6] planning: countCommittedAt warm")(
+      graft.sources.Lake.countCommittedAt(spark, rt6, rawMax(rt6)))
   }
 }
