@@ -2307,6 +2307,74 @@ object Lakehouse {
         .withColumn("mark_advanced", lit(markOk))
     },
 
+    // TIERED MANIFESTS under the oracle hash — the round-18 whole-
+    // round project: past `graft.seg.threshold` per-dir lines, the
+    // manifest segments its stats/part/DV metadata into immutable
+    // `_seg_` side files and every later commit writes O(batch) bytes
+    // at ANY table size (ManifestGrowthProbe: 441-474 bytes/commit at
+    // 10^5 and 10^6 dirs vs 548 KB untiered at 10^4). The scenario
+    // forces tiering (threshold 4), lands 8 ranged appends, a DV
+    // delete (inline per-dir OVERRIDE line, segments carried by
+    // reference) and a COW update (`#segdrop` tombstone), then reads
+    // the final snapshot — byte-identical to the oracle's
+    // recomputation from the base parquet, so the expansion layer
+    // (segments + tombstones + overrides) sits under the hash, not
+    // just under specs. Proof columns: the live body references
+    // segments and carries NO inline dir names (tiered); the
+    // last append's body stayed ≤ 40 lines while the snapshot holds
+    // ≥ 8 dirs (commit_obatch — the O(batch) claim); and a point
+    // predicate still prunes dirs from segment-carried stats
+    // (skipping_survives).
+    Q("q193_tiered_manifest",
+      """SELECT doc_id, source,
+        |  CAST(CASE WHEN doc_id % 7 = 3
+        |         AND doc_id <= (SELECT max(doc_id) // 8 FROM documents)
+        |       THEN n_chars * 3 ELSE n_chars END AS BIGINT) AS n_chars2,
+        |  TRUE AS tiered, TRUE AS commit_obatch, TRUE AS skipping_survives
+        |FROM documents WHERE doc_id % 10 <> 6
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_seg", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars2"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      def bound(i: Int) = maxId * i / 8
+      def slice(i: Int) = docs.where(
+        col("doc_id") > bound(i) && col("doc_id") <= bound(i + 1))
+      Lake.commitOverwrite(docs.where(col("doc_id") <= bound(1)), root,
+        retain = 4, statsCols = Seq("doc_id"))
+      Lake.setTableProperties(s, root, Map(
+        "graft.seg.threshold" -> "4", "graft.dvMaxRows" -> "100000"))
+      (1 until 8).foreach(i => Lake.commitAppend(slice(i), root, retain = 4))
+      def rawBody: Seq[String] = {
+        val v = Lake.currentVersion(s, root).get
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, s"_commit_$v")), "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      val appendBody = rawBody
+      val obatch = appendBody.size <= 40 &&
+        Lake.resolve(s, root).size >= 8
+      // merge-on-read delete: DV lines ride as inline overrides,
+      // every segment carries by reference
+      Lake.deleteWhere(s, root, col("doc_id") % 10 === 6, retain = 4)
+      // copy-on-write update RESTRICTED to the first range: only that
+      // dir rewrites (stats prune the rest out of `touched`), leaving
+      // its segment through a #segdrop tombstone while every other
+      // dir's stats line stays segment-carried
+      Lake.updateWhere(s, root,
+        col("doc_id") % 7 === 3 && col("doc_id") <= bound(1),
+        Map("n_chars2" -> (col("n_chars2") * 3)), retain = 4,
+        dvMaxRows = 0L)
+      val finalBody = rawBody
+      val tiered = finalBody.exists(_.startsWith("#seg=")) &&
+        !finalBody.exists(l => !l.startsWith("#"))
+      val (_, skipped) = Lake.pruneDirs(s, root, col("doc_id") === maxId)
+      Lake.readCommitted(s, root).orderBy("doc_id")
+        .withColumn("tiered", lit(tiered))
+        .withColumn("commit_obatch", lit(obatch))
+        .withColumn("skipping_survives", lit(skipped.nonEmpty))
+    },
+
     // NESTED FIELDS through column mapping under the oracle hash —
     // struct-heavy event schemas are the second most common shape,
     // and a rename must stay metadata-only for them too: the events
