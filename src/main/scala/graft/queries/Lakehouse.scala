@@ -2142,6 +2142,8 @@ object Lakehouse {
         |       THEN n_chars * 2 ELSE n_chars END AS BIGINT) AS n_chars2,
         |  CASE WHEN doc_id > 3 * (SELECT max(doc_id) FROM documents) // 4
         |       THEN lang ELSE NULL END AS lang2,
+        |  CAST(CASE WHEN doc_id = (SELECT max(doc_id) FROM documents)
+        |       THEN 777 ELSE NULL END AS BIGINT) AS extra2,
         |  TRUE AS untouched_carried
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val root = scratchRoot("lake_mrgevo", d)
@@ -2167,9 +2169,26 @@ object Lakehouse {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       // the low-half dir holds no doc_id > 3q: carried by reference
       val carried = lowDirs.subsetOf(Lake.resolve(s, root).toSet)
+      // second drifted merge through the TEMP-VIEW (path) spelling —
+      // the round-18 lift: the pre-resolution rule recovers the root
+      // from the view's snapshot-pinned plan and re-registers it over
+      // the evolved schema before re-analysis
+      Lake.registerSql(s, "mrgevo_docs_view", root)
+      Tables.documents(s, d).where(col("doc_id") === maxId)
+        .select(col("doc_id"), lit(777L).as("extra"))
+        .createOrReplaceTempView("mrgevo_feed2")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_docs_view t
+          |USING mrgevo_feed2 f ON t.doc_id = f.doc_id
+          |WHEN MATCHED THEN UPDATE SET extra = f.extra""".stripMargin)
+      // read the final state through the view (the command re-registers
+      // it over the evolved schema); the CATALOG table's stored schema
+      // is stale after a view-route evolution until any catalog write
+      // syncs it — the same seam as programmatic Lake.evolveSchema
       s.sql(
         """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars2,
-          |  lang AS lang2 FROM mrgevo_docs ORDER BY doc_id""".stripMargin)
+          |  lang AS lang2, CAST(extra AS BIGINT) AS extra2
+          |  FROM mrgevo_docs_view ORDER BY doc_id""".stripMargin)
         .withColumn("untouched_carried", lit(carried))
     },
 
@@ -2373,6 +2392,90 @@ object Lakehouse {
         .withColumn("tiered", lit(tiered))
         .withColumn("commit_obatch", lit(obatch))
         .withColumn("skipping_survives", lit(skipped.nonEmpty))
+    },
+
+    // STRING-PREFIX SKIPPING (Iceberg's truncate[k]) under the oracle
+    // hash — the everyday log-prefix predicate: `substring(u, 1, k) =
+    // 'p'` / `u LIKE 'p%'` prunes on u's OWN string min/max stats
+    // because a character prefix is non-decreasing under binary
+    // string order (LakeSpec pins the collation guard: linguistic
+    // collations refuse). The scenario commits 4 range-sliced dirs
+    // with string stats on a zero-padded key, then gates the prune
+    // count into the hash — a key-sliced log table must answer a
+    // prefix filter with O(matching dirs) I/O, or prefix_pruned flips
+    // FALSE. The read itself goes through the startsWith spelling so
+    // both marker shapes sit under the hash.
+    Q("q194_prefix_skipping",
+      """SELECT doc_id, source,
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS u,
+        |  TRUE AS prefix_pruned
+        |FROM documents
+        |WHERE lpad(CAST(doc_id AS VARCHAR), 8, '0') LIKE '0000001%'
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_prefix", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("u"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      def bound(i: Int) = maxId * i / 4
+      Lake.commitOverwrite(docs.where(col("doc_id") <= bound(1)), root,
+        retain = 4, statsCols = Seq("u"))
+      (1 until 4).foreach(i => Lake.commitAppend(
+        docs.where(col("doc_id") > bound(i) && col("doc_id") <= bound(i + 1)),
+        root, retain = 4))
+      val (_, skipped) = Lake.pruneDirs(s, root,
+        substring(col("u"), 1, 7) === "0000001")
+      Lake.readCommittedWhere(s, root, col("u").startsWith("0000001"))
+        .orderBy("doc_id")
+        .withColumn("prefix_pruned", lit(skipped.nonEmpty))
+    },
+
+    // CHANGE FEED ACROSS A RENAME under the oracle hash — the round-17
+    // refusal lifted: ids are stable under #colmap2, so the old side
+    // of a rename-crossing range translates each CURRENT field to its
+    // OLD logical path through the id tree and pre-images report under
+    // the names the consumer knows today (Delta refuses this range).
+    // The window also contains the id-mode UPGRADE itself (ids were
+    // assigned mid-range — the first in-range tree serves as the old
+    // side's tree after the flat-state equality check). Drops still
+    // refuse with the span-split remedy (LakeColMapV2Spec). The oracle
+    // recomputes the delete pre-images and post-rename inserts from
+    // the base parquet under the CURRENT column name.
+    Q("q195_cdf_rename",
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS chars
+        |           FROM documents),
+        |q AS (SELECT max(doc_id) * 3 // 4 AS q3 FROM documents),
+        |del AS (SELECT 'delete' AS change_type, doc_id, source, chars
+        |        FROM d, q WHERE doc_id <= q3 AND doc_id % 9 = 4),
+        |ins AS (SELECT 'insert' AS change_type, doc_id, source, chars
+        |        FROM d, q WHERE doc_id > q3)
+        |SELECT change_type, doc_id, source, chars FROM del
+        |UNION ALL SELECT change_type, doc_id, source, chars FROM ins
+        |ORDER BY doc_id, change_type""".stripMargin) { (s, d) =>
+      val root = scratchRoot("lake_cdfren", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("val"))
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      val q3 = maxId * 3 / 4
+      Lake.commitOverwrite(docs.where(col("doc_id") <= q3 / 2), root,
+        retain = 8, statsCols = Seq("doc_id"))
+      Lake.commitAppend(
+        docs.where(col("doc_id") > q3 / 2 && col("doc_id") <= q3), root,
+        retain = 8)
+      val vFrom = Lake.currentVersion(s, root).get
+      // inside the window: a COW delete, the id-mode upgrade, the
+      // rename, and an insert generation under the NEW name
+      Lake.deleteWhere(s, root, pmod(col("doc_id"), lit(9)) === 4,
+        retain = 8)
+      Lake.upgradeColumnMapping(s, root, retain = 8)
+      Lake.renameColumn(s, root, "val", "chars", retain = 8)
+      Lake.commitAppend(
+        docs.where(col("doc_id") > q3).withColumnRenamed("val", "chars"),
+        root, retain = 8)
+      val vTo = Lake.currentVersion(s, root).get
+      Lake.changesBetween(s, root, vFrom, vTo, Seq("doc_id"))
+        .select(col("change_type"), col("doc_id"), col("source"),
+          col("chars"))
+        .orderBy("doc_id", "change_type")
     },
 
     // NESTED FIELDS through column mapping under the oracle hash —

@@ -98,10 +98,11 @@ class GraftLakeDmlRule extends Rule[LogicalPlan] with PredicateHelper {
           // the working paths.
           require(!m.withSchemaEvolution,
             s"MERGE WITH SCHEMA EVOLUTION into the graft-lake table at " +
-              s"$root works on CATALOG tables only (the schema must " +
-              "evolve before the analyzer expands star actions) — merge " +
-              "into the catalog table name, evolve the schema first " +
-              "(ALTER TABLE ... ADD COLUMNS), or use the CDC merge " +
+              s"$root resolved through a handle the pre-resolution rule " +
+              "cannot see (catalog tables and local/global temp views " +
+              "over Lake.sqlTable both work) — merge into one of those, " +
+              "evolve the schema first (ALTER TABLE ... ADD COLUMNS), " +
+              "or use the CDC merge " +
               "(Lake.mergeCommitted(allowSchemaEvolution = true))")
           val tOut = LakeDml.byExprId(m.targetTable.output)
           val sOut = LakeDml.byExprId(m.sourceTable.output)
@@ -361,6 +362,32 @@ private[sources] object LakeDml {
       // renames/drops — this engine's mapping makes them legal
       if (meta.schema != live) cat.alterTable(meta.copy(schema = live))
     }
+
+  /** The lake root behind a LOCAL or GLOBAL temp view whose stored
+    * plan scans a snapshot-pinned [[LakeFileIndex]] (the
+    * `Lake.sqlTable` / `registerSql` path spelling). None for
+    * non-views and views over anything else. */
+  def lakeRootByTempView(session: SparkSession,
+      parts: Seq[String]): Option[String] = {
+    val cat = session.sessionState.catalog
+    if (!cat.isTempView(parts)) return None
+    val viewPlan: Option[LogicalPlan] = parts match {
+      case Seq(t) => cat.getTempView(t)
+      case Seq(g, t) if g.equalsIgnoreCase(
+          session.sessionState.conf.getConf(
+            org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)) =>
+        cat.getGlobalTempView(t)
+      case _ => None
+    }
+    viewPlan.flatMap(_.collectFirst {
+      case l: LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[LakeFileIndex] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[LakeFileIndex].root
+    })
+  }
 
   /** The (root, identifier) of a graft-lake CATALOG table named by
     * `parts` — None for temp views (they shadow), unknown tables, or
@@ -622,10 +649,20 @@ class GraftLakeMergeEvolutionRule(session: SparkSession) extends Rule[LogicalPla
       val parts = m.targetTable.collectFirst {
         case u: UnresolvedRelation => u.multipartIdentifier
       }
-      parts.flatMap(LakeDml.lakeRootByIdent(session, _)) match {
-        case Some((root, ident)) => GraftLakeMergeEvolveCommand(root, m, ident)
-        case None => plan
-      }
+      val catalogHit = parts.flatMap(LakeDml.lakeRootByIdent(session, _))
+        .map { case (root, ident) =>
+          GraftLakeMergeEvolveCommand(root, m, ident, viewParts = None) }
+      // temp views over Lake.sqlTable / registerSql (the path
+      // spelling): the view's stored plan carries the snapshot-pinned
+      // LakeFileIndex — recover the root from it. The command
+      // re-registers the view after the evolution commit so
+      // re-analysis expands stars against the EVOLVED schema (the
+      // stored plan pins the registration-time one).
+      def viewHit = parts
+        .flatMap(p => LakeDml.lakeRootByTempView(session, p)
+          .map { root => GraftLakeMergeEvolveCommand(root, m, None,
+            viewParts = Some(p)) })
+      catalogHit.orElse(viewHit).getOrElse(plan)
     case _ => plan
   }
 }
@@ -633,24 +670,73 @@ class GraftLakeMergeEvolutionRule(session: SparkSession) extends Rule[LogicalPla
 /** Runtime half of [[GraftLakeMergeEvolutionRule]]: evolve, then
   * re-analyze-and-execute the merge with evolution satisfied. The
   * stored plan is the PARSED statement (unresolved) — deliberately not
-  * an innerChild, so analysis checks never descend into it. */
+  * an innerChild, so analysis checks never descend into it.
+  *
+  * Failure atomicity: a NAME-LEVEL dry run of every attribute the
+  * statement references (ON condition, action conditions, assignment
+  * keys and values) against the would-be evolved schema runs BEFORE
+  * the evolution commit, so the common failure — a typo'd column —
+  * applies nothing; `evolveSchema` itself validates widening before
+  * its commit. The residual window is real and DOCUMENTED: a merge
+  * that loses OCC during execution (or fails a CHECK constraint)
+  * leaves the ADDITIVE schema evolution committed — the evolution is
+  * add-nullable-only, so the retried merge lands on it unchanged. */
 case class GraftLakeMergeEvolveCommand(root: String,
-    merge: MergeIntoTable, ident: Option[TableIdentifier])
+    merge: MergeIntoTable, ident: Option[TableIdentifier],
+    viewParts: Option[Seq[String]] = None)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     // the source analyzes standalone (it references no target columns
     // by construction of the grammar); its resolved schema is what the
     // target evolves toward — all source columns, the CDC rule
     val srcSchema = Shim.ofRows(session, merge.sourceTable).schema
+    // dry run: every referenced name must land on a column of the
+    // evolved target or of the source — an attribute is resolvable
+    // when ANY of its parts names a known top-level column (earlier
+    // parts are table/alias qualifiers, later ones nested fields)
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val known = (Lake.readCommitted(session, root).schema.fieldNames ++
+        srcSchema.fieldNames)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val attrs =
+        (merge.mergeCondition +:
+          (merge.matchedActions ++ merge.notMatchedActions ++
+            merge.notMatchedBySourceActions).flatMap(_.children))
+          .flatMap(_.collect { case ua: UnresolvedAttribute => ua })
+      val bad = attrs.filterNot(_.nameParts.exists(p =>
+        known(p.toLowerCase(java.util.Locale.ROOT))))
+      require(bad.isEmpty,
+        s"MERGE WITH SCHEMA EVOLUTION into $root references " +
+          bad.map(_.name).distinct.mkString("[", ", ", "]") +
+          " which exist in neither the evolved target schema nor the " +
+          "source — refused BEFORE the schema-evolution commit, so " +
+          "nothing was applied")
+    }
     Lake.evolveSchema(session, root, srcSchema)
     LakeDml.syncCatalogSchema(session, root, ident)
     LakeDml.refresh(session, ident)
+    // a temp-view target stored the registration-time pinned plan —
+    // re-register it over the evolved live snapshot so the re-analysis
+    // below expands star actions against the evolved schema
+    viewParts.foreach {
+      case Seq(t) => Lake.sqlTable(session, root).createOrReplaceTempView(t)
+      case Seq(_, t) =>
+        Lake.sqlTable(session, root).createOrReplaceGlobalTempView(t)
+      case _ =>
+    }
     // re-analysis resolves the target with the evolved schema: star
     // actions expand to the full evolved column set, explicit
     // assignments to new columns resolve, and GraftLakeDmlRule
     // substitutes the COW executor — commands run eagerly in ofRows
     Shim.ofRows(session, merge.copy(withSchemaEvolution = false))
     LakeDml.refresh(session, ident)
+    viewParts.foreach {
+      case Seq(t) => Lake.sqlTable(session, root).createOrReplaceTempView(t)
+      case Seq(_, t) =>
+        Lake.sqlTable(session, root).createOrReplaceGlobalTempView(t)
+      case _ =>
+    }
     Seq.empty
   }
 }

@@ -266,6 +266,18 @@ private[graft] trait LakeReads { this: Lake.type =>
       case Literal(u, StringType) if u != null => Some(u.toString)
       case _ => None
     }
+    // positive int literal (the prefix length of truncate[k]); the
+    // start position must be literal 1 — any other start is not a
+    // prefix and prefixes are the only monotone substring
+    def posInt(x: Expression): Option[Int] = x match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType)
+          if v > 0 => Some(v)
+      case _ => None
+    }
+    def isOne(x: Expression): Boolean = x match {
+      case Literal(1, org.apache.spark.sql.types.IntegerType) => true
+      case _ => false
+    }
     e match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.lengthCompare(1) == 0 =>
@@ -279,6 +291,15 @@ private[graft] trait LakeReads { this: Lake.type =>
           case ("trunc", Seq(a, u)) =>
             for (uu <- unitOf(u); c <- attrName(a))
               yield (c, "trunc", Some(uu))
+          // Iceberg's truncate[k]: a character prefix is non-decreasing
+          // under binary string order (shared bytes stay shared), so
+          // `substring(c, 1, k) op lit` prunes on c's OWN string range
+          case ("substring" | "substr", Seq(a, p, l)) if isOne(p) =>
+            for (k <- posInt(l); c <- attrName(a))
+              yield (c, "substr_prefix", Some(k.toString))
+          case ("left", Seq(a, l)) =>
+            for (k <- posInt(l); c <- attrName(a))
+              yield (c, "substr_prefix", Some(k.toString))
           case _ => None
         }
       case y: Year => dateArg(y.child).map((_, "year", None))
@@ -288,6 +309,9 @@ private[graft] trait LakeReads { this: Lake.type =>
       case t: TruncDate =>
         for (u <- unitOf(t.format); c <- attrName(t.date))
           yield (c, "trunc", Some(u))
+      case s: Substring if isOne(s.pos) =>
+        for (k <- posInt(s.len); c <- attrName(s.str))
+          yield (c, "substr_prefix", Some(k.toString))
       case c: Cast if c.dataType == DateType =>
         attrName(c.child).map((_, "cast_date", None))
       case _ => None
@@ -309,12 +333,24 @@ private[graft] trait LakeReads { this: Lake.type =>
         yield PXform(s._1, s._2, s._3, op, Seq(v)))
         .orElse(for (s <- xformShape(b); v <- lit1(a))
           yield PXform(s._1, s._2, s._3, flip, Seq(v)))
+    // `c LIKE 'p%'` / `startsWith(c, 'p')` ⟺ substring(c, 1, chars(p))
+    // = 'p' — the everyday log-prefix predicate as prefix-equality
+    def mkStarts(a: Expression, b: Expression): Option[PredTree] = b match {
+      case Literal(p: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) if p != null &&
+            p.numChars() > 0 =>
+        attrName(a).map(c =>
+          PXform(c, "substr_prefix", Some(p.numChars().toString),
+            PEq, Seq(StrV(p))))
+      case _ => None
+    }
     e match {
       case EqualTo(a, b)            => mk(a, b, PEq, PEq)
       case LessThan(a, b)           => mk(a, b, PLt, PGt)
       case LessThanOrEqual(a, b)    => mk(a, b, PLe, PGe)
       case GreaterThan(a, b)        => mk(a, b, PGt, PLt)
       case GreaterThanOrEqual(a, b) => mk(a, b, PGe, PLe)
+      case StartsWith(a, b)         => mkStarts(a, b)
       case In(a, vs) if vs.nonEmpty =>
         val lits = vs.map(lit1)
         if (lits.forall(_.isDefined))
@@ -335,6 +371,7 @@ private[graft] trait LakeReads { this: Lake.type =>
               xformShape(a).map(s =>
                 PXform(s._1, s._2, s._3, PEq, lits.flatten))
             else None
+          case ("startswith", Seq(a, b)) => mkStarts(a, b)
           case _ => None
         }
       case _ => None
@@ -364,6 +401,9 @@ private[graft] trait LakeReads { this: Lake.type =>
       case "cast_date"  => Some("CAST(c AS DATE)")
       case "date_trunc" => arg.map(u => s"date_trunc(${quoted(u)}, c)")
       case "trunc"      => arg.map(u => s"trunc(c, ${quoted(u)})")
+      case "substr_prefix" =>
+        arg.flatMap(_.toIntOption).filter(_ > 0)
+          .map(k => s"substring(c, 1, $k)")
       case _            => None
     }
     textOpt.flatMap { text =>
@@ -395,6 +435,7 @@ private[graft] trait LakeReads { this: Lake.type =>
               scala.util.Try(bd.toLongExact).toOption
             case _ => None
           }
+          case StrV(u) if srcType == StringType => Some(u)
           case _ => None
         }
         internalOpt.flatMap { internal =>
@@ -411,10 +452,12 @@ private[graft] trait LakeReads { this: Lake.type =>
   }
 
   /** Convert one [[PXform]] marker into an evaluator-carrying leaf
-    * against snapshot `v`'s committed schema: the source column must
-    * be TEMPORAL (string order is not monotone under date parsing) and
-    * the evaluator must build ([[buildXformEval]]'s zone guard). The
-    * returned Pred still carries the LOGICAL column path. */
+    * against snapshot `v`'s committed schema: temporal maps need a
+    * TEMPORAL source (string order is not monotone under date
+    * parsing) and the evaluator's zone guard; the prefix map needs a
+    * BINARY-collated STRING source (truncation is not monotone under
+    * linguistic collations). The returned Pred still carries the
+    * LOGICAL column path. */
   private def xformLeaf(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long,
       x: PXform): Option[Pred] = {
@@ -431,8 +474,22 @@ private[graft] trait LakeReads { this: Lake.type =>
           }
         case _ => None
       }
-    typeAt(schema, x.col.split('.').toSeq).filter(dt =>
-      dt == DateType || dt == TimestampType || dt == TimestampNTZType)
+    typeAt(schema, x.col.split('.').toSeq).filter { dt =>
+      x.fn match {
+        // prefix truncation is monotone only under BINARY string
+        // order: `dt == StringType` matches exactly the UTF8_BINARY
+        // collation (collated types compare unequal), and a session
+        // default collation would make the QUERY's comparison
+        // non-binary even on a binary-typed column — refuse both
+        case "substr_prefix" =>
+          dt == StringType && scala.util.Try(
+            spark.conf.get("spark.sql.session.collation.default",
+              "UTF8_BINARY")).getOrElse("UTF8_BINARY")
+            .equalsIgnoreCase("UTF8_BINARY")
+        case _ =>
+          dt == DateType || dt == TimestampType || dt == TimestampNTZType
+      }
+    }
       .flatMap(dt => buildXformEval(spark, x.fn, x.arg, dt))
       .map(f => Pred(x.col, x.op, x.values, Some(f)))
   }
@@ -1487,14 +1544,41 @@ private[graft] trait LakeReads { this: Lake.type =>
     if (fromVersion == toVersion)
       return to.limit(0).withColumn("change_type", lit(""))
     readCommittedAt(spark, root, fromVersion) // horizon check only
-    // the diff reads BOTH endpoints under toVersion's schema; a
-    // column-mapping change inside the range (rename, drop+re-add)
-    // makes the shared-schema read a lie for the old side — refuse
-    // loudly instead of reporting every row as an update
+    // the diff reads BOTH endpoints under toVersion's schema. Under
+    // id-mode, a mid-range RENAME/MOVE is readable: ids are stable, so
+    // the old side translates each current field to its OLD logical
+    // path through the id trees (bridge below) — the rename-crossing
+    // feed Delta refuses. What still refuses: an id DROPPED inside the
+    // range (a consumer folding the feed would silently lose that
+    // column's final deletes) and a path RE-SERVED by a different id
+    // (drop + re-add: old rows hold real values at the path under the
+    // dead id — NULL pre-images would misattribute). NAME-mode tables
+    // keep the flat refusal (no ids to translate through).
+    val fromV2 = manifestColMap2(fs, r, fromVersion)
+    val toV2 = manifestColMap2(fs, r, toVersion)
     val fromMap = manifestColMap(fs, r, fromVersion)
     val toMap = manifestColMap(fs, r, toVersion)
-    if (fromMap != toMap || manifestRetired(fs, r, fromVersion) !=
-        manifestRetired(fs, r, toVersion)) {
+    // a mid-range UPGRADE: ids were assigned at the first in-range
+    // tree-carrying commit `u` to the names current THERE; when the
+    // flat mapping state is unchanged between fromVersion and u, those
+    // ids name fromVersion's columns too, so u's tree serves as the
+    // old side's tree and renames after the upgrade still translate
+    val fromTreeEff: Option[ColMapV2] = fromV2.orElse {
+      if (toV2.isEmpty) None
+      else committedVersions(fs, r)
+        .filter(v => v > fromVersion && v <= toVersion)
+        .find(v => manifestColMap2(fs, r, v).isDefined)
+        .flatMap { uv =>
+          if (manifestColMap(fs, r, uv) == fromMap &&
+              manifestRetired(fs, r, uv) ==
+                manifestRetired(fs, r, fromVersion))
+            manifestColMap2(fs, r, uv)
+          else None
+        }
+    }
+    val idMode = fromTreeEff.isDefined && toV2.isDefined
+    if (!idMode && (fromMap != toMap || manifestRetired(fs, r, fromVersion) !=
+        manifestRetired(fs, r, toVersion))) {
       val fromNames = manifestSchema(fs, r, fromVersion)
         .map(_.fieldNames.toSet).getOrElse(Set.empty)
       val fromPhys = manifestSchema(fs, r, fromVersion)
@@ -1508,31 +1592,85 @@ private[graft] trait LakeReads { this: Lake.type =>
       require(crossed.isEmpty,
         s"changesBetween v$fromVersion..v$toVersion crosses a column " +
           s"rename/re-add of ${crossed.mkString("[", ", ", "]")} — read " +
-          "the feed in two spans, split at the mapping commit")
+          "the feed in two spans, split at the mapping commit (or " +
+          "upgrade to id-mode column mapping, which serves " +
+          "rename-crossing ranges)")
     }
-    // id-mode ranges: any id that MOVED (rename), DROPPED, or whose
-    // path is re-served by a different id (drop + re-add) inside the
-    // range makes a shared-schema read lie about old-side preimages —
-    // refuse with the span-split remedy. Pure additions (ids minted by
-    // evolving appends) are the normal feed case and pass; a mid-range
-    // UPGRADE is a relabeling of existing names (the flat guard above
-    // already vetted name moves) and passes unless it tombstoned.
-    val fromV2 = manifestColMap2(fs, r, fromVersion)
-    val toV2 = manifestColMap2(fs, r, toVersion)
-    if (fromV2 != toV2) {
-      val crossed2: Seq[String] = (fromV2, toV2) match {
-        case (Some(a), Some(b)) => colMap2CrossedPaths(a, b)
-        case (None, Some(b)) =>
-          if (b.dead.isEmpty) Nil
-          else b.dead.map { case (c, p) => s"<container $c>.$p" }
-        case (Some(_), None) => Seq("<column-mapping restored away>")
-        case (None, None) => Nil
-      }
-      require(crossed2.isEmpty,
+    if (!idMode && toV2.isDefined && fromV2.isEmpty) {
+      // upgrade inside the range: a relabeling of existing names
+      // unless it tombstoned (a pre-upgrade drop cannot exist, so dead
+      // entries mean a drop ALSO sits inside the range)
+      val b = toV2.get
+      require(b.dead.isEmpty,
         s"changesBetween v$fromVersion..v$toVersion crosses a nested " +
-          s"rename/drop/re-add of ${crossed2.mkString("[", ", ", "]")} — " +
-          "read the feed in two spans, split at the mapping commit")
+          s"drop (${b.dead.map { case (c, p) => s"<container $c>.$p" }
+            .mkString("[", ", ", "]")}) — read the feed in two spans, " +
+          "split at the mapping commit")
     }
+    if (idMode && fromTreeEff != toV2) {
+      val a = fromTreeEff.get
+      val b = toV2.get
+      val ap = colMap2Paths(a)
+      val bp = colMap2Paths(b)
+      val bIds = b.fields.map(_.id).toSet
+      val dropped = a.fields.filterNot(f => bIds(f.id)).map(f => ap(f.id))
+      val aIdByPath = ap.map(_.swap)
+      val rekeyed = b.fields.flatMap(g =>
+        aIdByPath.get(bp(g.id)).filter(_ != g.id).map(_ => bp(g.id)))
+      require(dropped.isEmpty && rekeyed.isEmpty,
+        s"changesBetween v$fromVersion..v$toVersion crosses a column " +
+          s"drop/re-add of ${(dropped ++ rekeyed).distinct
+            .mkString("[", ", ", "]")} — read the feed in two spans, " +
+          "split at the mapping commit (renames alone translate " +
+          "through the id tree and need no split)")
+    }
+    // old-side bridge: for each CURRENT field, the old logical path of
+    // the SAME id (renames/moves translate; ids minted after
+    // fromVersion read NULL — the column did not exist then). NULL
+    // structs stay NULL (a struct() of NULL children is not NULL).
+    val bridgeNeeded = idMode && fromTreeEff != toV2
+    val bridgeOld: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] =
+      if (!bridgeNeeded) None
+      else {
+        val ap = colMap2Paths(fromTreeEff.get)
+        val bIdByPath = colMap2Paths(toV2.get).map(_.swap)
+        // a field added between fromVersion and a mid-range upgrade
+        // carries a path u's tree knows but fromVersion's schema does
+        // not — it did not exist at fromVersion: NULL
+        val fromPaths: Set[String] = {
+          def walk(st: org.apache.spark.sql.types.StructType,
+              prefix: String): Seq[String] =
+            st.fields.toSeq.flatMap { f =>
+              val p = if (prefix.isEmpty) f.name else prefix + "." + f.name
+              p +: (f.dataType match {
+                case stc: org.apache.spark.sql.types.StructType =>
+                  walk(stc, p)
+                case _ => Nil
+              })
+            }
+          manifestSchema(fs, r, fromVersion)
+            .map(sc => walk(sc, "").toSet).getOrElse(Set.empty)
+        }
+        def quoted(path: String): String =
+          path.split('.').map(s => "`" + s + "`").mkString(".")
+        def bridgeFields(st: org.apache.spark.sql.types.StructType,
+            prefix: String): Seq[org.apache.spark.sql.Column] =
+          st.fields.toSeq.map { f =>
+            val toPath = if (prefix.isEmpty) f.name else prefix + "." + f.name
+            val fromPath = bIdByPath.get(toPath).flatMap(ap.get)
+              .filter(fromPaths.contains)
+            ((f.dataType, fromPath) match {
+              case (_, None) => lit(null).cast(f.dataType)
+              case (stc: org.apache.spark.sql.types.StructType, Some(fp)) =>
+                when(col(quoted(fp)).isNull, lit(null).cast(f.dataType))
+                  .otherwise(struct(bridgeFields(stc, toPath): _*)
+                    .cast(f.dataType))
+              case (dt, Some(fp)) => col(quoted(fp)).cast(dt)
+            }).as(f.name)
+          }
+        Some(df => df.select(bridgeFields(toSchema, ""): _*))
+      }
     // the diff unit is (dir, deletion-vector line): version dirs are
     // immutable, but a DV delete changes a dir's LIVE rows without
     // renaming it — such a dir joins both sides (old rows under the
@@ -1557,7 +1695,16 @@ private[graft] trait LakeReads { this: Lake.type =>
       if (useRowId) df.drop(RowIdCol) else df
     if (removed.isEmpty) // append-only fast path: every added row is an insert
       return publicOut(newSide.withColumn("change_type", lit("insert")))
-    val oldSide = readDirs(removed, fromVersion)
+    val oldSide = bridgeOld match {
+      case None => readDirs(removed, fromVersion)
+      case Some(bridge) =>
+        // read the old side under ITS OWN schema (old logical names),
+        // then translate to the current shape through the id tree
+        val fromSchemaRead = org.apache.spark.sql.graft.Shim.asNullable(
+          manifestSchema(fs, r, fromVersion).getOrElse(toSchemaFull))
+        bridge(readDirsWithDv(spark, fs, r, fromVersion, removed,
+          Some(fromSchemaRead)))
+    }
     val valueCols = toSchema.fieldNames.filterNot(effKeys.contains).toSeq
     val o = oldSide.select(
       struct(effKeys.map(col): _*).as("__k"),

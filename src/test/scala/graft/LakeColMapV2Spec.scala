@@ -245,11 +245,11 @@ class LakeColMapV2Spec extends SparkSpec {
     assert(Lake.readCommitted(spark, root).agg(sum("meta.score"))
       .collect().head.getDouble(0) ===
       (1L to 10L).map(_ * 0.5).sum - 1.5 + 99.0)
-    // the change feed refuses to cross the rename, serves within spans
-    val e = intercept[IllegalArgumentException] {
-      Lake.changesBetween(spark, root, vUpgraded, vRenamed, Seq("k")).collect()
-    }
-    assert(e.getMessage.contains("two spans"))
+    // the change feed SERVES rename-crossing ranges through the id
+    // tree (round 18 lifted the refusal); a pure-metadata rename
+    // range diffs to nothing — the dirs never moved
+    assert(Lake.changesBetween(spark, root, vUpgraded, vRenamed, Seq("k"))
+      .count() === 0L)
     assert(Lake.changesBetween(spark, root, vRenamed,
       Lake.currentVersion(spark, root).get, Seq("k"))
       .where(col("change_type") === "update_postimage").count() === 1)
@@ -355,6 +355,65 @@ class LakeColMapV2Spec extends SparkSpec {
     Lake.renameNestedColumn(spark, root2, Seq("meta", "v"), "score")
     assert(Lake.readCommitted(spark, root2)
       .select("meta.*").columns.toSeq === Seq("x", "score"))
+  }
+
+
+  test("the change feed serves RENAME-crossing ranges through the id tree; drops still refuse") {
+    val root = tmpTable("graft-cmv2-cdf")
+    def df(ks: Seq[Long]) = ks.map(k => (k, k.toInt, k * 0.5))
+      .toDF("k", "x", "v")
+      .select(col("k"), struct(col("x"), col("v")).as("meta"))
+    // row tracking on, so the KEYLESS feed can pair the same range
+    Lake.commitOverwrite(df(1L to 5L), root, retain = 32,
+      rowTracking = true)
+    Lake.commitAppend(df(6L to 10L), root, retain = 32)
+    Lake.setTableProperties(spark, root, Map("graft.retain" -> "32"))
+    val vFrom = Lake.currentVersion(spark, root).get
+    // changes inside the window: one delete BEFORE the renames...
+    Lake.deleteWhere(spark, root, col("k") === 3L, retain = 32)
+    // ...then a nested rename (auto-upgrades to id-mode) and a
+    // top-level rename OF THE KEY COLUMN itself
+    Lake.renameNestedColumn(spark, root, Seq("meta", "v"), "score")
+    Lake.renameColumn(spark, root, "k", "kk")
+    // ...and an insert AFTER them, under the new names
+    Lake.commitAppend(
+      Seq((11L, 11, 5.5)).toDF("kk", "x", "score")
+        .select(col("kk"), struct(col("x"), col("score")).as("meta")),
+      root, retain = 32)
+    val vTo = Lake.currentVersion(spark, root).get
+
+    // KEYED feed, keyed by the CURRENT name of the renamed key column:
+    // the old side translates through the id tree, so the delete's
+    // pre-image carries its stored values under the new names
+    val keyed = Lake.changesBetween(spark, root, vFrom, vTo, Seq("kk"))
+      .select(col("change_type"), col("kk"), col("meta.x"),
+        col("meta.score"))
+    val keyedRows = rows(keyed)
+    assert(keyedRows === Set(
+      Seq("delete", 3L, 3, 1.5),
+      Seq("insert", 11L, 11, 5.5)))
+
+    // KEYLESS (row-tracking) feed over the same range agrees exactly
+    val keyless = Lake.changesBetween(spark, root, vFrom, vTo, Nil)
+      .select(col("change_type"), col("kk"), col("meta.x"),
+        col("meta.score"))
+    assert(rows(keyless) === keyedRows)
+
+    // a DROP inside the range still refuses (the span-split remedy)
+    val vDrop = Lake.dropNestedColumn(spark, root, Seq("meta", "x"))
+    Lake.commitAppend(
+      Seq((12L, 6.5)).toDF("kk", "score")
+        .select(col("kk"), struct(col("score")).as("meta")),
+      root, retain = 32)
+    val vTo2 = Lake.currentVersion(spark, root).get
+    val e = intercept[IllegalArgumentException] {
+      Lake.changesBetween(spark, root, vFrom, vTo2, Seq("kk")).collect()
+    }
+    assert(e.getMessage.contains("drop"))
+    // but the span SPLIT AT the drop commit serves fine
+    assert(rows(Lake.changesBetween(spark, root, vDrop, vTo2, Seq("kk"))
+      .select(col("change_type"), col("kk"), col("meta.score"))) ===
+      Set(Seq("insert", 12L, 6.5)))
   }
 
 }

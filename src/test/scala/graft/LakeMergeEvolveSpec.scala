@@ -166,4 +166,55 @@ class LakeMergeEvolveSpec extends SparkSpec {
     spark.sql("DROP TABLE mrgevo_sql")
   }
 
+
+  test("MERGE WITH SCHEMA EVOLUTION into a TEMP-VIEW (path) target evolves like the catalog spelling; typos refuse pre-commit") {
+    val root = tmpTable("graft-mergevo-view")
+    Lake.commitAppend((1L to 50L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      root, retain = 8)
+    Lake.commitAppend((51L to 100L).map(i => (i, s"p$i")).toDF("id", "payload"),
+      root, retain = 8)
+    // the path spelling: a temp view over the snapshot-pinned handle
+    Lake.registerSql(spark, "mrgevo_view", root)
+    Seq((60L, "upd", "en"), (200L, "ins", "fr"))
+      .toDF("id", "payload", "lang").createOrReplaceTempView("mrgevo_vsrc")
+    val vPre = Lake.currentVersion(spark, root).get
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_view t
+        |USING mrgevo_vsrc s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the view itself serves the evolved live table afterwards
+    val r = spark.table("mrgevo_view")
+    assert(r.columns.toSeq === Seq("id", "payload", "lang"))
+    assert(r.count() === 101L)
+    assert(rows(r.where(col("lang").isNotNull).select("id", "payload", "lang")) ===
+      Set(Seq(60L, "upd", "en"), Seq(200L, "ins", "fr")))
+    // the GLOBAL temp view spelling works too
+    Lake.sqlTable(spark, root).createOrReplaceGlobalTempView("mrgevo_gview")
+    Seq((61L, "upd2", "de", 9L)).toDF("id", "payload", "lang", "hits")
+      .createOrReplaceTempView("mrgevo_vsrc2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO global_temp.mrgevo_gview t
+        |USING mrgevo_vsrc2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET lang = s.lang, hits = s.hits""".stripMargin)
+    assert(rows(spark.sql(
+      "SELECT lang, hits FROM global_temp.mrgevo_gview WHERE id = 61")) ===
+      Set(Seq("de", 9L)))
+    // a TYPO'D column refuses BEFORE the evolution commit: the dry run
+    // applies nothing — not even the additive schema change
+    val vBefore = Lake.currentVersion(spark, root).get
+    val schemaBefore = Lake.readCommitted(spark, root).columns.toSeq
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO mrgevo_view t
+          |USING mrgevo_vsrc2 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET laang = s.lang""".stripMargin)
+    }
+    assert(e.getMessage.contains("nothing was applied"))
+    assert(Lake.currentVersion(spark, root).get === vBefore)
+    assert(Lake.readCommitted(spark, root).columns.toSeq === schemaBefore)
+    assert(vPre < vBefore) // the earlier merges really committed
+    spark.sql("DROP VIEW mrgevo_view")
+  }
+
 }

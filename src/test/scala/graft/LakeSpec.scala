@@ -2679,4 +2679,67 @@ class LakeSpec extends SparkSpec {
       year(to_date(col("ds"))) === 1996)._2.isEmpty)
   }
 
+
+  test("string-prefix skipping (truncate[k]): substring/left/startsWith/LIKE prune on string stats; collations refuse") {
+    val root = tmpTable("graft-prefix-skip")
+    def df(svc: String) = (1 to 20).map(i => (f"$svc/req$i%04d", i.toLong))
+      .toDF("s", "k")
+    Lake.commitOverwrite(df("auth"), root, retain = 8, statsCols = Seq("s"))
+    Lake.commitAppend(df("billing"), root, retain = 8)
+    Lake.commitAppend(df("cart"), root, retain = 8)
+    // prefix equality: only the auth dir survives
+    val (kept, skipped) = Lake.pruneDirs(spark, root,
+      substring(col("s"), 1, 4) === "auth")
+    assert(kept.size === 1 && skipped.size === 2,
+      s"substring prefix equality must prune on s's own stats (kept=$kept)")
+    // startsWith is prefix equality with k = chars(prefix)
+    assert(Lake.pruneDirs(spark, root, col("s").startsWith("bill"))._2.size === 2)
+    // prefix RANGE: everything >= "c" leaves only cart
+    assert(Lake.pruneDirs(spark, root,
+      substring(col("s"), 1, 1) >= "c")._2.size === 2)
+    // prefix IN
+    assert(Lake.pruneDirs(spark, root,
+      substring(col("s"), 1, 4).isin("auth", "cart"))._2.size === 1)
+    // correctness: pruned read equals the unpruned filter
+    assert(Lake.readCommittedWhere(spark, root,
+      col("s").startsWith("cart")).count() === 20L)
+    assert(Lake.readCommittedWhere(spark, root,
+      substring(col("s"), 1, 4) === "auth").count() === 20L)
+    // the SQL scan path prunes the same way, proven at the PLAN level
+    Lake.registerSql(spark, "prefixskip", root)
+    def scannedFiles(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = scannedFiles("SELECT s, k FROM prefixskip")
+    assert(scannedFiles("SELECT s, k FROM prefixskip WHERE s LIKE 'auth%'")
+      < allFiles, "LIKE 'p%' must read fewer files via prefix skipping")
+    assert(scannedFiles(
+      "SELECT s, k FROM prefixskip WHERE substring(s, 1, 4) = 'cart'")
+      < allFiles, "substring prefix must read fewer files in SQL")
+    // NON-prefix substrings never mark (start != 1 is not monotone)
+    assert(Lake.pruneDirs(spark, root,
+      substring(col("s"), 2, 3) === "uth")._2.isEmpty)
+    // COLLATION GUARD: a non-binary session default collation makes
+    // the query's comparison linguistic — pruning must refuse (weaken,
+    // never lie). Skipped if this build refuses runtime collation.
+    val collOk = scala.util.Try {
+      spark.conf.set("spark.sql.session.collation.default", "UTF8_LCASE")
+      true
+    }.getOrElse(false)
+    if (collOk) try {
+      assert(Lake.pruneDirs(spark, root,
+        substring(col("s"), 1, 4) === "AUTH")._2.isEmpty,
+        "prefix skipping must refuse under a non-binary session collation")
+    } finally spark.conf.set("spark.sql.session.collation.default",
+      "UTF8_BINARY")
+    // temporal maps still refuse STRING sources (unchanged rule)
+    assert(Lake.pruneDirs(spark, root,
+      year(to_date(col("s"))) === 1996)._2.isEmpty)
+  }
+
 }
