@@ -70,13 +70,17 @@ object Lake
   // across a dir-removing commit (overwrite/merge/delete/compact) it
   // refuses with `ConcurrentModificationException` (the world the
   // caller derived the batch against is gone — re-derive and retry).
-  // An OVERWRITE loser always gets that refusal, as do MAINTENANCE
-  // commits (merge/delete/update/compact/cluster) — they read a
-  // snapshot, so ANY concurrent commit invalidates them, Delta's
-  // OPTIMIZE conflict rule; their rewrites stage under writer-unique
-  // dirs too, with the version slot pinned BEFORE the rewrite so an
-  // interloper always forces the loud refusal, never a silently
-  // dropped dir. Streaming folds keep version-named pre-written dirs
+  // An OVERWRITE loser always gets that refusal, as do ROW-CHANGING
+  // DML commits (merge/delete/update) — they read a snapshot, so any
+  // concurrent commit invalidates them; their rewrites stage under
+  // writer-unique dirs too, with the version slot pinned BEFORE the
+  // rewrite so an interloper always forces the loud refusal, never a
+  // silently dropped dir. LAYOUT-ONLY maintenance losers
+  // (compact/cluster/REORG purge) instead REBASE across interlopers
+  // that never touched their sources or frozen metadata
+  // ([[maintenanceRebase]] — Delta's disjoint-file OPTIMIZE conflict
+  // rule): an append landing mid-compaction costs the compaction one
+  // manifest retry, not a re-run of a terabyte rewrite. Streaming folds keep version-named pre-written dirs
   // under their own single-writer checkpoint-lineage contract.
   // `retain` keeps that
   // many SUPERSEDED snapshots so an in-flight reader of the previous

@@ -193,7 +193,11 @@ private[graft] trait LakeMaint { this: Lake.type =>
     * the dirs carrying deletion vectors — regardless of size —
     * materializing the soft-deleted rows away, so the per-read row
     * filter stops and the `#dv_` position JSON stops being carried in
-    * every subsequent manifest. This is the explicit payoff lever for
+    * every subsequent manifest. Round 18: ALSO rewrites dirs whose
+    * files still store a TOMBSTONED physical column (a dropped
+    * top-level or nested field) — Delta's dropped-column purge — so
+    * the dead bytes leave disk; the tombstone bookkeeping itself
+    * stays, because re-mint safety is id-based, not byte-based. This is the explicit payoff lever for
     * DV debt: `compactCommitted(minBytes)` never selects a LARGE dir,
     * so without REORG a big dir's vector lives forever (the debt is
     * visible as `dv_dirs`/`dv_rows` in DESCRIBE HISTORY/DETAIL).
@@ -232,16 +236,61 @@ private[graft] trait LakeMaint { this: Lake.type =>
           "— omit WHERE to purge every deletion vector")
       preds
     }
-    if (dvs.isEmpty) return cur // nothing to purge, version-stable
+    // tombstoned PHYSICAL columns (Delta's dropped-column purge):
+    // dropped fields' bytes are unreachable by construction but still
+    // STORED — PURGE strips them by rewriting exactly the dirs whose
+    // files still carry a dead physical path. Top-level drops retire
+    // names (#colretired); nested drops tombstone (container id, phys)
+    // in the id tree — both resolve to full dotted physical paths, and
+    // a one-footer-per-candidate-dir probe (maintenance-priced) finds
+    // the dirs that predate the drop. The rewrite reads the CURRENT
+    // logical schema, so re-staged files omit the dead columns
+    // automatically; the tombstone BOOKKEEPING stays (re-mint safety
+    // is id-based, not byte-based).
+    val deadPhys: Seq[Seq[String]] = {
+      val top = manifestRetired(fs, r, cur).map(Seq(_))
+      val nested = manifestColMap2(fs, r, cur).toSeq.flatMap { v2 =>
+        val pp = scala.collection.mutable.Map(0 -> Seq.empty[String])
+        v2.fields.foreach(f =>
+          pp(f.id) = pp.getOrElse(f.container, Seq.empty) :+ f.phys)
+        v2.dead.flatMap { case (c, p) => pp.get(c).map(_ :+ p) }
+      }
+      top ++ nested
+    }
+    def hasPath(st: org.apache.spark.sql.types.StructType,
+        path: Seq[String]): Boolean = path match {
+      case Seq() => false
+      case h +: t => st.fields.find(_.name == h).exists { f =>
+        if (t.isEmpty) true
+        else f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => hasPath(s, t)
+          case _ => false
+        }
+      }
+    }
+    def dirHasDead(d: String): Boolean = {
+      // dirs are staged by ONE commit each, so one footer speaks for
+      // the dir; unreadable/empty dirs conservatively rewrite
+      val first = scala.util.Try(fs.listStatus(new Path(r, d)).iterator
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))).toOption.flatten
+      first.forall(f => scala.util.Try(
+        spark.read.parquet(f.toString).schema).toOption
+        .forall(sc => deadPhys.exists(hasPath(sc, _))))
+    }
+    if (dvs.isEmpty && deadPhys.isEmpty) return cur // nothing to purge
     val dvDirs = snapDirs.filter(dvs.contains)
+    val deadDirs =
+      if (deadPhys.isEmpty) Nil
+      else snapDirs.filterNot(dvs.contains).filter(dirHasDead)
+    val candidates = dvDirs ++ deadDirs
     val scoped = wherePreds match {
-      case None => dvDirs
+      case None => candidates
       case Some(preds) =>
         val (mayMatch, _) = pruneDirsAt(spark, root, cur,
           predsToPhysical(preds ++ deriveGenPreds(spark, fs, r, cur, preds),
             cmap))
         val in = mayMatch.toSet
-        dvDirs.filter(in)
+        candidates.filter(in)
     }
     if (scoped.isEmpty) return cur
     val carried = manifestSchema(fs, r, cur)

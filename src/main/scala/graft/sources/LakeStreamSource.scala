@@ -147,16 +147,25 @@ final class LakeStreamSource(
         capped.map { v =>
           if (v <= from) v
           else {
-            val committed = Lake.committedVersionList(spark, root)
-              .filter(c => c > from && c <= v)
+            val all = Lake.committedVersionList(spark, root)
+            val committed = all.filter(c => c > from && c <= v)
+            // ONE pass over the candidate versions, CARRYING the
+            // previous dir set — a per-version predecessor re-read
+            // would make planning O(versions²) manifest expansions on
+            // a long history, dominating the micro-batch
+            var prevDirs = committed.headOption
+              .flatMap(first => all.filter(_ < first).maxOption)
+              .map(p => Lake.snapshotDirNames(spark, root, p).toSet)
+              .getOrElse(Set.empty[String])
             var acc = 0L
             var last = from
             var done = false
             committed.foreach { c =>
               if (!done) {
-                val sz = versionNewBytes(c)
+                val dirs = Lake.snapshotDirNames(spark, root, c).toSet
+                val sz = versionNewBytes(c, dirs -- prevDirs)
                 if (last == from || acc + sz <= budget) {
-                  acc += sz; last = c
+                  acc += sz; last = c; prevDirs = dirs
                 } else done = true
               }
             }
@@ -172,22 +181,25 @@ final class LakeStreamSource(
     * dirs its manifest references that the previous committed manifest
     * did not (first retained version: the whole snapshot). One driver
     * listing per new dir at PLANNING time — O(new dirs), the admission
-    * controller's price, never a data read. */
-  private def versionNewBytes(c: Long): Long = {
-    val all = Lake.committedVersionList(spark, root)
-    val prevDirs = all.filter(_ < c).maxOption
-      .map(p => Lake.snapshotDirNames(spark, root, p).toSet)
-      .getOrElse(Set.empty)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    Lake.snapshotDirNames(spark, root, c).filterNot(prevDirs).map { d =>
-      val p = new Path(new Path(root), d)
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).iterator
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-    }.sum
-  }
+    * controller's price, never a data read — MEMOIZED across triggers
+    * (version dirs are immutable, so a version's added-bytes figure
+    * never changes once computed). */
+  private val newBytesCache = scala.collection.mutable.HashMap.empty[Long, Long]
+  private def versionNewBytes(c: Long, newDirs: Set[String]): Long =
+    newBytesCache.get(c).getOrElse {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      val sz = newDirs.iterator.map { d =>
+        val p = new Path(new Path(root), d)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }.sum
+      if (newBytesCache.size > 4096) newBytesCache.clear() // runaway guard
+      newBytesCache.update(c, sz)
+      sz
+    }
 
   override def reportLatestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset =

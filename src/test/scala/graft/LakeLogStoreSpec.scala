@@ -188,4 +188,31 @@ class LakeLogStoreSpec extends SparkSpec {
       assert(Lake.readCommitted(spark, root).count() === 2L)
     } finally Lake.logStore = graft.sources.HadoopLogStore
   }
+
+  test("an append lands mid-compaction through the injected store: the compaction REBASES and both data sets are intact") {
+    val root = tmpTable("graft-logstore-compact")
+    (0 until 3).foreach { b =>
+      Lake.commitAppend((1L to 20L).map(i => (b * 100L + i, s"r$i"))
+        .toDF("k", "t"), root, retain = 8)
+      ()
+    }
+    Lake.logStore = new RacingStore(() =>
+      Lake.commitAppend(Seq((9001L, "mid")).toDF("k", "t"), root,
+        retain = 8))
+    try {
+      // the compaction loses its pinned slot to the interloping append
+      // through the store's 412 branch, re-reads the log, sees an
+      // append-shaped (dir-disjoint) interloper, re-pins and publishes
+      // — Delta's disjoint-file OPTIMIZE conflict rule
+      val vc = Lake.compactCommitted(spark, root, targetBytes = 1L << 20,
+        retain = 8)
+      assert(Lake.currentVersion(spark, root) === Some(vc))
+      assert(Lake.readCommitted(spark, root).count() === 61L)
+      assert(Lake.readCommitted(spark, root)
+        .where(col("k") === 9001L).count() === 1L)
+      // replay: the interloper's own version serves its snapshot too
+      assert(Lake.readCommittedAt(spark, root, vc - 1).count() === 61L)
+    } finally Lake.logStore = HadoopLogStore
+  }
+
 }
