@@ -329,7 +329,7 @@ object Lake
 
   /** The segment references of a manifest, in body order, RAW (no
     * expansion): (segment file name, recorded dir count). */
-  private[sources] def manifestSegRefs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def manifestSegRefs(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, Int)] =
     manifestBodyRaw(fs, r, v).collect {
       case l if l.startsWith(SegPrefix) =>
@@ -453,11 +453,48 @@ object Lake
     lines
   }
 
-  private[sources] def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Seq[String] = {
-    val dirs = manifestBody(fs, r, v).filterNot(_.startsWith("#"))
-    if (dirs.isEmpty) Seq(s"v$v") else dirs // body-less back-compat
+  // Derived-view memo: the per-dir metadata accessors (stats / fstats
+  // / bloom / part / dv maps, dir lists) each rebuild an O(dirs)
+  // structure from the body lines on EVERY call, and one relation
+  // assembly calls several of them — at probe scale (10^5-10^6 dirs)
+  // those rebuilds dominate planning. Keyed like the body caches and
+  // validated by the manifest's (modTime, length); entries are derived
+  // purely from the (immutable once published) body, so a hit is
+  // always exact.
+  private[sources] val derivedCache =
+    new java.util.LinkedHashMap[String, (Long, Long, AnyRef)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, AnyRef)]): Boolean =
+        size() > 128
+    }
+
+  private[sources] def derivedOf[T <: AnyRef](
+      fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long, kind: String)(
+      build: Seq[String] => T): T = {
+    val p = new Path(r, s"_commit_$v")
+    val st = fs.getFileStatus(p)
+    val key = fs.getUri.toString + "::" +
+      fs.makeQualified(p).toUri.getPath + "::" + kind
+    derivedCache.synchronized {
+      val hit = derivedCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime &&
+          hit._2 == st.getLen)
+        return hit._3.asInstanceOf[T]
+    }
+    val out = build(manifestBody(fs, r, v))
+    derivedCache.synchronized {
+      derivedCache.put(key, (st.getModificationTime, st.getLen, out)); ()
+    }
+    out
   }
+
+  private[sources] def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Seq[String] =
+    derivedOf(fs, r, v, "dirs") { body =>
+      val dirs = body.filterNot(_.startsWith("#"))
+      if (dirs.isEmpty) Seq(s"v$v") else dirs // body-less back-compat
+    }
 
   private[sources] def manifestSchema(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[org.apache.spark.sql.types.StructType] =

@@ -40,11 +40,11 @@ private[graft] trait LakeDvOps { this: Lake.type =>
   /** Raw `#dv_<dir>=<json>` lines of a manifest, keyed by dir. */
   private[graft] def manifestDvsRaw(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Map[String, String] =
-    manifestBody(fs, r, v).collect {
+    derivedOf(fs, r, v, "dvs")(_.collect {
       case l if l.startsWith(DvPrefix) && l.indexOf('=') > DvPrefix.length =>
         val i = l.indexOf('=')
         l.substring(DvPrefix.length, i) -> l.substring(i + 1)
-    }.toMap
+    }.toMap)
 
   private[sources] def snapshotDvs(spark: SparkSession, root: String,
       version: Long): Map[String, String] =

@@ -355,6 +355,8 @@ case class GraftDescribeDetailCommand(t: GraftMaintTarget)
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("dv_rows", LongType,
           nullable = false),
+        org.apache.spark.sql.types.StructField("num_segments",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("table_features",
           org.apache.spark.sql.types.StringType, nullable = false))))
   override def run(session: SparkSession): Seq[Row] = {

@@ -982,6 +982,7 @@ private[graft] trait LakeReads { this: Lake.type =>
       props.toSeq.sortBy(_._1).map { case (k, pv) => s"$k=$pv" }
         .mkString(";"),
       dvs.size, dvRows,
+      manifestSegRefs(fs, r, v).size,
       manifestRequires(fs, r, v).mkString(","))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("format",
@@ -1010,6 +1011,10 @@ private[graft] trait LakeReads { this: Lake.type =>
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("dv_rows",
         org.apache.spark.sql.types.LongType, nullable = false),
+      // tiered-manifest segment count (0 = inline body) — how much of
+      // the per-dir metadata rides in immutable side files
+      org.apache.spark.sql.types.StructField("num_segments",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
       // the #require= table features this snapshot declares — what an
       // older build would refuse on (empty = readable by any build)
       org.apache.spark.sql.types.StructField("table_features",

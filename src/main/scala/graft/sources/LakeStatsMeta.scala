@@ -211,12 +211,12 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
   /** Raw `#stats_<dir>=<json>` lines of a manifest, keyed by dir. */
   private[sources] def manifestStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Map[String, String] =
-    manifestBody(fs, r, v).collect {
+    derivedOf(fs, r, v, "stats")(_.collect {
       case l if l.startsWith(StatsPrefix) && !l.startsWith(FileStatsPrefix) &&
           l.indexOf('=') > StatsPrefix.length =>
         val i = l.indexOf('=')
         l.substring(StatsPrefix.length, i) -> l.substring(i + 1)
-    }.toMap
+    }.toMap)
 
   // `#fstats_<dir>/<file>=<json>` — FILE-level ranges inside a dir,
   // written by commits that can pay one column-pruned pass over their
@@ -231,7 +231,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
   /** file-stats lines of a manifest: dir -> (file -> json). */
   private[sources] def manifestFileStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Map[String, Map[String, String]] =
-    manifestBody(fs, r, v).collect {
+    derivedOf(fs, r, v, "fstats")(_.collect {
       case l if l.startsWith(FileStatsPrefix) && l.indexOf('=') > FileStatsPrefix.length =>
         val i = l.indexOf('=')
         val dirFile = l.substring(FileStatsPrefix.length, i)
@@ -242,7 +242,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
           case (df, j) if df.startsWith(dir + "/") =>
             df.stripPrefix(dir + "/") -> j
         }.toMap
-      }
+      })
 
   /** Per-FILE min/max of a freshly-written dir on `cols`, plus the
     * dir-level merge — ONE column-pruned pass over the dir
@@ -344,11 +344,11 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
   /** Raw `#bloom_<dir>=<json>` lines of a manifest, keyed by dir. */
   private[sources] def manifestBloomsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Map[String, String] =
-    manifestBody(fs, r, v).collect {
+    derivedOf(fs, r, v, "blooms")(_.collect {
       case l if l.startsWith(BloomPrefix) && l.indexOf('=') > BloomPrefix.length =>
         val i = l.indexOf('=')
         l.substring(BloomPrefix.length, i) -> l.substring(i + 1)
-    }.toMap
+    }.toMap)
 
   /** Bloom filters of one dir's manifest line, deserialized. */
   private[sources] def parseBloomJson(json: String):

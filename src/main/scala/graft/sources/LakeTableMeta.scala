@@ -2555,11 +2555,11 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
   /** Raw `#part_<dir>=<json>` lines of a manifest, keyed by dir. */
   private[sources] def manifestPartsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Map[String, String] =
-    manifestBody(fs, r, v).collect {
+    derivedOf(fs, r, v, "parts")(_.collect {
       case l if l.startsWith(PartPrefix) && l.indexOf('=') > PartPrefix.length =>
         val i = l.indexOf('=')
         l.substring(PartPrefix.length, i) -> l.substring(i + 1)
-    }.toMap
+    }.toMap)
 
   /** One dir's exact partition values: `{"c":{"n":"123"}}` numeric,
     * `{"c":{"s":"abc"}}` string, `{"c":{"z":true}}` NULL. */

@@ -206,4 +206,60 @@ class LakeSegSpec extends SparkSpec {
     assert(raw.exists(_.startsWith("#stats_")))
     assert(raw.exists(l => !l.startsWith("#")))
   }
+
+  test("OCC on a tiered table: an interleaved append forces a clean rebase, losers leak no segments") {
+    val root = tmpTable("graft-seg-occ")
+    seedTiered(root, appends = 8)
+    val segsBefore = segFiles(root).size
+    try {
+      Lake.beforePublish = () => {
+        Lake.beforePublish = () => ()
+        Lake.commitAppend(df(Seq(500L)), root, retain = 64,
+          rowCount = Some(1L))
+        ()
+      }
+      Lake.commitAppend(df(Seq(600L)), root, retain = 64,
+        rowCount = Some(1L))
+    } finally Lake.beforePublish = () => ()
+    // both rows landed, exactly once each
+    val got = rows(Lake.readCommitted(spark, root)).map(_.head)
+    assert(got === ((0L to 8L).toSet + 500L + 600L))
+    // the loser's first-attempt segment was deleted on publish failure:
+    // live segment files = exactly the refs of RETAINED manifests
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val r = new org.apache.hadoop.fs.Path(root)
+    val referenced = new java.io.File(root).listFiles().toSeq
+      .map(_.getName)
+      .filter(n => n.startsWith("_commit_") && !n.endsWith(".tmp"))
+      .flatMap(n => n.stripPrefix("_commit_").toLongOption)
+      .flatMap(v => Lake.manifestSegRefs(fs, r, v).map(_._1)).toSet
+    assert(segFiles(root).toSet === referenced,
+      s"on-disk segments must equal the retained refs " +
+        s"(disk=${segFiles(root)}, refs=$referenced, before=$segsBefore)")
+    // DESCRIBE DETAIL surfaces the tiered layout
+    assert(Lake.describeDetail(spark, root).collect().head
+      .getAs[Int]("num_segments") > 0)
+  }
+
+  test("the streaming source reads a TIERED table exactly (admission + micro-batches through segment expansion)") {
+    val root = tmpTable("graft-seg-stream")
+    seedTiered(root, appends = 6)
+    val out = java.nio.file.Files.createTempDirectory("seg-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("seg-stream-ck").toString
+    val q = spark.readStream.format("graft-lake")
+      .option("root", root)
+      .option("maxVersionsPerTrigger", "3")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === (0L to 6L).toSet,
+      "the stream must deliver every row of the tiered snapshot chain")
+  }
+
 }
