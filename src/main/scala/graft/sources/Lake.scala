@@ -125,7 +125,9 @@ object Lake
     * (HDFS/S3 listings are server-side efficient). */
   private[sources] def localDirOf(fs: org.apache.hadoop.fs.FileSystem,
       r: Path): Option[java.nio.file.Path] =
-    if (fs.getScheme != "file") None
+    // getUri, NOT getScheme: the FileSystem base class's getScheme
+    // default THROWS for implementations that never overrode it
+    if (fs.getUri.getScheme != "file") None
     else Some(java.nio.file.Paths.get(fs.makeQualified(r).toUri.getPath))
 
   /** Root child NAMES as a membership set, one listing. */
@@ -327,16 +329,23 @@ object Lake
   private[sources] val SegPrefix = "#seg="
   private[sources] val SegDropPrefix = "#segdrop="
 
+  /** Parse one `#seg=<name>:<ndirs>` line — THE one place the ref
+    * grammar is read (manifestSegRefs and the expansion both go
+    * through here; a grammar change updated in one reader but not the
+    * other would silently read a partial table). */
+  private[sources] def parseSegRef(l: String): (String, Int) = {
+    val body = l.stripPrefix(SegPrefix)
+    val i = body.lastIndexOf(':')
+    if (i <= 0) (body, 0)
+    else (body.take(i), body.drop(i + 1).toIntOption.getOrElse(0))
+  }
+
   /** The segment references of a manifest, in body order, RAW (no
     * expansion): (segment file name, recorded dir count). */
   private[graft] def manifestSegRefs(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, Int)] =
     manifestBodyRaw(fs, r, v).collect {
-      case l if l.startsWith(SegPrefix) =>
-        val body = l.stripPrefix(SegPrefix)
-        val i = body.lastIndexOf(':')
-        if (i <= 0) (body, 0)
-        else (body.take(i), body.drop(i + 1).toIntOption.getOrElse(0))
+      case l if l.startsWith(SegPrefix) => parseSegRef(l)
     }
 
   /** Immutable segment file contents (cached like manifests). */
@@ -432,11 +441,7 @@ object Lake
     val out = Seq.newBuilder[String]
     raw.foreach { l =>
       if (l.startsWith(SegPrefix)) {
-        val name = {
-          val body = l.stripPrefix(SegPrefix)
-          val i = body.lastIndexOf(':')
-          if (i > 0) body.take(i) else body
-        }
+        val name = parseSegRef(l)._1
         segmentLines(fs, r, name).foreach { sl =>
           if (!sl.startsWith("#")) { if (!drops(sl)) out += sl }
           else perDirKey(sl) match {

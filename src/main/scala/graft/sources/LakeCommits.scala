@@ -994,16 +994,30 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // sweepable only by REFERENCE: record what the to-be-pruned
     // manifests referenced BEFORE deleting them; tiered segments sweep
     // by reference exactly the same way
-    val staleRefs = stale.flatMap(v => manifestDirs(fs, r, v)).toSet
-    val staleSegs = stale.flatMap(v =>
+    // FNF-tolerant reads throughout: a CONCURRENT pruner can delete a
+    // stale manifest (or a stale-only segment the expansion reads)
+    // between our listing and these walks — the commit already
+    // published, so the race must degrade to "nothing more to sweep
+    // here", never surface as a failure of a successful commit
+    def dirsOf(v: Long): Seq[String] =
+      try manifestDirs(fs, r, v)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    def segsOf(v: Long): Seq[String] =
       try manifestSegRefs(fs, r, v).map(_._1)
-      catch { case _: java.io.FileNotFoundException => Nil }).toSet
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val staleRefs = stale.flatMap(dirsOf).toSet
+    val staleSegs = stale.flatMap(segsOf).toSet
     if (!dryRun)
       stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
-    val keptRefs = kept.flatMap(v => manifestDirs(fs, r, v)).toSet
-    val keptSegs = kept.flatMap(v =>
-      try manifestSegRefs(fs, r, v).map(_._1)
-      catch { case _: java.io.FileNotFoundException => Nil }).toSet
+    // the KEPT side must NOT degrade to empty on a read failure — an
+    // empty reference set would sweep LIVE dirs; a failure here skips
+    // the sweep entirely (conservative: nothing deleted this round)
+    val (keptRefs, keptSegs) =
+      try (kept.flatMap(v => manifestDirs(fs, r, v)).toSet,
+        kept.flatMap(v => manifestSegRefs(fs, r, v).map(_._1)).toSet)
+      catch { case _: java.io.FileNotFoundException =>
+        return (stale, Nil)
+      }
     val maxV = all.last
     val swept = Seq.newBuilder[String]
     rootChildren(fs, r).iterator

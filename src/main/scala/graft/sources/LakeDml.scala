@@ -364,9 +364,13 @@ private[sources] object LakeDml {
     }
 
   /** The lake root behind a LOCAL or GLOBAL temp view whose stored
-    * plan scans a snapshot-pinned [[LakeFileIndex]] (the
+    * plan IS a bare snapshot-pinned [[LakeFileIndex]] scan (the
     * `Lake.sqlTable` / `registerSql` path spelling). None for
-    * non-views and views over anything else. */
+    * non-views, views over anything else, and DERIVED views (a
+    * filter/projection over the handle): treating those as the table
+    * would silently merge past the view's subset AND re-register the
+    * view as the bare table — they fall through to the loud
+    * post-resolution refusal instead. */
   def lakeRootByTempView(session: SparkSession,
       parts: Seq[String]): Option[String] = {
     val cat = session.sessionState.catalog
@@ -379,14 +383,23 @@ private[sources] object LakeDml {
         cat.getGlobalTempView(t)
       case _ => None
     }
-    viewPlan.flatMap(_.collectFirst {
+    // unwrap only name/metadata wrappers — anything that changes rows
+    // or columns (Filter, Project, Join, …) makes the view DERIVED
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        unwrap(s.child)
+      case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+        unwrap(v.child)
+      case other => other
+    }
+    viewPlan.map(unwrap).collect {
       case l: LogicalRelation
           if l.relation.isInstanceOf[HadoopFsRelation] &&
             l.relation.asInstanceOf[HadoopFsRelation]
               .location.isInstanceOf[LakeFileIndex] =>
         l.relation.asInstanceOf[HadoopFsRelation]
           .location.asInstanceOf[LakeFileIndex].root
-    })
+    }
   }
 
   /** The (root, identifier) of a graft-lake CATALOG table named by

@@ -57,18 +57,26 @@ private[graft] trait LakeMaint { this: Lake.type =>
       .flatMap(v => manifestSegRefs(fs, r, v).map(_._1)).toSet
     val cutoff = System.currentTimeMillis() - staleStagedMs
     val aged = Seq.newBuilder[String]
-    fs.listStatus(r).foreach { st =>
-      val n = st.getPath.getName
+    // one name-only listing, then a modification-time stat for the
+    // (few) abandoned-looking CANDIDATES only — a full FileStatus
+    // listing pays ~20 µs/entry on local filesystems, seconds at
+    // probe scale (the same cost the commit path shed this round)
+    rootChildren(fs, r).foreach { case (n, isDir) =>
       val abandoned =
-        (st.isDirectory && n.startsWith("z") && !live.contains(n)) ||
-          (st.isFile && n.startsWith("_commit_") && n.endsWith(".tmp")) ||
+        (isDir && n.startsWith("z") && !live.contains(n)) ||
+          (!isDir && n.startsWith("_commit_") && n.endsWith(".tmp")) ||
           // a segment no committed manifest references is a crash-
           // abandoned loser's — reclaimable once stale (an in-flight
           // writer's fresh segment is younger than any sane horizon)
-          (st.isFile && n.startsWith("_seg_") && !liveSegs.contains(n))
-      if (abandoned && st.getModificationTime < cutoff) {
-        if (!dryRun) fs.delete(st.getPath, true)
-        aged += n
+          (!isDir && n.startsWith("_seg_") && !liveSegs.contains(n))
+      if (abandoned) {
+        val p = new Path(r, n)
+        val old = try fs.getFileStatus(p).getModificationTime < cutoff
+          catch { case _: java.io.FileNotFoundException => false }
+        if (old) {
+          if (!dryRun) fs.delete(p, true)
+          aged += n
+        }
       }
     }
     (pruned, swept ++ aged.result())

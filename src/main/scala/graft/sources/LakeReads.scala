@@ -844,19 +844,26 @@ private[graft] trait LakeReads { this: Lake.type =>
     * manifest and stops at the first fully-present snapshot, so the
     * normal-path cost is one manifest read + the live snapshot's dir
     * checks — not O(all versions) metadata RPCs per resolve. */
+  /** ONE root listing answers every relative-dir presence probe — a
+    * per-dir fs.exists would be 10^5 point stats (NameNode RPCs at
+    * scale) per resolution; only absolute entries (shallow-clone
+    * references outside this root) still probe individually. Shared
+    * by currentVersion and readableVersions so the two can never
+    * disagree about which snapshots are present. */
+  private def dirPresence(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path): String => Boolean = {
+    lazy val children = rootChildNames(fs, r)
+    d =>
+      if (new Path(d).isAbsolute) fs.exists(new Path(r, d))
+      else children.contains(d)
+  }
+
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val vs = committedVersions(fs, r)
     if (vs.isEmpty) return None
-    // ONE root listing answers every relative-dir presence probe — a
-    // per-dir fs.exists would be 10^5 point stats (NameNode RPCs at
-    // scale) per resolution; only absolute entries (shallow-clone
-    // references outside this root) still probe individually
-    lazy val children = rootChildNames(fs, r)
-    def present(d: String): Boolean =
-      if (new Path(d).isAbsolute) fs.exists(new Path(r, d))
-      else children.contains(d)
+    val present = dirPresence(fs, r)
     vs.reverseIterator.find(v => manifestDirs(fs, r, v).forall(present))
   }
 
@@ -877,10 +884,7 @@ private[graft] trait LakeReads { this: Lake.type =>
   def readableVersions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
-    lazy val children = rootChildNames(fs, r)
-    def present(d: String): Boolean =
-      if (new Path(d).isAbsolute) fs.exists(new Path(r, d))
-      else children.contains(d)
+    val present = dirPresence(fs, r)
     committedVersions(fs, r)
       .filter(v => manifestDirs(fs, r, v).forall(present))
   }

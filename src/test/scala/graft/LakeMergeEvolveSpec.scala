@@ -217,4 +217,31 @@ class LakeMergeEvolveSpec extends SparkSpec {
     spark.sql("DROP VIEW mrgevo_view")
   }
 
+
+  test("a DERIVED temp view (filter over the handle) refuses MERGE WITH SCHEMA EVOLUTION loudly — never a silent whole-table merge") {
+    val root = tmpTable("graft-mergevo-derived")
+    Lake.commitAppend((1L to 40L).map(i => (i, s"p$i", if (i <= 20) "eu" else "us"))
+      .toDF("id", "payload", "region"), root, retain = 8)
+    // a FILTERED view: its subset contract must not be silently widened
+    Lake.sqlTable(spark, root).where(col("region") === "eu")
+      .createOrReplaceTempView("eu_docs")
+    Seq((5L, "hacked", "eu", "x"), (35L, "hacked", "us", "y"))
+      .toDF("id", "payload", "region", "extra")
+      .createOrReplaceTempView("eu_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO eu_docs t
+          |USING eu_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(e.getMessage.contains("MERGE WITH SCHEMA EVOLUTION"))
+    // nothing applied: no evolution commit, no rows touched, and the
+    // view kept its filter
+    assert(Lake.readCommitted(spark, root).columns.toSeq ===
+      Seq("id", "payload", "region"))
+    assert(Lake.readCommitted(spark, root)
+      .where(col("payload") === "hacked").count() === 0L)
+    assert(spark.table("eu_docs").count() === 20L)
+  }
+
 }
