@@ -307,6 +307,18 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
         s"that triggers post-append compaction), got '$v'")
     if (k == PropOptimizeWrite) require(v == "true" || v == "false",
       s"$PropOptimizeWrite must be 'true' or 'false', got '$v'")
+    // tiered-manifest knobs: a typo'd value would otherwise silently
+    // fall back to the default (the commit-side reads are tolerant)
+    if (k == PropSegThreshold) require(v.toIntOption.exists(_ > 0),
+      s"$PropSegThreshold must be a positive integer (the inline " +
+        s"per-dir line count past which commits spill to segments), got '$v'")
+    if (k == PropSegMax) require(v.toIntOption.exists(_ > 1),
+      s"$PropSegMax must be an integer > 1 (the segment-list length " +
+        s"cap), got '$v'")
+    if (k == PropSegWaste) require(
+      v.toDoubleOption.exists(w => w > 0 && w <= 1),
+      s"$PropSegWaste must be in (0, 1] (the dropped+overridden " +
+        s"fraction past which a carried segment rewrites), got '$v'")
   }
 
   /** `ALTER TABLE t SET TBLPROPERTIES (…)`: merge `props` into the

@@ -262,4 +262,25 @@ class LakeSegSpec extends SparkSpec {
       "the stream must deliver every row of the tiered snapshot chain")
   }
 
+
+  test("tiered-manifest property knobs validate at SET time") {
+    val root = tmpTable("graft-seg-props")
+    Lake.commitOverwrite(df(Seq(0L)), root, retain = 4)
+    Seq("graft.seg.threshold" -> "0", "graft.seg.threshold" -> "abc",
+      "graft.seg.max" -> "1", "graft.seg.waste" -> "0",
+      "graft.seg.waste" -> "1.5").foreach { case (k, v) =>
+      val e = intercept[IllegalArgumentException] {
+        Lake.setTableProperties(spark, root, Map(k -> v))
+      }
+      assert(e.getMessage.contains(k), s"$k=$v must refuse naming the key")
+    }
+    Lake.setTableProperties(spark, root, Map(
+      "graft.seg.threshold" -> "4", "graft.seg.max" -> "8",
+      "graft.seg.waste" -> "0.5"))
+    (1 to 6).foreach(i => Lake.commitAppend(df(Seq(i.toLong)), root,
+      retain = 4))
+    assert(segRefsOf(root).nonEmpty)
+    assert(rows(Lake.readCommitted(spark, root)).size === 7)
+  }
+
 }
