@@ -293,7 +293,7 @@ object Lake
     * by DESCRIBE DETAIL. */
   private[sources] def manifestRequires(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[String] =
-    manifestBody(fs, r, v).find(_.startsWith(RequirePrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(RequirePrefix))
       .map(_.stripPrefix(RequirePrefix).split(",").iterator
         .map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -328,6 +328,51 @@ object Lake
   // only the inline lines and silently serve a PARTIAL table.
   private[sources] val SegPrefix = "#seg="
   private[sources] val SegDropPrefix = "#segdrop="
+
+  // `#segsum_<name>=<stats json>` — the SEGMENT SUMMARY (Iceberg's
+  // manifest-list partition summaries): the fold of the segment's
+  // dirs' stats ranges and partition values over every column ALL of
+  // them bound ([[foldSegSummary]]'s soundness contract). Selective
+  // scan planning evaluates the predicate tree against the summary
+  // BEFORE opening the segment — a provably-excluded segment is
+  // skipped without the object-store GET, so planning reads
+  // O(matching segments) side files, not O(log n), at 10^5+ dirs.
+  // OPTIONAL metadata, not a `#require=` feature: a build that skips
+  // the line merely reads every segment (degraded planning, identical
+  // answers), and a segment without one is simply never skipped.
+  // Summaries are stamped at segment WRITE and carried by reference
+  // with their segment; a carried summary is dropped the moment an
+  // inline override rewrites a member dir's stats/partition lines
+  // (DV-only overrides keep it — vectors don't move value ranges).
+  private[sources] val SegSumPrefix = "#segsum_"
+
+  /** `#segsum_` lines of a RAW body: segment name -> summary json. */
+  private[sources] def segSumsOfRaw(raw: Seq[String]): Map[String, String] =
+    raw.collect {
+      case l if l.startsWith(SegSumPrefix) &&
+          l.indexOf('=', SegSumPrefix.length) > SegSumPrefix.length =>
+        val i = l.indexOf('=', SegSumPrefix.length)
+        l.substring(SegSumPrefix.length, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** Times the `graft.seg.max` backstop evicted a segment past the
+    * binary-counter policy — observability only (probe-asserted zero
+    * through 10^6-dir growth; see the commit engine's merge policy). */
+  private[graft] val segBackstopFires =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Planning ledger: segment side files READ vs SKIPPED-BY-SUMMARY
+    * (and the dirs those skipped segments held) during scan planning.
+    * Pure observability — probes and the q196 proof columns read it;
+    * the engine never consults it. JVM-wide like the caches. */
+  private[graft] object SegPlanLedger {
+    val segsRead = new java.util.concurrent.atomic.AtomicLong
+    val segsSkipped = new java.util.concurrent.atomic.AtomicLong
+    val dirsSkippedUnread = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = {
+      segsRead.set(0); segsSkipped.set(0); dirsSkippedUnread.set(0)
+    }
+  }
 
   /** Parse one `#seg=<name>:<ndirs>` line — THE one place the ref
     * grammar is read (manifestSegRefs and the expansion both go
@@ -401,7 +446,7 @@ object Lake
   /** The manifest's OWN lines — segment references unexpanded. This is
     * what the commit engine diffs against (it must see the segment
     * STRUCTURE) and what retention/vacuum walk for segment liveness;
-    * every semantic accessor reads the expanded [[manifestBody]]. */
+    * every PER-DIR accessor reads the expanded [[manifestBody]]. */
   private[sources] def manifestBodyRaw(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[String] = {
     val p = new Path(r, s"_commit_$v")
@@ -409,6 +454,16 @@ object Lake
     checkRequiredFeatures(p, lines)
     lines
   }
+
+  /** TABLE-LEVEL manifest lines (`#schema=`, `#prop_`, `#check=`,
+    * `#identity=`, …). Segments carry ONLY per-dir metadata, so every
+    * table-level line lives INLINE in the marker body — reading them
+    * through the raw body keeps metadata lookups O(batch + log n) on
+    * tiered tables instead of forcing the O(dirs) segment expansion
+    * [[manifestBody]] pays. Per-dir accessors (stats/blooms/parts/dvs/
+    * dirs) MUST keep reading the expanded body. */
+  private[sources] def manifestMeta(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Seq[String] = manifestBodyRaw(fs, r, v)
 
   // expanded bodies cached separately: validated by the MANIFEST's
   // (modTime, length) — the segments it references are immutable
@@ -419,6 +474,41 @@ object Lake
           e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
         size() > 64
     }
+
+  /** The one expansion walk (full and partial paths share it):
+    * segment references expand through `keepSeg` — the full expansion
+    * keeps every segment; the partial scan path skips summary-excluded
+    * ones WITHOUT reading their files — with `#segdrop=` tombstones
+    * and inline per-dir overrides applied, and the tiered bookkeeping
+    * lines (`#seg=`/`#segdrop=`/`#segsum_`) erased so the result reads
+    * like an untiered body. Returns (lines, dirs held by skipped
+    * segments — their recorded live counts, maintained exactly by
+    * every carrying commit). */
+  private def expandRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      raw: Seq[String], keepSeg: ((String, Int)) => Boolean):
+      (Seq[String], Long) = {
+    val drops = raw.iterator.filter(_.startsWith(SegDropPrefix))
+      .map(_.stripPrefix(SegDropPrefix)).toSet
+    // inline per-dir lines REPLACE the listed dir's whole segment set
+    val overridden = raw.iterator.flatMap(perDirKey).toSet
+    var unread = 0L
+    val out = Seq.newBuilder[String]
+    raw.foreach { l =>
+      if (l.startsWith(SegPrefix)) {
+        val ref = parseSegRef(l)
+        if (!keepSeg(ref)) unread += ref._2
+        else segmentLines(fs, r, ref._1).foreach { sl =>
+          if (!sl.startsWith("#")) { if (!drops(sl)) out += sl }
+          else perDirKey(sl) match {
+            case Some(d) => if (!drops(d) && !overridden(d)) out += sl
+            case None => // segments carry only per-dir lines; skip junk
+          }
+        }
+      } else if (!l.startsWith(SegDropPrefix) && !l.startsWith(SegSumPrefix))
+        out += l
+    }
+    (out.result(), unread)
+  }
 
   private[sources] def manifestBody(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] = {
@@ -434,28 +524,41 @@ object Lake
           hit._2 == st.getLen)
         return hit._3
     }
-    val drops = raw.iterator.filter(_.startsWith(SegDropPrefix))
-      .map(_.stripPrefix(SegDropPrefix)).toSet
-    // inline per-dir lines REPLACE the listed dir's whole segment set
-    val overridden = raw.iterator.flatMap(perDirKey).toSet
-    val out = Seq.newBuilder[String]
-    raw.foreach { l =>
-      if (l.startsWith(SegPrefix)) {
-        val name = parseSegRef(l)._1
-        segmentLines(fs, r, name).foreach { sl =>
-          if (!sl.startsWith("#")) { if (!drops(sl)) out += sl }
-          else perDirKey(sl) match {
-            case Some(d) => if (!drops(d) && !overridden(d)) out += sl
-            case None => // segments carry only per-dir lines; skip junk
-          }
-        }
-      } else if (!l.startsWith(SegDropPrefix)) out += l
-    }
-    val lines = out.result()
+    val lines = expandRaw(fs, r, raw, _ => true)._1
     expandedCache.synchronized {
       expandedCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
     }
     lines
+  }
+
+  /** PARTIAL expansion for predicate scan planning (the Iceberg
+    * manifest-list read path): a segment whose `#segsum_` summary lets
+    * `segExcludes` prove no member dir can match is skipped WITHOUT
+    * READING the segment file — its dirs are excluded wholesale, and
+    * on an object store the planning GET never happens. Summaries are
+    * evidence in the same grammar as per-dir stats, and
+    * [[foldSegSummary]]'s contract makes summary-level exclusion IMPLY
+    * per-dir exclusion for every member (the partial≡full agreement
+    * LakeSegSpec's property scenario pins with random predicates).
+    * Returns (partial body lines, dirs excluded unread). NOT cached —
+    * the survivors vary per predicate; the segment files themselves
+    * ride the line cache, so repeated local queries re-concatenate
+    * cached lines rather than re-reading files. */
+  private[sources] def manifestBodyPartial(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long,
+      segExcludes: Map[String, (NormVal, NormVal)] => Boolean):
+      (Seq[String], Long) = {
+    val raw = manifestBodyRaw(fs, r, v)
+    if (!raw.exists(_.startsWith(SegPrefix))) return (raw, 0L)
+    val sums = segSumsOfRaw(raw)
+    val res = expandRaw(fs, r, raw, { case (name, _) =>
+      val skip = sums.get(name).exists(j => segExcludes(parseStatsJson(j)))
+      if (skip) SegPlanLedger.segsSkipped.incrementAndGet()
+      else SegPlanLedger.segsRead.incrementAndGet()
+      !skip
+    })
+    if (res._2 > 0) { SegPlanLedger.dirsSkippedUnread.addAndGet(res._2); () }
+    res
   }
 
   // Derived-view memo: the per-dir metadata accessors (stats / fstats
@@ -474,13 +577,16 @@ object Lake
         size() > 128
     }
 
+  private def derivedKey(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      kind: String): String =
+    fs.getUri.toString + "::" + fs.makeQualified(p).toUri.getPath + "::" + kind
+
   private[sources] def derivedOf[T <: AnyRef](
       fs: org.apache.hadoop.fs.FileSystem, r: Path, v: Long, kind: String)(
       build: Seq[String] => T): T = {
     val p = new Path(r, s"_commit_$v")
     val st = fs.getFileStatus(p)
-    val key = fs.getUri.toString + "::" +
-      fs.makeQualified(p).toUri.getPath + "::" + kind
+    val key = derivedKey(fs, p, kind)
     derivedCache.synchronized {
       val hit = derivedCache.get(key)
       if (hit != null && hit._1 == st.getModificationTime &&
@@ -494,6 +600,49 @@ object Lake
     out
   }
 
+  /** Seed the derived-view memo for a version the COMMIT path just
+    * published, with views derived INCREMENTALLY from the previous
+    * snapshot's (persistent structure-sharing maps, O(removed + batch)
+    * update ops) — so the writer's next commit, and every read on this
+    * driver, never pays the O(dirs) expansion-and-parse rebuild the
+    * cold path costs at 10^5+ dirs. The seeded value MUST equal what
+    * `build(manifestBody(...))` would produce for a cold reader —
+    * LakeSegSpec's seeding-agreement scenario clears the caches,
+    * re-parses, and compares after every commit shape. */
+  private[sources] def seedDerived(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long, kind: String, value: AnyRef): Unit = {
+    val p = new Path(r, s"_commit_$v")
+    val st = try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return } // raced away
+    derivedCache.synchronized {
+      derivedCache.put(derivedKey(fs, p, kind),
+        (st.getModificationTime, st.getLen, value)); ()
+    }
+  }
+
+  /** TEST SEAM: drop every metadata cache so a spec can compare the
+    * COMMIT path's seeded derived views against a cold re-parse (the
+    * seeding-agreement invariant — a cross-JVM reader sees exactly the
+    * cold parse). */
+  private[graft] def clearMetaCaches(): Unit = {
+    manifestCache.synchronized(manifestCache.clear())
+    expandedCache.synchronized(expandedCache.clear())
+    derivedCache.synchronized(derivedCache.clear())
+  }
+
+  /** TEST SEAM: the six derived views of one snapshot, as the
+    * accessors serve them (seeded by the commit path when warm, parsed
+    * cold otherwise) — (dirs, stats, fstats, blooms, parts, dvs). */
+  private[graft] def derivedViewsForTest(spark: SparkSession, root: String,
+      v: Long): (Seq[String], Map[String, String],
+        Map[String, Map[String, String]], Map[String, String],
+        Map[String, String], Map[String, String]) = {
+    val fs = fsFor(spark, root); val r = new Path(root)
+    (manifestDirs(fs, r, v), manifestStatsRaw(fs, r, v),
+      manifestFileStatsRaw(fs, r, v), manifestBloomsRaw(fs, r, v),
+      manifestPartsRaw(fs, r, v), manifestDvsRaw(fs, r, v))
+  }
+
   private[sources] def manifestDirs(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
     derivedOf(fs, r, v, "dirs") { body =>
@@ -503,7 +652,7 @@ object Lake
 
   private[sources] def manifestSchema(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[org.apache.spark.sql.types.StructType] =
-    manifestBody(fs, r, v).find(_.startsWith(SchemaPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(SchemaPrefix))
       .map(l => org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])

@@ -757,10 +757,13 @@ private[graft] trait LakeCommits { this: Lake.type =>
         newBlooms.contains(d) || newParts.contains(d) || newDvs.contains(d)
     val prevRawBody = prevV.map(v => manifestBodyRaw(fs, r, v)).getOrElse(Nil)
     val prevOverKeys = prevRawBody.iterator.flatMap(perDirKey).toSet
+    // segment summaries carried from the previous marker, by seg name
+    val prevSegSums = segSumsOfRaw(prevRawBody)
     val prevSegNames =
       prevV.map(v => manifestSegRefs(fs, r, v).map(_._1)).getOrElse(Nil)
     final case class CarriedSeg(name: String, liveDirs: Seq[String],
-        drops: Seq[String], overrides: Seq[String])
+        drops: Seq[String], overrides: Seq[String],
+        sumLine: Option[String])
     var carriedSegs = Vector.empty[CarriedSeg]
     prevSegNames.foreach { name =>
       val sl = segmentLines(fs, r, name)
@@ -782,8 +785,45 @@ private[graft] trait LakeCommits { this: Lake.type =>
         // fold: the survivors fall to the residual pool below and the
         // accumulated drift (dead dirs, override lines) vanishes with
         // the segment — the LSM-style cleanup that bounds inline waste
-      } else carriedSegs :+= CarriedSeg(name, live, dead,
-        over.flatMap(linesFor))
+      } else {
+        // the summary rides only while every override leaves the
+        // VALUE evidence (stats range + partition tuple) exactly as
+        // the segment recorded it — DV/bloom/fstats drift cannot move
+        // ranges, but a changed stats or tuple line would let the
+        // frozen summary under-cover and wrongly skip the segment.
+        // Dropped dirs only SHRINK the folded domain (still covered).
+        val sumLine = prevSegSums.get(name)
+          .filter { _ =>
+            over.isEmpty || {
+              val overSet = over.toSet
+              var recStats = Map.empty[String, String]
+              var recParts = Map.empty[String, String]
+              sl.foreach { l =>
+                if (l.startsWith(StatsPrefix) &&
+                    !l.startsWith(FileStatsPrefix)) {
+                  val i = l.indexOf('=')
+                  if (i > StatsPrefix.length) {
+                    val d = l.substring(StatsPrefix.length, i)
+                    if (overSet(d)) recStats += d -> l.substring(i + 1)
+                  }
+                } else if (l.startsWith(PartPrefix)) {
+                  val i = l.indexOf('=')
+                  if (i > PartPrefix.length) {
+                    val d = l.substring(PartPrefix.length, i)
+                    if (overSet(d)) recParts += d -> l.substring(i + 1)
+                  }
+                }
+              }
+              over.forall { d =>
+                newStats.get(d).orElse(prevStats.get(d)) == recStats.get(d) &&
+                newParts.get(d).orElse(prevParts.get(d)) == recParts.get(d)
+              }
+            }
+          }
+          .map(j => SegSumPrefix + name + "=" + j)
+        carriedSegs :+= CarriedSeg(name, live, dead,
+          over.flatMap(linesFor), sumLine)
+      }
     }
     // merge policy — a binary counter over segment sizes: the commit's
     // residual pool absorbs every carried segment NO LARGER than the
@@ -806,9 +846,16 @@ private[graft] trait LakeCommits { this: Lake.type =>
         carriedSegs = keep.result()
       }
     }
+    // the cap is a BACKSTOP, not the steady state: the binary-counter
+    // absorption above already bounds live refs at O(log n), so this
+    // loop firing means pathological segment sizing (probe-asserted
+    // never through 10^6-dir growth — ManifestGrowthProbe reads the
+    // counter); when it does fire it degrades to fold-at-cap for the
+    // evicted segment only, preserving the amortized bound
     while (carriedSegs.size + 1 > segMax) {
       val smallest = carriedSegs.minBy(_.liveDirs.size)
       carriedSegs = carriedSegs.filterNot(_ eq smallest)
+      segBackstopFires.incrementAndGet(); ()
     }
     val carriedDirSet = carriedSegs.iterator.flatMap(_.liveDirs).toSet
     val residual = dirs.filterNot(carriedDirSet)
@@ -833,6 +880,16 @@ private[graft] trait LakeCommits { this: Lake.type =>
         finally so.close()
         Some(name)
       } else None
+    // the fresh segment's summary, folded over its dirs' effective
+    // evidence — O(residual) once at write, amortized O(batch · log n)
+    // by the binary-counter policy like the segment bytes themselves
+    val newSegSum: Option[String] = newSegName.flatMap { name =>
+      val fold = foldSegSummary(residual.map(d => (
+        newStats.get(d).orElse(prevStats.get(d)),
+        newParts.get(d).orElse(prevParts.get(d)))))
+      if (fold.isEmpty) None
+      else Some(SegSumPrefix + name + "=" + statsJson(fold))
+    }
     // writer-UNIQUE tmp: a shared `_commit_N.tmp` would let two
     // racing writers interleave create/write/publish on one file and
     // publish each other's bodies — the nonce makes every writer's
@@ -878,6 +935,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       (if (!tiered) dirs.flatMap(linesFor)
        else carriedSegs.map(c => SegPrefix + c.name + ":" + c.liveDirs.size) ++
          newSegName.map(n => SegPrefix + n + ":" + residual.size).toSeq ++
+         carriedSegs.flatMap(_.sumLine) ++ newSegSum.toSeq ++
          carriedSegs.flatMap(_.drops).map(SegDropPrefix + _) ++
          carriedSegs.flatMap(_.overrides))
     try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -892,6 +950,40 @@ private[graft] trait LakeCommits { this: Lake.type =>
       // (carried segments belong to the previous snapshot and stay)
       newSegName.foreach(n => fs.delete(new Path(r, n), false))
       return false
+    }
+    // ---- incremental carry: seed the derived-view memo ---------------
+    //
+    // Everything a COLD reader would re-derive from the new manifest's
+    // expanded body (dir list + the five per-dir maps) is known right
+    // here as (previous snapshot's cached maps) ± (this commit's own
+    // deltas). Seeding the memo with persistent-map diffs makes the
+    // writer's NEXT commit — whose first act is reading these exact
+    // views for the carry — O(removed + batch) map ops instead of the
+    // O(dirs) string expansion + JSON-key parse the cold path pays
+    // (~7-9 s per commit at 10^6 dirs, ManifestGrowthProbe round-18).
+    // Equality with a cold parse is the invariant (spec-pinned): the
+    // expanded body's per-dir lines ARE `linesFor(d)` for d ∈ dirs, so
+    // each seeded map mirrors one branch of `linesFor` exactly.
+    locally {
+      val prevDirs = prevV.map(v => manifestDirs(fs, r, v)).getOrElse(Nil)
+      val removed = prevDirs.filterNot(dirSet)
+      val dirsOrdered =
+        if (tiered) carriedSegs.flatMap(_.liveDirs) ++ residual else dirs
+      seedDerived(fs, r, version, "dirs",
+        if (dirsOrdered.isEmpty) Seq(s"v$version") else dirsOrdered)
+      def restrict[V](m: Map[String, V]): Map[String, V] =
+        m.filter { case (k, _) => dirSet(k) }
+      seedDerived(fs, r, version, "stats",
+        (prevStats -- removed) ++ restrict(newStats))
+      seedDerived(fs, r, version, "fstats",
+        (prevFileStats -- removed) ++ restrict(newFileStats))
+      seedDerived(fs, r, version, "blooms",
+        (prevBlooms -- removed) ++ restrict(newBlooms))
+      seedDerived(fs, r, version, "parts",
+        (prevParts -- removed) ++ restrict(newParts))
+      seedDerived(fs, r, version, "dvs",
+        if (dvsReplace) restrict(newDvs)
+        else (prevDvs -- removed) ++ restrict(newDvs))
     }
     pruneRetention(fs, r, retainEff)
     true

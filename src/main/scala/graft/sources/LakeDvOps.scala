@@ -38,13 +38,17 @@ private[graft] trait LakeDvOps { this: Lake.type =>
   private[sources] val DvPrefix = "#dv_"
 
   /** Raw `#dv_<dir>=<json>` lines of a manifest, keyed by dir. */
-  private[graft] def manifestDvsRaw(fs: org.apache.hadoop.fs.FileSystem,
-      r: Path, v: Long): Map[String, String] =
-    derivedOf(fs, r, v, "dvs")(_.collect {
+  /** `#dv_` lines of a body, keyed by dir. */
+  private[sources] def dvsOfBody(body: Seq[String]): Map[String, String] =
+    body.collect {
       case l if l.startsWith(DvPrefix) && l.indexOf('=') > DvPrefix.length =>
         val i = l.indexOf('=')
         l.substring(DvPrefix.length, i) -> l.substring(i + 1)
-    }.toMap)
+    }.toMap
+
+  private[graft] def manifestDvsRaw(fs: org.apache.hadoop.fs.FileSystem,
+      r: Path, v: Long): Map[String, String] =
+    derivedOf(fs, r, v, "dvs")(dvsOfBody)
 
   private[sources] def snapshotDvs(spark: SparkSession, root: String,
       version: Long): Map[String, String] =

@@ -657,15 +657,15 @@ private[graft] trait LakeReads { this: Lake.type =>
     pruneDirsTreeAt(spark, root, version,
       if (preds.isEmpty) PUnknown else PAnd(preds.map(PLeaf)))
 
-  private[sources] def pruneDirsTreeAt(spark: SparkSession, root: String,
-      version: Long, tree: PredTree): (Seq[String], Seq[String]) = {
-    val fs = fsFor(spark, root)
-    val r = new Path(root)
-    val dirs = manifestDirs(fs, r, version)
-    if (!treeHasLeaves(tree)) return (dirs, Nil)
-    val stats = manifestStatsRaw(fs, r, version)
-    val bloomsRaw = manifestBloomsRaw(fs, r, version)
-    val partsRaw = manifestPartsRaw(fs, r, version)
+  /** THE per-dir pruning decision, over whatever evidence maps the
+    * caller assembled — the full path hands it the memoized whole-
+    * snapshot maps, the partial scan path the maps of the segments a
+    * summary could not exclude. One implementation, so segment-level
+    * skipping can never diverge from per-dir skipping on a rule. */
+  private[sources] def partitionDirsTree(dirs: Seq[String],
+      stats: Map[String, String], bloomsRaw: Map[String, String],
+      partsRaw: Map[String, String], tree: PredTree):
+      (Seq[String], Seq[String]) =
     dirs.partition { d =>
       // per-dir evidence, parsed lazily once and shared by every leaf:
       // exact partition tuples (answer NULL tests too), min/max
@@ -683,6 +683,60 @@ private[graft] trait LakeReads { this: Lake.type =>
         bf.exists(bfs => bloomExcludes(bfs, p))
       !treeExcludes(tree, leafExcl)
     }
+
+  private[sources] def pruneDirsTreeAt(spark: SparkSession, root: String,
+      version: Long, tree: PredTree): (Seq[String], Seq[String]) = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    val dirs = manifestDirs(fs, r, version)
+    if (!treeHasLeaves(tree)) return (dirs, Nil)
+    partitionDirsTree(dirs, manifestStatsRaw(fs, r, version),
+      manifestBloomsRaw(fs, r, version), manifestPartsRaw(fs, r, version),
+      tree)
+  }
+
+  /** Scan-planning prune with SEGMENT-LEVEL skipping: on a tiered
+    * snapshot, segments whose `#segsum_` summary range-excludes the
+    * predicate are dropped WITHOUT reading their side files
+    * ([[manifestBodyPartial]]); the survivors' dirs then prune through
+    * the same [[partitionDirsTree]] as everything else. The evidence a
+    * summary is checked against is the same [[predExcludes]] rule a
+    * per-dir stats range answers, so a skipped segment's dirs are
+    * exactly dirs the full expansion would also have excluded
+    * (LakeSegSpec pins partial ≡ full with random predicates).
+    * Returns kept/named-skipped dirs, the unread-skipped dir count,
+    * and the per-dir maps the scan still needs (file stats + deletion
+    * vectors) RESTRICTED to the partial body — excluded segments'
+    * metadata is never materialized. */
+  private[sources] final case class ScanPrune(kept: Seq[String],
+      skippedNamed: Seq[String], unreadSkippedDirs: Long,
+      fstats: Map[String, Map[String, String]], dvs: Map[String, String])
+
+  private[sources] def scanPruneAt(spark: SparkSession, root: String,
+      version: Long, tree: PredTree): ScanPrune = {
+    val fs = fsFor(spark, root)
+    val r = new Path(root)
+    def full(): ScanPrune = {
+      val (kept, skipped) = pruneDirsTreeAt(spark, root, version, tree)
+      ScanPrune(kept, skipped, 0L,
+        if (treeHasLeaves(tree)) manifestFileStatsRaw(fs, r, version)
+        else Map.empty,
+        manifestDvsRaw(fs, r, version))
+    }
+    if (!treeHasLeaves(tree)) return full()
+    def segExcl(sum: Map[String, (NormVal, NormVal)]): Boolean =
+      treeExcludes(tree, p => sum.get(p.col).exists {
+        case (lo, hi) => predExcludes(lo, hi, p) })
+    val (lines, unread) = manifestBodyPartial(fs, r, version, segExcl)
+    // nothing skippable: the memoized whole-snapshot maps are the
+    // cheaper evidence (warm across queries; the partial body would
+    // rebuild per call)
+    if (unread == 0L) return full()
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val (kept, skippedNamed) = partitionDirsTree(dirs, statsOfBody(lines),
+      bloomsOfBody(lines), partsOfBody(lines), tree)
+    ScanPrune(kept, skippedNamed, unread, fstatsOfBody(lines),
+      dvsOfBody(lines))
   }
 
   /** The scan set for a predicate read of the live snapshot:
@@ -715,6 +769,19 @@ private[graft] trait LakeReads { this: Lake.type =>
   private[graft] def resolveWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column):
       (Seq[String], Seq[String], Seq[String]) = {
+    val (paths, skippedDirs, skippedFiles, _) =
+      resolveWhereWithDvs(spark, root, predicate)
+    (paths, skippedDirs, skippedFiles)
+  }
+
+  /** [[resolveWhere]] plus the kept dirs' deletion-vector lines — the
+    * read path consumes the vectors of the PARTIAL expansion (skipped
+    * segments' vectors belong to dirs the scan never opens), so a
+    * selective read of a tiered table plans without materializing the
+    * whole snapshot's metadata. */
+  private[sources] def resolveWhereWithDvs(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column):
+      (Seq[String], Seq[String], Seq[String], Map[String, String]) = {
     val fs = fsFor(spark, root)
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
@@ -725,14 +792,12 @@ private[graft] trait LakeReads { this: Lake.type =>
     // side keeps all); generated-column derivation rides per leaf.
     val tree = enrichTree(spark, fs, r, cur,
       extractTree(org.apache.spark.sql.graft.Shim.catalystTree(predicate)))
-    val (keptDirs, skippedDirs) = pruneDirsTreeAt(spark, root, cur, tree)
+    val sp = scanPruneAt(spark, root, cur, tree)
     val prunable = treeHasLeaves(tree)
-    val fstats = if (!prunable) Map.empty[String, Map[String, String]]
-      else manifestFileStatsRaw(fs, r, cur)
     val paths = Seq.newBuilder[String]
     val skippedFiles = Seq.newBuilder[String]
-    keptDirs.foreach { d =>
-      fstats.get(d) match {
+    sp.kept.foreach { d =>
+      sp.fstats.get(d) match {
         case Some(byFile) if byFile.nonEmpty && prunable =>
           val (keep, skip) = splitDirFilesTree(fs, r, d, byFile, tree)
           if (skip.isEmpty) paths += new Path(r, d).toString
@@ -743,7 +808,7 @@ private[graft] trait LakeReads { this: Lake.type =>
         case _ => paths += new Path(r, d).toString
       }
     }
-    (paths.result(), skippedDirs, skippedFiles.result())
+    (paths.result(), sp.skippedNamed, skippedFiles.result(), sp.dvs)
   }
 
   /** The pruned FILE set of snapshot `version` for catalyst predicate
@@ -774,7 +839,7 @@ private[graft] trait LakeReads { this: Lake.type =>
     val r = new Path(root)
     val cur = currentVersion(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed table at $root"))
-    val (paths, _, _) = resolveWhere(spark, root, predicate)
+    val (paths, _, _, dvs) = resolveWhereWithDvs(spark, root, predicate)
     val schemaOpt = manifestSchema(fs, r, cur)
     val map = manifestColMap(fs, r, cur)
     if (paths.isEmpty) {
@@ -788,12 +853,15 @@ private[graft] trait LakeReads { this: Lake.type =>
       case Some(s) => spark.read.schema(physSchema(s, map)).parquet(paths: _*)
       case None    => spark.read.parquet(paths: _*)
     }
-    // the snapshot's deletion vectors apply before the predicate
-    // (paths may be pruned FILE paths — the vector keys by dir
-    // basename + file, so the restriction to "whole snapshot" is
-    // only ever a no-op lookup, never a wrong row)
-    val withDv = dvColumn(spark, manifestDvsRaw(fs, r, cur),
-        Some((r.toString, cur)))
+    // the PARTIAL expansion's deletion vectors apply before the
+    // predicate (paths may be pruned FILE paths — the vector keys by
+    // dir basename + file, so a restriction is only ever a no-op
+    // lookup, never a wrong row; skipped segments' vectors belong to
+    // dirs this scan never opens). The broadcast cache key includes
+    // the vector-map hash so a subset read and a full-snapshot read of
+    // the same version each keep their own validated entry.
+    val dvCacheKey = r.toString + "#" + dvs.keySet.toSeq.sorted.hashCode
+    val withDv = dvColumn(spark, dvs, Some((dvCacheKey, cur)))
       .map(base.where).getOrElse(base)
     val logical = schemaOpt match {
       case Some(s) if map.nonEmpty => renameToLogical(withDv, s, map)
@@ -826,13 +894,13 @@ private[graft] trait LakeReads { this: Lake.type =>
 
   private[sources] def manifestTsMillis(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Long =
-    manifestBody(fs, r, v).find(_.startsWith(TsPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(TsPrefix))
       .flatMap(_.stripPrefix(TsPrefix).toLongOption)
       .getOrElse(fs.getFileStatus(new Path(r, s"_commit_$v")).getModificationTime)
 
   private[sources] def manifestRows(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[Long] =
-    manifestBody(fs, r, v).find(_.startsWith(RowsPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(RowsPrefix))
       .flatMap(_.stripPrefix(RowsPrefix).toLongOption)
 
   /** Highest committed version at `root` whose snapshot is fully
@@ -891,7 +959,7 @@ private[graft] trait LakeReads { this: Lake.type =>
 
   private[sources] def manifestOp(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Option[String] =
-    manifestBody(fs, r, v).find(_.startsWith(OpPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(OpPrefix))
       .map(_.stripPrefix(OpPrefix))
 
   /** DESCRIBE HISTORY: one row per readable version with the operation

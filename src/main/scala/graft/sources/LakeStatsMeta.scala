@@ -208,15 +208,95 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
     out.result()
   }
 
-  /** Raw `#stats_<dir>=<json>` lines of a manifest, keyed by dir. */
-  private[sources] def manifestStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Map[String, String] =
-    derivedOf(fs, r, v, "stats")(_.collect {
+  /** Union of two evidence ranges; None when the bounds are of mixed
+    * kinds (no sound merge — the caller drops the column). */
+  private[sources] def rangeUnion(a: (NormVal, NormVal), b: (NormVal, NormVal)):
+      Option[(NormVal, NormVal)] =
+    for { cl <- cmpNorm(a._1, b._1); ch <- cmpNorm(a._2, b._2) }
+      yield ((if (cl <= 0) a._1 else b._1), (if (ch >= 0) a._2 else b._2))
+
+  /** Fold several dirs' effective per-dir evidence — (stats json,
+    * partition-tuple json) — into ONE merged range map: the
+    * `#segsum_<name>=` SEGMENT SUMMARY (Iceberg's manifest-list
+    * partition summaries, serialized in the stats-json grammar so
+    * segment-level exclusion reuses [[predExcludes]] verbatim).
+    *
+    * SOUNDNESS CONTRACT (what lets a scan skip READING the segment
+    * file when the summary range excludes a predicate): a column
+    * appears only when EVERY dir bounds its non-NULL domain — an exact
+    * partition value contributes the point [v, v], a stats line its
+    * [lo, hi], an all-NULL partition value the empty domain, and a dir
+    * carrying BOTH contributes their union (defensive widest). One dir
+    * with NO evidence for the column drops the column entirely: the
+    * summary must never claim more than the per-dir evidence the full
+    * expansion would consult, because exclusion against the merged
+    * range must imply per-dir exclusion for every member dir
+    * (ranges only ever widen; [[predExcludes]] is superset-range-safe,
+    * and an all-NULL-domain dir is excluded by every comparison the
+    * range rules can fire — NULL tests never exclude through ranges). */
+  private[sources] def foldSegSummary(
+      evidence: Seq[(Option[String], Option[String])]):
+      Map[String, (NormVal, NormVal)] = {
+    if (evidence.isEmpty) return Map.empty
+    val parsed = evidence.map { case (st, pt) =>
+      (st.map(parseStatsJson).getOrElse(Map.empty[String, (NormVal, NormVal)]),
+       pt.map(parsePartJson).getOrElse(Map.empty[String, Option[NormVal]])) }
+    val cols = parsed.iterator
+      .flatMap { case (s, p) => s.keysIterator ++ p.keysIterator }.toSet
+    val out = Map.newBuilder[String, (NormVal, NormVal)]
+    cols.foreach { c =>
+      var ok = true
+      var acc: Option[(NormVal, NormVal)] = None
+      parsed.foreach { case (s, p) =>
+        if (ok) {
+          // this dir's bounded non-NULL domain for c: None = unbounded
+          // (drop the column), Some(None) = provably empty (all-NULL
+          // partition value), Some(Some(range)) = bounded
+          val fromStats = s.get(c)
+          val dom: Option[Option[(NormVal, NormVal)]] = p.get(c) match {
+            case Some(Some(v)) => fromStats match {
+              case Some(rg) => rangeUnion((v, v), rg).map(Some(_))
+              case None     => Some(Some((v, v)))
+            }
+            case Some(None) => Some(fromStats) // all-NULL; cover any stats
+            case None => fromStats match {
+              case Some(rg) => Some(Some(rg))
+              case None     => None
+            }
+          }
+          dom match {
+            case None       => ok = false
+            case Some(None) => // empty domain contributes nothing
+            case Some(Some(rg)) => acc match {
+              case None => acc = Some(rg)
+              case Some(prev) => rangeUnion(prev, rg) match {
+                case Some(u) => acc = Some(u)
+                case None    => ok = false // mixed kinds: no sound merge
+              }
+            }
+          }
+        }
+      }
+      if (ok) acc.foreach(rg => out += c -> rg)
+    }
+    out.result()
+  }
+
+  /** `#stats_` lines of a body, keyed by dir — named (not inlined in
+    * the memoized accessor) so the PARTIAL scan expansion parses
+    * surviving segments' lines with the exact same logic. */
+  private[sources] def statsOfBody(body: Seq[String]): Map[String, String] =
+    body.collect {
       case l if l.startsWith(StatsPrefix) && !l.startsWith(FileStatsPrefix) &&
           l.indexOf('=') > StatsPrefix.length =>
         val i = l.indexOf('=')
         l.substring(StatsPrefix.length, i) -> l.substring(i + 1)
-    }.toMap)
+    }.toMap
+
+  /** Raw `#stats_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private[sources] def manifestStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    derivedOf(fs, r, v, "stats")(statsOfBody)
 
   // `#fstats_<dir>/<file>=<json>` — FILE-level ranges inside a dir,
   // written by commits that can pay one column-pruned pass over their
@@ -228,10 +308,9 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
   // stats pass, but a reader must not have to trust that).
   private[sources] val FileStatsPrefix = "#fstats_"
 
-  /** file-stats lines of a manifest: dir -> (file -> json). */
-  private[sources] def manifestFileStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Map[String, Map[String, String]] =
-    derivedOf(fs, r, v, "fstats")(_.collect {
+  /** `#fstats_` lines of a body: dir -> (file -> json). */
+  private[sources] def fstatsOfBody(body: Seq[String]): Map[String, Map[String, String]] =
+    body.collect {
       case l if l.startsWith(FileStatsPrefix) && l.indexOf('=') > FileStatsPrefix.length =>
         val i = l.indexOf('=')
         val dirFile = l.substring(FileStatsPrefix.length, i)
@@ -242,7 +321,12 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
           case (df, j) if df.startsWith(dir + "/") =>
             df.stripPrefix(dir + "/") -> j
         }.toMap
-      })
+      }
+
+  /** file-stats lines of a manifest: dir -> (file -> json). */
+  private[sources] def manifestFileStatsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, Map[String, String]] =
+    derivedOf(fs, r, v, "fstats")(fstatsOfBody)
 
   /** Per-FILE min/max of a freshly-written dir on `cols`, plus the
     * dir-level merge — ONE column-pruned pass over the dir
@@ -327,7 +411,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
 
   private[sources] def manifestBloomCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
-    manifestBody(fs, r, v).find(_.startsWith(BloomColsPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(BloomColsPrefix))
       .map(_.stripPrefix(BloomColsPrefix).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -341,14 +425,18 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
       .map(v => manifestBloomCols(fs, r, v)).getOrElse(Nil)
   }
 
-  /** Raw `#bloom_<dir>=<json>` lines of a manifest, keyed by dir. */
-  private[sources] def manifestBloomsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Map[String, String] =
-    derivedOf(fs, r, v, "blooms")(_.collect {
+  /** `#bloom_` lines of a body, keyed by dir. */
+  private[sources] def bloomsOfBody(body: Seq[String]): Map[String, String] =
+    body.collect {
       case l if l.startsWith(BloomPrefix) && l.indexOf('=') > BloomPrefix.length =>
         val i = l.indexOf('=')
         l.substring(BloomPrefix.length, i) -> l.substring(i + 1)
-    }.toMap)
+    }.toMap
+
+  /** Raw `#bloom_<dir>=<json>` lines of a manifest, keyed by dir. */
+  private[sources] def manifestBloomsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    derivedOf(fs, r, v, "blooms")(bloomsOfBody)
 
   /** Bloom filters of one dir's manifest line, deserialized. */
   private[sources] def parseBloomJson(json: String):
@@ -422,7 +510,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
 
   private[sources] def manifestStatsCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
-    manifestBody(fs, r, v).find(_.startsWith(StatsColsPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(StatsColsPrefix))
       .map(_.stripPrefix(StatsColsPrefix).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)

@@ -86,7 +86,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestChecks(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, String)] =
-    manifestBody(fs, r, v).collect {
+    manifestMeta(fs, r, v).collect {
       case l if l.startsWith(CheckPrefix) &&
           l.indexOf(':', CheckPrefix.length) > CheckPrefix.length =>
         val i = l.indexOf(':', CheckPrefix.length)
@@ -257,7 +257,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestProps(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Map[String, String] =
-    manifestBody(fs, r, v).collect {
+    manifestMeta(fs, r, v).collect {
       case l if l.startsWith(PropPrefix) &&
           l.indexOf('=', PropPrefix.length) > PropPrefix.length =>
         val i = l.indexOf('=', PropPrefix.length)
@@ -407,7 +407,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestGenParts(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, String)] =
-    manifestBody(fs, r, v).collect {
+    manifestMeta(fs, r, v).collect {
       case l if l.startsWith(GenPartPrefix) &&
           l.indexOf(':', GenPartPrefix.length) > GenPartPrefix.length =>
         val i = l.indexOf(':', GenPartPrefix.length)
@@ -416,7 +416,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestGenCols(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[(String, String)] =
-    manifestBody(fs, r, v).collect {
+    manifestMeta(fs, r, v).collect {
       case l if l.startsWith(GenColPrefix) &&
           l.indexOf(':', GenColPrefix.length) > GenColPrefix.length =>
         val i = l.indexOf(':', GenColPrefix.length)
@@ -432,7 +432,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[sources] def manifestGenTz(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[String] =
-    manifestBody(fs, r, v).find(_.startsWith(GenTzPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(GenTzPrefix))
       .map(_.stripPrefix(GenTzPrefix))
 
   // ---- identity columns (GENERATED ALWAYS AS IDENTITY) -------------
@@ -464,7 +464,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestIdMode(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[String] =
-    manifestBody(fs, r, v).find(_.startsWith(IdModePrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(IdModePrefix))
       .map(_.stripPrefix(IdModePrefix))
 
   /** BY DEFAULT fill: rows whose identity value is NULL take the
@@ -509,7 +509,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestRowId(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[Long] =
-    manifestBody(fs, r, v).find(_.startsWith(RowIdPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(RowIdPrefix))
       .flatMap(_.stripPrefix(RowIdPrefix).toLongOption)
 
   /** Is row tracking live on the table (and if so, the next id)? */
@@ -578,7 +578,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestIdentity(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[(String, Long)] =
-    manifestBody(fs, r, v).find(_.startsWith(IdentityPrefix)).flatMap { l =>
+    manifestMeta(fs, r, v).find(_.startsWith(IdentityPrefix)).flatMap { l =>
       val body = l.stripPrefix(IdentityPrefix)
       val i = body.lastIndexOf(':')
       if (i <= 0) None
@@ -930,7 +930,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestIngested(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[String] =
-    manifestBody(fs, r, v).collect {
+    manifestMeta(fs, r, v).collect {
       case l if l.startsWith(IngestedPrefix) => l.stripPrefix(IngestedPrefix)
     }
 
@@ -1013,7 +1013,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     // (#colmap2 is then the single source of truth and the v1 line is
     // no longer written); name-mode tables parse the v1 line as ever
     manifestColMap2(fs, r, v).map(flatColMap).getOrElse(
-      manifestBody(fs, r, v).find(_.startsWith(ColMapPrefix))
+      manifestMeta(fs, r, v).find(_.startsWith(ColMapPrefix))
         .map(_.stripPrefix(ColMapPrefix).split(",").iterator
           .map(_.trim).filter(_.nonEmpty).flatMap { e =>
             val i = e.indexOf(':')
@@ -1023,7 +1023,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[sources] def manifestRetired(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Seq[String] =
-    manifestBody(fs, r, v).find(_.startsWith(ColRetiredPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(ColRetiredPrefix))
       .map(_.stripPrefix(ColRetiredPrefix).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -1306,7 +1306,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestColMap2(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[ColMapV2] =
-    manifestBody(fs, r, v).find(_.startsWith(ColMap2Prefix))
+    manifestMeta(fs, r, v).find(_.startsWith(ColMap2Prefix))
       .flatMap(l => parseColMap2(l.stripPrefix(ColMap2Prefix)))
 
   private[sources] def liveColMap2(fs: org.apache.hadoop.fs.FileSystem,
@@ -2526,7 +2526,7 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[graft] def manifestBucketBy(fs: org.apache.hadoop.fs.FileSystem,
       r: Path, v: Long): Option[(Int, Seq[String])] =
-    manifestBody(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
+    manifestMeta(fs, r, v).find(_.startsWith(BucketByPrefix)).flatMap { l =>
       val body = l.stripPrefix(BucketByPrefix)
       val i = body.indexOf(':')
       if (i <= 0) None
@@ -2559,19 +2559,23 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
 
   private[sources] def manifestPartCols(fs: org.apache.hadoop.fs.FileSystem, r: Path,
       v: Long): Seq[String] =
-    manifestBody(fs, r, v).find(_.startsWith(PartColsPrefix))
+    manifestMeta(fs, r, v).find(_.startsWith(PartColsPrefix))
       .map(_.stripPrefix(PartColsPrefix).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
   /** Raw `#part_<dir>=<json>` lines of a manifest, keyed by dir. */
-  private[sources] def manifestPartsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
-      v: Long): Map[String, String] =
-    derivedOf(fs, r, v, "parts")(_.collect {
+  /** `#part_` lines of a body, keyed by dir. */
+  private[sources] def partsOfBody(body: Seq[String]): Map[String, String] =
+    body.collect {
       case l if l.startsWith(PartPrefix) && l.indexOf('=') > PartPrefix.length =>
         val i = l.indexOf('=')
         l.substring(PartPrefix.length, i) -> l.substring(i + 1)
-    }.toMap)
+    }.toMap
+
+  private[sources] def manifestPartsRaw(fs: org.apache.hadoop.fs.FileSystem, r: Path,
+      v: Long): Map[String, String] =
+    derivedOf(fs, r, v, "parts")(partsOfBody)
 
   /** One dir's exact partition values: `{"c":{"n":"123"}}` numeric,
     * `{"c":{"s":"abc"}}` string, `{"c":{"z":true}}` NULL. */
@@ -2707,11 +2711,13 @@ private[graft] trait LakeTableMeta { this: Lake.type =>
     // the generated partition keys (ts-range-prunes-year-partitions).
     val tree = enrichTree(spark, fs, r, version,
       if (filters.isEmpty) PUnknown else PAnd(filters.map(extractTree)))
-    val (keptDirs, _) = pruneDirsTreeAt(spark, root, version, tree)
+    // segment-aware prune: a summary-excluded segment of a tiered
+    // snapshot is skipped without reading its side file, so SQL scan
+    // planning pays O(matching segments) metadata reads too
+    val sp = scanPruneAt(spark, root, version, tree)
     val prunable = treeHasLeaves(tree)
-    val fstats = if (!prunable) Map.empty[String, Map[String, String]]
-      else manifestFileStatsRaw(fs, r, version)
-    keptDirs.map { d =>
+    val fstats = sp.fstats
+    sp.kept.map { d =>
       val files = fstats.get(d) match {
         case Some(byFile) if byFile.nonEmpty && prunable =>
           splitDirFilesTree(fs, r, d, byFile, tree)._1

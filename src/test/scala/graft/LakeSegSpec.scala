@@ -263,6 +263,161 @@ class LakeSegSpec extends SparkSpec {
   }
 
 
+  /** Range-sliced tiered table: `slices` dirs of `width` consecutive
+    * keys each, stats on k — segment summaries get real ranges. */
+  private def seedRanged(root: String, slices: Int, width: Int): Unit = {
+    def slice(i: Int) =
+      df(((i * width).toLong until ((i + 1) * width).toLong))
+    Lake.commitOverwrite(slice(0), root, retain = 64, statsCols = Seq("k"))
+    Lake.setTableProperties(spark, root, Map("graft.seg.threshold" -> "4"))
+    (1 until slices).foreach(i =>
+      Lake.commitAppend(slice(i), root, retain = 64))
+  }
+
+  test("#segsum_ summaries: a selective scan skips READING excluded segments; partial ≡ full on a predicate battery") {
+    val root = tmpTable("graft-segsum")
+    seedRanged(root, slices = 24, width = 10) // keys 0..239, 24 dirs
+    val raw = liveRaw(root)
+    val refs = segRefsOf(root).toSet
+    val sums = raw.filter(_.startsWith("#segsum_"))
+      .map(l => l.stripPrefix("#segsum_").takeWhile(_ != '=')).toSet
+    assert(sums === refs,
+      s"every segment ref must carry a summary (refs=$refs sums=$sums)")
+    // the battery: point/range/IN/OR/NOT/monotone predicates — for
+    // each, the PARTIAL scan path (resolveWhere) must keep exactly the
+    // dirs the FULL expansion (pruneDirs) keeps, and the kept + named
+    // + unread-skipped accounting must cover the whole snapshot
+    val total = Lake.snapshotDirNames(spark, root,
+      Lake.currentVersion(spark, root).get).size
+    val preds = Seq(
+      col("k") === 7L, col("k") === 115L, col("k") === 239L,
+      col("k") < 30L, col("k") >= 200L, col("k").between(95L, 125L),
+      col("k").isin(3L, 97L, 203L),
+      col("k") < 20L || col("k") >= 220L,
+      !(col("k") < 230L), col("k") =!= 5L,
+      col("k").isNull, col("k").isNotNull,
+      col("t") === "t42" /* no stats on t: keeps everything */)
+    // plus a seeded-random sweep over the predicate space: points,
+    // ranges, IN sets, OR/AND/NOT composites — the agreement property,
+    // not just hand-picked shapes
+    val rnd = new scala.util.Random(42)
+    def rk() = rnd.nextInt(260).toLong - 10L // incl. out-of-range keys
+    val randomPreds = (1 to 40).map { _ =>
+      rnd.nextInt(6) match {
+        case 0 => col("k") === rk()
+        case 1 => val a = rk(); col("k").between(a, a + rnd.nextInt(80))
+        case 2 => col("k").isin(Seq.fill(1 + rnd.nextInt(4))(rk()): _*)
+        case 3 => col("k") < rk() || col("k") > rk()
+        case 4 => !(col("k") <= rk())
+        case 5 => col("k") >= rk() && col("k") =!= rk()
+      }
+    }
+    Lake.SegPlanLedger.reset()
+    (preds ++ randomPreds).foreach { p =>
+      val fullKept = Lake.pruneDirs(spark, root, p)._1.toSet
+      val (paths, named, _) = Lake.resolveWhere(spark, root, p)
+      val partialKept = paths.map(_.split('/').last).toSet
+      assert(partialKept === fullKept,
+        s"partial ≠ full for $p: partial=$partialKept full=$fullKept")
+      assert(partialKept.size + named.size <= total)
+      // rows: the pruned read answers exactly like filter-after-scan
+      assert(rows(Lake.readCommittedWhere(spark, root, p)) ===
+        rows(Lake.readCommitted(spark, root).where(p)))
+    }
+    assert(Lake.SegPlanLedger.segsSkipped.get() > 0,
+      "the battery must actually skip reading at least one segment")
+    assert(Lake.SegPlanLedger.dirsSkippedUnread.get() > 0)
+    // point lookup: everything outside the matching segment is either
+    // named-skipped (read segments) or unread-skipped (summary-excluded)
+    Lake.SegPlanLedger.reset()
+    val (paths, named, _) = Lake.resolveWhere(spark, root, col("k") === 115L)
+    val unread = Lake.SegPlanLedger.dirsSkippedUnread.get()
+    assert(paths.size + named.size + unread === total,
+      s"accounting must cover the snapshot: ${paths.size}+${named.size}+$unread != $total")
+  }
+
+  test("#segsum_ survives DV overrides and restore; a summary-excluded scan stays exact after soft deletes") {
+    val root = tmpTable("graft-segsum-dv")
+    Lake.commitOverwrite(df(0L until 10L), root, retain = 64,
+      statsCols = Seq("k"))
+    Lake.setTableProperties(spark, root, Map(
+      "graft.seg.threshold" -> "4", "graft.dvMaxRows" -> "1000"))
+    (1 until 16).foreach(i =>
+      Lake.commitAppend(df((i * 10L) until ((i + 1) * 10L)), root,
+        retain = 64))
+    val vPre = Lake.currentVersion(spark, root).get
+    // DV soft delete inside one segment-listed dir: the override is
+    // DV-only, so every carried summary stays (vectors move no ranges)
+    Lake.deleteWhere(spark, root, col("k") === 55L, retain = 64)
+    val raw = liveRaw(root)
+    assert(raw.exists(_.startsWith("#dv_")))
+    val refs = segRefsOf(root).toSet
+    val sums = raw.filter(_.startsWith("#segsum_"))
+      .map(l => l.stripPrefix("#segsum_").takeWhile(_ != '=')).toSet
+    assert(sums === refs,
+      "DV-only overrides must keep carried summaries " +
+        s"(refs=$refs sums=$sums)")
+    // a selective read whose range covers the soft-deleted key still
+    // applies the vector (the partial path's restricted DV map)
+    assert(rows(Lake.readCommittedWhere(spark, root,
+        col("k").between(50L, 59L))).map(_.head) ===
+      ((50L to 59L).toSet - 55L))
+    // and one that EXCLUDES that segment answers exactly
+    Lake.SegPlanLedger.reset()
+    assert(rows(Lake.readCommittedWhere(spark, root, col("k") >= 150L))
+      .map(_.head) === (150L until 160L).toSet)
+    // restore across the DV (dvsReplace): summaries still carried
+    Lake.restoreCommitted(spark, root, vPre, retain = 64)
+    val rawR = liveRaw(root)
+    val refsR = segRefsOf(root).toSet
+    val sumsR = rawR.filter(_.startsWith("#segsum_"))
+      .map(l => l.stripPrefix("#segsum_").takeWhile(_ != '=')).toSet
+    assert(sumsR === refsR, "restore must carry summaries with segments")
+    assert(rows(Lake.readCommitted(spark, root)).map(_.head) ===
+      (0L until 160L).toSet)
+  }
+
+  test("seeded derived views agree with a cold re-parse after every commit shape") {
+    val root = tmpTable("graft-seg-seed")
+    def check(label: String): Unit = {
+      val v = Lake.currentVersion(spark, root).get
+      val warm = Lake.derivedViewsForTest(spark, root, v)
+      Lake.clearMetaCaches()
+      val cold = Lake.derivedViewsForTest(spark, root, v)
+      assert(warm === cold, s"seeded views diverge from cold parse after $label")
+    }
+    Lake.commitOverwrite(df(Seq(0L, 1L)), root, retain = 64,
+      statsCols = Seq("k")); check("overwrite")
+    Lake.setTableProperties(spark, root, Map(
+      "graft.seg.threshold" -> "4", "graft.dvMaxRows" -> "1000"))
+    check("properties")
+    (1 to 8).foreach { i =>
+      Lake.commitAppend(df(Seq(2L * i, 2L * i + 1)), root, retain = 64)
+      check(s"append $i")
+    }
+    Lake.deleteWhere(spark, root, col("k") === 5L, retain = 64)
+    check("dv delete")
+    Lake.updateWhere(spark, root, col("k") === 7L,
+      Map("t" -> lit("u")), retain = 64, dvMaxRows = 0L)
+    check("cow update")
+    Lake.compactCommitted(spark, root, retain = 64)
+    check("compact")
+    val vMid = Lake.currentVersion(spark, root).get
+    Lake.commitAppend(df(Seq(100L)), root, retain = 64)
+    check("append after compact")
+    Lake.restoreCommitted(spark, root, vMid, retain = 64)
+    check("restore")
+    // untiered table too (the inline branch of the same seeding)
+    val flat = tmpTable("graft-flat-seed")
+    Lake.commitOverwrite(df(Seq(1L)), flat, retain = 4,
+      statsCols = Seq("k"))
+    Lake.commitAppend(df(Seq(2L)), flat, retain = 4)
+    val vf = Lake.currentVersion(spark, flat).get
+    val warmF = Lake.derivedViewsForTest(spark, flat, vf)
+    Lake.clearMetaCaches()
+    assert(warmF === Lake.derivedViewsForTest(spark, flat, vf))
+  }
+
   test("tiered-manifest property knobs validate at SET time") {
     val root = tmpTable("graft-seg-props")
     Lake.commitOverwrite(df(Seq(0L)), root, retain = 4)
