@@ -14,6 +14,15 @@ object Harness {
       // SQL INSERT on graft-lake tables through the manifest commit
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries): a 195-query catalog holds far more than 100 distinct
+      // codegen stages, so at the default every query's timed pass
+      // re-pays janino compilation its warm-up pass already did —
+      // measured ~50-200 ms per stage of pure fixed overhead on
+      // tiny-data stages. A long-running cluster driver amortizes
+      // compile cost across queries exactly like this; the cache holds
+      // compiled classes (small), so the bound is generous not risky.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -221,7 +221,15 @@ object Similarity {
       s"cosinePairs is the O(N²) recall-oracle baseline and refuses inputs over " +
         s"$maxRows rows (got >= $n); use bandedCosinePairs/semanticDedup — same " +
         "scorer and rounding policy — as the scale path")
+    // The N² scoring streams one side through a broadcast nested-loop
+    // join; a small-file input arrives as ONE scan partition, so
+    // without an explicit round-robin the whole quadratic loop runs in
+    // a single task (measured 8.5 s single-task at sf0.1 vs ~0.6 s
+    // spread). defaultParallelism keeps it scale-adaptive (core count,
+    // not a constant). Pair SET is unchanged — purely physical.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .repartition(par)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorFns.cosine(col("va"), col("vb")), roundTo))
@@ -554,8 +562,13 @@ object Similarity {
       threshold: Double, roundTo: Int = 4): DataFrame = {
     val b = broadcast(bench
       .select(col(vecCol).cast("array<double>").as("__bv")))
+    // round-robin the corpus side before the broadcast cross: a small-
+    // file input is ONE scan partition, which would run the whole
+    // |corpus|·|bench| scoring loop in a single task (same fix as
+    // [[cosinePairs]]; purely physical, the scored set is unchanged)
     val scored = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .join(b)
       .select(col(idCol),
         round(VectorFns.cosine(col("__cv"), col("__bv")), roundTo).as("__cos"))
@@ -598,10 +611,21 @@ object Similarity {
       dims: Int, rounds: Int = 8): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
+    // __qd carries the SAME quantized values widened to double once at
+    // persist time, so each round's projection can run through the
+    // native codegen dot product ([[graft.plans.DotProduct]]) instead
+    // of an interpreted zip_with/aggregate HOF — measured 320 ms →
+    // ~40 ms per round-task at sf0.1. Bit-exactness is preserved, not
+    // approximated: the overflow guard below enforces m < 2^20, so
+    // every product |x_q·v| ≤ m·2^16 < 2^36 and every partial sum
+    // ≤ dims·m·2^16 < 2^42 — all integers below 2^53, exact in IEEE
+    // double in ANY accumulation order, and the final cast back to
+    // long is exact. Identical results to the HOF form by construction.
     val xq = emb.select(col(idCol),
         transform(col(vecCol),
           x => floor(x.cast("double") * 1024.0 + 0.5).cast("long")).as("__q"))
       .where(size(col("__q")) === dims)
+      .withColumn("__qd", col("__q").cast("array<double>"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one narrow pass over the (persisted) quantized corpus measures
@@ -619,13 +643,13 @@ object Similarity {
           "Reduce the corpus slice, dims, or input magnitude (the 2^16 " +
           "direction scale is pinned to the integer-exact oracle).")
       var v: IndexedSeq[Long] = IndexedSeq.fill(dims)(1024L)
-      // zip_with + aggregate HOF, measured FASTER than a flat 64-term
-      // sum (7.1s vs 15.5s isolated at sf0.1): the deep binary Add
-      // tree of the flat form defeats codegen, while the HOF loop
-      // evaluates linearly
-      def proj(vNow: IndexedSeq[Long]): Column = aggregate(
-        zip_with(col("__q"), array(vNow.map(lit): _*), (a, b) => a * b),
-        lit(0L), (acc, y) => acc + y)
+      // native codegen dot over the pre-widened __qd (exact — see the
+      // __qd comment above). History: a flat 64-term Add tree measured
+      // 15.5 s (deep tree defeats codegen), the zip_with/aggregate HOF
+      // 7.1 s (interpreted lambda per element), this form ~5 s at
+      // sf0.1 — same integers out of all three.
+      def proj(vNow: IndexedSeq[Long]): Column = VectorFns.dot(
+        col("__qd"), array(vNow.map(x => lit(x.toDouble)): _*)).cast("long")
       for (_ <- 1 to rounds) {
         val u = xq
           .select(proj(v).as("__s"), posexplode(col("__q")).as(Seq("__d", "__x")))
