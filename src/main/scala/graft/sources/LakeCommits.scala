@@ -98,6 +98,30 @@ private[graft] trait LakeCommits { this: Lake.type =>
     }
   }
 
+  /** Run `n` independent staging tasks concurrently on a bounded
+    * fresh pool, returning results in INDEX ORDER with per-task
+    * failures captured (never fail-fast mid-flight — callers must see
+    * every staged dir to clean up). Bounded at 4 in-flight: enough to
+    * fill a scheduler tail of tiny 1-task jobs, not enough to fight
+    * the queries for executor threads (guide §2.6's "2-3 jobs in
+    * flight is plenty"). The pool is per-call and always shut down —
+    * commit paths are not hot enough to justify a shared executor. */
+  private[sources] def stageConcurrently[T](n: Int)(task: Int => T):
+      IndexedSeq[Either[Throwable, T]] = {
+    if (n <= 1) return (0 until n).map(i =>
+      try Right(task(i)) catch { case t: Throwable => Left(t) })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 4))
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, T]] {
+          override def call(): Either[Throwable, T] =
+            try Right(task(i)) catch { case t: Throwable => Left(t) }
+        })
+      }
+      futures.map(_.get())
+    } finally { pool.shutdown() }
+  }
+
   /** Stage a batch under writer-unique dirs: ONE dir when `partCols`
     * is empty, one dir PER distinct partition-value tuple otherwise.
     * Returns (dirs, stats, blooms, parts) ready for [[commitManifest]].
@@ -168,8 +192,29 @@ private[graft] trait LakeCommits { this: Lake.type =>
         s"bucket column '$c' is not in the batch schema " +
           df.columns.mkString("[", ", ", "]")))
     }
+    // Per-dir min/max stats (and the bloom builder's row count) ride
+    // the staging write itself as `observe` metrics — the write job
+    // computes them streaming, so staging a dir costs ONE job instead
+    // of write + stats-agg + bloom-count (measured: the metadata jobs
+    // doubled-to-tripled every lake scenario commit's job count at
+    // bench scale, each a ~60-150 ms fixed-overhead 1-task job). The
+    // JSON comes from the SAME statsJsonFromMinMax normalization the
+    // read-back path uses, over the same rows the write emits, so the
+    // manifest line is byte-identical to the re-read form.
+    val statsPresent = effStats.filter(c => resolveField(df.schema, c).isDefined)
     def stageOne(slice: org.apache.spark.sql.DataFrame): (String, Option[String], Option[String]) = {
       val staged = stagedDirName()
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, max => fmax, min => fmin}
+      val wantObs = statsPresent.nonEmpty || effBloom.nonEmpty
+      val obs = new org.apache.spark.sql.Observation()
+      def observed(d: org.apache.spark.sql.DataFrame) =
+        if (!wantObs) d
+        else {
+          val aggs = fcount(flit(1)).as("__n") +:
+            statsPresent.zipWithIndex.flatMap { case (c, i) =>
+              Seq(fmin(col(c)).as(s"__lo_$i"), fmax(col(c)).as(s"__hi_$i")) }
+          d.observe(obs, aggs.head, aggs.tail: _*)
+        }
       bucketBy match {
         case Some((n, cols)) =>
           // Spark's OWN bucketed writer is the only public path that
@@ -180,7 +225,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
           val tmp = "graft_bucket_stage_" +
             staged.replaceAll("[^a-zA-Z0-9_]", "_")
           try {
-            slice.write.mode("overwrite").format("parquet")
+            observed(slice).write.mode("overwrite").format("parquet")
               .bucketBy(n, cols.head, cols.tail: _*)
               .sortBy(cols.head, cols.tail: _*)
               .option("path", new Path(r, staged).toString)
@@ -196,12 +241,18 @@ private[graft] trait LakeCommits { this: Lake.type =>
               if (effStats.isEmpty) None else Some("{}"),
               if (effBloom.isEmpty) None else Some("{}"))
         case None =>
-          sized(slice).write.mode("overwrite")
+          observed(sized(slice)).write.mode("overwrite")
             .parquet(new Path(r, staged).toString)
       }
-      (staged,
-        dirStatsJson(spark, new Path(r, staged).toString, effStats),
-        dirBloomJson(spark, new Path(r, staged).toString, effBloom))
+      val metrics: Map[String, Any] = if (wantObs) obs.get else Map.empty
+      val stats =
+        if (effStats.isEmpty) None
+        else if (statsPresent.isEmpty) Some("{}")
+        else Some(statsJsonFromMinMax(statsPresent, i =>
+          metrics(if (i % 2 == 0) s"__lo_${i / 2}" else s"__hi_${i / 2}")))
+      val nRows = metrics.get("__n").map(_.asInstanceOf[Long])
+      (staged, stats,
+        dirBloomJson(spark, new Path(r, staged).toString, effBloom, nRows))
     }
     if (partCols.isEmpty) {
       val (d, st, bl) = stageOne(df)
@@ -253,24 +304,38 @@ private[graft] trait LakeCommits { this: Lake.type =>
           val stats = Map.newBuilder[String, String]
           val blooms = Map.newBuilder[String, String]
           val parts = Map.newBuilder[String, String]
-          val stagedSoFar = scala.collection.mutable.ArrayBuffer.empty[String]
-          try {
-            tuples.zip(tupleJsons).foreach { case (row, json) =>
-              val slice = partCols.zipWithIndex.foldLeft(batch) {
-                case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
-              }
-              val (d, st, bl) = stageOne(slice)
-              stagedSoFar += d
-              dirs += d
-              st.foreach(j => stats += d -> j)
-              bl.foreach(j => blooms += d -> j)
-              parts += d -> json
+          // per-tuple slices are INDEPENDENT tiny jobs against the
+          // persisted batch — stage them concurrently so the next
+          // slice's write back-fills the scheduler while the previous
+          // one drains its straggler (guide §2.6 overlap; Spark's
+          // scheduler is made for concurrent actions). Results keep
+          // tuple order (indexed), so manifest dir order — and
+          // therefore scan row order and CDF attribution — is exactly
+          // the sequential loop's. Failure: await all, delete every
+          // staged dir, rethrow the first error (the sequential
+          // loop's cleanup contract).
+          val results = stageConcurrently(tuples.length) { i =>
+            val row = tuples(i)
+            val slice = partCols.zipWithIndex.foldLeft(batch) {
+              case (d0, (c, ci)) => d0.where(col(c) <=> lit(row.get(ci)))
             }
-          } catch {
-            case t: Throwable =>
-              stagedSoFar.foreach(d =>
-                scala.util.Try(fs.delete(new Path(r, d), true)))
-              throw t
+            stageOne(slice)
+          }
+          val failure = results.collectFirst { case Left(t) => t }
+          if (failure.isDefined) {
+            results.foreach {
+              case Right((d, _, _)) =>
+                scala.util.Try(fs.delete(new Path(r, d), true)); ()
+              case _ => ()
+            }
+            throw failure.get
+          }
+          results.zip(tupleJsons).foreach { case (res, json) =>
+            val (d, st, bl) = res.toOption.get
+            dirs += d
+            st.foreach(j => stats += d -> j)
+            bl.foreach(j => blooms += d -> j)
+            parts += d -> json
           }
           (dirs.result(), stats.result(), blooms.result(), parts.result())
         }

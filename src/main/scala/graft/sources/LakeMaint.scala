@@ -683,11 +683,14 @@ private[graft] trait LakeMaint { this: Lake.type =>
       val dir = stagedDirName() // writer-unique, see mergeCommitted
       clusterLayout(slice, n).write.mode("overwrite")
         .parquet(new Path(r, dir).toString)
-      val (dirJson, fileJsons) =
-        fileStatsJson(spark, new Path(r, dir).toString, effStats)
-          .getOrElse(("{}", Map.empty[String, String]))
+      // one pass yields per-file + dir ranges AND the row count the
+      // bloom builder needs — no separate count job per rewritten dir
+      val (dirJson, fileJsons, nRows) =
+        fileStatsJsonN(spark, new Path(r, dir).toString, effStats)
+          .getOrElse(("{}", Map.empty[String, String], -1L))
       (dir, dirJson, fileJsons,
-        dirBloomJson(spark, new Path(r, dir).toString, effBloom))
+        dirBloomJson(spark, new Path(r, dir).toString, effBloom,
+          Some(nRows).filter(_ >= 0)))
     }
     def filesFor(bytes: Long): Int =
       Math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -720,11 +723,11 @@ private[graft] trait LakeMaint { this: Lake.type =>
           val fjs = Map.newBuilder[String, Map[String, String]]
           val bls = Map.newBuilder[String, String]
           val pls = Map.newBuilder[String, String]
-          tuples.foreach { row =>
-            val slice = effPart.zipWithIndex.foldLeft(cached) {
-              case (d0, (c, i)) => d0.where(col(c) <=> lit(row.get(i)))
-            }
-            val json = partJson(effPart.zipWithIndex.map { case (c, i) =>
+          // validate every tuple BEFORE the first write (the
+          // stageBatch discipline: a value that does not normalize
+          // refuses with zero dirs staged)
+          val jsons = tuples.map { row =>
+            partJson(effPart.zipWithIndex.map { case (c, i) =>
               c -> (if (row.isNullAt(i)) None
                 else normExternal(row.get(i)) match {
                   case some @ Some(_) => some
@@ -733,9 +736,26 @@ private[graft] trait LakeMaint { this: Lake.type =>
                       "not normalize — unsupported runtime type")
                 })
             })
-            val (d, dj, fj, bl) = stageClustered(slice,
-              filesFor(bytesByJson.getOrElse(json, 0L) + valueless))
-            staged += d
+          }
+          // per-tuple clustered rewrites are independent jobs against
+          // the persisted snapshot — run them concurrently (same
+          // overlap + ordered-results contract as stageBatch's
+          // partitioned loop; see stageConcurrently)
+          val results = stageConcurrently(tuples.length) { i =>
+            val row = tuples(i)
+            val slice = effPart.zipWithIndex.foldLeft(cached) {
+              case (d0, (c, ci)) => d0.where(col(c) <=> lit(row.get(ci)))
+            }
+            stageClustered(slice,
+              filesFor(bytesByJson.getOrElse(jsons(i), 0L) + valueless))
+          }
+          results.foreach { // every written dir is cleanup-visible
+            case Right((d, _, _, _)) => staged += d
+            case _ => ()
+          }
+          results.collectFirst { case Left(t) => t }.foreach(throw _)
+          results.zip(jsons).foreach { case (res, json) =>
+            val (d, dj, fj, bl) = res.toOption.get
             dirs += d
             ds += d -> dj
             fjs += d -> fj

@@ -349,21 +349,29 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
     }
 
   private[sources] def fileStatsJson(spark: SparkSession, dirPath: String,
-      cols: Seq[String]): Option[(String, Map[String, String])] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      cols: Seq[String]): Option[(String, Map[String, String])] =
+    fileStatsJsonN(spark, dirPath, cols).map { case (d, f, _) => (d, f) }
+
+  /** [[fileStatsJson]] plus the dir's TOTAL row count folded into the
+    * same single pass — callers that also build Bloom filters reuse it
+    * instead of paying a separate count job per staged dir. */
+  private[sources] def fileStatsJsonN(spark: SparkSession, dirPath: String,
+      cols: Seq[String]): Option[(String, Map[String, String], Long)] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     if (cols.isEmpty) return None
     val df = spark.read.parquet(dirPath)
     val present = cols.filter(c => resolveField(df.schema, c).isDefined)
-    if (present.isEmpty) return Some(("{}", Map.empty))
-    val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
+    if (present.isEmpty) return Some(("{}", Map.empty, -1L))
+    val aggs = count(lit(1)) +: present.flatMap(c => Seq(min(df(c)), max(df(c))))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.drop(1): _*).collect()
+    val nRows = rows.map(_.getLong(1)).sum
     val perFile = rows.map { row =>
       val name = new Path(row.getString(0)).getName
       val m = present.zipWithIndex.flatMap { case (c, i) =>
         for {
-          lo <- normExternal(row.get(1 + 2 * i))
-          hi <- normExternal(row.get(2 + 2 * i))
+          lo <- normExternal(row.get(2 + 2 * i))
+          hi <- normExternal(row.get(3 + 2 * i))
           if cmpNorm(lo, hi).isDefined
           bounded <- boundedStat(lo, hi)
         } yield c -> bounded
@@ -383,7 +391,8 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
         c -> ((los.reduce((a, b) => if (cmpNorm(a, b).exists(_ <= 0)) a else b),
                his.reduce((a, b) => if (cmpNorm(a, b).exists(_ >= 0)) a else b)))
       }.toMap
-    Some((statsJson(dirStats), perFile.map { case (f, m) => f -> statsJson(m) }))
+    Some((statsJson(dirStats), perFile.map { case (f, m) => f -> statsJson(m) },
+      nRows))
   }
 
   // ---- per-dir Bloom filters (point-lookup skipping) ---------------
@@ -461,7 +470,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
     * Integral/string columns only (the sketch's put/probe domain);
     * others drop out. O(this dir), like the write that produced it. */
   private[sources] def dirBloomJson(spark: SparkSession, dirPath: String,
-      cols: Seq[String]): Option[String] = {
+      cols: Seq[String], rowCount: Option[Long] = None): Option[String] = {
     import org.apache.spark.sql.types._
     if (cols.isEmpty) return None
     val df = spark.read.parquet(dirPath)
@@ -471,7 +480,9 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
         case _ => false
       }))
     if (present.isEmpty) return Some("{}")
-    val n = df.count()
+    // the staging write already counted the dir's rows via its
+    // piggybacked observe metrics — reuse it instead of a count job
+    val n = rowCount.getOrElse(df.count())
     if (n == 0) return Some("{}")
     val expected = math.max(1L, math.min(n, BloomMaxItems))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -535,6 +546,27 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
     * Columns absent from the dir's schema, all-NULL, or with
     * un-normalizable extremes (NaN/Infinity) drop out (kept dirs are
     * the safe default). */
+  /** Fold interleaved (min, max) external values — `get(2i)`/`get(2i+1)`
+    * for `present(i)` — into the manifest stats JSON. The ONE
+    * normalization used by both the read-back path ([[dirStatsJson]])
+    * and the staging write's piggybacked `observe` metrics
+    * (LakeCommits.stageBatch), so the two can never drift: identical
+    * normExternal/cmpNorm/boundedStat policy, columns with
+    * un-normalizable extremes drop out (kept dirs are the safe
+    * default). */
+  private[sources] def statsJsonFromMinMax(present: Seq[String],
+      get: Int => Any): String = {
+    val m = present.zipWithIndex.flatMap { case (c, i) =>
+      for {
+        lo <- normExternal(get(2 * i))
+        hi <- normExternal(get(2 * i + 1))
+        if cmpNorm(lo, hi).isDefined
+        bounded <- boundedStat(lo, hi)
+      } yield c -> bounded
+    }.toMap
+    statsJson(m)
+  }
+
   private[sources] def dirStatsJson(spark: SparkSession, dirPath: String,
       cols: Seq[String]): Option[String] = {
     import org.apache.spark.sql.functions.{max, min}
@@ -548,15 +580,7 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
       if (present.isEmpty) return Some("{}")
       val aggs = present.flatMap(c => Seq(min(df(c)), max(df(c))))
       val row = df.agg(aggs.head, aggs.drop(1): _*).collect().head
-      val m = present.zipWithIndex.flatMap { case (c, i) =>
-        for {
-          lo <- normExternal(row.get(2 * i))
-          hi <- normExternal(row.get(2 * i + 1))
-          if cmpNorm(lo, hi).isDefined
-          bounded <- boundedStat(lo, hi)
-        } yield c -> bounded
-      }.toMap
-      Some(statsJson(m))
+      Some(statsJsonFromMinMax(present, i => row.get(i)))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
