@@ -1302,7 +1302,12 @@ object TextAnalysis {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 8): DataFrame = {
     require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
-    val segs = df.where(col(textCol).isNotNull)
+    // widened (the tokenize+segment map is the CPU of this operator —
+    // a one-row-group input would run it single-task) and lazily
+    // checkpointed: `segs` is referenced THREE times below (winner agg,
+    // winner join, per-doc counts), and each plan-level reference would
+    // re-tokenize the corpus — the semanticDedup lineage discipline
+    val segs = graft.sources.Tables.widen(df.where(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as("doc_id"),
         TextFns.tokens(TextFns.normalize(col(textCol))).as("__tk"))
       .where(size(col("__tk")) > 0)
@@ -1310,6 +1315,7 @@ object TextAnalysis {
         s"transform(sequence(0, cast(ceil(size(__tk) / ${segTokens}.0) as int) - 1), " +
           s"i -> array_join(slice(__tk, i * $segTokens + 1, $segTokens), ' '))"))
         .as(Seq("seg_idx", "seg")))
+      .localCheckpoint(false)
     val winners = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("__w"))
       .select(col("seg"), col("__w.doc_id").as("__wd"), col("__w.seg_idx").as("__wi"))

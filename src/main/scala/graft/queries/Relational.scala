@@ -491,7 +491,10 @@ object Relational {
         |  TRUE AS orders_within_bound
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val bound = 3 * 0.05 // 3 sigma at approx_count_distinct's default rsd
-      Tables.lineitem(s, d)
+      // widen: two exact distincts + two HLL sketches Expand the scan
+      // 4x before the first exchange; a one-row-group input would run
+      // that whole map side in a single task (guide §2.5 input skew)
+      Tables.widen(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
