@@ -233,14 +233,57 @@ object Lake
   // (modTime, length) on every hit (one HEAD instead of one GET), so
   // even an out-of-protocol in-place rewrite (hand surgery, test
   // scenarios, a backup restored over a live root) reads correctly.
-  private[sources] val manifestCacheMax = 256
-  private[sources] val manifestCache =
-    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
-        size() > manifestCacheMax
+  //
+  // Every metadata cache here is bounded by WEIGHT (retained lines /
+  // derived-view entries), not just entry count: at 10^6 dirs one
+  // expanded body is ~10^6 line strings, so a 64-ENTRY bound could
+  // still pin tens of GB on a driver touching many large tables or
+  // versions. The caps below bound worst-case retention to the order
+  // of a few large snapshots (~10^2 MB), while typical bodies
+  // (10^0-10^3 lines) never come near eviction.
+
+  /** Access-order LRU bounded by entry count AND total entry weight
+    * (line count for body caches, per-dir map entries for derived
+    * views). Entries validate by the source file's (modTime, length)
+    * on every hit. The just-inserted entry is never evicted — the
+    * cache always admits the working snapshot, however large. */
+  private[graft] final class MetaCache[V <: AnyRef](
+      maxEntries: Int, maxWeight: Long, weigh: V => Long) {
+    private val map =
+      new java.util.LinkedHashMap[String, (Long, Long, V, Long)](64, 0.75f, true)
+    private var weight = 0L
+    def get(key: String, modTime: Long, len: Long): Option[V] = synchronized {
+      val hit = map.get(key)
+      if (hit != null && hit._1 == modTime && hit._2 == len) Some(hit._3)
+      else None
     }
+    def put(key: String, modTime: Long, len: Long, v: V): Unit = synchronized {
+      val w = math.max(1L, weigh(v))
+      val old = map.put(key, (modTime, len, v, w))
+      weight += w - (if (old != null) old._4 else 0L)
+      while ((map.size() > maxEntries || weight > maxWeight) && map.size() > 1) {
+        val eldest = map.entrySet().iterator().next()
+        if (eldest.getKey == key) return // newest survives; nothing colder left
+        weight -= eldest.getValue._4
+        map.remove(eldest.getKey); ()
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); weight = 0L }
+    /** Total retained weight — the bound the budget spec asserts. */
+    def retainedWeight: Long = synchronized(weight)
+    def entryCount: Int = synchronized(map.size())
+  }
+
+  // Budgets are sized so the FULL metadata of a few 10^6-dir
+  // snapshots stays resident (a snapshot's segments ≈ 10^6 cached
+  // lines, its expansion ≈ 10^6 lines, its six derived views ≈ 6·10^6
+  // entries): ~1-3 GB worst case, vs tens of GB unbounded. Budgets
+  // that fit LESS than one working set thrash — probe-measured: a 2M
+  // derived budget at 10^6 dirs rebuilt views every access and nearly
+  // TRIPLED commit wall.
+  private[sources] val manifestCacheMax = 256
+  private[graft] val manifestCache =
+    new MetaCache[Seq[String]](manifestCacheMax, 4000000L, _.size.toLong)
 
   // ---- protocol feature gates (Delta's table-features contract) ----
   //
@@ -427,19 +470,15 @@ object Lake
       p: Path): Seq[String] = {
     val st = fs.getFileStatus(p)
     val key = fs.getUri.toString + "::" + fs.makeQualified(p).toUri.getPath
-    manifestCache.synchronized {
-      val hit = manifestCache.get(key)
-      if (hit != null && hit._1 == st.getModificationTime &&
-          hit._2 == st.getLen)
-        return hit._3
+    manifestCache.get(key, st.getModificationTime, st.getLen) match {
+      case Some(hit) => return hit
+      case None =>
     }
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = body.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-    manifestCache.synchronized {
-      manifestCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
-    }
+    manifestCache.put(key, st.getModificationTime, st.getLen, lines)
     lines
   }
 
@@ -466,14 +505,11 @@ object Lake
       r: Path, v: Long): Seq[String] = manifestBodyRaw(fs, r, v)
 
   // expanded bodies cached separately: validated by the MANIFEST's
-  // (modTime, length) — the segments it references are immutable
-  private[sources] val expandedCache =
-    new java.util.LinkedHashMap[String, (Long, Long, Seq[String])](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, Seq[String])]): Boolean =
-        size() > 64
-    }
+  // (modTime, length) — the segments it references are immutable.
+  // Line-weighted (2M-line budget): expanded bodies are exactly the
+  // entries that reach 10^6 lines each at probe scale.
+  private[graft] val expandedCache =
+    new MetaCache[Seq[String]](64, 4000000L, _.size.toLong)
 
   /** The one expansion walk (full and partial paths share it):
     * segment references expand through `keepSeg` — the full expansion
@@ -518,16 +554,12 @@ object Lake
     val st = fs.getFileStatus(p)
     val key = fs.getUri.toString + "::" +
       fs.makeQualified(p).toUri.getPath + "::expanded"
-    expandedCache.synchronized {
-      val hit = expandedCache.get(key)
-      if (hit != null && hit._1 == st.getModificationTime &&
-          hit._2 == st.getLen)
-        return hit._3
+    expandedCache.get(key, st.getModificationTime, st.getLen) match {
+      case Some(hit) => return hit
+      case None =>
     }
     val lines = expandRaw(fs, r, raw, _ => true)._1
-    expandedCache.synchronized {
-      expandedCache.put(key, (st.getModificationTime, st.getLen, lines)); ()
-    }
+    expandedCache.put(key, st.getModificationTime, st.getLen, lines)
     lines
   }
 
@@ -569,13 +601,14 @@ object Lake
   // validated by the manifest's (modTime, length); entries are derived
   // purely from the (immutable once published) body, so a hit is
   // always exact.
-  private[sources] val derivedCache =
-    new java.util.LinkedHashMap[String, (Long, Long, AnyRef)](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, AnyRef)]): Boolean =
-        size() > 128
-    }
+  // weighed by collection size: a derived view of a 10^6-dir snapshot
+  // holds ~10^6 map entries (each keying line-sized strings)
+  private[graft] val derivedCache =
+    new MetaCache[AnyRef](128, 16000000L, {
+      case m: scala.collection.Map[_, _] => m.size.toLong
+      case s: Seq[_] => s.size.toLong
+      case _ => 1L
+    })
 
   private def derivedKey(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       kind: String): String =
@@ -587,16 +620,12 @@ object Lake
     val p = new Path(r, s"_commit_$v")
     val st = fs.getFileStatus(p)
     val key = derivedKey(fs, p, kind)
-    derivedCache.synchronized {
-      val hit = derivedCache.get(key)
-      if (hit != null && hit._1 == st.getModificationTime &&
-          hit._2 == st.getLen)
-        return hit._3.asInstanceOf[T]
+    derivedCache.get(key, st.getModificationTime, st.getLen) match {
+      case Some(hit) => return hit.asInstanceOf[T]
+      case None =>
     }
     val out = build(manifestBody(fs, r, v))
-    derivedCache.synchronized {
-      derivedCache.put(key, (st.getModificationTime, st.getLen, out)); ()
-    }
+    derivedCache.put(key, st.getModificationTime, st.getLen, out)
     out
   }
 
@@ -614,10 +643,8 @@ object Lake
     val p = new Path(r, s"_commit_$v")
     val st = try fs.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException => return } // raced away
-    derivedCache.synchronized {
-      derivedCache.put(derivedKey(fs, p, kind),
-        (st.getModificationTime, st.getLen, value)); ()
-    }
+    derivedCache.put(derivedKey(fs, p, kind),
+      st.getModificationTime, st.getLen, value)
   }
 
   /** TEST SEAM: drop every metadata cache so a spec can compare the
@@ -625,9 +652,9 @@ object Lake
     * seeding-agreement invariant — a cross-JVM reader sees exactly the
     * cold parse). */
   private[graft] def clearMetaCaches(): Unit = {
-    manifestCache.synchronized(manifestCache.clear())
-    expandedCache.synchronized(expandedCache.clear())
-    derivedCache.synchronized(derivedCache.clear())
+    manifestCache.clear()
+    expandedCache.clear()
+    derivedCache.clear()
   }
 
   /** TEST SEAM: the six derived views of one snapshot, as the

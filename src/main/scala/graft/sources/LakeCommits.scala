@@ -1232,17 +1232,22 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    // ONE root listing for the pre-staging metadata-inheritance reads
+    // (same discipline and rationale as commitAppend's preV; the slot
+    // resolution past staging lists fresh).
+    val preV: Seq[Long] = committedVersions(fs, r)
+    val preLast: Option[Long] = preV.lastOption
     // IDENTITY: materialize FIRST (a generated/partition column may
     // derive from the key). An establishing batch may SEED the
     // sequence with its own unique values; afterwards the column is
     // GENERATED ALWAYS — batches omit it, the allocator owns it.
     val effIdCol = effectiveIdentityCol(fs, r, identity)
-    val prevHwm = committedVersions(fs, r).lastOption
+    val prevHwm = preLast
       .flatMap(v => manifestIdentity(fs, r, v)).map(_._2)
     // identity MODE: declared with the column (GENERATED BY DEFAULT =
     // allocator fills only omitted/NULL values), inherited afterwards,
     // divergent re-declaration refused — one mode per table
-    val prevIdMode = committedVersions(fs, r).lastOption
+    val prevIdMode = preLast
       .flatMap(v => manifestIdMode(fs, r, v))
     val wantIdMode = if (identityByDefault) Some("bydefault") else None
     require(identity.isDefined || !identityByDefault,
@@ -1260,7 +1265,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // identity values past this point
     val dfPre = dropAllNullSpecials(df0, effGen0,
       effIdCol.map(c => (c, prevHwm.getOrElse(1L))),
-      establishing = committedVersions(fs, r).isEmpty)
+      establishing = preV.isEmpty)
     val (dfId, idNext): (org.apache.spark.sql.DataFrame, Option[Long]) =
       effIdCol match {
         case None => (dfPre, None)
@@ -1317,14 +1322,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // the evaluation zone is pinned at ESTABLISHMENT — later commits
     // inherit it (a different writer session must not re-date it)
     val genTzEst =
-      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+      if (generatedColumns.nonEmpty && preLast
           .forall(v => manifestGenAll(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
     // row tracking: an overwrite's rows are all NEW — allocate a
     // fresh block past the inherited mark (ids never reuse across
     // history, so a time-traveling diff can't alias two generations)
-    val prevRidMark = committedVersions(fs, r).lastOption
+    val prevRidMark = preLast
       .flatMap(v => manifestRowId(fs, r, v))
     val ridEnabled = rowTracking || prevRidMark.isDefined
     if (ridEnabled) require(!dfId.columns.contains(RowIdCol),
@@ -1345,7 +1350,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // whose logical column the new schema no longer carries.
     val liveMap = liveColMap(fs, r)
     val retired0 =
-      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+      preLast.map(v => manifestRetired(fs, r, v))
         .getOrElse(Nil)
     val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, liveMap))
     val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, liveMap))
@@ -1355,7 +1360,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // CHECK constraints gate every row-introducing commit: one
     // aggregate job over the batch, BEFORE anything stages
     validateChecks(fs, r, df, "overwrite", effGen)
-    val allocV = committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L)
+    val allocV = preV.maxOption.map(_ + 1).getOrElse(0L)
     val newMap = allocPhysical(df.schema,
       liveMap.filter { case (l, _) => df.columns.contains(l) },
       retired0, allocV)
@@ -1425,16 +1430,23 @@ private[graft] trait LakeCommits { this: Lake.type =>
     val spark = df0.sparkSession
     val fs = fsFor(spark, root)
     val r = new Path(root)
+    // ONE root listing serves every pre-staging metadata-inheritance
+    // read below (they all describe the same base snapshot; the OCC
+    // loop past staging re-lists fresh per attempt — its correctness
+    // depends on freshness, these reads don't). At 10^5+ dirs a root
+    // listing is ~10^2 ms, and this function used to take ~11 of them.
+    val preV: Seq[Long] = committedVersions(fs, r)
+    val preLast: Option[Long] = preV.lastOption
     val effGen = effectiveGenParts(fs, r, generatedColumns)
     val genTzEst =
-      if (generatedColumns.nonEmpty && committedVersions(fs, r).lastOption
+      if (generatedColumns.nonEmpty && preLast
           .forall(v => manifestGenAll(fs, r, v).isEmpty))
         Some(spark.sessionState.conf.sessionLocalTimeZone)
       else None
     // IDENTITY: a declared table allocates [mark, mark + n) here and
     // advances the mark in the SAME manifest write; the batch must
     // omit the column (GENERATED ALWAYS)
-    val effId = committedVersions(fs, r).lastOption
+    val effId = preLast
       .flatMap(v => manifestIdentity(fs, r, v))
     // SQL `INSERT INTO t (named, cols)` pads every unnamed column
     // with NULL — an all-NULL identity/generated column therefore
@@ -1449,10 +1461,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // documented BY DEFAULT rule; it exists for migrations seeding
     // existing SERIAL keys)
     val idByDefault = effId.isDefined &&
-      committedVersions(fs, r).lastOption
+      preLast
         .flatMap(v => manifestIdMode(fs, r, v)).contains("bydefault")
     val dfDropped = dropAllNullSpecials(df0, effGen, effId,
-      establishing = committedVersions(fs, r).isEmpty)
+      establishing = preV.isEmpty)
     effId.foreach { case (c, _) =>
       require(idByDefault || !dfDropped.columns.contains(c),
         s"identity column '$c' is GENERATED ALWAYS — the append batch " +
@@ -1491,7 +1503,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
       } else (dfIn.count(), -1L)
     // row tracking: stamp the hidden id block like the identity block
     // (same allocator protocol, same OCC rebase below)
-    val ridMark0 = committedVersions(fs, r).lastOption
+    val ridMark0 = preLast
       .flatMap(v => manifestRowId(fs, r, v))
     if (ridMark0.isDefined) require(!dfIn.columns.contains(RowIdCol),
       s"'$RowIdCol' is engine-owned under row tracking — the append " +
@@ -1524,10 +1536,10 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // one (a re-add after rename/drop must not read old bytes)
     val liveMap = liveColMap(fs, r)
     val retired0 =
-      committedVersions(fs, r).lastOption.map(v => manifestRetired(fs, r, v))
+      preLast.map(v => manifestRetired(fs, r, v))
         .getOrElse(Nil)
     val newMap = allocPhysical(df.schema, liveMap, retired0,
-      committedVersions(fs, r).maxOption.map(_ + 1).getOrElse(0L))
+      preV.maxOption.map(_ + 1).getOrElse(0L))
     val effStats = effectiveStatsCols(fs, r, colsToPhysical(statsCols, newMap))
     val effBloom = effectiveBloomCols(fs, r, colsToPhysical(bloomCols, newMap))
     // a partitioned table's layout is a TABLE property: appends
@@ -1539,8 +1551,8 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // lack the bucket file naming, so the declared layout would lie
     // to every bucketed scan — declare bucketBy on the table's first
     // commit, or re-layout the whole snapshot with commitOverwrite
-    if (bucketBy.isDefined && committedVersions(fs, r).nonEmpty)
-      require(committedVersions(fs, r).lastOption
+    if (bucketBy.isDefined && preV.nonEmpty)
+      require(preLast
           .flatMap(v => manifestBucketBy(fs, r, v)).isDefined,
         s"an append cannot declare a bucket layout on the existing " +
           s"unbucketed table at $root — earlier dirs lack bucket file " +

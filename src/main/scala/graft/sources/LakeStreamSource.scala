@@ -184,9 +184,23 @@ final class LakeStreamSource(
     * controller's price, never a data read — MEMOIZED across triggers
     * (version dirs are immutable, so a version's added-bytes figure
     * never changes once computed). */
-  private val newBytesCache = scala.collection.mutable.HashMap.empty[Long, Long]
+  // access-order LRU, not a wholesale clear-at-cap: the admission
+  // controller probes a sliding window near the live tail, so on a
+  // >4096-version history eviction should shed the COLD head — a full
+  // clear would briefly re-list every dir of the hot tail on the next
+  // trigger
+  private[graft] val newBytesCacheMax = 4096
+  // boxed value type: a primitive-Long map would unbox an absent
+  // entry's null to 0L and silently cache-hit every miss at 0 bytes
+  private[graft] val newBytesCache =
+    new java.util.LinkedHashMap[Long, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, java.lang.Long]): Boolean =
+        size() > newBytesCacheMax
+    }
   private def versionNewBytes(c: Long, newDirs: Set[String]): Long =
-    newBytesCache.get(c).getOrElse {
+    newBytesCache.synchronized(Option(newBytesCache.get(c)))
+      .map(_.longValue).getOrElse {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
       val sz = newDirs.iterator.map { d =>
@@ -196,8 +210,7 @@ final class LakeStreamSource(
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
       }.sum
-      if (newBytesCache.size > 4096) newBytesCache.clear() // runaway guard
-      newBytesCache.update(c, sz)
+      newBytesCache.synchronized(newBytesCache.put(c, java.lang.Long.valueOf(sz)))
       sz
     }
 
