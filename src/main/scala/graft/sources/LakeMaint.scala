@@ -640,22 +640,29 @@ private[graft] trait LakeMaint { this: Lake.type =>
       cols0.forall(c => isNumeric(df.schema(c).dataType))
     /** `slice` laid out into `n` files tight on `cols` (z-order when
       * the column mix supports it, lexicographic range otherwise);
-      * spans computed over THIS slice. */
-    def clusterLayout(slice: org.apache.spark.sql.DataFrame, n: Int):
+      * spans computed over THIS slice — pre-computed by the caller when
+      * its tuple-collect job already aggregated them (the per-tuple
+      * grouped collect below), else one tiny agg here. */
+    def clusterLayout(slice: org.apache.spark.sql.DataFrame, n: Int,
+        spans: Option[IndexedSeq[(Double, Double)]]):
         org.apache.spark.sql.DataFrame =
       if (!zOrderable)
         slice.repartitionByRange(n, cols0.map(col): _*)
           .sortWithinPartitions(cols0.map(col): _*)
       else {
-        // per-column spans for the 16-bit rank scaling — one tiny agg
-        val mm = slice.agg(
-          cols0.flatMap(c => Seq(min(col(c)).cast("double"),
-            max(col(c)).cast("double"))).head,
-          cols0.flatMap(c => Seq(min(col(c)).cast("double"),
-            max(col(c)).cast("double"))).drop(1): _*).collect().head
+        val sp = spans.getOrElse {
+          // per-column spans for the 16-bit rank scaling — one tiny agg
+          val mm = slice.agg(
+            cols0.flatMap(c => Seq(min(col(c)).cast("double"),
+              max(col(c)).cast("double"))).head,
+            cols0.flatMap(c => Seq(min(col(c)).cast("double"),
+              max(col(c)).cast("double"))).drop(1): _*).collect().head
+          cols0.indices.map(j =>
+            (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))).toIndexedSeq
+        }
         val k = cols0.length
         val buckets = cols0.zipWithIndex.map { case (c, j) =>
-          val (lo, hi) = (mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+          val (lo, hi) = sp(j)
           if (lo >= hi || lo.isNaN || hi.isNaN || hi.isInfinite || lo.isInfinite)
             lit(0L)
           else least(greatest(
@@ -681,7 +688,7 @@ private[graft] trait LakeMaint { this: Lake.type =>
     def stageClustered(slice: org.apache.spark.sql.DataFrame, n: Int):
         (String, String, Map[String, String], Option[String]) = {
       val dir = stagedDirName() // writer-unique, see mergeCommitted
-      clusterLayout(slice, n).write.mode("overwrite")
+      clusterLayout(slice, n, None).write.mode("overwrite")
         .parquet(new Path(r, dir).toString)
       // one pass yields per-file + dir ranges AND the row count the
       // bloom builder needs — no separate count job per rewritten dir
@@ -697,10 +704,23 @@ private[graft] trait LakeMaint { this: Lake.type =>
     val cached = df.persist()
     val staged = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      // the tuple collect doubles as the span aggregation: per-tuple
+      // z-spans are exactly the grouped min/max, so ONE job yields the
+      // tuple list AND every tuple's spans (was: one distinct job plus
+      // one agg job per tuple inside the staging loop). Row layout:
+      // partition values at 0..P-1, span pairs appended after.
+      val spanAggs =
+        if (!zOrderable) Nil
+        else cols0.flatMap(c => Seq(min(col(c)).cast("double"),
+          max(col(c)).cast("double")))
       val tuples =
         if (effPart.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else cached.select(effPart.map(col): _*)
-          .distinct().limit(stageTupleCap + 1).collect()
+        else if (spanAggs.isEmpty)
+          cached.select(effPart.map(col): _*)
+            .distinct().limit(stageTupleCap + 1).collect()
+        else cached.groupBy(effPart.map(col): _*)
+          .agg(spanAggs.head, spanAggs.tail: _*)
+          .limit(stageTupleCap + 1).collect()
       val (newDirs, dirStats, fileStats, blooms, parts) =
         if (effPart.isEmpty || tuples.isEmpty || tuples.length > stageTupleCap) {
           // unpartitioned table, or over-cap fallback: one global dir
@@ -740,26 +760,49 @@ private[graft] trait LakeMaint { this: Lake.type =>
           // per-tuple clustered rewrites are independent jobs against
           // the persisted snapshot — run them concurrently (same
           // overlap + ordered-results contract as stageBatch's
-          // partitioned loop; see stageConcurrently)
-          val results = stageConcurrently(tuples.length) { i =>
+          // partitioned loop; see stageConcurrently). Phase split: the
+          // concurrent loop only WRITES (spans already rode the tuple
+          // collect above); per-file stats for every fresh dir then
+          // batch into ONE column-pruned pass (fileStatsJsonBatched —
+          // was one scan job per dir), and the per-dir blooms reuse its
+          // row counts concurrently.
+          val writeRes = stageConcurrently(tuples.length) { i =>
             val row = tuples(i)
             val slice = effPart.zipWithIndex.foldLeft(cached) {
               case (d0, (c, ci)) => d0.where(col(c) <=> lit(row.get(ci)))
             }
-            stageClustered(slice,
-              filesFor(bytesByJson.getOrElse(jsons(i), 0L) + valueless))
+            val spans =
+              if (!zOrderable) None
+              else Some(cols0.indices.map(j =>
+                (row.getDouble(effPart.length + 2 * j),
+                 row.getDouble(effPart.length + 2 * j + 1))).toIndexedSeq)
+            val dir = stagedDirName() // writer-unique, see mergeCommitted
+            clusterLayout(slice,
+              filesFor(bytesByJson.getOrElse(jsons(i), 0L) + valueless),
+              spans).write.mode("overwrite")
+              .parquet(new Path(r, dir).toString)
+            dir
           }
-          results.foreach { // every written dir is cleanup-visible
-            case Right((d, _, _, _)) => staged += d
+          writeRes.foreach { // every written dir is cleanup-visible
+            case Right(d) => staged += d
             case _ => ()
           }
-          results.collectFirst { case Left(t) => t }.foreach(throw _)
-          results.zip(jsons).foreach { case (res, json) =>
-            val (d, dj, fj, bl) = res.toOption.get
+          writeRes.collectFirst { case Left(t) => t }.foreach(throw _)
+          val newDirsSeq = writeRes.map(_.toOption.get)
+          val statsByDir = fileStatsJsonBatched(spark, r, newDirsSeq, effStats)
+          val bloomRes = stageConcurrently(newDirsSeq.length) { i =>
+            val n = statsByDir.get(newDirsSeq(i)).map(_._3).getOrElse(-1L)
+            dirBloomJson(spark, new Path(r, newDirsSeq(i)).toString,
+              effBloom, Some(n).filter(_ >= 0))
+          }
+          bloomRes.collectFirst { case Left(t) => t }.foreach(throw _)
+          newDirsSeq.zip(jsons).zipWithIndex.foreach { case ((d, json), i) =>
+            val (dj, fj) = statsByDir.get(d)
+              .map(s => (s._1, s._2)).getOrElse(("{}", Map.empty[String, String]))
             dirs += d
             ds += d -> dj
             fjs += d -> fj
-            bl.foreach(b => bls += d -> b)
+            bloomRes(i).toOption.get.foreach(b => bls += d -> b)
             pls += d -> json
           }
           (dirs.result(), ds.result(), fjs.result(), bls.result(),

@@ -395,6 +395,63 @@ private[graft] trait LakeStatsMeta { this: Lake.type =>
       nRows))
   }
 
+  /** [[fileStatsJsonN]] for SEVERAL freshly-written sibling dirs in ONE
+    * column-pruned pass — the per-dir semantics (per-file ranges, dir
+    * merge rule, row counts, `present` resolution) are byte-identical,
+    * only the job count changes: a partitioned OPTIMIZE that staged T
+    * tuple dirs pays one stats job instead of T (each a fixed-overhead
+    * scan of a fresh tiny-to-medium dir). Keys of the returned map are
+    * the `dirs` entries (names under `r`, writer-unique, so grouping
+    * collected rows by parent-dir name is unambiguous). Dirs with no
+    * data rows map to ("{}", empty, 0) exactly as the per-dir pass
+    * would report them. An empty `cols` returns an empty map (caller
+    * treats absence as [[fileStatsJsonN]]'s None). */
+  private[sources] def fileStatsJsonBatched(spark: SparkSession, r: Path,
+      dirs: Seq[String], cols: Seq[String]):
+      Map[String, (String, Map[String, String], Long)] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    if (cols.isEmpty || dirs.isEmpty) return Map.empty
+    if (dirs.lengthCompare(1) == 0)
+      return fileStatsJsonN(spark, new Path(r, dirs.head).toString, cols)
+        .map(dirs.head -> _).toMap
+    val df = spark.read.parquet(dirs.map(d => new Path(r, d).toString): _*)
+    val present = cols.filter(c => resolveField(df.schema, c).isDefined)
+    if (present.isEmpty)
+      return dirs.map(_ -> (("{}", Map.empty[String, String], -1L))).toMap
+    val aggs = count(lit(1)) +: present.flatMap(c => Seq(min(df(c)), max(df(c))))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val byDir = rows.groupBy(row =>
+      new Path(row.getString(0)).getParent.getName)
+    dirs.map { d =>
+      val dirRows = byDir.getOrElse(d, Array.empty[org.apache.spark.sql.Row])
+      val nRows = dirRows.map(_.getLong(1)).sum
+      val perFile = dirRows.map { row =>
+        val name = new Path(row.getString(0)).getName
+        val m = present.zipWithIndex.flatMap { case (c, i) =>
+          for {
+            lo <- normExternal(row.get(2 + 2 * i))
+            hi <- normExternal(row.get(3 + 2 * i))
+            if cmpNorm(lo, hi).isDefined
+            bounded <- boundedStat(lo, hi)
+          } yield c -> bounded
+        }.toMap
+        name -> m
+      }.toMap
+      // dir range = merge of file ranges, the fileStatsJsonN rule: a
+      // column folds only when EVERY rowful file carries its stats
+      val dirStats = perFile.values.flatten
+        .groupBy(_._1)
+        .collect { case (c, vs) if vs.size == perFile.size =>
+          val los = vs.map(_._2._1); val his = vs.map(_._2._2)
+          c -> ((los.reduce((a, b) => if (cmpNorm(a, b).exists(_ <= 0)) a else b),
+                 his.reduce((a, b) => if (cmpNorm(a, b).exists(_ >= 0)) a else b)))
+        }.toMap
+      d -> ((statsJson(dirStats),
+        perFile.map { case (f, m) => f -> statsJson(m) }, nRows))
+    }.toMap
+  }
+
   // ---- per-dir Bloom filters (point-lookup skipping) ---------------
   //
   // `#bloomcols=<c1,c2>` names the table's BLOOM COLUMNS (established
