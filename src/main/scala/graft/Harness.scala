@@ -23,6 +23,13 @@ object Harness {
       // compile cost across queries exactly like this; the cache holds
       // compiled classes (small), so the bound is generous not risky.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // file:// with in-process (java.nio) permission handling: the
+      // stock RawLocalFileSystem forks a chmod per created file/dir
+      // when the native hadoop lib is absent — pure fixed overhead on
+      // every staged dir and committer temp file (round-20 profile).
+      // Cluster deployments on HDFS/S3 never route through this.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

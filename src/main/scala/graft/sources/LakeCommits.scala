@@ -122,6 +122,58 @@ private[graft] trait LakeCommits { this: Lake.type =>
     } finally { pool.shutdown() }
   }
 
+  /** Scale-adaptive shuffle/AQE hygiene for a commit path's INTERNAL
+    * jobs — the [[graft.operators.IterativeConf]] discipline extended
+    * to the write path. A commit runs a handful of metadata-scale
+    * actions (empty probes, key probes, identity/stats aggregations,
+    * the staging write, CDC folds): at batch sizes far below one
+    * shuffle partition's worth of data, full-width exchanges are
+    * dozens of near-empty tasks, and AQE's stage-by-stage loop parks
+    * the driver between every micro-stage (measured round 20: 85% of
+    * a tiny merge's wall clock sat in AdaptiveSparkPlanExec's
+    * withFinalPlanUpdate queue, ~0.45 s of driver wait per ~0.27 s of
+    * actual job time). Width derives from the op's ESTIMATED input
+    * bytes (~64 MB per post-shuffle partition, AQE's own advisory
+    * target): a 100 TB-scale op estimates past the session width and
+    * runs exactly as before (full width, AQE on — skew handling
+    * intact); only provably-small ops narrow. Conf is session-scoped
+    * and restored in a finally, the IterativeConf contract (commits
+    * from concurrent threads of one session share it — fine, staging
+    * is writer-unique and the narrowed width is correct for both).
+    * Unknown estimates (Long.MaxValue defaults) never narrow. */
+  private[sources] def narrowCommitJobConf(spark: SparkSession,
+      estBytes: BigInt): () => Unit = {
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val perPart = BigInt(64L << 20)
+    val target =
+      if (estBytes < 0) origParts.toInt
+      else ((estBytes + perPart - 1) / perPart).max(1)
+        .min(BigInt(origParts.toInt)).toInt
+    if (target >= origParts.toInt) () => ()
+    else {
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      () => {
+        spark.conf.set("spark.sql.shuffle.partitions", origParts)
+        spark.conf.set("spark.sql.adaptive.enabled", origAqe)
+      }
+    }
+  }
+
+  /** [[narrowCommitJobConf]] with the estimate summed from the input
+    * plans' optimizer statistics (parquet scans estimate their file
+    * bytes; an unestimable plan contributes Long.MaxValue and keeps
+    * the session conf untouched). Callers restore in a finally. */
+  private[sources] def narrowCommitJobConf(spark: SparkSession,
+      inputs: Seq[org.apache.spark.sql.DataFrame]): () => Unit = {
+    val est = inputs.foldLeft(BigInt(0)) { (acc, df) =>
+      acc + (try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) })
+    }
+    narrowCommitJobConf(spark, est)
+  }
+
   /** Stage a batch under writer-unique dirs: ONE dir when `partCols`
     * is empty, one dir PER distinct partition-value tuple otherwise.
     * Returns (dirs, stats, blooms, parts) ready for [[commitManifest]].
@@ -1237,6 +1289,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // resolution past staging lists fresh).
     val preV: Seq[Long] = committedVersions(fs, r)
     val preLast: Option[Long] = preV.lastOption
+    // internal probe/staging jobs width-scale to the batch estimate
+    // (narrowCommitJobConf); restored by the finally at method end —
+    // braces deliberately do not reindent the body
+    val restoreConf = narrowCommitJobConf(spark, Seq(df0))
+    try {
     // IDENTITY: materialize FIRST (a generated/partition column may
     // derive from the key). An establishing batch may SEED the
     // sequence with its own unique values; afterwards the column is
@@ -1396,6 +1453,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
           "re-derive against the current table and retry")
     }
     next
+    } finally restoreConf()
   }
 
   /** Append `df` to the table at `root` WITHOUT rewriting it: the new
@@ -1437,6 +1495,11 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // listing is ~10^2 ms, and this function used to take ~11 of them.
     val preV: Seq[Long] = committedVersions(fs, r)
     val preLast: Option[Long] = preV.lastOption
+    // internal probe/staging jobs width-scale to the batch estimate
+    // (narrowCommitJobConf); restored by the finally at method end —
+    // braces deliberately do not reindent the body
+    val restoreConf = narrowCommitJobConf(spark, Seq(df0))
+    try {
     val effGen = effectiveGenParts(fs, r, generatedColumns)
     val genTzEst =
       if (generatedColumns.nonEmpty && preLast
@@ -1767,6 +1830,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
             "pathological contention; back off and retry")
       }
     }
+    } finally restoreConf()
     -1L // unreachable
   }
 

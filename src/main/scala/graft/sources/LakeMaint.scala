@@ -457,6 +457,10 @@ private[graft] trait LakeMaint { this: Lake.type =>
     require(total > 0 || minBytes > 0L,
       s"no parquet data in the live snapshot at $root")
     if (total == 0L) return cur // only empty dirs in scope
+    // internal jobs width-scale to the compacted bytes
+    // (narrowCommitJobConf); restored by the finally at method end
+    val restoreConf = narrowCommitJobConf(spark, BigInt(total))
+    try {
     val n = Math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     val carried = manifestSchema(fs, r, cur)
     val base =
@@ -518,6 +522,7 @@ private[graft] trait LakeMaint { this: Lake.type =>
       pubRows = rb._4
     }
     nextV
+    } finally restoreConf()
   }
 
   /** CLUSTER the live snapshot for data skipping: rewrite it into one
@@ -615,6 +620,13 @@ private[graft] trait LakeMaint { this: Lake.type =>
     if (where.isDefined && (rewriteDirs.isEmpty || total == 0))
       return cur // nothing in scope: the snapshot is already optimal
     require(total > 0, s"no parquet data in the live snapshot at $root")
+    // internal jobs (tuple/span collect, clustered writes, batched
+    // stats, blooms) width-scale to the rewritten bytes
+    // (narrowCommitJobConf); the try opens immediately so no refusal
+    // path between here and the staging loop can leak the narrow —
+    // braces deliberately do not reindent the body
+    val restoreConf = narrowCommitJobConf(spark, BigInt(total))
+    try {
     val carried = manifestSchema(fs, r, cur)
     val dfLogical =
       // RAW read: the rewrite must carry the hidden row-id through
@@ -845,6 +857,7 @@ private[graft] trait LakeMaint { this: Lake.type =>
         staged.foreach(d => scala.util.Try(fs.delete(new Path(r, d), true)))
         throw t
     } finally { cached.unpersist(); () }
+    } finally restoreConf()
   }
 
   /** Number of parquet data files currently under `path`. */

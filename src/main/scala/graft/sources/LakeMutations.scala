@@ -67,9 +67,19 @@ private[graft] trait LakeMutations { this: Lake.type =>
     afterSlotPin()
     val dvEff = effDvMaxRows(fs, r, dvMaxRows)
     val base = readCommittedAt(spark, root, cur)
-    val latest = graft.operators.Cdc.lastChanges(
-      base, changes, keyCols, versionCol, deleteCol, guardVersions).persist()
+    // the merge's internal jobs (empty/key probes, CDC fold, rewrite
+    // staging) run width-scaled to base+batch size — see
+    // narrowCommitJobConf; a 100 TB base estimates past the session
+    // width and leaves the conf untouched
+    val restoreConf = narrowCommitJobConf(spark, Seq(base, changes))
+    // the narrow window opens HERE: everything after it (including
+    // lastChanges' eager schema requires) sits inside the try so no
+    // refusal path can leak the narrowed conf into the session
+    var latestOpt: Option[org.apache.spark.sql.DataFrame] = None
     try {
+      val latest = graft.operators.Cdc.lastChanges(
+        base, changes, keyCols, versionCol, deleteCol, guardVersions).persist()
+      latestOpt = Some(latest)
       if (latest.isEmpty) return cur
       val touchedKeys = broadcast(latest.select(keyCols.map(col): _*))
       // one map-only probe: which files (→ dirs) hold touched keys.
@@ -251,7 +261,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
             "one-writer-at-a-time, Delta's OPTIMIZE conflict rule)")
       }
       next
-    } finally { latest.unpersist(); () }
+    } finally { latestOpt.foreach(_.unpersist()); restoreConf() }
   }
 
   /** Predicate DELETE on a committed table — `DELETE FROM t WHERE p`
@@ -380,6 +390,13 @@ private[graft] trait LakeMutations { this: Lake.type =>
     val dropped = byClass.getOrElse(Drop, Nil)
     val rewrite = byClass.getOrElse(Rewrite, Nil)
     if (dropped.isEmpty && rewrite.isEmpty) return cur // nothing can match
+    // internal jobs (DV hit probe, rewrite staging) width-scale to the
+    // rewritten dirs' on-disk bytes (narrowCommitJobConf); restored by
+    // the finally at method end — braces do not reindent the body
+    val restoreConf = narrowCommitJobConf(spark,
+      BigInt(rewrite.map(d => fs.listStatus(new Path(r, d)).toSeq
+        .filter(_.isFile).map(_.getLen).sum).sum))
+    try {
     // MERGE-ON-READ fast path (deletion vectors): no whole-dir drop in
     // play → soft-delete the matching rows as `#dv_` position lines
     // against the UNCHANGED dir set. One metadata-cost commit; the
@@ -477,6 +494,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
           "re-run against the current table")
     }
     next
+    } finally restoreConf()
   }
 
   /** Predicate UPDATE on a committed table — `UPDATE t SET c = expr
@@ -559,6 +577,13 @@ private[graft] trait LakeMutations { this: Lake.type =>
       treeExcludes(updTree, leafExcl)
     }
     if (touched.isEmpty) return cur
+    // internal jobs (DV hit probe, copy/rewrite staging) width-scale
+    // to the touched dirs' on-disk bytes (narrowCommitJobConf);
+    // restored by the finally at method end — braces do not reindent
+    val restoreConf = narrowCommitJobConf(spark,
+      BigInt(touched.map(d => fs.listStatus(new Path(r, d)).toSeq
+        .filter(_.isFile).map(_.getLen).sum).sum))
+    try {
     // MERGE-ON-READ fast path (deletion vectors, Delta's DV update):
     // when the hit count stays under the bound, the matched rows
     // soft-delete via `#dv_` position lines against the UNCHANGED dir
@@ -662,6 +687,7 @@ private[graft] trait LakeMutations { this: Lake.type =>
           "against the current table")
     }
     next
+    } finally restoreConf()
   }
 
   /** General SQL-semantics MERGE INTO a committed table — the
@@ -761,6 +787,9 @@ private[graft] trait LakeMutations { this: Lake.type =>
         org.apache.spark.sql.expressions.Window.partitionBy(on.map(_._2): _*)))
       .withColumn("__s_present", lit(true))
       .persist()
+    // internal probe/rewrite jobs width-scale to base+batch size
+    // (narrowCommitJobConf); restored in the finally below
+    val restoreConf = narrowCommitJobConf(spark, Seq(base, source))
     try {
       val joinCond = on.zipWithIndex.map { case ((t, _), i) =>
         t === col(s"s.__sk_$i")
@@ -893,6 +922,6 @@ private[graft] trait LakeMutations { this: Lake.type =>
             "one-writer-at-a-time, Delta's OPTIMIZE conflict rule)")
       }
       next
-    } finally { srcW.unpersist(); () }
+    } finally { srcW.unpersist(); restoreConf() }
   }
 }
