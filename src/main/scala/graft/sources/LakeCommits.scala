@@ -864,7 +864,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
       .filter(_ > 1).getOrElse(64)
     val segWaste = effProps.get(PropSegWaste).flatMap(_.toDoubleOption)
       .filter(w => w > 0 && w <= 1).getOrElse(0.3)
-    val dirSet = dirs.toSet
+    // plain java.util.HashSet, not dirs.toSet: at 10^6 dirs the scala
+    // immutable builder + boxed-equality lookups were the commit's
+    // single hottest component (round-20 stack sampling: HashSetBuilder
+    // .update + BitmapIndexedSetNode.contains ≈ 60% of a 5.7 s commit)
+    val dirSet: String => Boolean = {
+      val s = new java.util.HashSet[String](math.max(16, dirs.size * 2))
+      dirs.foreach(s.add); s.contains(_)
+    }
     // dirs whose effective lines may differ from what a previous
     // segment recorded: touched by this commit, overridden inline by a
     // previous commit (kept overridden until the segment rewrites), or
@@ -889,8 +896,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
         if (dvsReplace)
           sl.iterator.filter(_.startsWith(DvPrefix)).flatMap(perDirKey).toSet
         else Set.empty
-      val live = segDirs.filter(dirSet)
-      val dead = segDirs.filterNot(dirSet)
+      val (live, dead) = segDirs.partition(dirSet) // one membership pass
       val over = live.filter(d =>
         touchedNow(d) || prevOverKeys(d) || segDvDirs(d))
       // a dir whose effective line set became EMPTY cannot be
@@ -974,15 +980,24 @@ private[graft] trait LakeCommits { this: Lake.type =>
       carriedSegs = carriedSegs.filterNot(_ eq smallest)
       segBackstopFires.incrementAndGet(); ()
     }
-    val carriedDirSet = carriedSegs.iterator.flatMap(_.liveDirs).toSet
+    val carriedDirSet: String => Boolean = {
+      val s = new java.util.HashSet[String]()
+      carriedSegs.foreach(_.liveDirs.foreach(s.add))
+      s.contains(_)
+    }
     val residual = dirs.filterNot(carriedDirSet)
-    val inlineCount = dirs.size +
-      dirs.count(d => newStats.contains(d) || prevStats.contains(d)) +
-      dirs.count(d => newFileStats.contains(d) || prevFileStats.contains(d)) +
-      dirs.count(d => newBlooms.contains(d) || prevBlooms.contains(d)) +
-      dirs.count(d => newParts.contains(d) || prevParts.contains(d)) +
-      dirs.count(d => dvFor(d).nonEmpty)
-    val tiered = carriedSegs.nonEmpty || inlineCount > segThreshold
+    // the inline-line count only decides tiering when NO segment
+    // carries (an already-tiered table short-circuits) — at 10^6 dirs
+    // the five per-dir map probes were ~5M lookups of dead weight
+    val tiered = carriedSegs.nonEmpty || {
+      val inlineCount = dirs.size +
+        dirs.count(d => newStats.contains(d) || prevStats.contains(d)) +
+        dirs.count(d => newFileStats.contains(d) || prevFileStats.contains(d)) +
+        dirs.count(d => newBlooms.contains(d) || prevBlooms.contains(d)) +
+        dirs.count(d => newParts.contains(d) || prevParts.contains(d)) +
+        dirs.count(d => dvFor(d).nonEmpty)
+      inlineCount > segThreshold
+    }
     val featuresAll =
       features ++ (if (tiered) Seq("seg") else Nil)
     // the new segment is written BEFORE the marker references it; a
@@ -1214,7 +1229,14 @@ private[graft] trait LakeCommits { this: Lake.type =>
     def segsOf(v: Long): Seq[String] =
       try manifestSegRefs(fs, r, v).map(_._1)
       catch { case _: java.io.FileNotFoundException => Nil }
-    val staleRefs = stale.flatMap(dirsOf).toSet
+    // java.util.HashSet, not .toSet: at 10^6 dirs the two reference
+    // sets are rebuilt per commit and the scala immutable builder was
+    // a measured hot spot (same finding as commitManifest's dirSet)
+    def juSet(xs: Seq[String]): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](math.max(16, xs.size * 2))
+      xs.foreach(s.add); s
+    }
+    val staleRefs = juSet(stale.flatMap(dirsOf))
     val staleSegs = stale.flatMap(segsOf).toSet
     if (!dryRun)
       stale.foreach(v => fs.delete(new Path(r, s"_commit_$v"), false))
@@ -1222,7 +1244,7 @@ private[graft] trait LakeCommits { this: Lake.type =>
     // empty reference set would sweep LIVE dirs; a failure here skips
     // the sweep entirely (conservative: nothing deleted this round)
     val (keptRefs, keptSegs) =
-      try (kept.flatMap(v => manifestDirs(fs, r, v)).toSet,
+      try (juSet(kept.flatMap(v => manifestDirs(fs, r, v))),
         kept.flatMap(v => manifestSegRefs(fs, r, v).map(_._1)).toSet)
       catch { case _: java.io.FileNotFoundException =>
         return (stale, Nil)
