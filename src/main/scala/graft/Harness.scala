@@ -30,6 +30,12 @@ object Harness {
       // Cluster deployments on HDFS/S3 never route through this.
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.NioLocalFileSystem")
+      // checkpoint I/O through the FileSystem API (and therefore the
+      // NIO local fs above) instead of FileContext, which hard-wires
+      // the stock fork-chmod RawLocalFs; local rename is atomic, the
+      // manager's one requirement
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
