@@ -408,7 +408,10 @@ object Dedup {
     // policy (measured here at sf0.1: 4.5s → 2.7s for the loop); the
     // repartitioned edge cache is built INSIDE the narrowed region so
     // its partitioning matches the loop's exchanges.
-    val m = edgesWide.count()
+    // byte-scaled pre-loop count (it feeds the loop width, so the row
+    // form cannot cover it — see IterativeConf.withByteScaledWidth)
+    val m = IterativeConf.withByteScaledWidth(spark, Seq(edgesWide))(
+      edgesWide.count())
     // strict sentinel: localEdgeLimit = 0 pins the distributed loop
     // even for an empty edge set (specs rely on it)
     if (localEdgeLimit > 0 && m <= localEdgeLimit) {

@@ -82,7 +82,9 @@ object Graph {
       // matches the width the loop's per-round exchanges plan with —
       // a cache built at session width would force either a re-exchange
       // of the edge side every round or full-width rank shuffles.
-      val m = e.count()
+      // The pre-loop count itself runs byte-scaled (it feeds the row
+      // width, so the row form cannot cover it).
+      val m = IterativeConf.withByteScaledWidth(spark, Seq(e))(e.count())
       IterativeConf.withLoopShuffleWidth(spark, m) {
         var e2Cache: Option[DataFrame] = None
         try {
@@ -218,7 +220,7 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val m = e.count()
+      val m = IterativeConf.withByteScaledWidth(spark, Seq(e))(e.count())
       IterativeConf.withLoopShuffleWidth(spark, m) {
         var e2Cache: Option[DataFrame] = None
         try {
@@ -292,7 +294,7 @@ object Graph {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val m = e.count()
+    val m = IterativeConf.withByteScaledWidth(spark, Seq(e))(e.count())
     IterativeConf.withLoopShuffleWidth(spark, m) {
       var adjCache: Option[DataFrame] = None
       try {
@@ -349,7 +351,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    val m = e.count()
+    val m = IterativeConf.withByteScaledWidth(spark, Seq(e))(e.count())
     IterativeConf.withLoopShuffleWidth(spark, m) {
       var symCache: Option[DataFrame] = None
       try {

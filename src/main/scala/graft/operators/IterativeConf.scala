@@ -26,6 +26,44 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object IterativeConf {
 
+  /** Width for the PRE-loop actions (the edge/corpus counts that feed
+    * [[withLoopShuffleWidth]]'s row count — a chicken-and-egg the row
+    * form cannot cover): derived from the inputs' optimizer byte
+    * estimates at ~64 MB per post-shuffle partition (AQE's advisory
+    * target, the same formula as the commit paths'
+    * narrowCommitJobConf). A 100 TB input estimates past the session
+    * width and leaves the conf untouched — full width, AQE on; only
+    * provably-small inputs run the count as a narrow static plan
+    * instead of paying AQE's per-stage driver round-trips on a
+    * KB-sized job. Unestimable plans contribute Long.MaxValue (never
+    * narrow). */
+  def withByteScaledWidth[T](spark: SparkSession,
+      inputs: Seq[org.apache.spark.sql.DataFrame])(body: => T): T = {
+    val est = inputs.foldLeft(BigInt(0)) { (acc, df) =>
+      acc + (try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) })
+    }
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val perPart = BigInt(64L << 20)
+    val target =
+      if (est < 0) origParts.toInt
+      else ((est + perPart - 1) / perPart).max(1)
+        .min(BigInt(origParts.toInt)).toInt
+    val narrow = target < origParts.toInt
+    if (narrow) {
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    try body
+    finally {
+      if (narrow) {
+        spark.conf.set("spark.sql.shuffle.partitions", origParts)
+        spark.conf.set("spark.sql.adaptive.enabled", origAqe)
+      }
+    }
+  }
+
   def withLoopShuffleWidth[T](spark: SparkSession, rows: Long)(body: => T): T = {
     val origParts = spark.conf.get("spark.sql.shuffle.partitions")
     val origAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
